@@ -1,0 +1,82 @@
+package graft.avro
+
+import org.apache.avro.Schema
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Catalyst expressions for the OCF codec (SURVEY.md §2.1 rows S2/S5).
+  *
+  * Native `Expression`s (not Scala UDFs) so null semantics are explicit
+  * and there is no Encoder round-trip per value; `CodegenFallback` is
+  * acceptable because Avro (de)serialization is an I/O-boundary black box
+  * either way (SURVEY.md §4 "codegen" row).
+  */
+
+/** `from_avro_ocf(binary)` -> struct; null on decode failure (PERMISSIVE
+  * semantics — the decode-failure row is routed to the DLQ by the R4
+  * null-check predicate, mirroring consumer.py:228-229 + 272-276). */
+case class FromAvroOcf(child: Expression, schemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val structType = AvroOcf.sparkTypeFor(avroSchema)
+
+  override def dataType: DataType = AvroOcf.sparkTypeFor(new Schema.Parser().parse(schemaJson))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"from_avro_ocf expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    try AvroOcf.decodeRow(input.asInstanceOf[Array[Byte]], structType, avroSchema)
+    catch { case _: Exception => null }
+  override protected def withNewChildInternal(newChild: Expression): FromAvroOcf =
+    copy(child = newChild)
+  override def prettyName: String = "from_avro_ocf"
+}
+
+/** `to_avro_ocf(struct)` -> binary. Deterministic (fixed sync marker). */
+case class ToAvroOcf(child: Expression, schemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val structType = child.dataType.asInstanceOf[StructType]
+
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = child.dataType match {
+    case _: StructType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"to_avro_ocf expects struct input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    AvroOcf.encodeRow(input.asInstanceOf[InternalRow], structType, avroSchema)
+  override protected def withNewChildInternal(newChild: Expression): ToAvroOcf =
+    copy(child = newChild)
+  override def prettyName: String = "to_avro_ocf"
+}
+
+object functions {
+  /** Decode a binary column of single-record Avro OCF messages. */
+  def from_avro_ocf(c: Column, schemaJson: String): Column =
+    ColumnBridge.column(FromAvroOcf(ColumnBridge.expression(c), schemaJson))
+
+  /** Encode a struct column as single-record Avro OCF messages. */
+  def to_avro_ocf(c: Column, schemaJson: String): Column =
+    ColumnBridge.column(ToAvroOcf(ColumnBridge.expression(c), schemaJson))
+
+  /** Register both for SQL use: `from_avro_ocf(col, 'schema-json')`. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def lit(e: Expression): String = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(s"schema must be a string literal, got $other")
+    }
+    reg.createOrReplaceTempFunction(
+      "from_avro_ocf", es => FromAvroOcf(es.head, lit(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "to_avro_ocf", es => ToAvroOcf(es.head, lit(es(1))), "scala_udf")
+  }
+}

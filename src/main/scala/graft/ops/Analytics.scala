@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The generalized analytics operator surface (SURVEY.md §2.5): the
+  * reference is single-stream, but the engine exposes Spark's full
+  * join/window/rollup/set-op capability over the star schema so a user
+  * of the reference can grow into arbitrary OLAP queries.
+  *
+  * Scale discipline baked in here:
+  *  - dimension joins take `broadcast()` hints (nation/region are
+  *    constant-size; customer/supplier fall under AQE's auto-broadcast
+  *    threshold at bench scale and shuffle-join cleanly beyond it);
+  *  - aggregations are partial-agg friendly (plain groupBy over
+  *    codegen'd expressions — map-side combine happens automatically);
+  *  - fixed-point cents (`floor(x*100 + 0.5)` as bigint) keep monetary
+  *    reductions exact and order-independent, which is what makes
+  *    results reproducible across partitionings (and engines).
+  */
+object Analytics {
+
+  /** Integer fixed-point of a price-like double (exact cents). */
+  def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+
+  /** Fixed-point at scale 10^d. */
+  def fp(c: Column, scale: Long): Column = floor(c * scale + 0.5).cast("long")
+
+  /** TPC-H Q1-shaped pricing summary over lineitem: grouped sums /
+    * averages with disc/tax arithmetic, all in fixed point. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"),
+        fp(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L).as("disc_c"),
+        fp(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 1000000L).as("charge_c"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("count_order"),
+        sum(col("qty_c")).as("sq"), sum(col("price_c")).as("sp"),
+        sum(col("disc_c")).as("sd"), sum(col("charge_c")).as("sc"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("count_order"),
+        (col("sq") / 100.0).as("sum_qty"),
+        (col("sp") / 100.0).as("sum_base_price"),
+        (col("sd") / 10000.0).as("sum_disc_price"),
+        (col("sc") / 1000000.0).as("sum_charge"),
+        ((col("sq") / 100.0) / col("count_order")).as("avg_qty"),
+        ((col("sp") / 100.0) / col("count_order")).as("avg_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Star-schema revenue rollup: fact ⋈ broadcast dims. */
+  def revenueByNation(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("price_c"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), (sum(col("price_c")) / 100.0).as("revenue"))
+      .orderBy(col("n_name"))
+
+  /** Top-k with a total tiebreak so output order is unique. */
+  def topK(df: DataFrame, sortDesc: Column, tiebreak: Column, k: Int): DataFrame =
+    df.orderBy(sortDesc.desc, tiebreak.asc).limit(k)
+
+  /** Top-n rows per group via row_number (deterministic tiebreak). */
+  def topPerGroup(df: DataFrame, part: Column, sortDesc: Column, tiebreak: Column, n: Int): DataFrame =
+    df.withColumn("rn",
+        row_number().over(Window.partitionBy(part).orderBy(sortDesc.desc, tiebreak.asc)))
+      .filter(col("rn") <= n)
+
+  /** Tumbling event-time window by epoch bucketing — the batch analog of
+    * `window($"ts", "10 minutes")`, phrased as pure integer epoch math
+    * over a nanosecond-epoch column so bucket boundaries are exact
+    * (no float seconds, no timestamp-precision truncation). */
+  def tumblingNanos(events: DataFrame, tsNanosCol: String, seconds: Int): DataFrame =
+    events.withColumn("bucket_start",
+      expr(s"($tsNanosCol div 1000000000) div $seconds * $seconds"))
+
+  /** Point-in-time ("as-of") lookup via a running last-non-null window:
+    * for every row, the most recent event-time of `markCond` rows at or
+    * before it within the partition. This is the composed-builtins form
+    * of an as-of join (SURVEY.md §2.5) — a single sort-window pass, no
+    * join, no shuffle beyond the partition exchange. */
+  def asOfLast(part: Column, order: Seq[Column], markCond: Column, value: Column): Column =
+    last(when(markCond, value), ignoreNulls = true)
+      .over(Window.partitionBy(part).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+}

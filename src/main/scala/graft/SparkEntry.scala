@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.avro.functions.{from_avro_ocf, to_avro_ocf}
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
 import graft.model.Schemas
 import graft.ops.{Analytics, Router}
 
@@ -235,6 +236,99 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("event_type"), col("last_purchase_us"))
       .orderBy(col("event_id"))
 
+  // ---- LLM-pipeline operators (north-star extensions): text analysis,
+  // ---- dedup family, similarity search, multimodal plumbing ----
+
+  private def qTextStats(s: SparkSession, dir: String): DataFrame =
+    TextOps.withTokenStats(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq_tokens"),
+        col("type_token_ratio"), col("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    TextOps.withLangId(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("en_hits"), col("n_tokens"), col("en_density"),
+        col("pred_lang"), col("lang"), (col("pred_lang") === col("lang")).as("pred_match"))
+      .orderBy(col("doc_id"))
+
+  private def qQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.withQualityScore(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("en_density"), col("type_token_ratio"),
+        col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextOps.withFingerprints(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("fp"), col("fp_prefix"))
+      .orderBy(col("doc_id"))
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("keep_id"), col("dup_count"))
+      .orderBy(col("keep_id"))
+
+  private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 5, minSim = 0.05)
+      .select(col("d1"), col("d2"), col("shared"), col("n1"), col("n2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+
+  private def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, numHashes = 8, rowsPerBand = 1)
+      .orderBy(col("d1"), col("d2"))
+
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash32(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private def qCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.topK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") === 0).select(col("embedding").as("qv")), "qv", 20)
+  }
+
+  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", minSim = 0.25)
+      .orderBy(col("v1"), col("v2"))
+
+  private def qIvfSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents, "cid", "cv")
+    val qc = assign.filter(col("vec_id") === 0).select(col("cid").as("qcid"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.join(assign, "vec_id")
+      .join(broadcast(qc), col("cid") === col("qcid"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), Similarity.cosineFp(col("embedding"), col("qv")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withMediaMeta(
+        t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8")), "blob")
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("format"))
+      .orderBy(col("doc_id"))
+
+  /** DuckDB rendering of Similarity.dotFp (64-dim, 1e-9 fixed point). */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1,64), i -> " +
+      s"CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)))"
+
+  private def duckCos(dab: String, daa: String, dbb: String): String =
+    s"($dab / 1000000000.0) / (sqrt($daa / 1000000000.0) * sqrt($dbb / 1000000000.0))"
+
+  /** DuckDB rendering of Dedup.shingles (k=5, distinct). */
+  private val duckShingles: String =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tk) - 4),
+      |    i -> array_to_string(tk[i:i+4], ' ')))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) toks)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -259,6 +353,18 @@ object SparkEntry {
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_event_buckets" -> (qEventBuckets _),
     "q_asof_last_purchase" -> (qAsofLastPurchase _),
+    "q_text_stats" -> (qTextStats _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality" -> (qQuality _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_jaccard_pairs" -> (qJaccardPairs _),
+    "q_minhash_pairs" -> (qMinhashPairs _),
+    "q_simhash" -> (qSimhash _),
+    "q_cosine_topk" -> (qCosineTopk _),
+    "q_embed_near_dup" -> (qEmbedNearDup _),
+    "q_ivf_search" -> (qIvfSearch _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -436,5 +542,152 @@ object SparkEntry {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_uniq_tokens,
+        |  len(list_distinct(tk)) / len(tk) AS type_token_ratio,
+        |  (length(text) - len(tk) + 1) / len(tk) AS avg_token_len
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> {
+      val stops = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(string_split(text, ' '), t -> list_contains([$stops], t))) AS en_hits,
+         |    len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, en_hits, n_tokens, en_hits / n_tokens AS en_density,
+         |  CASE WHEN en_hits / n_tokens >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang,
+         |  lang,
+         |  (CASE WHEN en_hits / n_tokens >= 0.08 THEN 'en' ELSE 'other' END) = lang AS pred_match
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "q_quality" -> {
+      val stops = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(list_filter(tk, t -> list_contains([$stops], t))) / len(tk) AS en_density,
+         |    len(list_distinct(tk)) / len(tk) AS type_token_ratio,
+         |    len(tk) AS n_tokens
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t)
+         |SELECT doc_id, en_density, type_token_ratio,
+         |  least(en_density * 2.0, 1.0) * 0.4 + type_token_ratio * 0.4 +
+         |    least(n_tokens / 256.0, 1.0) * 0.2 AS quality_score
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp, md5(substr(text, 1, 64)) AS fp_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      s"""WITH $duckShingles,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, shared, c1.n AS n1, c2.n AS n2,
+         |  shared / (c1.n + c2.n - shared) AS jaccard
+         |FROM pairs JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+         |WHERE shared / (c1.n + c2.n - shared) >= 0.05
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q_minhash_pairs" -> {
+      val minhs = (0 until 8).map(j =>
+        s"min(CASE WHEN j = $j THEN h END) AS h$j").mkString(",\n         |    ")
+      val bands = (0 until 8).map(j => s"struct_pack(band := $j, sig := h$j)").mkString(", ")
+      s"""WITH $duckShingles,
+         |hashed AS (
+         |  SELECT doc_id, j, md5(CAST(j AS VARCHAR) || '|' || s) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j) js),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    $minhs
+         |  FROM hashed GROUP BY doc_id),
+         |buckets AS (
+         |  SELECT doc_id, u.band AS band, u.sig AS sig
+         |  FROM (SELECT doc_id, unnest([$bands]) AS u FROM sigs) z)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |ORDER BY d1, d2""".stripMargin
+    },
+
+    "q_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (h // CAST(2**j AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS j) js
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN v > 0 THEN CAST(2**j AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |dots AS (
+         |  SELECT vec_id,
+         |    ${duckDot("embedding", "qv")} AS dab,
+         |    ${duckDot("embedding", "embedding")} AS daa,
+         |    ${duckDot("qv", "qv")} AS dbb
+         |  FROM embeddings, q)
+         |SELECT vec_id, ${duckCos("dab", "daa", "dbb")} AS cosine
+         |FROM dots ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_embed_near_dup" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${duckDot("embedding", "embedding")} AS nrm
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    ${duckCos("""list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)))""", "a.nrm", "b.nrm")} AS cosine
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT v1, v2, cosine FROM pairs WHERE cosine >= 0.25
+         |ORDER BY v1, v2""".stripMargin,
+
+    "q_ivf_search" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |dots AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${duckDot("e.embedding", "c.cv")} AS d
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |    FROM dots) x WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |qc AS (SELECT cid AS qcid FROM assign WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT e.vec_id,
+         |    ${duckDot("e.embedding", "qv")} AS dab,
+         |    ${duckDot("e.embedding", "e.embedding")} AS daa,
+         |    ${duckDot("qv", "qv")} AS dbb
+         |  FROM embeddings e
+         |  JOIN assign a ON e.vec_id = a.vec_id
+         |  JOIN qc ON a.cid = qc.qcid
+         |  CROSS JOIN q)
+         |SELECT vec_id, ${duckCos("dab", "daa", "dbb")} AS cosine
+         |FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  octet_length(encode(text)) % 640 + 1 AS width,
+        |  (octet_length(encode(text)) * 7) % 480 + 1 AS height,
+        |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
+        |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
+        |       ELSE 'webp' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (hash-groupBy), n-gram Jaccard (shared-shingle candidate join),
+  * MinHash+LSH (shingle -> minhash -> band -> bucket join), and SimHash.
+  *
+  * Scale design:
+  *  - exact dedup is one hash aggregation on the text digest — the
+  *    canonical 100 TB shape (shuffle on a 16-byte key, not the text);
+  *  - Jaccard runs on shared-shingle CANDIDATES only (inverted-index
+  *    join), never all-pairs; at extreme scale the candidate join keys
+  *    should be salted if a shingle becomes hot;
+  *  - MinHash/LSH reduces each doc to an 8-hash signature, and the
+  *    candidate join runs on (band, band-signature) buckets — the
+  *    standard sub-quadratic near-dup path (cf. Broder's shingling and
+  *    the MMDS LSH construction);
+  *  - hashes are md5-based so results are engine-independent (the
+  *    DuckDB oracle computes the identical signatures).
+  */
+object Dedup {
+
+  /** Distinct k-token shingles of a token array (w-shingling). */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** (doc_id, shingle) inverted index. */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol), explode(shingles(TextOps.tokens(col(textCol)), k)).as("s"))
+
+  /** Exact dedup by content digest: representative (min id) + group
+    * size per distinct text. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact n-gram Jaccard over shared-shingle candidate pairs.
+    * Output: (d1, d2, shared, n1, n2, jaccard) for jaccard >= minSim. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSim: Double): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, k)
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(counts.select(col(idCol).as("d1"), col("n").as("n1")), "d1")
+      .join(counts.select(col(idCol).as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard") >= minSim)
+  }
+
+  /** MinHash signature columns h0..h{n-1}: hash_j(doc) = min over the
+    * doc's shingles of md5(j || '|' || shingle). String-min over md5
+    * hex is a valid (engine-portable) min-hash family. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, k)
+      .withColumn("j", explode(array((0 until numHashes).map(lit(_)): _*)))
+      .withColumn("h", md5(concat(col("j").cast("string"), lit("|"), col("s")).cast("binary")))
+    sh.groupBy(col(idCol))
+      .agg((0 until numHashes).map(j => min(when(col("j") === j, col("h"))).as(s"h$j")).head,
+        (1 until numHashes).map(j => min(when(col("j") === j, col("h"))).as(s"h$j")): _*)
+  }
+
+  /** LSH band buckets from signatures: bands of `rowsPerBand` hashes,
+    * band signature = concatenated hashes. */
+  def lshBuckets(sigs: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
+      struct(lit(b).as("band"), concat_ws("-", cols: _*).as("sig"))
+    }
+    sigs.select(col(idCol), explode(array(bands: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Near-dup candidate pairs: docs sharing any LSH band bucket. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val buckets = lshBuckets(
+      minhashSignatures(docs, idCol, textCol, k, numHashes), idCol, numHashes, rowsPerBand)
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash over tokens (frequency-weighted): per bit j, sum
+    * +1/-1 votes from bit j of each token's 32-bit md5-derived hash;
+    * positive majority sets the bit. Engine-portable via md5 + integer
+    * bit ops. */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("t"))
+      .withColumn("h", conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10).cast("long"))
+    val votes = tok
+      .withColumn("j", explode(array((0 until 32).map(lit(_)): _*)))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(when(expr("(h div cast(pow(2, j) as bigint)) % 2") === 1, 1).otherwise(-1)).as("v"))
+    votes.groupBy(col(idCol))
+      .agg(sum(when(col("v") > 0, expr("cast(pow(2, j) as bigint)")).otherwise(0L)).as("simhash32"))
+  }
+}

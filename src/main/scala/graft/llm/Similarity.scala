@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, mirroring how ANN systems scale:
+  *  - brute-force cosine top-k — the exact baseline; one broadcast of
+  *    the query vector, a narrow map computing dots, a top-k reduction
+  *    (`orderBy.limit` -> TakeOrderedAndProject, which is a per-partition
+  *    heap + driver merge, NOT a global sort);
+  *  - IVF-style bucketed search — vectors are pre-assigned to their
+  *    nearest centroid (inverted file), and a query probes only its
+  *    centroid's bucket: the classic recall/throughput trade
+  *    (cf. Faiss/IVF literature). Here centroids are a deterministic
+  *    seed set so the oracle can replay assignment exactly.
+  *
+  * Fixed-point discipline: dot products are quantized per term to 1e-9
+  * (`floor(x*y*1e9 + 0.5)` summed as bigints) — order-independent exact
+  * integer reduction, bit-identical across engines and partitionings,
+  * at a resolution far below float32 embedding noise.
+  */
+object Similarity {
+
+  private val Scale = 1e9
+
+  /** Fixed-point dot product of two float-array columns (exact bigint). */
+  def dotFp(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * y.cast("double") * Scale + 0.5).cast("long")),
+      lit(0L), (acc, t) => acc + t)
+
+  /** Cosine similarity from fixed-point dots (deterministic doubles). */
+  def cosineFp(a: Column, b: Column): Column =
+    (dotFp(a, b) / Scale) /
+      (sqrt(dotFp(a, a) / Scale) * sqrt(dotFp(b, b) / Scale))
+
+  /** Brute-force cosine top-k against one query vector (broadcast). */
+  def topK(emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int): DataFrame =
+    emb.crossJoin(broadcast(query))
+      .select(col(idCol), cosineFp(col(vecCol), col(queryVecCol)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+
+  /** IVF assignment: nearest centroid per vector (argmax dot via
+    * row_number over exact fixed-point dots — deterministic ties). */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val dots = emb.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(cidCol), dotFp(col(vecCol), col(cvecCol)).as("d"))
+    dots.withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("d").desc, col(cidCol))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(cidCol))
+  }
+
+  /** Embedding near-dup pairs within blocking keys (e.g. a coarse
+    * cluster/label): all pairs inside a block with cosine >= minSim.
+    * Blocking keeps the pair join linear in block size — the same role
+    * LSH bands play for text. */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, minSim: Double): DataFrame = {
+    // norms once per vector, not once per pair
+    val withNorm = emb.withColumn("nrm", dotFp(col(vecCol), col(vecCol)))
+    withNorm.as("a").join(withNorm.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
+        ((dotFp(col(s"a.$vecCol"), col(s"b.$vecCol")) / Scale) /
+          (sqrt(col("a.nrm") / Scale) * sqrt(col("b.nrm") / Scale))).as("cosine"))
+      .filter(col("cosine") >= minSim)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: token
+  * statistics, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * Everything is built-in codegen'd expressions (split / higher-order
+  * array functions / md5) — no UDFs — so the operators scale as narrow
+  * maps over the document partitioning: 100 TB of documents is
+  * embarrassingly parallel here, no shuffle at all until an aggregation.
+  *
+  * Determinism: all scores are derived from integer counts via fixed
+  * double arithmetic, so results are bit-stable across engines and runs.
+  */
+object TextOps {
+
+  /** Tiny English stopword set for the n-gram/stopword language
+    * heuristic. Fixed and ordered — part of the operator's contract. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+  /** Whitespace tokenization (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Adds n_tokens, n_uniq_tokens, type_token_ratio, avg_token_len. */
+  def withTokenStats(df: DataFrame, textCol: String): DataFrame = {
+    val tk = tokens(col(textCol))
+    df.withColumn("n_tokens", size(tk))
+      .withColumn("n_uniq_tokens", size(array_distinct(tk)))
+      .withColumn("type_token_ratio", col("n_uniq_tokens") / col("n_tokens"))
+      .withColumn("avg_token_len",
+        (length(col(textCol)) - col("n_tokens") + 1) / col("n_tokens"))
+  }
+
+  /** Stopword hits (count of tokens in [[EnStopwords]], duplicates
+    * included — frequency matters for language ID). */
+  def stopwordHits(text: Column): Column =
+    size(filter(tokens(text), t => t.isInCollection(EnStopwords)))
+
+  /** Language-ID heuristic: stopword density over a small English
+    * function-word list; >= threshold predicts English. The classic
+    * cheap first-pass filter before an n-gram model. */
+  def withLangId(df: DataFrame, textCol: String, threshold: Double = 0.08): DataFrame =
+    df.withColumn("en_hits", stopwordHits(col(textCol)))
+      .withColumn("n_tokens", size(tokens(col(textCol))))
+      .withColumn("en_density", col("en_hits") / col("n_tokens"))
+      .withColumn("pred_lang", when(col("en_density") >= threshold, "en").otherwise("other"))
+
+  /** Composite quality score in [0,1]: mixes stopword density (fluency
+    * proxy), type-token ratio (repetition proxy), and a length factor —
+    * the usual heuristic pre-filter shape for pretraining corpora. */
+  def withQualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val withStats = withTokenStats(df, textCol)
+      .withColumn("en_hits", stopwordHits(col(textCol)))
+      .withColumn("en_density", col("en_hits") / col("n_tokens"))
+    withStats.withColumn("quality_score",
+      least(col("en_density") * 2.0, lit(1.0)) * 0.4 +
+        col("type_token_ratio") * 0.4 +
+        least(col("n_tokens") / 256.0, lit(1.0)) * 0.2)
+  }
+
+  /** Content fingerprints: full-text md5 and a 64-char-prefix md5
+    * (cheap near-head dedup key). */
+  def withFingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fp", md5(col(textCol).cast("binary")))
+      .withColumn("fp_prefix", md5(substring(col(textCol), 1, 64).cast("binary")))
+}

@@ -1,0 +1,108 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.avro.functions.from_avro_ocf
+import graft.model.Schemas
+import graft.ops.Router
+
+/** The reference consumer as a Structured Streaming pipeline
+  * (SURVEY.md §2.1 S4-S7, §2.4, §3 EP2).
+  *
+  * Topology: envelope stream -> Avro OCF decode -> validate/route ->
+  * three-way fan-out (success, DLQ, retry), checkpointed.
+  *
+  *  - Source: any envelope-shaped streaming DataFrame. The Kafka
+  *    connector jar is absent here, so production would use the file
+  *    source over a topic directory ([[readTopicDir]]) or a drop-in
+  *    Kafka source later — the envelope schema matches Kafka's exactly
+  *    (SURVEY.md §1.2); tests use MemoryStream.
+  *  - The reference's manual-commit / at-least-once protocol
+  *    (consumer.py:30,179) maps to the checkpoint WAL: offsets commit
+  *    only after the batch's sinks complete, so failure replays the
+  *    batch — the same redelivery contract, but with batch-id-based
+  *    idempotence available in foreachBatch.
+  *  - Retry-by-replay (R1, offset non-commit) is re-modeled as a retry
+  *    ledger: transient rows land in `retry/` with an attempt counter;
+  *    re-injection promotes attempts past maxRetries to the DLQ (F2) —
+  *    no blocking sleeps, no single-threaded redelivery loop.
+  *  - The running aggregate (A1) runs as an update-mode streaming
+  *    aggregation ([[runningAggregate]]): Spark's incremental partial +
+  *    final HashAggregate IS the reference's `count/total/mean` state,
+  *    distributed.
+  */
+object OrderPipeline {
+
+  /** File-source analog of `subscribe(['orders'])` (consumer.py:116-124):
+    * read an envelope-parquet topic directory from earliest. */
+  def readTopicDir(spark: SparkSession, topicDir: String): DataFrame =
+    spark.readStream.schema(Schemas.envelope).parquet(topicDir)
+
+  /** S5 + P1/P2: decode the Avro value, surface payload + metadata.
+    * Decode failure yields a null struct -> routed permanent (R4). */
+  def decode(envelopes: DataFrame): DataFrame =
+    envelopes
+      .withColumn("order", from_avro_ocf(col("value"), Schemas.orderAvroJson))
+      .withColumn("orderId", col("order.orderId"))
+      .withColumn("product", col("order.product"))
+      .withColumn("price", col("order.price").cast("double"))
+
+  /** Full per-message transform: decode -> three-way route (R5). */
+  def process(envelopes: DataFrame): DataFrame =
+    Router.route(decode(envelopes))
+
+  /** A1 as a streaming update-mode aggregate over successes. */
+  def runningAggregate(processed: DataFrame): DataFrame =
+    processed.filter(col("status") === Router.Success)
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("price")).as("total_price"),
+        avg(col("price")).as("running_average"))
+
+  /** Start the checkpointed fan-out pipeline. Writes:
+    *  - `outDir/success/` — decoded successful orders;
+    *  - `outDir/dlq/`     — DLQ envelopes (original bytes + provenance
+    *                        headers, S6);
+    *  - `outDir/retry/`   — transient rows with attempt counter (F2).
+    */
+  def start(processed: DataFrame, outDir: String, checkpointDir: String,
+      maxRetries: Int = Router.MaxRetries): StreamingQuery =
+    processed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          batch.filter(col("status") === Router.Success)
+            .select(col("topic"), col("partition"), col("offset"),
+              col("orderId"), col("product"), col("price"))
+            .write.mode("append").parquet(s"$outDir/success")
+
+          Router.dlqEnvelope(
+              Router.enrichDlq(batch, unix_timestamp(col("timestamp"))),
+              col("value"), col("key"))
+            .write.mode("append").parquet(s"$outDir/dlq")
+
+          batch.filter(col("status") === Router.Transient)
+            .select(col("topic"), col("partition"), col("offset"),
+              col("orderId"), col("product"), col("price"))
+            .withColumn("attempts", lit(1))
+            .write.mode("append").parquet(s"$outDir/retry")
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+
+  /** F2 promotion step for re-injected retries: attempts exhausted ->
+    * DLQ-bound; otherwise back to the retry stream with attempts+1 and
+    * the reference's linear backoff as an eligibility time
+    * (consumer.py:307 `sleep(0.5*retry_count)` -> `eligible_at`,
+    * non-blocking). */
+  def promoteRetries(retries: DataFrame, maxRetries: Int = Router.MaxRetries): DataFrame =
+    retries
+      .withColumn("attempts", col("attempts") + 1)
+      .withColumn("eligible_at",
+        unix_timestamp(current_timestamp()) + col("attempts") * 0.5)
+      .withColumn("disposition",
+        when(col("attempts") > maxRetries, lit("dlq")).otherwise(lit("retry")))
+}

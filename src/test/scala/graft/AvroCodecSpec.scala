@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.avro.Schema
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.avro.{AvroOcf, functions => A}
+import graft.model.Schemas
+
+/** The custom OCF codec kernel (SURVEY.md §2.1 S2/S5): round-trip
+  * identity, PERMISSIVE decode failure, single-record framing. */
+class AvroCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = new Schema.Parser().parse(Schemas.orderAvroJson)
+
+  test("round-trip identity on fixture orders") {
+    val orders = Seq(("a-1", "Widget A", 4.99f), ("b-2", "Widget B", 1000.01f),
+      ("c-3", "Ünïcødé", 0.0f), ("d-4", "x", Float.MaxValue))
+    val df = orders.toDF("orderId", "product", "price")
+    val back = df.select(
+      A.from_avro_ocf(
+        A.to_avro_ocf(struct($"orderId", $"product", $"price"), Schemas.orderAvroJson),
+        Schemas.orderAvroJson).as("o"))
+      .select($"o.orderId", $"o.product", $"o.price")
+    assert(back.collect().toSeq.map(r => (r.getString(0), r.getString(1), r.getFloat(2)))
+      === orders)
+  }
+
+  test("property: round-trip is the identity for arbitrary orders") {
+    val genOrder = for {
+      id <- Gen.identifier
+      product <- Gen.alphaNumStr
+      price <- Gen.chooseNum(-1500.0f, 1500.0f)
+    } yield (id, product, price)
+    val prop = Prop.forAll(genOrder) { case (id, product, price) =>
+      val bytes = AvroOcf.encodeRow(
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(id),
+          org.apache.spark.unsafe.types.UTF8String.fromString(product),
+          price),
+        Schemas.order, schema)
+      val row = AvroOcf.decodeRow(bytes, Schemas.order, schema)
+      // OCF magic per producer.py framing (Obj\x01)
+      bytes(0) == 'O'.toByte && bytes(1) == 'b'.toByte && bytes(2) == 'j'.toByte &&
+        row.getUTF8String(0).toString == id &&
+        row.getUTF8String(1).toString == product &&
+        row.getFloat(2) == price
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("encode is deterministic (fixed sync marker)") {
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("id"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("p"), 1.5f)
+    val a = AvroOcf.encodeRow(row, Schemas.order, schema)
+    val b = AvroOcf.encodeRow(row, Schemas.order, schema)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("malformed bytes decode to null (PERMISSIVE -> DLQ route)") {
+    val df = Seq(Array[Byte](1, 2, 3), "Obj garbage".getBytes).toDF("value")
+    val out = df.select(A.from_avro_ocf($"value", Schemas.orderAvroJson).as("o"))
+    assert(out.collect().forall(_.isNullAt(0)))
+  }
+
+  test("null input decodes to null") {
+    val df = Seq(Option.empty[Array[Byte]]).toDF("value")
+    val out = df.select(A.from_avro_ocf($"value", Schemas.orderAvroJson).as("o"))
+    assert(out.collect().forall(_.isNullAt(0)))
+  }
+
+  test("SQL registration works") {
+    A.register(spark)
+    Seq(("i-9", "Prod", 9.5f)).toDF("orderId", "product", "price")
+      .createOrReplaceTempView("codec_in")
+    val got = spark.sql(
+      s"""SELECT from_avro_ocf(to_avro_ocf(struct(orderId, product, price),
+         |  '${Schemas.orderAvroJson}'), '${Schemas.orderAvroJson}').price AS p
+         |FROM codec_in""".stripMargin).collect()
+    assert(got.head.getFloat(0) === 9.5f)
+  }
+}

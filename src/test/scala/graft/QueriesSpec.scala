@@ -1,0 +1,25 @@
+package graft
+
+/** Every driver-contract query runs on sf0.001 without error; the
+  * flagship returns rows (the driver's smoke check). Oracle-level value
+  * verification runs at sf0.01 via graft.Verify + DuckDB (driver gate). */
+class QueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has oracle SQL or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001") {
+      val n = fn(spark, sf).count()
+      assert(n >= 0)
+    }
+  }
+}

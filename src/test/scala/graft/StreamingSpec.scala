@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.avro.Schema
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.avro.AvroOcf
+import graft.model.{Envelope, Header, Schemas}
+import graft.ops.Router
+import graft.stream.OrderPipeline
+
+/** End-to-end streaming pipeline over MemoryStream envelopes
+  * (SURVEY.md §5 e2e plan): three-way fan-out matches the truth table,
+  * DLQ preserves original bytes, checkpoint restart processes only new
+  * offsets (the at-least-once / manual-commit analog, F1). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = new Schema.Parser().parse(Schemas.orderAvroJson)
+
+  private def encodeOrder(id: String, product: String, price: Float): Array[Byte] =
+    AvroOcf.encodeRow(
+      org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id),
+        org.apache.spark.unsafe.types.UTF8String.fromString(product),
+        price),
+      Schemas.order, schema)
+
+  private def envelope(offset: Long, id: String, price: Float,
+      bytes: Array[Byte] = null): Envelope =
+    Envelope(
+      key = id.getBytes("UTF-8"),
+      value = if (bytes != null) bytes else encodeOrder(id, s"Product $id", price),
+      topic = Schemas.OrdersTopic, partition = 0, offset = offset,
+      timestamp = new Timestamp(1700000000000L + offset), headers = Seq.empty)
+
+  test("fan-out matches the routing truth table; DLQ keeps original bytes") {
+    val out = tmpDir("graft-out")
+    val ckpt = tmpDir("graft-ckpt")
+    val garbage = Array[Byte](9, 9, 9)
+    val input = Seq(
+      envelope(0, "s1", 200.0f),          // success
+      envelope(1, "t1", 30.0f),           // transient
+      envelope(2, "p1", 1200.0f),         // permanent -> DLQ
+      envelope(3, "g1", 0f, garbage),     // decode failure -> DLQ
+      envelope(4, "s2", 999.99f))         // success
+
+    val stream = MemoryStream[Envelope](spark)
+    stream.addData(input: _*)
+    val q = OrderPipeline.start(
+      OrderPipeline.process(stream.toDF()), out, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    val success = spark.read.parquet(s"$out/success")
+    assert(success.select("orderId").as[String].collect().sorted === Array("s1", "s2"))
+    val retry = spark.read.parquet(s"$out/retry")
+    assert(retry.select("orderId").as[String].collect() === Array("t1"))
+    assert(retry.select("attempts").as[Int].head() === 1)
+
+    val dlq = spark.read.parquet(s"$out/dlq")
+    assert(dlq.count() === 2)
+    // original raw bytes preserved verbatim (consumer.py:99-105)
+    val dlqVals = dlq.select("value").as[Array[Byte]].collect().map(_.toSeq).toSet
+    assert(dlqVals.contains(garbage.toSeq))
+    assert(dlqVals.contains(input(2).value.toSeq))
+    val reasons = dlq.select(expr(
+      "cast(filter(headers, h -> h.key = 'error_reason')[0].value AS STRING)"))
+      .as[String].collect().toSet
+    assert(reasons.exists(_.startsWith("Price exceeds threshold: 1200.00")))
+    assert(reasons.exists(_.startsWith("Processing error:")))
+  }
+
+  test("checkpoint restart resumes from committed offsets only") {
+    val out = tmpDir("graft-out2")
+    val ckpt = tmpDir("graft-ckpt2")
+    val stream = MemoryStream[Envelope](spark)
+    stream.addData(envelope(0, "a", 100.0f))
+    val q1 = OrderPipeline.start(OrderPipeline.process(stream.toDF()), out, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$out/success").count() === 1)
+
+    stream.addData(envelope(1, "b", 100.0f))
+    val q2 = OrderPipeline.start(OrderPipeline.process(stream.toDF()), out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    // replayed query must append exactly the new row, not reprocess 'a'
+    val ids = spark.read.parquet(s"$out/success")
+      .select("orderId").as[String].collect().sorted
+    assert(ids === Array("a", "b"))
+  }
+
+  test("streaming running aggregate equals batch aggregate over successes") {
+    val stream = MemoryStream[Envelope](spark)
+    stream.addData(envelope(0, "a", 100.0f), envelope(1, "b", 200.0f),
+      envelope(2, "t", 30.0f))
+    val agg = OrderPipeline.runningAggregate(OrderPipeline.process(stream.toDF()))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("running_agg").start()
+    q.processAllAvailable(); q.stop()
+    val row = spark.table("running_agg").head()
+    assert(row.getLong(0) === 2L)
+    assert(row.getDouble(1) === 300.0)
+    assert(row.getDouble(2) === 150.0)
+  }
+
+  test("retry promotion sends exhausted attempts to DLQ") {
+    val retries = Seq(("t1", 3), ("t2", 1)).toDF("orderId", "attempts")
+    val promoted = OrderPipeline.promoteRetries(retries)
+      .select($"orderId", $"attempts", $"disposition")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(promoted("t1") === ((4, "dlq")))
+    assert(promoted("t2") === ((2, "retry")))
+  }
+}

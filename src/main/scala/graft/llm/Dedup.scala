@@ -23,12 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct k-token shingles of a token array (w-shingling). */
+  /** Distinct k-token shingles of a token array (w-shingling). Native
+    * kernel expression — the composed-builtin form
+    * (`transform(sequence(...), i -> concat_ws(' ', slice(...)))`) is
+    * interpreted per element and was the profiled bottleneck. */
   def shingles(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k))))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.kernels.word_shingles(toks, k)
 
   /** (doc_id, shingle) inverted index. */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
@@ -41,13 +41,20 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** Exact n-gram Jaccard over shared-shingle candidate pairs.
-    * Output: (d1, d2, shared, n1, n2, jaccard) for jaccard >= minSim. */
+    * Output: (d1, d2, shared, n1, n2, jaccard) for jaccard >= minSim.
+    *
+    * The candidate join runs on a 64-bit shingle hash, not the shingle
+    * string: an 8-byte shuffle key instead of ~30-byte text. Hash
+    * collisions would inflate `shared` by 1 per colliding pair; at
+    * 2^-64 per pair this is ignorable far beyond 100 TB corpora (and
+    * a full-accuracy variant would just re-verify on strings). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minSim: Double): DataFrame = {
     val sh = shingleIndex(docs, idCol, textCol, k)
+      .select(col(idCol), xxhash64(col("s")).as("sk"))
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
+        col("a.sk") === col("b.sk") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .agg(count(lit(1)).as("shared"))
     pairs
@@ -59,15 +66,26 @@ object Dedup {
 
   /** MinHash signature columns h0..h{n-1}: hash_j(doc) = min over the
     * doc's shingles of md5(j || '|' || shingle). String-min over md5
-    * hex is a valid (engine-portable) min-hash family. */
+    * hex is a valid (engine-portable) min-hash family.
+    *
+    * Computed entirely with per-row array expressions (transform +
+    * array_min) — no explode, no shuffle: each doc's signature is a
+    * narrow map, so signature extraction over 100 TB is scan-bound.
+    * Docs with fewer than k tokens have no shingles and no signature. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame = {
+    // one shingle row -> numHashes codegen'd md5 columns -> partial-agg
+    // mins: the shuffle carries only (doc_id, numHashes hashes) after
+    // map-side combine, never the shingle set
     val sh = shingleIndex(docs, idCol, textCol, k)
-      .withColumn("j", explode(array((0 until numHashes).map(lit(_)): _*)))
-      .withColumn("h", md5(concat(col("j").cast("string"), lit("|"), col("s")).cast("binary")))
     sh.groupBy(col(idCol))
-      .agg((0 until numHashes).map(j => min(when(col("j") === j, col("h"))).as(s"h$j")).head,
-        (1 until numHashes).map(j => min(when(col("j") === j, col("h"))).as(s"h$j")): _*)
+      .agg(
+        (0 until numHashes).map { j =>
+          min(md5(concat(lit(s"$j|"), col("s")).cast("binary"))).as(s"h$j")
+        }.head,
+        (1 until numHashes).map { j =>
+          min(md5(concat(lit(s"$j|"), col("s")).cast("binary"))).as(s"h$j")
+        }: _*)
   }
 
   /** LSH band buckets from signatures: bands of `rowsPerBand` hashes,

@@ -26,12 +26,11 @@ object Similarity {
 
   private val Scale = 1e9
 
-  /** Fixed-point dot product of two float-array columns (exact bigint). */
+  /** Fixed-point dot product of two float-array columns (exact bigint).
+    * Native kernel expression — the `aggregate(zip_with(...))` form is
+    * interpreted per element (graft.functions.FixedPointDot docs). */
   def dotFp(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        floor(x.cast("double") * y.cast("double") * Scale + 0.5).cast("long")),
-      lit(0L), (acc, t) => acc + t)
+    graft.functions.kernels.fixed_point_dot(a, b)
 
   /** Cosine similarity from fixed-point dots (deterministic doubles). */
   def cosineFp(a: Column, b: Column): Column =

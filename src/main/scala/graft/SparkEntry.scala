@@ -236,6 +236,59 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("event_type"), col("last_purchase_us"))
       .orderBy(col("event_id"))
 
+  /** Session windows via the lag-gap method: a new session starts after
+    * a >30 min silence per user; session_id is the running count of
+    * session starts — pure integer epoch math, shuffle only on user_id. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("sec", expr("ts div 1000000000"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .withColumn("new_session",
+        when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("session_start"),
+        (max(col("sec")) - min(col("sec"))).as("duration_secs"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        (lead(col("o_totalprice"), 1).over(w) - col("o_totalprice")).as("lead_delta"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** The reference's scalar-function surface (SURVEY.md §2.5): string
+    * encode/decode/case/length/substr, numeric round/floor/ceil/abs,
+    * epoch timestamps, casts — all built-ins. */
+  private def qScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        lower(col("o_orderstatus")).as("status_lower"),
+        length(col("o_orderpriority")).as("pri_len"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        concat(col("o_orderstatus"), lit("#"), col("o_orderkey").cast("string")).as("tag"),
+        round(col("o_totalprice")).as("price_round"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        ceil(col("o_totalprice")).cast("long").as("price_ceil"),
+        abs(col("o_totalprice") - 250000.0).as("price_dist"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"))
+      .orderBy(col("o_orderkey"))
+
   // ---- LLM-pipeline operators (north-star extensions): text analysis,
   // ---- dedup family, similarity search, multimodal plumbing ----
 
@@ -353,6 +406,9 @@ object SparkEntry {
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_event_buckets" -> (qEventBuckets _),
     "q_asof_last_purchase" -> (qAsofLastPurchase _),
+    "q_sessionize" -> (qSessionize _),
+    "q_window_funcs" -> (qWindowFuncs _),
+    "q_scalar_funcs" -> (qScalarFuncs _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
@@ -542,6 +598,52 @@ object SparkEntry {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_ns(ts) // 1000000000 AS sec FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts, sec,
+        |    sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, sec,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(sec) AS session_start, max(sec) - min(sec) AS duration_secs
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk, quartile, lead_delta
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    ntile(4) OVER w AS quartile,
+        |    lead(o_totalprice) OVER w - o_totalprice AS lead_delta
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey)) x
+        |WHERE rnk <= 5
+        |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS pri_upper,
+        |  lower(o_orderstatus) AS status_lower,
+        |  length(o_orderpriority) AS pri_len,
+        |  substr(o_orderpriority, 1, 1) AS pri_code,
+        |  o_orderstatus || '#' || CAST(o_orderkey AS VARCHAR) AS tag,
+        |  round(o_totalprice) AS price_round,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+        |  abs(o_totalprice - 250000.0) AS price_dist,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_uniq_tokens,

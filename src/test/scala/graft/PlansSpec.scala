@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.avro.{functions => A, FromAvroOcf}
+import graft.model.Schemas
+import graft.ops.ScalablePrefix
+import graft.plans.CodecRoundTripElimination
+
+/** Catalyst extension machinery: round-trip elimination rule and the
+  * distributed two-pass prefix aggregate (scale path of A1). */
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("optimizer rule erases from_avro_ocf(to_avro_ocf(x))") {
+    val df = Seq(("a", "p", 1.5f)).toDF("orderId", "product", "price")
+      .select(A.from_avro_ocf(
+        A.to_avro_ocf(struct($"orderId", $"product", $"price"), Schemas.orderAvroJson),
+        Schemas.orderAvroJson).as("o"))
+    val analyzed = df.queryExecution.analyzed
+    assert(analyzed.expressions.exists(_.exists(_.isInstanceOf[FromAvroOcf])))
+    val optimized = CodecRoundTripElimination(analyzed)
+    assert(!optimized.expressions.exists(_.exists(_.isInstanceOf[FromAvroOcf])))
+    // runtime injection path (same rule object Catalyst would run)
+    spark.experimental.extraOptimizations = Seq(CodecRoundTripElimination)
+    try {
+      assert(!df.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[FromAvroOcf])))
+      assert(df.select($"o.price").head().getFloat(0) === 1.5f)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("rule keeps codec pairs with mismatched schemas") {
+    val widened = Schemas.orderAvroJson.replace("\"type\":\"float\"", "\"type\":\"double\"")
+    val df = Seq(("a", "p", 1.5f)).toDF("orderId", "product", "price")
+      .select(A.from_avro_ocf(
+        A.to_avro_ocf(struct($"orderId", $"product", $"price"), Schemas.orderAvroJson),
+        widened).as("o"))
+    val optimized = CodecRoundTripElimination(df.queryExecution.analyzed)
+    assert(optimized.expressions.exists(_.exists(_.isInstanceOf[FromAvroOcf])))
+  }
+
+  test("two-pass prefix sum equals the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 10000)
+      .select($"id".as("k"), (($"id" * 7919) % 1000).as("v"))
+    val w = Window.orderBy($"k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.select($"k", count(lit(1)).over(w).as("run_cnt"),
+      sum($"v").over(w).as("run_sum")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val got = ScalablePrefix.runningSum(spark, df, "k", "v", numPartitions = 7)
+      .select($"k", $"run_cnt", $"run_sum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got === expected)
+  }
+}

@@ -289,6 +289,59 @@ object SparkEntry {
         unix_timestamp(col("o_orderdate")).as("order_epoch"))
       .orderBy(col("o_orderkey"))
 
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  private val priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus") +:
+        priorities.zipWithIndex.map { case (p, i) =>
+          coalesce(col(s"`$p`"), lit(0L)).as(s"p${i + 1}") }: _*)
+      .orderBy(col("o_orderstatus"))
+
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))
+
+  private def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"))
+      .orderBy(col("o_orderkey"))
+
+  /** Exact interpolated percentiles over integer cents: interpolation is
+    * `(1-f)*lower + f*upper` on exact longs in both engines. */
+  private def qPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), Analytics.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        (expr("percentile(c, 0.5)") / 100.0).as("p50"),
+        (expr("percentile(c, 0.9)") / 100.0).as("p90"),
+        (expr("percentile(c, 0.99)") / 100.0).as("p99"))
+      .orderBy(col("o_orderpriority"))
+
   // ---- LLM-pipeline operators (north-star extensions): text analysis,
   // ---- dedup family, similarity search, multimodal plumbing ----
 
@@ -407,6 +460,11 @@ object SparkEntry {
     "q_event_buckets" -> (qEventBuckets _),
     "q_asof_last_purchase" -> (qAsofLastPurchase _),
     "q_sessionize" -> (qSessionize _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_pivot" -> (qPivot _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_percentile" -> (qPercentile _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_text_stats" -> (qTextStats _),
@@ -616,6 +674,46 @@ object SparkEntry {
         |  min(sec) AS session_start, max(sec) - min(sec) AS duration_secs
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1,
+        |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2,
+        |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3,
+        |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4,
+        |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  quarter(o_orderdate) AS q,
+        |  month(o_orderdate) AS m,
+        |  dayofmonth(o_orderdate) AS d,
+        |  datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_percentile" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  quantile_cont(c, 0.5) / 100.0 AS p50,
+        |  quantile_cont(c, 0.9) / 100.0 AS p90,
+        |  quantile_cont(c, 0.99) / 100.0 AS p99
+        |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_window_funcs" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk, quartile, lead_delta

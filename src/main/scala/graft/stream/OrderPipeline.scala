@@ -93,6 +93,45 @@ object OrderPipeline {
       }
       .start()
 
+  /** Event-time tumbling counts with a watermark: the generalization of
+    * the reference's processing-order aggregation to event time with a
+    * bounded-lateness contract (SURVEY.md §2.5 watermarks row). State
+    * for windows older than the watermark is dropped — bounded memory
+    * at any scale. */
+  def eventTimeCounts(processed: DataFrame, windowLen: String,
+      lateness: String): DataFrame =
+    processed
+      .withWatermark("timestamp", lateness)
+      .groupBy(window(col("timestamp"), windowLen), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("status"), col("n"))
+
+  /** Per-key running aggregate with explicit custom state
+    * (flatMapGroupsWithState): the arbitrary-stateful-operator surface
+    * (SURVEY.md §2.3 A1 "arbitrary-state variant"). Keyed by product;
+    * state = (count, sum); emits the updated running mean per key per
+    * batch — exactly the reference's per-message `running_average`
+    * trace, but partitioned by key across executors. */
+  def perKeyRunningStats(spark: SparkSession, processed: DataFrame)
+      : org.apache.spark.sql.Dataset[(String, Long, Double)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    processed
+      .filter(col("status") === Router.Success)
+      .select(col("product"), col("price"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (String, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (product: String, rows: Iterator[(String, Double)],
+         state: GroupState[(Long, Double)]) =>
+          var (c, s) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => c += 1; s += r._2 }
+          state.update((c, s))
+          Iterator((product, c, s / c))
+      }
+  }
+
   /** F2 promotion step for re-injected retries: attempts exhausted ->
     * DLQ-bound; otherwise back to the retry stream with attempts+1 and
     * the reference's linear backoff as an eligibility time

@@ -104,6 +104,42 @@ class StreamingSpec extends SparkSpec {
     assert(row.getDouble(2) === 150.0)
   }
 
+  test("event-time windowed counts with watermark") {
+    val stream = MemoryStream[Envelope](spark)
+    // two 10-minute windows of event time
+    stream.addData(
+      envelope(0, "a", 100.0f), envelope(1, "b", 30.0f),
+      envelope(2, "c", 100.0f).copy(timestamp = new Timestamp(1700000900000L)))
+    val agg = OrderPipeline.eventTimeCounts(
+      OrderPipeline.process(stream.toDF()), "10 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("evt_counts").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("evt_counts")
+      .select($"status", $"n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // window 1: success(a) + transient(b); window 2: success(c)
+    assert(rows.sorted === Seq(("success", 1L), ("success", 1L), ("transient_failure", 1L)))
+  }
+
+  test("per-key custom state accumulates across micro-batches") {
+    val stream = MemoryStream[Envelope](spark)
+    val stats = OrderPipeline.perKeyRunningStats(
+      spark, OrderPipeline.process(stream.toDF()))
+    val q = stats.toDF("product", "n", "mean").writeStream
+      .outputMode("update").format("memory").queryName("keyed_stats").start()
+    stream.addData(envelope(0, "a", 100.0f))  // product "Product a"
+    q.processAllAvailable()
+    stream.addData(envelope(1, "a", 200.0f))  // same product key
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("keyed_stats")
+      .filter($"product" === "Product a")
+      .orderBy($"n".desc).head()
+    // state carried across batches: count 2, mean 150
+    assert(last.getLong(1) === 2L)
+    assert(last.getDouble(2) === 150.0)
+  }
+
   test("retry promotion sends exhausted attempts to DLQ") {
     val retries = Seq(("t1", 3), ("t2", 1)).toDF("orderId", "attempts")
     val promoted = OrderPipeline.promoteRetries(retries)

@@ -342,6 +342,37 @@ object SparkEntry {
         (expr("percentile(c, 0.99)") / 100.0).as("p99"))
       .orderBy(col("o_orderpriority"))
 
+  /** Custom-UDAF surface: deterministic HLL sketch vs exact distinct.
+    * The oracle replays the sketch register-for-register (graft.functions.Hll). */
+  private def qHllDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_custkey"),
+        conv(substring(md5(col("o_custkey").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.Hll.hll_sketch(col("h")).as("hll_estimate"),
+        countDistinct(col("o_custkey")).as("exact_distinct"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Deterministic hash-based Bernoulli sampling (reproducible corpus
+    * subsets — a pipeline staple; salt makes draws independent). */
+  private def qSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(
+        conv(substring(md5(concat(lit("sample|"), col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 100 < 10)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus bigram document frequency (n-gram statistics). */
+  private def qNgramCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(Dedup.shingles(TextOps.tokens(col("text")), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("bigram"))
+      .limit(20)
+
   // ---- LLM-pipeline operators (north-star extensions): text analysis,
   // ---- dedup family, similarity search, multimodal plumbing ----
 
@@ -465,6 +496,9 @@ object SparkEntry {
     "q_json_extract" -> (qJsonExtract _),
     "q_date_funcs" -> (qDateFuncs _),
     "q_percentile" -> (qPercentile _),
+    "q_hll_distinct" -> (qHllDistinct _),
+    "q_sample" -> (qSample _),
+    "q_ngram_counts" -> (qNgramCounts _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_text_stats" -> (qTextStats _),
@@ -742,6 +776,47 @@ object SparkEntry {
         |  abs(o_totalprice - 250000.0) AS price_dist,
         |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority, o_custkey,
+        |    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM orders),
+        |rh AS (
+        |  SELECT o_orderpriority, h % 64 AS reg,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE CAST(log2(CAST((h // 64) & (-(h // 64)) AS DOUBLE)) AS INT) + 1
+        |    END AS rho
+        |  FROM h),
+        |regs AS (SELECT o_orderpriority, reg, max(rho) AS mrho FROM rh GROUP BY 1, 2),
+        |s AS (
+        |  SELECT o_orderpriority,
+        |    CAST(sum(CAST(1 AS BIGINT) << (55 - mrho)) AS BIGINT) AS t,
+        |    count(*) AS nreg
+        |  FROM regs GROUP BY 1),
+        |d AS (SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct
+        |      FROM orders GROUP BY 1)
+        |SELECT s.o_orderpriority,
+        |  (0.709 * 64 * 64) /
+        |    (CAST(t + (64 - nreg) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)
+        |       / 36028797018963968.0) AS hll_estimate,
+        |  d.exact_distinct
+        |FROM s JOIN d ON s.o_orderpriority = d.o_orderpriority
+        |ORDER BY s.o_orderpriority""".stripMargin,
+
+    "q_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE CAST('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_counts" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 1),
+        |    i -> array_to_string(tk[i:i+1], ' ')))) AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t)
+        |SELECT bigram, count(*) AS df FROM sh GROUP BY bigram
+        |ORDER BY df DESC, bigram LIMIT 20""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_uniq_tokens,

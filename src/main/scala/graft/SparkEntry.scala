@@ -373,6 +373,34 @@ object SparkEntry {
       .orderBy(col("df").desc, col("bigram"))
       .limit(20)
 
+  /** S1/EP1 producer parity: deterministic generated orders, routed.
+    * The oracle replays the generator field-for-field. */
+  private def qOrderGen(s: SparkSession, dir: String): DataFrame = {
+    val gen = graft.sources.OrderGen.orders(s, 1000L, "gen1")
+      .withColumnRenamed("order_id", "orderId")
+    Router.route(gen)
+      .select(col("seq"), col("orderId").as("order_id"), col("product"),
+        col("price"), col("status"))
+      .orderBy(col("seq"))
+  }
+
+  /** Equi + range join: per purchase, same-user events in the
+    * preceding 10 minutes (SortMergeJoin with a range residual —
+    * the scalable equi-anchored interval-join shape). */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    ev.join(purchases,
+        col("user_id") === col("pu") &&
+          col("ts") >= col("pts") - lit(600000000000L) &&
+          col("ts") < col("pts"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_preceding"))
+      .orderBy(col("purchase_id"))
+  }
+
   // ---- LLM-pipeline operators (north-star extensions): text analysis,
   // ---- dedup family, similarity search, multimodal plumbing ----
 
@@ -499,6 +527,8 @@ object SparkEntry {
     "q_hll_distinct" -> (qHllDistinct _),
     "q_sample" -> (qSample _),
     "q_ngram_counts" -> (qNgramCounts _),
+    "q_order_gen" -> (qOrderGen _),
+    "q_range_join" -> (qRangeJoin _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_text_stats" -> (qTextStats _),
@@ -776,6 +806,40 @@ object SparkEntry {
         |  abs(o_totalprice - 250000.0) AS price_dist,
         |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_order_gen" -> {
+      val words = graft.sources.OrderGen.Words.map(w => s"'$w'").mkString(", ")
+      s"""WITH g AS (
+         |  SELECT range AS seq, md5('gen1|' || CAST(range AS VARCHAR)) AS h
+         |  FROM range(1000)),
+         |o AS (
+         |  SELECT seq,
+         |    substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' ||
+         |      substr(h,17,4) || '-' || substr(h,21,12) AS order_id,
+         |    ([$words])[CAST(CAST('0x' || substr(h,1,4) AS BIGINT) % 16 AS INT) + 1]
+         |      || ' ' ||
+         |      ([$words])[CAST(CAST('0x' || substr(h,5,4) AS BIGINT) % 16 AS INT) + 1] AS product,
+         |    (CAST('0x' || substr(h,9,8) AS BIGINT) % 149501 + 500) / 100.0 AS price
+         |  FROM g)
+         |SELECT seq, order_id, product, price,
+         |  CASE WHEN order_id IS NULL OR length(order_id) = 0
+         |            OR product IS NULL OR length(product) = 0
+         |            OR price IS NULL OR price < 0 THEN 'permanent_failure'
+         |       WHEN price >= 5.0 AND price <= 50.0 THEN 'transient_failure'
+         |       WHEN price > 1000.0 THEN 'permanent_failure'
+         |       ELSE 'success' END AS status
+         |FROM o ORDER BY seq""".stripMargin
+    },
+
+    "q_range_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, epoch_ns(ts) AS ets FROM events)
+        |SELECT purchase_id, count(*) AS n_preceding
+        |FROM p JOIN e ON p.user_id = e.user_id
+        |  AND e.ets >= p.pts - 600000000000 AND e.ets < p.pts
+        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
 
     "q_hll_distinct" ->
       """WITH h AS (

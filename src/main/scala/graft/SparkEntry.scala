@@ -162,6 +162,7 @@ object SparkEntry {
     Analytics.topPerGroup(
         t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
         col("o_custkey"), col("o_totalprice"), col("o_orderkey"), 3)
+      .withColumn("rn", col("rn").cast("long"))
       .orderBy(col("o_custkey"), col("rn"))
 
   private def qWindowLag(s: SparkSession, dir: String): DataFrame = {
@@ -262,9 +263,9 @@ object SparkEntry {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     t(s, dir, "orders")
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
-        ntile(4).over(w).as("quartile"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
         (lead(col("o_totalprice"), 1).over(w) - col("o_totalprice")).as("lead_delta"))
       .filter(col("rnk") <= 5)
       .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
@@ -279,7 +280,7 @@ object SparkEntry {
         col("o_orderkey"),
         upper(col("o_orderpriority")).as("pri_upper"),
         lower(col("o_orderstatus")).as("status_lower"),
-        length(col("o_orderpriority")).as("pri_len"),
+        length(col("o_orderpriority")).cast("long").as("pri_len"),
         substring(col("o_orderpriority"), 1, 1).as("pri_code"),
         concat(col("o_orderstatus"), lit("#"), col("o_orderkey").cast("string")).as("tag"),
         round(col("o_totalprice")).as("price_round"),
@@ -323,11 +324,11 @@ object SparkEntry {
   private def qDateFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .select(col("o_orderkey"),
-        year(col("o_orderdate")).as("y"),
-        quarter(col("o_orderdate")).as("q"),
-        month(col("o_orderdate")).as("m"),
-        dayofmonth(col("o_orderdate")).as("d"),
-        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"))
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
       .orderBy(col("o_orderkey"))
 
   /** Exact interpolated percentiles over integer cents: interpolation is
@@ -406,13 +407,15 @@ object SparkEntry {
 
   private def qTextStats(s: SparkSession, dir: String): DataFrame =
     TextOps.withTokenStats(t(s, dir, "documents"), "text")
-      .select(col("doc_id"), col("n_tokens"), col("n_uniq_tokens"),
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_uniq_tokens").cast("long").as("n_uniq_tokens"),
         col("type_token_ratio"), col("avg_token_len"))
       .orderBy(col("doc_id"))
 
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     TextOps.withLangId(t(s, dir, "documents"), "text")
-      .select(col("doc_id"), col("en_hits"), col("n_tokens"), col("en_density"),
+      .select(col("doc_id"), col("en_hits").cast("long").as("en_hits"),
+        col("n_tokens").cast("long").as("n_tokens"), col("en_density"),
         col("pred_lang"), col("lang"), (col("pred_lang") === col("lang")).as("pred_match"))
       .orderBy(col("doc_id"))
 
@@ -475,7 +478,9 @@ object SparkEntry {
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.withMediaMeta(
         t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8")), "blob")
-      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("format"))
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("format"))
       .orderBy(col("doc_id"))
 
   /** DuckDB rendering of Similarity.dotFp (64-dim, 1e-9 fixed point). */
@@ -730,9 +735,9 @@ object SparkEntry {
         |  FROM e),
         |sess AS (
         |  SELECT user_id, sec,
-        |    sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(sec) AS session_start, max(sec) - min(sec) AS duration_secs

@@ -43,6 +43,12 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
         fails += 1
         continue
+    dt = [(c, str(exp[c].dtype), str(got[c].dtype))
+          for c in exp.columns if str(exp[c].dtype) != str(got[c].dtype)]
+    if dt:
+        print(f"FAIL {name}: dtype skew {dt}")
+        fails += 1
+        continue
     # exact value compare (incl. float bits) in emitted row order
     bad = None
     for c in exp.columns:

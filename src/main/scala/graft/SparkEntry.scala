@@ -945,12 +945,11 @@ object SparkEntry {
 
     "q_minhash_pairs" -> {
       val minhs = (0 until 8).map(j =>
-        s"min(CASE WHEN j = $j THEN h END) AS h$j").mkString(",\n         |    ")
+        s"min(substr(m${j / 4}, ${1 + 8 * (j % 4)}, 8)) AS h$j").mkString(",\n         |    ")
       val bands = (0 until 8).map(j => s"struct_pack(band := $j, sig := h$j)").mkString(", ")
       s"""WITH $duckShingles,
          |hashed AS (
-         |  SELECT doc_id, j, md5(CAST(j AS VARCHAR) || '|' || s) AS h
-         |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j) js),
+         |  SELECT doc_id, md5('0|' || s) AS m0, md5('1|' || s) AS m1 FROM sh),
          |sigs AS (
          |  SELECT doc_id,
          |    $minhs

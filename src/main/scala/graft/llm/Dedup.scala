@@ -74,17 +74,23 @@ object Dedup {
     * Docs with fewer than k tokens have no shingles and no signature. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame = {
-    // one shingle row -> numHashes codegen'd md5 columns -> partial-agg
+    // one shingle row -> numHashes codegen'd hash columns -> partial-agg
     // mins: the shuffle carries only (doc_id, numHashes hashes) after
-    // map-side combine, never the shingle set
+    // map-side combine, never the shingle set. Each md5 yields four
+    // independent 32-bit (8-hex) windows, so numHashes hash functions
+    // cost ceil(numHashes/4) md5 evaluations per shingle.
     val sh = shingleIndex(docs, idCol, textCol, k)
-    sh.groupBy(col(idCol))
+    val salted = (0 until (numHashes + 3) / 4).map { salt =>
+      md5(concat(lit(s"$salt|"), col("s")).cast("binary")).as(s"m$salt")
+    }
+    val withMd5 = sh.select(col(idCol) +: salted: _*)
+    withMd5.groupBy(col(idCol))
       .agg(
         (0 until numHashes).map { j =>
-          min(md5(concat(lit(s"$j|"), col("s")).cast("binary"))).as(s"h$j")
+          min(substring(col(s"m${j / 4}"), 1 + 8 * (j % 4), 8)).as(s"h$j")
         }.head,
         (1 until numHashes).map { j =>
-          min(md5(concat(lit(s"$j|"), col("s")).cast("binary"))).as(s"h$j")
+          min(substring(col(s"m${j / 4}"), 1 + 8 * (j % 4), 8)).as(s"h$j")
         }: _*)
   }
 

@@ -132,6 +132,31 @@ object OrderPipeline {
       }
   }
 
+  /** S7/S3 parity: the reference's per-message console progress and
+    * producer delivery callbacks (producer.py:63-88, consumer.py:172-176)
+    * map to StreamingQueryListener progress events — per micro-batch
+    * row counts and durations, without per-record driver I/O. Returns
+    * the listener so tests/ops can read accumulated totals. */
+  final class ProgressTotals extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    @volatile var batches: Long = 0L
+    @volatile var rows: Long = 0L
+    override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+      batches += 1
+      rows += e.progress.numInputRows
+    }
+    override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+
+  def attachProgressListener(spark: SparkSession): ProgressTotals = {
+    val l = new ProgressTotals
+    spark.streams.addListener(l)
+    l
+  }
+
   /** F2 promotion step for re-injected retries: attempts exhausted ->
     * DLQ-bound; otherwise back to the retry stream with attempts+1 and
     * the reference's linear backoff as an eligibility time

@@ -61,6 +61,21 @@ class AvroCodecSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("multi-record container decodes to the FIRST record (consumer.py:60-65)") {
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, out)
+    Seq(("first", "P1", 1.0f), ("second", "P2", 2.0f)).foreach { case (id, p, pr) =>
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put(0, id); rec.put(1, p); rec.put(2, pr)
+      w.append(rec)
+    }
+    w.close()
+    val row = AvroOcf.decodeRow(out.toByteArray, Schemas.order, schema)
+    assert(row.getUTF8String(0).toString === "first")
+  }
+
   test("malformed bytes decode to null (PERMISSIVE -> DLQ route)") {
     val df = Seq(Array[Byte](1, 2, 3), "Obj garbage".getBytes).toDF("value")
     val out = df.select(A.from_avro_ocf($"value", Schemas.orderAvroJson).as("o"))

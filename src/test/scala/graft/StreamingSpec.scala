@@ -140,6 +140,23 @@ class StreamingSpec extends SparkSpec {
     assert(last.getDouble(2) === 150.0)
   }
 
+  test("progress listener accumulates per-batch totals (S7 parity)") {
+    val listener = OrderPipeline.attachProgressListener(spark)
+    try {
+      val stream = MemoryStream[Envelope](spark)
+      stream.addData(envelope(0, "a", 100.0f), envelope(1, "b", 200.0f))
+      val agg = OrderPipeline.runningAggregate(OrderPipeline.process(stream.toDF()))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("listener_agg").start()
+      q.processAllAvailable(); q.stop()
+      // listener events are delivered asynchronously
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (listener.rows < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(listener.rows >= 2)
+      assert(listener.batches >= 1)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("retry promotion sends exhausted attempts to DLQ") {
     val retries = Seq(("t1", 3), ("t2", 1)).toDF("orderId", "attempts")
     val promoted = OrderPipeline.promoteRetries(retries)

@@ -82,6 +82,21 @@ object Analytics {
     events.withColumn("bucket_start",
       expr(s"($tsNanosCol div 1000000000) div $seconds * $seconds"))
 
+  /** Skew-resistant equi-join: spread each left row across `salts`
+    * sub-keys and replicate the (smaller) right side per salt, so a hot
+    * join key fans out over `salts` tasks instead of one straggler.
+    * Result is identical to the plain join (equivalence-tested); use
+    * when AQE's skew handling isn't available or the skew is known
+    * up front. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      salts: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val saltedRight = right.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedLeft.join(saltedRight, keys :+ "_salt").drop("_salt")
+  }
+
   /** Point-in-time ("as-of") lookup via a running last-non-null window:
     * for every row, the most recent event-time of `markCond` rows at or
     * before it within the partition. This is the composed-builtins form

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Analytics
+
+/** Scale techniques: bucketed co-located joins (no shuffle exchange)
+  * and salted skew joins (identical results, spread hot keys). */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val n = 10000
+    spark.range(n).select($"id".as("k"), ($"id" % 97).as("v"))
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bucketed_a")
+    spark.range(n).select($"id".as("k"), ($"id" % 31).as("w"))
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bucketed_b")
+    val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange"), s"unexpected shuffle:\n$plan")
+    assert(joined.count() === n)
+    spark.sql("DROP TABLE bucketed_a"); spark.sql("DROP TABLE bucketed_b")
+  }
+
+  test("salted join equals plain join on skewed data") {
+    // 90% of left rows share one hot key
+    val left = spark.range(5000)
+      .select(when($"id" % 10 =!= 0, lit(7L)).otherwise($"id" % 50).as("k"),
+        $"id".as("payload"))
+    val right = spark.range(50).select($"id".as("k"), ($"id" * 2).as("dim"))
+    val plain = left.join(right, Seq("k"))
+      .select($"k", $"payload", $"dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val salted = Analytics.saltedJoin(left, right, Seq("k"), salts = 8)
+      .select($"k", $"payload", $"dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(salted === plain)
+  }
+}

@@ -343,6 +343,37 @@ object SparkEntry {
         (expr("percentile(c, 0.99)") / 100.0).as("p99"))
       .orderBy(col("o_orderpriority"))
 
+  /** Statistical aggregates (variance/stddev/correlation) computed from
+    * exact integer moments — Spark's stddev/corr built-ins use
+    * order-dependent streaming updates, so for oracle parity the moments
+    * (sums of x, x^2, x*y as longs on floor-dollar values) are reduced
+    * exactly and the closed-form formulas run on identical doubles. */
+  private def qStatsMoments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"),
+        floor(col("o_totalprice")).cast("long").as("x"),
+        col("o_custkey").as("y"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(Seq(col("o_orderstatus"), col("n")) ++ {
+        // closed-form moments in explicit double arithmetic: sx*sx would
+        // overflow int64 (DuckDB errors, Spark wraps) — and the exact
+        // long sums convert to identical doubles in both engines
+        val nd = col("n").cast("double")
+        val (sx, sy, sxx, syy, sxy) = (col("sx").cast("double"),
+          col("sy").cast("double"), col("sxx").cast("double"),
+          col("syy").cast("double"), col("sxy").cast("double"))
+        Seq(
+          (sx / nd).as("mean_price_floor"),
+          ((sxx - sx * sx / nd) / nd).as("var_pop"),
+          sqrt((sxx - sx * sx / nd) / nd).as("stddev_pop"),
+          ((nd * sxy - sx * sy) /
+            (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))).as("corr_xy"))
+      }: _*)
+      .orderBy(col("o_orderstatus"))
+
   /** Custom-UDAF surface: deterministic HLL sketch vs exact distinct.
     * The oracle replays the sketch register-for-register (graft.functions.Hll). */
   private def qHllDistinct(s: SparkSession, dir: String): DataFrame =
@@ -530,6 +561,7 @@ object SparkEntry {
     "q_date_funcs" -> (qDateFuncs _),
     "q_percentile" -> (qPercentile _),
     "q_hll_distinct" -> (qHllDistinct _),
+    "q_stats_moments" -> (qStatsMoments _),
     "q_sample" -> (qSample _),
     "q_ngram_counts" -> (qNgramCounts _),
     "q_order_gen" -> (qOrderGen _),
@@ -872,6 +904,27 @@ object SparkEntry {
         |  d.exact_distinct
         |FROM s JOIN d ON s.o_orderpriority = d.o_orderpriority
         |ORDER BY s.o_orderpriority""".stripMargin,
+
+    "q_stats_moments" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM (SELECT o_orderstatus,
+        |          CAST(floor(o_totalprice) AS BIGINT) AS x, o_custkey AS y
+        |        FROM orders) t
+        |  GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_price_floor,
+        |  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS var_pop,
+        |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(n AS DOUBLE)) AS stddev_pop,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
+        |FROM m ORDER BY o_orderstatus""".stripMargin,
 
     "q_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -81,7 +81,7 @@ object SparkEntry {
 
   private def qAggSuccess(s: SparkSession, dir: String): DataFrame =
     routed(s, dir).filter(col("status") === Router.Success)
-      .select(floor(col("price") * 100 + 0.5).cast("long").as("cents"))
+      .select(Analytics.cents(col("price")).as("cents"))
       .agg(count(lit(1)).as("order_count"), sum(col("cents")).as("c"))
       .select(
         col("order_count"),
@@ -316,7 +316,10 @@ object SparkEntry {
   private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        // missing/malformed keys -> -1, not null: Spark sorts nulls
+        // first and DuckDB last, which would scramble the row-order
+        // oracle compare
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L)).as("k"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("k"))
@@ -793,7 +796,8 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_json_extract" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+      """SELECT coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,
+        |       count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 
     "q_date_funcs" ->

@@ -24,7 +24,7 @@ case class FromAvroOcf(child: Expression, schemaJson: String)
   @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
   @transient private lazy val structType = AvroOcf.sparkTypeFor(avroSchema)
 
-  override def dataType: DataType = AvroOcf.sparkTypeFor(new Schema.Parser().parse(schemaJson))
+  override def dataType: DataType = structType
   override def nullable: Boolean = true
   override def checkInputDataTypes() = child.dataType match {
     case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess

@@ -43,9 +43,14 @@ case class WordShingles(child: Expression, k: Int)
     while (i <= n - k) {
       sb.setLength(0)
       var j = 0
+      var appended = false
       while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(arr.getUTF8String(i + j).toString)
+        // null tokens are skipped, matching concat_ws semantics
+        if (!arr.isNullAt(i + j)) {
+          if (appended) sb.append(' ')
+          sb.append(arr.getUTF8String(i + j).toString)
+          appended = true
+        }
         j += 1
       }
       seen.add(UTF8String.fromString(sb.toString))
@@ -76,12 +81,16 @@ case class FixedPointDot(left: Expression, right: Expression)
       s"fixed_point_dot expects array<float|double>, got ${left.dataType}, ${right.dataType}")
   private def toD(arr: ArrayData, isFloat: Boolean, i: Int): Double =
     if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+  override def nullable: Boolean = true
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    // length mismatch -> null, matching aggregate(zip_with(...)) where
+    // the padded null term nullifies the sum
+    if (a.numElements() != b.numElements()) return null
     val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val rf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {

@@ -84,19 +84,18 @@ object Dedup {
       md5(concat(lit(s"$salt|"), col("s")).cast("binary")).as(s"m$salt")
     }
     val withMd5 = sh.select(col(idCol) +: salted: _*)
-    withMd5.groupBy(col(idCol))
-      .agg(
-        (0 until numHashes).map { j =>
-          min(substring(col(s"m${j / 4}"), 1 + 8 * (j % 4), 8)).as(s"h$j")
-        }.head,
-        (1 until numHashes).map { j =>
-          min(substring(col(s"m${j / 4}"), 1 + 8 * (j % 4), 8)).as(s"h$j")
-        }: _*)
+    val mins = (0 until numHashes).map { j =>
+      min(substring(col(s"m${j / 4}"), 1 + 8 * (j % 4), 8)).as(s"h$j")
+    }
+    withMd5.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH band buckets from signatures: bands of `rowsPerBand` hashes,
     * band signature = concatenated hashes. */
   def lshBuckets(sigs: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be divisible by rowsPerBand ($rowsPerBand) — " +
+        "trailing hashes would be computed but never bucketed")
     val bands = (0 until numHashes / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
       struct(lit(b).as("band"), concat_ws("-", cols: _*).as("sig"))

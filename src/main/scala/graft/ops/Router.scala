@@ -46,11 +46,17 @@ object Router {
       .otherwise(Success)
 
   /** DLQ `error_reason` header value, mirroring the reference's message
-    * strings (consumer.py:264 `Price exceeds threshold: ...`,
-    * consumer.py:272-276 `Processing error: ...`). Price is rendered
-    * with the reference's 2-decimal formatting (consumer.py:244). */
-  def errorReasonCol(orderId: Column, product: Column, price: Column): Column =
-    when(price.isNull, "Processing error: Missing price field")
+    * strings: deserialize failure raises `Failed to deserialize Avro
+    * message` (consumer.py:228-229), null price raises `Missing price
+    * field` (consumer.py:249-250), both wrapped as `Processing error:
+    * {e}` (consumer.py:276); the threshold string is consumer.py:264.
+    * The reference interpolates the raw Python float repr there; this
+    * engine renders prices with a fixed `%.2f` so the header is
+    * deterministic and engine-portable (documented divergence). */
+  def errorReasonCol(orderId: Column, product: Column, price: Column,
+      decodeFailed: Column = lit(false)): Column =
+    when(decodeFailed, "Processing error: Failed to deserialize Avro message")
+      .when(price.isNull, "Processing error: Missing price field")
       .when(orderId.isNull || length(orderId) === 0 || product.isNull || length(product) === 0,
         "Processing error: Invalid order payload")
       .when(price < 0, format_string("Processing error: Invalid price: %.2f", price))
@@ -64,13 +70,20 @@ object Router {
     * (consumer.py:90-105). `timestamp` is wall-clock in the reference;
     * callers pass a timestamp column so batch replays stay
     * deterministic (pass `current_timestamp()` for live parity). */
-  def enrichDlq(routed: DataFrame, timestampEpoch: Column): DataFrame =
+  def enrichDlq(routed: DataFrame, timestampEpoch: Column): DataFrame = {
+    // a decode failure (null struct from from_avro_ocf) is reported as
+    // such, not as a missing field — distinguishable only upstream of
+    // the projection, so detect the struct column when present
+    val decodeFailed =
+      if (routed.columns.contains("order")) col("order").isNull else lit(false)
     routed.filter(col("status") === Permanent)
-      .withColumn("error_reason", errorReasonCol(col("orderId"), col("product"), col("price")))
+      .withColumn("error_reason",
+        errorReasonCol(col("orderId"), col("product"), col("price"), decodeFailed))
       .withColumn("original_topic", coalesce(col("topic"), lit(graft.model.Schemas.OrdersTopic)))
       .withColumn("original_partition", coalesce(col("partition"), lit(0)).cast("int"))
       .withColumn("original_offset", coalesce(col("offset"), col("orderId").cast("long")))
       .withColumn("dlq_timestamp", timestampEpoch.cast("long"))
+  }
 
   /** The DLQ record in Kafka-envelope shape: value = ORIGINAL raw bytes
     * untouched (consumer.py:99-105), headers as array<struct<key,value>>. */
@@ -122,7 +135,7 @@ object Router {
   def runningStats(success: DataFrame, orderCol: Column): DataFrame = {
     val w = Window.orderBy(orderCol).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     success
-      .withColumn("cents", floor(col("price") * 100 + 0.5).cast("long"))
+      .withColumn("cents", Analytics.cents(col("price")))
       .withColumn("order_count", count(lit(1)).over(w))
       .withColumn("total_price", sum(col("cents")).over(w) / 100.0)
       .withColumn("running_average", (sum(col("cents")).over(w) / 100.0) / col("order_count"))

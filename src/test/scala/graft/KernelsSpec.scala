@@ -47,4 +47,18 @@ class KernelsSpec extends SparkSpec {
       .toDF("a", "b")
     assert(df.select(kernels.fixed_point_dot($"a", $"b")).head().isNullAt(0))
   }
+
+  test("fixed_point_dot is null on length mismatch (zip_with parity)") {
+    val df = Seq((Array(1.0f, 1.0f, 1.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(kernels.fixed_point_dot($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("word_shingles skips null tokens like concat_ws") {
+    val df = Seq(Seq(Some("a"), None, Some("b"), Some("c"))).toDF("toks")
+    val got = df.select(kernels.word_shingles($"toks", 3)).head().getSeq[String](0)
+    val ref = df.select(
+      array_distinct(transform(sequence(lit(1), size($"toks") - 2),
+        i => concat_ws(" ", slice($"toks", i, lit(3)))))).head().getSeq[String](0)
+    assert(got === ref)
+  }
 }

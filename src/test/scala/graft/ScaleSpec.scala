@@ -11,17 +11,32 @@ class ScaleSpec extends SparkSpec {
 
   test("bucketed tables join without a shuffle exchange") {
     val n = 10000
-    spark.range(n).select($"id".as("k"), ($"id" % 97).as("v"))
-      .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
-      .saveAsTable("bucketed_a")
-    spark.range(n).select($"id".as("k"), ($"id" % 31).as("w"))
-      .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
-      .saveAsTable("bucketed_b")
-    val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "k")
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("ShuffleExchange"), s"unexpected shuffle:\n$plan")
-    assert(joined.count() === n)
-    spark.sql("DROP TABLE bucketed_a"); spark.sql("DROP TABLE bucketed_b")
+    // force the sort-merge path so the assertion tests bucketing, not
+    // broadcast, and keep the non-adaptive plan readable
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.range(n).select($"id".as("k"), ($"id" % 97).as("v"))
+        .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+        .saveAsTable("bucketed_a")
+      spark.range(n).select($"id".as("k"), ($"id" % 31).as("w"))
+        .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+        .saveAsTable("bucketed_b")
+      // positive control: the same join over non-bucketed data shuffles
+      // (physical node prints as "Exchange hashpartitioning")
+      val unbucketed = spark.range(n).select($"id".as("k"))
+        .join(spark.range(n).select($"id".as("k")), "k")
+      assert(unbucketed.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+      val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() === n)
+      spark.sql("DROP TABLE bucketed_a"); spark.sql("DROP TABLE bucketed_b")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("salted join equals plain join on skewed data") {

@@ -377,6 +377,50 @@ object SparkEntry {
       }: _*)
       .orderBy(col("o_orderstatus"))
 
+  /** TPC-H Q3-shaped: segment-filtered 3-way join, revenue top-10.
+    * customer (filtered, broadcastable) ⋈ orders ⋈ lineitem with
+    * date predicates pushed to both fact scans. */
+  private def qShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= cutoff)
+      .select(col("l_orderkey"),
+        Analytics.fp(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L).as("rev_fp"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg((sum(col("rev_fp")) / 10000.0).as("revenue"))
+      .select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: five-way star join, revenue per nation in a
+    * region and date window (dimensions broadcast). */
+  private def qRegionVolume(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        Analytics.fp(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L).as("rev_fp"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(col("rev_fp")) / 10000.0).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
   /** Custom-UDAF surface: deterministic HLL sketch vs exact distinct.
     * The oracle replays the sketch register-for-register (graft.functions.Hll). */
   private def qHllDistinct(s: SparkSession, dir: String): DataFrame =
@@ -509,6 +553,16 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** SRP-LSH bucket histogram: the centroid-free ANN scale path
+    * (bucket join replaces all-pairs; see Similarity.srpSignature). */
+  private def qLshAnnBuckets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        Similarity.srpSignature(col("embedding"), numPlanes = 12, dim = 64).as("sig"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"))
+      .orderBy(col("sig"))
+
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.withMediaMeta(
         t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8")), "blob")
@@ -565,6 +619,8 @@ object SparkEntry {
     "q_percentile" -> (qPercentile _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_stats_moments" -> (qStatsMoments _),
+    "q_shipping_priority" -> (qShippingPriority _),
+    "q_region_volume" -> (qRegionVolume _),
     "q_sample" -> (qSample _),
     "q_ngram_counts" -> (qNgramCounts _),
     "q_order_gen" -> (qOrderGen _),
@@ -582,6 +638,7 @@ object SparkEntry {
     "q_cosine_topk" -> (qCosineTopk _),
     "q_embed_near_dup" -> (qEmbedNearDup _),
     "q_ivf_search" -> (qIvfSearch _),
+    "q_lsh_ann_buckets" -> (qLshAnnBuckets _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
   )
 
@@ -909,6 +966,35 @@ object SparkEntry {
         |FROM s JOIN d ON s.o_orderpriority = d.o_orderpriority
         |ORDER BY s.o_orderpriority""".stripMargin,
 
+    "q_shipping_priority" ->
+      """SELECT o_orderkey,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
+        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+        |    / 10000.0 AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_region_volume" ->
+      """SELECT n_name,
+        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+        |    / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
     "q_stats_moments" ->
       """WITH m AS (
         |  SELECT o_orderstatus, count(*) AS n,
@@ -1080,6 +1166,25 @@ object SparkEntry {
          |  CROSS JOIN q)
          |SELECT vec_id, ${duckCos("dab", "daa", "dbb")} AS cosine
          |FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_lsh_ann_buckets" ->
+      """WITH hp AS (
+        |  SELECT p, i,
+        |    (CAST('0x' || substr(md5('hp|' || CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 2001 - 1000) / 1000.0 AS w
+        |  FROM (SELECT unnest(range(12)) AS p) ps
+        |  CROSS JOIN (SELECT unnest(range(64)) AS i) dims),
+        |dots AS (
+        |  SELECT e.vec_id, h.p,
+        |    sum(CAST(floor(h.w * CAST(e.embedding[h.i + 1] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)) AS d
+        |  FROM embeddings e CROSS JOIN hp h
+        |  GROUP BY e.vec_id, h.p),
+        |sigs AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN d >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id)
+        |SELECT sig, count(*) AS n_vectors, min(vec_id) AS min_vec
+        |FROM sigs GROUP BY sig ORDER BY sig""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -57,6 +57,29 @@ object Similarity {
       .select(col(idCol), col(cidCol))
   }
 
+  /** Deterministic sign-random-projection (SRP) LSH: hyperplane
+    * components are md5-derived values in [-1, 1] (a pure function of
+    * (plane, dim), reproducible in any engine), and signature bit p is
+    * the sign of the fixed-point dot with hyperplane p. Vectors in the
+    * same signature bucket are ANN candidates — the classic
+    * sub-quadratic alternative to IVF when no centroids exist
+    * (Charikar's SRP construction). */
+  def hyperplane(p: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      val hex = md.digest(s"hp|$p|$i".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
+    }
+  }
+
+  /** SRP signature column: long with one sign bit per hyperplane. */
+  def srpSignature(vecCol: Column, numPlanes: Int, dim: Int): Column =
+    (0 until numPlanes).map { p =>
+      when(dotFp(typedLit(hyperplane(p, dim).toSeq), vecCol) >= 0, 1L << p)
+        .otherwise(0L)
+    }.reduce(_ + _)
+
   /** Embedding near-dup pairs within blocking keys (e.g. a coarse
     * cluster/label): all pairs inside a block with cosine >= minSim.
     * Blocking keeps the pair join linear in block size — the same role

@@ -377,6 +377,26 @@ object SparkEntry {
       }: _*)
       .orderBy(col("o_orderstatus"))
 
+  /** PERMISSIVE decode-error handling at the query level: every 10th
+    * message is deterministically truncated; from_avro_ocf yields null
+    * for exactly those, and the router sends them to the DLQ branch.
+    * The oracle derives the same partition from the corruption rule. */
+  private def qDecodeErrors(s: SparkSession, dir: String): DataFrame =
+    ordersAsStream(s, dir)
+      .select(col("order_key"), struct(
+        col("orderId"), col("product"),
+        col("price").cast("float").as("price")).as("o"))
+      .select(col("order_key"), to_avro_ocf(col("o"), Schemas.orderAvroJson).as("value"))
+      .withColumn("value",
+        when(col("order_key") % 10 === 0, expr("substring(value, 1, 10)"))
+          .otherwise(col("value")))
+      .select(col("order_key"),
+        from_avro_ocf(col("value"), Schemas.orderAvroJson).as("d"))
+      .select(
+        when(col("d").isNull, "decode_failure").otherwise("decoded").as("outcome"))
+      .groupBy(col("outcome")).agg(count(lit(1)).as("n"))
+      .orderBy(col("outcome"))
+
   /** TPC-H Q3-shaped: segment-filtered 3-way join, revenue top-10.
     * customer (filtered, broadcastable) ⋈ orders ⋈ lineitem with
     * date predicates pushed to both fact scans. */
@@ -596,6 +616,7 @@ object SparkEntry {
     "q_retry_ledger" -> (qRetryLedger _),
     "q_validate" -> (qValidate _),
     "q_avro_roundtrip" -> (qAvroRoundtrip _),
+    "q_decode_errors" -> (qDecodeErrors _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_join_revenue_nation" -> (qJoinRevenueNation _),
     "q_semi_join" -> (qSemiJoin _),
@@ -711,6 +732,11 @@ object SparkEntry {
          |SELECT order_key, order_id, product,
          |       CAST(CAST(price AS REAL) AS DOUBLE) AS price
          |FROM stream ORDER BY order_key""".stripMargin,
+
+    "q_decode_errors" ->
+      """SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'decode_failure'
+        |            ELSE 'decoded' END AS outcome, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY outcome""".stripMargin,
 
     "q1_pricing_summary" ->
       """WITH f AS (

@@ -1,0 +1,34 @@
+package graft
+
+import graft.model.Order
+import graft.ops.{Router, TypedOps}
+
+/** Typed Dataset[Order] surface agrees with the columnar router. */
+class TypedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val orders = Seq(
+    Order("a", "Widget", 4.99f), Order("b", "Widget", 5.0f),
+    Order("c", "Widget", 50.0f), Order("d", "Widget", 1000.01f),
+    Order("e", "Widget", -1.0f), Order("", "Widget", 10.0f),
+    Order("f", "", 10.0f), Order("g", "Widget", 200.0f))
+
+  test("typed routing agrees with the columnar when-chain") {
+    val typed = TypedOps.route(spark, orders.toDS()).collect()
+      .map(r => r.orderId -> r.status).toMap
+    val columnar = Router.route(
+        orders.toDF().withColumnRenamed("price", "price"))
+      .collect().map(r => r.getAs[String]("orderId") -> r.getAs[String]("status")).toMap
+    assert(typed === columnar)
+  }
+
+  test("typed per-product stats equal hand computation") {
+    val routed = TypedOps.route(spark, orders.toDS())
+    val stats = TypedOps.perProductStats(spark, routed).collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // successes: a (4.99), d? no (permanent), g (200.0) -> Widget: n=2
+    val exp = (4.99f.toDouble + 200.0f.toDouble) / 2
+    assert(stats("Widget")._1 === 2L)
+    assert(math.abs(stats("Widget")._2 - exp) < 1e-9)
+  }
+}

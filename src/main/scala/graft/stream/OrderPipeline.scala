@@ -132,6 +132,43 @@ object OrderPipeline {
       }
   }
 
+  /** The same per-key running aggregate on the Spark 4.x
+    * `transformWithState` API (typed ValueState on the RocksDB store) —
+    * the successor surface to flatMapGroupsWithState, with explicit
+    * state handles, TTL support, and timers. Kept alongside the fMGWS
+    * form so both arbitrary-state APIs are covered. */
+  final class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Double), (String, Long, Double)] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("stats",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Double)] = {
+      var (c, s) = if (state.exists()) state.get() else (0L, 0.0)
+      rows.foreach { r => c += 1; s += r._2 }
+      state.update((c, s))
+      Iterator((key, c, s / c))
+    }
+  }
+
+  def perKeyRunningStatsTws(spark: SparkSession, processed: DataFrame)
+      : org.apache.spark.sql.Dataset[(String, Long, Double)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    processed
+      .filter(col("status") === Router.Success)
+      .select(col("product"), col("price"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningStatsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** S7/S3 parity: the reference's per-message console progress and
     * producer delivery callbacks (producer.py:63-88, consumer.py:172-176)
     * map to StreamingQueryListener progress events — per micro-batch

@@ -140,6 +140,27 @@ class StreamingSpec extends SparkSpec {
     assert(last.getDouble(2) === 150.0)
   }
 
+  test("transformWithState running stats carry state across batches") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Envelope](spark)
+      val stats = OrderPipeline.perKeyRunningStatsTws(
+        spark, OrderPipeline.process(stream.toDF()))
+      val q = stats.toDF("product", "n", "mean").writeStream
+        .outputMode("update").format("memory").queryName("tws_stats")
+        .option("checkpointLocation", tmpDir("graft-tws-ckpt")).start()
+      stream.addData(envelope(0, "a", 100.0f))
+      q.processAllAvailable()
+      stream.addData(envelope(1, "a", 200.0f))
+      q.processAllAvailable(); q.stop()
+      val last = spark.table("tws_stats")
+        .filter($"product" === "Product a").orderBy($"n".desc).head()
+      assert(last.getLong(1) === 2L)
+      assert(last.getDouble(2) === 150.0)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("progress listener accumulates per-batch totals (S7 parity)") {
     val listener = OrderPipeline.attachProgressListener(spark)
     try {

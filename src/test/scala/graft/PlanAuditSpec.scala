@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+import graft.ops.Router
+
+/** Plan-quality regression guards: the properties graft.Explain shows
+  * interactively, pinned as tests so a refactor can't silently lose
+  * pushdown, pruning, or broadcast planning. */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q1 pushes the shipdate filter to the parquet scan and prunes columns") {
+    val plan = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    // projection pruning: the scan must not read l_orderkey/l_partkey etc.
+    assert(!plan.contains("l_orderkey"), "scan reads unneeded columns")
+  }
+
+  test("star join broadcasts the dimension side") {
+    val plan = SparkEntry.queries("q_join_revenue_nation")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("q_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan:\n$plan")
+  }
+
+  test("failure counters via observable metrics (A2 observe variant)") {
+    val obs = Observation("routing")
+    val routed = Router.route(
+      Seq(("a", "p", 100.0), ("b", "p", 30.0), ("c", "p", 2000.0))
+        .toDF("orderId", "product", "price"))
+      .observe(obs,
+        count(when(col("status") === Router.Success, 1)).as("n_success"),
+        count(when(col("status") === Router.Transient, 1)).as("n_transient"),
+        count(when(col("status") === Router.Permanent, 1)).as("n_permanent"))
+    routed.count()
+    val m = obs.get
+    assert(m("n_success") === 1L)
+    assert(m("n_transient") === 1L)
+    assert(m("n_permanent") === 1L)
+  }
+
+}

@@ -583,6 +583,37 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"))
       .orderBy(col("sig"))
 
+  private def qTokenEstimate(s: SparkSession, dir: String): DataFrame =
+    TextOps.withTokenEstimate(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_words"), col("est_bpe_tokens"), col("est_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Array/collection function sweep over the embedding column. */
+  private def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        col("embedding").getItem(0).cast("double").as("first_component"),
+        graft.functions.kernels.fixed_point_dot(
+          slice(col("embedding"), 1, 8), slice(col("embedding"), 1, 8)).as("head8_norm_fp"),
+        size(filter(col("embedding"), x => x > 0)).cast("long").as("n_positive"))
+      .orderBy(col("vec_id"))
+
+  /** Regexp surface (patterns chosen to behave identically in Java
+    * regex and RE2): leading-digit extraction + match flag. */
+  private def qRegexp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        regexp_extract(col("o_orderpriority"), "^([0-9])", 1).as("pri_digit"),
+        col("o_orderpriority").rlike("^[1-3]-").as("is_high_pri"))
+      .orderBy(col("o_orderkey"))
+
+  private def qUnionAll(s: SparkSession, dir: String): DataFrame =
+    highValue(s, dir).withColumn("src", lit("high_value"))
+      .unionAll(fStatus(s, dir).withColumn("src", lit("f_status")))
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .orderBy(col("src"))
+
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.withMediaMeta(
         t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8")), "blob")
@@ -661,6 +692,10 @@ object SparkEntry {
     "q_ivf_search" -> (qIvfSearch _),
     "q_lsh_ann_buckets" -> (qLshAnnBuckets _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_token_estimate" -> (qTokenEstimate _),
+    "q_array_funcs" -> (qArrayFuncs _),
+    "q_regexp" -> (qRegexp _),
+    "q_union_all" -> (qUnionAll _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1211,6 +1246,40 @@ object SparkEntry {
         |  FROM dots GROUP BY vec_id)
         |SELECT sig, count(*) AS n_vectors, min(vec_id) AS min_vec
         |FROM sigs GROUP BY sig ORDER BY sig""".stripMargin,
+
+    "q_token_estimate" ->
+      """WITH f AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |SELECT doc_id,
+        |  len(tk) AS n_words,
+        |  CAST(list_sum(list_transform(tk, w -> (length(w) + 3) // 4)) AS BIGINT)
+        |    AS est_bpe_tokens,
+        |  greatest(len(tk),
+        |    CAST(list_sum(list_transform(tk, w -> (length(w) + 3) // 4)) AS BIGINT))
+        |    AS est_tokens
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_component,
+        |  CAST(list_sum(list_transform(generate_series(1, 8),
+        |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |         * 1000000000 + 0.5) AS BIGINT))) AS BIGINT) AS head8_norm_fp,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_regexp" ->
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '^([0-9])', 1) AS pri_digit,
+        |  regexp_matches(o_orderpriority, '^[1-3]-') AS is_high_pri
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT src, count(*) AS n FROM (
+        |  SELECT o_custkey, 'high_value' AS src FROM orders WHERE o_totalprice > 400000
+        |  UNION ALL
+        |  SELECT o_custkey, 'f_status' AS src FROM orders WHERE o_orderstatus = 'F') t
+        |GROUP BY src ORDER BY src""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -61,6 +61,19 @@ object TextOps {
         least(col("n_tokens") / 256.0, lit(1.0)) * 0.2)
   }
 
+  /** BPE-style token-count estimate without a tokenizer model: each
+    * word contributes ceil(len/4) subword units (the ~4-chars-per-token
+    * rule of thumb), floored at the whitespace token count. Pure
+    * integer arithmetic, so the estimate is engine-portable. */
+  def withTokenEstimate(df: DataFrame, textCol: String): DataFrame = {
+    val tk = tokens(col(textCol))
+    df.withColumn("n_words", size(tk).cast("long"))
+      .withColumn("est_bpe_tokens",
+        aggregate(tk, lit(0L),
+          (acc, w) => acc + floor((length(w) + lit(3)) / 4).cast("long")))
+      .withColumn("est_tokens", greatest(col("n_words"), col("est_bpe_tokens")))
+  }
+
   /** Content fingerprints: full-text md5 and a 64-char-prefix md5
     * (cheap near-head dedup key). */
   def withFingerprints(df: DataFrame, textCol: String): DataFrame =

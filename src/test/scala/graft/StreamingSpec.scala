@@ -178,6 +178,29 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("full retry loop: transient order reaches DLQ after exactly maxRetries") {
+    val out = tmpDir("graft-retry-out")
+    val ckpt = tmpDir("graft-retry-ckpt")
+    val stream = MemoryStream[Envelope](spark)
+    stream.addData(envelope(0, "t1", 30.0f)) // transient band
+    val q = OrderPipeline.start(OrderPipeline.process(stream.toDF()), out, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    // re-injection loop: promote until the ledger says dlq
+    var current = spark.read.parquet(s"$out/retry") // attempts = 1
+    var promotions = 0
+    var dlqBound = 0L
+    while (dlqBound == 0 && promotions < 10) {
+      val promoted = OrderPipeline.promoteRetries(current)
+      promotions += 1
+      dlqBound = promoted.filter($"disposition" === "dlq").count()
+      current = promoted.filter($"disposition" === "retry").drop("disposition", "eligible_at")
+    }
+    // attempts 1 -> 2 -> 3 (retry) -> 4 (> maxRetries=3, dlq)
+    assert(promotions === Router.MaxRetries)
+    assert(dlqBound === 1L)
+  }
+
   test("retry promotion sends exhausted attempts to DLQ") {
     val retries = Seq(("t1", 3), ("t2", 1)).toDF("orderId", "attempts")
     val promoted = OrderPipeline.promoteRetries(retries)

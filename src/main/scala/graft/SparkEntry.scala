@@ -614,6 +614,25 @@ object SparkEntry {
       .groupBy(col("src")).agg(count(lit(1)).as("n"))
       .orderBy(col("src"))
 
+  /** The composed curation pipeline (the realistic shape of a training
+    * -data job): language gate -> quality gate -> exact dedup -> token
+    * accounting, one declarative plan end to end. */
+  private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.withQualityScore(t(s, dir, "documents"), "text")
+    val gated = scored.filter(col("en_density") >= 0.05 && col("quality_score") >= 0.45)
+    val deduped = gated
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val withTokens = TextOps.withTokenEstimate(deduped, "text")
+    withTokens.agg(
+      count(lit(1)).as("n_docs_kept"),
+      sum(col("est_tokens")).as("total_est_tokens"),
+      (sum(floor(col("quality_score") * 1000000 + 0.5).cast("long")) / 1000000.0 /
+        count(lit(1))).as("mean_quality"))
+  }
+
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.withMediaMeta(
         t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8")), "blob")
@@ -696,6 +715,7 @@ object SparkEntry {
     "q_array_funcs" -> (qArrayFuncs _),
     "q_regexp" -> (qRegexp _),
     "q_union_all" -> (qUnionAll _),
+    "q_curation_pipeline" -> (qCurationPipeline _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1246,6 +1266,35 @@ object SparkEntry {
         |  FROM dots GROUP BY vec_id)
         |SELECT sig, count(*) AS n_vectors, min(vec_id) AS min_vec
         |FROM sigs GROUP BY sig ORDER BY sig""".stripMargin,
+
+    "q_curation_pipeline" -> {
+      val stops = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, text,
+         |    len(list_filter(tk, t -> list_contains([$stops], t))) / len(tk) AS en_density,
+         |    least(len(list_filter(tk, t -> list_contains([$stops], t))) / len(tk) * 2.0, 1.0) * 0.4
+         |      + len(list_distinct(tk)) / len(tk) * 0.4
+         |      + least(len(tk) / 256.0, 1.0) * 0.2 AS quality_score,
+         |    tk
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents) t),
+         |gated AS (
+         |  SELECT * FROM scored WHERE en_density >= 0.05 AND quality_score >= 0.45),
+         |deduped AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM gated) x WHERE rn = 1),
+         |tokens AS (
+         |  SELECT doc_id, quality_score,
+         |    greatest(len(tk),
+         |      CAST(list_sum(list_transform(tk, w -> (length(w) + 3) // 4)) AS BIGINT))
+         |      AS est_tokens
+         |  FROM deduped)
+         |SELECT count(*) AS n_docs_kept,
+         |  CAST(sum(est_tokens) AS BIGINT) AS total_est_tokens,
+         |  CAST(sum(CAST(floor(quality_score * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         |    / 1000000.0 / count(*) AS mean_quality
+         |FROM tokens""".stripMargin
+    },
 
     "q_token_estimate" ->
       """WITH f AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)

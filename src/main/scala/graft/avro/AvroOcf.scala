@@ -45,6 +45,30 @@ object AvroOcf {
     md.digest(schema.toString.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Container header (magic + metadata + sync) for a schema — byte-
+    * identical for every message of that schema, so it is built once
+    * and prepended, instead of re-serializing the schema JSON and
+    * re-hashing the sync marker per record (which dominated codec
+    * cost: the OCF-per-message framing overhead of SURVEY.md §6). */
+  private val headerCache = new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], Array[Byte])]()
+
+  private def headerAndSync(schema: Schema): (Array[Byte], Array[Byte]) =
+    headerCache.computeIfAbsent(schema.toString, _ => {
+      val sync = syncFor(schema)
+      val out = new ByteArrayOutputStream(256)
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out, sync)
+      w.close() // zero records appended -> header bytes only
+      (out.toByteArray, sync)
+    })
+
+  private def startsWith(bytes: Array[Byte], prefix: Array[Byte]): Boolean = {
+    if (bytes.length < prefix.length) return false
+    var i = 0
+    while (i < prefix.length) { if (bytes(i) != prefix(i)) return false; i += 1 }
+    true
+  }
+
   /** Spark type for a (possibly nullable-union) flat Avro record. */
   def sparkTypeFor(schema: Schema): StructType = {
     require(schema.getType == Schema.Type.RECORD, s"expected record, got $schema")
@@ -90,11 +114,24 @@ object AvroOcf {
       rec.put(i, v)
       i += 1
     }
-    val out = new ByteArrayOutputStream(256)
-    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-    w.create(schema, out, syncFor(schema))
-    w.append(rec)
-    w.close()
+    // fast path equivalent to DataFileWriter.create+append+close with a
+    // fixed sync marker: cached header ++ one data block
+    // (zigzag-varint count=1, size, datum bytes, sync) — byte-identical
+    // output, verified against the DataFileWriter form in tests
+    val (header, sync) = headerAndSync(schema)
+    val datumOut = new ByteArrayOutputStream(64)
+    val enc = org.apache.avro.io.EncoderFactory.get().directBinaryEncoder(datumOut, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    val datum = datumOut.toByteArray
+    val out = new ByteArrayOutputStream(header.length + datum.length + 24)
+    out.write(header)
+    val blockEnc = org.apache.avro.io.EncoderFactory.get().directBinaryEncoder(out, null)
+    blockEnc.writeLong(1L)
+    blockEnc.writeLong(datum.length.toLong)
+    blockEnc.flush()
+    out.write(datum)
+    out.write(sync)
     out.toByteArray
   }
 
@@ -102,11 +139,31 @@ object AvroOcf {
     * returns only the first record of the container). Throws on
     * malformed input; callers choose null-on-error (PERMISSIVE). */
   def decodeRow(bytes: Array[Byte], sparkType: StructType, readerSchema: Schema): InternalRow = {
+    // fast path: a container we encoded ourselves (identical header incl
+    // deterministic sync) — decode the first datum directly, skipping the
+    // per-message header schema-JSON parse. Foreign containers (other
+    // sync markers, codecs, writer schemas) take the generic path below.
+    val (header, _) = headerAndSync(readerSchema)
+    if (startsWith(bytes, header) && bytes.length > header.length) {
+      val dec = org.apache.avro.io.DecoderFactory.get()
+        .binaryDecoder(bytes, header.length, bytes.length - header.length, null)
+      val count = dec.readLong()
+      dec.readLong() // block byte size
+      if (count >= 1) {
+        val rec = new GenericDatumReader[GenericRecord](readerSchema).read(null, dec)
+        return recordToRow(rec, sparkType)
+      }
+    }
     val in = new DataFileStream[GenericRecord](
       new ByteArrayInputStream(bytes), new GenericDatumReader[GenericRecord](readerSchema))
     try {
       if (!in.hasNext) throw new IllegalArgumentException("empty avro container")
       val rec = in.next()
+      recordToRow(rec, sparkType)
+    } finally in.close()
+  }
+
+  private def recordToRow(rec: GenericRecord, sparkType: StructType): InternalRow = {
       val vals = new Array[Any](sparkType.length)
       var i = 0
       while (i < sparkType.length) {
@@ -127,6 +184,5 @@ object AvroOcf {
         i += 1
       }
       new GenericInternalRow(vals)
-    } finally in.close()
   }
 }

@@ -52,6 +52,24 @@ class AvroCodecSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("fast-path encode is byte-identical to DataFileWriter output") {
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("pin-1"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("Pinned"), 42.5f)
+    val fast = AvroOcf.encodeRow(row, Schemas.order, schema)
+    // reference form: DataFileWriter with the same deterministic sync
+    val sync = java.security.MessageDigest.getInstance("MD5")
+      .digest(schema.toString.getBytes("UTF-8"))
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, out, sync)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put(0, "pin-1"); rec.put(1, "Pinned"); rec.put(2, 42.5f)
+    w.append(rec); w.close()
+    assert(fast.toSeq === out.toByteArray.toSeq)
+  }
+
   test("encode is deterministic (fixed sync marker)") {
     val row = org.apache.spark.sql.catalyst.InternalRow(
       org.apache.spark.unsafe.types.UTF8String.fromString("id"),

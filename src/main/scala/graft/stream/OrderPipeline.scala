@@ -93,6 +93,32 @@ object OrderPipeline {
       }
       .start()
 
+  /** Streaming exactly-once-per-key dedup: drops redelivered copies of
+    * a message inside the watermark horizon — the streaming face of the
+    * dedup operator family, and the idempotence layer an at-least-once
+    * source needs. State is bounded by the watermark. */
+  def dedupStream(processed: DataFrame, lateness: String): DataFrame =
+    processed
+      .withWatermark("timestamp", lateness)
+      .dropDuplicates("orderId", "timestamp")
+
+  /** Stream-stream inner join: orders enriched against a second stream
+    * (e.g. a payments/confirmation feed) on key within a bounded
+    * event-time skew. Both sides are watermarked so join state is
+    * evicted once the time bound passes — the scalable form of
+    * streaming enrichment. */
+  def joinStreams(orders: DataFrame, confirmations: DataFrame,
+      lateness: String, maxSkew: String): DataFrame = {
+    val o = orders.withWatermark("timestamp", lateness)
+      .select(col("orderId"), col("price"), col("timestamp").as("order_ts"))
+    val c = confirmations.withWatermark("timestamp", lateness)
+      .select(col("orderId").as("conf_order_id"), col("timestamp").as("conf_ts"))
+    o.join(c,
+      col("orderId") === col("conf_order_id") &&
+        col("conf_ts") >= col("order_ts") &&
+        col("conf_ts") <= col("order_ts") + expr(s"INTERVAL $maxSkew"))
+  }
+
   /** Event-time tumbling counts with a watermark: the generalization of
     * the reference's processing-order aggregation to event time with a
     * bounded-lateness contract (SURVEY.md §2.5 watermarks row). State

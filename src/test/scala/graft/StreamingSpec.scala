@@ -178,6 +178,37 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("streaming dedup drops redelivered messages") {
+    val stream = MemoryStream[Envelope](spark)
+    val e = envelope(0, "a", 100.0f)
+    stream.addData(e, e, e, envelope(1, "b", 200.0f)) // a delivered 3x
+    val deduped = OrderPipeline.dedupStream(
+      OrderPipeline.process(stream.toDF()), "10 minutes")
+    val q = deduped.select($"orderId").writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").as[String].collect().sorted
+    assert(ids === Array("a", "b"))
+  }
+
+  test("stream-stream join enriches orders with confirmations in the skew window") {
+    val orders = MemoryStream[Envelope](spark)
+    val confs = MemoryStream[Envelope](spark)
+    orders.addData(envelope(0, "a", 100.0f), envelope(1, "b", 200.0f))
+    // confirmation for a arrives 30s later; for b outside the 1-minute skew
+    confs.addData(
+      envelope(0, "a", 0f).copy(timestamp = new Timestamp(1700000030000L)),
+      envelope(1, "b", 0f).copy(timestamp = new Timestamp(1700000300000L)))
+    val joined = OrderPipeline.joinStreams(
+      OrderPipeline.process(orders.toDF()),
+      OrderPipeline.process(confs.toDF()),
+      "10 minutes", "1 minute")
+    val q = joined.select($"orderId").writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("ss_join_out").as[String].collect().toSeq === Seq("a"))
+  }
+
   test("full retry loop: transient order reaches DLQ after exactly maxRetries") {
     val out = tmpDir("graft-retry-out")
     val ckpt = tmpDir("graft-retry-ckpt")

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
@@ -42,6 +42,48 @@ object Multimodal {
         it.map { case (id, bytes) => decodeStub(id, bytes) }
       }
   }
+
+  /** Feature extraction: a 16-bin byte histogram normalized to [0,1] —
+    * the stand-in for an image/audio embedding model. Output shape
+    * (fixed-width Array[Float]) and the mapPartitions batch contract
+    * are exactly what a real encoder would use; only the math inside
+    * is the stub. */
+  final case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  def extractFeatures(spark: SparkSession, df: DataFrame,
+      idCol: String, blobCol: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = new Array[Float](16)
+          var i = 0
+          while (i < bytes.length) { hist((bytes(i) & 0xff) / 16) += 1f; i += 1 }
+          val n = math.max(bytes.length, 1).toFloat
+          var j = 0
+          while (j < 16) { hist(j) /= n; j += 1 }
+          MediaFeatures(id, hist)
+        }
+      }
+  }
+
+  /** Resize stage: recomputes target dimensions preserving aspect
+    * ratio (the metadata transform of an image resize; the pixel work
+    * is the stubbed part). */
+  def resizeMeta(df: DataFrame, maxSide: Int): DataFrame =
+    df.withColumn("scale",
+        when(greatest(col("width"), col("height")) <= maxSide, lit(1.0))
+          .otherwise(lit(maxSide) / greatest(col("width"), col("height"))))
+      .withColumn("out_width", floor(col("width") * col("scale")).cast("long"))
+      .withColumn("out_height", floor(col("height") * col("scale")).cast("long"))
+
+  /** Frame sampling: every nth frame index of a fake video of
+    * `n_frames` frames — the batch-shape of video pipelines (one row
+    * per sampled frame, exploded from the container row). */
+  def sampleFrames(df: DataFrame, idCol: String, nFrames: Column, every: Int): DataFrame =
+    df.withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(every))))
+      .select(col(idCol), col("frame_idx"))
 
   /** Column-expression form of the stub metadata (codegen-friendly,
     * used by the oracle-checked plumbing query — same arithmetic as

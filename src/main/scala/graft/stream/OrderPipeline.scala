@@ -203,6 +203,8 @@ object OrderPipeline {
   final class ProgressTotals extends org.apache.spark.sql.streaming.StreamingQueryListener {
     @volatile var batches: Long = 0L
     @volatile var rows: Long = 0L
+    @volatile var terminations: Long = 0L
+    @volatile var lastSummary: String = ""
     override def onQueryStarted(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(
@@ -210,8 +212,13 @@ object OrderPipeline {
       batches += 1
       rows += e.progress.numInputRows
     }
+    /** F4: the reference's shutdown summary (consumer.py:194-211) —
+      * final totals emitted when the query terminates. */
     override def onQueryTerminated(
-        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {
+      terminations += 1
+      lastSummary = s"batches=$batches rows=$rows"
+    }
   }
 
   def attachProgressListener(spark: SparkSession): ProgressTotals = {

@@ -172,9 +172,13 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable(); q.stop()
       // listener events are delivered asynchronously
       val deadline = System.nanoTime() + 10e9.toLong
-      while (listener.rows < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      while ((listener.rows < 2 || listener.terminations < 1) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
       assert(listener.rows >= 2)
       assert(listener.batches >= 1)
+      // F4: termination fires the final summary
+      assert(listener.terminations === 1L)
+      assert(listener.lastSummary.startsWith("batches="))
     } finally spark.streams.removeListener(listener)
   }
 

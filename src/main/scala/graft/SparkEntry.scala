@@ -620,8 +620,7 @@ object SparkEntry {
   private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
     val scored = TextOps.withQualityScore(t(s, dir, "documents"), "text")
     val gated = scored.filter(col("en_density") >= 0.05 && col("quality_score") >= 0.45)
-    val deduped = gated
-      .withColumn("fp", md5(col("text").cast("binary")))
+    val deduped = TextOps.withFingerprints(gated, "text")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)

@@ -23,6 +23,7 @@ case class FromAvroOcf(child: Expression, schemaJson: String)
     extends UnaryExpression with CodegenFallback {
   @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
   @transient private lazy val structType = AvroOcf.sparkTypeFor(avroSchema)
+  @transient private lazy val hs = AvroOcf.headerAndSync(avroSchema)
 
   override def dataType: DataType = structType
   override def nullable: Boolean = true
@@ -32,7 +33,7 @@ case class FromAvroOcf(child: Expression, schemaJson: String)
       s"from_avro_ocf expects binary input, got $other")
   }
   override def nullSafeEval(input: Any): Any =
-    try AvroOcf.decodeRow(input.asInstanceOf[Array[Byte]], structType, avroSchema)
+    try AvroOcf.decodeRow(input.asInstanceOf[Array[Byte]], structType, avroSchema, hs)
     catch { case _: Exception => null }
   override protected def withNewChildInternal(newChild: Expression): FromAvroOcf =
     copy(child = newChild)
@@ -44,6 +45,7 @@ case class ToAvroOcf(child: Expression, schemaJson: String)
     extends UnaryExpression with CodegenFallback {
   @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
   @transient private lazy val structType = child.dataType.asInstanceOf[StructType]
+  @transient private lazy val hs = AvroOcf.headerAndSync(avroSchema)
 
   override def dataType: DataType = BinaryType
   override def checkInputDataTypes() = child.dataType match {
@@ -52,7 +54,7 @@ case class ToAvroOcf(child: Expression, schemaJson: String)
       s"to_avro_ocf expects struct input, got $other")
   }
   override def nullSafeEval(input: Any): Any =
-    AvroOcf.encodeRow(input.asInstanceOf[InternalRow], structType, avroSchema)
+    AvroOcf.encodeRow(input.asInstanceOf[InternalRow], structType, avroSchema, hs)
   override protected def withNewChildInternal(newChild: Expression): ToAvroOcf =
     copy(child = newChild)
   override def prettyName: String = "to_avro_ocf"

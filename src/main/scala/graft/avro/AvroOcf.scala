@@ -52,7 +52,11 @@ object AvroOcf {
     * cost: the OCF-per-message framing overhead of SURVEY.md §6). */
   private val headerCache = new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], Array[Byte])]()
 
-  private def headerAndSync(schema: Schema): (Array[Byte], Array[Byte]) =
+  /** Public so the codec expressions can resolve the header ONCE per
+    * operator instance (Schema.toString is uncached in Avro 1.12, so a
+    * per-record map lookup keyed on it would still re-serialize the
+    * schema JSON every row). */
+  def headerAndSync(schema: Schema): (Array[Byte], Array[Byte]) =
     headerCache.computeIfAbsent(schema.toString, _ => {
       val sync = syncFor(schema)
       val out = new ByteArrayOutputStream(256)
@@ -94,7 +98,11 @@ object AvroOcf {
   }
 
   /** One InternalRow -> OCF bytes holding exactly one record. */
-  def encodeRow(row: InternalRow, sparkType: StructType, schema: Schema): Array[Byte] = {
+  def encodeRow(row: InternalRow, sparkType: StructType, schema: Schema): Array[Byte] =
+    encodeRow(row, sparkType, schema, headerAndSync(schema))
+
+  def encodeRow(row: InternalRow, sparkType: StructType, schema: Schema,
+      hs: (Array[Byte], Array[Byte])): Array[Byte] = {
     val rec = new GenericData.Record(schema)
     var i = 0
     while (i < sparkType.length) {
@@ -118,7 +126,7 @@ object AvroOcf {
     // fixed sync marker: cached header ++ one data block
     // (zigzag-varint count=1, size, datum bytes, sync) — byte-identical
     // output, verified against the DataFileWriter form in tests
-    val (header, sync) = headerAndSync(schema)
+    val (header, sync) = hs
     val datumOut = new ByteArrayOutputStream(64)
     val enc = org.apache.avro.io.EncoderFactory.get().directBinaryEncoder(datumOut, null)
     new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
@@ -138,12 +146,16 @@ object AvroOcf {
   /** OCF bytes -> InternalRow of the FIRST record (consumer.py:60-65
     * returns only the first record of the container). Throws on
     * malformed input; callers choose null-on-error (PERMISSIVE). */
-  def decodeRow(bytes: Array[Byte], sparkType: StructType, readerSchema: Schema): InternalRow = {
+  def decodeRow(bytes: Array[Byte], sparkType: StructType, readerSchema: Schema): InternalRow =
+    decodeRow(bytes, sparkType, readerSchema, headerAndSync(readerSchema))
+
+  def decodeRow(bytes: Array[Byte], sparkType: StructType, readerSchema: Schema,
+      hs: (Array[Byte], Array[Byte])): InternalRow = {
     // fast path: a container we encoded ourselves (identical header incl
     // deterministic sync) — decode the first datum directly, skipping the
     // per-message header schema-JSON parse. Foreign containers (other
     // sync markers, codecs, writer schemas) take the generic path below.
-    val (header, _) = headerAndSync(readerSchema)
+    val (header, _) = hs
     if (startsWith(bytes, header) && bytes.length > header.length) {
       val dec = org.apache.avro.io.DecoderFactory.get()
         .binaryDecoder(bytes, header.length, bytes.length - header.length, null)

@@ -74,15 +74,19 @@ object Multimodal {
     df.withColumn("scale",
         when(greatest(col("width"), col("height")) <= maxSide, lit(1.0))
           .otherwise(lit(maxSide) / greatest(col("width"), col("height"))))
-      .withColumn("out_width", floor(col("width") * col("scale")).cast("long"))
-      .withColumn("out_height", floor(col("height") * col("scale")).cast("long"))
+      .withColumn("out_width",
+        greatest(floor(col("width") * col("scale")), lit(1)).cast("long"))
+      .withColumn("out_height",
+        greatest(floor(col("height") * col("scale")), lit(1)).cast("long"))
 
   /** Frame sampling: every nth frame index of a fake video of
     * `n_frames` frames — the batch-shape of video pipelines (one row
     * per sampled frame, exploded from the container row). */
   def sampleFrames(df: DataFrame, idCol: String, nFrames: Column, every: Int): DataFrame =
     df.withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(every))))
+        // zero-frame containers sample nothing (explode of empty array)
+        explode(when(nFrames > 0, sequence(lit(0), nFrames - 1, lit(every)))
+          .otherwise(array().cast("array<int>"))))
       .select(col(idCol), col("frame_idx"))
 
   /** Column-expression form of the stub metadata (codegen-friendly,

@@ -24,7 +24,10 @@ object TypedOps {
       if (o.orderId == null || o.orderId.isEmpty ||
         o.product == null || o.product.isEmpty || o.price < 0) Router.Permanent
       else if (o.price >= Router.TransientLo && o.price <= Router.TransientHi) Router.Transient
-      else if (o.price > Router.PermanentThreshold) Router.Permanent
+      // NaN: Spark SQL total ordering places NaN above every value, so
+      // the columnar router's `price > 1000.0` catches it — mirror that
+      // here (Scala NaN comparisons are all false otherwise)
+      else if (o.price > Router.PermanentThreshold || o.price.isNaN) Router.Permanent
       else Router.Success
     RoutedOrder(o.orderId, o.product, o.price, status)
   }

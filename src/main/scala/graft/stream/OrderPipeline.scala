@@ -93,14 +93,14 @@ object OrderPipeline {
       }
       .start()
 
-  /** Streaming exactly-once-per-key dedup: drops redelivered copies of
-    * a message inside the watermark horizon — the streaming face of the
-    * dedup operator family, and the idempotence layer an at-least-once
-    * source needs. State is bounded by the watermark. */
+  /** Streaming per-key dedup: drops ALL redeliveries of an orderId
+    * inside the watermark horizon (including producer retries that
+    * carry a different broker timestamp) — the idempotence layer an
+    * at-least-once source needs, with state bounded by the watermark. */
   def dedupStream(processed: DataFrame, lateness: String): DataFrame =
     processed
       .withWatermark("timestamp", lateness)
-      .dropDuplicates("orderId", "timestamp")
+      .dropDuplicatesWithinWatermark("orderId")
 
   /** Stream-stream inner join: orders enriched against a second stream
     * (e.g. a payments/confirmation feed) on key within a bounded

@@ -176,8 +176,9 @@ class StreamingSpec extends SparkSpec {
         System.nanoTime() < deadline) Thread.sleep(50)
       assert(listener.rows >= 2)
       assert(listener.batches >= 1)
-      // F4: termination fires the final summary
-      assert(listener.terminations === 1L)
+      // F4: termination fires the final summary (>= 1: listener events
+      // are async and a prior test's terminated event may also arrive)
+      assert(listener.terminations >= 1L)
       assert(listener.lastSummary.startsWith("batches="))
     } finally spark.streams.removeListener(listener)
   }
@@ -185,7 +186,11 @@ class StreamingSpec extends SparkSpec {
   test("streaming dedup drops redelivered messages") {
     val stream = MemoryStream[Envelope](spark)
     val e = envelope(0, "a", 100.0f)
-    stream.addData(e, e, e, envelope(1, "b", 200.0f)) // a delivered 3x
+    // 'a' delivered 3x, once with a different broker timestamp (the
+    // producer-retry case) — per-key dedup must drop all copies
+    stream.addData(e, e,
+      e.copy(timestamp = new Timestamp(1700000005000L)),
+      envelope(1, "b", 200.0f))
     val deduped = OrderPipeline.dedupStream(
       OrderPipeline.process(stream.toDF()), "10 minutes")
     val q = deduped.select($"orderId").writeStream.outputMode("append")

@@ -16,10 +16,17 @@ class TypedOpsSpec extends SparkSpec {
   test("typed routing agrees with the columnar when-chain") {
     val typed = TypedOps.route(spark, orders.toDS()).collect()
       .map(r => r.orderId -> r.status).toMap
-    val columnar = Router.route(
-        orders.toDF().withColumnRenamed("price", "price"))
+    val columnar = Router.route(orders.toDF())
       .collect().map(r => r.getAs[String]("orderId") -> r.getAs[String]("status")).toMap
     assert(typed === columnar)
+  }
+
+  test("NaN price routes Permanent on both surfaces (SQL total ordering)") {
+    val nan = Seq(Order("n1", "Widget", Float.NaN))
+    val typed = TypedOps.route(spark, nan.toDS()).head().status
+    val columnar = Router.route(nan.toDF()).head().getAs[String]("status")
+    assert(typed === Router.Permanent)
+    assert(columnar === Router.Permanent)
   }
 
   test("typed per-product stats equal hand computation") {

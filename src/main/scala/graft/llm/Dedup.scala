@@ -49,10 +49,27 @@ object Dedup {
     * 2^-64 per pair this is ignorable far beyond 100 TB corpora (and
     * a full-accuracy variant would just re-verify on strings). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minSim: Double): DataFrame = {
-    val sh = shingleIndex(docs, idCol, textCol, k)
+      k: Int, minSim: Double): DataFrame =
+    jaccardPairs(docs, idCol, textCol, k, minSim, maxShingleDf = Int.MaxValue)
+
+  /** `maxShingleDf` is the skew guard for corpus-scale runs: a shingle
+    * occurring in d documents contributes O(d^2) candidate pairs, so
+    * boilerplate shingles (headers, licenses) explode the join. Capping
+    * document frequency drops those "stop shingles" from CANDIDATE
+    * GENERATION only — standard near-dup practice (they carry no
+    * discriminative signal). Note the Jaccard denominator still counts
+    * them, so reported similarity is exact w.r.t. the full shingle sets
+    * only when maxShingleDf is unbounded (as in the oracle query). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSim: Double, maxShingleDf: Int): DataFrame = {
+    val shAll = shingleIndex(docs, idCol, textCol, k)
       .select(col(idCol), xxhash64(col("s")).as("sk"))
-    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val counts = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val sh =
+      if (maxShingleDf == Int.MaxValue) shAll
+      else shAll.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("sk"))))
+        .filter(col("df") <= maxShingleDf).drop("df")
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.sk") === col("b.sk") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))

@@ -108,15 +108,18 @@ object OrderPipeline {
     * evicted once the time bound passes — the scalable form of
     * streaming enrichment. */
   def joinStreams(orders: DataFrame, confirmations: DataFrame,
-      lateness: String, maxSkew: String): DataFrame = {
+      lateness: String, maxSkew: String, joinType: String = "inner"): DataFrame = {
     val o = orders.withWatermark("timestamp", lateness)
       .select(col("orderId"), col("price"), col("timestamp").as("order_ts"))
     val c = confirmations.withWatermark("timestamp", lateness)
       .select(col("orderId").as("conf_order_id"), col("timestamp").as("conf_ts"))
+    // outer variants emit the unmatched side once the watermark passes
+    // the join bound (state eviction doubles as completion proof)
     o.join(c,
       col("orderId") === col("conf_order_id") &&
         col("conf_ts") >= col("order_ts") &&
-        col("conf_ts") <= col("order_ts") + expr(s"INTERVAL $maxSkew"))
+        col("conf_ts") <= col("order_ts") + expr(s"INTERVAL $maxSkew"),
+      joinType)
   }
 
   /** Event-time tumbling counts with a watermark: the generalization of

@@ -39,6 +39,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("jaccard stop-shingle cap prunes boilerplate candidates only") {
+    import graft.llm.Dedup
+    // docs 1..4 share a boilerplate prefix (hot shingles); 5 and 6 are
+    // genuine near-dups beyond it
+    val boiler = "common header line shared by every document here"
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta"),
+      (2L, s"$boiler eta theta iota kappa lambda mu"),
+      (3L, s"$boiler nu xi omicron pi rho sigma"),
+      (4L, s"$boiler tau upsilon phi chi psi omega"),
+      (5L, "unique payload one two three four five six seven eight nine"),
+      (6L, "unique payload one two three four five six seven eight ten"))
+      .toDF("doc_id", "text")
+    val unbounded = Dedup.jaccardPairs(docs, "doc_id", "text", 5, 0.01)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 5, 0.01, maxShingleDf = 3)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unbounded.contains((5L, 6L)) && capped.contains((5L, 6L)))
+    // boilerplate-only pairs disappear under the cap
+    assert(unbounded.exists(p => p._1 <= 4 && p._2 <= 4))
+    assert(!capped.exists(p => p._1 <= 4 && p._2 <= 4))
+  }
+
   test("salted join equals plain join on skewed data") {
     // 90% of left rows share one hot key
     val left = spark.range(5000)

@@ -218,6 +218,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("ss_join_out").as[String].collect().toSeq === Seq("a"))
   }
 
+  test("left-outer stream-stream join emits unmatched orders after watermark") {
+    val orders = MemoryStream[Envelope](spark)
+    val confs = MemoryStream[Envelope](spark)
+    orders.addData(envelope(0, "a", 100.0f), envelope(1, "b", 200.0f))
+    confs.addData( // only a confirms inside the skew window
+      envelope(0, "a", 0f).copy(timestamp = new Timestamp(1700000030000L)))
+    val joined = OrderPipeline.joinStreams(
+      OrderPipeline.process(orders.toDF()),
+      OrderPipeline.process(confs.toDF()),
+      "10 minutes", "1 minute", joinType = "left_outer")
+    val q = joined.select($"orderId", $"conf_order_id").writeStream
+      .outputMode("append").format("memory").queryName("ssj_outer").start()
+    q.processAllAvailable()
+    // advance both watermarks far past b's join bound -> outer row emits
+    val far = new Timestamp(1700009000000L)
+    orders.addData(envelope(2, "z", 100.0f).copy(timestamp = far))
+    confs.addData(envelope(2, "z", 0f).copy(timestamp = far))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssj_outer").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(rows("a") === Some("a"))
+    assert(rows.contains("b") && rows("b").isEmpty) // unmatched, null conf
+  }
+
   test("full retry loop: transient order reaches DLQ after exactly maxRetries") {
     val out = tmpDir("graft-retry-out")
     val ckpt = tmpDir("graft-retry-ckpt")

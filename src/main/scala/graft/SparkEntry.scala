@@ -25,6 +25,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Register every dataset table as a temp view so users can drive the
+    * engine through `spark.sql(...)` directly (the DataFrame DSL and
+    * SQL are the same Catalyst plans; no custom parser needed). */
+  def registerTables(s: SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { n =>
+      t(s, dir, n).createOrReplaceTempView(n)
+    }
+
   /** The reference's order stream, mapped onto the `orders` table
     * (FIXTURES.md §4): orderId <- o_orderkey, product <- o_orderpriority,
     * price <- o_totalprice mod 1500 — reproducing the producer's
@@ -441,6 +450,31 @@ object SparkEntry {
       .agg((sum(col("rev_fp")) / 10000.0).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** Stratified sampling: exactly n docs per language stratum, chosen
+    * by deterministic hash order — the reproducible per-class subset
+    * builder for balanced corpus construction. */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(s, dir, "documents")
+      .withColumn("h", md5(concat(lit("strat|"), col("doc_id").cast("string")).cast("binary")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      .filter(col("rn") <= 25)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** Error-tolerant casts (try_* family): malformed input -> null
+    * instead of failure — the SQL-surface cousin of the codec's
+    * PERMISSIVE decode. */
+  private def qTryCast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderpriority").try_cast("int").as("pri_as_int"),
+        substring(col("o_orderpriority"), 1, 1).try_cast("int").as("pri_digit_int"),
+        col("o_orderstatus").try_cast("double").as("status_as_double"))
+      .orderBy(col("o_orderkey"))
+
   /** Custom-UDAF surface: deterministic HLL sketch vs exact distinct.
     * The oracle replays the sketch register-for-register (graft.functions.Hll). */
   private def qHllDistinct(s: SparkSession, dir: String): DataFrame =
@@ -715,6 +749,8 @@ object SparkEntry {
     "q_regexp" -> (qRegexp _),
     "q_union_all" -> (qUnionAll _),
     "q_curation_pipeline" -> (qCurationPipeline _),
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_try_cast" -> (qTryCast _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1018,6 +1054,21 @@ object SparkEntry {
         |FROM p JOIN e ON p.user_id = e.user_id
         |  AND e.ets >= p.pts - 600000000000 AND e.ets < p.pts
         |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT lang, rn, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 25 ORDER BY lang, rn""".stripMargin,
+
+    "q_try_cast" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(o_orderpriority AS INT) AS pri_as_int,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri_digit_int,
+        |  TRY_CAST(o_orderstatus AS DOUBLE) AS status_as_double
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_hll_distinct" ->
       """WITH h AS (

@@ -11,6 +11,14 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registerTables exposes the dataset to spark.sql") {
+    SparkEntry.registerTables(spark, sf)
+    val n = spark.sql(
+      "SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey")
+      .head().getLong(0)
+    assert(n > 0)
+  }
+
   test("every query has oracle SQL or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")

@@ -60,36 +60,47 @@ object OrderPipeline {
         sum(col("price")).as("total_price"),
         avg(col("price")).as("running_average"))
 
+  /** One micro-batch's three-way fan-out, written IDEMPOTENTLY: each
+    * sink partitions by batch id and overwrites its own batch directory,
+    * so a replayed batch (failure between sink writes and checkpoint
+    * commit — the at-least-once window) rewrites identical data instead
+    * of appending duplicates. This is what turns the checkpoint's
+    * at-least-once replay contract into effectively-once sink output. */
+  def writeFanOut(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+    batch.persist()
+    try {
+      batch.filter(col("status") === Router.Success)
+        .select(col("topic"), col("partition"), col("offset"),
+          col("orderId"), col("product"), col("price"))
+        .write.mode("overwrite").parquet(s"$outDir/success/batch=$batchId")
+
+      Router.dlqEnvelope(
+          Router.enrichDlq(batch, unix_timestamp(col("timestamp"))),
+          col("value"), col("key"))
+        .write.mode("overwrite").parquet(s"$outDir/dlq/batch=$batchId")
+
+      batch.filter(col("status") === Router.Transient)
+        .select(col("topic"), col("partition"), col("offset"),
+          col("orderId"), col("product"), col("price"))
+        .withColumn("attempts", lit(1))
+        .write.mode("overwrite").parquet(s"$outDir/retry/batch=$batchId")
+    } finally batch.unpersist()
+    ()
+  }
+
   /** Start the checkpointed fan-out pipeline. Writes:
     *  - `outDir/success/` — decoded successful orders;
     *  - `outDir/dlq/`     — DLQ envelopes (original bytes + provenance
     *                        headers, S6);
-    *  - `outDir/retry/`   — transient rows with attempt counter (F2).
+    *  - `outDir/retry/`   — transient rows with attempt counter (F2);
+    * each batch-partitioned and replay-idempotent ([[writeFanOut]]).
     */
   def start(processed: DataFrame, outDir: String, checkpointDir: String,
       maxRetries: Int = Router.MaxRetries): StreamingQuery =
     processed.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.persist()
-        try {
-          batch.filter(col("status") === Router.Success)
-            .select(col("topic"), col("partition"), col("offset"),
-              col("orderId"), col("product"), col("price"))
-            .write.mode("append").parquet(s"$outDir/success")
-
-          Router.dlqEnvelope(
-              Router.enrichDlq(batch, unix_timestamp(col("timestamp"))),
-              col("value"), col("key"))
-            .write.mode("append").parquet(s"$outDir/dlq")
-
-          batch.filter(col("status") === Router.Transient)
-            .select(col("topic"), col("partition"), col("offset"),
-              col("orderId"), col("product"), col("price"))
-            .withColumn("attempts", lit(1))
-            .write.mode("append").parquet(s"$outDir/retry")
-        } finally batch.unpersist()
-        ()
+        writeFanOut(batch, batchId, outDir)
       }
       .start()
 

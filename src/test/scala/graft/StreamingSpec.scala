@@ -183,6 +183,19 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("fan-out sink is idempotent under batch replay") {
+    val out = tmpDir("graft-idem-out")
+    val batch = OrderPipeline.process(
+      Seq(envelope(0, "a", 100.0f), envelope(1, "t", 30.0f),
+        envelope(2, "p", 1500.0f)).toDS().toDF())
+    // the at-least-once window: same batch id written twice
+    OrderPipeline.writeFanOut(batch, batchId = 7, out)
+    OrderPipeline.writeFanOut(batch, batchId = 7, out)
+    assert(spark.read.parquet(s"$out/success").count() === 1)
+    assert(spark.read.parquet(s"$out/retry").count() === 1)
+    assert(spark.read.parquet(s"$out/dlq").count() === 1)
+  }
+
   test("streaming dedup drops redelivered messages") {
     val stream = MemoryStream[Envelope](spark)
     val e = envelope(0, "a", 100.0f)

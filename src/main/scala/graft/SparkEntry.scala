@@ -450,6 +450,18 @@ object SparkEntry {
       .agg((sum(col("rev_fp")) / 10000.0).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** Array-aggregation surface (collect_set/collect_list): grouped
+    * collections emitted as sorted joined strings so the comparison is
+    * engine-portable (raw array columns compare differently across
+    * engines' result layers). */
+  private def qCollectSet(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        size(collect_set(col("o_orderstatus"))).cast("long").as("n_statuses"))
+      .orderBy(col("o_orderpriority"))
+
   /** Stratified sampling: exactly n docs per language stratum, chosen
     * by deterministic hash order — the reproducible per-class subset
     * builder for balanced corpus construction. */
@@ -750,6 +762,7 @@ object SparkEntry {
     "q_union_all" -> (qUnionAll _),
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_stratified_sample" -> (qStratifiedSample _),
+    "q_collect_set" -> (qCollectSet _),
     "q_try_cast" -> (qTryCast _),
   )
 
@@ -1054,6 +1067,12 @@ object SparkEntry {
         |FROM p JOIN e ON p.user_id = e.user_id
         |  AND e.ets >= p.pts - 600000000000 AND e.ets < p.pts
         |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+
+    "q_collect_set" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  CAST(len(list(DISTINCT o_orderstatus)) AS BIGINT) AS n_statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT lang, rn, doc_id FROM (

@@ -487,6 +487,40 @@ object SparkEntry {
         col("o_orderstatus").try_cast("double").as("status_as_double"))
       .orderBy(col("o_orderkey"))
 
+  /** TPC-H Q10-shaped: top customers by revenue lost to returned items
+    * in a quarter — 4-way join ranking with a broadcast dimension. */
+  private def qReturnedItems(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        Analytics.fp(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L).as("rev_fp"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg((sum(col("rev_fp")) / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q19-shaped: OR-bracketed multi-predicate revenue — exercises
+    * disjunctive predicate pushdown and join-condition normalization. */
+  private def qBracketRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 15) && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 25) && col("p_size").between(1, 20)) ||
+          (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 35) && col("p_size").between(1, 30)))
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(Analytics.fp(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L)) / 10000.0)
+          .as("revenue"))
+
   /** Custom-UDAF surface: deterministic HLL sketch vs exact distinct.
     * The oracle replays the sketch register-for-register (graft.functions.Hll). */
   private def qHllDistinct(s: SparkSession, dir: String): DataFrame =
@@ -737,6 +771,8 @@ object SparkEntry {
     "q_stats_moments" -> (qStatsMoments _),
     "q_shipping_priority" -> (qShippingPriority _),
     "q_region_volume" -> (qRegionVolume _),
+    "q_returned_items" -> (qReturnedItems _),
+    "q_bracket_revenue" -> (qBracketRevenue _),
     "q_sample" -> (qSample _),
     "q_ngram_counts" -> (qNgramCounts _),
     "q_order_gen" -> (qOrderGen _),
@@ -1144,6 +1180,29 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+        |    / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_bracket_revenue" ->
+      """SELECT count(*) AS n_items,
+        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+        |    / 10000.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25 AND p_size BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35 AND p_size BETWEEN 1 AND 30)""".stripMargin,
 
     "q_stats_moments" ->
       """WITH m AS (

@@ -65,6 +65,36 @@ class RouterSpec extends SparkSpec {
     assert(ledger.filter($"attempt" === 2).head().getAs[Double]("backoff_secs") === 1.0)
   }
 
+  test("property: router is a total 3-way partition over the producer price range") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // mirror producer.py:123 uniform(5.0, 1500.0), plus edge prices
+    val genPrice = Gen.frequency(
+      8 -> Gen.chooseNum(5.0, 1500.0),
+      1 -> Gen.oneOf(4.99, 5.0, 50.0, 50.01, 1000.0, 1000.01, -1.0, 0.0),
+      1 -> Gen.chooseNum(-10.0, 2000.0))
+    val prop = Prop.forAll(genPrice) { priceD =>
+      val price = priceD.toFloat // route and regions on the same width
+      val statuses = Seq(
+        price >= 0 && !(price >= 5.0 && price <= 50.0) && price <= 1000.0, // success
+        price >= 5.0 && price <= 50.0,                                     // transient
+        price < 0 || price > 1000.0)                                       // permanent
+      // exactly one region claims each price (disjoint + exhaustive)
+      statuses.count(identity) == 1 && {
+        val routed = TypedOpsHelper.status("id", "p", price)
+        (statuses(0) && routed == Router.Success) ||
+          (statuses(1) && routed == Router.Transient) ||
+          (statuses(2) && routed == Router.Permanent)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private object TypedOpsHelper {
+    def status(id: String, product: String, price: Float): String =
+      graft.ops.TypedOps.routeOrder(graft.model.Order(id, product, price)).status
+  }
+
   test("running stats equal hand-computed cumulative aggregates") {
     val success = Router.route(
         Seq(("a", "p", 10.0), ("b", "p", 20.0), ("c", "p", 60.0), ("d", "p", 100.0))

@@ -27,12 +27,16 @@ object SparkEntry {
 
   /** Register every dataset table as a temp view so users can drive the
     * engine through `spark.sql(...)` directly (the DataFrame DSL and
-    * SQL are the same Catalyst plans; no custom parser needed). */
-  def registerTables(s: SparkSession, dir: String): Unit =
+    * SQL are the same Catalyst plans; no custom parser needed).
+    * `events` needs the nanos-as-long conf (see `events` below), set
+    * before its scan is planned. */
+  def registerTables(s: SparkSession, dir: String): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { n =>
       t(s, dir, n).createOrReplaceTempView(n)
     }
+    events(s, dir).createOrReplaceTempView("events")
+  }
 
   /** The reference's order stream, mapped onto the `orders` table
     * (FIXTURES.md §4): orderId <- o_orderkey, product <- o_orderpriority,
@@ -358,13 +362,22 @@ object SparkEntry {
   /** Statistical aggregates (variance/stddev/correlation) computed from
     * exact integer moments — Spark's stddev/corr built-ins use
     * order-dependent streaming updates, so for oracle parity the moments
-    * (sums of x, x^2, x*y as longs on floor-dollar values) are reduced
-    * exactly and the closed-form formulas run on identical doubles. */
+    * (sums of x, x^2, x*y as longs on bounded integer values) are reduced
+    * exactly and the closed-form formulas run on identical doubles.
+    *
+    * Overflow headroom: the int64 sums must not wrap (Spark wraps
+    * silently where DuckDB errors — a silent-divergence mode). Inputs
+    * are therefore pre-bounded: x = floor(price/10) <= ~6e4 and
+    * y = custkey % 30000 < 3e4 (custkey GROWS with SF, so the raw key
+    * would overflow syy around 1e8 rows). With these bounds the largest
+    * term (x*x ~ 3.6e9) keeps every sum inside int64 up to ~2.5e9 rows
+    * PER GROUP (~ sf1500) — far beyond any verified SF, and checkable:
+    * n * 3.6e9 < 2^63. */
   private def qStatsMoments(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .select(col("o_orderstatus"),
-        floor(col("o_totalprice")).cast("long").as("x"),
-        col("o_custkey").as("y"))
+        floor(col("o_totalprice") / 10).cast("long").as("x"),
+        (col("o_custkey") % 30000).as("y"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
@@ -378,7 +391,7 @@ object SparkEntry {
           col("sy").cast("double"), col("sxx").cast("double"),
           col("syy").cast("double"), col("sxy").cast("double"))
         Seq(
-          (sx / nd).as("mean_price_floor"),
+          (sx / nd).as("mean_x"),
           ((sxx - sx * sx / nd) / nd).as("var_pop"),
           sqrt((sxx - sx * sx / nd) / nd).as("stddev_pop"),
           ((nd * sxy - sx * sy) /
@@ -1211,11 +1224,11 @@ object SparkEntry {
         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
         |    CAST(sum(x * y) AS BIGINT) AS sxy
         |  FROM (SELECT o_orderstatus,
-        |          CAST(floor(o_totalprice) AS BIGINT) AS x, o_custkey AS y
+        |          CAST(floor(o_totalprice / 10) AS BIGINT) AS x, o_custkey % 30000 AS y
         |        FROM orders) t
         |  GROUP BY o_orderstatus)
         |SELECT o_orderstatus, n,
-        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_price_floor,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
         |  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
         |    / CAST(n AS DOUBLE) AS var_pop,
         |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))

@@ -94,6 +94,9 @@ case class FixedPointDot(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      // a null element -> null result, matching aggregate(zip_with(...))
+      // where one null term nullifies the whole sum
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += math.floor(toD(a, lf, i) * toD(b, rf, i) * 1e9 + 0.5).toLong
       i += 1
     }
@@ -104,9 +107,69 @@ case class FixedPointDot(left: Expression, right: Expression)
   override def prettyName: String = "fixed_point_dot"
 }
 
+/** `simhash32(tokens)`: 32-bit frequency-weighted SimHash of a token
+  * array in ONE per-row pass (Charikar '02). Per token: h = first 32
+  * bits of md5(token); each bit j votes +1/-1 on sign bit j of h; the
+  * result sets bit j where the vote sum is positive.
+  *
+  * Replaces the explode-based formulation (one row per token × 32 bit
+  * rows through a shuffle — a 32× row multiplier on the tokenized
+  * corpus); this kernel shuffles NOTHING. Bit-identical to the DuckDB
+  * oracle (md5 hex prefix parsed base-16, `v > 0` tie rule). Null
+  * tokens are skipped; an all-null or empty array yields null (the
+  * exploded form emits no row for such docs). */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash32 expects array<string>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](32)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
+        // first 8 hex chars == first 4 digest bytes, big-endian unsigned
+        val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+          ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+        var j = 0
+        while (j < 32) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return null
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash32"
+}
+
 object kernels {
   def word_shingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), k))
   def fixed_point_dot(a: Column, b: Column): Column =
     ColumnBridge.column(FixedPointDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def simhash32(tokens: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(tokens)))
 }

@@ -40,6 +40,14 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Default document-frequency cap for candidate generation: a shingle
+    * in d docs contributes O(d^2) candidate pairs, so at corpus scale a
+    * boilerplate shingle (license header, template) is a guaranteed hot
+    * key. 1000 bounds any one shingle to <=500k candidate pairs while
+    * keeping every discriminative shingle; exact-research callers that
+    * want the unguarded join opt out with `maxShingleDf = Int.MaxValue`. */
+  val DefaultMaxShingleDf = 1000
+
   /** Exact n-gram Jaccard over shared-shingle candidate pairs.
     * Output: (d1, d2, shared, n1, n2, jaccard) for jaccard >= minSim.
     *
@@ -47,10 +55,11 @@ object Dedup {
     * string: an 8-byte shuffle key instead of ~30-byte text. Hash
     * collisions would inflate `shared` by 1 per colliding pair; at
     * 2^-64 per pair this is ignorable far beyond 100 TB corpora (and
-    * a full-accuracy variant would just re-verify on strings). */
+    * a full-accuracy variant would just re-verify on strings).
+    * The skew guard defaults ON (see DefaultMaxShingleDf). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minSim: Double): DataFrame =
-    jaccardPairs(docs, idCol, textCol, k, minSim, maxShingleDf = Int.MaxValue)
+    jaccardPairs(docs, idCol, textCol, k, minSim, maxShingleDf = DefaultMaxShingleDf)
 
   /** `maxShingleDf` is the skew guard for corpus-scale runs: a shingle
     * occurring in d documents contributes O(d^2) candidate pairs, so
@@ -136,8 +145,21 @@ object Dedup {
   /** 32-bit SimHash over tokens (frequency-weighted): per bit j, sum
     * +1/-1 votes from bit j of each token's 32-bit md5-derived hash;
     * positive majority sets the bit. Engine-portable via md5 + integer
-    * bit ops. */
-  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * bit ops.
+    *
+    * Runs as ONE per-row kernel pass (graft.functions.SimHash32) — no
+    * explode, no shuffle: the scan is the whole cost at corpus scale.
+    * Docs with no tokens yield no row (parity with the exploded form,
+    * which drops them at the explode). */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.kernels.simhash32(TextOps.tokens(col(textCol))).as("simhash32"))
+      .filter(col("simhash32").isNotNull)
+
+  /** The explode-based formulation simhash32 replaced (32 bit-vote rows
+    * per token through two shuffles). Kept as the semantic reference for
+    * the kernel's parity test — do not use at scale. */
+  private[graft] def simhash32Exploded(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("t"))
       .withColumn("h", conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10).cast("long"))
     val votes = tok

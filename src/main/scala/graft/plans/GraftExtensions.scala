@@ -16,14 +16,29 @@ import graft.avro.{AvroOcf, FromAvroOcf, ToAvroOcf}
   * polish" row). Guarded on schema equality AND on the child's struct
   * type matching the decoder's output type exactly, so a widening or
   * field-reorder through the codec is never erased incorrectly.
+  * Nullability is checked per field: a nullable child field is only
+  * eliminated when the Avro field is a [null, T] union — otherwise the
+  * unoptimized plan would THROW at encode time on a null value, and
+  * erasing the codec would silently convert that runtime error into
+  * null pass-through.
   */
 object CodecRoundTripElimination extends Rule[LogicalPlan] {
+  private def nullabilityCompatible(
+      child: org.apache.spark.sql.types.DataType,
+      decoded: org.apache.spark.sql.types.StructType): Boolean = child match {
+    case st: org.apache.spark.sql.types.StructType =>
+      st.length == decoded.length &&
+        st.fields.zip(decoded.fields).forall { case (c, d) => !c.nullable || d.nullable }
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case from @ FromAvroOcf(ToAvroOcf(child, s1), s2) if s1 == s2 &&
+    case from @ FromAvroOcf(ToAvroOcf(child, s1), s2) if s1 == s2 && {
+        val decoded = AvroOcf.sparkTypeFor(new org.apache.avro.Schema.Parser().parse(s2))
         org.apache.spark.sql.types.DataType.equalsStructurally(
-          child.dataType,
-          AvroOcf.sparkTypeFor(new org.apache.avro.Schema.Parser().parse(s2)),
-          ignoreNullability = true) =>
+          child.dataType, decoded, ignoreNullability = true) &&
+          nullabilityCompatible(child.dataType, decoded)
+      } =>
       child
     case other => other
   }

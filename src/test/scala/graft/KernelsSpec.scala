@@ -53,6 +53,41 @@ class KernelsSpec extends SparkSpec {
     assert(df.select(kernels.fixed_point_dot($"a", $"b")).head().isNullAt(0))
   }
 
+  test("fixed_point_dot is null on a null ELEMENT (zip_with parity)") {
+    val df = Seq(
+      (Seq(Some(1.0f), None, Some(3.0f)), Seq(Some(1.0f), Some(2.0f), Some(3.0f))),
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some(1.0f), None))).toDF("a", "b")
+    val builtin = aggregate(
+      zip_with($"a", $"b", (x, y) =>
+        floor(x.cast("double") * y.cast("double") * 1e9 + 0.5).cast("long")),
+      lit(0L), (acc, t) => acc + t)
+    df.select(kernels.fixed_point_dot($"a", $"b").as("fast"), builtin.as("ref"))
+      .collect().foreach { r =>
+        assert(r.isNullAt(0) && r.isNullAt(1))
+      }
+  }
+
+  test("simhash32 kernel equals the exploded bit-vote formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = graft.llm.Dedup.simhash32(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val ref = graft.llm.Dedup.simhash32Exploded(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(fast.nonEmpty && fast === ref)
+  }
+
+  test("simhash32 kernel null/empty semantics") {
+    val df = Seq(
+      (1L, Some(Seq(Some("a"), Some("b")))),
+      (2L, Some(Seq.empty[Option[String]])),      // no tokens -> null
+      (3L, Option.empty[Seq[Option[String]]]),    // null array -> null
+      (4L, Some(Seq(Option.empty[String])))       // all-null tokens -> null
+    ).toDF("id", "toks")
+    val got = df.select($"id", kernels.simhash32($"toks").as("s"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L).isDefined && got(2L).isEmpty && got(3L).isEmpty && got(4L).isEmpty)
+  }
+
   test("word_shingles skips null tokens like concat_ws") {
     val df = Seq(Seq(Some("a"), None, Some("b"), Some("c"))).toDF("toks")
     val got = df.select(kernels.word_shingles($"toks", 3)).head().getSeq[String](0)

@@ -13,9 +13,12 @@ class PlansSpec extends SparkSpec {
   import spark.implicits._
 
   test("optimizer rule erases from_avro_ocf(to_avro_ocf(x))") {
-    val df = Seq(("a", "p", 1.5f)).toDF("orderId", "product", "price")
+    // literal fields -> non-nullable struct, matching the schema's
+    // non-null Avro fields (the rule's nullability guard requires it)
+    val df = Seq(1).toDF("i")
       .select(A.from_avro_ocf(
-        A.to_avro_ocf(struct($"orderId", $"product", $"price"), Schemas.orderAvroJson),
+        A.to_avro_ocf(struct(lit("a").as("orderId"), lit("p").as("product"),
+          lit(1.5f).as("price")), Schemas.orderAvroJson),
         Schemas.orderAvroJson).as("o"))
     val analyzed = df.queryExecution.analyzed
     assert(analyzed.expressions.exists(_.exists(_.isInstanceOf[FromAvroOcf])))
@@ -28,6 +31,32 @@ class PlansSpec extends SparkSpec {
         .exists(_.exists(_.isInstanceOf[FromAvroOcf])))
       assert(df.select($"o.price").head().getFloat(0) === 1.5f)
     } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("rule keeps pairs whose nullable child fields lack an Avro null union") {
+    // encoding a null orderId would THROW at runtime (non-null Avro
+    // field); eliminating the pair would silently pass the null through,
+    // so the rule must keep it
+    val df = Seq(("a", "p", 1.5f)).toDF("orderId", "product", "price")
+      .select(A.from_avro_ocf(
+        A.to_avro_ocf(struct($"orderId", $"product", $"price"), Schemas.orderAvroJson),
+        Schemas.orderAvroJson).as("o"))
+    val optimized = CodecRoundTripElimination(df.queryExecution.analyzed)
+    assert(optimized.expressions.exists(_.exists(_.isInstanceOf[FromAvroOcf])))
+  }
+
+  test("rule erases pairs where the Avro field is a [null, T] union") {
+    val nullableSchema =
+      """{"type":"record","namespace":"com.assignment","name":"OrderN","fields":[
+        |{"name":"orderId","type":["null","string"]},
+        |{"name":"product","type":["null","string"]},
+        |{"name":"price","type":["null","float"]}]}""".stripMargin.replace("\n", "")
+    val df = Seq(("a", "p", Option(1.5f))).toDF("orderId", "product", "price")
+      .select(A.from_avro_ocf(
+        A.to_avro_ocf(struct($"orderId", $"product", $"price"), nullableSchema),
+        nullableSchema).as("o"))
+    val optimized = CodecRoundTripElimination(df.queryExecution.analyzed)
+    assert(!optimized.expressions.exists(_.exists(_.isInstanceOf[FromAvroOcf])))
   }
 
   test("rule keeps codec pairs with mismatched schemas") {

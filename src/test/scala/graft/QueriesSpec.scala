@@ -19,6 +19,12 @@ class QueriesSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("registerTables exposes events (nanos timestamps) to spark.sql") {
+    SparkEntry.registerTables(spark, sf)
+    val n = spark.sql("SELECT count(*) FROM events WHERE ts > 0").head().getLong(0)
+    assert(n > 0)
+  }
+
   test("every query has oracle SQL or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")

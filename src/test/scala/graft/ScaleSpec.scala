@@ -62,6 +62,20 @@ class ScaleSpec extends SparkSpec {
     assert(!capped.exists(p => p._1 <= 4 && p._2 <= 4))
   }
 
+  test("default jaccard skew guard bounds candidates at 10k-doc hot shingle") {
+    import graft.llm.Dedup
+    // one boilerplate 5-gram in ALL 10k docs: unguarded, that single
+    // shingle alone yields ~5e7 candidate pairs (the O(d^2) explosion);
+    // the default-on cap drops it from candidate generation, and since
+    // every other shingle is unique per doc, no candidates remain
+    val docs = spark.range(10000).select($"id".as("doc_id"),
+      concat(lit("the quick brown fox jumps u"), $"id", lit("a u"), $"id",
+        lit("b u"), $"id", lit("c u"), $"id", lit("d")).as("text"))
+    assert(Dedup.DefaultMaxShingleDf < 10000)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", k = 5, minSim = 0.0)
+    assert(pairs.count() === 0)
+  }
+
   test("salted join equals plain join on skewed data") {
     // 90% of left rows share one hot key
     val left = spark.range(5000)

@@ -108,6 +108,23 @@ object SparkEntry {
         col("total_price"), col("running_average"))
       .orderBy(col("order_key"))
 
+  /** The flagship running aggregate through the 100 TB formulation:
+    * ScalablePrefix.runningSum (two-pass range-partitioned prefix sum —
+    * O(n) work, only numPartitions tuples to the driver) instead of the
+    * single-task global window. Same semantics as q_running_avg, gated
+    * by the same oracle window SQL, so CORRECTNESS now certifies the
+    * scale path itself, not just an equivalence test. */
+  private def qRunningAvgScalable(s: SparkSession, dir: String): DataFrame = {
+    val base = routed(s, dir).filter(col("status") === Router.Success)
+      .select(col("order_key"), Analytics.cents(col("price")).as("cents"))
+    graft.ops.ScalablePrefix.runningSum(s, base, "order_key", "cents", numPartitions = 32)
+      .select(col("order_key"), col("cents"),
+        col("run_cnt").as("order_count"),
+        (col("run_sum") / 100.0).as("total_price"),
+        ((col("run_sum") / 100.0) / col("run_cnt")).as("running_average"))
+      .orderBy(col("order_key"))
+  }
+
   private def qDlqEnrich(s: SparkSession, dir: String): DataFrame =
     Router.enrichDlq(routed(s, dir), unix_timestamp(col("o_orderdate")))
       .select(col("order_key"), col("error_reason"), col("original_topic"),
@@ -477,17 +494,17 @@ object SparkEntry {
 
   /** Stratified sampling: exactly n docs per language stratum, chosen
     * by deterministic hash order — the reproducible per-class subset
-    * builder for balanced corpus construction. */
-  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    t(s, dir, "documents")
-      .withColumn("h", md5(concat(lit("strat|"), col("doc_id").cast("string")).cast("binary")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))).cast("long"))
-      .filter(col("rn") <= 25)
-      .select(col("lang"), col("rn"), col("doc_id"))
+    * builder for balanced corpus construction. Runs on the bounded
+    * per-partition top-n path (graft.ops.Sampling): no single-task
+    * stratum stage, no unbounded agg buffer — see Sampling.scaladoc. */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedTopN(s,
+        t(s, dir, "documents")
+          .withColumn("h",
+            md5(concat(lit("strat|"), col("doc_id").cast("string")).cast("binary")))
+          .select(col("lang"), col("h"), col("doc_id")),
+        stratumCol = "lang", keyCol = "h", idCol = "doc_id", n = 25)
       .orderBy(col("lang"), col("rn"))
-  }
 
   /** Error-tolerant casts (try_* family): malformed input -> null
     * instead of failure — the SQL-surface cousin of the codec's
@@ -733,6 +750,68 @@ object SparkEntry {
         col("height").cast("long").as("height"), col("format"))
       .orderBy(col("doc_id"))
 
+  /** Map-typed function sweep (map_keys / map_values-by-key / size /
+    * map_filter with a value lambda / map_concat / map_entries) over a
+    * map built from `events.props` JSON plus event columns. Collections
+    * are emitted as key-sorted joined strings so the comparison is
+    * engine-portable (map iteration order is not part of the contract). */
+  private def qMapFuncs(s: SparkSession, dir: String): DataFrame = {
+    val kval = coalesce(get_json_object(col("props"), "$.k"), lit("-1"))
+    val m = map(
+      lit("k"), kval,
+      lit("type"), col("event_type"),
+      lit("uid"), col("user_id").cast("string"))
+    events(s, dir)
+      .select(col("event_id"), m.as("m"))
+      .select(
+        col("event_id"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+        array_join(transform(array_sort(map_keys(col("m"))),
+          kk => element_at(col("m"), kk)), ",").as("vals_csv"),
+        size(col("m")).cast("long").as("n_entries"),
+        size(map_filter(col("m"),
+          (_, v) => v.try_cast("bigint") > 50)).cast("long").as("n_big"),
+        size(map_concat(col("m"), map(lit("extra"), lit("1"))))
+          .cast("long").as("n_concat"),
+        array_join(transform(map_entries(col("m")),
+          e => concat(e.getField("key"), lit("="), e.getField("value"))), ",")
+          .as("entries_csv"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Document chunking through the custom Generator (UDTF surface):
+    * 64-token windows starting every 48 tokens (16-token overlap) —
+    * the RAG/pretraining chunker as a streaming per-partition expand. */
+  private def qChunking(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.chunking.chunk_document(TextOps.tokens(col("text")), 64, 16)
+          .as(Seq("chunk_idx", "chunk", "n_chunk_tokens")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"), col("n_chunk_tokens").cast("long").as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Real container-header parsing, oracle-checked: synthesize a PNG /
+    * JPEG / GIF header carrying doc_id-derived dimensions, parse it back
+    * with the pure-JVM `image_dims` kernel, emit the parsed values. The
+    * oracle replays the dimension arithmetic — a mismatch anywhere in
+    * synthesis or parsing (endianness, offsets, segment walk) fails the
+    * hash compare. */
+  private def qMediaDims(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % 512 + 16).cast("int").as("w_in"),
+        ((col("doc_id") * 3) % 512 + 16).cast("int").as("h_in"),
+        when(col("doc_id") % 3 === 0, "png")
+          .when(col("doc_id") % 3 === 1, "jpeg").otherwise("gif").as("fmt_in"))
+      .withColumn("blob",
+        Multimodal.synthesizeHeader(col("fmt_in"), col("w_in"), col("h_in")))
+      .select(col("doc_id"), graft.functions.media.image_dims(col("blob")).as("d"))
+      .select(col("doc_id"), col("d.format").as("format"),
+        col("d.width").cast("long").as("width"),
+        col("d.height").cast("long").as("height"))
+      .orderBy(col("doc_id"))
+
   /** DuckDB rendering of Similarity.dotFp (64-dim, 1e-9 fixed point). */
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1,64), i -> " +
@@ -754,6 +833,7 @@ object SparkEntry {
     "q_route_counts" -> (qRouteCounts _),
     "q_agg_success" -> (qAggSuccess _),
     "q_running_avg" -> (qRunningAvg _),
+    "q_running_avg_scalable" -> (qRunningAvgScalable _),
     "q_dlq_enrich" -> (qDlqEnrich _),
     "q_retry_ledger" -> (qRetryLedger _),
     "q_validate" -> (qValidate _),
@@ -805,6 +885,9 @@ object SparkEntry {
     "q_ivf_search" -> (qIvfSearch _),
     "q_lsh_ann_buckets" -> (qLshAnnBuckets _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_media_dims" -> (qMediaDims _),
+    "q_chunking" -> (qChunking _),
+    "q_map_funcs" -> (qMapFuncs _),
     "q_token_estimate" -> (qTokenEstimate _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q_regexp" -> (qRegexp _),
@@ -839,6 +922,19 @@ object SparkEntry {
          |         CAST(floor(price * 100 + 0.5) AS BIGINT) AS cents
          |  FROM routed WHERE status = 'success')
          |SELECT order_key, price,
+         |       count(*) OVER w AS order_count,
+         |       sum(cents) OVER w / 100.0 AS total_price,
+         |       (sum(cents) OVER w / 100.0) / (count(*) OVER w) AS running_average
+         |FROM s
+         |WINDOW w AS (ORDER BY order_key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY order_key""".stripMargin,
+
+    "q_running_avg_scalable" ->
+      s"""$routedSql, s AS (
+         |  SELECT order_key,
+         |         CAST(floor(price * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM routed WHERE status = 'success')
+         |SELECT order_key, cents,
          |       count(*) OVER w AS order_count,
          |       sum(cents) OVER w / 100.0 AS total_price,
          |       (sum(cents) OVER w / 100.0) / (count(*) OVER w) AS running_average
@@ -1470,6 +1566,40 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_custkey, 'f_status' AS src FROM orders WHERE o_orderstatus = 'F') t
         |GROUP BY src ORDER BY src""".stripMargin,
+
+    "q_map_funcs" ->
+      """WITH f AS (
+        |  SELECT event_id, event_type, CAST(user_id AS VARCHAR) AS uid,
+        |         coalesce(json_extract_string(props, '$.k'), '-1') AS kval
+        |  FROM events)
+        |SELECT event_id,
+        |  'k,type,uid' AS keys_csv,
+        |  kval || ',' || event_type || ',' || uid AS vals_csv,
+        |  CAST(3 AS BIGINT) AS n_entries,
+        |  CAST(CASE WHEN TRY_CAST(kval AS BIGINT) > 50 THEN 1 ELSE 0 END +
+        |       CASE WHEN TRY_CAST(event_type AS BIGINT) > 50 THEN 1 ELSE 0 END +
+        |       CASE WHEN TRY_CAST(uid AS BIGINT) > 50 THEN 1 ELSE 0 END AS BIGINT) AS n_big,
+        |  CAST(4 AS BIGINT) AS n_concat,
+        |  'k=' || kval || ',type=' || event_type || ',uid=' || uid AS entries_csv
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "q_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS start
+        |  FROM t WHERE len(tk) > 0)
+        |SELECT doc_id, start // 48 AS chunk_idx,
+        |  array_to_string(tk[start+1:start+64], ' ') AS chunk,
+        |  least(64, len(tk) - start) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_media_dims" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |  doc_id % 512 + 16 AS width,
+        |  (doc_id * 3) % 512 + 16 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

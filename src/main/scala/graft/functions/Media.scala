@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real image-container header parsing in pure JVM byte inspection — no
+  * codec library needed. PNG (IHDR), JPEG (SOF segment scan), and GIF
+  * (logical screen descriptor) carry their pixel dimensions in the
+  * first bytes of the container; parsing them is the non-stub half of
+  * the multimodal metadata stage (graft.llm.Multimodal): real
+  * width/height/format from real binary payloads, with the decode of
+  * pixel DATA remaining out of scope in this environment.
+  */
+object MediaHeaders {
+
+  /** Parse (format, width, height) from a container header, or None if
+    * the bytes are not a recognized PNG/JPEG/GIF container. Never
+    * throws on arbitrary input (bounds-checked; PERMISSIVE like the
+    * Avro decode path). */
+  def parse(b: Array[Byte]): Option[(String, Int, Int)] = {
+    if (b == null) return None
+    if (isPng(b)) parsePng(b)
+    else if (isJpeg(b)) parseJpeg(b)
+    else if (isGif(b)) parseGif(b)
+    else None
+  }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 24 && (0 until 8).forall(i => b(i) == PngSig(i))
+
+  /** IHDR is REQUIRED to be the first chunk: length(4) type(4)="IHDR"
+    * width(4 BE) height(4 BE) at fixed offsets 8..23. */
+  private def parsePng(b: Array[Byte]): Option[(String, Int, Int)] =
+    if (b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some(("png", be32(b, 16), be32(b, 20)))
+    else None
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8
+
+  /** Scan marker segments for the first SOFn frame header (C0-CF minus
+    * the non-frame C4/C8/CC): data = precision(1) height(2 BE)
+    * width(2 BE). Segment lengths include their own 2 bytes. */
+  private def parseJpeg(b: Array[Byte]): Option[(String, Int, Int)] = {
+    var p = 2
+    while (p + 3 < b.length) {
+      if (u8(b, p) != 0xff) return None
+      // skip fill bytes (consecutive 0xFF) before the marker code
+      var q = p + 1
+      while (q < b.length && u8(b, q) == 0xff) q += 1
+      if (q >= b.length) return None
+      val m = u8(b, q)
+      if (m == 0xd9 || m == 0xda) return None // EOI / SOS: no frame header found
+      if (q + 2 >= b.length) return None
+      val len = be16(b, q + 1)
+      if (len < 2 || q + 1 + len > b.length) return None
+      val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+      if (isSof) {
+        if (q + 7 >= b.length) return None
+        return Some(("jpeg", be16(b, q + 6), be16(b, q + 4)))
+      }
+      p = q + 1 + len
+    }
+    None
+  }
+
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** Logical screen descriptor: width LE16 at 6, height LE16 at 8. */
+  private def parseGif(b: Array[Byte]): Option[(String, Int, Int)] =
+    Some(("gif", le16(b, 6), le16(b, 8)))
+}
+
+/** `image_dims(binary)` -> struct<format, width, height>; null for
+  * unrecognized/truncated containers (PERMISSIVE — callers route
+  * unparseable blobs like the codec path routes decode failures). */
+case class ImageDims(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"image_dims expects binary, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    MediaHeaders.parse(input.asInstanceOf[Array[Byte]]) match {
+      case Some((fmt, w, h)) =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), w, h))
+      case None => null
+    }
+  override protected def withNewChildInternal(newChild: Expression): ImageDims =
+    copy(child = newChild)
+  override def prettyName: String = "image_dims"
+}
+
+object media {
+  def image_dims(blob: Column): Column =
+    ColumnBridge.column(ImageDims(ColumnBridge.expression(blob)))
+}

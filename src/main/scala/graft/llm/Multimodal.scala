@@ -32,15 +32,54 @@ object Multimodal {
   }
 
   /** Partition-wise decode of (id, payload) rows — the real pipeline
-    * shape for expensive decoders. */
+    * shape for expensive decoders. Container HEADERS are parsed for
+    * real (PNG IHDR / JPEG SOF / GIF descriptor via
+    * graft.functions.MediaHeaders — pure JVM byte inspection, no codec
+    * library); only unrecognized containers fall back to the stub. */
   def decodePartitions(spark: SparkSession, df: DataFrame,
       idCol: String, blobCol: String): Dataset[MediaMeta] = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init of a real decoder would go here
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        // per-partition init of a real pixel decoder would go here
+        it.map { case (id, bytes) =>
+          graft.functions.MediaHeaders.parse(bytes) match {
+            case Some((fmt, w, h)) => MediaMeta(id, bytes.length, w, h, fmt)
+            case None => decodeStub(id, bytes)
+          }
+        }
       }
+  }
+
+  /** Deterministic container-header synthesis (hex-assembled in pure
+    * column expressions, then `unhex`): a complete PNG signature+IHDR,
+    * JPEG SOI+APP0+SOF0, or GIF89a screen descriptor carrying the given
+    * dimensions. This is how the header PARSER is oracle-tested without
+    * codec libraries: Spark synthesizes real container bytes and parses
+    * them back; the oracle replays the dimension arithmetic. */
+  def synthesizeHeader(format: Column, width: Column, height: Column): Column = {
+    val wBe = lpad(hex(width), 4, "0")
+    val hBe = lpad(hex(height), 4, "0")
+    val wLe = concat(substring(wBe, 3, 2), substring(wBe, 1, 2))
+    val hLe = concat(substring(hBe, 3, 2), substring(hBe, 1, 2))
+    val png = concat(
+      lit("89504E470D0A1A0A"),             // signature
+      lit("0000000D49484452"),             // IHDR length=13 + type
+      lpad(hex(width), 8, "0"), lpad(hex(height), 8, "0"),
+      lit("0806000000"),                   // depth/color/comp/filter/interlace
+      lit("00000000"))                     // CRC (not validated by header parse)
+    val jpeg = concat(
+      lit("FFD8"),                         // SOI
+      lit("FFE000104A46494600010100000100010000"), // APP0, len 16
+      lit("FFC00011"),                     // SOF0, len 17
+      lit("08"), hBe, wBe,                 // precision, height, width
+      lit("03011100021101031101"),         // 3 components
+      lit("FFD9"))                         // EOI
+    val gif = concat(
+      lit("474946383961"),                 // "GIF89a"
+      wLe, hLe,
+      lit("F7000000"))                     // GCT flags/bg/aspect
+    unhex(when(format === "png", png).when(format === "jpeg", jpeg).otherwise(gif))
   }
 
   /** Feature extraction: a 16-bin byte histogram normalized to [0,1] —

@@ -67,5 +67,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[ToAvroOcf].getName, "to_avro_ocf"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ToAvroOcf(es.head, litStr(es(1)))))
+    def litInt(x: org.apache.spark.sql.catalyst.expressions.Expression): Int = x match {
+      case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
+      case other => throw new IllegalArgumentException(s"expected int literal: $other")
+    }
+    // the UDTF of the extension trio — usable as a SQL generator:
+    // SELECT doc_id, c.* FROM docs LATERAL VIEW chunk_document(tokens, 64, 16) c
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("chunk_document"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.ChunkDocument].getName, "chunk_document"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ChunkDocument(es.head, litInt(es(1)), litInt(es(2)))))
   }
 }

@@ -57,4 +57,59 @@ class MultimodalSpec extends SparkSpec {
       docs.limit(1).withColumn("n_frames", lit(10)), "doc_id", $"n_frames", every = 3)
     assert(sampled.select($"frame_idx").as[Int].collect().toSeq === Seq(0, 3, 6, 9))
   }
+
+  /** Encode with the JDK's own ImageIO writers — an implementation
+    * INDEPENDENT of our header synthesis — and parse the bytes back. */
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no ImageIO writer for $fmt")
+    out.toByteArray
+  }
+
+  test("MediaHeaders parses real ImageIO-encoded containers") {
+    import graft.functions.MediaHeaders
+    assert(MediaHeaders.parse(imageBytes("png", 123, 45)) === Some(("png", 123, 45)))
+    assert(MediaHeaders.parse(imageBytes("jpg", 77, 301)) === Some(("jpeg", 77, 301)))
+    assert(MediaHeaders.parse(imageBytes("gif", 300, 7)) === Some(("gif", 300, 7)))
+  }
+
+  test("MediaHeaders is permissive on garbage and truncation") {
+    import graft.functions.MediaHeaders
+    assert(MediaHeaders.parse(null) === None)
+    assert(MediaHeaders.parse(Array[Byte]()) === None)
+    assert(MediaHeaders.parse("not an image at all".getBytes) === None)
+    val png = imageBytes("png", 10, 10)
+    assert(MediaHeaders.parse(png.take(12)) === None)         // cut inside IHDR
+    val jpeg = imageBytes("jpg", 10, 10)
+    assert(MediaHeaders.parse(jpeg.take(4)) === None)         // SOI only
+  }
+
+  test("decodePartitions uses real header dims for parseable containers") {
+    val withImages = Seq(
+      (1L, imageBytes("png", 321, 54)),
+      (2L, imageBytes("jpg", 400, 300)),
+      (3L, "plain text payload".getBytes)).toDF("doc_id", "blob")
+    val metas = Multimodal.decodePartitions(spark, withImages, "doc_id", "blob")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas(1L).format === "png" && metas(1L).width === 321 && metas(1L).height === 54)
+    assert(metas(2L).format === "jpeg" && metas(2L).width === 400 && metas(2L).height === 300)
+    assert(metas(3L).format !== "gif") // falls back to the stub
+  }
+
+  test("synthesizeHeader round-trips through image_dims for all formats") {
+    val df = Seq(("png", 17, 500), ("jpeg", 511, 16), ("gif", 100, 527))
+      .toDF("fmt", "w", "h")
+    val got = df.select($"fmt", $"w", $"h",
+        graft.functions.media.image_dims(
+          Multimodal.synthesizeHeader($"fmt", $"w", $"h")).as("d"))
+      .select($"fmt", $"w", $"h", $"d.format", $"d.width", $"d.height")
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(3) === r.getString(0))
+      assert(r.getInt(4) === r.getInt(1))
+      assert(r.getInt(5) === r.getInt(2))
+    }
+  }
 }

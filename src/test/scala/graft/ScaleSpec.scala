@@ -76,6 +76,25 @@ class ScaleSpec extends SparkSpec {
     assert(pairs.count() === 0)
   }
 
+  test("bounded stratified top-n equals the window formulation, no WindowExec") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("h", md5(concat(lit("strat|"), $"doc_id".cast("string")).cast("binary")))
+      .select($"lang", $"h", $"doc_id")
+    val viaWindow = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"h", $"doc_id")).cast("long"))
+      .filter($"rn" <= 25).select($"lang", $"rn", $"doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val bounded = Sampling.stratifiedTopN(spark, docs, "lang", "h", "doc_id", 25)
+    assert(!bounded.queryExecution.executedPlan.toString.contains("Window"),
+      "bounded top-n must not use a window")
+    val got = bounded.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got === viaWindow)
+  }
+
   test("salted join equals plain join on skewed data") {
     // 90% of left rows share one hot key
     val left = spark.range(5000)

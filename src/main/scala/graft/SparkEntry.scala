@@ -137,6 +137,28 @@ object SparkEntry {
         col("backoff_secs"), col("disposition"))
       .orderBy(col("order_key"), col("attempt"))
 
+  /** The retry LOOP's final disposition ledger as a batch query: where
+    * every order ends up once the re-injection loop drains (success ->
+    * processed on attempt 1; transient -> exhausted after 1 + MaxRetries
+    * attempts with the reference's exhaustion message; permanent ->
+    * straight to the DLQ with its error reason). This is the
+    * oracle-checkable counterpart of the StreamingSpec loop test: the
+    * streaming loop must land every record exactly where this ledger
+    * says (consumer.py:278-314). */
+  private def qRetryFinal(s: SparkSession, dir: String): DataFrame =
+    routed(s, dir).select(col("order_key"), col("status"),
+      when(col("status") === Router.Success, "processed")
+        .when(col("status") === Router.Transient, "retry_exhausted")
+        .otherwise("dlq_permanent").as("final_disposition"),
+      when(col("status") === Router.Transient, 1 + Router.MaxRetries)
+        .otherwise(1).cast("long").as("attempts"),
+      when(col("status") === Router.Transient,
+        format_string("Processing failed after %d retries", lit(Router.MaxRetries)))
+        .when(col("status") === Router.Permanent,
+          Router.errorReasonCol(col("orderId"), col("product"), col("price")))
+        .otherwise("").as("final_reason"))
+      .orderBy(col("order_key"))
+
   private def qValidate(s: SparkSession, dir: String): DataFrame =
     ordersAsStream(s, dir)
       .select(col("order_key"), (col("price") - 750.0).as("price_v"))
@@ -160,6 +182,34 @@ object SparkEntry {
         col("d.product").as("product"),
         col("d.price").cast("double").as("price"))
       .orderBy(col("order_key"))
+
+  /** Raw-datum codec mode (SURVEY §7.3's scale optimization): identical
+    * round-trip identity to q_avro_roundtrip but with NO container
+    * framing — and the oracle PROVES the framing overhead is recovered:
+    * the raw datum of the order record is exactly
+    * 1 + len(orderId) + 1 + len(product) + 4 bytes (1-byte zigzag
+    * varint length prefixes for strings under 64 chars, IEEE float),
+    * which the SQL side computes symbolically and hash-compares against
+    * `octet_length` of the real encoded bytes (vs ~250 B more per
+    * message with the OCF header+sync). */
+  private def qAvroDatumRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.avro.functions.{from_avro_datum, to_avro_datum}
+    ordersAsStream(s, dir)
+      .select(col("order_key"), struct(
+        col("orderId"), col("product"),
+        col("price").cast("float").as("price")).as("o"))
+      .select(col("order_key"),
+        to_avro_datum(col("o"), Schemas.orderAvroJson).as("b"))
+      .select(col("order_key"),
+        octet_length(col("b")).cast("long").as("datum_len"),
+        from_avro_datum(col("b"), Schemas.orderAvroJson).as("d"))
+      .select(col("order_key"),
+        col("d.orderId").as("order_id"),
+        col("d.product").as("product"),
+        col("d.price").cast("double").as("price"),
+        col("datum_len"))
+      .orderBy(col("order_key"))
+  }
 
   // ---- analytics surface (SURVEY.md §2.5): joins, windows, rollup,
   // ---- set ops, distinct aggs, event-time buckets, as-of lookup ----
@@ -836,8 +886,10 @@ object SparkEntry {
     "q_running_avg_scalable" -> (qRunningAvgScalable _),
     "q_dlq_enrich" -> (qDlqEnrich _),
     "q_retry_ledger" -> (qRetryLedger _),
+    "q_retry_final" -> (qRetryFinal _),
     "q_validate" -> (qValidate _),
     "q_avro_roundtrip" -> (qAvroRoundtrip _),
+    "q_avro_datum_roundtrip" -> (qAvroDatumRoundtrip _),
     "q_decode_errors" -> (qDecodeErrors _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_join_revenue_nation" -> (qJoinRevenueNation _),
@@ -968,6 +1020,25 @@ object SparkEntry {
          |WHERE status = 'transient_failure'
          |ORDER BY order_key, attempt""".stripMargin,
 
+    "q_retry_final" ->
+      s"""$routedSql
+         |SELECT order_key, status,
+         |  CASE status WHEN 'success' THEN 'processed'
+         |              WHEN 'transient_failure' THEN 'retry_exhausted'
+         |              ELSE 'dlq_permanent' END AS final_disposition,
+         |  CAST(CASE WHEN status = 'transient_failure' THEN 4 ELSE 1 END AS BIGINT) AS attempts,
+         |  CASE WHEN status = 'transient_failure' THEN 'Processing failed after 3 retries'
+         |       WHEN status = 'permanent_failure' THEN
+         |         CASE WHEN price IS NULL THEN 'Processing error: Missing price field'
+         |              WHEN order_id IS NULL OR length(order_id) = 0
+         |                   OR product IS NULL OR length(product) = 0
+         |                THEN 'Processing error: Invalid order payload'
+         |              WHEN price < 0
+         |                THEN printf('Processing error: Invalid price: %.2f', price)
+         |              ELSE printf('Price exceeds threshold: %.2f > 1000.0', price) END
+         |       ELSE '' END AS final_reason
+         |FROM routed ORDER BY order_key""".stripMargin,
+
     "q_validate" ->
       s"""$routedSql
          |SELECT order_key, price - 750.0 AS price_v,
@@ -979,6 +1050,13 @@ object SparkEntry {
       s"""$routedSql
          |SELECT order_key, order_id, product,
          |       CAST(CAST(price AS REAL) AS DOUBLE) AS price
+         |FROM stream ORDER BY order_key""".stripMargin,
+
+    "q_avro_datum_roundtrip" ->
+      s"""$routedSql
+         |SELECT order_key, order_id, product,
+         |       CAST(CAST(price AS REAL) AS DOUBLE) AS price,
+         |       CAST(length(order_id) + length(product) + 6 AS BIGINT) AS datum_len
          |FROM stream ORDER BY order_key""".stripMargin,
 
     "q_decode_errors" ->

@@ -60,6 +60,48 @@ case class ToAvroOcf(child: Expression, schemaJson: String)
   override def prettyName: String = "to_avro_ocf"
 }
 
+/** `from_avro_datum(binary)` -> struct: RAW binary-encoded datum, no
+  * container framing (the schema travels out-of-band — SURVEY §7.3's
+  * scale mode). Null on decode failure (PERMISSIVE). */
+case class FromAvroDatum(child: Expression, schemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val structType = AvroOcf.sparkTypeFor(avroSchema)
+
+  override def dataType: DataType = structType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"from_avro_datum expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    try AvroOcf.decodeDatumRow(input.asInstanceOf[Array[Byte]], structType, avroSchema)
+    catch { case _: Exception => null }
+  override protected def withNewChildInternal(newChild: Expression): FromAvroDatum =
+    copy(child = newChild)
+  override def prettyName: String = "from_avro_datum"
+}
+
+/** `to_avro_datum(struct)` -> binary (raw datum, no framing). */
+case class ToAvroDatum(child: Expression, schemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val structType = child.dataType.asInstanceOf[StructType]
+
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = child.dataType match {
+    case _: StructType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"to_avro_datum expects struct input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    AvroOcf.encodeDatumRow(input.asInstanceOf[InternalRow], structType, avroSchema)
+  override protected def withNewChildInternal(newChild: Expression): ToAvroDatum =
+    copy(child = newChild)
+  override def prettyName: String = "to_avro_datum"
+}
+
 object functions {
   /** Decode a binary column of single-record Avro OCF messages. */
   def from_avro_ocf(c: Column, schemaJson: String): Column =
@@ -69,7 +111,15 @@ object functions {
   def to_avro_ocf(c: Column, schemaJson: String): Column =
     ColumnBridge.column(ToAvroOcf(ColumnBridge.expression(c), schemaJson))
 
-  /** Register both for SQL use: `from_avro_ocf(col, 'schema-json')`. */
+  /** Decode a binary column of raw Avro datums (no framing). */
+  def from_avro_datum(c: Column, schemaJson: String): Column =
+    ColumnBridge.column(FromAvroDatum(ColumnBridge.expression(c), schemaJson))
+
+  /** Encode a struct column as raw Avro datums (no framing). */
+  def to_avro_datum(c: Column, schemaJson: String): Column =
+    ColumnBridge.column(ToAvroDatum(ColumnBridge.expression(c), schemaJson))
+
+  /** Register all four for SQL use: `from_avro_ocf(col, 'schema-json')`. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def lit(e: Expression): String = e match {
@@ -80,5 +130,9 @@ object functions {
       "from_avro_ocf", es => FromAvroOcf(es.head, lit(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction(
       "to_avro_ocf", es => ToAvroOcf(es.head, lit(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "from_avro_datum", es => FromAvroDatum(es.head, lit(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "to_avro_datum", es => ToAvroDatum(es.head, lit(es(1))), "scala_udf")
   }
 }

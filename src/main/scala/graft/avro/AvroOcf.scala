@@ -101,8 +101,7 @@ object AvroOcf {
   def encodeRow(row: InternalRow, sparkType: StructType, schema: Schema): Array[Byte] =
     encodeRow(row, sparkType, schema, headerAndSync(schema))
 
-  def encodeRow(row: InternalRow, sparkType: StructType, schema: Schema,
-      hs: (Array[Byte], Array[Byte])): Array[Byte] = {
+  private def toRecord(row: InternalRow, sparkType: StructType, schema: Schema): GenericRecord = {
     val rec = new GenericData.Record(schema)
     var i = 0
     while (i < sparkType.length) {
@@ -122,6 +121,36 @@ object AvroOcf {
       rec.put(i, v)
       i += 1
     }
+    rec
+  }
+
+  /** One InternalRow -> RAW Avro datum bytes (binary encoding, NO
+    * container framing). The scale mode of SURVEY §7.3: the OCF frame
+    * embeds the writer schema + sync in EVERY message (~250 B for the
+    * 3-field order record whose datum is ~20 B) — when both ends agree
+    * on the schema out-of-band, the raw datum recovers that overhead.
+    * The payload is the byte-identical datum block an OCF message
+    * carries between header and sync. */
+  def encodeDatumRow(row: InternalRow, sparkType: StructType, schema: Schema): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    val enc = org.apache.avro.io.EncoderFactory.get().directBinaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(toRecord(row, sparkType, schema), enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  /** RAW datum bytes -> InternalRow. Throws on malformed input; callers
+    * choose null-on-error (PERMISSIVE). */
+  def decodeDatumRow(bytes: Array[Byte], sparkType: StructType, readerSchema: Schema): InternalRow = {
+    val dec = org.apache.avro.io.DecoderFactory.get()
+      .binaryDecoder(bytes, 0, bytes.length, null)
+    val rec = new GenericDatumReader[GenericRecord](readerSchema).read(null, dec)
+    recordToRow(rec, sparkType)
+  }
+
+  def encodeRow(row: InternalRow, sparkType: StructType, schema: Schema,
+      hs: (Array[Byte], Array[Byte])): Array[Byte] = {
+    val rec = toRecord(row, sparkType, schema)
     // fast path equivalent to DataFileWriter.create+append+close with a
     // fixed sync marker: cached header ++ one data block
     // (zigzag-varint count=1, size, datum bytes, sync) — byte-identical

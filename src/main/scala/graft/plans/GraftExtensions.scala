@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
 
-import graft.avro.{AvroOcf, FromAvroOcf, ToAvroOcf}
+import graft.avro.{AvroOcf, FromAvroDatum, FromAvroOcf, ToAvroDatum, ToAvroOcf}
 
 /** Optimizer rule: `from_avro_ocf(to_avro_ocf(x, s), s)` -> `x`.
   *
@@ -32,13 +32,18 @@ object CodecRoundTripElimination extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def erasable(child: org.apache.spark.sql.catalyst.expressions.Expression,
+      schemaJson: String): Boolean = {
+    val decoded = AvroOcf.sparkTypeFor(new org.apache.avro.Schema.Parser().parse(schemaJson))
+    org.apache.spark.sql.types.DataType.equalsStructurally(
+      child.dataType, decoded, ignoreNullability = true) &&
+      nullabilityCompatible(child.dataType, decoded)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case from @ FromAvroOcf(ToAvroOcf(child, s1), s2) if s1 == s2 && {
-        val decoded = AvroOcf.sparkTypeFor(new org.apache.avro.Schema.Parser().parse(s2))
-        org.apache.spark.sql.types.DataType.equalsStructurally(
-          child.dataType, decoded, ignoreNullability = true) &&
-          nullabilityCompatible(child.dataType, decoded)
-      } =>
+    case FromAvroOcf(ToAvroOcf(child, s1), s2) if s1 == s2 && erasable(child, s2) =>
+      child
+    case FromAvroDatum(ToAvroDatum(child, s1), s2) if s1 == s2 && erasable(child, s2) =>
       child
     case other => other
   }

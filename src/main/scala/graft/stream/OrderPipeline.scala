@@ -253,4 +253,87 @@ object OrderPipeline {
         unix_timestamp(current_timestamp()) + col("attempts") * 0.5)
       .withColumn("disposition",
         when(col("attempts") > maxRetries, lit("dlq")).otherwise(lit("retry")))
+
+  // ---- F2 end-to-end: the streaming retry re-injection LOOP
+  // (consumer.py:278-314). The reference blocks in-process and re-calls
+  // process_message up to 3 times; here the retry directory IS the
+  // retry queue: a file-source stream watches it, each micro-batch
+  // promotes its records, exhausted ones exit to the DLQ with the
+  // reference's exhaustion message, and still-retryable ones are
+  // written BACK into the watched directory (attempts+1) — so one
+  // record makes maxRetries trips through the loop, each trip one
+  // micro-batch, with no blocking sleeps and no driver-side loop. ----
+
+  /** Schema of a retry record as written by [[writeFanOut]]. */
+  val retryRecordSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("topic", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("partition", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("offset", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("orderId", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("product", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("price", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("attempts", org.apache.spark.sql.types.IntegerType)))
+
+  /** Inject retry records into a WATCHED retry directory: write to a
+    * hidden staging subdir (file sources ignore dot-prefixed paths),
+    * then move the part files to deterministic `tag`-derived names in
+    * the watch root. Deterministic names make a replayed injection
+    * overwrite itself instead of duplicating — the same idempotence
+    * contract as [[writeFanOut]]. Returns the number of files moved. */
+  def injectRetries(records: DataFrame, retryDir: String, tag: String): Int = {
+    val staging = s"$retryDir/.staging-$tag"
+    records.write.mode("overwrite").parquet(staging)
+    val conf = records.sparkSession.sessionState.newHadoopConf()
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(conf)
+    val parts = fs.listStatus(stagingPath)
+      .map(_.getPath).filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    var moved = 0
+    parts.zipWithIndex.foreach { case (src, i) =>
+      val dst = new org.apache.hadoop.fs.Path(s"$retryDir/$tag-$i.parquet")
+      if (fs.exists(dst)) fs.delete(dst, false)
+      fs.rename(src, dst)
+      moved += 1
+    }
+    fs.delete(stagingPath, true)
+    moved
+  }
+
+  /** One micro-batch of the re-injection loop: promote, split, write.
+    * Exhausted records land in `dlqDir/retry_batch=<id>` (overwrite —
+    * replay-idempotent) carrying the reference's exhaustion message
+    * (consumer.py:312); survivors go back into `retryDir` for the next
+    * trip. `eligible_at` is dropped from the outputs (it is wall-clock
+    * backoff state, not payload). */
+  def reinjectBatch(batch: DataFrame, batchId: Long, retryDir: String,
+      dlqDir: String, maxRetries: Int = Router.MaxRetries): Unit = {
+    val promoted = promoteRetries(batch, maxRetries).persist()
+    try {
+      promoted.filter(col("disposition") === "dlq")
+        .withColumn("error_reason",
+          format_string("Processing failed after %d retries", lit(maxRetries)))
+        .drop("disposition", "eligible_at")
+        .write.mode("overwrite").parquet(s"$dlqDir/retry_batch=$batchId")
+      val still = promoted.filter(col("disposition") === "retry")
+        .drop("disposition", "eligible_at")
+      // an empty write would still create a part file, which the source
+      // would see as new data -> livelock; only inject real survivors
+      if (!still.isEmpty) { injectRetries(still, retryDir, s"reinject-$batchId"); () }
+    } finally { promoted.unpersist(); () }
+  }
+
+  /** Start the self-feeding retry loop over a retry directory. Each
+    * record entering with attempts=1 makes maxRetries promotions across
+    * successive micro-batches, then exits to the DLQ; the stream goes
+    * idle when the queue drains (`processAllAvailable` returns). */
+  def startRetryLoop(spark: SparkSession, retryDir: String, dlqDir: String,
+      checkpointDir: String, maxRetries: Int = Router.MaxRetries): StreamingQuery =
+    spark.readStream.schema(retryRecordSchema).parquet(retryDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        reinjectBatch(batch, batchId, retryDir, dlqDir, maxRetries)
+      }
+      .start()
 }

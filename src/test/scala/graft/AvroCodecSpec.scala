@@ -116,4 +116,56 @@ class AvroCodecSpec extends SparkSpec {
          |FROM codec_in""".stripMargin).collect()
     assert(got.head.getFloat(0) === 9.5f)
   }
+
+  test("property: raw-datum round-trip is the identity, datum is the OCF payload") {
+    val genOrder = for {
+      id <- Gen.identifier
+      product <- Gen.alphaNumStr
+      price <- Gen.chooseNum(-1500.0f, 1500.0f)
+    } yield (id, product, price)
+    val prop = Prop.forAll(genOrder) { case (id, product, price) =>
+      val row = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id),
+        org.apache.spark.unsafe.types.UTF8String.fromString(product),
+        price)
+      val datum = AvroOcf.encodeDatumRow(row, Schemas.order, schema)
+      val back = AvroOcf.decodeDatumRow(datum, Schemas.order, schema)
+      val ocf = AvroOcf.encodeRow(row, Schemas.order, schema)
+      // the raw datum is byte-identical to the OCF's payload slice
+      // (header .. sync), i.e. the framing carries ONLY overhead
+      val payload = ocf.slice(ocf.length - 16 - datum.length, ocf.length - 16)
+      back.getUTF8String(0).toString == id &&
+        back.getUTF8String(1).toString == product &&
+        back.getFloat(2) == price &&
+        payload.sameElements(datum) &&
+        ocf.length - datum.length > 200 // recovered framing overhead
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("raw-datum malformed/truncated bytes decode to null (PERMISSIVE)") {
+    val good = AvroOcf.encodeDatumRow(
+      org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString("id-1"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("Prod"), 2.5f),
+      Schemas.order, schema)
+    val df = Seq(good.take(3), Array[Byte](127, 127, 127)).toDF("value")
+    val out = df.select(A.from_avro_datum($"value", Schemas.orderAvroJson).as("o"))
+    assert(out.collect().forall(_.isNullAt(0)))
+  }
+
+  test("raw-datum SQL registration works") {
+    A.register(spark)
+    Seq(("i-9", "Prod", 9.5f)).toDF("orderId", "product", "price")
+      .createOrReplaceTempView("datum_in")
+    val got = spark.sql(
+      s"""SELECT from_avro_datum(to_avro_datum(struct(orderId, product, price),
+         |  '${Schemas.orderAvroJson}'), '${Schemas.orderAvroJson}').price AS p,
+         |  octet_length(to_avro_datum(struct(orderId, product, price),
+         |  '${Schemas.orderAvroJson}')) AS n
+         |FROM datum_in""".stripMargin).collect()
+    assert(got.head.getFloat(0) === 9.5f)
+    assert(got.head.getInt(1) === 1 + 3 + 1 + 4 + 4) // varint+id, varint+product, float
+  }
 }

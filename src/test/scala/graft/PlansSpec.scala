@@ -59,6 +59,19 @@ class PlansSpec extends SparkSpec {
     assert(!optimized.expressions.exists(_.exists(_.isInstanceOf[FromAvroOcf])))
   }
 
+  test("rule also erases raw-datum round trips") {
+    import graft.avro.FromAvroDatum
+    val df = Seq(1).toDF("i")
+      .select(A.from_avro_datum(
+        A.to_avro_datum(struct(lit("a").as("orderId"), lit("p").as("product"),
+          lit(1.5f).as("price")), Schemas.orderAvroJson),
+        Schemas.orderAvroJson).as("o"))
+    val analyzed = df.queryExecution.analyzed
+    assert(analyzed.expressions.exists(_.exists(_.isInstanceOf[FromAvroDatum])))
+    val optimized = CodecRoundTripElimination(analyzed)
+    assert(!optimized.expressions.exists(_.exists(_.isInstanceOf[FromAvroDatum])))
+  }
+
   test("rule keeps codec pairs with mismatched schemas") {
     val widened = Schemas.orderAvroJson.replace("\"type\":\"float\"", "\"type\":\"double\"")
     val df = Seq(("a", "p", 1.5f)).toDF("orderId", "product", "price")

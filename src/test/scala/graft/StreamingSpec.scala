@@ -72,6 +72,65 @@ class StreamingSpec extends SparkSpec {
     assert(reasons.exists(_.startsWith("Processing error:")))
   }
 
+  test("retry re-injection loop: retry dir -> promotions across micro-batches -> DLQ") {
+    val out = tmpDir("graft-retryloop-out")
+    val ckptMain = tmpDir("graft-retryloop-ckpt1")
+    val loopDir = tmpDir("graft-retryloop-queue")
+    val dlqDir = tmpDir("graft-retryloop-dlq")
+    val ckptLoop = tmpDir("graft-retryloop-ckpt2")
+
+    // stage 1: the fan-out pipeline lands transient orders in retry/
+    val stream = MemoryStream[Envelope](spark)
+    stream.addData(envelope(0, "s1", 200.0f), envelope(1, "t1", 30.0f),
+      envelope(2, "t2", 45.5f), envelope(3, "p1", 1200.0f))
+    val q = OrderPipeline.start(OrderPipeline.process(stream.toDF()), out, ckptMain)
+    q.processAllAvailable(); q.stop()
+    val fromFanOut = spark.read.parquet(s"$out/retry").drop("batch")
+    assert(fromFanOut.count() === 2)
+
+    // stage 2: seed the watched queue dir, run the loop until it drains
+    OrderPipeline.injectRetries(fromFanOut, loopDir, "seed")
+    val loop = OrderPipeline.startRetryLoop(spark, loopDir, dlqDir, ckptLoop)
+    loop.processAllAvailable(); loop.stop()
+
+    // each record made attempts 1 -> 2 -> 3 -> 4 across successive
+    // micro-batches: at least two distinct re-injection passes happened
+    val fs = new org.apache.hadoop.fs.Path(loopDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val reinjectBatches = fs.listStatus(new org.apache.hadoop.fs.Path(loopDir))
+      .map(_.getPath.getName).filter(_.startsWith("reinject-"))
+      .map(_.stripPrefix("reinject-").takeWhile(_ != '-')).distinct
+    assert(reinjectBatches.length >= 2, s"expected >=2 re-injection passes, saw $reinjectBatches")
+
+    // exhausted records exited to the DLQ with the reference's message
+    val rows = spark.read.parquet(dlqDir)
+      .select($"orderId", $"attempts", $"error_reason").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq("t1", "t2"))
+    assert(rows.forall(_._2 === 4)) // 1 initial attempt + 3 retries
+    assert(rows.forall(_._3 === "Processing failed after 3 retries"))
+    // the queue dir retains processed files (the checkpoint is the
+    // progress marker); the LAST re-injection pass carries attempts=3
+    val maxQueued = spark.read.schema(OrderPipeline.retryRecordSchema)
+      .parquet(loopDir).agg(max($"attempts")).head().getInt(0)
+    assert(maxQueued === Router.MaxRetries)
+  }
+
+  test("reinjectBatch is replay-idempotent (same batch id twice)") {
+    val loopDir = tmpDir("graft-reinject-idem-queue")
+    val dlqDir = tmpDir("graft-reinject-idem-dlq")
+    val seed = Seq(
+      ("orders", 0, 1L, "t-dlq", "P", 30.0, 3),   // promotes to 4 -> DLQ
+      ("orders", 0, 2L, "t-again", "P", 30.0, 1)) // promotes to 2 -> re-inject
+      .toDF("topic", "partition", "offset", "orderId", "product", "price", "attempts")
+    OrderPipeline.reinjectBatch(seed, 0, loopDir, dlqDir)
+    OrderPipeline.reinjectBatch(seed, 0, loopDir, dlqDir)
+    assert(spark.read.parquet(dlqDir).count() === 1)
+    val queued = spark.read.schema(OrderPipeline.retryRecordSchema).parquet(loopDir)
+    assert(queued.count() === 1)
+    assert(queued.select($"attempts").as[Int].head() === 2)
+  }
+
   test("checkpoint restart resumes from committed offsets only") {
     val out = tmpDir("graft-out2")
     val ckpt = tmpDir("graft-ckpt2")

@@ -15,6 +15,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce tiny post-shuffle partitions to the advisory size
+      // instead of preserving parallelism — fewer task launches per
+      // stage at small SF, and the production-recommended setting at
+      // scale (partition sizing should win over raw task count)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -21,9 +21,19 @@ import graft.ops.{Analytics, Router}
   */
 object SparkEntry {
 
-  /** The driver's testdata tables (TESTDATA.md). */
+  /** The driver's testdata tables (TESTDATA.md). The resolved read
+    * relation (file listing + footer schema) is cached per (session,
+    * path): the 69-query contract surface re-reads the same handful of
+    * parquet tables, and re-listing + re-inferring per query is pure
+    * per-query overhead (BASELINE.md's ~0.13 s/query floor). Only the
+    * RELATION object is reused — no data is persisted, every query
+    * still scans parquet. */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    relationCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$dir/$name",
+      _ => s.read.parquet(s"$dir/$name.parquet"))
 
   /** Register every dataset table as a temp view so users can drive the
     * engine through `spark.sql(...)` directly (the DataFrame DSL and

@@ -76,9 +76,16 @@ object Dedup {
     val counts = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val sh =
       if (maxShingleDf == Int.MaxValue) shAll
-      else shAll.withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("sk"))))
-        .filter(col("df") <= maxShingleDf).drop("df")
+      else {
+        // stop shingles are RARE by construction (df > cap), so compute
+        // the hot-key list with a map-side-combined count (the shuffle
+        // carries distinct shingle hashes, not rows) and drop them via a
+        // broadcast anti-join — the full index never reshuffles, unlike
+        // a count-over-window formulation that moves every row
+        val hot = shAll.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select(col("sk"))
+        shAll.join(broadcast(hot), Seq("sk"), "left_anti")
+      }
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.sk") === col("b.sk") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))

@@ -802,6 +802,42 @@ object SparkEntry {
         count(lit(1))).as("mean_quality"))
   }
 
+  /** Gopher-style duplicate n-gram fractions (k=2 and k=3). */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.withRepetition(
+        TextOps.withRepetition(t(s, dir, "documents"), "text", 2), "text", 3)
+      .select(col("doc_id"), col("n_2grams"), col("uniq_2grams"),
+        col("dup_2gram_ratio"), col("n_3grams"), col("uniq_3grams"),
+        col("dup_3gram_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** PII scrub over documents with deterministically injected contact
+    * lines (the raw corpus has none): count + redact, then fingerprint
+    * the scrubbed text so the oracle verifies the REPLACEMENT output,
+    * not just the counts. */
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val withPii = t(s, dir, "documents").withColumn("text2",
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact u"), col("doc_id"), lit("@example.com now")))
+        .when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" see https://example.org/d/"), col("doc_id"), lit(" page")))
+        .otherwise(col("text")))
+    TextOps.withPiiScrub(withPii, "text2")
+      .select(col("doc_id"), col("n_emails"), col("n_urls"),
+        md5(col("scrubbed").cast("binary")).as("scrub_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** N-gram decontamination: overlap of each doc's 5-gram shingles with
+    * a small "benchmark" subset (doc_id % 97 == 0), benchmark side
+    * broadcast. */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contamination(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", k = 5)
+      .orderBy(col("doc_id"))
+  }
+
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.withMediaMeta(
         t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8")), "blob")
@@ -950,6 +986,9 @@ object SparkEntry {
     "q_media_dims" -> (qMediaDims _),
     "q_chunking" -> (qChunking _),
     "q_map_funcs" -> (qMapFuncs _),
+    "q_repetition" -> (qRepetition _),
+    "q_pii_scrub" -> (qPiiScrub _),
+    "q_contamination" -> (qContamination _),
     "q_token_estimate" -> (qTokenEstimate _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q_regexp" -> (qRegexp _),
@@ -1688,6 +1727,52 @@ object SparkEntry {
         |  doc_id % 512 + 16 AS width,
         |  (doc_id * 3) % 512 + 16 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_2grams,
+        |    CAST(len(list_distinct(list_transform(generate_series(1, len(tk) - 1),
+        |      i -> array_to_string(tk[i:i+1], ' ')))) AS BIGINT) AS uniq_2grams,
+        |    CAST(greatest(len(tk) - 2, 0) AS BIGINT) AS n_3grams,
+        |    CAST(len(list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |      i -> array_to_string(tk[i:i+2], ' ')))) AS BIGINT) AS uniq_3grams
+        |  FROM t)
+        |SELECT doc_id, n_2grams, uniq_2grams,
+        |  CASE WHEN n_2grams > 0 THEN 1.0 - uniq_2grams / n_2grams ELSE 0.0 END AS dup_2gram_ratio,
+        |  n_3grams, uniq_3grams,
+        |  CASE WHEN n_3grams > 0 THEN 1.0 - uniq_3grams / n_3grams ELSE 0.0 END AS dup_3gram_ratio
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |           THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |         WHEN doc_id % 11 = 0
+        |           THEN text || ' see https://example.org/d/' || CAST(doc_id AS VARCHAR) || ' page'
+        |         ELSE text END AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text2, 'https?://[a-z0-9./_-]+')) AS BIGINT) AS n_urls,
+        |  md5(regexp_replace(regexp_replace(text2,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[a-z0-9./_-]+', '<URL>', 'g')) AS scrub_fp
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH $duckShingles,
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |cnt AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         |hit AS (SELECT sh.doc_id, count(*) AS n_contaminated
+         |        FROM sh JOIN bench ON sh.s = bench.s GROUP BY sh.doc_id)
+         |SELECT c.doc_id, c.n_shingles,
+         |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |  coalesce(h.n_contaminated, 0) / c.n_shingles AS contamination
+         |FROM cnt c LEFT JOIN hit h ON c.doc_id = h.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

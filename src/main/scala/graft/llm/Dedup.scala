@@ -163,6 +163,28 @@ object Dedup {
         graft.functions.kernels.simhash32(TextOps.tokens(col(textCol))).as("simhash32"))
       .filter(col("simhash32").isNotNull)
 
+  /** Benchmark contamination: per document, the fraction of its k-token
+    * shingles that also occur in a benchmark/eval corpus — the standard
+    * n-gram decontamination check before pretraining. The benchmark's
+    * distinct shingle hashes are BROADCAST (eval sets are small by
+    * definition), so the corpus side is a narrow scan + broadcast join +
+    * one aggregation keyed by doc — no corpus-wide shuffle of text.
+    * Documents with fewer than k tokens have no shingles and no row. */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, k: Int): DataFrame = {
+    val docSh = shingleIndex(docs, idCol, textCol, k)
+      .select(col(idCol), xxhash64(col("s")).as("sk"))
+    val benchSh = benchmark
+      .select(explode(shingles(TextOps.tokens(col(benchTextCol)), k)).as("s"))
+      .select(xxhash64(col("s")).as("sk")).distinct()
+    val counts = docSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hits = docSh.join(broadcast(benchSh), "sk")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    counts.join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination", col("n_contaminated") / col("n_shingles"))
+  }
+
   /** The explode-based formulation simhash32 replaced (32 bit-vote rows
     * per token through two shuffles). Kept as the semantic reference for
     * the kernel's parity test — do not use at scale. */

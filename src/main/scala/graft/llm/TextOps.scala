@@ -79,4 +79,36 @@ object TextOps {
   def withFingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fp", md5(col(textCol).cast("binary")))
       .withColumn("fp_prefix", md5(substring(col(textCol), 1, 64).cast("binary")))
+
+  /** Gopher-style repetition signal: the fraction of a document's
+    * k-grams that are duplicates (1 - distinct/total) — high values
+    * flag templated/degenerate text (cf. the Gopher data-quality
+    * filters' duplicate n-gram fractions). Pure per-row arithmetic:
+    * the `word_shingles` kernel already emits the DISTINCT shingle
+    * set, so this is one kernel call plus two `size`s — no shuffle. */
+  def withRepetition(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val tk = tokens(col(textCol))
+    val total = greatest(size(tk) - (k - 1), lit(0))
+    df.withColumn(s"n_${k}grams", total.cast("long"))
+      .withColumn(s"uniq_${k}grams",
+        size(graft.functions.kernels.word_shingles(tk, k)).cast("long"))
+      .withColumn(s"dup_${k}gram_ratio",
+        when(total > 0,
+          lit(1.0) - col(s"uniq_${k}grams") / col(s"n_${k}grams")).otherwise(0.0))
+  }
+
+  /** PII patterns chosen to evaluate identically under Java regex and
+    * RE2 (no backrefs, no lookaround): plain classes + quantifiers. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlPattern = "https?://[a-z0-9./_-]+"
+
+  /** PII scrubbing: count and redact email/URL occurrences — the
+    * pre-training privacy pass. Counting + replacement are codegen'd
+    * regexp expressions; a row never leaves its partition. */
+  def withPiiScrub(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailPattern)).cast("long"))
+      .withColumn("n_urls", regexp_count(col(textCol), lit(UrlPattern)).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          UrlPattern, "<URL>"))
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, TextOps}
+
+/** Text-quality operators: repetition fractions, PII scrubbing,
+  * benchmark contamination. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition ratio flags duplicated n-grams") {
+    val docs = Seq(
+      (1L, "a b a b a b"),        // 2-grams: ab ba ab ba ab -> 2 uniq of 5
+      (2L, "w x y z q"),          // all distinct
+      (3L, "solo")                // fewer tokens than k
+    ).toDF("doc_id", "text")
+    val got = TextOps.withRepetition(docs, "text", 2)
+      .select($"doc_id", $"n_2grams", $"uniq_2grams", $"dup_2gram_ratio")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((5L, 2L, 1.0 - 2.0 / 5.0)))
+    assert(got(2L) === ((4L, 4L, 0.0)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+  }
+
+  test("pii scrub counts and redacts emails and urls") {
+    val docs = Seq(
+      (1L, "reach me at jane.doe@corp.example.org or on https://site.example/x page"),
+      (2L, "no contact info here")).toDF("doc_id", "text")
+    val got = TextOps.withPiiScrub(docs, "text")
+      .select($"doc_id", $"n_emails", $"n_urls", $"scrubbed")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L)._1 === 1L && got(1L)._2 === 1L)
+    assert(got(1L)._3 === "reach me at <EMAIL> or on <URL> page")
+    assert(got(2L) === ((0L, 0L, "no contact info here")))
+  }
+
+  test("contamination is 1.0 for benchmark members and 0 for disjoint docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // benchmark member
+      (2L, "one two three four five six seven"),     // disjoint
+      (3L, "x alpha beta gamma delta epsilon y")     // partial overlap
+    ).toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 1L)
+    val got = Dedup.contamination(docs, "doc_id", "text", bench, "text", k = 5)
+      .select($"doc_id", $"n_shingles", $"n_contaminated", $"contamination")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L)._3 === 1.0)
+    assert(got(2L)._3 === 0.0)
+    // doc 3's 3 shingles: exactly one ("alpha beta gamma delta epsilon")
+    // is in the benchmark
+    assert(got(3L) === ((3L, 1L, 1.0 / 3.0)))
+  }
+}

@@ -51,6 +51,49 @@ object ScaleProbe {
         OrderGen.orders(spark, rows / 10, "probe-codec"))
       graft.stream.OrderPipeline.process(enc).count()
     }
+    timed("raw-datum encode+decode (500k)") {
+      import graft.avro.functions.{from_avro_datum, to_avro_datum}
+      OrderGen.orders(spark, rows / 10, "probe-datum")
+        .select(from_avro_datum(to_avro_datum(struct(
+          col("order_id").as("orderId"), col("product"),
+          col("price").cast("float").as("price")), graft.model.Schemas.orderAvroJson),
+          graft.model.Schemas.orderAvroJson).as("o"))
+        .filter(col("o").isNotNull).count()
+    }
+
+    // synthetic documents: docCount docs x 50 pseudo-random vocab words
+    // (pure column expressions, no testdata dependency)
+    val docCount = rows / 5
+    val vocab = array(OrderGen.Words.map(lit): _*)
+    val docs = spark.range(docCount).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(1), lit(50)),
+        i => element_at(vocab, (pmod(xxhash64(col("id"), i), lit(16)) + 1).cast("int"))),
+        " ").as("text"))
+
+    timed(s"simhash32 kernel ($docCount docs)") {
+      graft.llm.Dedup.simhash32(docs, "doc_id", "text")
+        .agg(count(lit(1))).collect()
+    }
+    timed(s"chunk_document UDTF ($docCount docs)") {
+      docs.select(col("doc_id"),
+          graft.functions.chunking.chunk_document(
+            graft.llm.TextOps.tokens(col("text")), 64, 16)
+            .as(Seq("chunk_idx", "chunk", "n_toks")))
+        .agg(count(lit(1))).collect()
+    }
+    timed(s"repetition fractions ($docCount docs)") {
+      graft.llm.TextOps.withRepetition(docs, "text", 3)
+        .agg(sum(col("uniq_3grams"))).collect()
+    }
+    timed(s"media header synth+parse ($docCount rows)") {
+      docs.select(graft.functions.media.image_dims(
+          graft.llm.Multimodal.synthesizeHeader(
+            when(col("doc_id") % 3 === 0, "png")
+              .when(col("doc_id") % 3 === 1, "jpeg").otherwise("gif"),
+            (col("doc_id") % 512 + 16).cast("int"),
+            (col("doc_id") % 480 + 16).cast("int"))).as("d"))
+        .filter(col("d").isNotNull).count()
+    }
     spark.stop()
   }
 }

@@ -34,6 +34,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan:\n$plan")
   }
 
+  test("contamination broadcasts the benchmark shingle side") {
+    val plan = SparkEntry.queries("q_contamination")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$plan")
+  }
+
+  test("jaccard skew guard plans as broadcast anti-join, not a window") {
+    val plan = SparkEntry.queries("q_jaccard_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"df guard regressed to a window:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti-join in guard:\n$plan")
+  }
+
+  test("simhash plans with no shuffle exchange (pure per-row kernel)") {
+    val plan = SparkEntry.queries("q_simhash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only allowed exchange is the final ORDER BY's range partition
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"simhash should not hash-shuffle:\n$plan")
+  }
+
+  test("chunking runs through GenerateExec with pruned input") {
+    val plan = SparkEntry.queries("q_chunking")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate chunk_document"), s"no generator node:\n$plan")
+    // the scan must not read unneeded document columns
+    assert(!plan.contains("n_chars"), "scan reads unneeded columns")
+  }
+
+  test("repetition and pii scrub are narrow maps (no exchange before sort)") {
+    Seq("q_repetition", "q_pii_scrub").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"$q shuffles:\n$plan")
+    }
+  }
+
   test("failure counters via observable metrics (A2 observe variant)") {
     val obs = Observation("routing")
     val routed = Router.route(

@@ -23,17 +23,20 @@ object SparkEntry {
 
   /** The driver's testdata tables (TESTDATA.md). The resolved read
     * relation (file listing + footer schema) is cached per (session,
-    * path): the 69-query contract surface re-reads the same handful of
-    * parquet tables, and re-listing + re-inferring per query is pure
-    * per-query overhead (BASELINE.md's ~0.13 s/query floor). Only the
-    * RELATION object is reused — no data is persisted, every query
-    * still scans parquet. */
-  private val relationCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * path): the contract surface re-reads the same handful of parquet
+    * tables, and re-listing + re-inferring per query is pure per-query
+    * overhead (BASELINE.md's ~0.13 s/query floor). Only the RELATION
+    * object is reused — no data is persisted, every query still scans
+    * parquet. Keyed WEAKLY by the session object itself (identity
+    * equality): a stopped session's entries are collectable, and a new
+    * session can never alias another's cached plans. */
+  private val relationCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    relationCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$dir/$name",
-      _ => s.read.parquet(s"$dir/$name.parquet"))
+    relationCache
+      .computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(s"$dir/$name", _ => s.read.parquet(s"$dir/$name.parquet"))
 
   /** Register every dataset table as a temp view so users can drive the
     * engine through `spark.sql(...)` directly (the DataFrame DSL and
@@ -1521,9 +1524,13 @@ object SparkEntry {
     "q_jaccard_pairs" ->
       s"""WITH $duckShingles,
          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |cand AS (
+         |  SELECT doc_id, s FROM sh
+         |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s
+         |                  HAVING count(*) > ${graft.llm.Dedup.DefaultMaxShingleDf})),
          |pairs AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM cand a JOIN cand b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT d1, d2, shared, c1.n AS n1, c2.n AS n2,
          |  shared / (c1.n + c2.n - shared) AS jaccard

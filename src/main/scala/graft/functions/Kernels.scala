@@ -128,11 +128,19 @@ case class SimHash32(child: Expression)
     case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"simhash32 expects array<string>, got $other")
   }
+  // one digest per thread, reset per token: the JCA provider lookup in
+  // getInstance is per-row overhead in a kernel whose whole point is
+  // that the scan is the only cost (ThreadLocal because a plan's
+  // expression instance may be evaluated from multiple local threads)
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val votes = new Array[Int](32)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     var any = false
     var i = 0
     while (i < n) {

@@ -289,10 +289,15 @@ object OrderPipeline {
     val fs = stagingPath.getFileSystem(conf)
     val parts = fs.listStatus(stagingPath)
       .map(_.getPath).filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    // a replay may produce FEWER part files than the failed attempt
+    // (parallelism change after restart); stale higher-indexed files
+    // from the earlier attempt would survive index-wise overwrites and
+    // duplicate records — clear every file of this tag first
+    val stale = fs.globStatus(new org.apache.hadoop.fs.Path(s"$retryDir/$tag-*"))
+    if (stale != null) stale.foreach(st => fs.delete(st.getPath, false))
     var moved = 0
     parts.zipWithIndex.foreach { case (src, i) =>
       val dst = new org.apache.hadoop.fs.Path(s"$retryDir/$tag-$i.parquet")
-      if (fs.exists(dst)) fs.delete(dst, false)
       fs.rename(src, dst)
       moved += 1
     }

@@ -841,6 +841,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Concat-and-split sequence packing (the GPT-style pretraining batch
+    * construction): documents are concatenated in doc_id order and
+    * split into fixed 2048-token context windows; each doc reports its
+    * global token offset, its window index, and whether it straddles a
+    * window boundary. The token-offset prefix sum runs on
+    * ScalablePrefix's two-pass range-partitioned path — the second
+    * oracle-gated production use of that 100 TB formulation. */
+  private def qPackWindows(s: SparkSession, dir: String): DataFrame = {
+    val windowTokens = 2048L
+    val base = TextOps.withTokenEstimate(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("est_tokens"))
+    graft.ops.ScalablePrefix.runningSum(s, base, "doc_id", "est_tokens", numPartitions = 32)
+      .select(col("doc_id"), col("est_tokens"),
+        (col("run_sum") - col("est_tokens")).as("start_offset"),
+        // integer `div`, not `/`: Column./ on longs is DOUBLE division,
+        // which loses exactness past 2^53 total tokens
+        expr(s"(run_sum - est_tokens) div $windowTokens").as("window_id"),
+        (expr(s"(run_sum - est_tokens) div $windowTokens") =!=
+          expr(s"(run_sum - 1) div $windowTokens")).as("crosses_boundary"))
+      .orderBy(col("doc_id"))
+  }
+
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.withMediaMeta(
         t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8")), "blob")
@@ -992,6 +1014,7 @@ object SparkEntry {
     "q_repetition" -> (qRepetition _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_contamination" -> (qContamination _),
+    "q_pack_windows" -> (qPackWindows _),
     "q_token_estimate" -> (qTokenEstimate _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q_regexp" -> (qRegexp _),
@@ -1734,6 +1757,24 @@ object SparkEntry {
         |  doc_id % 512 + 16 AS width,
         |  (doc_id * 3) % 512 + 16 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pack_windows" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    greatest(len(tk),
+        |      CAST(list_sum(list_transform(tk, w -> (length(w) + 3) // 4)) AS BIGINT))
+        |      AS est_tokens
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t),
+        |c AS (
+        |  SELECT doc_id, est_tokens,
+        |    sum(est_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+        |  FROM e)
+        |SELECT doc_id, est_tokens,
+        |  CAST(run_sum - est_tokens AS BIGINT) AS start_offset,
+        |  CAST((run_sum - est_tokens) // 2048 AS BIGINT) AS window_id,
+        |  (run_sum - est_tokens) // 2048 <> (run_sum - 1) // 2048 AS crosses_boundary
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

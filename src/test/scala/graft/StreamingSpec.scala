@@ -116,6 +116,33 @@ class StreamingSpec extends SparkSpec {
     assert(maxQueued === Router.MaxRetries)
   }
 
+  test("rate-limited backlog drains in bounded batches (AvailableNow + maxFilesPerTrigger)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val topicDir = tmpDir("graft-ratelim-topic")
+    val ckpt = tmpDir("graft-ratelim-ckpt")
+    // a 4-file backlog; the admission knob bounds each micro-batch to
+    // one file, and AvailableNow drains the whole backlog then stops —
+    // the standard catch-up shape for a source with a deep backlog
+    (0 until 4).foreach { i =>
+      Seq(envelope(i, s"o$i", 100.0f)).toDS().toDF()
+        .write.mode("append").parquet(topicDir)
+    }
+    val src = spark.readStream.schema(Schemas.envelope)
+      .option("maxFilesPerTrigger", "1").parquet(topicDir)
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = OrderPipeline.process(src).writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += b.count(); () }
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+    assert(batchSizes.sum === 4)
+    assert(batchSizes.forall(_ <= 1), s"batches not bounded: $batchSizes")
+    assert(batchSizes.count(_ == 1) === 4)
+  }
+
   test("reinjectBatch is replay-idempotent (same batch id twice)") {
     val loopDir = tmpDir("graft-reinject-idem-queue")
     val dlqDir = tmpDir("graft-reinject-idem-dlq")

@@ -209,6 +209,57 @@ object OrderPipeline {
       .transformWithState(new RunningStatsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Idle-timeout session totals on `transformWithState` TIMERS — the
+    * capability the fMGWS form above cannot express: a key whose stream
+    * goes quiet for `idleMs` has its session CLOSED by an expiring
+    * processing-time timer (emitting the final total and clearing
+    * state), without any new data for that key arriving. Each batch
+    * re-arms the key's single timer (delete + register), so state is
+    * bounded and every key closes exactly once per quiet period. */
+  final class IdleSessionProcessor(idleMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Double), (String, Long, Double, String)] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("session",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Double, String)] = {
+      var (c, s) = if (state.exists()) state.get() else (0L, 0.0)
+      rows.foreach { r => c += 1; s += r._2 }
+      state.update((c, s))
+      getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + idleMs)
+      Iterator((key, c, s, "open"))
+    }
+    override def handleExpiredTimer(key: String,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(String, Long, Double, String)] = {
+      if (!state.exists()) return Iterator.empty
+      val (c, s) = state.get()
+      state.clear()
+      Iterator((key, c, s, "closed"))
+    }
+  }
+
+  def idleSessionTotals(spark: SparkSession, processed: DataFrame,
+      idleMs: Long): org.apache.spark.sql.Dataset[(String, Long, Double, String)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    processed
+      .filter(col("status") === Router.Success)
+      .select(col("product"), col("price"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new IdleSessionProcessor(idleMs),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
   /** S7/S3 parity: the reference's per-message console progress and
     * producer delivery callbacks (producer.py:63-88, consumer.py:172-176)
     * map to StreamingQueryListener progress events — per micro-batch

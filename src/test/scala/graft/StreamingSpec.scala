@@ -247,6 +247,41 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("idle-timeout timer closes a quiet key's session (transformWithState timers)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Envelope](spark)
+      val sessions = OrderPipeline.idleSessionTotals(
+        spark, OrderPipeline.process(stream.toDF()), idleMs = 1500L)
+      // NOTE: with TimeMode.ProcessingTime the engine keeps scheduling
+      // timer-check batches, so processAllAvailable never latches —
+      // drive the test by polling the sink under a deadline instead,
+      // with a throttled trigger
+      val q = sessions.toDF("product", "n", "total", "phase").writeStream
+        .outputMode("update").format("memory").queryName("idle_sessions")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+        .option("checkpointLocation", tmpDir("graft-idle-ckpt")).start()
+      def rowsNow(): Array[(String, Long, Double, String)] =
+        spark.table("idle_sessions").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      def awaitRow(want: (String, Long, Double, String)): Unit = {
+        val deadline = System.nanoTime() + 60e9.toLong
+        while (!rowsNow().contains(want) && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        assert(rowsNow().contains(want),
+          s"expected $want; saw ${rowsNow().mkString(", ")}")
+      }
+      // key "Product a" gets two rows...
+      stream.addData(envelope(0, "a", 100.0f), envelope(1, "a", 200.0f))
+      awaitRow(("Product a", 2L, 300.0, "open"))
+      // ...then goes QUIET: the expiring timer alone (no new data for
+      // any key) must close the session and emit the final total
+      awaitRow(("Product a", 2L, 300.0, "closed"))
+      q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("progress listener accumulates per-batch totals (S7 parity)") {
     val listener = OrderPipeline.attachProgressListener(spark)
     try {

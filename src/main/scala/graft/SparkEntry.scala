@@ -871,6 +871,32 @@ object SparkEntry {
         col("height").cast("long").as("height"), col("format"))
       .orderBy(col("doc_id"))
 
+  /** ANSI-SQL interoperability: ONE SQL string (CTE + join + window +
+    * fixed-point aggregate) executed verbatim by BOTH engines — Spark
+    * via `spark.sql` over `registerTables` and DuckDB as its own
+    * oracle. Proves the spark.sql surface end-to-end inside the
+    * correctness gate, not just the DataFrame DSL. NB: in Spark SQL
+    * TEXT a literal like `100.0` parses as DECIMAL(4,1) (the DSL's
+    * `lit(100.0)` is a double), and bigint/decimal division yields
+    * DECIMAL — hence the explicit CAST AS DOUBLE on the divisor. */
+  private val sqlSurfaceText: String =
+    """WITH cust_orders AS (
+      |  SELECT c_mktsegment, o_totalprice,
+      |         row_number() OVER (PARTITION BY c_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM customer JOIN orders ON o_custkey = c_custkey)
+      |SELECT c_mktsegment,
+      |  count(*) AS n_top_orders,
+      |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |    / CAST(100.0 AS DOUBLE) AS top_order_revenue
+      |FROM cust_orders WHERE rn = 1
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private def qSqlSurface(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(sqlSurfaceText)
+  }
+
   /** Map-typed function sweep (map_keys / map_values-by-key / size /
     * map_filter with a value lambda / map_concat / map_entries) over a
     * map built from `events.props` JSON plus event columns. Collections
@@ -1015,6 +1041,7 @@ object SparkEntry {
     "q_pii_scrub" -> (qPiiScrub _),
     "q_contamination" -> (qContamination _),
     "q_pack_windows" -> (qPackWindows _),
+    "q_sql_surface" -> (qSqlSurface _),
     "q_token_estimate" -> (qTokenEstimate _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q_regexp" -> (qRegexp _),
@@ -1757,6 +1784,8 @@ object SparkEntry {
         |  doc_id % 512 + 16 AS width,
         |  (doc_id * 3) % 512 + 16 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sql_surface" -> sqlSurfaceText,
 
     "q_pack_windows" ->
       """WITH e AS (

@@ -247,6 +247,22 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("stream-static broadcast join enriches orders per micro-batch") {
+    val categories = Seq(("Product a", "electronics"), ("Product b", "toys"))
+      .toDF("product", "category")
+    val stream = MemoryStream[Envelope](spark)
+    val joined = OrderPipeline.process(stream.toDF())
+      .join(broadcast(categories), Seq("product"), "left")
+    val q = joined.select($"orderId", $"category").writeStream
+      .format("memory").queryName("ss_join").outputMode("append").start()
+    stream.addData(envelope(0, "a", 100.0f), envelope(1, "c", 200.0f))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ss_join").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("a") === Some("electronics"))
+    assert(got("c") === None) // unmatched keys survive the left join
+  }
+
   test("idle-timeout timer closes a quiet key's session (transformWithState timers)") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -364,6 +364,44 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
   }
 
+  /** Distribution-window functions (percent_rank / cume_dist /
+    * nth_value / first+last over frames) — the second half of the
+    * window surface beyond rank/lag/lead. percent_rank and cume_dist
+    * are ratios of integer ranks (exact in both engines). */
+  private def qWindowFuncs2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value(col("o_orderkey"), 2).over(wf).as("second_key"),
+        first(col("o_orderkey")).over(wf).as("first_key"),
+        last(col("o_orderkey")).over(wf).as("last_key"))
+      .filter(col("rn") <= 4)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  /** Portable string-function sweep: the transformation half of the
+    * scalar library (case/pad/reverse/split_part/translate/position/
+    * repeat/levenshtein) — all codegen'd built-ins, all with identical
+    * semantics in DuckDB. */
+  private def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        initcap(lower(col("c_name"))).as("name_title"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        split_part(col("c_name"), lit("#"), lit(1)).as("name_head"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_lowvowel"),
+        instr(col("c_mktsegment"), "I").cast("long").as("i_pos"),
+        repeat(substring(col("c_mktsegment"), 1, 2), 2).as("seg2x"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("seg_dist"))
+      .orderBy(col("c_custkey"))
+
   /** The reference's scalar-function surface (SURVEY.md §2.5): string
     * encode/decode/case/length/substr, numeric round/floor/ceil/abs,
     * epoch timestamps, casts — all built-ins. */
@@ -1020,6 +1058,8 @@ object SparkEntry {
     "q_order_gen" -> (qOrderGen _),
     "q_range_join" -> (qRangeJoin _),
     "q_window_funcs" -> (qWindowFuncs _),
+    "q_window_funcs2" -> (qWindowFuncs2 _),
+    "q_string_funcs" -> (qStringFuncs _),
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
@@ -1344,6 +1384,38 @@ object SparkEntry {
         |               ORDER BY o_totalprice DESC, o_orderkey)) x
         |WHERE rnk <= 5
         |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+
+    "q_window_funcs2" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn, pct_rank, cume,
+        |       second_key, first_key, last_key
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    percent_rank() OVER w AS pct_rank,
+        |    cume_dist() OVER w AS cume,
+        |    nth_value(o_orderkey, 2) OVER wf AS second_key,
+        |    first_value(o_orderkey) OVER wf AS first_key,
+        |    last_value(o_orderkey) OVER wf AS last_key
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey),
+        |         wf AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) x
+        |WHERE rn <= 4
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(substr(lower(c_name), 1, 1)) || substr(lower(c_name), 2) AS name_title,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        |  reverse(c_mktsegment) AS seg_rev,
+        |  split_part(c_name, '#', 1) AS name_head,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lowvowel,
+        |  CAST(instr(c_mktsegment, 'I') AS BIGINT) AS i_pos,
+        |  repeat(substr(c_mktsegment, 1, 2), 2) AS seg2x,
+        |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS seg_dist
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_scalar_funcs" ->
       """SELECT o_orderkey,

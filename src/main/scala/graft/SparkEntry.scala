@@ -465,6 +465,26 @@ object SparkEntry {
         datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
       .orderBy(col("o_orderkey"))
 
+  /** Approximate quantiles via deterministic sampling — the scale
+    * pattern for percentile estimation: exact percentile needs a full
+    * per-group sort, so at 100 TB you compute it over a fixed-rate
+    * hash sample (error ~ O(1/sqrt(sample size)), tunable by rate).
+    * Unlike t-digest/QuantileSummaries internals, the deterministic
+    * sample is REPLAYABLE by the oracle, so the approximation itself
+    * is hash-verified, not just bounded. */
+  private def qQuantileSampled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(
+        conv(substring(md5(concat(lit("qtile|"), col("o_orderkey").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 10 === 0)
+      .select(col("o_orderpriority"), Analytics.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        (expr("percentile(c, 0.5)") / 100.0).as("p50_est"),
+        (expr("percentile(c, 0.95)") / 100.0).as("p95_est"))
+      .orderBy(col("o_orderpriority"))
+
   /** Exact interpolated percentiles over integer cents: interpolation is
     * `(1-f)*lower + f*upper` on exact longs in both engines. */
   private def qPercentile(s: SparkSession, dir: String): DataFrame =
@@ -1047,6 +1067,7 @@ object SparkEntry {
     "q_json_extract" -> (qJsonExtract _),
     "q_date_funcs" -> (qDateFuncs _),
     "q_percentile" -> (qPercentile _),
+    "q_quantile_sampled" -> (qQuantileSampled _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_shipping_priority" -> (qShippingPriority _),
@@ -1370,6 +1391,17 @@ object SparkEntry {
         |  quantile_cont(c, 0.9) / 100.0 AS p90,
         |  quantile_cont(c, 0.99) / 100.0 AS p99
         |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_quantile_sampled" ->
+      """WITH samp AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders
+        |  WHERE CAST('0x' || substr(md5('qtile|' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0)
+        |SELECT o_orderpriority, count(*) AS n_sampled,
+        |  quantile_cont(c, 0.5) / 100.0 AS p50_est,
+        |  quantile_cont(c, 0.95) / 100.0 AS p95_est
+        |FROM samp GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_window_funcs" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk, quartile, lead_delta

@@ -85,6 +85,12 @@ object ScaleProbe {
       graft.llm.TextOps.withRepetition(docs, "text", 3)
         .agg(sum(col("uniq_3grams"))).collect()
     }
+    timed(s"composed curation pipeline ($docCount docs)") {
+      val scored = graft.llm.TextOps.withQualityScore(docs, "text")
+      val gated = scored.filter(col("en_density") >= 0.0 && col("quality_score") >= 0.2)
+      val deduped = graft.llm.Dedup.exactDedup(gated, "doc_id", "text")
+      deduped.agg(count(lit(1)), sum(col("dup_count"))).collect()
+    }
     timed(s"media header synth+parse ($docCount rows)") {
       docs.select(graft.functions.media.image_dims(
           graft.llm.Multimodal.synthesizeHeader(

@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // set before any concurrent planning: the events scans need it at
+    // analysis time (SparkEntry.events sets it too, but setting it once
+    // up front removes any order dependence across the pool's threads)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     new java.io.File(outDir).mkdirs()
     // the 73 dumps are independent jobs on one session; running them on
     // a small pool overlaps each query's driver-side planning with the

@@ -1,5 +1,28 @@
 package graft
 
+/** The envelope schema IS the drop-in seam for a real Kafka source:
+  * `spark.readStream.format("kafka")` emits exactly these columns with
+  * exactly these types (no connector jar in this environment, so the
+  * contract is pinned structurally instead of integration-tested). */
+class EnvelopeSeamSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("envelope schema matches the Kafka source column contract") {
+    import org.apache.spark.sql.types._
+    val kafkaSourceShape = Seq(
+      ("key", BinaryType), ("value", BinaryType), ("topic", StringType),
+      ("partition", IntegerType), ("offset", LongType),
+      ("timestamp", TimestampType))
+    val fields = graft.model.Schemas.envelope.fields.map(f => f.name -> f.dataType).toMap
+    kafkaSourceShape.foreach { case (name, dt) =>
+      assert(fields.get(name).contains(dt), s"envelope field $name mismatch")
+    }
+    // headers: array<struct<key:string, value:binary>> as in the Kafka
+    // source's includeHeaders=true shape
+    assert(fields("headers") ===
+      ArrayType(StructType(Seq(StructField("key", StringType),
+        StructField("value", BinaryType)))))
+  }
+}
+
 import graft.model.Order
 import graft.ops.{Router, TypedOps}
 

@@ -889,6 +889,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup clustering: Jaccard candidate pairs -> connected
+    * components -> cluster label = min doc id (the kept representative).
+    * Emits every clustered doc with its cluster and representative
+    * flag; singleton docs (no near-dup) are not rows, by construction. */
+  private def qDupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 5, minSim = 0.05),
+        "d1", "d2")
+      .select(col("node").as("doc_id"), col("label").as("cluster"),
+        col("is_representative"))
+      .orderBy(col("doc_id"))
+
   /** N-gram decontamination: overlap of each doc's 5-gram shingles with
     * a small "benchmark" subset (doc_id % 97 == 0), benchmark side
     * broadcast. */
@@ -1101,6 +1113,7 @@ object SparkEntry {
     "q_repetition" -> (qRepetition _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_contamination" -> (qContamination _),
+    "q_dup_clusters" -> (qDupClusters _),
     "q_pack_windows" -> (qPackWindows _),
     "q_sql_surface" -> (qSqlSurface _),
     "q_token_estimate" -> (qTokenEstimate _),
@@ -1942,6 +1955,31 @@ object SparkEntry {
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    'https?://[a-z0-9./_-]+', '<URL>', 'g')) AS scrub_fp
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $duckShingles,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |cand AS (
+         |  SELECT doc_id, s FROM sh
+         |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s
+         |                  HAVING count(*) > ${graft.llm.Dedup.DefaultMaxShingleDf})),
+         |p AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         |  FROM cand a JOIN cand b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM p
+         |  JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+         |  WHERE shared / (c1.n + c2.n - shared) >= 0.05),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, a AS label FROM edges
+         |  UNION
+         |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node)
+         |SELECT node AS doc_id, min(label) AS cluster,
+         |       min(label) = node AS is_representative
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->
       s"""WITH $duckShingles,

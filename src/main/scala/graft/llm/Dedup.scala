@@ -163,6 +163,43 @@ object Dedup {
         graft.functions.kernels.simhash32(TextOps.tokens(col(textCol))).as("simhash32"))
       .filter(col("simhash32").isNotNull)
 
+  /** Near-dup CLUSTERS from candidate pairs: connected components by
+    * iterative min-label propagation — each round every node adopts the
+    * minimum label among itself and its neighbors; fixpoint in
+    * O(component diameter) rounds (near-dup clusters are shallow, so
+    * 3-5 rounds in practice). This is the standard scalable CC shape
+    * (cf. the MapReduce CC literature): each round is ONE join keyed by
+    * node + one aggregation, no driver-side graph state — only the
+    * convergence check (a count) touches the driver. The cluster label
+    * is the component's minimum node id, i.e. exactly the
+    * representative exact-dedup keeps. */
+  def dupClusters(pairs: DataFrame, d1: String, d2: String, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
+      .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
+      .distinct()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      val changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label")).count()
+      // materialize the new labels so each round's lineage stays flat
+      // (iterative joins otherwise stack into one enormous plan)
+      labels = next.localCheckpoint(eager = true)
+      converged = changed == 0
+      iter += 1
+    }
+    labels.withColumn("is_representative", col("node") === col("label"))
+  }
+
   /** Benchmark contamination: per document, the fraction of its k-token
     * shingles that also occur in a benchmark/eval corpus — the standard
     * n-gram decontamination check before pretraining. The benchmark's

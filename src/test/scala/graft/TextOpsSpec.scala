@@ -35,6 +35,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) === ((0L, 0L, "no contact info here")))
   }
 
+  test("dupClusters finds connected components with min-id labels") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val got = Dedup.dupClusters(pairs, "d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
+      (20L, 20L, true), (21L, 20L, false)))
+  }
+
   test("contamination is 1.0 for benchmark members and 0 for disjoint docs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // benchmark member

@@ -804,6 +804,16 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** Int8 embedding quantization audit: per-vector scale, the full
+    * code vector (rendered as CSV for engine-portable comparison), and
+    * the exact fixed-point reconstruction error. */
+  private def qVecQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("scale"),
+        array_join(transform(col("codes"), c => c.cast("string")), ",").as("codes_csv"),
+        col("abs_err_fp"))
+      .orderBy(col("vec_id"))
+
   /** SRP-LSH bucket histogram: the centroid-free ANN scale path
     * (bucket join replaces all-pairs; see Similarity.srpSignature). */
   private def qLshAnnBuckets(s: SparkSession, dir: String): DataFrame =
@@ -1106,6 +1116,7 @@ object SparkEntry {
     "q_embed_near_dup" -> (qEmbedNearDup _),
     "q_ivf_search" -> (qIvfSearch _),
     "q_lsh_ann_buckets" -> (qLshAnnBuckets _),
+    "q_vec_quantize" -> (qVecQuantize _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_dims" -> (qMediaDims _),
     "q_chunking" -> (qChunking _),
@@ -1804,6 +1815,29 @@ object SparkEntry {
         |  FROM dots GROUP BY vec_id)
         |SELECT sig, count(*) AS n_vectors, min(vec_id) AS min_vec
         |FROM sigs GROUP BY sig ORDER BY sig""".stripMargin,
+
+    "q_vec_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS max_abs
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    CASE WHEN q.max_abs > 0 THEN q.max_abs / 127.0 ELSE 0.0 END AS scale
+        |  FROM embeddings e JOIN q ON e.vec_id = q.vec_id),
+        |c AS (
+        |  SELECT vec_id, scale, embedding,
+        |    CASE WHEN scale > 0
+        |      THEN list_transform(embedding,
+        |             v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS INT))
+        |      ELSE list_transform(embedding, v -> 0) END AS codes
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), ',') AS codes_csv,
+        |  CAST(list_sum(list_transform(generate_series(1, len(embedding)), i ->
+        |    CAST(floor(abs(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale)
+        |         * 1000000000 + 0.5) AS BIGINT))) AS BIGINT) AS abs_err_fp
+        |FROM c ORDER BY vec_id""".stripMargin,
 
     "q_curation_pipeline" -> {
       val stops = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")

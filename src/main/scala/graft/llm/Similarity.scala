@@ -80,6 +80,32 @@ object Similarity {
         .otherwise(0L)
     }.reduce(_ + _)
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4x storage/bandwidth compression for ANN indexes: per-vector scale
+    * = max|x| / 127, codes = round-half-up(x / scale) in [-127, 127].
+    * Rounding is `floor(x + 0.5)` (pure IEEE, engine-portable — NOT
+    * `round()`, whose half-even/decimal-string behavior differs across
+    * engines). A zero vector quantizes to all-zero codes with scale 0.
+    * Adds: `scale` (double), `codes` (array<int>), and `abs_err_fp`
+    * (total |x - code*scale| quantized at 1e-9 and summed exactly — the
+    * reconstruction-error audit). */
+  def quantizeInt8(emb: DataFrame, vecCol: String): DataFrame = {
+    val x = col(vecCol)
+    val maxAbs = array_max(transform(x, v => abs(v.cast("double"))))
+    val scale = when(maxAbs > 0, maxAbs / 127.0).otherwise(lit(0.0))
+    emb.withColumn("scale", scale)
+      .withColumn("codes",
+        when(col("scale") > 0,
+          transform(x, v => floor(v.cast("double") / col("scale") + 0.5).cast("int")))
+          .otherwise(transform(x, _ => lit(0))))
+      .withColumn("abs_err_fp",
+        aggregate(
+          zip_with(x, col("codes"), (v, c) =>
+            floor(abs(v.cast("double") - c.cast("double") * col("scale")) * 1e9 + 0.5)
+              .cast("long")),
+          lit(0L), (acc, t) => acc + t))
+  }
+
   /** Embedding near-dup pairs within blocking keys (e.g. a coarse
     * cluster/label): all pairs inside a block with cosine >= minSim.
     * Blocking keeps the pair join linear in block size — the same role

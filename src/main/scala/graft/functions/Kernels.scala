@@ -173,6 +173,62 @@ case class SimHash32(child: Expression)
   override def prettyName: String = "simhash32"
 }
 
+/** `quantize_int8(vec)`: symmetric int8 quantization of a float/double
+  * array in ONE per-row pass → struct(scale, codes, abs_err_fp).
+  * scale = max|x|/127 (0 for a zero vector); codes = floor(x/scale+0.5)
+  * (round-half-up — pure IEEE, engine-portable); abs_err_fp = total
+  * |x - code*scale| quantized at 1e-9, summed exactly. Semantically
+  * identical to the composed transform/zip_with/aggregate form (parity-
+  * tested) but a single tight loop instead of interpreted per-element
+  * closures. Null for null input or any null element. */
+case class QuantizeInt8(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("abs_err_fp", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes() =
+    if (elemOk(child.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"quantize_int8 expects array<float|double>, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = arr.numElements()
+    def at(i: Int): Double = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val a = math.abs(at(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = if (maxAbs > 0) maxAbs / 127.0 else 0.0
+    val codes = new Array[Any](n)
+    var err = 0L
+    i = 0
+    while (i < n) {
+      val v = at(i)
+      val c = if (scale > 0) math.floor(v / scale + 0.5).toInt else 0
+      codes(i) = c
+      err += math.floor(math.abs(v - c * scale) * 1e9 + 0.5).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, new GenericArrayData(codes), err))
+  }
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+  override def prettyName: String = "quantize_int8"
+}
+
 object kernels {
   def word_shingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), k))
@@ -180,4 +236,6 @@ object kernels {
     ColumnBridge.column(FixedPointDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def simhash32(tokens: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(tokens)))
+  def quantize_int8(vec: Column): Column =
+    ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(vec)))
 }

@@ -88,8 +88,20 @@ object Similarity {
     * engines). A zero vector quantizes to all-zero codes with scale 0.
     * Adds: `scale` (double), `codes` (array<int>), and `abs_err_fp`
     * (total |x - code*scale| quantized at 1e-9 and summed exactly — the
-    * reconstruction-error audit). */
-  def quantizeInt8(emb: DataFrame, vecCol: String): DataFrame = {
+    * reconstruction-error audit). One per-row native kernel pass
+    * (graft.functions.QuantizeInt8); the composed-builtin form below is
+    * the semantic reference for its parity test. */
+  def quantizeInt8(emb: DataFrame, vecCol: String): DataFrame =
+    emb.withColumn("q", graft.functions.kernels.quantize_int8(col(vecCol)))
+      .withColumn("scale", col("q.scale"))
+      .withColumn("codes", col("q.codes"))
+      .withColumn("abs_err_fp", col("q.abs_err_fp"))
+      .drop("q")
+
+  /** Interpreted higher-order-function formulation of [[quantizeInt8]]
+    * — kept only as the kernel's parity reference; do not use at scale
+    * (per-element closure evaluation). */
+  private[graft] def quantizeInt8Composed(emb: DataFrame, vecCol: String): DataFrame = {
     val x = col(vecCol)
     val maxAbs = array_max(transform(x, v => abs(v.cast("double"))))
     val scale = when(maxAbs > 0, maxAbs / 127.0).otherwise(lit(0.0))

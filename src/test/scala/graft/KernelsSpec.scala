@@ -88,6 +88,36 @@ class KernelsSpec extends SparkSpec {
     assert(got(1L).isDefined && got(2L).isEmpty && got(3L).isEmpty && got(4L).isEmpty)
   }
 
+  test("quantize_int8 kernel equals the composed HOF formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def render(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"scale",
+        array_join(transform($"codes", c => c.cast("string")), ",").as("cs"),
+        $"abs_err_fp")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    val fast = render(graft.llm.Similarity.quantizeInt8(emb, "embedding"))
+    val ref = render(graft.llm.Similarity.quantizeInt8Composed(emb, "embedding"))
+    assert(fast.nonEmpty && fast === ref)
+  }
+
+  test("quantize_int8 kernel edge cases: zero vector, null element, null array") {
+    val df = Seq(
+      (1L, Some(Seq(Some(0.0f), Some(0.0f)))),    // zero vector -> scale 0, codes 0
+      (2L, Some(Seq(Some(1.0f), None))),          // null element -> null
+      (3L, Option.empty[Seq[Option[Float]]]))     // null array -> null
+      .toDF("id", "v")
+    val got = df.select($"id", kernels.quantize_int8($"v").as("q")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(got(2L) && got(3L))
+    val zero = df.filter($"id" === 1L)
+      .select(kernels.quantize_int8($"v").as("q"))
+      .select($"q.scale", $"q.codes", $"q.abs_err_fp").head()
+    assert(zero.getDouble(0) === 0.0)
+    assert(zero.getSeq[Int](1) === Seq(0, 0))
+    assert(zero.getLong(2) === 0L)
+  }
+
   test("word_shingles skips null tokens like concat_ws") {
     val df = Seq(Seq(Some("a"), None, Some("b"), Some("c"))).toDF("toks")
     val got = df.select(kernels.word_shingles($"toks", 3)).head().getSeq[String](0)

@@ -382,14 +382,20 @@ object OrderPipeline {
   /** Start the self-feeding retry loop over a retry directory. Each
     * record entering with attempts=1 makes maxRetries promotions across
     * successive micro-batches, then exits to the DLQ; the stream goes
-    * idle when the queue drains (`processAllAvailable` returns). */
+    * idle when the queue drains (`processAllAvailable` returns).
+    * Pass `Trigger.AvailableNow()` to process only the backlog visible
+    * at start and then terminate — restarting from the same checkpoint
+    * resumes with the re-injections the previous run produced (the
+    * restart-resilience contract, tested in StreamingSpec). */
   def startRetryLoop(spark: SparkSession, retryDir: String, dlqDir: String,
-      checkpointDir: String, maxRetries: Int = Router.MaxRetries): StreamingQuery =
-    spark.readStream.schema(retryRecordSchema).parquet(retryDir)
+      checkpointDir: String, maxRetries: Int = Router.MaxRetries,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val writer = spark.readStream.schema(retryRecordSchema).parquet(retryDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         reinjectBatch(batch, batchId, retryDir, dlqDir, maxRetries)
       }
-      .start()
+    trigger.fold(writer)(writer.trigger).start()
+  }
 }

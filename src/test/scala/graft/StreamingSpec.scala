@@ -143,6 +143,36 @@ class StreamingSpec extends SparkSpec {
     assert(batchSizes.count(_ == 1) === 4)
   }
 
+  test("retry loop resumes from its checkpoint across restarts, no DLQ duplicates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val loopDir = tmpDir("graft-retryrestart-queue")
+    val dlqDir = tmpDir("graft-retryrestart-dlq")
+    val ckpt = tmpDir("graft-retryrestart-ckpt")
+    val seed = Seq(("orders", 0, 1L, "t1", "P", 30.0, 1))
+      .toDF("topic", "partition", "offset", "orderId", "product", "price", "attempts")
+    OrderPipeline.injectRetries(seed, loopDir, "seed")
+    // AvailableNow latches the end offset at start, so each RUN
+    // processes only the previous generation's files and terminates;
+    // every restart is a fresh process resuming from the checkpoint
+    var runs = 0
+    var drained = false
+    while (!drained && runs < 8) {
+      val q = OrderPipeline.startRetryLoop(spark, loopDir, dlqDir, ckpt,
+        trigger = Some(Trigger.AvailableNow()))
+      assert(q.awaitTermination(120000), "run did not terminate")
+      runs += 1
+      drained = spark.read.parquet(dlqDir).count() > 0
+    }
+    assert(drained, s"loop never drained after $runs restarts")
+    // attempts 1 -> 2 -> 3 -> 4(DLQ): at least three distinct runs
+    assert(runs >= 3, s"expected >=3 generations, got $runs")
+    val dlq = spark.read.parquet(dlqDir)
+      .select($"orderId", $"attempts", $"error_reason").collect()
+    assert(dlq.length === 1, s"duplicated DLQ records: ${dlq.mkString(", ")}")
+    assert(dlq.head.getInt(1) === 4)
+    assert(dlq.head.getString(2) === "Processing failed after 3 retries")
+  }
+
   test("reinjectBatch is replay-idempotent (same batch id twice)") {
     val loopDir = tmpDir("graft-reinject-idem-queue")
     val dlqDir = tmpDir("graft-reinject-idem-dlq")

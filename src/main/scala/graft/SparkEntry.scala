@@ -899,6 +899,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental dedup: new documents are kept only if their content
+    * fingerprint does not already exist in the PRIOR corpus (here the
+    * doc_id % 5 == 0 subset) — the anti-join-on-digest shape every
+    * continuously-ingesting curation pipeline runs per batch. The
+    * shuffle carries 16-byte digests, never text. */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val prior = docs.filter(col("doc_id") % 5 === 0)
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .distinct()
+    docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .join(prior, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup clustering: Jaccard candidate pairs -> connected
     * components -> cluster label = min doc id (the kept representative).
     * Emits every clustered doc with its cluster and representative
@@ -1125,6 +1142,7 @@ object SparkEntry {
     "q_pii_scrub" -> (qPiiScrub _),
     "q_contamination" -> (qContamination _),
     "q_dup_clusters" -> (qDupClusters _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_pack_windows" -> (qPackWindows _),
     "q_sql_surface" -> (qSqlSurface _),
     "q_token_estimate" -> (qTokenEstimate _),
@@ -1989,6 +2007,12 @@ object SparkEntry {
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    'https?://[a-z0-9./_-]+', '<URL>', 'g')) AS scrub_fp
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 5 <> 0
+        |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 5 = 0)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dup_clusters" ->
       s"""WITH RECURSIVE $duckShingles,

@@ -174,9 +174,13 @@ object Dedup {
     * is the component's minimum node id, i.e. exactly the
     * representative exact-dedup keeps. */
   def dupClusters(pairs: DataFrame, d1: String, d2: String, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE: every iteration joins against it,
+    // and without this the (potentially expensive) pair-generation
+    // lineage above would re-execute per round
     val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
       .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
       .distinct()
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     var iter = 0
@@ -186,14 +190,16 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a").as("node"))
         .agg(min(col("label")).as("nbr_label"))
+      // materialize BEFORE the convergence check so the round's lineage
+      // executes once (checkpoint) instead of twice (count + checkpoint),
+      // and iterative joins never stack into one enormous plan
       val next = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(eager = true)
       val changed = next.as("n").join(labels.as("o"), "node")
         .filter(col("n.label") =!= col("o.label")).count()
-      // materialize the new labels so each round's lineage stays flat
-      // (iterative joins otherwise stack into one enormous plan)
-      labels = next.localCheckpoint(eager = true)
+      labels = next
       converged = changed == 0
       iter += 1
     }

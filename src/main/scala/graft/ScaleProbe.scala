@@ -87,7 +87,10 @@ object ScaleProbe {
     }
     timed(s"composed curation pipeline ($docCount docs)") {
       val scored = graft.llm.TextOps.withQualityScore(docs, "text")
-      val gated = scored.filter(col("en_density") >= 0.0 && col("quality_score") >= 0.2)
+      // the generated vocab has no stopwords, so scores are low by
+      // construction; 0.1 keeps most docs — the probe measures the
+      // score+dedup THROUGHPUT, not gate selectivity
+      val gated = scored.filter(col("quality_score") >= 0.1)
       val deduped = graft.llm.Dedup.exactDedup(gated, "doc_id", "text")
       deduped.agg(count(lit(1)), sum(col("dup_count"))).collect()
     }

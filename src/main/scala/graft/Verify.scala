@@ -19,7 +19,7 @@ object Verify {
     // up front removes any order dependence across the pool's threads)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     new java.io.File(outDir).mkdirs()
-    // the 73 dumps are independent jobs on one session; running them on
+    // the per-query dumps are independent jobs on one session; running them on
     // a small pool overlaps each query's driver-side planning with the
     // others' execution (Spark's scheduler handles concurrent jobs),
     // roughly halving the gate's wall time vs sequential

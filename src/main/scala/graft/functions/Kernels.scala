@@ -203,14 +203,23 @@ case class QuantizeInt8(child: Expression)
     val n = arr.numElements()
     def at(i: Int): Double = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
     var maxAbs = 0.0
+    var sawNaN = false
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) return null
       val a = math.abs(at(i))
-      if (a > maxAbs) maxAbs = a
+      if (java.lang.Double.isNaN(a)) sawNaN = true
+      else if (a > maxAbs) maxAbs = a
       i += 1
     }
-    val scale = if (maxAbs > 0) maxAbs / 127.0 else 0.0
+    // NaN propagation matches the composed Spark form: array_max yields
+    // NaN and Spark's `NaN > 0` is TRUE, so scale = NaN; all codes then
+    // collapse to 0 and every error term is NaN -> cast 0 (both here
+    // via JVM float semantics and in the composed expressions)
+    val scale =
+      if (sawNaN) Double.NaN
+      else if (maxAbs > 0) maxAbs / 127.0
+      else 0.0
     val codes = new Array[Any](n)
     var err = 0L
     i = 0

@@ -199,10 +199,18 @@ object Dedup {
         .localCheckpoint(eager = true)
       val changed = next.as("n").join(labels.as("o"), "node")
         .filter(col("n.label") =!= col("o.label")).count()
+      val prev = labels
       labels = next
+      prev.unpersist() // release the superseded checkpoint copy eagerly
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
+    // silent wrong labels would surface only as an inexplicable result
+    // mismatch far from the cause — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge within $maxIter rounds — a component's " +
+        s"diameter exceeds maxIter; raise maxIter (labels would be split clusters)")
     labels.withColumn("is_representative", col("node") === col("label"))
   }
 

@@ -101,6 +101,19 @@ class KernelsSpec extends SparkSpec {
     assert(fast.nonEmpty && fast === ref)
   }
 
+  test("quantize_int8 NaN propagation matches the composed form") {
+    val df = Seq((1L, Seq(1.0f, Float.NaN, -2.0f))).toDF("vec_id", "embedding")
+    def render(d: org.apache.spark.sql.DataFrame) = d
+      .select($"scale".isNaN.as("nan_scale"),
+        array_join(transform($"codes", c => c.cast("string")), ",").as("cs"),
+        $"abs_err_fp")
+      .collect().map(r => (r.getBoolean(0), r.getString(1), r.getLong(2)))
+    val fast = render(graft.llm.Similarity.quantizeInt8(df, "embedding"))
+    val ref = render(graft.llm.Similarity.quantizeInt8Composed(df, "embedding"))
+    assert(fast === ref)
+    assert(fast.head._1, "NaN input must yield NaN scale")
+  }
+
   test("quantize_int8 kernel edge cases: zero vector, null element, null array") {
     val df = Seq(
       (1L, Some(Seq(Some(0.0f), Some(0.0f)))),    // zero vector -> scale 0, codes 0

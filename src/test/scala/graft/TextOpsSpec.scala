@@ -47,6 +47,17 @@ class TextOpsSpec extends SparkSpec {
       (20L, 20L, true), (21L, 20L, false)))
   }
 
+  test("dupClusters fails loudly when a component's diameter exceeds maxIter") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      Dedup.dupClusters(chain, "d1", "d2", maxIter = 2).collect()
+    }
+    // and succeeds once the budget covers the diameter
+    val ok = Dedup.dupClusters(chain, "d1", "d2", maxIter = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
   test("contamination is 1.0 for benchmark members and 0 for disjoint docs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // benchmark member

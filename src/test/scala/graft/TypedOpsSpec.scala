@@ -1,9 +1,13 @@
 package graft
 
 /** The envelope schema IS the drop-in seam for a real Kafka source:
-  * `spark.readStream.format("kafka")` emits exactly these columns with
-  * exactly these types (no connector jar in this environment, so the
-  * contract is pinned structurally instead of integration-tested). */
+  * every envelope column appears in `spark.readStream.format("kafka")`
+  * output with the same name and type (no connector jar in this
+  * environment, so the contract is pinned structurally instead of
+  * integration-tested). The source additionally emits `timestampType`
+  * (int) — intentionally omitted from the envelope: nothing in the
+  * reference semantics reads it, and a drop-in source's extra column
+  * is simply ignored by the projection. */
 class EnvelopeSeamSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("envelope schema matches the Kafka source column contract") {
     import org.apache.spark.sql.types._

@@ -330,6 +330,29 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("event_type"), col("last_purchase_us"))
       .orderBy(col("event_id"))
 
+  /** Time-series densification (gap filling): every 10-minute bucket in
+    * each user's [first, last] activity span gets a row, absent buckets
+    * filled with zero — the resample step feeding any windowed model.
+    * The dense axis is generated per user with `sequence` (bounded by
+    * the user's own span, so generation is distributed and
+    * retention-bounded), then left-joined against observed counts. */
+  private def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    // a deterministic user subset keeps the dumped ledger small (the
+    // full densification at sf0.01 is ~630k rows); the operator shape
+    // is identical
+    val buckets = events(s, dir)
+      .filter(col("user_id") % 37 === 0)
+      .withColumn("bucket", expr("(ts div 1000000000) div 600 * 600"))
+      .groupBy(col("user_id"), col("bucket")).agg(count(lit(1)).as("n"))
+    val dense = buckets.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), lit(600L))).as("bucket"))
+    dense.join(buckets, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("user_id"), col("bucket"))
+  }
+
   /** Session windows via the lag-gap method: a new session starts after
     * a >30 min silence per user; session_id is the running count of
     * session starts — pure integer epoch math, shuffle only on user_id. */
@@ -1101,6 +1124,7 @@ object SparkEntry {
     "q_event_buckets" -> (qEventBuckets _),
     "q_asof_last_purchase" -> (qAsofLastPurchase _),
     "q_sessionize" -> (qSessionize _),
+    "q_gap_fill" -> (qGapFill _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
     "q_json_extract" -> (qJsonExtract _),
@@ -1392,6 +1416,17 @@ object SparkEntry {
         |  min(sec) AS session_start, max(sec) - min(sec) AS duration_secs
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH b AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000000000) // 600 * 600 AS bucket,
+        |         count(*) AS n
+        |  FROM events WHERE user_id % 37 = 0 GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY user_id),
+        |d AS (SELECT user_id, unnest(range(lo, hi + 600, 600)) AS bucket FROM s)
+        |SELECT d.user_id, d.bucket, coalesce(b.n, 0) AS n
+        |FROM d LEFT JOIN b ON d.user_id = b.user_id AND d.bucket = b.bucket
+        |ORDER BY d.user_id, d.bucket""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -191,16 +191,18 @@ object Dedup {
         .groupBy(col("a").as("node"))
         .agg(min(col("label")).as("nbr_label"))
       // materialize BEFORE the convergence check so the round's lineage
-      // executes once (checkpoint) instead of twice (count + checkpoint),
-      // and iterative joins never stack into one enormous plan
+      // executes once (checkpoint) instead of twice, iterative joins
+      // never stack into one enormous plan, and carrying the previous
+      // label through the projection makes the convergence check a
+      // filter on the materialized table — no extra join per round
       val next = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          col("label").as("prev_label"))
         .localCheckpoint(eager = true)
-      val changed = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label")).count()
+      val changed = next.filter(col("label") =!= col("prev_label")).count()
       val prev = labels
-      labels = next
+      labels = next.drop("prev_label")
       prev.unpersist() // release the superseded checkpoint copy eagerly
       converged = changed == 0
       iter += 1

@@ -837,6 +837,31 @@ object SparkEntry {
         col("abs_err_fp"))
       .orderBy(col("vec_id"))
 
+  /** Batched ANN serving: top-5 neighbors for EACH of several query
+    * vectors in one pass — broadcast the query batch, score every
+    * (query, vector) pair, then per-query top-k through the SAME
+    * bounded per-partition heap operator the stratified sampler uses
+    * (stratum = query id, key = fixed-width fixed-point distance, so
+    * string order == numeric order). No per-query window, no unbounded
+    * buffer: the serving path scales with corpus size times queries /
+    * partitions. */
+  private def qAnnBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id").isin(0, 7, 42))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosineFp(col("embedding"), col("qv")).as("cosine"))
+      // ascending sortable key: fixed-point (1 - cosine), zero-padded to
+      // fixed width so lexicographic == numeric order
+      .select(col("qid"), col("vec_id"),
+        lpad(floor((lit(1.0) - col("cosine")) * 1e9 + 0.5).cast("long").cast("string"),
+          12, "0").as("distkey"))
+    graft.ops.Sampling.stratifiedTopN(s, scored, "qid", "distkey", "vec_id", n = 5)
+      .select(col("qid").cast("long").as("qid"), col("rn"), col("vec_id"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** SRP-LSH bucket histogram: the centroid-free ANN scale path
     * (bucket join replaces all-pairs; see Similarity.srpSignature). */
   private def qLshAnnBuckets(s: SparkSession, dir: String): DataFrame =
@@ -1158,6 +1183,7 @@ object SparkEntry {
     "q_ivf_search" -> (qIvfSearch _),
     "q_lsh_ann_buckets" -> (qLshAnnBuckets _),
     "q_vec_quantize" -> (qVecQuantize _),
+    "q_ann_batch" -> (qAnnBatch _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_dims" -> (qMediaDims _),
     "q_chunking" -> (qChunking _),
@@ -1849,6 +1875,24 @@ object SparkEntry {
          |  CROSS JOIN q)
          |SELECT vec_id, ${duckCos("dab", "daa", "dbb")} AS cosine
          |FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_batch" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id IN (0, 7, 42)),
+         |d AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ${duckCos(duckDot("e.embedding", "q.qv"),
+                         duckDot("e.embedding", "e.embedding"),
+                         duckDot("q.qv", "q.qv"))} AS cosine
+         |  FROM embeddings e CROSS JOIN q),
+         |r AS (
+         |  SELECT qid, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT), vec_id)
+         |      AS BIGINT) AS rn
+         |  FROM d)
+         |SELECT qid, rn, vec_id FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     "q_lsh_ann_buckets" ->
       """WITH hp AS (

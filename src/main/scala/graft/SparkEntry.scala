@@ -340,10 +340,10 @@ object SparkEntry {
     // a deterministic user subset keeps the dumped ledger small (the
     // full densification at sf0.01 is ~630k rows); the operator shape
     // is identical
-    val buckets = events(s, dir)
-      .filter(col("user_id") % 37 === 0)
-      .withColumn("bucket", expr("(ts div 1000000000) div 600 * 600"))
-      .groupBy(col("user_id"), col("bucket")).agg(count(lit(1)).as("n"))
+    val buckets = Analytics.tumblingNanos(
+        events(s, dir).filter(col("user_id") % 37 === 0), "ts", 600)
+      .groupBy(col("user_id"), col("bucket_start").as("bucket"))
+      .agg(count(lit(1)).as("n"))
     val dense = buckets.groupBy(col("user_id"))
       .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
       .select(col("user_id"),
@@ -853,9 +853,13 @@ object SparkEntry {
       .select(col("qid"), col("vec_id"),
         Similarity.cosineFp(col("embedding"), col("qv")).as("cosine"))
       // ascending sortable key: fixed-point (1 - cosine), zero-padded to
-      // fixed width so lexicographic == numeric order
+      // fixed width so lexicographic == numeric order. Clamped at 0:
+      // fixed-point rounding can push cosine a hair ABOVE 1 for
+      // near-identical vectors, and a negative key would sort reversed
+      // lexicographically vs numerically
       .select(col("qid"), col("vec_id"),
-        lpad(floor((lit(1.0) - col("cosine")) * 1e9 + 0.5).cast("long").cast("string"),
+        lpad(greatest(lit(0L),
+            floor((lit(1.0) - col("cosine")) * 1e9 + 0.5).cast("long")).cast("string"),
           12, "0").as("distkey"))
     graft.ops.Sampling.stratifiedTopN(s, scored, "qid", "distkey", "vec_id", n = 5)
       .select(col("qid").cast("long").as("qid"), col("rn"), col("vec_id"))
@@ -1889,7 +1893,8 @@ object SparkEntry {
          |r AS (
          |  SELECT qid, vec_id,
          |    CAST(row_number() OVER (PARTITION BY qid
-         |      ORDER BY CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT), vec_id)
+         |      ORDER BY greatest(CAST(0 AS BIGINT),
+         |        CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT)), vec_id)
          |      AS BIGINT) AS rn
          |  FROM d)
          |SELECT qid, rn, vec_id FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,

@@ -1108,6 +1108,210 @@ object SparkEntry {
         col("d.height").cast("long").as("height"))
       .orderBy(col("doc_id"))
 
+  /** Correlated EXISTS subquery (TPC-H Q4 shape) as ONE SQL text run
+    * verbatim by both engines — exercises Catalyst's subquery
+    * decorrelation (EXISTS → left-semi join). */
+  private val existsSubqueryText: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private def qExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(existsSubqueryText)
+  }
+
+  /** Correlated scalar subquery (TPC-H Q17 shape): per-part average
+    * quantity threshold. Catalyst decorrelates the scalar subquery into
+    * an aggregate + join. `l_quantity` is integer-valued (1..50), so
+    * `avg` reduces exactly in both engines; money stays in cents. */
+  private val scalarSubqueryText: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_small,
+      |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    / CAST(700.0 AS DOUBLE) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#4'
+      |  AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * avg(l2.l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  private def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(scalarSubqueryText)
+  }
+
+  /** Full-outer join coverage: one market segment full-outer the
+    * per-customer order rollup — left-null rows are customers outside
+    * the segment with orders, right-null rows would be segment
+    * customers with no orders. Keys coalesced to one spine. */
+  private def qOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val bld = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val ord = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders_raw"),
+        sum(Analytics.cents(col("o_totalprice"))).as("spend_c"))
+    bld.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").isNotNull.as("in_segment"),
+        coalesce(col("n_orders_raw"), lit(0L)).as("n_orders"),
+        (coalesce(col("spend_c"), lit(0L)) / 100.0).as("spend"))
+      .orderBy(col("custkey"))
+  }
+
+  /** RANGE-frame window (value-based, not row-based): rolling 30-day
+    * spend per customer over an integer epoch-day order key. Unlike a
+    * ROWS frame, RANGE bounds select peers by key distance — days with
+    * no orders shrink the frame contents, and same-day orders are frame
+    * peers. One Exchange on the customer key. */
+  private def qRollingRange(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, dir, "orders")
+      .filter(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("day"),
+        Analytics.cents(col("o_totalprice")).as("price_c"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-29, Window.currentRow)
+    base.select(col("o_custkey"), col("o_orderkey"), col("day"),
+        (sum(col("price_c")).over(w) / 100.0).as("roll_30d"),
+        count(lit(1)).over(w).cast("long").as("n_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** SCD type-2 dimension build (Analytics.scd2): order-priority change
+    * history per customer with effectivity ranges; open versions carry
+    * the sentinel 99999999 so no raw nulls reach the hash compare. */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .filter(col("o_custkey") % 7 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("day"))
+    Analytics.scd2(base, "o_custkey", "day", "o_orderkey", "o_orderpriority")
+      .select(col("o_custkey"), col("version"), col("o_orderpriority"),
+        col("valid_from"),
+        coalesce(col("valid_to_raw"), lit(99999999L)).as("valid_to"),
+        col("valid_to_raw").isNull.as("is_current"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  /** TF-IDF top terms per document with a LOG-FREE rational score:
+    * score_fp = (tf * (N+1) * 10^6) div (df+1) — exact int64 arithmetic,
+    * strictly monotone in tf and in -df like the classic tf·idf, and
+    * bit-identical across engines (ln() differs by ULPs between libms,
+    * so the standard formulation can't be hash-compared). Plan shape:
+    * one explode + two aggregations (tf keyed by (doc,term), df keyed by
+    * term) + a shuffle join on term — each stage partial-aggregates
+    * map-side, nothing is ever collected. */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .filter(col("doc_id") % 20 === 0)
+      .withColumn("score_fp", expr("(tf * (n_docs + 1) * 1000000) div (df + 1)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_fp").desc, col("term"))).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"),
+        col("df"), col("score_fp"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** Corpus length histogram via integer bucketing — the standard
+    * pre-training length-distribution audit. Pure map + tiny agg. */
+  private def qLengthHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(least(expr("n_chars div 200"), lit(15L)).as("bucket"),
+        col("n_chars"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("bucket"))
+
+  /** Z-order layout audit: Morton-interleave (p_size, p_partkey % 4096)
+    * with the `zorder2` kernel, bucket rows by z-range, and emit each
+    * bucket's min/max on BOTH dimensions. The tight per-bucket ranges
+    * (max_y-min_y = 63 here) are exactly what makes range-partitioning
+    * by zval prune parquet row groups on either predicate at 100 TB —
+    * the oracle replays the interleave as 32 shift/mask terms. */
+  private def qZorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_size").cast("long").as("x"),
+        (col("p_partkey") % 4096).as("y"))
+      .withColumn("zval", graft.functions.kernels.zorder2(col("x"), col("y")))
+      .groupBy(expr("zval div 4096").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("zbucket"))
+
+  /** Skew-resistant join through Analytics.saltedJoin: each lineitem row
+    * takes a salt in [0,4), orders replicate once per salt, and the join
+    * key becomes (orderkey, salt) — a hot order fans out over 4 tasks
+    * instead of one straggler. The result is identical to the plain
+    * join (the oracle IS the plain join), which is the point: salting
+    * changes the partitioning, never the answer. */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val left = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"),
+        Analytics.cents(col("l_extendedprice")).as("price_c"))
+    val right = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    Analytics.saltedJoin(left, right, Seq("k"), salts = 4)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("price_c")) / 100.0).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Co-located fact⋈fact join over bucketed layout (ops.Bucketing):
+    * both sides pre-bucketed by the join key, so the join itself plans
+    * with NO Exchange (pinned by PlanAuditSpec) — the bucketed write
+    * paid the shuffle once at layout time. */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ot = graft.ops.Bucketing.ensureBucketed(s, dir, "orders",
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+      "o_orderkey", buckets = 8)
+    val lt = graft.ops.Bucketing.ensureBucketed(s, dir, "lineitem",
+      t(s, dir, "lineitem").select(col("l_orderkey"),
+        Analytics.cents(col("l_extendedprice")).as("price_c")),
+      "l_orderkey", buckets = 8)
+    s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("price_c")) / 100.0).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** One-time physical-layout preparation for a dataset dir: builds the
+    * bucketed table copies q_bucketed_join reads. Benchmark harnesses
+    * call this during warmup so the timed pass measures the co-located
+    * join, not the layout write — the same convention as excluding
+    * index builds from steady-state query timing. (Building the query
+    * runs ensureBucketed eagerly; no action needed.) */
+  def prepareLayouts(s: SparkSession, dir: String): Unit = {
+    qBucketedJoin(s, dir)
+    ()
+  }
+
   /** DuckDB rendering of Similarity.dotFp (64-dim, 1e-9 fixed point). */
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1,64), i -> " +
@@ -1207,6 +1411,16 @@ object SparkEntry {
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_collect_set" -> (qCollectSet _),
     "q_try_cast" -> (qTryCast _),
+    "q_exists_subquery" -> (qExistsSubquery _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_outer_join" -> (qOuterJoin _),
+    "q_rolling_range" -> (qRollingRange _),
+    "q_scd2" -> (qScd2 _),
+    "q_tfidf" -> (qTfidf _),
+    "q_length_histogram" -> (qLengthHistogram _),
+    "q_zorder" -> (qZorder _),
+    "q_salted_join" -> (qSaltedJoin _),
+    "q_bucketed_join" -> (qBucketedJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2143,5 +2357,112 @@ object SparkEntry {
         |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
         |       ELSE 'webp' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // shared SQL texts: the oracle runs the same string spark.sql ran
+    "q_exists_subquery" -> existsSubqueryText,
+    "q_scalar_subquery" -> scalarSubqueryText,
+
+    "q_outer_join" ->
+      """WITH bld AS (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |ord AS (
+        |  SELECT o_custkey, count(*) AS n_orders_raw,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_c
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  c_custkey IS NOT NULL AS in_segment,
+        |  CAST(coalesce(n_orders_raw, 0) AS BIGINT) AS n_orders,
+        |  coalesce(spend_c, 0) / CAST(100.0 AS DOUBLE) AS spend
+        |FROM bld FULL JOIN ord ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_rolling_range" ->
+      """WITH base AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_custkey % 10 = 0)
+        |SELECT o_custkey, o_orderkey, day,
+        |  sum(price_c) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |    / CAST(100.0 AS DOUBLE) AS roll_30d,
+        |  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
+        |FROM base ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_scd2" ->
+      """WITH base AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority,
+        |    datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day
+        |  FROM orders WHERE o_custkey % 7 = 0),
+        |marked AS (
+        |  SELECT *, lag(o_orderpriority) OVER w AS prev
+        |  FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)),
+        |changed AS (SELECT * FROM marked WHERE prev IS NULL OR prev <> o_orderpriority),
+        |versioned AS (
+        |  SELECT o_custkey, o_orderpriority, day AS valid_from,
+        |    row_number() OVER w AS version,
+        |    lead(day) OVER w - 1 AS valid_to_raw
+        |  FROM changed WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey))
+        |SELECT o_custkey, CAST(version AS BIGINT) AS version, o_orderpriority,
+        |  valid_from, coalesce(valid_to_raw, 99999999) AS valid_to,
+        |  valid_to_raw IS NULL AS is_current
+        |FROM versioned ORDER BY o_custkey, version""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    (tf.tf * (n.n_docs + 1) * 1000000) // (df.df + 1) AS score_fp
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_fp DESC, term) AS rn
+        |  FROM scored WHERE doc_id % 20 = 0)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, CAST(score_fp AS BIGINT) AS score_fp
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "q_length_histogram" ->
+      """SELECT least(n_chars // 200, 15) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_zorder" -> {
+      val terms = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH z AS (
+         |  SELECT CAST(p_size AS BIGINT) AS x, p_partkey % 4096 AS y FROM part),
+         |z2 AS (SELECT x, y, CAST($terms AS BIGINT) AS zval FROM z)
+         |SELECT zval // 4096 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+         |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+         |FROM z2 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    / CAST(100.0 AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    / CAST(100.0 AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -238,6 +238,50 @@ case class QuantizeInt8(child: Expression)
   override def prettyName: String = "quantize_int8"
 }
 
+/** `zorder2(x, y)`: 32-bit Morton (Z-order) interleave of the low 16
+  * bits of two integer columns — bit i of x lands at result bit 2i, bit
+  * i of y at 2i+1. Z-values linearize a 2-D key space so that rows close
+  * in (x, y) are close in zval; range-partitioning / sorting by zval is
+  * the standard multi-dimensional data-layout trick (cf. DB2/Vertica
+  * Z-ordering, Delta OPTIMIZE ZORDER BY): files then carry tight min/max
+  * ranges on BOTH columns and parquet row-group pruning works for
+  * predicates on either dimension. The kernel is one per-row loop; the
+  * equivalent composed form is 32 shift/mask/or terms. */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  private def intOk(t: DataType): Boolean = t match {
+    case IntegerType | LongType | ShortType | ByteType => true
+    case _ => false
+  }
+  override def checkInputDataTypes() =
+    if (intOk(left.dataType) && intOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"zorder2 expects integral inputs, got ${left.dataType}, ${right.dataType}")
+  private def toLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = toLong(l) & 0xffffL
+    val y = toLong(r) & 0xffffL
+    var out = 0L
+    var i = 0
+    while (i < 16) {
+      out |= ((x >>> i) & 1L) << (2 * i)
+      out |= ((y >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    out
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder2 =
+    copy(left = l, right = r)
+  override def prettyName: String = "zorder2"
+}
+
 object kernels {
   def word_shingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), k))
@@ -247,4 +291,6 @@ object kernels {
     ColumnBridge.column(SimHash32(ColumnBridge.expression(tokens)))
   def quantize_int8(vec: Column): Column =
     ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(vec)))
+  def zorder2(x: Column, y: Column): Column =
+    ColumnBridge.column(ZOrder2(ColumnBridge.expression(x), ColumnBridge.expression(y)))
 }

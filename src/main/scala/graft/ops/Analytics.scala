@@ -97,6 +97,26 @@ object Analytics {
     saltedLeft.join(saltedRight, keys :+ "_salt").drop("_salt")
   }
 
+  /** Slowly-changing-dimension type-2 compaction: collapse an ordered
+    * change stream into attribute versions with [valid_from, valid_to]
+    * effectivity ranges. Two window passes over the SAME partitioning —
+    * one Exchange on the entity key total: (1) keep only rows where the
+    * tracked attribute differs from its predecessor (gaps-and-islands
+    * compression via `lag`), (2) close each surviving version with the
+    * next version's start (`lead`). `valid_to_raw` is null on the open
+    * (current) version. Deterministic: the order columns must form a
+    * unique key within the partition. */
+  def scd2(df: DataFrame, entity: String, day: String, tiebreak: String,
+      attr: String): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(col(day), col(tiebreak))
+    df.withColumn("_prev", lag(col(attr), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(attr))
+      .select(
+        col(entity), col(attr), col(day).as("valid_from"),
+        row_number().over(w).cast("long").as("version"),
+        (lead(col(day), 1).over(w) - 1).as("valid_to_raw"))
+  }
+
   /** Point-in-time ("as-of") lookup via a running last-non-null window:
     * for every row, the most recent event-time of `markCond` rows at or
     * before it within the partition. This is the composed-builtins form

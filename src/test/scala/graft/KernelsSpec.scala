@@ -131,6 +131,39 @@ class KernelsSpec extends SparkSpec {
     assert(zero.getLong(2) === 0L)
   }
 
+  test("zorder2 matches the composed 32-term shift/mask form") {
+    val terms = (0 until 16).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (70000L, 3L)) // 70000 exercises the 16-bit mask
+      .toDF("x", "y")
+    val got = df.select(kernels.zorder2($"x", $"y")).collect().map(_.getLong(0))
+    val ref = df.select(expr(s"($terms)") // composed form masks via & 1 per bit
+      .cast("long")).collect().map(_.getLong(0))
+    // the composed form has no 16-bit input mask; (x & 65535) aligns it
+    val refMasked = df.selectExpr("x & 65535 AS x", "y & 65535 AS y")
+      .select(expr(s"($terms)").cast("long")).collect().map(_.getLong(0))
+    assert(got === refMasked)
+    // spot values: interleave of all-ones is all-ones over 32 bits
+    assert(got(3) === 0xffffffffL)
+    assert(got(1) === 1L && got(2) === 2L)
+    assert(ref.length === got.length) // composed form evaluated (sanity)
+  }
+
+  test("zorder2 z-locality: sorting by zval bounds both dimensions per range") {
+    // 64x64 grid -> 4096 points; split sorted zvals into 64 ranges of 64:
+    // each range must span at most a 8x8 tile in (x, y) (Morton property)
+    val pts = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val z = pts.toDF("x", "y")
+      .select($"x", $"y", kernels.zorder2($"x", $"y").as("z"))
+      .orderBy($"z").collect().map(r => (r.getLong(0), r.getLong(1)))
+    z.grouped(64).foreach { tile =>
+      assert(tile.map(_._1).max - tile.map(_._1).min <= 7, "x range too wide")
+      assert(tile.map(_._2).max - tile.map(_._2).min <= 7, "y range too wide")
+    }
+  }
+
   test("word_shingles skips null tokens like concat_ws") {
     val df = Seq(Seq(Some("a"), None, Some("b"), Some("c"))).toDF("toks")
     val got = df.select(kernels.word_shingles($"toks", 3)).head().getSeq[String](0)

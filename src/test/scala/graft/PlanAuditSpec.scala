@@ -70,6 +70,38 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bucketed join plans with no exchange on the join key") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path so the assertion pins bucketing, not
+      // a broadcast that would also avoid the exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q_bucketed_join")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"orders side shuffled despite bucketing:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"lineitem side shuffled despite bucketing:\n$plan")
+      // and the answer is right: matches the plain (shuffling) join
+      val plain = spark.read.parquet(s"$sf/orders.parquet")
+        .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")) / 100.0)
+            .as("revenue"))
+        .orderBy(col("o_orderstatus"))
+      assert(df.collect() === plain.collect())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("zorder query keeps the kernel out of any exchange-heavy shape") {
+    val plan = SparkEntry.queries("q_zorder")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("zorder2"), s"kernel not in plan:\n$plan")
+  }
+
   test("failure counters via observable metrics (A2 observe variant)") {
     val obs = Observation("routing")
     val routed = Router.route(

@@ -1301,6 +1301,50 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Count-Min sketch heavy-hitter estimates (d=3 hash rows, w=64
+    * counters) — the bounded-memory frequency sketch next to the HLL
+    * cardinality sketch. Scale shape: keys are first compressed by an
+    * EXACT map-side-combined count (the shuffle carries one row per
+    * distinct key, never the event stream), the 3×64 counter table is
+    * built from that compressed table and BROADCAST for probing. The
+    * oracle rebuilds the identical sketch (md5 cells) and certifies the
+    * CMS admissibility invariant — estimate >= true count — row by row,
+    * with real collisions at w=64 (est > exact for some probes). */
+  private def qCmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    def cell(d: org.apache.spark.sql.Column,
+        key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(d.cast("string"), lit("|"),
+        key.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long") % 64
+    val ds = explode(array((0 until 3).map(lit): _*)).as("d")
+    val exact = events(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val cells = exact.select(col("user_id"), col("cnt"), ds)
+      .withColumn("w", cell(col("d"), col("user_id")))
+      .groupBy(col("d"), col("w")).agg(sum(col("cnt")).as("counter"))
+    val probes = exact.filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), col("cnt"), ds)
+      .withColumn("w", cell(col("d"), col("user_id")))
+    probes.join(broadcast(cells), Seq("d", "w"))
+      .groupBy(col("user_id"), col("cnt"))
+      .agg(min(col("counter")).as("cms_est"))
+      .select(col("user_id"), col("cnt").as("exact_count"), col("cms_est"),
+        (col("cms_est") >= col("cnt")).as("admissible"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Unpivot (melt) — the inverse of q_pivot: wide per-flag measure
+    * columns become (flag, measure, value) rows via Dataset.unpivot.
+    * Measures are fixed-point longs so the melt is value-exact. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(Analytics.cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(Analytics.cents(col("l_extendedprice"))).as("sum_price_c"),
+        sum(Analytics.fp(col("l_discount"), 10000L)).as("sum_disc_fp"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty_c"), col("sum_price_c"), col("sum_disc_fp")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -1421,6 +1465,8 @@ object SparkEntry {
     "q_zorder" -> (qZorder _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_bucketed_join" -> (qBucketedJoin _),
+    "q_cms_heavy" -> (qCmsHeavy _),
+    "q_unpivot" -> (qUnpivot _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2464,5 +2510,38 @@ object SparkEntry {
         |    / CAST(100.0 AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_cms_heavy" ->
+      """WITH exact AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT d, CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || '|'
+        |        || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS w,
+        |    sum(cnt) AS counter
+        |  FROM exact CROSS JOIN (SELECT unnest([0,1,2]) AS d) ds
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT user_id, cnt FROM exact WHERE user_id % 10 = 0),
+        |est AS (
+        |  SELECT p.user_id, p.cnt, min(c.counter) AS cms_est
+        |  FROM probes p JOIN (SELECT unnest([0,1,2]) AS d) ds ON true
+        |  JOIN cells c ON c.d = ds.d
+        |    AND c.w = CAST(('0x' || substr(md5(CAST(ds.d AS VARCHAR) || '|'
+        |          || CAST(p.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64
+        |  GROUP BY 1, 2)
+        |SELECT user_id, CAST(cnt AS BIGINT) AS exact_count,
+        |  CAST(cms_est AS BIGINT) AS cms_est, cms_est >= cnt AS admissible
+        |FROM est ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c,
+        |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c,
+        |    sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS sum_disc_fp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT l_returnflag, 'sum_qty_c' AS measure, sum_qty_c AS value FROM agg
+        |  UNION ALL SELECT l_returnflag, 'sum_price_c', sum_price_c FROM agg
+        |  UNION ALL SELECT l_returnflag, 'sum_disc_fp', sum_disc_fp FROM agg)
+        |ORDER BY l_returnflag, measure""".stripMargin,
   )
 }

@@ -102,6 +102,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("zorder2"), s"kernel not in plan:\n$plan")
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // lay the fact out hive-partitioned by lang — at 100 TB this is the
+    // directory layout that lets a filtered dim join skip whole
+    // partitions without reading a byte of them
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp-").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a real source: a Seq-backed LocalRelation gets its
+    // filter constant-folded away (ConvertToLocalRelation), and DPP
+    // requires a surviving selective predicate on the filtering side
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim-").toString
+    Seq(("en", "keep"), ("de", "drop"), ("fr", "drop"))
+      .toDF("lang", "verdict").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"verdict" === "keep")
+    val joined = fact.join(dim, "lang").groupBy($"lang").count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+    // and the pruned plan still computes the right answer
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"lang" === "en").count()
+    val got = joined.collect()
+    assert(got.map(_.getLong(1)).sum === expected)
+  }
+
   test("failure counters via observable metrics (A2 observe variant)") {
     val obs = Observation("routing")
     val routed = Router.route(

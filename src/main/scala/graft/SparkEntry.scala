@@ -1345,6 +1345,56 @@ object SparkEntry {
         "measure", "value")
       .orderBy(col("l_returnflag"), col("measure"))
 
+  /** Interval-overlap join through coarse-bucket decomposition — the
+    * scalable form of a theta join `a.s <= b.e AND b.s <= a.e`: each
+    * interval explodes across the 30-day buckets it covers, the join
+    * runs as an EQUI-join on the bucket (hash-partitionable, no
+    * broadcast-nested-loop), the exact overlap predicate filters the
+    * candidates, and each pair is kept only in the bucket of
+    * max(start, start) so no overlap double-counts. At 100 TB this is
+    * the difference between a shuffled hash join and an O(N*M) loop —
+    * the oracle runs the plain theta join and must agree exactly. */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "orders").filter(col("o_custkey") % 50 === 0)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("s"),
+        (datediff(col("o_orderdate"), lit("1995-01-01").cast("date")) + 6)
+          .cast("long").as("e"),
+        Analytics.cents(col("o_totalprice")).as("price_c"))
+      .withColumn("bucket", explode(sequence(expr("s div 30"), expr("e div 30"))))
+    val promo = s.range(0, 81).select(col("id").as("w"),
+        (col("id") * 30).as("ps"), (col("id") * 30 + 9).as("pe"))
+      .withColumn("bucket", explode(sequence(expr("ps div 30"), expr("pe div 30"))))
+    iv.join(promo, "bucket")
+      .filter(col("s") <= col("pe") && col("ps") <= col("e"))
+      .filter(col("bucket") === expr("greatest(s, ps) div 30"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        (sum(col("price_c")) / 100.0).as("overlap_spend"))
+      .orderBy(col("w"))
+  }
+
+  /** Fuzzy matching via edit distance (levenshtein is built-in and
+    * integer-exact in both engines): each probe document against its
+    * successor's 48-char prefix. The successor lookup is an EQUI-join on
+    * doc_id+1 — doc ids are dense, so this replaces the global-window
+    * `lead` (which would serialize into one partition) with a
+    * partitionable join; the oracle uses the window form and must
+    * agree. ratio_fp is the normalized distance in exact ppm. */
+  private def qEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 48).as("pfx"))
+    val nxt = d.select((col("doc_id") - 1).as("a_id"), col("pfx").as("nxt"))
+    d.filter(col("doc_id") % 5 === 0)
+      .join(nxt, col("doc_id") === col("a_id"))
+      .withColumn("dist", levenshtein(col("pfx"), col("nxt")).cast("long"))
+      .withColumn("ratio_fp",
+        expr("(dist * 1000000) div greatest(length(pfx), length(nxt))"))
+      .select(col("doc_id"), col("dist"), col("ratio_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -1467,6 +1517,8 @@ object SparkEntry {
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_cms_heavy" -> (qCmsHeavy _),
     "q_unpivot" -> (qUnpivot _),
+    "q_interval_join" -> (qIntervalJoin _),
+    "q_edit_distance" -> (qEditDistance _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2543,5 +2595,31 @@ object SparkEntry {
         |  UNION ALL SELECT l_returnflag, 'sum_price_c', sum_price_c FROM agg
         |  UNION ALL SELECT l_returnflag, 'sum_disc_fp', sum_disc_fp FROM agg)
         |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey,
+        |    datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS s,
+        |    datediff('day', TIMESTAMP '1995-01-01', o_orderdate) + 6 AS e,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_custkey % 50 = 0),
+        |promo AS (
+        |  SELECT w, w * 30 AS ps, w * 30 + 9 AS pe
+        |  FROM (SELECT unnest(generate_series(0, 80)) AS w))
+        |SELECT w, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  sum(price_c) / CAST(100.0 AS DOUBLE) AS overlap_spend
+        |FROM promo JOIN iv ON s <= pe AND ps <= e
+        |GROUP BY w ORDER BY w""".stripMargin,
+
+    "q_edit_distance" ->
+      """WITH p AS (
+        |  SELECT doc_id, substr(text, 1, 48) AS pfx,
+        |    lead(substr(text, 1, 48)) OVER (ORDER BY doc_id) AS nxt
+        |  FROM documents)
+        |SELECT doc_id, CAST(levenshtein(pfx, nxt) AS BIGINT) AS dist,
+        |  CAST((levenshtein(pfx, nxt) * 1000000)
+        |    // greatest(length(pfx), length(nxt)) AS BIGINT) AS ratio_fp
+        |FROM p WHERE nxt IS NOT NULL AND doc_id % 5 = 0
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -95,6 +95,31 @@ class ScaleSpec extends SparkSpec {
     assert(got === viaWindow)
   }
 
+  test("interval bucket decomposition equals the theta join") {
+    // 50k intervals (length 0..12) vs 100 windows (length 20): the
+    // equi-join-on-bucket + dedup-by-max-start form must reproduce the
+    // plain theta join pair-for-pair — the same rewrite q_interval_join
+    // uses, checked here on adversarial bucket-straddling intervals
+    val iv = spark.range(50000).select($"id".as("ivid"),
+      ($"id" % 9973).as("s"), ($"id" % 9973 + $"id" % 13).as("e"))
+    val win = spark.range(100).select($"id".as("w"),
+      ($"id" * 97).as("ps"), ($"id" * 97 + 20).as("pe"))
+    val theta = iv.join(win, $"s" <= $"pe" && $"ps" <= $"e")
+      .select($"ivid", $"w").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val B = 64
+    val bucketed = iv
+      .withColumn("bucket", explode(sequence(expr(s"s div $B"), expr(s"e div $B"))))
+      .join(win.withColumn("bucket",
+        explode(sequence(expr(s"ps div $B"), expr(s"pe div $B")))), "bucket")
+      .filter($"s" <= $"pe" && $"ps" <= $"e")
+      .filter($"bucket" === expr(s"greatest(s, ps) div $B"))
+      .select($"ivid", $"w").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(bucketed === theta)
+    assert(theta.nonEmpty)
+  }
+
   test("salted join equals plain join on skewed data") {
     // 90% of left rows share one hot key
     val left = spark.range(5000)

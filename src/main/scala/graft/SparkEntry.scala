@@ -1395,6 +1395,44 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE) as ONE shared SQL text: an
+    * 80-month spine generated by recursion, left-joined to the order
+    * stream so empty months survive with zero counts. The spine depth
+    * is calendar-bound (1995–2001), not data-bound, so the text is
+    * SF-independent and stays under Spark's recursion level limit. */
+  private val recursiveCteText: String =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT 0 UNION ALL SELECT m + 1 FROM months WHERE m < 79)
+      |SELECT m, count(o_orderkey) AS n_orders,
+      |  coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+      |    / CAST(100.0 AS DOUBLE) AS revenue
+      |FROM months LEFT JOIN orders
+      |  ON (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 = m
+      |GROUP BY m ORDER BY m""".stripMargin
+
+  private def qRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(recursiveCteText)
+  }
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 customers
+    * per nation) as ONE shared SQL text — the SQL-standard spelling of
+    * top-n-per-group, planned by Catalyst as a lateral join. Raw
+    * acctbal doubles are emitted unreduced (no arithmetic), so parity
+    * is byte-level parquet fidelity. */
+  private val lateralTopkText: String =
+    """SELECT n_name, c.c_name, c.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+
+  private def qLateralTopk(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(lateralTopkText)
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -1519,6 +1557,8 @@ object SparkEntry {
     "q_unpivot" -> (qUnpivot _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_edit_distance" -> (qEditDistance _),
+    "q_recursive_cte" -> (qRecursiveCte _),
+    "q_lateral_topk" -> (qLateralTopk _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2621,5 +2661,9 @@ object SparkEntry {
         |    // greatest(length(pfx), length(nxt)) AS BIGINT) AS ratio_fp
         |FROM p WHERE nxt IS NOT NULL AND doc_id % 5 = 0
         |ORDER BY doc_id""".stripMargin,
+
+    // shared SQL texts: the oracle runs the same string spark.sql ran
+    "q_recursive_cte" -> recursiveCteText,
+    "q_lateral_topk" -> lateralTopkText,
   )
 }

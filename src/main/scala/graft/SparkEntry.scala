@@ -1433,6 +1433,22 @@ object SparkEntry {
     s.sql(lateralTopkText)
   }
 
+  /** Deterministic argmax via max_by / arg_max: which order carries each
+    * priority's highest price. Raw max_by ties are engine-defined, so
+    * the ordering key is an order-preserving pair encoding
+    * (cents * 10^8 + orderkey) — unique per row, hence a well-defined
+    * argmax in both engines, with headroom to orderkey < 10^8 (~sf600).
+    * One partial-aggregated groupBy; no window, no sort. */
+  private def qArgMax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (Analytics.cents(col("o_totalprice")) * 100000000L + col("o_orderkey"))
+          .as("enc"))
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("max_by(o_orderkey, enc)").as("top_orderkey"),
+        (expr("max(enc) div 100000000") / 100.0).as("max_price"))
+      .orderBy(col("o_orderpriority"))
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -1559,6 +1575,7 @@ object SparkEntry {
     "q_edit_distance" -> (qEditDistance _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_lateral_topk" -> (qLateralTopk _),
+    "q_arg_max" -> (qArgMax _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2665,5 +2682,16 @@ object SparkEntry {
     // shared SQL texts: the oracle runs the same string spark.sql ran
     "q_recursive_cte" -> recursiveCteText,
     "q_lateral_topk" -> lateralTopkText,
+
+    "q_arg_max" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 100000000
+        |      + o_orderkey AS enc
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  arg_max(o_orderkey, enc) AS top_orderkey,
+        |  (max(enc) // 100000000) / CAST(100.0 AS DOUBLE) AS max_price
+        |FROM base GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -102,6 +102,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("zorder2"), s"kernel not in plan:\n$plan")
   }
 
+  test("filtered-rank queries run under WindowGroupLimit (bounded top-n, partial+final)") {
+    // Spark's InferWindowGroupLimit turns `filter(row_number/rank <= k)`
+    // into a per-partition bounded heap BEFORE the window sort — the
+    // map-side combine of top-n-per-group. At 100 TB this caps the
+    // exchange at k rows per group instead of every row; pin it so a
+    // query-shape refactor can't silently lose it
+    // (q_window_funcs is excluded: its window also computes ntile, which
+    // needs the whole partition, so a group limit would be incorrect
+    // there and Spark rightly does not infer one)
+    Seq("q_window_rank", "q_tfidf").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"), s"$q lost WindowGroupLimit:\n$plan")
+      assert(plan.contains("Partial"), s"$q group limit is not map-side:\n$plan")
+    }
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     // lay the fact out hive-partitioned by lang — at 100 TB this is the
     // directory layout that lets a filtered dim join skip whole

@@ -33,9 +33,14 @@ object Bench {
     }
 
     // layout prep (bucketed copies) is one-time ETL, not query work —
-    // materialize it for the timed dir during warmup
-    try SparkEntry.prepareLayouts(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] layout prep failed: $e") }
+    // materialize it for the timed dir during warmup. A failed prep is
+    // flagged in the errors array: silently proceeding would fold the
+    // full layout write into q_bucketed_join's timed measurement as a
+    // plausible-looking positive duration
+    val layoutPrepOk =
+      try { SparkEntry.prepareLayouts(spark, sfDir); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] layout prep failed: $e"); false }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -49,7 +54,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+    val errors = (results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" } ++
+      (if (layoutPrepOk) Nil else Seq("\"layout_prep\"")))
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()

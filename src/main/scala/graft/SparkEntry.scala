@@ -2551,9 +2551,14 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey, o_orderpriority,
         |    datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day
         |  FROM orders WHERE o_custkey % 7 = 0),
+        |eod AS (
+        |  SELECT * FROM (
+        |    SELECT *, lead(day) OVER w AS nxt_day
+        |    FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey))
+        |  WHERE nxt_day IS NULL OR nxt_day <> day),
         |marked AS (
         |  SELECT *, lag(o_orderpriority) OVER w AS prev
-        |  FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)),
+        |  FROM eod WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)),
         |changed AS (SELECT * FROM marked WHERE prev IS NULL OR prev <> o_orderpriority),
         |versioned AS (
         |  SELECT o_custkey, o_orderpriority, day AS valid_from,
@@ -2592,9 +2597,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_zorder" -> {
-      val terms = (0 until 16).map(i =>
-        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
-        .mkString(" + ")
+      val terms = graft.functions.kernels.zorder2ComposedSql("x", "y")
       s"""WITH z AS (
          |  SELECT CAST(p_size AS BIGINT) AS x, p_partkey % 4096 AS y FROM part),
          |z2 AS (SELECT x, y, CAST($terms AS BIGINT) AS zval FROM z)

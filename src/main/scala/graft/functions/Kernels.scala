@@ -293,4 +293,13 @@ object kernels {
     ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(vec)))
   def zorder2(x: Column, y: Column): Column =
     ColumnBridge.column(ZOrder2(ColumnBridge.expression(x), ColumnBridge.expression(y)))
+
+  /** The composed 32-term shift/mask SQL equivalent of [[ZOrder2]]
+    * (inputs assumed already masked to 16 bits) — ONE generator shared
+    * by the DuckDB oracle and the kernel parity test, so the reference
+    * form can never drift between them. */
+  def zorder2ComposedSql(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
 }

@@ -99,17 +99,27 @@ object Analytics {
 
   /** Slowly-changing-dimension type-2 compaction: collapse an ordered
     * change stream into attribute versions with [valid_from, valid_to]
-    * effectivity ranges. Two window passes over the SAME partitioning —
-    * one Exchange on the entity key total: (1) keep only rows where the
-    * tracked attribute differs from its predecessor (gaps-and-islands
-    * compression via `lag`), (2) close each surviving version with the
-    * next version's start (`lead`). `valid_to_raw` is null on the open
-    * (current) version. Deterministic: the order columns must form a
-    * unique key within the partition. */
+    * effectivity ranges. The dimension's grain is the DAY, so multiple
+    * changes on one day first collapse to that day's LAST value (the
+    * standard end-of-day snapshot rule) — without this, a twice-changed
+    * day would emit a version with valid_to = valid_from - 1, an
+    * inverted range no as-of join could ever match. Then: (1) keep only
+    * rows where the attribute differs from its predecessor
+    * (gaps-and-islands compression via `lag`), (2) close each surviving
+    * version with the next version's start (`lead`). `valid_to_raw` is
+    * null on the open (current) version. All three window passes share
+    * one partitioning — a single Exchange on the entity key.
+    * Deterministic: (day, tiebreak) must be unique within an entity.
+    * Invariant (tested): valid_from <= valid_to on every closed row. */
   def scd2(df: DataFrame, entity: String, day: String, tiebreak: String,
       attr: String): DataFrame = {
     val w = Window.partitionBy(col(entity)).orderBy(col(day), col(tiebreak))
-    df.withColumn("_prev", lag(col(attr), 1).over(w))
+    // last-of-day via lead over the SAME entity window (not a second
+    // window keyed on (entity, day), which would cost another Exchange)
+    df.withColumn("_nxt_day", lead(col(day), 1).over(w))
+      .filter(col("_nxt_day").isNull || col("_nxt_day") =!= col(day))
+      .drop("_nxt_day")
+      .withColumn("_prev", lag(col(attr), 1).over(w))
       .filter(col("_prev").isNull || col("_prev") =!= col(attr))
       .select(
         col(entity), col(attr), col(day).as("valid_from"),

@@ -20,17 +20,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  // every materialized layout dir, deleted when the JVM exits so repeated
+  // test/verify/bench runs don't accumulate table copies under /tmp
+  private val createdDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      createdDirs.forEach { root =>
+        try {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () } // best-effort cleanup
+      }))
+  }
+
   /** Ensure a bucketed+sorted copy of `df` exists as a catalog table;
-    * returns the table name. Idempotent per (session, dir, name). */
+    * returns the table name. Idempotent per (session, dir, name). The
+    * table name embeds the sanitized NORMALIZED source path — not a
+    * 32-bit hash — so distinct dirs can never collide and a trailing
+    * slash doesn't create a redundant copy. Layout assumes the source
+    * files are immutable for the session's lifetime (the usual ETL
+    * contract); a regenerated source needs a new session. */
   def ensureBucketed(s: SparkSession, dir: String, name: String, df: => DataFrame,
       key: String, buckets: Int): String = synchronized {
-    // table identifiers must be catalog-safe; the dir disambiguates SFs
-    val tbl = s"graft_bkt_${name}_" + java.lang.Integer.toHexString(dir.hashCode)
+    val normalized = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+    val tbl = s"graft_bkt_${name}_" + normalized.replaceAll("[^a-zA-Z0-9]", "_")
     if (!s.catalog.tableExists(tbl)) {
-      val path = java.nio.file.Files.createTempDirectory(s"graft-bkt-$name-").toString
+      val path = java.nio.file.Files.createTempDirectory(s"graft-bkt-$name-")
+      createdDirs.add(path)
       df.write
         .mode("overwrite")
-        .option("path", path)
+        .option("path", path.toString)
         .bucketBy(buckets, key)
         .sortBy(key)
         .format("parquet")

@@ -31,11 +31,25 @@ class AnalyticsSpec extends SparkSpec {
       (2L, 1L, "C", 4L, -1L)))
   }
 
-  test("scd2 orders same-day changes by the tiebreak") {
-    val df = Seq((1L, 2L, 1L, "X"), (1L, 2L, 2L, "Y")).toDF("ent", "day", "tie", "attr")
+  test("scd2 same-day changes collapse to the end-of-day value (no inverted ranges)") {
+    // X then Y on day 2 -> the daily-grain dimension records only Y;
+    // emitting both would close X with valid_to = 1 < valid_from = 2
+    val df = Seq((1L, 2L, 1L, "X"), (1L, 2L, 2L, "Y"), (1L, 5L, 3L, "Z"))
+      .toDF("ent", "day", "tie", "attr")
     val got = Analytics.scd2(df, "ent", "day", "tie", "attr")
-      .orderBy($"version").select($"attr").as[String].collect()
-    assert(got === Array("X", "Y"))
+      .orderBy($"version")
+      .select($"attr", $"valid_from", $"valid_to_raw").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got === Array(("Y", 2L, 4L), ("Z", 5L, -1L)))
+  }
+
+  test("scd2 invariant on real data: every closed version has valid_from <= valid_to") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select($"o_custkey", $"o_orderkey", $"o_orderpriority",
+        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("day"))
+    val bad = Analytics.scd2(base, "o_custkey", "day", "o_orderkey", "o_orderpriority")
+      .filter($"valid_to_raw".isNotNull && $"valid_to_raw" < $"valid_from")
+    assert(bad.count() === 0)
   }
 
   test("salted join result equals the plain join under aggregation") {

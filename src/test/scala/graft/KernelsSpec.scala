@@ -132,9 +132,8 @@ class KernelsSpec extends SparkSpec {
   }
 
   test("zorder2 matches the composed 32-term shift/mask form") {
-    val terms = (0 until 16).map(i =>
-      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
-      .mkString(" + ")
+    // same generator the q_zorder oracle uses — drift-proof by sharing
+    val terms = kernels.zorder2ComposedSql("x", "y")
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
       (12345L, 54321L), (70000L, 3L)) // 70000 exercises the 16-bit mask
       .toDF("x", "y")

@@ -96,10 +96,15 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("zorder query keeps the kernel out of any exchange-heavy shape") {
+  test("zorder query: one narrow kernel map, one agg exchange, no window/sort extras") {
     val plan = SparkEntry.queries("q_zorder")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("zorder2"), s"kernel not in plan:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    // exactly one hash exchange (the zbucket aggregation); the only
+    // other exchange is the final ORDER BY's range partitioning
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges === 1, s"expected 1 hash exchange, got $hashExchanges:\n$plan")
   }
 
   test("filtered-rank queries run under WindowGroupLimit (bounded top-n, partial+final)") {

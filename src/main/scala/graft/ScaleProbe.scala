@@ -94,6 +94,30 @@ object ScaleProbe {
       val deduped = graft.llm.Dedup.exactDedup(gated, "doc_id", "text")
       deduped.agg(count(lit(1)), sum(col("dup_count"))).collect()
     }
+    timed(s"zorder2 kernel + range layout ($rows rows)") {
+      // the layout pass a 100 TB table would run: compute z-values and
+      // range-partition by them (sampling + exchange), leaving every
+      // partition with tight min/max on BOTH dimensions
+      spark.range(rows).select(
+          (col("id") % 4096).as("x"), ((col("id") * 31) % 4096).as("y"))
+        .withColumn("z", graft.functions.kernels.zorder2(col("x"), col("y")))
+        .repartitionByRange(cpus.toInt * 4, col("z"))
+        .agg(count(lit(1))).collect()
+    }
+    timed(s"interval bucket-join ($rows intervals)") {
+      val iv = spark.range(rows).select(col("id"),
+        (col("id") % 99991).as("s"), (col("id") % 99991 + col("id") % 13).as("e"))
+      val win = spark.range(1000).select(col("id").as("w"),
+        (col("id") * 100).as("ps"), (col("id") * 100 + 20).as("pe"))
+      val B = 64
+      iv.withColumn("bucket",
+          explode(sequence(expr(s"s div $B"), expr(s"e div $B"))))
+        .join(win.withColumn("bucket",
+          explode(sequence(expr(s"ps div $B"), expr(s"pe div $B")))), "bucket")
+        .filter(col("s") <= col("pe") && col("ps") <= col("e"))
+        .filter(col("bucket") === expr(s"greatest(s, ps) div $B"))
+        .agg(count(lit(1))).collect()
+    }
     timed(s"media header synth+parse ($docCount rows)") {
       docs.select(graft.functions.media.image_dims(
           graft.llm.Multimodal.synthesizeHeader(

@@ -1449,6 +1449,57 @@ object SparkEntry {
         (expr("max(enc) div 100000000") / 100.0).as("max_price"))
       .orderBy(col("o_orderpriority"))
 
+  /** Centered moving average (ROWS BETWEEN n PRECEDING AND n FOLLOWING)
+    * — the two-sided window frame shape, complementing the running
+    * (unbounded-preceding) and RANGE (value-based) frames already
+    * covered. Daily pre-aggregation first, so the window slides over
+    * one row per (priority, day), and all frame sums reduce exact
+    * cents. */
+  private def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(sum(Analytics.cents(col("o_totalprice"))).as("rev_c"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    daily.select(col("o_orderpriority"), col("day"),
+        (col("rev_c") / 100.0).as("day_revenue"),
+        (sum(col("rev_c")).over(w) / 100.0).as("win_revenue"),
+        sum(col("n")).over(w).as("win_orders"),
+        ((sum(col("rev_c")).over(w) / 100.0) / count(lit(1)).over(w))
+          .as("centered_avg"))
+      .orderBy(col("o_orderpriority"), col("day"))
+  }
+
+  /** Triangle enumeration over the co-purchase graph (parts appearing
+    * in the same order): the canonical multi-way self-join. Edges are
+    * canonicalized u < v, and a triangle is a wedge (e1.v = e2.u)
+    * closed by a third edge — three equi-joins, each
+    * hash-partitionable; at corpus scale the standard refinement is
+    * degree-ordering the endpoints so high-degree hubs don't dominate
+    * the wedge join. Probe restricted to partkey % 10 to bound wedges
+    * at verify scale. */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+      .join(edges.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .groupBy(col("e1.u").as("a"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("a"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -1576,6 +1627,8 @@ object SparkEntry {
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_lateral_topk" -> (qLateralTopk _),
     "q_arg_max" -> (qArgMax _),
+    "q_moving_avg" -> (qMovingAvg _),
+    "q_triangles" -> (qTriangles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2696,5 +2749,38 @@ object SparkEntry {
         |  arg_max(o_orderkey, enc) AS top_orderkey,
         |  (max(enc) // 100000000) / CAST(100.0 AS DOUBLE) AS max_price
         |FROM base GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority,
+        |    datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, day,
+        |  rev_c / CAST(100.0 AS DOUBLE) AS day_revenue,
+        |  sum(rev_c) OVER w / CAST(100.0 AS DOUBLE) AS win_revenue,
+        |  CAST(sum(n) OVER w AS BIGINT) AS win_orders,
+        |  (sum(rev_c) OVER w / CAST(100.0 AS DOUBLE))
+        |    / CAST(count(*) OVER w AS BIGINT) AS centered_avg
+        |FROM daily
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+        |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |ORDER BY o_orderpriority, day""".stripMargin,
+
+    "q_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+        |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT a, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM tri GROUP BY a ORDER BY a""".stripMargin,
   )
 }

@@ -1486,11 +1486,16 @@ object SparkEntry {
     val items = t(s, dir, "lineitem")
       .filter(col("l_partkey") % 10 === 0)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // materialize the edge list ONCE (same discipline as dupClusters):
+    // referenced three times below, an unmaterialized edge list would
+    // replicate the items self-join lineage into every branch (13 hash
+    // exchanges instead of ~4 — measured via Explain --audit)
     val edges = items.as("a").join(items.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
+      .localCheckpoint(eager = true)
     edges.as("e1")
       .join(edges.as("e2"), col("e1.v") === col("e2.u"))
       .join(edges.as("e3"),

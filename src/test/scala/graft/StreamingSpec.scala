@@ -238,6 +238,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows.sorted === Seq(("success", 1L), ("success", 1L), ("transient_failure", 1L)))
   }
 
+  test("streaming session_window merges sessions across micro-batches, emits on watermark") {
+    val stream = MemoryStream[Envelope](spark)
+    val sessions = OrderPipeline.process(stream.toDF())
+      .withWatermark("timestamp", "10 minutes")
+      .groupBy(col("orderId"), session_window(col("timestamp"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("orderId"), col("session_window.start").cast("long").as("start_s"),
+        col("n_events"))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_win").start()
+    val t0 = 1700000000000L
+    // batch 1: two events 2 min apart for "a" (one session, merged),
+    // one event for "b"
+    stream.addData(
+      envelope(0, "a", 100.0f),
+      envelope(1, "a", 100.0f).copy(timestamp = new Timestamp(t0 + 120000)),
+      envelope(2, "b", 100.0f))
+    q.processAllAvailable()
+    // batch 2: extend a's session (4 min after its last event), then an
+    // event far ahead that pushes the watermark past every open session
+    stream.addData(
+      envelope(3, "a", 100.0f).copy(timestamp = new Timestamp(t0 + 360000)))
+    q.processAllAvailable()
+    stream.addData(
+      envelope(4, "c", 100.0f).copy(timestamp = new Timestamp(t0 + 7200000)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess_win")
+      .select($"orderId", $"start_s", $"n_events").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    // a's three events (0, 2, 6 min — gaps < 5 min) merged ACROSS
+    // batches into one session row; b's single event is its own session
+    assert(rows === Array(
+      ("a", t0 / 1000, 3L),
+      ("b", t0 / 1000, 1L)))
+  }
+
   test("per-key custom state accumulates across micro-batches") {
     val stream = MemoryStream[Envelope](spark)
     val stats = OrderPipeline.perKeyRunningStats(

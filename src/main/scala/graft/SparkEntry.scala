@@ -1525,6 +1525,37 @@ object SparkEntry {
         (col("max_sec") - col("min_sec")).as("span_secs"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Domain-mixture sampling: per-source keep rates (upsample curated
+    * domains, downsample bulk web — the pretraining mixture knob) via
+    * the deterministic md5-hash Bernoulli gate, so the "random" sample
+    * is replayable byte-for-byte by the oracle. A pure narrow filter:
+    * no shuffle, no state, embarrassingly parallel at corpus scale. */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 90)
+      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 15)
+      .otherwise(40)
+    t(s, dir, "documents")
+      .filter(
+        conv(substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 8), 16, 10).cast("long") % 100 < rate)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Dataset-card accounting: documents and estimated tokens per source
+    * with each source's exact share in ppm (integer arithmetic — no
+    * float ratios). The total joins back via a broadcast of the 1-row
+    * grand aggregate, not a window over the whole table. */
+  private def qSourceMix(s: SparkSession, dir: String): DataFrame = {
+    val agg = TextOps.withTokenEstimate(t(s, dir, "documents"), "text")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("est_tokens")).as("toks"))
+    agg.crossJoin(broadcast(agg.agg(sum(col("toks")).as("total"))))
+      .select(col("source"), col("n_docs"), col("toks").as("est_tokens"),
+        expr("(toks * 1000000) div total").as("share_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -1655,6 +1686,8 @@ object SparkEntry {
     "q_moving_avg" -> (qMovingAvg _),
     "q_triangles" -> (qTriangles _),
     "q_session_window" -> (qSessionWindow _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_source_mix" -> (qSourceMix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2827,5 +2860,31 @@ object SparkEntry {
         |  max(sec) - min(sec) AS span_secs
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH rated AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 90
+        |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 15
+        |         ELSE 40 END AS rate,
+        |    CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100 AS h
+        |  FROM documents)
+        |SELECT doc_id, source FROM rated WHERE h < rate ORDER BY doc_id""".stripMargin,
+
+    "q_source_mix" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id,
+        |    greatest(len(string_split(text, ' ')),
+        |      CAST(list_sum(list_transform(string_split(text, ' '),
+        |        w -> (length(w) + 3) // 4)) AS BIGINT)) AS est_tokens
+        |  FROM documents),
+        |agg AS (SELECT source, count(*) AS n_docs, sum(est_tokens) AS toks
+        |        FROM tok GROUP BY source),
+        |tot AS (SELECT sum(toks) AS total FROM agg)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(toks AS BIGINT) AS est_tokens,
+        |  CAST((toks * 1000000) // total AS BIGINT) AS share_ppm
+        |FROM agg CROSS JOIN tot ORDER BY source""".stripMargin,
   )
 }

@@ -1507,11 +1507,12 @@ object SparkEntry {
 
   /** Sessionization through the BUILT-IN `session_window` function —
     * the same merge machinery Structured Streaming uses for streaming
-    * session aggregation, here batch-oracle-certified. NB the gap
-    * semantics differ from the manual lag-gap form (q_sessionize):
-    * session_window is half-open [start, last + gap), so an event at
-    * EXACTLY gap distance starts a new session — the oracle replays
-    * `gap >= 1800`, where the manual form uses `> 1800`. */
+    * session aggregation, here batch-oracle-certified. Boundary
+    * semantics (verified empirically, and by the sf0.1 gate): sessions
+    * merge when they overlap OR TOUCH, so an event at exactly the gap
+    * distance still merges — the oracle's split rule is `gap > 1800`,
+    * identical to the manual lag-gap form. (The exact-gap case first
+    * appears at sf0.1; a smaller SF cannot distinguish the rules.) */
   private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .withColumn("tssec", expr("ts div 1000000000"))
@@ -1554,6 +1555,24 @@ object SparkEntry {
       .select(col("source"), col("n_docs"), col("toks").as("est_tokens"),
         expr("(toks * 1000000) div total").as("share_ppm"))
       .orderBy(col("source"))
+  }
+
+  /** Multiset (bag-semantics) set operations — exceptAll preserves
+    * duplicate counts where EXCEPT would collapse them, the remaining
+    * set-op variants after q_union/q_intersect/q_except covered the
+    * distinct forms. Both reduce to the same count-difference
+    * aggregation shape at scale (no row-by-row matching). */
+  private def qSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "lineitem").select(col("l_returnflag"))
+    val b = t(s, dir, "lineitem").filter(col("l_linenumber") > 1)
+      .select(col("l_returnflag"))
+    val ec = a.exceptAll(b).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_except"))
+    val ic = a.intersectAll(b).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_intersect"))
+    ec.join(ic, "l_returnflag")
+      .select(col("l_returnflag"), col("n_except"), col("n_intersect"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** One-time physical-layout preparation for a dataset dir: builds the
@@ -1688,6 +1707,7 @@ object SparkEntry {
     "q_session_window" -> (qSessionWindow _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_source_mix" -> (qSourceMix _),
+    "q_set_ops_all" -> (qSetOpsAll _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2851,7 +2871,7 @@ object SparkEntry {
         |  FROM e),
         |sess AS (
         |  SELECT user_id, sec,
-        |    CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY sec, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      AS session_id
@@ -2886,5 +2906,17 @@ object SparkEntry {
         |  CAST(toks AS BIGINT) AS est_tokens,
         |  CAST((toks * 1000000) // total AS BIGINT) AS share_ppm
         |FROM agg CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "q_set_ops_all" ->
+      """WITH a AS (SELECT l_returnflag FROM lineitem),
+        |b AS (SELECT l_returnflag FROM lineitem WHERE l_linenumber > 1),
+        |ea AS (SELECT l_returnflag FROM a EXCEPT ALL SELECT l_returnflag FROM b),
+        |ia AS (SELECT l_returnflag FROM a INTERSECT ALL SELECT l_returnflag FROM b),
+        |ec AS (SELECT l_returnflag, count(*) AS n_except FROM ea GROUP BY 1),
+        |ic AS (SELECT l_returnflag, count(*) AS n_intersect FROM ia GROUP BY 1)
+        |SELECT ec.l_returnflag, CAST(n_except AS BIGINT) AS n_except,
+        |  CAST(n_intersect AS BIGINT) AS n_intersect
+        |FROM ec JOIN ic ON ec.l_returnflag = ic.l_returnflag
+        |ORDER BY ec.l_returnflag""".stripMargin,
   )
 }

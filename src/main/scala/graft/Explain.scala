@@ -28,7 +28,10 @@ object Explain {
         try {
           val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
           val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
-          val sorts = "(?m)^\\s*[+:]- \\*?\\(?\\d*\\)? ?Sort ".r.findAllIn(plan).length
+          // "Sort [" matches Sort nodes anywhere, INCLUDING the root
+          // operator (every query's final ORDER BY) — SortMergeJoin /
+          // SortAggregate print differently and don't false-match
+          val sorts = "Sort \\[".r.findAllIn(plan).length
           val bcast = if (plan.contains("BroadcastHashJoin") ||
             plan.contains("BroadcastNestedLoop")) "yes" else "-"
           val push = if (plan.contains("PushedFilters: [")
@@ -41,7 +44,7 @@ object Explain {
             if (plan.contains("Generate")) Some("gen") else None,
             if (plan.contains("SortMergeJoin")) Some("smj") else None).flatten.mkString(",")
           println(f"$n%-26s $hashEx%6d $sorts%5d $bcast%5s $push%8s $wscg%4d  $notes")
-        } catch { case e: Throwable => println(f"$n%-26s ERROR ${e.getMessage.take(60)}") }
+        } catch { case e: Throwable => println(f"$n%-26s ERROR ${e.toString.take(80)}") }
       }
     } else {
       val names = if (args.nonEmpty) args.toSeq

@@ -1486,16 +1486,20 @@ object SparkEntry {
     val items = t(s, dir, "lineitem")
       .filter(col("l_partkey") % 10 === 0)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    // materialize the edge list ONCE (same discipline as dupClusters):
-    // referenced three times below, an unmaterialized edge list would
-    // replicate the items self-join lineage into every branch (13 hash
-    // exchanges instead of ~4 — measured via Explain --audit)
+    // materialize the edge list ONCE: referenced three times below, an
+    // unmaterialized edge list would replicate the items self-join
+    // lineage into every branch (13 hash exchanges instead of ~5 —
+    // measured via Explain --audit). LAZY checkpoint so constructing
+    // the DataFrame (plan audits, explain dumps) runs no job; the edge
+    // RDD persists for the session — acceptable for a query-contract
+    // entry (edge lists are tiny), but a long-lived service would
+    // manage the materialization lifecycle explicitly à la dupClusters
     val edges = items.as("a").join(items.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     edges.as("e1")
       .join(edges.as("e2"), col("e1.v") === col("e2.u"))
       .join(edges.as("e3"),
@@ -1545,13 +1549,19 @@ object SparkEntry {
 
   /** Dataset-card accounting: documents and estimated tokens per source
     * with each source's exact share in ppm (integer arithmetic — no
-    * float ratios). The total joins back via a broadcast of the 1-row
-    * grand aggregate, not a window over the whole table. */
+    * float ratios). The grand total is a global window over the
+    * PER-SOURCE AGGREGATE (one row per source), not over the corpus:
+    * the scan + tokenization runs once, and the single-partition window
+    * touches only the handful of post-agg rows. (A crossJoin with a
+    * re-aggregated total would re-execute the whole heavy lineage —
+    * partial-agg shapes differ, so ReuseExchange can't dedupe it.) */
   private def qSourceMix(s: SparkSession, dir: String): DataFrame = {
-    val agg = TextOps.withTokenEstimate(t(s, dir, "documents"), "text")
+    import org.apache.spark.sql.expressions.Window
+    TextOps.withTokenEstimate(t(s, dir, "documents"), "text")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("est_tokens")).as("toks"))
-    agg.crossJoin(broadcast(agg.agg(sum(col("toks")).as("total"))))
+      .withColumn("total",
+        sum(col("toks")).over(Window.partitionBy()))
       .select(col("source"), col("n_docs"), col("toks").as("est_tokens"),
         expr("(toks * 1000000) div total").as("share_ppm"))
       .orderBy(col("source"))

@@ -1619,6 +1619,25 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
+    * supplier diversity per (brand, size) excluding flagged suppliers.
+    * NOT IN's three-valued null semantics plan as a null-aware anti
+    * join in Catalyst; the subquery column is non-nullable here, so
+    * both engines agree (a nullable column would make NOT IN vacuous —
+    * the classic SQL trap, deliberately avoided and documented). */
+  private val nestedNotInText: String =
+    """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#4' AND p_size IN (1, 5, 9, 13)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  private def qNestedNotIn(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(nestedNotInText)
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -1753,6 +1772,7 @@ object SparkEntry {
     "q_source_mix" -> (qSourceMix _),
     "q_set_ops_all" -> (qSetOpsAll _),
     "q_pagerank" -> (qPagerank _),
+    "q_nested_not_in" -> (qNestedNotIn _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2991,5 +3011,8 @@ object SparkEntry {
         |  CAST(deg.d AS BIGINT) AS degree
         |FROM pr3 JOIN deg ON pr3.node = deg.u
         |ORDER BY pr3.node""".stripMargin,
+
+    // shared SQL text: the oracle runs the same string spark.sql ran
+    "q_nested_not_in" -> nestedNotInText,
   )
 }

@@ -274,6 +274,51 @@ class StreamingSpec extends SparkSpec {
       ("b", t0 / 1000, 1L)))
   }
 
+  test("streaming Count-Min sketch: cell counters accumulate across micro-batches") {
+    // CMS over a stream = the deterministic cell projection (d=3 md5
+    // hash rows per record, w=16 buckets) feeding the existing per-key
+    // counting processor — the counter table IS per-key running state.
+    // The estimate (min over a key's 3 cells) is read from the sink.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val stream = MemoryStream[Envelope](spark)
+    val cells = OrderPipeline.process(stream.toDF())
+      .select(col("orderId"), explode(array((0 until 3).map(lit(_)): _*)).as("d"))
+      .withColumn("w",
+        conv(substring(md5(concat(col("d").cast("string"), lit("|"),
+          col("orderId")).cast("binary")), 1, 8), 16, 10).cast("long") % 16)
+      .select(concat(col("d"), lit(":"), col("w")).as("cell"), lit(1.0).as("one"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new OrderPipeline.RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val q = cells.toDF("cell", "n", "mean").writeStream
+      .outputMode("update").format("memory").queryName("cms_cells").start()
+    stream.addData(envelope(0, "a", 100.0f), envelope(1, "b", 100.0f))
+    q.processAllAvailable()
+    stream.addData(envelope(2, "a", 100.0f)) // second "a" in a later batch
+    q.processAllAvailable(); q.stop()
+    // replay the projection's hashing driver-side for the expected cells
+    def cellsOf(id: String): Seq[String] = (0 until 3).map { d =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$d|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      s"$d:${java.lang.Long.parseLong(hex, 16) % 16}"
+    }
+    val counters = spark.table("cms_cells")
+      .groupBy($"cell").agg(max($"n").as("n")) // update mode: last write wins
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def estimate(id: String): Long = cellsOf(id).map(counters(_)).min
+    val collisions = cellsOf("a").toSet.intersect(cellsOf("b").toSet)
+    // admissibility always; exact when some cell of a is collision-free
+    assert(estimate("a") >= 2L)
+    if (collisions.size < 3) assert(estimate("a") === 2L)
+    assert(estimate("b") >= 1L)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("per-key custom state accumulates across micro-batches") {
     val stream = MemoryStream[Envelope](spark)
     val stats = OrderPipeline.perKeyRunningStats(

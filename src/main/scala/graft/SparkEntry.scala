@@ -1638,6 +1638,33 @@ object SparkEntry {
     s.sql(nestedNotInText)
   }
 
+  /** Doubly-correlated EXISTS + NOT EXISTS (TPC-H Q21 shape) as ONE
+    * shared SQL text: suppliers who shipped late on multi-supplier
+    * orders where every OTHER supplier shipped on time. The NOT EXISTS
+    * correlates on both the sibling lineitem AND the outer order's
+    * date — the hardest decorrelation shape in the contract (Catalyst
+    * rewrites both into join form). Interval arithmetic
+    * (`+ INTERVAL 60 DAY`) parses identically in both engines. */
+  private val lateSuppliersText: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |  AND s_suppkey % 4 = 0
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  private def qLateSuppliers(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(lateSuppliersText)
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -1773,6 +1800,7 @@ object SparkEntry {
     "q_set_ops_all" -> (qSetOpsAll _),
     "q_pagerank" -> (qPagerank _),
     "q_nested_not_in" -> (qNestedNotIn _),
+    "q_late_suppliers" -> (qLateSuppliers _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3014,5 +3042,6 @@ object SparkEntry {
 
     // shared SQL text: the oracle runs the same string spark.sql ran
     "q_nested_not_in" -> nestedNotInText,
+    "q_late_suppliers" -> lateSuppliersText,
   )
 }

@@ -11,7 +11,7 @@ class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
   test("mergeSchema reads old and new file generations as one table") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-evolve-").toString
+    val dir = tmpDir("graft-evolve-")
     // generation 1: (id, v); generation 2 adds a column (id, v, lang)
     Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
       .write.mode("overwrite").parquet(s"$dir/g=1")
@@ -28,7 +28,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("writer bounds records per file and keeps rows sorted within partitions") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-writer-").toString
+    val dir = tmpDir("graft-writer-")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .repartition(1)
       .sortWithinPartitions($"doc_id")
@@ -38,20 +38,16 @@ class LayoutSpec extends SparkSpec {
       .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
     // 500 docs at <=100 records per file -> at least 5 files
     assert(files.length >= 5, s"expected split files, got ${files.length}")
-    files.foreach { f =>
+    val ranges = files.map { f =>
       val ids = spark.read.parquet(f.getAbsolutePath)
         .select($"doc_id").as[Long].collect()
       assert(ids.length <= 100, s"${f.getName} exceeds maxRecordsPerFile")
       // sortWithinPartitions survives the file split -> each file is a
       // sorted run with tight min/max (the pruning property)
       assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted")
-    }
-    // file-level min/max ranges must not overlap (global sorted layout)
-    val ranges = files.map { f =>
-      val ids = spark.read.parquet(f.getAbsolutePath)
-        .agg(min($"doc_id"), max($"doc_id")).head()
-      (ids.getLong(0), ids.getLong(1))
+      (ids.head, ids.last)
     }.sortBy(_._1)
+    // file-level min/max ranges must not overlap (global sorted layout)
     ranges.sliding(2).foreach {
       case Array((_, hi), (lo, _)) => assert(hi < lo, "file ranges overlap")
       case _ =>

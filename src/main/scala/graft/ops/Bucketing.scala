@@ -37,15 +37,23 @@ object Bucketing {
 
   /** Ensure a bucketed+sorted copy of `df` exists as a catalog table;
     * returns the table name. Idempotent per (session, dir, name). The
-    * table name embeds the sanitized NORMALIZED source path — not a
-    * 32-bit hash — so distinct dirs can never collide and a trailing
-    * slash doesn't create a redundant copy. Layout assumes the source
-    * files are immutable for the session's lifetime (the usual ETL
-    * contract); a regenerated source needs a new session. */
+    * table name embeds the sanitized NORMALIZED source path plus a
+    * sha1 prefix of the exact normalized path — sanitization alone maps
+    * e.g. /data/sf-1 and /data/sf_1 to the same identifier, so the hash
+    * is what guarantees distinct dirs never share a table. Layout
+    * assumes the source files are immutable for the session's lifetime
+    * (the usual ETL contract); a regenerated source needs a new
+    * session. */
   def ensureBucketed(s: SparkSession, dir: String, name: String, df: => DataFrame,
       key: String, buckets: Int): String = synchronized {
     val normalized = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
-    val tbl = s"graft_bkt_${name}_" + normalized.replaceAll("[^a-zA-Z0-9]", "_")
+    val pathTag = {
+      val d = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(normalized.getBytes("UTF-8"))
+      d.take(6).map(b => f"$b%02x").mkString
+    }
+    val tbl = s"graft_bkt_${name}_${pathTag}_" +
+      normalized.replaceAll("[^a-zA-Z0-9]", "_")
     if (!s.catalog.tableExists(tbl)) {
       val path = java.nio.file.Files.createTempDirectory(s"graft-bkt-$name-")
       createdDirs.add(path)

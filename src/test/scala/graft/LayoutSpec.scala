@@ -10,6 +10,23 @@ import org.apache.spark.sql.functions._
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ensureBucketed gives sanitization-colliding dirs distinct tables") {
+    // "/x/sf-1" and "/x/sf_1" sanitize to the same identifier; the sha1
+    // path tag in the table name is what keeps them from silently
+    // sharing one bucketed copy.
+    val base = tmpDir("graft-bkt-collide-")
+    val d1 = s"$base/sf-1"; val d2 = s"$base/sf_1"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(d1)
+    Seq((2L, "b")).toDF("k", "v").write.parquet(d2)
+    val t1 = graft.ops.Bucketing.ensureBucketed(
+      spark, d1, "collide", spark.read.parquet(d1), "k", 2)
+    val t2 = graft.ops.Bucketing.ensureBucketed(
+      spark, d2, "collide", spark.read.parquet(d2), "k", 2)
+    assert(t1 !== t2)
+    assert(spark.table(t1).head().getLong(0) === 1L)
+    assert(spark.table(t2).head().getLong(0) === 2L)
+  }
+
   test("mergeSchema reads old and new file generations as one table") {
     val dir = tmpDir("graft-evolve-")
     // generation 1: (id, v); generation 2 adds a column (id, v, lang)

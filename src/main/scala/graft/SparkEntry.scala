@@ -1665,6 +1665,184 @@ object SparkEntry {
     s.sql(lateSuppliersText)
   }
 
+  /** Window distribution functions (ntile / percent_rank / cume_dist)
+    * plus explicit-arithmetic bucketing, as ONE shared SQL text with a
+    * named WINDOW clause. The ORDER BY inside the window ends with the
+    * unique c_custkey, so no two rows are peers and both engines'
+    * rank-based doubles are the same single IEEE division. (DuckDB has
+    * no width_bucket, so the bucket is spelled as floor arithmetic —
+    * identical doubles either way.) */
+  private val ntileDistText: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cdist,
+      |  1 + CAST(floor((c_acctbal - (-1000.0)) * 22 / 11000.0) AS BIGINT)
+      |    AS balance_bucket
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  private def qNtileDist(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(ntileDistText)
+  }
+
+  /** Aggregate FILTER clauses + boolean aggregates as ONE shared SQL
+    * text — the ANSI spelling of conditional aggregation (one scan, no
+    * self-joins), all within map-side partial aggregation. Sums run in
+    * integer cents; a filter that matches nothing yields NULL, hence
+    * the coalesce. */
+  private val aggFiltersText: String =
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+      |  coalesce(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      FILTER (WHERE l_linestatus = 'F'), 0) / CAST(100.0 AS DOUBLE)
+      |    AS finished_revenue,
+      |  bool_and(l_quantity > 0) AS all_positive_qty,
+      |  bool_or(l_tax > 0.07) AS any_high_tax
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private def qAggFilters(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(aggFiltersText)
+  }
+
+  /** Semi-structured VARIANT surface (Spark 4's open-schema type): a
+    * JSON document assembled per event is parsed ONCE into a variant,
+    * then typed paths are extracted with variant_get — object field,
+    * nested array index, string field, and a deliberately wrong-typed
+    * try_variant_get that must yield NULL instead of failing. The
+    * oracle replays the same extractions with DuckDB's JSON functions,
+    * so the values (not the engine's internal encoding) are what's
+    * certified. schema_of_variant pins Spark's inferred shape. */
+  private def qVariant(s: SparkSession, dir: String): DataFrame = {
+    val kval = coalesce(get_json_object(col("props"), "$.k"), lit("-1"))
+    val js = concat(
+      lit("{\"u\":"), col("user_id"),
+      lit(",\"t\":\""), col("event_type"),
+      lit("\",\"vals\":["), kval, lit(","), (kval.cast("bigint") * 2).cast("string"),
+      lit("]}"))
+    events(s, dir)
+      .select(col("event_id"), parse_json(js).as("v"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.u', 'bigint')").as("u"),
+        expr("variant_get(v, '$.t', 'string')").as("t"),
+        expr("variant_get(v, '$.vals[1]', 'bigint')").as("k2"),
+        expr("try_variant_get(v, '$.t', 'bigint')").as("t_as_int"),
+        expr("schema_of_variant(v)").as("v_schema"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Event-sequence funnel (signup → click → purchase, each stage
+    * within 24 h of the previous) — the conversion analysis every
+    * event-stream product runs. Spelled as three successive
+    * min-aggregations joined on user_id rather than a per-user sort:
+    * every stage is a shuffle on the natural user_id key with map-side
+    * partial min, so the plan scales with users × stages and never
+    * materializes per-user event lists. Timestamps are integer epoch
+    * seconds end-to-end ([[oracle-bit-parity-policy]]: events.ts is
+    * nanos-as-long). */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("event_type"),
+      expr("ts div 1000000000").as("sec"))
+    val day = 86400L
+    val users = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t_signup"))
+    val s2 = e.join(s1, "user_id")
+      .filter(col("event_type") === "click" &&
+        col("sec") >= col("t_signup") && col("sec") <= col("t_signup") + day)
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t_click"))
+    val s3 = e.join(s2, "user_id")
+      .filter(col("event_type") === "purchase" &&
+        col("sec") >= col("t_click") && col("sec") <= col("t_click") + day)
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t_purchase"))
+    users
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"),
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .when(col("t_signup").isNotNull, 1L)
+          .otherwise(0L).as("stage"),
+        col("t_signup"), col("t_click"), col("t_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Bloom-filter runtime pruning (ops/BloomPrune.scala): high-balance
+    * supplier keys are compressed into 16 Kbit of bloom words by a
+    * distributed bit_or aggregate, the fact scan is pre-filtered by the
+    * pure-expression membership probe, and the exact broadcast join
+    * then removes bloom false positives — same answer as the plain
+    * semi-join (the oracle), with only the ~matching fraction of
+    * lineitem surviving past the scan. */
+  private def qBloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+      .filter(col("s_acctbal") > 8000.0)
+      .select(col("s_suppkey"))
+    val words = graft.ops.BloomPrune.buildWords(sup, "s_suppkey",
+      numBits = 16384, numHashes = 3)
+    t(s, dir, "lineitem")
+      .filter(graft.ops.BloomPrune.mightContain(words, 3, col("l_suppkey")))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(Analytics.cents(col("l_extendedprice"))) / 100.0).as("revenue"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** 2-D skyline (pareto frontier): the cheapest part at every size
+    * where no smaller size is at least as cheap. Skyline is computed
+    * the distributive way — a full groupBy first collapses the fact
+    * table to one row per distinct size (bounded domain), and only that
+    * tiny frontier candidate set flows through the ordered prefix-min
+    * window; the unpartitioned window is over ≤|distinct sizes| rows,
+    * never the raw table. Ties inside a size resolve by the encoded
+    * (price_cents, partkey) pair min — deterministic in both engines. */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = t(s, dir, "part")
+      .select(col("p_size"),
+        (Analytics.cents(col("p_retailprice")) * 100000000L + col("p_partkey")).as("e"))
+      .groupBy(col("p_size")).agg(min(col("e")).as("enc"))
+      .select(col("p_size").cast("long").as("p_size"),
+        expr("enc div 100000000").as("best_c"),
+        expr("enc % 100000000").as("best_partkey"))
+    val prior = Window.orderBy(col("p_size"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    enc.withColumn("pm", min(col("best_c")).over(prior))
+      .filter(col("pm").isNull || col("best_c") < col("pm"))
+      .select(col("p_size"), (col("best_c") / 100.0).as("best_price"),
+        col("best_partkey"))
+      .orderBy(col("p_size"))
+  }
+
+  /** Chunk-level (paragraph) dedup — the composition of the chunking
+    * Generator with digest dedup: documents are split into overlapping
+    * token windows, each chunk is fingerprinted, fingerprints occurring
+    * in more than one chunk mark their chunks as duplicated, and each
+    * document reports its duplicated-chunk ratio in exact ppm. The
+    * shuffle carries 16-byte digests (never chunk text), and the
+    * occurrence count joins back on the same digest key. */
+  private def qParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.chunking.chunk_document(TextOps.tokens(col("text")), 64, 16)
+          .as(Seq("chunk_idx", "chunk", "n_chunk_tokens")))
+      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("fp"))
+    val occ = chunks.groupBy(col("fp")).agg(count(lit(1)).as("n_occ"))
+    chunks.join(occ, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        expr("(n_dup_chunks * 1000000) div n_chunks").as("dup_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -1801,6 +1979,13 @@ object SparkEntry {
     "q_pagerank" -> (qPagerank _),
     "q_nested_not_in" -> (qNestedNotIn _),
     "q_late_suppliers" -> (qLateSuppliers _),
+    "q_ntile_dist" -> (qNtileDist _),
+    "q_agg_filters" -> (qAggFilters _),
+    "q_variant" -> (qVariant _),
+    "q_funnel" -> (qFunnel _),
+    "q_bloom_prune" -> (qBloomPrune _),
+    "q_skyline" -> (qSkyline _),
+    "q_paragraph_dedup" -> (qParagraphDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3043,5 +3228,88 @@ object SparkEntry {
     // shared SQL text: the oracle runs the same string spark.sql ran
     "q_nested_not_in" -> nestedNotInText,
     "q_late_suppliers" -> lateSuppliersText,
+
+    // shared SQL texts (both engines run the identical string)
+    "q_ntile_dist" -> ntileDistText,
+    "q_agg_filters" -> aggFiltersText,
+
+    "q_variant" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, event_type,
+        |    coalesce(json_extract_string(props, '$.k'), '-1') AS k
+        |  FROM events),
+        |j AS (
+        |  SELECT event_id,
+        |    '{"u":' || user_id || ',"t":"' || event_type || '","vals":[' ||
+        |      k || ',' || (CAST(k AS BIGINT) * 2) || ']}' AS js
+        |  FROM b)
+        |SELECT event_id,
+        |  CAST(json_extract(js, '$.u') AS BIGINT) AS u,
+        |  json_extract_string(js, '$.t') AS t,
+        |  CAST(json_extract(js, '$.vals[1]') AS BIGINT) AS k2,
+        |  TRY_CAST(json_extract_string(js, '$.t') AS BIGINT) AS t_as_int,
+        |  'OBJECT<t: STRING, u: BIGINT, vals: ARRAY<BIGINT>>' AS v_schema
+        |FROM j ORDER BY event_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec
+        |  FROM events),
+        |u AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY 1),
+        |s1 AS (SELECT user_id, min(sec) AS t_signup FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(sec) AS t_click FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click'
+        |         AND sec >= t_signup AND sec <= t_signup + 86400
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(sec) AS t_purchase FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase'
+        |         AND sec >= t_click AND sec <= t_click + 86400
+        |       GROUP BY e.user_id)
+        |SELECT u.user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |            WHEN t_click IS NOT NULL THEN 2
+        |            WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  t_signup, t_click, t_purchase
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // the bloom is answer-transparent (false positives die in the exact
+    // join), so the oracle is the plain semi-join the user would write
+    "q_bloom_prune" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    / CAST(100.0 AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 8000)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q_skyline" ->
+      """WITH bysize AS (
+        |  SELECT p_size,
+        |    min(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * 100000000
+        |        + p_partkey) AS enc
+        |  FROM part GROUP BY p_size),
+        |d AS (SELECT CAST(p_size AS BIGINT) AS p_size, enc // 100000000 AS best_c,
+        |             enc % 100000000 AS best_partkey FROM bysize),
+        |w AS (SELECT *, min(best_c) OVER (ORDER BY p_size
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d)
+        |SELECT p_size, best_c / CAST(100.0 AS DOUBLE) AS best_price, best_partkey
+        |FROM w WHERE pm IS NULL OR best_c < pm ORDER BY p_size""".stripMargin,
+
+    "q_paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS start
+        |  FROM t WHERE len(tk) > 0),
+        |ch AS (
+        |  SELECT doc_id, md5(array_to_string(tk[start+1:start+64], ' ')) AS fp
+        |  FROM c),
+        |occ AS (SELECT fp, count(*) AS n_occ FROM ch GROUP BY fp)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE n_occ > 1) AS BIGINT) AS n_dup_chunks,
+        |  (count(*) FILTER (WHERE n_occ > 1) * 1000000) // count(*) AS dup_ppm
+        |FROM ch JOIN occ USING (fp) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

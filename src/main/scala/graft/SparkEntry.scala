@@ -1772,6 +1772,43 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** The SAME distribution functions as q_ntile_dist, through the
+    * two-pass grouped rank (ops/ScalablePrefix.groupedRank) instead of
+    * a window: `PARTITION BY c_mktsegment` has ~5 distinct values, so
+    * the window form funnels each segment through one task; the
+    * two-pass path range-partitions on (segment, balance, key) and
+    * reassembles ranks from per-(partition, group) counts.
+    * percent_rank/cume_dist/ntile are then pure arithmetic on
+    * (rank, group size) — each a single IEEE division or integer div,
+    * bit-identical to the window definitions in both engines. The
+    * oracle runs the WINDOW formulation: the 100 TB path must produce
+    * the exact rows the one-task form would. */
+  private def qRankScalable(s: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey")),
+      groupCol = "c_mktsegment", orderCol = "c_acctbal", idCol = "c_custkey",
+      numPartitions = 32)
+    // ntile(b): first (n % b) buckets get (n div b + 1) rows, the rest
+    // (n div b) — positional arithmetic on (rnk, grp_n), guarded for
+    // the degenerate grp_n < b case where the else-divisor is zero
+    val b = 4L
+    ranked
+      .withColumn("q", expr(s"grp_n div $b"))
+      .withColumn("r", col("grp_n") % b)
+      .withColumn("quartile",
+        when(col("rnk") <= col("r") * (col("q") + 1),
+          expr("(rnk - 1) div (q + 1) + 1"))
+          .otherwise(expr("r + (rnk - r * (q + 1) - 1) div q + 1")))
+      .select(col("c_custkey"), col("c_mktsegment"), col("rnk"),
+        when(col("grp_n") > 1,
+          (col("rnk") - 1).cast("double") / (col("grp_n") - 1))
+          .otherwise(lit(0.0)).as("pct_rank"),
+        (col("rnk").cast("double") / col("grp_n")).as("cdist"),
+        col("quartile"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Bloom-filter runtime pruning (ops/BloomPrune.scala): high-balance
     * supplier keys are compressed into 16 Kbit of bloom words by a
     * distributed bit_or aggregate, the fact scan is pre-filtered by the
@@ -1980,6 +2017,7 @@ object SparkEntry {
     "q_nested_not_in" -> (qNestedNotIn _),
     "q_late_suppliers" -> (qLateSuppliers _),
     "q_ntile_dist" -> (qNtileDist _),
+    "q_rank_scalable" -> (qRankScalable _),
     "q_agg_filters" -> (qAggFilters _),
     "q_variant" -> (qVariant _),
     "q_funnel" -> (qFunnel _),
@@ -3231,6 +3269,17 @@ object SparkEntry {
 
     // shared SQL texts (both engines run the identical string)
     "q_ntile_dist" -> ntileDistText,
+
+    // oracle = the WINDOW formulation; the engine runs the two-pass path
+    "q_rank_scalable" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(row_number() OVER w AS BIGINT) AS rnk,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q_agg_filters" -> aggFiltersText,
 
     "q_variant" ->

@@ -72,4 +72,68 @@ object ScalablePrefix {
       StructField(keyCol, LongType), StructField(valueCol, LongType),
       StructField("run_cnt", LongType), StructField("run_sum", LongType))))
   }
+
+  /** Per-group rank by (orderCol, idCol) — the two-pass answer to
+    * `row_number().over(Window.partitionBy(group).orderBy(...))` when
+    * the group column is LOW-cardinality (segments, languages): the
+    * window form funnels each group through one task, while this path
+    * range-partitions on (group, order, id) so every partition holds a
+    * contiguous slice of at most a few groups and ranks are assembled
+    * from per-(partition, group) counts — only O(partitions × groups
+    * crossing a boundary) tuples ever reach the driver.
+    *
+    * Returns (groupCol, idCol, rnk, grp_n): 1-based dense position in
+    * ascending (orderCol, idCol) order and the group's total count —
+    * enough to derive percent_rank/cume_dist/ntile arithmetically.
+    * (orderCol double, idCol long; (orderCol, idCol) must be unique
+    * within a group, which an id tiebreak guarantees.) */
+  def groupedRank(spark: SparkSession, df: DataFrame, groupCol: String,
+      orderCol: String, idCol: String, numPartitions: Int): DataFrame = {
+    val sorted = df
+      .select(col(groupCol).cast("string"), col(orderCol).cast("double"),
+        col(idCol).cast("long"))
+      .repartitionByRange(numPartitions, col(groupCol), col(orderCol), col(idCol))
+      .sortWithinPartitions(col(groupCol), col(orderCol), col(idCol))
+
+    val rdd = sorted.queryExecution.toRdd.mapPartitions(
+      _.map(ir => (ir.getUTF8String(0).toString, ir.getDouble(1), ir.getLong(2))),
+      preservesPartitioning = true)
+
+    // pass 1: per-(partition, group) counts — tiny, because the range
+    // partitioning keeps each group contiguous across partitions
+    val partGroupCounts = rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (g, _, _) => counts.update(g, counts.getOrElse(g, 0L) + 1L) }
+        counts.iterator.map { case (g, c) => (pid, g, c) }
+      }
+      .collect()
+
+    // exclusive scan per group over partition order -> starting offsets;
+    // plus each group's total for the caller's distribution arithmetic
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+    val running = scala.collection.mutable.HashMap.empty[String, Long]
+    partGroupCounts.sortBy(_._1).foreach { case (pid, g, c) =>
+      offsets((pid, g)) = running.getOrElse(g, 0L)
+      running(g) = running.getOrElse(g, 0L) + c
+    }
+    val totals = running.toMap
+    val offB = spark.sparkContext.broadcast(offsets.toMap)
+    val totB = spark.sparkContext.broadcast(totals)
+
+    // pass 2: narrow per-partition rank emit
+    val out = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val local = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { case (g, _, id) =>
+        val r = local.getOrElse(g, offB.value((pid, g))) + 1L
+        local(g) = r
+        Row(g, id, r, totB.value(g))
+      }
+    }
+
+    spark.createDataFrame(out, StructType(Seq(
+      StructField(groupCol, org.apache.spark.sql.types.StringType),
+      StructField(idCol, LongType),
+      StructField("rnk", LongType), StructField("grp_n", LongType))))
+  }
 }

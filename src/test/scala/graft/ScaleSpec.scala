@@ -95,6 +95,29 @@ class ScaleSpec extends SparkSpec {
     assert(got === viaWindow)
   }
 
+  test("two-pass grouped rank equals the window formulation, no WindowExec") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.ScalablePrefix
+    // low-cardinality groups (3) over enough rows that every group
+    // spans several of the 7 range partitions, with duplicate order
+    // values to exercise the id tiebreak
+    val df = spark.range(0, 5000)
+      .select(($"id" % 3).cast("string").as("g"),
+        (($"id" * 37) % 101).cast("double").as("v"), $"id".as("k"))
+    val viaWindow = df
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"g").orderBy($"v", $"k")).cast("long"))
+      .withColumn("grp_n", count(lit(1)).over(Window.partitionBy($"g")))
+      .select($"g", $"k", $"rnk", $"grp_n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val twoPass = ScalablePrefix.groupedRank(spark, df, "g", "v", "k", numPartitions = 7)
+    assert(!twoPass.queryExecution.executedPlan.toString.contains("Window"),
+      "grouped rank must not use a window")
+    val got = twoPass.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(got === viaWindow)
+  }
+
   test("interval bucket decomposition equals the theta join") {
     // 50k intervals (length 0..12) vs 100 windows (length 20): the
     // equi-join-on-bucket + dedup-by-max-start form must reproduce the

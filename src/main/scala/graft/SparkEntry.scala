@@ -980,6 +980,22 @@ object SparkEntry {
         col("is_representative"))
       .orderBy(col("doc_id"))
 
+  /** The SAME clustering answer as q_dup_clusters, computed by
+    * alternating large-star/small-star contraction (ops/StarCC.scala)
+    * instead of min-label propagation: O(log n) rounds regardless of
+    * component diameter, vs O(diameter) for min-label — the formulation
+    * that survives adversarial topology at 100 TB. One recursive
+    * ground-truth oracle gates both algorithms. */
+  private def qCcStar(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      k = 5, minSim = 0.05)
+    val (labels, _) = graft.ops.StarCC.labels(pairs, "d1", "d2")
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster"),
+        (col("label") === col("node")).as("is_representative"))
+      .orderBy(col("doc_id"))
+  }
+
   /** N-gram decontamination: overlap of each doc's 5-gram shingles with
     * a small "benchmark" subset (doc_id % 97 == 0), benchmark side
     * broadcast. */
@@ -1899,6 +1915,35 @@ object SparkEntry {
   private def duckCos(dab: String, daa: String, dbb: String): String =
     s"($dab / 1000000000.0) / (sqrt($daa / 1000000000.0) * sqrt($dbb / 1000000000.0))"
 
+  /** Recursive-reachability oracle for connected components over the
+    * Jaccard near-dup pair graph — shared by q_dup_clusters (min-label
+    * propagation) and q_cc_star (star contraction): two different
+    * distributed algorithms, one ground truth. */
+  private lazy val dupClustersOracle: String =
+    s"""WITH RECURSIVE $duckShingles,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |cand AS (
+       |  SELECT doc_id, s FROM sh
+       |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s
+       |                  HAVING count(*) > ${graft.llm.Dedup.DefaultMaxShingleDf})),
+       |p AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+       |  FROM cand a JOIN cand b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM p
+       |  JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+       |  WHERE shared / (c1.n + c2.n - shared) >= 0.05),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |          UNION SELECT d2, d1 FROM pairs),
+       |reach AS (
+       |  SELECT a AS node, a AS label FROM edges
+       |  UNION
+       |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node)
+       |SELECT node AS doc_id, min(label) AS cluster,
+       |       min(label) = node AS is_representative
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   /** DuckDB rendering of Dedup.shingles (k=5, distinct). */
   private val duckShingles: String =
     """sh AS (
@@ -2018,6 +2063,7 @@ object SparkEntry {
     "q_late_suppliers" -> (qLateSuppliers _),
     "q_ntile_dist" -> (qNtileDist _),
     "q_rank_scalable" -> (qRankScalable _),
+    "q_cc_star" -> (qCcStar _),
     "q_agg_filters" -> (qAggFilters _),
     "q_variant" -> (qVariant _),
     "q_funnel" -> (qFunnel _),
@@ -2915,30 +2961,11 @@ object SparkEntry {
         |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 5 = 0)
         |ORDER BY doc_id""".stripMargin,
 
-    "q_dup_clusters" ->
-      s"""WITH RECURSIVE $duckShingles,
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |cand AS (
-         |  SELECT doc_id, s FROM sh
-         |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s
-         |                  HAVING count(*) > ${graft.llm.Dedup.DefaultMaxShingleDf})),
-         |p AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-         |  FROM cand a JOIN cand b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT d1, d2 FROM p
-         |  JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
-         |  WHERE shared / (c1.n + c2.n - shared) >= 0.05),
-         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-         |          UNION SELECT d2, d1 FROM pairs),
-         |reach AS (
-         |  SELECT a AS node, a AS label FROM edges
-         |  UNION
-         |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node)
-         |SELECT node AS doc_id, min(label) AS cluster,
-         |       min(label) = node AS is_representative
-         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q_dup_clusters" -> dupClustersOracle,
+
+    // same semantic answer as q_dup_clusters — the engine runs star
+    // contraction instead of min-label propagation
+    "q_cc_star" -> dupClustersOracle,
 
     "q_contamination" ->
       s"""WITH $duckShingles,

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components by alternating large-star / small-star
+  * contraction — the O(log n)-round CC algorithm (Kiveris, Lattanzi,
+  * Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+  * MapReduce and Beyond", SoCC 2014; PAPERS.md).
+  *
+  * Why it exists next to Dedup.dupClusters' min-label propagation:
+  * min-label needs O(diameter) rounds — fine for near-dup clusters
+  * (shallow stars by construction), a cliff for general graphs where a
+  * chain of length 10⁴ means 10⁴ shuffles. Star contraction halves
+  * component depth every other round REGARDLESS of shape, so a 100 TB
+  * edge set with adversarial topology still converges in tens of
+  * rounds, each round a groupBy + join on node ids (map-side combined,
+  * never materializing a neighborhood list on the driver).
+  *
+  * large-star(u): every strictly-larger neighbor of u is re-attached
+  * to m = min(Γ⁺(u)); small-star(u): every smaller-or-equal neighbor
+  * and u itself re-attach to m. Both preserve connectivity; their
+  * alternation contracts every component to a star centered at its
+  * minimum node id.
+  */
+object StarCC {
+
+  /** Component labels for `pairs` (two node columns, undirected, any
+    * orientation): returns (node, label) with label = component min,
+    * one row per distinct node occurring in `pairs`, plus the number
+    * of large+small rounds taken. */
+  def labels(pairs: DataFrame, c1: String, c2: String,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    // canonical undirected edge set (a < b); self-loops dropped
+    var edges = pairs
+      .select(least(col(c1), col(c2)).as("a"), greatest(col(c1), col(c2)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+
+    // order-independent, overflow-free edge-set fingerprint (edges are
+    // distinct within a round, so xor cancellation cannot occur)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        call_function("bit_xor", xxhash64(col("a"), col("b")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // one star step over the symmetric neighborhood view. large step:
+    // re-attach strictly larger neighbors; small step: re-attach
+    // smaller-or-equal neighbors and u itself.
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val m = sym.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
+      val nbr = sym.join(m, "u")
+      val out =
+        if (large) nbr.filter(col("v") > col("u")).select(col("v"), col("m"))
+        else nbr.filter(col("v") <= col("u")).select(col("v"), col("m"))
+          .union(m.select(col("u").as("v"), col("m")))
+      out.filter(col("v") =!= col("m"))
+        .select(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b"))
+        .distinct()
+        .localCheckpoint(eager = true)
+    }
+
+    var fp = fingerprint(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = star(star(edges, large = true), large = false)
+      val nfp = fingerprint(next)
+      edges.unpersist()
+      edges = next
+      rounds += 2
+      if (nfp == fp) converged = true
+      fp = nfp
+    }
+    if (!converged) throw new IllegalStateException(
+      s"StarCC did not converge within $maxRounds rounds")
+
+    // terminal state is a forest of stars centered at component minima:
+    // every node's label is the min over its closed neighborhood
+    val sym = edges.select(col("a").as("node"), col("b").as("v"))
+      .union(edges.select(col("b").as("node"), col("a").as("v")))
+    val out = sym.groupBy(col("node"))
+      .agg(least(min(col("v")), first(col("node"))).as("label"))
+    edges.unpersist()
+    (out, rounds)
+  }
+}

@@ -707,6 +707,44 @@ object SparkEntry {
         countDistinct(col("o_custkey")).as("exact_distinct"))
       .orderBy(col("o_orderpriority"))
 
+  /** Sketch REUSE across aggregation levels: per-nation HLL register
+    * sketches of distinct parts supplied are materialized once, then
+    * the region level is computed by MERGING sketches (elementwise
+    * register max) — never rescanning raw data. Estimate-of-merge
+    * equals estimate-of-union exactly (max is associative/commutative/
+    * idempotent), so the oracle computes the region-level sketch
+    * directly from raw rows and must land on bit-identical estimates.
+    * This is how distinct-count rollups stay O(groups) instead of
+    * O(data) per level at 100 TB. The exact distinct (one extra
+    * aggregation, oracle-shared) sits alongside as the accuracy
+    * audit. */
+  private def qHllRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hll
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_nationkey"), col("n_regionkey"), col("l_partkey"),
+        conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val natSketch = li.groupBy(col("n_nationkey"), col("n_regionkey"))
+      .agg(Hll.hll_registers(col("h")).as("regs"))
+    val regSketch = natSketch.groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), Hll.hll_merge(col("regs")).as("regs"))
+    val exact = li.groupBy(col("n_regionkey"))
+      .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    regSketch.join(exact, "n_regionkey")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_nations"),
+        Hll.hll_estimate_registers(col("regs")).as("hll_estimate"),
+        col("exact_distinct"))
+      .orderBy(col("r_name"))
+  }
+
   /** Deterministic hash-based Bernoulli sampling (reproducible corpus
     * subsets — a pipeline staple; salt makes draws independent). */
   private def qSample(s: SparkSession, dir: String): DataFrame =
@@ -2064,6 +2102,7 @@ object SparkEntry {
     "q_ntile_dist" -> (qNtileDist _),
     "q_rank_scalable" -> (qRankScalable _),
     "q_cc_star" -> (qCcStar _),
+    "q_hll_rollup" -> (qHllRollup _),
     "q_agg_filters" -> (qAggFilters _),
     "q_variant" -> (qVariant _),
     "q_funnel" -> (qFunnel _),
@@ -2514,6 +2553,39 @@ object SparkEntry {
         |  d.exact_distinct
         |FROM s JOIN d ON s.o_orderpriority = d.o_orderpriority
         |ORDER BY s.o_orderpriority""".stripMargin,
+
+    // region sketches from raw rows; must equal the engine's
+    // merge-of-nation-sketches bit-for-bit (max-merge invariance)
+    "q_hll_rollup" ->
+      """WITH h AS (
+        |  SELECT n_nationkey, n_regionkey, l_partkey,
+        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |rh AS (
+        |  SELECT n_regionkey, h % 64 AS reg,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE CAST(log2(CAST((h // 64) & (-(h // 64)) AS DOUBLE)) AS INT) + 1
+        |    END AS rho
+        |  FROM h),
+        |regs AS (SELECT n_regionkey, reg, max(rho) AS mrho FROM rh GROUP BY 1, 2),
+        |s AS (
+        |  SELECT n_regionkey,
+        |    CAST(sum(CAST(1 AS BIGINT) << (55 - mrho)) AS BIGINT) AS t,
+        |    count(*) AS nreg
+        |  FROM regs GROUP BY 1),
+        |d AS (SELECT n_regionkey, count(DISTINCT l_partkey) AS exact_distinct,
+        |             count(DISTINCT n_nationkey) AS n_nations
+        |      FROM h GROUP BY 1)
+        |SELECT r_name, CAST(n_nations AS BIGINT) AS n_nations,
+        |  (0.709 * 64 * 64) /
+        |    (CAST(t + (64 - nreg) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)
+        |       / 36028797018963968.0) AS hll_estimate,
+        |  d.exact_distinct
+        |FROM s JOIN d USING (n_regionkey)
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY r_name""".stripMargin,
 
     "q_shipping_priority" ->
       """SELECT o_orderkey,

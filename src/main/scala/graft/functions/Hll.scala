@@ -63,4 +63,67 @@ object Hll {
     val fn = udaf(new HllAggregator, Encoders.scalaLong)
     (c: Column) => fn(c)
   }
+
+  /** Like HllAggregator but finishes with the REGISTER ARRAY instead of
+    * the estimate — the materialized-sketch form that makes rollups
+    * re-aggregable: store per-fine-group registers once, then any
+    * coarser grouping merges sketches instead of rescanning raw data.
+    * This is how distinct-count cubes stay O(groups), not O(data), at
+    * 100 TB. */
+  class HllRegistersAggregator extends Aggregator[Long, Array[Int], Seq[Int]] {
+    private val inner = new HllAggregator
+    override def zero: Array[Int] = inner.zero
+    override def reduce(buf: Array[Int], hash60: Long): Array[Int] =
+      inner.reduce(buf, hash60)
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = inner.merge(a, b)
+    override def finish(buf: Array[Int]): Seq[Int] = buf.toSeq
+    override def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+  }
+
+  /** Merges sketch rows (register arrays) by elementwise max — the
+    * rollup aggregate. Estimate-of-merge == estimate-of-union exactly,
+    * because max is associative/commutative/idempotent. */
+  class HllMergeAggregator extends Aggregator[Seq[Int], Array[Int], Seq[Int]] {
+    override def zero: Array[Int] = new Array[Int](M)
+    override def reduce(buf: Array[Int], regs: Seq[Int]): Array[Int] = {
+      var i = 0
+      while (i < M) { if (regs(i) > buf(i)) buf(i) = regs(i); i += 1 }
+      buf
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Int]): Seq[Int] = buf.toSeq
+    override def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+  }
+
+  lazy val hll_registers: Column => Column = {
+    val fn = udaf(new HllRegistersAggregator, Encoders.scalaLong)
+    (c: Column) => fn(c)
+  }
+
+  lazy val hll_merge: Column => Column = {
+    val fn = udaf(new HllMergeAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]())
+    (c: Column) => fn(c)
+  }
+
+  /** Estimate from a register-array column: the same exact-integer
+    * register sum and single-division arithmetic as HllAggregator
+    * .finish, as a pure expression (the higher-order fold runs over 64
+    * elements per GROUP — group-cardinality work, never row-work). */
+  def hll_estimate_registers(regs: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val total = aggregate(regs, lit(0L), (acc, r) =>
+      acc + call_function("shiftleft", lit(1L), (lit(MaxRho) - r).cast("int")))
+    lit(Alpha) / (total.cast("double") / lit(Scale))
+  }
 }

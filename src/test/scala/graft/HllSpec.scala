@@ -34,4 +34,17 @@ class HllSpec extends SparkSpec {
     assert(Hll.rho(8L) === 4)
     assert(Hll.rho(6L) === 2)
   }
+
+  test("estimate of merged sub-sketches equals direct estimate of the union") {
+    import org.apache.spark.sql.functions._
+    // split the same id space into 5 disjoint groups, sketch each,
+    // merge the sketch ROWS — must equal sketching the union directly
+    val ids = spark.range(5000).select(col("id"), (col("id") % 5).as("g"), hashCol.as("h"))
+    val direct = ids.agg(Hll.hll_sketch(col("h"))).head().getDouble(0)
+    val merged = ids.groupBy(col("g")).agg(Hll.hll_registers(col("h")).as("regs"))
+      .agg(Hll.hll_merge(col("regs")).as("m"))
+      .select(Hll.hll_estimate_registers(col("m")))
+      .head().getDouble(0)
+    assert(merged === direct)
+  }
 }

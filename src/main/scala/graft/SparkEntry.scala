@@ -1874,10 +1874,10 @@ object SparkEntry {
     val sup = t(s, dir, "supplier")
       .filter(col("s_acctbal") > 8000.0)
       .select(col("s_suppkey"))
-    val words = graft.ops.BloomPrune.buildWords(sup, "s_suppkey",
+    val bloom = graft.ops.BloomPrune.buildWords(sup, "s_suppkey",
       numBits = 16384, numHashes = 3)
     t(s, dir, "lineitem")
-      .filter(graft.ops.BloomPrune.mightContain(words, 3, col("l_suppkey")))
+      .filter(graft.ops.BloomPrune.mightContain(bloom, col("l_suppkey")))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_items"),
@@ -1892,7 +1892,11 @@ object SparkEntry {
     * tiny frontier candidate set flows through the ordered prefix-min
     * window; the unpartitioned window is over ≤|distinct sizes| rows,
     * never the raw table. Ties inside a size resolve by the encoded
-    * (price_cents, partkey) pair min — deterministic in both engines. */
+    * (price_cents, partkey) pair min — deterministic in both engines.
+    * Encoding capacity: partkey must stay below 1e8 (the pair stride)
+    * and cents below ~9.2e18/1e8 — QueriesSpec asserts the partkey
+    * bound on the verify datasets; a larger catalog needs a wider
+    * stride or a two-column lexicographic min. */
   private def qSkyline(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val enc = t(s, dir, "part")

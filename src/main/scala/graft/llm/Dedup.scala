@@ -201,13 +201,13 @@ object Dedup {
           col("label").as("prev_label"))
         .localCheckpoint(eager = true)
       val changed = next.filter(col("label") =!= col("prev_label")).count()
-      val prev = labels
       labels = next.drop("prev_label")
-      prev.unpersist() // release the superseded checkpoint copy eagerly
+      // no explicit unpersist: Dataset.unpersist does not cover
+      // localCheckpoint blocks (RDD-level, not CacheManager entries);
+      // superseded rounds are released by the ContextCleaner on GC
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     // silent wrong labels would surface only as an inexplicable result
     // mismatch far from the cause — fail loudly instead
     if (!converged) throw new IllegalStateException(

@@ -23,11 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrune {
 
+  /** A built filter: the bit words TOGETHER WITH the hash count they
+    * were built with. Probing with a different k than the build would
+    * silently drop matching rows (false negatives) — carrying k inside
+    * the value makes that disagreement unrepresentable. */
+  final case class BloomWords(words: Array[Long], numHashes: Int) {
+    def numBits: Long = words.length * 64L
+  }
+
   /** Aggregate `keys[keyCol]` into bloom words. `numBits` must be a
     * multiple of 64. Sizing rule of thumb: ~10 bits/key for ~1% false
     * positives at k=3; oversizing only costs bytes in the plan. */
   def buildWords(keys: DataFrame, keyCol: String, numBits: Int,
-      numHashes: Int): Array[Long] = {
+      numHashes: Int): BloomWords = {
     require(numBits % 64 == 0, s"numBits must be a multiple of 64: $numBits")
     require(numHashes >= 1)
     val bits = (0 until numHashes).map(j =>
@@ -43,17 +51,16 @@ object BloomPrune {
       .collect()
     val words = new Array[Long](numBits / 64)
     rows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
-    words
+    BloomWords(words, numHashes)
   }
 
   /** Membership predicate: true iff every hash bit of `key` is set.
     * Admits every built key by construction (no false negatives);
     * false positives are the caller's exact join's problem. */
-  def mightContain(words: Array[Long], numHashes: Int, key: Column): Column = {
-    val numBits = words.length * 64L
-    val arr = typedLit(words.toSeq)
-    (0 until numHashes).map { j =>
-      val bit = pmod(xxhash64(key, lit(j)), lit(numBits))
+  def mightContain(bloom: BloomWords, key: Column): Column = {
+    val arr = typedLit(bloom.words.toSeq)
+    (0 until bloom.numHashes).map { j =>
+      val bit = pmod(xxhash64(key, lit(j)), lit(bloom.numBits))
       element_at(arr, shiftright(bit, 6).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L),
           bit.bitwiseAND(lit(63L)).cast("int"))) =!= 0L

@@ -86,7 +86,11 @@ object ScalablePrefix {
     * ascending (orderCol, idCol) order and the group's total count —
     * enough to derive percent_rank/cume_dist/ntile arithmetically.
     * (orderCol double, idCol long; (orderCol, idCol) must be unique
-    * within a group, which an id tiebreak guarantees.) */
+    * within a group, which an id tiebreak guarantees. All three
+    * columns must be NON-NULL: window ORDER BY null placement differs
+    * between engines (Spark NULLS FIRST, DuckDB NULLS LAST), so no
+    * null ranking could match both — a null here fails loudly instead
+    * of silently ranking as 0.0.) */
   def groupedRank(spark: SparkSession, df: DataFrame, groupCol: String,
       orderCol: String, idCol: String, numPartitions: Int): DataFrame = {
     val sorted = df
@@ -96,7 +100,12 @@ object ScalablePrefix {
       .sortWithinPartitions(col(groupCol), col(orderCol), col(idCol))
 
     val rdd = sorted.queryExecution.toRdd.mapPartitions(
-      _.map(ir => (ir.getUTF8String(0).toString, ir.getDouble(1), ir.getLong(2))),
+      _.map { ir =>
+        if (ir.isNullAt(0) || ir.isNullAt(1) || ir.isNullAt(2))
+          throw new IllegalArgumentException(
+            "groupedRank requires non-null (group, order, id) values")
+        (ir.getUTF8String(0).toString, ir.getDouble(1), ir.getLong(2))
+      },
       preservesPartitioning = true)
 
     // pass 1: per-(partition, group) counts — tiny, because the range

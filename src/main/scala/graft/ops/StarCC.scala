@@ -64,13 +64,16 @@ object StarCC {
         .localCheckpoint(eager = true)
     }
 
+    // NB: no explicit unpersist — Dataset.unpersist does not apply to
+    // localCheckpoint blocks (they are RDD-level, not CacheManager
+    // entries); superseded rounds' blocks are released by the
+    // ContextCleaner once the old DataFrames become unreachable
     var fp = fingerprint(edges)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val next = star(star(edges, large = true), large = false)
       val nfp = fingerprint(next)
-      edges.unpersist()
       edges = next
       rounds += 2
       if (nfp == fp) converged = true
@@ -85,7 +88,6 @@ object StarCC {
       .union(edges.select(col("b").as("node"), col("a").as("v")))
     val out = sym.groupBy(col("node"))
       .agg(least(min(col("v")), first(col("node"))).as("label"))
-    edges.unpersist()
     (out, rounds)
   }
 }

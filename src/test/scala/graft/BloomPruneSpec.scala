@@ -13,17 +13,17 @@ class BloomPruneSpec extends SparkSpec {
 
   test("every built key passes the membership probe (no false negatives)") {
     val keys = (0L until 500L).map(_ * 7 + 3).toDF("k")
-    val words = BloomPrune.buildWords(keys, "k", numBits = 8192, numHashes = 3)
-    val n = keys.filter(BloomPrune.mightContain(words, 3, col("k"))).count()
+    val bloom = BloomPrune.buildWords(keys, "k", numBits = 8192, numHashes = 3)
+    val n = keys.filter(BloomPrune.mightContain(bloom, col("k"))).count()
     assert(n === 500L)
   }
 
   test("false-positive rate is bounded on a disjoint probe set") {
     // 500 keys in 8192 bits at k=3 → expected fp ≈ (1-e^(-3*500/8192))^3 ≈ 0.4%
     val keys = (0L until 500L).map(_ * 7 + 3).toDF("k")
-    val words = BloomPrune.buildWords(keys, "k", numBits = 8192, numHashes = 3)
+    val bloom = BloomPrune.buildWords(keys, "k", numBits = 8192, numHashes = 3)
     val probes = (1000000L until 1010000L).toDF("k") // disjoint from keys
-    val fp = probes.filter(BloomPrune.mightContain(words, 3, col("k"))).count()
+    val fp = probes.filter(BloomPrune.mightContain(bloom, col("k"))).count()
     assert(fp < 300L, s"false-positive rate too high: $fp / 10000")
   }
 
@@ -31,9 +31,9 @@ class BloomPruneSpec extends SparkSpec {
     // empty dim side (e.g. no supplier passes the threshold at tiny SF):
     // the bloom must prune everything, and the exact join keeps the
     // answer correct (empty)
-    val words = BloomPrune.buildWords(Seq.empty[Long].toDF("k"), "k", 1024, 3)
+    val bloom = BloomPrune.buildWords(Seq.empty[Long].toDF("k"), "k", 1024, 3)
     val n = (0L until 1000L).toDF("k")
-      .filter(BloomPrune.mightContain(words, 3, col("k"))).count()
+      .filter(BloomPrune.mightContain(bloom, col("k"))).count()
     assert(n === 0L)
   }
 
@@ -52,24 +52,5 @@ class BloomPruneSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got === expected)
-  }
-
-  test("skyline frontier is exactly the undominated size groups") {
-    val sf = "/root/testdata/sf0.001"
-    val rows = SparkEntry.queries("q_skyline")(spark, sf).collect()
-    // frontier prices must strictly decrease as size increases
-    val prices = rows.map(_.getDouble(1))
-    assert(prices.zip(prices.tail).forall { case (a, b) => b < a },
-      s"frontier not strictly decreasing: ${prices.mkString(",")}")
-    // and every non-frontier size group must be dominated by some
-    // strictly smaller frontier size with price <= its best price
-    val all = spark.read.parquet(s"$sf/part.parquet")
-      .groupBy($"p_size").agg(min(expr("CAST(floor(p_retailprice*100+0.5) AS BIGINT)")).as("c"))
-      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
-    val frontier = rows.map(r => (r.getLong(0), math.round(r.getDouble(1) * 100))).toMap
-    all.filterNot { case (sz, _) => frontier.contains(sz) }.foreach { case (sz, c) =>
-      assert(frontier.exists { case (fs, fc) => fs < sz && fc <= c },
-        s"size $sz (best $c) is on neither side: not in frontier, not dominated")
-    }
   }
 }

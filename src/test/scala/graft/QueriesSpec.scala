@@ -40,6 +40,32 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("skyline frontier is exactly the undominated size groups") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_skyline")(spark, sf).collect()
+    // frontier prices must strictly decrease as size increases
+    val prices = rows.map(_.getDouble(1))
+    assert(prices.zip(prices.tail).forall { case (a, b) => b < a },
+      s"frontier not strictly decreasing: ${prices.mkString(",")}")
+    // every non-frontier size group must be dominated by some strictly
+    // smaller frontier size with price <= its best price
+    val all = spark.read.parquet(s"$sf/part.parquet")
+      .groupBy(col("p_size"))
+      .agg(min(expr("CAST(floor(p_retailprice*100+0.5) AS BIGINT)")).as("c"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
+    val frontier = rows.map(r => (r.getLong(0), math.round(r.getDouble(1) * 100))).toMap
+    all.filterNot { case (sz, _) => frontier.contains(sz) }.foreach { case (sz, c) =>
+      assert(frontier.exists { case (fs, fc) => fs < sz && fc <= c },
+        s"size $sz (best $c) is on neither side: not in frontier, not dominated")
+    }
+    // qSkyline's (cents, partkey) pair encoding requires partkey < 1e8
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val mx = spark.read.parquet(s"$d/part.parquet")
+        .selectExpr("max(p_partkey)").head().getLong(0)
+      assert(mx < 100000000L, s"$d p_partkey $mx exceeds the skyline encoding stride")
+    }
+  }
+
   test("every query has oracle SQL or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")

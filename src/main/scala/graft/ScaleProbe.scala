@@ -118,6 +118,32 @@ object ScaleProbe {
         .filter(col("bucket") === expr(s"greatest(s, ps) div $B"))
         .agg(count(lit(1))).collect()
     }
+    timed(s"two-pass grouped rank ($rows rows, 5 groups)") {
+      // the low-cardinality-window killer: 5 groups over millions of
+      // rows — the window form would funnel rows/5 through each task
+      ScalablePrefix.groupedRank(spark,
+        spark.range(rows).select((col("id") % 5).cast("string").as("g"),
+          ((col("id") * 37) % 1000003).cast("double").as("v"), col("id").as("k")),
+        "g", "v", "k", numPartitions = cpus.toInt * 4)
+        .agg(max(col("rnk"))).collect()
+    }
+    timed(s"star-contraction CC (${rows / 10}-edge chain)") {
+      // worst-case diameter: one chain component spanning every edge;
+      // min-label propagation would need rows/10 rounds
+      val chain = spark.range(rows / 10)
+        .select(col("id").as("x"), (col("id") + 1).as("y"))
+      val (labels, ccRounds) = graft.ops.StarCC.labels(chain, "x", "y")
+      val n = labels.filter(col("label") === 0L).count()
+      println(f"[scale-probe]   chain rounds=$ccRounds labeled=$n")
+    }
+    timed(s"bloom build+probe ($rows rows, 10k keys)") {
+      val keys = spark.range(10000).select((col("id") * 13).as("k"))
+      val bloom = graft.ops.BloomPrune.buildWords(keys, "k",
+        numBits = 1 << 17, numHashes = 3)
+      spark.range(rows).select(col("id").as("k"))
+        .filter(graft.ops.BloomPrune.mightContain(bloom, col("k")))
+        .agg(count(lit(1))).collect()
+    }
     timed(s"media header synth+parse ($docCount rows)") {
       docs.select(graft.functions.media.image_dims(
           graft.llm.Multimodal.synthesizeHeader(

@@ -30,7 +30,11 @@ object StarCC {
     * one row per distinct node occurring in `pairs`, plus the number
     * of large+small rounds taken. */
   def labels(pairs: DataFrame, c1: String, c2: String,
-      maxRounds: Int = 50): (DataFrame, Int) = {
+      maxRounds: Int = 120): (DataFrame, Int) = {
+    // default bound: a 500k-edge single chain (worst-case diameter)
+    // measures 40 rounds ≈ 2·log2(n)+detection; 120 covers n ≈ 2^55
+    // with slack, while still failing fast on a genuine non-convergence
+    // bug rather than looping forever
     // canonical undirected edge set (a < b); self-loops dropped
     var edges = pairs
       .select(least(col(c1), col(c2)).as("a"), greatest(col(c1), col(c2)).as("b"))

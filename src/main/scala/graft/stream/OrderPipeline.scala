@@ -260,6 +260,50 @@ object OrderPipeline {
         TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
+  /** Per-status product histograms on `transformWithState` MapState —
+    * the sub-keyed state shape (key → {subkey → count}) that a flat
+    * ValueState cannot express without serializing a whole map per
+    * update. MapState stores each (product, count) entry as its own
+    * store row, so updating one product touches one entry regardless
+    * of how many products the status key has seen — the bounded-write
+    * property that matters when a key's sub-population is large. */
+  final class StatusProductCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, String), (String, String, Long)] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("productCounts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, String, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { case (_, product) =>
+        val c = if (counts.containsKey(product)) counts.getValue(product) else 0L
+        counts.updateValue(product, c + 1L)
+        touched.add(product)
+      }
+      touched.iterator.map(p => (key, p, counts.getValue(p)))
+    }
+  }
+
+  /** Per-(status, product) running counts, keyed by status with the
+    * product dimension held in MapState. */
+  def statusProductCounts(spark: SparkSession, processed: DataFrame)
+      : org.apache.spark.sql.Dataset[(String, String, Long)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    processed
+      .select(col("status"), col("product"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new StatusProductCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** S7/S3 parity: the reference's per-message console progress and
     * producer delivery callbacks (producer.py:63-88, consumer.py:172-176)
     * map to StreamingQueryListener progress events — per micro-batch

@@ -358,6 +358,30 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState MapState keeps per-product counts inside a status key") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Envelope](spark)
+      val counted = OrderPipeline.statusProductCounts(
+        spark, OrderPipeline.process(stream.toDF()))
+      val q = counted.toDF("status", "product", "n").writeStream
+        .outputMode("update").format("memory").queryName("map_counts")
+        .option("checkpointLocation", tmpDir("graft-map-ckpt")).start()
+      // batch 1: two distinct products under the success status
+      stream.addData(envelope(0, "a", 100.0f), envelope(1, "b", 200.0f))
+      q.processAllAvailable()
+      // batch 2: product a again — only its map entry must advance
+      stream.addData(envelope(2, "a", 300.0f))
+      q.processAllAvailable(); q.stop()
+      val last = spark.table("map_counts")
+        .groupBy($"status", $"product").agg(max($"n").as("n"))
+        .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+      assert(last("Product a") === 2L)
+      assert(last("Product b") === 1L)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static broadcast join enriches orders per micro-batch") {
     val categories = Seq(("Product a", "electronics"), ("Product b", "toys"))
       .toDF("product", "category")

@@ -1034,6 +1034,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The dedup DECISION step: near-dup clusters keep their BEST member
+    * (longest text, ties to the smaller doc_id) rather than the
+    * arbitrary min-id — what a curation pipeline actually ships.
+    * Composition of the clustering with an order-encoded argmax per
+    * cluster; the encoding (n_chars·10⁹ + (10⁹−1−doc_id)) is the same
+    * tie-free pair trick as q_arg_max, valid while doc_id < 10⁹.
+    * Emits one row per cluster: the kept doc and the drop count. */
+  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val clustered = Dedup.dupClusters(
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 5, minSim = 0.05),
+      "d1", "d2")
+      .select(col("node").as("doc_id"), col("label").as("cluster"))
+    clustered
+      .join(t(s, dir, "documents").select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("n_chars") * 1000000000L + (lit(999999999L) - col("doc_id"))).as("enc"))
+      .select(col("cluster"),
+        (lit(999999999L) - col("enc") % 1000000000L).as("kept_doc"),
+        expr("enc div 1000000000").as("kept_chars"),
+        col("n_members"), (col("n_members") - 1).as("n_dropped"))
+      .orderBy(col("cluster"))
+  }
+
   /** N-gram decontamination: overlap of each doc's 5-gram shingles with
     * a small "benchmark" subset (doc_id % 97 == 0), benchmark side
     * broadcast. */
@@ -1961,8 +1985,10 @@ object SparkEntry {
     * Jaccard near-dup pair graph — shared by q_dup_clusters (min-label
     * propagation) and q_cc_star (star contraction): two different
     * distributed algorithms, one ground truth. */
-  private lazy val dupClustersOracle: String =
-    s"""WITH RECURSIVE $duckShingles,
+  /** The shared CTE chain ending at `reach` (transitive closure of the
+    * Jaccard near-dup pair graph) — composed into three oracles. */
+  private lazy val dupClustersCtes: String =
+    s"""$duckShingles,
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |cand AS (
        |  SELECT doc_id, s FROM sh
@@ -1981,7 +2007,10 @@ object SparkEntry {
        |reach AS (
        |  SELECT a AS node, a AS label FROM edges
        |  UNION
-       |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node)
+       |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node)""".stripMargin
+
+  private lazy val dupClustersOracle: String =
+    s"""WITH RECURSIVE $dupClustersCtes
        |SELECT node AS doc_id, min(label) AS cluster,
        |       min(label) = node AS is_representative
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
@@ -2107,6 +2136,7 @@ object SparkEntry {
     "q_rank_scalable" -> (qRankScalable _),
     "q_cc_star" -> (qCcStar _),
     "q_hll_rollup" -> (qHllRollup _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_agg_filters" -> (qAggFilters _),
     "q_variant" -> (qVariant _),
     "q_funnel" -> (qFunnel _),
@@ -3042,6 +3072,20 @@ object SparkEntry {
     // same semantic answer as q_dup_clusters — the engine runs star
     // contraction instead of min-label propagation
     "q_cc_star" -> dupClustersOracle,
+
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $dupClustersCtes,
+         |lab AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+         |j AS (SELECT cluster, n_chars, node AS doc_id
+         |      FROM lab JOIN documents ON node = documents.doc_id),
+         |agg AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         |    max(n_chars * 1000000000 + (999999999 - doc_id)) AS enc
+         |  FROM j GROUP BY cluster)
+         |SELECT cluster, 999999999 - enc % 1000000000 AS kept_doc,
+         |  enc // 1000000000 AS kept_chars,
+         |  n_members, n_members - 1 AS n_dropped
+         |FROM agg ORDER BY cluster""".stripMargin,
 
     "q_contamination" ->
       s"""WITH $duckShingles,

@@ -290,6 +290,44 @@ object OrderPipeline {
     }
   }
 
+  /** Bounded per-key price history on `transformWithState` ListState —
+    * the append-log state shape: each arriving price APPENDS one store
+    * entry (no read-modify-write of a whole buffer), and the window is
+    * re-trimmed to the last `keep` values on write. Emits the current
+    * window's mean so tests can pin both the bound and the contents. */
+  final class RecentPricesProcessor(keep: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Double), (String, Int, Double)] {
+    @transient private var prices: org.apache.spark.sql.streaming.ListState[Double] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      prices = getHandle.getListState[Double]("recentPrices",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Int, Double)] = {
+      rows.foreach(r => prices.appendValue(r._2))
+      val window = prices.get().toSeq.takeRight(keep)
+      prices.put(window.toArray) // re-trim to the bounded window
+      Iterator((key, window.size, window.sum / window.size))
+    }
+  }
+
+  /** Last-`keep` successful prices per product via ListState. */
+  def recentPriceMeans(spark: SparkSession, processed: DataFrame,
+      keep: Int): org.apache.spark.sql.Dataset[(String, Int, Double)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    processed
+      .filter(col("status") === Router.Success)
+      .select(col("product"), col("price"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RecentPricesProcessor(keep),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Per-(status, product) running counts, keyed by status with the
     * product dimension held in MapState. */
   def statusProductCounts(spark: SparkSession, processed: DataFrame)

@@ -382,6 +382,28 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState ListState keeps a bounded price window per key") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Envelope](spark)
+      val recent = OrderPipeline.recentPriceMeans(
+        spark, OrderPipeline.process(stream.toDF()), keep = 3)
+      val q = recent.toDF("product", "n", "mean").writeStream
+        .outputMode("update").format("memory").queryName("list_prices")
+        .option("checkpointLocation", tmpDir("graft-list-ckpt")).start()
+      stream.addData(envelope(0, "a", 100.0f), envelope(1, "a", 200.0f))
+      q.processAllAvailable()
+      // two more: the window must hold only the LAST 3 of the 4 prices
+      stream.addData(envelope(2, "a", 300.0f), envelope(3, "a", 400.0f))
+      q.processAllAvailable(); q.stop()
+      val last = spark.table("list_prices")
+        .filter($"product" === "Product a").orderBy($"mean".desc).head()
+      assert(last.getInt(1) === 3)
+      assert(last.getDouble(2) === 300.0) // mean of (200, 300, 400)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static broadcast join enriches orders per micro-batch") {
     val categories = Seq(("Product a", "electronics"), ("Product b", "toys"))
       .toDF("product", "category")

@@ -1766,6 +1766,35 @@ object SparkEntry {
     s.sql(ntileDistText)
   }
 
+  /** GROUP BY ALL partials re-aggregated under ROLLUP with grouping()
+    * flags, as ONE shared SQL text — the re-aggregation shape (fine
+    * partials once, coarse levels from partials, never a second raw
+    * scan) plus the modern GROUP BY ALL surface. The rollup's NULL
+    * group labels order NULLS FIRST explicitly: Spark and DuckDB
+    * default to opposite null placements, and the hash compare is
+    * order-sensitive. */
+  private val rollupGroupingText: String =
+    """WITH per AS (
+      |  SELECT n_name, o_orderpriority, count(*) AS n_orders,
+      |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY ALL)
+      |SELECT n_name, o_orderpriority,
+      |  CAST(grouping(n_name) AS BIGINT) AS g_nation,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+      |  CAST(sum(n_orders) AS BIGINT) AS n_orders,
+      |  sum(rev_c) / CAST(100.0 AS DOUBLE) AS revenue
+      |FROM per
+      |GROUP BY ROLLUP (n_name, o_orderpriority)
+      |ORDER BY g_nation, g_pri, n_name NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin
+
+  private def qRollupGrouping(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(rollupGroupingText)
+  }
+
   /** Aggregate FILTER clauses + boolean aggregates as ONE shared SQL
     * text — the ANSI spelling of conditional aggregation (one scan, no
     * self-joins), all within map-side partial aggregation. Sums run in
@@ -1885,6 +1914,32 @@ object SparkEntry {
         (col("rnk").cast("double") / col("grp_n")).as("cdist"),
         col("quartile"))
       .orderBy(col("c_custkey"))
+  }
+
+  /** EXACT per-group median without a per-group sort task: rank
+    * selection on the two-pass grouped rank. The median of n values is
+    * the mean of the values at 1-based ranks (n+1)/2 and (n+2)/2 (the
+    * same row twice when n is odd) — selecting those two ranks from
+    * groupedRank's output turns the "sort each group through one task"
+    * median into two narrow scans plus a 2-row-per-group aggregate.
+    * Values are integer cents carried as exact doubles, so the final
+    * mean-of-two and /100 are the only float ops, identical in both
+    * engines; the oracle uses the window row_number formulation. */
+  private def qMedianScalable(s: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          Analytics.cents(col("o_totalprice")).cast("double").as("c"),
+          col("o_orderkey")),
+      groupCol = "o_orderpriority", orderCol = "c", idCol = "o_orderkey",
+      numPartitions = 32)
+    ranked
+      .filter(col("rnk") === expr("(grp_n + 1) div 2") ||
+        col("rnk") === expr("(grp_n + 2) div 2"))
+      .groupBy(col("o_orderpriority"))
+      .agg((sum(col("ord")) / count(lit(1)) / 100.0).as("median_price"),
+        max(col("grp_n")).as("n"))
+      .orderBy(col("o_orderpriority"))
   }
 
   /** Bloom-filter runtime pruning (ops/BloomPrune.scala): high-balance
@@ -2137,6 +2192,8 @@ object SparkEntry {
     "q_cc_star" -> (qCcStar _),
     "q_hll_rollup" -> (qHllRollup _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
+    "q_median_scalable" -> (qMedianScalable _),
+    "q_rollup_grouping" -> (qRollupGrouping _),
     "q_agg_filters" -> (qAggFilters _),
     "q_variant" -> (qVariant _),
     "q_funnel" -> (qFunnel _),
@@ -3416,6 +3473,27 @@ object SparkEntry {
 
     // shared SQL texts (both engines run the identical string)
     "q_ntile_dist" -> ntileDistText,
+    "q_rollup_grouping" -> rollupGroupingText,
+
+    // rank-selection median; oracle = the window row_number formulation
+    "q_median_scalable" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c, o_orderkey
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, c,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY c, o_orderkey) AS rnk,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM c),
+        |m AS (SELECT o_orderpriority, c, n FROM r
+        |      WHERE rnk = (n + 1) // 2 OR rnk = (n + 2) // 2)
+        |SELECT o_orderpriority,
+        |  CAST(sum(c) AS DOUBLE) / count(*) / CAST(100.0 AS DOUBLE)
+        |    AS median_price,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM m GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // oracle = the WINDOW formulation; the engine runs the two-pass path
     "q_rank_scalable" ->

@@ -82,9 +82,11 @@ object ScalablePrefix {
     * from per-(partition, group) counts — only O(partitions × groups
     * crossing a boundary) tuples ever reach the driver.
     *
-    * Returns (groupCol, idCol, rnk, grp_n): 1-based dense position in
-    * ascending (orderCol, idCol) order and the group's total count —
-    * enough to derive percent_rank/cume_dist/ntile arithmetically.
+    * Returns (groupCol, idCol, rnk, grp_n, ord): 1-based dense position
+    * in ascending (orderCol, idCol) order, the group's total count —
+    * enough to derive percent_rank/cume_dist/ntile arithmetically —
+    * and the order value itself (so rank-selection consumers like the
+    * exact median need no join back to the source).
     * (orderCol double, idCol long; (orderCol, idCol) must be unique
     * within a group, which an id tiebreak guarantees. All three
     * columns must be NON-NULL: window ORDER BY null placement differs
@@ -133,16 +135,17 @@ object ScalablePrefix {
     // pass 2: narrow per-partition rank emit
     val out = rdd.mapPartitionsWithIndex { case (pid, it) =>
       val local = scala.collection.mutable.HashMap.empty[String, Long]
-      it.map { case (g, _, id) =>
+      it.map { case (g, ord, id) =>
         val r = local.getOrElse(g, offB.value((pid, g))) + 1L
         local(g) = r
-        Row(g, id, r, totB.value(g))
+        Row(g, id, r, totB.value(g), ord)
       }
     }
 
     spark.createDataFrame(out, StructType(Seq(
       StructField(groupCol, org.apache.spark.sql.types.StringType),
       StructField(idCol, LongType),
-      StructField("rnk", LongType), StructField("grp_n", LongType))))
+      StructField("rnk", LongType), StructField("grp_n", LongType),
+      StructField("ord", org.apache.spark.sql.types.DoubleType))))
   }
 }

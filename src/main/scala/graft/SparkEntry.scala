@@ -650,6 +650,23 @@ object SparkEntry {
         stratumCol = "lang", keyCol = "h", idCol = "doc_id", n = 25)
       .orderBy(col("lang"), col("rn"))
 
+  /** Scan through the REAL DataSourceV2 table (sources/OrdersSource):
+    * the planner prunes the projection down to (product, price) before
+    * the scan, each of 8 input partitions generates its own index
+    * slice executor-side, and the aggregate runs over the source
+    * exactly as it would over any catalog table. The oracle replays
+    * the md5 field derivations symbolically — same ground truth as
+    * q_order_gen, reached through the connector API instead of column
+    * expressions. */
+  private def qSourceV2(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.OrdersSource")
+      .option("rows", 1500).option("seed", "dsv2").option("numPartitions", 8)
+      .load()
+      .groupBy(col("product"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(Analytics.cents(col("price"))) / 100.0).as("total_spend"))
+      .orderBy(col("product"))
+
   /** Error-tolerant casts (try_* family): malformed input -> null
     * instead of failure — the SQL-surface cousin of the codec's
     * PERMISSIVE decode. */
@@ -2194,6 +2211,7 @@ object SparkEntry {
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_median_scalable" -> (qMedianScalable _),
     "q_rollup_grouping" -> (qRollupGrouping _),
+    "q_source_v2" -> (qSourceV2 _),
     "q_agg_filters" -> (qAggFilters _),
     "q_variant" -> (qVariant _),
     "q_funnel" -> (qFunnel _),
@@ -2562,6 +2580,22 @@ object SparkEntry {
         |  abs(o_totalprice - 250000.0) AS price_dist,
         |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_source_v2" -> {
+      val words = graft.sources.OrderGen.Words.map(w => s"'$w'").mkString(", ")
+      s"""WITH g AS (
+         |  SELECT md5('dsv2|' || CAST(range AS VARCHAR)) AS h FROM range(1500)),
+         |o AS (
+         |  SELECT
+         |    ([$words])[CAST(CAST('0x' || substr(h,1,4) AS BIGINT) % 16 AS INT) + 1]
+         |      || ' ' ||
+         |      ([$words])[CAST(CAST('0x' || substr(h,5,4) AS BIGINT) % 16 AS INT) + 1] AS product,
+         |    CAST('0x' || substr(h,9,8) AS BIGINT) % 149501 + 500 AS cents
+         |  FROM g)
+         |SELECT product, CAST(count(*) AS BIGINT) AS n_orders,
+         |  sum(cents) / CAST(100.0 AS DOUBLE) AS total_spend
+         |FROM o GROUP BY product ORDER BY product""".stripMargin
+    },
 
     "q_order_gen" -> {
       val words = graft.sources.OrderGen.Words.map(w => s"'$w'").mkString(", ")

@@ -1,0 +1,125 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The synthetic order generator as a REAL DataSourceV2 table — the
+  * Spark source API surface (SURVEY.md §2.1): a `TableProvider` whose
+  * scan plans `numPartitions` independent index ranges (each executor
+  * generates its slice — no driver loop, no data movement) and honors
+  * COLUMN PRUNING via SupportsPushDownRequiredColumns, so
+  * `select(product)` never computes order ids or prices.
+  *
+  * Usage: spark.read.format("graft.sources.OrdersSource")
+  *   .option("rows", n).option("seed", s).option("numPartitions", p)
+  *   .load()
+  *
+  * Row content is bit-identical to OrderGen.orders(spark, rows, seed)
+  * (same md5-of-"seed|i" derivations, producer.py:118-145 semantics),
+  * so the DuckDB oracle replays it symbolically — OrdersSourceSpec and
+  * q_source_v2 pin the equivalence. */
+class OrdersSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OrdersSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    // properties arrive in the caller's original case — normalize
+    val opts = new CaseInsensitiveStringMap(properties)
+    new OrdersSource.OrdersTable(
+      opts.getLong("rows", 1000L),
+      opts.getOrDefault("seed", "dsv2"),
+      opts.getInt("numPartitions", 4))
+  }
+}
+
+object OrdersSource {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("order_id", StringType, nullable = false),
+    StructField("product", StringType, nullable = false),
+    StructField("price", DoubleType, nullable = false)))
+
+  private[sources] class OrdersTable(rows: Long, seed: String, parts: Int)
+      extends Table with SupportsRead {
+    override def name(): String = s"graft_orders(rows=$rows, seed=$seed)"
+    override def schema(): StructType = Schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      Set(TableCapability.BATCH_READ).asJava
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new OrdersScanBuilder(rows, seed, parts)
+  }
+
+  private class OrdersScanBuilder(rows: Long, seed: String, parts: Int)
+      extends ScanBuilder with SupportsPushDownRequiredColumns {
+    private var required: StructType = Schema
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+    override def build(): Scan = new OrdersScan(rows, seed, parts, required)
+  }
+
+  private class OrdersScan(rows: Long, seed: String, parts: Int,
+      required: StructType) extends Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = {
+      val per = math.max(1L, (rows + parts - 1) / parts)
+      (0L until rows by per)
+        .map(s => OrdersRange(s, math.min(s + per, rows)): InputPartition)
+        .toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new OrdersReaderFactory(seed, required.fieldNames)
+  }
+
+  private case class OrdersRange(start: Long, end: Long) extends InputPartition
+
+  private class OrdersReaderFactory(seed: String, fields: Array[String])
+      extends PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val r = partition.asInstanceOf[OrdersRange]
+      new OrdersReader(r.start, r.end, seed, fields)
+    }
+  }
+
+  /** Per-partition generator: the same md5("seed|i") field derivations
+    * as OrderGen.orders, evaluated only for the PRUNED columns. */
+  private class OrdersReader(start: Long, end: Long, seed: String,
+      fields: Array[String]) extends PartitionReader[InternalRow] {
+    private var i = start - 1
+    private val digest = java.security.MessageDigest.getInstance("MD5")
+
+    override def next(): Boolean = { i += 1; i < end }
+
+    override def get(): InternalRow = {
+      // lowercase hex md5 of "seed|i" — identical to functions.md5
+      val h = digest.digest(s"$seed|$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val values: Array[Any] = fields.map {
+        case "seq" => i
+        case "order_id" => UTF8String.fromString(
+          s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+            s"${h.substring(16, 20)}-${h.substring(20, 32)}")
+        case "product" =>
+          val w1 = (java.lang.Long.parseLong(h.substring(0, 4), 16) %
+            OrderGen.Words.length).toInt
+          val w2 = (java.lang.Long.parseLong(h.substring(4, 8), 16) %
+            OrderGen.Words.length).toInt
+          UTF8String.fromString(s"${OrderGen.Words(w1)} ${OrderGen.Words(w2)}")
+        case "price" =>
+          (java.lang.Long.parseLong(h.substring(8, 16), 16) % 149501L + 500L) / 100.0
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      InternalRow.fromSeq(values.toIndexedSeq)
+    }
+
+    override def close(): Unit = ()
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The DataSourceV2 order table: row-for-row equality with the
+  * column-expression generator, planner-driven column pruning, and
+  * executor-side partition planning. */
+class OrdersSourceSpec extends SparkSpec {
+
+  private def src(rows: Long, parts: Int) =
+    spark.read.format("graft.sources.OrdersSource")
+      .option("rows", rows).option("seed", "gen1").option("numPartitions", parts)
+      .load()
+
+  test("DSv2 rows are identical to OrderGen.orders for the same seed") {
+    val viaSource = src(500, 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))).sorted
+    val viaExprs = graft.sources.OrderGen.orders(spark, 500, "gen1").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))).sorted
+    assert(viaSource === viaExprs)
+  }
+
+  test("projection is pruned down to the scan (ReadSchema)") {
+    val plan = src(100, 2).select(col("product"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), s"no DSv2 scan:\n$plan")
+    assert(!plan.contains("order_id"), s"pruning lost — scan reads order_id:\n$plan")
+    assert(!plan.contains("price"), s"pruning lost — scan reads price:\n$plan")
+  }
+
+  test("scan plans the requested number of input partitions") {
+    assert(src(1000, 8).rdd.getNumPartitions === 8)
+    // never more ranges than rows
+    assert(src(3, 8).rdd.getNumPartitions <= 3)
+    assert(src(3, 8).count() === 3)
+  }
+}

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -52,31 +53,77 @@ object OrdersSource {
     override def name(): String = s"graft_orders(rows=$rows, seed=$seed)"
     override def schema(): StructType = Schema
     override def capabilities(): java.util.Set[TableCapability] =
-      Set(TableCapability.BATCH_READ).asJava
+      Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new OrdersScanBuilder(rows, seed, parts)
+      new OrdersScanBuilder(rows, seed, parts,
+        options.getLong("rowsPerBatch", 100L))
   }
 
-  private class OrdersScanBuilder(rows: Long, seed: String, parts: Int)
-      extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private class OrdersScanBuilder(rows: Long, seed: String, parts: Int,
+      rowsPerBatch: Long) extends ScanBuilder with SupportsPushDownRequiredColumns {
     private var required: StructType = Schema
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
-    override def build(): Scan = new OrdersScan(rows, seed, parts, required)
+    override def build(): Scan =
+      new OrdersScan(rows, seed, parts, rowsPerBatch, required)
   }
 
   private class OrdersScan(rows: Long, seed: String, parts: Int,
-      required: StructType) extends Scan with Batch {
+      rowsPerBatch: Long, required: StructType) extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
-    override def planInputPartitions(): Array[InputPartition] = {
-      val per = math.max(1L, (rows + parts - 1) / parts)
-      (0L until rows by per)
-        .map(s => OrdersRange(s, math.min(s + per, rows)): InputPartition)
+    override def planInputPartitions(): Array[InputPartition] =
+      rangePartitions(0L, rows)
+    private def rangePartitions(lo: Long, hi: Long): Array[InputPartition] = {
+      val n = hi - lo
+      val per = math.max(1L, (n + parts - 1) / parts)
+      (lo until hi by per)
+        .map(s => OrdersRange(s, math.min(s + per, hi)): InputPartition)
         .toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new OrdersReaderFactory(seed, required.fieldNames)
+
+    /** Streaming form: the order index IS the offset (replayable from
+      * any committed position — the at-least-once seam the reference's
+      * manual commit provides). Rate limiting goes through
+      * SupportsAdmissionControl (latestOffset advances at most
+      * rowsPerBatch past the committed start) — capping inside
+      * planInputPartitions instead would silently skip the rows
+      * between the cap and the offset Spark commits. A restarted query
+      * re-plans identical index ranges for identical offsets, so
+      * replay is exact. */
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new MicroBatchStream with SupportsTriggerAvailableNow {
+        private def off(v: Long): Offset = new Offset {
+          override def json(): String = v.toString
+        }
+        // the drain target is the table's fixed bound, known up front —
+        // Trigger.AvailableNow keeps firing rate-limited batches until
+        // the committed offset reaches it
+        override def prepareForTriggerAvailableNow(): Unit = ()
+        override def initialOffset(): Offset = off(0L)
+        override def latestOffset(): Offset =
+          throw new UnsupportedOperationException(
+            "admission-controlled source: latestOffset(start, limit) is used")
+        override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+        override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+          val lo = start.json().toLong
+          val cap = limit match {
+            case m: ReadMaxRows => m.maxRows()
+            case _ => rowsPerBatch
+          }
+          off(math.min(lo + cap, rows))
+        }
+        override def reportLatestOffset(): Offset = off(rows)
+        override def deserializeOffset(json: String): Offset = off(json.toLong)
+        override def commit(end: Offset): Unit = ()
+        override def stop(): Unit = ()
+        override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+          rangePartitions(start.json().toLong, end.json().toLong)
+        override def createReaderFactory(): PartitionReaderFactory =
+          new OrdersReaderFactory(seed, required.fieldNames)
+      }
   }
 
   private case class OrdersRange(start: Long, end: Long) extends InputPartition

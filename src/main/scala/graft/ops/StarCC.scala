@@ -52,8 +52,12 @@ object StarCC {
 
     // one star step over the symmetric neighborhood view. large step:
     // re-attach strictly larger neighbors; small step: re-attach
-    // smaller-or-equal neighbors and u itself.
-    def star(e: DataFrame, large: Boolean): DataFrame = {
+    // smaller-or-equal neighbors and u itself. Only the END of each
+    // LS∘SS alternation is checkpointed: the small-star plan safely
+    // contains the large-star plan one level deep, and halving the
+    // eager materializations halves the per-round job overhead that
+    // dominates on small edge sets.
+    def star(e: DataFrame, large: Boolean, checkpoint: Boolean): DataFrame = {
       val sym = e.select(col("a").as("u"), col("b").as("v"))
         .union(e.select(col("b").as("u"), col("a").as("v")))
       val m = sym.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
@@ -62,10 +66,10 @@ object StarCC {
         if (large) nbr.filter(col("v") > col("u")).select(col("v"), col("m"))
         else nbr.filter(col("v") <= col("u")).select(col("v"), col("m"))
           .union(m.select(col("u").as("v"), col("m")))
-      out.filter(col("v") =!= col("m"))
+      val canon = out.filter(col("v") =!= col("m"))
         .select(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b"))
         .distinct()
-        .localCheckpoint(eager = true)
+      if (checkpoint) canon.localCheckpoint(eager = true) else canon
     }
 
     // NB: no explicit unpersist — Dataset.unpersist does not apply to
@@ -76,7 +80,8 @@ object StarCC {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = star(star(edges, large = true), large = false)
+      val next = star(star(edges, large = true, checkpoint = false),
+        large = false, checkpoint = true)
       val nfp = fingerprint(next)
       edges = next
       rounds += 2

@@ -678,6 +678,31 @@ object SparkEntry {
         col("o_orderstatus").try_cast("double").as("status_as_double"))
       .orderBy(col("o_orderkey"))
 
+  /** Error-tolerant ARITHMETIC (try_add / try_multiply / try_divide /
+    * try_element_at): overflow, divide-by-zero, and out-of-bounds
+    * produce NULL instead of an ANSI runtime error — completing the
+    * try_* family next to q_try_cast. The oracle has no try_*
+    * functions, so it encodes each failure predicate explicitly
+    * (CASE WHEN <would overflow> THEN NULL), which doubles as
+    * documentation of exactly when each expression must fail. */
+  private def qTryArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        // bigint overflow on even keys (Long.MaxValue + key)
+        expr("try_add(CASE WHEN o_orderkey % 2 = 0 THEN 9223372036854775807 " +
+          "ELSE 0 END, o_orderkey)").as("add_or_null"),
+        // 2^62 * key overflows for every key >= 2
+        expr("try_multiply(o_orderkey, 4611686018427387904)").as("mul_or_null"),
+        // integer-ish divide by zero every 25th row
+        expr("try_divide(CAST(floor(o_totalprice) AS BIGINT), o_orderkey % 25)")
+          .as("div_or_null"),
+        // indices 3 and 4 are out of bounds for a 2-element array
+        // (index ZERO is a hard error even under try_element_at — the
+        // 1-based contract itself, not a lookup failure)
+        expr("try_element_at(array('low', 'high'), CAST(o_orderkey % 4 + 1 AS INT))")
+          .as("elem_or_null"))
+      .orderBy(col("o_orderkey"))
+
   /** TPC-H Q10-shaped: top customers by revenue lost to returned items
     * in a quarter — 4-way join ranking with a broadcast dimension. */
   private def qReturnedItems(s: SparkSession, dir: String): DataFrame =
@@ -2212,6 +2237,7 @@ object SparkEntry {
     "q_median_scalable" -> (qMedianScalable _),
     "q_rollup_grouping" -> (qRollupGrouping _),
     "q_source_v2" -> (qSourceV2 _),
+    "q_try_arith" -> (qTryArith _),
     "q_agg_filters" -> (qAggFilters _),
     "q_variant" -> (qVariant _),
     "q_funnel" -> (qFunnel _),
@@ -2644,6 +2670,23 @@ object SparkEntry {
         |      ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
         |  FROM documents) t
         |WHERE rn <= 25 ORDER BY lang, rn""".stripMargin,
+
+    // failure predicates spelled explicitly: overflow iff even key /
+    // key >= 2; divide-by-zero iff key % 25 = 0; OOB iff index not 1..2
+    "q_try_arith" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey = 0 THEN 9223372036854775807
+        |       WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderkey END
+        |    AS add_or_null,
+        |  CASE WHEN o_orderkey >= 2 THEN NULL
+        |       ELSE o_orderkey * 4611686018427387904 END AS mul_or_null,
+        |  CASE WHEN o_orderkey % 25 = 0 THEN NULL
+        |       ELSE CAST(floor(o_totalprice) AS BIGINT)
+        |            / CAST(o_orderkey % 25 AS DOUBLE) END AS div_or_null,
+        |  CASE WHEN o_orderkey % 4 + 1 IN (1, 2)
+        |       THEN (['low', 'high'])[CAST(o_orderkey % 4 + 1 AS INT)] END
+        |    AS elem_or_null
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_try_cast" ->
       """SELECT o_orderkey,

@@ -28,7 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * q_source_v2 pin the equivalence. */
 class OrdersSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    OrdersSource.Schema
+    if (OrdersSource.isEnvelope(options.getOrDefault("mode", "orders")))
+      graft.model.Schemas.envelope
+    else OrdersSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     // properties arrive in the caller's original case — normalize
@@ -36,7 +38,8 @@ class OrdersSource extends TableProvider {
     new OrdersSource.OrdersTable(
       opts.getLong("rows", 1000L),
       opts.getOrDefault("seed", "dsv2"),
-      opts.getInt("numPartitions", 4))
+      opts.getInt("numPartitions", 4),
+      OrdersSource.isEnvelope(opts.getOrDefault("mode", "orders")))
   }
 }
 
@@ -48,28 +51,34 @@ object OrdersSource {
     StructField("product", StringType, nullable = false),
     StructField("price", DoubleType, nullable = false)))
 
-  private[sources] class OrdersTable(rows: Long, seed: String, parts: Int)
-      extends Table with SupportsRead {
+  private[sources] def isEnvelope(mode: String): Boolean =
+    mode.equalsIgnoreCase("envelope")
+
+  private[sources] class OrdersTable(rows: Long, seed: String, parts: Int,
+      envelope: Boolean) extends Table with SupportsRead {
     override def name(): String = s"graft_orders(rows=$rows, seed=$seed)"
-    override def schema(): StructType = Schema
+    override def schema(): StructType =
+      if (envelope) graft.model.Schemas.envelope else Schema
     override def capabilities(): java.util.Set[TableCapability] =
       Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new OrdersScanBuilder(rows, seed, parts,
-        options.getLong("rowsPerBatch", 100L))
+        options.getLong("rowsPerBatch", 100L), envelope, schema())
   }
 
   private class OrdersScanBuilder(rows: Long, seed: String, parts: Int,
-      rowsPerBatch: Long) extends ScanBuilder with SupportsPushDownRequiredColumns {
-    private var required: StructType = Schema
+      rowsPerBatch: Long, envelope: Boolean, full: StructType)
+      extends ScanBuilder with SupportsPushDownRequiredColumns {
+    private var required: StructType = full
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
     override def build(): Scan =
-      new OrdersScan(rows, seed, parts, rowsPerBatch, required)
+      new OrdersScan(rows, seed, parts, rowsPerBatch, envelope, required)
   }
 
   private class OrdersScan(rows: Long, seed: String, parts: Int,
-      rowsPerBatch: Long, required: StructType) extends Scan with Batch {
+      rowsPerBatch: Long, envelope: Boolean, required: StructType)
+      extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
@@ -82,7 +91,7 @@ object OrdersSource {
         .toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new OrdersReaderFactory(seed, required.fieldNames)
+      new OrdersReaderFactory(seed, required.fieldNames, envelope)
 
     /** Streaming form: the order index IS the offset (replayable from
       * any committed position — the at-least-once seam the reference's
@@ -122,18 +131,70 @@ object OrdersSource {
         override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
           rangePartitions(start.json().toLong, end.json().toLong)
         override def createReaderFactory(): PartitionReaderFactory =
-          new OrdersReaderFactory(seed, required.fieldNames)
+          new OrdersReaderFactory(seed, required.fieldNames, envelope)
       }
   }
 
   private case class OrdersRange(start: Long, end: Long) extends InputPartition
 
-  private class OrdersReaderFactory(seed: String, fields: Array[String])
-      extends PartitionReaderFactory {
+  private class OrdersReaderFactory(seed: String, fields: Array[String],
+      envelope: Boolean) extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val r = partition.asInstanceOf[OrdersRange]
-      new OrdersReader(r.start, r.end, seed, fields)
+      if (envelope) new EnvelopeReader(r.start, r.end, seed, fields)
+      else new OrdersReader(r.start, r.end, seed, fields)
     }
+  }
+
+  /** Envelope mode: Kafka-shaped rows with REAL Avro OCF payload bytes
+    * (key = UTF-8 order id, value = one-record OCF, offset = index,
+    * epoch-anchored timestamps) — byte-identical to
+    * OrderGen.toEnvelopes, so the connector is a drop-in for the
+    * topic-dir transport seam the reference's Kafka broker occupies.
+    * The Avro schema is parsed per reader (Schema is not
+    * serialization-friendly; the JSON string is the contract). */
+  private class EnvelopeReader(start: Long, end: Long, seed: String,
+      fields: Array[String]) extends PartitionReader[InternalRow] {
+    private var i = start - 1
+    private val digest = java.security.MessageDigest.getInstance("MD5")
+    private val avroSchema = new org.apache.avro.Schema.Parser()
+      .parse(graft.model.Schemas.orderAvroJson)
+    private val emptyHeaders =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+
+    override def next(): Boolean = { i += 1; i < end }
+
+    override def get(): InternalRow = {
+      val h = digest.digest(s"$seed|$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      lazy val orderId =
+        s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+          s"${h.substring(16, 20)}-${h.substring(20, 32)}"
+      val values: Array[Any] = fields.map {
+        case "key" => orderId.getBytes("UTF-8")
+        case "value" =>
+          val w1 = (java.lang.Long.parseLong(h.substring(0, 4), 16) %
+            OrderGen.Words.length).toInt
+          val w2 = (java.lang.Long.parseLong(h.substring(4, 8), 16) %
+            OrderGen.Words.length).toInt
+          val price = (java.lang.Long.parseLong(h.substring(8, 16), 16) %
+            149501L + 500L) / 100.0
+          val order = InternalRow(
+            UTF8String.fromString(orderId),
+            UTF8String.fromString(s"${OrderGen.Words(w1)} ${OrderGen.Words(w2)}"),
+            price.toFloat)
+          graft.avro.AvroOcf.encodeRow(order, graft.model.Schemas.order, avroSchema)
+        case "topic" => UTF8String.fromString(graft.model.Schemas.OrdersTopic)
+        case "partition" => 0
+        case "offset" => i
+        case "timestamp" => (1700000000L + i) * 1000000L // µs, epoch-anchored
+        case "headers" => emptyHeaders
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      InternalRow.fromSeq(values.toIndexedSeq)
+    }
+
+    override def close(): Unit = ()
   }
 
   /** Per-partition generator: the same md5("seed|i") field derivations

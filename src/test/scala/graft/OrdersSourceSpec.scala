@@ -35,6 +35,39 @@ class OrdersSourceSpec extends SparkSpec {
     assert(src(3, 8).count() === 3)
   }
 
+  test("envelope mode is byte-identical to OrderGen.toEnvelopes") {
+    val viaSource = spark.read.format("graft.sources.OrdersSource")
+      .option("rows", 200).option("seed", "gen1")
+      .option("numPartitions", 4).option("mode", "envelope")
+      .load()
+    assert(viaSource.schema === graft.model.Schemas.envelope)
+    val a = viaSource
+      .select(col("offset"), md5(col("key")).as("k"), md5(col("value")).as("v"),
+        col("topic"), col("partition"), col("timestamp").cast("long").as("ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4), r.getLong(5))).sorted
+    val b = graft.sources.OrderGen.toEnvelopes(
+        graft.sources.OrderGen.orders(spark, 200, "gen1"))
+      .select(col("offset"), md5(col("key")).as("k"), md5(col("value")).as("v"),
+        col("topic"), col("partition"), col("timestamp").cast("long").as("ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4), r.getLong(5))).sorted
+    assert(a === b)
+  }
+
+  test("envelope mode decodes through the full consumer pipeline") {
+    val env = spark.read.format("graft.sources.OrdersSource")
+      .option("rows", 300).option("seed", "gen1")
+      .option("numPartitions", 4).option("mode", "envelope")
+      .load()
+    val routed = graft.ops.Router.route(
+      graft.stream.OrderPipeline.process(env))
+    val counts = routed.groupBy(col("status")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts.values.sum === 300L)
+    assert(counts.keySet.subsetOf(Set("success", "transient_failure", "permanent_failure")))
+  }
+
   test("micro-batch stream drains the table in rate-limited batches, no gaps") {
     val stream = spark.readStream.format("graft.sources.OrdersSource")
       .option("rows", 250).option("seed", "gen1")

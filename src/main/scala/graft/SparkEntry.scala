@@ -1960,8 +1960,11 @@ object SparkEntry {
 
   /** EXACT per-group median without a per-group sort task: rank
     * selection on the two-pass grouped rank. The median of n values is
-    * the mean of the values at 1-based ranks (n+1)/2 and (n+2)/2 (the
-    * same row twice when n is odd) — selecting those two ranks from
+    * the mean of the values at 1-based ranks (n+1)/2 and (n+2)/2 —
+    * when n is odd both formulas name the SAME rank, so the filter
+    * keeps one row and the count-based mean below divides by 1, which
+    * is why the aggregate divides by count(*) rather than a literal
+    * 2 — selecting those ranks from
     * groupedRank's output turns the "sort each group through one task"
     * median into two narrow scans plus a 2-row-per-group aggregate.
     * Values are integer cents carried as exact doubles, so the final

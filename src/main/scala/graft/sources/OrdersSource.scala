@@ -137,6 +137,26 @@ object OrdersSource {
 
   private case class OrdersRange(start: Long, end: Long) extends InputPartition
 
+  /** The generator contract, factored once: every field both reader
+    * modes emit derives from the md5("seed|i") hex digest through
+    * exactly these formulas (byte-identical to OrderGen.orders and its
+    * symbolic DuckDB oracle). Kept per-field so the pruned batch reader
+    * still skips the fields it doesn't need. */
+  private object Derive {
+    def orderId(h: String): String =
+      s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+        s"${h.substring(16, 20)}-${h.substring(20, 32)}"
+    def product(h: String): String = {
+      val w1 = (java.lang.Long.parseLong(h.substring(0, 4), 16) %
+        OrderGen.Words.length).toInt
+      val w2 = (java.lang.Long.parseLong(h.substring(4, 8), 16) %
+        OrderGen.Words.length).toInt
+      s"${OrderGen.Words(w1)} ${OrderGen.Words(w2)}"
+    }
+    def price(h: String): Double =
+      (java.lang.Long.parseLong(h.substring(8, 16), 16) % 149501L + 500L) / 100.0
+  }
+
   private class OrdersReaderFactory(seed: String, fields: Array[String],
       envelope: Boolean) extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -159,6 +179,10 @@ object OrdersSource {
     private val digest = java.security.MessageDigest.getInstance("MD5")
     private val avroSchema = new org.apache.avro.Schema.Parser()
       .parse(graft.model.Schemas.orderAvroJson)
+    // header + sync resolved once per reader — the per-record 3-arg
+    // encodeRow would re-serialize the schema JSON for every row
+    // (AvroOcf.scala:55-58)
+    private val hs = graft.avro.AvroOcf.headerAndSync(avroSchema)
     private val emptyHeaders =
       new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
 
@@ -167,23 +191,15 @@ object OrdersSource {
     override def get(): InternalRow = {
       val h = digest.digest(s"$seed|$i".getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString
-      lazy val orderId =
-        s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
-          s"${h.substring(16, 20)}-${h.substring(20, 32)}"
+      lazy val orderId = Derive.orderId(h)
       val values: Array[Any] = fields.map {
         case "key" => orderId.getBytes("UTF-8")
         case "value" =>
-          val w1 = (java.lang.Long.parseLong(h.substring(0, 4), 16) %
-            OrderGen.Words.length).toInt
-          val w2 = (java.lang.Long.parseLong(h.substring(4, 8), 16) %
-            OrderGen.Words.length).toInt
-          val price = (java.lang.Long.parseLong(h.substring(8, 16), 16) %
-            149501L + 500L) / 100.0
           val order = InternalRow(
             UTF8String.fromString(orderId),
-            UTF8String.fromString(s"${OrderGen.Words(w1)} ${OrderGen.Words(w2)}"),
-            price.toFloat)
-          graft.avro.AvroOcf.encodeRow(order, graft.model.Schemas.order, avroSchema)
+            UTF8String.fromString(Derive.product(h)),
+            Derive.price(h).toFloat)
+          graft.avro.AvroOcf.encodeRow(order, graft.model.Schemas.order, avroSchema, hs)
         case "topic" => UTF8String.fromString(graft.model.Schemas.OrdersTopic)
         case "partition" => 0
         case "offset" => i
@@ -212,17 +228,9 @@ object OrdersSource {
         .map(b => f"$b%02x").mkString
       val values: Array[Any] = fields.map {
         case "seq" => i
-        case "order_id" => UTF8String.fromString(
-          s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
-            s"${h.substring(16, 20)}-${h.substring(20, 32)}")
-        case "product" =>
-          val w1 = (java.lang.Long.parseLong(h.substring(0, 4), 16) %
-            OrderGen.Words.length).toInt
-          val w2 = (java.lang.Long.parseLong(h.substring(4, 8), 16) %
-            OrderGen.Words.length).toInt
-          UTF8String.fromString(s"${OrderGen.Words(w1)} ${OrderGen.Words(w2)}")
-        case "price" =>
-          (java.lang.Long.parseLong(h.substring(8, 16), 16) % 149501L + 500L) / 100.0
+        case "order_id" => UTF8String.fromString(Derive.orderId(h))
+        case "product" => UTF8String.fromString(Derive.product(h))
+        case "price" => Derive.price(h)
         case other => throw new IllegalArgumentException(s"unknown column $other")
       }
       InternalRow.fromSeq(values.toIndexedSeq)

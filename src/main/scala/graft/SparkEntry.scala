@@ -703,6 +703,103 @@ object SparkEntry {
           .as("elem_or_null"))
       .orderBy(col("o_orderkey"))
 
+  /** Bit/bool aggregate sweep — bit_and/bit_or/bit_xor over the part
+    * key set, bool_and/bool_or over predicates, count_if — the
+    * aggregate-surface corner the earlier sweeps hadn't touched. All
+    * integer/boolean outputs: hash-exact across engines by
+    * construction, and every one partial-aggregates map-side. */
+  private def qBitBoolAggs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr("bit_and(l_partkey)").as("pk_and"),
+        expr("bit_or(l_partkey)").as("pk_or"),
+        expr("bit_xor(l_partkey)").as("pk_xor"),
+        expr("bool_and(l_discount > 0.05)").as("all_disc"),
+        expr("bool_or(l_tax > 0.07)").as("any_tax"),
+        expr("count_if(l_quantity >= 25.0)").as("n_bulk"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Quantity-weighted mean price through the TYPED Aggregator UDAF
+    * path (functions/WeightedMean.scala, registered via
+    * functions.udaf) — the vanilla user-defined typed aggregation the
+    * UDF/UDAF surface was missing next to the custom HLL sketch. The
+    * buffer is exact long sums, so map-side partials merge
+    * order-independently and the result hash-matches the oracle's
+    * sum-of-products form. */
+  private def qWeightedMean(s: SparkSession, dir: String): DataFrame = {
+    val wm = udaf(graft.functions.WeightedMean,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        Analytics.cents(col("l_extendedprice")).as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(wm(col("cents"), col("qty")).as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Ordered string aggregation: listagg ... WITHIN GROUP (ORDER BY) —
+    * deterministic concatenation (DuckDB's string_agg ORDER BY form).
+    * Dimension-sized groups only: an unbounded listagg over a fact
+    * column would be a driver-sized string at scale. */
+  private def qListagg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+
+  /** Deterministic per-dataset scratch dir under target/ for the
+    * format-roundtrip queries — inside the repo, overwritten
+    * idempotently on every run; the sha1 prefix keeps distinct source
+    * dirs from colliding (same contract as ops/Bucketing). */
+  private def fmtDir(dir: String, name: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    s"target/fmt_roundtrip/$digest/$name"
+  }
+
+  /** CSV sink+source fidelity: write customer as headered CSV into the
+    * build dir, read it back with the parquet schema, aggregate. The
+    * oracle computes the same aggregate straight from parquet, so a
+    * hash match proves the text roundtrip is lossless (shortest-repr
+    * doubles re-parse to the same bits; quote/escape defaults agree
+    * between writer and reader). */
+  private def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "customer")
+    val out = fmtDir(dir, "customer_csv")
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(src.schema).option("header", "true").csv(out)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(Analytics.cents(col("c_acctbal"))).as("bal_cents"),
+        sum(col("c_custkey")).as("key_sum"),
+        min(col("c_name")).as("first_name"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** JSON-lines sink+source fidelity on a timestamp-bearing table:
+    * orders out as JSONL, back in with the parquet schema (ISO
+    * timestamps in the UTC session zone), aggregated vs the
+    * straight-from-parquet oracle. */
+  private def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders")
+    val out = fmtDir(dir, "orders_json")
+    src.write.mode("overwrite").json(out)
+    s.read.schema(src.schema).json(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(Analytics.cents(col("o_totalprice"))).as("price_cents"),
+        min(unix_timestamp(col("o_orderdate"))).as("first_epoch"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** TPC-H Q10-shaped: top customers by revenue lost to returned items
     * in a quarter — 4-way join ranking with a broadcast dimension. */
   private def qReturnedItems(s: SparkSession, dir: String): DataFrame =
@@ -2241,6 +2338,11 @@ object SparkEntry {
     "q_rollup_grouping" -> (qRollupGrouping _),
     "q_source_v2" -> (qSourceV2 _),
     "q_try_arith" -> (qTryArith _),
+    "q_bit_bool_aggs" -> (qBitBoolAggs _),
+    "q_weighted_mean" -> (qWeightedMean _),
+    "q_listagg" -> (qListagg _),
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_agg_filters" -> (qAggFilters _),
     "q_variant" -> (qVariant _),
     "q_funnel" -> (qFunnel _),
@@ -2690,6 +2792,49 @@ object SparkEntry {
         |       THEN (['low', 'high'])[CAST(o_orderkey % 4 + 1 AS INT)] END
         |    AS elem_or_null
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_bit_bool_aggs" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  bit_and(l_partkey) AS pk_and,
+        |  bit_or(l_partkey) AS pk_or,
+        |  bit_xor(l_partkey) AS pk_xor,
+        |  bool_and(l_discount > 0.05) AS all_disc,
+        |  bool_or(l_tax > 0.07) AS any_tax,
+        |  CAST(count_if(l_quantity >= 25.0) AS BIGINT) AS n_bulk
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_weighted_mean" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |    / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |    / CAST(100.0 AS DOUBLE) AS wavg_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_listagg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |  min(c_name) AS first_name
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(floor(epoch(min(o_orderdate))) AS BIGINT) AS first_epoch,
+        |  max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_try_cast" ->
       """SELECT o_orderkey,

@@ -2159,6 +2159,93 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact per-group percentiles (p25/p90/p99) by nearest-rank
+    * selection on the two-pass grouped rank — the same scale shape as
+    * the exact median: no group is ever sorted through one task, and
+    * the final aggregate touches at most three rows per group.
+    * Nearest-rank definition: the p-th percentile is the value at
+    * 1-based rank ceil(p·n/100) = (n·p + 99) div 100 — pure integer
+    * arithmetic, identical in both engines; values are integer cents,
+    * so the only float op is the final /100. */
+  private def qPercentileExact(s: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          Analytics.cents(col("o_totalprice")).cast("double").as("c"),
+          col("o_orderkey")),
+      groupCol = "o_orderpriority", orderCol = "c", idCol = "o_orderkey",
+      numPartitions = 32)
+    def rk(p: Int) = expr(s"(grp_n * $p + 99) div 100")
+    ranked
+      .filter(col("rnk") === rk(25) || col("rnk") === rk(90) ||
+        col("rnk") === rk(99))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        (max(when(col("rnk") === rk(25), col("ord"))) / 100.0).as("p25"),
+        (max(when(col("rnk") === rk(90), col("ord"))) / 100.0).as("p90"),
+        (max(when(col("rnk") === rk(99), col("ord"))) / 100.0).as("p99"),
+        max(col("grp_n")).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Deterministic grouped mode: the most frequent order priority per
+    * customer nation, ties broken by the smallest value. Two-level
+    * aggregation — count per (group, value), max-count per group, join
+    * back — whose shuffles carry only the distinct (group, value)
+    * combinations after partial aggregation: no sort, no window, no
+    * per-group funnel. Spark's built-in mode() is tie-nondeterministic,
+    * which can never hash-match an oracle; the composition is the
+    * contract-grade form and scales as O(groups × domain). */
+  private def qMode(s: SparkSession, dir: String): DataFrame = {
+    val cnts = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    val mx = cnts.groupBy(col("c_nationkey").as("nk"))
+      .agg(max(col("cnt")).as("mx"))
+    cnts.join(mx, col("c_nationkey") === col("nk") && col("cnt") === col("mx"))
+      .groupBy(col("c_nationkey"))
+      .agg(min(col("o_orderpriority")).as("mode_priority"),
+        max(col("mx")).as("n_orders"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** CDC-style snapshot diff: the insert/update/delete change set
+    * between two versions of the orders table (simulated
+    * deterministically from one scan: version A drops keys ≡0 mod 10,
+    * version B drops keys ≡1 mod 10 and reprices keys ≡0 mod 7). Rows
+    * compare by an md5 row fingerprint, so the equality check is one
+    * 16-byte compare regardless of row width — the standard wide-table
+    * CDC trick — the full-outer join shuffles each side by the key
+    * once, and unchanged rows (the overwhelming majority at scale) are
+    * dropped before the emit. */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        Analytics.cents(col("o_totalprice")).as("c"))
+    def fp(prio: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      md5(concat_ws("|", prio, c).cast("binary"))
+    val vOld = base.filter(col("k") % 10 =!= 0)
+      .select(col("k").as("k_old"), col("c").as("old_c"),
+        fp(col("prio"), col("c")).as("fp_old"))
+    val vNew = base.filter(col("k") % 10 =!= 1)
+      .withColumn("c2",
+        col("c") + when(col("k") % 7 === 0, 500L).otherwise(0L))
+      .select(col("k").as("k_new"), col("c2").as("new_c"),
+        fp(col("prio"), col("c2")).as("fp_new"))
+    vOld.join(vNew, col("k_old") === col("k_new"), "full_outer")
+      .withColumn("change",
+        when(col("k_old").isNull, "insert")
+          .when(col("k_new").isNull, "delete")
+          .when(col("fp_old") =!= col("fp_new"), "update"))
+      .filter(col("change").isNotNull)
+      .select(coalesce(col("k_old"), col("k_new")).as("o_orderkey"),
+        col("change"),
+        (col("old_c") / 100.0).as("old_price"),
+        (col("new_c") / 100.0).as("new_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -2349,6 +2436,9 @@ object SparkEntry {
     "q_bloom_prune" -> (qBloomPrune _),
     "q_skyline" -> (qSkyline _),
     "q_paragraph_dedup" -> (qParagraphDedup _),
+    "q_percentile_exact" -> (qPercentileExact _),
+    "q_mode" -> (qMode _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3810,5 +3900,65 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE n_occ > 1) AS BIGINT) AS n_dup_chunks,
         |  (count(*) FILTER (WHERE n_occ > 1) * 1000000) // count(*) AS dup_ppm
         |FROM ch JOIN occ USING (fp) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // rank-selection percentiles; oracle = the window formulation
+    "q_percentile_exact" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c, o_orderkey
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, c,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY c, o_orderkey) AS rnk,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM c)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rnk = (n * 25 + 99) // 100 THEN c END)
+        |    / CAST(100.0 AS DOUBLE) AS p25,
+        |  max(CASE WHEN rnk = (n * 90 + 99) // 100 THEN c END)
+        |    / CAST(100.0 AS DOUBLE) AS p90,
+        |  max(CASE WHEN rnk = (n * 99 + 99) // 100 THEN c END)
+        |    / CAST(100.0 AS DOUBLE) AS p99,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM r
+        |WHERE rnk IN ((n * 25 + 99) // 100, (n * 90 + 99) // 100,
+        |              (n * 99 + 99) // 100)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_mode" ->
+      """WITH cnts AS (
+        |  SELECT c_nationkey, o_orderpriority, count(*) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT c_nationkey, max(cnt) AS mx FROM cnts GROUP BY 1)
+        |SELECT c_nationkey, min(o_orderpriority) AS mode_priority,
+        |  CAST(max(mx) AS BIGINT) AS n_orders
+        |FROM cnts JOIN mx USING (c_nationkey)
+        |WHERE cnt = mx
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |v_old AS (
+        |  SELECT k, c, md5(prio || '|' || c) AS fp
+        |  FROM base WHERE k % 10 <> 0),
+        |v_new AS (
+        |  SELECT k, c2 AS c, md5(prio || '|' || c2) AS fp
+        |  FROM (SELECT k, prio,
+        |          c + CASE WHEN k % 7 = 0 THEN 500 ELSE 0 END AS c2
+        |        FROM base WHERE k % 10 <> 1))
+        |SELECT coalesce(o.k, n.k) AS o_orderkey,
+        |  CASE WHEN o.k IS NULL THEN 'insert'
+        |       WHEN n.k IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change,
+        |  o.c / CAST(100.0 AS DOUBLE) AS old_price,
+        |  n.c / CAST(100.0 AS DOUBLE) AS new_price
+        |FROM v_old o FULL OUTER JOIN v_new n ON o.k = n.k
+        |WHERE o.k IS NULL OR n.k IS NULL OR o.fp <> n.fp
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -97,6 +97,40 @@ object Dedup {
       .filter(col("jaccard") >= minSim)
   }
 
+  /** Asymmetric shingle CONTAINMENT over shared-shingle candidate
+    * pairs: containment(A in B) = |A ∩ B| / |A|. Detects sub-document
+    * duplication (a short doc quoted inside a long one) that symmetric
+    * Jaccard misses: full inclusion of a small doc has near-zero
+    * Jaccard but containment 1.0 — the check a curation pipeline runs
+    * before dropping "distinct" documents that are really excerpts.
+    * Same inverted-index candidate join as jaccardPairs (never
+    * all-pairs; df skew guard ON by default); emits both directions'
+    * containment per unordered candidate pair, keeping pairs where
+    * either direction reaches minContain. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minContain: Double,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val shAll = shingleIndex(docs, idCol, textCol, k)
+      .select(col(idCol), xxhash64(col("s")).as("sk"))
+    val counts = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val sh =
+      if (maxShingleDf == Int.MaxValue) shAll
+      else {
+        val hot = shAll.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select(col("sk"))
+        shAll.join(broadcast(hot), Seq("sk"), "left_anti")
+      }
+    sh.as("a").join(sh.as("b"),
+        col("a.sk") === col("b.sk") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.select(col(idCol).as("d1"), col("n").as("n1")), "d1")
+      .join(counts.select(col(idCol).as("d2"), col("n").as("n2")), "d2")
+      .withColumn("contain_in_1", col("shared") / col("n1"))
+      .withColumn("contain_in_2", col("shared") / col("n2"))
+      .filter(greatest(col("contain_in_1"), col("contain_in_2")) >= minContain)
+  }
+
   /** MinHash signature columns h0..h{n-1}: hash_j(doc) = min over the
     * doc's shingles of md5(j || '|' || shingle). String-min over md5
     * hex is a valid (engine-portable) min-hash family.

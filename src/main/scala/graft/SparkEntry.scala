@@ -2273,6 +2273,72 @@ object SparkEntry {
       .orderBy(col("score_fp").desc, col("doc_id"))
       .limit(50)
 
+  /** 3-D skyline (minimize size, price, name length) over the DISTINCT
+    * dim tuples of part — the >2-D generalization of q_skyline, where
+    * the prefix-min trick alone no longer works. Decomposition:
+    * (1) collapse to distinct dim tuples (one hash agg); (2) per
+    * (size, price) only the min name_len can survive; (3) within each
+    * size, the 2-D skyline via a strict-predecessor RANGE window over
+    * the per-size slice; (4) the surviving candidate set — a superset
+    * of the true skyline by the union-of-local-skylines property, and
+    * tiny (≤ frontier × sizes) — goes through one broadcast dominance
+    * anti-join. No all-pairs pass ever touches the full table. */
+  private def qSkyline3d(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "part")
+      .select(col("p_size").cast("long").as("size"),
+        Analytics.cents(col("p_retailprice")).as("price_c"),
+        length(col("p_name")).cast("long").as("name_len"),
+        col("p_partkey"))
+      .groupBy(col("size"), col("price_c"), col("name_len"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("rep_partkey"))
+    val perPrice = d
+      .withColumn("m",
+        struct(col("name_len"), col("n_parts"), col("rep_partkey")))
+      .groupBy(col("size"), col("price_c")).agg(min(col("m")).as("m"))
+      .select(col("size"), col("price_c"), col("m.name_len").as("name_len"),
+        col("m.n_parts").as("n_parts"), col("m.rep_partkey").as("rep_partkey"))
+    val prior = Window.partitionBy(col("size")).orderBy(col("price_c"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val cand = perPrice
+      .withColumn("pm", min(col("name_len")).over(prior))
+      .filter(col("pm").isNull || col("name_len") < col("pm"))
+      .drop("pm")
+    val dom = cand.select(col("size").as("bs"), col("price_c").as("bp"),
+      col("name_len").as("bn"))
+    cand.join(broadcast(dom),
+        col("bs") <= col("size") && col("bp") <= col("price_c") &&
+          col("bn") <= col("name_len") &&
+          (col("bs") < col("size") || col("bp") < col("price_c") ||
+            col("bn") < col("name_len")),
+        "left_anti")
+      .select(col("size"), (col("price_c") / 100.0).as("price"),
+        col("name_len"), col("n_parts"), col("rep_partkey"))
+      .orderBy(col("size"), col("price"))
+  }
+
+  /** Multi-source BFS hop distances over the co-purchase graph (parts
+    * appearing in the same order), seeds = part keys ≡0 mod 100 — the
+    * iterative-traversal operator class (CC tells you the cluster, BFS
+    * the distance). Level-synchronous frontier expansion: one
+    * edge-join + one anti-join per level, frontier count only to the
+    * driver (ops/Bfs.scala). Oracle = recursive-CTE reachability with
+    * min(dist). */
+  private def qBfs(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val seeds = edges.select(col("u").as("node")).distinct()
+      .filter(col("node") % 100 === 0)
+    graft.ops.Bfs.distances(edges, seeds).orderBy(col("node"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -2468,6 +2534,8 @@ object SparkEntry {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_containment" -> (qContainment _),
     "q_bm25" -> (qBm25 _),
+    "q_skyline3d" -> (qSkyline3d _),
+    "q_bfs" -> (qBfs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4035,5 +4103,52 @@ object SparkEntry {
          |  score_fp / CAST(1000000.0 AS DOUBLE) AS score
          |FROM sc ORDER BY score_fp DESC, doc_id LIMIT 50""".stripMargin
     },
+
+    // oracle mirrors the decomposition's candidate set (a superset of
+    // the skyline), then applies the textbook NOT EXISTS dominance test
+    "q_skyline3d" ->
+      """WITH d AS (
+        |  SELECT CAST(p_size AS BIGINT) AS size,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+        |    CAST(length(p_name) AS BIGINT) AS name_len,
+        |    count(*) AS n_parts, min(p_partkey) AS rep_partkey
+        |  FROM part GROUP BY 1, 2, 3),
+        |pp AS (
+        |  SELECT size, price_c, name_len, n_parts, rep_partkey
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY size, price_c
+        |                                     ORDER BY name_len) AS rn FROM d)
+        |  WHERE rn = 1),
+        |cand AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(name_len) OVER (PARTITION BY size ORDER BY price_c
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |    FROM pp)
+        |  WHERE pm IS NULL OR name_len < pm)
+        |SELECT size, price_c / CAST(100.0 AS DOUBLE) AS price, name_len,
+        |  CAST(n_parts AS BIGINT) AS n_parts, rep_partkey
+        |FROM cand a
+        |WHERE NOT EXISTS (SELECT 1 FROM cand b
+        |  WHERE b.size <= a.size AND b.price_c <= a.price_c
+        |    AND b.name_len <= a.name_len
+        |    AND (b.size < a.size OR b.price_c < a.price_c
+        |         OR b.name_len < a.name_len))
+        |ORDER BY size, price""".stripMargin,
+
+    "q_bfs" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |walk AS (
+        |  SELECT u AS node, 0 AS dist
+        |  FROM (SELECT DISTINCT u FROM edges) s WHERE u % 100 = 0
+        |  UNION
+        |  SELECT e.v, w.dist + 1 FROM edges e JOIN walk w ON e.u = w.node
+        |  WHERE w.dist < 30)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
   )
 }

@@ -875,7 +875,9 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_nations"), Hll.hll_merge(col("regs")).as("regs"))
     val exact = li.groupBy(col("n_regionkey"))
       .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
-    regSketch.join(exact, "n_regionkey")
+    // exact side is |regions| rows — hint the broadcast at plan time
+    // rather than relying on AQE's runtime demotion of the SMJ
+    regSketch.join(broadcast(exact), "n_regionkey")
       .join(broadcast(t(s, dir, "region")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("r_name"), col("n_nations"),
@@ -2339,6 +2341,79 @@ object SparkEntry {
     graft.ops.Bfs.distances(edges, seeds).orderBy(col("node"))
   }
 
+  /** One-pass column profiler (the deequ/DESCRIBE-style data-quality
+    * sweep a pipeline runs before training): row count, null count,
+    * exact distinct count, and min/max per column, computed in ONE
+    * scan (multiple distinct aggregates plan as a single Expand pass)
+    * and unpivoted to a row per column via stack(). min/max cross the
+    * type boundary as strings; the monetary column is profiled in
+    * integer cents so no double ever renders to text (engine string
+    * renderings of doubles differ — integers are identical). At 100 TB
+    * the same shape runs with HLL sketches replacing the exact
+    * distincts (see q_hll_distinct); exact is the contract here. */
+  private def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .withColumn("bal_c", Analytics.cents(col("c_acctbal")))
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "bal_c")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.zipWithIndex.flatMap { case (cn, i) =>
+        Seq(sum(when(col(cn).isNull, 1L).otherwise(0L)).as(s"nn$i"),
+          countDistinct(col(cn)).as(s"nd$i"),
+          min(col(cn)).cast("string").as(s"mn$i"),
+          max(col(cn)).cast("string").as(s"mx$i"))
+      }
+    val stackArgs = cols.zipWithIndex.map { case (cn, i) =>
+      val label = if (cn == "bal_c") "c_acctbal_cents" else cn
+      s"'$label', nn$i, nd$i, mn$i, mx$i"
+    }.mkString(", ")
+    c.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) as " +
+          "(col_name, n_null, n_distinct, min_s, max_s)")
+      .orderBy(col("col_name"))
+  }
+
+  /** Robust (IQR-fence) outlier detection per group, composed from the
+    * rank-selection percentile path: p25/p75 come from groupedRank (no
+    * per-group sort task), fences are pure integer-cents arithmetic
+    * (k·IQR with k = 1/2 — Tukey's 1.5 flags nothing on this
+    * short-tailed synthetic distribution, so the tighter fence keeps
+    * the oracle discriminating), and the per-group fence row is
+    * broadcast back onto the fact scan for one counting pass. No
+    * double appears before the final /100 rendering. */
+  private def qOutliersIqr(s: SparkSession, dir: String): DataFrame = {
+    val cents = t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        Analytics.cents(col("o_totalprice")).as("c"), col("o_orderkey"))
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      cents.select(col("o_orderpriority"), col("c").cast("double"),
+        col("o_orderkey")),
+      groupCol = "o_orderpriority", orderCol = "c", idCol = "o_orderkey",
+      numPartitions = 32)
+    def rk(p: Int) = expr(s"(grp_n * $p + 99) div 100")
+    val fences = ranked
+      .filter(col("rnk") === rk(25) || col("rnk") === rk(75))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(when(col("rnk") === rk(25), col("ord"))).cast("long").as("p25_c"),
+        max(when(col("rnk") === rk(75), col("ord"))).cast("long").as("p75_c"),
+        max(col("grp_n")).as("n_total"))
+      .withColumn("lo_c", expr("p25_c - ((p75_c - p25_c) div 2)"))
+      .withColumn("hi_c", expr("p75_c + ((p75_c - p25_c) div 2)"))
+    cents.join(broadcast(fences), "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("p25_c")).as("p25_c"), max(col("p75_c")).as("p75_c"),
+        max(col("lo_c")).as("lo_c"), max(col("hi_c")).as("hi_c"),
+        max(col("n_total")).as("n_total"),
+        sum(when(col("c") < col("lo_c"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("c") > col("hi_c"), 1L).otherwise(0L)).as("n_high"))
+      .select(col("o_orderpriority"),
+        (col("p25_c") / 100.0).as("p25"), (col("p75_c") / 100.0).as("p75"),
+        (col("lo_c") / 100.0).as("lo_fence"), (col("hi_c") / 100.0).as("hi_fence"),
+        col("n_total"), col("n_low"), col("n_high"),
+        (col("n_low") + col("n_high")).as("n_outliers"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -2536,6 +2611,8 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_skyline3d" -> (qSkyline3d _),
     "q_bfs" -> (qBfs _),
+    "q_profile" -> (qProfile _),
+    "q_outliers_iqr" -> (qOutliersIqr _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4150,5 +4227,62 @@ object SparkEntry {
         |  WHERE w.dist < 30)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_profile" -> {
+      def row(label: String, c: String): String =
+        s"""SELECT '$label' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s FROM c""".stripMargin
+      val rows = Seq(
+        row("c_custkey", "c_custkey"), row("c_name", "c_name"),
+        row("c_nationkey", "c_nationkey"),
+        row("c_mktsegment", "c_mktsegment"),
+        row("c_acctbal_cents", "bal_c")).mkString("\nUNION ALL\n")
+      s"""WITH c AS (SELECT *,
+         |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+         |  FROM customer)
+         |$rows
+         |ORDER BY col_name""".stripMargin
+    },
+
+    "q_outliers_iqr" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c, o_orderkey
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, c,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY c, o_orderkey) AS rnk,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM c),
+        |f AS (
+        |  SELECT o_orderpriority,
+        |    max(CASE WHEN rnk = (n * 25 + 99) // 100 THEN c END) AS p25_c,
+        |    max(CASE WHEN rnk = (n * 75 + 99) // 100 THEN c END) AS p75_c,
+        |    max(n) AS n_total
+        |  FROM r
+        |  WHERE rnk IN ((n * 25 + 99) // 100, (n * 75 + 99) // 100)
+        |  GROUP BY o_orderpriority),
+        |g AS (
+        |  SELECT o_orderpriority, p25_c, p75_c, n_total,
+        |    p25_c - ((p75_c - p25_c) // 2) AS lo_c,
+        |    p75_c + ((p75_c - p25_c) // 2) AS hi_c
+        |  FROM f)
+        |SELECT g.o_orderpriority,
+        |  p25_c / CAST(100.0 AS DOUBLE) AS p25,
+        |  p75_c / CAST(100.0 AS DOUBLE) AS p75,
+        |  lo_c / CAST(100.0 AS DOUBLE) AS lo_fence,
+        |  hi_c / CAST(100.0 AS DOUBLE) AS hi_fence,
+        |  CAST(max(n_total) AS BIGINT) AS n_total,
+        |  CAST(count(*) FILTER (WHERE c.c < lo_c) AS BIGINT) AS n_low,
+        |  CAST(count(*) FILTER (WHERE c.c > hi_c) AS BIGINT) AS n_high,
+        |  CAST(count(*) FILTER (WHERE c.c < lo_c OR c.c > hi_c) AS BIGINT)
+        |    AS n_outliers
+        |FROM g JOIN c ON g.o_orderpriority = c.o_orderpriority
+        |GROUP BY g.o_orderpriority, p25_c, p75_c, lo_c, hi_c
+        |ORDER BY g.o_orderpriority""".stripMargin,
   )
 }

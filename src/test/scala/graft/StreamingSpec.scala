@@ -580,4 +580,50 @@ class StreamingSpec extends SparkSpec {
     assert(promoted("t1") === ((4, "dlq")))
     assert(promoted("t2") === ((2, "retry")))
   }
+
+  test("streaming dedup within watermark drops cross-batch duplicates") {
+    // the stateful-dedup shape for at-least-once upstreams: the state
+    // store keeps one entry per key only until the watermark passes it,
+    // so state is bounded by the delay window, not the stream's history
+    val stream = MemoryStream[Envelope](spark)
+    val deduped = stream.toDF()
+      .select(expr("CAST(key AS STRING) AS id"), col("timestamp"))
+      .withWatermark("timestamp", "10 seconds")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    stream.addData(envelope(0, "a", 10f), envelope(1, "a", 10f),
+      envelope(2, "b", 10f))
+    q.processAllAvailable()
+    stream.addData(envelope(3, "a", 10f), envelope(4, "c", 10f))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_wm").select($"id").as[String]
+      .collect().sorted
+    assert(got === Array("a", "b", "c"))
+  }
+
+  test("stream-stream interval join pairs orders with in-window payments") {
+    // both sides watermarked so the join state is purgeable; the time
+    // range bound makes the buffered window finite — the streaming
+    // analog of q_interval_join
+    val orders = MemoryStream[Envelope](spark)
+    val pays = MemoryStream[Envelope](spark)
+    val o = orders.toDF()
+      .select(expr("CAST(key AS STRING) AS oid"), col("timestamp").as("o_ts"))
+      .withWatermark("o_ts", "30 seconds")
+    val p = pays.toDF()
+      .select(expr("CAST(key AS STRING) AS pid"), col("timestamp").as("p_ts"))
+      .withWatermark("p_ts", "30 seconds")
+    val joined = o.join(p, expr(
+      "oid = pid AND p_ts >= o_ts AND p_ts <= o_ts + interval 60 seconds"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    orders.addData(envelope(0, "x", 10f), envelope(1, "y", 10f))
+    pays.addData(envelope(5000, "x", 10f))     // +5 s: inside x's window
+    q.processAllAvailable()
+    pays.addData(envelope(200000, "y", 10f))   // +200 s: outside y's window
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ss_join").select($"oid").as[String].collect()
+    assert(got === Array("x"))
+  }
 }

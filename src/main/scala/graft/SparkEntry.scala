@@ -2199,10 +2199,15 @@ object SparkEntry {
     * which can never hash-match an oracle; the composition is the
     * contract-grade form and scales as O(groups × domain). */
   private def qMode(s: SparkSession, dir: String): DataFrame = {
+    // materialize the (group, value) counts ONCE: both the max level
+    // and the join-back read it, and without this the orders⋈customer
+    // join + aggregation lineage executes twice (lazy checkpoint so
+    // plan audits run no job — the qTriangles convention)
     val cnts = t(s, dir, "orders")
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey"), col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
     val mx = cnts.groupBy(col("c_nationkey").as("nk"))
       .agg(max(col("cnt")).as("mx"))
     cnts.join(mx, col("c_nationkey") === col("nk") && col("cnt") === col("mx"))

@@ -131,6 +131,61 @@ object Dedup {
       .filter(greatest(col("contain_in_1"), col("contain_in_2")) >= minContain)
   }
 
+  /** Prefix-filtered exact Jaccard join (the AllPairs/PPJoin candidate
+    * reduction): identical output to the UNCAPPED jaccardPairs, with
+    * candidate generation restricted to each document's PREFIX — its
+    * |A| - ⌈t·|A|⌉ + 1 globally-rarest shingles (global order =
+    * ascending document frequency, hash tiebreak).
+    *
+    * Losslessness: Jaccard(A,B) ≥ t implies |A∩B| ≥ t·|A| (since
+    * |B| ≥ |A∩B|, the denominator is ≥ |A|, so t ≤ j ≤ o/|A|). If no
+    * common shingle fell in A's prefix, every common shingle would sit
+    * among A's last ⌈t·|A|⌉ - 1 positions — fewer than the required
+    * overlap. Hence the smallest common shingle lies in BOTH prefixes
+    * and the prefix-index join generates every qualifying pair.
+    *
+    * Scale: candidate volume drops from Σ df² over ALL shingles to the
+    * prefix-only index — and boilerplate shingles (the hot keys the df
+    * cap guards against) have the LARGEST df, sort LAST, and fall out
+    * of every prefix, so prefix filtering subsumes the skew guard
+    * while staying exact. Candidates are then verified against the
+    * full shingle sets (two joins keyed by (doc, shingle-hash)). */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSim: Double): DataFrame = {
+    val shAll = shingleIndex(docs, idCol, textCol, k)
+      .select(col(idCol), xxhash64(col("s")).as("sk"))
+    val counts = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val dfs = shAll.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+    // per-doc global-rarity rank; partitioned by doc (high cardinality,
+    // no window funnel) — ceil(t*n) in exact integer arithmetic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("sk"))
+    val prefix = shAll.join(dfs, "sk")
+      .withColumn("rn", row_number().over(w))
+      .join(counts, idCol)
+      // epsilon guards the FP ceil: if n·t lands a hair ABOVE an exact
+      // integer, a bare ceil would shorten the prefix by one and could
+      // drop a qualifying pair; erring longer only adds candidates
+      .filter(col("rn") <=
+        col("n") - ceil(col("n") * minSim - lit(1e-9)).cast("long") + 1L)
+      .select(col(idCol), col("sk"))
+    val candPairs = prefix.as("a").join(prefix.as("b"),
+        col("a.sk") === col("b.sk") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .distinct()
+    // exact verification on the FULL sets: count shared shingles per
+    // candidate pair
+    val shared = candPairs
+      .join(shAll.select(col(idCol).as("d1"), col("sk")), "d1")
+      .join(shAll.select(col(idCol).as("d2"), col("sk")), Seq("d2", "sk"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col(idCol).as("d1"), col("n").as("n1")), "d1")
+      .join(counts.select(col(idCol).as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard") >= minSim)
+  }
+
   /** MinHash signature columns h0..h{n-1}: hash_j(doc) = min over the
     * doc's shingles of md5(j || '|' || shingle). String-min over md5
     * hex is a valid (engine-portable) min-hash family.

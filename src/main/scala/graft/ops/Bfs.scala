@@ -50,4 +50,43 @@ object Bfs {
         s"deeper than maxIter; raise it (distances would be censored)")
     visited
   }
+
+  /** Weighted multi-source shortest paths by distributed Bellman-Ford
+    * relaxation: each round candidate distances come from ONE
+    * edges⋈dist join + min-aggregation, then min-merge into the
+    * settled table; the loop ends when no distance improves. Unlike
+    * unit-weight BFS a settled distance CAN improve later (a longer
+    * hop path may be cheaper), so the merge is a relaxation, not an
+    * append — rounds ≤ the hop count of the longest shortest path.
+    * `edges` needs (u, v, w) with non-negative long weights, both
+    * directions for undirected graphs. Fails loudly at maxIter:
+    * censored distances are silent wrong answers. */
+  def weightedDistances(edges: DataFrame, seeds: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val e = edges.select(col("u"), col("v"), col("w"))
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(eager = true)
+    var improved = 1L
+    var iter = 0
+    while (improved > 0 && iter < maxIter) {
+      iter += 1
+      val cand = e.join(dist.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+      val merged = dist.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).as("d2"),
+          (col("dist").isNull ||
+            (col("nd").isNotNull && col("nd") < col("dist"))).as("better"))
+        .localCheckpoint(eager = true)
+      improved = merged.filter(col("better")).count()
+      dist = merged.select(col("node"), col("d2").as("dist"))
+    }
+    if (improved > 0) throw new IllegalStateException(
+      s"Bellman-Ford still relaxing after $maxIter rounds — a shortest " +
+        s"path has more hops than maxIter; raise it (distances would be " +
+        s"censored)")
+    dist
+  }
 }

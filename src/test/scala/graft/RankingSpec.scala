@@ -53,6 +53,27 @@ class RankingSpec extends SparkSpec {
     assert(jac === 0L)                           // symmetric Jaccard is blind
   }
 
+  test("prefix-filtered jaccard equals the plain inverted-index join") {
+    // every doc shares a boilerplate phrase (the hot-shingle case the
+    // df cap exists for); docs 1/2 are near-dups, 3/4 unrelated
+    val boiler = "standard license header text common to all docs"
+    val docs = Seq(
+      (1L, boiler + " alpha beta gamma delta epsilon zeta eta"),
+      (2L, boiler + " alpha beta gamma delta epsilon zeta theta"),
+      (3L, boiler + " one two three four five six seven eight"),
+      (4L, boiler + " red orange yellow green blue indigo violet")
+    ).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"d1", $"d2", $"shared", $"n1", $"n2")
+        .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val plain = norm(Dedup.jaccardPairs(docs, "doc_id", "text", k = 5,
+      minSim = 0.3, maxShingleDf = Int.MaxValue))
+    val prefixed = norm(Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
+      k = 5, minSim = 0.3))
+    assert(plain.nonEmpty)              // the boilerplate makes pairs qualify
+    assert(prefixed === plain)          // candidate reduction is lossless
+  }
+
   test("containment pair generation respects the shingle df cap") {
     // the same 5-token phrase in every doc: with cap 2 the shared
     // shingle is a stop shingle, so no candidates survive

@@ -2458,6 +2458,94 @@ object SparkEntry {
     graft.ops.Bfs.weightedDistances(edges, seeds).orderBy(col("node"))
   }
 
+  /** Cohort retention — the classic product-analytics triangle: users
+    * cohorted by their first-activity week, then counted distinct per
+    * (cohort_week, week_offset). Two aggregations keyed by user — the
+    * shuffle carries users, never events — then one count-distinct per
+    * cell; all week arithmetic is integer epoch-seconds (the ns-epoch
+    * policy), so the cells hash-match bit-for-bit. */
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val weeks = events(s, dir)
+      .select(col("user_id"),
+        expr("(ts div 1000000000) div 604800").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Order-independent table checksum — the anti-entropy primitive for
+    * replica/CDC verification: per group, a bit_xor fold of a 60-bit
+    * md5-derived row hash plus the row count. XOR is commutative and
+    * associative, so the fold needs NO ordering guarantee from the
+    * shuffle (a sum could overflow under ANSI; xor cannot), and two
+    * tables can be compared replica-to-replica by exchanging one row
+    * per group instead of any data. */
+  private def qTableChecksum(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        conv(substring(md5(concat_ws("|",
+            col("o_orderkey"), col("o_custkey"),
+            Analytics.cents(col("o_totalprice"))).cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("checksum"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Mergeable histogram-quantile sketch rollup (functions/Hist.scala)
+    * — the quantile member of the sketch family, same shape as
+    * q_hll_rollup: one long[64] bucket-count sketch per nation, merged
+    * to region level by elementwise SUM (associative — rollups are
+    * O(groups × B), never O(data)), then p50/p95 read off the merged
+    * sketch by a cross-multiplied integer rank threshold. Estimates
+    * are bucket lower bounds ($10,000 grain over [0, $640k)) — the
+    * equi-width trade-off, bit-identical across engines unlike
+    * approx_percentile's engine-private GK sketch. The quantile
+    * selection explodes 64 rows per REGION (group-cardinality work,
+    * not row work). */
+  private def qHistQuantile(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hist
+    import org.apache.spark.sql.expressions.Window
+    val Lo = 0L; val Hi = 64000000L // cents; width exactly $10,000
+    val src = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_nationkey"), col("n_regionkey"),
+        Analytics.cents(col("o_totalprice")).as("c"))
+    val natSketch = src.groupBy(col("n_nationkey"), col("n_regionkey"))
+      .agg(Hist.hist_registers(col("c"), Lo, Hi).as("regs"))
+    val regSketch = natSketch.groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), Hist.hist_merge(col("regs")).as("regs"))
+    val cum = regSketch
+      .select(col("n_regionkey"), col("n_nations"),
+        posexplode(col("regs")).as(Seq("idx", "cnt")))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("n_regionkey")).orderBy(col("idx"))))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("n_regionkey"))))
+    val p50 = cum.filter(col("cum") * 2 >= col("n"))
+      .groupBy(col("n_regionkey")).agg(min(col("idx")).as("b50"))
+    val p95 = cum.filter(col("cum") * 20 >= col("n") * 19)
+      .groupBy(col("n_regionkey")).agg(min(col("idx")).as("b95"))
+    regSketch.select(col("n_regionkey"), col("n_nations"))
+      .join(cum.groupBy(col("n_regionkey")).agg(max(col("n")).as("n_orders")),
+        "n_regionkey")
+      .join(p50, "n_regionkey").join(p95, "n_regionkey")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_nations"), col("n_orders"),
+        (col("b50") * 10000L).as("p50_bucket_lo"),
+        (col("b95") * 10000L).as("p95_bucket_lo"))
+      .orderBy(col("r_name"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -2659,6 +2747,9 @@ object SparkEntry {
     "q_outliers_iqr" -> (qOutliersIqr _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_sssp" -> (qSssp _),
+    "q_retention" -> (qRetention _),
+    "q_table_checksum" -> (qTableChecksum _),
+    "q_hist_quantile" -> (qHistQuantile _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4365,5 +4456,61 @@ object SparkEntry {
         |  WHERE w.dist + e.w < 100)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_retention" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 1000000000) // 604800 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_table_checksum" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  bit_xor(CAST('0x' || substr(md5(
+        |    o_orderkey || '|' || o_custkey || '|' ||
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 1, 15)
+        |    AS BIGINT)) AS checksum
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // merge-of-sums == sum-of-union, so the oracle histograms the raw
+    // data at region level directly; quantile pick is the same integer
+    // rank threshold
+    "q_hist_quantile" ->
+      """WITH src AS (
+        |  SELECT n_nationkey, n_regionkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |bkt AS (
+        |  SELECT n_regionkey,
+        |    LEAST(GREATEST(c, 0), 63999999) // 1000000 AS idx
+        |  FROM src),
+        |cnts AS (SELECT n_regionkey, idx, count(*) AS cnt
+        |         FROM bkt GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT n_regionkey, idx, cnt,
+        |    sum(cnt) OVER (PARTITION BY n_regionkey ORDER BY idx) AS cum,
+        |    sum(cnt) OVER (PARTITION BY n_regionkey) AS n
+        |  FROM cnts),
+        |p50 AS (SELECT n_regionkey, min(idx) AS b50 FROM cum
+        |        WHERE cum * 2 >= n GROUP BY 1),
+        |p95 AS (SELECT n_regionkey, min(idx) AS b95 FROM cum
+        |        WHERE cum * 20 >= n * 19 GROUP BY 1),
+        |agg AS (
+        |  SELECT n_regionkey, count(DISTINCT n_nationkey) AS n_nations,
+        |    count(*) AS n_orders
+        |  FROM src GROUP BY 1)
+        |SELECT r_name, CAST(n_nations AS BIGINT) AS n_nations,
+        |  CAST(n_orders AS BIGINT) AS n_orders,
+        |  b50 * 10000 AS p50_bucket_lo, b95 * 10000 AS p95_bucket_lo
+        |FROM agg JOIN p50 USING (n_regionkey) JOIN p95 USING (n_regionkey)
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY r_name""".stripMargin,
   )
 }

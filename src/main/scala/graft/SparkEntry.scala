@@ -2546,6 +2546,46 @@ object SparkEntry {
       .orderBy(col("r_name"))
   }
 
+  /** Gaps-and-islands interval merging — per supplier, collapse the
+    * [shipdate, receiptdate] intervals of their lineitems into maximal
+    * overlapping islands and report island count + covered days. The
+    * classic warehouse interval problem: an island starts where the
+    * start exceeds the running max of all preceding ends (prefix-max
+    * window, partitioned by the HIGH-cardinality supplier key — no
+    * funnel), island ids are a running sum of the start flags, and the
+    * per-island collapse is one aggregation. All date math is integer
+    * epoch days; both engines compute over the identical
+    * (start, end, orderkey, linenumber) total order. */
+  private def qIslands(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // interval = [ship day, ship day + 1 + (okey+line) mod 14]: the
+    // table has no receipt date, so the duration is derived
+    // deterministically from the keys (identical in the oracle)
+    val iv = t(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("st"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("en",
+        col("st") + 1L + (col("l_orderkey") + col("l_linenumber")) % 14)
+    val order = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("st"), col("en"), col("l_orderkey"), col("l_linenumber"))
+    val flagged = iv
+      .withColumn("pm", max(col("en")).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_start",
+        when(col("pm").isNull || col("st") > col("pm"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("is_start")).over(order))
+    flagged.groupBy(col("l_suppkey"), col("island"))
+      .agg(min(col("st")).as("i_start"), max(col("en")).as("i_end"),
+        count(lit(1)).as("i_n"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start") + 1L).as("covered_days"),
+        sum(col("i_n")).as("n_intervals"))
+      .orderBy(col("l_suppkey"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -2750,6 +2790,7 @@ object SparkEntry {
     "q_retention" -> (qRetention _),
     "q_table_checksum" -> (qTableChecksum _),
     "q_hist_quantile" -> (qHistQuantile _),
+    "q_islands" -> (qIslands _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4512,5 +4553,44 @@ object SparkEntry {
         |FROM agg JOIN p50 USING (n_regionkey) JOIN p95 USING (n_regionkey)
         |JOIN region ON n_regionkey = r_regionkey
         |ORDER BY r_name""".stripMargin,
+
+    "q_islands" ->
+      """WITH iv0 AS (
+        |  SELECT l_suppkey,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS st,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |iv AS (
+        |  SELECT l_suppkey, st,
+        |    st + 1 + (l_orderkey + l_linenumber) % 14 AS en,
+        |    l_orderkey, l_linenumber
+        |  FROM iv0),
+        |f AS (
+        |  SELECT l_suppkey, st, en,
+        |    max(en) OVER (PARTITION BY l_suppkey
+        |      ORDER BY st, en, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm,
+        |    CASE WHEN max(en) OVER (PARTITION BY l_suppkey
+        |      ORDER BY st, en, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR st > max(en) OVER (PARTITION BY l_suppkey
+        |      ORDER BY st, en, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS is_start,
+        |    l_orderkey, l_linenumber
+        |  FROM iv),
+        |w AS (
+        |  SELECT l_suppkey, st, en,
+        |    sum(is_start) OVER (PARTITION BY l_suppkey
+        |      ORDER BY st, en, l_orderkey, l_linenumber) AS island
+        |  FROM f),
+        |isl AS (
+        |  SELECT l_suppkey, island, min(st) AS i_start, max(en) AS i_end,
+        |    count(*) AS i_n
+        |  FROM w GROUP BY 1, 2)
+        |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(i_end - i_start + 1) AS BIGINT) AS covered_days,
+        |  CAST(sum(i_n) AS BIGINT) AS n_intervals
+        |FROM isl GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
   )
 }

@@ -150,8 +150,11 @@ object Dedup {
     * of every prefix, so prefix filtering subsumes the skew guard
     * while staying exact. Candidates are then verified against the
     * full shingle sets (two joins keyed by (doc, shingle-hash)). */
-  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minSim: Double): DataFrame = {
+  /** The per-doc rarest-prefix shingle index jaccardPairsPrefix joins
+    * on — exposed so scale probes can measure the candidate-volume
+    * reduction (Σ C(df,2) over this index vs over the full index). */
+  private[graft] def prefixIndex(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, minSim: Double): DataFrame = {
     val shAll = shingleIndex(docs, idCol, textCol, k)
       .select(col(idCol), xxhash64(col("s")).as("sk"))
     val counts = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
@@ -160,7 +163,7 @@ object Dedup {
     // no window funnel) — ceil(t*n) in exact integer arithmetic
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("df"), col("sk"))
-    val prefix = shAll.join(dfs, "sk")
+    shAll.join(dfs, "sk")
       .withColumn("rn", row_number().over(w))
       .join(counts, idCol)
       // epsilon guards the FP ceil: if n·t lands a hair ABOVE an exact
@@ -169,6 +172,14 @@ object Dedup {
       .filter(col("rn") <=
         col("n") - ceil(col("n") * minSim - lit(1e-9)).cast("long") + 1L)
       .select(col(idCol), col("sk"))
+  }
+
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSim: Double): DataFrame = {
+    val shAll = shingleIndex(docs, idCol, textCol, k)
+      .select(col(idCol), xxhash64(col("s")).as("sk"))
+    val counts = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val prefix = prefixIndex(docs, idCol, textCol, k, minSim)
     val candPairs = prefix.as("a").join(prefix.as("b"),
         col("a.sk") === col("b.sk") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))

@@ -170,6 +170,55 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("prefix filtering collapses boilerplate candidate volume") {
+    // 2000 docs share one boilerplate sentence; only doc pairs (2i,2i+1)
+    // are true near-dups. The FULL inverted index pays C(2000,2) ≈ 2M
+    // candidates per boilerplate shingle; the prefix index keeps only
+    // each doc's rarest shingles, so boilerplate (max df) drops out
+    val docs = spark.range(2000).select($"id".as("doc_id"),
+      concat(lit("shared boilerplate header common to every document here "),
+        lit("tail "), ($"id" / 2).cast("long").cast("string"), lit(" "),
+        ($"id" / 2 % 7).cast("long").cast("string"), lit(" "),
+        ($"id" / 2 % 11).cast("long").cast("string"), lit(" "),
+        ($"id" / 2 % 13).cast("long").cast("string"), lit(" "),
+        ($"id" % 2).cast("string")).as("text"))
+    def volume(index: org.apache.spark.sql.DataFrame): Long =
+      index.groupBy($"sk").agg(count(lit(1)).as("df"))
+        .agg(sum(expr("df * (df - 1) / 2"))).as[Double].head().toLong
+    // t = 0.7: the prefix is n - ceil(0.7n) + 1 ≈ the 4 rarest of 10
+    // shingles — entirely the per-pair tail shingles, so every
+    // boilerplate hot key (df = 2000) drops out; true pairs share 9 of
+    // 11 shingles (j ≈ 0.82) and still qualify
+    val full = volume(graft.llm.Dedup.shingleIndex(docs, "doc_id", "text", 5)
+      .select($"doc_id", xxhash64($"s").as("sk")))
+    val pref = volume(graft.llm.Dedup.prefixIndex(docs, "doc_id", "text",
+      5, 0.7))
+    assert(full > 1000000L)              // boilerplate blows up the full index
+    assert(pref < full / 100L)           // prefix kills the hot shingles
+    // and the filtered join still finds every true near-dup pair
+    val pairs = graft.llm.Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
+      5, 0.7).select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert((0L until 1000L).map(i => (2 * i, 2 * i + 1)).forall(pairs.contains))
+  }
+
+  test("bellman-ford rounds follow graph depth, not node count (100k nodes)") {
+    // star-of-stars: node i links to its block hub, hubs link to node 0
+    // — 100,001 edges, depth 4, so relaxation ends in ~5 rounds no
+    // matter how many nodes there are
+    val n = 100000L
+    val leafEdges = spark.range(n).filter($"id" % 1000 =!= 0)
+      .select($"id".as("u"), ($"id" - $"id" % 1000).as("v"))
+    val hubEdges = spark.range(n / 1000).filter($"id" =!= 0)
+      .select(($"id" * 1000).as("u"), lit(0L).as("v"))
+    val e = leafEdges.union(hubEdges)
+    val edges = e.union(e.select($"v".as("u"), $"u".as("v")))
+      .withColumn("w", lit(1L) + $"u" % 3)
+    val dist = graft.ops.Bfs.weightedDistances(edges, Seq(0L).toDF("node"),
+      maxIter = 8)
+    assert(dist.count() === n)           // every node reached
+    assert(dist.agg(max($"dist")).as[Long].head() <= 8L) // ≤ 2 hops × max w
+  }
+
   test("salted join equals plain join on skewed data") {
     // 90% of left rows share one hot key
     val left = spark.range(5000)

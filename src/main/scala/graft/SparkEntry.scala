@@ -2586,6 +2586,40 @@ object SparkEntry {
       .orderBy(col("l_suppkey"))
   }
 
+  /** Market share (TPC-H Q8 shape): per order year, the revenue share
+    * sourced from suppliers in one region. Fact⋈fact on the order key
+    * (shuffle join — both sides large), every dimension broadcast, one
+    * conditional aggregation; the share is a SINGLE division of two
+    * exact cent sums, so the only double op is the final ratio. */
+  private def qMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        Analytics.cents(col("l_extendedprice")).as("rev_c"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val supRegion = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supRegion), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(col("rev_c")).as("total_c"),
+        sum(when(col("r_name") === "ASIA", col("rev_c")).otherwise(0L))
+          .as("asia_c"))
+      .select(col("o_year"),
+        (col("total_c") / 100.0).as("total_revenue"),
+        (col("asia_c") / 100.0).as("asia_revenue"),
+        (col("asia_c").cast("double") / col("total_c")).as("asia_share"))
+      .orderBy(col("o_year"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -2791,6 +2825,7 @@ object SparkEntry {
     "q_table_checksum" -> (qTableChecksum _),
     "q_hist_quantile" -> (qHistQuantile _),
     "q_islands" -> (qIslands _),
+    "q_market_share" -> (qMarketShare _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4592,5 +4627,28 @@ object SparkEntry {
         |  CAST(sum(i_end - i_start + 1) AS BIGINT) AS covered_days,
         |  CAST(sum(i_n) AS BIGINT) AS n_intervals
         |FROM isl GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q_market_share" ->
+      """WITH sup AS (
+        |  SELECT s_suppkey, r_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |agg AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS total_c,
+        |    CAST(sum(CASE WHEN r_name = 'ASIA'
+        |      THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS asia_c
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN sup ON l_suppkey = s_suppkey
+        |  GROUP BY 1)
+        |SELECT o_year,
+        |  total_c / CAST(100.0 AS DOUBLE) AS total_revenue,
+        |  asia_c / CAST(100.0 AS DOUBLE) AS asia_revenue,
+        |  CAST(asia_c AS DOUBLE) / total_c AS asia_share
+        |FROM agg ORDER BY o_year""".stripMargin,
   )
 }

@@ -2620,6 +2620,47 @@ object SparkEntry {
       .orderBy(col("o_year"))
   }
 
+  /** Sketch set algebra: the estimated OVERLAP between two regions'
+    * part-key sets by inclusion-exclusion over mergeable HLL register
+    * sketches — est(A) + est(B) - est(A∪B), where the union sketch is
+    * the elementwise register max (exact for HLL, no re-scan). This is
+    * the audience-overlap primitive: once per-segment sketches are
+    * materialized, ANY pairwise overlap is O(registers), never
+    * O(data). The exact intersection rides along as the accuracy
+    * control, same convention as q_hll_distinct/q_hll_rollup. */
+  private def qHllIntersect(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hll
+    val src = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+      .select(col("r_name"), col("l_partkey"),
+        conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val sk = src.groupBy(col("r_name")).agg(Hll.hll_registers(col("h")).as("regs"))
+    val a = sk.filter(col("r_name") === "ASIA").select(col("regs").as("ra"))
+    val b = sk.filter(col("r_name") === "EUROPE").select(col("regs").as("rb"))
+    val exact = src.groupBy(col("l_partkey"))
+      .agg(countDistinct(col("r_name")).as("nr"))
+      .filter(col("nr") === 2)
+      .agg(count(lit(1)).as("exact_intersect"))
+    a.crossJoin(b).crossJoin(exact)
+      .withColumn("est_a", Hll.hll_estimate_registers(col("ra")))
+      .withColumn("est_b", Hll.hll_estimate_registers(col("rb")))
+      .withColumn("est_union", Hll.hll_estimate_registers(
+        zip_with(col("ra"), col("rb"), (x, y) => greatest(x, y))))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"),
+        col("exact_intersect"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -2826,6 +2867,7 @@ object SparkEntry {
     "q_hist_quantile" -> (qHistQuantile _),
     "q_islands" -> (qIslands _),
     "q_market_share" -> (qMarketShare _),
+    "q_hll_intersect" -> (qHllIntersect _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4650,5 +4692,47 @@ object SparkEntry {
         |  asia_c / CAST(100.0 AS DOUBLE) AS asia_revenue,
         |  CAST(asia_c AS DOUBLE) / total_c AS asia_share
         |FROM agg ORDER BY o_year""".stripMargin,
+
+    // the oracle recomputes each sketch's registers from raw data (the
+    // same md5/rho math as q_hll_rollup); the union sketch is the
+    // per-register max over BOTH regions' rows
+    "q_hll_intersect" -> {
+      def est(t: String, nreg: String): String =
+        s"(0.709 * 64 * 64) / (CAST($t + (64 - $nreg) * (CAST(1 AS BIGINT) << 55) AS DOUBLE) / 36028797018963968.0)"
+      s"""WITH h AS (
+         |  SELECT r_name, l_partkey,
+         |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name IN ('ASIA', 'EUROPE')),
+         |rh AS (
+         |  SELECT r_name, h % 64 AS reg,
+         |    CASE WHEN h // 64 = 0 THEN 55
+         |         ELSE CAST(log2(CAST((h // 64) & (-(h // 64)) AS DOUBLE)) AS INT) + 1
+         |    END AS rho
+         |  FROM h),
+         |ra AS (SELECT reg, max(rho) AS mrho FROM rh WHERE r_name = 'ASIA' GROUP BY 1),
+         |rb AS (SELECT reg, max(rho) AS mrho FROM rh WHERE r_name = 'EUROPE' GROUP BY 1),
+         |ru AS (SELECT reg, max(rho) AS mrho FROM rh GROUP BY 1),
+         |sa AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (55 - mrho)) AS BIGINT) AS t,
+         |              count(*) AS nreg FROM ra),
+         |sb AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (55 - mrho)) AS BIGINT) AS t,
+         |              count(*) AS nreg FROM rb),
+         |su AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (55 - mrho)) AS BIGINT) AS t,
+         |              count(*) AS nreg FROM ru),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect
+         |       FROM (SELECT l_partkey FROM h GROUP BY l_partkey
+         |             HAVING count(DISTINCT r_name) = 2) q)
+         |SELECT
+         |  ${est("sa.t", "sa.nreg")} AS est_a,
+         |  ${est("sb.t", "sb.nreg")} AS est_b,
+         |  ${est("su.t", "su.nreg")} AS est_union,
+         |  ${est("sa.t", "sa.nreg")} + ${est("sb.t", "sb.nreg")}
+         |    - ${est("su.t", "su.nreg")} AS est_intersect,
+         |  exact_intersect
+         |FROM sa, sb, su, ex""".stripMargin
+    },
   )
 }

@@ -2661,6 +2661,51 @@ object SparkEntry {
         col("exact_intersect"))
   }
 
+  /** Incremental view maintenance: the per-priority (count, revenue)
+    * aggregate of table version B is DERIVED from version A's
+    * materialized aggregate plus the CDC delta — inserts add, deletes
+    * subtract, updates contribute their price difference — instead of
+    * rescanning B. The oracle recomputes B's aggregate directly, so
+    * the gate proves maintained == recomputed. At 100 TB this is THE
+    * pattern for keeping rollups fresh: work scales with the delta
+    * (here ~19% of rows), not the table. Counts and cents are exact
+    * longs, so increments commute and the maintained result is
+    * bit-identical, not approximately converged. */
+  private def qIvm(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        Analytics.cents(col("o_totalprice")).as("c"))
+    val vOld = base.filter(col("k") % 10 =!= 0)
+    val vNew = base.filter(col("k") % 10 =!= 1)
+      .withColumn("c", col("c") + when(col("k") % 7 === 0, 500L).otherwise(0L))
+    // the materialized view over version A
+    val viewA = vOld.groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"))
+    // CDC delta rows (the same diff q_snapshot_diff emits, with the
+    // group key carried) collapsed to per-group increments
+    val delta = vOld.select(col("k"), col("prio"), col("c"))
+      .withColumnRenamed("c", "old_c").as("o")
+      .join(vNew.select(col("k"), col("prio").as("prio_n"),
+        col("c").as("new_c")).as("n"), Seq("k"), "full_outer")
+      .filter(col("old_c").isNull || col("new_c").isNull ||
+        col("old_c") =!= col("new_c"))
+      .select(coalesce(col("prio"), col("prio_n")).as("prio"),
+        when(col("old_c").isNull, 1L).when(col("new_c").isNull, -1L)
+          .otherwise(0L).as("dn"),
+        (coalesce(col("new_c"), lit(0L)) - coalesce(col("old_c"), lit(0L)))
+          .as("dc"))
+      .groupBy(col("prio"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    // maintained view = A's aggregate + increments
+    viewA.join(delta, Seq("prio"), "full_outer")
+      .select(col("prio").as("o_orderpriority"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_orders"),
+        ((coalesce(col("sum_c"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          / 100.0).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -2868,6 +2913,7 @@ object SparkEntry {
     "q_islands" -> (qIslands _),
     "q_market_share" -> (qMarketShare _),
     "q_hll_intersect" -> (qHllIntersect _),
+    "q_ivm" -> (qIvm _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4734,5 +4780,18 @@ object SparkEntry {
          |  exact_intersect
          |FROM sa, sb, su, ex""".stripMargin
     },
+
+    // the oracle recomputes version B's aggregate DIRECTLY — the gate
+    // proves the incrementally-maintained view equals the rescan
+    "q_ivm" ->
+      """WITH v_new AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      + CASE WHEN o_orderkey % 7 = 0 THEN 500 ELSE 0 END AS c
+        |  FROM orders WHERE o_orderkey % 10 <> 1)
+        |SELECT prio AS o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  sum(c) / CAST(100.0 AS DOUBLE) AS total_price
+        |FROM v_new GROUP BY prio ORDER BY prio""".stripMargin,
   )
 }

@@ -2169,7 +2169,13 @@ object SparkEntry {
     * 1-based rank ceil(p·n/100) = (n·p + 99) div 100 — pure integer
     * arithmetic, identical in both engines; values are integer cents,
     * so the only float op is the final /100. */
-  private def qPercentileExact(s: SparkSession, dir: String): DataFrame = {
+  /** Per-group nearest-rank percentile CENTS for each p in `ps`, by
+    * rank selection on the two-pass grouped rank — the shared core of
+    * q_percentile_exact and q_outliers_iqr, so the nearest-rank
+    * formula ((n·p + 99) div 100) is defined once. Returns one row per
+    * o_orderpriority with grp_n and a p<P>_c long column per p. */
+  private def orderPricePercentiles(s: SparkSession, dir: String,
+      ps: Seq[Int]): DataFrame = {
     val ranked = graft.ops.ScalablePrefix.groupedRank(s,
       t(s, dir, "orders")
         .select(col("o_orderpriority"),
@@ -2178,17 +2184,23 @@ object SparkEntry {
       groupCol = "o_orderpriority", orderCol = "c", idCol = "o_orderkey",
       numPartitions = 32)
     def rk(p: Int) = expr(s"(grp_n * $p + 99) div 100")
+    val aggs = max(col("grp_n")).as("grp_n") +:
+      ps.map(p => max(when(col("rnk") === rk(p), col("ord")))
+        .cast("long").as(s"p${p}_c"))
     ranked
-      .filter(col("rnk") === rk(25) || col("rnk") === rk(90) ||
-        col("rnk") === rk(99))
+      .filter(ps.map(p => col("rnk") === rk(p)).reduce(_ || _))
       .groupBy(col("o_orderpriority"))
-      .agg(
-        (max(when(col("rnk") === rk(25), col("ord"))) / 100.0).as("p25"),
-        (max(when(col("rnk") === rk(90), col("ord"))) / 100.0).as("p90"),
-        (max(when(col("rnk") === rk(99), col("ord"))) / 100.0).as("p99"),
-        max(col("grp_n")).as("n"))
-      .orderBy(col("o_orderpriority"))
+      .agg(aggs.head, aggs.tail: _*)
   }
+
+  private def qPercentileExact(s: SparkSession, dir: String): DataFrame =
+    orderPricePercentiles(s, dir, Seq(25, 90, 99))
+      .select(col("o_orderpriority"),
+        (col("p25_c") / 100.0).as("p25"),
+        (col("p90_c") / 100.0).as("p90"),
+        (col("p99_c") / 100.0).as("p99"),
+        col("grp_n").as("n"))
+      .orderBy(col("o_orderpriority"))
 
   /** Deterministic grouped mode: the most frequent order priority per
     * customer nation, ties broken by the smallest value. Two-level
@@ -2226,20 +2238,30 @@ object SparkEntry {
     * CDC trick — the full-outer join shuffles each side by the key
     * once, and unchanged rows (the overwhelming majority at scale) are
     * dropped before the emit. */
-  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic two-version simulation of the orders table
+    * shared by the CDC queries — version A drops keys ≡0 mod 10,
+    * version B drops keys ≡1 mod 10 and reprices keys ≡0 mod 7.
+    * Defined ONCE so q_snapshot_diff's diff and q_ivm's delta can
+    * never drift apart (their oracles spell the same simulation).
+    * Both versions carry (k, prio, c). */
+  private def orderVersions(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = t(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
         Analytics.cents(col("o_totalprice")).as("c"))
+    (base.filter(col("k") % 10 =!= 0),
+      base.filter(col("k") % 10 =!= 1)
+        .withColumn("c",
+          col("c") + when(col("k") % 7 === 0, 500L).otherwise(0L)))
+  }
+
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
     def fp(prio: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
       md5(concat_ws("|", prio, c).cast("binary"))
-    val vOld = base.filter(col("k") % 10 =!= 0)
-      .select(col("k").as("k_old"), col("c").as("old_c"),
-        fp(col("prio"), col("c")).as("fp_old"))
-    val vNew = base.filter(col("k") % 10 =!= 1)
-      .withColumn("c2",
-        col("c") + when(col("k") % 7 === 0, 500L).otherwise(0L))
-      .select(col("k").as("k_new"), col("c2").as("new_c"),
-        fp(col("prio"), col("c2")).as("fp_new"))
+    val (a, b) = orderVersions(s, dir)
+    val vOld = a.select(col("k").as("k_old"), col("c").as("old_c"),
+      fp(col("prio"), col("c")).as("fp_old"))
+    val vNew = b.select(col("k").as("k_new"), col("c").as("new_c"),
+      fp(col("prio"), col("c")).as("fp_new"))
     vOld.join(vNew, col("k_old") === col("k_new"), "full_outer")
       .withColumn("change",
         when(col("k_old").isNull, "insert")
@@ -2390,18 +2412,8 @@ object SparkEntry {
     val cents = t(s, dir, "orders")
       .select(col("o_orderpriority"),
         Analytics.cents(col("o_totalprice")).as("c"), col("o_orderkey"))
-    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
-      cents.select(col("o_orderpriority"), col("c").cast("double"),
-        col("o_orderkey")),
-      groupCol = "o_orderpriority", orderCol = "c", idCol = "o_orderkey",
-      numPartitions = 32)
-    def rk(p: Int) = expr(s"(grp_n * $p + 99) div 100")
-    val fences = ranked
-      .filter(col("rnk") === rk(25) || col("rnk") === rk(75))
-      .groupBy(col("o_orderpriority"))
-      .agg(max(when(col("rnk") === rk(25), col("ord"))).cast("long").as("p25_c"),
-        max(when(col("rnk") === rk(75), col("ord"))).cast("long").as("p75_c"),
-        max(col("grp_n")).as("n_total"))
+    val fences = orderPricePercentiles(s, dir, Seq(25, 75))
+      .withColumnRenamed("grp_n", "n_total")
       .withColumn("lo_c", expr("p25_c - ((p75_c - p25_c) div 2)"))
       .withColumn("hi_c", expr("p75_c + ((p75_c - p25_c) div 2)"))
     cents.join(broadcast(fences), "o_orderpriority")
@@ -2455,7 +2467,13 @@ object SparkEntry {
       .localCheckpoint(eager = false)
     val seeds = edges.select(col("u").as("node")).distinct()
       .filter(col("node") % 1000 === 0)
-    graft.ops.Bfs.weightedDistances(edges, seeds).orderBy(col("node"))
+    // the oracle's recursion is bounded at cost < 100, which omits any
+    // node whose TRUE shortest distance reaches the horizon (a path
+    // under the horizon would itself be the shorter distance) — the
+    // engine applies the identical horizon so the contract cannot
+    // silently diverge on a deeper graph (observed max is 18 at sf0.1)
+    graft.ops.Bfs.weightedDistances(edges, seeds)
+      .filter(col("dist") < 100).orderBy(col("node"))
   }
 
   /** Cohort retention — the classic product-analytics triangle: users
@@ -2521,8 +2539,12 @@ object SparkEntry {
         Analytics.cents(col("o_totalprice")).as("c"))
     val natSketch = src.groupBy(col("n_nationkey"), col("n_regionkey"))
       .agg(Hist.hist_registers(col("c"), Lo, Hi).as("regs"))
+    // materialized ONCE (lazy): four branches (cum window, n_orders,
+    // p50, p95, final select) read it, and each would otherwise
+    // re-execute the fact join + both UDAF levels
     val regSketch = natSketch.groupBy(col("n_regionkey"))
       .agg(count(lit(1)).as("n_nations"), Hist.hist_merge(col("regs")).as("regs"))
+      .localCheckpoint(eager = false)
     val cum = regSketch
       .select(col("n_regionkey"), col("n_nations"),
         posexplode(col("regs")).as(Seq("idx", "cnt")))
@@ -2644,6 +2666,10 @@ object SparkEntry {
       .select(col("r_name"), col("l_partkey"),
         conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("h"))
+      // materialized ONCE: the sketch and exact aggregations group by
+      // different keys (r_name vs l_partkey), so exchange reuse cannot
+      // dedup them and the 4-way join would otherwise execute twice
+      .localCheckpoint(eager = false)
     val sk = src.groupBy(col("r_name")).agg(Hll.hll_registers(col("h")).as("regs"))
     val a = sk.filter(col("r_name") === "ASIA").select(col("regs").as("ra"))
     val b = sk.filter(col("r_name") === "EUROPE").select(col("regs").as("rb"))
@@ -2672,12 +2698,7 @@ object SparkEntry {
     * longs, so increments commute and the maintained result is
     * bit-identical, not approximately converged. */
   private def qIvm(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "orders")
-      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
-        Analytics.cents(col("o_totalprice")).as("c"))
-    val vOld = base.filter(col("k") % 10 =!= 0)
-    val vNew = base.filter(col("k") % 10 =!= 1)
-      .withColumn("c", col("c") + when(col("k") % 7 === 0, 500L).otherwise(0L))
+    val (vOld, vNew) = orderVersions(s, dir)
     // the materialized view over version A
     val viewA = vOld.groupBy(col("prio"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"))

@@ -70,9 +70,25 @@ object Dedup {
     * them, so reported similarity is exact w.r.t. the full shingle sets
     * only when maxShingleDf is unbounded (as in the oracle query). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minSim: Double, maxShingleDf: Int): DataFrame = {
-    val shAll = shingleIndex(docs, idCol, textCol, k)
+      k: Int, minSim: Double, maxShingleDf: Int): DataFrame =
+    candidatePairs(docs, idCol, textCol, k, maxShingleDf)
+      .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard") >= minSim)
+
+  /** (doc, 64-bit shingle hash) index over the whole corpus. */
+  private def hashedIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    shingleIndex(docs, idCol, textCol, k)
       .select(col(idCol), xxhash64(col("s")).as("sk"))
+
+  /** Shared-shingle candidate pairs with full-set sizes:
+    * (d1, d2, shared, n1, n2) — the common candidate-generation core
+    * behind jaccardPairs and containmentPairs, so the skew guard and
+    * join shape are defined ONCE. The df cap drops hot shingles from
+    * candidate generation only; n1/n2 still count the full sets. */
+  private def candidatePairs(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, maxShingleDf: Int): DataFrame = {
+    val shAll = hashedIndex(docs, idCol, textCol, k)
     val counts = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val sh =
       if (maxShingleDf == Int.MaxValue) shAll
@@ -86,15 +102,12 @@ object Dedup {
           .filter(col("df") > maxShingleDf).select(col("sk"))
         shAll.join(broadcast(hot), Seq("sk"), "left_anti")
       }
-    val pairs = sh.as("a").join(sh.as("b"),
+    sh.as("a").join(sh.as("b"),
         col("a.sk") === col("b.sk") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .agg(count(lit(1)).as("shared"))
-    pairs
       .join(counts.select(col(idCol).as("d1"), col("n").as("n1")), "d1")
       .join(counts.select(col(idCol).as("d2"), col("n").as("n2")), "d2")
-      .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
-      .filter(col("jaccard") >= minSim)
   }
 
   /** Asymmetric shingle CONTAINMENT over shared-shingle candidate
@@ -109,27 +122,11 @@ object Dedup {
     * either direction reaches minContain. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minContain: Double,
-      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val shAll = shingleIndex(docs, idCol, textCol, k)
-      .select(col(idCol), xxhash64(col("s")).as("sk"))
-    val counts = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val sh =
-      if (maxShingleDf == Int.MaxValue) shAll
-      else {
-        val hot = shAll.groupBy(col("sk")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxShingleDf).select(col("sk"))
-        shAll.join(broadcast(hot), Seq("sk"), "left_anti")
-      }
-    sh.as("a").join(sh.as("b"),
-        col("a.sk") === col("b.sk") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
-      .agg(count(lit(1)).as("shared"))
-      .join(counts.select(col(idCol).as("d1"), col("n").as("n1")), "d1")
-      .join(counts.select(col(idCol).as("d2"), col("n").as("n2")), "d2")
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    candidatePairs(docs, idCol, textCol, k, maxShingleDf)
       .withColumn("contain_in_1", col("shared") / col("n1"))
       .withColumn("contain_in_2", col("shared") / col("n2"))
       .filter(greatest(col("contain_in_1"), col("contain_in_2")) >= minContain)
-  }
 
   /** Prefix-filtered exact Jaccard join (the AllPairs/PPJoin candidate
     * reduction): identical output to the UNCAPPED jaccardPairs, with
@@ -154,9 +151,11 @@ object Dedup {
     * on — exposed so scale probes can measure the candidate-volume
     * reduction (Σ C(df,2) over this index vs over the full index). */
   private[graft] def prefixIndex(docs: DataFrame, idCol: String,
-      textCol: String, k: Int, minSim: Double): DataFrame = {
-    val shAll = shingleIndex(docs, idCol, textCol, k)
-      .select(col(idCol), xxhash64(col("s")).as("sk"))
+      textCol: String, k: Int, minSim: Double): DataFrame =
+    prefixIndexFrom(hashedIndex(docs, idCol, textCol, k), idCol, minSim)
+
+  private def prefixIndexFrom(shAll: DataFrame, idCol: String,
+      minSim: Double): DataFrame = {
     val counts = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val dfs = shAll.groupBy(col("sk")).agg(count(lit(1)).as("df"))
     // per-doc global-rarity rank; partitioned by doc (high cardinality,
@@ -168,18 +167,29 @@ object Dedup {
       .join(counts, idCol)
       // epsilon guards the FP ceil: if n·t lands a hair ABOVE an exact
       // integer, a bare ceil would shorten the prefix by one and could
-      // drop a qualifying pair; erring longer only adds candidates
+      // drop a qualifying pair; erring longer only adds candidates.
+      // The epsilon must dominate the product's ROUNDING ERROR (a few
+      // ulp ≈ x·2e-16), so it scales with the value — an absolute
+      // 1e-9 alone is smaller than one ulp once n·t exceeds ~1e7
+      // (10M-shingle documents at corpus scale)
       .filter(col("rn") <=
-        col("n") - ceil(col("n") * minSim - lit(1e-9)).cast("long") + 1L)
+        col("n") - ceil(col("n") * minSim
+          - (lit(1e-9) + col("n") * minSim * lit(1e-12))).cast("long") + 1L)
       .select(col(idCol), col("sk"))
   }
 
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minSim: Double): DataFrame = {
-    val shAll = shingleIndex(docs, idCol, textCol, k)
-      .select(col(idCol), xxhash64(col("s")).as("sk"))
+    // the hashed index feeds five consumers (doc counts, shingle dfs,
+    // the prefix join, and both verification joins) — materialize it
+    // once rather than re-running the shingle kernel per consumer.
+    // (At corpus scale the index may be too large for block storage;
+    // there a disk-persisted or recompute strategy is the caller's
+    // trade-off — within one query, one materialization wins.)
+    val shAll = hashedIndex(docs, idCol, textCol, k)
+      .localCheckpoint(eager = false)
     val counts = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val prefix = prefixIndex(docs, idCol, textCol, k, minSim)
+    val prefix = prefixIndexFrom(shAll, idCol, minSim)
     val candPairs = prefix.as("a").join(prefix.as("b"),
         col("a.sk") === col("b.sk") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))

@@ -28,6 +28,11 @@ object Bfs {
   def distances(edges: DataFrame, seeds: DataFrame,
       maxIter: Int = 30): DataFrame = {
     val e = edges.select(col("u"), col("v"))
+    // only FRONTIERS are checkpointed — the settled set is their union,
+    // so every node's blocks are stored exactly once (checkpointing
+    // `visited` per level would hold O(|V| × levels) executor storage;
+    // localCheckpoint blocks are only released by the ContextCleaner
+    // on GC, not by unpersist)
     var visited = seeds.select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(eager = true)
     var frontier = visited.select(col("node"))
@@ -38,10 +43,9 @@ object Bfs {
       val nbrs = e.join(frontier.withColumnRenamed("node", "u"), "u")
         .select(col("v").as("node")).distinct()
       val newFrontier = nbrs.join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(level))
         .localCheckpoint(eager = true)
-      visited = visited
-        .union(newFrontier.withColumn("dist", lit(level)))
-        .localCheckpoint(eager = true)
+      visited = visited.union(newFrontier)
       frontier = newFrontier.select(col("node"))
       n = newFrontier.count()
     }
@@ -73,6 +77,11 @@ object Bfs {
       val cand = e.join(dist.withColumnRenamed("node", "u"), "u")
         .select(col("v").as("node"), (col("dist") + col("w")).as("nd"))
         .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+      // unlike BFS, the whole state table CAN change each round, so it
+      // is re-checkpointed per round; superseded rounds' blocks are
+      // released by the ContextCleaner once unreachable (explicit
+      // unpersist is a no-op on localCheckpoint'd frames — the
+      // dupClusters convention)
       val merged = dist.join(cand, Seq("node"), "full_outer")
         .select(col("node"),
           least(coalesce(col("dist"), col("nd")),

@@ -2193,6 +2193,40 @@ object SparkEntry {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** INTERPOLATED p90 (percentile_cont semantics: position p·(n-1),
+    * linear interpolation between the bracketing values) computed
+    * EXACTLY: position and fraction are integer arithmetic
+    * (pos = 90·(n-1); rank = pos div 100 + 1; frac = pos mod 100),
+    * the two bracketing ranks come off the same two-pass grouped rank
+    * as the nearest-rank family, and the interpolation
+    * v1 + frac·(v2-v1)/100 runs in cents×100 longs with ONE final
+    * division — so the continuous percentile is bit-identical across
+    * engines, which a float position+lerp never is. */
+  private def qPercentileCont(s: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          Analytics.cents(col("o_totalprice")).cast("double").as("c"),
+          col("o_orderkey")),
+      groupCol = "o_orderpriority", orderCol = "c", idCol = "o_orderkey",
+      numPartitions = 32)
+    ranked
+      .withColumn("r1", expr("(90 * (grp_n - 1)) div 100 + 1"))
+      .withColumn("frac", expr("(90 * (grp_n - 1)) % 100"))
+      .filter(col("rnk") === col("r1") || col("rnk") === col("r1") + 1)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(when(col("rnk") === col("r1"), col("ord"))).cast("long").as("v1"),
+        max(when(col("rnk") === col("r1") + 1, col("ord"))).cast("long").as("v2"),
+        max(col("frac")).as("frac"), max(col("grp_n")).as("n"))
+      .select(col("o_orderpriority"),
+        ((col("v1") * 100L +
+          col("frac") * (coalesce(col("v2"), col("v1")) - col("v1")))
+          / 10000.0).as("p90_cont"),
+        col("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   private def qPercentileExact(s: SparkSession, dir: String): DataFrame =
     orderPricePercentiles(s, dir, Seq(25, 90, 99))
       .select(col("o_orderpriority"),
@@ -2727,6 +2761,32 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Entity-resolution matching with blocking — the structured-data
+    * dedup complement to the document near-dup family: candidate pairs
+    * come ONLY from equi-joined (brand, size) blocks (the standard ER
+    * blocking discipline — the expensive edit-distance scorer never
+    * sees a cross-block pair, and the join is a plain shuffle on the
+    * block key), then pairs score by name edit distance and match at
+    * ≤3 edits. At corpus scale the block key is the knob: tighter
+    * blocks trade recall for candidate volume, exactly like the
+    * shingle-prefix trade-off in the text family. */
+  private def qErMatch(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_size") === col("b.p_size") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("edit_dist",
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long"))
+      .filter(col("edit_dist") <= 3)
+      .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+        col("a.p_name").as("name1"), col("b.p_name").as("name2"),
+        col("a.p_brand").as("block_brand"),
+        col("a.p_size").cast("long").as("block_size"), col("edit_dist"))
+      .orderBy(col("k1"), col("k2"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -2935,6 +2995,8 @@ object SparkEntry {
     "q_market_share" -> (qMarketShare _),
     "q_hll_intersect" -> (qHllIntersect _),
     "q_ivm" -> (qIvm _),
+    "q_er_match" -> (qErMatch _),
+    "q_percentile_cont" -> (qPercentileCont _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4814,5 +4876,47 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  sum(c) / CAST(100.0 AS DOUBLE) AS total_price
         |FROM v_new GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "q_er_match" ->
+      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |  a.p_name AS name1, b.p_name AS name2,
+        |  a.p_brand AS block_brand, CAST(a.p_size AS BIGINT) AS block_size,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY k1, k2""".stripMargin,
+
+    // oracle = the same exact integer position/fraction selection over
+    // the window row_number formulation
+    "q_percentile_cont" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c, o_orderkey
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, c,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY c, o_orderkey) AS rnk,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM c),
+        |sel AS (
+        |  SELECT o_orderpriority, c, rnk, n,
+        |    (90 * (n - 1)) // 100 + 1 AS r1,
+        |    (90 * (n - 1)) % 100 AS frac
+        |  FROM r),
+        |f AS (
+        |  SELECT o_orderpriority,
+        |    max(CASE WHEN rnk = r1 THEN c END) AS v1,
+        |    max(CASE WHEN rnk = r1 + 1 THEN c END) AS v2,
+        |    max(frac) AS frac, max(n) AS n
+        |  FROM sel WHERE rnk = r1 OR rnk = r1 + 1
+        |  GROUP BY o_orderpriority)
+        |SELECT o_orderpriority,
+        |  (v1 * 100 + frac * (coalesce(v2, v1) - v1))
+        |    / CAST(10000.0 AS DOUBLE) AS p90_cont,
+        |  CAST(n AS BIGINT) AS n
+        |FROM f ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -31,6 +31,21 @@ class HistSpec extends SparkSpec {
     assert(merged.sum === 1000L)                    // every value counted
   }
 
+  test("sketches survive a parquet round-trip and merge after reload") {
+    // the 100 TB usage pattern: materialize fine-grain sketches to a
+    // table once, answer coarse rollups later from the stored arrays
+    val df = (1L to 500L).map(v => (v % 5, v)).toDF("g", "v")
+    val sketches = df.groupBy($"g")
+      .agg(Hist.hist_registers($"v", 0L, 512L).as("regs"))
+    val dir = tmpDir("hist-sketch")
+    sketches.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+      .agg(Hist.hist_merge($"regs").as("regs")).as[Seq[Long]].head()
+    val direct = df.agg(Hist.hist_registers($"v", 0L, 512L).as("regs"))
+      .as[Seq[Long]].head()
+    assert(reloaded === direct)
+  }
+
   test("rank-threshold quantile from the sketch brackets the exact value") {
     // 0..1023 uniform over [0,1024): the nearest-rank p50 is the value
     // at rank ceil(n/2) = 512, i.e. 511; the selected bucket must

@@ -149,6 +149,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).sum === expected)
   }
 
+  test("bm25 emits through TakeOrderedAndProject with broadcast stats") {
+    val plan = SparkEntry.queries("q_bm25")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not bounded:\n$plan")
+    assert(plan.contains("Broadcast"), s"corpus stats not broadcast:\n$plan")
+  }
+
+  test("3-D skyline's dominance pass is a broadcast join, never cartesian") {
+    val plan = SparkEntry.queries("q_skyline3d")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"dominance anti-join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+  }
+
+  test("market share joins facts by shuffle and dims by broadcast") {
+    val plan = SparkEntry.queries("q_market_share")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+  }
+
+  test("er matching never plans a cartesian across blocks") {
+    val plan = SparkEntry.queries("q_er_match")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"blocking must keep the join equi-keyed:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking must keep the join equi-keyed:\n$plan")
+  }
+
   test("failure counters via observable metrics (A2 observe variant)") {
     val obs = Observation("routing")
     val routed = Router.route(

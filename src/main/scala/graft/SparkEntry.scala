@@ -1884,6 +1884,207 @@ object SparkEntry {
     s.sql(lateSuppliersText)
   }
 
+  // ---- TPC-H completion sweep ---------------------------------------
+  // The remaining classic TPC-H shapes not yet in the catalog, each as
+  // ONE shared SQL text executed verbatim by spark.sql AND the DuckDB
+  // oracle. The testdata schema has no partsupp / l_shipmode / c_phone
+  // columns (TESTDATA.md), so Q2/Q11/Q20 (partsupp-anchored) are out of
+  // reach and Q9/Q22 substitute documented proxies (p_retailprice as
+  // unit cost; mktsegment for the phone country code). Money stays in
+  // exact integer cents until the final division — the determinism
+  // policy at the top of this file.
+
+  /** Q7 volume-shipping shape: bilateral revenue between two nations by
+    * ship year. The nation filter lands on both broadcast dimension
+    * joins; the fact-side sum is exact cents. */
+  private val volumeShippingText: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(vol_c) AS BIGINT) / CAST(100.0 AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+      |      AS BIGINT) AS vol_c
+      |  FROM lineitem
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  private def qVolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(volumeShippingText)
+  }
+
+  /** Q9 product-profit shape: per (nation, year) profit on parts whose
+    * name matches a pattern. The schema has no partsupp, so unit cost is
+    * a documented proxy: 80% of p_retailprice, in exact cents
+    * (`floor(p_retailprice * 80 + 0.5)`). All arithmetic is int64 until
+    * the final division. */
+  private val productProfitText: String =
+    """SELECT nation, o_year,
+      |  CAST(sum(amount_c) AS BIGINT) / CAST(100.0 AS DOUBLE) AS profit
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+      |        AS BIGINT)
+      |      - CAST(floor(p_retailprice * 80 + 0.5) AS BIGINT)
+      |        * CAST(l_quantity AS BIGINT) AS amount_c
+      |  FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%red%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  private def qProductProfit(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(productProfitText)
+  }
+
+  /** Q13 customer-distribution shape: LEFT OUTER join with an extra
+    * join-side predicate (which must NOT become a WHERE filter — the
+    * customers with zero matching orders survive with count 0), then a
+    * histogram of the per-customer counts. Two chained aggregations,
+    * both on shuffle keys with full map-side partials. */
+  private val custDistText: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY c_custkey
+      |) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  private def qCustDist(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(custDistText)
+  }
+
+  /** Q14 promo-revenue shape: one conditional aggregation over a
+    * one-month scan window; the percentage is a single division of two
+    * exact cent sums (normalized to BIGINT first — DuckDB's sum(BIGINT)
+    * widens to INT128, Spark's stays int64; the CAST makes both engines
+    * divide the same 64-bit values). */
+  private val promoShareText: String =
+    """WITH f AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END)
+      |      AS BIGINT) AS promo_c,
+      |    CAST(sum(v) AS BIGINT) AS total_c
+      |  FROM (
+      |    SELECT p_type,
+      |      CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+      |        AS BIGINT) AS v
+      |    FROM lineitem JOIN part ON p_partkey = l_partkey
+      |    WHERE l_shipdate >= DATE '1997-09-01'
+      |      AND l_shipdate < DATE '1997-10-01') x)
+      |SELECT
+      |  CAST(promo_c AS DOUBLE) * 100.0 / total_c AS promo_revenue_pct,
+      |  promo_c / CAST(100.0 AS DOUBLE) AS promo_revenue,
+      |  total_c / CAST(100.0 AS DOUBLE) AS total_revenue
+      |FROM f""".stripMargin
+
+  private def qPromoShare(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(promoShareText)
+  }
+
+  /** Q15 top-supplier shape: a revenue CTE referenced twice — once as
+    * the join input and once inside an uncorrelated scalar MAX subquery
+    * (the SQL-standard argmax-by-view). Ties all surface (no LIMIT 1),
+    * ordered by the unique supplier key. */
+  private val topSupplierText: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS total_c
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1997-01-01'
+      |    AND l_shipdate < DATE '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      |  total_c / CAST(100.0 AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_c = (SELECT max(total_c) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  private def qTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(topSupplierText)
+  }
+
+  /** Q18 large-volume-order shape: grouped-HAVING IN subquery over the
+    * fact table (Catalyst plans it as a semi join on the aggregated
+    * keys), then the 3-way join re-aggregates the surviving orders.
+    * Quantities are integral in the data — CAST to BIGINT keeps every
+    * sum exact; the date is emitted as a yyyymmdd integer (timestamp
+    * rendering differs between engines, integer math does not). */
+  private val bigOrdersText: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+      |    + day(o_orderdate) AS BIGINT) AS o_date_ymd,
+      |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |    / CAST(100.0 AS DOUBLE) AS total_price,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS BIGINT)) > 350)
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY total_price DESC, o_orderkey""".stripMargin
+
+  private def qBigOrders(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(bigOrdersText)
+  }
+
+  /** Q22 global-sales-opportunity shape: customers above the positive
+    * average balance with no urgent orders (scalar-average subquery +
+    * predicated anti join), grouped by segment (the schema's stand-in
+    * for the phone country code; in this dense data every customer has
+    * SOME order, so the anti join carries Q22's extra predicate). The
+    * above-average predicate is the exact integer cross-multiply
+    * `bal_c * n > total_c` — no double ever enters a comparison. */
+  private val idleCustomersText: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+      |  FROM customer),
+      |pos AS (
+      |  SELECT CAST(sum(bal_c) AS BIGINT) AS total_c,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM cust WHERE bal_c > 0)
+      |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(bal_c) AS BIGINT) / CAST(100.0 AS DOUBLE) AS totacctbal
+      |FROM cust, pos
+      |WHERE bal_c * n > total_c
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  private def qIdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(idleCustomersText)
+  }
+
   /** Window distribution functions (ntile / percent_rank / cume_dist)
     * plus explicit-arithmetic bucketing, as ONE shared SQL text with a
     * named WINDOW clause. The ORDER BY inside the window ends with the
@@ -3039,6 +3240,13 @@ object SparkEntry {
     "q_er_match" -> (qErMatch _),
     "q_percentile_cont" -> (qPercentileCont _),
     "q_interpolate" -> (qInterpolate _),
+    "q_volume_shipping" -> (qVolumeShipping _),
+    "q_product_profit" -> (qProductProfit _),
+    "q_custdist" -> (qCustDist _),
+    "q_promo_share" -> (qPromoShare _),
+    "q_top_supplier" -> (qTopSupplier _),
+    "q_big_orders" -> (qBigOrders _),
+    "q_idle_customers" -> (qIdleCustomers _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4993,5 +5201,15 @@ object SparkEntry {
         |   END) / CAST(100.0 AS DOUBLE) AS value
         |FROM w WHERE t1 IS NOT NULL AND t2 IS NOT NULL
         |ORDER BY day""".stripMargin,
+
+    // shared SQL texts (TPC-H completion sweep): the oracle runs the
+    // same string spark.sql ran
+    "q_volume_shipping" -> volumeShippingText,
+    "q_product_profit" -> productProfitText,
+    "q_custdist" -> custDistText,
+    "q_promo_share" -> promoShareText,
+    "q_top_supplier" -> topSupplierText,
+    "q_big_orders" -> bigOrdersText,
+    "q_idle_customers" -> idleCustomersText,
   )
 }

@@ -886,6 +886,86 @@ object SparkEntry {
       .orderBy(col("r_name"))
   }
 
+  /** KMV bottom-k sketch rollup — the set-algebra sketch alongside
+    * q_hll_rollup's registers: per-nation sketches of the part-key sets
+    * merge to region level by "union, keep k smallest" (a pure
+    * expression over ≤25 fine-group arrays per region — O(groups), not
+    * O(data)). The estimate is exact below capacity and one double
+    * division at capacity; the exact distinct rides along as the
+    * accuracy control. Same 60-bit md5 hash convention as the HLL
+    * family, so the oracle replays the sketch with ORDER BY h LIMIT k. */
+  private def qKmvRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Kmv
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_nationkey"), col("n_regionkey"), col("l_partkey"),
+        conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val natSketch = li.groupBy(col("n_nationkey"), col("n_regionkey"))
+      .agg(Kmv.kmv_sketch(col("h")).as("sk"))
+    val regSketch = natSketch.groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), Kmv.kmv_merge(col("sk")).as("sk"))
+    val exact = li.groupBy(col("n_regionkey"))
+      .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    regSketch.join(broadcast(exact), "n_regionkey")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_nations"),
+        Kmv.kmv_estimate(col("sk")).as("kmv_estimate"),
+        col("exact_distinct"))
+      .orderBy(col("r_name"))
+  }
+
+  /** KMV set algebra — the overlap query HLL registers cannot answer
+    * well: the Jaccard similarity between two regions' part-key sets,
+    * estimated from two 64-value sketches (the fraction of the union
+    * sketch present in both inputs — Beyer et al., SIGMOD 2007). Once
+    * per-segment sketches are materialized, ANY pairwise Jaccard /
+    * intersection is O(k), never O(data). Exact controls alongside. */
+  private def qKmvJaccard(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Kmv
+    val src = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+      .select(col("r_name"), col("l_partkey"),
+        conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      // the sketch and exact aggregations group by different keys —
+      // materialize the 4-way join once (same pattern as q_hll_intersect)
+      .localCheckpoint(eager = false)
+    val sk = src.groupBy(col("r_name")).agg(Kmv.kmv_sketch(col("h")).as("sk"))
+    val a = sk.filter(col("r_name") === "ASIA").select(col("sk").as("ka"))
+    val b = sk.filter(col("r_name") === "EUROPE").select(col("sk").as("kb"))
+    val exact = src.groupBy(col("l_partkey"))
+      .agg(countDistinct(col("r_name")).as("nr"))
+      .agg(
+        sum(when(col("nr") === 2, 1L).otherwise(0L)).as("exact_intersect"),
+        count(lit(1)).as("exact_union"))
+    a.crossJoin(b).crossJoin(broadcast(exact))
+      .select(
+        Kmv.kmv_estimate(col("ka")).as("est_a"),
+        Kmv.kmv_estimate(col("kb")).as("est_b"),
+        Kmv.kmv_estimate(Kmv.kmv_union(col("ka"), col("kb"))).as("est_union"),
+        Kmv.kmv_jaccard(col("ka"), col("kb")).as("est_jaccard"),
+        col("exact_intersect"),
+        col("exact_union"),
+        (col("exact_intersect").cast("double") / col("exact_union"))
+          .as("exact_jaccard"))
+  }
+
   /** Deterministic hash-based Bernoulli sampling (reproducible corpus
     * subsets — a pipeline staple; salt makes draws independent). */
   private def qSample(s: SparkSession, dir: String): DataFrame =
@@ -3247,6 +3327,8 @@ object SparkEntry {
     "q_top_supplier" -> (qTopSupplier _),
     "q_big_orders" -> (qBigOrders _),
     "q_idle_customers" -> (qIdleCustomers _),
+    "q_kmv_rollup" -> (qKmvRollup _),
+    "q_kmv_jaccard" -> (qKmvJaccard _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5211,5 +5293,87 @@ object SparkEntry {
     "q_top_supplier" -> topSupplierText,
     "q_big_orders" -> bigOrdersText,
     "q_idle_customers" -> idleCustomersText,
+
+    // the oracle replays the KMV sketch literally: k smallest distinct
+    // 60-bit hashes per group via ORDER BY h LIMIT k, then the same
+    // exact-below-capacity / single-division estimator
+    "q_kmv_rollup" ->
+      """WITH h AS (
+        |  SELECT n_nationkey, n_regionkey, l_partkey,
+        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |dh AS (SELECT DISTINCT n_regionkey, h FROM h),
+        |rk AS (
+        |  SELECT n_regionkey, h,
+        |    row_number() OVER (PARTITION BY n_regionkey ORDER BY h) AS rn
+        |  FROM dh),
+        |sk AS (
+        |  SELECT n_regionkey, count(*) AS cnt, max(h) AS kth
+        |  FROM rk WHERE rn <= 64 GROUP BY 1),
+        |nn AS (
+        |  SELECT n_regionkey, CAST(count(DISTINCT n_nationkey) AS BIGINT)
+        |    AS n_nations
+        |  FROM h GROUP BY 1),
+        |ex AS (
+        |  SELECT n_regionkey, CAST(count(DISTINCT l_partkey) AS BIGINT)
+        |    AS exact_distinct
+        |  FROM h GROUP BY 1)
+        |SELECT r_name, n_nations,
+        |  CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+        |  END AS kmv_estimate,
+        |  exact_distinct
+        |FROM sk
+        |JOIN nn USING (n_regionkey)
+        |JOIN ex USING (n_regionkey)
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY r_name""".stripMargin,
+
+    "q_kmv_jaccard" ->
+      """WITH h AS (
+        |  SELECT r_name, l_partkey,
+        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name IN ('ASIA', 'EUROPE')),
+        |ka AS (SELECT h FROM (SELECT DISTINCT h FROM h WHERE r_name = 'ASIA') q
+        |       ORDER BY h LIMIT 64),
+        |kb AS (SELECT h FROM (SELECT DISTINCT h FROM h WHERE r_name = 'EUROPE') q
+        |       ORDER BY h LIMIT 64),
+        |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) q
+        |       ORDER BY h LIMIT 64),
+        |sa AS (SELECT count(*) AS cnt, max(h) AS kth FROM ka),
+        |sb AS (SELECT count(*) AS cnt, max(h) AS kth FROM kb),
+        |su AS (SELECT count(*) AS cnt, max(h) AS kth FROM ku),
+        |mj AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |              (SELECT count(*) FROM ku) AS u
+        |       FROM ku
+        |       WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+        |ex AS (SELECT
+        |    CAST(sum(CASE WHEN nr = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS exact_intersect,
+        |    CAST(count(*) AS BIGINT) AS exact_union
+        |  FROM (SELECT l_partkey, count(DISTINCT r_name) AS nr
+        |        FROM h GROUP BY 1) q)
+        |SELECT
+        |  CASE WHEN sa.cnt < 64 THEN CAST(sa.cnt AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(sa.kth AS DOUBLE)
+        |  END AS est_a,
+        |  CASE WHEN sb.cnt < 64 THEN CAST(sb.cnt AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(sb.kth AS DOUBLE)
+        |  END AS est_b,
+        |  CASE WHEN su.cnt < 64 THEN CAST(su.cnt AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(su.kth AS DOUBLE)
+        |  END AS est_union,
+        |  CAST(m AS DOUBLE) / u AS est_jaccard,
+        |  exact_intersect, exact_union,
+        |  CAST(exact_intersect AS DOUBLE) / exact_union AS exact_jaccard
+        |FROM sa, sb, su, mj, ex""".stripMargin,
   )
 }

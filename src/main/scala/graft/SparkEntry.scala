@@ -3109,6 +3109,119 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** Time-series anomaly detection: flag days whose nation-level daily
+    * revenue sits more than 3 population-sigmas from that nation's mean.
+    * The moments are EXACT int64 (n, sum, sum-of-squares in whole
+    * dollars — dollars, not cents, so n·Q stays far inside int64 at
+    * bench scale), broadcast back onto the daily series; the z-score is
+    * then ONE division and ONE sqrt of exact integers —
+    * z = (x·n − S) / sqrt(n·Q − S²) — bit-identical IEEE in both
+    * engines. The heavy work (daily totals) is a parallel aggregation;
+    * the per-nation moment table is 25 rows. */
+  private def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        Analytics.cents(col("l_extendedprice")).as("c"))
+      .groupBy(col("n_name"), col("day"))
+      // whole dollars (integer div): the squared-sum stays exact in int64
+      .agg(expr("sum(c) div 100").as("x"))
+      // the moments and the probe read the same daily table —
+      // materialize it once (nation x day rows, tiny)
+      .localCheckpoint(eager = false)
+    val moments = daily.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+    daily.join(broadcast(moments), "n_name")
+      .withColumn("z",
+        (col("x") * col("n") - col("s")).cast("double") /
+          sqrt((col("n") * col("q") - col("s") * col("s")).cast("double")))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("n_name"), col("day"), col("x").as("revenue_usd"), col("z"))
+      .orderBy(col("n_name"), col("day"))
+  }
+
+  /** LOCF (last-observation-carried-forward) fill with staleness
+    * accounting — the step-fill sibling of q_interpolate's linear fill:
+    * every day in the domain carries the most recent known value plus
+    * how many days old it is (the serving-freshness audit a feature
+    * store runs). Same domain-bounded window discipline: the
+    * unpartitioned window runs over the ~2.5k-row day spine, never the
+    * fact table. */
+  private def qLocf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"),
+        Analytics.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("v"))
+    val known = daily.filter(col("day") % 5 === 0)
+    val spine = known.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val wPrev = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(known, Seq("day"), "left")
+      .withColumn("t1",
+        last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("v1", last(col("v"), ignoreNulls = true).over(wPrev))
+      .filter(col("t1").isNotNull)
+      .select(col("day"), col("v").isNotNull.as("known"),
+        (col("v1") / 100.0).as("value"),
+        (col("day") - col("t1")).as("staleness_days"))
+      .orderBy(col("day"))
+  }
+
+  /** Referential-integrity audit over the star schema: every FK edge
+    * scanned once, orphan children counted via a null-probe LEFT join
+    * against the DISTINCT (and broadcast-small) parent key set — the
+    * anti-join formulated as one aggregation, no row ever leaves the
+    * scan. A deliberately corrupted copy of one edge (every 1000th
+    * part key shifted out of range) proves the audit actually detects
+    * violations rather than vacuously passing. */
+  private def qFkOrphans(s: SparkSession, dir: String): DataFrame = {
+    def audit(edge: String, child: DataFrame, key: String,
+              parent: DataFrame, pkey: String,
+              smallParent: Boolean = true): DataFrame = {
+      val pk0 = parent.select(col(pkey).cast("long").as("__pk")).distinct()
+      // dimension-sized parents broadcast (probe never leaves the
+      // scan); fact-sized parents (orders at 100 TB) must shuffle-join
+      val pk = if (smallParent) broadcast(pk0) else pk0
+      child.select(col(key).cast("long").as("__fk"))
+        .join(pk, col("__fk") === col("__pk"), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("orphans"))
+        .select(lit(edge).as("fk_edge"), col("child_rows"), col("orphans"))
+    }
+    val li = t(s, dir, "lineitem")
+    val corrupted = li.select(
+      when(col("l_orderkey") % 1000 === 0, col("l_partkey") + 1000000000L)
+        .otherwise(col("l_partkey")).as("l_partkey"))
+    audit("customer->nation", t(s, dir, "customer"), "c_nationkey",
+        t(s, dir, "nation"), "n_nationkey")
+      .unionAll(audit("lineitem->orders", li, "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey", smallParent = false))
+      .unionAll(audit("lineitem->part", li, "l_partkey",
+        t(s, dir, "part"), "p_partkey"))
+      .unionAll(audit("lineitem->supplier", li, "l_suppkey",
+        t(s, dir, "supplier"), "s_suppkey"))
+      .unionAll(audit("lineitem_corrupted->part", corrupted, "l_partkey",
+        t(s, dir, "part"), "p_partkey"))
+      .unionAll(audit("nation->region", t(s, dir, "nation"), "n_regionkey",
+        t(s, dir, "region"), "r_regionkey"))
+      .unionAll(audit("orders->customer", t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey"))
+      .unionAll(audit("supplier->nation", t(s, dir, "supplier"), "s_nationkey",
+        t(s, dir, "nation"), "n_nationkey"))
+      .orderBy(col("fk_edge"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -3329,6 +3442,9 @@ object SparkEntry {
     "q_idle_customers" -> (qIdleCustomers _),
     "q_kmv_rollup" -> (qKmvRollup _),
     "q_kmv_jaccard" -> (qKmvJaccard _),
+    "q_anomaly" -> (qAnomaly _),
+    "q_locf" -> (qLocf _),
+    "q_fk_orphans" -> (qFkOrphans _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5375,5 +5491,112 @@ object SparkEntry {
         |  exact_intersect, exact_union,
         |  CAST(exact_intersect AS DOUBLE) / exact_union AS exact_jaccard
         |FROM sa, sb, su, mj, ex""".stripMargin,
+
+    // the z-score is one division + one sqrt of exact int64 moments —
+    // identical IEEE ops in both engines
+    "q_anomaly" ->
+      """WITH daily AS (
+        |  SELECT n_name,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) // 100 AS x
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS q
+        |  FROM daily GROUP BY 1)
+        |SELECT n_name, day, x AS revenue_usd,
+        |  CAST(x * n - s AS DOUBLE) / sqrt(CAST(n * q - s * s AS DOUBLE))
+        |    AS z
+        |FROM daily JOIN m USING (n_name)
+        |WHERE abs(CAST(x * n - s AS DOUBLE)
+        |          / sqrt(CAST(n * q - s * s AS DOUBLE))) > 3.0
+        |ORDER BY n_name, day""".stripMargin,
+
+    "q_locf" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |known AS (SELECT day, v FROM daily WHERE day % 5 = 0),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM known),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+        |j AS (SELECT s.day, k.v FROM spine s LEFT JOIN known k USING (day)),
+        |w AS (
+        |  SELECT day, v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (ORDER BY day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1,
+        |    last_value(v IGNORE NULLS)
+        |      OVER (ORDER BY day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1
+        |  FROM j)
+        |SELECT day, v IS NOT NULL AS known,
+        |  v1 / CAST(100.0 AS DOUBLE) AS value,
+        |  CAST(day - t1 AS BIGINT) AS staleness_days
+        |FROM w WHERE t1 IS NOT NULL
+        |ORDER BY day""".stripMargin,
+
+    "q_fk_orphans" ->
+      """SELECT * FROM (
+        |  SELECT 'customer->nation' AS fk_edge,
+        |    CAST(count(*) AS BIGINT) AS child_rows,
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS orphans
+        |  FROM customer
+        |  LEFT JOIN (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS k
+        |             FROM nation) p ON CAST(c_nationkey AS BIGINT) = p.k
+        |  UNION ALL
+        |  SELECT 'lineitem->orders', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |    ON l_orderkey = p.k
+        |  UNION ALL
+        |  SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON l_partkey = p.k
+        |  UNION ALL
+        |  SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+        |    ON l_suppkey = p.k
+        |  UNION ALL
+        |  SELECT 'lineitem_corrupted->part', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT CASE WHEN l_orderkey % 1000 = 0
+        |                    THEN l_partkey + 1000000000
+        |                    ELSE l_partkey END AS fk
+        |        FROM lineitem) c
+        |  LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON c.fk = p.k
+        |  UNION ALL
+        |  SELECT 'nation->region', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM nation
+        |  LEFT JOIN (SELECT DISTINCT CAST(r_regionkey AS BIGINT) AS k
+        |             FROM region) p ON CAST(n_regionkey AS BIGINT) = p.k
+        |  UNION ALL
+        |  SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |    ON o_custkey = p.k
+        |  UNION ALL
+        |  SELECT 'supplier->nation', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM supplier
+        |  LEFT JOIN (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS k
+        |             FROM nation) p ON CAST(s_nationkey AS BIGINT) = p.k
+        |) q ORDER BY fk_edge""".stripMargin,
   )
 }

@@ -330,6 +330,30 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("event_type"), col("last_purchase_us"))
       .orderBy(col("event_id"))
 
+  /** The NATIVE as-of join (graft.plans.AsofJoinExec — custom logical
+    * node + planner strategy + physical merge operator): each order
+    * looks up the customer's strictly-previous order, i.e. the
+    * inter-purchase gap. The composite time key (day·1e7 + orderkey) is
+    * a unique total order per customer, so strict "<" as-of equals the
+    * oracle's lag() exactly. The physical plan is two clustered
+    * exchanges + sorts and ONE O(|L|+|R|) merge pass per partition with
+    * O(1) state — no window funnel, no per-key buffers. */
+  private def qAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"))
+    val left = o.withColumn("tkey", col("day") * 10000000L + col("o_orderkey"))
+    val right = o.select(col("o_custkey").as("r_cust"),
+      (col("day") * 10000000L + col("o_orderkey")).as("r_tkey"),
+      col("o_orderkey").as("prev_orderkey"), col("day").as("prev_day"))
+    graft.plans.Asof.join(left, right,
+        Seq("o_custkey"), Seq("r_cust"), "tkey", "r_tkey",
+        Seq("prev_orderkey", "prev_day"), inclusive = false)
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        col("prev_orderkey"), (col("day") - col("prev_day")).as("gap_days"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Time-series densification (gap filling): every 10-minute bucket in
     * each user's [first, last] activity span gets a row, absent buckets
     * filled with zero — the resample step feeding any windowed model.
@@ -3445,6 +3469,7 @@ object SparkEntry {
     "q_anomaly" -> (qAnomaly _),
     "q_locf" -> (qLocf _),
     "q_fk_orphans" -> (qFkOrphans _),
+    "q_asof_native" -> (qAsofNative _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5598,5 +5623,21 @@ object SparkEntry {
         |  LEFT JOIN (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS k
         |             FROM nation) p ON CAST(s_nationkey AS BIGINT) = p.k
         |) q ORDER BY fk_edge""".stripMargin,
+
+    // the oracle expresses the strict as-of as lag() over the same
+    // unique composite time key
+    "q_asof_native" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, day,
+        |  lag(o_orderkey) OVER w AS prev_orderkey,
+        |  day - lag(day) OVER w AS gap_days
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY day * 10000000 + o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow,
+  RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Native AS-OF join — the whole-operator custom-operator tier (c) of
+  * the build contract: a logical node, a planner strategy, and a
+  * physical operator registered through `SparkSessionExtensions`
+  * (graft.plans.GraftExtensions) / `spark.experimental.extraStrategies`.
+  *
+  * Semantics: for every left row, attach the payload of the right row
+  * sharing its key whose time is the greatest one ≤ the left time
+  * (`inclusive = true`) or < it (`inclusive = false`); null payload when
+  * no such row exists. The reference surface expresses this as a
+  * point-in-time lookup (q_asof_last_purchase composes it from windows);
+  * this operator gives it a first-class plan node.
+  *
+  * Scale design: both children are hash-CLUSTERED on the join key and
+  * sorted within partitions by (key, time) — exactly a sort-merge join's
+  * distribution contract, so Catalyst's EnsureRequirements inserts the
+  * exchanges/sorts and AQE still re-plans them. Execution is then ONE
+  * forward merge pass per partition: O(|L| + |R|) with O(1) state (the
+  * current candidate row) — never a per-key buffer, never a window over
+  * the union, and the left side streams through unbuffered regardless of
+  * how many right rows share a key.
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    rightPayload: Seq[Attribute], inclusive: Boolean)
+  extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ rightPayload.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsofJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    rightPayload: Seq[Attribute], inclusive: Boolean,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightPayload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  // the merge preserves the left side's partitioning and order
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeysB = leftKeys
+    val rKeysB = rightKeys
+    val lTimeB = leftTime
+    val rTimeB = rightTime
+    val payloadB = rightPayload
+    val inclusiveB = inclusive
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // executor-side: generate the projections/orderings per partition
+      val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeB), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeB), rOut)
+      val payloadProj = UnsafeProjection.create(payloadB, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeysB.map(_.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeB.dataType))
+      // bind payload inputs as NULLABLE: unmatched left rows carry a
+      // null payload row, and a projection bound to the original
+      // non-nullable schema would skip the null checks
+      val outProj = UnsafeProjection.create(
+        output, lOut ++ payloadB.map(_.withNullability(true)))
+      val nullPayload = new GenericInternalRow(payloadB.length)
+      val joined = new JoinedRow
+      val buffered = rIter.buffered
+
+      var candKey: InternalRow = null
+      var candTime: InternalRow = null
+      var candPayload: InternalRow = null
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTime = lTimeProj(lRow)
+        // consume every right row that is eligible for (lKey, lTime);
+        // rows for earlier keys just roll the candidate forward and are
+        // invalidated by the key check below — one forward pass total
+        var advance = true
+        while (advance && buffered.hasNext) {
+          val rRow = buffered.head
+          val rKey = rKeyProj(rRow)
+          val kc = keyOrd.compare(rKey, lKey)
+          val eligible = kc < 0 || (kc == 0 && {
+            val tc = timeOrd.compare(rTimeProj(rRow), lTime)
+            if (inclusiveB) tc <= 0 else tc < 0
+          })
+          if (eligible) {
+            candKey = rKey.copy()
+            candTime = rTimeProj(rRow).copy()
+            candPayload = payloadProj(rRow).copy()
+            buffered.next()
+          } else advance = false
+        }
+        val matched = candKey != null && keyOrd.compare(candKey, lKey) == 0
+        outProj(joined(lRow, if (matched) candPayload else nullPayload))
+      }
+    }
+  }
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, payload, inc) =>
+      AsofJoinExec(lk, rk, lt, rt, payload, inc, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame-level API for the native as-of join. */
+object Asof {
+  /** Left as-of join: every left row + the named payload columns of the
+    * most recent right row per key (strictly-before when
+    * `inclusive = false`). The right plan is re-aliased to fresh
+    * attribute ids, so self as-of joins (prev-row lookups) are safe. */
+  def join(left: DataFrame, right: DataFrame,
+           leftKeys: Seq[String], rightKeys: Seq[String],
+           leftTime: String, rightTime: String,
+           payload: Seq[String], inclusive: Boolean = true): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    }
+    val lPlan = left.queryExecution.analyzed
+    // fresh expr-ids on the right: a self-join would otherwise carry
+    // ambiguous attribute references into the combined output
+    val rAnalyzed = right.queryExecution.analyzed
+    val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rAnalyzed)
+    def attr(out: Seq[Attribute], n: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not found in ${out.map(_.name).mkString(", ")}"))
+    val rOut = rAliases.map(_.toAttribute)
+    require(attr(lPlan.output, leftTime).dataType ==
+      attr(rOut, rightTime).dataType,
+      "as-of time columns must share a data type")
+    ColumnBridge.ofRows(spark, AsofJoinPlan(
+      lPlan, rPlan,
+      leftKeys.map(attr(lPlan.output, _)), rightKeys.map(attr(rOut, _)),
+      attr(lPlan.output, leftTime), attr(rOut, rightTime),
+      payload.map(attr(rOut, _)), inclusive))
+  }
+}

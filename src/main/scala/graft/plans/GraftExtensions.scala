@@ -49,13 +49,15 @@ object CodecRoundTripElimination extends Rule[LogicalPlan] {
   }
 }
 
-/** Session extensions: register the codec SQL functions and the
-  * round-trip elimination rule. Activate with
+/** Session extensions: register the codec SQL functions, the
+  * round-trip elimination rule, and the native as-of join planner
+  * strategy. Activate with
   * `spark.sql.extensions=graft.plans.GraftExtensions` or
   * `SparkSession.builder().withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CodecRoundTripElimination)
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
     def litStr(x: org.apache.spark.sql.catalyst.expressions.Expression): String = x match {
       case Literal(s, StringType) if s != null => s.toString
       case other => throw new IllegalArgumentException(s"schema must be a string literal: $other")

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.Asof
+
+/** The native as-of join: custom logical node + planner strategy +
+  * physical merge operator (the whole-operator extension tier). */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // quotes (key, time, payload) and trades (key, time) with controlled
+  // overlap; times made unique per key so expectations are unambiguous
+  private def quotes = Seq(
+    ("A", 10L, "a10"), ("A", 20L, "a20"), ("A", 30L, "a30"),
+    ("B", 15L, "b15"), ("C", 99L, "c99")
+  ).toDF("q_sym", "q_ts", "q_px")
+
+  private def trades = Seq(
+    ("A", 5L), ("A", 10L), ("A", 25L), ("A", 99L),
+    ("B", 14L), ("B", 15L), ("D", 50L)
+  ).toDF("t_sym", "t_ts")
+
+  private def run(inclusive: Boolean): Map[(String, Long), String] =
+    Asof.join(trades, quotes, Seq("t_sym"), Seq("q_sym"), "t_ts", "q_ts",
+        Seq("q_px"), inclusive)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getString(2)))
+      .toMap
+
+  test("inclusive as-of takes the greatest quote time <= trade time") {
+    val m = run(inclusive = true)
+    assert(m(("A", 5L)) === null)     // before any quote
+    assert(m(("A", 10L)) === "a10")   // equality matches
+    assert(m(("A", 25L)) === "a20")
+    assert(m(("A", 99L)) === "a30")
+    assert(m(("B", 14L)) === null)
+    assert(m(("B", 15L)) === "b15")
+    assert(m(("D", 50L)) === null)    // key with no quotes at all
+  }
+
+  test("strict as-of excludes the equal timestamp") {
+    val m = run(inclusive = false)
+    assert(m(("A", 10L)) === null)    // a10 no longer eligible
+    assert(m(("A", 25L)) === "a20")
+    assert(m(("B", 15L)) === null)
+  }
+
+  test("physical plan uses AsofJoinExec (not a window or cartesian)") {
+    val df = Asof.join(trades, quotes, Seq("t_sym"), Seq("q_sym"),
+      "t_ts", "q_ts", Seq("q_px"), inclusive = true)
+    // the exec node renders without its Exec suffix; AQE hides the
+    // inner plan from tree traversal, so assert on the plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("matches a brute-force reference on random data, any partitioning") {
+    val n = 500
+    val left = spark.range(n).select(
+      (col("id") % 17).as("k"),
+      ((col("id") * 37) % 1000).as("lt"))
+    val right = spark.range(300).select(
+      (col("id") % 13).as("rk"),
+      ((col("id") * 53) % 997).as("rt"),
+      concat(lit("p"), col("id")).as("pay"))
+    val got = Asof.join(
+        left.repartition(7), right.repartition(3),
+        Seq("k"), Seq("rk"), "lt", "rt", Seq("pay"), inclusive = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    val rrows = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expected = left.collect()
+      .map { lr =>
+        val (k, lt) = (lr.getLong(0), lr.getLong(1))
+        val cands = rrows.filter(t => t._1 == k && t._2 <= lt)
+        val pay = if (cands.isEmpty) null
+          else cands.maxBy(_._2)._3
+        (k, lt, pay)
+      }
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("self as-of (fresh right attribute ids) finds the previous row") {
+    val o = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L), (4L, "B", 7L))
+      .toDF("pk", "k", "ts")
+    val prev = Asof.join(o, o.select(col("k").as("rk"), col("ts").as("rts"),
+        col("pk").as("prev_pk")),
+        Seq("k"), Seq("rk"), "ts", "rts", Seq("prev_pk"), inclusive = false)
+      .select(col("pk"), col("prev_pk"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(prev === Map(1L -> -1L, 2L -> 1L, 3L -> 2L, 4L -> -1L))
+  }
+
+  test("empty right side yields all-null payloads") {
+    val got = Asof.join(trades, quotes.filter(lit(false)),
+        Seq("t_sym"), Seq("q_sym"), "t_ts", "q_ts", Seq("q_px"))
+      .collect()
+    assert(got.length === 7)
+    assert(got.forall(_.isNullAt(2)))
+  }
+}

@@ -1009,6 +1009,31 @@ object SparkEntry {
       .orderBy(col("df").desc, col("bigram"))
       .limit(20)
 
+  /** Tokenizer-vocabulary coverage audit: build the top-256 vocabulary
+    * by document frequency (deterministic tie-break on the token),
+    * broadcast it, and report each source's out-of-vocabulary token
+    * rate in exact ppm — the coverage check run before committing to a
+    * tokenizer. The vocab build shuffles (token, doc) pairs once for
+    * the distinct, then (token) counts; the tiny ranked vocab
+    * broadcasts back onto the token stream, so the corpus is scanned
+    * twice and never sorted. */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = tok.select(col("tok"), col("doc_id")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(256)
+    tok.join(broadcast(vocab.select(col("tok"), lit(1).as("in_v"))),
+        Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_ppm", expr("oov_tokens * 1000000 div n_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** S1/EP1 producer parity: deterministic generated orders, routed.
     * The oracle replays the generator field-for-field. */
   private def qOrderGen(s: SparkSession, dir: String): DataFrame = {
@@ -3470,6 +3495,7 @@ object SparkEntry {
     "q_locf" -> (qLocf _),
     "q_fk_orphans" -> (qFkOrphans _),
     "q_asof_native" -> (qAsofNative _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5639,5 +5665,27 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY day * 10000000 + o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, t AS tok
+        |  FROM (SELECT doc_id, source,
+        |          unnest(string_split(text, ' ')) AS t
+        |        FROM documents) q
+        |  WHERE length(t) > 0),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS df
+        |    FROM (SELECT DISTINCT tok, doc_id FROM tok) d
+        |    GROUP BY tok) f
+        |  ORDER BY df DESC, tok LIMIT 256)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS oov_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS oov_ppm
+        |FROM tok LEFT JOIN vocab v ON tok.tok = v.tok
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
   )
 }

@@ -219,6 +219,47 @@ class ScaleSpec extends SparkSpec {
     assert(dist.agg(max($"dist")).as[Long].head() <= 8L) // ≤ 2 hops × max w
   }
 
+  test("native as-of join handles 1M x 100k rows in one merge pass") {
+    // 1M left rows x 100k right rows over 1000 keys: a window-composed
+    // as-of would union + sort both sides and buffer per key; the
+    // native operator streams each partition once with O(1) state
+    val left = spark.range(1000000).select(
+      ($"id" % 1000).as("k"), ($"id" * 7 % 100000).as("lt"))
+    val right = spark.range(100000).select(
+      ($"id" % 1000).as("rk"), ($"id" * 13 % 99991).as("rt"),
+      ($"id" * 31).as("pay"))
+    val t0 = System.nanoTime()
+    val joined = graft.plans.Asof.join(left, right,
+      Seq("k"), Seq("rk"), "lt", "rt", Seq("pay"), inclusive = true)
+    val n = joined.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n === 1000000L)
+    info(f"1M x 100k as-of merge in $secs%.1f s")
+    // spot-check one key against a brute-force reference
+    val k0got = joined.filter($"k" === 0).orderBy($"lt")
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val rrows = right.filter($"rk" === 0).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val k0exp = left.filter($"k" === 0).collect().map(_.getLong(1)).sorted
+      .map { lt =>
+        val c = rrows.filter(_._1 <= lt)
+        (lt, if (c.isEmpty) -1L else c.maxBy(_._1)._2)
+      }
+    assert(k0got.toSeq === k0exp.toSeq)
+  }
+
+  test("kmv sketch estimate stays bounded-state at 5M rows") {
+    val n = 5000000L
+    val est = spark.range(n)
+      .select(conv(substring(md5($"id".cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .agg(graft.functions.Kmv.kmv_estimate(
+        graft.functions.Kmv.kmv_sketch($"h")))
+      .head().getDouble(0)
+    // k=64 -> sigma ~ 12.7%; allow 4 sigma at 5M distinct
+    assert(math.abs(est - n) / n < 0.5, s"estimate $est vs $n")
+  }
+
   test("salted join equals plain join on skewed data") {
     // 90% of left rows share one hot key
     val left = spark.range(5000)

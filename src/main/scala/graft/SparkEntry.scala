@@ -3091,6 +3091,66 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** MERGE INTO (upsert-apply) semantics — the CDC APPLY step that
+    * completes the family (q_snapshot_diff computes a delta, q_ivm
+    * maintains an aggregate; this applies a delta to the base table):
+    * WHEN MATCHED AND op='U' THEN UPDATE, WHEN MATCHED AND op='D' THEN
+    * DELETE, WHEN NOT MATCHED THEN INSERT — as ONE full-outer join on
+    * the key where each MERGE branch is a projection case. The source
+    * batch is synthesized deterministically from the target (updates
+    * +$5.00 on key%7=0, deletes key%7=1, inserts at fresh keys for
+    * key%13=0). Work scales with max(|target|, |source|) through one
+    * shuffle — the standard distributed upsert shape. The oracle
+    * replays the merge independently; per-priority exact-cents totals
+    * gate the merged table. */
+  private def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val tgt = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_orderpriority").as("prio"),
+      Analytics.cents(col("o_totalprice")).as("c"))
+    val src = tgt.filter(col("k") % 7 === 0)
+        .select(col("k"), col("prio"), (col("c") + 500L).as("c"), lit("U").as("op"))
+      .unionAll(tgt.filter(col("k") % 7 === 1)
+        .select(col("k"), lit(null).cast("string").as("prio"),
+          lit(null).cast("long").as("c"), lit("D").as("op")))
+      .unionAll(tgt.filter(col("k") % 13 === 0)
+        .select((col("k") + 100000000L).as("k"), col("prio"),
+          (col("c") + 123L).as("c"), lit("I").as("op")))
+    tgt.as("t")
+      .join(src.as("s"), col("t.k") === col("s.k"), "full_outer")
+      .filter(col("s.op").isNull || col("s.op") =!= "D")
+      .select(
+        when(col("s.op").isNull, col("t.prio")).otherwise(col("s.prio")).as("prio"),
+        when(col("s.op").isNull, col("t.c")).otherwise(col("s.c")).as("c"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_orders"), (sum(col("c")) / 100.0).as("total_price"))
+      .select(col("prio").as("o_orderpriority"), col("n_orders"), col("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Unigram-rarity scoring — the log-free surprisal proxy that ranks
+    * documents by how unusual their vocabulary is (the cheap
+    * perplexity stand-in a quality filter runs before any model): mean
+    * inverse document frequency of the doc's token occurrences, in
+    * exact 1e6 fixed point. The df table joins on the token key as a
+    * plain shuffle join (a corpus-scale vocabulary need not be
+    * broadcastable); the corpus size is ONE broadcast scalar. */
+  private def qRarity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dfTab = tok.select(col("tok"), col("doc_id")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("nd"))
+    tok.join(dfTab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr("(nd * 1000000) div df")).as("sum_micro"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sum_micro div n_tokens").as("mean_idf_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Entity-resolution matching with blocking — the structured-data
     * dedup complement to the document near-dup family: candidate pairs
     * come ONLY from equi-joined (brand, size) blocks (the standard ER
@@ -3496,6 +3556,8 @@ object SparkEntry {
     "q_fk_orphans" -> (qFkOrphans _),
     "q_asof_native" -> (qAsofNative _),
     "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_merge_upsert" -> (qMergeUpsert _),
+    "q_rarity" -> (qRarity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5687,5 +5749,45 @@ object SparkEntry {
         |FROM tok LEFT JOIN vocab v ON tok.tok = v.tok
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // the oracle replays the MERGE independently: same synthesized CDC
+    // batch, same branch semantics, per-priority exact-cents totals
+    "q_merge_upsert" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |src AS (
+        |  SELECT k, prio, c + 500 AS c, 'U' AS op FROM tgt WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 'D'
+        |  FROM tgt WHERE k % 7 = 1
+        |  UNION ALL
+        |  SELECT k + 100000000, prio, c + 123, 'I' FROM tgt WHERE k % 13 = 0),
+        |m AS (
+        |  SELECT
+        |    CASE WHEN s.op IS NULL THEN t.prio ELSE s.prio END AS prio,
+        |    CASE WHEN s.op IS NULL THEN t.c ELSE s.c END AS c
+        |  FROM tgt t FULL OUTER JOIN src s ON t.k = s.k
+        |  WHERE s.op IS NULL OR s.op <> 'D')
+        |SELECT prio AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(c) AS BIGINT) / CAST(100.0 AS DOUBLE) AS total_price
+        |FROM m GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "q_rarity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t AS tok
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents) q
+        |  WHERE length(t) > 0),
+        |df AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT tok, doc_id FROM tok) d GROUP BY tok),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(sum((nd * 1000000) // df) AS BIGINT) // count(*)
+        |    AS BIGINT) AS mean_idf_micro
+        |FROM tok JOIN df USING (tok), nd
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

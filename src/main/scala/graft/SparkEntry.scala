@@ -354,6 +354,34 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Point-in-time-correct feature join — the native as-of operator in
+    * its ML-pipeline role: each purchase event is labeled with the
+    * user's click count STRICTLY before it (the leakage guard a
+    * feature-store join must enforce; inclusive semantics would leak
+    * co-timestamped signals into training rows). The right side is the
+    * per-user running click count (a high-cardinality-key window, no
+    * funnel); the as-of itself is the one-merge-pass AsofJoinExec. The
+    * oracle recomputes each label as a correlated COUNT — a different
+    * algorithm entirely, so the gate checks the semantics, not the
+    * plan. (user, ts) click pairs are unique in this dataset, which
+    * QueriesSpec pins — running-count ties would otherwise make the
+    * as-of pick nondeterministically. */
+  private def qFeaturesAsof(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withColumn("clicks_so_far", count(lit(1)).over(
+        Window.partitionBy(col("c_user")).orderBy(col("c_ts"))))
+    graft.plans.Asof.join(purchases, clicks, Seq("user_id"), Seq("c_user"),
+        "ts", "c_ts", Seq("clicks_so_far"), inclusive = false)
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("clicks_so_far"), lit(0L)).as("clicks_before"))
+      .orderBy(col("event_id"))
+  }
+
   /** Time-series densification (gap filling): every 10-minute bucket in
     * each user's [first, last] activity span gets a row, absent buckets
     * filled with zero — the resample step feeding any windowed model.
@@ -3558,6 +3586,7 @@ object SparkEntry {
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_rarity" -> (qRarity _),
+    "q_features_asof" -> (qFeaturesAsof _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5789,5 +5818,15 @@ object SparkEntry {
         |    AS BIGINT) AS mean_idf_micro
         |FROM tok JOIN df USING (tok), nd
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the oracle recomputes each leakage-free label as a correlated
+    // COUNT — a different algorithm from the running-count as-of
+    "q_features_asof" ->
+      """SELECT e.event_id, e.user_id,
+        |  CAST((SELECT count(*) FROM events c
+        |        WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |          AND c.ts < e.ts) AS BIGINT) AS clicks_before
+        |FROM events e WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

@@ -40,6 +40,21 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("click (user_id, ts) pairs are unique (q_features_asof contract)") {
+    // qFeaturesAsof's running-count as-of equals the correlated-COUNT
+    // oracle only when no user has two clicks at the same timestamp
+    // (ties would make the as-of candidate order-dependent). Pin it.
+    import org.apache.spark.sql.functions._
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      SparkEntry.registerTables(spark, d)
+      val dups = spark.table("events")
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).count()
+        .filter(col("count") > 1).count()
+      assert(dups === 0L, s"$d has duplicate (user, ts) click pairs")
+    }
+  }
+
   test("skyline frontier is exactly the undominated size groups") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_skyline")(spark, sf).collect()

@@ -2211,6 +2211,27 @@ object SparkEntry {
     s.sql(bigOrdersText)
   }
 
+  /** Q6 forecasting-revenue-change shape: the pure scan-filter-agg
+    * query — every predicate pushes to the parquet scan, zero joins,
+    * one partial+final aggregate. The discount BETWEEN runs on the
+    * stored doubles directly (same IEEE comparison in both engines);
+    * the money sum is exact cents. */
+  private val forecastRevenueText: String =
+    """SELECT
+      |  CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+      |    AS BIGINT)) AS BIGINT) / CAST(100.0 AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1997-01-01'
+      |  AND l_shipdate < DATE '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  private def qForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(forecastRevenueText)
+  }
+
   /** Q22 global-sales-opportunity shape: customers above the positive
     * average balance with no urgent orders (scalar-average subquery +
     * predicated anti join), grouped by segment (the schema's stand-in
@@ -3587,6 +3608,7 @@ object SparkEntry {
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_rarity" -> (qRarity _),
     "q_features_asof" -> (qFeaturesAsof _),
+    "q_forecast_revenue" -> (qForecastRevenue _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5551,6 +5573,7 @@ object SparkEntry {
     "q_top_supplier" -> topSupplierText,
     "q_big_orders" -> bigOrdersText,
     "q_idle_customers" -> idleCustomersText,
+    "q_forecast_revenue" -> forecastRevenueText,
 
     // the oracle replays the KMV sketch literally: k smallest distinct
     // 60-bit hashes per group via ORDER BY h LIMIT k, then the same

@@ -319,6 +319,42 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming KMV sketch: per-batch sketches merge to the one-shot sketch") {
+    // incremental distinct-count maintenance at ingest: each micro-batch
+    // contributes its own tiny KMV sketch (64 longs), merged into the
+    // running sketch — union is closed and idempotent, so replayed or
+    // duplicated records cannot move the estimate, and the maintained
+    // sketch is bit-identical to a one-shot batch sketch of everything
+    // seen. (The merged value is what a sketch TABLE would store; the
+    // driver-side var stands in for the sink.)
+    val stream = MemoryStream[Envelope](spark)
+    val hashed = OrderPipeline.process(stream.toDF())
+      .select(conv(substring(md5(col("orderId").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    @volatile var acc: Seq[Long] = Seq.empty
+    val q = hashed.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sk = b.agg(graft.functions.Kmv.kmv_sketch(col("h")))
+          .head().getSeq[Long](0)
+        acc = (acc ++ sk).distinct.sorted.take(graft.functions.Kmv.K)
+      }.start()
+    stream.addData((0 until 40).map(i => envelope(i, s"id$i", 100.0f)): _*)
+    q.processAllAvailable()
+    // overlap: ids 20-39 replayed, 40-79 new
+    stream.addData((20 until 80).map(i => envelope(100 + i, s"id$i", 100.0f)): _*)
+    q.processAllAvailable()
+    stream.addData((0 until 10).map(i => envelope(200 + i, s"id$i", 100.0f)): _*)
+    q.processAllAvailable(); q.stop()
+    val oneShot = spark.range(80)
+      .select(conv(substring(md5(concat(lit("id"), col("id")).cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .agg(graft.functions.Kmv.kmv_sketch(col("h"))).head().getSeq[Long](0)
+    assert(acc === oneShot)
+    val est = spark.range(1).select(graft.functions.Kmv.kmv_estimate(
+      typedLit(acc))).head().getDouble(0)
+    assert(math.abs(est - 80) / 80 < 0.5, s"estimate $est vs 80 distinct")
+  }
+
   test("per-key custom state accumulates across micro-batches") {
     val stream = MemoryStream[Envelope](spark)
     val stats = OrderPipeline.perKeyRunningStats(

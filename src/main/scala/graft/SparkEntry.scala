@@ -3380,6 +3380,71 @@ object SparkEntry {
       .orderBy(col("fk_edge"))
   }
 
+  /** Rolling 30-day distinct customers per day via mergeable HLL
+    * sketches — the sliding-window distinct that powers "active users"
+    * dashboards at scale: the data-sized work is ONE daily aggregation
+    * into 64-register sketches; the rolling union is then a
+    * per-register RANGE-window max over the (days × 64) DOMAIN —
+    * work bounded by the calendar, not the data, and the window frames
+    * re-merge sketches instead of rescanning raw rows. The exact
+    * control recomputes each window by exploding every order onto the
+    * ≤30 spine days it covers (the partitionable rewrite of the
+    * sliding theta join). Same register math as q_hll_rollup, so the
+    * oracle replays both sides. */
+  private def qRollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hll
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders").select(
+      datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"),
+      col("o_custkey"),
+      conv(substring(md5(col("o_custkey").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .localCheckpoint(eager = false)
+    val daily = o.groupBy(col("day")).agg(Hll.hll_registers(col("h")).as("regs"))
+    val cells = daily.select(col("day"),
+      posexplode(col("regs")).as(Seq("reg", "rho")))
+    val rolled = cells.withColumn("m", max(col("rho")).over(
+      Window.partitionBy(col("reg")).orderBy(col("day")).rangeBetween(-29, 0)))
+    val est = rolled.groupBy(col("day"))
+      .agg(sum(call_function("shiftleft", lit(1L),
+          (lit(Hll.MaxRho) - col("m")).cast("int")))
+        .as("total"))
+      .select(col("day"),
+        (lit(Hll.Alpha) / (col("total").cast("double") / lit(Hll.Scale)))
+          .as("est_distinct"))
+    val exact = o.select(explode(sequence(col("day"), col("day") + 29)).as("sday"),
+        col("o_custkey"))
+      .join(daily.select(col("day").as("sday")), "sday")
+      .groupBy(col("sday"))
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    est.join(exact, est("day") === exact("sday"))
+      .select(col("day"), col("est_distinct"), col("exact_distinct"))
+      .orderBy(col("day"))
+  }
+
+  /** Event transition matrix (first-order Markov estimate): per-user
+    * next-event pairs from a high-cardinality-key window (ordered by
+    * the unique (ts, event_id)), counted and normalized to exact-ppm
+    * transition probabilities per source state. The sequence-mining
+    * primitive behind "what do users do after X" product analytics. */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev")).agg(sum(col("n")).as("total"))
+    pairs.join(broadcast(totals), "prev")
+      .select(col("prev"), col("next"), col("n"),
+        expr("n * 1000000 div total").as("prob_ppm"))
+      .orderBy(col("prev"), col("next"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -3609,6 +3674,8 @@ object SparkEntry {
     "q_rarity" -> (qRarity _),
     "q_features_asof" -> (qFeaturesAsof _),
     "q_forecast_revenue" -> (qForecastRevenue _),
+    "q_rolling_distinct" -> (qRollingDistinct _),
+    "q_transitions" -> (qTransitions _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5851,5 +5918,65 @@ object SparkEntry {
         |          AND c.ts < e.ts) AS BIGINT) AS clicks_before
         |FROM events e WHERE e.event_type = 'purchase'
         |ORDER BY e.event_id""".stripMargin,
+
+    // the oracle replays both sides: the register math per day (same
+    // rho convention as q_hll_rollup) with a per-register rolling max
+    // over the day domain, and the exact window by BETWEEN range join
+    "q_rolling_distinct" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    o_custkey,
+        |    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM orders),
+        |rh AS (
+        |  SELECT day, h % 64 AS reg,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE CAST(log2(CAST((h // 64) & (-(h // 64)) AS DOUBLE)) AS INT) + 1
+        |    END AS rho
+        |  FROM o),
+        |dr AS (SELECT day, reg, max(rho) AS mrho FROM rh GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.day, g.reg
+        |  FROM (SELECT DISTINCT day FROM o) s,
+        |       (SELECT unnest(range(0, 64)) AS reg) g),
+        |roll AS (
+        |  SELECT day, reg,
+        |    max(m0) OVER (PARTITION BY reg ORDER BY day
+        |                  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS m
+        |  FROM (SELECT grid.day, grid.reg, coalesce(dr.mrho, 0) AS m0
+        |        FROM grid LEFT JOIN dr
+        |          ON grid.day = dr.day AND grid.reg = dr.reg) c),
+        |est AS (
+        |  SELECT day,
+        |    (0.709 * 64 * 64) /
+        |      (CAST(sum(CAST(1 AS BIGINT) << (55 - m)) AS DOUBLE)
+        |        / 36028797018963968.0) AS est_distinct
+        |  FROM roll GROUP BY day),
+        |ex AS (
+        |  SELECT s.day, CAST(count(DISTINCT o.o_custkey) AS BIGINT)
+        |    AS exact_distinct
+        |  FROM (SELECT DISTINCT day FROM o) s
+        |  JOIN o ON o.day BETWEEN s.day - 29 AND s.day
+        |  GROUP BY s.day)
+        |SELECT day, est_distinct, exact_distinct
+        |FROM est JOIN ex USING (day)
+        |ORDER BY day""".stripMargin,
+
+    "q_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev,
+        |    event_type AS next
+        |  FROM events),
+        |c AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS total
+        |      FROM c GROUP BY 1)
+        |SELECT prev, next, n,
+        |  CAST(n * 1000000 // total AS BIGINT) AS prob_ppm
+        |FROM c JOIN t USING (prev)
+        |ORDER BY prev, next""".stripMargin,
   )
 }

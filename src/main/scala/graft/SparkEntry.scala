@@ -3423,6 +3423,65 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** Mann-Kendall trend test over the monthly revenue series — the
+    * nonparametric "is this metric actually trending" statistic:
+    * S = Σ_{i<j} sign(v_j − v_i) over all month pairs, with Kendall's
+    * tau in exact ppm. The pair join runs over the MONTH DOMAIN (~80
+    * rows → ~3k pairs regardless of data volume); the data-sized work
+    * is one monthly aggregation. Everything is integer sign arithmetic
+    * — no distributional assumption, no doubles until never. */
+  private def qTrendTest(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"),
+        Analytics.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("m")).agg(sum(col("c")).as("v"))
+      .localCheckpoint(eager = false)
+    val pairs = monthly.select(col("m").as("mi"), col("v").as("vi"))
+      .join(monthly.select(col("m").as("mj"), col("v").as("vj")),
+        col("mi") < col("mj"))
+      .select(signum(col("vj") - col("vi")).cast("long").as("sgn"))
+    val n = monthly.agg(count(lit(1)).as("n"))
+    pairs.agg(sum(col("sgn")).as("s_stat"), count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(n))
+      .select(col("n").as("n_months"), col("s_stat"), col("n_pairs"),
+        expr("s_stat * 1000000 div n_pairs").as("tau_ppm"))
+  }
+
+  /** Chi-square independence audit between order priority and customer
+    * market segment: the contingency table in one join+aggregation,
+    * expectations and per-cell contributions in exact integer
+    * cross-multiplies — contrib = (n·N − r·c)²·1e6 div (r·c·N) — so
+    * the statistic is a sum of exact longs (order-independent; a
+    * naive double Σ would be partitioning-dependent). The grand total
+    * rides along via a broadcast scalar. */
+  private def qChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val joined = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority").as("prio"))
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .localCheckpoint(eager = false)
+    val cells = joined.groupBy(col("prio"), col("seg"))
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy(col("prio")).agg(sum(col("n")).as("r"))
+    val cols_ = cells.groupBy(col("seg")).agg(sum(col("n")).as("c"))
+    val total = cells.agg(sum(col("n")).as("nn"))
+    val contrib = cells.join(broadcast(rows), "prio")
+      .join(broadcast(cols_), "seg").crossJoin(broadcast(total))
+      // two-step division keeps every intermediate inside int64 at any
+      // SF (d² alone would overflow); both engines truncate toward
+      // zero, and q1 and d share a sign so the product is non-negative
+      .withColumn("contrib_micro",
+        expr("((n * nn - r * c) * 1000000 div (r * c)) * (n * nn - r * c) div nn"))
+    val chi2 = contrib.agg(sum(col("contrib_micro")).as("chi2_micro"))
+    contrib.crossJoin(broadcast(chi2))
+      .select(col("prio"), col("seg"), col("n"),
+        expr("(r * c * 1000000) div nn").as("expected_micro"),
+        col("contrib_micro"), col("chi2_micro"))
+      .orderBy(col("prio"), col("seg"))
+  }
+
   /** Event transition matrix (first-order Markov estimate): per-user
     * next-event pairs from a high-cardinality-key window (ordered by
     * the unique (ts, event_id)), counted and normalized to exact-ppm
@@ -3676,6 +3735,8 @@ object SparkEntry {
     "q_forecast_revenue" -> (qForecastRevenue _),
     "q_rolling_distinct" -> (qRollingDistinct _),
     "q_transitions" -> (qTransitions _),
+    "q_trend_test" -> (qTrendTest _),
+    "q_chi_square" -> (qChiSquare _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5978,5 +6039,45 @@ object SparkEntry {
         |  CAST(n * 1000000 // total AS BIGINT) AS prob_ppm
         |FROM c JOIN t USING (prev)
         |ORDER BY prev, next""".stripMargin,
+
+    "q_trend_test" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |      AS m,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+        |                       WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+        |      AS s_stat,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM m a JOIN m b ON a.m < b.m),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m)
+        |SELECT n_months, s_stat, n_pairs,
+        |  CAST(s_stat * 1000000 // n_pairs AS BIGINT) AS tau_ppm
+        |FROM p, n""".stripMargin,
+
+    // the same two-step truncating division as the engine — d² alone
+    // would overflow int64
+    "q_chi_square" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority AS prio, c_mktsegment AS seg
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT prio, seg, CAST(count(*) AS BIGINT) AS n
+        |          FROM j GROUP BY 1, 2),
+        |r AS (SELECT prio, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |c AS (SELECT seg, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+        |k AS (
+        |  SELECT prio, seg, n, r.r, c.c, nn,
+        |    CAST(((n * nn - r.r * c.c) * 1000000 // (r.r * c.c))
+        |      * (n * nn - r.r * c.c) // nn AS BIGINT) AS contrib_micro
+        |  FROM cells JOIN r USING (prio) JOIN c USING (seg), t),
+        |x AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS chi2_micro FROM k)
+        |SELECT prio, seg, n,
+        |  CAST((r * c * 1000000) // nn AS BIGINT) AS expected_micro,
+        |  contrib_micro, chi2_micro
+        |FROM k, x ORDER BY prio, seg""".stripMargin,
   )
 }

@@ -3461,9 +3461,12 @@ object SparkEntry {
       .join(broadcast(t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
         col("o_custkey") === col("c_custkey"))
-      .localCheckpoint(eager = false)
+    // checkpoint the CONTINGENCY TABLE (|prios| x |segments| rows), not
+    // the join: the margins and total re-aggregate 25 rows, and the
+    // data-sized join+count runs exactly once
     val cells = joined.groupBy(col("prio"), col("seg"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
     val rows = cells.groupBy(col("prio")).agg(sum(col("n")).as("r"))
     val cols_ = cells.groupBy(col("seg")).agg(sum(col("n")).as("c"))
     val total = cells.agg(sum(col("n")).as("nn"))
@@ -3480,6 +3483,77 @@ object SparkEntry {
         expr("(r * c * 1000000) div nn").as("expected_micro"),
         col("contrib_micro"), col("chi2_micro"))
       .orderBy(col("prio"), col("seg"))
+  }
+
+  /** Time-weighted average (TWAP-style) of each user's event values:
+    * every observation is weighted by how long it remained current
+    * (the gap to the user's next event — a lead over the unique
+    * per-user (ts, event_id) order), so irregular sampling cannot bias
+    * the mean toward burst periods. Weights are exact nanosecond
+    * longs; values quantize at 1e3; the ONLY double op is the final
+    * weighted division. Last events (no successor) carry no weight —
+    * the standard half-open-interval convention. */
+  private def qTwap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // order AND difference at MICROsecond precision: DuckDB timestamps
+    // carry us, so both the successor chain and the weights must be
+    // derived from the same truncated clock in both engines
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"),
+        Analytics.fp(col("value"), 1000L).as("v"))
+      .withColumn("nxt", lead(col("tus"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      // weights in MILLIseconds: v(1e3-scaled) x weight must stay far
+      // inside int64 after the per-user sum
+      .withColumn("wt", expr("(nxt - tus) div 1000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("wt")).as("span_ms"),
+        sum(col("v") * col("wt")).as("vw"))
+      .filter(col("user_id") % 17 === 0) // bounded dump, same operator shape
+      .select(col("user_id"), col("n_obs"), col("span_ms"),
+        (col("vw").cast("double") / col("span_ms") / 1000.0).as("twap"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Join-key skew diagnostic — the "does this key need salting"
+    * report the salted-join pattern depends on: for each candidate
+    * shuffle key, the per-key frequency distribution summarized as
+    * top-key share (ppm) and nearest-rank p50/p99 frequencies. The
+    * percentiles come from the frequency-OF-frequencies table (one
+    * row per DISTINCT per-key count — tiny at any scale), so the only
+    * window runs over that bounded domain: no rank pass ever touches
+    * the key-cardinality-sized table, let alone the data. */
+  private def qDataSkew(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def skew(keyName: String, df: DataFrame, key: String): DataFrame = {
+      val freq = df.groupBy(col(key).cast("long").as("k"))
+        .agg(count(lit(1)).as("f"))
+        .localCheckpoint(eager = false)
+      val stats = freq.agg(count(lit(1)).as("n_keys"),
+        sum(col("f")).as("n_rows"), max(col("f")).as("max_f"))
+      val ff = freq.groupBy(col("f")).agg(count(lit(1)).as("cnt"))
+      val cum = ff.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("f"))))
+      val ranks = stats.select(expr("(n_keys + 1) div 2").as("r50"),
+        expr("(99 * n_keys + 99) div 100").as("r99"))
+      val sel = cum.crossJoin(broadcast(ranks))
+        .agg(min(when(col("cum") >= col("r50"), col("f"))).as("p50_f"),
+          min(when(col("cum") >= col("r99"), col("f"))).as("p99_f"))
+      stats.crossJoin(sel)
+        .select(lit(keyName).as("join_key"), col("n_keys"), col("n_rows"),
+          col("max_f"),
+          expr("max_f * 1000000 div n_rows").as("top_share_ppm"),
+          col("p50_f"), col("p99_f"),
+          expr("p99_f * 100 div p50_f").as("p99_over_p50_pct"))
+    }
+    val li = t(s, dir, "lineitem")
+    skew("lineitem.l_suppkey", li, "l_suppkey")
+      .unionAll(skew("lineitem.l_partkey", li, "l_partkey"))
+      .unionAll(skew("orders.o_custkey", t(s, dir, "orders"), "o_custkey"))
+      .orderBy(col("join_key"))
   }
 
   /** Event transition matrix (first-order Markov estimate): per-user
@@ -3737,6 +3811,8 @@ object SparkEntry {
     "q_transitions" -> (qTransitions _),
     "q_trend_test" -> (qTrendTest _),
     "q_chi_square" -> (qChiSquare _),
+    "q_twap" -> (qTwap _),
+    "q_data_skew" -> (qDataSkew _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6079,5 +6155,55 @@ object SparkEntry {
         |  CAST((r * c * 1000000) // nn AS BIGINT) AS expected_micro,
         |  contrib_micro, chi2_micro
         |FROM k, x ORDER BY prio, seg""".stripMargin,
+
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, v,
+        |    (lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |      - tus) // 1000 AS wt
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST(sum(wt) AS BIGINT) AS span_ms,
+        |    CAST(sum(v * wt) AS BIGINT) AS vw
+        |  FROM w WHERE wt IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_obs, span_ms,
+        |  CAST(vw AS DOUBLE) / span_ms / 1000.0 AS twap
+        |FROM g WHERE user_id % 17 = 0 ORDER BY user_id""".stripMargin,
+
+    "q_data_skew" -> {
+      def edge(name: String, table: String, key: String): String =
+        s"""SELECT '$name' AS join_key, n_keys, n_rows, max_f,
+           |  CAST(max_f * 1000000 // n_rows AS BIGINT) AS top_share_ppm,
+           |  p50_f, p99_f,
+           |  CAST(p99_f * 100 // p50_f AS BIGINT) AS p99_over_p50_pct
+           |FROM (
+           |  WITH f1 AS (SELECT $key AS k, CAST(count(*) AS BIGINT) AS f
+           |              FROM $table GROUP BY 1),
+           |  s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           |           CAST(sum(f) AS BIGINT) AS n_rows,
+           |           CAST(max(f) AS BIGINT) AS max_f FROM f1),
+           |  w1 AS (SELECT f, sum(cnt) OVER (ORDER BY f) AS cum
+           |         FROM (SELECT f, count(*) AS cnt FROM f1 GROUP BY 1) ff),
+           |  sel AS (SELECT
+           |      CAST(min(CASE WHEN cum >= (SELECT (n_keys + 1) // 2 FROM s1)
+           |                    THEN f END) AS BIGINT) AS p50_f,
+           |      CAST(min(CASE WHEN cum >= (SELECT (99 * n_keys + 99) // 100
+           |                                 FROM s1)
+           |                    THEN f END) AS BIGINT) AS p99_f
+           |    FROM w1)
+           |  SELECT * FROM s1, sel) q""".stripMargin
+      s"""SELECT * FROM (
+         |${edge("lineitem.l_suppkey", "lineitem", "l_suppkey")}
+         |UNION ALL
+         |${edge("lineitem.l_partkey", "lineitem", "l_partkey")}
+         |UNION ALL
+         |${edge("orders.o_custkey", "orders", "o_custkey")}
+         |) u ORDER BY join_key""".stripMargin
+    },
   )
 }

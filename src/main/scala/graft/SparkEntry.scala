@@ -333,18 +333,22 @@ object SparkEntry {
   /** The NATIVE as-of join (graft.plans.AsofJoinExec — custom logical
     * node + planner strategy + physical merge operator): each order
     * looks up the customer's strictly-previous order, i.e. the
-    * inter-purchase gap. The composite time key (day·1e7 + orderkey) is
-    * a unique total order per customer, so strict "<" as-of equals the
-    * oracle's lag() exactly. The physical plan is two clustered
-    * exchanges + sorts and ONE O(|L|+|R|) merge pass per partition with
-    * O(1) state — no window funnel, no per-key buffers. */
+    * inter-purchase gap. The composite time key (day·2^40 + orderkey)
+    * is a unique total order per customer — the 2^40 tie-break slot
+    * holds order keys to ~1.1e12 (TPC-H SF ~180k) with day ≤ ~12k
+    * staying inside int64, so strict "<" as-of equals the oracle's
+    * lag() exactly at any realistic scale. The physical plan is two
+    * clustered exchanges + sorts and ONE O(|L|+|R|) merge pass per
+    * partition with O(1) state — no window funnel, no per-key
+    * buffers. */
   private def qAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val slot = 1099511627776L // 2^40
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
       datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
         .cast("long").as("day"))
-    val left = o.withColumn("tkey", col("day") * 10000000L + col("o_orderkey"))
+    val left = o.withColumn("tkey", col("day") * slot + col("o_orderkey"))
     val right = o.select(col("o_custkey").as("r_cust"),
-      (col("day") * 10000000L + col("o_orderkey")).as("r_tkey"),
+      (col("day") * slot + col("o_orderkey")).as("r_tkey"),
       col("o_orderkey").as("prev_orderkey"), col("day").as("prev_day"))
     graft.plans.Asof.join(left, right,
         Seq("o_custkey"), Seq("r_cust"), "tkey", "r_tkey",
@@ -958,6 +962,9 @@ object SparkEntry {
       .select(col("n_nationkey"), col("n_regionkey"), col("l_partkey"),
         conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("h"))
+      // the sketch and exact aggregations group by different keys —
+      // materialize the joined+hashed scan once (q_kmv_jaccard pattern)
+      .localCheckpoint(eager = false)
     val natSketch = li.groupBy(col("n_nationkey"), col("n_regionkey"))
       .agg(Kmv.kmv_sketch(col("h")).as("sk"))
     val regSketch = natSketch.groupBy(col("n_regionkey"))
@@ -5981,7 +5988,7 @@ object SparkEntry {
         |  day - lag(day) OVER w AS gap_days
         |FROM o
         |WINDOW w AS (PARTITION BY o_custkey
-        |             ORDER BY day * 10000000 + o_orderkey)
+        |             ORDER BY day * 1099511627776 + o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_vocab_coverage" ->

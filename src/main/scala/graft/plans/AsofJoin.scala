@@ -167,6 +167,15 @@ object Asof {
     require(attr(lPlan.output, leftTime).dataType ==
       attr(rOut, rightTime).dataType,
       "as-of time columns must share a data type")
+    // mismatched key types would hash-partition equal values to
+    // DIFFERENT partitions (Murmur3 of int 5 != long 5) and mis-bind
+    // the merge ordering — fail loudly instead of returning nulls
+    require(leftKeys.length == rightKeys.length,
+      s"as-of key arity mismatch: ${leftKeys.length} vs ${rightKeys.length}")
+    leftKeys.zip(rightKeys).foreach { case (lk, rk) =>
+      require(attr(lPlan.output, lk).dataType == attr(rOut, rk).dataType,
+        s"as-of key columns $lk/$rk must share a data type")
+    }
     ColumnBridge.ofRows(spark, AsofJoinPlan(
       lPlan, rPlan,
       leftKeys.map(attr(lPlan.output, _)), rightKeys.map(attr(rOut, _)),

@@ -99,6 +99,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(prev === Map(1L -> -1L, 2L -> 1L, 3L -> 2L, 4L -> -1L))
   }
 
+  test("un-renamed self as-of (identical plans, colliding names) stays correct") {
+    // the hostile case for attribute deduplication: right is literally
+    // the same plan, and the payload NAME collides with a left column —
+    // the internal re-aliasing must survive the optimizer (a stripped
+    // alias would silently bind the payload to the left side's column)
+    val o = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L))
+      .toDF("pk", "k", "ts")
+    val got = Asof.join(o, o, Seq("k"), Seq("k"), "ts", "ts",
+        Seq("pk"), inclusive = false)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(got === Map(1L -> -1L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("empty right side yields all-null payloads") {
     val got = Asof.join(trades, quotes.filter(lit(false)),
         Seq("t_sym"), Seq("q_sym"), "t_ts", "q_ts", Seq("q_px"))

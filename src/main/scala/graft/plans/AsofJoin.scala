@@ -4,9 +4,10 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow,
-  RowOrdering, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+  Alias, And, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow,
+  PredicateHelper, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -130,6 +131,28 @@ case class AsofJoinExec(
   }
 }
 
+/** Optimizer integration for the custom node: a Filter above an as-of
+  * join whose predicates only touch LEFT-side columns commutes with the
+  * join (the operator is left-preserving — every left row produces
+  * exactly one output row, and dropping a left row cannot change any
+  * other row's match). Pushing such predicates into the left child
+  * lets them keep sliding down to the parquet scan (`PushedFilters`),
+  * exactly what Catalyst does for built-in joins. Predicates that
+  * reference the attached payload stay above the join. */
+object AsofFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsofJoinPlan) =>
+      val (pushable, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic &&
+          p.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(pushable.reduce(And), aj.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoinPlan(l, r, lk, rk, lt, rt, payload, inc) =>
@@ -152,6 +175,10 @@ object Asof {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(AsofFilterPushdown)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsofFilterPushdown
     }
     val lPlan = left.queryExecution.analyzed
     // fresh expr-ids on the right: a self-join would otherwise carry

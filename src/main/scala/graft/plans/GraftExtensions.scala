@@ -57,6 +57,7 @@ object CodecRoundTripElimination extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CodecRoundTripElimination)
+    e.injectOptimizerRule(_ => AsofFilterPushdown)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
     def litStr(x: org.apache.spark.sql.catalyst.expressions.Expression): String = x match {
       case Literal(s, StringType) if s != null => s.toString

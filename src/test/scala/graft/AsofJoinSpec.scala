@@ -114,6 +114,29 @@ class AsofJoinSpec extends SparkSpec {
     assert(got === Map(1L -> -1L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("left-side filters push through the as-of join to the parquet scan") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val right = orders.select(col("o_custkey").as("rk"),
+      col("o_orderkey").as("rt"), col("o_totalprice").as("prev_price"))
+    val joined = Asof.join(orders, right, Seq("o_custkey"), Seq("rk"),
+      "o_orderkey", "rt", Seq("prev_price"), inclusive = false)
+    // filter applied ABOVE the join, on left columns only
+    val filtered = joined.filter(col("o_totalprice") > 50000.0)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+      "GreaterThan(o_totalprice,50000.0)]"), plan)
+    // and the payload-referencing conjunct must NOT push
+    val mixed = joined.filter(col("o_totalprice") > 50000.0 &&
+      col("prev_price") < 90000.0)
+    val semantics = mixed.collect()
+    val reference = joined.collect().filter(r =>
+      r.getDouble(2) > 50000.0 && !r.isNullAt(3) && r.getDouble(3) < 90000.0)
+    assert(semantics.length === reference.length)
+  }
+
   test("empty right side yields all-null payloads") {
     val got = Asof.join(trades, quotes.filter(lit(false)),
         Seq("t_sym"), Seq("q_sym"), "t_ts", "q_ts", Seq("q_px"))

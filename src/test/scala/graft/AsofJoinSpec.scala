@@ -137,6 +137,23 @@ class AsofJoinSpec extends SparkSpec {
     assert(semantics.length === reference.length)
   }
 
+  test("chained as-of joins on the same key reuse the left partitioning") {
+    // outputPartitioning = left.outputPartitioning, so a second as-of
+    // keyed the same way must NOT re-exchange the already-clustered
+    // left stream: 3 exchanges total (left once, each right once)
+    val left = spark.range(1000).select(($"id" % 7).as("k"), $"id".as("lt"))
+    val r1 = spark.range(300).select(($"id" % 7).as("rk"),
+      ($"id" * 3 % 997).as("rt"), $"id".as("p1"))
+    val r2 = spark.range(300).select(($"id" % 7).as("rk2"),
+      ($"id" * 5 % 991).as("rt2"), $"id".as("p2"))
+    val once = Asof.join(left, r1, Seq("k"), Seq("rk"), "lt", "rt", Seq("p1"))
+    val twice = Asof.join(once, r2, Seq("k"), Seq("rk2"), "lt", "rt2", Seq("p2"))
+    val plan = twice.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 3, s"expected 3 exchanges, got $exchanges:\n$plan")
+    assert(twice.count() === 1000L)
+  }
+
   test("empty right side yields all-null payloads") {
     val got = Asof.join(trades, quotes.filter(lit(false)),
         Seq("t_sym"), Seq("q_sym"), "t_ts", "q_ts", Seq("q_px"))

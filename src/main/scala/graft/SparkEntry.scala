@@ -3147,6 +3147,25 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Dataset-card dedup accounting: per-source exact-duplicate rate in
+    * ppm — the number every corpus datasheet reports next to the
+    * source mix. One digest aggregation (the shuffle carries 16-byte
+    * md5 digests, never text), then counts per source; a corpus-wide
+    * total rides along via unionAll. */
+  private def qDedupRate(s: SparkSession, dir: String): DataFrame = {
+    val digests = t(s, dir, "documents")
+      .select(col("source"), md5(col("text").cast("binary")).as("d"))
+    def rate(df: DataFrame, label: org.apache.spark.sql.Column): DataFrame =
+      df.groupBy(label.as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("d")).as("n_unique"))
+        .withColumn("dup_ppm",
+          expr("(n_docs - n_unique) * 1000000 div n_docs"))
+    rate(digests, col("source"))
+      .unionAll(rate(digests, lit("__all__")))
+      .orderBy(col("source"))
+  }
+
   /** MERGE INTO (upsert-apply) semantics — the CDC APPLY step that
     * completes the family (q_snapshot_diff computes a delta, q_ivm
     * maintains an aggregate; this applies a delta to the base table):
@@ -3820,6 +3839,7 @@ object SparkEntry {
     "q_chi_square" -> (qChiSquare _),
     "q_twap" -> (qTwap _),
     "q_data_skew" -> (qDataSkew _),
+    "q_dedup_rate" -> (qDedupRate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6212,5 +6232,19 @@ object SparkEntry {
          |${edge("orders.o_custkey", "orders", "o_custkey")}
          |) u ORDER BY join_key""".stripMargin
     },
+
+    "q_dedup_rate" ->
+      """WITH d AS (SELECT source, md5(text) AS d FROM documents),
+        |per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT d) AS BIGINT) AS n_unique
+        |  FROM d GROUP BY source
+        |  UNION ALL
+        |  SELECT '__all__', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT d) AS BIGINT)
+        |  FROM d)
+        |SELECT source, n_docs, n_unique,
+        |  CAST((n_docs - n_unique) * 1000000 // n_docs AS BIGINT) AS dup_ppm
+        |FROM per ORDER BY source""".stripMargin,
   )
 }

@@ -102,6 +102,27 @@ class KmvSpec extends SparkSpec {
     assert(est === 20.0 / 30.0)
   }
 
+  test("property: sketch = k smallest distinct, any order / any split point") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      xs <- Gen.listOf(Gen.chooseNum(0L, 1L << 50))
+      cut <- Gen.chooseNum(0, 1000)
+    } yield (xs, cut)
+    val prop = Prop.forAll(gen) { case (xs, cutRaw) =>
+      val agg = new Kmv.KmvAggregator
+      val expected = xs.distinct.sorted.take(Kmv.K)
+      val folded = xs.foldLeft(agg.zero)(agg.reduce)
+      val cut = if (xs.isEmpty) 0 else cutRaw % (xs.length + 1)
+      val (a, b) = xs.splitAt(cut)
+      val merged = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      folded.toSeq == expected && merged.toSeq == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("disjoint sets estimate zero jaccard") {
     val a = spark.range(0, 2000).select(hashCol().as("h"))
       .agg(Kmv.kmv_sketch(col("h")).as("sk")).select(col("sk").as("a"))

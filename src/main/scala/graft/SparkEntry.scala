@@ -51,6 +51,19 @@ object SparkEntry {
     events(s, dir).createOrReplaceTempView("events")
   }
 
+  /** Engine-portable 60-bit hash (the md5 convention every sketch and
+    * sampling query shares — replayable as
+    * `CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15) AS BIGINT)`
+    * in the DuckDB oracle). */
+  private def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Timestamp/date column -> integer epoch days (the oracle writes
+    * `CAST(CAST(x AS DATE) - DATE '1970-01-01' AS BIGINT)`). */
+  private def epochDay(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    datediff(c, lit("1970-01-01").cast("date")).cast("long")
+
   /** The reference's order stream, mapped onto the `orders` table
     * (FIXTURES.md §4): orderId <- o_orderkey, product <- o_orderpriority,
     * price <- o_totalprice mod 1500 — reproducing the producer's
@@ -344,8 +357,7 @@ object SparkEntry {
   private def qAsofNative(s: SparkSession, dir: String): DataFrame = {
     val slot = 1099511627776L // 2^40
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
-      datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
-        .cast("long").as("day"))
+      epochDay(col("o_orderdate")).as("day"))
     val left = o.withColumn("tkey", col("day") * slot + col("o_orderkey"))
     val right = o.select(col("o_custkey").as("r_cust"),
       (col("day") * slot + col("o_orderkey")).as("r_tkey"),
@@ -960,8 +972,7 @@ object SparkEntry {
         .select(col("n_nationkey"), col("n_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("n_nationkey"), col("n_regionkey"), col("l_partkey"),
-        conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+        h60(col("l_partkey")).as("h"))
       // the sketch and exact aggregations group by different keys —
       // materialize the joined+hashed scan once (q_kmv_jaccard pattern)
       .localCheckpoint(eager = false)
@@ -999,9 +1010,7 @@ object SparkEntry {
           .select(col("r_regionkey"), col("r_name"))),
         col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name").isin("ASIA", "EUROPE"))
-      .select(col("r_name"), col("l_partkey"),
-        conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+      .select(col("r_name"), col("l_partkey"), h60(col("l_partkey")).as("h"))
       // the sketch and exact aggregations group by different keys —
       // materialize the 4-way join once (same pattern as q_hll_intersect)
       .localCheckpoint(eager = false)
@@ -3310,9 +3319,7 @@ object SparkEntry {
       .join(broadcast(t(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
-      .select(col("n_name"),
-        datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))
-          .cast("long").as("day"),
+      .select(col("n_name"), epochDay(col("l_shipdate")).as("day"),
         Analytics.cents(col("l_extendedprice")).as("c"))
       .groupBy(col("n_name"), col("day"))
       // whole dollars (integer div): the squared-sum stays exact in int64
@@ -3342,8 +3349,7 @@ object SparkEntry {
   private def qLocf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = t(s, dir, "orders")
-      .select(datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
-        .cast("long").as("day"),
+      .select(epochDay(col("o_orderdate")).as("day"),
         Analytics.cents(col("o_totalprice")).as("c"))
       .groupBy(col("day")).agg(sum(col("c")).as("v"))
     val known = daily.filter(col("day") % 5 === 0)
@@ -3370,33 +3376,51 @@ object SparkEntry {
     * part key shifted out of range) proves the audit actually detects
     * violations rather than vacuously passing. */
   private def qFkOrphans(s: SparkSession, dir: String): DataFrame = {
+    // dimension-sized parents broadcast, so the probe never leaves the
+    // child scan; the fact-sized parent (orders) shuffle-joins inside
+    // the one-pass lineitem audit below
     def audit(edge: String, child: DataFrame, key: String,
-              parent: DataFrame, pkey: String,
-              smallParent: Boolean = true): DataFrame = {
-      val pk0 = parent.select(col(pkey).cast("long").as("__pk")).distinct()
-      // dimension-sized parents broadcast (probe never leaves the
-      // scan); fact-sized parents (orders at 100 TB) must shuffle-join
-      val pk = if (smallParent) broadcast(pk0) else pk0
+              parent: DataFrame, pkey: String): DataFrame = {
+      val pk = broadcast(parent.select(col(pkey).cast("long").as("__pk")).distinct())
       child.select(col(key).cast("long").as("__fk"))
         .join(pk, col("__fk") === col("__pk"), "left")
         .agg(count(lit(1)).as("child_rows"),
           sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("orphans"))
         .select(lit(edge).as("fk_edge"), col("child_rows"), col("orphans"))
     }
-    val li = t(s, dir, "lineitem")
-    val corrupted = li.select(
-      when(col("l_orderkey") % 1000 === 0, col("l_partkey") + 1000000000L)
-        .otherwise(col("l_partkey")).as("l_partkey"))
+    // all four fact-table edges probe in ONE lineitem pass (a per-edge
+    // scan would read the 100 TB table four times): three broadcast
+    // probes + the one shuffle probe (orders), counted in one agg and
+    // unpivoted to edge rows
+    val pPk = broadcast(t(s, dir, "part")
+      .select(col("p_partkey").as("p_pk")).distinct())
+    val liEdges = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .withColumn("l_partkey_bad",
+        when(col("l_orderkey") % 1000 === 0, col("l_partkey") + 1000000000L)
+          .otherwise(col("l_partkey")))
+      .join(pPk, col("l_partkey") === col("p_pk"), "left")
+      .join(pPk.select(col("p_pk").as("pb_pk")),
+        col("l_partkey_bad") === col("pb_pk"), "left")
+      .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey").as("s_pk")).distinct()),
+        col("l_suppkey") === col("s_pk"), "left")
+      .join(t(s, dir, "orders").select(col("o_orderkey").as("o_pk")).distinct(),
+        col("l_orderkey") === col("o_pk"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_pk").isNull, 1L).otherwise(0L)).as("orph_o"),
+        sum(when(col("p_pk").isNull, 1L).otherwise(0L)).as("orph_p"),
+        sum(when(col("s_pk").isNull, 1L).otherwise(0L)).as("orph_s"),
+        sum(when(col("pb_pk").isNull, 1L).otherwise(0L)).as("orph_pb"))
+      .selectExpr("""stack(4,
+        'lineitem->orders', n, orph_o,
+        'lineitem->part', n, orph_p,
+        'lineitem->supplier', n, orph_s,
+        'lineitem_corrupted->part', n, orph_pb)
+        AS (fk_edge, child_rows, orphans)""")
     audit("customer->nation", t(s, dir, "customer"), "c_nationkey",
         t(s, dir, "nation"), "n_nationkey")
-      .unionAll(audit("lineitem->orders", li, "l_orderkey",
-        t(s, dir, "orders"), "o_orderkey", smallParent = false))
-      .unionAll(audit("lineitem->part", li, "l_partkey",
-        t(s, dir, "part"), "p_partkey"))
-      .unionAll(audit("lineitem->supplier", li, "l_suppkey",
-        t(s, dir, "supplier"), "s_suppkey"))
-      .unionAll(audit("lineitem_corrupted->part", corrupted, "l_partkey",
-        t(s, dir, "part"), "p_partkey"))
+      .unionAll(liEdges)
       .unionAll(audit("nation->region", t(s, dir, "nation"), "n_regionkey",
         t(s, dir, "region"), "r_regionkey"))
       .unionAll(audit("orders->customer", t(s, dir, "orders"), "o_custkey",
@@ -3421,11 +3445,8 @@ object SparkEntry {
     import graft.functions.Hll
     import org.apache.spark.sql.expressions.Window
     val o = t(s, dir, "orders").select(
-      datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
-        .cast("long").as("day"),
-      col("o_custkey"),
-      conv(substring(md5(col("o_custkey").cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long").as("h"))
+      epochDay(col("o_orderdate")).as("day"), col("o_custkey"),
+      h60(col("o_custkey")).as("h"))
       .localCheckpoint(eager = false)
     val daily = o.groupBy(col("day")).agg(Hll.hll_registers(col("h")).as("regs"))
     val cells = daily.select(col("day"),

@@ -13,9 +13,8 @@ class KmvSpec extends SparkSpec {
   private def hashCol(c: String = "id") = conv(substring(
     md5(col(c).cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
 
-  private def sketchOf(n: Long, mod: Int = 1, rem: Int = 0): Seq[Long] =
-    spark.range(n).filter(col("id") % mod === rem)
-      .select(hashCol().as("h"))
+  private def sketchOf(n: Long): Seq[Long] =
+    spark.range(n).select(hashCol().as("h"))
       .agg(Kmv.kmv_sketch(col("h"))).head().getSeq[Long](0)
 
   test("sketch is exactly the k smallest distinct hashes, sorted") {

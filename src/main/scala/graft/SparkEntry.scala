@@ -3470,6 +3470,65 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** EXACT weighted median — order statistics where each value counts
+    * with a weight (here: per-nation median part price weighted by
+    * quantity sold; the "half the volume sold below this price"
+    * number). Shape discipline: weights first collapse onto the
+    * (nation, price) VALUE DOMAIN, the cumulative-weight window runs
+    * over that bounded domain (distinct prices, not line items), and
+    * the median is the first value whose running weight reaches half
+    * the total — integer cross-multiply `2·cum >= total`, no doubles
+    * anywhere. */
+  private def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nk"),
+        Analytics.cents(col("l_extendedprice")).as("p"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy(col("nk"), col("p")).agg(sum(col("w")).as("w"))
+    val cum = wp.withColumn("cw", sum(col("w")).over(
+        Window.partitionBy(col("nk")).orderBy(col("p"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("nk"))))
+    cum.filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("nk"))
+      .agg(min(col("p")).as("median_c"), max(col("tw")).as("total_weight"))
+      .select(col("nk").cast("long").as("nationkey"),
+        (col("median_c") / 100.0).as("weighted_median_price"),
+        col("total_weight"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Benford first-digit audit — the classic fabricated-numbers screen
+    * run on monetary columns: observed first-digit shares of
+    * o_totalprice vs Benford's log10(1+1/d) expectation. Expectations
+    * are integer ppm LITERALS (log10 evaluated at authoring time), so
+    * no transcendental function output ever crosses the engine
+    * boundary; shares and deltas are exact integer arithmetic. */
+  private def qBenford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val exp = benford.zipWithIndex
+      .map { case (ppm, i) => (i + 1L, ppm) }
+      .toDF("digit", "benford_ppm")
+    val digits = t(s, dir, "orders")
+      .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("n * 1000000 div total"))
+      .join(broadcast(exp), Seq("digit"))
+      .withColumn("delta_ppm", col("share_ppm") - col("benford_ppm"))
+      .select(col("digit"), col("n"), col("share_ppm"),
+        col("benford_ppm"), col("delta_ppm"))
+      .orderBy(col("digit"))
+  }
+
   /** Mann-Kendall trend test over the monthly revenue series — the
     * nonparametric "is this metric actually trending" statistic:
     * S = Σ_{i<j} sign(v_j − v_i) over all month pairs, with Kendall's
@@ -3861,6 +3920,8 @@ object SparkEntry {
     "q_twap" -> (qTwap _),
     "q_data_skew" -> (qDataSkew _),
     "q_dedup_rate" -> (qDedupRate _),
+    "q_weighted_median" -> (qWeightedMedian _),
+    "q_benford" -> (qBenford _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6267,5 +6328,43 @@ object SparkEntry {
         |SELECT source, n_docs, n_unique,
         |  CAST((n_docs - n_unique) * 1000000 // n_docs AS BIGINT) AS dup_ppm
         |FROM per ORDER BY source""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH wp AS (
+        |  SELECT s_nationkey AS nk,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT nk, p, w,
+        |    sum(w) OVER (PARTITION BY nk ORDER BY p
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cw,
+        |    sum(w) OVER (PARTITION BY nk) AS tw
+        |  FROM wp)
+        |SELECT CAST(nk AS BIGINT) AS nationkey,
+        |  CAST(min(p) AS BIGINT) / CAST(100.0 AS DOUBLE)
+        |    AS weighted_median_price,
+        |  CAST(max(tw) AS BIGINT) AS total_weight
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY nk ORDER BY nationkey""".stripMargin,
+
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |        (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |        (9, 45757)) v(digit, benford_ppm))
+        |SELECT c.digit, n,
+        |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST(benford_ppm AS BIGINT) AS benford_ppm,
+        |  CAST(n * 1000000 // total - benford_ppm AS BIGINT) AS delta_ppm
+        |FROM c JOIN e ON c.digit = e.digit CROSS JOIN t
+        |ORDER BY c.digit""".stripMargin,
   )
 }

@@ -1179,6 +1179,46 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** ANN index-quality evaluation: recall@10 of the IVF index against
+    * the exact brute-force ground truth, per query — the metric an ANN
+    * deployment gates on before trading exactness for probe speed.
+    * Both rankings run through the SAME bounded per-partition heap
+    * (no per-query window); the IVF assignment is computed once and
+    * reused for the query buckets and the corpus buckets; recall is an
+    * exact integer ppm. */
+  private def qRecallAtK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents, "cid", "cv")
+      .localCheckpoint(eager = false)
+    val queries = emb.filter(col("vec_id").isin(0, 7, 42, 99, 123))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(assign.select(col("vec_id").as("qid"), col("cid").as("qcid")), "qid")
+    def top10(scored: DataFrame): DataFrame = {
+      val keyed = scored.select(col("qid"), col("vec_id"),
+        lpad(greatest(lit(0L),
+            floor((lit(1.0) - col("cosine")) * 1e9 + 0.5).cast("long")).cast("string"),
+          12, "0").as("distkey"))
+      graft.ops.Sampling.stratifiedTopN(s, keyed, "qid", "distkey", "vec_id", n = 10)
+        .select(col("qid").cast("long").as("qid"), col("vec_id"))
+    }
+    val truth = top10(emb
+      .crossJoin(broadcast(queries.select(col("qid"), col("qv"))))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosineFp(col("embedding"), col("qv")).as("cosine")))
+    val retrieved = top10(emb.join(assign, "vec_id")
+      .join(broadcast(queries), col("cid") === col("qcid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosineFp(col("embedding"), col("qv")).as("cosine")))
+    truth.join(retrieved.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
+      .withColumn("recall_ppm", expr("n_matched * 1000000 div n_truth"))
+      .orderBy(col("qid"))
+  }
+
   /** Int8 embedding quantization audit: per-vector scale, the full
     * code vector (rendered as CSV for engine-portable comparison), and
     * the exact fixed-point reconstruction error. */
@@ -3922,6 +3962,7 @@ object SparkEntry {
     "q_dedup_rate" -> (qDedupRate _),
     "q_weighted_median" -> (qWeightedMedian _),
     "q_benford" -> (qBenford _),
+    "q_recall_at_k" -> (qRecallAtK _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6366,5 +6407,61 @@ object SparkEntry {
         |  CAST(n * 1000000 // total - benford_ppm AS BIGINT) AS delta_ppm
         |FROM c JOIN e ON c.digit = e.digit CROSS JOIN t
         |ORDER BY c.digit""".stripMargin,
+
+    // the oracle replays BOTH rankings (exact + bucketed) with the same
+    // fixed-point distance key and tie order, then scores the overlap
+    "q_recall_at_k" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |adots AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${duckDot("e.embedding", "c.cv")} AS d
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |    FROM adots) x WHERE rn = 1),
+         |q AS (
+         |  SELECT e.vec_id AS qid, e.embedding AS qv, a.cid AS qcid
+         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+         |  WHERE e.vec_id IN (0, 7, 42, 99, 123)),
+         |td AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ${duckCos(duckDot("e.embedding", "q.qv"),
+                         duckDot("e.embedding", "e.embedding"),
+                         duckDot("q.qv", "q.qv"))} AS cosine
+         |  FROM embeddings e CROSS JOIN q),
+         |truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY greatest(CAST(0 AS BIGINT),
+         |          CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT)),
+         |          vec_id) AS rn
+         |    FROM td) x WHERE rn <= 10),
+         |rd AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ${duckCos(duckDot("e.embedding", "q.qv"),
+                         duckDot("e.embedding", "e.embedding"),
+                         duckDot("q.qv", "q.qv"))} AS cosine
+         |  FROM embeddings e
+         |  JOIN assign a ON e.vec_id = a.vec_id
+         |  JOIN q ON a.cid = q.qcid),
+         |ret AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY greatest(CAST(0 AS BIGINT),
+         |          CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT)),
+         |          vec_id) AS rn
+         |    FROM rd) x WHERE rn <= 10)
+         |SELECT t.qid, CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_matched,
+         |  CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT) AS recall_ppm
+         |FROM truth t LEFT JOIN ret r ON t.qid = r.qid AND t.vec_id = r.vec_id
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
   )
 }

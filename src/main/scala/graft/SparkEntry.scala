@@ -3724,6 +3724,115 @@ object SparkEntry {
       .orderBy(col("prev"), col("next"))
   }
 
+  /** Exact OLS regression per nation: slope / intercept / r² of line
+    * revenue (whole dollars) against quantity, from five exact integer
+    * sums — ONE shuffle on the group key with map-side partial
+    * aggregation, dimension lookup broadcast. The closed-form
+    * combination is a fixed tree of deterministic double ops applied to
+    * the exact sums (same discipline as q_stats_moments, which stops at
+    * corr), so results are bit-identical across engines — unlike the
+    * built-in regr_slope/regr_intercept/regr_r2, whose double
+    * accumulation order is partition-dependent. */
+  private def qRegression(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice")).cast("long").as("y"))
+    val dim = broadcast(
+      t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+    li.join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(Seq(col("n_name"), col("n")) ++ {
+        val nd = col("n").cast("double")
+        val (sx, sy, sxx, syy, sxy) = (col("sx").cast("double"),
+          col("sy").cast("double"), col("sxx").cast("double"),
+          col("syy").cast("double"), col("sxy").cast("double"))
+        val cov = nd * sxy - sx * sy
+        val vx = nd * sxx - sx * sx
+        val vy = nd * syy - sy * sy
+        Seq((cov / vx).as("slope"),
+          ((sy - (cov / vx) * sx) / nd).as("intercept"),
+          (cov * cov / (vx * vy)).as("r2"))
+      }: _*)
+      .orderBy(col("n_name"))
+  }
+
+  /** A-priori frequent-itemset mining (pairs) + association rules over
+    * order baskets (items = part brands). The candidate space is pruned
+    * to frequent items FIRST — the a-priori monotonicity bound: no pair
+    * can be frequent unless both members are — so the per-basket
+    * self-join scales with Σ frequent-basket-size², never |items|²; the
+    * item-support table is tiny and rides along broadcast. Support,
+    * confidence (both directions), and lift are exact integer ppm. */
+  private def qItemsets(s: SparkSession, dir: String): DataFrame = {
+    val baskets = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      .distinct()
+    val tot = baskets.agg(countDistinct(col("basket")).as("n_baskets"))
+    val freq = baskets.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+      .crossJoin(broadcast(tot))
+      .filter(col("supp") * 20 >= col("n_baskets"))   // item minsup 5%
+      .select(col("item"), col("supp"))
+    val fb = baskets.join(broadcast(freq.select(col("item"))), "item")
+    fb.select(col("basket"), col("item").as("i1"))
+      .join(fb.select(col("basket"), col("item").as("i2")), Seq("basket"))
+      .filter(col("i1") < col("i2"))
+      .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("supp"))
+      .crossJoin(broadcast(tot))
+      .filter(col("supp") * 100 >= col("n_baskets"))  // pair minsup 1%
+      .join(broadcast(freq.select(col("item").as("i1"), col("supp").as("s1"))), "i1")
+      .join(broadcast(freq.select(col("item").as("i2"), col("supp").as("s2"))), "i2")
+      .select(col("i1"), col("i2"), col("supp"), col("s1"), col("s2"),
+        expr("supp * 1000000 div s1").as("conf12_ppm"),
+        expr("supp * 1000000 div s2").as("conf21_ppm"),
+        expr("supp * n_baskets * 1000000 div (s1 * s2)").as("lift_ppm"))
+      .orderBy(col("i1"), col("i2"))
+  }
+
+  /** Integer-exact exponential decay (EMA) of daily revenue: weight
+    * 2^-age per day of age over a 20-day horizon. The textbook EMA
+    * recurrence is inherently serial; the bounded-horizon form is
+    * associative and distributes as a cover-day explode — each day
+    * contributes to exactly 20 target days with a left-shift weight, so
+    * the whole series needs ONE shuffle on the day key and no
+    * sequential scan (the same calendar-bounded-explode idiom as
+    * q_rolling_distinct). The final scaled-sum / 2^19 division only
+    * moves the double's exponent, so results are bit-identical. */
+  private def qEma(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(epochDay(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+    daily
+      .withColumn("k", explode(sequence(lit(0), lit(19))))
+      .select((col("day") + col("k")).as("t"),
+        expr("shiftleft(cents, 19 - k)").as("c"))
+      .groupBy(col("t")).agg(sum(col("c")).as("scaled"))
+      .join(daily.select(col("day")), col("t") === col("day"))
+      .select(col("day"), (col("scaled") / lit(524288.0)).as("ema"))
+      .orderBy(col("day"))
+  }
+
+  /** First BPE merge-table round over the document corpus: word
+    * frequencies (the one corpus-wide scan+shuffle tokenizer training
+    * ever pays), then adjacent character-pair counts weighted by word
+    * frequency — the argmax of this table is the first merge of a BPE
+    * tokenizer (Sennrich et al., ACL 2016). The full iterative trainer
+    * (TextOps.bpeTrain) replays this per round over the collapsed
+    * vocabulary only; this query pins round 1 against the oracle. */
+  private def qBpePairs(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextOps.bpePairCounts(
+      graft.llm.TextOps.wordFreq(t(s, dir, "documents"), "text")
+        .select(expr("filter(split(w, ''), c -> c != '')").as("syms"), col("freq")))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(30)
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -3963,6 +4072,10 @@ object SparkEntry {
     "q_weighted_median" -> (qWeightedMedian _),
     "q_benford" -> (qBenford _),
     "q_recall_at_k" -> (qRecallAtK _),
+    "q_regression" -> (qRegression _),
+    "q_itemsets" -> (qItemsets _),
+    "q_ema" -> (qEma _),
+    "q_bpe_pairs" -> (qBpePairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6463,5 +6576,83 @@ object SparkEntry {
          |    * 1000000 // count(*) AS BIGINT) AS recall_ppm
          |FROM truth t LEFT JOIN ret r ON t.qid = r.qid AND t.vec_id = r.vec_id
          |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
+
+    "q_regression" ->
+      """WITH li AS (
+        |  SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM li
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, n,
+        |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS slope,
+        |  ((CAST(sy AS DOUBLE)
+        |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS intercept,
+        |  (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |   / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS r2
+        |FROM g ORDER BY n_name""".stripMargin,
+
+    "q_itemsets" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM baskets),
+        |freq AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS supp
+        |  FROM baskets GROUP BY item
+        |  HAVING count(*) * 20 >= (SELECT n_baskets FROM tot)),
+        |fb AS (SELECT b.basket, b.item FROM baskets b JOIN freq f ON b.item = f.item),
+        |pairs AS (
+        |  SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS supp
+        |  FROM fb a JOIN fb b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2
+        |  HAVING count(*) * 100 >= (SELECT n_baskets FROM tot))
+        |SELECT i1, i2, p.supp, f1.supp AS s1, f2.supp AS s2,
+        |  p.supp * 1000000 // f1.supp AS conf12_ppm,
+        |  p.supp * 1000000 // f2.supp AS conf21_ppm,
+        |  p.supp * (SELECT n_baskets FROM tot) * 1000000 // (f1.supp * f2.supp) AS lift_ppm
+        |FROM pairs p
+        |JOIN freq f1 ON p.i1 = f1.item
+        |JOIN freq f2 ON p.i2 = f2.item
+        |ORDER BY i1, i2""".stripMargin,
+
+    "q_ema" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |contrib AS (
+        |  SELECT day + k AS t, cents << (19 - k) AS c
+        |  FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS k) ks),
+        |e AS (SELECT t, CAST(sum(c) AS BIGINT) AS scaled FROM contrib GROUP BY t)
+        |SELECT d.day, e.scaled / 524288.0 AS ema
+        |FROM e JOIN (SELECT day FROM daily) d ON e.t = d.day
+        |ORDER BY d.day""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) > 0 GROUP BY w),
+        |p AS (
+        |  SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+        |         substr(w, CAST(i AS INTEGER) + 1, 1) AS b, freq
+        |  FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+        |        FROM words WHERE length(w) >= 2) x)
+        |SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
+        |FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT 30""".stripMargin,
   )
 }

@@ -111,4 +111,78 @@ object TextOps {
       .withColumn("scrubbed",
         regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
           UrlPattern, "<URL>"))
+
+  /** Word-frequency table for BPE training: the corpus collapses to
+    * (distinct word, count) FIRST — the classic tokenizer-training
+    * reduction. All later merge rounds run over the vocabulary (≈10⁵–10⁶
+    * rows regardless of corpus size), so a 100 TB corpus pays exactly one
+    * full scan + one shuffle on the word key, ever. */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Adjacent-symbol pair counts over a (syms: array<string>, freq)
+    * vocabulary — the argmax of this table is the next BPE merge. Pure
+    * zip_with/explode over the tiny vocab; no corpus access. */
+  def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(zip_with(
+        expr("slice(syms, 1, size(syms) - 1)"),
+        expr("slice(syms, 2, size(syms) - 1)"),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("n"))
+
+  /** Replaces every left-to-right occurrence of the adjacent pair (a,b)
+    * with the merged symbol inside a symbol array — one linear fold per
+    * word, expressed as a higher-order aggregate so it stays inside the
+    * row (no explode, no shuffle). */
+  def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Byte-pair-encoding vocabulary training (Sennrich et al., ACL 2016):
+    * repeatedly merge the most frequent adjacent symbol pair. Each round
+    * is one aggregation over the word-frequency vocabulary plus one
+    * narrow rewrite of the words that actually contain the winning pair;
+    * only the single winning pair (3 values) ever reaches the driver.
+    * Ties break lexicographically so training is deterministic. The
+    * vocabulary is localCheckpoint'd every few rounds to keep the plan
+    * linear in rounds, not quadratic. Returns (left, right, count) in
+    * merge order. */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): Seq[(String, String, Long)] = {
+    var vocab = wordFreq(df, textCol)
+      .select(expr("filter(split(w, ''), c -> c != '')").as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var round = 0
+    while (round < nMerges) {
+      val top = bpePairCounts(vocab)
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) { round = nMerges }
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((a, b, n))
+        // rewrite only words containing the pair; the rest pass through
+        val pairs = zip_with(
+          expr("slice(syms, 1, size(syms) - 1)"),
+          expr("slice(syms, 2, size(syms) - 1)"),
+          (x, y) => struct(x.as("x"), y.as("y")))
+        val hasPair = exists(pairs,
+          p => p.getField("x") === lit(a) && p.getField("y") === lit(b))
+        vocab = vocab
+          .withColumn("syms",
+            when(hasPair, mergePair(col("syms"), a, b)).otherwise(col("syms")))
+        round += 1
+        if (round % 4 == 0) vocab = vocab.localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
 }

@@ -64,4 +64,50 @@ class AnalyticsSpec extends SparkSpec {
       .orderBy($"g").collect()
     assert(salted === plain)
   }
+
+  test("q_regression r2 stays in [0,1] and groups are non-empty") {
+    val rows = SparkEntry.queries("q_regression")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val r2 = r.getDouble(4)
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("itemset rules satisfy support/confidence consistency") {
+    val rows = SparkEntry.queries("q_itemsets")(spark, "/root/testdata/sf0.001")
+      .collect()
+    rows.foreach { r =>
+      val (supp, s1, s2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (c12, c21) = (r.getLong(5), r.getLong(6))
+      assert(supp <= s1 && supp <= s2, "pair support exceeds item support")
+      assert(c12 == supp * 1000000 / s1 && c21 == supp * 1000000 / s2)
+      assert(c12 <= 1000000 && c21 <= 1000000)
+    }
+  }
+
+  test("EMA equals the serial recurrence on a dense planted series") {
+    // days 0..30, cents = day+1; serial half-life recurrence truncated
+    // to the 20-day horizon must match the cover-day-explode form
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ema").toString
+    val days = (0 to 30).map(d => (d.toLong, (d + 1) * 100L))
+    days.toDF("day", "cents")
+      .select(expr("CAST(timestamp_millis(day * 86400000) AS TIMESTAMP)").as("o_orderdate"),
+        ($"cents" / 100.0).as("o_totalprice"),
+        monotonically_increasing_id().as("o_orderkey"),
+        lit(1L).as("o_custkey"), lit("O").as("o_orderstatus"),
+        lit("x").as("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q_ema")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val cents = days.toMap
+    for (t <- 0L to 30L) {
+      val expect = (math.max(0L, t - 19) to t)
+        .map(d => cents(d).toDouble * math.pow(0.5, (t - d).toDouble)).sum
+      assert(math.abs(got(t) - expect) < 1e-6, s"day $t: ${got(t)} vs $expect")
+    }
+  }
 }

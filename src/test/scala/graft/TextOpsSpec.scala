@@ -74,4 +74,42 @@ class TextOpsSpec extends SparkSpec {
     // is in the benchmark
     assert(got(3L) === ((3L, 1L, 1.0 / 3.0)))
   }
+
+  test("mergePair folds left-to-right without overlap (aaa + (a,a) -> [aa, a])") {
+    val df = Seq(
+      (Seq("a", "a", "a"), "aaa"),
+      (Seq("a", "b", "a", "b"), "abab"),
+      (Seq("x", "y"), "xy")
+    ).toDF("syms", "tag")
+    val got = df.select($"tag", TextOps.mergePair($"syms", "a", "a").as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("aaa") === Seq("aa", "a"))
+    assert(got("abab") === Seq("a", "b", "a", "b"))
+    assert(got("xy") === Seq("x", "y"))
+    val ab = df.select($"tag", TextOps.mergePair($"syms", "a", "b").as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(ab("abab") === Seq("ab", "ab"))
+  }
+
+  test("bpeTrain learns the dominant pair first and merge counts decrease") {
+    // corpus engineered so "lo" is the clear first merge: "low" x6,
+    // "lower" x2, "lowest" x3 share l-o; then "ow" merges as (lo, w)
+    val corpus = Seq(
+      (1L, ("low " * 6).trim),
+      (2L, ("lower " * 2).trim),
+      (3L, ("lowest " * 3).trim)
+    ).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(corpus, "text", nMerges = 3)
+    assert(merges.length === 3)
+    assert(merges.head._1 === "l" && merges.head._2 === "o" && merges.head._3 === 11L)
+    assert(merges(1) === (("lo", "w", 11L)))
+    // counts never increase across rounds (pair merging can only shrink)
+    assert(merges.map(_._3) === merges.map(_._3).sorted.reverse)
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    val tiny = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(tiny, "text", nMerges = 5)
+    assert(merges.isEmpty) // all words are single characters
+  }
 }

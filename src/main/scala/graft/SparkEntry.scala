@@ -3833,6 +3833,45 @@ object SparkEntry {
       .orderBy(col("n").desc, col("a"), col("b"))
       .limit(30)
 
+  /** Distributed Lloyd's k-means over the embedding corpus (k=8, one
+    * update round from the deterministic lowest-id seed), then the
+    * final assignment summarized per cluster with the learned first
+    * coordinate as a model checksum. The corpus never shuffles — the
+    * k × dim model moves by broadcast, assignment argmax is a
+    * map-side-combining aggregate, and the update reduces (cid, dim)
+    * partial sums (Clustering.lloyd). Oracle = the same round unrolled
+    * in SQL over the same fixed-point arithmetic. */
+  private def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = graft.llm.Clustering.lloyd(emb, "vec_id", "embedding", k = 8, rounds = 1)
+    graft.llm.Clustering.assign(emb, "vec_id", "embedding", cents)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_vec"))
+      .join(broadcast(cents.select(col("cid"), element_at(col("cf"), 1).as("c0_fp"))), "cid")
+      .orderBy(col("cid"))
+  }
+
+  /** Product-quantization ADC search: 64-dim vectors compress to 8
+    * per-subspace codes against a deterministic sub-centroid codebook
+    * (the 16 lowest-id vectors' slices); the query scores candidates
+    * through the broadcast lookup table WITHOUT touching the original
+    * vectors — the memory-bound path of IVF-PQ ANN at billion-vector
+    * scale (q_ivf_search supplies the bucketing half). Top-10 by exact
+    * integer ADC score. */
+  private def qPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.subVectors(emb.filter(col("vec_id") < 16), "embedding", 8, 8)
+      .select(col("s"), col("vec_id").as("cid"), col("sub").as("csub"))
+    val codes = Similarity.pqAssign(emb, "vec_id", "embedding", cents, 8, 8)
+    val lut = Similarity.subVectors(emb.filter(col("vec_id") === 0), "embedding", 8, 8)
+      .select(col("s"), col("sub").as("qsub"))
+      .join(cents, "s")
+      .select(col("s"), col("cid"), Similarity.dotFp(col("qsub"), col("csub")).as("d"))
+    Similarity.pqAdcScores(codes, "vec_id", lut)
+      .orderBy(col("adc_fp").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -4076,6 +4115,8 @@ object SparkEntry {
     "q_itemsets" -> (qItemsets _),
     "q_ema" -> (qEma _),
     "q_bpe_pairs" -> (qBpePairs _),
+    "q_kmeans" -> (qKmeans _),
+    "q_pq_adc" -> (qPqAdc _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6654,5 +6695,77 @@ object SparkEntry {
         |        FROM words WHERE length(w) >= 2) x)
         |SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
         |FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT 30""".stripMargin,
+
+    "q_kmeans" ->
+      s"""WITH c0 AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS cid,
+         |    list_transform(embedding, v ->
+         |      CAST(floor(CAST(v AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)) AS cf
+         |  FROM embeddings WHERE vec_id < 8),
+         |d1 AS (
+         |  SELECT e.vec_id, c.cid,
+         |    list_sum(list_transform(generate_series(1, 64), i ->
+         |      CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cf[i] AS DOUBLE) + 0.5) AS BIGINT))) AS d
+         |  FROM embeddings e CROSS JOIN c0 c),
+         |a1 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |    FROM d1) x WHERE rn = 1),
+         |s1 AS (
+         |  SELECT a.cid, i,
+         |    CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM embeddings e
+         |  JOIN a1 a ON e.vec_id = a.vec_id
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+         |  GROUP BY a.cid, i),
+         |c1 AS (
+         |  SELECT cid,
+         |    list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY i) AS cf
+         |  FROM s1 GROUP BY cid),
+         |d2 AS (
+         |  SELECT e.vec_id, c.cid,
+         |    list_sum(list_transform(generate_series(1, 64), i ->
+         |      CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cf[i] AS DOUBLE) + 0.5) AS BIGINT))) AS d
+         |  FROM embeddings e CROSS JOIN c1 c),
+         |a2 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |    FROM d2) x WHERE rn = 1),
+         |g AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |    min(vec_id) AS min_vec
+         |  FROM a2 GROUP BY cid)
+         |SELECT g.cid, g.n_members, g.min_vec, c1.cf[1] AS c0_fp
+         |FROM g JOIN c1 ON g.cid = c1.cid ORDER BY g.cid""".stripMargin,
+
+    "q_pq_adc" ->
+      """WITH ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |sc AS (
+        |  SELECT s, CAST(vec_id AS BIGINT) AS cid,
+        |    list_transform(generate_series(1, 8), j ->
+        |      CAST(embedding[s * 8 + j] AS DOUBLE)) AS csub
+        |  FROM embeddings CROSS JOIN ss WHERE vec_id < 16),
+        |sub AS (
+        |  SELECT vec_id, s,
+        |    list_transform(generate_series(1, 8), j ->
+        |      CAST(embedding[s * 8 + j] AS DOUBLE)) AS sub
+        |  FROM embeddings CROSS JOIN ss),
+        |d AS (
+        |  SELECT v.vec_id, v.s, c.cid,
+        |    list_sum(list_transform(generate_series(1, 8), j ->
+        |      CAST(floor(v.sub[j] * c.csub[j] * 1000000000 + 0.5) AS BIGINT))) AS d
+        |  FROM sub v JOIN sc c ON v.s = c.s),
+        |codes AS (
+        |  SELECT vec_id, s, cid FROM (
+        |    SELECT vec_id, s, cid,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d DESC, cid) AS rn
+        |    FROM d) x WHERE rn = 1),
+        |lut AS (SELECT s, cid, d FROM d WHERE vec_id = 0)
+        |SELECT c.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_fp
+        |FROM codes c JOIN lut l ON c.s = l.s AND c.cid = l.cid
+        |GROUP BY c.vec_id ORDER BY adc_fp DESC, c.vec_id LIMIT 10""".stripMargin,
   )
 }

@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over embedding columns — the clustering
+  * member of the ANN/curation family (IVF assignment in [[Similarity]]
+  * probes FIXED centroids; this learns them). Reference capability:
+  * corpus clustering for data curation / topic balancing.
+  *
+  * Scale shape (the only one that survives 100 TB):
+  *  - the model (k × dim fixed-point longs) is the ONLY globally shared
+  *    state; it moves by broadcast, never by shuffling the corpus;
+  *  - assignment is a narrow map over the vectors (corpus stays put),
+  *    followed by a map-side-combining argmax aggregate on the vector
+  *    key — no window funnel;
+  *  - the centroid update reduces (cid, dim) partial sums with map-side
+  *    combine; k × dim rows is all that ever crosses the wire;
+  *  - each round's model is localCheckpoint'd so the plan stays linear
+  *    in rounds (the MLlib iteration discipline).
+  *
+  * Determinism (the oracle contract): coordinates enter 1e-9 fixed
+  * point; dots are per-term floor'd long sums; argmax ties break to the
+  * smallest centroid id; the centroid mean is floor(sum / n) in exact
+  * double arithmetic (sums stay < 2^53). Spherical variant: similarity
+  * = dot product, the natural metric for normalized-ish embeddings
+  * (cf. Dhillon & Modha, Machine Learning 42, 2001).
+  *
+  * A centroid abandoned by every vector drops out of the model (both
+  * engines mirror this via the same join), so k can only shrink —
+  * callers who need constant k re-seed externally.
+  */
+object Clustering {
+
+  /** Coordinates -> 1e-9 fixed-point longs (the shared currency of the
+    * embedding operators). */
+  private def toFp(vec: Column): Column =
+    transform(vec, v =>
+      floor(v.cast("double") * lit(1000000000d) + lit(0.5)).cast("long"))
+
+  /** Exact dot of a float vector against a fixed-point centroid:
+    * per-term floor to long, long-sum — associative, order-free. */
+  private def dotCent(vec: Column, cent: Column): Column =
+    aggregate(
+      zip_with(vec, cent, (x, c) =>
+        floor(x.cast("double") * c.cast("double") + lit(0.5)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Nearest-centroid assignment: (id, cid) per vector. Argmax runs as
+    * a map-side-combining aggregate (max over (dot, -cid) structs), not
+    * a per-vector window — ties to the smallest cid. */
+  def assign(emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .select(col(idCol), col("cid"),
+        dotCent(col(vecCol), col("cf")).as("d"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("d"), (-col("cid")).as("nc"))).as("m"))
+      .select(col(idCol), (-col("m.nc")).as("cid"))
+
+  /** `rounds` Lloyd iterations from the deterministic seed (the k
+    * lowest-id vectors); returns the final centroid model
+    * (cid, cf: array<long>). */
+  def lloyd(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    var cents = emb.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cid"), toFp(col(vecCol)).as("cf"))
+      .localCheckpoint(true)
+    for (_ <- 0 until rounds) {
+      val a = assign(emb, idCol, vecCol, cents)
+      cents = emb.join(a, idCol)
+        .select(col("cid"), posexplode(toFp(col(vecCol))))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        // exact-double floor division: |s| < 2^53 for any realistic
+        // cluster (coords ~1e9 fp x members), so the double is the
+        // integer itself and floor(s/n) is engine-portable
+        .select(col("cid"), col("pos"),
+          floor(col("s").cast("double") / col("n").cast("double"))
+            .cast("long").as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cf"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+}

@@ -134,4 +134,42 @@ object Similarity {
           (sqrt(col("a.nrm") / Scale) * sqrt(col("b.nrm") / Scale))).as("cosine"))
       .filter(col("cosine") >= minSim)
   }
+
+  /** Per-subspace split of a vector column: one row per (row, subspace
+    * s) with the s-th `subdim`-wide slice. The explode is bounded by
+    * the subspace count — a constant fan-out, like the LSH band split. */
+  def subVectors(df: DataFrame, vecCol: String,
+      subspaces: Int, subdim: Int): DataFrame =
+    df.withColumn("s", explode(sequence(lit(0), lit(subspaces - 1))))
+      .withColumn("sub", slice(col(vecCol), col("s") * subdim + 1, lit(subdim)))
+
+  /** Product-quantization code assignment (Jégou et al., TPAMI 2011):
+    * each vector's subspace slice maps to its nearest sub-centroid
+    * (argmax fixed-point dot, ties to the smallest centroid id), so a
+    * dim-D float vector compresses to `subspaces` small codes — the
+    * memory step that makes billion-vector ANN fit. `cents` carries
+    * (s, cid, csub); the argmax is a map-side-combining aggregate and
+    * the centroid table rides along broadcast: the corpus never
+    * shuffles except on its own id. */
+  def pqAssign(emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, subspaces: Int, subdim: Int): DataFrame =
+    subVectors(emb, vecCol, subspaces, subdim)
+      .select(col(idCol), col("s"), col("sub"))
+      .join(broadcast(cents), "s")
+      .select(col(idCol), col("s"), col("cid"),
+        dotFp(col("sub"), col("csub")).as("d"))
+      .groupBy(col(idCol), col("s"))
+      .agg(max(struct(col("d"), (-col("cid")).as("nc"))).as("m"))
+      .select(col(idCol), col("s"), (-col("m.nc")).as("cid"))
+
+  /** Asymmetric-distance (ADC) scoring of PQ codes against one query:
+    * the query's dot with every sub-centroid forms a (subspaces × k)
+    * lookup table — tiny, broadcast — and each vector's score is the
+    * sum of its codes' table entries: exactly dotFp(query,
+    * reconstruction), as integer arithmetic. Scoring touches only the
+    * codes, never the original vectors. */
+  def pqAdcScores(codes: DataFrame, idCol: String, lut: DataFrame): DataFrame =
+    codes.join(broadcast(lut), Seq("s", "cid"))
+      .groupBy(col(idCol))
+      .agg(sum(col("d")).as("adc_fp"))
 }

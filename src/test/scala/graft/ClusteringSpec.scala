@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Clustering, Similarity}
+
+/** Semantics of the learned-codebook operators: Lloyd's k-means
+  * (Clustering) and product quantization (Similarity.pqAssign/ADC).
+  * The oracle queries pin engine-portability; these pin the math. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three well-separated axis clusters in 6-dim; ids 0,1,2 are one
+  // member of each cluster, so the lowest-id seed starts one centroid
+  // per planted cluster
+  private def planted() = {
+    val base = Seq(
+      Seq(1f, 0f, 0f, 0f, 0f, 0f), // cluster A template
+      Seq(0f, 0f, 1f, 0f, 0f, 0f), // cluster B
+      Seq(0f, 0f, 0f, 0f, 1f, 0f)  // cluster C
+    )
+    val rows = (0 until 30).map { i =>
+      val c = i % 3
+      val jitter = 0.01f * ((i / 3) % 5)
+      (i.toLong, base(c).map(v => if (v > 0) v else jitter))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("lloyd recovers planted clusters and assignment is stable") {
+    val emb = planted()
+    val cents = Clustering.lloyd(emb, "vec_id", "embedding", k = 3, rounds = 2)
+    assert(cents.count() === 3)
+    val a = Clustering.assign(emb, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every vector lands with its planted cluster's seed (0, 1, or 2)
+    for (i <- 0 until 30)
+      assert(a(i.toLong) === (i % 3).toLong,
+        s"vec $i assigned to ${a(i.toLong)}, expected ${i % 3}")
+  }
+
+  test("lloyd centroid is the fixed-point floor-mean of its members") {
+    // one cluster, k=1: centroid must equal floor(mean) of the fp coords
+    val emb = Seq(
+      (0L, Seq(1.0f, 2.0f)),
+      (1L, Seq(2.0f, 3.0f)),
+      (2L, Seq(4.0f, 7.0f))
+    ).toDF("vec_id", "embedding")
+    val cf = Clustering.lloyd(emb, "vec_id", "embedding", k = 1, rounds = 1)
+      .select($"cf").head().getSeq[Long](0)
+    // fp coords: [1e9,2e9,4e9] -> mean floor(7e9/3) ; [2e9,3e9,7e9] -> 4e9
+    assert(cf === Seq(7000000000L / 3, 4000000000L))
+  }
+
+  test("ADC score equals the exact dot against the reconstruction") {
+    val emb = planted()
+    val cents = Similarity.subVectors(emb.filter($"vec_id" < 6), "embedding", 2, 3)
+      .select($"s", $"vec_id".as("cid"), $"sub".as("csub"))
+    val codes = Similarity.pqAssign(emb, "vec_id", "embedding", cents, 2, 3)
+    // reconstruction check for one vector: its ADC score vs the query
+    // must equal sum over subspaces of dotFp(query_sub, centroid_sub)
+    val lut = Similarity.subVectors(emb.filter($"vec_id" === 0L), "embedding", 2, 3)
+      .select($"s", $"sub".as("qsub"))
+      .join(cents, "s")
+      .select($"s", $"cid", Similarity.dotFp($"qsub", $"csub").as("d"))
+    val scores = Similarity.pqAdcScores(codes, "vec_id", lut)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val codeMap = codes.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val lutMap = lut.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (v <- Seq(0L, 7L, 20L)) {
+      val manual = (0 to 1).map(s => lutMap((s, codeMap((v, s))))).sum
+      assert(scores(v) === manual, s"vec $v adc mismatch")
+    }
+  }
+
+  test("codebook vectors code to themselves when slices are distinct") {
+    // 4 vectors with unique orthogonal slices: each codes to its own id
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f)),
+      (3L, Seq(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.subVectors(emb, "embedding", 1, 4)
+      .select($"s", $"vec_id".as("cid"), $"sub".as("csub"))
+    val codes = Similarity.pqAssign(emb, "vec_id", "embedding", cents, 1, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    for (v <- 0L to 3L) assert(codes(v) === v)
+  }
+}

@@ -52,4 +52,32 @@ class BfsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("censored"))
   }
+
+  test("label propagation separates two cliques joined by one bridge") {
+    // cliques {1,2,3,4} and {11,12,13,14}, bridge 4-11: the bridge
+    // endpoints see 3 clique neighbors vs 1 bridge neighbor, so each
+    // clique converges to its own min label and the bridge cannot
+    // merge them
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = undirected(
+      (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) :+
+        ((4L, 11L))): _*)
+    val labels = graft.ops.LabelProp.run(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(labels).toSet === Set(1L))
+    assert(Seq(11L, 12L, 13L, 14L).map(labels).toSet === Set(11L))
+  }
+
+  test("label propagation is deterministic on a tie-heavy ring") {
+    // a 6-ring where every node has exactly two neighbors: all counts
+    // tie at 1, so the min-label rule fully determines the outcome;
+    // two runs must agree exactly
+    val ring = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L))
+    val a = graft.ops.LabelProp.run(ring, rounds = 2)
+      .as[(Long, Long)].collect().sorted
+    val b = graft.ops.LabelProp.run(ring, rounds = 2)
+      .as[(Long, Long)].collect().sorted
+    assert(a === b)
+  }
 }

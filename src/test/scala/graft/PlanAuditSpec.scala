@@ -179,6 +179,43 @@ class PlanAuditSpec extends SparkSpec {
       s"blocking must keep the join equi-keyed:\n$plan")
   }
 
+  test("regression plans one broadcast dim join and one grouped aggregate") {
+    val plan = SparkEntry.queries("q_regression")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
+    // the five moment sums must reduce in ONE aggregate pair (partial +
+    // final): exactly one hash exchange on the group key before the sort
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("k-means corpus never hash-shuffles vectors: model moves by broadcast") {
+    val plan = SparkEntry.queries("q_kmeans")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin")
+      || plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid model should ride along broadcast:\n$plan")
+    // assignment argmax must be an aggregate (map-side combining), not a
+    // per-vector row_number window
+    assert(!plan.contains("Window"), s"argmax regressed to a window:\n$plan")
+  }
+
+  test("PQ scoring touches codes + broadcast LUT, no window") {
+    val plan = SparkEntry.queries("q_pq_adc")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"PQ argmax regressed to a window:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should be a bounded heap, not a global sort:\n$plan")
+  }
+
+  test("EMA is one shuffle on the day key plus a bounded generate") {
+    val plan = SparkEntry.queries("q_ema")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"), s"no cover-day explode:\n$plan")
+    assert(!plan.contains("Window"),
+      s"EMA must not fall back to a sequential window:\n$plan")
+  }
+
   test("failure counters via observable metrics (A2 observe variant)") {
     val obs = Observation("routing")
     val routed = Router.route(

@@ -274,4 +274,68 @@ class ScaleSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(salted === plain)
   }
+
+  test("k-means assigns 100k vectors without shuffling the corpus") {
+    // 100k x 16-dim deterministic vectors; k=8, 2 rounds. The probe
+    // pins the scale contract: assignment covers every vector, the
+    // model stays at <= k centroids, and wall time is round-bounded
+    // (each round = 1 broadcast + 2 aggregates), not corpus-bounded.
+    val n = 100000L
+    val emb = spark.range(n).select($"id".as("vec_id"),
+      expr("transform(sequence(0, 15), i -> " +
+        "CAST(pmod(vec_id * 31 + i * 17, 997) / 997.0 AS FLOAT))").as("embedding"))
+    val t0 = System.nanoTime()
+    val cents = graft.llm.Clustering.lloyd(emb, "vec_id", "embedding", k = 8, rounds = 2)
+    val k = cents.count()
+    val assigned = graft.llm.Clustering.assign(emb, "vec_id", "embedding", cents).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(k <= 8 && k > 0)
+    assert(assigned === n)
+    info(f"100k x 16-dim k-means, 2 rounds + final assign in $secs%.1f s")
+  }
+
+  test("BPE rounds cost vocabulary size, not corpus size (1M words)") {
+    // 100k docs x 10 words but only ~1000 distinct words: after the
+    // one corpus collapse, every merge round runs over <= 1000 rows
+    val docs = spark.range(100000).select($"id".as("doc_id"),
+      expr("array_join(transform(sequence(0, 9), i -> " +
+        "concat('w', pmod(id * 7 + i * 131, 1000))), ' ')").as("text"))
+    val vocabRows = graft.llm.TextOps.wordFreq(docs, "text").count()
+    assert(vocabRows <= 1000L, s"vocab should collapse, got $vocabRows")
+    val t0 = System.nanoTime()
+    val merges = graft.llm.TextOps.bpeTrain(docs, "text", nMerges = 5)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length === 5)
+    // every word starts with 'w': (w, <digit-ish>) dominates round 1
+    assert(merges.head._1 === "w")
+    assert(merges.head._3 <= 1000000L)
+    info(f"5 BPE merges over 1M-word corpus in $secs%.1f s")
+  }
+
+  test("a-priori prefilter keeps the basket self-join frequent-only (5M rows)") {
+    // 500k baskets x 10 items from a zipf-ish pool: 20 hot items are
+    // frequent, the 980-item tail is not; the pruned self-join must
+    // only see hot-item rows
+    val baskets = spark.range(5000000).select(
+      ($"id" / 10).cast("long").as("basket"),
+      when($"id" % 10 < 7, concat(lit("hot"), pmod($"id" * 13, lit(20))))
+        .otherwise(concat(lit("cold"), pmod($"id" * 13, lit(980)))).as("item"))
+      .distinct()
+    val tot = baskets.select(countDistinct($"basket")).as[Long].head()
+    val freq = baskets.groupBy($"item").agg(count(lit(1)).as("supp"))
+      .filter($"supp" * 20 >= tot)
+    val freqItems = freq.select($"item").as[String].collect().toSet
+    assert(freqItems.nonEmpty && freqItems.forall(_.startsWith("hot")),
+      s"tail items leaked into the frequent set: $freqItems")
+    val fb = baskets.join(broadcast(freq.select($"item")), "item")
+    val t0 = System.nanoTime()
+    val pairs = fb.select($"basket", $"item".as("i1"))
+      .join(fb.select($"basket", $"item".as("i2")), Seq("basket"))
+      .filter($"i1" < $"i2")
+      .groupBy($"i1", $"i2").agg(count(lit(1)).as("supp"))
+    val nPairs = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(nPairs > 0)
+    info(f"5M-row basket self-join (frequent-only) in $secs%.1f s, $nPairs pairs")
+  }
 }

@@ -3894,6 +3894,62 @@ object SparkEntry {
       .orderBy(col("community"))
   }
 
+  /** PMI-style collocation extraction: bigram lift = p(w1 w2) /
+    * (p(w1) p(w2)) over the token stream — the corpus statistic behind
+    * phrase induction ("new york" as one token) in tokenizer/vocab
+    * pipelines. Counts are exact longs from one bigram shuffle and one
+    * unigram shuffle; the unigram table rides back broadcast; the score
+    * is one fixed tree of double ops (monotone transform of log-PMI, so
+    * ranking-equivalent and bit-portable). Minimum-count gates kill the
+    * long noise tail before the join. */
+  private def qPmi(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(split(col("text"), " ").as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(zip_with(
+        expr("slice(tk, 1, size(tk) - 1)"), expr("slice(tk, 2, size(tk) - 1)"),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cab"))
+    val totals = uni.agg(sum(col("c")).as("t_tokens"))
+      .crossJoin(bi.agg(sum(col("cab")).as("t_bigrams")))
+    bi.filter(col("cab") >= 5)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(totals))
+      .filter(col("c1") >= 10 && col("c2") >= 10)
+      .select(col("w1"), col("w2"), col("cab"), col("c1"), col("c2"),
+        ((col("cab").cast("double") * col("t_tokens").cast("double")
+          * col("t_tokens").cast("double")) /
+         (col("t_bigrams").cast("double") * col("c1").cast("double")
+          * col("c2").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(25)
+  }
+
+  /** Source-mixture token-budget allocation: given per-source mixture
+    * weights, split a token budget into per-source targets and emit the
+    * sampling rate (ppm, capped at 1 — no upsampling) that realizes
+    * each target, plus an undersupply flag where the source simply
+    * lacks the tokens. The planning step of "hit this data mixture" in
+    * LLM pre-training runs; one aggregate over the corpus, then pure
+    * integer arithmetic on the per-source table. */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy(col("source")).agg(sum(col("tok")).as("tokens"))
+      .withColumn("w", substring(col("source"), 4, 10).cast("long") % 4 + 1)
+    val tw = src.agg(sum(col("w")).as("total_w"))
+    src.crossJoin(broadcast(tw))
+      .select(col("source"), col("tokens"), col("w"),
+        expr("10000 * w div total_w").as("target_tokens"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("target_tokens * 1000000 div tokens")))
+      .withColumn("expected_tokens", expr("tokens * rate_ppm div 1000000"))
+      .withColumn("undersupplied", col("tokens") < col("target_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -4140,6 +4196,8 @@ object SparkEntry {
     "q_kmeans" -> (qKmeans _),
     "q_pq_adc" -> (qPqAdc _),
     "q_label_prop" -> (qLabelProp _),
+    "q_pmi" -> (qPmi _),
+    "q_token_budget" -> (qTokenBudget _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6820,5 +6878,44 @@ object SparkEntry {
         |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
         |  min(node) AS min_node
         |FROM l2 GROUP BY lab ORDER BY community""".stripMargin,
+
+    "q_pmi" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |ucnt AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(tk) AS w FROM tk) u GROUP BY w),
+        |bcnt AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab
+        |  FROM (SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |        FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        |              FROM tk) x) b
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM ucnt) AS t_tokens,
+        |         (SELECT CAST(sum(cab) AS BIGINT) FROM bcnt) AS t_bigrams)
+        |SELECT w1, w2, cab, u1.c AS c1, u2.c AS c2,
+        |  (CAST(cab AS DOUBLE) * CAST(t_tokens AS DOUBLE) * CAST(t_tokens AS DOUBLE))
+        |    / (CAST(t_bigrams AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+        |FROM bcnt JOIN ucnt u1 ON w1 = u1.w JOIN ucnt u2 ON w2 = u2.w
+        |CROSS JOIN tot
+        |WHERE cab >= 5 AND u1.c >= 10 AND u2.c >= 10
+        |ORDER BY lift DESC, w1, w2 LIMIT 25""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH s0 AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |src AS (
+        |  SELECT source, tokens,
+        |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w
+        |  FROM s0),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS total_w FROM src)
+        |SELECT source, tokens, w,
+        |  10000 * w // total_w AS target_tokens,
+        |  least(1000000, (10000 * w // total_w) * 1000000 // tokens) AS rate_ppm,
+        |  tokens * least(1000000, (10000 * w // total_w) * 1000000 // tokens) // 1000000
+        |    AS expected_tokens,
+        |  tokens < (10000 * w // total_w) AS undersupplied
+        |FROM src CROSS JOIN tw ORDER BY source""".stripMargin,
   )
 }

@@ -88,6 +88,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("token budget allocation caps rates at 1 and flags undersupply") {
+    val rows = SparkEntry.queries("q_token_budget")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tokens, target, rate, expected, under) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))
+      assert(rate <= 1000000L, "no upsampling")
+      assert(expected <= tokens, "cannot sample more than the source has")
+      if (under) assert(rate === 1000000L && tokens < target,
+        "undersupplied sources must be taken whole")
+      else assert(expected <= target, "oversupplied sources must not exceed target")
+    }
+  }
+
   test("EMA equals the serial recurrence on a dense planted series") {
     // days 0..30, cents = day+1; serial half-life recurrence truncated
     // to the 20-day horizon must match the cover-day-explode form

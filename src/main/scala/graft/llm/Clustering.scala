@@ -58,12 +58,60 @@ object Clustering {
       .agg(max(struct(col("d"), (-col("cid")).as("nc"))).as("m"))
       .select(col(idCol), (-col("m.nc")).as("cid"))
 
-  /** `rounds` Lloyd iterations from the deterministic seed (the k
-    * lowest-id vectors); returns the final centroid model
+  /** Deterministic farthest-first (Gonzalez 1985 k-center) seeding:
+    * start from the lowest id, then k-1 times pick the vector with the
+    * MAXIMUM distance to its nearest chosen seed (ties to the smallest
+    * id). Each pick is one aggregate over the corpus — k passes total —
+    * and returns seed ids, spread across the data's extremes, where the
+    * lowest-id seed can collapse onto one dense region. Distance here
+    * is the fixed-point self-dot minus dot with the seed (monotone in
+    * squared Euclidean for equal-norm vectors). */
+  def farthestFirst(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[Long] = {
+    val first = emb.agg(min(col(idCol).cast("long"))).head().getLong(0)
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    val withSelf = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"),
+        dotCent(col(vecCol), toFp(col(vecCol))).as("self"))
+      .localCheckpoint(true)
+    while (chosen.size < k) {
+      val seeds = withSelf.filter(col("id").isInCollection(chosen.toSeq))
+        .select(col("id").as("sid"), toFp(col("v")).as("sf"))
+      // nearest-seed distance per vector, then global argmax
+      val far = withSelf.crossJoin(broadcast(seeds))
+        .select(col("id"), col("self"),
+          (col("self") - dotCent(col("v"), col("sf"))).as("gap"))
+        .groupBy(col("id"))
+        .agg(min(col("gap")).as("nearest_gap"))
+        .orderBy(col("nearest_gap").desc, col("id"))
+        .limit(1).head()
+      chosen += far.getLong(0)
+    }
+    chosen.toSeq
+  }
+
+  /** Within-cluster inertia proxy of a model over the corpus: the sum
+    * over vectors of (self-dot − dot(v, centroid)) in fixed point —
+    * monotone in k-means cost; ONE aggregate, no shuffle of vectors. */
+  def inertia(emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): Long = {
+    val a = assign(emb, idCol, vecCol, cents)
+    emb.join(a, idCol).join(broadcast(cents), "cid")
+      .select((dotCent(col(vecCol), toFp(col(vecCol)))
+        - dotCent(col(vecCol), col("cf"))).as("gap"))
+      .agg(sum(col("gap"))).head().getLong(0)
+  }
+
+  /** `rounds` Lloyd iterations from a deterministic seed (by default
+    * the k lowest-id vectors; pass `seedIds` from [[farthestFirst]] for
+    * spread seeds); returns the final centroid model
     * (cid, cf: array<long>). */
   def lloyd(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, rounds: Int): DataFrame = {
-    var cents = emb.filter(col(idCol) < k)
+      k: Int, rounds: Int, seedIds: Seq[Long] = Nil): DataFrame = {
+    val seed =
+      if (seedIds.isEmpty) emb.filter(col(idCol) < k)
+      else emb.filter(col(idCol).cast("long").isInCollection(seedIds))
+    var cents = seed
       .select(col(idCol).cast("long").as("cid"), toFp(col(vecCol)).as("cf"))
       .localCheckpoint(true)
     for (_ <- 0 until rounds) {

@@ -75,6 +75,42 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("farthest-first seeds hit all planted clusters even when ids collide") {
+    // all of ids 0..9 sit in cluster A; B and C only appear later — the
+    // lowest-id seed would start 3 centroids inside A, farthest-first
+    // must pick one representative from each planted cluster
+    val rows =
+      (0 until 10).map(i => (i.toLong, Seq(1f, 0f, 0f, 0f, 0.001f * i, 0f))) ++
+      (10 until 20).map(i => (i.toLong, Seq(0f, 0f, 1f, 0f, 0.001f * i, 0f))) ++
+      (20 until 30).map(i => (i.toLong, Seq(0f, 0f, 0f, 0f, 1f, 0.001f * i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val seeds = Clustering.farthestFirst(emb, "vec_id", "embedding", k = 3)
+    assert(seeds.length === 3)
+    val regions = seeds.map(s => s / 10).toSet
+    assert(regions === Set(0L, 1L, 2L), s"seeds $seeds miss a planted cluster")
+    // and Lloyd from those seeds separates the three clusters
+    val cents = Clustering.lloyd(emb, "vec_id", "embedding", k = 3, rounds = 2,
+      seedIds = seeds)
+    val a = Clustering.assign(emb, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byRegion = a.groupBy(_._1 / 10).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byRegion.values.forall(_.size == 1), "a planted cluster split")
+    assert(byRegion.values.toSet.size === 3, "planted clusters merged")
+  }
+
+  test("lloyd inertia never increases across rounds") {
+    val emb = planted()
+    val seeds = Clustering.farthestFirst(emb, "vec_id", "embedding", k = 3)
+    val i0 = Clustering.inertia(emb, "vec_id", "embedding",
+      Clustering.lloyd(emb, "vec_id", "embedding", 3, rounds = 0, seeds))
+    val i1 = Clustering.inertia(emb, "vec_id", "embedding",
+      Clustering.lloyd(emb, "vec_id", "embedding", 3, rounds = 1, seeds))
+    val i2 = Clustering.inertia(emb, "vec_id", "embedding",
+      Clustering.lloyd(emb, "vec_id", "embedding", 3, rounds = 2, seeds))
+    assert(i1 <= i0, s"round 1 increased inertia: $i0 -> $i1")
+    assert(i2 <= i1, s"round 2 increased inertia: $i1 -> $i2")
+  }
+
   test("codebook vectors code to themselves when slices are distinct") {
     // 4 vectors with unique orthogonal slices: each codes to its own id
     val emb = Seq(

@@ -662,4 +662,35 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("ss_join").select($"oid").as[String].collect()
     assert(got === Array("x"))
   }
+
+  test("streaming vectors score against the batch-trained k-means model") {
+    // the standard ML-serving shape: a model learned in batch rides
+    // along broadcast inside a streaming query; each micro-batch is a
+    // narrow map + argmax aggregate, no stream-side shuffle of state.
+    // Assignments must equal the batch assignment of the same vectors.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val train = (0 until 30).map { i =>
+      val c = i % 3
+      (i.toLong, Seq.tabulate(6)(d => if (d == c * 2) 1f else 0.01f * (i / 3)))
+    }.toDF("vec_id", "embedding")
+    // lloyd localCheckpoints its result, so the model is materialized
+    // once and re-read per micro-batch, never re-trained
+    val modelDf = graft.llm.Clustering
+      .lloyd(train, "vec_id", "embedding", k = 3, rounds = 2)
+    val stream = MemoryStream[(Long, Seq[Float])](spark)
+    val scored = graft.llm.Clustering.assign(
+      stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", modelDf)
+    val q = scored.writeStream.format("memory").queryName("km_stream")
+      .outputMode("complete").start()
+    val batch1 = (0 until 10).map(i => (100L + i, train.collect()(i).getSeq[Float](1)))
+    stream.addData(batch1: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("km_stream").select($"vec_id", $"cid")
+      .as[(Long, Long)].collect().toMap
+    val batchAssign = graft.llm.Clustering.assign(
+      batch1.toDF("vec_id", "embedding"), "vec_id", "embedding", modelDf)
+      .as[(Long, Long)].collect().toMap
+    assert(got === batchAssign)
+    assert(got.size === 10)
+  }
 }

@@ -3529,10 +3529,15 @@ object SparkEntry {
         Analytics.cents(col("l_extendedprice")).as("p"),
         col("l_quantity").cast("long").as("w"))
       .groupBy(col("nk"), col("p")).agg(sum(col("w")).as("w"))
+    // group totals as an aggregate + broadcast join, NOT a second
+    // whole-partition window: the unbounded-frame window would buffer
+    // each nation's rows again, while the aggregate partial-combines
+    // map-side and ships 25 rows
+    val totals = wp.groupBy(col("nk").as("tnk")).agg(sum(col("w")).as("tw"))
     val cum = wp.withColumn("cw", sum(col("w")).over(
         Window.partitionBy(col("nk")).orderBy(col("p"))
           .rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("nk"))))
+      .join(broadcast(totals), col("nk") === col("tnk"))
     cum.filter(col("cw") * 2 >= col("tw"))
       .groupBy(col("nk"))
       .agg(min(col("p")).as("median_c"), max(col("tw")).as("total_weight"))
@@ -3770,10 +3775,15 @@ object SparkEntry {
     * item-support table is tiny and rides along broadcast. Support,
     * confidence (both directions), and lift are exact integer ppm. */
   private def qItemsets(s: SparkSession, dir: String): DataFrame = {
+    // materialize the distinct basket-item list ONCE: it feeds the
+    // basket total, the item supports, and both sides of the pair
+    // self-join — unmaterialized, each use would replay the scan +
+    // distinct shuffle (the qTriangles edge-list convention)
     val baskets = t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
       .distinct()
+      .localCheckpoint(eager = false)
     val tot = baskets.agg(countDistinct(col("basket")).as("n_baskets"))
     val freq = baskets.groupBy(col("item")).agg(count(lit(1)).as("supp"))
       .crossJoin(broadcast(tot))

@@ -66,9 +66,13 @@ case class WordShingles(child: Expression, k: Int)
 /** `fixed_point_dot(a, b)`: dot product of two float/double arrays with
   * each term quantized to 1e-9 (`floor(x*y*1e9 + 0.5)`) and summed as
   * exact longs — an order-independent, engine-portable reduction (the
-  * basis of all similarity math here; see graft.llm.Similarity). */
+  * basis of all similarity math here; see graft.llm.Similarity).
+  * Participates in whole-stage codegen (a real doGenCode, not
+  * CodegenFallback): the dot is the innermost loop of every
+  * similarity/clustering operator, so falling out of codegen here
+  * would break the surrounding stage into interpreted islands. */
 case class FixedPointDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   private def elemOk(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -101,6 +105,38 @@ case class FixedPointDot(left: Expression, right: Expression)
       i += 1
     }
     acc
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val rf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    def get(v: String, isFloat: Boolean, i: String) =
+      if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      // same contract as nullSafeEval: length mismatch or a null
+      // element yields null; otherwise the exact long sum
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $acc += (long) java.lang.Math.floor(
+         |      ${get(a, lf, i)} * ${get(b, rf, i)} * 1.0E9 + 0.5);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FixedPointDot =
     copy(left = l, right = r)

@@ -3960,6 +3960,77 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Revenue-concentration (Pareto) audit: how many top customers
+    * carry 80% of revenue, via the two-pass range-partitioned prefix
+    * sum (ScalablePrefix) over a descending-revenue key encoding — the
+    * global-window formulation would funnel every customer through one
+    * task. Encoding: ascending key = (2^41 − cents)·2^21 + custkey, so
+    * ascending key order IS (revenue desc, custkey) order; bounds
+    * (cents < 2^41, custkey < 2^21) hold for any driver SF. */
+  private def qPareto(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .select(((lit(1L << 41) - col("cents")) * lit(1L << 21) + col("o_custkey"))
+        .as("k"), col("cents"))
+    val run = graft.ops.ScalablePrefix.runningSum(s, cust, "k", "cents", 32)
+    val tot = run.agg(sum(col("cents")).as("t"), count(lit(1)).as("n"),
+      max(col("cents")).as("topc"))
+    run.crossJoin(broadcast(tot))
+      .filter(col("run_sum") * 5 >= col("t") * 4)
+      .agg(max(col("n")).as("n_customers"),
+        min(col("run_cnt")).as("n_for_80pct"),
+        expr("max(topc) * 1000000 div max(t)").as("top_share_ppm"))
+  }
+
+  /** Two-proportion A/B z-test: customers split into variants by key
+    * parity, exposure = any order, conversion = at least one order in
+    * 1995 (≈0.78 at every SF — a genuinely two-sided proportion; the
+    * events table's purchase rate saturates at 1.0, which degenerates
+    * the pooled variance). Counts are exact longs from ONE
+    * customer-keyed aggregation pass; z is the pooled-variance
+    * statistic as a fixed tree of double ops — the experiment-readout
+    * companion to q_chi_square (independence) and q_trend_test
+    * (monotone trend). */
+  private def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "orders")
+      .groupBy((col("o_custkey") % 2).as("variant"), col("o_custkey"))
+      .agg(max(when(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+          col("o_orderdate") < lit("1996-01-01").cast("date"), 1L)
+        .otherwise(0L)).as("conv"))
+    val g = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val wide = g.filter(col("variant") === 0)
+      .select(col("n").as("n0"), col("c").as("c0"))
+      .crossJoin(g.filter(col("variant") === 1)
+        .select(col("n").as("n1"), col("c").as("c1")))
+    wide.select(Seq(col("n0"), col("c0"), col("n1"), col("c1")) ++ {
+      val (n0, c0, n1, c1) = (col("n0").cast("double"), col("c0").cast("double"),
+        col("n1").cast("double"), col("c1").cast("double"))
+      val p0 = c0 / n0
+      val p1 = c1 / n1
+      val p = (c0 + c1) / (n0 + n1)
+      Seq(((p1 - p0) /
+        sqrt(p * (lit(1.0) - p) * (lit(1.0) / n0 + lit(1.0) / n1))).as("z"))
+    }: _*)
+  }
+
+  /** Gini–Simpson diversity of the corpus source mix: 1 − Σ(nᵢ/N)² and
+    * the inverse-Simpson "effective source count" — the dataset-card
+    * diversity number next to q_source_mix's shares. Exact integer
+    * arithmetic end to end (one tiny aggregation over per-source
+    * counts); Σnᵢ² stays far inside int64 at any driver SF. */
+  private def qGini(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    src.agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_sources"),
+        sum(col("n") * col("n")).as("ss"))
+      .select(col("n_docs"), col("n_sources"),
+        expr("(n_docs * n_docs - ss) * 1000000 div (n_docs * n_docs)")
+          .as("gini_ppm"),
+        expr("n_docs * n_docs * 1000 div ss").as("effective_sources_milli"))
+  }
+
   /** One-time physical-layout preparation for a dataset dir: builds the
     * bucketed table copies q_bucketed_join reads. Benchmark harnesses
     * call this during warmup so the timed pass measures the co-located
@@ -4208,6 +4279,9 @@ object SparkEntry {
     "q_label_prop" -> (qLabelProp _),
     "q_pmi" -> (qPmi _),
     "q_token_budget" -> (qTokenBudget _),
+    "q_pareto" -> (qPareto _),
+    "q_ab_test" -> (qAbTest _),
+    "q_gini" -> (qGini _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6927,5 +7001,60 @@ object SparkEntry {
         |    AS expected_tokens,
         |  tokens < (10000 * w // total_w) AS undersupplied
         |FROM src CROSS JOIN tw ORDER BY source""".stripMargin,
+
+    "q_pareto" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS rn
+        |  FROM cust),
+        |tot AS (
+        |  SELECT CAST(sum(cents) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(max(cents) AS BIGINT) AS topc
+        |  FROM cust)
+        |SELECT max(n) AS n_customers, min(rn) AS n_for_80pct,
+        |  max(topc) * 1000000 // max(t) AS top_share_ppm
+        |FROM r CROSS JOIN tot WHERE cum * 5 >= t * 4""".stripMargin,
+
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT o_custkey % 2 AS variant, o_custkey,
+        |    CAST(max(CASE WHEN o_orderdate >= DATE '1995-01-01'
+        |                   AND o_orderdate < DATE '1996-01-01'
+        |              THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        |  FROM orders GROUP BY 1, 2),
+        |g AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+        |  FROM u GROUP BY 1),
+        |w AS (
+        |  SELECT g0.n AS n0, g0.c AS c0, g1.n AS n1, g1.c AS c1
+        |  FROM (SELECT n, c FROM g WHERE variant = 0) g0
+        |  CROSS JOIN (SELECT n, c FROM g WHERE variant = 1) g1)
+        |SELECT n0, c0, n1, c1,
+        |  ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    - (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+        |  / sqrt(((CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+        |          / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+        |    * (1.0 - (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+        |             / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+        |    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z
+        |FROM w""".stripMargin,
+
+    "q_gini" ->
+      """WITH src AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_sources,
+        |  (CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT)
+        |    - CAST(sum(n * n) AS BIGINT)) * 1000000
+        |    // (CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT)) AS gini_ppm,
+        |  CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT) * 1000
+        |    // CAST(sum(n * n) AS BIGINT) AS effective_sources_milli
+        |FROM src""".stripMargin,
   )
 }

@@ -4015,6 +4015,32 @@ object SparkEntry {
     }: _*)
   }
 
+  /** Bigram-LM fluency scoring: each document's mean conditional
+    * probability P(w2|w1) over its bigrams, in exact ppm — the
+    * corpus-statistics fluency screen (low mean ⇒ token soup), the
+    * conditional cousin of q_rarity's unigram surprisal. Bigram and
+    * unigram counts come from two aggregations; the per-doc score joins
+    * bigram occurrences against the count tables on the bigram key
+    * (shuffle join — corpus-scale vocabulary, NOT broadcast) and
+    * reduces with one integer mean per doc. */
+  private def qNgramLm(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val bi = toks.select(col("doc_id"), explode(zip_with(
+        expr("slice(tk, 1, size(tk) - 1)"), expr("slice(tk, 2, size(tk) - 1)"),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint(eager = false)
+    val bcnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+    val ucnt = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bi.join(bcnt, Seq("w1", "w2")).join(ucnt, Seq("w1"))
+      .select(col("doc_id"), expr("cab * 1000000 div c1").as("cond_ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(cond_ppm) div count(1)").as("mean_cond_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gini–Simpson diversity of the corpus source mix: 1 − Σ(nᵢ/N)² and
     * the inverse-Simpson "effective source count" — the dataset-card
     * diversity number next to q_source_mix's shares. Exact integer
@@ -4282,6 +4308,7 @@ object SparkEntry {
     "q_pareto" -> (qPareto _),
     "q_ab_test" -> (qAbTest _),
     "q_gini" -> (qGini _),
+    "q_ngram_lm" -> (qNgramLm _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7056,5 +7083,19 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT) * 1000
         |    // CAST(sum(n * n) AS BIGINT) AS effective_sources_milli
         |FROM src""".stripMargin,
+
+    "q_ngram_lm" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bi AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        |        FROM tk) x),
+        |bcnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY 1, 2),
+        |ucnt AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(cab * 1000000 // c1) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |    AS mean_cond_ppm
+        |FROM bi JOIN bcnt USING (w1, w2) JOIN ucnt USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -3801,7 +3801,11 @@ object SparkEntry {
       .select(col("i1"), col("i2"), col("supp"), col("s1"), col("s2"),
         expr("supp * 1000000 div s1").as("conf12_ppm"),
         expr("supp * 1000000 div s2").as("conf21_ppm"),
-        expr("supp * n_baskets * 1000000 div (s1 * s2)").as("lift_ppm"))
+        // two-step division: supp*n_baskets*1e6 would overflow int64
+        // once baskets reach ~10^7 (ANSI would kill the query at the
+        // very scale a-priori is for); conf12 <= 1e6 keeps the
+        // intermediate bounded by 1e6 * n_baskets
+        expr("(supp * 1000000 div s1) * n_baskets div s2").as("lift_ppm"))
       .orderBy(col("i1"), col("i2"))
   }
 
@@ -3815,10 +3819,13 @@ object SparkEntry {
     * q_rolling_distinct). The final scaled-sum / 2^19 division only
     * moves the double's exponent, so results are bit-identical. */
   private def qEma(s: SparkSession, dir: String): DataFrame = {
+    // materialized once: the contribution explode and the observed-day
+    // join both read it (lazy checkpoint, qItemsets convention)
     val daily = t(s, dir, "orders")
       .select(epochDay(col("o_orderdate")).as("day"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
       .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+      .localCheckpoint(eager = false)
     daily
       .withColumn("k", explode(sequence(lit(0), lit(19))))
       .select((col("day") + col("k")).as("t"),
@@ -3839,7 +3846,7 @@ object SparkEntry {
   private def qBpePairs(s: SparkSession, dir: String): DataFrame =
     graft.llm.TextOps.bpePairCounts(
       graft.llm.TextOps.wordFreq(t(s, dir, "documents"), "text")
-        .select(expr("filter(split(w, ''), c -> c != '')").as("syms"), col("freq")))
+        .select(graft.llm.TextOps.charSymbols(col("w")).as("syms"), col("freq")))
       .orderBy(col("n").desc, col("a"), col("b"))
       .limit(30)
 
@@ -3914,13 +3921,17 @@ object SparkEntry {
     * long noise tail before the join. */
   private def qPmi(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents").select(split(col("text"), " ").as("tk"))
+    // both count tables are materialized ONCE (lazy checkpoint): uni
+    // feeds the totals and two broadcast joins, bcnt the totals and
+    // the main pass — unmaterialized, each consumer replays the
+    // documents scan + explode + aggregate (the qItemsets convention)
     val uni = toks.select(explode(col("tk")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val bi = toks.select(explode(zip_with(
-        expr("slice(tk, 1, size(tk) - 1)"), expr("slice(tk, 2, size(tk) - 1)"),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .localCheckpoint(eager = false)
+    val bi = toks.select(explode(graft.llm.TextOps.adjacentPairs(col("tk"))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("cab"))
+      .localCheckpoint(eager = false)
     val totals = uni.agg(sum(col("c")).as("t_tokens"))
       .crossJoin(bi.agg(sum(col("cab")).as("t_bigrams")))
     bi.filter(col("cab") >= 5)
@@ -3964,14 +3975,20 @@ object SparkEntry {
     * carry 80% of revenue, via the two-pass range-partitioned prefix
     * sum (ScalablePrefix) over a descending-revenue key encoding — the
     * global-window formulation would funnel every customer through one
-    * task. Encoding: ascending key = (2^41 − cents)·2^21 + custkey, so
-    * ascending key order IS (revenue desc, custkey) order; bounds
-    * (cents < 2^41, custkey < 2^21) hold for any driver SF. */
+    * task. Encoding: ascending key = (2^36 − cents)·2^26 + custkey, so
+    * ascending key order IS (revenue desc, custkey) order. Bounds:
+    * cents < 2^36 (≈ $687M per customer — TPC-H tops out ~$5M) and
+    * custkey < 2^26 (≈ 67M customers ≈ SF 440); outside them the
+    * encoding is invalid, so both are asserted loudly rather than
+    * silently mis-sorting. */
   private def qPareto(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
-      .select(((lit(1L << 41) - col("cents")) * lit(1L << 21) + col("o_custkey"))
+      .select(when(col("cents") < (1L << 36) && col("o_custkey") < (1L << 26),
+          (lit(1L << 36) - col("cents")) * lit(1L << 26) + col("o_custkey"))
+        .otherwise(raise_error(lit(
+          "q_pareto key encoding overflow: cents >= 2^36 or custkey >= 2^26")))
         .as("k"), col("cents"))
     val run = graft.ops.ScalablePrefix.runningSum(s, cust, "k", "cents", 32)
     val tot = run.agg(sum(col("cents")).as("t"), count(lit(1)).as("n"),
@@ -4026,9 +4043,8 @@ object SparkEntry {
   private def qNgramLm(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val bi = toks.select(col("doc_id"), explode(zip_with(
-        expr("slice(tk, 1, size(tk) - 1)"), expr("slice(tk, 2, size(tk) - 1)"),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+    val bi = toks.select(col("doc_id"),
+        explode(graft.llm.TextOps.adjacentPairs(col("tk"))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .localCheckpoint(eager = false)
     val bcnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
@@ -6856,7 +6872,7 @@ object SparkEntry {
         |SELECT i1, i2, p.supp, f1.supp AS s1, f2.supp AS s2,
         |  p.supp * 1000000 // f1.supp AS conf12_ppm,
         |  p.supp * 1000000 // f2.supp AS conf21_ppm,
-        |  p.supp * (SELECT n_baskets FROM tot) * 1000000 // (f1.supp * f2.supp) AS lift_ppm
+        |  (p.supp * 1000000 // f1.supp) * (SELECT n_baskets FROM tot) // f2.supp AS lift_ppm
         |FROM pairs p
         |JOIN freq f1 ON p.i1 = f1.item
         |JOIN freq f2 ON p.i2 = f2.item

@@ -112,6 +112,18 @@ object TextOps {
         regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
           UrlPattern, "<URL>"))
 
+  /** (w1, w2) structs of adjacent array elements — the shared bigram
+    * idiom behind PMI collocations, bigram-LM scoring, and BPE pair
+    * counting; one definition so the three cannot drift. */
+  def adjacentPairs(arr: Column): Column =
+    zip_with(slice(arr, lit(1), size(arr) - 1), slice(arr, lit(2), size(arr) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+
+  /** Non-empty single-character symbols of a word — BPE's initial
+    * alphabet (split("") emits empty edge strings; drop them). */
+  def charSymbols(w: Column): Column =
+    filter(split(w, ""), c => c =!= lit(""))
+
   /** Word-frequency table for BPE training: the corpus collapses to
     * (distinct word, count) FIRST — the classic tokenizer-training
     * reduction. All later merge rounds run over the vocabulary (≈10⁵–10⁶
@@ -128,11 +140,8 @@ object TextOps {
   def bpePairCounts(vocab: DataFrame): DataFrame =
     vocab
       .filter(size(col("syms")) >= 2)
-      .select(col("freq"), explode(zip_with(
-        expr("slice(syms, 1, size(syms) - 1)"),
-        expr("slice(syms, 2, size(syms) - 1)"),
-        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+      .groupBy(col("p.w1").as("a"), col("p.w2").as("b"))
       .agg(sum(col("freq")).as("n"))
 
   /** Replaces every left-to-right occurrence of the adjacent pair (a,b)
@@ -157,7 +166,7 @@ object TextOps {
     * merge order. */
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): Seq[(String, String, Long)] = {
     var vocab = wordFreq(df, textCol)
-      .select(expr("filter(split(w, ''), c -> c != '')").as("syms"), col("freq"))
+      .select(charSymbols(col("w")).as("syms"), col("freq"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var round = 0
@@ -170,12 +179,8 @@ object TextOps {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((a, b, n))
         // rewrite only words containing the pair; the rest pass through
-        val pairs = zip_with(
-          expr("slice(syms, 1, size(syms) - 1)"),
-          expr("slice(syms, 2, size(syms) - 1)"),
-          (x, y) => struct(x.as("x"), y.as("y")))
-        val hasPair = exists(pairs,
-          p => p.getField("x") === lit(a) && p.getField("y") === lit(b))
+        val hasPair = exists(adjacentPairs(col("syms")),
+          p => p.getField("w1") === lit(a) && p.getField("w2") === lit(b))
         vocab = vocab
           .withColumn("syms",
             when(hasPair, mergePair(col("syms"), a, b)).otherwise(col("syms")))

@@ -682,7 +682,8 @@ class StreamingSpec extends SparkSpec {
       stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", modelDf)
     val q = scored.writeStream.format("memory").queryName("km_stream")
       .outputMode("complete").start()
-    val batch1 = (0 until 10).map(i => (100L + i, train.collect()(i).getSeq[Float](1)))
+    val trainRows = train.collect()
+    val batch1 = (0 until 10).map(i => (100L + i, trainRows(i).getSeq[Float](1)))
     stream.addData(batch1: _*)
     q.processAllAvailable(); q.stop()
     val got = spark.table("km_stream").select($"vec_id", $"cid")

@@ -1540,6 +1540,30 @@ object SparkEntry {
         col("d.height").cast("long").as("height"))
       .orderBy(col("doc_id"))
 
+  /** Audio-container metadata extraction — the audio half of the
+    * multimodal plumbing (q_media_dims covers images): REAL RIFF/WAVE
+    * headers are synthesized from deterministic PCM parameters, parsed
+    * back by the pure-JVM chunk walker (functions.media.audio_meta),
+    * and duration is derived as exact integer ms. The oracle replays
+    * the parameter arithmetic symbolically. */
+  private def qAudioMeta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % 2 + 1).cast("int").as("ch_in"),
+        ((col("doc_id") % 5 + 1) * 8000).cast("int").as("rate_in"),
+        lit(16).as("bits_in"),
+        ((col("doc_id") % 100 + 1) * 1600).cast("long").as("frames_in"))
+      .withColumn("blob", Multimodal.synthesizeWavHeader(
+        col("ch_in"), col("rate_in"), col("bits_in"), col("frames_in")))
+      .select(col("doc_id"), graft.functions.media.audio_meta(col("blob")).as("m"))
+      .select(col("doc_id"),
+        col("m.channels").cast("long").as("channels"),
+        col("m.sample_rate").cast("long").as("sample_rate"),
+        col("m.bits").cast("long").as("bits"),
+        col("m.n_frames").as("n_frames"),
+        expr("m.n_frames * 1000 div m.sample_rate").as("duration_ms"))
+      .orderBy(col("doc_id"))
+
   /** Correlated EXISTS subquery (TPC-H Q4 shape) as ONE SQL text run
     * verbatim by both engines — exercises Catalyst's subquery
     * decorrelation (EXISTS → left-semi join). */
@@ -4325,6 +4349,7 @@ object SparkEntry {
     "q_ab_test" -> (qAbTest _),
     "q_gini" -> (qGini _),
     "q_ngram_lm" -> (qNgramLm _),
+    "q_audio_meta" -> (qAudioMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7113,5 +7138,15 @@ object SparkEntry {
         |    AS mean_cond_ppm
         |FROM bi JOIN bcnt USING (w1, w2) JOIN ucnt USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_audio_meta" ->
+      """SELECT doc_id,
+        |  doc_id % 2 + 1 AS channels,
+        |  (doc_id % 5 + 1) * 8000 AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  (doc_id % 100 + 1) * 1600 AS n_frames,
+        |  ((doc_id % 100 + 1) * 1600) * 1000 // ((doc_id % 5 + 1) * 8000)
+        |    AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -84,6 +84,41 @@ object MediaHeaders {
   /** Logical screen descriptor: width LE16 at 6, height LE16 at 8. */
   private def parseGif(b: Array[Byte]): Option[(String, Int, Int)] =
     Some(("gif", le16(b, 6), le16(b, 8)))
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong) | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  /** Parse a RIFF/WAVE container's fmt + data chunk headers:
+    * (channels, sampleRate, bitsPerSample, nFrames). Chunk-walks like
+    * parseJpeg; audio DATA need not be present (header-only blobs
+    * parse, matching the synthesize-side contract). PERMISSIVE: any
+    * malformed container yields None, never a throw. */
+  def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b == null || b.length < 12) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var p = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+    while (p + 8 <= b.length) {
+      val id = new String(Array(b(p), b(p + 1), b(p + 2), b(p + 3)), "US-ASCII")
+      val size = le32(b, p + 4)
+      if (id == "fmt " && p + 8 + 16 <= b.length) {
+        val channels = le16(b, p + 10)
+        val rate = le32(b, p + 12).toInt
+        val blockAlign = le16(b, p + 20)
+        val bits = le16(b, p + 22)
+        fmt = Some((channels, rate, bits, blockAlign))
+      } else if (id == "data") {
+        return fmt.collect { case (ch, rate, bits, ba) if ba > 0 =>
+          (ch, rate, bits, size / ba)
+        }
+      }
+      if (size < 0 || size > Int.MaxValue - 8) return None
+      p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    None
+  }
 }
 
 /** `image_dims(binary)` -> struct<format, width, height>; null for
@@ -112,7 +147,36 @@ case class ImageDims(child: Expression)
   override def prettyName: String = "image_dims"
 }
 
+/** `audio_meta(binary)` -> struct<channels, sample_rate, bits,
+  * n_frames>; null for unrecognized/truncated RIFF containers
+  * (PERMISSIVE, like image_dims). */
+case class AudioMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"audio_meta expects binary, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    MediaHeaders.parseWav(input.asInstanceOf[Array[Byte]]) match {
+      case Some((ch, rate, bits, frames)) =>
+        new GenericInternalRow(Array[Any](ch, rate, bits, frames))
+      case None => null
+    }
+  override protected def withNewChildInternal(newChild: Expression): AudioMeta =
+    copy(child = newChild)
+  override def prettyName: String = "audio_meta"
+}
+
 object media {
   def image_dims(blob: Column): Column =
     ColumnBridge.column(ImageDims(ColumnBridge.expression(blob)))
+  def audio_meta(blob: Column): Column =
+    ColumnBridge.column(AudioMeta(ColumnBridge.expression(blob)))
 }

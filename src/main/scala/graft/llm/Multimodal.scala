@@ -82,6 +82,33 @@ object Multimodal {
     unhex(when(format === "png", png).when(format === "jpeg", jpeg).otherwise(gif))
   }
 
+  /** Deterministic RIFF/WAVE header synthesis (hex-assembled column
+    * expressions, then `unhex`) — the audio counterpart of
+    * [[synthesizeHeader]]: a complete RIFF + fmt + data chunk header
+    * carrying the given PCM parameters, with no sample payload (the
+    * parser reads sizes, not samples). */
+  def synthesizeWavHeader(channels: Column, sampleRate: Column,
+      bits: Column, nFrames: Column): Column = {
+    def le16(x: Column): Column = {
+      val be = lpad(hex(x), 4, "0")
+      concat(substring(be, 3, 2), substring(be, 1, 2))
+    }
+    def le32(x: Column): Column = {
+      val be = lpad(hex(x), 8, "0")
+      concat(substring(be, 7, 2), substring(be, 5, 2),
+        substring(be, 3, 2), substring(be, 1, 2))
+    }
+    val blockAlign = channels * (bits / 8)
+    val dataSize = nFrames * blockAlign
+    unhex(concat(
+      lit("52494646"), le32(dataSize + 36), lit("57415645"), // RIFF size WAVE
+      lit("666D7420"), lit("10000000"), lit("0100"),         // fmt , len 16, PCM
+      le16(channels), le32(sampleRate),
+      le32(sampleRate * blockAlign),                          // byte rate
+      le16(blockAlign), le16(bits),
+      lit("64617461"), le32(dataSize)))                       // data chunk header
+  }
+
   /** Feature extraction: a 16-bin byte histogram normalized to [0,1] —
     * the stand-in for an image/audio embedding model. Output shape
     * (fixed-width Array[Float]) and the mapPartitions batch contract

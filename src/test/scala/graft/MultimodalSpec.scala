@@ -112,4 +112,40 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getInt(5) === r.getInt(2))
     }
   }
+
+  test("synthesizeWavHeader round-trips through audio_meta") {
+    val df = Seq((1, 8000, 16, 12345L), (2, 44100, 16, 1L), (2, 48000, 16, 0L))
+      .toDF("ch", "rate", "bits", "frames")
+    val got = df.select($"ch", $"rate", $"bits", $"frames",
+        graft.functions.media.audio_meta(Multimodal.synthesizeWavHeader(
+          $"ch", $"rate", $"bits", $"frames")).as("m"))
+      .select($"ch", $"rate", $"bits", $"frames",
+        $"m.channels", $"m.sample_rate", $"m.bits", $"m.n_frames")
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(4) === r.getInt(0))
+      assert(r.getInt(5) === r.getInt(1))
+      assert(r.getInt(6) === r.getInt(2))
+      assert(r.getLong(7) === r.getLong(3))
+    }
+  }
+
+  test("parseWav is permissive: garbage, truncation, stray chunks, odd sizes") {
+    import graft.functions.MediaHeaders
+    assert(MediaHeaders.parseWav(null) === None)
+    assert(MediaHeaders.parseWav(Array[Byte](1, 2, 3)) === None)
+    assert(MediaHeaders.parseWav("RIFFxxxxNOPE".getBytes("US-ASCII")) === None)
+    // a valid header via the synth column, then corrupt it
+    val full = spark.range(1).select(
+        graft.llm.Multimodal.synthesizeWavHeader(lit(2), lit(16000), lit(16), lit(100L)))
+      .head().getAs[Array[Byte]](0)
+    assert(MediaHeaders.parseWav(full) === Some((2, 16000, 16, 100L)))
+    // truncated mid-fmt -> None, never a throw
+    assert(MediaHeaders.parseWav(full.take(20)) === None)
+    // an ODD-sized stray chunk before fmt must be word-aligned over
+    val stray = "4A554E4B" + "03000000" + "414243" + "00" // "JUNK" len 3 + pad
+    val strayBytes = stray.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val shifted = full.take(12) ++ strayBytes ++ full.drop(12)
+    assert(MediaHeaders.parseWav(shifted) === Some((2, 16000, 16, 100L)))
+  }
 }

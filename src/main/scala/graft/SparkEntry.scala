@@ -1564,6 +1564,24 @@ object SparkEntry {
         expr("m.n_frames * 1000 div m.sample_rate").as("duration_ms"))
       .orderBy(col("doc_id"))
 
+  /** Exact-k-per-group deterministic sampling (k=5 per language): the
+    * eval-set construction primitive — rate-based sampling
+    * (q_stratified_sample) cannot promise exactly k rows per stratum;
+    * ranking a replayable 48-bit md5 key does. Runs on the two-pass
+    * grouped rank (no per-language window funnel); the 48-bit key stays
+    * below 2^53 so groupedRank's double order is exact. */
+  private def qSampleK(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
+          .cast("long").cast("double").as("h"))
+    graft.ops.ScalablePrefix.groupedRank(s, keyed,
+        groupCol = "lang", orderCol = "h", idCol = "doc_id", numPartitions = 32)
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("grp_n"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   /** Correlated EXISTS subquery (TPC-H Q4 shape) as ONE SQL text run
     * verbatim by both engines — exercises Catalyst's subquery
     * decorrelation (EXISTS → left-semi join). */
@@ -4350,6 +4368,7 @@ object SparkEntry {
     "q_gini" -> (qGini _),
     "q_ngram_lm" -> (qNgramLm _),
     "q_audio_meta" -> (qAudioMeta _),
+    "q_sample_k" -> (qSampleK _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7148,5 +7167,18 @@ object SparkEntry {
         |  ((doc_id % 100 + 1) * 1600) * 1000 // ((doc_id % 5 + 1) * 8000)
         |    AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sample_k" ->
+      """WITH k AS (
+        |  SELECT lang, doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS grp_n
+        |  FROM k)
+        |SELECT lang, rnk, doc_id, grp_n FROM r WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
   )
 }

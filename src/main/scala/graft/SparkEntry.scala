@@ -398,6 +398,28 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Last-touch marketing attribution: each purchase is attributed to
+    * the SAME user's most recent strictly-preceding click's channel
+    * (props.k mod 4), then revenue rolls up per channel with -1 for
+    * organic (no prior click). Runs through the native as-of operator
+    * — the second production consumer after q_features_asof, showing
+    * the operator composes — while the oracle re-derives attribution
+    * with an independent correlated-subquery algorithm. */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        Analytics.fp(col("value"), 1000L).as("v_milli"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        (get_json_object(col("props"), "$.k").cast("long") % 4).as("channel"))
+    graft.plans.Asof.join(purchases, clicks, Seq("user_id"), Seq("c_user"),
+        "ts", "c_ts", Seq("channel"), inclusive = false)
+      .groupBy(coalesce(col("channel"), lit(-1L)).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("v_milli")).as("value_milli"))
+      .orderBy(col("channel"))
+  }
+
   /** Time-series densification (gap filling): every 10-minute bucket in
     * each user's [first, last] activity span gets a row, absent buckets
     * filled with zero — the resample step feeding any windowed model.
@@ -4369,6 +4391,7 @@ object SparkEntry {
     "q_ngram_lm" -> (qNgramLm _),
     "q_audio_meta" -> (qAudioMeta _),
     "q_sample_k" -> (qSampleK _),
+    "q_attribution" -> (qAttribution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7180,5 +7203,25 @@ object SparkEntry {
         |  FROM k)
         |SELECT lang, rnk, doc_id, grp_n FROM r WHERE rnk <= 5
         |ORDER BY lang, rnk""".stripMargin,
+
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS channel
+        |  FROM events WHERE event_type = 'click'),
+        |att AS (
+        |  SELECT p.event_id, p.v_milli,
+        |    (SELECT c.channel FROM c
+        |     WHERE c.user_id = p.user_id AND c.ts < p.ts
+        |     ORDER BY c.ts DESC LIMIT 1) AS channel
+        |  FROM p)
+        |SELECT coalesce(channel, -1) AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(v_milli) AS BIGINT) AS value_milli
+        |FROM att GROUP BY 1 ORDER BY channel""".stripMargin,
   )
 }

@@ -111,6 +111,32 @@ class ClusteringSpec extends SparkSpec {
     assert(i2 <= i1, s"round 2 increased inertia: $i1 -> $i2")
   }
 
+  test("PQ ADC recall@10 on real embeddings stays above the coarse bound") {
+    // index-quality evaluation for the compressed path (the PQ analog
+    // of q_recall_at_k's IVF eval): ADC ranking vs the exact ranking
+    // over sf0.001 embeddings. 8x8 PQ against 16 sub-centroids is a
+    // coarse codebook, so the bound is deliberately loose — the probe
+    // pins "the compressed index is not garbage", deterministically.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.subVectors(emb.filter($"vec_id" < 16), "embedding", 8, 8)
+      .select($"s", $"vec_id".as("cid"), $"sub".as("csub"))
+    val codes = Similarity.pqAssign(emb, "vec_id", "embedding", cents, 8, 8)
+    val lut = Similarity.subVectors(emb.filter($"vec_id" === 0L), "embedding", 8, 8)
+      .select($"s", $"sub".as("qsub"))
+      .join(cents, "s")
+      .select($"s", $"cid", Similarity.dotFp($"qsub", $"csub").as("d"))
+    val adcTop = Similarity.pqAdcScores(codes, "vec_id", lut)
+      .orderBy($"adc_fp".desc, $"vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val q = emb.filter($"vec_id" === 0L).select($"embedding".as("qv"))
+    val exactTop = emb.crossJoin(q)
+      .select($"vec_id", Similarity.dotFp($"embedding", $"qv").as("d"))
+      .orderBy($"d".desc, $"vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (adcTop intersect exactTop).size
+    assert(recall >= 3, s"ADC recall@10 = $recall/10 — compressed index broken")
+  }
+
   test("codebook vectors code to themselves when slices are distinct") {
     // 4 vectors with unique orthogonal slices: each codes to its own id
     val emb = Seq(

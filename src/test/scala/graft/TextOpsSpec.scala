@@ -112,4 +112,33 @@ class TextOpsSpec extends SparkSpec {
     val merges = TextOps.bpeTrain(tiny, "text", nMerges = 5)
     assert(merges.isEmpty) // all words are single characters
   }
+
+  test("property: mergePair fold equals the left-to-right scan on random arrays") {
+    // reference implementation: explicit non-overlapping left-to-right scan
+    def refMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "c", "ab", "aa")
+    val cases = (0 until 300).map { i =>
+      val syms = Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size)))
+      (i.toLong, syms)
+    }
+    val df = cases.toDF("id", "syms")
+    for ((a, b) <- Seq(("a", "b"), ("a", "a"), ("ab", "c"), ("b", "aa"))) {
+      val got = df.select($"id", TextOps.mergePair($"syms", a, b).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      cases.foreach { case (id, syms) =>
+        assert(got(id) === refMerge(syms, a, b),
+          s"pair ($a,$b) on $syms: ${got(id)} != ${refMerge(syms, a, b)}")
+      }
+    }
+  }
 }

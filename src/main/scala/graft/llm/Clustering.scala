@@ -102,6 +102,45 @@ object Clustering {
       .agg(sum(col("gap"))).head().getLong(0)
   }
 
+  /** Mini-batch Lloyd iterations (Sculley, WWW 2010): each update
+    * round computes centroids from a deterministic md5-hash sample of
+    * the corpus instead of a full pass — the 100 TB training path,
+    * where full-corpus rounds are the dominant cost and a few-percent
+    * sample moves centroids almost as far. The sample is replayable
+    * (pure function of id and round), so training stays deterministic;
+    * the FINAL assignment still covers the full corpus. `perMille` =
+    * sample rate in 1/1000 units. */
+  def lloydMiniBatch(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int, perMille: Int, seedIds: Seq[Long] = Nil): DataFrame = {
+    require(perMille > 0 && perMille <= 1000, "perMille in (0, 1000]")
+    val seed =
+      if (seedIds.isEmpty) emb.filter(col(idCol) < k)
+      else emb.filter(col(idCol).cast("long").isInCollection(seedIds))
+    var cents = seed
+      .select(col(idCol).cast("long").as("cid"), toFp(col(vecCol)).as("cf"))
+      .localCheckpoint(true)
+    for (r <- 0 until rounds) {
+      // replayable per-round Bernoulli gate on md5(id, round)
+      val h = conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(s"|mb$r")).cast("binary")), 1, 12), 16, 10).cast("long")
+      val batch = emb.filter(h % 1000 < perMille)
+      val a = assign(batch, idCol, vecCol, cents)
+      cents = batch.join(a, idCol)
+        .select(col("cid"), posexplode(toFp(col(vecCol))))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          floor(col("s").cast("double") / col("n").cast("double"))
+            .cast("long").as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cf"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** `rounds` Lloyd iterations from a deterministic seed (by default
     * the k lowest-id vectors; pass `seedIds` from [[farthestFirst]] for
     * spread seeds); returns the final centroid model

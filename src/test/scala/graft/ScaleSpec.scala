@@ -294,6 +294,36 @@ class ScaleSpec extends SparkSpec {
     info(f"100k x 16-dim k-means, 2 rounds + final assign in $secs%.1f s")
   }
 
+  test("mini-batch k-means matches full Lloyd's clusters at 100k vectors") {
+    // well-separated planted clusters: a 5% mini-batch must land the
+    // same partition of the data as the full-pass update, in a
+    // fraction of the per-round work; determinism comes from the
+    // replayable md5 round-sample
+    val n = 100000L
+    val emb = spark.range(n).select($"id".as("vec_id"),
+      expr("transform(sequence(0, 7), i -> " +
+        "CAST(CASE WHEN i = CAST(vec_id % 4 AS INT) * 2 THEN 1.0 " +
+        "ELSE pmod(vec_id, 97) / 9700.0 END AS FLOAT))").as("embedding"))
+    val seeds = Seq(0L, 1L, 2L, 3L) // one per planted cluster (id % 4)
+    val full = graft.llm.Clustering.lloyd(
+      emb, "vec_id", "embedding", k = 4, rounds = 2, seedIds = seeds)
+    val mini = graft.llm.Clustering.lloydMiniBatch(
+      emb, "vec_id", "embedding", k = 4, rounds = 2, perMille = 50, seedIds = seeds)
+    val af = graft.llm.Clustering.assign(emb, "vec_id", "embedding", full)
+    val am = graft.llm.Clustering.assign(emb, "vec_id", "embedding", mini)
+    // same partition: every vector gets the same centroid id under both
+    val diff = af.withColumnRenamed("cid", "cf")
+      .join(am.withColumnRenamed("cid", "cm"), "vec_id")
+      .filter($"cf" =!= $"cm").count()
+    assert(diff === 0L, s"$diff/$n vectors assigned differently")
+    // and both runs are internally deterministic
+    val again = graft.llm.Clustering.lloydMiniBatch(
+      emb, "vec_id", "embedding", k = 4, rounds = 2, perMille = 50, seedIds = seeds)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    val once = mini.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    assert(again === once)
+  }
+
   test("BPE rounds cost vocabulary size, not corpus size (1M words)") {
     // 100k docs x 10 words but only ~1000 distinct words: after the
     // one corpus collapse, every merge round runs over <= 1000 rows

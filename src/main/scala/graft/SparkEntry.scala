@@ -3932,6 +3932,22 @@ object SparkEntry {
       .orderBy(col("cid"))
   }
 
+  /** Semantic deduplication (SemDeDup-style, cf. Abbas et al. 2023):
+    * k-means clusters become LEARNED blocking keys, and near-duplicate
+    * cosine pairs are mined only within a cluster — q_embed_near_dup's
+    * blocking with the label column replaced by the model's own
+    * geometry, so the pair join stays linear in cluster size with no
+    * labeled data. Composes Clustering.lloyd/assign with
+    * Similarity.nearDupPairs unchanged. */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = graft.llm.Clustering.lloyd(emb, "vec_id", "embedding", k = 8, rounds = 1)
+    val assigned = emb
+      .join(graft.llm.Clustering.assign(emb, "vec_id", "embedding", cents), "vec_id")
+    Similarity.nearDupPairs(assigned, "vec_id", "embedding", "cid", minSim = 0.35)
+      .orderBy(col("v1"), col("v2"))
+  }
+
   /** Product-quantization ADC search: 64-dim vectors compress to 8
     * per-subspace codes against a deterministic sub-centroid codebook
     * (the 16 lowest-id vectors' slices); the query scores candidates
@@ -4155,6 +4171,49 @@ object SparkEntry {
 
   private def duckCos(dab: String, daa: String, dbb: String): String =
     s"($dab / 1000000000.0) / (sqrt($daa / 1000000000.0) * sqrt($dbb / 1000000000.0))"
+
+  /** Shared oracle CTE chain replaying one Lloyd round (seed = lowest-8
+    * ids, fixed-point floor-mean update) ending at `a2` (the final
+    * assignment) and `c1` (the learned centroids) — consumed by
+    * q_kmeans and q_semantic_dedup. */
+  private lazy val kmeansAssignCtes: String =
+    """c0 AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS cid,
+      |    list_transform(embedding, v ->
+      |      CAST(floor(CAST(v AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)) AS cf
+      |  FROM embeddings WHERE vec_id < 8),
+      |d1 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(generate_series(1, 64), i ->
+      |      CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cf[i] AS DOUBLE) + 0.5) AS BIGINT))) AS d
+      |  FROM embeddings e CROSS JOIN c0 c),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+      |    FROM d1) x WHERE rn = 1),
+      |s1 AS (
+      |  SELECT a.cid, i,
+      |    CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM embeddings e
+      |  JOIN a1 a ON e.vec_id = a.vec_id
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+      |  GROUP BY a.cid, i),
+      |c1 AS (
+      |  SELECT cid,
+      |    list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY i) AS cf
+      |  FROM s1 GROUP BY cid),
+      |d2 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(generate_series(1, 64), i ->
+      |      CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cf[i] AS DOUBLE) + 0.5) AS BIGINT))) AS d
+      |  FROM embeddings e CROSS JOIN c1 c),
+      |a2 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+      |    FROM d2) x WHERE rn = 1)""".stripMargin
 
   /** Recursive-reachability oracle for connected components over the
     * Jaccard near-dup pair graph — shared by q_dup_clusters (min-label
@@ -4392,6 +4451,7 @@ object SparkEntry {
     "q_audio_meta" -> (qAudioMeta _),
     "q_sample_k" -> (qSampleK _),
     "q_attribution" -> (qAttribution _),
+    "q_semantic_dedup" -> (qSemanticDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6972,49 +7032,26 @@ object SparkEntry {
         |FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT 30""".stripMargin,
 
     "q_kmeans" ->
-      s"""WITH c0 AS (
-         |  SELECT CAST(vec_id AS BIGINT) AS cid,
-         |    list_transform(embedding, v ->
-         |      CAST(floor(CAST(v AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)) AS cf
-         |  FROM embeddings WHERE vec_id < 8),
-         |d1 AS (
-         |  SELECT e.vec_id, c.cid,
-         |    list_sum(list_transform(generate_series(1, 64), i ->
-         |      CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cf[i] AS DOUBLE) + 0.5) AS BIGINT))) AS d
-         |  FROM embeddings e CROSS JOIN c0 c),
-         |a1 AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-         |    FROM d1) x WHERE rn = 1),
-         |s1 AS (
-         |  SELECT a.cid, i,
-         |    CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM embeddings e
-         |  JOIN a1 a ON e.vec_id = a.vec_id
-         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
-         |  GROUP BY a.cid, i),
-         |c1 AS (
-         |  SELECT cid,
-         |    list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY i) AS cf
-         |  FROM s1 GROUP BY cid),
-         |d2 AS (
-         |  SELECT e.vec_id, c.cid,
-         |    list_sum(list_transform(generate_series(1, 64), i ->
-         |      CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cf[i] AS DOUBLE) + 0.5) AS BIGINT))) AS d
-         |  FROM embeddings e CROSS JOIN c1 c),
-         |a2 AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-         |    FROM d2) x WHERE rn = 1),
+      s"""WITH $kmeansAssignCtes,
          |g AS (
          |  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
          |    min(vec_id) AS min_vec
          |  FROM a2 GROUP BY cid)
          |SELECT g.cid, g.n_members, g.min_vec, c1.cf[1] AS c0_fp
          |FROM g JOIN c1 ON g.cid = c1.cid ORDER BY g.cid""".stripMargin,
+
+    "q_semantic_dedup" ->
+      s"""WITH $kmeansAssignCtes,
+         |n AS (
+         |  SELECT e.vec_id, a.cid, e.embedding,
+         |    ${duckDot("e.embedding", "e.embedding")} AS nrm
+         |  FROM embeddings e JOIN a2 a ON e.vec_id = a.vec_id),
+         |pairs AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    ${duckCos("""list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)))""", "a.nrm", "b.nrm")} AS cosine
+         |  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT v1, v2, cosine FROM pairs WHERE cosine >= 0.35
+         |ORDER BY v1, v2""".stripMargin,
 
     "q_pq_adc" ->
       """WITH ss AS (SELECT unnest(generate_series(0, 7)) AS s),

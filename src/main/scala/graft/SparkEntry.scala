@@ -3948,6 +3948,21 @@ object SparkEntry {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** Embedding outlier screen (out-of-distribution filter): the 20
+    * vectors whose best similarity to ANY learned centroid is lowest —
+    * far from every cluster ⇒ likely noise/OOD, the curation
+    * counterpart of q_semantic_dedup's "too close" pairs. One scored
+    * assignment pass (broadcast model, map-side argmax), then a
+    * bounded TakeOrdered — no window, no second scan. */
+  private def qEmbedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = graft.llm.Clustering.lloyd(emb, "vec_id", "embedding", k = 8, rounds = 1)
+    graft.llm.Clustering.assignScored(emb, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("d").as("best_d"))
+      .orderBy(col("best_d"), col("vec_id"))
+      .limit(20)
+  }
+
   /** Product-quantization ADC search: 64-dim vectors compress to 8
     * per-subspace codes against a deterministic sub-centroid codebook
     * (the 16 lowest-id vectors' slices); the query scores candidates
@@ -4452,6 +4467,7 @@ object SparkEntry {
     "q_sample_k" -> (qSampleK _),
     "q_attribution" -> (qAttribution _),
     "q_semantic_dedup" -> (qSemanticDedup _),
+    "q_embed_outliers" -> (qEmbedOutliers _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7052,6 +7068,14 @@ object SparkEntry {
          |  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id)
          |SELECT v1, v2, cosine FROM pairs WHERE cosine >= 0.35
          |ORDER BY v1, v2""".stripMargin,
+
+    "q_embed_outliers" ->
+      s"""WITH $kmeansAssignCtes,
+         |best AS (
+         |  SELECT vec_id, CAST(max(d) AS BIGINT) AS best_d
+         |  FROM d2 GROUP BY vec_id)
+         |SELECT vec_id, best_d FROM best
+         |ORDER BY best_d, vec_id LIMIT 20""".stripMargin,
 
     "q_pq_adc" ->
       """WITH ss AS (SELECT unnest(generate_series(0, 7)) AS s),

@@ -46,17 +46,24 @@ object Clustering {
         floor(x.cast("double") * c.cast("double") + lit(0.5)).cast("long")),
       lit(0L), (acc, v) => acc + v)
 
-  /** Nearest-centroid assignment: (id, cid) per vector. Argmax runs as
-    * a map-side-combining aggregate (max over (dot, -cid) structs), not
-    * a per-vector window — ties to the smallest cid. */
-  def assign(emb: DataFrame, idCol: String, vecCol: String,
+  /** Nearest-centroid assignment WITH the winning similarity: (id,
+    * cid, d) per vector. Argmax runs as a map-side-combining aggregate
+    * (max over (dot, -cid) structs), not a per-vector window — ties to
+    * the smallest cid. The score is the model-fit signal outlier
+    * screens rank on. */
+  def assignScored(emb: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
       .select(col(idCol), col("cid"),
         dotCent(col(vecCol), col("cf")).as("d"))
       .groupBy(col(idCol))
       .agg(max(struct(col("d"), (-col("cid")).as("nc"))).as("m"))
-      .select(col(idCol), (-col("m.nc")).as("cid"))
+      .select(col(idCol), (-col("m.nc")).as("cid"), col("m.d").as("d"))
+
+  /** Nearest-centroid assignment: (id, cid) per vector. */
+  def assign(emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    assignScored(emb, idCol, vecCol, cents).drop("d")
 
   /** Deterministic farthest-first (Gonzalez 1985 k-center) seeding:
     * start from the lowest id, then k-1 times pick the vector with the

@@ -103,7 +103,10 @@ object MediaHeaders {
     while (p + 8 <= b.length) {
       val id = new String(Array(b(p), b(p + 1), b(p + 2), b(p + 3)), "US-ASCII")
       val size = le32(b, p + 4)
-      if (id == "fmt " && p + 8 + 16 <= b.length) {
+      // a fmt chunk must DECLARE the 16 PCM bytes it carries — reading
+      // past an undersized declaration would fabricate fields from the
+      // next chunk's bytes
+      if (id == "fmt " && size >= 16 && p + 8 + 16 <= b.length) {
         val channels = le16(b, p + 10)
         val rate = le32(b, p + 12).toInt
         val blockAlign = le16(b, p + 20)
@@ -114,8 +117,12 @@ object MediaHeaders {
           (ch, rate, bits, size / ba)
         }
       }
-      if (size < 0 || size > Int.MaxValue - 8) return None
-      p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // advance in Long space: a hostile 32-bit size near Int.MaxValue
+      // would wrap an Int cursor negative and index out of bounds; any
+      // non-data chunk must fit entirely inside the blob
+      val next = p.toLong + 8L + size + (size & 1L)
+      if (next > b.length) return None
+      p = next.toInt
     }
     None
   }

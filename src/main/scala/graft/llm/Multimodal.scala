@@ -98,15 +98,31 @@ object Multimodal {
       concat(substring(be, 7, 2), substring(be, 5, 2),
         substring(be, 3, 2), substring(be, 1, 2))
     }
-    val blockAlign = channels * (bits / 8)
-    val dataSize = nFrames * blockAlign
-    unhex(concat(
+    // integer byte width (Column `/` is double division; the guard
+    // below rejects bits not divisible by 8 before truncation matters)
+    val blockAlign = channels.cast("long") *
+      (bits.cast("long") / lit(8)).cast("long")
+    val dataSize = nFrames.cast("long") * blockAlign
+    val byteRate = sampleRate.cast("long") * blockAlign
+    // out-of-contract parameters would silently assemble corrupt
+    // little-endian fields (lpad(hex) truncates high digits) — fail
+    // loudly instead, the q_pareto encoding-guard convention
+    val valid = bits.cast("long") % 8 === 0 &&
+      bits.cast("long").between(8, 65535) &&
+      channels.cast("long").between(1, 65535) &&
+      blockAlign.between(1, 65535) &&
+      sampleRate.cast("long").between(1, 0xFFFFFFFFL) &&
+      nFrames.cast("long") >= 0 &&
+      (dataSize + 36) <= 0xFFFFFFFFL && byteRate <= 0xFFFFFFFFL
+    val header = concat(
       lit("52494646"), le32(dataSize + 36), lit("57415645"), // RIFF size WAVE
       lit("666D7420"), lit("10000000"), lit("0100"),         // fmt , len 16, PCM
       le16(channels), le32(sampleRate),
-      le32(sampleRate * blockAlign),                          // byte rate
+      le32(byteRate),
       le16(blockAlign), le16(bits),
-      lit("64617461"), le32(dataSize)))                       // data chunk header
+      lit("64617461"), le32(dataSize))                        // data chunk header
+    unhex(when(valid, header).otherwise(raise_error(lit(
+      "synthesizeWavHeader: parameters outside the PCM header contract"))))
   }
 
   /** Feature extraction: a 16-bin byte histogram normalized to [0,1] —

@@ -147,5 +147,26 @@ class MultimodalSpec extends SparkSpec {
     val strayBytes = stray.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     val shifted = full.take(12) ++ strayBytes ++ full.drop(12)
     assert(MediaHeaders.parseWav(shifted) === Some((2, 16000, 16, 100L)))
+    // hostile chunk size near Int.MaxValue must not wrap the cursor
+    // negative (was an ArrayIndexOutOfBoundsException)
+    val hostile = "52494646" + "24000000" + "57415645" +
+      "4A554E4B" + "F0FFFF7F" // JUNK declaring size 0x7FFFFFF0
+    val hostileBytes = hostile.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    assert(MediaHeaders.parseWav(hostileBytes) === None)
+    // a fmt chunk DECLARING size < 16 must not fabricate fields from
+    // the following bytes
+    val shortFmt = full.clone()
+    shortFmt(16) = 4 // fmt size LE32 := 4
+    assert(MediaHeaders.parseWav(shortFmt) === None)
+  }
+
+  test("synthesizeWavHeader fails loudly outside the PCM contract") {
+    // 12-bit samples: blockAlign is fractional — must raise, not emit
+    // a plausible-looking corrupt header
+    val e = intercept[Exception] {
+      spark.range(1).select(graft.llm.Multimodal.synthesizeWavHeader(
+        lit(2), lit(16000), lit(12), lit(100L))).collect()
+    }
+    assert(e.getMessage.contains("PCM header contract"), e.getMessage)
   }
 }

@@ -293,28 +293,33 @@ object Dedup {
       .localCheckpoint(eager = true)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
+    // one min-label propagation sweep, fused (no materialization)
+    def sweep(l: DataFrame): DataFrame = {
+      val neighborMin = edges
+        .join(l.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      l.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "b"), "b")
-        .groupBy(col("a").as("node"))
-        .agg(min(col("label")).as("nbr_label"))
-      // materialize BEFORE the convergence check so the round's lineage
-      // executes once (checkpoint) instead of twice, iterative joins
-      // never stack into one enormous plan, and carrying the previous
-      // label through the projection makes the convergence check a
-      // filter on the materialized table — no extra join per round
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          col("label").as("prev_label"))
+      // TWO propagation sweeps per materialized round: labels only ever
+      // decrease, so extra sweeps between convergence checks are safe,
+      // and at small per-round data the checkpoint+count job floor
+      // dominates — fusing halves the round-trips. The convergence
+      // check compares against the ROUND-START labels via a join on
+      // the materialized table (zero change across two sweeps implies
+      // a fixed point). Superseded rounds' blocks are released by the
+      // ContextCleaner on GC (Dataset.unpersist does not cover
+      // localCheckpoint blocks).
+      val next = sweep(sweep(labels))
+        .join(labels.select(col("node"), col("label").as("prev_label")), "node")
         .localCheckpoint(eager = true)
       val changed = next.filter(col("label") =!= col("prev_label")).count()
       labels = next.drop("prev_label")
-      // no explicit unpersist: Dataset.unpersist does not cover
-      // localCheckpoint blocks (RDD-level, not CacheManager entries);
-      // superseded rounds are released by the ContextCleaner on GC
       converged = changed == 0
       iter += 1
     }

@@ -2692,6 +2692,27 @@ object SparkEntry {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Winsorized group means (robust-statistics cleaning): clip each
+    * order's price to its priority's [p05, p95] nearest-rank fence and
+    * compare the group mean before/after — the outlier-resistant
+    * aggregate reporting pipelines use when a few fat-finger rows drag
+    * the plain mean. Fences come off the two-pass grouped rank (no
+    * per-group sort task) and broadcast back; means are exact integer
+    * division. */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val pct = orderPricePercentiles(s, dir, Seq(5, 95))
+      .select(col("o_orderpriority"), col("p5_c").as("p05"), col("p95_c").as("p95"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .join(broadcast(pct), "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(cents) div count(1)").as("mean_c"),
+        expr("sum(greatest(p05, least(p95, cents))) div count(1)").as("wins_mean_c"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** INTERPOLATED p90 (percentile_cont semantics: position p·(n-1),
     * linear interpolation between the bracketing values) computed
     * EXACTLY: position and fraction are integer arithmetic
@@ -4152,6 +4173,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** ML feature preparation in one pass: leave-one-out target encoding
+    * (the category mean EXCLUDING the current row — the standard
+    * leakage-safe categorical encoding) and per-group min-max scaling,
+    * both from ONE grouped aggregate broadcast back onto the fact scan.
+    * All integer arithmetic: LOO = (Σ−x) div (n−1), scale in exact ppm;
+    * degenerate groups (n=1 / constant) yield null, not a crash. */
+  private def qFeaturePrep(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val g = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    o.join(broadcast(g), "o_orderpriority")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        when(col("n") > 1, expr("(s - cents) div (n - 1)")).as("loo_mean_cents"),
+        expr("(cents - mn) * 1000000 div nullif(mx - mn, 0)").as("minmax_ppm"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Gini–Simpson diversity of the corpus source mix: 1 − Σ(nᵢ/N)² and
     * the inverse-Simpson "effective source count" — the dataset-card
     * diversity number next to q_source_mix's shares. Exact integer
@@ -4468,6 +4509,8 @@ object SparkEntry {
     "q_attribution" -> (qAttribution _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_embed_outliers" -> (qEmbedOutliers _),
+    "q_feature_prep" -> (qFeaturePrep _),
+    "q_winsorize" -> (qWinsorize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7076,6 +7119,45 @@ object SparkEntry {
          |  FROM d2 GROUP BY vec_id)
          |SELECT vec_id, best_d FROM best
          |ORDER BY best_d, vec_id LIMIT 20""".stripMargin,
+
+    "q_feature_prep" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s,
+        |    CAST(min(cents) AS BIGINT) AS mn, CAST(max(cents) AS BIGINT) AS mx
+        |  FROM o GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN n > 1 THEN (s - cents) // (n - 1) END AS loo_mean_cents,
+        |  (cents - mn) * 1000000 // nullif(mx - mn, 0) AS minmax_ppm
+        |FROM o JOIN g USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, cents,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY cents, o_orderkey) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS grp_n
+        |  FROM o),
+        |p AS (
+        |  SELECT o_orderpriority,
+        |    CAST(max(CASE WHEN rnk = (grp_n * 5 + 99) // 100 THEN cents END) AS BIGINT) AS p05,
+        |    CAST(max(CASE WHEN rnk = (grp_n * 95 + 99) // 100 THEN cents END) AS BIGINT) AS p95
+        |  FROM r GROUP BY 1)
+        |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_c,
+        |  CAST(sum(greatest(p05, least(p95, cents))) AS BIGINT)
+        |    // CAST(count(*) AS BIGINT) AS wins_mean_c
+        |FROM o JOIN p USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_pq_adc" ->
       """WITH ss AS (SELECT unnest(generate_series(0, 7)) AS s),

@@ -4193,6 +4193,27 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Zipf rank–frequency diagnostic over the token distribution: for
+    * the top-20 tokens, rank × frequency — near-constant under Zipf's
+    * law, so drift in the product flags a skewed/degenerate corpus
+    * (boilerplate floods, template spam) without any log/regression
+    * fit. One token aggregation, a bounded top-k, integer products. */
+  private def qZipf(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(20)
+    import org.apache.spark.sql.expressions.Window
+    // 20 rows: the window is a formality, not a funnel
+    freq.withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("w"))).cast("long"))
+      .select(col("rank"), col("w"), col("freq"),
+        (col("rank") * col("freq")).as("rank_x_freq"))
+      .orderBy(col("rank"))
+  }
+
   /** Gini–Simpson diversity of the corpus source mix: 1 − Σ(nᵢ/N)² and
     * the inverse-Simpson "effective source count" — the dataset-card
     * diversity number next to q_source_mix's shares. Exact integer
@@ -4511,6 +4532,7 @@ object SparkEntry {
     "q_embed_outliers" -> (qEmbedOutliers _),
     "q_feature_prep" -> (qFeaturePrep _),
     "q_winsorize" -> (qWinsorize _),
+    "q_zipf" -> (qZipf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7158,6 +7180,18 @@ object SparkEntry {
         |    // CAST(count(*) AS BIGINT) AS wins_mean_c
         |FROM o JOIN p USING (o_orderpriority)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_zipf" ->
+      """WITH f AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) > 0 GROUP BY w
+        |  ORDER BY freq DESC, w LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rank,
+        |  w, freq,
+        |  CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT) * freq
+        |    AS rank_x_freq
+        |FROM f ORDER BY rank""".stripMargin,
 
     "q_pq_adc" ->
       """WITH ss AS (SELECT unnest(generate_series(0, 7)) AS s),

@@ -4193,6 +4193,45 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distribution-drift test per nation:
+    * D = max |F̂₁(x) − F̂₂(x)| between urgent-ish and ordinary orders'
+    * price distributions, computed EXACTLY — counts collapse onto the
+    * distinct value DOMAIN first (the q_weighted_median convention, so
+    * the per-nation window walks distinct prices, not rows), and the
+    * sup statistic is the max of |c1·n2 − c2·n1| integer
+    * cross-products, one division to ppm at the end. The
+    * drift-monitoring companion to q_chi_square (categorical) for
+    * continuous columns. Nations missing either sample drop out
+    * (HAVING both populated) instead of dividing by zero. */
+  private def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nk"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"),
+        (col("o_orderpriority") <= "2-HIGH").as("g1"))
+    val dom = o.groupBy(col("nk"), col("v"))
+      .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("d1"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).as("d2"))
+    val w = Window.partitionBy(col("nk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = dom.groupBy(col("nk"))
+      .agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+    dom
+      .withColumn("c1", sum(col("d1")).over(w))
+      .withColumn("c2", sum(col("d2")).over(w))
+      .join(broadcast(tot), "nk")
+      .groupBy(col("nk"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_num"))
+      .select(col("nk").cast("long").as("nationkey"), col("n1"), col("n2"),
+        expr("d_num * 1000000 div (n1 * n2)").as("ks_ppm"))
+      .orderBy(col("nationkey"))
+  }
+
   /** Zipf rank–frequency diagnostic over the token distribution: for
     * the top-20 tokens, rank × frequency — near-constant under Zipf's
     * law, so drift in the product flags a skewed/degenerate corpus
@@ -4533,6 +4572,7 @@ object SparkEntry {
     "q_feature_prep" -> (qFeaturePrep _),
     "q_winsorize" -> (qWinsorize _),
     "q_zipf" -> (qZipf _),
+    "q_ks_test" -> (qKsTest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7192,6 +7232,33 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT) * freq
         |    AS rank_x_freq
         |FROM f ORDER BY rank""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH o AS (
+        |  SELECT c_nationkey AS nk,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |    o_orderpriority <= '2-HIGH' AS g1
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |dom AS (
+        |  SELECT nk, v,
+        |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+        |  FROM o GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT nk, CAST(sum(d1) AS BIGINT) AS n1, CAST(sum(d2) AS BIGINT) AS n2
+        |  FROM dom GROUP BY 1 HAVING sum(d1) > 0 AND sum(d2) > 0),
+        |cum AS (
+        |  SELECT nk,
+        |    CAST(sum(d1) OVER (PARTITION BY nk ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+        |    CAST(sum(d2) OVER (PARTITION BY nk ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+        |  FROM dom)
+        |SELECT CAST(t.nk AS BIGINT) AS nationkey, t.n1, t.n2,
+        |  CAST(max(abs(c1 * t.n2 - c2 * t.n1)) AS BIGINT) * 1000000
+        |    // (t.n1 * t.n2) AS ks_ppm
+        |FROM cum JOIN tot t ON cum.nk = t.nk
+        |GROUP BY 1, 2, 3 ORDER BY nationkey""".stripMargin,
 
     "q_pq_adc" ->
       """WITH ss AS (SELECT unnest(generate_series(0, 7)) AS s),

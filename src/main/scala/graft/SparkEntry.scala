@@ -4232,6 +4232,34 @@ object SparkEntry {
       .orderBy(col("nationkey"))
   }
 
+  /** Exact Gini coefficient of customer revenue inequality via the
+    * closed form over ascending-sorted values, G = (2·Σi·xᵢ −
+    * (n+1)·Σxᵢ) / (n·Σxᵢ): ranks come from the two-pass
+    * range-partitioned prefix sum (run_cnt IS the ascending rank — no
+    * global window funnel), moment sums are exact longs, and G is one
+    * fixed double tree. Completes the concentration family: q_pareto
+    * answers "how many carry 80%", q_gini (Simpson) scores categorical
+    * diversity, this scores continuous inequality. Same loud key-
+    * encoding guard as q_pareto (cents < 2^37, custkey < 2^26). */
+  private def qLorenzGini(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .select(when(col("cents") < (1L << 37) && col("o_custkey") < (1L << 26),
+          col("cents") * lit(1L << 26) + col("o_custkey"))
+        .otherwise(raise_error(lit(
+          "q_lorenz_gini key encoding overflow: cents >= 2^37 or custkey >= 2^26")))
+        .as("k"), col("cents"))
+    val run = graft.ops.ScalablePrefix.runningSum(s, cust, "k", "cents", 32)
+    run.agg(max(col("run_cnt")).as("n"), sum(col("cents")).as("sx"),
+        sum(col("run_cnt") * col("cents")).as("six"))
+      .select(Seq(col("n"), col("sx")) ++ {
+        val (n, sx, six) = (col("n").cast("double"),
+          col("sx").cast("double"), col("six").cast("double"))
+        Seq(((lit(2.0) * six - (n + lit(1.0)) * sx) / (n * sx)).as("gini"))
+      }: _*)
+  }
+
   /** Zipf rank–frequency diagnostic over the token distribution: for
     * the top-20 tokens, rank × frequency — near-constant under Zipf's
     * law, so drift in the product flags a skewed/degenerate corpus
@@ -4573,6 +4601,7 @@ object SparkEntry {
     "q_winsorize" -> (qWinsorize _),
     "q_zipf" -> (qZipf _),
     "q_ks_test" -> (qKsTest _),
+    "q_lorenz_gini" -> (qLorenzGini _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7467,5 +7496,23 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_purchases,
         |  CAST(sum(v_milli) AS BIGINT) AS value_milli
         |FROM att GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "q_lorenz_gini" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rn
+        |  FROM cust),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sx,
+        |    CAST(sum(rn * cents) AS BIGINT) AS six
+        |  FROM r)
+        |SELECT n, sx,
+        |  (2.0 * CAST(six AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+        |FROM s""".stripMargin,
   )
 }

@@ -2704,7 +2704,7 @@ object SparkEntry {
       .select(col("o_orderpriority"), col("p5_c").as("p05"), col("p95_c").as("p95"))
     t(s, dir, "orders")
       .select(col("o_orderpriority"),
-        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        Analytics.cents(col("o_totalprice")).as("cents"))
       .join(broadcast(pct), "o_orderpriority")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
@@ -3908,7 +3908,7 @@ object SparkEntry {
     // join both read it (lazy checkpoint, qItemsets convention)
     val daily = t(s, dir, "orders")
       .select(epochDay(col("o_orderdate")).as("day"),
-        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        Analytics.cents(col("o_totalprice")).as("cents"))
       .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
       .localCheckpoint(eager = false)
     daily
@@ -4100,7 +4100,7 @@ object SparkEntry {
   private def qPareto(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
-      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .agg(sum(Analytics.cents(col("o_totalprice"))).as("cents"))
       .select(when(col("cents") < (1L << 36) && col("o_custkey") < (1L << 26),
           (lit(1L << 36) - col("cents")) * lit(1L << 26) + col("o_custkey"))
         .otherwise(raise_error(lit(
@@ -4182,7 +4182,7 @@ object SparkEntry {
   private def qFeaturePrep(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"),
-        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        Analytics.cents(col("o_totalprice")).as("cents"))
     val g = o.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
         min(col("cents")).as("mn"), max(col("cents")).as("mx"))
@@ -4210,7 +4210,7 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_nationkey"))),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_nationkey").as("nk"),
-        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"),
+        Analytics.cents(col("o_totalprice")).as("v"),
         (col("o_orderpriority") <= "2-HIGH").as("g1"))
     val dom = o.groupBy(col("nk"), col("v"))
       .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("d1"),
@@ -4228,7 +4228,10 @@ object SparkEntry {
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_num"))
       .select(col("nk").cast("long").as("nationkey"), col("n1"), col("n2"),
-        expr("d_num * 1000000 div (n1 * n2)").as("ks_ppm"))
+        // two-step ×1000 division: d_num ≤ n1·n2, so a single ×1e6
+        // would overflow int64 right where drift is largest at big SF
+        // (the q_chi_square convention); identical rounding both engines
+        expr("(d_num * 1000 div n1) * 1000 div n2").as("ks_ppm"))
       .orderBy(col("nationkey"))
   }
 
@@ -4244,13 +4247,21 @@ object SparkEntry {
   private def qLorenzGini(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
-      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .agg(sum(Analytics.cents(col("o_totalprice"))).as("cents"))
       .select(when(col("cents") < (1L << 37) && col("o_custkey") < (1L << 26),
           col("cents") * lit(1L << 26) + col("o_custkey"))
         .otherwise(raise_error(lit(
           "q_lorenz_gini key encoding overflow: cents >= 2^37 or custkey >= 2^26")))
         .as("k"), col("cents"))
     val run = graft.ops.ScalablePrefix.runningSum(s, cust, "k", "cents", 32)
+    // loud pre-flight: Σ rank·cents ≤ n·Σcents, so the moment sum is
+    // int64-safe iff n·sx < 2^62 — checked from two cheap scalars
+    // BEFORE the product sum runs (a wrapped sum would be silent)
+    val head = run.agg(max(col("run_cnt")), sum(col("cents"))).head()
+    val (nChk, sxChk) = (head.getLong(0), head.getLong(1))
+    if (nChk > 0 && sxChk > (1L << 62) / nChk) throw new IllegalStateException(
+      s"q_lorenz_gini moment sum would overflow int64 (n=$nChk, total_cents=$sxChk)" +
+        " — compute on a coarser currency unit")
     run.agg(max(col("run_cnt")).as("n"), sum(col("cents")).as("sx"),
         sum(col("run_cnt") * col("cents")).as("six"))
       .select(Seq(col("n"), col("sx")) ++ {
@@ -7284,8 +7295,8 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
         |  FROM dom)
         |SELECT CAST(t.nk AS BIGINT) AS nationkey, t.n1, t.n2,
-        |  CAST(max(abs(c1 * t.n2 - c2 * t.n1)) AS BIGINT) * 1000000
-        |    // (t.n1 * t.n2) AS ks_ppm
+        |  (CAST(max(abs(c1 * t.n2 - c2 * t.n1)) AS BIGINT) * 1000 // t.n1)
+        |    * 1000 // t.n2 AS ks_ppm
         |FROM cum JOIN tot t ON cum.nk = t.nk
         |GROUP BY 1, 2, 3 ORDER BY nationkey""".stripMargin,
 

@@ -326,8 +326,9 @@ object Dedup {
     // silent wrong labels would surface only as an inexplicable result
     // mismatch far from the cause — fail loudly instead
     if (!converged) throw new IllegalStateException(
-      s"dupClusters did not converge within $maxIter rounds — a component's " +
-        s"diameter exceeds maxIter; raise maxIter (labels would be split clusters)")
+      s"dupClusters did not converge within $maxIter rounds (2 propagation " +
+        s"sweeps each, so a component's diameter exceeds ~2x maxIter); raise " +
+        s"maxIter (labels would be split clusters)")
     labels.withColumn("is_representative", col("node") === col("label"))
   }
 

@@ -106,14 +106,17 @@ object Multimodal {
     val byteRate = sampleRate.cast("long") * blockAlign
     // out-of-contract parameters would silently assemble corrupt
     // little-endian fields (lpad(hex) truncates high digits) — fail
-    // loudly instead, the q_pareto encoding-guard convention
+    // loudly instead, the q_pareto encoding-guard convention. The size
+    // bounds are DIVISION-form pre-checks on the factors: checking the
+    // products (dataSize + 36 <= 2^32-1) would itself be bypassable by
+    // int64 wrap-around for huge nFrames
     val valid = bits.cast("long") % 8 === 0 &&
       bits.cast("long").between(8, 65535) &&
       channels.cast("long").between(1, 65535) &&
       blockAlign.between(1, 65535) &&
       sampleRate.cast("long").between(1, 0xFFFFFFFFL) &&
-      nFrames.cast("long") >= 0 &&
-      (dataSize + 36) <= 0xFFFFFFFFL && byteRate <= 0xFFFFFFFFL
+      nFrames.cast("long").between(0, (lit(0xFFFFFFFFL) - 36) / blockAlign) &&
+      sampleRate.cast("long") <= lit(0xFFFFFFFFL) / blockAlign
     val header = concat(
       lit("52494646"), le32(dataSize + 36), lit("57415645"), // RIFF size WAVE
       lit("666D7420"), lit("10000000"), lit("0100"),         // fmt , len 16, PCM

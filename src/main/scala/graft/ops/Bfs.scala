@@ -116,9 +116,9 @@ object Bfs {
       dist = merged.select(col("node"), col("dist"))
     }
     if (improved > 0) throw new IllegalStateException(
-      s"Bellman-Ford still relaxing after $maxIter rounds — a shortest " +
-        s"path has more hops than maxIter; raise it (distances would be " +
-        s"censored)")
+      s"Bellman-Ford still relaxing after $maxIter rounds (2 relaxation " +
+        s"sweeps each — a shortest path has more hops than ~2x maxIter); " +
+        s"raise it (distances would be censored)")
     dist
   }
 }

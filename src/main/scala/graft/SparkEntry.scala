@@ -2115,6 +2115,81 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** Link prediction by the resource-allocation index: for each
+    * NON-edge pair (x, y) sharing at least one neighbor z,
+    * RA(x,y) = Σ_z 1/deg(z) — the rational cousin of Adamic-Adar
+    * (1/log deg needs a transcendental; 1/deg doesn't), computed in
+    * exact ppm integer division so the oracle replays it bit-for-bit.
+    * Shape: one wedge self-join on the common-neighbor key + one
+    * aggregation + one anti-join against the existing edge list.
+    * Scale: wedge enumeration is quadratic in deg(z), so hubs above a
+    * degree cap (64) are skipped — the standard pruning, and sound
+    * for ranking since a hub's 1/deg contribution is negligible; the
+    * cap bounds any single join key's fan-out to 64×64 rows, making
+    * the wedge shuffle skew-proof by construction. Top-30 candidate
+    * edges via TakeOrderedAndProject, re-sorted on the (x, y) key. */
+  private def qLinkPred(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem").filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val und = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val mid = edges.join(deg.filter(col("d") <= 64), "u")
+    val cand = mid.as("e1").join(mid.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("x"), col("e2.v").as("y"),
+        col("e1.d").as("dz"))
+    val scored = cand.groupBy(col("x"), col("y"))
+      .agg(expr("sum(1000000 div dz)").as("ra_ppm"),
+        count(lit(1)).as("n_common"))
+    scored.join(und,
+        scored("x") === und("u") && scored("y") === und("v"), "left_anti")
+      .orderBy(col("ra_ppm").desc, col("x"), col("y")).limit(30)
+      .select(col("x"), col("y"), col("n_common"), col("ra_ppm"))
+      .orderBy(col("x"), col("y"))
+  }
+
+  /** HITS hubs & authorities over the bipartite customer→part purchase
+    * graph (2 unrolled rounds, UNNORMALIZED — for a fixed iteration
+    * count the ranking is normalization-invariant, and dropping the
+    * norm keeps every value an exact int64 SUM OF COUNTS: the only
+    * iterative graph operator in the contract with no division at
+    * all). auth₁ = indegree; hub₁(c) = Σ_{p∈N(c)} auth₁(p);
+    * auth₂(p) = Σ_{c∈N(p)} hub₁(c); hub₂ likewise. Each half-round is
+    * one equi-join + one sum keyed by the opposite side — the same
+    * distributed shape as PageRank but on a directed bipartite graph,
+    * which PageRank's undirected co-purchase projection can't express.
+    * Top-15 per role via TakeOrderedAndProject (deterministic id
+    * tie-break), emitted as one (role, node, score) frame. */
+  private def qHits(s: SparkSession, dir: String): DataFrame = {
+    val ords = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem").filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.join(ords, li("l_orderkey") === ords("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val auth1 = edges.groupBy(col("p")).agg(count(lit(1)).as("a1"))
+    val hub1 = edges.join(auth1, "p").groupBy(col("c"))
+      .agg(sum(col("a1")).as("h1"))
+    val auth2 = edges.join(hub1, "c").groupBy(col("p"))
+      .agg(sum(col("h1")).as("a2"))
+    val hub2 = edges.join(auth2, "p").groupBy(col("c"))
+      .agg(sum(col("a2")).as("h2"))
+    val topAuth = auth2.orderBy(col("a2").desc, col("p")).limit(15)
+      .select(lit("auth").as("role"), col("p").as("node"),
+        col("a2").as("score"))
+    val topHub = hub2.orderBy(col("h2").desc, col("c")).limit(15)
+      .select(lit("hub").as("role"), col("c").as("node"),
+        col("h2").as("score"))
+    topAuth.union(topHub).orderBy(col("role"), col("node"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -4613,6 +4688,8 @@ object SparkEntry {
     "q_zipf" -> (qZipf _),
     "q_ks_test" -> (qKsTest _),
     "q_lorenz_gini" -> (qLorenzGini _),
+    "q_link_pred" -> (qLinkPred _),
+    "q_hits" -> (qHits _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7525,5 +7602,52 @@ object SparkEntry {
         |  (2.0 * CAST(six AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
         |FROM s""".stripMargin,
+
+    "q_link_pred" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |und AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+        |mid AS (SELECT e.u, e.v, d.d FROM edges e JOIN deg d ON e.u = d.u
+        |        WHERE d.d <= 64),
+        |cand AS (
+        |  SELECT e1.v AS x, e2.v AS y, e1.d AS dz
+        |  FROM mid e1 JOIN mid e2 ON e1.u = e2.u AND e1.v < e2.v),
+        |scored AS (
+        |  SELECT x, y, CAST(sum(1000000 // dz) AS BIGINT) AS ra_ppm,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM cand GROUP BY x, y),
+        |pred AS (
+        |  SELECT * FROM scored s
+        |  WHERE NOT EXISTS (SELECT 1 FROM und
+        |                    WHERE s.x = und.u AND s.y = und.v)),
+        |top AS (SELECT * FROM pred ORDER BY ra_ppm DESC, x, y LIMIT 30)
+        |SELECT x, y, n_common, ra_ppm FROM top ORDER BY x, y""".stripMargin,
+
+    "q_hits" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_partkey % 10 = 0),
+        |a1 AS (SELECT p, CAST(count(*) AS BIGINT) AS a1
+        |       FROM edges GROUP BY p),
+        |h1 AS (SELECT c, CAST(sum(a1.a1) AS BIGINT) AS h1
+        |       FROM edges JOIN a1 ON edges.p = a1.p GROUP BY c),
+        |a2 AS (SELECT p, CAST(sum(h1.h1) AS BIGINT) AS a2
+        |       FROM edges JOIN h1 ON edges.c = h1.c GROUP BY p),
+        |h2 AS (SELECT c, CAST(sum(a2.a2) AS BIGINT) AS h2
+        |       FROM edges JOIN a2 ON edges.p = a2.p GROUP BY c),
+        |ta AS (SELECT 'auth' AS role, p AS node, a2 AS score
+        |       FROM a2 ORDER BY a2 DESC, p LIMIT 15),
+        |th AS (SELECT 'hub' AS role, c AS node, h2 AS score
+        |       FROM h2 ORDER BY h2 DESC, c LIMIT 15)
+        |SELECT role, node, score
+        |FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+        |ORDER BY role, node""".stripMargin,
   )
 }

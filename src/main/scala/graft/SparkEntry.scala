@@ -2190,6 +2190,127 @@ object SparkEntry {
     topAuth.union(topHub).orderBy(col("role"), col("node"))
   }
 
+  /** Autocorrelation function of the daily-revenue series at lags
+    * 1..7 (seasonality screen): pairwise-complete Pearson r between
+    * (v_t, v_{t+k}) via a day-domain self-join per lag — well-defined
+    * whether or not the calendar has gaps, no regular-grid resample
+    * needed. Daily values quantize to exact thousands-of-dollars longs
+    * so all five moments are order-independent integer sums; r is one
+    * fixed double tree (products under 2^53 at gate SFs stay exact;
+    * beyond that both engines round the SAME long inputs identically).
+    * Scale: the join runs on the calendar-bounded day domain (~2.4k
+    * rows regardless of SF), never the fact table — the fact scan
+    * collapses to the daily table in one aggregation. */
+  private def qAcf(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(epochDay(col("o_orderdate")).as("day"),
+        Analytics.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("day"))
+      .agg(expr("sum(c) div 100000").as("v"))
+      .localCheckpoint(eager = false)
+    val lags = s.range(1, 8).select(col("id").as("lag"))
+    val pairs = daily.select(col("day"), col("v").as("x"))
+      .crossJoin(broadcast(lags))
+      .join(daily.select(col("day").as("day2"), col("v").as("y")),
+        col("day") + col("lag") === col("day2"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("acf",
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))))
+      .select(col("lag"), col("n_pairs"), col("acf"))
+      .orderBy(col("lag"))
+  }
+
+  /** CUSUM changepoint screen over the daily-revenue series: the
+    * classic centered cumulative sum C_t = n·S_t − t·S_n (prefix sum
+    * of deviations from the mean, cleared of the division so every
+    * value is an EXACT integer — C_t/n·1000s-of-dollars). The top-10
+    * |C_t| days are the level-shift candidates (where the mean before
+    * differs most from the mean after). Scale: the prefix window runs
+    * over the calendar-bounded day domain (~2.4k rows at any SF, the
+    * q_locf/q_interpolate discipline); the fact table never sees a
+    * window. Emitted per-candidate: the day, its exact C_t, and the
+    * before/after mean levels in cents (rational → one double div). */
+  private def qCusum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .select(epochDay(col("o_orderdate")).as("day"),
+        Analytics.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("day"))
+      .agg(expr("sum(c) div 100000").as("v"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val scanned = daily
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("st", sum(col("v")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cusum", col("n") * col("st") - col("t") * col("s"))
+    scanned
+      .filter(col("t") < col("n"))
+      .orderBy(abs(col("cusum")).desc, col("day")).limit(10)
+      .select(col("day"), col("t").as("days_before"), col("cusum"),
+        (col("st").cast("double") / col("t")).as("mean_before_k"),
+        ((col("s") - col("st")).cast("double") / (col("n") - col("t")))
+          .as("mean_after_k"))
+      .orderBy(col("day"))
+  }
+
+  /** Spearman rank correlation per nation between customer engagement
+    * (order count) and customer value (total spend) — the monotone-
+    * association audit that is robust to the heavy right tail Pearson
+    * chokes on. Ranks come from the two-pass grouped rank (no
+    * per-nation window funnel); ties get textbook midranks, carried as
+    * 2·rank integers (min_rnk + max_rnk within the tie group — exact,
+    * no halves). rho = Pearson on the midranks from five exact integer
+    * moments, one fixed double tree. Scale: groupedRank range-
+    * partitions each axis; the tie collapse and join-back key on
+    * (nation, value) — all shuffles carry (key, long) pairs only. */
+  private def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("x"), sum(Analytics.cents(col("o_totalprice"))).as("y"))
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_custkey").as("ck"),
+        col("x").cast("long").as("x"), col("y"))
+      .localCheckpoint(eager = false)
+    def midranks(orderCol: String, out: String): DataFrame = {
+      val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+        perCust.select(col("n_name"), col(orderCol).cast("double").as("ord"),
+          col("ck")),
+        "n_name", "ord", "ck", 32)
+      val ties = ranked.groupBy(col("n_name"), col("ord"))
+        .agg((min(col("rnk")) + max(col("rnk"))).as(out))
+      ranked.select(col("n_name"), col("ck"), col("ord"))
+        .join(ties, Seq("n_name", "ord"))
+        .select(col("n_name"), col("ck"), col(out))
+    }
+    val mr = midranks("x", "rx").join(midranks("y", "ry"), Seq("n_name", "ck"))
+    mr.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .withColumn("rho",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+      .select(col("n_name"), col("n"), col("rho"))
+      .orderBy(col("n_name"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -4690,6 +4811,9 @@ object SparkEntry {
     "q_lorenz_gini" -> (qLorenzGini _),
     "q_link_pred" -> (qLinkPred _),
     "q_hits" -> (qHits _),
+    "q_acf" -> (qAcf _),
+    "q_cusum" -> (qCusum _),
+    "q_spearman" -> (qSpearman _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7649,5 +7773,97 @@ object SparkEntry {
         |SELECT role, node, score
         |FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
         |ORDER BY role, node""".stripMargin,
+
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS v
+        |  FROM orders GROUP BY 1),
+        |lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag),
+        |pairs AS (
+        |  SELECT lag, a.v AS x, b.v AS y
+        |  FROM daily a CROSS JOIN lags JOIN daily b ON a.day + lag = b.day),
+        |m AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pairs GROUP BY lag)
+        |SELECT lag, n_pairs,
+        |  CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
+        |FROM m ORDER BY lag""".stripMargin,
+
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS v
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s
+        |        FROM daily),
+        |scanned AS (
+        |  SELECT day,
+        |    CAST(count(*) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS t,
+        |    CAST(sum(v) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS st,
+        |    n, s
+        |  FROM daily CROSS JOIN tot),
+        |top AS (
+        |  SELECT day, t AS days_before, n * st - t * s AS cusum,
+        |    CAST(st AS DOUBLE) / t AS mean_before_k,
+        |    CAST(s - st AS DOUBLE) / (n - t) AS mean_after_k
+        |  FROM scanned WHERE t < n
+        |  ORDER BY abs(n * st - t * s) DESC, day LIMIT 10)
+        |SELECT day, days_before, cusum, mean_before_k, mean_after_k
+        |FROM top ORDER BY day""".stripMargin,
+
+    "q_spearman" ->
+      """WITH per_cust AS (
+        |  SELECT n_name, o_custkey AS ck,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |rx_rank AS (
+        |  SELECT n_name, ck, CAST(x AS DOUBLE) AS ord,
+        |    CAST(row_number() OVER (PARTITION BY n_name ORDER BY CAST(x AS DOUBLE), ck)
+        |      AS BIGINT) AS rnk
+        |  FROM per_cust),
+        |rx AS (
+        |  SELECT r.n_name, r.ck, t.mr AS rx
+        |  FROM rx_rank r JOIN (
+        |    SELECT n_name, ord, min(rnk) + max(rnk) AS mr
+        |    FROM rx_rank GROUP BY 1, 2) t
+        |    ON r.n_name = t.n_name AND r.ord = t.ord),
+        |ry_rank AS (
+        |  SELECT n_name, ck, CAST(y AS DOUBLE) AS ord,
+        |    CAST(row_number() OVER (PARTITION BY n_name ORDER BY CAST(y AS DOUBLE), ck)
+        |      AS BIGINT) AS rnk
+        |  FROM per_cust),
+        |ry AS (
+        |  SELECT r.n_name, r.ck, t.mr AS ry
+        |  FROM ry_rank r JOIN (
+        |    SELECT n_name, ord, min(rnk) + max(rnk) AS mr
+        |    FROM ry_rank GROUP BY 1, 2) t
+        |    ON r.n_name = t.n_name AND r.ord = t.ord),
+        |m AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+        |    CAST(sum(rx * rx) AS BIGINT) AS sxx,
+        |    CAST(sum(ry * ry) AS BIGINT) AS syy,
+        |    CAST(sum(rx * ry) AS BIGINT) AS sxy
+        |  FROM rx JOIN ry USING (n_name, ck) GROUP BY 1)
+        |SELECT n_name, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+        |FROM m ORDER BY n_name""".stripMargin,
   )
 }

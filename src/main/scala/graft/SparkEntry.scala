@@ -2311,6 +2311,93 @@ object SparkEntry {
       .orderBy(col("n_name"))
   }
 
+  /** Mann-Whitney U rank-sum test: do URGENT orders carry a different
+    * value distribution than LOW ones? The nonparametric two-sample
+    * location test (no normality assumed — the right tool for heavy-
+    * tailed money). Combined-sample midranks come from the two-pass
+    * grouped rank under ONE group — groupedRank range-partitions by
+    * the order key, so a single group is still a scalable global rank,
+    * not a funnel. Ties carry 2·midrank integers; U, the tie term
+    * Σ(t³−t), and both sample sizes are exact longs; the normal
+    * approximation z (tie-corrected variance) and the common-language
+    * effect size U/(n1·n2) are fixed double trees over those longs. */
+  private def qMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val sample = t(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderkey").as("ok"), col("o_orderpriority").as("grp"),
+        Analytics.cents(col("o_totalprice")).as("v"))
+      .localCheckpoint(eager = false)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      sample.select(lit("all").as("g"), col("v").cast("double").as("ord"),
+        col("ok")),
+      "g", "ord", "ok", 32)
+    val ties = ranked.groupBy(col("ord"))
+      .agg((min(col("rnk")) + max(col("rnk"))).as("mr2"),
+        count(lit(1)).as("t"))
+      .localCheckpoint(eager = false)
+    val tieTerm = ties.agg(
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    val mr = ranked.select(col("ok"), col("ord"))
+      .join(ties.select(col("ord"), col("mr2")), "ord")
+      .join(sample.select(col("ok"), col("grp")), "ok")
+    val stats = mr.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("mr2")).as("sr2"))
+      .groupBy()
+      .agg(
+        max(when(col("grp") === "1-URGENT", col("n"))).as("n1"),
+        max(when(col("grp") === "5-LOW", col("n"))).as("n2"),
+        max(when(col("grp") === "1-URGENT", col("sr2"))).as("r1x2"))
+    stats.crossJoin(broadcast(tieTerm))
+      // 2·U1 = 2·R1 − n1(n1+1); every term exact int64
+      .withColumn("u1_x2", col("r1x2") - col("n1") * (col("n1") + 1))
+      .withColumn("cle",
+        col("u1_x2").cast("double") / (lit(2.0) * (col("n1") * col("n2")).cast("double")))
+      .withColumn("z",
+        (col("u1_x2") - col("n1") * col("n2")).cast("double") /
+          (lit(2.0) * sqrt(
+            (col("n1") * col("n2")).cast("double") / 12.0 *
+              ((col("n1") + col("n2") + 1).cast("double") -
+                col("tie3").cast("double") /
+                  ((col("n1") + col("n2")).cast("double") *
+                    (col("n1") + col("n2") - 1).cast("double"))))))
+      .select(col("n1"), col("n2"), col("u1_x2"), col("tie3"),
+        col("cle"), col("z"))
+  }
+
+  /** Cohen's kappa inter-annotator agreement between two cheap,
+    * fully-deterministic quality raters over the corpus — rater A
+    * passes docs with >=200 chars, rater B passes docs with >=40
+    * whitespace-delimited words (the length/word-count heuristics a
+    * curation pipeline actually cross-checks). Chance-corrected
+    * agreement collapses to pure integers: kappa = (N·Σdiag − Σrᵢcᵢ) /
+    * (N² − Σrᵢcᵢ), so the ONLY double op is the final division. The
+    * whole confusion matrix is 4 cells from one scan — the corpus
+    * shuffles two booleans, never text. Emits the matrix with the
+    * kappa scalar alongside. */
+  private def qKappa(s: SparkSession, dir: String): DataFrame = {
+    val rated = t(s, dir, "documents")
+      .select(
+        (col("n_chars") >= 200).as("a"),
+        (size(split(col("text"), " ")) >= 40).as("b"))
+    val cells = rated.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val rows_ = cells.groupBy(col("a")).agg(sum(col("cnt")).as("ra"))
+    val cols_ = cells.groupBy(col("b")).agg(sum(col("cnt")).as("cb"))
+    val scalars = cells
+      .agg(sum(col("cnt")).as("nn"),
+        sum(when(col("a") === col("b"), col("cnt")).otherwise(lit(0L)))
+          .as("diag"))
+    val pe = rows_.join(cols_, rows_("a") === cols_("b"))
+      .agg(sum(col("ra") * col("cb")).as("rc"))
+    cells.join(broadcast(rows_), "a").join(broadcast(cols_), "b")
+      .crossJoin(broadcast(scalars)).crossJoin(broadcast(pe))
+      .select(col("a"), col("b"), col("cnt"), col("ra"), col("cb"),
+        ((col("nn") * col("diag") - col("rc")).cast("double") /
+          (col("nn") * col("nn") - col("rc")).cast("double")).as("kappa"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -4814,6 +4901,8 @@ object SparkEntry {
     "q_acf" -> (qAcf _),
     "q_cusum" -> (qCusum _),
     "q_spearman" -> (qSpearman _),
+    "q_mann_whitney" -> (qMannWhitney _),
+    "q_kappa" -> (qKappa _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7865,5 +7954,69 @@ object SparkEntry {
         |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
         |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
         |FROM m ORDER BY n_name""".stripMargin,
+
+    "q_mann_whitney" ->
+      """WITH sample AS (
+        |  SELECT o_orderkey AS ok, o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |ranked AS (
+        |  SELECT ok, CAST(v AS DOUBLE) AS ord,
+        |    CAST(row_number() OVER (ORDER BY CAST(v AS DOUBLE), ok) AS BIGINT)
+        |      AS rnk
+        |  FROM sample),
+        |ties AS (
+        |  SELECT ord, min(rnk) + max(rnk) AS mr2,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM ranked GROUP BY ord),
+        |tt AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM ties),
+        |mr AS (
+        |  SELECT r.ok, t.mr2, s.grp
+        |  FROM ranked r JOIN ties t ON r.ord = t.ord
+        |  JOIN sample s ON r.ok = s.ok),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(mr2) AS BIGINT) AS sr2
+        |  FROM mr GROUP BY grp),
+        |st AS (
+        |  SELECT max(CASE WHEN grp = '1-URGENT' THEN n END) AS n1,
+        |    max(CASE WHEN grp = '5-LOW' THEN n END) AS n2,
+        |    max(CASE WHEN grp = '1-URGENT' THEN sr2 END) AS r1x2
+        |  FROM g)
+        |SELECT n1, n2, r1x2 - n1 * (n1 + 1) AS u1_x2, tie3,
+        |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+        |    / (2.0 * CAST(n1 * n2 AS DOUBLE)) AS cle,
+        |  CAST((r1x2 - n1 * (n1 + 1)) - n1 * n2 AS DOUBLE) /
+        |    (2.0 * sqrt(
+        |      CAST(n1 * n2 AS DOUBLE) / 12.0 *
+        |        (CAST(n1 + n2 + 1 AS DOUBLE) -
+        |          CAST(tie3 AS DOUBLE) /
+        |            (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))))
+        |    AS z
+        |FROM st CROSS JOIN tt""".stripMargin,
+
+    "q_kappa" ->
+      """WITH rated AS (
+        |  SELECT n_chars >= 200 AS a,
+        |    len(string_split(text, ' ')) >= 40 AS b
+        |  FROM documents),
+        |cells AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM rated GROUP BY a, b),
+        |rws AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS ra FROM cells GROUP BY a),
+        |cls AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cb FROM cells GROUP BY b),
+        |sc AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS nn,
+        |    CAST(sum(CASE WHEN a = b THEN cnt ELSE 0 END) AS BIGINT) AS diag
+        |  FROM cells),
+        |pe AS (
+        |  SELECT CAST(sum(ra * cb) AS BIGINT) AS rc
+        |  FROM rws JOIN cls ON rws.a = cls.b)
+        |SELECT cells.a, cells.b, cnt, ra, cb,
+        |  CAST(nn * diag - rc AS DOUBLE) / CAST(nn * nn - rc AS DOUBLE)
+        |    AS kappa
+        |FROM cells JOIN rws USING (a) JOIN cls USING (b)
+        |CROSS JOIN sc CROSS JOIN pe
+        |ORDER BY cells.a, cells.b""".stripMargin,
   )
 }

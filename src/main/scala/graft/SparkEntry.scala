@@ -2398,6 +2398,142 @@ object SparkEntry {
       .orderBy(col("a"), col("b"))
   }
 
+  /** k-core decomposition (k=3, 3 unrolled peel rounds) over the
+    * co-purchase graph: each round drops nodes with degree < k and
+    * their incident edges — the standard dense-subgraph screen (spam
+    * rings, bot cliques, well-connected catalog cores). One degree
+    * aggregation + two semi-joins per round, every shuffle carrying
+    * (long, long) edges only; round results are localCheckpoint'd so
+    * no round replays its predecessors. A fixed round count keeps the
+    * oracle replayable CTE-for-CTE (the q_label_prop discipline);
+    * at 100 TB the same loop runs to fixpoint with a driver-side
+    * emptiness check per round. Emits surviving nodes with their
+    * residual in-core degree. */
+  private def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val half = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    var e = half.unionAll(half.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to 3) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 3).select(col("u"))
+        .localCheckpoint(eager = false)
+      e = e.join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(eager = false)
+    }
+    e.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_degree"))
+      .orderBy(col("node"))
+  }
+
+  /** Negative-pair mining for contrastive training data: every doc
+    * gets 3 deterministic pseudo-random negatives. Docs hash into 64
+    * buckets (the replayable md5 convention); each anchor draws its
+    * candidates from the NEXT bucket — different bucket ⇒ anchor ≠
+    * negative by construction, and the candidate fan-out is bounded by
+    * one bucket (~corpus/64) instead of the full corpus. Within the
+    * candidate set, per-anchor selection ranks by a pair hash through
+    * a row_number window PARTITIONED BY anchor — millions of anchor
+    * keys hash-spread across executors, no funnel. The emitted triple
+    * (anchor, negative, draw rank) replays bit-for-bit. */
+  private def qNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        (h60(concat(lit("neg|"), col("doc_id").cast("string"))) % 64)
+          .as("bucket"))
+      .localCheckpoint(eager = false)
+    val cands = docs.select(col("doc_id").as("neg_id"),
+      col("bucket").as("nbucket"))
+    val paired = docs
+      .join(cands, (col("bucket") + 1) % 64 === col("nbucket"))
+      .withColumn("ph",
+        h60(concat(col("doc_id").cast("string"), lit("|"),
+          col("neg_id").cast("string"))))
+    paired
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("ph"), col("neg_id"))))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("neg_id"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** Train/test split leakage audit: the GROUP-level split (hash the
+    * customer, every order inherits it) against the naive ROW-level
+    * split (hash each order independently). A customer whose orders
+    * straddle both splits leaks future behavior into training — the
+    * audit counts exactly those. Group-level provably yields zero
+    * straddlers; the row-level count is the leak the pipeline would
+    * have shipped. Both splits are the replayable md5 gate (80/20),
+    * so the emitted counts are reproducible forever — the property an
+    * eval-set contract actually needs. One orders scan, shuffles carry
+    * (custkey, two split labels). */
+  private def qGroupSplit(s: SparkSession, dir: String): DataFrame = {
+    val labeled = t(s, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        (h60(concat(lit("split|"), col("o_custkey").cast("string"))) % 100 < 80)
+          .as("grp_train"),
+        (h60(concat(lit("split|"), col("o_orderkey").cast("string"))) % 100 < 80)
+          .as("row_train"))
+      .localCheckpoint(eager = false)
+    def audit(flag: String, method: String): DataFrame = {
+      val perCust = labeled.groupBy(col("ck"))
+        .agg(sum(when(col(flag), 1L).otherwise(0L)).as("tr"),
+          count(lit(1)).as("n"))
+      perCust.agg(
+        lit(method).as("method"),
+        sum(col("tr")).as("train_orders"),
+        sum(col("n") - col("tr")).as("test_orders"),
+        sum(when(col("tr") > 0 && col("tr") < col("n"), 1L).otherwise(0L))
+          .as("straddling_customers"))
+    }
+    audit("grp_train", "group").unionAll(audit("row_train", "row"))
+      .orderBy(col("method"))
+  }
+
+  /** Quality-classifier inference — the fastText-style model-scoring
+    * step of a curation pipeline, with the MODEL AS DATA: a one-row
+    * weight table cross-joined (broadcast) onto the corpus, so
+    * swapping trained weights never changes the plan. Features are
+    * cheap deterministic text statistics (words, digit chars, length
+    * deviation from 500); the logit is an exact integer dot product in
+    * milli units — ranking-stable, hash-comparable, no transcendental
+    * sigmoid needed because the keep decision only needs the sign.
+    * Emits per-source accounting: docs, kept docs, keep rate (ppm),
+    * mean logit — the dataset-card row for the filter. */
+  private def qQualityModel(s: SparkSession, dir: String): DataFrame = {
+    val weights = s.range(1).select(
+      lit(40L).as("w_words"), lit(-10L).as("w_digits"),
+      lit(-2L).as("w_lendev"), lit(-1500L).as("bias"))
+    val scored = t(s, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("words"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
+          .as("digits"),
+        abs(col("n_chars") - 500).as("lendev"))
+      .crossJoin(broadcast(weights))
+      .withColumn("logit_milli",
+        col("w_words") * col("words") + col("w_digits") * col("digits") +
+          col("w_lendev") * col("lendev") + col("bias"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("logit_milli") >= 0, 1L).otherwise(0L)).as("kept"),
+        sum(col("logit_milli")).as("sum_logit"))
+      .withColumn("keep_ppm", expr("kept * 1000000 div n_docs"))
+      .withColumn("mean_logit",
+        col("sum_logit").cast("double") / col("n_docs").cast("double"))
+      .select(col("source"), col("n_docs"), col("kept"), col("keep_ppm"),
+        col("mean_logit"))
+      .orderBy(col("source"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -4903,6 +5039,10 @@ object SparkEntry {
     "q_spearman" -> (qSpearman _),
     "q_mann_whitney" -> (qMannWhitney _),
     "q_kappa" -> (qKappa _),
+    "q_kcore" -> (qKcore _),
+    "q_negatives" -> (qNegatives _),
+    "q_group_split" -> (qGroupSplit _),
+    "q_quality_model" -> (qQualityModel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8018,5 +8158,96 @@ object SparkEntry {
         |FROM cells JOIN rws USING (a) JOIN cls USING (b)
         |CROSS JOIN sc CROSS JOIN pe
         |ORDER BY cells.a, cells.b""".stripMargin,
+
+    "q_kcore" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |half AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+        |k1 AS (SELECT u FROM (SELECT u, count(*) AS d FROM edges GROUP BY u)
+        |       WHERE d >= 3),
+        |e1 AS (SELECT e.u, e.v FROM edges e
+        |       JOIN k1 a ON e.u = a.u JOIN k1 b ON e.v = b.u),
+        |k2 AS (SELECT u FROM (SELECT u, count(*) AS d FROM e1 GROUP BY u)
+        |       WHERE d >= 3),
+        |e2 AS (SELECT e.u, e.v FROM e1 e
+        |       JOIN k2 a ON e.u = a.u JOIN k2 b ON e.v = b.u),
+        |k3 AS (SELECT u FROM (SELECT u, count(*) AS d FROM e2 GROUP BY u)
+        |       WHERE d >= 3),
+        |e3 AS (SELECT e.u, e.v FROM e2 e
+        |       JOIN k3 a ON e.u = a.u JOIN k3 b ON e.v = b.u)
+        |SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree
+        |FROM e3 GROUP BY u ORDER BY node""".stripMargin,
+
+    "q_negatives" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5('neg|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 64 AS bucket
+        |  FROM documents),
+        |paired AS (
+        |  SELECT d.doc_id, c.doc_id AS neg_id,
+        |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' ||
+        |      CAST(c.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS ph
+        |  FROM docs d JOIN docs c ON (d.bucket + 1) % 64 = c.bucket),
+        |r AS (
+        |  SELECT doc_id, neg_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ph, neg_id)
+        |      AS BIGINT) AS rnk
+        |  FROM paired)
+        |SELECT doc_id, rnk, neg_id FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_group_split" ->
+      """WITH labeled AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST('0x' || substr(md5('split|' || CAST(o_custkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 100 < 80 AS grp_train,
+        |    CAST('0x' || substr(md5('split|' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 100 < 80 AS row_train
+        |  FROM orders),
+        |g AS (
+        |  SELECT ck, CAST(sum(CASE WHEN grp_train THEN 1 ELSE 0 END) AS BIGINT) AS tr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM labeled GROUP BY ck),
+        |r AS (
+        |  SELECT ck, CAST(sum(CASE WHEN row_train THEN 1 ELSE 0 END) AS BIGINT) AS tr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM labeled GROUP BY ck),
+        |ga AS (
+        |  SELECT 'group' AS method, CAST(sum(tr) AS BIGINT) AS train_orders,
+        |    CAST(sum(n - tr) AS BIGINT) AS test_orders,
+        |    CAST(sum(CASE WHEN tr > 0 AND tr < n THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS straddling_customers
+        |  FROM g),
+        |ra AS (
+        |  SELECT 'row' AS method, CAST(sum(tr) AS BIGINT) AS train_orders,
+        |    CAST(sum(n - tr) AS BIGINT) AS test_orders,
+        |    CAST(sum(CASE WHEN tr > 0 AND tr < n THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS straddling_customers
+        |  FROM r)
+        |SELECT * FROM (SELECT * FROM ga UNION ALL SELECT * FROM ra)
+        |ORDER BY method""".stripMargin,
+
+    "q_quality_model" ->
+      """WITH w AS (
+        |  SELECT CAST(40 AS BIGINT) AS w_words, CAST(-10 AS BIGINT) AS w_digits,
+        |    CAST(-2 AS BIGINT) AS w_lendev, CAST(-1500 AS BIGINT) AS bias),
+        |scored AS (
+        |  SELECT source,
+        |    w_words * CAST(len(string_split(text, ' ')) AS BIGINT) +
+        |    w_digits * CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) +
+        |    w_lendev * abs(n_chars - 500) + bias AS logit_milli
+        |  FROM documents CROSS JOIN w)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN logit_milli >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(sum(CASE WHEN logit_milli >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(count(*) AS BIGINT) AS keep_ppm,
+        |  CAST(sum(logit_milli) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_logit
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -2534,6 +2534,37 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Sorted-neighborhood dedup blocking — the third blocking family
+    * next to LSH buckets (q_minhash_pairs) and learned clusters
+    * (q_semantic_dedup): sort the corpus by a cheap composite key
+    * (lang, length, id) and compare each doc only to its w−1=3 sort
+    * successors. Ranks come from the two-pass grouped rank per lang
+    * (no global-window funnel); the sliding window is an equi-join on
+    * rank+j — at 100 TB both sides range-partition on the same key, so
+    * the neighbor join is co-partitioned and narrow. Emits candidate
+    * pairs within a length tolerance of 5 chars — the candidate set a
+    * real pipeline would hand to an exact verifier. */
+  private def qSortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      t(s, dir, "documents")
+        .select(col("lang"), col("n_chars").cast("double").as("ord"),
+          col("doc_id")),
+      "lang", "ord", "doc_id", 32)
+      .select(col("lang"), col("doc_id"), col("rnk"), col("ord"))
+      .localCheckpoint(eager = false)
+    val offsets = s.range(1, 4).select(col("id").as("j"))
+    ranked.as("a")
+      .crossJoin(broadcast(offsets))
+      .join(ranked.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.rnk") + col("j") === col("b.rnk"))
+      .filter(abs(col("b.ord") - col("a.ord")) <= 5.0)
+      .select(col("a.lang").as("lang"), col("a.doc_id").as("d1"),
+        col("b.doc_id").as("d2"),
+        (col("b.ord") - col("a.ord")).cast("long").as("len_diff"))
+      .orderBy(col("lang"), col("d1"), col("d2"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -5043,6 +5074,7 @@ object SparkEntry {
     "q_negatives" -> (qNegatives _),
     "q_group_split" -> (qGroupSplit _),
     "q_quality_model" -> (qQualityModel _),
+    "q_sorted_neighborhood" -> (qSortedNeighborhood _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8249,5 +8281,19 @@ object SparkEntry {
         |    * 1000000 // CAST(count(*) AS BIGINT) AS keep_ppm,
         |  CAST(sum(logit_milli) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_logit
         |FROM scored GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_sorted_neighborhood" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS ord,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(n_chars AS DOUBLE), doc_id) AS BIGINT) AS rnk
+        |  FROM documents),
+        |offs AS (SELECT CAST(unnest(generate_series(1, 3)) AS BIGINT) AS j)
+        |SELECT a.lang, a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(b.ord - a.ord AS BIGINT) AS len_diff
+        |FROM ranked a CROSS JOIN offs
+        |JOIN ranked b ON a.lang = b.lang AND a.rnk + j = b.rnk
+        |WHERE abs(b.ord - a.ord) <= 5.0
+        |ORDER BY a.lang, d1, d2""".stripMargin,
   )
 }

@@ -2565,6 +2565,119 @@ object SparkEntry {
       .orderBy(col("lang"), col("d1"), col("d2"))
   }
 
+  /** Distributed bootstrap confidence interval by POISSON resampling
+    * (the classic "bag of little bootstraps" building block): true
+    * multinomial resampling needs a global draw, but Poisson(1)
+    * weights per (row, replica) are independent — each row computes
+    * its own 64 replica weights from the replayable md5 gate mapped
+    * through the integer-threshold Poisson CDF, so the whole resample
+    * is one explode + one aggregation, no coordination. Replica means
+    * stay exact (Σwx, Σw longs; one integer milli-division); the CI is
+    * the nearest-rank p5/p95 of the 64 replica means — a window over
+    * 64 rows, nothing data-sized. Emits point estimate + interval for
+    * the mean order value. */
+  private def qBootstrap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"),
+        Analytics.cents(col("o_totalprice")).as("x"))
+    val replicas = src
+      .select(col("ok"), col("x"),
+        explode(sequence(lit(1), lit(64))).as("b"))
+      .withColumn("u",
+        h60(concat(lit("boot|"), col("ok").cast("string"), lit("|"),
+          col("b").cast("string"))) % 100000)
+      // Poisson(1) CDF at 1e-5 grain: P(<=k) for k = 0..7, tail -> 8
+      .withColumn("w",
+        when(col("u") < 36788, 0L).when(col("u") < 73576, 1L)
+          .when(col("u") < 91970, 2L).when(col("u") < 98101, 3L)
+          .when(col("u") < 99634, 4L).when(col("u") < 99941, 5L)
+          .when(col("u") < 99992, 6L).when(col("u") < 99999, 7L)
+          .otherwise(8L))
+    val reps = replicas.groupBy(col("b"))
+      .agg(sum(col("w") * col("x")).as("sxw"), sum(col("w")).as("sw"))
+      .withColumn("mean_milli", expr("sxw * 10 div sw"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("mean_milli"), col("b"))))
+    val point = src.agg(expr("sum(x) * 10 div count(1)").as("point_milli"))
+    reps.agg(
+        max(when(col("r") === 4, col("mean_milli"))).as("lo_milli"),
+        max(when(col("r") === 61, col("mean_milli"))).as("hi_milli"),
+        count(lit(1)).as("n_replicas"))
+      .crossJoin(broadcast(point))
+      .select(col("n_replicas"), col("point_milli"), col("lo_milli"),
+        col("hi_milli"))
+  }
+
+  /** Data-quality assertion suite (the Deequ/dbt-tests shape): six
+    * declarative checks — uniqueness, not-null, accepted values,
+    * range, referential integrity, and an upper-bound check that
+    * REALLY fails on this data (violations > 0 proves the suite
+    * detects, not vacuously passes). Each check is one aggregate over
+    * a shared single scan (the uniqueness check adds the only
+    * shuffle); the FK probe broadcasts the distinct parent keys. One
+    * (check_name, n_checked, violations, passed) row per assertion —
+    * the table a pipeline gate consumes. */
+  private def qDqChecks(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val uniq = o.agg(
+      lit("o_orderkey_unique").as("check_name"),
+      count(lit(1)).as("n_checked"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("violations"))
+    val scanChecks = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+      sum(when(col("o_orderpriority").isin(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        0L).otherwise(1L)).as("v_accept"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_pos"),
+      sum(when(col("o_totalprice") > 400000.0, 1L).otherwise(0L)).as("v_range"))
+      .localCheckpoint(eager = false)
+    def pick(name: String, vcol: String): DataFrame =
+      scanChecks.select(lit(name).as("check_name"), col("n").as("n_checked"),
+        col(vcol).as("violations"))
+    val fk = o.join(
+        broadcast(t(s, dir, "customer").select(col("c_custkey")).distinct()),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(lit("o_custkey_references_customer").as("check_name"),
+        count(lit(1)).as("n_checked"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("violations"))
+    uniq
+      .unionAll(pick("o_custkey_not_null", "v_null"))
+      .unionAll(pick("o_orderpriority_accepted", "v_accept"))
+      .unionAll(pick("o_totalprice_positive", "v_pos"))
+      .unionAll(pick("o_totalprice_below_400k", "v_range"))
+      .unionAll(fk)
+      .withColumn("passed", col("violations") === 0)
+      .orderBy(col("check_name"))
+  }
+
+  /** k-fold cross-validation split audit (k=5, customers as the
+    * leakage group — the q_group_split discipline extended to folds):
+    * fold membership from the replayable md5 gate, then the balance
+    * table a training pipeline checks before trusting the folds —
+    * distinct customers, orders, exact revenue, and each fold's
+    * revenue share in ppm of the broadcast grand total. Skewed folds
+    * (a whale customer landing in one fold) show up as share drift;
+    * everything is one orders scan + one 5-row broadcast join. */
+  private def qCrossVal(s: SparkSession, dir: String): DataFrame = {
+    val labeled = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        (h60(concat(lit("fold|"), col("o_custkey").cast("string"))) % 5)
+          .as("fold"),
+        Analytics.cents(col("o_totalprice")).as("c"))
+    val perFold = labeled.groupBy(col("fold"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"), sum(col("c")).as("revenue_cents"))
+      .localCheckpoint(eager = false)
+    val total = perFold.agg(sum(col("revenue_cents")).as("tot"))
+    perFold.crossJoin(broadcast(total))
+      .select(col("fold"), col("n_customers"), col("n_orders"),
+        col("revenue_cents"),
+        expr("revenue_cents * 1000000 div tot").as("share_ppm"))
+      .orderBy(col("fold"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -5075,6 +5188,9 @@ object SparkEntry {
     "q_group_split" -> (qGroupSplit _),
     "q_quality_model" -> (qQualityModel _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
+    "q_bootstrap" -> (qBootstrap _),
+    "q_dq_checks" -> (qDqChecks _),
+    "q_cross_val" -> (qCrossVal _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8295,5 +8411,94 @@ object SparkEntry {
         |JOIN ranked b ON a.lang = b.lang AND a.rnk + j = b.rnk
         |WHERE abs(b.ord - a.ord) <= 5.0
         |ORDER BY a.lang, d1, d2""".stripMargin,
+
+    "q_bootstrap" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+        |  FROM orders),
+        |reps AS (
+        |  SELECT ok, x, CAST(unnest(generate_series(1, 64)) AS BIGINT) AS b
+        |  FROM src),
+        |weighted AS (
+        |  SELECT b, x,
+        |    CASE
+        |      WHEN u < 36788 THEN 0 WHEN u < 73576 THEN 1
+        |      WHEN u < 91970 THEN 2 WHEN u < 98101 THEN 3
+        |      WHEN u < 99634 THEN 4 WHEN u < 99941 THEN 5
+        |      WHEN u < 99992 THEN 6 WHEN u < 99999 THEN 7
+        |      ELSE 8 END AS w
+        |  FROM (
+        |    SELECT b, x,
+        |      CAST('0x' || substr(md5('boot|' || CAST(ok AS VARCHAR) || '|' ||
+        |        CAST(b AS VARCHAR)), 1, 15) AS BIGINT) % 100000 AS u
+        |    FROM reps)),
+        |means AS (
+        |  SELECT b, CAST(sum(w * x) AS BIGINT) * 10
+        |    // CAST(sum(w) AS BIGINT) AS mean_milli
+        |  FROM weighted GROUP BY b),
+        |ranked AS (
+        |  SELECT mean_milli,
+        |    row_number() OVER (ORDER BY mean_milli, b) AS r
+        |  FROM means),
+        |pt AS (
+        |  SELECT CAST(sum(x) AS BIGINT) * 10 // CAST(count(*) AS BIGINT)
+        |    AS point_milli
+        |  FROM src)
+        |SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+        |  point_milli,
+        |  max(CASE WHEN r = 4 THEN mean_milli END) AS lo_milli,
+        |  max(CASE WHEN r = 61 THEN mean_milli END) AS hi_milli
+        |FROM ranked CROSS JOIN pt
+        |GROUP BY point_milli""".stripMargin,
+
+    "q_dq_checks" ->
+      """WITH scan AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_null,
+        |    CAST(sum(CASE WHEN o_orderpriority IN
+        |      ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v_accept,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_pos,
+        |    CAST(sum(CASE WHEN o_totalprice > 400000.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_range
+        |  FROM orders),
+        |fk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v
+        |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o_custkey = c_custkey),
+        |checks AS (
+        |  SELECT 'o_orderkey_unique' AS check_name, n AS n_checked,
+        |    v_uniq AS violations FROM scan
+        |  UNION ALL SELECT 'o_custkey_not_null', n, v_null FROM scan
+        |  UNION ALL SELECT 'o_orderpriority_accepted', n, v_accept FROM scan
+        |  UNION ALL SELECT 'o_totalprice_positive', n, v_pos FROM scan
+        |  UNION ALL SELECT 'o_totalprice_below_400k', n, v_range FROM scan
+        |  UNION ALL SELECT 'o_custkey_references_customer', n, v FROM fk)
+        |SELECT check_name, n_checked, violations, violations = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin,
+
+    "q_cross_val" ->
+      """WITH labeled AS (
+        |  SELECT o_custkey,
+        |    CAST('0x' || substr(md5('fold|' || CAST(o_custkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 5 AS fold,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |per_fold AS (
+        |  SELECT fold, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(c) AS BIGINT) AS revenue_cents
+        |  FROM labeled GROUP BY fold),
+        |tot AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS tot FROM per_fold)
+        |SELECT fold, n_customers, n_orders, revenue_cents,
+        |  revenue_cents * 1000000 // tot AS share_ppm
+        |FROM per_fold CROSS JOIN tot
+        |ORDER BY fold""".stripMargin,
   )
 }

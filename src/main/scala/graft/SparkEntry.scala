@@ -1586,6 +1586,36 @@ object SparkEntry {
         expr("m.n_frames * 1000 div m.sample_rate").as("duration_ms"))
       .orderBy(col("doc_id"))
 
+  /** Video-container metadata extraction — the third modality next to
+    * q_media_dims (PNG/JPEG/GIF) and q_audio_meta (WAV): REAL RIFF/AVI
+    * MainAVIHeader parsing (functions/Media.parseAvi) over containers
+    * synthesized in pure column expressions from per-doc parameters.
+    * The oracle replays the parameter arithmetic symbolically, so a
+    * hash match proves synthesize∘parse = identity field-for-field;
+    * clip duration is exact integer µs→ms. Per-row work, no shuffle
+    * until the final sort. */
+  private def qVideoMeta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        ((col("doc_id") % 8 + 1) * 160).cast("int").as("w_in"),
+        ((col("doc_id") % 8 + 1) * 90).cast("int").as("h_in"),
+        (col("doc_id") % 2 + 1).cast("int").as("streams_in"),
+        ((col("doc_id") % 50 + 1) * 24).cast("long").as("frames_in"),
+        when(col("doc_id") % 3 === 0, 33333L).otherwise(41667L)
+          .as("uspf_in"))
+      .withColumn("blob", Multimodal.synthesizeAviHeader(
+        col("w_in"), col("h_in"), col("streams_in"), col("frames_in"),
+        col("uspf_in")))
+      .select(col("doc_id"), graft.functions.media.video_meta(col("blob")).as("m"))
+      .select(col("doc_id"),
+        col("m.width").cast("long").as("width"),
+        col("m.height").cast("long").as("height"),
+        col("m.streams").cast("long").as("streams"),
+        col("m.n_frames").as("n_frames"),
+        col("m.us_per_frame").as("us_per_frame"),
+        expr("m.n_frames * m.us_per_frame div 1000").as("duration_ms"))
+      .orderBy(col("doc_id"))
+
   /** Exact-k-per-group deterministic sampling (k=5 per language): the
     * eval-set construction primitive — rate-based sampling
     * (q_stratified_sample) cannot promise exactly k rows per stratum;
@@ -5191,6 +5221,7 @@ object SparkEntry {
     "q_bootstrap" -> (qBootstrap _),
     "q_dq_checks" -> (qDqChecks _),
     "q_cross_val" -> (qCrossVal _),
+    "q_video_meta" -> (qVideoMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8500,5 +8531,18 @@ object SparkEntry {
         |  revenue_cents * 1000000 // tot AS share_ppm
         |FROM per_fold CROSS JOIN tot
         |ORDER BY fold""".stripMargin,
+
+    "q_video_meta" ->
+      """SELECT doc_id,
+        |  (doc_id % 8 + 1) * 160 AS width,
+        |  (doc_id % 8 + 1) * 90 AS height,
+        |  doc_id % 2 + 1 AS streams,
+        |  (doc_id % 50 + 1) * 24 AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 33333 ELSE 41667 END AS BIGINT)
+        |    AS us_per_frame,
+        |  ((doc_id % 50 + 1) * 24) *
+        |    (CASE WHEN doc_id % 3 = 0 THEN 33333 ELSE 41667 END) // 1000
+        |    AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -126,6 +126,51 @@ object MediaHeaders {
     }
     None
   }
+
+  /** Parse a RIFF/AVI container's MainAVIHeader (the `avih` chunk
+    * inside the `hdrl` LIST): (width, height, streams, totalFrames,
+    * microSecPerFrame). Chunk-walks the top level like parseWav and
+    * descends ONLY into the hdrl list; video DATA (the `movi` list)
+    * need not be present — header-only blobs parse, the
+    * synthesize-side contract shared with WAV. PERMISSIVE: malformed
+    * containers yield None, never a throw; the cursor advances in Long
+    * space against hostile 32-bit sizes. */
+  def parseAvi(b: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    if (b == null || b.length < 12) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return None
+    var p = 12
+    while (p + 8 <= b.length) {
+      val id = new String(Array(b(p), b(p + 1), b(p + 2), b(p + 3)), "US-ASCII")
+      val size = le32(b, p + 4)
+      if (id == "LIST" && size >= 4 && p + 12 <= b.length &&
+          b(p + 8) == 'h' && b(p + 9) == 'd' && b(p + 10) == 'r' &&
+          b(p + 11) == 'l') {
+        // scan inside the hdrl list only, bounded by ITS declared size
+        val listEnd = math.min(p.toLong + 8L + size, b.length.toLong)
+        var q = p + 12
+        while (q + 8 <= listEnd) {
+          val cid = new String(Array(b(q), b(q + 1), b(q + 2), b(q + 3)), "US-ASCII")
+          val csize = le32(b, q + 4)
+          // an avih chunk must DECLARE the 56 MainAVIHeader bytes
+          // (the undersized-fmt discipline from parseWav)
+          if (cid == "avih" && csize >= 56 && q + 8 + 56 <= listEnd) {
+            val d = q + 8
+            return Some((le32(b, d + 32).toInt, le32(b, d + 36).toInt,
+              le32(b, d + 24).toInt, le32(b, d + 16), le32(b, d)))
+          }
+          val cnext = q.toLong + 8L + csize + (csize & 1L)
+          if (cnext > listEnd) return None
+          q = cnext.toInt
+        }
+        return None
+      }
+      val next = p.toLong + 8L + size + (size & 1L)
+      if (next > b.length) return None
+      p = next.toInt
+    }
+    None
+  }
 }
 
 /** `image_dims(binary)` -> struct<format, width, height>; null for
@@ -181,9 +226,39 @@ case class AudioMeta(child: Expression)
   override def prettyName: String = "audio_meta"
 }
 
+/** `video_meta(binary)` -> struct<width, height, streams, n_frames,
+  * us_per_frame>; null for unrecognized/truncated RIFF-AVI containers
+  * (PERMISSIVE, like image_dims/audio_meta). */
+case class VideoMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("streams", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("us_per_frame", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"video_meta expects binary, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    MediaHeaders.parseAvi(input.asInstanceOf[Array[Byte]]) match {
+      case Some((w, h, st, frames, uspf)) =>
+        new GenericInternalRow(Array[Any](w, h, st, frames, uspf))
+      case None => null
+    }
+  override protected def withNewChildInternal(newChild: Expression): VideoMeta =
+    copy(child = newChild)
+  override def prettyName: String = "video_meta"
+}
+
 object media {
   def image_dims(blob: Column): Column =
     ColumnBridge.column(ImageDims(ColumnBridge.expression(blob)))
   def audio_meta(blob: Column): Column =
     ColumnBridge.column(AudioMeta(ColumnBridge.expression(blob)))
+  def video_meta(blob: Column): Column =
+    ColumnBridge.column(VideoMeta(ColumnBridge.expression(blob)))
 }

@@ -128,6 +128,44 @@ object Multimodal {
       "synthesizeWavHeader: parameters outside the PCM header contract"))))
   }
 
+  /** Deterministic RIFF/AVI header synthesis — the video counterpart
+    * of [[synthesizeWavHeader]]: RIFF('AVI ') + LIST('hdrl') + a full
+    * 56-byte MainAVIHeader (dwMicroSecPerFrame, dwTotalFrames,
+    * dwStreams, dwWidth, dwHeight; flags carry AVIF_HASINDEX like real
+    * muxers emit), no movi payload (the parser reads headers, not
+    * frames). Out-of-contract parameters fail loudly — lpad(hex)
+    * would otherwise truncate high digits into plausible corruption. */
+  def synthesizeAviHeader(width: Column, height: Column, streams: Column,
+      nFrames: Column, usPerFrame: Column): Column = {
+    def le32(x: Column): Column = {
+      val be = lpad(hex(x), 8, "0")
+      concat(substring(be, 7, 2), substring(be, 5, 2),
+        substring(be, 3, 2), substring(be, 1, 2))
+    }
+    val valid = width.cast("long").between(1, 0xFFFFFFFFL) &&
+      height.cast("long").between(1, 0xFFFFFFFFL) &&
+      streams.cast("long").between(1, 0xFFFFFFFFL) &&
+      nFrames.cast("long").between(0, 0xFFFFFFFFL) &&
+      usPerFrame.cast("long").between(1, 0xFFFFFFFFL)
+    // sizes: avih data 56; hdrl list = 'hdrl'(4) + avih hdr(8) + 56 = 68;
+    // riff = 'AVI '(4) + LIST hdr(8) + 68 = 80
+    val header = concat(
+      lit("52494646"), le32(lit(80L)), lit("41564920"),      // RIFF 80 'AVI '
+      lit("4C495354"), le32(lit(68L)), lit("6864726C"),      // LIST 68 'hdrl'
+      lit("61766968"), le32(lit(56L)),                       // avih 56
+      le32(usPerFrame.cast("long")),                         // dwMicroSecPerFrame
+      lit("00000000"), lit("00000000"), lit("10000000"),     // maxBps, padding, AVIF_HASINDEX
+      le32(nFrames.cast("long")),                            // dwTotalFrames
+      lit("00000000"),                                       // dwInitialFrames
+      le32(streams.cast("long")),                            // dwStreams
+      lit("00000000"),                                       // dwSuggestedBufferSize
+      le32(width.cast("long")), le32(height.cast("long")),   // dwWidth, dwHeight
+      lit("00000000"), lit("00000000"),
+      lit("00000000"), lit("00000000"))                      // dwReserved[4]
+    unhex(when(valid, header).otherwise(raise_error(lit(
+      "synthesizeAviHeader: parameters outside the AVI header contract"))))
+  }
+
   /** Feature extraction: a 16-bin byte histogram normalized to [0,1] —
     * the stand-in for an image/audio embedding model. Output shape
     * (fixed-width Array[Float]) and the mapPartitions batch contract

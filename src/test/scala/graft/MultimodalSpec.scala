@@ -169,4 +169,58 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("PCM header contract"), e.getMessage)
   }
+
+  test("synthesizeAviHeader round-trips through video_meta") {
+    val row = spark.range(1).select(
+      graft.functions.media.video_meta(graft.llm.Multimodal.synthesizeAviHeader(
+        lit(1280), lit(720), lit(2), lit(240L), lit(41667L))).as("m"))
+      .selectExpr("m.width", "m.height", "m.streams", "m.n_frames",
+        "m.us_per_frame")
+      .collect()(0)
+    assert(row.getInt(0) === 1280)
+    assert(row.getInt(1) === 720)
+    assert(row.getInt(2) === 2)
+    assert(row.getLong(3) === 240L)
+    assert(row.getLong(4) === 41667L)
+  }
+
+  test("parseAvi is permissive: garbage, truncation, hostile sizes, stray chunks") {
+    import graft.functions.MediaHeaders
+    assert(MediaHeaders.parseAvi(null) === None)
+    assert(MediaHeaders.parseAvi(Array[Byte](1, 2, 3)) === None)
+    // a WAV container is RIFF but not AVI
+    val wav = spark.range(1).select(
+        graft.llm.Multimodal.synthesizeWavHeader(lit(2), lit(16000), lit(16), lit(100L)))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(MediaHeaders.parseAvi(wav) === None)
+    val full = spark.range(1).select(
+        graft.llm.Multimodal.synthesizeAviHeader(
+          lit(640), lit(480), lit(1), lit(120L), lit(33333L)))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(MediaHeaders.parseAvi(full) === Some((640, 480, 1, 120L, 33333L)))
+    // truncation inside the hdrl list
+    assert(MediaHeaders.parseAvi(full.take(30)) === None)
+    // a stray word-aligned JUNK chunk BEFORE the hdrl list still parses
+    val junk = "4A554E4B" + "04000000" + "00000000" // JUNK size 4 + payload
+    val junkBytes = junk.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val shifted = full.take(12) ++ junkBytes ++ full.drop(12)
+    assert(MediaHeaders.parseAvi(shifted) === Some((640, 480, 1, 120L, 33333L)))
+    // hostile chunk size near Int.MaxValue must not wrap the cursor
+    val hostile = "52494646" + "24000000" + "41564920" +
+      "4A554E4B" + "F0FFFF7F"
+    val hostileBytes = hostile.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    assert(MediaHeaders.parseAvi(hostileBytes) === None)
+    // an avih chunk DECLARING size < 56 must not fabricate fields
+    val shortAvih = full.clone()
+    shortAvih(24) = 8 // avih size LE32 := 8
+    assert(MediaHeaders.parseAvi(shortAvih) === None)
+  }
+
+  test("synthesizeAviHeader fails loudly outside the header contract") {
+    val e = intercept[Exception] {
+      spark.range(1).select(graft.llm.Multimodal.synthesizeAviHeader(
+        lit(0), lit(480), lit(1), lit(120L), lit(33333L))).collect()
+    }
+    assert(e.getMessage.contains("AVI header contract"), e.getMessage)
+  }
 }

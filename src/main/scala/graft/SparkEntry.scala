@@ -2708,6 +2708,101 @@ object SparkEntry {
       .orderBy(col("fold"))
   }
 
+  /** Small-files compaction planner — the lakehouse maintenance op:
+    * assign files (docs standing in, n_chars as size) to target-sized
+    * output bins by GREEDY SEQUENTIAL packing in id order, formulated
+    * on the two-pass range-partitioned prefix sum: a file's bin is its
+    * EXCLUSIVE cumulative size div the 4000-char target — no window
+    * funnel, no driver-side loop, identical at any corpus size. Emits
+    * the plan's bin manifest (files, bytes, id range per bin) — what a
+    * compaction executor would consume. */
+  private def qCompaction(s: SparkSession, dir: String): DataFrame = {
+    val sized = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val summed = graft.ops.ScalablePrefix.runningSum(s, sized,
+      keyCol = "doc_id", valueCol = "n_chars", numPartitions = 32)
+    summed
+      .withColumn("bin", expr("(run_sum - n_chars) div 4000"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bin_chars"),
+        min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+      .orderBy(col("bin"))
+  }
+
+  /** Monthly seasonal index of daily revenue — the decomposition-lite
+    * seasonality audit: each calendar month's mean daily revenue as a
+    * ppm ratio of the overall mean daily revenue (100% = 1e6). Daily
+    * values quantize to thousands-of-dollars longs (the q_acf grain,
+    * which keeps every product inside int64 at any SF); the index is
+    * two exact integer divisions — no float crosses the engines. The
+    * fact table collapses to the calendar-bounded daily table in one
+    * aggregation; everything after is month-cardinality work. */
+  private def qSeasonal(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(epochDay(col("o_orderdate")).as("day"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        Analytics.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("day"), col("m"))
+      .agg(expr("sum(c) div 100000").as("v"))
+      .localCheckpoint(eager = false)
+    val overall = daily.agg(count(lit(1)).as("nn"), sum(col("v")).as("ss"))
+    daily.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_days"), sum(col("v")).as("sum_k"))
+      .crossJoin(broadcast(overall))
+      .select(col("m").as("month"), col("n_days"), col("sum_k"),
+        expr("((sum_k div n_days) * 1000000) div (ss div nn)").as("index_ppm"))
+      .orderBy(col("month"))
+  }
+
+  /** Calibration (reliability) table for the quality classifier: bin
+    * the q_quality_model logit, and per bin compare predicted
+    * confidence against the ACTUAL positive rate of a reference label
+    * (docs >= 200 chars) — the standard post-training audit before a
+    * filter's threshold is trusted. Bins are fixed-width integer
+    * buckets of the exact milli-logit (clamped to ±10), so the whole
+    * table is one scan + one 21-row aggregation; rates are exact ppm.
+    * A well-calibrated filter shows monotone rates across bins. */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(
+        (col("n_chars") >= 200).as("label"),
+        (lit(40L) * size(split(col("text"), " ")).cast("long") +
+          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast("long") +
+          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L))
+          .as("logit_milli"))
+      .withColumn("bin",
+        greatest(least(expr("logit_milli div 2000"), lit(10L)), lit(-10L)))
+    scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("positives"),
+        sum(col("logit_milli")).as("sum_logit"))
+      .withColumn("pos_rate_ppm", expr("positives * 1000000 div n"))
+      .select(col("bin"), col("n"), col("positives"), col("pos_rate_ppm"),
+        col("sum_logit"))
+      .orderBy(col("bin"))
+  }
+
+  /** Degree distribution of the co-purchase graph — the power-law
+    * audit run before trusting any graph algorithm's cost model (a
+    * heavy tail says: salt the hubs, cap the wedges). Two aggregations
+    * (node degree, then nodes per degree), both shuffling only longs;
+    * output is bounded by the max degree, not the data. */
+  private def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val half = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val edges = half.unionAll(half.select(col("v").as("u"), col("u").as("v")))
+    edges.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -5222,6 +5317,10 @@ object SparkEntry {
     "q_dq_checks" -> (qDqChecks _),
     "q_cross_val" -> (qCrossVal _),
     "q_video_meta" -> (qVideoMeta _),
+    "q_compaction" -> (qCompaction _),
+    "q_seasonal" -> (qSeasonal _),
+    "q_calibration" -> (qCalibration _),
+    "q_degree_dist" -> (qDegreeDist _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8544,5 +8643,67 @@ object SparkEntry {
         |    (CASE WHEN doc_id % 3 = 0 THEN 33333 ELSE 41667 END) // 1000
         |    AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_compaction" ->
+      """WITH summed AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS run_sum
+        |  FROM documents)
+        |SELECT (run_sum - n_chars) // 4000 AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n_chars) AS BIGINT) AS bin_chars,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM summed GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_seasonal" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS v
+        |  FROM orders GROUP BY 1, 2),
+        |overall AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(v) AS BIGINT) AS ss
+        |  FROM daily)
+        |SELECT m AS month, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(v) AS BIGINT) AS sum_k,
+        |  ((CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT)) * 1000000)
+        |    // (ss // nn) AS index_ppm
+        |FROM daily CROSS JOIN overall
+        |GROUP BY m, ss, nn ORDER BY month""".stripMargin,
+
+    "q_calibration" ->
+      """WITH scored AS (
+        |  SELECT n_chars >= 200 AS label,
+        |    40 * CAST(len(string_split(text, ' ')) AS BIGINT) +
+        |    (-10) * CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) +
+        |    (-2) * abs(n_chars - 500) + (-1500) AS logit_milli
+        |  FROM documents),
+        |binned AS (
+        |  SELECT label, logit_milli,
+        |    greatest(least(logit_milli // 2000, 10), -10) AS bin
+        |  FROM scored)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS positives,
+        |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // CAST(count(*) AS BIGINT) AS pos_rate_ppm,
+        |  CAST(sum(logit_milli) AS BIGINT) AS sum_logit
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_degree_dist" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |half AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree
+        |        FROM edges GROUP BY u)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
   )
 }

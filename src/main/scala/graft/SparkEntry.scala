@@ -2803,6 +2803,75 @@ object SparkEntry {
       .orderBy(col("degree"))
   }
 
+  /** Blocking-quality audit for the MinHash-LSH dedup path — the two
+    * numbers an entity-resolution/dedup pipeline must report before
+    * the blocking strategy is trusted (Christen's RR/PC metrics):
+    * REDUCTION RATIO (how many of the all-pairs comparisons the
+    * blocking avoided) and PAIRS COMPLETENESS (what fraction of true
+    * near-dups — exact Jaccard >= 0.5 — the candidate set still
+    * contains). Truth comes from the inverted-index exact join,
+    * candidates from the 8-band LSH; the intersection is a semi-join
+    * on the pair key. Everything lands in ONE row of exact longs/ppm;
+    * the n_possible product is the only value that can exceed int64
+    * (at ~10^9.5 docs — documented, not guarded). */
+  private def qBlockingAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", k = 5, minSim = 0.5)
+      .select(col("d1"), col("d2"))
+      .localCheckpoint(eager = false)
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        k = 5, numHashes = 8, rowsPerBand = 1)
+      .localCheckpoint(eager = false)
+    val nDocs = Dedup.shingleIndex(docs, "doc_id", "text", 5)
+      .select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nFound = truth.join(cand, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).as("true_found"))
+    nDocs.crossJoin(broadcast(nTrue)).crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nFound))
+      .withColumn("n_possible", expr("n_docs * (n_docs - 1) div 2"))
+      .select(col("n_docs"), col("n_possible"), col("n_true"),
+        col("n_candidates"), col("true_found"),
+        expr("(n_possible - n_candidates) * 1000000 div n_possible")
+          .as("reduction_ppm"),
+        expr("true_found * 1000000 div nullif(n_true, 0)")
+          .as("completeness_ppm"))
+  }
+
+  /** MinHash sketch-accuracy probe — the q_recall_at_k discipline
+    * applied to the dedup sketch: for every LSH candidate pair, the
+    * SKETCH's Jaccard estimate (matching signature components / 8,
+    * exact ppm) next to the EXACT shingle Jaccard, so the sketch's
+    * variance is measured on real data instead of assumed from theory.
+    * Signatures join back to the pair key (two narrow hash joins);
+    * pairs whose shared shingles were all df-capped keep estimate > 0
+    * and exact 0 — visible, not hidden (coalesce, left join). */
+  private def qMinhashAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 5, numHashes = 8)
+      .localCheckpoint(eager = false)
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+      k = 5, numHashes = 8, rowsPerBand = 1)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", k = 5, minSim = 0.0)
+      .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
+    val a = sigs.select(col("doc_id").as("d1") +:
+      (0 until 8).map(j => col(s"h$j").as(s"a$j")): _*)
+    val b = sigs.select(col("doc_id").as("d2") +:
+      (0 until 8).map(j => col(s"h$j").as(s"b$j")): _*)
+    val estExpr = (0 until 8).map(j =>
+      when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L)).reduce(_ + _)
+    cand.join(a, "d1").join(b, "d2")
+      .withColumn("est_matches", estExpr)
+      .join(exact, Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"), col("est_matches"),
+        (col("est_matches") * 125000L).as("est_ppm"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -5321,6 +5390,8 @@ object SparkEntry {
     "q_seasonal" -> (qSeasonal _),
     "q_calibration" -> (qCalibration _),
     "q_degree_dist" -> (qDegreeDist _),
+    "q_blocking_audit" -> (qBlockingAudit _),
+    "q_minhash_accuracy" -> (qMinhashAccuracy _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8705,5 +8776,95 @@ object SparkEntry {
         |        FROM edges GROUP BY u)
         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+
+    "q_blocking_audit" -> {
+      val minhs = (0 until 8).map(j =>
+        s"min(substr(m${j / 4}, ${1 + 8 * (j % 4)}, 8)) AS h$j").mkString(",\n         |    ")
+      val bands = (0 until 8).map(j => s"struct_pack(band := $j, sig := h$j)").mkString(", ")
+      s"""WITH $duckShingles,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |csh AS (
+         |  SELECT doc_id, s FROM sh
+         |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s
+         |                  HAVING count(*) > ${graft.llm.Dedup.DefaultMaxShingleDf})),
+         |tp AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         |  FROM csh a JOIN csh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT d1, d2 FROM tp
+         |  JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+         |  WHERE shared / (c1.n + c2.n - shared) >= 0.5),
+         |hashed AS (
+         |  SELECT doc_id, md5('0|' || s) AS m0, md5('1|' || s) AS m1 FROM sh),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    $minhs
+         |  FROM hashed GROUP BY doc_id),
+         |buckets AS (
+         |  SELECT doc_id, u.band AS band, u.sig AS sig
+         |  FROM (SELECT doc_id, unnest([$bands]) AS u FROM sigs) z),
+         |mh AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM sh),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM mh),
+         |nf AS (SELECT CAST(count(*) AS BIGINT) AS true_found FROM truth t
+         |       WHERE EXISTS (SELECT 1 FROM mh
+         |                     WHERE mh.d1 = t.d1 AND mh.d2 = t.d2))
+         |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_possible, n_true,
+         |  n_candidates, true_found,
+         |  (n_docs * (n_docs - 1) // 2 - n_candidates) * 1000000
+         |    // (n_docs * (n_docs - 1) // 2) AS reduction_ppm,
+         |  true_found * 1000000 // nullif(n_true, 0) AS completeness_ppm
+         |FROM nd CROSS JOIN nt CROSS JOIN nc CROSS JOIN nf""".stripMargin
+    },
+
+    "q_minhash_accuracy" -> {
+      val minhs = (0 until 8).map(j =>
+        s"min(substr(m${j / 4}, ${1 + 8 * (j % 4)}, 8)) AS h$j").mkString(",\n         |    ")
+      val bands = (0 until 8).map(j => s"struct_pack(band := $j, sig := h$j)").mkString(", ")
+      val est = (0 until 8).map(j =>
+        s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" +\n         |      ")
+      s"""WITH $duckShingles,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |csh AS (
+         |  SELECT doc_id, s FROM sh
+         |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s
+         |                  HAVING count(*) > ${graft.llm.Dedup.DefaultMaxShingleDf})),
+         |tp AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         |  FROM csh a JOIN csh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT d1, d2, CAST(shared AS BIGINT) AS shared,
+         |    shared / (c1.n + c2.n - shared) AS jaccard
+         |  FROM tp JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id),
+         |hashed AS (
+         |  SELECT doc_id, md5('0|' || s) AS m0, md5('1|' || s) AS m1 FROM sh),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    $minhs
+         |  FROM hashed GROUP BY doc_id),
+         |buckets AS (
+         |  SELECT doc_id, u.band AS band, u.sig AS sig
+         |  FROM (SELECT doc_id, unnest([$bands]) AS u FROM sigs) z),
+         |mh AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT mh.d1, mh.d2,
+         |    CAST($est AS BIGINT) AS est_matches
+         |  FROM mh JOIN sigs sa ON mh.d1 = sa.doc_id
+         |  JOIN sigs sb ON mh.d2 = sb.doc_id)
+         |SELECT j.d1, j.d2, est_matches, est_matches * 125000 AS est_ppm,
+         |  coalesce(ex.shared, 0) AS shared,
+         |  coalesce(ex.jaccard, 0.0) AS jaccard
+         |FROM j LEFT JOIN ex ON j.d1 = ex.d1 AND j.d2 = ex.d2
+         |ORDER BY j.d1, j.d2""".stripMargin
+    },
   )
 }

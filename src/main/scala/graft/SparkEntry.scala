@@ -2872,6 +2872,102 @@ object SparkEntry {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** RFM customer segmentation — the classic warehouse scoring op:
+    * recency (latest order day), frequency (orders), monetary (exact
+    * cents) per customer, each ranked into ARITHMETIC quintiles
+    * (score = ((rank−1)·5) div n + 1 — spelled out in both engines
+    * rather than trusting ntile(), whose remainder placement is
+    * engine-specific). Ranks come from the two-pass grouped rank under
+    * one group (scalable global rank, the q_mann_whitney shape), three
+    * axes in parallel. Emits the segment distribution: customers and
+    * mean spend per (r, f, m) cell — the table a campaign targets. */
+  private def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(epochDay(col("o_orderdate"))).as("recency"),
+        count(lit(1)).as("freq"),
+        sum(Analytics.cents(col("o_totalprice"))).as("monetary"))
+      .localCheckpoint(eager = false)
+    def score(axis: String, out: String): DataFrame =
+      graft.ops.ScalablePrefix.groupedRank(s,
+        perCust.select(lit("all").as("g"),
+          col(axis).cast("double").as("ord"), col("o_custkey")),
+        "g", "ord", "o_custkey", 32)
+        .select(col("o_custkey"),
+          (expr("(rnk - 1) * 5 div grp_n") + 1).as(out))
+    perCust
+      .join(score("recency", "r_score"), "o_custkey")
+      .join(score("freq", "f_score"), "o_custkey")
+      .join(score("monetary", "m_score"), "o_custkey")
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        expr("sum(monetary) div count(1)").as("mean_monetary_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** Lag-feature matrix builder — the feature-engineering step of a
+    * forecasting pipeline: per customer order history, the previous
+    * two order values, the delta, and the rolling mean of the prior
+    * three orders (exact integer division; null until history exists,
+    * exactly as a leakage-safe feature must be — no current-row
+    * peeking). Windows partition on the customer key: millions of
+    * customers hash-spread across executors, no funnel. A 1%
+    * deterministic customer slice bounds the emitted matrix. */
+  private def qLagFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val wPrev3 = w.rowsBetween(-3, -1)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        epochDay(col("o_orderdate")).as("day"),
+        Analytics.cents(col("o_totalprice")).as("c"))
+      .withColumn("lag1", lag(col("c"), 1).over(w))
+      .withColumn("lag2", lag(col("c"), 2).over(w))
+      .withColumn("delta1", col("c") - col("lag1"))
+      .withColumn("prev3_mean",
+        (sum(col("c")).over(wPrev3) / count(col("c")).over(wPrev3))
+          .cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"), col("c"),
+        col("lag1"), col("lag2"), col("delta1"), col("prev3_mean"))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
+  /** Degree assortativity of the co-purchase graph: Pearson r between
+    * the endpoint degrees over every directed edge — do hubs link to
+    * hubs (r>0, social-style) or to leaves (r<0, hub-and-spoke)? The
+    * number that decides whether hub-capping (q_link_pred's guard) is
+    * load-bearing. Degrees join back onto the edge list (two narrow
+    * hash joins on the node key); five exact integer moments, one
+    * fixed double tree. */
+  private def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val half = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val edges = half.unionAll(half.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = false)
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    edges
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"),
+        sum(col("du") * col("dv")).as("sxy"))
+      .withColumn("assortativity",
+        (col("n_edges") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n_edges") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n_edges") * col("syy") - col("sy") * col("sy")).cast("double"))))
+      .select(col("n_edges"), col("assortativity"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -5392,6 +5488,9 @@ object SparkEntry {
     "q_degree_dist" -> (qDegreeDist _),
     "q_blocking_audit" -> (qBlockingAudit _),
     "q_minhash_accuracy" -> (qMinhashAccuracy _),
+    "q_rfm" -> (qRfm _),
+    "q_lag_features" -> (qLagFeatures _),
+    "q_assortativity" -> (qAssortativity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8866,5 +8965,79 @@ object SparkEntry {
          |FROM j LEFT JOIN ex ON j.d1 = ex.d1 AND j.d2 = ex.d2
          |ORDER BY j.d1, j.d2""".stripMargin
     },
+
+    "q_rfm" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey,
+        |    CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT)
+        |      AS recency,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS monetary
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_cust),
+        |r AS (
+        |  SELECT o_custkey,
+        |    (CAST(row_number() OVER (ORDER BY CAST(recency AS DOUBLE), o_custkey)
+        |      AS BIGINT) - 1) * 5 // n + 1 AS r_score
+        |  FROM per_cust CROSS JOIN nn),
+        |f AS (
+        |  SELECT o_custkey,
+        |    (CAST(row_number() OVER (ORDER BY CAST(freq AS DOUBLE), o_custkey)
+        |      AS BIGINT) - 1) * 5 // n + 1 AS f_score
+        |  FROM per_cust CROSS JOIN nn),
+        |m AS (
+        |  SELECT o_custkey,
+        |    (CAST(row_number() OVER (ORDER BY CAST(monetary AS DOUBLE), o_custkey)
+        |      AS BIGINT) - 1) * 5 // n + 1 AS m_score
+        |  FROM per_cust CROSS JOIN nn)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(monetary) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |    AS mean_monetary_cents
+        |FROM per_cust JOIN r USING (o_custkey) JOIN f USING (o_custkey)
+        |JOIN m USING (o_custkey)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_lag_features" ->
+      """WITH src AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders WHERE o_custkey % 100 = 0)
+        |SELECT o_custkey, o_orderkey, day, c,
+        |  lag(c, 1) OVER w AS lag1,
+        |  lag(c, 2) OVER w AS lag2,
+        |  c - lag(c, 1) OVER w AS delta1,
+        |  CAST(sum(c) OVER wp AS DOUBLE) / CAST(count(c) OVER wp AS DOUBLE)
+        |    AS prev3_mean
+        |FROM src
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey),
+        |  wp AS (PARTITION BY o_custkey ORDER BY day, o_orderkey
+        |         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+
+    "q_assortativity" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |half AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |    CAST(sum(du.d) AS BIGINT) AS sx, CAST(sum(dv.d) AS BIGINT) AS sy,
+        |    CAST(sum(du.d * du.d) AS BIGINT) AS sxx,
+        |    CAST(sum(dv.d * dv.d) AS BIGINT) AS syy,
+        |    CAST(sum(du.d * dv.d) AS BIGINT) AS sxy
+        |  FROM edges e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u)
+        |SELECT n_edges,
+        |  CAST(n_edges * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE))) AS assortativity
+        |FROM m""".stripMargin,
   )
 }

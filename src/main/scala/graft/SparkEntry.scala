@@ -2819,12 +2819,21 @@ object SparkEntry {
     val truth = Dedup.jaccardPairs(docs, "doc_id", "text", k = 5, minSim = 0.5)
       .select(col("d1"), col("d2"))
       .localCheckpoint(eager = false)
-    val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
-        k = 5, numHashes = 8, rowsPerBand = 1)
+    // one signature pass feeds the buckets AND the doc count (a doc has
+    // a signature iff it has >= 1 shingle) — minhashCandidates would
+    // recompute the signatures, and a shingleIndex count would re-explode
+    // the corpus a third time
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+        k = 5, numHashes = 8)
       .localCheckpoint(eager = false)
-    val nDocs = Dedup.shingleIndex(docs, "doc_id", "text", 5)
-      .select(col("doc_id")).distinct()
-      .agg(count(lit(1)).as("n_docs"))
+    val buckets = Dedup.lshBuckets(sigs, "doc_id", numHashes = 8, rowsPerBand = 1)
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nDocs = sigs.agg(count(lit(1)).as("n_docs"))
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val nCand = cand.agg(count(lit(1)).as("n_candidates"))
     val nFound = truth.join(cand, Seq("d1", "d2"), "left_semi")
@@ -2852,8 +2861,14 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 5, numHashes = 8)
       .localCheckpoint(eager = false)
-    val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
-      k = 5, numHashes = 8, rowsPerBand = 1)
+    // candidates from the SAME checkpointed signatures (minhashCandidates
+    // would recompute them from the corpus)
+    val buckets = Dedup.lshBuckets(sigs, "doc_id", numHashes = 8, rowsPerBand = 1)
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", k = 5, minSim = 0.0)
       .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
     val a = sigs.select(col("doc_id").as("d1") +:

@@ -2983,6 +2983,173 @@ object SparkEntry {
       .select(col("n_edges"), col("assortativity"))
   }
 
+  /** Shannon entropy + KL divergence of each nation's order-priority
+    * mix vs the global mix — the information-theoretic balance /
+    * drift screen (a nation whose KL spikes routes differently than
+    * the fleet). The category set is FIXED (5 priorities), so both
+    * statistics are a fixed left-associated 5-term double tree over
+    * exact long counts — never an order-dependent double reduction.
+    * ln() may differ from DuckDB's by 1 ulp (measured 1/400 inputs),
+    * so results ship as integer micro-nats via floor(x*1e6+0.5): a
+    * last-ulp drift (~1e-16 relative) cannot move the floor except
+    * within 1e-10 of an integer boundary, and the gate at both SFs
+    * verifies no value sits there. One broadcast-joined scan, one
+    * 25-group agg, one scalar agg — no extra shuffle at any scale. */
+  private def qEntropy(s: SparkSession, dir: String): DataFrame = {
+    val cnt = (p: String) =>
+      sum(when(col("o_orderpriority") === p, 1L).otherwise(0L))
+    val byNation = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        priorities.zipWithIndex.map { case (p, i) => cnt(p).as(s"c$i") }: _*)
+    val glob = t(s, dir, "orders")
+      .agg(count(lit(1)).as("gn"),
+        priorities.zipWithIndex.map { case (p, i) => cnt(p).as(s"g$i") }: _*)
+    def entTerm(i: Int): org.apache.spark.sql.Column = {
+      val p = col(s"c$i").cast("double") / col("n").cast("double")
+      when(col(s"c$i") > 0, p * log(p)).otherwise(lit(0.0))
+    }
+    def klTerm(i: Int): org.apache.spark.sql.Column = {
+      val p = col(s"c$i").cast("double") / col("n").cast("double")
+      val ratio = (col(s"c$i") * col("gn")).cast("double") /
+        (col("n") * col(s"g$i")).cast("double")
+      when(col(s"c$i") > 0, p * log(ratio)).otherwise(lit(0.0))
+    }
+    byNation.crossJoin(broadcast(glob))
+      .withColumn("entropy_unat",
+        floor((lit(0.0) - (0 to 4).map(entTerm).reduce(_ + _)) * 1000000 + 0.5)
+          .cast("long"))
+      .withColumn("kl_unat",
+        floor((0 to 4).map(klTerm).reduce(_ + _) * 1000000 + 0.5).cast("long"))
+      .select(col("n_name"), col("n"), col("entropy_unat"), col("kl_unat"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Mutual information between return flag and line status — the
+    * categorical-dependence screen a feature-selection pass runs over
+    * every column pair (near-zero MI ⇒ the pair carries no joint
+    * signal). The 3×2 grid is FIXED, so MI and both marginal
+    * entropies are fixed double trees over the 6 cell counts + 5
+    * marginals, all from ONE scan collapsing to a single row
+    * (map-side partial agg; nothing shuffles but 12 longs). Same
+    * micro-nat integer contract as q_entropy. */
+  private def qMutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val flags = Seq("A", "N", "R")
+    val stats = Seq("F", "O")
+    val cells = for { f <- flags; st <- stats } yield (f, st)
+    val agg0 = t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      cells.zipWithIndex.map { case ((f, st), i) =>
+        sum(when(col("l_returnflag") === f && col("l_linestatus") === st,
+          1L).otherwise(0L)).as(s"c$i")
+      } ++ flags.zipWithIndex.map { case (f, i) =>
+        sum(when(col("l_returnflag") === f, 1L).otherwise(0L)).as(s"fx$i")
+      } ++ stats.zipWithIndex.map { case (st, i) =>
+        sum(when(col("l_linestatus") === st, 1L).otherwise(0L)).as(s"gy$i")
+      }: _*)
+    def miTerm(i: Int): org.apache.spark.sql.Column = {
+      val fx = col(s"fx${i / 2}")
+      val gy = col(s"gy${i % 2}")
+      val p = col(s"c$i").cast("double") / col("n").cast("double")
+      val ratio = (col(s"c$i") * col("n")).cast("double") /
+        (fx * gy).cast("double")
+      when(col(s"c$i") > 0, p * log(ratio)).otherwise(lit(0.0))
+    }
+    def hTerm(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val p = c.cast("double") / col("n").cast("double")
+      when(c > 0, p * log(p)).otherwise(lit(0.0))
+    }
+    agg0
+      .withColumn("mi_unat",
+        floor((0 to 5).map(miTerm).reduce(_ + _) * 1000000 + 0.5).cast("long"))
+      .withColumn("h_flag_unat",
+        floor((lit(0.0) - (0 to 2).map(i => hTerm(col(s"fx$i"))).reduce(_ + _)) *
+          1000000 + 0.5).cast("long"))
+      .withColumn("h_status_unat",
+        floor((lit(0.0) - (0 to 1).map(i => hTerm(col(s"gy$i"))).reduce(_ + _)) *
+          1000000 + 0.5).cast("long"))
+      .select(col("n"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("c4"), col("c5"), col("mi_unat"), col("h_flag_unat"),
+        col("h_status_unat"))
+  }
+
+  /** Confusion-matrix evaluation of the n-gram lang-ID heuristic
+    * against the corpus's labeled `lang` column, swept over three
+    * density thresholds — the precision/recall/F1 curve every
+    * curation classifier ships with. The density compare is kept in
+    * integers (hits·1000 ≥ thr·tokens ⟺ density ≥ thr/1000), so the
+    * whole query — matrix cells, precision, recall, F1, accuracy in
+    * ppm — is exact int64 arithmetic end-to-end. One text scan fans
+    * out ×3 thresholds AFTER reducing each doc to two small ints;
+    * the shuffle carries (threshold, 4 longs). */
+  private def qConfusion(s: SparkSession, dir: String): DataFrame = {
+    val thr = s.range(1)
+      .select(explode(array(lit(60L), lit(80L), lit(100L))).as("thr_milli"))
+    val scored = TextOps.withLangId(t(s, dir, "documents"), "text")
+      .select(col("en_hits").cast("long").as("en_hits"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("lang") === "en").as("actual"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("pred",
+        col("en_hits") * 1000L >= col("thr_milli") * col("n_tokens"))
+      .groupBy(col("thr_milli"))
+      .agg(
+        sum(when(col("pred") && col("actual"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("actual"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("actual"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("actual"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("precision_ppm",
+        expr("CASE WHEN tp + fp > 0 THEN tp * 1000000 div (tp + fp) ELSE 0 END"))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN tp + fn > 0 THEN tp * 1000000 div (tp + fn) ELSE 0 END"))
+      .withColumn("f1_ppm",
+        expr("CASE WHEN precision_ppm + recall_ppm > 0 THEN " +
+          "2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm) " +
+          "ELSE 0 END"))
+      .withColumn("accuracy_ppm",
+        expr("(tp + tn) * 1000000 div (tp + fp + fn + tn)"))
+      .orderBy(col("thr_milli"))
+  }
+
+  /** Largest-remainder (Hamilton) apportionment: divide 1000 shard
+    * slots across nations proportional to customer count — the exact
+    * integer answer to "split a fixed budget fairly", used verbatim
+    * for partition-budget and sampling-quota allocation. quota·1000
+    * splits into div/mod longs; the leftover slots go to the largest
+    * remainders (ties broken by name — deterministic). The
+    * row_number window runs over #nations rows (25), not data rows —
+    * the single-partition window is bounded by group cardinality at
+    * any data scale. */
+  private def qApportion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val tot = cnts.agg(sum(col("cnt")).as("tot"))
+    val based = cnts.crossJoin(broadcast(tot))
+      .withColumn("base", expr("(1000 * cnt) div tot"))
+      .withColumn("rem", expr("(1000 * cnt) % tot"))
+      .localCheckpoint(eager = false)
+    val extra = based.agg((lit(1000L) - sum(col("base"))).as("extra"))
+    based.crossJoin(broadcast(extra))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("rem").desc, col("n_name"))))
+      .withColumn("seats",
+        col("base") + when(col("rn") <= col("extra"), 1L).otherwise(0L))
+      .select(col("n_name"), col("cnt"), col("base"), col("rem"),
+        col("seats"))
+      .orderBy(col("n_name"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -5506,6 +5673,10 @@ object SparkEntry {
     "q_rfm" -> (qRfm _),
     "q_lag_features" -> (qLagFeatures _),
     "q_assortativity" -> (qAssortativity _),
+    "q_entropy" -> (qEntropy _),
+    "q_mutual_info" -> (qMutualInfo _),
+    "q_confusion" -> (qConfusion _),
+    "q_apportion" -> (qApportion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9054,5 +9225,126 @@ object SparkEntry {
         |    (sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)) *
         |     sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE))) AS assortativity
         |FROM m""".stripMargin,
+
+    "q_entropy" ->
+      """WITH pn AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS c4
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS gn,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+        |    CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+        |    CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+        |    CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS g3,
+        |    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS g4
+        |  FROM orders)
+        |SELECT n_name, n,
+        |  CAST(floor((0.0 - (
+        |      CASE WHEN c0 > 0 THEN (CAST(c0 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c0 AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN c3 > 0 THEN (CAST(c3 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c3 AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN c4 > 0 THEN (CAST(c4 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c4 AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END
+        |    )) * 1000000 + 0.5) AS BIGINT) AS entropy_unat,
+        |  CAST(floor((
+        |      CASE WHEN c0 > 0 THEN (CAST(c0 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c0 * gn AS DOUBLE) / CAST(n * g0 AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c1 * gn AS DOUBLE) / CAST(n * g1 AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c2 * gn AS DOUBLE) / CAST(n * g2 AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN c3 > 0 THEN (CAST(c3 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c3 * gn AS DOUBLE) / CAST(n * g3 AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN c4 > 0 THEN (CAST(c4 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c4 * gn AS DOUBLE) / CAST(n * g4 AS DOUBLE)) ELSE 0.0 END
+        |    ) * 1000000 + 0.5) AS BIGINT) AS kl_unat
+        |FROM pn CROSS JOIN g ORDER BY n_name""".stripMargin,
+
+    "q_mutual_info" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS fx0,
+        |    CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS fx1,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS fx2,
+        |    CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS gy0,
+        |    CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS gy1
+        |  FROM lineitem)
+        |SELECT n, c0, c1, c2, c3, c4, c5,
+        |  CAST(floor((
+        |      CASE WHEN c0 > 0 THEN (CAST(c0 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c0 * n AS DOUBLE) / CAST(fx0 * gy0 AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c1 * n AS DOUBLE) / CAST(fx0 * gy1 AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c2 * n AS DOUBLE) / CAST(fx1 * gy0 AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN c3 > 0 THEN (CAST(c3 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c3 * n AS DOUBLE) / CAST(fx1 * gy1 AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN c4 > 0 THEN (CAST(c4 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c4 * n AS DOUBLE) / CAST(fx2 * gy0 AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN c5 > 0 THEN (CAST(c5 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c5 * n AS DOUBLE) / CAST(fx2 * gy1 AS DOUBLE)) ELSE 0.0 END
+        |    ) * 1000000 + 0.5) AS BIGINT) AS mi_unat,
+        |  CAST(floor((0.0 - (
+        |      CASE WHEN fx0 > 0 THEN (CAST(fx0 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(fx0 AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN fx1 > 0 THEN (CAST(fx1 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(fx1 AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN fx2 > 0 THEN (CAST(fx2 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(fx2 AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END
+        |    )) * 1000000 + 0.5) AS BIGINT) AS h_flag_unat,
+        |  CAST(floor((0.0 - (
+        |      CASE WHEN gy0 > 0 THEN (CAST(gy0 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(gy0 AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN gy1 > 0 THEN (CAST(gy1 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(gy1 AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END
+        |    )) * 1000000 + 0.5) AS BIGINT) AS h_status_unat
+        |FROM a""".stripMargin,
+
+    "q_confusion" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'for', 'on'], t))) AS BIGINT) AS en_hits,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |thr AS (SELECT CAST(unnest([60, 80, 100]) AS BIGINT) AS thr_milli),
+        |j AS (
+        |  SELECT thr_milli,
+        |    en_hits * 1000 >= thr_milli * n_tokens AS pred,
+        |    lang = 'en' AS actual
+        |  FROM f CROSS JOIN thr),
+        |c AS (
+        |  SELECT thr_milli,
+        |    CAST(sum(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN NOT pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM j GROUP BY thr_milli),
+        |pr AS (
+        |  SELECT thr_milli, tp, fp, fn, tn,
+        |    CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) ELSE 0 END AS precision_ppm,
+        |    CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) ELSE 0 END AS recall_ppm
+        |  FROM c)
+        |SELECT thr_milli, tp, fp, fn, tn, precision_ppm, recall_ppm,
+        |  CASE WHEN precision_ppm + recall_ppm > 0
+        |    THEN 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm)
+        |    ELSE 0 END AS f1_ppm,
+        |  (tp + tn) * 1000000 // (tp + fp + fn + tn) AS accuracy_ppm
+        |FROM pr ORDER BY thr_milli""".stripMargin,
+
+    "q_apportion" ->
+      """WITH cnts AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM cnts),
+        |based AS (
+        |  SELECT n_name, cnt,
+        |    (1000 * cnt) // tot AS base, (1000 * cnt) % tot AS rem
+        |  FROM cnts CROSS JOIN tot),
+        |ex AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS extra FROM based),
+        |rn AS (
+        |  SELECT n_name, cnt, base, rem, extra,
+        |    row_number() OVER (ORDER BY rem DESC, n_name) AS rn
+        |  FROM based CROSS JOIN ex)
+        |SELECT n_name, cnt, base, rem,
+        |  base + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS seats
+        |FROM rn ORDER BY n_name""".stripMargin,
   )
 }

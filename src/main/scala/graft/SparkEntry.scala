@@ -3150,6 +3150,350 @@ object SparkEntry {
       .orderBy(col("n_name"))
   }
 
+  /** ROC AUC of the lang-ID density score as an English detector —
+    * the threshold-free companion to q_confusion's fixed-threshold
+    * sweep. AUC is computed as the rank-sum statistic (AUC =
+    * U/(n⁺·n⁻), the probability a random positive outranks a random
+    * negative), so it rides the SAME scalable machinery as
+    * q_mann_whitney: two-pass range-partitioned global rank, tie
+    * midranks as 2·rank integers, U exact int64, one final ppm
+    * integer division. No score histogram, no threshold grid — exact
+    * AUC at any corpus size. */
+  private def qAuc(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.withLangId(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("en_density").cast("double").as("dens"),
+        (col("lang") === "en").as("pos"))
+      .localCheckpoint(eager = false)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      scored.select(lit("all").as("g"), col("dens").as("ord"), col("doc_id")),
+      "g", "ord", "doc_id", 32)
+    val ties = ranked.groupBy(col("ord"))
+      .agg((min(col("rnk")) + max(col("rnk"))).as("mr2"))
+    val mr = ranked.select(col("doc_id"), col("ord"))
+      .join(ties, "ord")
+      .join(scored.select(col("doc_id"), col("pos")), "doc_id")
+    mr.agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("pos"), col("mr2")).otherwise(lit(0L))).as("rpos_x2"))
+      .withColumn("u_x2", col("rpos_x2") - col("n_pos") * (col("n_pos") + 1))
+      .withColumn("auc_ppm", expr("u_x2 * 1000000 div (2 * n_pos * n_neg)"))
+      .select(col("n_pos"), col("n_neg"), col("u_x2"), col("auc_ppm"))
+  }
+
+  /** Theil-Sen robust trend: per-nation median of all pairwise
+    * monthly-revenue slopes — the outlier-proof replacement for OLS
+    * trend (one wild month cannot move a median of slopes). The pair
+    * join runs on the MONTH domain (≤ #months² rows per nation,
+    * independent of data scale — the q_acf/q_trend_test discipline);
+    * slopes are exact milli-dollars-per-month via `div` (truncation
+    * matches DuckDB `//` on negatives, verified); the median is the
+    * lower-median row_number selection per nation. The per-nation
+    * window is bounded by the month-domain square, not by data. */
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+      .agg(sum(Analytics.cents(col("o_totalprice"))).as("cents"))
+      .withColumn("dollars", expr("cents div 100"))
+      .localCheckpoint(eager = false)
+    val pairs = monthly.as("a").join(monthly.as("b"),
+        col("a.n_name") === col("b.n_name") && col("a.m") < col("b.m"))
+      .select(col("a.n_name").as("n_name"), col("a.m").as("mi"),
+        col("b.m").as("mj"),
+        ((col("b.dollars") - col("a.dollars")) * 1000L).as("dy_milli"),
+        (col("b.m") - col("a.m")).cast("long").as("dx"))
+      .withColumn("slope_milli", expr("dy_milli div dx"))
+    pairs
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("n_name"))
+        .orderBy(col("slope_milli"), col("mi"), col("mj"))))
+      .withColumn("n_pairs",
+        count(lit(1)).over(Window.partitionBy(col("n_name"))))
+      .filter(col("rnk") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_name"), col("n_pairs"), col("slope_milli"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Newman modularity of the 2-round label-propagation partition
+    * over the co-purchase graph — the quality score that tells you
+    * whether the communities the propagation found are real
+    * structure or noise (Q≈0). Exact-integer formulation:
+    * Q = Σ_c (4m·e_c − d_c²) / (4m²), so the numerator is a sum of
+    * longs (intra-edge counts and community degree sums from two
+    * narrow joins against the broadcast-size label table) and the
+    * ONLY double op is the final division. Reuses LabelProp.run —
+    * the partition scored is literally q_label_prop's output. */
+  private def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val half = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val edges = half.unionAll(half.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = false)
+    val labels = graft.ops.LabelProp.run(edges, rounds = 2)
+      .localCheckpoint(eager = false)
+    val m = half.agg(count(lit(1)).as("m"))
+    val intra = half
+      .join(labels.select(col("node").as("u"), col("lab").as("lu")), "u")
+      .join(labels.select(col("node").as("v"), col("lab").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("community")).agg(count(lit(1)).as("e_c"))
+    val degc = edges
+      .join(labels.select(col("node").as("u"), col("lab")), "u")
+      .groupBy(col("lab").as("community")).agg(count(lit(1)).as("d_c"))
+    degc.join(intra, Seq("community"), "left")
+      .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .agg(max(col("m")).as("m"), count(lit(1)).as("n_communities"),
+        sum(lit(4L) * col("m") * col("e_c") - col("d_c") * col("d_c"))
+          .as("num"))
+      .withColumn("modularity",
+        col("num").cast("double") / (lit(4L) * col("m") * col("m")).cast("double"))
+      .select(col("m"), col("n_communities"), col("modularity"))
+  }
+
+  /** Mean reciprocal rank of the IVF index against brute-force truth:
+    * for each query, where does the TRUE nearest neighbor land in the
+    * index's ranking (0 = not retrieved)? The single-number ranking
+    * audit that catches what recall@k hides — an index can have high
+    * recall while burying the true hit at rank 40. Truth is the
+    * rank-1 brute-force neighbor (broadcast queries, per-partition
+    * top-1 heaps); the index ranking reuses the bounded
+    * stratifiedTopN heap machinery (n=50) with the fixed-point
+    * distkey convention; reciprocal ranks and the mean are exact ppm
+    * integers. */
+  private def qMrr(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents, "cid", "cv")
+      .localCheckpoint(eager = false)
+    val queries = emb.filter(col("vec_id").isin(0, 7, 42, 99, 123))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(assign.select(col("vec_id").as("qid"), col("cid").as("qcid")), "qid")
+    def keyed(scored: DataFrame): DataFrame = scored.select(col("qid"),
+      col("vec_id"),
+      lpad(greatest(lit(0L),
+          floor((lit(1.0) - col("cosine")) * 1e9 + 0.5).cast("long")).cast("string"),
+        12, "0").as("distkey"))
+    val truthNn = graft.ops.Sampling.stratifiedTopN(s, keyed(emb
+        .crossJoin(broadcast(queries.select(col("qid"), col("qv"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosineFp(col("embedding"), col("qv")).as("cosine"))),
+      "qid", "distkey", "vec_id", n = 1)
+      .select(col("qid").cast("long").as("qid"), col("vec_id").as("nn_id"))
+    val ivfRanked = graft.ops.Sampling.stratifiedTopN(s, keyed(emb
+        .join(assign, "vec_id")
+        .join(broadcast(queries), col("cid") === col("qcid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosineFp(col("embedding"), col("qv")).as("cosine"))),
+      "qid", "distkey", "vec_id", n = 50)
+      .select(col("qid").cast("long").as("qid"), col("rn"),
+        col("vec_id").as("nn_id"))
+    val perQ = truthNn.join(ivfRanked, Seq("qid", "nn_id"), "left")
+      .withColumn("rank_in_ivf", coalesce(col("rn"), lit(0L)))
+      .withColumn("rr_ppm",
+        when(col("rank_in_ivf") > 0, expr("1000000 div rank_in_ivf"))
+          .otherwise(lit(0L)))
+      .localCheckpoint(eager = false)
+    val mrr = perQ.agg(sum(col("rr_ppm")).as("srr"), count(lit(1)).as("nq"))
+    perQ.crossJoin(broadcast(mrr))
+      .withColumn("mrr_ppm", expr("srr div nq"))
+      .select(col("qid"), col("nn_id"), col("rank_in_ivf"), col("rr_ppm"),
+        col("mrr_ppm"))
+      .orderBy(col("qid"))
+  }
+
+  /** Population stability index between two order-date cohorts (1996
+    * vs 2000) over 8 FIXED price brackets — the drift monitor every
+    * production scoring pipeline runs before trusting a model trained
+    * on last year's distribution. Each bracket's PSI contribution
+    * (p_a−p_b)·ln(p_a/p_b) is a per-ROW double tree over exact
+    * counts, shipped as micro-nat integers; the TOTAL is the sum of
+    * those integers (order-independent by construction — summing the
+    * rounded terms, not the doubles). One scan, 8-group agg,
+    * broadcast totals. */
+  private def qPsi(s: SparkSession, dir: String): DataFrame = {
+    val bracket = expr(
+      """CASE WHEN o_totalprice < 50000 THEN 0 WHEN o_totalprice < 100000 THEN 1
+        | WHEN o_totalprice < 150000 THEN 2 WHEN o_totalprice < 200000 THEN 3
+        | WHEN o_totalprice < 250000 THEN 4 WHEN o_totalprice < 300000 THEN 5
+        | WHEN o_totalprice < 400000 THEN 6 ELSE 7 END""".stripMargin)
+    val bins = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 2000))
+      .groupBy(bracket.cast("long").as("bin"))
+      .agg(
+        sum(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L)).as("ca"),
+        sum(when(year(col("o_orderdate")) === 2000, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint(eager = false)
+    val tots = bins.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val terms = bins.crossJoin(broadcast(tots))
+      .withColumn("term_unat",
+        when(col("ca") > 0 && col("cb") > 0,
+          floor((col("ca").cast("double") / col("na").cast("double") -
+              col("cb").cast("double") / col("nb").cast("double")) *
+            log((col("ca") * col("nb")).cast("double") /
+              (col("na") * col("cb")).cast("double")) * 1000000 + 0.5)
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .localCheckpoint(eager = false)
+    val tot = terms.agg(sum(col("term_unat")).as("psi_unat"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("bin"), col("ca"), col("cb"), col("term_unat"),
+        col("psi_unat"))
+      .orderBy(col("bin"))
+  }
+
+  /** Weight-of-evidence / information-value screen: 5 fixed price
+    * brackets of lineitem vs the returned flag — the classic credit-
+    * scoring feature-power audit (IV < 0.02 ⇒ the feature is useless;
+    * > 0.3 ⇒ strong). WOE_i = ln((g_i·B)/(b_i·G)) and the IV terms
+    * are per-row double trees over exact counts shipped as micro-nat
+    * integers; total IV = sum of the integer terms (the q_psi
+    * contract). One scan, 5-group agg, broadcast totals. */
+  private def qWoeIv(s: SparkSession, dir: String): DataFrame = {
+    val bracket = expr(
+      """CASE WHEN l_extendedprice < 20000 THEN 0
+        | WHEN l_extendedprice < 40000 THEN 1
+        | WHEN l_extendedprice < 60000 THEN 2
+        | WHEN l_extendedprice < 80000 THEN 3 ELSE 4 END""".stripMargin)
+    val bins = t(s, dir, "lineitem")
+      .groupBy(bracket.cast("long").as("bin"))
+      .agg(
+        sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("g"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("b"))
+      .localCheckpoint(eager = false)
+    val tots = bins.agg(sum(col("g")).as("tg"), sum(col("b")).as("tb"))
+    val terms = bins.crossJoin(broadcast(tots))
+      .withColumn("woe_unat",
+        when(col("g") > 0 && col("b") > 0,
+          floor(log((col("g") * col("tb")).cast("double") /
+              (col("b") * col("tg")).cast("double")) * 1000000 + 0.5)
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("term_unat",
+        when(col("g") > 0 && col("b") > 0,
+          floor((col("g").cast("double") / col("tg").cast("double") -
+              col("b").cast("double") / col("tb").cast("double")) *
+            log((col("g") * col("tb")).cast("double") /
+              (col("b") * col("tg")).cast("double")) * 1000000 + 0.5)
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .localCheckpoint(eager = false)
+    val tot = terms.agg(sum(col("term_unat")).as("iv_unat"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("bin"), col("g"), col("b"), col("woe_unat"),
+        col("term_unat"), col("iv_unat"))
+      .orderBy(col("bin"))
+  }
+
+  /** Per-node local clustering coefficient over the co-purchase
+    * graph: 2·T_v / (d_v·(d_v−1)) in exact ppm — the node-level
+    * "how clique-like is my neighborhood" score (q_triangles gives
+    * the global count; this gives the distribution). Triangles are
+    * enumerated once on id-oriented half edges (u<v<w — each
+    * triangle exactly once, the standard sub-quadratic edge-join;
+    * at real scale the orientation key becomes degree order to bound
+    * the join fan-out, same plan shape) and unpivoted to the three
+    * member nodes; the coefficient is pure integer arithmetic. */
+  private def qLocalClustering(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val half = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val tri = half.as("e1")
+      .join(half.as("e2"), col("e1.v") === col("e2.u"))
+      .join(half.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val triPerNode = tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    val deg = half.select(col("u").as("node"))
+      .unionAll(half.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    deg.filter(col("d") >= 2)
+      .join(triPerNode, Seq("node"), "left")
+      .withColumn("tri", coalesce(col("tri"), lit(0L)))
+      .withColumn("coeff_ppm", expr("2 * tri * 1000000 div (d * (d - 1))"))
+      .select(col("node"), col("d"), col("tri"), col("coeff_ppm"))
+      .orderBy(col("node"))
+  }
+
+  /** NDCG@10 of the IVF index against graded brute-force relevance
+    * (truth rank r ⇒ gain 11−r) — the position-sensitive ranking
+    * metric next to q_recall_at_k (set overlap) and q_mrr (first
+    * hit). The 1/log2(i+1) discount enters as 10 integer micro-
+    * weights (q_benford's no-transcendental-crosses-the-boundary
+    * convention), IDCG is a compile-time integer constant, and
+    * NDCG is one ppm integer division — bit-exact at any scale. */
+  private def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    val discountCase =
+      """CASE rn WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+        | WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207
+        | WHEN 7 THEN 333333 WHEN 8 THEN 315465 WHEN 9 THEN 301030
+        | ELSE 289065 END""".stripMargin
+    val idcgMicro = 29966114L // sum of (11-i) * discount_i, i = 1..10
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents, "cid", "cv")
+      .localCheckpoint(eager = false)
+    val queries = emb.filter(col("vec_id").isin(0, 7, 42, 99, 123))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(assign.select(col("vec_id").as("qid"), col("cid").as("qcid")), "qid")
+    def keyed(scored: DataFrame): DataFrame = scored.select(col("qid"),
+      col("vec_id"),
+      lpad(greatest(lit(0L),
+          floor((lit(1.0) - col("cosine")) * 1e9 + 0.5).cast("long")).cast("string"),
+        12, "0").as("distkey"))
+    val truth10 = graft.ops.Sampling.stratifiedTopN(s, keyed(emb
+        .crossJoin(broadcast(queries.select(col("qid"), col("qv"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosineFp(col("embedding"), col("qv")).as("cosine"))),
+      "qid", "distkey", "vec_id", n = 10)
+      .select(col("qid").cast("long").as("qid"), col("vec_id"),
+        (lit(11L) - col("rn")).as("rel"))
+    val ivf10 = graft.ops.Sampling.stratifiedTopN(s, keyed(emb
+        .join(assign, "vec_id")
+        .join(broadcast(queries), col("cid") === col("qcid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosineFp(col("embedding"), col("qv")).as("cosine"))),
+      "qid", "distkey", "vec_id", n = 10)
+      .select(col("qid").cast("long").as("qid"), col("rn"), col("vec_id"))
+    ivf10
+      .join(truth10, Seq("qid", "vec_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .withColumn("gain_micro", col("rel") * expr(discountCase))
+      .groupBy(col("qid"))
+      .agg(sum(col("gain_micro")).as("dcg_micro"))
+      .withColumn("ndcg_ppm",
+        expr(s"dcg_micro * 1000000 div ${idcgMicro}L"))
+      .orderBy(col("qid"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -5677,6 +6021,14 @@ object SparkEntry {
     "q_mutual_info" -> (qMutualInfo _),
     "q_confusion" -> (qConfusion _),
     "q_apportion" -> (qApportion _),
+    "q_auc" -> (qAuc _),
+    "q_theil_sen" -> (qTheilSen _),
+    "q_modularity" -> (qModularity _),
+    "q_mrr" -> (qMrr _),
+    "q_psi" -> (qPsi _),
+    "q_woe_iv" -> (qWoeIv _),
+    "q_local_clustering" -> (qLocalClustering _),
+    "q_ndcg" -> (qNdcg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9346,5 +9698,299 @@ object SparkEntry {
         |SELECT n_name, cnt, base, rem,
         |  base + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS seats
         |FROM rn ORDER BY n_name""".stripMargin,
+
+    "q_auc" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang = 'en' AS pos,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'for', 'on'], t))) AS BIGINT)
+        |      / CAST(len(string_split(text, ' ')) AS BIGINT) AS dens
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, dens AS ord,
+        |    CAST(row_number() OVER (ORDER BY dens, doc_id) AS BIGINT) AS rnk
+        |  FROM f),
+        |ties AS (
+        |  SELECT ord, min(rnk) + max(rnk) AS mr2 FROM ranked GROUP BY ord),
+        |mr AS (
+        |  SELECT r.doc_id, t.mr2, f.pos
+        |  FROM ranked r JOIN ties t ON r.ord = t.ord
+        |  JOIN f ON r.doc_id = f.doc_id),
+        |a AS (
+        |  SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |    CAST(sum(CASE WHEN pos THEN mr2 ELSE 0 END) AS BIGINT) AS rpos_x2
+        |  FROM mr)
+        |SELECT n_pos, n_neg, rpos_x2 - n_pos * (n_pos + 1) AS u_x2,
+        |  (rpos_x2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg)
+        |    AS auc_ppm
+        |FROM a""".stripMargin,
+
+    "q_theil_sen" ->
+      """WITH monthly AS (
+        |  SELECT n_name,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) // 100
+        |      AS dollars
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, year(o_orderdate) * 12 + month(o_orderdate)),
+        |pairs AS (
+        |  SELECT a.n_name, a.m AS mi, b.m AS mj,
+        |    ((b.dollars - a.dollars) * 1000) // CAST(b.m - a.m AS BIGINT)
+        |      AS slope_milli
+        |  FROM monthly a JOIN monthly b
+        |    ON a.n_name = b.n_name AND a.m < b.m),
+        |ranked AS (
+        |  SELECT n_name, mi, mj, slope_milli,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY slope_milli, mi, mj) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n_pairs
+        |  FROM pairs)
+        |SELECT n_name, n_pairs, slope_milli
+        |FROM ranked WHERE rnk = (n_pairs + 1) // 2
+        |ORDER BY n_name""".stripMargin,
+
+    "q_modularity" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |half AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM edges),
+        |c1 AS (
+        |  SELECT e.u AS node, l.lab, CAST(count(*) AS BIGINT) AS n
+        |  FROM edges e JOIN l0 l ON e.v = l.node GROUP BY 1, 2),
+        |l1 AS (
+        |  SELECT node, lab FROM (
+        |    SELECT node, lab,
+        |      row_number() OVER (PARTITION BY node ORDER BY n DESC, lab) AS rn
+        |    FROM c1) x WHERE rn = 1),
+        |c2 AS (
+        |  SELECT e.u AS node, l.lab, CAST(count(*) AS BIGINT) AS n
+        |  FROM edges e JOIN l1 l ON e.v = l.node GROUP BY 1, 2),
+        |l2 AS (
+        |  SELECT node, lab FROM (
+        |    SELECT node, lab,
+        |      row_number() OVER (PARTITION BY node ORDER BY n DESC, lab) AS rn
+        |    FROM c2) x WHERE rn = 1),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM half),
+        |intra AS (
+        |  SELECT lu.lab AS community, CAST(count(*) AS BIGINT) AS e_c
+        |  FROM half h JOIN l2 lu ON h.u = lu.node
+        |  JOIN l2 lv ON h.v = lv.node
+        |  WHERE lu.lab = lv.lab GROUP BY lu.lab),
+        |degc AS (
+        |  SELECT l.lab AS community, CAST(count(*) AS BIGINT) AS d_c
+        |  FROM edges e JOIN l2 l ON e.u = l.node GROUP BY l.lab),
+        |per AS (
+        |  SELECT d.community, d.d_c, COALESCE(i.e_c, 0) AS e_c, m
+        |  FROM degc d LEFT JOIN intra i ON d.community = i.community
+        |  CROSS JOIN mm),
+        |agg AS (
+        |  SELECT CAST(max(m) AS BIGINT) AS m,
+        |    CAST(count(*) AS BIGINT) AS n_communities,
+        |    CAST(sum(4 * m * e_c - d_c * d_c) AS BIGINT) AS num
+        |  FROM per)
+        |SELECT m, n_communities,
+        |  CAST(num AS DOUBLE) / CAST(4 * m * m AS DOUBLE) AS modularity
+        |FROM agg""".stripMargin,
+
+    "q_mrr" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |adots AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT))) AS d
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        |    FROM adots) x WHERE rn = 1),
+        |q AS (
+        |  SELECT e.vec_id AS qid, e.embedding AS qv, a.cid AS qcid
+        |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+        |  WHERE e.vec_id IN (0, 7, 42, 99, 123)),
+        |td AS (
+        |  SELECT q.qid, e.vec_id,
+        |    (list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT))) / 1000000000.0) / (sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT))) / 1000000000.0) * sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT))) / 1000000000.0)) AS cosine
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.qid),
+        |truth AS (
+        |  SELECT qid, vec_id AS nn_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY greatest(CAST(0 AS BIGINT),
+        |          CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT)),
+        |          vec_id) AS rn
+        |    FROM td) x WHERE rn = 1),
+        |rd AS (
+        |  SELECT q.qid, e.vec_id,
+        |    (list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT))) / 1000000000.0) / (sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT))) / 1000000000.0) * sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT))) / 1000000000.0)) AS cosine
+        |  FROM embeddings e
+        |  JOIN assign a ON e.vec_id = a.vec_id
+        |  JOIN q ON a.cid = q.qcid
+        |  WHERE e.vec_id <> q.qid),
+        |ret AS (
+        |  SELECT qid, vec_id AS nn_id, CAST(rn AS BIGINT) AS rn FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY greatest(CAST(0 AS BIGINT),
+        |          CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT)),
+        |          vec_id) AS rn
+        |    FROM rd) x WHERE rn <= 50),
+        |perq AS (
+        |  SELECT t.qid, t.nn_id,
+        |    COALESCE(r.rn, 0) AS rank_in_ivf,
+        |    CASE WHEN COALESCE(r.rn, 0) > 0 THEN 1000000 // r.rn ELSE 0 END
+        |      AS rr_ppm
+        |  FROM truth t LEFT JOIN ret r ON t.qid = r.qid AND t.nn_id = r.nn_id),
+        |m AS (
+        |  SELECT CAST(sum(rr_ppm) AS BIGINT) AS srr,
+        |    CAST(count(*) AS BIGINT) AS nq
+        |  FROM perq)
+        |SELECT qid, nn_id, rank_in_ivf, rr_ppm, srr // nq AS mrr_ppm
+        |FROM perq CROSS JOIN m ORDER BY qid""".stripMargin,
+
+    "q_psi" ->
+      """WITH bins AS (
+        |  SELECT CAST(CASE WHEN o_totalprice < 50000 THEN 0 WHEN o_totalprice < 100000 THEN 1
+        |    WHEN o_totalprice < 150000 THEN 2 WHEN o_totalprice < 200000 THEN 3
+        |    WHEN o_totalprice < 250000 THEN 4 WHEN o_totalprice < 300000 THEN 5
+        |    WHEN o_totalprice < 400000 THEN 6 ELSE 7 END AS BIGINT) AS bin,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 2000 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 2000)
+        |  GROUP BY 1),
+        |tots AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        |  FROM bins),
+        |terms AS (
+        |  SELECT bin, ca, cb,
+        |    CASE WHEN ca > 0 AND cb > 0 THEN
+        |      CAST(floor((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) -
+        |          CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) *
+        |        ln(CAST(ca * nb AS DOUBLE) / CAST(na * cb AS DOUBLE)) * 1000000
+        |        + 0.5) AS BIGINT)
+        |    ELSE 0 END AS term_unat
+        |  FROM bins CROSS JOIN tots),
+        |tot AS (SELECT CAST(sum(term_unat) AS BIGINT) AS psi_unat FROM terms)
+        |SELECT bin, ca, cb, term_unat, psi_unat
+        |FROM terms CROSS JOIN tot ORDER BY bin""".stripMargin,
+
+    "q_woe_iv" ->
+      """WITH bins AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice < 20000 THEN 0
+        |    WHEN l_extendedprice < 40000 THEN 1
+        |    WHEN l_extendedprice < 60000 THEN 2
+        |    WHEN l_extendedprice < 80000 THEN 3 ELSE 4 END AS BIGINT) AS bin,
+        |    CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS g,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM lineitem GROUP BY 1),
+        |tots AS (
+        |  SELECT CAST(sum(g) AS BIGINT) AS tg, CAST(sum(b) AS BIGINT) AS tb
+        |  FROM bins),
+        |terms AS (
+        |  SELECT bin, g, b,
+        |    CASE WHEN g > 0 AND b > 0 THEN
+        |      CAST(floor(ln(CAST(g * tb AS DOUBLE) / CAST(b * tg AS DOUBLE))
+        |        * 1000000 + 0.5) AS BIGINT)
+        |    ELSE 0 END AS woe_unat,
+        |    CASE WHEN g > 0 AND b > 0 THEN
+        |      CAST(floor((CAST(g AS DOUBLE) / CAST(tg AS DOUBLE) -
+        |          CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) *
+        |        ln(CAST(g * tb AS DOUBLE) / CAST(b * tg AS DOUBLE)) * 1000000
+        |        + 0.5) AS BIGINT)
+        |    ELSE 0 END AS term_unat
+        |  FROM bins CROSS JOIN tots),
+        |tot AS (SELECT CAST(sum(term_unat) AS BIGINT) AS iv_unat FROM terms)
+        |SELECT bin, g, b, woe_unat, term_unat, iv_unat
+        |FROM terms CROSS JOIN tot ORDER BY bin""".stripMargin,
+
+    "q_local_clustering" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |half AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM half e1 JOIN half e2 ON e1.v = e2.u
+        |  JOIN half e3 ON e1.u = e3.u AND e2.v = e3.v),
+        |tpn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) x
+        |  GROUP BY node),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS node FROM half UNION ALL SELECT v FROM half) x
+        |  GROUP BY node)
+        |SELECT deg.node, d, COALESCE(tpn.tri, 0) AS tri,
+        |  2 * COALESCE(tpn.tri, 0) * 1000000 // (d * (d - 1)) AS coeff_ppm
+        |FROM deg LEFT JOIN tpn ON deg.node = tpn.node
+        |WHERE d >= 2 ORDER BY deg.node""".stripMargin,
+
+    "q_ndcg" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |adots AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT))) AS d
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        |    FROM adots) x WHERE rn = 1),
+        |q AS (
+        |  SELECT e.vec_id AS qid, e.embedding AS qv, a.cid AS qcid
+        |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+        |  WHERE e.vec_id IN (0, 7, 42, 99, 123)),
+        |td AS (
+        |  SELECT q.qid, e.vec_id,
+        |    (list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT))) / 1000000000.0) / (sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT))) / 1000000000.0) * sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT))) / 1000000000.0)) AS cosine
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.qid),
+        |truth AS (
+        |  SELECT qid, vec_id, CAST(11 - rn AS BIGINT) AS rel FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY greatest(CAST(0 AS BIGINT),
+        |          CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT)),
+        |          vec_id) AS rn
+        |    FROM td) x WHERE rn <= 10),
+        |rd AS (
+        |  SELECT q.qid, e.vec_id,
+        |    (list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT))) / 1000000000.0) / (sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT))) / 1000000000.0) * sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT))) / 1000000000.0)) AS cosine
+        |  FROM embeddings e
+        |  JOIN assign a ON e.vec_id = a.vec_id
+        |  JOIN q ON a.cid = q.qcid
+        |  WHERE e.vec_id <> q.qid),
+        |ret AS (
+        |  SELECT qid, vec_id, CAST(rn AS BIGINT) AS rn FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY greatest(CAST(0 AS BIGINT),
+        |          CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT)),
+        |          vec_id) AS rn
+        |    FROM rd) x WHERE rn <= 10),
+        |gains AS (
+        |  SELECT r.qid,
+        |    COALESCE(t.rel, 0) *
+        |      CAST(CASE r.rn WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+        |        WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207
+        |        WHEN 7 THEN 333333 WHEN 8 THEN 315465 WHEN 9 THEN 301030
+        |        ELSE 289065 END AS BIGINT) AS gain_micro
+        |  FROM ret r LEFT JOIN truth t ON r.qid = t.qid AND r.vec_id = t.vec_id)
+        |SELECT qid, CAST(sum(gain_micro) AS BIGINT) AS dcg_micro,
+        |  CAST(sum(gain_micro) AS BIGINT) * 1000000 // 29966114 AS ndcg_ppm
+        |FROM gains GROUP BY qid ORDER BY qid""".stripMargin,
   )
 }

@@ -3494,6 +3494,401 @@ object SparkEntry {
       .orderBy(col("qid"))
   }
 
+  /** Closed-form ridge regression (2 features + intercept): predict
+    * order value from line count and total quantity by solving the
+    * 3×3 normal equations (XᵀX + λI·[0,1,1])β = Xᵀy with Cramer's
+    * rule — the distributed-friendly regression: ONE pass collects 9
+    * exact integer moments (map-side combine, a single 9-long row
+    * shuffles), the solve is a fixed double tree over those longs on
+    * one row. λ touches only the feature diagonal (intercept
+    * unpenalized, the standard form). No iteration, no gradient —
+    * at 100 TB this is still one scan + one 9-value reduce. */
+  private def qRidge(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("x1"),
+        sum(col("l_quantity").cast("long")).as("x2"))
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100")
+              .as("y")),
+        col("l_orderkey") === col("o_orderkey"))
+    val m = perOrder.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"))
+    // 3×3 system rows: [n s1 s2 | sy], [s1 s11+λ s12 | s1y], [s2 s12 s22+λ | s2y]
+    val solved = m
+      .withColumn("a", col("n").cast("double"))
+      .withColumn("b", col("s1").cast("double"))
+      .withColumn("c", col("s2").cast("double"))
+      .withColumn("d", col("s1").cast("double"))
+      .withColumn("e", (col("s11") + 1000L).cast("double"))
+      .withColumn("f", col("s12").cast("double"))
+      .withColumn("g", col("s2").cast("double"))
+      .withColumn("h", col("s12").cast("double"))
+      .withColumn("i", (col("s22") + 1000L).cast("double"))
+      .withColumn("r0", col("sy").cast("double"))
+      .withColumn("r1", col("s1y").cast("double"))
+      .withColumn("r2", col("s2y").cast("double"))
+    def det3(a: String, b: String, c: String, d: String, e: String,
+        f: String, g: String, h: String, i: String): org.apache.spark.sql.Column =
+      col(a) * (col(e) * col(i) - col(f) * col(h)) -
+        col(b) * (col(d) * col(i) - col(f) * col(g)) +
+        col(c) * (col(d) * col(h) - col(e) * col(g))
+    solved
+      .withColumn("det", det3("a", "b", "c", "d", "e", "f", "g", "h", "i"))
+      .withColumn("beta0",
+        det3("r0", "b", "c", "r1", "e", "f", "r2", "h", "i") / col("det"))
+      .withColumn("beta1",
+        det3("a", "r0", "c", "d", "r1", "f", "g", "r2", "i") / col("det"))
+      .withColumn("beta2",
+        det3("a", "b", "r0", "d", "e", "r1", "g", "h", "r2") / col("det"))
+      .select(col("n"), col("beta0"), col("beta1"), col("beta2"))
+  }
+
+  /** Decile gains/lift table for the quality model — "if I keep only
+    * the top-k% by score, what fraction of the good docs do I
+    * capture?" — the curve that decides every corpus-budget cut.
+    * Ranking rides the two-pass scalable global rank; decile
+    * assignment, cumulative capture, and lift are exact integer
+    * arithmetic; the cumulative window runs over 10 DECILE rows
+    * (bounded by bucket count, not data). */
+  private def qGains(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit(40L) * size(split(col("text"), " ")).cast("long") +
+          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", "")).cast("long") +
+          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L)).as("logit_milli"),
+        (col("n_chars") >= 200).as("label"))
+      .localCheckpoint(eager = false)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      scored.select(lit("all").as("g"),
+        (lit(0L) - col("logit_milli")).cast("double").as("ord"), col("doc_id")),
+      "g", "ord", "doc_id", 32)
+    val n = scored.agg(count(lit(1)).as("n_total"),
+      sum(when(col("label"), 1L).otherwise(0L)).as("pos_total"))
+    val deciles = ranked
+      .join(scored.select(col("doc_id"), col("label")), "doc_id")
+      .crossJoin(broadcast(n))
+      .withColumn("decile", expr("(rnk - 1) * 10 div n_total + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+        max(col("n_total")).as("n_total"), max(col("pos_total")).as("pos_total"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .withColumn("gain_ppm", expr("cum_pos * 1000000 div pos_total"))
+      .withColumn("lift_ppm",
+        expr("cum_pos * n_total * 1000000 div (cum_docs * pos_total)"))
+      .select(col("decile"), col("n_docs"), col("n_pos"), col("cum_docs"),
+        col("cum_pos"), col("gain_ppm"), col("lift_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  /** Herfindahl-Hirschman concentration index per region: Σ share²
+    * of nation revenue within each region — the market-concentration
+    * audit (HHI > 0.25 ⇒ concentrated). Shares are computed FIRST as
+    * bounded ppm integers (≤ 1e6), then squared — raw-revenue squares
+    * overflow int64 at scale (caught by the sf0.1 gate); bounded
+    * shares never can, at any corpus size. Pure integer end-to-end.
+    * Broadcast-dim star join, 25-row agg, broadcast region totals. */
+  private def qHhi(s: SparkSession, dir: String): DataFrame = {
+    val nationRev = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) div 100000")
+        .as("rev_k"))
+      .localCheckpoint(eager = false)
+    val totals = nationRev.groupBy(col("r_name"))
+      .agg(sum(col("rev_k")).as("total_k"))
+    nationRev.join(broadcast(totals), "r_name")
+      .withColumn("share_ppm", expr("rev_k * 1000000 div total_k"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        max(col("total_k")).as("total_k"),
+        sum(col("share_ppm") * col("share_ppm")).as("sum_sq_ppm"),
+        max(col("share_ppm")).as("top_share_ppm"))
+      .withColumn("hhi_ppm", expr("sum_sq_ppm div 1000000"))
+      .select(col("r_name"), col("n_nations"), col("total_k"),
+        col("hhi_ppm"), col("top_share_ppm"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Simplified silhouette per cluster (centroid form): a = L2² to
+    * own centroid, b = min L2² to any other, s = (b−a)/max(a,b) —
+    * the cluster-quality audit that tells you whether the learned
+    * blocking keys (q_semantic_dedup) actually separate. Distances
+    * are exact fixed-point longs (per-dimension floor at 1e9, the
+    * q_kmeans convention), so assignment, margins, and the ppm
+    * silhouette are all integer arithmetic; per-vector work is a
+    * broadcast of 8 centroids — one linear pass, no shuffle until
+    * the 8-row agg. */
+  private def qSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val dists = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        aggregate(zip_with(col("embedding"), col("cv"),
+            (x, c) => floor((x.cast("double") - c.cast("double")) *
+              (x.cast("double") - c.cast("double")) * 1e9 + 0.5).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("d2"))
+    val ranked = dists
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"),
+        sort_array(collect_list(struct(col("d2"), col("cid")))).as("all"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.d2").as("a2"),
+        col("all")(1)("d2").as("b2"))
+    val perVec = ranked
+      .withColumn("s_ppm",
+        when(greatest(col("a2"), col("b2")) > 0,
+          expr("(b2 - a2) * 1000000 div greatest(a2, b2)"))
+          .otherwise(lit(0L)))
+    perVec.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("s_ppm")).as("sum_s_ppm"))
+      .withColumn("mean_s_ppm", expr("sum_s_ppm div n_vecs"))
+      .select(col("cid"), col("n_vecs"), col("mean_s_ppm"))
+      .orderBy(col("cid"))
+  }
+
+  /** Median-absolute-deviation outlier screen per nation — the
+    * robust companion to q_outliers_iqr (MAD shrugs off the 50%
+    * contamination that wrecks mean/stddev fences). BOTH medians
+    * (value, then |value−median|) ride the two-pass range-partitioned
+    * grouped rank — no per-nation window funnel; the 25-row median
+    * tables travel back broadcast; the k=3 fence and outlier counts
+    * are exact integer cents. */
+  private def qMad(s: SparkSession, dir: String): DataFrame = {
+    val vals = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey").as("ok"),
+        Analytics.cents(col("o_totalprice")).as("v"))
+      .localCheckpoint(eager = false)
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+        df.select(col("n_name"), col(valueCol).cast("double").as("ord"),
+          col("ok")),
+        "n_name", "ord", "ok", 32)
+      val n = ranked.groupBy(col("n_name")).agg(max(col("rnk")).as("n"))
+      ranked.join(n, "n_name")
+        .filter(col("rnk") === expr("(n + 1) div 2"))
+        .select(col("n_name"), col("ord").cast("long").as(out))
+    }
+    val med = lowerMedian(vals, "v", "med_cents")
+    val dev = vals.join(broadcast(med), "n_name")
+      .withColumn("dev", abs(col("v") - col("med_cents")))
+      .localCheckpoint(eager = false)
+    val mad = lowerMedian(dev.select(col("n_name"), col("ok"),
+      col("dev").as("v")), "v", "mad_cents")
+    dev.join(broadcast(mad), "n_name")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med_cents")).as("med_cents"),
+        max(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > lit(3L) * col("mad_cents"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Iterative proportional fitting (raking) of the priority×region
+    * contingency table to uniform target margins — the survey-
+    * weighting primitive that reweights a skewed sample to known
+    * population margins. Two full IPF rounds (priority-scale,
+    * region-scale, twice); each scale step multiplies by an integer
+    * ppm factor (target·1e6 div margin-sum), so every weight stays an
+    * exact int64 at any corpus size. All four margin windows run
+    * over the 25-CELL table (bounded by category cardinality, not
+    * data) after ONE counting shuffle. */
+  private def qIpf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("o_orderpriority"), col("r_name"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val tot = cells.agg(sum(col("n")).as("total"))
+    def scaleBy(df: DataFrame, dim: String): DataFrame = df
+      .withColumn("msum", sum(col("w")).over(Window.partitionBy(col(dim))))
+      .withColumn("w", expr("w * (target_w * 1000000 div msum) div 1000000"))
+      .drop("msum")
+    val w0 = cells.crossJoin(broadcast(tot))
+      .withColumn("target_w", expr("(total div 5) * 1000000"))
+      .withColumn("w", col("n") * lit(1000000L))
+    val fitted = scaleBy(scaleBy(scaleBy(scaleBy(
+      w0, "o_orderpriority"), "r_name"), "o_orderpriority"), "r_name")
+    fitted
+      .select(col("o_orderpriority"), col("r_name"), col("n"),
+        col("w").as("w_ppm"))
+      .orderBy(col("o_orderpriority"), col("r_name"))
+  }
+
+  /** Per-label embedding centroid drift: exact fixed-point mean
+    * vector per label, then pairwise squared L2 between centroids —
+    * the cohort-drift screen that catches a class whose embedding
+    * distribution moved (new scraper, new preprocessing) before it
+    * poisons training. Dimension explosion shuffles (label, dim,
+    * fp) longs — never float vectors; means truncate to micro grain
+    * so centroid-difference squares stay in int64 at any corpus
+    * size; the 45-pair join runs on the 640-row centroid table. */
+  private def qEmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    val dims = t(s, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")))
+      .select(col("label"), col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * 1e9 + 0.5).cast("long").as("v_fp"))
+    val means = dims.groupBy(col("label"), col("dim"))
+      .agg(expr("CAST(sum(v_fp) AS BIGINT) div count(1)").as("mean_fp"))
+      .withColumn("mean_u", expr("mean_fp div 1000"))
+      .localCheckpoint(eager = false)
+    means.as("a").join(means.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("l1"), col("b.label").as("l2"))
+      .agg(sum((col("a.mean_u") - col("b.mean_u")) *
+        (col("a.mean_u") - col("b.mean_u"))).as("d2_micro"))
+      .orderBy(col("l1"), col("l2"))
+  }
+
+  /** Consistent-hashing ring balance audit: 8 physical nodes × 32
+    * vnodes on an md5 ring, every customer key assigned to its
+    * clockwise successor (wraparound via coalesce-to-min) — the
+    * shard-rebalance primitive, audited for load skew. The ring is a
+    * 256-long SORTED ARRAY broadcast to every key row, so assignment
+    * is a pure per-row array_min(filter(...)) expression — zero
+    * explosion, zero shuffle until the 8-row count; the vnode→node
+    * resolve is a broadcast join on the chosen ring position. */
+  private def qConsistentHash(s: SparkSession, dir: String): DataFrame = {
+    val vnodes = s.range(256)
+      .select(expr("id div 32").as("pnode"),
+        conv(substring(md5(concat(lit("ring|"), col("id").cast("string"))
+          .cast("binary")), 1, 12), 16, 10).cast("long").as("vhash"))
+      .localCheckpoint(eager = false)
+    val ring = vnodes.agg(array_sort(collect_list(col("vhash"))).as("varr"))
+    val keys = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        conv(substring(md5(concat(lit("key|"), col("c_custkey").cast("string"))
+          .cast("binary")), 1, 12), 16, 10).cast("long").as("khash"))
+      .localCheckpoint(eager = false)
+    val assigned = keys.crossJoin(broadcast(ring))
+      .withColumn("ahash", coalesce(
+        array_min(filter(col("varr"), x => x >= col("khash"))),
+        array_min(col("varr"))))
+    assigned.join(broadcast(vnodes), col("ahash") === col("vhash"))
+      .groupBy(col("pnode"))
+      .agg(count(lit(1)).as("n_keys"))
+      .crossJoin(broadcast(keys.agg(count(lit(1)).as("total"))))
+      .withColumn("share_ppm", expr("n_keys * 1000000 div total"))
+      .select(col("pnode"), col("n_keys"), col("share_ppm"))
+      .orderBy(col("pnode"))
+  }
+
+  /** Quantile normalization of per-nation order values onto the
+    * global distribution — the batch-effect remover (map every
+    * cohort's rank-r value to the global value at the same relative
+    * rank) that makes cross-cohort features comparable before
+    * training. Both rankings ride the two-pass scalable grouped
+    * rank; the target index is exact integer arithmetic
+    * (r·N div n_g); the remap is an equi-join on the global rank.
+    * Emits per-nation exact sums/extremes of the normalized cents. */
+  private def qQuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val vals = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey").as("ok"),
+        Analytics.cents(col("o_totalprice")).as("v"))
+      .localCheckpoint(eager = false)
+    val natR = graft.ops.ScalablePrefix.groupedRank(s,
+      vals.select(col("n_name"), col("v").cast("double").as("ord"), col("ok")),
+      "n_name", "ord", "ok", 32)
+    val natN = natR.groupBy(col("n_name")).agg(max(col("rnk")).as("n_g"))
+    val globR = graft.ops.ScalablePrefix.groupedRank(s,
+      vals.select(lit("all").as("g"), col("v").cast("double").as("ord"),
+        col("ok")),
+      "g", "ord", "ok", 32)
+      .localCheckpoint(eager = false)
+    val totN = globR.agg(max(col("rnk")).as("n_tot"))
+    natR.join(broadcast(natN), "n_name").crossJoin(broadcast(totN))
+      .withColumn("target_rank", expr("rnk * n_tot div n_g"))
+      .join(globR.select(col("rnk").as("target_rank"),
+        col("ord").cast("long").as("norm_cents")), "target_rank")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("norm_cents")).as("sum_norm_cents"),
+        min(col("norm_cents")).as("min_norm_cents"),
+        max(col("norm_cents")).as("max_norm_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Wilson score interval for the urgent-order share per nation —
+    * the proportion CI that stays sane at small n and extreme p̂
+    * (where the naive normal interval leaves [0,1]). Counts are
+    * exact longs; both bounds are fixed trees of +,−,×,÷,√ over
+    * those longs — every operator correctly rounded IEEE, so the
+    * doubles are bit-identical in any engine. One broadcast-joined
+    * scan, 25-group agg. */
+  private def qWilson(s: SparkSession, dir: String): DataFrame = {
+    val agg0 = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("x"))
+    val nD = col("n").cast("double")
+    val phat = col("x").cast("double") / nD
+    val half = lit(1.96) * sqrt(phat * (lit(1.0) - phat) / nD +
+      lit(3.8416) / (lit(4.0) * nD * nD))
+    val denom = lit(1.0) + lit(3.8416) / nD
+    agg0
+      .withColumn("wilson_lo",
+        (phat + lit(3.8416) / (lit(2.0) * nD) - half) / denom)
+      .withColumn("wilson_hi",
+        (phat + lit(3.8416) / (lit(2.0) * nD) + half) / denom)
+      .select(col("n_name"), col("n"), col("x"), col("wilson_lo"),
+        col("wilson_hi"))
+      .orderBy(col("n_name"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -6029,6 +6424,16 @@ object SparkEntry {
     "q_woe_iv" -> (qWoeIv _),
     "q_local_clustering" -> (qLocalClustering _),
     "q_ndcg" -> (qNdcg _),
+    "q_ridge" -> (qRidge _),
+    "q_gains" -> (qGains _),
+    "q_hhi" -> (qHhi _),
+    "q_silhouette" -> (qSilhouette _),
+    "q_mad" -> (qMad _),
+    "q_ipf" -> (qIpf _),
+    "q_embed_drift" -> (qEmbedDrift _),
+    "q_consistent_hash" -> (qConsistentHash _),
+    "q_quantile_normalize" -> (qQuantileNormalize _),
+    "q_wilson" -> (qWilson _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9992,5 +10397,277 @@ object SparkEntry {
         |SELECT qid, CAST(sum(gain_micro) AS BIGINT) AS dcg_micro,
         |  CAST(sum(gain_micro) AS BIGINT) * 1000000 // 29966114 AS ndcg_ppm
         |FROM gains GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "q_ridge" ->
+      """WITH per_order AS (
+        |  SELECT l.l_orderkey, CAST(count(*) AS BIGINT) AS x1,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS y
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY l.l_orderkey, o.o_totalprice),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+        |    CAST(sum(x2 * y) AS BIGINT) AS s2y
+        |  FROM per_order),
+        |el AS (
+        |  SELECT n,
+        |    CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b, CAST(s2 AS DOUBLE) AS c,
+        |    CAST(s1 AS DOUBLE) AS d, CAST(s11 + 1000 AS DOUBLE) AS e, CAST(s12 AS DOUBLE) AS f,
+        |    CAST(s2 AS DOUBLE) AS g, CAST(s12 AS DOUBLE) AS h, CAST(s22 + 1000 AS DOUBLE) AS i,
+        |    CAST(sy AS DOUBLE) AS r0, CAST(s1y AS DOUBLE) AS r1, CAST(s2y AS DOUBLE) AS r2
+        |  FROM m),
+        |dd AS (
+        |  SELECT n, a, b, c, d, e, f, g, h, i, r0, r1, r2,
+        |    a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g) AS det
+        |  FROM el)
+        |SELECT n,
+        |  (r0 * (e * i - f * h) - b * (r1 * i - f * r2) + c * (r1 * h - e * r2)) / det AS beta0,
+        |  (a * (r1 * i - f * r2) - r0 * (d * i - f * g) + c * (d * r2 - r1 * g)) / det AS beta1,
+        |  (a * (e * r2 - r1 * h) - b * (d * r2 - r1 * g) + r0 * (d * h - e * g)) / det AS beta2
+        |FROM dd""".stripMargin,
+
+    "q_gains" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    40 * CAST(len(string_split(text, ' ')) AS BIGINT) +
+        |    (-10) * CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) +
+        |    (-2) * abs(n_chars - 500) + (-1500) AS logit_milli,
+        |    n_chars >= 200 AS label
+        |  FROM documents),
+        |n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos_total
+        |  FROM scored),
+        |ranked AS (
+        |  SELECT doc_id, label,
+        |    CAST(row_number() OVER (
+        |      ORDER BY CAST(0 - logit_milli AS DOUBLE), doc_id) AS BIGINT) AS rnk
+        |  FROM scored),
+        |deciles AS (
+        |  SELECT (rnk - 1) * 10 // n_total + 1 AS decile,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(max(n_total) AS BIGINT) AS n_total,
+        |    CAST(max(pos_total) AS BIGINT) AS pos_total
+        |  FROM ranked CROSS JOIN n
+        |  GROUP BY 1),
+        |cum AS (
+        |  SELECT decile, n_docs, n_pos, n_total, pos_total,
+        |    CAST(sum(n_docs) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+        |    CAST(sum(n_pos) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+        |  FROM deciles)
+        |SELECT decile, n_docs, n_pos, cum_docs, cum_pos,
+        |  cum_pos * 1000000 // pos_total AS gain_ppm,
+        |  cum_pos * n_total * 1000000 // (cum_docs * pos_total) AS lift_ppm
+        |FROM cum ORDER BY decile""".stripMargin,
+
+    "q_hhi" ->
+      """WITH nation_rev AS (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS rev_k
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |totals AS (
+        |  SELECT r_name, CAST(sum(rev_k) AS BIGINT) AS total_k
+        |  FROM nation_rev GROUP BY r_name),
+        |shares AS (
+        |  SELECT nation_rev.r_name, total_k,
+        |    rev_k * 1000000 // total_k AS share_ppm
+        |  FROM nation_rev JOIN totals ON nation_rev.r_name = totals.r_name)
+        |SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+        |  CAST(max(total_k) AS BIGINT) AS total_k,
+        |  CAST(sum(share_ppm * share_ppm) AS BIGINT) // 1000000 AS hhi_ppm,
+        |  CAST(max(share_ppm) AS BIGINT) AS top_share_ppm
+        |FROM shares GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_silhouette" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |dists AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1,64), i ->
+        |      CAST(floor((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+        |        (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+        |        1000000000 + 0.5) AS BIGINT))) AS d2
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT vec_id, cid, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM dists),
+        |ab AS (
+        |  SELECT a.vec_id, a.cid, a.d2 AS a2, b.d2 AS b2
+        |  FROM ranked a JOIN ranked b
+        |    ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+        |pv AS (
+        |  SELECT vec_id, cid,
+        |    CASE WHEN greatest(a2, b2) > 0
+        |      THEN (b2 - a2) * 1000000 // greatest(a2, b2) ELSE 0 END AS s_ppm
+        |  FROM ab)
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(s_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_s_ppm
+        |FROM pv GROUP BY cid ORDER BY cid""".stripMargin,
+
+    "q_mad" ->
+      """WITH vals AS (
+        |  SELECT n_name, o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |r1 AS (
+        |  SELECT n_name, ok, CAST(v AS DOUBLE) AS ord,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY CAST(v AS DOUBLE), ok) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n
+        |  FROM vals),
+        |med AS (
+        |  SELECT n_name, CAST(ord AS BIGINT) AS med_cents
+        |  FROM r1 WHERE rnk = (n + 1) // 2),
+        |dev AS (
+        |  SELECT v.n_name, v.ok, v.v, m.med_cents,
+        |    abs(v.v - m.med_cents) AS dev
+        |  FROM vals v JOIN med m ON v.n_name = m.n_name),
+        |r2 AS (
+        |  SELECT n_name, ok, CAST(dev AS DOUBLE) AS ord,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY CAST(dev AS DOUBLE), ok) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n
+        |  FROM dev),
+        |mad AS (
+        |  SELECT n_name, CAST(ord AS BIGINT) AS mad_cents
+        |  FROM r2 WHERE rnk = (n + 1) // 2)
+        |SELECT d.n_name, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(d.med_cents) AS BIGINT) AS med_cents,
+        |  CAST(max(ma.mad_cents) AS BIGINT) AS mad_cents,
+        |  CAST(sum(CASE WHEN d.dev > 3 * ma.mad_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad ma ON d.n_name = ma.n_name
+        |GROUP BY d.n_name ORDER BY d.n_name""".stripMargin,
+
+    "q_ipf" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority, r_name, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY o_orderpriority, r_name),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells),
+        |w0 AS (
+        |  SELECT o_orderpriority, r_name, n,
+        |    (total // 5) * 1000000 AS target_w, n * 1000000 AS w
+        |  FROM cells CROSS JOIN tot),
+        |w1 AS (
+        |  SELECT o_orderpriority, r_name, n, target_w,
+        |    w * (target_w * 1000000 // CAST(sum(w) OVER (PARTITION BY o_orderpriority) AS BIGINT)) // 1000000 AS w
+        |  FROM w0),
+        |w2 AS (
+        |  SELECT o_orderpriority, r_name, n, target_w,
+        |    w * (target_w * 1000000 // CAST(sum(w) OVER (PARTITION BY r_name) AS BIGINT)) // 1000000 AS w
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT o_orderpriority, r_name, n, target_w,
+        |    w * (target_w * 1000000 // CAST(sum(w) OVER (PARTITION BY o_orderpriority) AS BIGINT)) // 1000000 AS w
+        |  FROM w2),
+        |w4 AS (
+        |  SELECT o_orderpriority, r_name, n, target_w,
+        |    w * (target_w * 1000000 // CAST(sum(w) OVER (PARTITION BY r_name) AS BIGINT)) // 1000000 AS w
+        |  FROM w3)
+        |SELECT o_orderpriority, r_name, n, w AS w_ppm
+        |FROM w4 ORDER BY o_orderpriority, r_name""".stripMargin,
+
+    "q_embed_drift" ->
+      """WITH dims AS (
+        |  SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT) AS v_fp
+        |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |means AS (
+        |  SELECT label, dim,
+        |    (CAST(sum(v_fp) AS BIGINT) // CAST(count(*) AS BIGINT)) // 1000
+        |      AS mean_u
+        |  FROM dims GROUP BY label, dim)
+        |SELECT a.label AS l1, b.label AS l2,
+        |  CAST(sum((a.mean_u - b.mean_u) * (a.mean_u - b.mean_u)) AS BIGINT)
+        |    AS d2_micro
+        |FROM means a JOIN means b ON a.dim = b.dim AND a.label < b.label
+        |GROUP BY a.label, b.label ORDER BY l1, l2""".stripMargin,
+
+    "q_consistent_hash" ->
+      """WITH v AS (
+        |  SELECT CAST(i // 32 AS BIGINT) AS pnode,
+        |    CAST('0x' || substr(md5('ring|' || CAST(i AS VARCHAR)), 1, 12) AS BIGINT) AS vhash
+        |  FROM (SELECT unnest(generate_series(0, 255)) AS i) g),
+        |ring AS (SELECT list_sort(list(vhash)) AS varr FROM v),
+        |keys AS (
+        |  SELECT c_custkey,
+        |    CAST('0x' || substr(md5('key|' || CAST(c_custkey AS VARCHAR)), 1, 12) AS BIGINT) AS khash
+        |  FROM customer),
+        |assigned AS (
+        |  SELECT c_custkey, COALESCE(
+        |    list_min(list_filter(varr, x -> x >= khash)), list_min(varr)) AS ahash
+        |  FROM keys CROSS JOIN ring),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM keys)
+        |SELECT pnode, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(count(*) AS BIGINT) * 1000000 // total AS share_ppm
+        |FROM assigned JOIN v ON ahash = vhash CROSS JOIN tot
+        |GROUP BY pnode, total ORDER BY pnode""".stripMargin,
+
+    "q_quantile_normalize" ->
+      """WITH vals AS (
+        |  SELECT n_name, o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |natr AS (
+        |  SELECT n_name, ok,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY CAST(v AS DOUBLE), ok) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n_g
+        |  FROM vals),
+        |globr AS (
+        |  SELECT CAST(v AS BIGINT) AS norm_cents,
+        |    CAST(row_number() OVER (ORDER BY CAST(v AS DOUBLE), ok) AS BIGINT)
+        |      AS rnk
+        |  FROM vals),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM vals),
+        |tgt AS (
+        |  SELECT n_name, rnk * n_tot // n_g AS target_rank
+        |  FROM natr CROSS JOIN tot)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(norm_cents) AS BIGINT) AS sum_norm_cents,
+        |  CAST(min(norm_cents) AS BIGINT) AS min_norm_cents,
+        |  CAST(max(norm_cents) AS BIGINT) AS max_norm_cents
+        |FROM tgt JOIN globr ON tgt.target_rank = globr.rnk
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_wilson" ->
+      """WITH a AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, n, x,
+        |  (CAST(x AS DOUBLE) / CAST(n AS DOUBLE) + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+        |    - 1.96 * sqrt(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) *
+        |        (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |    / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_lo,
+        |  (CAST(x AS DOUBLE) / CAST(n AS DOUBLE) + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+        |    + 1.96 * sqrt(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) *
+        |        (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |    / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_hi
+        |FROM a ORDER BY n_name""".stripMargin,
   )
 }

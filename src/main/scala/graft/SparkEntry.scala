@@ -3889,6 +3889,276 @@ object SparkEntry {
       .orderBy(col("n_name"))
   }
 
+  /** Customer spend-decile transition matrix 1996→1998 — the
+    * mobility/churn table ("do top-decile customers stay top-
+    * decile?") behind every LTV model. Each year's deciles come from
+    * the two-pass scalable grouped rank (year = rank group, so both
+    * years rank in ONE pass); the matrix is a count over the joined
+    * decile pairs. Pure integers end-to-end. */
+  private def qDecileMatrix(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 1998))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_custkey"))
+      .agg(sum(Analytics.cents(col("o_totalprice"))).as("c"))
+      .localCheckpoint(eager = false)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      spend.select(col("yr").cast("string").as("g"),
+        col("c").cast("double").as("ord"), col("o_custkey")),
+      "g", "ord", "o_custkey", 32)
+    val n = ranked.groupBy(col("g")).agg(max(col("rnk")).as("n"))
+    val deciled = ranked.join(broadcast(n), "g")
+      .withColumn("dec", expr("(rnk - 1) * 10 div n + 1"))
+      .select(col("g"), col("o_custkey"), col("dec"))
+      .localCheckpoint(eager = false)
+    deciled.filter(col("g") === "1996")
+      .select(col("o_custkey"), col("dec").as("d96"))
+      .join(deciled.filter(col("g") === "1998")
+        .select(col("o_custkey"), col("dec").as("d98")), "o_custkey")
+      .groupBy(col("d96"), col("d98"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("d96"), col("d98"))
+  }
+
+  /** Flesch-Kincaid grade level per document from three integer
+    * counts — words (token count), sentences ([.!?] RUNS via the
+    * replace-single-minus-replace-empty length trick, so "?!" is one
+    * boundary), syllables (vowel-group runs, the standard cheap
+    * approximation). The grade is one fixed double tree over exact
+    * ints shipped as milli-points; pure per-row codegen'd
+    * expressions, zero shuffle before the final sort. */
+  private def qReadability(s: SparkSession, dir: String): DataFrame = {
+    val lowered = lower(col("text"))
+    val words = greatest(lit(1L), size(split(col("text"), " ")).cast("long"))
+    val sentences = greatest(lit(1L),
+      (length(regexp_replace(col("text"), "[.!?]+", "S")) -
+        length(regexp_replace(col("text"), "[.!?]+", ""))).cast("long"))
+    val syllables = greatest(lit(1L),
+      (length(regexp_replace(lowered, "[aeiouy]+", "V")) -
+        length(regexp_replace(lowered, "[aeiouy]+", ""))).cast("long"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), words.as("words"), sentences.as("sentences"),
+        syllables.as("syllables"))
+      .withColumn("fk_milli",
+        floor((lit(0.39) * (col("words").cast("double") / col("sentences").cast("double")) +
+          lit(11.8) * (col("syllables").cast("double") / col("words").cast("double")) -
+          lit(15.59)) * 1000 + 0.5).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** LSH band-geometry sweep: candidate volume and truth recall at
+    * rowsPerBand ∈ {1,2,4} from ONE checkpointed signature table —
+    * the parameter-tuning audit behind every MinHash deployment (more
+    * rows per band ⇒ fewer, higher-precision candidates; the sweep
+    * shows exactly what each setting trades). Truth is the exact-
+    * Jaccard join (df-capped); each geometry is just a different
+    * band/sig projection of the SAME signatures — the corpus is
+    * shingled once. */
+  private def qLshSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", k = 5, minSim = 0.5)
+      .select(col("d1"), col("d2"))
+      .localCheckpoint(eager = false)
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 5,
+      numHashes = 8)
+      .localCheckpoint(eager = false)
+    val rows = Seq(1, 2, 4).map { r =>
+      val buckets = Dedup.lshBuckets(sigs, "doc_id", numHashes = 8,
+        rowsPerBand = r)
+      val cand = buckets.as("a").join(buckets.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(truth.join(cand, Seq("d1", "d2"), "left_semi")
+          .agg(count(lit(1)).as("n_found")))
+        .select(lit(r.toLong).as("rows_per_band"),
+          lit((8 / r).toLong).as("n_bands"), col("n_candidates"),
+          col("n_found"))
+    }
+    rows.reduce(_ unionAll _)
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN n_true > 0 THEN n_found * 1000000 div n_true ELSE 0 END"))
+      .select(col("rows_per_band"), col("n_bands"), col("n_candidates"),
+        col("n_found"), col("recall_ppm"))
+      .orderBy(col("rows_per_band"))
+  }
+
+  /** Inter-purchase gap statistics per nation: lag-gap days per
+    * customer (the natural, scalable per-customer window — millions
+    * of small partitions), then the nation-level lower median and
+    * nearest-rank p90 BOTH from the two-pass grouped rank. The
+    * re-engagement metric ("how long until a customer usually comes
+    * back") with robust quantiles instead of a skew-fragile mean. */
+  private def qPurchaseGaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("day"))
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey").as("ok"), col("gap"))
+      .localCheckpoint(eager = false)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      gaps.select(col("n_name"), col("gap").cast("double").as("ord"),
+        col("ok")),
+      "n_name", "ord", "ok", 32)
+    val n = ranked.groupBy(col("n_name")).agg(max(col("rnk")).as("n_gaps"))
+    ranked.join(broadcast(n), "n_name")
+      .filter(col("rnk") === expr("(n_gaps + 1) div 2") ||
+        col("rnk") === expr("(9 * n_gaps + 9) div 10"))
+      .groupBy(col("n_name"))
+      .agg(max(col("n_gaps")).as("n_gaps"),
+        min(col("ord")).cast("long").as("median_days"),
+        max(col("ord")).cast("long").as("p90_days"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Cohen's d + Hedges' g effect size (URGENT vs LOW order values) —
+    * the magnitude companion to q_mann_whitney's significance: a
+    * fleet-scale test can make a trivial difference "significant";
+    * d says whether it matters. Six exact integer moments (dollar
+    * grain keeps squares in int64 at any scale) from one scan; both
+    * standardized effects are fixed double trees over those longs. */
+  private def qEffectSize(s: SparkSession, dir: String): DataFrame = {
+    val agg0 = t(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority").as("grp"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100").as("v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("ss"))
+      .groupBy()
+      .agg(max(when(col("grp") === "1-URGENT", col("n"))).as("n1"),
+        max(when(col("grp") === "1-URGENT", col("sv"))).as("s1"),
+        max(when(col("grp") === "1-URGENT", col("ss"))).as("ss1"),
+        max(when(col("grp") === "5-LOW", col("n"))).as("n2"),
+        max(when(col("grp") === "5-LOW", col("sv"))).as("s2"),
+        max(when(col("grp") === "5-LOW", col("ss"))).as("ss2"))
+    val n1D = col("n1").cast("double"); val n2D = col("n2").cast("double")
+    val v1 = (n1D * col("ss1").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double")) /
+      (n1D * (n1D - lit(1.0)))
+    val v2 = (n2D * col("ss2").cast("double") -
+      col("s2").cast("double") * col("s2").cast("double")) /
+      (n2D * (n2D - lit(1.0)))
+    val sp = sqrt(((n1D - lit(1.0)) * v1 + (n2D - lit(1.0)) * v2) /
+      (n1D + n2D - lit(2.0)))
+    val d = (col("s1").cast("double") / n1D -
+      col("s2").cast("double") / n2D) / sp
+    agg0
+      .withColumn("cohen_d", d)
+      .withColumn("hedges_g",
+        d * (lit(1.0) - lit(3.0) / (lit(4.0) * (n1D + n2D) - lit(9.0))))
+      .select(col("n1"), col("n2"), col("cohen_d"), col("hedges_g"))
+  }
+
+  /** Distribution-free order-statistic CI for the median order value
+    * per nation: the binomial rank bracket [⌊(n−1.96√n)/2⌋,
+    * ⌈(n+1.96√n)/2⌉+1] selects two data values that cover the true
+    * median at ~95% — no normality, no bootstrap replicas. Rank
+    * selection rides the two-pass scalable grouped rank; the rank
+    * endpoints are floor/ceil of a fixed double tree (√ correctly
+    * rounded), everything else exact integers. */
+  private def qMedianCi(s: SparkSession, dir: String): DataFrame = {
+    val vals = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey").as("ok"),
+        Analytics.cents(col("o_totalprice")).as("v"))
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      vals.select(col("n_name"), col("v").cast("double").as("ord"), col("ok")),
+      "n_name", "ord", "ok", 32)
+      .localCheckpoint(eager = false)
+    val n = ranked.groupBy(col("n_name")).agg(max(col("rnk")).as("n"))
+    val nD = col("n").cast("double")
+    ranked.join(broadcast(n
+        .withColumn("lo_rank", greatest(lit(1L),
+          floor((nD - lit(1.96) * sqrt(nD)) / lit(2.0)).cast("long")))
+        .withColumn("hi_rank", least(col("n"),
+          ceil((nD + lit(1.96) * sqrt(nD)) / lit(2.0)).cast("long") + 1L))
+        .withColumn("med_rank", expr("(n + 1) div 2"))), "n_name")
+      .filter(col("rnk") === col("lo_rank") ||
+        col("rnk") === col("med_rank") || col("rnk") === col("hi_rank"))
+      .groupBy(col("n_name"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rnk") === col("lo_rank"), col("ord"))).cast("long")
+          .as("ci_lo_cents"),
+        max(when(col("rnk") === col("med_rank"), col("ord"))).cast("long")
+          .as("median_cents"),
+        max(when(col("rnk") === col("hi_rank"), col("ord"))).cast("long")
+          .as("ci_hi_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  /** DAU/MAU stickiness per 30-day window over the event stream —
+    * the engagement ratio every product dashboard leads with. Two
+    * distinct-count shuffles (per-day and per-window uniques — the
+    * exact formulation; at 100 TB the HLL sketches from
+    * q_hll_rollup swap in mergeably), then one integer ppm ratio
+    * over the bounded window domain. */
+  private def qStickiness(s: SparkSession, dir: String): DataFrame = {
+    val days = events(s, dir)
+      .select(col("user_id"),
+        expr("(ts div 1000000000) div 86400").as("day"))
+      .withColumn("win", expr("day div 30"))
+    val daily = days.groupBy(col("win"), col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val monthly = days.groupBy(col("win"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    daily.join(monthly, "win")
+      .withColumn("stickiness_ppm",
+        expr("sum_dau * 1000000 div (n_days * mau)"))
+      .select(col("win"), col("n_days"), col("sum_dau"), col("mau"),
+        col("stickiness_ppm"))
+      .orderBy(col("win"))
+  }
+
+  /** Two-step Markov transition matrix over the event stream: P² by
+    * relational matrix multiply on the ppm one-step matrix (join on
+    * the middle state, integer product, one ppm truncation) —
+    * "where will a user be two events from now". The matrix side is
+    * bounded by event-type cardinality, so the multiply is a
+    * broadcast join however big the stream that estimated P was. */
+  private def qMarkov2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev")).agg(sum(col("n")).as("total"))
+    val p1 = pairs.join(broadcast(totals), "prev")
+      .select(col("prev"), col("next"), expr("n * 1000000 div total").as("p_ppm"))
+      .localCheckpoint(eager = false)
+    p1.as("a").join(broadcast(p1.as("b")), col("a.next") === col("b.prev"))
+      .groupBy(col("a.prev").as("prev"), col("b.next").as("next"))
+      .agg(expr("CAST(sum(a.p_ppm * b.p_ppm) AS BIGINT) div 1000000")
+        .as("p2_ppm"))
+      .orderBy(col("prev"), col("next"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -6434,6 +6704,14 @@ object SparkEntry {
     "q_consistent_hash" -> (qConsistentHash _),
     "q_quantile_normalize" -> (qQuantileNormalize _),
     "q_wilson" -> (qWilson _),
+    "q_decile_matrix" -> (qDecileMatrix _),
+    "q_readability" -> (qReadability _),
+    "q_lsh_sweep" -> (qLshSweep _),
+    "q_purchase_gaps" -> (qPurchaseGaps _),
+    "q_effect_size" -> (qEffectSize _),
+    "q_median_ci" -> (qMedianCi _),
+    "q_stickiness" -> (qStickiness _),
+    "q_markov2" -> (qMarkov2 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -10669,5 +10947,239 @@ object SparkEntry {
         |      + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
         |    / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_hi
         |FROM a ORDER BY n_name""".stripMargin,
+
+    "q_decile_matrix" ->
+      """WITH spend AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1998)
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT yr, o_custkey,
+        |    CAST(row_number() OVER (PARTITION BY yr
+        |      ORDER BY CAST(c AS DOUBLE), o_custkey) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY yr) AS BIGINT) AS n
+        |  FROM spend),
+        |deciled AS (
+        |  SELECT yr, o_custkey, (rnk - 1) * 10 // n + 1 AS dec
+        |  FROM ranked)
+        |SELECT a.dec AS d96, b.dec AS d98, CAST(count(*) AS BIGINT) AS n_cust
+        |FROM deciled a JOIN deciled b
+        |  ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1998
+        |GROUP BY a.dec, b.dec ORDER BY d96, d98""".stripMargin,
+
+    "q_readability" ->
+      """SELECT doc_id,
+        |  greatest(1, CAST(len(string_split(text, ' ')) AS BIGINT)) AS words,
+        |  greatest(1, CAST(length(regexp_replace(text, '[.!?]+', 'S', 'g'))
+        |    - length(regexp_replace(text, '[.!?]+', '', 'g')) AS BIGINT)) AS sentences,
+        |  greatest(1, CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
+        |    - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS BIGINT)) AS syllables,
+        |  CAST(floor((0.39 * (CAST(greatest(1, CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)
+        |        / CAST(greatest(1, CAST(length(regexp_replace(text, '[.!?]+', 'S', 'g'))
+        |            - length(regexp_replace(text, '[.!?]+', '', 'g')) AS BIGINT)) AS DOUBLE))
+        |    + 11.8 * (CAST(greatest(1, CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
+        |            - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS BIGINT)) AS DOUBLE)
+        |        / CAST(greatest(1, CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE))
+        |    - 15.59) * 1000 + 0.5) AS BIGINT) AS fk_milli
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lsh_sweep" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 4),
+        |    i -> array_to_string(tk[i:i+4], ' ')))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) toks),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |csh AS (
+        |  SELECT doc_id, s FROM sh
+        |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s
+        |                  HAVING count(*) > 1000)),
+        |tp AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        |  FROM csh a JOIN csh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT d1, d2 FROM tp
+        |  JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+        |  WHERE shared / (c1.n + c2.n - shared) >= 0.5),
+        |hashed AS (
+        |  SELECT doc_id, md5('0|' || s) AS m0, md5('1|' || s) AS m1 FROM sh),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    min(substr(m0, 1, 8)) AS h0,
+        |    min(substr(m0, 9, 8)) AS h1,
+        |    min(substr(m0, 17, 8)) AS h2,
+        |    min(substr(m0, 25, 8)) AS h3,
+        |    min(substr(m1, 1, 8)) AS h4,
+        |    min(substr(m1, 9, 8)) AS h5,
+        |    min(substr(m1, 17, 8)) AS h6,
+        |    min(substr(m1, 25, 8)) AS h7
+        |  FROM hashed GROUP BY doc_id),
+        |b1 AS (
+        |  SELECT doc_id, u.band AS band, u.sig AS sig
+        |  FROM (SELECT doc_id, unnest([struct_pack(band := 0, sig := h0), struct_pack(band := 1, sig := h1), struct_pack(band := 2, sig := h2), struct_pack(band := 3, sig := h3), struct_pack(band := 4, sig := h4), struct_pack(band := 5, sig := h5), struct_pack(band := 6, sig := h6), struct_pack(band := 7, sig := h7)]) AS u FROM sigs) z),
+        |b2 AS (
+        |  SELECT doc_id, u.band AS band, u.sig AS sig
+        |  FROM (SELECT doc_id, unnest([struct_pack(band := 0, sig := h0 || '-' || h1), struct_pack(band := 1, sig := h2 || '-' || h3), struct_pack(band := 2, sig := h4 || '-' || h5), struct_pack(band := 3, sig := h6 || '-' || h7)]) AS u FROM sigs) z),
+        |b4 AS (
+        |  SELECT doc_id, u.band AS band, u.sig AS sig
+        |  FROM (SELECT doc_id, unnest([struct_pack(band := 0, sig := h0 || '-' || h1 || '-' || h2 || '-' || h3), struct_pack(band := 1, sig := h4 || '-' || h5 || '-' || h6 || '-' || h7)]) AS u FROM sigs) z),
+        |c1 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM b1 a JOIN b1 b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |c2 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM b2 a JOIN b2 b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |c4 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM b4 a JOIN b4 b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+        |rows_ AS (
+        |  SELECT CAST(1 AS BIGINT) AS rows_per_band, CAST(8 AS BIGINT) AS n_bands,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM c1) AS n_candidates,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+        |       WHERE EXISTS (SELECT 1 FROM c1 WHERE c1.d1 = t.d1 AND c1.d2 = t.d2)) AS n_found
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM c2),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+        |       WHERE EXISTS (SELECT 1 FROM c2 WHERE c2.d1 = t.d1 AND c2.d2 = t.d2))
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT), CAST(2 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM c4),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+        |       WHERE EXISTS (SELECT 1 FROM c4 WHERE c4.d1 = t.d1 AND c4.d2 = t.d2)))
+        |SELECT rows_per_band, n_bands, n_candidates, n_found,
+        |  CASE WHEN n_true > 0 THEN n_found * 1000000 // n_true ELSE 0 END
+        |    AS recall_ppm
+        |FROM rows_ CROSS JOIN nt ORDER BY rows_per_band""".stripMargin,
+
+    "q_purchase_gaps" ->
+      """WITH days_ AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+        |      AS day
+        |  FROM orders),
+        |gaps AS (
+        |  SELECT o_custkey, o_orderkey AS ok,
+        |    day - lag(day, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY day, o_orderkey) AS gap
+        |  FROM days_),
+        |ng AS (
+        |  SELECT n_name, ok, gap
+        |  FROM gaps
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE gap IS NOT NULL),
+        |ranked AS (
+        |  SELECT n_name, gap,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY CAST(gap AS DOUBLE), ok) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n_gaps
+        |  FROM ng)
+        |SELECT n_name, CAST(max(n_gaps) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap) AS BIGINT) AS median_days,
+        |  CAST(max(gap) AS BIGINT) AS p90_days
+        |FROM ranked
+        |WHERE rnk = (n_gaps + 1) // 2 OR rnk = (9 * n_gaps + 9) // 10
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_effect_size" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS v
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS ss
+        |  FROM v GROUP BY grp),
+        |m AS (
+        |  SELECT max(CASE WHEN grp = '1-URGENT' THEN n END) AS n1,
+        |    max(CASE WHEN grp = '1-URGENT' THEN sv END) AS s1,
+        |    max(CASE WHEN grp = '1-URGENT' THEN ss END) AS ss1,
+        |    max(CASE WHEN grp = '5-LOW' THEN n END) AS n2,
+        |    max(CASE WHEN grp = '5-LOW' THEN sv END) AS s2,
+        |    max(CASE WHEN grp = '5-LOW' THEN ss END) AS ss2
+        |  FROM g),
+        |e AS (
+        |  SELECT n1, n2, s1, s2, ss1, ss2,
+        |    (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+        |    (CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) AS v2
+        |  FROM m),
+        |dd AS (
+        |  SELECT n1, n2,
+        |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |    / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1 + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+        |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) AS d
+        |  FROM e)
+        |SELECT n1, n2, d AS cohen_d,
+        |  d * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 9.0))
+        |    AS hedges_g
+        |FROM dd""".stripMargin,
+
+    "q_median_ci" ->
+      """WITH vals AS (
+        |  SELECT n_name, o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |ranked AS (
+        |  SELECT n_name, v,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY CAST(v AS DOUBLE), ok) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n
+        |  FROM vals),
+        |br AS (
+        |  SELECT n_name, n,
+        |    greatest(1, CAST(floor((CAST(n AS DOUBLE) - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS lo_rank,
+        |    least(n, CAST(ceil((CAST(n AS DOUBLE) + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT) + 1) AS hi_rank,
+        |    (n + 1) // 2 AS med_rank
+        |  FROM (SELECT DISTINCT n_name, n FROM ranked) x)
+        |SELECT r.n_name, CAST(max(r.n) AS BIGINT) AS n,
+        |  CAST(max(CASE WHEN rnk = lo_rank THEN v END) AS BIGINT) AS ci_lo_cents,
+        |  CAST(max(CASE WHEN rnk = med_rank THEN v END) AS BIGINT) AS median_cents,
+        |  CAST(max(CASE WHEN rnk = hi_rank THEN v END) AS BIGINT) AS ci_hi_cents
+        |FROM ranked r JOIN br ON r.n_name = br.n_name
+        |WHERE rnk = lo_rank OR rnk = med_rank OR rnk = hi_rank
+        |GROUP BY r.n_name ORDER BY r.n_name""".stripMargin,
+
+    "q_stickiness" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    (epoch_ns(ts) // 1000000000) // 86400 AS day
+        |  FROM events),
+        |dd AS (SELECT user_id, day, day // 30 AS win FROM d),
+        |daily AS (
+        |  SELECT win, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM dd GROUP BY win, day),
+        |per_win AS (
+        |  SELECT win, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(dau) AS BIGINT) AS sum_dau
+        |  FROM daily GROUP BY win),
+        |monthly AS (
+        |  SELECT win, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM dd GROUP BY win)
+        |SELECT per_win.win, n_days, sum_dau, mau,
+        |  sum_dau * 1000000 // (n_days * mau) AS stickiness_ppm
+        |FROM per_win JOIN monthly ON per_win.win = monthly.win
+        |ORDER BY per_win.win""".stripMargin,
+
+    "q_markov2" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev,
+        |    event_type AS next
+        |  FROM events),
+        |c AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS total
+        |      FROM c GROUP BY 1),
+        |p1 AS (
+        |  SELECT prev, next, n * 1000000 // total AS p_ppm
+        |  FROM c JOIN t USING (prev))
+        |SELECT a.prev, b.next,
+        |  CAST(sum(a.p_ppm * b.p_ppm) AS BIGINT) // 1000000 AS p2_ppm
+        |FROM p1 a JOIN p1 b ON a.next = b.prev
+        |GROUP BY a.prev, b.next ORDER BY a.prev, b.next""".stripMargin,
   )
 }

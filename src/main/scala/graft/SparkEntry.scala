@@ -4159,6 +4159,231 @@ object SparkEntry {
       .orderBy(col("prev"), col("next"))
   }
 
+  /** Discrete-time hazard curve of customer attrition: for each
+    * tenure month k, the share of customers whose LAST order landed
+    * exactly k months after their first, among those who survived to
+    * k — the life-table view of churn (the q_retention counterpart on
+    * the order ledger). Tenures reduce per customer map-side; the
+    * at-risk denominator is a reverse cumulative sum over the BOUNDED
+    * tenure-month domain; hazard is exact ppm. */
+  private def qHazard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tenure = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((max(year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) -
+        min(year(col("o_orderdate")) * 12 + month(col("o_orderdate"))))
+        .cast("long").as("tenure"))
+      .groupBy(col("tenure")).agg(count(lit(1)).as("churned"))
+    val w = Window.orderBy(col("tenure").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tenure
+      .withColumn("at_risk", sum(col("churned")).over(w))
+      .withColumn("hazard_ppm", expr("churned * 1000000 div at_risk"))
+      .select(col("tenure"), col("churned"), col("at_risk"),
+        col("hazard_ppm"))
+      .orderBy(col("tenure"))
+  }
+
+  /** Fano factor (variance-to-mean dispersion index) of daily event
+    * volume per event type — the burstiness screen (≈1e6 ppm ⇒
+    * Poisson-like arrivals; ≫1e6 ⇒ bursty, the retry-storm /
+    * scraper-loop signature). Daily counts reduce on the bounded day
+    * domain; Fano = (nΣc²−(Σc)²)·1e6 div ((n−1)·Σc) is exact int64
+    * end-to-end. */
+  private def qDispersion(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .select(col("event_type"),
+        expr("(ts div 1000000000) div 86400").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .filter(col("n_days") > 1)
+      .withColumn("fano_ppm",
+        expr("(n_days * scc - sc * sc) * 1000000 div ((n_days - 1) * sc)"))
+      .select(col("event_type"), col("n_days"), col("sc").as("n_events"),
+        col("fano_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Cohort LTV curve: customers cohorted by first-order quarter,
+    * cumulative revenue per cohort member by quarters-since-start —
+    * the money view the user-count retention triangle can't give.
+    * One pass cohorts (min-quarter per customer broadcast back), one
+    * grouped sum per (cohort, offset), cumulative window over the
+    * BOUNDED offset domain, LTV = exact cents div cohort size. */
+  private def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qtr = (year(col("o_orderdate")) * 4 +
+      quarter(col("o_orderdate"))).cast("long")
+    val orders = t(s, dir, "orders")
+      .select(col("o_custkey"), qtr.as("q"),
+        Analytics.cents(col("o_totalprice")).as("c"))
+      .localCheckpoint(eager = false)
+    val cohorts = orders.groupBy(col("o_custkey"))
+      .agg(min(col("q")).as("cohort_q"))
+      .localCheckpoint(eager = false)
+    val sizes = cohorts.groupBy(col("cohort_q"))
+      .agg(count(lit(1)).as("n_cust"))
+    val perOffset = orders.join(cohorts, "o_custkey")
+      .groupBy(col("cohort_q"), (col("q") - col("cohort_q")).as("qtr_offset"))
+      .agg(sum(col("c")).as("cents"))
+    val w = Window.partitionBy(col("cohort_q")).orderBy(col("qtr_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perOffset
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .join(broadcast(sizes), "cohort_q")
+      .withColumn("ltv_cents", expr("cum_cents div n_cust"))
+      .select(col("cohort_q"), col("qtr_offset"), col("n_cust"),
+        col("cum_cents"), col("ltv_cents"))
+      .orderBy(col("cohort_q"), col("qtr_offset"))
+  }
+
+  /** Laspeyres price index per year (base 1996): how much would the
+    * 1996 basket cost at each year's prices — the inflation measure
+    * that holds quantities fixed so pure price movement is isolated.
+    * Per-(part, year) price aggregates join the broadcast-size base
+    * basket; p_y·q₀ uses the two-step integer division (cents_y·q₀
+    * div qty_y) so everything stays exact int64; p₀·q₀ collapses to
+    * the base cents identically. */
+  private def qLaspeyres(s: SparkSession, dir: String): DataFrame = {
+    val py = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), year(col("l_shipdate")).cast("long").as("yr"))
+      .agg(sum(Analytics.cents(col("l_extendedprice"))).as("cents"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .localCheckpoint(eager = false)
+    val base = py.filter(col("yr") === 1996)
+      .select(col("l_partkey"), col("cents").as("cents0"),
+        col("qty").as("q0"))
+    py.join(base, "l_partkey")
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(expr("cents * q0 div qty")).as("numer"),
+        sum(col("cents0")).as("denom"))
+      .withColumn("index_ppm", expr("numer * 1000000 div denom"))
+      .select(col("yr"), col("n_parts"), col("index_ppm"))
+      .orderBy(col("yr"))
+  }
+
+  /** FIFO lot matching as a cumulative-interval self-join: per part,
+    * returned units consume non-returned units in ship-date order —
+    * the inventory-costing / queue-settlement primitive (payments
+    * against invoices, consumption against lots) expressed purely
+    * relationally. Each side gets [cum_start, cum_end) unit intervals
+    * from a per-part window (millions of small partitions — scalable);
+    * matches are the interval-overlap join within the part, matched
+    * units = exact integer overlap length. The invariant
+    * Σmatched = min(total_in, total_out) per part ships in the
+    * output, so the oracle re-proves the algorithm, not just the
+    * numbers. */
+  private def qFifoMatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 50 === 0)
+      .select(col("l_partkey").as("pk"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_shipdate").as("sd"),
+        col("l_quantity").cast("long").as("qty"),
+        (col("l_returnflag") === "R").as("is_out"))
+      .localCheckpoint(eager = false)
+    def ranges(outFlag: Boolean): DataFrame = {
+      val w = Window.partitionBy(col("pk")).orderBy(col("sd"), col("ok"),
+        col("ln")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.filter(col("is_out") === outFlag)
+        .withColumn("cum_end", sum(col("qty")).over(w))
+        .withColumn("cum_start", col("cum_end") - col("qty"))
+        .select(col("pk"), col("cum_start"), col("cum_end"))
+    }
+    val ins = ranges(outFlag = false)
+    val outs = ranges(outFlag = true)
+    val matched = ins.as("i").join(outs.as("o"),
+        col("i.pk") === col("o.pk") &&
+          col("i.cum_start") < col("o.cum_end") &&
+          col("o.cum_start") < col("i.cum_end"))
+      .select(col("i.pk").as("pk"),
+        (least(col("i.cum_end"), col("o.cum_end")) -
+          greatest(col("i.cum_start"), col("o.cum_start"))).as("m"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("m")).as("matched_qty"))
+    val totals = li.groupBy(col("pk"))
+      .agg(sum(when(!col("is_out"), col("qty")).otherwise(0L)).as("total_in"),
+        sum(when(col("is_out"), col("qty")).otherwise(0L)).as("total_out"))
+    totals.join(matched, Seq("pk"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("matched_qty", coalesce(col("matched_qty"), lit(0L)))
+      .withColumn("fifo_ok",
+        col("matched_qty") === least(col("total_in"), col("total_out")))
+      .select(col("pk"), col("total_in"), col("total_out"), col("n_pairs"),
+        col("matched_qty"), col("fifo_ok"))
+      .orderBy(col("pk"))
+  }
+
+  /** Customer-base overlap between consecutive years: overlap
+    * coefficient |A∩B|/min(|A|,|B|) and Jaccard per year pair — the
+    * set-similarity audit on SETS AS TABLES (no sketches, exact).
+    * Distinct (customer, year) pairs reduce map-side; the pair join
+    * is keyed on customer so intersections never materialize the
+    * year-pair cross product. */
+  private def qYearOverlap(s: SparkSession, dir: String): DataFrame = {
+    val cy = t(s, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sizes = cy.groupBy(col("yr")).agg(count(lit(1)).as("n"))
+    val inter = cy.as("a").join(cy.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") && col("a.yr") < col("b.yr"))
+      .groupBy(col("a.yr").as("y1"), col("b.yr").as("y2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("yr").as("y1"), col("n").as("n1"))), "y1")
+      .join(broadcast(sizes.select(col("yr").as("y2"), col("n").as("n2"))), "y2")
+      .withColumn("overlap_ppm", expr("inter * 1000000 div least(n1, n2)"))
+      .withColumn("jaccard_ppm", expr("inter * 1000000 div (n1 + n2 - inter)"))
+      .select(col("y1"), col("y2"), col("n1"), col("n2"), col("inter"),
+        col("overlap_ppm"), col("jaccard_ppm"))
+      .orderBy(col("y1"), col("y2"))
+  }
+
+  /** Wald-Wolfowitz runs test on daily revenue vs its median — "is
+    * the above/below-median sequence random, or does the series
+    * trend/mean-revert?" Daily totals collapse onto the bounded day
+    * domain; the median comes from the scalable grouped rank; the
+    * runs count is one lag over the day-domain (window bounded by
+    * calendar days, not data); E[R], Var[R], and z are fixed double
+    * trees over exact counts. */
+  private def qRunsTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(sum(Analytics.cents(col("o_totalprice"))).as("v"))
+      .localCheckpoint(eager = false)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      daily.select(lit("all").as("g"), col("v").cast("double").as("ord"),
+        col("day")),
+      "g", "ord", "day", 32)
+    val med = ranked.crossJoin(broadcast(ranked.agg(max(col("rnk")).as("n"))))
+      .filter(col("rnk") === expr("(n + 1) div 2"))
+      .select(col("ord").cast("long").as("med"))
+    val signs = daily.crossJoin(broadcast(med))
+      .withColumn("above", col("v") > col("med"))
+      .withColumn("flip",
+        when(col("above") =!= lag(col("above"), 1)
+          .over(Window.orderBy(col("day"))), 1L).otherwise(0L))
+    val agg0 = signs.agg(
+      sum(when(col("above"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("above"), 1L).otherwise(0L)).as("n2"),
+      (sum(col("flip")) + 1L).as("runs"))
+    val n1D = col("n1").cast("double"); val n2D = col("n2").cast("double")
+    val eR = lit(1.0) + lit(2.0) * n1D * n2D / (n1D + n2D)
+    val vR = (lit(2.0) * n1D * n2D * (lit(2.0) * n1D * n2D - n1D - n2D)) /
+      ((n1D + n2D) * (n1D + n2D) * (n1D + n2D - lit(1.0)))
+    agg0
+      .withColumn("z", (col("runs").cast("double") - eR) / sqrt(vR))
+      .select(col("n1"), col("n2"), col("runs"), col("z"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -6712,6 +6937,13 @@ object SparkEntry {
     "q_median_ci" -> (qMedianCi _),
     "q_stickiness" -> (qStickiness _),
     "q_markov2" -> (qMarkov2 _),
+    "q_hazard" -> (qHazard _),
+    "q_dispersion" -> (qDispersion _),
+    "q_cohort_ltv" -> (qCohortLtv _),
+    "q_laspeyres" -> (qLaspeyres _),
+    "q_fifo_match" -> (qFifoMatch _),
+    "q_year_overlap" -> (qYearOverlap _),
+    "q_runs_test" -> (qRunsTest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -11181,5 +11413,168 @@ object SparkEntry {
         |  CAST(sum(a.p_ppm * b.p_ppm) AS BIGINT) // 1000000 AS p2_ppm
         |FROM p1 a JOIN p1 b ON a.next = b.prev
         |GROUP BY a.prev, b.next ORDER BY a.prev, b.next""".stripMargin,
+
+    "q_hazard" ->
+      """WITH tenure AS (
+        |  SELECT CAST(max(year(o_orderdate) * 12 + month(o_orderdate))
+        |      - min(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT)
+        |    AS tenure
+        |  FROM orders GROUP BY o_custkey),
+        |c AS (
+        |  SELECT tenure, CAST(count(*) AS BIGINT) AS churned
+        |  FROM tenure GROUP BY tenure),
+        |r AS (
+        |  SELECT tenure, churned,
+        |    CAST(sum(churned) OVER (ORDER BY tenure DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS at_risk
+        |  FROM c)
+        |SELECT tenure, churned, at_risk,
+        |  churned * 1000000 // at_risk AS hazard_ppm
+        |FROM r ORDER BY tenure""".stripMargin,
+
+    "q_dispersion" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 1000000000) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, (epoch_ns(ts) // 1000000000) // 86400),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS scc
+        |  FROM daily GROUP BY event_type)
+        |SELECT event_type, n_days, sc AS n_events,
+        |  (n_days * scc - sc * sc) * 1000000 // ((n_days - 1) * sc) AS fano_ppm
+        |FROM m WHERE n_days > 1 ORDER BY event_type""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 4 + quarter(o_orderdate) AS BIGINT) AS q,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |cohorts AS (
+        |  SELECT o_custkey, CAST(min(q) AS BIGINT) AS cohort_q
+        |  FROM o GROUP BY o_custkey),
+        |sizes AS (
+        |  SELECT cohort_q, CAST(count(*) AS BIGINT) AS n_cust
+        |  FROM cohorts GROUP BY cohort_q),
+        |per_offset AS (
+        |  SELECT cohort_q, q - cohort_q AS qtr_offset,
+        |    CAST(sum(c) AS BIGINT) AS cents
+        |  FROM o JOIN cohorts USING (o_custkey)
+        |  GROUP BY cohort_q, q - cohort_q),
+        |cum AS (
+        |  SELECT cohort_q, qtr_offset, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY cohort_q ORDER BY qtr_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM per_offset)
+        |SELECT cohort_q, qtr_offset, n_cust, cum_cents,
+        |  cum_cents // n_cust AS ltv_cents
+        |FROM cum JOIN sizes USING (cohort_q)
+        |ORDER BY cohort_q, qtr_offset""".stripMargin,
+
+    "q_laspeyres" ->
+      """WITH py AS (
+        |  SELECT l_partkey, CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY l_partkey, year(l_shipdate)),
+        |base AS (
+        |  SELECT l_partkey, cents AS cents0, qty AS q0
+        |  FROM py WHERE yr = 1996)
+        |SELECT yr, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents * q0 // qty) AS BIGINT) * 1000000
+        |    // CAST(sum(cents0) AS BIGINT) AS index_ppm
+        |FROM py JOIN base USING (l_partkey)
+        |GROUP BY yr ORDER BY yr""".stripMargin,
+
+    "q_fifo_match" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS pk, l_orderkey AS ok, l_linenumber AS ln,
+        |    l_shipdate AS sd, CAST(l_quantity AS BIGINT) AS qty,
+        |    l_returnflag = 'R' AS is_out
+        |  FROM lineitem WHERE l_partkey % 50 = 0),
+        |ins AS (
+        |  SELECT pk,
+        |    CAST(sum(qty) OVER w - qty AS BIGINT) AS cum_start,
+        |    CAST(sum(qty) OVER w AS BIGINT) AS cum_end
+        |  FROM li WHERE NOT is_out
+        |  WINDOW w AS (PARTITION BY pk ORDER BY sd, ok, ln
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |outs AS (
+        |  SELECT pk,
+        |    CAST(sum(qty) OVER w - qty AS BIGINT) AS cum_start,
+        |    CAST(sum(qty) OVER w AS BIGINT) AS cum_end
+        |  FROM li WHERE is_out
+        |  WINDOW w AS (PARTITION BY pk ORDER BY sd, ok, ln
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |matched AS (
+        |  SELECT i.pk, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(least(i.cum_end, o.cum_end)
+        |      - greatest(i.cum_start, o.cum_start)) AS BIGINT) AS matched_qty
+        |  FROM ins i JOIN outs o
+        |    ON i.pk = o.pk AND i.cum_start < o.cum_end
+        |      AND o.cum_start < i.cum_end
+        |  GROUP BY i.pk),
+        |totals AS (
+        |  SELECT pk,
+        |    CAST(sum(CASE WHEN NOT is_out THEN qty ELSE 0 END) AS BIGINT)
+        |      AS total_in,
+        |    CAST(sum(CASE WHEN is_out THEN qty ELSE 0 END) AS BIGINT)
+        |      AS total_out
+        |  FROM li GROUP BY pk)
+        |SELECT t.pk, total_in, total_out,
+        |  COALESCE(n_pairs, 0) AS n_pairs,
+        |  COALESCE(matched_qty, 0) AS matched_qty,
+        |  COALESCE(matched_qty, 0) = least(total_in, total_out) AS fifo_ok
+        |FROM totals t LEFT JOIN matched m ON t.pk = m.pk
+        |ORDER BY t.pk""".stripMargin,
+
+    "q_year_overlap" ->
+      """WITH cy AS (
+        |  SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr
+        |  FROM orders),
+        |sizes AS (SELECT yr, CAST(count(*) AS BIGINT) AS n FROM cy GROUP BY yr),
+        |inter AS (
+        |  SELECT a.yr AS y1, b.yr AS y2, CAST(count(*) AS BIGINT) AS inter
+        |  FROM cy a JOIN cy b
+        |    ON a.o_custkey = b.o_custkey AND a.yr < b.yr
+        |  GROUP BY a.yr, b.yr)
+        |SELECT y1, y2, s1.n AS n1, s2.n AS n2, inter,
+        |  inter * 1000000 // least(s1.n, s2.n) AS overlap_ppm,
+        |  inter * 1000000 // (s1.n + s2.n - inter) AS jaccard_ppm
+        |FROM inter JOIN sizes s1 ON y1 = s1.yr JOIN sizes s2 ON y2 = s2.yr
+        |ORDER BY y1, y2""".stripMargin,
+
+    "q_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY CAST(v AS DOUBLE), day) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM daily),
+        |med AS (SELECT CAST(v AS BIGINT) AS med FROM ranked WHERE rnk = (n + 1) // 2),
+        |signs AS (
+        |  SELECT day, v > med AS above,
+        |    CASE WHEN (v > med) <> lag(v > med) OVER (ORDER BY day)
+        |      THEN 1 ELSE 0 END AS flip
+        |  FROM daily CROSS JOIN med),
+        |a AS (
+        |  SELECT CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT above THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(flip) + 1 AS BIGINT) AS runs
+        |  FROM signs)
+        |SELECT n1, n2, runs,
+        |  (CAST(runs AS DOUBLE) - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+        |  / sqrt((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE)))
+        |    / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))) AS z
+        |FROM a""".stripMargin,
   )
 }

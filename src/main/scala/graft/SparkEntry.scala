@@ -4384,6 +4384,198 @@ object SparkEntry {
       .select(col("n1"), col("n2"), col("runs"), col("z"))
   }
 
+  /** Shewhart p-chart of the weekly return rate: per-week control
+    * limits p̄ ± 3√(p̄(1−p̄)/n_w) — the SPC view that catches a week
+    * whose defect rate left the band (q_cusum finds mean SHIFTS;
+    * the p-chart flags individual excursions, sample-size-aware).
+    * Counts reduce onto the bounded week domain; limits are fixed
+    * IEEE trees (√ correctly rounded) over exact counts; the flag
+    * compares engine-identical doubles. */
+  private def qPchart(s: SparkSession, dir: String): DataFrame = {
+    val weekly = t(s, dir, "lineitem")
+      .groupBy(expr("CAST(datediff(l_shipdate, DATE '1995-01-01') AS BIGINT) div 7")
+        .as("week"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("d"))
+      .localCheckpoint(eager = false)
+    val tot = weekly.agg(sum(col("n")).as("nn"), sum(col("d")).as("dd"))
+    val pbar = col("dd").cast("double") / col("nn").cast("double")
+    val nD = col("n").cast("double")
+    val half = lit(3.0) * sqrt(pbar * (lit(1.0) - pbar) / nD)
+    weekly.crossJoin(broadcast(tot))
+      .withColumn("rate_ppm", expr("d * 1000000 div n"))
+      .withColumn("lcl", greatest(lit(0.0), pbar - half))
+      .withColumn("ucl", pbar + half)
+      .withColumn("out_of_control",
+        col("d").cast("double") / nD < col("lcl") ||
+          col("d").cast("double") / nD > col("ucl"))
+      .select(col("week"), col("n"), col("d"), col("rate_ppm"),
+        col("lcl"), col("ucl"), col("out_of_control"))
+      .orderBy(col("week"))
+  }
+
+  /** Log-likelihood keyness (G²) of words in the English subcorpus
+    * vs the rest — the corpus-linguistics keyword extractor (what
+    * makes THIS slice lexically distinctive), the statistically
+    * grounded upgrade over raw TF-IDF deltas. Word counts are exact
+    * longs from one token shuffle; each word's G² is a per-row
+    * double tree over integer ratios shipped as micro-nats; top-20
+    * by (G², word) is a TakeOrdered, not a global sort. */
+  private def qKeyness(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select((col("lang") === "en").as("is_en"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = toks.groupBy(col("w"))
+      .agg(sum(when(col("is_en"), 1L).otherwise(0L)).as("o1"),
+        sum(when(!col("is_en"), 1L).otherwise(0L)).as("o2"))
+      .filter(col("o1") + col("o2") >= 10)
+      .localCheckpoint(eager = false)
+    val tots = counts.agg(sum(col("o1")).as("r1"), sum(col("o2")).as("r2"))
+    def term(o: String, r: String): org.apache.spark.sql.Column = {
+      val ratio = (col(o) * (col("r1") + col("r2"))).cast("double") /
+        (col(r) * (col("o1") + col("o2"))).cast("double")
+      when(col(o) > 0, col(o).cast("double") * log(ratio)).otherwise(lit(0.0))
+    }
+    counts.crossJoin(broadcast(tots))
+      .withColumn("g2_unat",
+        floor(lit(2.0) * (term("o1", "r1") + term("o2", "r2")) * 1000000 + 0.5)
+          .cast("long"))
+      .select(col("w"), col("o1"), col("o2"), col("g2_unat"))
+      .orderBy(col("g2_unat").desc, col("w"))
+      .limit(20)
+  }
+
+  /** Day-of-week revenue index + a uniformity chi-square over the 7
+    * cells (0 = Sunday on the 1995-01-01 anchor) — the weekly-
+    * periodicity companion to q_seasonal's monthly index. Index and
+    * chi-square are exact integer arithmetic (two-step division
+    * keeps squares in int64); the 7-cell statistic sums exact longs
+    * so the total is order-independent. */
+  private def qWeekdayEffect(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select((datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long") % 7L).as("dow"),
+        Analytics.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("cents"))
+      .localCheckpoint(eager = false)
+    val tot = daily.agg(sum(col("n")).as("nn"), sum(col("cents")).as("cc"))
+    val terms = daily.crossJoin(broadcast(tot))
+      .withColumn("rev_index_ppm",
+        expr("(cents div 100) * 7000000 div (cc div 100)"))
+      .withColumn("chi_term_micro",
+        expr("((7 * n - nn) * (7 * n - nn)) div (7 * nn) * 1000000 div nn"))
+      .localCheckpoint(eager = false)
+    terms.crossJoin(broadcast(
+        terms.agg(sum(col("chi_term_micro")).as("chi2_micro"))))
+      .select(col("dow"), col("n"), col("cents"), col("rev_index_ppm"),
+        col("chi_term_micro"), col("chi2_micro"))
+      .orderBy(col("dow"))
+  }
+
+  /** Time-to-convert distribution: per user, seconds from first view
+    * to first later purchase; median and nearest-rank p90 from the
+    * scalable grouped rank — the latency view of the funnel
+    * (q_funnel counts WHO converts; this says HOW FAST). First-event
+    * timestamps reduce map-side per user; deltas are exact integer
+    * seconds on the shared ns clock. */
+  private def qTimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val firsts = events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("v"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+      .filter(col("v").isNotNull && col("p").isNotNull && col("p") > col("v"))
+      .select(col("user_id"), expr("(p - v) div 1000000000").as("delta_s"))
+      .localCheckpoint(eager = false)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      firsts.select(lit("all").as("g"), col("delta_s").cast("double").as("ord"),
+        col("user_id")),
+      "g", "ord", "user_id", 32)
+    val n = ranked.agg(max(col("rnk")).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .filter(col("rnk") === expr("(n + 1) div 2") ||
+        col("rnk") === expr("(9 * n + 9) div 10"))
+      .agg(max(col("n")).as("n_converted"),
+        min(col("ord")).cast("long").as("median_s"),
+        max(col("ord")).cast("long").as("p90_s"))
+  }
+
+  /** Item-item recommendation table from co-purchase counts: squared
+    * cosine c_ij²·1e6/(c_i·c_j) (ranking-equivalent to cosine, pure
+    * integer) and top-3 neighbors per item via the bounded per-
+    * stratum heap — the classic "customers also bought" artifact.
+    * Pair counts come from the order-key join (never all-pairs);
+    * item marginals ride back broadcast-size. */
+  private def qItemRecs(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint(eager = false)
+    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+      .agg(count(lit(1)).as("cij"))
+    val scored = pairs
+      .join(broadcast(freq.select(col("l_partkey").as("i"), col("cnt").as("ci"))), "i")
+      .join(broadcast(freq.select(col("l_partkey").as("j"), col("cnt").as("cj"))), "j")
+      .withColumn("sim2_ppm", expr("cij * cij * 1000000 div (ci * cj)"))
+    val keyed = scored.select(col("i"), col("j"),
+      concat(lpad((lit(1000000L) - col("sim2_ppm")).cast("string"), 9, "0"),
+        lit("-"), lpad(col("j").cast("string"), 12, "0")).as("k"))
+    graft.ops.Sampling.stratifiedTopN(s, keyed
+        .select(col("i").as("stratum"), col("k"), col("j")),
+      "stratum", "k", "j", n = 3)
+      .select(col("stratum").cast("long").as("i"), col("rn"),
+        col("j").as("rec"))
+      .join(scored.select(col("i"), col("j").as("rec"), col("sim2_ppm")),
+        Seq("i", "rec"))
+      .select(col("i"), col("rn"), col("rec"), col("sim2_ppm"))
+      .orderBy(col("i"), col("rn"))
+  }
+
+  /** Optimal single changepoint in daily revenue by exact SSE
+    * minimization: split t maximizes S₁²/n₁ + S₂²/n₂ (equivalent to
+    * min-SSE) computed from prefix sums over the bounded day domain —
+    * the principled upgrade over q_cusum's heuristic screen.
+    * Thousand-dollar grain keeps every squared sum below 2⁵³ (exact
+    * in IEEE), so the score is two correctly-rounded divisions and
+    * one add of exact values — bit-identical in any engine; the
+    * argmax is a rank-1 row_number over the day domain. */
+  private def qBreakpoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) div 100000")
+        .as("v"))
+      .localCheckpoint(eager = false)
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val scored = daily
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .withColumn("s1", sum(col("v")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("t") < col("n"))
+      .withColumn("score",
+        (col("s1") * col("s1")).cast("double") / col("t").cast("double") +
+          ((col("s") - col("s1")) * (col("s") - col("s1"))).cast("double") /
+            (col("n") - col("t")).cast("double"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .withColumn("mean_before_k", expr("s1 div t"))
+      .withColumn("mean_after_k", expr("(s - s1) div (n - t)"))
+      .select(col("day").as("split_day"), col("t").as("n_before"),
+        (col("n") - col("t")).as("n_after"), col("mean_before_k"),
+        col("mean_after_k"), col("score"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -6944,6 +7136,12 @@ object SparkEntry {
     "q_fifo_match" -> (qFifoMatch _),
     "q_year_overlap" -> (qYearOverlap _),
     "q_runs_test" -> (qRunsTest _),
+    "q_pchart" -> (qPchart _),
+    "q_keyness" -> (qKeyness _),
+    "q_weekday_effect" -> (qWeekdayEffect _),
+    "q_time_to_convert" -> (qTimeToConvert _),
+    "q_item_recs" -> (qItemRecs _),
+    "q_breakpoint" -> (qBreakpoint _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -11576,5 +11774,155 @@ object SparkEntry {
         |    / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
         |      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))) AS z
         |FROM a""".stripMargin,
+
+    "q_pchart" ->
+      """WITH weekly AS (
+        |  SELECT CAST(datediff('day', TIMESTAMP '1995-01-01', l_shipdate) AS BIGINT) // 7 AS week,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(d) AS BIGINT) AS dd
+        |  FROM weekly),
+        |lim AS (
+        |  SELECT week, n, d, d * 1000000 // n AS rate_ppm,
+        |    greatest(0.0, CAST(dd AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      - 3.0 * sqrt(CAST(dd AS DOUBLE) / CAST(nn AS DOUBLE)
+        |          * (1.0 - CAST(dd AS DOUBLE) / CAST(nn AS DOUBLE))
+        |          / CAST(n AS DOUBLE))) AS lcl,
+        |    CAST(dd AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      + 3.0 * sqrt(CAST(dd AS DOUBLE) / CAST(nn AS DOUBLE)
+        |          * (1.0 - CAST(dd AS DOUBLE) / CAST(nn AS DOUBLE))
+        |          / CAST(n AS DOUBLE)) AS ucl
+        |  FROM weekly CROSS JOIN tot)
+        |SELECT week, n, d, rate_ppm, lcl, ucl,
+        |  (CAST(d AS DOUBLE) / CAST(n AS DOUBLE) < lcl
+        |    OR CAST(d AS DOUBLE) / CAST(n AS DOUBLE) > ucl) AS out_of_control
+        |FROM lim ORDER BY week""".stripMargin,
+
+    "q_keyness" ->
+      """WITH toks AS (
+        |  SELECT lang = 'en' AS is_en, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |counts AS (
+        |  SELECT w,
+        |    CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+        |    CAST(sum(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS BIGINT) AS o2
+        |  FROM toks WHERE length(w) > 0
+        |  GROUP BY w HAVING sum(CASE WHEN is_en THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN NOT is_en THEN 1 ELSE 0 END) >= 10),
+        |tots AS (
+        |  SELECT CAST(sum(o1) AS BIGINT) AS r1, CAST(sum(o2) AS BIGINT) AS r2
+        |  FROM counts),
+        |g AS (
+        |  SELECT w, o1, o2,
+        |    CAST(floor(2.0 * (
+        |      CASE WHEN o1 > 0 THEN CAST(o1 AS DOUBLE)
+        |        * ln(CAST(o1 * (r1 + r2) AS DOUBLE) / CAST(r1 * (o1 + o2) AS DOUBLE))
+        |      ELSE 0.0 END
+        |      + CASE WHEN o2 > 0 THEN CAST(o2 AS DOUBLE)
+        |        * ln(CAST(o2 * (r1 + r2) AS DOUBLE) / CAST(r2 * (o1 + o2) AS DOUBLE))
+        |      ELSE 0.0 END) * 1000000 + 0.5) AS BIGINT) AS g2_unat
+        |  FROM counts CROSS JOIN tots)
+        |SELECT w, o1, o2, g2_unat
+        |FROM g ORDER BY g2_unat DESC, w LIMIT 20""".stripMargin,
+
+    "q_weekday_effect" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) % 7 AS dow,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(cents) AS BIGINT) AS cc
+        |  FROM daily),
+        |terms AS (
+        |  SELECT dow, n, cents,
+        |    (cents // 100) * 7000000 // (cc // 100) AS rev_index_ppm,
+        |    ((7 * n - nn) * (7 * n - nn)) // (7 * nn) * 1000000 // nn
+        |      AS chi_term_micro
+        |  FROM daily CROSS JOIN tot),
+        |chi AS (SELECT CAST(sum(chi_term_micro) AS BIGINT) AS chi2_micro FROM terms)
+        |SELECT dow, n, cents, rev_index_ppm, chi_term_micro, chi2_micro
+        |FROM terms CROSS JOIN chi ORDER BY dow""".stripMargin,
+
+    "q_time_to_convert" ->
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS v,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS p
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY user_id),
+        |deltas AS (
+        |  SELECT user_id, (p - v) // 1000000000 AS delta_s
+        |  FROM firsts WHERE v IS NOT NULL AND p IS NOT NULL AND p > v),
+        |ranked AS (
+        |  SELECT delta_s,
+        |    CAST(row_number() OVER (ORDER BY CAST(delta_s AS DOUBLE), user_id) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM deltas)
+        |SELECT CAST(max(n) AS BIGINT) AS n_converted,
+        |  CAST(min(delta_s) AS BIGINT) AS median_s,
+        |  CAST(max(delta_s) AS BIGINT) AS p90_s
+        |FROM ranked
+        |WHERE rnk = (n + 1) // 2 OR rnk = (9 * n + 9) // 10""".stripMargin,
+
+    "q_item_recs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |freq AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM items GROUP BY l_partkey),
+        |pairs AS (
+        |  SELECT a.l_partkey AS i, b.l_partkey AS j,
+        |    CAST(count(*) AS BIGINT) AS cij
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT i, j, cij * cij * 1000000 // (fi.cnt * fj.cnt) AS sim2_ppm
+        |  FROM pairs
+        |  JOIN freq fi ON i = fi.l_partkey
+        |  JOIN freq fj ON j = fj.l_partkey),
+        |keyed AS (
+        |  SELECT i, j, sim2_ppm,
+        |    lpad(CAST(1000000 - sim2_ppm AS VARCHAR), 9, '0') || '-' ||
+        |      lpad(CAST(j AS VARCHAR), 12, '0') AS k
+        |  FROM scored),
+        |ranked AS (
+        |  SELECT i, j, sim2_ppm,
+        |    CAST(row_number() OVER (PARTITION BY i ORDER BY k) AS BIGINT) AS rn
+        |  FROM keyed)
+        |SELECT i, rn, j AS rec, sim2_ppm
+        |FROM ranked WHERE rn <= 3 ORDER BY i, rn""".stripMargin,
+
+    "q_breakpoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) // 100000 AS v
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s FROM daily),
+        |pref AS (
+        |  SELECT day,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+        |    CAST(sum(v) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1
+        |  FROM daily),
+        |scored AS (
+        |  SELECT day, t, s1, n, s,
+        |    CAST(s1 * s1 AS DOUBLE) / CAST(t AS DOUBLE)
+        |      + CAST((s - s1) * (s - s1) AS DOUBLE) / CAST(n - t AS DOUBLE)
+        |      AS score
+        |  FROM pref CROSS JOIN tot
+        |  WHERE t < n),
+        |best AS (
+        |  SELECT day, t, s1, n, s, score,
+        |    row_number() OVER (ORDER BY score DESC, day) AS rk
+        |  FROM scored)
+        |SELECT day AS split_day, t AS n_before, n - t AS n_after,
+        |  s1 // t AS mean_before_k, (s - s1) // (n - t) AS mean_after_k,
+        |  score
+        |FROM best WHERE rk = 1""".stripMargin,
   )
 }

@@ -4576,6 +4576,275 @@ object SparkEntry {
         col("mean_after_k"), col("score"))
   }
 
+  /** Kruskal-Wallis H: does order value differ across ALL five
+    * priorities at once — the k-sample extension of q_mann_whitney
+    * (running 10 pairwise U tests inflates false positives; H is the
+    * one-shot answer). Combined midranks ride the scalable global
+    * rank; per-group rank sums pivot into ONE row so H and its tie
+    * correction are fixed double trees — never a double sum over
+    * group rows. */
+  private def qKruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val sample = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_orderpriority").as("grp"),
+        Analytics.cents(col("o_totalprice")).as("v"))
+      .localCheckpoint(eager = false)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      sample.select(lit("all").as("g"), col("v").cast("double").as("ord"),
+        col("ok")),
+      "g", "ord", "ok", 32)
+    val ties = ranked.groupBy(col("ord"))
+      .agg((min(col("rnk")) + max(col("rnk"))).as("mr2"),
+        count(lit(1)).as("t"))
+      .localCheckpoint(eager = false)
+    val tieTerm = ties.agg(
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    val perGroup = ranked.select(col("ok"), col("ord"))
+      .join(ties.select(col("ord"), col("mr2")), "ord")
+      .join(sample.select(col("ok"), col("grp")), "ok")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("mr2")).as("r2"))
+    val wideCols = priorities.zipWithIndex.flatMap { case (p, i) =>
+      Seq(max(when(col("grp") === p, col("n"))).as(s"n$i"),
+        max(when(col("grp") === p, col("r2"))).as(s"r$i"))
+    }
+    val wide = perGroup.groupBy().agg(wideCols.head, wideCols.tail: _*)
+    def sumTerm: org.apache.spark.sql.Column =
+      (0 to 4).map { i =>
+        (col(s"r$i").cast("double") * col(s"r$i").cast("double")) /
+          col(s"n$i").cast("double")
+      }.reduce(_ + _)
+    val nTot = (0 to 4).map(i => col(s"n$i")).reduce(_ + _)
+    wide.crossJoin(broadcast(tieTerm))
+      .withColumn("n_total", nTot)
+      .withColumn("h_raw",
+        lit(3.0) * sumTerm /
+          (col("n_total").cast("double") * (col("n_total") + 1L).cast("double")) -
+          lit(3.0) * (col("n_total") + 1L).cast("double"))
+      .withColumn("h",
+        col("h_raw") / (lit(1.0) - col("tie3").cast("double") /
+          (col("n_total").cast("double") * col("n_total").cast("double") *
+            col("n_total").cast("double") - col("n_total").cast("double"))))
+      .select(col("n_total"), col("tie3"), col("h_raw"), col("h"))
+  }
+
+  /** Partial correlation of basket size and order value CONTROLLING
+    * for total quantity — "does line-count predict spend beyond what
+    * quantity already explains?" The confounder-aware upgrade over
+    * q_stats_moments' raw correlation. One pass collects 10 exact
+    * moments into one row; all three Pearson r's and the partial are
+    * fixed double trees (products computed in double where n·Σz²
+    * would leave int64). */
+  private def qPartialCorr(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("x"),
+        sum(col("l_quantity").cast("long")).as("y"))
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100")
+              .as("z")),
+        col("l_orderkey") === col("o_orderkey"))
+    val m = perOrder.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"), sum(col("y") * col("z")).as("syz"))
+    def r(sab: String, sa: String, sb: String, saa: String,
+        sbb: String): org.apache.spark.sql.Column = {
+      val nD = col("n").cast("double")
+      (nD * col(sab).cast("double") - col(sa).cast("double") * col(sb).cast("double")) /
+        (sqrt(nD * col(saa).cast("double") - col(sa).cast("double") * col(sa).cast("double")) *
+          sqrt(nD * col(sbb).cast("double") - col(sb).cast("double") * col(sb).cast("double")))
+    }
+    m.withColumn("r_xz", r("sxz", "sx", "sz", "sxx", "szz"))
+      .withColumn("r_yz", r("syz", "sy", "sz", "syy", "szz"))
+      .withColumn("r_xy", r("sxy", "sx", "sy", "sxx", "syy"))
+      .withColumn("r_xz_given_y",
+        (col("r_xz") - col("r_xy") * col("r_yz")) /
+          (sqrt(lit(1.0) - col("r_xy") * col("r_xy")) *
+            sqrt(lit(1.0) - col("r_yz") * col("r_yz"))))
+      .select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"),
+        col("r_xz_given_y"))
+  }
+
+  /** Shift-share decomposition of nation revenue growth 1996→2000:
+    * Δ = national effect + regional-mix effect + competitive shift —
+    * the standard regional-economics attribution ("did this nation
+    * grow because everything grew, because its region grew, or
+    * because it outperformed its region?"). Growth rates are exact
+    * ppm integers; effects apply rates at dollar grain so every
+    * product stays in int64 at any corpus size. */
+  private def qShiftShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 2000))
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        expr("CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) div 100")
+          .as("d1"),
+        expr("CAST(sum(CASE WHEN year(o_orderdate) = 2000 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) div 100")
+          .as("d2"))
+      .localCheckpoint(eager = false)
+    val regional = rev.groupBy(col("r_name"))
+      .agg(sum(col("d1")).as("rr1"), sum(col("d2")).as("rr2"))
+    val national = rev.agg(sum(col("d1")).as("t1"), sum(col("d2")).as("t2"))
+    rev.filter(col("d1") > 0)
+      .join(broadcast(regional), "r_name")
+      .crossJoin(broadcast(national))
+      .withColumn("g_nat_ppm", expr("(t2 - t1) * 1000000 div t1"))
+      .withColumn("g_reg_ppm", expr("(rr2 - rr1) * 1000000 div rr1"))
+      .withColumn("g_own_ppm", expr("(d2 - d1) * 1000000 div d1"))
+      .withColumn("national_eff", expr("d1 * g_nat_ppm div 1000000"))
+      .withColumn("mix_eff", expr("d1 * (g_reg_ppm - g_nat_ppm) div 1000000"))
+      .withColumn("competitive_eff",
+        expr("d1 * (g_own_ppm - g_reg_ppm) div 1000000"))
+      .select(col("r_name"), col("n_name"), col("d1"), col("d2"),
+        col("g_own_ppm"), col("national_eff"), col("mix_eff"),
+        col("competitive_eff"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Cronbach's alpha over three cheap length-family quality items
+    * (words, chars/10, 10·sentence-runs) — the internal-consistency
+    * audit for any multi-item score: if alpha is low the items don't
+    * measure one construct and summing them is meaningless. Item and
+    * total variances come from exact integer moments in ONE pass;
+    * alpha = k/(k−1)·(1 − Σvarᵢ/var_total) is a fixed double tree
+    * with the k=3 item variances pivoted into one row. */
+  private def qCronbach(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "documents")
+      .select(
+        size(split(col("text"), " ")).cast("long").as("s1"),
+        expr("n_chars div 10").as("s2"),
+        ((length(regexp_replace(col("text"), "[.!?]+", "S")) -
+          length(regexp_replace(col("text"), "[.!?]+", ""))).cast("long") *
+          10L).as("s3"))
+      .withColumn("tot", col("s1") + col("s2") + col("s3"))
+    val m = items.agg(count(lit(1)).as("n"),
+      sum(col("s1")).as("a1"), sum(col("s1") * col("s1")).as("q1"),
+      sum(col("s2")).as("a2"), sum(col("s2") * col("s2")).as("q2"),
+      sum(col("s3")).as("a3"), sum(col("s3") * col("s3")).as("q3"),
+      sum(col("tot")).as("at"), sum(col("tot") * col("tot")).as("qt"))
+    def v(q: String, a: String): org.apache.spark.sql.Column = {
+      val nD = col("n").cast("double")
+      (nD * col(q).cast("double") - col(a).cast("double") * col(a).cast("double")) /
+        (nD * (nD - lit(1.0)))
+    }
+    m.withColumn("alpha",
+        (lit(3.0) / lit(2.0)) *
+          (lit(1.0) - (v("q1", "a1") + v("q2", "a2") + v("q3", "a3")) /
+            v("qt", "at")))
+      .select(col("n"), col("alpha"))
+  }
+
+  /** Minimum detectable effect for an A/B test on the urgent-order
+    * rate per nation: MDE = (z_α/2 + z_β)·√(2p̄(1−p̄)/n_arm) at 95%
+    * power-80% — the experiment-sizing companion to q_ab_test ("is
+    * this nation's traffic even enough to detect a 1-point move?").
+    * Counts exact; the z constants are literals; MDE is a fixed
+    * IEEE tree. */
+  private def qMde(s: SparkSession, dir: String): DataFrame = {
+    val agg0 = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("x"))
+      .withColumn("n_arm", expr("n div 2"))
+    val p = col("x").cast("double") / col("n").cast("double")
+    agg0
+      .withColumn("p_ppm", expr("x * 1000000 div n"))
+      .withColumn("mde",
+        lit(2.8) * sqrt(lit(2.0) * p * (lit(1.0) - p) /
+          col("n_arm").cast("double")))
+      .select(col("n_name"), col("n"), col("n_arm"), col("p_ppm"),
+        col("mde"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Simpson's-paradox detector: the quantity→price association per
+    * nation vs pooled — a nation whose slope SIGN flips against the
+    * pooled slope is the classic aggregation trap that breaks naive
+    * fleet-level conclusions. Slope signs compare the exact integer
+    * OLS numerator n·Σxy − ΣxΣy (no division, no doubles), per
+    * group and pooled; dollar grain keeps the pooled product in
+    * int64. */
+  private def qSimpsons(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_quantity").cast("long").as("x"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) div 100")
+          .as("y"))
+      .localCheckpoint(eager = false)
+    val perNation = li.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+      .withColumn("num_own", col("n") * col("sxy") - col("sx") * col("sy"))
+    val pooled = li.agg(count(lit(1)).as("np"), sum(col("x")).as("sxp"),
+        sum(col("y")).as("syp"), sum(col("x") * col("y")).as("sxyp"))
+      .withColumn("num_pooled",
+        col("np") * col("sxyp") - col("sxp") * col("syp"))
+      .select(col("num_pooled"))
+    perNation.crossJoin(broadcast(pooled))
+      .withColumn("reversed",
+        (col("num_own") > 0 && col("num_pooled") < 0) ||
+          (col("num_own") < 0 && col("num_pooled") > 0))
+      .select(col("n_name"), col("n"), col("num_own"), col("num_pooled"),
+        col("reversed"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Quartile coefficient of dispersion (Q3−Q1)/(Q3+Q1) of line
+    * price per brand — the scale-free robust spread measure that
+    * lets a $10 part family and a $10k family be compared on one
+    * axis (stddev can't; IQR isn't scale-free). Nearest-rank
+    * quartiles from the two-pass grouped rank; QCD is exact ppm. */
+  private def qQcd(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        (col("l_orderkey") * 10L + col("l_linenumber").cast("long")).as("lk"),
+        Analytics.cents(col("l_extendedprice")).as("v"))
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      li.select(col("p_brand"), col("v").cast("double").as("ord"), col("lk")),
+      "p_brand", "ord", "lk", 32)
+      .localCheckpoint(eager = false)
+    val n = ranked.groupBy(col("p_brand")).agg(max(col("rnk")).as("n"))
+    ranked.join(broadcast(n
+        .withColumn("q1_rank", expr("(n + 3) div 4"))
+        .withColumn("q3_rank", expr("(3 * n + 3) div 4"))), "p_brand")
+      .filter(col("rnk") === col("q1_rank") || col("rnk") === col("q3_rank"))
+      .groupBy(col("p_brand"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rnk") === col("q1_rank"), col("ord"))).cast("long")
+          .as("q1_cents"),
+        max(when(col("rnk") === col("q3_rank"), col("ord"))).cast("long")
+          .as("q3_cents"))
+      .withColumn("qcd_ppm",
+        expr("(q3_cents - q1_cents) * 1000000 div (q3_cents + q1_cents)"))
+      .orderBy(col("p_brand"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -7142,6 +7411,13 @@ object SparkEntry {
     "q_time_to_convert" -> (qTimeToConvert _),
     "q_item_recs" -> (qItemRecs _),
     "q_breakpoint" -> (qBreakpoint _),
+    "q_kruskal_wallis" -> (qKruskalWallis _),
+    "q_partial_corr" -> (qPartialCorr _),
+    "q_shift_share" -> (qShiftShare _),
+    "q_cronbach" -> (qCronbach _),
+    "q_mde" -> (qMde _),
+    "q_simpsons" -> (qSimpsons _),
+    "q_qcd" -> (qQcd _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -11924,5 +12200,199 @@ object SparkEntry {
         |  s1 // t AS mean_before_k, (s - s1) // (n - t) AS mean_after_k,
         |  score
         |FROM best WHERE rk = 1""".stripMargin,
+
+    "q_kruskal_wallis" ->
+      """WITH sample AS (
+        |  SELECT o_orderkey AS ok, o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders),
+        |ranked AS (
+        |  SELECT ok, CAST(v AS DOUBLE) AS ord,
+        |    CAST(row_number() OVER (ORDER BY CAST(v AS DOUBLE), ok) AS BIGINT) AS rnk
+        |  FROM sample),
+        |ties AS (
+        |  SELECT ord, min(rnk) + max(rnk) AS mr2, CAST(count(*) AS BIGINT) AS t
+        |  FROM ranked GROUP BY ord),
+        |tt AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM ties),
+        |pg AS (
+        |  SELECT s.grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(t2.mr2) AS BIGINT) AS r2
+        |  FROM ranked r JOIN ties t2 ON r.ord = t2.ord
+        |  JOIN sample s ON r.ok = s.ok
+        |  GROUP BY s.grp),
+        |wide AS (
+        |  SELECT
+        |    max(CASE WHEN grp = '1-URGENT' THEN n END) AS n0,
+        |    max(CASE WHEN grp = '1-URGENT' THEN r2 END) AS r0,
+        |    max(CASE WHEN grp = '2-HIGH' THEN n END) AS n1,
+        |    max(CASE WHEN grp = '2-HIGH' THEN r2 END) AS r1,
+        |    max(CASE WHEN grp = '3-MEDIUM' THEN n END) AS n2,
+        |    max(CASE WHEN grp = '3-MEDIUM' THEN r2 END) AS r2,
+        |    max(CASE WHEN grp = '4-NOT SPECIFIED' THEN n END) AS n3,
+        |    max(CASE WHEN grp = '4-NOT SPECIFIED' THEN r2 END) AS r3,
+        |    max(CASE WHEN grp = '5-LOW' THEN n END) AS n4,
+        |    max(CASE WHEN grp = '5-LOW' THEN r2 END) AS r4
+        |  FROM pg),
+        |hh AS (
+        |  SELECT n0 + n1 + n2 + n3 + n4 AS n_total, tie3,
+        |    3.0 * ((CAST(r0 AS DOUBLE) * CAST(r0 AS DOUBLE)) / CAST(n0 AS DOUBLE)
+        |      + (CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+        |      + (CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)) / CAST(n2 AS DOUBLE)
+        |      + (CAST(r3 AS DOUBLE) * CAST(r3 AS DOUBLE)) / CAST(n3 AS DOUBLE)
+        |      + (CAST(r4 AS DOUBLE) * CAST(r4 AS DOUBLE)) / CAST(n4 AS DOUBLE))
+        |      / (CAST(n0 + n1 + n2 + n3 + n4 AS DOUBLE)
+        |        * CAST(n0 + n1 + n2 + n3 + n4 + 1 AS DOUBLE))
+        |    - 3.0 * CAST(n0 + n1 + n2 + n3 + n4 + 1 AS DOUBLE) AS h_raw
+        |  FROM wide CROSS JOIN tt)
+        |SELECT n_total, tie3, h_raw,
+        |  h_raw / (1.0 - CAST(tie3 AS DOUBLE)
+        |    / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |      * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))) AS h
+        |FROM hh""".stripMargin,
+
+    "q_partial_corr" ->
+      """WITH per_order AS (
+        |  SELECT l.l_orderkey, CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS z
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY l.l_orderkey, o.o_totalprice),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(z) AS BIGINT) AS sz,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(z * z) AS BIGINT) AS szz, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * z) AS BIGINT) AS sxz, CAST(sum(y * z) AS BIGINT) AS syz
+        |  FROM per_order),
+        |r AS (
+        |  SELECT n,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r_xy,
+        |    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS r_xz,
+        |    (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS r_yz
+        |  FROM m)
+        |SELECT n, r_xy, r_xz, r_yz,
+        |  (r_xz - r_xy * r_yz)
+        |    / (sqrt(1.0 - r_xy * r_xy) * sqrt(1.0 - r_yz * r_yz)) AS r_xz_given_y
+        |FROM r""".stripMargin,
+
+    "q_shift_share" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) // 100 AS d1,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 2000 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) // 100 AS d2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE year(o_orderdate) IN (1996, 2000)
+        |  GROUP BY r_name, n_name),
+        |regional AS (
+        |  SELECT r_name, CAST(sum(d1) AS BIGINT) AS rr1,
+        |    CAST(sum(d2) AS BIGINT) AS rr2
+        |  FROM rev GROUP BY r_name),
+        |national AS (
+        |  SELECT CAST(sum(d1) AS BIGINT) AS t1, CAST(sum(d2) AS BIGINT) AS t2
+        |  FROM rev),
+        |j AS (
+        |  SELECT rev.r_name, n_name, d1, d2,
+        |    (t2 - t1) * 1000000 // t1 AS g_nat_ppm,
+        |    (rr2 - rr1) * 1000000 // rr1 AS g_reg_ppm,
+        |    (d2 - d1) * 1000000 // d1 AS g_own_ppm
+        |  FROM rev JOIN regional ON rev.r_name = regional.r_name
+        |  CROSS JOIN national
+        |  WHERE d1 > 0)
+        |SELECT r_name, n_name, d1, d2, g_own_ppm,
+        |  d1 * g_nat_ppm // 1000000 AS national_eff,
+        |  d1 * (g_reg_ppm - g_nat_ppm) // 1000000 AS mix_eff,
+        |  d1 * (g_own_ppm - g_reg_ppm) // 1000000 AS competitive_eff
+        |FROM j ORDER BY r_name, n_name""".stripMargin,
+
+    "q_cronbach" ->
+      """WITH items AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS s1,
+        |    n_chars // 10 AS s2,
+        |    CAST(length(regexp_replace(text, '[.!?]+', 'S', 'g'))
+        |      - length(regexp_replace(text, '[.!?]+', '', 'g')) AS BIGINT) * 10
+        |      AS s3
+        |  FROM documents),
+        |w AS (SELECT s1, s2, s3, s1 + s2 + s3 AS tot FROM items),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(s1) AS BIGINT) AS a1, CAST(sum(s1 * s1) AS BIGINT) AS q1,
+        |    CAST(sum(s2) AS BIGINT) AS a2, CAST(sum(s2 * s2) AS BIGINT) AS q2,
+        |    CAST(sum(s3) AS BIGINT) AS a3, CAST(sum(s3 * s3) AS BIGINT) AS q3,
+        |    CAST(sum(tot) AS BIGINT) AS at, CAST(sum(tot * tot) AS BIGINT) AS qt
+        |  FROM w)
+        |SELECT n,
+        |  (3.0 / 2.0) * (1.0 - (
+        |      (CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |    + (CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE) - CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |    + (CAST(n AS DOUBLE) * CAST(q3 AS DOUBLE) - CAST(a3 AS DOUBLE) * CAST(a3 AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |    / ((CAST(n AS DOUBLE) * CAST(qt AS DOUBLE) - CAST(at AS DOUBLE) * CAST(at AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+        |    AS alpha
+        |FROM m""".stripMargin,
+
+    "q_mde" ->
+      """WITH a AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, n, n // 2 AS n_arm, x * 1000000 // n AS p_ppm,
+        |  2.8 * sqrt(2.0 * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(n // 2 AS DOUBLE)) AS mde
+        |FROM a ORDER BY n_name""".stripMargin,
+
+    "q_simpsons" ->
+      """WITH li AS (
+        |  SELECT n_name, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 100 AS y
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |per_nation AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM li GROUP BY n_name),
+        |pooled AS (
+        |  SELECT CAST(count(*) AS BIGINT) * CAST(sum(x * y) AS BIGINT)
+        |    - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS num_pooled
+        |  FROM li)
+        |SELECT n_name, n, n * sxy - sx * sy AS num_own, num_pooled,
+        |  ((n * sxy - sx * sy > 0 AND num_pooled < 0)
+        |    OR (n * sxy - sx * sy < 0 AND num_pooled > 0)) AS reversed
+        |FROM per_nation CROSS JOIN pooled ORDER BY n_name""".stripMargin,
+
+    "q_qcd" ->
+      """WITH li AS (
+        |  SELECT p_brand,
+        |    l_orderkey * 10 + CAST(l_linenumber AS BIGINT) AS lk,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |ranked AS (
+        |  SELECT p_brand, v,
+        |    CAST(row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY CAST(v AS DOUBLE), lk) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY p_brand) AS BIGINT) AS n
+        |  FROM li),
+        |qs AS (
+        |  SELECT p_brand, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(max(CASE WHEN rnk = (n + 3) // 4 THEN v END) AS BIGINT) AS q1_cents,
+        |    CAST(max(CASE WHEN rnk = (3 * n + 3) // 4 THEN v END) AS BIGINT) AS q3_cents
+        |  FROM ranked
+        |  WHERE rnk = (n + 3) // 4 OR rnk = (3 * n + 3) // 4
+        |  GROUP BY p_brand)
+        |SELECT p_brand, n, q1_cents, q3_cents,
+        |  (q3_cents - q1_cents) * 1000000 // (q3_cents + q1_cents) AS qcd_ppm
+        |FROM qs ORDER BY p_brand""".stripMargin,
   )
 }

@@ -4845,6 +4845,185 @@ object SparkEntry {
       .orderBy(col("p_brand"))
   }
 
+  /** Boilerplate detection by cross-document sentence frequency: a
+    * sentence appearing in ≥5 DISTINCT docs is boilerplate (nav
+    * bars, license blurbs, scraper artifacts) — the line-level
+    * counterpart to q_paragraph_dedup's token-window chunks. One
+    * sentence explode, one distinct-doc df shuffle on md5-sized
+    * keys, then the per-source boilerplate CHARACTER share in exact
+    * ppm — the number a cleaning pass reports before stripping. */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val sents = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), "\\. ")).as("sent"))
+      .filter(length(col("sent")) > 20)
+      .localCheckpoint(eager = false)
+    val df = sents.groupBy(col("sent"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+    sents.join(df, "sent")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("doc_freq") >= 5, 1L).otherwise(0L)).as("n_boiler"),
+        sum(length(col("sent")).cast("long")).as("total_chars"),
+        sum(when(col("doc_freq") >= 5, length(col("sent")).cast("long"))
+          .otherwise(0L)).as("boiler_chars"))
+      .withColumn("boiler_char_ppm",
+        expr("boiler_chars * 1000000 div total_chars"))
+      .select(col("source"), col("n_sentences"), col("n_boiler"),
+        col("boiler_char_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Tokenizer fertility per language: estimated BPE tokens per
+    * whitespace word — the multilingual budget planner (a language
+    * with 2× fertility costs 2× the context window for the same
+    * text; the number that decides per-language sampling weights).
+    * Reuses q_token_estimate's (len+3)/4 sub-word estimate; sums
+    * are exact longs, fertility and chars-per-token exact ppm. */
+  private def qFertility(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("words"),
+        aggregate(transform(split(col("text"), " "),
+            w => floor((length(w) + lit(3)).cast("double") / lit(4.0))
+              .cast("long")),
+          lit(0L), (a, v) => a + v).as("est_tokens"))
+    toks.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("total_words"),
+        sum(col("est_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("fertility_ppm",
+        expr("total_tokens * 1000000 div total_words"))
+      .withColumn("chars_per_token_ppm",
+        expr("total_chars * 1000000 div total_tokens"))
+      .select(col("lang"), col("n_docs"), col("total_words"),
+        col("total_tokens"), col("fertility_ppm"),
+        col("chars_per_token_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  /** Curriculum staging: docs bucketed into 4 difficulty stages by
+    * Flesch-Kincaid quartile (easy → hard), with the per-stage token
+    * budget — the ordering table a curriculum-learning schedule
+    * consumes. Difficulty ranks ride the scalable global rank;
+    * stages are exact integer quartiles; per-stage token sums are
+    * exact longs. */
+  private def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        greatest(lit(1L), size(split(col("text"), " ")).cast("long"))
+          .as("words"),
+        greatest(lit(1L),
+          (length(regexp_replace(col("text"), "[.!?]+", "S")) -
+            length(regexp_replace(col("text"), "[.!?]+", ""))).cast("long"))
+          .as("sents"),
+        greatest(lit(1L),
+          (length(regexp_replace(lower(col("text")), "[aeiouy]+", "V")) -
+            length(regexp_replace(lower(col("text")), "[aeiouy]+", "")))
+            .cast("long")).as("syls"))
+      .withColumn("fk_milli",
+        floor((lit(0.39) * (col("words").cast("double") / col("sents").cast("double")) +
+          lit(11.8) * (col("syls").cast("double") / col("words").cast("double")) -
+          lit(15.59)) * 1000 + 0.5).cast("long"))
+      .localCheckpoint(eager = false)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      scored.select(lit("all").as("g"),
+        col("fk_milli").cast("double").as("ord"), col("doc_id")),
+      "g", "ord", "doc_id", 32)
+    val n = ranked.agg(max(col("rnk")).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("stage", expr("(rnk - 1) * 4 div n + 1"))
+      .join(scored.select(col("doc_id"), col("words"), col("fk_milli")),
+        "doc_id")
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("fk_milli")).as("fk_min_milli"),
+        max(col("fk_milli")).as("fk_max_milli"),
+        sum(col("words")).as("total_words"))
+      .withColumn("mean_words", expr("total_words div n_docs"))
+      .orderBy(col("stage"))
+  }
+
+  /** Odds ratio of a return given URGENT priority, with the 95%
+    * log-normal CI — the 2×2 epidemiology statistic (how much more
+    * likely is a return on urgent lines?). Cell counts are exact
+    * longs from one scan; OR in exact ppm via two-step integer
+    * division; the CI is the only double stage (ln + the Woolf SE),
+    * shipped as micro-log-units per the q_entropy convention. */
+  private def qOddsRatio(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_orderpriority") === "1-URGENT").as("urgent")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(
+        sum(when(col("urgent") && col("l_returnflag") === "R", 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("urgent") && col("l_returnflag") =!= "R", 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(!col("urgent") && col("l_returnflag") === "R", 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(!col("urgent") && col("l_returnflag") =!= "R", 1L)
+          .otherwise(0L)).as("d"))
+    val lnOr = log((col("a") * col("d")).cast("double") /
+      (col("b") * col("c")).cast("double"))
+    val se = sqrt(lit(1.0) / col("a").cast("double") +
+      lit(1.0) / col("b").cast("double") +
+      lit(1.0) / col("c").cast("double") +
+      lit(1.0) / col("d").cast("double"))
+    cells
+      .withColumn("or_ppm", expr("(a * 1000000 div b) * d div c"))
+      .withColumn("ln_or_lo_micro",
+        floor((lnOr - lit(1.96) * se) * 1000000 + 0.5).cast("long"))
+      .withColumn("ln_or_hi_micro",
+        floor((lnOr + lit(1.96) * se) * 1000000 + 0.5).cast("long"))
+      .select(col("a"), col("b"), col("c"), col("d"), col("or_ppm"),
+        col("ln_or_lo_micro"), col("ln_or_hi_micro"))
+  }
+
+  /** Wald SPRT over the daily return-rate stream: H₀ p=0.32 vs H₁
+    * p=0.34 at α=0.05, β=0.2 — the sequential test that stops THE DAY
+    * the evidence suffices instead of waiting for a fixed horizon.
+    * The per-day log-likelihood increments are INTEGER micro-nat
+    * constants (ln ratios precomputed as literals — q_ndcg's
+    * no-transcendental-crosses-the-boundary convention), the LLR
+    * trace is a prefix sum over the bounded day domain, and the
+    * first boundary crossing is a conditional min — exact int64
+    * end-to-end. */
+  private def qSprt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // c1 = round(1e6·ln(.34/.32)), c0 = round(1e6·ln(.66/.68)),
+    // A = round(1e6·ln(.8/.05)), B = round(1e6·ln(.2/.95))
+    val daily = t(s, dir, "lineitem")
+      .groupBy(datediff(col("l_shipdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      .withColumn("llr_inc",
+        col("r") * lit(60625L) + (col("n") - col("r")) * lit(-29853L))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val traced = daily
+      .withColumn("llr_micro", sum(col("llr_inc")).over(w))
+      .localCheckpoint(eager = false)
+    traced.agg(
+        count(lit(1)).as("n_days"),
+        min(when(col("llr_micro") >= 2772589L, col("day"))).as("h1_day"),
+        min(when(col("llr_micro") <= -1558145L, col("day"))).as("h0_day"),
+        max(col("llr_micro")).as("max_llr_micro"),
+        min(col("llr_micro")).as("min_llr_micro"))
+      .withColumn("decision",
+        when(col("h1_day").isNotNull &&
+          (col("h0_day").isNull || col("h1_day") < col("h0_day")),
+          lit("accept_h1"))
+          .when(col("h0_day").isNotNull, lit("accept_h0"))
+          .otherwise(lit("continue")))
+      .withColumn("first_cross_day",
+        coalesce(least(col("h1_day"), col("h0_day")),
+          coalesce(col("h1_day"), col("h0_day"), lit(-1L))))
+      .select(col("n_days"), col("first_cross_day"), col("decision"),
+        col("max_llr_micro"), col("min_llr_micro"))
+  }
+
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
     * supplier diversity per (brand, size) excluding flagged suppliers.
     * NOT IN's three-valued null semantics plan as a null-aware anti
@@ -7418,6 +7597,11 @@ object SparkEntry {
     "q_mde" -> (qMde _),
     "q_simpsons" -> (qSimpsons _),
     "q_qcd" -> (qQcd _),
+    "q_boilerplate" -> (qBoilerplate _),
+    "q_fertility" -> (qFertility _),
+    "q_curriculum" -> (qCurriculum _),
+    "q_odds_ratio" -> (qOddsRatio _),
+    "q_sprt" -> (qSprt _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -12394,5 +12578,116 @@ object SparkEntry {
         |SELECT p_brand, n, q1_cents, q3_cents,
         |  (q3_cents - q1_cents) * 1000000 // (q3_cents + q1_cents) AS qcd_ppm
         |FROM qs ORDER BY p_brand""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH sents AS (
+        |  SELECT doc_id, source, unnest(string_split(text, '. ')) AS sent
+        |  FROM documents),
+        |fs AS (SELECT doc_id, source, sent FROM sents WHERE length(sent) > 20),
+        |df AS (
+        |  SELECT sent, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |  FROM fs GROUP BY sent),
+        |j AS (SELECT fs.source, fs.sent, df.doc_freq
+        |      FROM fs JOIN df ON fs.sent = df.sent)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_sentences,
+        |  CAST(sum(CASE WHEN doc_freq >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boiler,
+        |  CAST(sum(CASE WHEN doc_freq >= 5 THEN length(sent) ELSE 0 END)
+        |    AS BIGINT) * 1000000
+        |    // CAST(sum(length(sent)) AS BIGINT) AS boiler_char_ppm
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_fertility" ->
+      """WITH f AS (
+        |  SELECT lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |      w -> (length(w) + 3) // 4)) AS BIGINT) AS est_tokens
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(words) AS BIGINT) AS total_words,
+        |  CAST(sum(est_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(est_tokens) AS BIGINT) * 1000000
+        |    // CAST(sum(words) AS BIGINT) AS fertility_ppm,
+        |  CAST(sum(n_chars) AS BIGINT) * 1000000
+        |    // CAST(sum(est_tokens) AS BIGINT) AS chars_per_token_ppm
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_curriculum" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    greatest(1, CAST(len(string_split(text, ' ')) AS BIGINT)) AS words,
+        |    CAST(floor((0.39 * (CAST(greatest(1, CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)
+        |          / CAST(greatest(1, CAST(length(regexp_replace(text, '[.!?]+', 'S', 'g'))
+        |              - length(regexp_replace(text, '[.!?]+', '', 'g')) AS BIGINT)) AS DOUBLE))
+        |      + 11.8 * (CAST(greatest(1, CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
+        |              - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS BIGINT)) AS DOUBLE)
+        |          / CAST(greatest(1, CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE))
+        |      - 15.59) * 1000 + 0.5) AS BIGINT) AS fk_milli
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, words, fk_milli,
+        |    CAST(row_number() OVER (
+        |      ORDER BY CAST(fk_milli AS DOUBLE), doc_id) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM scored)
+        |SELECT (rnk - 1) * 4 // n + 1 AS stage,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(fk_milli) AS BIGINT) AS fk_min_milli,
+        |  CAST(max(fk_milli) AS BIGINT) AS fk_max_milli,
+        |  CAST(sum(words) AS BIGINT) AS total_words,
+        |  CAST(sum(words) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_words
+        |FROM ranked GROUP BY 1 ORDER BY stage""".stripMargin,
+
+    "q_odds_ratio" ->
+      """WITH cells AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN urgent AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN urgent AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT urgent AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT urgent AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM lineitem JOIN (
+        |    SELECT o_orderkey, o_orderpriority = '1-URGENT' AS urgent
+        |    FROM orders) o ON l_orderkey = o_orderkey)
+        |SELECT a, b, c, d,
+        |  (a * 1000000 // b) * d // c AS or_ppm,
+        |  CAST(floor((ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+        |    - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+        |      + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)))
+        |    * 1000000 + 0.5) AS BIGINT) AS ln_or_lo_micro,
+        |  CAST(floor((ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+        |    + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+        |      + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)))
+        |    * 1000000 + 0.5) AS BIGINT) AS ln_or_hi_micro
+        |FROM cells""".stripMargin,
+
+    "q_sprt" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', TIMESTAMP '1995-01-01', l_shipdate) AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1),
+        |traced AS (
+        |  SELECT day,
+        |    CAST(sum(r * 60625 + (n - r) * (-29853)) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS llr_micro
+        |  FROM daily),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    min(CASE WHEN llr_micro >= 2772589 THEN day END) AS h1_day,
+        |    min(CASE WHEN llr_micro <= -1558145 THEN day END) AS h0_day,
+        |    CAST(max(llr_micro) AS BIGINT) AS max_llr_micro,
+        |    CAST(min(llr_micro) AS BIGINT) AS min_llr_micro
+        |  FROM traced)
+        |SELECT n_days,
+        |  COALESCE(least(h1_day, h0_day),
+        |    COALESCE(h1_day, h0_day, -1)) AS first_cross_day,
+        |  CASE WHEN h1_day IS NOT NULL
+        |      AND (h0_day IS NULL OR h1_day < h0_day) THEN 'accept_h1'
+        |    WHEN h0_day IS NOT NULL THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision,
+        |  max_llr_micro, min_llr_micro
+        |FROM a""".stripMargin,
   )
 }

@@ -3647,10 +3647,8 @@ object SparkEntry {
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val dists = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
-        aggregate(zip_with(col("embedding"), col("cv"),
-            (x, c) => floor((x.cast("double") - c.cast("double")) *
-              (x.cast("double") - c.cast("double")) * 1e9 + 0.5).cast("long")),
-          lit(0L), (acc, v) => acc + v).as("d2"))
+        graft.functions.kernels.fixed_point_l2(col("embedding"), col("cv"))
+          .as("d2"))
     val ranked = dists
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("cid"))).as("best"),
@@ -5022,6 +5020,157 @@ object SparkEntry {
           coalesce(col("h1_day"), col("h0_day"), lit(-1L))))
       .select(col("n_days"), col("first_cross_day"), col("decision"),
         col("max_llr_micro"), col("min_llr_micro"))
+  }
+
+  /** 10%-trimmed mean of order value per nation — the rank-band
+    * companion to q_winsorize (trimming DROPS the tails instead of
+    * clamping them). The band filter rnk ∈ (n/10, 9n/10] rides the
+    * two-pass grouped rank; the trimmed mean is an exact cent sum
+    * over the surviving band divided once. */
+  private def qTrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val vals = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey").as("ok"),
+        Analytics.cents(col("o_totalprice")).as("v"))
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      vals.select(col("n_name"), col("v").cast("double").as("ord"), col("ok")),
+      "n_name", "ord", "ok", 32)
+    val n = ranked.groupBy(col("n_name")).agg(max(col("rnk")).as("n"))
+    ranked.join(broadcast(n), "n_name")
+      .filter(col("rnk") > expr("n div 10") &&
+        col("rnk") <= expr("n - n div 10"))
+      .groupBy(col("n_name"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_kept"),
+        sum(col("ord").cast("long")).as("sum_cents"))
+      .withColumn("trimmed_mean_cents", expr("sum_cents div n_kept"))
+      .select(col("n_name"), col("n"), col("n_kept"),
+        col("trimmed_mean_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Local Outlier Factor (k=3) within IVF buckets, exact integers
+    * end-to-end: fixed-point L2² pairwise distances INSIDE each
+    * centroid bucket (the LSH-style scale move — never all-pairs),
+    * k-distance by rank, reachability = max(d, kdist(o)), lrd as a
+    * 1e18-scaled integer reciprocal, LOF in exact ppm. The density-
+    * aware outlier score that catches points q_embed_outliers'
+    * global-distance screen misses (a point can be near the global
+    * mean yet alone in its neighborhood). Top-20 by LOF via
+    * TakeOrdered. */
+  private def qLof(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents, "cid", "cv")
+      .select(col("vec_id"), col("cid"))
+    val vecs = emb.join(assign, "vec_id")
+      .select(col("cid"), col("vec_id"), col("embedding"))
+      .localCheckpoint(eager = false)
+    val d2 = vecs.as("a").join(vecs.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.cid").as("cid"), col("a.vec_id").as("p"),
+        col("b.vec_id").as("o"),
+        graft.functions.kernels.fixed_point_l2(col("a.embedding"),
+          col("b.embedding")).as("d2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("p")).orderBy(col("d2"), col("o"))))
+      .localCheckpoint(eager = false)
+    val kdist = d2.filter(col("rnk") === 3)
+      .select(col("p").as("o"), col("d2").as("kdist_o"))
+    val neighbors = d2.filter(col("rnk") <= 3)
+      .join(kdist, "o")
+      .withColumn("reach", greatest(col("d2"), col("kdist_o")))
+    val lrd = neighbors.groupBy(col("cid"), col("p"))
+      .agg(sum(col("reach")).as("sum_reach"))
+      .filter(col("sum_reach") > 0)
+      // cap keeps sum_lrd_o·1e6 in int64 even for near-duplicate points
+      .withColumn("lrd",
+        expr("least(3 * 1000000000000000000 div sum_reach, 1000000000000)"))
+      .localCheckpoint(eager = false)
+    neighbors.select(col("p"), col("o"))
+      .join(lrd.select(col("p").as("o"), col("lrd").as("lrd_o")), "o")
+      .groupBy(col("p"))
+      .agg(sum(col("lrd_o")).as("sum_lrd_o"))
+      .join(lrd.select(col("cid"), col("p"), col("lrd")), "p")
+      .withColumn("lof_ppm", expr("sum_lrd_o * 1000000 div (3 * lrd)"))
+      .select(col("cid"), col("p").as("vec_id"), col("lof_ppm"))
+      .orderBy(col("lof_ppm").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** k-NN classifier evaluation (k=3, IVF-bucketed): majority label
+    * of the 3 nearest in-bucket neighbors vs the true label, per-
+    * class accuracy in exact ppm — the "is this embedding space even
+    * label-separable" sanity check before training anything on it.
+    * Votes are integer counts; the majority pick is rank-1 by
+    * (votes desc, label) — deterministic ties; distances reuse the
+    * q_lof fixed-point pairwise kernel inside buckets only. */
+  private def qKnnEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents, "cid", "cv")
+      .select(col("vec_id"), col("cid"))
+    val vecs = emb.join(assign, "vec_id")
+      .select(col("cid"), col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+      .localCheckpoint(eager = false)
+    val neighbors = vecs.as("a").join(vecs.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("p"), col("b.vec_id").as("o"),
+        col("b.label").as("label_o"),
+        graft.functions.kernels.fixed_point_l2(col("a.embedding"),
+          col("b.embedding")).as("d2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("p")).orderBy(col("d2"), col("o"))))
+      .filter(col("rnk") <= 3)
+    val votes = neighbors.groupBy(col("p"), col("label_o"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("p")).orderBy(col("votes").desc, col("label_o"))))
+      .filter(col("vr") === 1)
+      .select(col("p").as("vec_id"), col("label_o").as("pred"))
+    votes.join(vecs.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("correct"))
+      .withColumn("acc_ppm", expr("correct * 1000000 div n"))
+      .orderBy(col("label"))
+  }
+
+  /** McNemar's paired test between two lang-ID thresholds (60 vs 100
+    * milli-density) on the SAME docs — the right test for comparing
+    * two classifiers on one dataset (independent-sample tests
+    * overstate confidence when predictions are paired). Only the
+    * discordant cells matter: χ² = (b−c)²/(b+c), and with integer
+    * density compares it is exact int64 end-to-end (milli-scaled). */
+  private def qMcnemar(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.withLangId(t(s, dir, "documents"), "text")
+      .select(col("en_hits").cast("long").as("h"),
+        col("n_tokens").cast("long").as("tk"),
+        (col("lang") === "en").as("truth"))
+      .withColumn("pred_a", col("h") * 1000L >= lit(60L) * col("tk"))
+      .withColumn("pred_b", col("h") * 1000L >= lit(100L) * col("tk"))
+    scored.agg(
+        count(lit(1)).as("n"),
+        sum(when((col("pred_a") === col("truth")) &&
+          (col("pred_b") =!= col("truth")), 1L).otherwise(0L)).as("b"),
+        sum(when((col("pred_a") =!= col("truth")) &&
+          (col("pred_b") === col("truth")), 1L).otherwise(0L)).as("c"))
+      .withColumn("chi2_milli",
+        expr("CASE WHEN b + c > 0 THEN (b - c) * (b - c) * 1000 div (b + c) " +
+          "ELSE 0 END"))
+      .select(col("n"), col("b"), col("c"), col("chi2_milli"))
   }
 
   /** NOT IN anti-subquery (TPC-H Q16 shape) as ONE shared SQL text:
@@ -7602,6 +7751,10 @@ object SparkEntry {
     "q_curriculum" -> (qCurriculum _),
     "q_odds_ratio" -> (qOddsRatio _),
     "q_sprt" -> (qSprt _),
+    "q_trimmed_mean" -> (qTrimmedMean _),
+    "q_lof" -> (qLof _),
+    "q_knn_eval" -> (qKnnEval _),
+    "q_mcnemar" -> (qMcnemar _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -12688,6 +12841,134 @@ object SparkEntry {
         |    WHEN h0_day IS NOT NULL THEN 'accept_h0'
         |    ELSE 'continue' END AS decision,
         |  max_llr_micro, min_llr_micro
+        |FROM a""".stripMargin,
+
+    "q_trimmed_mean" ->
+      """WITH vals AS (
+        |  SELECT n_name, o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |ranked AS (
+        |  SELECT n_name, v,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY CAST(v AS DOUBLE), ok) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n
+        |  FROM vals)
+        |SELECT n_name, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |    AS trimmed_mean_cents
+        |FROM ranked
+        |WHERE rnk > n // 10 AND rnk <= n - n // 10
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_lof" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |adots AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT))) AS d
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        |    FROM adots) x WHERE rn = 1),
+        |vecs AS (
+        |  SELECT a.cid, e.vec_id, e.embedding
+        |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+        |d2 AS (
+        |  SELECT a.cid, a.vec_id AS p, b.vec_id AS o,
+        |    list_sum(list_transform(generate_series(1,64), i ->
+        |      CAST(floor((CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) *
+        |        (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) *
+        |        1000000000 + 0.5) AS BIGINT))) AS d2
+        |  FROM vecs a JOIN vecs b
+        |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+        |rnked AS (
+        |  SELECT cid, p, o, d2,
+        |    row_number() OVER (PARTITION BY p ORDER BY d2, o) AS rnk
+        |  FROM d2),
+        |kdist AS (SELECT p AS o, d2 AS kdist_o FROM rnked WHERE rnk = 3),
+        |neighbors AS (
+        |  SELECT r.cid, r.p, r.o, greatest(r.d2, k.kdist_o) AS reach
+        |  FROM rnked r JOIN kdist k ON r.o = k.o
+        |  WHERE r.rnk <= 3),
+        |lrd AS (
+        |  SELECT cid, p,
+        |    least(3 * 1000000000000000000 // CAST(sum(reach) AS BIGINT),
+        |      1000000000000) AS lrd
+        |  FROM neighbors GROUP BY cid, p
+        |  HAVING sum(reach) > 0),
+        |agg AS (
+        |  SELECT n.p, CAST(sum(lo.lrd) AS BIGINT) AS sum_lrd_o
+        |  FROM neighbors n JOIN lrd lo ON n.o = lo.p
+        |  GROUP BY n.p)
+        |SELECT l.cid, a.p AS vec_id,
+        |  sum_lrd_o * 1000000 // (3 * l.lrd) AS lof_ppm
+        |FROM agg a JOIN lrd l ON a.p = l.p
+        |ORDER BY lof_ppm DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_knn_eval" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |adots AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT))) AS d
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        |    FROM adots) x WHERE rn = 1),
+        |vecs AS (
+        |  SELECT a.cid, e.vec_id, e.embedding, CAST(e.label AS BIGINT) AS label
+        |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+        |nb AS (
+        |  SELECT p, o, label_o FROM (
+        |    SELECT a.vec_id AS p, b.vec_id AS o, b.label AS label_o,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1,64), i ->
+        |          CAST(floor((CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) *
+        |            (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) *
+        |            1000000000 + 0.5) AS BIGINT))), b.vec_id) AS rnk
+        |    FROM vecs a JOIN vecs b
+        |      ON a.cid = b.cid AND a.vec_id <> b.vec_id) x
+        |  WHERE rnk <= 3),
+        |votes AS (
+        |  SELECT p, label_o AS pred FROM (
+        |    SELECT p, label_o, count(*) AS votes,
+        |      row_number() OVER (PARTITION BY p
+        |        ORDER BY count(*) DESC, label_o) AS vr
+        |    FROM nb GROUP BY p, label_o) x
+        |  WHERE vr = 1)
+        |SELECT v.label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN votes.pred = v.label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS correct,
+        |  CAST(sum(CASE WHEN votes.pred = v.label THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(count(*) AS BIGINT) AS acc_ppm
+        |FROM votes JOIN vecs v ON votes.p = v.vec_id
+        |GROUP BY v.label ORDER BY v.label""".stripMargin,
+
+    "q_mcnemar" ->
+      """WITH f AS (
+        |  SELECT lang = 'en' AS truth,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'for', 'on'], t))) AS BIGINT) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        |  FROM documents),
+        |p AS (
+        |  SELECT truth, h * 1000 >= 60 * tk AS pred_a,
+        |    h * 1000 >= 100 * tk AS pred_b
+        |  FROM f),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN pred_a = truth AND pred_b <> truth THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN pred_a <> truth AND pred_b = truth THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM p)
+        |SELECT n, b, c,
+        |  CASE WHEN b + c > 0 THEN (b - c) * (b - c) * 1000 // (b + c)
+        |    ELSE 0 END AS chi2_milli
         |FROM a""".stripMargin,
   )
 }

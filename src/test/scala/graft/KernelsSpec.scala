@@ -42,6 +42,30 @@ class KernelsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("fixed_point_l2 equals interpreted aggregate/zip_with form") {
+    val vecs = Seq(
+      (Array(1.0f, 2.0f, -3.5f), Array(0.5f, -1.25f, 2.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)),
+      (Array(1e-5f, -1e-5f, 1f), Array(1e-5f, 1e-5f, -1f))).toDF("a", "b")
+    val builtin = aggregate(
+      zip_with($"a", $"b", (x, y) =>
+        floor((x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double")) * 1e9 + 0.5).cast("long")),
+      lit(0L), (acc, t) => acc + t)
+    val rows = vecs.select(
+      kernels.fixed_point_l2($"a", $"b").as("fast"), builtin.as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("fixed_point_l2 is null on length mismatch and null element (zip_with parity)") {
+    val mismatch = Seq((Array(1.0f, 1.0f, 1.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(mismatch.select(kernels.fixed_point_l2($"a", $"b")).head().isNullAt(0))
+    val nullElem = Seq(
+      (Seq(Some(1.0f), None, Some(3.0f)), Seq(Some(1.0f), Some(2.0f), Some(3.0f))))
+      .toDF("a", "b")
+    assert(nullElem.select(kernels.fixed_point_l2($"a", $"b")).head().isNullAt(0))
+  }
+
   test("fixed_point_dot handles nulls") {
     val df = Seq((Option.empty[Array[Float]], Option(Array(1.0f))))
       .toDF("a", "b")

@@ -2131,7 +2131,12 @@ object SparkEntry {
     val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(eager = false)
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    val withDeg = edges.join(deg, "u")
+      .localCheckpoint(eager = false)
+    // per-edge contribution denominators materialize ONCE: each of the 3
+    // iterations joins this same (u, v, d) relation against the evolving
+    // pr vector — without the checkpoint, every iteration re-runs the
+    // edges⋈deg join (and the edge self-join lineage behind it)
+    val withDeg = edges.join(deg, "u").localCheckpoint(eager = false)
     var pr = deg.select(col("u").as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to 3) {
       pr = withDeg.join(pr, withDeg("u") === pr("node"))

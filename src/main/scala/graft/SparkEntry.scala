@@ -7475,6 +7475,157 @@ object SparkEntry {
       |    i -> array_to_string(tk[i:i+4], ' ')))) AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) toks)""".stripMargin
 
+  /** Temperature-scaled training-mixture allocation (τ = 0.5): a
+    * source's sampling weight ∝ sqrt(its token count) — the standard
+    * up-weighting of small sources when composing a pre-training data
+    * epoch — then a 1-billion-token budget is apportioned by largest
+    * remainder, so per-source allocations are exact integers that sum
+    * to the budget. sqrt of an exact int64 is correctly-rounded IEEE
+    * in both engines; everything downstream is int64. The windows run
+    * over the per-source AGGREGATE — cardinality is the source
+    * catalog (20 here), a bounded dimension independent of corpus
+    * size, so the single-partition window is scale-safe. */
+  private def qEpochMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 1000000000L
+    val bySrc = t(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tk"))
+      .groupBy(col("source")).agg(sum(col("tk")).as("tokens"))
+      .withColumn("sc", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+    val all = Window.partitionBy()
+    bySrc
+      .withColumn("tot", sum(col("sc")).over(all))
+      .withColumn("base", expr(s"($budget * sc) div tot"))
+      .withColumn("frac", expr(s"($budget * sc) % tot"))
+      .withColumn("short", lit(budget) - sum(col("base")).over(all))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("frac").desc, col("source"))).cast("long"))
+      .select(col("source"), col("tokens"),
+        expr("(1000000 * sc) div tot").as("weight_ppm"),
+        (col("base") + when(col("rn") <= col("short"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Multinomial naive-Bayes trainer for the language label: one
+    * token-explode scan feeds (class, token) counts, per-class token
+    * totals, and the vocabulary size — all map-side-combining
+    * aggregates — and the model row is the add-1-smoothed conditional
+    * in exact ppm, `(c+1)·10⁶ div (T+|V|)`, beside the class prior.
+    * Top-5 tokens per class via a window whose input is the
+    * VOCABULARY-sized count table (|V| rows per class, independent of
+    * corpus row count), not the corpus. Class-total and vocab frames
+    * are broadcast (≤ |classes| and 1 row). */
+  private def qNaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("lang"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    val tc = toks.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
+    val classTot = toks.groupBy(col("lang")).agg(count(lit(1)).as("t"))
+    val vocab = toks.select(col("token")).distinct().agg(count(lit(1)).as("v"))
+    val priors = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("ntot"))))
+      .select(col("lang"), expr("(1000000 * nd) div ntot").as("prior_ppm"))
+    tc.join(broadcast(classTot), "lang")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_ppm", expr("((c + 1) * 1000000) div (t + v)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("c").desc, col("token"))).cast("long"))
+      .filter(col("rn") <= 5)
+      .join(broadcast(priors), "lang")
+      .select(col("lang"), col("rn"), col("token"), col("c"),
+        col("p_ppm"), col("prior_ppm"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** Holt linear-trend exponential smoothing over the daily revenue
+    * series (α = 1/5, β = 1/10), entirely in integer cents:
+    * l_t = (y_t + 4(l+b)) div 5, b_t = ((l_t − l) + 9b) div 10 —
+    * `div` truncates toward zero, and DuckDB's integer `//` has the
+    * same truncating semantics (verified on negative operands), so
+    * negative trends replay exactly.
+    * The unbounded order stream first reduces to one row per
+    * day (calendar-bounded: ~2.4k rows at ANY corpus scale), and only
+    * that bounded series is folded sequentially through
+    * `aggregate()` — the same bounded-series argument as the EMA
+    * operator; the oracle replays the recurrence as a recursive CTE. */
+  private def qHolt(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
+      .agg(sum(Analytics.cents(col("o_totalprice"))).as("c"))
+    daily
+      .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("arr"))
+      .select(explode(expr(
+        """aggregate(
+          |  slice(arr, 2, size(arr) - 1),
+          |  named_struct(
+          |    'l', arr[0].c, 'b', CAST(0 AS BIGINT),
+          |    'rows', array(named_struct(
+          |      'day', arr[0].day, 'c', arr[0].c,
+          |      'l', arr[0].c, 'b', CAST(0 AS BIGINT)))),
+          |  (acc, x) -> named_struct(
+          |    'l', (x.c + 4 * (acc.l + acc.b)) div 5,
+          |    'b', ((x.c + 4 * (acc.l + acc.b)) div 5 - acc.l
+          |          + 9 * acc.b) div 10,
+          |    'rows', concat(acc.rows, array(named_struct(
+          |      'day', x.day, 'c', x.c,
+          |      'l', (x.c + 4 * (acc.l + acc.b)) div 5,
+          |      'b', ((x.c + 4 * (acc.l + acc.b)) div 5 - acc.l
+          |            + 9 * acc.b) div 10)))),
+          |  acc -> acc.rows)""".stripMargin)))
+      .select(col("col.day").as("day"), col("col.c").as("rev_c"),
+        col("col.l").as("level_c"), col("col.b").as("trend_c"),
+        (col("col.l") + col("col.b")).as("forecast_c"))
+      .orderBy(col("day"))
+  }
+
+  /** Personalized PageRank (3 unrolled iterations, damping 0.85) over
+    * the qPagerank co-purchase graph, with ALL teleport mass pinned to
+    * the seed set (partkey ≡ 0 mod 100) — the "related to these
+    * parts" ranking. Exact int64 fixed point at 1e6 like qPagerank;
+    * the one structural difference is the per-iteration LEFT join from
+    * the node universe (deg), because a node's teleport term exists
+    * even when no in-neighbor contributed mass this round. Edge and
+    * degree relations materialize once; each iteration is one
+    * equi-join + dest-keyed aggregation + node-keyed left join. */
+  private def qPpr(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem").filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val und = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = false)
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = false)
+    val withDeg = edges.join(deg, "u").localCheckpoint(eager = false)
+    def teleport(node: org.apache.spark.sql.Column, full: Boolean) =
+      when(node % 100 === 0, lit(if (full) 1000000L else 150000L))
+        .otherwise(lit(0L))
+    var pr = deg.select(col("u").as("node"))
+      .withColumn("pr", teleport(col("node"), full = true))
+    for (_ <- 1 to 3) {
+      val mass = withDeg.join(pr, withDeg("u") === pr("node"))
+        .select(col("v"), expr("pr div d").as("contrib"))
+        .groupBy(col("v"))
+        .agg(expr("(85 * sum(contrib)) div 100").as("m"))
+      pr = deg.select(col("u").as("node"))
+        .join(mass, col("node") === col("v"), "left")
+        .select(col("node"),
+          (teleport(col("node"), full = false) +
+            coalesce(col("m"), lit(0L))).as("pr"))
+    }
+    pr.filter(col("pr") > 0)
+      .join(deg, pr("node") === deg("u"))
+      .select(col("node"), col("pr").as("pr_fp"), col("d").as("degree"),
+        (col("node") % 100 === 0).as("is_seed"))
+      .orderBy(col("node"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -7760,6 +7911,10 @@ object SparkEntry {
     "q_lof" -> (qLof _),
     "q_knn_eval" -> (qKnnEval _),
     "q_mcnemar" -> (qMcnemar _),
+    "q_epoch_mix" -> (qEpochMix _),
+    "q_naive_bayes" -> (qNaiveBayes _),
+    "q_holt" -> (qHolt _),
+    "q_ppr" -> (qPpr _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -12975,5 +13130,113 @@ object SparkEntry {
         |  CASE WHEN b + c > 0 THEN (b - c) * (b - c) * 1000 // (b + c)
         |    ELSE 0 END AS chi2_milli
         |FROM a""".stripMargin,
+
+    "q_epoch_mix" ->
+      """WITH bysrc AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |sc AS (
+        |  SELECT source, tokens,
+        |    CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS sc
+        |  FROM bysrc),
+        |w AS (
+        |  SELECT source, tokens, sc,
+        |    CAST((SELECT sum(sc) FROM sc) AS BIGINT) AS tot
+        |  FROM sc),
+        |b AS (
+        |  SELECT *, (1000000000 * sc) // tot AS base,
+        |    (1000000000 * sc) % tot AS frac
+        |  FROM w),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY frac DESC, source) AS rn,
+        |    1000000000 - sum(base) OVER () AS short
+        |  FROM b)
+        |SELECT source, tokens,
+        |  CAST((1000000 * sc) // tot AS BIGINT) AS weight_ppm,
+        |  CAST(base + CASE WHEN rn <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+        |FROM r ORDER BY source""".stripMargin,
+
+    "q_naive_bayes" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tc AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY 1, 2),
+        |ct AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM toks GROUP BY 1),
+        |vb AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM toks),
+        |pr AS (
+        |  SELECT lang,
+        |    CAST((1000000 * count(*)) // (SELECT count(*) FROM documents) AS BIGINT)
+        |      AS prior_ppm
+        |  FROM documents GROUP BY lang),
+        |r AS (
+        |  SELECT tc.lang, token, c,
+        |    CAST(((c + 1) * 1000000) // (t + v) AS BIGINT) AS p_ppm,
+        |    row_number() OVER (PARTITION BY tc.lang
+        |      ORDER BY c DESC, token) AS rn
+        |  FROM tc JOIN ct ON tc.lang = ct.lang CROSS JOIN vb)
+        |SELECT r.lang, CAST(rn AS BIGINT) AS rn, token, c, p_ppm, prior_ppm
+        |FROM r JOIN pr ON r.lang = pr.lang
+        |WHERE rn <= 5 ORDER BY r.lang, rn""".stripMargin,
+
+    "q_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |num AS (SELECT day, c, row_number() OVER (ORDER BY day) AS rn FROM daily),
+        |rec AS (
+        |  SELECT rn, day, c, c AS l, CAST(0 AS BIGINT) AS b
+        |  FROM num WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.rn, d.day, d.c,
+        |    (d.c + 4 * (r.l + r.b)) // 5,
+        |    (((d.c + 4 * (r.l + r.b)) // 5) - r.l + 9 * r.b) // 10
+        |  FROM num d JOIN rec r ON d.rn = r.rn + 1)
+        |SELECT day, c AS rev_c, l AS level_c, b AS trend_c,
+        |  CAST(l + b AS BIGINT) AS forecast_c
+        |FROM rec ORDER BY day""".stripMargin,
+
+    "q_ppr" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |und AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+        |pr0 AS (
+        |  SELECT u AS node,
+        |    CAST(CASE WHEN u % 100 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS pr
+        |  FROM deg),
+        |pr1 AS (
+        |  SELECT d.u AS node,
+        |    CAST(CAST(CASE WHEN d.u % 100 = 0 THEN 150000 ELSE 0 END AS BIGINT)
+        |      + coalesce((85 * m.s) // 100, 0) AS BIGINT) AS pr
+        |  FROM deg d LEFT JOIN (
+        |    SELECT e.v, sum(p.pr // dd.d) AS s
+        |    FROM edges e JOIN pr0 p ON e.u = p.node JOIN deg dd ON e.u = dd.u
+        |    GROUP BY e.v) m ON d.u = m.v),
+        |pr2 AS (
+        |  SELECT d.u AS node,
+        |    CAST(CAST(CASE WHEN d.u % 100 = 0 THEN 150000 ELSE 0 END AS BIGINT)
+        |      + coalesce((85 * m.s) // 100, 0) AS BIGINT) AS pr
+        |  FROM deg d LEFT JOIN (
+        |    SELECT e.v, sum(p.pr // dd.d) AS s
+        |    FROM edges e JOIN pr1 p ON e.u = p.node JOIN deg dd ON e.u = dd.u
+        |    GROUP BY e.v) m ON d.u = m.v),
+        |pr3 AS (
+        |  SELECT d.u AS node,
+        |    CAST(CAST(CASE WHEN d.u % 100 = 0 THEN 150000 ELSE 0 END AS BIGINT)
+        |      + coalesce((85 * m.s) // 100, 0) AS BIGINT) AS pr
+        |  FROM deg d LEFT JOIN (
+        |    SELECT e.v, sum(p.pr // dd.d) AS s
+        |    FROM edges e JOIN pr2 p ON e.u = p.node JOIN deg dd ON e.u = dd.u
+        |    GROUP BY e.v) m ON d.u = m.v)
+        |SELECT p.node, p.pr AS pr_fp, CAST(deg.d AS BIGINT) AS degree,
+        |  p.node % 100 = 0 AS is_seed
+        |FROM pr3 p JOIN deg ON p.node = deg.u
+        |WHERE p.pr > 0 ORDER BY p.node""".stripMargin,
   )
 }

@@ -81,6 +81,50 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("epoch mix allocations sum exactly to the 1-billion-token budget") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_epoch_mix")(spark, sf)
+      .agg(sum(col("alloc_tokens")), sum(col("weight_ppm"))).head()
+    assert(rows.getLong(0) === 1000000000L,
+      s"largest-remainder apportionment must be exact, got ${rows.getLong(0)}")
+    // ppm weights truncate, so they sum to at most 1e6
+    assert(rows.getLong(1) <= 1000000L && rows.getLong(1) > 990000L)
+  }
+
+  test("holt smoothing replays the sequential reference fold") {
+    val out = SparkEntry.queries("q_holt")(spark, sf)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference: plain Scala fold over the same daily series
+    val daily = out.map { case (d, c, _, _) => (d, c) }
+    var l = daily.head._2; var b = 0L
+    val first = Seq((daily.head._1, daily.head._2, l, b))
+    val ref = first ++ daily.tail.map { case (d, c) =>
+      val nl = (c + 4 * (l + b)) / 5
+      val nb = ((nl - l) + 9 * b) / 10
+      l = nl; b = nb; (d, c, l, b)
+    }
+    assert(out.toSeq === ref)
+  }
+
+  test("ppr keeps teleport mass on seeds and never goes negative") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q_ppr")(spark, sf)
+    assert(df.filter(col("pr_fp") < 0).count() === 0L)
+    // every seed node retains at least its own teleport term
+    assert(df.filter(col("is_seed") && col("pr_fp") < 150000L).count() === 0L)
+    assert(df.filter(col("is_seed")).count() > 0L)
+  }
+
+  test("naive bayes emits a 5-row model per class with ppm-bounded probabilities") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q_naive_bayes")(spark, sf)
+    val perClass = df.groupBy(col("lang")).count().collect()
+    assert(perClass.nonEmpty && perClass.forall(_.getLong(1) === 5L))
+    assert(df.filter(col("p_ppm") <= 0 || col("p_ppm") > 1000000L).count() === 0L)
+    assert(df.filter(col("prior_ppm") <= 0 || col("prior_ppm") >= 1000000L).count() === 0L)
+  }
+
   test("every query has oracle SQL or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")

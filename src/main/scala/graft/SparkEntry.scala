@@ -7626,6 +7626,79 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** SimHash near-dup candidate pairs through 4×8-bit band buckets:
+    * docs sharing any band of their 32-bit fingerprint meet in a
+    * bucket-equi-join (never all-pairs), and by pigeonhole a pair
+    * within hamming ≤ 3 differs in at most 3 of the 4 bands, so
+    * banding has EXACT recall at that radius — the sub-quadratic
+    * candidate shape that keeps simhash dedup viable at corpus scale.
+    * The fingerprint frame materializes once and fans into the four
+    * band projections; the bucket join carries only (id, fp, key). */
+  private def qSimhashHamming(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.simhash32(t(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint(eager = false)
+    val bands = (0 until 4).map { b =>
+      sh.select(col("doc_id"), col("simhash32"), lit(b).as("band"),
+        expr(s"(simhash32 div ${1L << (8 * b)}) % 256").as("key"))
+    }.reduce(_ union _)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        expr("bit_count(x.simhash32 ^ y.simhash32)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Higher-order array-function sweep — lambda expressions evaluated
+    * inside whole-stage codegen, no UDF: filter (long-token count),
+    * aggregate (char total and sum of squared lengths via transform),
+    * exists / forall (membership and case audit), and array_sort +
+    * slice rendered to a string. Pure per-row map over a pruned scan;
+    * zero shuffle. */
+  private def qHofFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .withColumn("tk", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        expr("size(filter(tk, t -> length(t) > 4))").cast("long").as("n_long"),
+        expr("aggregate(tk, CAST(0 AS BIGINT), (a, t) -> a + length(t))")
+          .as("total_chars"),
+        expr("aggregate(transform(tk, t -> CAST(length(t) * length(t) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)").as("sum_sq"),
+        expr("exists(tk, t -> t = 'spark')").as("has_spark"),
+        expr("forall(tk, t -> t = lower(t))").as("all_lower"),
+        expr("array_join(slice(array_sort(tk), 1, 3), ',')").as("first3"))
+      .orderBy(col("doc_id"))
+
+  /** Positional explode (the ordinal-generator surface): token with its
+    * 0-based position, bounded to the first 10 per document — the
+    * oracle replays ordinality via generate_series ≤ len. */
+  private def qPosexplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .filter(col("pos") < 10)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** ORC sink+source fidelity (the third columnar format next to
+    * parquet and Avro): part out as ORC into the build dir, back in
+    * with the parquet schema, aggregated vs the straight-from-parquet
+    * oracle — lossless types or the hash gate catches it. */
+  private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "part")
+    val out = fmtDir(dir, "part_orc")
+    src.write.mode("overwrite").orc(out)
+    s.read.schema(src.schema).orc(out)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(Analytics.cents(col("p_retailprice"))).as("price_cents"),
+        sum(col("p_size")).as("size_sum"),
+        min(col("p_name")).as("first_name"))
+      .orderBy(col("p_brand"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -7915,6 +7988,10 @@ object SparkEntry {
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_holt" -> (qHolt _),
     "q_ppr" -> (qPpr _),
+    "q_simhash_hamming" -> (qSimhashHamming _),
+    "q_hof_funcs" -> (qHofFuncs _),
+    "q_posexplode" -> (qPosexplode _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -13238,5 +13315,57 @@ object SparkEntry {
         |  p.node % 100 = 0 AS is_seed
         |FROM pr3 p JOIN deg ON p.node = deg.u
         |WHERE p.pr > 0 ORDER BY p.node""".stripMargin,
+
+    "q_simhash_hamming" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (h // CAST(2**j AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS j) js
+        |  GROUP BY doc_id, j),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN CAST(2**j AS BIGINT) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM votes GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, fp, b,
+        |    (fp // CAST(2**(8*b) AS BIGINT)) % 256 AS key
+        |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b) bs),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+        |    CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)
+        |SELECT d1, d2, hamming FROM pairs
+        |WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
+
+    "q_hof_funcs" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE doc_id % 25 = 0)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(tk, t -> len(t) > 4)) AS BIGINT) AS n_long,
+        |  CAST(list_sum(list_transform(tk, t -> len(t))) AS BIGINT) AS total_chars,
+        |  CAST(list_sum(list_transform(tk, t -> len(t) * len(t))) AS BIGINT) AS sum_sq,
+        |  list_contains(tk, 'spark') AS has_spark,
+        |  len(list_filter(tk, t -> t = lower(t))) = len(tk) AS all_lower,
+        |  array_to_string(list_sort(tk)[1:3], ',') AS first3
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |      FROM documents WHERE doc_id % 50 = 0) d
+        |CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS i) idx
+        |WHERE i <= len(tk)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(sum(p_size) AS BIGINT) AS size_sum,
+        |  min(p_name) AS first_name
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
   )
 }

@@ -125,6 +125,20 @@ class QueriesSpec extends SparkSpec {
     assert(df.filter(col("prior_ppm") <= 0 || col("prior_ppm") >= 1000000L).count() === 0L)
   }
 
+  test("simhash band join has exact recall at hamming <= 3 (vs brute force)") {
+    import org.apache.spark.sql.functions._
+    val sh = graft.llm.Dedup.simhash32(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i, a) <- sh; (j, b) <- sh if i < j
+      h = java.lang.Long.bitCount((a ^ b) & 0xFFFFFFFFL) if h <= 3
+    } yield (i, j, h.toLong)).toSet
+    val banded = SparkEntry.queries("q_simhash_hamming")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brute)
+  }
+
   test("every query has oracle SQL or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")

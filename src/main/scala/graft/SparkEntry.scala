@@ -7467,6 +7467,28 @@ object SparkEntry {
        |       min(label) = node AS is_representative
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  /** DuckDB replay of TextOps.cdcChunks (mask 16): boundary tokens by
+    * the shared h60 convention, running boundary count per doc, chunk
+    * text reassembled in position order and md5'd. Ends at `chunks`
+    * (doc_id, chunk_id, n_toks, chunk_hash). */
+  private lazy val duckCdcChunks: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d),
+      |flags AS (
+      |  SELECT doc_id, i, tk[i] AS t,
+      |    CASE WHEN CAST('0x' || substr(md5(tk[i]), 1, 15) AS BIGINT) % 16 = 0
+      |         THEN 1 ELSE 0 END AS boundary
+      |  FROM tok),
+      |cids AS (
+      |  SELECT doc_id, i, t,
+      |    sum(boundary) OVER (PARTITION BY doc_id ORDER BY i) AS chunk_id
+      |  FROM flags),
+      |chunks AS (
+      |  SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |    md5(string_agg(t, ' ' ORDER BY i)) AS chunk_hash
+      |  FROM cids GROUP BY doc_id, chunk_id)""".stripMargin
+
   /** DuckDB rendering of Dedup.shingles (k=5, distinct). */
   private val duckShingles: String =
     """sh AS (
@@ -7697,6 +7719,62 @@ object SparkEntry {
         sum(col("p_size")).as("size_sum"),
         min(col("p_name")).as("first_name"))
       .orderBy(col("p_brand"))
+  }
+
+  /** Per-document content-defined chunking profile (TextOps.cdcChunks,
+    * mask 16): chunk count, largest chunk, and total tokens — the
+    * storage-layout audit run before chunk-level dedup. One explode →
+    * per-doc window → two aggregations; every stage keyed by doc. */
+  private def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    TextOps.cdcChunks(t(s, dir, "documents"), "doc_id", "text")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("n_toks")).as("max_chunk"),
+        sum(col("n_toks")).as("total_toks"))
+      .orderBy(col("doc_id"))
+
+  /** Chunk-level storage dedup ratio per source: distinct chunk hashes
+    * over total chunks (ppm) — what CDC chunking would save if each
+    * chunk were stored once. The distinct runs on 16-byte md5 chunk
+    * identities, never chunk text, keyed by (source, hash). */
+  private def qChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextOps.cdcChunks(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_chunks"),
+        countDistinct(col("chunk_hash")).as("uniq_chunks"))
+      .select(col("source"), col("total_chunks"), col("uniq_chunks"),
+        expr("(1000000 * uniq_chunks) div total_chunks").as("dedup_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Reciprocal-rank fusion (k = 60) of two document rankings — by
+    * length and by distinct-token count — the standard way to combine
+    * retrieval signals without score calibration. BOTH ranks come from
+    * the two-pass range-partitioned rank (ScalablePrefix.groupedRank),
+    * not a single-task global window, and the fused score is exact
+    * integer: 10⁹ div (60 + r₁) + 10⁹ div (60 + r₂). Top-25 via
+    * TakeOrderedAndProject. */
+  private def qRrf(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "documents")
+      .select(col("doc_id"), lit("all").as("g"),
+        col("n_chars").cast("double").as("len_ord"),
+        size(array_distinct(TextOps.tokens(col("text"))))
+          .cast("double").as("uniq_ord"))
+      .localCheckpoint(eager = false)
+    def rankBy(ordCol: String, out: String) =
+      graft.ops.ScalablePrefix.groupedRank(s,
+          m.select(col("g"), (-col(ordCol)).as("o"), col("doc_id")),
+          groupCol = "g", orderCol = "o", idCol = "doc_id",
+          numPartitions = 32)
+        .select(col("doc_id"), col("rnk").as(out))
+    rankBy("len_ord", "rank_len")
+      .join(rankBy("uniq_ord", "rank_uniq"), "doc_id")
+      .select(col("doc_id"), col("rank_len"), col("rank_uniq"),
+        expr("1000000000 div (60 + rank_len) + 1000000000 div (60 + rank_uniq)")
+          .as("rrf_fp"))
+      .orderBy(col("rrf_fp").desc, col("doc_id")).limit(25)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7992,6 +8070,9 @@ object SparkEntry {
     "q_hof_funcs" -> (qHofFuncs _),
     "q_posexplode" -> (qPosexplode _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_cdc_chunks" -> (qCdcChunks _),
+    "q_chunk_dedup" -> (qChunkDedup _),
+    "q_rrf" -> (qRrf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -13367,5 +13448,39 @@ object SparkEntry {
         |  CAST(sum(p_size) AS BIGINT) AS size_sum,
         |  min(p_name) AS first_name
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_cdc_chunks" ->
+      s"""WITH $duckCdcChunks
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(max(n_toks) AS BIGINT) AS max_chunk,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_toks
+         |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_dedup" ->
+      s"""WITH $duckCdcChunks
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS total_chunks,
+         |  CAST(count(DISTINCT c.chunk_hash) AS BIGINT) AS uniq_chunks,
+         |  CAST((1000000 * count(DISTINCT c.chunk_hash)) // count(*) AS BIGINT)
+         |    AS dedup_ppm
+         |FROM chunks c JOIN documents d ON c.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q_rrf" ->
+      """WITH m AS (
+        |  SELECT doc_id, n_chars,
+        |    len(list_distinct(string_split(text, ' '))) AS nu
+        |  FROM documents),
+        |ra AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r1
+        |       FROM m),
+        |rb AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY nu DESC, doc_id) AS r2
+        |       FROM m)
+        |SELECT ra.doc_id, CAST(r1 AS BIGINT) AS rank_len,
+        |  CAST(r2 AS BIGINT) AS rank_uniq,
+        |  CAST(1000000000 // (60 + r1) + 1000000000 // (60 + r2) AS BIGINT)
+        |    AS rrf_fp
+        |FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+        |ORDER BY rrf_fp DESC, ra.doc_id LIMIT 25""".stripMargin,
   )
 }

@@ -190,4 +190,35 @@ object TextOps {
     }
     merges.toSeq
   }
+
+  /** Content-defined chunking at token granularity: a token whose
+    * engine-portable 60-bit hash ≡ 0 (mod `mask`) OPENS a new chunk, so
+    * boundaries depend only on content — insertions shift chunk
+    * contents locally instead of re-cutting the whole document (the
+    * storage-dedup CDC property, cf. LBFS/Gear chunking). Emits one row
+    * per (doc, chunk) with the token count and an md5 identity hash of
+    * the chunk text. The running boundary count is a PER-DOCUMENT
+    * window (doc-count parallelism at scale); the chunk text is
+    * reassembled order-deterministically via sort_array over (pos,
+    * token). Expected chunk length = `mask` tokens. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      mask: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("col").as("t"))
+    val h = conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok
+      .withColumn("boundary", when(h % mask === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", sum(col("boundary")).over(w))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("t")))),
+            x => x.getField("t"))).cast("binary")).as("chunk_hash"))
+  }
 }

@@ -141,4 +141,25 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("cdc chunking is shift-local: a prefix edit only disturbs chunks before the first boundary") {
+    // the CDC property that motivates content-defined over fixed-size
+    // chunking: prepending text re-cuts at most the prefix region;
+    // every chunk at or after the first boundary hash-survives
+    val doc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .orderBy($"doc_id").limit(1).select($"text").head().getString(0)
+    val both = Seq((0L, doc), (1L, "prepended junk words " + doc))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.cdcChunks(both, "doc_id", "text")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getString(3)).toSeq }
+    // everything from the original's first boundary on must survive as
+    // a suffix of the edited version's chunk sequence (the prepended
+    // words may themselves introduce boundaries, so compare suffixes)
+    val stable = chunks(0L).tail
+    assert(chunks(1L).takeRight(stable.size) === stable,
+      "chunks after the first boundary must be content-stable under a prefix edit")
+  }
 }

@@ -7777,6 +7777,96 @@ object SparkEntry {
       .orderBy(col("rrf_fp").desc, col("doc_id")).limit(25)
   }
 
+  /** As-of join WITH TOLERANCE: each click takes the user's most
+    * recent purchase only when it happened within the last hour,
+    * otherwise no match — the bounded-staleness point-in-time lookup
+    * (feature stores call this the max-age rule). Same single
+    * sort-window pass as the plain as-of (Analytics.asOfLast); the
+    * tolerance is a post-predicate, not a second join. */
+  private def qAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val horizon = 3600L * 1000000000L
+    events(s, dir)
+      .withColumn("lp",
+        Analytics.asOfLast(col("user_id"), Seq(col("ts"), col("event_id")),
+          col("event_type") === "purchase", col("ts")))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        (col("lp").isNotNull && col("ts") - col("lp") <= horizon)
+          .as("matched"),
+        when(col("lp").isNotNull && col("ts") - col("lp") <= horizon,
+          expr("(ts - lp) div 1000000000")).as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+
+  /** NULL-semantics audit — the aggregate/grouping corners users trip
+    * on, pinned against the oracle: COUNT(*) vs COUNT(col) vs
+    * COUNT(DISTINCT col) under NULLs (via a NULLIF-derived column),
+    * NULLs forming their own GROUP BY key, and min/max skipping
+    * NULLs. Pure one-pass aggregate. */
+  private def qNullAudit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(expr("nullif(l_returnflag, 'N')").as("flag"),
+        expr("nullif(l_discount, 0.0)").as("disc"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("disc")).as("n_nonnull"),
+        countDistinct(col("disc")).as("n_distinct"),
+        sum(when(col("disc").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("disc")).as("min_disc"),
+        max(col("disc")).as("max_disc"))
+      .orderBy(col("flag"))
+
+  /** Half-life-decayed engagement score per event type: each event
+    * contributes value·2^(−age/30d), computed EXACTLY as integer
+    * cents divided by a power-of-two (shift, capped at 2⁴⁰) — the
+    * order-independent integer form of exponential time decay, so the
+    * distributed sum is partitioning-proof. Reference time is the
+    * stream's max timestamp (broadcast scalar). */
+  private def qDecayScore(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .crossJoin(broadcast(events(s, dir).agg(max(col("ts")).as("mx"))))
+      .select(col("event_type"),
+        Analytics.cents(col("value")).as("vc"),
+        least(expr("(mx - ts) div 2592000000000000"), lit(40L)).as("k"))
+      .select(col("event_type"),
+        expr("vc div shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))").as("dv"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("dv")).as("decayed_cents"))
+      .orderBy(col("event_type"))
+
+  /** Decision-stump trainer: the best single price threshold
+    * predicting a returned line (l_returnflag = 'R'), by minimum
+    * Gini impurity. One pass builds per-bucket (n, positives); the
+    * cumulative scan runs over the BUCKET table (price-range/5000
+    * rows — bounded by the price domain, not the data volume), and
+    * impurity is computed in ppm ratios so the arithmetic never
+    * outgrows int64 at any corpus scale. Emits the 5 best splits. */
+  private def qDecisionStump(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = t(s, dir, "lineitem")
+      .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) div 500000")
+          .as("bucket"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    b.withColumn("nl", sum(col("n")).over(cum))
+      .withColumn("pl", sum(col("p")).over(cum))
+      .withColumn("nt", sum(col("n")).over(all))
+      .withColumn("pt", sum(col("p")).over(all))
+      .filter(col("nl") < col("nt")) // right side must be non-empty
+      .withColumn("lp", expr("(1000000 * pl) div nl"))
+      .withColumn("rp", expr("(1000000 * (pt - pl)) div (nt - nl)"))
+      .withColumn("gl", expr("1000000 - (lp * lp + (1000000 - lp) * (1000000 - lp)) div 1000000"))
+      .withColumn("gr", expr("1000000 - (rp * rp + (1000000 - rp) * (1000000 - rp)) div 1000000"))
+      .withColumn("gini_ppm", expr("(nl * gl + (nt - nl) * gr) div nt"))
+      .select(((col("bucket") + 1) * 5000).as("threshold_dollars"),
+        col("nl").as("left_n"), col("pl").as("left_pos"), col("gini_ppm"))
+      .orderBy(col("gini_ppm"), col("threshold_dollars")).limit(5)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -8073,6 +8163,10 @@ object SparkEntry {
     "q_cdc_chunks" -> (qCdcChunks _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_rrf" -> (qRrf _),
+    "q_asof_tolerance" -> (qAsofTolerance _),
+    "q_null_audit" -> (qNullAudit _),
+    "q_decay_score" -> (qDecayScore _),
+    "q_decision_stump" -> (qDecisionStump _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -13482,5 +13576,65 @@ object SparkEntry {
         |    AS rrf_fp
         |FROM ra JOIN rb ON ra.doc_id = rb.doc_id
         |ORDER BY rrf_fp DESC, ra.doc_id LIMIT 25""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  (lp IS NOT NULL AND tsn - lp <= 3600000000000) AS matched,
+        |  CASE WHEN lp IS NOT NULL AND tsn - lp <= 3600000000000
+        |       THEN (tsn - lp) // 1000000000 END AS gap_s
+        |FROM e WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "q_null_audit" ->
+      """SELECT nullif(l_returnflag, 'N') AS flag,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(disc) AS BIGINT) AS n_nonnull,
+        |  CAST(count(DISTINCT disc) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  min(disc) AS min_disc, max(disc) AS max_disc
+        |FROM (SELECT l_returnflag, nullif(l_discount, 0.0) AS disc FROM lineitem) x
+        |GROUP BY 1 ORDER BY flag NULLS FIRST""".stripMargin,
+
+    "q_decay_score" ->
+      """WITH mx AS (SELECT max(ts) AS mxts FROM events),
+        |d AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+        |    least((epoch_ns(mxts) - epoch_ns(ts)) // 2592000000000000, 40) AS k
+        |  FROM events, mx)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(vc // CAST(2**k AS BIGINT)) AS BIGINT) AS decayed_cents
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_decision_stump" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 500000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT bucket, n, p,
+        |    sum(n) OVER (ORDER BY bucket) AS nl,
+        |    sum(p) OVER (ORDER BY bucket) AS pl,
+        |    sum(n) OVER () AS nt, sum(p) OVER () AS pt
+        |  FROM b),
+        |g AS (
+        |  SELECT *, (1000000 * pl) // nl AS lp,
+        |    (1000000 * (pt - pl)) // (nt - nl) AS rp
+        |  FROM c WHERE nl < nt),
+        |h AS (
+        |  SELECT *,
+        |    1000000 - (lp*lp + (1000000-lp)*(1000000-lp)) // 1000000 AS gl,
+        |    1000000 - (rp*rp + (1000000-rp)*(1000000-rp)) // 1000000 AS gr
+        |  FROM g)
+        |SELECT CAST((bucket + 1) * 5000 AS BIGINT) AS threshold_dollars,
+        |  CAST(nl AS BIGINT) AS left_n, CAST(pl AS BIGINT) AS left_pos,
+        |  CAST((nl * gl + (nt - nl) * gr) // nt AS BIGINT) AS gini_ppm
+        |FROM h ORDER BY gini_ppm, threshold_dollars LIMIT 5""".stripMargin,
   )
 }

@@ -7867,6 +7867,81 @@ object SparkEntry {
       .orderBy(col("gini_ppm"), col("threshold_dollars")).limit(5)
   }
 
+  /** STL-lite additive decomposition of the daily revenue series:
+    * trend = 7-day centered moving average, seasonal = per-weekday
+    * mean of the detrended values, residual = remainder — all in
+    * integer cents with truncating division, so the decomposition is
+    * exact and engine-portable. The ordered windows run over the
+    * day-level AGGREGATE (calendar-bounded, like Holt/EMA); the
+    * seasonal profile is a 7-row broadcast. */
+  private def qStlLite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
+      .agg(sum(Analytics.cents(col("o_totalprice"))).as("c"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val tr = daily
+      .withColumn("tsum", sum(col("c")).over(w))
+      .withColumn("tn", count(lit(1)).over(w))
+      .withColumn("trend_c", expr("tsum div tn"))
+      .withColumn("det", col("c") - col("trend_c"))
+      .withColumn("wd", pmod(col("day") + 4, lit(7)))
+    val seas = tr.groupBy(col("wd"))
+      .agg(sum(col("det")).as("ssum"), count(lit(1)).as("sn"))
+      .select(col("wd"), expr("ssum div sn").as("seasonal_c"))
+    tr.join(broadcast(seas), "wd")
+      .select(col("day"), col("c").as("rev_c"), col("trend_c"),
+        col("seasonal_c"), (col("det") - col("seasonal_c")).as("residual_c"))
+      .orderBy(col("day"))
+  }
+
+  /** Per-source dataset card — the datasheet a curation run publishes
+    * beside a corpus: volume (docs, tokens, chars), language spread
+    * (count + plurality language), and the within-source exact-dup
+    * rate (1 − distinct md5 / docs, in ppm). One corpus scan feeds
+    * both aggregates; the plurality-language rank runs over the
+    * (source × lang) table — catalog-bounded, not corpus-sized. */
+  private def qSourceCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val base = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("est_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(col("text").cast("binary"))).as("uniq_texts"),
+        sum(col("n_chars")).as("chars"))
+    val top = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("ln"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("ln").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    base.join(broadcast(top), "source")
+      .select(col("source"), col("n_docs"), col("est_tokens"),
+        col("n_langs"), col("top_lang"),
+        expr("(1000000 * (n_docs - uniq_texts)) div n_docs").as("dup_ppm"),
+        expr("chars div n_docs").as("mean_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Join-strategy hint surface: the same orders⋈lineitem aggregate
+    * forced through a SHUFFLE_HASH join — no sort phase, the right
+    * choice when both sides are large but one partitions into
+    * RAM-sized hash maps (vs sort-merge's spill-friendly default).
+    * The answer is hint-invariant (the oracle is the plain join);
+    * PlanAuditSpec pins the ShuffledHashJoin operator so a planner
+    * regression can't silently fall back. */
+  private def qShuffleHashJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), Analytics.cents(col("l_extendedprice")).as("lc"))
+      .hint("shuffle_hash")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("lc")).as("rev_cents"))
+      .orderBy(col("o_orderpriority"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -8167,6 +8242,9 @@ object SparkEntry {
     "q_null_audit" -> (qNullAudit _),
     "q_decay_score" -> (qDecayScore _),
     "q_decision_stump" -> (qDecisionStump _),
+    "q_stl_lite" -> (qStlLite _),
+    "q_source_card" -> (qSourceCard _),
+    "q_shuffle_hash_join" -> (qShuffleHashJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -13636,5 +13714,56 @@ object SparkEntry {
         |  CAST(nl AS BIGINT) AS left_n, CAST(pl AS BIGINT) AS left_pos,
         |  CAST((nl * gl + (nt - nl) * gr) // nt AS BIGINT) AS gini_ppm
         |FROM h ORDER BY gini_ppm, threshold_dollars LIMIT 5""".stripMargin,
+
+    "q_stl_lite" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |tr AS (
+        |  SELECT day, c,
+        |    CAST(sum(c) OVER w AS BIGINT) AS tsum,
+        |    CAST(count(*) OVER w AS BIGINT) AS tn
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT day, c, tsum // tn AS trend_c,
+        |    c - (tsum // tn) AS det, (day + 4) % 7 AS wd
+        |  FROM tr),
+        |seas AS (
+        |  SELECT wd,
+        |    CAST(sum(det) AS BIGINT) // CAST(count(*) AS BIGINT) AS seasonal_c
+        |  FROM det GROUP BY wd)
+        |SELECT day, c AS rev_c, CAST(trend_c AS BIGINT) AS trend_c,
+        |  CAST(s.seasonal_c AS BIGINT) AS seasonal_c,
+        |  CAST(d.det - s.seasonal_c AS BIGINT) AS residual_c
+        |FROM det d JOIN seas s ON d.wd = s.wd
+        |ORDER BY day""".stripMargin,
+
+    "q_source_card" ->
+      """WITH base AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS est_tokens,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq_texts,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY source),
+        |sl AS (
+        |  SELECT source, lang, count(*) AS ln_,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY count(*) DESC, lang) AS rn
+        |  FROM documents GROUP BY source, lang)
+        |SELECT b.source, n_docs, est_tokens, n_langs, sl.lang AS top_lang,
+        |  CAST((1000000 * (n_docs - uniq_texts)) // n_docs AS BIGINT) AS dup_ppm,
+        |  CAST(chars // n_docs AS BIGINT) AS mean_chars
+        |FROM base b JOIN sl ON b.source = sl.source AND sl.rn = 1
+        |ORDER BY b.source""".stripMargin,
+
+    "q_shuffle_hash_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

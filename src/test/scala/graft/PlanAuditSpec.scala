@@ -34,6 +34,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan:\n$plan")
   }
 
+  test("shuffle_hash hint plans a ShuffledHashJoin (no sort phase)") {
+    val plan = SparkEntry.queries("q_shuffle_hash_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"hint not honored:\n$plan")
+  }
+
   test("contamination broadcasts the benchmark shingle side") {
     val plan = SparkEntry.queries("q_contamination")(spark, sf)
       .queryExecution.executedPlan.toString

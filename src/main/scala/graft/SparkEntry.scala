@@ -7382,9 +7382,11 @@ object SparkEntry {
     ()
   }
 
-  /** DuckDB rendering of Similarity.dotFp (64-dim, 1e-9 fixed point). */
-  private def duckDot(a: String, b: String): String =
-    s"list_sum(list_transform(generate_series(1,64), i -> " +
+  /** DuckDB rendering of Similarity.dotFp (1e-9 fixed point); `dims`
+    * defaults to the corpus width, 64 — pass less for prefix
+    * (matryoshka-truncated) dots. */
+  private def duckDot(a: String, b: String, dims: Int = 64): String =
+    s"list_sum(list_transform(generate_series(1,$dims), i -> " +
       s"CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)))"
 
   private def duckCos(dab: String, daa: String, dbb: String): String =
@@ -7942,6 +7944,60 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("lc")).as("rev_cents"))
       .orderBy(col("o_orderpriority"))
 
+  /** Matryoshka-truncation retrieval audit: for each query vector, the
+    * top-10 neighbor set by FULL 64-dim cosine vs by the FIRST-16-DIM
+    * prefix cosine, reporting the overlap — the acceptance test run
+    * before serving truncated embeddings (MRL-style) to cut index cost
+    * 4×. Both rankings use the broadcast-query + per-query
+    * stratifiedTopN shape (no global sort, no all-pairs); the overlap
+    * join carries only (qid, vec_id) pairs. */
+  private def qMatryoshkaEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id").isin(0, 7, 42))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def topIds(proj: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+      val scored = emb.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          lpad(greatest(lit(0L),
+              floor((lit(1.0) - Similarity.cosineFp(proj(col("embedding")),
+                proj(col("qv")))) * 1e9 + 0.5).cast("long")).cast("string"),
+            12, "0").as("distkey"))
+      graft.ops.Sampling.stratifiedTopN(s, scored, "qid", "distkey", "vec_id", n = 10)
+        .select(col("qid"), col("vec_id"))
+    }
+    topIds(identity).as("f")
+      .join(topIds(v => slice(v, 1, 16)).as("tr"),
+        col("f.qid") === col("tr.qid") && col("f.vec_id") === col("tr.vec_id"))
+      .groupBy(col("f.qid").cast("long").as("qid"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("qid"), col("n_overlap"),
+        expr("(1000000 * n_overlap) div 10").as("overlap_ppm"))
+      .orderBy(col("qid"))
+  }
+
+  /** Cross-source shingle overlap — the train/eval separation audit at
+    * source granularity: per source, how many of its distinct 5-gram
+    * shingles also occur in ANOTHER source (shared_ppm high = the
+    * source adds little novel text). Shape: distinct (source, shingle)
+    * pairs → shingle spread count → per-source aggregate; the shuffle
+    * key is the shingle, the same inverted-index discipline as
+    * jaccardPairs (never all-pairs of sources). */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ss = Dedup.shingleIndex(docs, "doc_id", "text", k = 5)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("s")).distinct()
+      .localCheckpoint(eager = false)
+    val spread = ss.groupBy(col("s")).agg(count(lit(1)).as("nsrc"))
+    ss.join(spread, "s")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("nsrc") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("source"), col("n_shingles"), col("n_shared"),
+        expr("(1000000 * n_shared) div n_shingles").as("shared_ppm"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -8245,6 +8301,8 @@ object SparkEntry {
     "q_stl_lite" -> (qStlLite _),
     "q_source_card" -> (qSourceCard _),
     "q_shuffle_hash_join" -> (qShuffleHashJoin _),
+    "q_matryoshka_eval" -> (qMatryoshkaEval _),
+    "q_source_overlap" -> (qSourceOverlap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -13765,5 +13823,50 @@ object SparkEntry {
         |    AS rev_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_matryoshka_eval" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id IN (0, 7, 42)),
+         |cf AS (
+         |  SELECT qid, e.vec_id,
+         |    ${duckCos(duckDot("e.embedding", "qv"),
+                        duckDot("e.embedding", "e.embedding"),
+                        duckDot("qv", "qv"))} AS cos
+         |  FROM embeddings e CROSS JOIN q),
+         |rf AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY greatest(0, CAST(floor((1.0 - cos) * 1000000000 + 0.5) AS BIGINT)),
+         |      vec_id) AS rn
+         |  FROM cf),
+         |ct AS (
+         |  SELECT qid, e.vec_id,
+         |    ${duckCos(duckDot("e.embedding", "qv", 16),
+                        duckDot("e.embedding", "e.embedding", 16),
+                        duckDot("qv", "qv", 16))} AS cos
+         |  FROM embeddings e CROSS JOIN q),
+         |rt AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY greatest(0, CAST(floor((1.0 - cos) * 1000000000 + 0.5) AS BIGINT)),
+         |      vec_id) AS rn
+         |  FROM ct)
+         |SELECT f.qid, CAST(count(*) AS BIGINT) AS n_overlap,
+         |  CAST((1000000 * count(*)) // 10 AS BIGINT) AS overlap_ppm
+         |FROM rf f JOIN rt t ON f.qid = t.qid AND f.vec_id = t.vec_id
+         |WHERE f.rn <= 10 AND t.rn <= 10
+         |GROUP BY f.qid ORDER BY f.qid""".stripMargin,
+
+    "q_source_overlap" ->
+      s"""WITH $duckShingles,
+         |ss AS (
+         |  SELECT DISTINCT d.source, sh.s
+         |  FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+         |spread AS (SELECT s, count(*) AS nsrc FROM ss GROUP BY s)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN nsrc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST((1000000 * sum(CASE WHEN nsrc > 1 THEN 1 ELSE 0 END)) // count(*)
+         |    AS BIGINT) AS shared_ppm
+         |FROM ss JOIN spread USING (s)
+         |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -7998,6 +7998,69 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Hive-style partitioned layout + partition pruning: orders written
+    * `partitionBy(o_orderpriority)`, then a single-priority read whose
+    * filter never touches the other partitions' files — THE mechanism
+    * that turns a 100 TB scan into a 20 TB scan when the predicate
+    * matches the layout. PlanAuditSpec pins the PartitionFilters
+    * entry; the oracle is the same aggregate off the unpartitioned
+    * table. */
+  private def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders")
+    val out = fmtDir(dir, "orders_bypri")
+    src.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    s.read.parquet(out)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(Analytics.cents(col("o_totalprice"))).as("price_cents"),
+        min(col("o_orderkey")).as("first_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Schema-evolution read (mergeSchema): two parquet generations —
+    * v1 without, v2 with a `price_cents` column — read as ONE relation
+    * whose merged schema null-fills the missing column, then
+    * aggregated. This is the lakehouse append-only evolution contract:
+    * old files stay valid, new columns arrive as nullable. */
+  private def qMergeSchema(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders")
+    val v1 = fmtDir(dir, "evo_v1")
+    val v2 = fmtDir(dir, "evo_v2")
+    src.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(v1)
+    src.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        Analytics.cents(col("o_totalprice")).as("price_cents"))
+      .write.mode("overwrite").parquet(v2)
+    s.read.option("mergeSchema", "true").parquet(v1, v2)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        count(col("price_cents")).as("n_with_price"),
+        sum(col("price_cents")).as("price_cents_sum"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** unionByName with allowMissingColumns — positional UNION's
+    * schema-safe sibling: columns align by NAME, absent columns
+    * null-fill, so two differently-shaped extracts of the same fact
+    * table combine without positional accidents. The null `pri` group
+    * and the null-filled `cents` side both surface in the aggregate. */
+  private def qUnionByName(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders")
+    val a = src.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"))
+    val b = src.filter(col("o_orderkey") % 2 === 1)
+      .select(Analytics.cents(col("o_totalprice")).as("cents"),
+        col("o_orderkey").as("k"))
+    a.unionByName(b, allowMissingColumns = true)
+      .groupBy(col("pri"))
+      .agg(count(lit(1)).as("n"), count(col("cents")).as("n_cents"),
+        sum(col("cents")).as("cents_sum"), sum(col("k")).as("key_sum"))
+      .orderBy(col("pri"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -8303,6 +8366,9 @@ object SparkEntry {
     "q_shuffle_hash_join" -> (qShuffleHashJoin _),
     "q_matryoshka_eval" -> (qMatryoshkaEval _),
     "q_source_overlap" -> (qSourceOverlap _),
+    "q_partition_prune" -> (qPartitionPrune _),
+    "q_merge_schema" -> (qMergeSchema _),
+    "q_union_by_name" -> (qUnionByName _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -13868,5 +13934,40 @@ object SparkEntry {
          |    AS BIGINT) AS shared_ppm
          |FROM ss JOIN spread USING (s)
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_partition_prune" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(min(o_orderkey) AS BIGINT) AS first_key
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_merge_schema" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderpriority, NULL AS price_cents
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(price_cents) AS BIGINT) AS n_with_price,
+        |  CAST(sum(price_cents) AS BIGINT) AS price_cents_sum
+        |FROM u GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_union_by_name" ->
+      """WITH u AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pri, NULL AS cents
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT pri, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(cents) AS BIGINT) AS n_cents,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM u GROUP BY pri ORDER BY pri NULLS FIRST""".stripMargin,
   )
 }

@@ -40,6 +40,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"), s"hint not honored:\n$plan")
   }
 
+  test("partitioned layout read prunes partitions via PartitionFilters") {
+    val plan = SparkEntry.queries("q_partition_prune")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      s"partition filter not applied:\n$plan")
+  }
+
   test("contamination broadcasts the benchmark shingle side") {
     val plan = SparkEntry.queries("q_contamination")(spark, sf)
       .queryExecution.executedPlan.toString

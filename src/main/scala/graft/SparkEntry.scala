@@ -8061,6 +8061,70 @@ object SparkEntry {
       .orderBy(col("pri"))
   }
 
+  /** Peak interval concurrency by sweep-line: every lineitem holds an
+    * open interval [order date, ship date); +1/−1 boundary deltas
+    * reduce to one row per day (calendar-bounded), a running sum walks
+    * the bounded day series, and the peak row is the answer — the
+    * classic "max concurrent sessions" shape, with the unbounded fact
+    * scan collapsing to bounded data BEFORE any ordered pass. */
+  private def qPeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"),
+        epochDay(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("od"), epochDay(col("l_shipdate")).as("sd"))
+    val deltas = li.select(col("od").as("day"), lit(1L).as("d"))
+      .union(li.select(col("sd").as("day"), lit(-1L).as("d")))
+      .groupBy(col("day")).agg(sum(col("d")).as("delta"))
+    val run = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("open", sum(col("delta")).over(run))
+      .orderBy(col("open").desc, col("day")).limit(1)
+      .select(col("day").as("peak_day"), col("open").as("peak_open"))
+  }
+
+  /** Array set algebra between each document and its successor
+    * (doc_id + 1 equi-join, the dense-id contract pinned in
+    * QueriesSpec): intersection / union cardinalities and the token
+    * Jaccard in exact ppm — order-free set measures, so the engines'
+    * different array orderings can't skew the hash gate. */
+  private def qArraySetOps(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(TextOps.tokens(col("text"))).as("tk"))
+    docs.as("a")
+      .join(docs.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"),
+        size(expr("array_intersect(a.tk, b.tk)")).cast("long").as("n_common"),
+        size(expr("array_union(a.tk, b.tk)")).cast("long").as("n_union"),
+        size(expr("array_except(a.tk, b.tk)")).cast("long").as("n_only_left"))
+      .withColumn("jaccard_ppm", expr("(1000000 * n_common) div n_union"))
+      .filter(col("doc_id") % 10 === 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Open-order aging report as of the book's last order date: lines
+    * ordered but not yet shipped at the reference day, bucketed by
+    * 30-day age, with line counts and open value — the snapshot
+    * (point-in-time) inventory query. Reference day is a broadcast
+    * scalar; the rest is one filtered scan + small aggregate. */
+  private def qOpenAging(s: SparkSession, dir: String): DataFrame = {
+    val ref = t(s, dir, "orders")
+      .agg(max(epochDay(col("o_orderdate"))).as("ref"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"),
+        epochDay(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(ref))
+      .filter(col("od") <= col("ref") && epochDay(col("l_shipdate")) > col("ref"))
+      .select(expr("(ref - od) div 30").as("age_bucket"),
+        Analytics.cents(col("l_extendedprice")).as("val_c"))
+      .groupBy(col("age_bucket"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("val_c")).as("open_cents"))
+      .orderBy(col("age_bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -8369,6 +8433,9 @@ object SparkEntry {
     "q_partition_prune" -> (qPartitionPrune _),
     "q_merge_schema" -> (qMergeSchema _),
     "q_union_by_name" -> (qUnionByName _),
+    "q_peak_concurrency" -> (qPeakConcurrency _),
+    "q_array_set_ops" -> (qArraySetOps _),
+    "q_open_aging" -> (qOpenAging _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -13969,5 +14036,55 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS cents_sum,
         |  CAST(sum(k) AS BIGINT) AS key_sum
         |FROM u GROUP BY pri ORDER BY pri NULLS FIRST""".stripMargin,
+
+    "q_peak_concurrency" ->
+      """WITH li AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS od,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS sd
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deltas AS (
+        |  SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM (
+        |    SELECT od AS day, 1 AS d FROM li
+        |    UNION ALL SELECT sd, -1 FROM li) x
+        |  GROUP BY day),
+        |run AS (
+        |  SELECT day, sum(delta) OVER (ORDER BY day) AS open FROM deltas)
+        |SELECT day AS peak_day, CAST(open AS BIGINT) AS peak_open
+        |FROM run ORDER BY open DESC, day LIMIT 1""".stripMargin,
+
+    "q_array_set_ops" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id,
+        |    CAST(len(list_filter(a.tk, t -> list_contains(b.tk, t))) AS BIGINT)
+        |      AS n_common,
+        |    CAST(len(a.tk) AS BIGINT) AS na, CAST(len(b.tk) AS BIGINT) AS nb
+        |  FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id)
+        |SELECT doc_id, n_common, na + nb - n_common AS n_union,
+        |  na - n_common AS n_only_left,
+        |  CAST((1000000 * n_common) // (na + nb - n_common) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM p WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_open_aging" ->
+      """WITH ref AS (
+        |  SELECT max(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) AS r
+        |  FROM orders),
+        |x AS (
+        |  SELECT ((SELECT r FROM ref)
+        |      - CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) // 30
+        |      AS age_bucket,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS val_c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |          <= (SELECT r FROM ref)
+        |    AND CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |          > (SELECT r FROM ref))
+        |SELECT CAST(age_bucket AS BIGINT) AS age_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(val_c) AS BIGINT) AS open_cents
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -8125,6 +8125,71 @@ object SparkEntry {
       .orderBy(col("age_bucket"))
   }
 
+  /** 7-day rolling MEDIAN of daily revenue — the robust smoother the
+    * rolling mean family can't express. The frame's values are
+    * collected and sorted per window (frame width is a constant 7, so
+    * the per-row work is O(1)); the median is emitted ×2 (sum of the
+    * two middle elements) to stay in exact integer cents for even
+    * frames. Day-series window: calendar-bounded like Holt/STL. */
+  private def qRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
+      .agg(sum(Analytics.cents(col("o_totalprice"))).as("c"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .withColumn("arr", sort_array(collect_list(col("c")).over(w)))
+      .select(col("day"), col("c").as("rev_c"),
+        expr("size(arr)").cast("long").as("win_n"),
+        expr("element_at(arr, CAST((size(arr) + 1) / 2 AS INT)) + " +
+          "element_at(arr, CAST((size(arr) + 2) / 2 AS INT))").as("med_x2_c"))
+      .orderBy(col("day"))
+  }
+
+  /** CUPED variance-reduced experiment readout: customers split into
+    * two deterministic md5 arms, pre-period revenue is the covariate,
+    * post-period revenue the metric; θ = cov(x,y)/var(x) pooled across
+    * arms in exact ppm (den pre-scaled so the ratio stays in int64),
+    * and each arm reports its raw and θ-adjusted totals. All sums are
+    * whole dollars — int64-safe at verify scale; at larger corpus
+    * scale the same query runs on mean-centered per-partition partial
+    * sums (the standard rescaling discipline). */
+  private def qCuped(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "orders")
+      .agg(min(epochDay(col("o_orderdate"))).as("mn"),
+        max(epochDay(col("o_orderdate"))).as("mx"))
+      .select(expr("mn + (mx - mn) div 2").as("split"))
+    val per = t(s, dir, "orders")
+      .crossJoin(broadcast(days))
+      .select(col("o_custkey"),
+        when(epochDay(col("o_orderdate")) <= col("split"),
+          expr("CAST(floor(o_totalprice) AS BIGINT)")).otherwise(0L).as("xd"),
+        when(epochDay(col("o_orderdate")) > col("split"),
+          expr("CAST(floor(o_totalprice) AS BIGINT)")).otherwise(0L).as("yd"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("xd")).as("x"), sum(col("yd")).as("y"))
+      .withColumn("arm", (h60(concat(lit("arm|"), col("o_custkey").cast("string"))) % 2)
+        .cast("long"))
+      .localCheckpoint(eager = false)
+    val theta = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"),
+        expr("CASE WHEN (n * sxx - sx * sx) div 1000000 > 0 " +
+          "THEN (n * sxy - sx * sy) div ((n * sxx - sx * sx) div 1000000) " +
+          "ELSE 0 END").as("theta_ppm"),
+        expr("(1000 * sx) div n").as("xbar_milli"))
+    per.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("x")).as("x_sum"),
+        sum(col("y")).as("y_sum"))
+      .crossJoin(broadcast(theta.select(col("theta_ppm"), col("xbar_milli"))))
+      .select(col("arm"), col("n_cust"), col("x_sum"), col("y_sum"),
+        col("theta_ppm"),
+        expr("1000000 * y_sum - theta_ppm * x_sum + " +
+          "theta_ppm * ((n_cust * xbar_milli) div 1000)").as("adj_micro"))
+      .orderBy(col("arm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -8436,6 +8501,8 @@ object SparkEntry {
     "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_array_set_ops" -> (qArraySetOps _),
     "q_open_aging" -> (qOpenAging _),
+    "q_rolling_median" -> (qRollingMedian _),
+    "q_cuped" -> (qCuped _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -14086,5 +14153,56 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(sum(val_c) AS BIGINT) AS open_cents
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT day, c,
+        |    list_sort(list(c) OVER (ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM daily)
+        |SELECT day, c AS rev_c, CAST(len(arr) AS BIGINT) AS win_n,
+        |  CAST(arr[CAST((len(arr) + 1) // 2 AS INT)]
+        |     + arr[CAST((len(arr) + 2) // 2 AS INT)] AS BIGINT) AS med_x2_c
+        |FROM r ORDER BY day""".stripMargin,
+
+    "q_cuped" ->
+      """WITH days AS (
+        |  SELECT mn + (mx - mn) // 2 AS split FROM (
+        |    SELECT min(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) AS mn,
+        |      max(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) AS mx
+        |    FROM orders) z),
+        |per AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CASE WHEN CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |        <= (SELECT split FROM days)
+        |      THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |        > (SELECT split FROM days)
+        |      THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+        |    CAST('0x' || substr(md5('arm|' || CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS arm
+        |  FROM orders GROUP BY o_custkey),
+        |th AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM per),
+        |tv AS (
+        |  SELECT CASE WHEN (n * sxx - sx * sx) // 1000000 > 0
+        |    THEN (n * sxy - sx * sy) // ((n * sxx - sx * sx) // 1000000)
+        |    ELSE 0 END AS theta_ppm,
+        |    (1000 * sx) // n AS xbar_milli
+        |  FROM th)
+        |SELECT arm, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(x) AS BIGINT) AS x_sum, CAST(sum(y) AS BIGINT) AS y_sum,
+        |  CAST(tv.theta_ppm AS BIGINT) AS theta_ppm,
+        |  CAST(1000000 * sum(y) - tv.theta_ppm * sum(x)
+        |    + tv.theta_ppm * ((count(*) * tv.xbar_milli) // 1000) AS BIGINT) AS adj_micro
+        |FROM per CROSS JOIN tv
+        |GROUP BY arm, tv.theta_ppm, tv.xbar_milli
+        |ORDER BY arm""".stripMargin,
   )
 }

@@ -7984,9 +7984,12 @@ object SparkEntry {
     * jaccardPairs (never all-pairs of sources). */
   private def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // shuffle discipline: 8-byte xxhash64 shingle keys, never the
+    // shingle strings (jaccardPairs convention — the oracle counts the
+    // strings; a 64-bit collision is the accepted 2^-64 risk)
     val ss = Dedup.shingleIndex(docs, "doc_id", "text", k = 5)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), col("s")).distinct()
+      .select(col("source"), xxhash64(col("s")).as("s")).distinct()
       .localCheckpoint(eager = false)
     val spread = ss.groupBy(col("s")).agg(count(lit(1)).as("nsrc"))
     ss.join(spread, "s")

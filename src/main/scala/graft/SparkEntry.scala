@@ -8193,6 +8193,62 @@ object SparkEntry {
       .orderBy(col("arm"))
   }
 
+  /** OHLC time bars over the purchase stream: per 10-minute bucket,
+    * open/close by earliest/latest event (min_by/max_by on the
+    * purchase timestamp — globally unique in this stream, an
+    * assumption pinned in QueriesSpec so a regenerated dataset fails
+    * loudly), high/low, and volume. One map-side-combining aggregate
+    * over the bucketed scan — the canonical market-bar shape. */
+  private def qOhlcBars(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts div 600000000000").as("bucket"),
+        Analytics.cents(col("value")).as("vc"), col("ts").as("ord"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        expr("min_by(vc, ord)").as("open_c"),
+        expr("max_by(vc, ord)").as("close_c"),
+        max(col("vc")).as("high_c"), min(col("vc")).as("low_c"),
+        sum(col("vc")).as("vol_c"))
+      .filter(col("n") >= 3)
+      .orderBy(col("bucket"))
+
+  /** Difference-in-differences readout: treated = customers of nations
+    * 0–11, control = the rest; pre/post split at the calendar midpoint
+    * (the qCuped split). The 2×2 cell sums stay integer dollars; cell
+    * means are exact milli-dollars (trunc div), and the DiD estimate
+    * is the mean-difference of differences — the standard
+    * quasi-experimental effect readout, one broadcast-dimension join +
+    * one aggregate. */
+  private def qDid(s: SparkSession, dir: String): DataFrame = {
+    val split = t(s, dir, "orders")
+      .agg(min(epochDay(col("o_orderdate"))).as("mn"),
+        max(epochDay(col("o_orderdate"))).as("mx"))
+      .select(expr("mn + (mx - mn) div 2").as("split"))
+    val cells = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), (col("c_nationkey") < 12).as("treated"))),
+        col("o_custkey") === col("c_custkey"))
+      .crossJoin(broadcast(split))
+      .select(col("treated"),
+        (epochDay(col("o_orderdate")) > col("split")).as("post"),
+        expr("CAST(floor(o_totalprice) AS BIGINT)").as("d"))
+      .groupBy(col("treated"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("dollars"))
+      .withColumn("mean_milli", expr("(1000 * dollars) div n"))
+    val wide = cells.groupBy()
+      .agg(
+        max(when(col("treated") && col("post"), col("mean_milli"))).as("tp"),
+        max(when(col("treated") && !col("post"), col("mean_milli"))).as("tq"),
+        max(when(!col("treated") && col("post"), col("mean_milli"))).as("cp"),
+        max(when(!col("treated") && !col("post"), col("mean_milli"))).as("cq"))
+      .select(((col("tp") - col("tq")) - (col("cp") - col("cq"))).as("did_milli"))
+    cells.select(col("treated"), col("post"), col("n"), col("dollars"),
+        col("mean_milli"))
+      .crossJoin(broadcast(wide))
+      .orderBy(col("treated"), col("post"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -8506,6 +8562,8 @@ object SparkEntry {
     "q_open_aging" -> (qOpenAging _),
     "q_rolling_median" -> (qRollingMedian _),
     "q_cuped" -> (qCuped _),
+    "q_ohlc_bars" -> (qOhlcBars _),
+    "q_did" -> (qDid _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -14207,5 +14265,45 @@ object SparkEntry {
         |FROM per CROSS JOIN tv
         |GROUP BY arm, tv.theta_ppm, tv.xbar_milli
         |ORDER BY arm""".stripMargin,
+
+    "q_ohlc_bars" ->
+      """WITH p AS (
+        |  SELECT epoch_ns(ts) // 600000000000 AS bucket,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc, ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(arg_min(vc, ts) AS BIGINT) AS open_c,
+        |  CAST(arg_max(vc, ts) AS BIGINT) AS close_c,
+        |  CAST(max(vc) AS BIGINT) AS high_c, CAST(min(vc) AS BIGINT) AS low_c,
+        |  CAST(sum(vc) AS BIGINT) AS vol_c
+        |FROM p GROUP BY bucket HAVING count(*) >= 3 ORDER BY bucket""".stripMargin,
+
+    "q_did" ->
+      """WITH days AS (
+        |  SELECT mn + (mx - mn) // 2 AS split FROM (
+        |    SELECT min(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) AS mn,
+        |      max(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) AS mx
+        |    FROM orders) z),
+        |cells AS (
+        |  SELECT (c_nationkey < 12) AS treated,
+        |    (CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      > (SELECT split FROM days)) AS post,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS dollars
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT *, (1000 * dollars) // n AS mean_milli FROM cells),
+        |w AS (
+        |  SELECT
+        |    CAST((max(CASE WHEN treated AND post THEN mean_milli END)
+        |      - max(CASE WHEN treated AND NOT post THEN mean_milli END))
+        |      - (max(CASE WHEN NOT treated AND post THEN mean_milli END)
+        |      - max(CASE WHEN NOT treated AND NOT post THEN mean_milli END))
+        |      AS BIGINT) AS did_milli
+        |  FROM m)
+        |SELECT treated, post, n, dollars, CAST(mean_milli AS BIGINT) AS mean_milli,
+        |  did_milli
+        |FROM m CROSS JOIN w
+        |ORDER BY treated, post""".stripMargin,
   )
 }

@@ -139,6 +139,17 @@ class QueriesSpec extends SparkSpec {
     assert(banded === brute)
   }
 
+  test("purchase timestamps are globally unique (q_ohlc_bars open/close contract)") {
+    import org.apache.spark.sql.functions._
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      SparkEntry.registerTables(spark, d)
+      val r = spark.table("events").filter(col("event_type") === "purchase")
+        .agg(count(lit(1)), countDistinct(col("ts"))).head()
+      assert(r.getLong(0) === r.getLong(1),
+        s"$d purchase ts not unique — min_by/max_by open/close would be tie-broken")
+    }
+  }
+
   test("every query has oracle SQL or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")

@@ -8249,6 +8249,67 @@ object SparkEntry {
       .orderBy(col("treated"), col("post"))
   }
 
+  /** k-anonymity / l-diversity audit over the quasi-identifier
+    * (nation, market segment, balance decile-bucket) with order
+    * priority as the sensitive attribute: how identifiable is a
+    * customer, and how varied is the sensitive value inside each QI
+    * class. One grouped pass builds the class table (cardinality ≤
+    * |nations|×|segments|×10 — catalog-bounded); the report is a
+    * single-row summary: class count, smallest class, share of rows
+    * in classes below k=5, and the minimum/row-share-below l=3
+    * sensitive diversity. */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(floor(c_acctbal) AS BIGINT) div 1000").as("bal_b"))),
+        col("o_custkey") === col("c_custkey"))
+    val classes = rows
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_b"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderpriority")).as("l"))
+    classes.agg(
+        count(lit(1)).as("n_classes"),
+        sum(col("n")).as("n_rows"),
+        min(col("n")).as("min_class"),
+        sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_below_k"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") < 3, col("n")).otherwise(0L)).as("rows_below_l"))
+      .select(col("n_classes"), col("n_rows"), col("min_class"),
+        expr("(1000000 * rows_below_k) div n_rows").as("below_k_ppm"),
+        col("min_l"),
+        expr("(1000000 * rows_below_l) div n_rows").as("below_l_ppm"))
+  }
+
+  /** Event-time lateness audit — the measurement that SIZES a
+    * watermark: per user, each event's lateness is how far it arrived
+    * behind the user's running max event time (arrival order =
+    * (ts, event_id) ingest order surrogate is not available, so the
+    * stream's event_id is the arrival sequence); the histogram of
+    * lateness minutes says what delay bound covers which fraction of
+    * events. Per-user ordered window (user-count parallelism) + tiny
+    * bucketed aggregate. The verify corpus happens to be perfectly
+    * in-order per user, so its histogram is the single bucket 0 —
+    * QueriesSpec feeds a synthetic out-of-order stream through
+    * `latenessBuckets` to prove the operator actually discriminates. */
+  private def qLatenessAudit(s: SparkSession, dir: String): DataFrame =
+    latenessBuckets(events(s, dir))
+
+  private[graft] def latenessBuckets(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prior_max", max(col("ts")).over(w))
+      .filter(col("prior_max").isNotNull)
+      .select(greatest(lit(0L),
+        expr("(prior_max - ts) div 60000000000")).as("late_min"))
+      .select(least(col("late_min"), lit(60L)).as("late_bucket"))
+      .groupBy(col("late_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("late_bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -8564,6 +8625,8 @@ object SparkEntry {
     "q_cuped" -> (qCuped _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_did" -> (qDid _),
+    "q_k_anonymity" -> (qKAnonymity _),
+    "q_lateness_audit" -> (qLatenessAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -14305,5 +14368,37 @@ object SparkEntry {
         |  did_milli
         |FROM m CROSS JOIN w
         |ORDER BY treated, post""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal) AS BIGINT) // 1000 AS bal_b,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(min(n) AS BIGINT) AS min_class,
+        |  CAST((1000000 * sum(CASE WHEN n < 5 THEN n ELSE 0 END)) // sum(n)
+        |    AS BIGINT) AS below_k_ppm,
+        |  CAST(min(l) AS BIGINT) AS min_l,
+        |  CAST((1000000 * sum(CASE WHEN l < 3 THEN n ELSE 0 END)) // sum(n)
+        |    AS BIGINT) AS below_l_ppm
+        |FROM classes""".stripMargin,
+
+    "q_lateness_audit" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+        |    max(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        |  FROM events),
+        |l AS (
+        |  SELECT least(greatest(0, (prior_max - tsn) // 60000000000), 60)
+        |    AS late_bucket
+        |  FROM x WHERE prior_max IS NOT NULL)
+        |SELECT CAST(late_bucket AS BIGINT) AS late_bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

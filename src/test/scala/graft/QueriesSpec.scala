@@ -150,6 +150,21 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("lateness audit discriminates: synthetic out-of-order stream fills late buckets") {
+    import spark.implicits._
+    // user 1: in order; user 2: third event arrives 5 minutes behind
+    // its running max; user 3: 90 min behind (clamps into bucket 60)
+    val ev = Seq(
+      (1L, 1L, 1000L * 60000000000L), (1L, 2L, 1001L * 60000000000L),
+      (2L, 3L, 1000L * 60000000000L), (2L, 4L, 1010L * 60000000000L),
+      (2L, 5L, 1005L * 60000000000L),
+      (3L, 6L, 2000L * 60000000000L), (3L, 7L, 1910L * 60000000000L)
+    ).toDF("user_id", "event_id", "ts")
+    val got = SparkEntry.latenessBuckets(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 2L, 5L -> 1L, 60L -> 1L), s"got $got")
+  }
+
   test("every query has oracle SQL or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")

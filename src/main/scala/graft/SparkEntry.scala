@@ -8310,6 +8310,29 @@ object SparkEntry {
       .orderBy(col("late_bucket"))
   }
 
+  /** Producer-sink round trip through the DataSourceV2 WRITE protocol
+    * (sources/TopicDirSink.scala): deterministic orders → Kafka-shaped
+    * envelopes → V2 batch write (per-task log segments + atomic
+    * manifest commit) → manifest-trusting read → Avro decode — gated
+    * against the same generation-replay oracle as q_order_gen. The
+    * float Avro price is recovered to exact cents before comparison
+    * (float→cents is exact for the producer's ≤ $1500 range). */
+  private def qTopicSink(s: SparkSession, dir: String): DataFrame = {
+    val out = fmtDir(dir, "topic_v2")
+    graft.sources.OrderGen.toEnvelopes(
+        graft.sources.OrderGen.orders(s, 500L, "sink1"))
+      .select(col("key"), col("value"), col("offset"))
+      .write.format("graft.sources.TopicDirSink").mode("append").save(out)
+    graft.sources.TopicDirSink.readSegments(s, out)
+      .select(col("offset").as("seq"),
+        decode(col("key"), "UTF-8").as("order_id"),
+        from_avro_ocf(col("value"), Schemas.orderAvroJson).as("o"))
+      .select(col("seq"), col("order_id"), col("o.product").as("product"),
+        expr("CAST(floor(CAST(o.price AS DOUBLE) * 100 + 0.5) AS BIGINT)")
+          .as("price_cents"))
+      .orderBy(col("seq"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -8627,6 +8650,7 @@ object SparkEntry {
     "q_did" -> (qDid _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_lateness_audit" -> (qLatenessAudit _),
+    "q_topic_sink" -> (qTopicSink _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -14400,5 +14424,20 @@ object SparkEntry {
         |SELECT CAST(late_bucket AS BIGINT) AS late_bucket,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topic_sink" -> {
+      val words = graft.sources.OrderGen.Words.map(w => s"'$w'").mkString(", ")
+      s"""WITH g AS (
+         |  SELECT range AS seq, md5('sink1|' || CAST(range AS VARCHAR)) AS h
+         |  FROM range(500))
+         |SELECT seq,
+         |  substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' ||
+         |    substr(h,17,4) || '-' || substr(h,21,12) AS order_id,
+         |  ([$words])[CAST(CAST('0x' || substr(h,1,4) AS BIGINT) % 16 AS INT) + 1]
+         |    || ' ' ||
+         |    ([$words])[CAST(CAST('0x' || substr(h,5,4) AS BIGINT) % 16 AS INT) + 1] AS product,
+         |  CAST(CAST('0x' || substr(h,9,8) AS BIGINT) % 149501 + 500 AS BIGINT) AS price_cents
+         |FROM g ORDER BY seq""".stripMargin
+    },
   )
 }

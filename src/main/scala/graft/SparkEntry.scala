@@ -8333,6 +8333,69 @@ object SparkEntry {
       .orderBy(col("seq"))
   }
 
+  /** Association rules over the frequent brand pairs (qItemsets'
+    * candidate shape): directional confidence and symmetric lift in
+    * exact ppm — support counts stay integers, so the engine and
+    * oracle agree bit-for-bit where a floating P(A∩B)/P(A)P(B) would
+    * drift. Basket list materializes once; every stage is the
+    * inverted-index pair join, never baskets×baskets. */
+  private def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val baskets = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val tot = baskets.agg(countDistinct(col("basket")).as("n_baskets"))
+    val freq = baskets.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+      .crossJoin(broadcast(tot))
+      .filter(col("supp") * 20 >= col("n_baskets"))
+      .select(col("item"), col("supp"))
+      .localCheckpoint(eager = false)
+    val fb = baskets.join(broadcast(freq.select(col("item"))), "item")
+    fb.select(col("basket"), col("item").as("i1"))
+      .join(fb.select(col("basket"), col("item").as("i2")), Seq("basket"))
+      .filter(col("i1") < col("i2"))
+      .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("supp_pair"))
+      .join(broadcast(freq.select(col("item").as("i1"), col("supp").as("s1"))), "i1")
+      .join(broadcast(freq.select(col("item").as("i2"), col("supp").as("s2"))), "i2")
+      .crossJoin(broadcast(tot))
+      .filter(col("supp_pair") >= 20)
+      .select(col("i1"), col("i2"), col("supp_pair"),
+        expr("(1000000 * supp_pair) div s1").as("conf12_ppm"),
+        expr("(1000000 * supp_pair) div s2").as("conf21_ppm"),
+        expr("(1000000 * supp_pair * n_baskets) div (s1 * s2)").as("lift_ppm"))
+      .orderBy(col("i1"), col("i2"))
+  }
+
+  /** Session-outcome distribution (the abandonment report): sessions
+    * cut at 30-minute gaps per user (the sessionize rule), each
+    * session labeled by its LAST event — well-defined because the
+    * stream is in-order per user (ts nondecreasing in event_id, a
+    * contract pinned in QueriesSpec), so arg-max on event_id IS the
+    * final event. Share of sessions ending in each state, purchase =
+    * converted, anything else = abandoned. */
+  private def qAbandonment(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        expr("ts div 1000000000").as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+      .withColumn("session", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session"))
+      .agg(expr("max_by(event_type, event_id)").as("last_type"),
+        count(lit(1)).as("n_events"))
+    sessions.groupBy(col("last_type"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .crossJoin(broadcast(sessions.agg(count(lit(1)).as("total"))))
+      .select(col("last_type"), col("n_sessions"), col("n_events"),
+        expr("(1000000 * n_sessions) div total").as("share_ppm"))
+      .orderBy(col("last_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -8651,6 +8714,8 @@ object SparkEntry {
     "q_k_anonymity" -> (qKAnonymity _),
     "q_lateness_audit" -> (qLatenessAudit _),
     "q_topic_sink" -> (qTopicSink _),
+    "q_assoc_rules" -> (qAssocRules _),
+    "q_abandonment" -> (qAbandonment _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -14439,5 +14504,51 @@ object SparkEntry {
          |  CAST(CAST('0x' || substr(h,9,8) AS BIGINT) % 149501 + 500 AS BIGINT) AS price_cents
          |FROM g ORDER BY seq""".stripMargin
     },
+
+    "q_assoc_rules" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM baskets),
+        |freq AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS supp FROM baskets
+        |  GROUP BY item HAVING count(*) * 20 >= (SELECT n_baskets FROM tot)),
+        |fb AS (SELECT b.basket, b.item FROM baskets b JOIN freq USING (item)),
+        |pairs AS (
+        |  SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS supp_pair
+        |  FROM fb a JOIN fb b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT i1, i2, supp_pair,
+        |  CAST((1000000 * supp_pair) // f1.supp AS BIGINT) AS conf12_ppm,
+        |  CAST((1000000 * supp_pair) // f2.supp AS BIGINT) AS conf21_ppm,
+        |  CAST((1000000 * supp_pair * (SELECT n_baskets FROM tot))
+        |    // (f1.supp * f2.supp) AS BIGINT) AS lift_ppm
+        |FROM pairs JOIN freq f1 ON i1 = f1.item JOIN freq f2 ON i2 = f2.item
+        |ORDER BY i1, i2""".stripMargin,
+
+    "q_abandonment" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS sec, ts
+        |  FROM events),
+        |g AS (
+        |  SELECT *, sec - lag(sec) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS gap
+        |  FROM e),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, session, arg_max(event_type, event_id) AS last_type,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM s GROUP BY user_id, session),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM per)
+        |SELECT last_type, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST((1000000 * count(*)) // (SELECT total FROM tot) AS BIGINT)
+        |    AS share_ppm
+        |FROM per GROUP BY last_type ORDER BY last_type""".stripMargin,
   )
 }

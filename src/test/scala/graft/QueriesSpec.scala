@@ -165,6 +165,20 @@ class QueriesSpec extends SparkSpec {
     assert(got === Map(0L -> 2L, 5L -> 1L, 60L -> 1L), s"got $got")
   }
 
+  test("event ts is nondecreasing in event_id per user (q_abandonment last-event contract)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      SparkEntry.registerTables(spark, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val bad = spark.table("events")
+        .withColumn("pts", lag(col("ts"), 1).over(w))
+        .filter(col("pts") > col("ts")).count()
+      assert(bad === 0L,
+        s"$d has out-of-order events — max_by(event_type, event_id) would not be the last event")
+    }
+  }
+
   test("every query has oracle SQL or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")

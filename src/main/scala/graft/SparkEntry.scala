@@ -8396,6 +8396,43 @@ object SparkEntry {
       .orderBy(col("last_type"))
   }
 
+  /** Exact-DECIMAL aggregation surface: the money-typed path (every
+    * other query uses the integer-cents convention; this one pins
+    * Spark's DECIMAL sum/min/max against DuckDB's, compared through
+    * the canonical string rendering so precision-widening differences
+    * between engines can't hide a value skew). */
+  private def qDecimalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(12,2)").as("p"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p")).cast("string").as("sum_dec"),
+        min(col("p")).cast("string").as("min_dec"),
+        max(col("p")).cast("string").as("max_dec"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Complex-event-pattern match (MATCH_RECOGNIZE-lite): each user's
+    * journey renders to its ordered event-initial string (bounded by
+    * per-user history length), and the browse→click→purchase pattern
+    * `v[^e]*c[^e]*p` — a view, then a click, then a purchase with no
+    * error between — is counted per journey by regexp (leftmost,
+    * non-overlapping in both engines). Distribution of match counts
+    * across users; the per-user string build is the same sort_array
+    * ordering discipline as CDC chunking. */
+  private def qEventPattern(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("",
+        transform(sort_array(collect_list(struct(col("ts"), col("event_id"), col("ini")))),
+          x => x.getField("ini"))).as("seq"))
+      .select(expr("CAST(regexp_count(seq, 'v[^e]*c[^e]*p') AS BIGINT)").as("n_matches"))
+      .groupBy(col("n_matches"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_matches"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -8716,6 +8753,8 @@ object SparkEntry {
     "q_topic_sink" -> (qTopicSink _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_abandonment" -> (qAbandonment _),
+    "q_decimal_agg" -> (qDecimalAgg _),
+    "q_event_pattern" -> (qEventPattern _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -14550,5 +14589,22 @@ object SparkEntry {
         |  CAST((1000000 * count(*)) // (SELECT total FROM tot) AS BIGINT)
         |    AS share_ppm
         |FROM per GROUP BY last_type ORDER BY last_type""".stripMargin,
+
+    "q_decimal_agg" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS sum_dec,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS min_dec,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS max_dec
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_event_pattern" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(len(regexp_extract_all(seq, 'v[^e]*c[^e]*p')) AS BIGINT)
+        |    AS n_matches,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -68,4 +68,30 @@ class TopicDirSinkSpec extends SparkSpec {
   test("readSegments on an unwritten dir is an empty frame, not an error") {
     assert(TopicDirSink.readSegments(spark, freshDir()).count() === 0L)
   }
+
+  test("foreachBatch streaming publish: one committed topic dir per micro-batch") {
+    // the streaming producer story: each micro-batch lands in its own
+    // V2-committed dir (batch id in the path), so replaying a batch
+    // overwrites its own manifest idempotently instead of duplicating
+    val srcDir = freshDir()
+    val outRoot = freshDir()
+    val env = OrderGen.toEnvelopes(OrderGen.orders(spark, 90L, "fb"))
+      .select(col("key"), col("value"), col("offset"))
+    env.write.mode("overwrite").parquet(srcDir)
+    val q = spark.readStream.schema(env.schema).option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.format("graft.sources.TopicDirSink")
+          .mode("append").save(s"$outRoot/batch-$id")
+        (): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val dirs = Paths.get(outRoot).toFile.listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty)
+    val total = dirs.map(d => TopicDirSink.readSegments(spark, d.toString).count()).sum
+    assert(total === 90L, s"all envelopes must be committed exactly once, got $total")
+  }
 }

@@ -8433,6 +8433,42 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_matches"))
 
+  /** Snapshot time travel on the V2 topic sink: two successive commit
+    * jobs (500 then 300 deterministic orders) produce two versioned
+    * manifests; reading snapshot 1, snapshot 2, and the latest pointer
+    * proves historical reads survive later commits — the lakehouse
+    * time-travel contract, gated against the generation-replay oracle
+    * (each version's count and offset/price checksums). */
+  private def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val out = fmtDir(dir, "topic_tt")
+    // idempotent across reruns in one JVM or many: wipe, then commit twice
+    val root = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val all = java.nio.file.Files.walk(root)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(all.iterator()).asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally all.close()
+    }
+    def publish(n: Long, seed: String): Unit =
+      graft.sources.OrderGen.toEnvelopes(graft.sources.OrderGen.orders(s, n, seed))
+        .select(col("key"), col("value"), col("offset"))
+        .write.format("graft.sources.TopicDirSink").mode("append").save(out)
+    publish(500L, "tt1")
+    publish(300L, "tt2")
+    def stats(version: Option[Int], label: String) =
+      graft.sources.TopicDirSink.readSegments(s, out, version)
+        .select(col("offset"),
+          from_avro_ocf(col("value"), Schemas.orderAvroJson).as("o"))
+        .agg(count(lit(1)).as("n"), sum(col("offset")).as("offset_sum"),
+          sum(expr("CAST(floor(CAST(o.price AS DOUBLE) * 100 + 0.5) AS BIGINT)"))
+            .as("cents_sum"))
+        .select(lit(label).as("snapshot"), col("n"), col("offset_sum"),
+          col("cents_sum"))
+    stats(Some(1), "v1").unionAll(stats(Some(2), "v2"))
+      .unionAll(stats(None, "latest"))
+      .orderBy(col("snapshot"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -8755,6 +8791,7 @@ object SparkEntry {
     "q_abandonment" -> (qAbandonment _),
     "q_decimal_agg" -> (qDecimalAgg _),
     "q_event_pattern" -> (qEventPattern _),
+    "q_time_travel" -> (qTimeTravel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -14606,5 +14643,23 @@ object SparkEntry {
         |    AS n_matches,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_time_travel" ->
+      """WITH v1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(range) AS BIGINT) AS offset_sum,
+        |    CAST(sum(CAST('0x' || substr(md5('tt1|' || CAST(range AS VARCHAR)), 9, 8)
+        |      AS BIGINT) % 149501 + 500) AS BIGINT) AS cents_sum
+        |  FROM range(500)),
+        |v2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(range) AS BIGINT) AS offset_sum,
+        |    CAST(sum(CAST('0x' || substr(md5('tt2|' || CAST(range AS VARCHAR)), 9, 8)
+        |      AS BIGINT) % 149501 + 500) AS BIGINT) AS cents_sum
+        |  FROM range(300))
+        |SELECT 'latest' AS snapshot, n, offset_sum, cents_sum FROM v2
+        |UNION ALL SELECT 'v1', n, offset_sum, cents_sum FROM v1
+        |UNION ALL SELECT 'v2', n, offset_sum, cents_sum FROM v2
+        |ORDER BY snapshot""".stripMargin,
   )
 }

@@ -77,12 +77,20 @@ object TopicDirSink {
       Files.createDirectories(dir)
       val body = messages.collect { case SegmentCommit(f, n) => s"$f\t$n" }
         .sorted.mkString("", "\n", "\n")
-      val tmp = dir.resolve(s".manifest.$queryId.tmp")
-      Files.write(tmp, body.getBytes("UTF-8"))
-      // ONE atomic rename flips visibility; re-running a write job over
-      // the same dir replaces the manifest wholesale (last job wins),
-      // so superseded segments become invisible orphans, never mixed in
-      Files.move(tmp, dir.resolve("manifest"),
+      // snapshot-per-commit: each job publishes manifest-<v> (v = max
+      // existing + 1) and then flips the `manifest` pointer with ONE
+      // atomic rename. The latest read follows the pointer; any older
+      // version stays readable by number — snapshot isolation + time
+      // travel, lakehouse-style, with no coordination beyond the
+      // driver's single commit call per job.
+      val version = TopicDirSink.versions(dir).lastOption.getOrElse(0) + 1
+      val tmpV = dir.resolve(s".manifest-$version.$queryId.tmp")
+      Files.write(tmpV, body.getBytes("UTF-8"))
+      Files.move(tmpV, dir.resolve(f"manifest-$version%06d"),
+        StandardCopyOption.ATOMIC_MOVE)
+      val tmpP = dir.resolve(s".manifest.$queryId.tmp")
+      Files.write(tmpP, f"$version%06d%n".getBytes("UTF-8"))
+      Files.move(tmpP, dir.resolve("manifest"),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -129,20 +137,45 @@ object TopicDirSink {
     override def close(): Unit = ()
   }
 
-  /** Manifest-trusting reader: only segments the last committed job
-    * published are parsed — orphans from failed/superseded tasks are
-    * invisible. Parsing is per-partition imperative (the one legitimate
+  /** Committed snapshot versions present in `dir`, ascending. */
+  private[sources] def versions(dir: java.nio.file.Path): Seq[Int] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("manifest-\\d{6}"))
+        .map(_.stripPrefix("manifest-").toInt)
+        .toSeq.sorted
+      finally s.close()
+    }
+
+  /** Manifest-trusting reader: only segments of the requested snapshot
+    * (default: the one the `manifest` pointer names — the latest
+    * commit) are parsed; orphans from failed or superseded tasks are
+    * invisible, and older snapshots remain readable by version (time
+    * travel). Parsing is per-partition imperative (the one legitimate
     * flatMap case: decoding a binary frame Spark has no codec for);
     * each segment file is one input row of the binaryFile source, so
     * parallelism = segment count = writing tasks. */
-  def readSegments(spark: SparkSession, path: String): DataFrame = {
+  def readSegments(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val manifest = Paths.get(path, "manifest")
-    val committed: Set[String] =
-      if (Files.exists(manifest))
-        scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(manifest))
+    val dir = Paths.get(path)
+    val chosen: Option[Int] = version.orElse {
+      val pointer = dir.resolve("manifest")
+      if (Files.exists(pointer))
+        Some(new String(Files.readAllBytes(pointer), "UTF-8").trim.toInt)
+      else None
+    }
+    val committed: Set[String] = chosen match {
+      case Some(v) =>
+        val mf = dir.resolve(f"manifest-$v%06d")
+        require(Files.exists(mf), s"snapshot $v does not exist under $path")
+        scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(mf))
           .asScala.filter(_.nonEmpty).map(_.split("\t")(0)).toSet
-      else Set.empty
+      case None => Set.empty
+    }
     val segDir = Paths.get(path, "segments")
     if (committed.isEmpty || !Files.isDirectory(segDir))
       return spark.createDataFrame(

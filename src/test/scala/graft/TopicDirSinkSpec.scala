@@ -50,6 +50,19 @@ class TopicDirSinkSpec extends SparkSpec {
     assert(back.count() === 30L, "superseded segments must be invisible")
   }
 
+  test("time travel: every committed snapshot stays readable by version") {
+    val dir = freshDir()
+    writeOrders(dir, 50L, "first")
+    writeOrders(dir, 30L, "second")
+    assert(TopicDirSink.readSegments(spark, dir, Some(1)).count() === 50L)
+    assert(TopicDirSink.readSegments(spark, dir, Some(2)).count() === 30L)
+    assert(TopicDirSink.readSegments(spark, dir).count() === 30L)
+    val boom = intercept[IllegalArgumentException] {
+      TopicDirSink.readSegments(spark, dir, Some(9)).count()
+    }
+    assert(boom.getMessage.contains("snapshot 9"))
+  }
+
   test("null keys and empty values survive framing") {
     val dir = freshDir()
     val rows: Seq[(Array[Byte], Array[Byte], Long)] = Seq(

@@ -8469,6 +8469,55 @@ object SparkEntry {
       .orderBy(col("snapshot"))
   }
 
+  /** In-batch negative collision audit for contrastive training:
+    * vectors land in deterministic md5 batches of ~n/16, and within a
+    * batch every same-label pair is a FALSE negative if used as an
+    * in-batch negative. Per batch: member count, same-label pairs
+    * (Σ C(c,2) over label groups), all pairs C(n,2), and the
+    * collision rate in ppm — the audit run before trusting in-batch
+    * sampling. Two bounded aggregates; no pair materialization. */
+  private def qInbatchNegatives(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "embeddings")
+      .select((h60(concat(lit("b|"), col("vec_id").cast("string"))) % 16)
+        .as("batch"), col("label"))
+    val byLabel = b.groupBy(col("batch"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    byLabel.groupBy(col("batch"))
+      .agg(sum(col("c")).as("n"),
+        sum(expr("c * (c - 1) div 2")).as("same_label_pairs"))
+      .select(col("batch"), col("n"), col("same_label_pairs"),
+        expr("n * (n - 1) div 2").as("all_pairs"),
+        expr("(1000000 * same_label_pairs) div (n * (n - 1) div 2)")
+          .as("collision_ppm"))
+      .orderBy(col("batch"))
+  }
+
+  /** Quality-filter calibration sweep: for every threshold decile of
+    * the composite quality score, the documents and tokens that would
+    * survive "keep score ≥ t" — the curve consulted before committing
+    * a filter threshold (keep X% of tokens ↔ threshold t). One scored
+    * scan into 11 buckets, then a reverse cumulative over the bucket
+    * table (bounded at 11 rows by construction). */
+  private def qFilterSweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextOps.withQualityScore(t(s, dir, "documents"), "text")
+      .select(floor(col("quality_score") * 10).cast("long").as("bucket"),
+        col("n_tokens").cast("long").as("toks"))
+    val buckets = scored.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("docs"), sum(col("toks")).as("toks"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    buckets
+      .withColumn("kept_docs", sum(col("docs")).over(w))
+      .withColumn("kept_tokens", sum(col("toks")).over(w))
+      .withColumn("total_tokens", sum(col("toks")).over(all))
+      .select(col("bucket").as("threshold_decile"), col("kept_docs"),
+        col("kept_tokens"),
+        expr("(1000000 * kept_tokens) div total_tokens").as("kept_ppm"))
+      .orderBy(col("threshold_decile"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -8792,6 +8841,8 @@ object SparkEntry {
     "q_decimal_agg" -> (qDecimalAgg _),
     "q_event_pattern" -> (qEventPattern _),
     "q_time_travel" -> (qTimeTravel _),
+    "q_inbatch_negatives" -> (qInbatchNegatives _),
+    "q_filter_sweep" -> (qFilterSweep _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -14661,5 +14712,45 @@ object SparkEntry {
         |UNION ALL SELECT 'v1', n, offset_sum, cents_sum FROM v1
         |UNION ALL SELECT 'v2', n, offset_sum, cents_sum FROM v2
         |ORDER BY snapshot""".stripMargin,
+
+    "q_inbatch_negatives" ->
+      """WITH b AS (
+        |  SELECT CAST('0x' || substr(md5('b|' || CAST(vec_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 16 AS batch, label
+        |  FROM embeddings),
+        |bl AS (
+        |  SELECT batch, label, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2)
+        |SELECT batch, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS same_label_pairs,
+        |  CAST(sum(c) * (sum(c) - 1) // 2 AS BIGINT) AS all_pairs,
+        |  CAST((1000000 * sum(c * (c - 1) // 2))
+        |    // (sum(c) * (sum(c) - 1) // 2) AS BIGINT) AS collision_ppm
+        |FROM bl GROUP BY batch ORDER BY batch""".stripMargin,
+
+    "q_filter_sweep" -> {
+      val stops = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+         |  SELECT doc_id, len(tk) AS n_tokens,
+         |    least(len(list_filter(tk, t -> list_contains([$stops], t))) / len(tk) * 2.0, 1.0) * 0.4
+         |      + len(list_distinct(tk)) / len(tk) * 0.4
+         |      + least(len(tk) / 256.0, 1.0) * 0.2 AS quality_score
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t),
+         |buckets AS (
+         |  SELECT CAST(floor(quality_score * 10) AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_tokens) AS BIGINT) AS toks
+         |  FROM f GROUP BY 1),
+         |c AS (
+         |  SELECT bucket,
+         |    CAST(sum(docs) OVER (ORDER BY bucket DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS kept_docs,
+         |    CAST(sum(toks) OVER (ORDER BY bucket DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS kept_tokens,
+         |    CAST(sum(toks) OVER () AS BIGINT) AS total_tokens
+         |  FROM buckets)
+         |SELECT bucket AS threshold_decile, kept_docs, kept_tokens,
+         |  CAST((1000000 * kept_tokens) // total_tokens AS BIGINT) AS kept_ppm
+         |FROM c ORDER BY threshold_decile""".stripMargin
+    },
   )
 }

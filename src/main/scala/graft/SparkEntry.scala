@@ -8518,6 +8518,36 @@ object SparkEntry {
       .orderBy(col("threshold_decile"))
   }
 
+  /** PCA top direction by distributed power iteration (2 rounds,
+    * uncentered): v ← Xᵀ(Xv), rescaled to ~3 digits between rounds —
+    * every reduction is a sum of int64 products over fp3-quantized
+    * inputs, so the direction replays bit-for-bit in the oracle
+    * (truncating division on the rescale in both engines). The corpus
+    * never moves: each round is one broadcast of the 64-long model
+    * vector, one (i)-keyed dot aggregate, one (j)-keyed update
+    * aggregate — the same model-to-data shape as Lloyd's k-means. */
+  private def qPowerIteration(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "embeddings")
+      .select(col("vec_id").as("i"), posexplode(col("embedding")))
+      .select(col("i"), (col("pos") + 1).cast("long").as("j"),
+        expr("CAST(floor(CAST(col AS DOUBLE) * 1000 + 0.5) AS BIGINT)").as("xf"))
+      .localCheckpoint(eager = false)
+    def iterate(v: Array[Long]): Array[Long] = {
+      val varr = array(v.map(lit): _*)
+      val sI = x.withColumn("v", element_at(varr, col("j").cast("int")))
+        .groupBy(col("i")).agg(sum(col("xf") * col("v")).as("s"))
+      val w = x.join(sI, "i").groupBy(col("j"))
+        .agg(sum(col("xf") * col("s")).as("w"))
+        .orderBy(col("j")).collect().map(_.getLong(1))
+      val d = w.map(math.abs).max / 1000 + 1
+      w.map(_ / d)
+    }
+    val v2 = iterate(iterate(Array.fill(64)(1L)))
+    import s.implicits._
+    v2.zipWithIndex.map { case (v, idx) => (idx + 1L, v) }.toSeq
+      .toDF("j", "v").orderBy(col("j"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -8843,6 +8873,7 @@ object SparkEntry {
     "q_time_travel" -> (qTimeTravel _),
     "q_inbatch_negatives" -> (qInbatchNegatives _),
     "q_filter_sweep" -> (qFilterSweep _),
+    "q_power_iteration" -> (qPowerIteration _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -14752,5 +14783,28 @@ object SparkEntry {
          |  CAST((1000000 * kept_tokens) // total_tokens AS BIGINT) AS kept_ppm
          |FROM c ORDER BY threshold_decile""".stripMargin
     },
+
+    "q_power_iteration" ->
+      """WITH x AS (
+        |  SELECT vec_id AS i, j,
+        |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xf
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js),
+        |s1 AS (SELECT i, CAST(sum(xf) AS BIGINT) AS s FROM x GROUP BY i),
+        |w1 AS (
+        |  SELECT j, CAST(sum(xf * s) AS BIGINT) AS w
+        |  FROM x JOIN s1 USING (i) GROUP BY j),
+        |m1 AS (SELECT max(abs(w)) // 1000 + 1 AS d FROM w1),
+        |v1 AS (SELECT j, w // (SELECT d FROM m1) AS v FROM w1),
+        |s2 AS (
+        |  SELECT i, CAST(sum(x.xf * v1.v) AS BIGINT) AS s
+        |  FROM x JOIN v1 USING (j) GROUP BY i),
+        |w2 AS (
+        |  SELECT j, CAST(sum(xf * s) AS BIGINT) AS w
+        |  FROM x JOIN s2 USING (i) GROUP BY j),
+        |m2 AS (SELECT max(abs(w)) // 1000 + 1 AS d FROM w2)
+        |SELECT CAST(j AS BIGINT) AS j,
+        |  CAST(w // (SELECT d FROM m2) AS BIGINT) AS v
+        |FROM w2 ORDER BY j""".stripMargin,
   )
 }

@@ -8548,6 +8548,182 @@ object SparkEntry {
       .toDF("j", "v").orderBy(col("j"))
   }
 
+  /** Fuzzy entity matching by Jaro-Winkler — the phonetic-ish
+    * complement to q_er_match's edit distance: candidate pairs come
+    * only from (size, first-letter) blocks (first-letter blocking
+    * aligns with JW's prefix emphasis — cross-initial pairs can't
+    * score the Winkler boost anyway), scored by the native
+    * [[graft.functions.JaroWinklerPpm]] kernel (Spark has no jaro
+    * builtin; composing it from builtins would need a per-character
+    * join). The oracle replays through DuckDB's own
+    * `jaro_winkler_similarity` at the shared ppm grain — two
+    * independent implementations of Winkler '90 agreeing bit-for-bit. */
+  private def qJaroMatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.kernels
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        substring(col("p_name"), 1, 1).as("initial"))
+    p.as("a").join(p.as("b"),
+        col("a.p_size") === col("b.p_size") &&
+          col("a.initial") === col("b.initial") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("jw_ppm", kernels.jaro_winkler_ppm(col("a.p_name"), col("b.p_name")))
+      .filter(col("jw_ppm") >= 800000)
+      .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+        col("a.p_name").as("name1"), col("b.p_name").as("name2"),
+        col("a.p_size").cast("long").as("block_size"), col("jw_ppm"))
+      .orderBy(col("k1"), col("k2"))
+  }
+
+  /** Kaplan-Meier survival curve of customer tenure (churn analysis):
+    * per customer, tenure = last−first order in 90-day quarters; churn
+    * = last order before the 2000-07-01 cutoff (otherwise censored at
+    * the observation edge). The KM product Π(1 − d/n) runs in LOG
+    * space as integer micro-nats — each bucket's ln((n−d)/n) is
+    * rounded to 1e-6 nats (absorbing cross-engine ln() ulp), then the
+    * log-survival curve is an integer cumulative sum over the bounded
+    * tenure-quarter DOMAIN (~28 rows — the windows never touch
+    * customer-cardinality data; the per-customer reduction is a plain
+    * parallel aggregate). A bucket where everyone at risk churns
+    * (ln 0) floors at −13815511 μnats ≡ survival 1e-6. */
+  private def qSurvival(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cutoff = lit("2000-07-01").cast("date")
+    val per = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(min(epochDay(col("o_orderdate"))).as("f"),
+        max(epochDay(col("o_orderdate"))).as("l"))
+      .select(expr("(l - f) div 90").as("tq"),
+        (col("l") < epochDay(cutoff)).as("churned"))
+    val tab = per.groupBy(col("tq")).agg(
+      sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+      count(lit(1)).as("tot"))
+    val wRisk = Window.orderBy(col("tq").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wCum = Window.orderBy(col("tq"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tab.withColumn("at_risk", sum(col("tot")).over(wRisk))
+      .withColumn("term_micro",
+        when(col("at_risk") > col("d"),
+          expr("CAST(floor(ln(CAST(at_risk - d AS DOUBLE) / CAST(at_risk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"))
+          .otherwise(lit(-13815511L)))
+      .withColumn("log_surv_micro", sum(col("term_micro")).over(wCum))
+      .select(col("tq"), col("at_risk"), col("d").as("churned"),
+        (col("tot") - col("d")).as("censored"), col("log_surv_micro"))
+      .orderBy(col("tq"))
+  }
+
+  /** Jensen-Shannon divergence of each source's language mix vs the
+    * REST of the corpus — the symmetric, bounded drift score for
+    * mixture monitoring (KL alone, q_entropy, explodes on
+    * missing-language zeros; JSD's midpoint m=(p+q)/2 never does).
+    * Each of the ≤10 terms per source is p·ln(2p/(p+q)) rounded to
+    * integer micro-nats FIRST, so the reported 2·JSD is a sum of
+    * integers (order-independent; the ÷2 is left to the reader —
+    * integer halving of a possibly-odd negative total floor/truncates
+    * differently across engines). Counts collapse to the (source,
+    * lang) grid map-side; nothing data-sized crosses the shuffle. */
+  private def qJsd(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val grid = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+    val bySrc = grid.groupBy(col("source")).agg(sum(col("n")).as("n_s"))
+    val byLang = grid.groupBy(col("lang")).agg(sum(col("n")).as("g_l"))
+    val total = grid.agg(sum(col("n")).as("g")).select(col("g"))
+    // full (source × lang) frame so zero-count cells contribute their
+    // q-side term: rest-of-corpus still has the language
+    val frame = bySrc.crossJoin(byLang)
+      .join(grid, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("r_l", col("g_l") - col("n"))
+      .withColumn("rest", col("g") - col("n_s"))
+    val termed = frame.select(col("source"), col("n_s"),
+      expr("""CAST(floor(CASE WHEN n > 0 THEN
+              |  (CAST(n AS DOUBLE)/CAST(n_s AS DOUBLE)) *
+              |  ln(2.0 * (CAST(n AS DOUBLE)/CAST(n_s AS DOUBLE)) /
+              |     (CAST(n AS DOUBLE)/CAST(n_s AS DOUBLE) + CAST(r_l AS DOUBLE)/CAST(rest AS DOUBLE)))
+              |  * 1000000 ELSE 0.0 END + 0.5) AS BIGINT)""".stripMargin).as("tp"),
+      expr("""CAST(floor(CASE WHEN r_l > 0 THEN
+              |  (CAST(r_l AS DOUBLE)/CAST(rest AS DOUBLE)) *
+              |  ln(2.0 * (CAST(r_l AS DOUBLE)/CAST(rest AS DOUBLE)) /
+              |     (CAST(n AS DOUBLE)/CAST(n_s AS DOUBLE) + CAST(r_l AS DOUBLE)/CAST(rest AS DOUBLE)))
+              |  * 1000000 ELSE 0.0 END + 0.5) AS BIGINT)""".stripMargin).as("tq"))
+    termed.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"),
+        sum(col("tp") + col("tq")).as("jsd_x2_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** Fisher randomization test for the URGENT−LOW mean-order-value
+    * difference — the nonparametric companion to q_ab_test's z-test:
+    * 64 deterministic pseudo-relabelings (md5(key:replica) mod N < n₁
+    * — binomial relabeling, the exchangeable-null variant that needs
+    * no global sort), each replica's group means re-computed from
+    * exact cent sums in ONE scan of the 64-wide replica explode (the
+    * q_bootstrap shape: rows×64 through a map-side-combined agg,
+    * nothing collected). p = (1 + #{|Δᵣ| ≥ |Δ_obs|})/(R+1), the
+    * add-one estimator, in exact ppm. Mean differences are single
+    * IEEE divisions of exact integers — bit-identical cross-engine. */
+  private def qPermTest(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderkey"),
+        Analytics.cents(col("o_totalprice")).as("c"),
+        (col("o_orderpriority") === "1-URGENT").as("g1"))
+    val obs = base.agg(
+      sum(when(col("g1"), col("c"))).as("s1"),
+      sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("g1"), col("c"))).as("s0"),
+      sum(when(!col("g1"), 1L).otherwise(0L)).as("n0"))
+    val reps = base.crossJoin(broadcast(obs))
+      .select(col("c"), col("n1"), col("n0"),
+        explode(sequence(lit(0), lit(63))).as("r"),
+        col("o_orderkey"))
+      .withColumn("coin",
+        h60(concat(col("o_orderkey").cast("string"), lit(":"), col("r").cast("string")))
+          % (col("n1") + col("n0")) < col("n1"))
+      .groupBy(col("r")).agg(
+        sum(when(col("coin"), col("c"))).as("s1r"),
+        sum(when(col("coin"), 1L).otherwise(0L)).as("n1r"),
+        sum(when(!col("coin"), col("c"))).as("s0r"),
+        sum(when(!col("coin"), 1L).otherwise(0L)).as("n0r"))
+    val scored = reps.crossJoin(broadcast(obs))
+      .select(
+        (col("s1r").cast("double") / col("n1r").cast("double") -
+          col("s0r").cast("double") / col("n0r").cast("double")).as("dr"),
+        (col("s1").cast("double") / col("n1").cast("double") -
+          col("s0").cast("double") / col("n0").cast("double")).as("dobs"),
+        col("n1"), col("n0"))
+    scored.groupBy(col("n1"), col("n0"), col("dobs"))
+      .agg(sum(when(abs(col("dr")) >= abs(col("dobs")), 1L).otherwise(0L)).as("exceed"))
+      .select(col("n1"), col("n0"), col("dobs").as("obs_diff_cents"),
+        col("exceed"),
+        expr("(1000000 * (1 + exceed)) div 65").as("p_ppm"))
+      .orderBy(col("n1"))
+  }
+
+  /** XML codec fidelity (Spark 4 to_xml ∘ from_xml = identity) — the
+    * fourth self-describing interchange format beside JSON, CSV and
+    * Avro OCF: each nation row (plus an injected `<&"` special-char
+    * column to force entity escaping both ways) serializes to an XML
+    * record and parses back through an explicit DDL schema. The
+    * oracle never sees XML — it asserts the round-trip re-produced
+    * the source values, same contract as q_json_roundtrip. */
+  private def qXmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+      .withColumn("tricky",
+        concat(col("n_name"), lit(" <&\"'> "), col("n_nationkey").cast("string")))
+    val xml = n.select(col("n_nationkey"),
+      to_xml(struct(col("n_name"), col("n_regionkey"), col("tricky"))).as("x"))
+    xml.select(col("n_nationkey").cast("long").as("n_nationkey"),
+        from_xml(col("x"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "n_name STRING, n_regionkey INT, tricky STRING")).as("d"))
+      .select(col("n_nationkey"), col("d.n_name").as("n_name"),
+        col("d.n_regionkey").cast("long").as("n_regionkey"),
+        col("d.tricky").as("tricky"))
+      .orderBy(col("n_nationkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -8874,6 +9050,11 @@ object SparkEntry {
     "q_inbatch_negatives" -> (qInbatchNegatives _),
     "q_filter_sweep" -> (qFilterSweep _),
     "q_power_iteration" -> (qPowerIteration _),
+    "q_jaro_match" -> (qJaroMatch _),
+    "q_survival" -> (qSurvival _),
+    "q_jsd" -> (qJsd _),
+    "q_perm_test" -> (qPermTest _),
+    "q_xml_roundtrip" -> (qXmlRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -14806,5 +14987,117 @@ object SparkEntry {
         |SELECT CAST(j AS BIGINT) AS j,
         |  CAST(w // (SELECT d FROM m2) AS BIGINT) AS v
         |FROM w2 ORDER BY j""".stripMargin,
+
+    // DuckDB's own jaro_winkler_similarity at the shared ppm grain —
+    // an independent implementation of Winkler '90 against the native
+    // kernel, same blocking
+    "q_jaro_match" ->
+      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |  a.p_name AS name1, b.p_name AS name2,
+        |  CAST(a.p_size AS BIGINT) AS block_size,
+        |  CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000 + 0.5) AS BIGINT) AS jw_ppm
+        |FROM part a JOIN part b
+        |  ON a.p_size = b.p_size
+        |  AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000 + 0.5) >= 800000
+        |ORDER BY k1, k2""".stripMargin,
+
+    "q_survival" ->
+      """WITH per AS (
+        |  SELECT (CAST(max(CAST(o_orderdate AS DATE)) - DATE '1970-01-01' AS BIGINT)
+        |        - CAST(min(CAST(o_orderdate AS DATE)) - DATE '1970-01-01' AS BIGINT)) // 90 AS tq,
+        |    max(CAST(o_orderdate AS DATE)) < DATE '2000-07-01' AS churned
+        |  FROM orders GROUP BY o_custkey),
+        |tab AS (
+        |  SELECT tq, sum(CASE WHEN churned THEN 1 ELSE 0 END) AS d, count(*) AS tot
+        |  FROM per GROUP BY tq),
+        |risk AS (
+        |  SELECT tq, d, tot,
+        |    sum(tot) OVER (ORDER BY tq DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk
+        |  FROM tab),
+        |termed AS (
+        |  SELECT tq, d, tot, at_risk,
+        |    CASE WHEN at_risk > d THEN
+        |      CAST(floor(ln(CAST(at_risk - d AS DOUBLE) / CAST(at_risk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |    ELSE -13815511 END AS term_micro
+        |  FROM risk)
+        |SELECT tq, CAST(at_risk AS BIGINT) AS at_risk, CAST(d AS BIGINT) AS churned,
+        |  CAST(tot - d AS BIGINT) AS censored,
+        |  CAST(sum(term_micro) OVER (ORDER BY tq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS log_surv_micro
+        |FROM termed ORDER BY tq""".stripMargin,
+
+    "q_jsd" ->
+      """WITH grid AS (
+        |  SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),
+        |by_src AS (SELECT source, sum(n) AS n_s FROM grid GROUP BY source),
+        |by_lang AS (SELECT lang, sum(n) AS g_l FROM grid GROUP BY lang),
+        |tot AS (SELECT sum(n) AS g FROM grid),
+        |frame AS (
+        |  SELECT s.source, s.n_s, l.lang, l.g_l,
+        |    COALESCE(grid.n, 0) AS n, l.g_l - COALESCE(grid.n, 0) AS r_l,
+        |    (SELECT g FROM tot) - s.n_s AS rest
+        |  FROM by_src s CROSS JOIN by_lang l
+        |  LEFT JOIN grid ON grid.source = s.source AND grid.lang = l.lang),
+        |termed AS (
+        |  SELECT source, n_s,
+        |    CAST(floor(CASE WHEN n > 0 THEN
+        |      (CAST(n AS DOUBLE)/CAST(n_s AS DOUBLE)) *
+        |      ln(2.0 * (CAST(n AS DOUBLE)/CAST(n_s AS DOUBLE)) /
+        |         (CAST(n AS DOUBLE)/CAST(n_s AS DOUBLE) + CAST(r_l AS DOUBLE)/CAST(rest AS DOUBLE)))
+        |      * 1000000 ELSE 0.0 END + 0.5) AS BIGINT) AS tp,
+        |    CAST(floor(CASE WHEN r_l > 0 THEN
+        |      (CAST(r_l AS DOUBLE)/CAST(rest AS DOUBLE)) *
+        |      ln(2.0 * (CAST(r_l AS DOUBLE)/CAST(rest AS DOUBLE)) /
+        |         (CAST(n AS DOUBLE)/CAST(n_s AS DOUBLE) + CAST(r_l AS DOUBLE)/CAST(rest AS DOUBLE)))
+        |      * 1000000 ELSE 0.0 END + 0.5) AS BIGINT) AS tq
+        |  FROM frame)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+        |  CAST(sum(tp + tq) AS BIGINT) AS jsd_x2_micro
+        |FROM termed GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_perm_test" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+        |    o_orderpriority = '1-URGENT' AS g1
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |obs AS (
+        |  SELECT sum(CASE WHEN g1 THEN c END) AS s1,
+        |    sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN NOT g1 THEN c END) AS s0,
+        |    sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS n0
+        |  FROM base),
+        |reps AS (
+        |  SELECT r,
+        |    sum(CASE WHEN coin THEN c END) AS s1r,
+        |    sum(CASE WHEN coin THEN 1 ELSE 0 END) AS n1r,
+        |    sum(CASE WHEN NOT coin THEN c END) AS s0r,
+        |    sum(CASE WHEN NOT coin THEN 1 ELSE 0 END) AS n0r
+        |  FROM (
+        |    SELECT base.c, js.r,
+        |      CAST('0x' || substr(md5(CAST(base.o_orderkey AS VARCHAR) || ':' || CAST(js.r AS VARCHAR)), 1, 15) AS BIGINT)
+        |        % ((SELECT n1 FROM obs) + (SELECT n0 FROM obs)) < (SELECT n1 FROM obs) AS coin
+        |    FROM base CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS r) js)
+        |  GROUP BY r),
+        |scored AS (
+        |  SELECT CAST(s1r AS DOUBLE) / CAST(n1r AS DOUBLE)
+        |       - CAST(s0r AS DOUBLE) / CAST(n0r AS DOUBLE) AS dr,
+        |    CAST((SELECT s1 FROM obs) AS DOUBLE) / CAST((SELECT n1 FROM obs) AS DOUBLE)
+        |  - CAST((SELECT s0 FROM obs) AS DOUBLE) / CAST((SELECT n0 FROM obs) AS DOUBLE) AS dobs
+        |  FROM reps)
+        |SELECT CAST((SELECT n1 FROM obs) AS BIGINT) AS n1,
+        |  CAST((SELECT n0 FROM obs) AS BIGINT) AS n0,
+        |  max(dobs) AS obs_diff_cents,
+        |  CAST(sum(CASE WHEN abs(dr) >= abs(dobs) THEN 1 ELSE 0 END) AS BIGINT) AS exceed,
+        |  CAST((1000000 * (1 + sum(CASE WHEN abs(dr) >= abs(dobs) THEN 1 ELSE 0 END))) // 65 AS BIGINT) AS p_ppm
+        |FROM scored""".stripMargin,
+
+    // the oracle never sees XML — it asserts the round-trip reproduced
+    // the source values (same contract as q_json_roundtrip)
+    "q_xml_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  n_name || ' <&"''> ' || CAST(n_nationkey AS VARCHAR) AS tricky
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
   )
 }

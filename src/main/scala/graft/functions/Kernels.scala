@@ -396,6 +396,80 @@ case class ZOrder2(left: Expression, right: Expression)
   override def prettyName: String = "zorder2"
 }
 
+/** `jaro_winkler_ppm(a, b)`: Jaro-Winkler similarity as exact integer
+  * ppm = floor(jw·1e6 + 0.5), one per-row two-string loop.
+  *
+  * Classic semantics (Winkler '90, as shipped by DuckDB's
+  * `jaro_winkler_similarity`, verified empirically): match window
+  * max(|a|,|b|)/2 − 1; transpositions = half the matched-but-misplaced
+  * count; prefix boost p=0.1 over at most 4 leading chars, applied only
+  * when jaro > 0.7; either string empty ⇒ 0 (DuckDB convention, BOTH
+  * empty included). Spark has no jaro function at all — composing this
+  * from builtins would take a cross join per character; here it is one
+  * codegen-fallback kernel whose cost is the row scan. The ppm grain
+  * absorbs cross-engine double rounding (values are rationals with
+  * denominator 30·|a|·|b|·m — never within 1e-10 of a half-ppm
+  * boundary for realistic string lengths). */
+case class JaroWinklerPpm(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jaro_winkler_ppm expects (string, string), got ${left.dataType}, ${right.dataType}")
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val s1 = l.asInstanceOf[UTF8String].toString
+    val s2 = r.asInstanceOf[UTF8String].toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0L
+    val md = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - md)
+      val hi = math.min(l2, i + md + 1)
+      var j = lo
+      var found = false
+      while (j < hi && !found) {
+        if (!m2(j) && s2.charAt(j) == s1.charAt(i)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0L
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(j)) j += 1
+        if (s1.charAt(i) != s2.charAt(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+    var jw = jaro
+    if (jaro > 0.7) {
+      var p = 0
+      val lim = math.min(4, math.min(l1, l2))
+      while (p < lim && s1.charAt(p) == s2.charAt(p)) p += 1
+      jw = jaro + p * 0.1 * (1.0 - jaro)
+    }
+    math.floor(jw * 1e6 + 0.5).toLong
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerPpm =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaro_winkler_ppm"
+}
+
 object kernels {
   def word_shingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), k))
@@ -409,6 +483,8 @@ object kernels {
     ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(vec)))
   def zorder2(x: Column, y: Column): Column =
     ColumnBridge.column(ZOrder2(ColumnBridge.expression(x), ColumnBridge.expression(y)))
+  def jaro_winkler_ppm(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinklerPpm(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** The composed 32-term shift/mask SQL equivalent of [[ZOrder2]]
     * (inputs assumed already masked to 16 bits) — ONE generator shared

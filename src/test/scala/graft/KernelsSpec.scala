@@ -187,6 +187,39 @@ class KernelsSpec extends SparkSpec {
     }
   }
 
+  test("jaro_winkler_ppm matches classic Winkler '90 fixtures") {
+    // fixtures verified against DuckDB's jaro_winkler_similarity
+    // (the oracle implementation q_jaro_match replays against):
+    // round(jw * 1e6) with the 0.7 boost threshold, empty -> 0
+    val cases = Seq(
+      ("martha", "marhta", 961111L),     // the canonical transposition pair
+      ("DIXON", "DICKSONX", 813333L),    // prefix boost l=2
+      ("abc", "abc", 1000000L),          // identity
+      ("", "abc", 0L),                   // empty -> 0
+      ("", "", 0L),                      // BOTH empty -> 0 (DuckDB convention)
+      ("JELLYFISH", "SMELLYFISH", 896296L), // no common prefix, no boost
+      ("hello world", "world hello", 503030L),
+      ("a", "b", 0L),
+      ("xy", "yx", 0L),                  // window 0: no matches at all
+      ("aab", "aba", 555556L),           // jaro 5/9 <= 0.7: boost NOT applied
+      ("CRAP", "TRAP", 833333L))
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(kernels.jaro_winkler_ppm($"a", $"b")).collect().map(_.getLong(0))
+    got.zip(cases).foreach { case (g, (a, b, want)) =>
+      assert(g === want, s"jw('$a','$b')")
+    }
+  }
+
+  test("jaro_winkler_ppm is null-safe and symmetric") {
+    val df = Seq((Option("abc"), Option.empty[String])).toDF("a", "b")
+    assert(df.select(kernels.jaro_winkler_ppm($"a", $"b")).head().isNullAt(0))
+    val pairs = Seq(("PROMO BRUSHED", "PROMO BURNISHED"), ("cold widget", "cold rod"))
+      .toDF("a", "b")
+    val fwd = pairs.select(kernels.jaro_winkler_ppm($"a", $"b")).collect().map(_.getLong(0))
+    val rev = pairs.select(kernels.jaro_winkler_ppm($"b", $"a")).collect().map(_.getLong(0))
+    assert(fwd.toSeq === rev.toSeq)
+  }
+
   test("word_shingles skips null tokens like concat_ws") {
     val df = Seq(Seq(Some("a"), None, Some("b"), Some("c"))).toDF("toks")
     val got = df.select(kernels.word_shingles($"toks", 3)).head().getSeq[String](0)

@@ -8724,6 +8724,95 @@ object SparkEntry {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Unicode canonicalization — the text-normalization step every
+    * multilingual dedup pipeline needs BEFORE hashing (NFC and NFD
+    * spellings of the same text md5 to different digests, silently
+    * splitting duplicate clusters; Spark ships no normalizer at all):
+    * accented forms are synthesized from nation names in BOTH engines
+    * (precomposed via translate; decomposed via combining-mark
+    * replace), then the native [[graft.functions.NfcNormalize]] /
+    * [[graft.functions.StripAccents]] kernels (JDK Normalizer) are
+    * checked against DuckDB's independent utf8proc implementations
+    * (`nfc_normalize` / `strip_accents`). */
+  private def qUnicodeNorm(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.kernels
+    val base = lower(col("n_name"))
+    // precomposed (NFC) accent injection; translate is code-point-wise
+    val accented = translate(base, "aeiou", "áéíöü")
+    // the SAME text decomposed (NFD): base letter + combining mark
+    val decomposed = Seq("a" -> "á", "e" -> "é", "i" -> "í",
+      "o" -> "ö", "u" -> "ü")
+      .foldLeft(base) { case (c, (from, to)) => regexp_replace(c, from, to) }
+    t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        accented.as("accented"),
+        kernels.nfc_normalize(decomposed).as("recomposed"),
+        kernels.strip_accents(accented).as("stripped"))
+      .withColumn("roundtrip_ok", col("recomposed") === col("accented"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Coarsened exact matching (CEM, Iacus-King-Porro) — the causal-
+    * inference ATT estimate behind "did URGENT-priority service drive
+    * spend?": treatment = customer ever placed an URGENT order,
+    * covariate cells = (nation, market segment) exact bins, and only
+    * cells containing BOTH arms match. All arithmetic is integer:
+    * per-cell mean spends are truncating divisions of exact cent
+    * sums, so the cell-level ATT contribution is deterministic in any
+    * engine and the output never sums doubles. The heavy reduction
+    * (per-customer spend) is one map-side-combined aggregate; the
+    * cell grid is dimension-bounded (≤125 rows). */
+  private def qCem(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(max(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("treated"),
+        sum(Analytics.cents(col("o_totalprice"))).as("y"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    perCust.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nation"), col("c_mktsegment").as("segment"))
+      .agg(sum(when(col("treated") === 1, 1L).otherwise(0L)).as("m_t"),
+        sum(when(col("treated") === 0, 1L).otherwise(0L)).as("m_c"),
+        sum(when(col("treated") === 1, col("y")).otherwise(0L)).as("s_t"),
+        sum(when(col("treated") === 0, col("y")).otherwise(0L)).as("s_c"))
+      .filter(col("m_t") > 0 && col("m_c") > 0)
+      .select(col("nation"), col("segment"), col("m_t"), col("m_c"),
+        expr("s_t div m_t - s_c div m_c").as("cell_att_cents"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  /** Haar wavelet decomposition of the daily-revenue series — the
+    * multi-resolution compaction behind wavelet-based approximate
+    * query processing (Chakrabarti et al., VLDB '00): 8 levels of
+    * unnormalized pairwise sums/differences over a 256-day window,
+    * every coefficient an exact int64 (no √2 scaling — the synthesis
+    * side owns the 2^level divisor). Level k is a groupBy(i div 2)
+    * on a domain-bounded table (≤256 rows after the one daily
+    * pre-aggregate that touches order-cardinality data); the full
+    * transform is 8 tiny shuffles, each half the previous size. */
+  private def qHaar(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(epochDay(col("o_orderdate")).as("day"),
+        Analytics.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("v"))
+    val base = daily.agg(min(col("day")).as("d0"))
+      .select(explode(sequence(lit(0L), lit(255L))).as("i"), col("d0"))
+      .join(daily.withColumnRenamed("day", "dd"),
+        col("dd") === col("d0") + col("i"), "left")
+      .select(col("i"), coalesce(col("v"), lit(0L)).as("v"))
+    var cur = base
+    var out: DataFrame = null
+    for (k <- 1 to 8) {
+      val lvl = cur.groupBy(expr("i div 2").as("j"))
+        .agg(sum(when(col("i") % 2 === 0, col("v")).otherwise(-col("v"))).as("d"),
+          sum(col("v")).as("a"))
+      val det = lvl.select(lit(k.toLong).as("level"), col("j").as("idx"), col("d").as("coef"))
+      out = if (out == null) det else out.unionAll(det)
+      cur = lvl.select(col("j").as("i"), col("a").as("v"))
+    }
+    out.unionAll(cur.select(lit(9L).as("level"), col("i").as("idx"), col("v").as("coef")))
+      .orderBy(col("level"), col("idx"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -9055,6 +9144,9 @@ object SparkEntry {
     "q_jsd" -> (qJsd _),
     "q_perm_test" -> (qPermTest _),
     "q_xml_roundtrip" -> (qXmlRoundtrip _),
+    "q_unicode_norm" -> (qUnicodeNorm _),
+    "q_cem" -> (qCem _),
+    "q_haar" -> (qHaar _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -15099,5 +15191,76 @@ object SparkEntry {
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
         |  n_name || ' <&"''> ' || CAST(n_nationkey AS VARCHAR) AS tricky
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // accents injected via code points (chr) so the oracle text is
+    // encoding-unambiguous; nfc_normalize / strip_accents are DuckDB's
+    // own utf8proc implementations vs the JDK-Normalizer kernels
+    "q_unicode_norm" ->
+      """WITH b AS (
+        |  SELECT n_nationkey, lower(n_name) AS base FROM nation),
+        |built AS (
+        |  SELECT n_nationkey,
+        |    translate(base, 'aeiou',
+        |      chr(225) || chr(233) || chr(237) || chr(246) || chr(252)) AS accented,
+        |    replace(replace(replace(replace(replace(base,
+        |      'a', 'a' || chr(769)), 'e', 'e' || chr(769)),
+        |      'i', 'i' || chr(769)), 'o', 'o' || chr(776)),
+        |      'u', 'u' || chr(776)) AS decomposed
+        |  FROM b)
+        |SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, accented,
+        |  nfc_normalize(decomposed) AS recomposed,
+        |  strip_accents(accented) AS stripped,
+        |  nfc_normalize(decomposed) = accented AS roundtrip_ok
+        |FROM built ORDER BY n_nationkey""".stripMargin,
+
+    "q_cem" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS treated,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+        |  FROM orders GROUP BY o_custkey),
+        |cells AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS nation, c.c_mktsegment AS segment,
+        |    sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS m_t,
+        |    sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS m_c,
+        |    sum(CASE WHEN treated = 1 THEN y ELSE 0 END) AS s_t,
+        |    sum(CASE WHEN treated = 0 THEN y ELSE 0 END) AS s_c
+        |  FROM per_cust JOIN customer c ON o_custkey = c.c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT nation, segment, CAST(m_t AS BIGINT) AS m_t, CAST(m_c AS BIGINT) AS m_c,
+        |  CAST(s_t // m_t - s_c // m_c AS BIGINT) AS cell_att_cents
+        |FROM cells WHERE m_t > 0 AND m_c > 0
+        |ORDER BY nation, segment""".stripMargin,
+
+    "q_haar" -> {
+      // 8 unrolled levels, generated: level k halves level k-1 by
+      // pairwise sum (a) / difference (d); same generator shape as the
+      // power-iteration oracle
+      val levels = (1 to 8).map { k =>
+        val prev = if (k == 1) "base" else s"l${k - 1}"
+        s"""l$k AS (
+           |  SELECT i // 2 AS i,
+           |    CAST(sum(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS d,
+           |    CAST(sum(v) AS BIGINT) AS v
+           |  FROM $prev GROUP BY i // 2)"""
+      }.mkString(",\n")
+      val dets = (1 to 8).map(k =>
+        s"SELECT $k AS level, i AS idx, d AS coef FROM l$k").mkString("\nUNION ALL\n")
+      s"""WITH daily AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+         |  FROM orders GROUP BY 1),
+         |base AS (
+         |  SELECT js.i, CAST(COALESCE(daily.v, 0) AS BIGINT) AS v
+         |  FROM (SELECT unnest(generate_series(0, 255)) AS i) js
+         |  LEFT JOIN daily ON daily.day = (SELECT min(day) FROM daily) + js.i),
+         |$levels
+         |SELECT CAST(level AS BIGINT) AS level, CAST(idx AS BIGINT) AS idx,
+         |  CAST(coef AS BIGINT) AS coef FROM (
+         |$dets
+         |UNION ALL
+         |SELECT 9 AS level, i AS idx, v AS coef FROM l8)
+         |ORDER BY level, idx""".stripMargin
+    },
   )
 }

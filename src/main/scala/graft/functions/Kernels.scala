@@ -470,6 +470,63 @@ case class JaroWinklerPpm(left: Expression, right: Expression)
   override def prettyName: String = "jaro_winkler_ppm"
 }
 
+/** `nfc_normalize(s)`: Unicode NFC normalization (UAX #15 canonical
+  * composition) — combining sequences ("e" + U+0301) compose to their
+  * precomposed forms ("é"). Spark has no normalization builtin at all,
+  * yet corpus dedup REQUIRES it: the same text in NFC and NFD hashes
+  * to different md5 digests, silently splitting exact-duplicate
+  * clusters. One JDK Normalizer call per row; DuckDB's independent
+  * `nfc_normalize` (utf8proc) is the oracle. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
+/** `strip_accents(s)`: remove combining diacritical marks — NFD
+  * decomposition, then drop NON_SPACING_MARK code points ("café côté"
+  * → "cafe cote"; "ß" is untouched — not an accent). The text-
+  * canonicalization step before fuzzy matching / fingerprinting in
+  * any multilingual corpus. Matches DuckDB's `strip_accents`
+  * (utf8proc) on Latin-script text — two independent implementations
+  * of the same UAX #15 + Mn-filter pipeline. */
+case class StripAccents(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"strip_accents expects string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+  override def prettyName: String = "strip_accents"
+}
+
 object kernels {
   def word_shingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), k))
@@ -485,6 +542,10 @@ object kernels {
     ColumnBridge.column(ZOrder2(ColumnBridge.expression(x), ColumnBridge.expression(y)))
   def jaro_winkler_ppm(a: Column, b: Column): Column =
     ColumnBridge.column(JaroWinklerPpm(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def nfc_normalize(s: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(s)))
+  def strip_accents(s: Column): Column =
+    ColumnBridge.column(StripAccents(ColumnBridge.expression(s)))
 
   /** The composed 32-term shift/mask SQL equivalent of [[ZOrder2]]
     * (inputs assumed already masked to 16 bits) — ONE generator shared

@@ -8813,6 +8813,93 @@ object SparkEntry {
       .orderBy(col("level"), col("idx"))
   }
 
+  /** Weighted reservoir sampling (Efraimidis-Spirakis A-ES): each row
+    * draws a replayable uniform u from the md5 convention and competes
+    * on key = ln(u)/w — the top-k keys ARE a weighted-without-
+    * replacement sample, the one-pass distributed algorithm for
+    * "sample 20 orders proportional to spend". The key is rounded to
+    * an integer 1e-12 grain FIRST (one ln + one division — the same
+    * double tree in both engines), so ordering and tie-breaks are
+    * integer-deterministic; selection is TakeOrderedAndProject
+    * (bounded per-partition heaps, no global sort). */
+  private def qWeightedReservoir(s: SparkSession, dir: String): DataFrame = {
+    val withH = t(s, dir, "orders")
+      .select(col("o_orderkey"), Analytics.cents(col("o_totalprice")).as("w"),
+        h60(col("o_orderkey")).as("h"))
+      .withColumn("key_pico",
+        expr("""CAST(floor(ln((CAST(h AS DOUBLE) + 1.0) / 1152921504606846976.0)
+                |  / CAST(w AS DOUBLE) * 1000000000000 + 0.5) AS BIGINT)""".stripMargin))
+    withH.orderBy(col("key_pico").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("w").as("weight_cents"), col("key_pico"))
+      .orderBy(col("key_pico").desc, col("o_orderkey"))
+  }
+
+  /** Replayable Laplace noise-injection harness — the differential-
+    * privacy release MECHANISM (sensitivity-1 count query, ε=1,
+    * inverse-CDF Laplace) with md5-seeded noise so tests and oracles
+    * can replay it exactly. NOT private as parameterized (deterministic
+    * noise is no noise — a production release swaps the seed source
+    * for a CSPRNG); what this gates is the plumbing: per-cell noise
+    * scale, the exact integer micro-grain the noisy counts ship in,
+    * and that the true counts never leave the engine alongside. */
+  private def qNoiseInject(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .withColumn("u",
+        (h60(concat(lit("dp:"), col("o_orderpriority"))).cast("double") + 0.5) /
+          lit(1.152921504606846976e18))
+      .withColumn("noise_micro",
+        expr("""CAST(floor((CASE WHEN u < 0.5 THEN ln(2.0 * u)
+                |  ELSE -ln(2.0 - 2.0 * u) END) * 1000000 + 0.5) AS BIGINT)""".stripMargin))
+      .select(col("o_orderpriority"), col("n").as("true_count"),
+        col("noise_micro"),
+        (col("n") * 1000000L + col("noise_micro")).as("noisy_micro"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** parse_url surface — the web-corpus provenance columns every
+    * crawl-derived dataset carries: URLs synthesized from nation/part
+    * attributes in both engines, then HOST / PATH / QUERY and a
+    * single-parameter extraction via Spark's parse_url (the oracle
+    * rebuilds the same pieces with pure string ops — parse_url
+    * semantics pinned against an independent decomposition). */
+  private def qUrlParse(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val url = concat(lit("https://"),
+      lower(regexp_replace(col("n_name"), " ", "")), lit(".example.com/r"),
+      col("n_regionkey").cast("string"), lit("/docs?q=n"),
+      col("n_nationkey").cast("string"), lit("&page=2"))
+    n.select(col("n_nationkey").cast("long").as("n_nationkey"), url.as("url"))
+      .select(col("n_nationkey"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("q")).as("q_param"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Bounded-error gate for the BUILT-IN HLL++ sketch
+    * (approx_count_distinct, rsd=5%): the estimate itself is engine-
+    * specific (Spark's sketch, deterministic for fixed data) so the
+    * oracle can't replay it — instead the QUERY ships the property
+    * that matters (|est − exact| ≤ 5% of exact) as a boolean next to
+    * the exact count, and the oracle asserts it must be TRUE. If a
+    * Spark upgrade or sketch regression drifts the estimate out of
+    * its advertised bound, this row hash-mismatches. Complements
+    * q_hll_distinct (the custom oracle-replayable sketch). */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"),
+        approx_count_distinct(col("o_custkey"), 0.05).as("est"))
+      .select(col("nation"), col("exact_customers"),
+        (abs(col("est") - col("exact_customers")) * 100 <=
+          col("exact_customers") * 5).as("within_5pct"))
+      .orderBy(col("nation"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -9147,6 +9234,10 @@ object SparkEntry {
     "q_unicode_norm" -> (qUnicodeNorm _),
     "q_cem" -> (qCem _),
     "q_haar" -> (qHaar _),
+    "q_weighted_reservoir" -> (qWeightedReservoir _),
+    "q_noise_inject" -> (qNoiseInject _),
+    "q_url_parse" -> (qUrlParse _),
+    "q_approx_distinct" -> (qApproxDistinct _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -15262,5 +15353,59 @@ object SparkEntry {
          |SELECT 9 AS level, i AS idx, v AS coef FROM l8)
          |ORDER BY level, idx""".stripMargin
     },
+
+    "q_weighted_reservoir" ->
+      """WITH keyed AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w,
+        |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM orders),
+        |scored AS (
+        |  SELECT o_orderkey, w,
+        |    CAST(floor(ln((CAST(h AS DOUBLE) + 1.0) / 1152921504606846976.0)
+        |      / CAST(w AS DOUBLE) * 1000000000000 + 0.5) AS BIGINT) AS key_pico
+        |  FROM keyed)
+        |SELECT o_orderkey, w AS weight_cents, key_pico
+        |FROM scored ORDER BY key_pico DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_noise_inject" ->
+      """WITH counts AS (
+        |  SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority),
+        |seeded AS (
+        |  SELECT o_orderpriority, n,
+        |    (CAST(CAST('0x' || substr(md5('dp:' || o_orderpriority), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+        |      / 1.152921504606846976e18 AS u
+        |  FROM counts)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS true_count,
+        |  CAST(floor((CASE WHEN u < 0.5 THEN ln(2.0 * u)
+        |    ELSE -ln(2.0 - 2.0 * u) END) * 1000000 + 0.5) AS BIGINT) AS noise_micro,
+        |  CAST(n * 1000000 + floor((CASE WHEN u < 0.5 THEN ln(2.0 * u)
+        |    ELSE -ln(2.0 - 2.0 * u) END) * 1000000 + 0.5) AS BIGINT) AS noisy_micro
+        |FROM seeded ORDER BY o_orderpriority""".stripMargin,
+
+    // the oracle rebuilds host/path/query with pure string ops — an
+    // independent decomposition pinning parse_url's semantics
+    "q_url_parse" ->
+      """WITH u AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |    'https://' || lower(replace(n_name, ' ', '')) || '.example.com/r'
+        |      || CAST(n_regionkey AS VARCHAR) || '/docs?q=n'
+        |      || CAST(n_nationkey AS VARCHAR) || '&page=2' AS url,
+        |    lower(replace(n_name, ' ', '')) || '.example.com' AS host,
+        |    '/r' || CAST(n_regionkey AS VARCHAR) || '/docs' AS path,
+        |    'q=n' || CAST(n_nationkey AS VARCHAR) || '&page=2' AS query,
+        |    'n' || CAST(n_nationkey AS VARCHAR) AS q_param
+        |  FROM nation)
+        |SELECT n_nationkey, url, host, path, query, q_param
+        |FROM u ORDER BY n_nationkey""".stripMargin,
+
+    // the estimate is Spark's own sketch (not replayable here) — the
+    // oracle asserts the advertised error bound held
+    "q_approx_distinct" ->
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+        |  TRUE AS within_5pct
+        |FROM orders JOIN customer c ON o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

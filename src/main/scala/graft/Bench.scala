@@ -51,13 +51,31 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) secs else -secs)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errors = (results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" } ++
       (if (layoutPrepOk) Nil else Seq("\"layout_prep\"")))
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // Full per-query detail: one line for humans + a file for tooling.
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(fullLine)
+    try {
+      val p = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, fullLine.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    // The harness keeps only the last ~2000 chars of output and parses
+    // the JSON line from that tail — with hundreds of queries the full
+    // map no longer fits, so the FINAL line is a compact summary
+    // (slowest 15 queries only) guaranteed to fit the tail buffer.
+    val slowest = results.sortBy { case (_, v) => -math.abs(v) }.take(15)
+    val qsTop = slowest.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qsTop,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -318,13 +318,23 @@ object SparkEntry {
       .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderpriority"))
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; `nanosAsLong` surfaces it as a bigint nanos-epoch
-    * column — which is also the exact representation all event-time
-    * arithmetic here runs on (integer math, no precision loss). */
+  /** The `events` table normalized so `ts` is ALWAYS a bigint
+    * nanos-epoch column — the exact integer representation all
+    * event-time arithmetic here runs on (no float drift, no timezone
+    * ambiguity). Handles both physical encodings the dataset has
+    * shipped with: TIMESTAMP(NANOS) (surfaced via `nanosAsLong`) and
+    * TIMESTAMP(MICROS) (read natively as a timestamp and widened —
+    * `unix_micros * 1000` is exact). The DuckDB oracle mirrors this
+    * with `epoch_ns(ts)`. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        // TIMESTAMP_NTZ -> instant under the UTC session timezone
+        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
   }
 
   private def qEventBuckets(s: SparkSession, dir: String): DataFrame =
@@ -8866,8 +8876,10 @@ object SparkEntry {
     * semantics pinned against an independent decomposition). */
   private def qUrlParse(s: SparkSession, dir: String): DataFrame = {
     val n = t(s, dir, "nation")
+    // strip "_" too: java.net.URI (behind parse_url) treats an
+    // underscore hostname as unparseable authority -> null HOST
     val url = concat(lit("https://"),
-      lower(regexp_replace(col("n_name"), " ", "")), lit(".example.com/r"),
+      lower(regexp_replace(col("n_name"), "[ _]", "")), lit(".example.com/r"),
       col("n_regionkey").cast("string"), lit("/docs?q=n"),
       col("n_nationkey").cast("string"), lit("&page=2"))
     n.select(col("n_nationkey").cast("long").as("n_nationkey"), url.as("url"))
@@ -15388,10 +15400,10 @@ object SparkEntry {
     "q_url_parse" ->
       """WITH u AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
-        |    'https://' || lower(replace(n_name, ' ', '')) || '.example.com/r'
+        |    'https://' || lower(replace(replace(n_name, ' ', ''), '_', '')) || '.example.com/r'
         |      || CAST(n_regionkey AS VARCHAR) || '/docs?q=n'
         |      || CAST(n_nationkey AS VARCHAR) || '&page=2' AS url,
-        |    lower(replace(n_name, ' ', '')) || '.example.com' AS host,
+        |    lower(replace(replace(n_name, ' ', ''), '_', '')) || '.example.com' AS host,
         |    '/r' || CAST(n_regionkey AS VARCHAR) || '/docs' AS path,
         |    'q=n' || CAST(n_nationkey AS VARCHAR) || '&page=2' AS query,
         |    'n' || CAST(n_nationkey AS VARCHAR) AS q_param

@@ -8912,6 +8912,174 @@ object SparkEntry {
       .orderBy(col("nation"))
   }
 
+  /** Welch's unequal-variance t-test (URGENT vs LOW mean order value)
+    * — the default two-sample test when variances can't be assumed
+    * equal (q_effect_size's pooled d assumes they can). One grouped
+    * scan collects exact integer moments per arm; t and the
+    * Welch–Satterthwaite df are fixed double trees over those exact
+    * integers (+,−,×,÷,√ all correctly rounded IEEE → bit-identical in
+    * any engine). Zero shuffles beyond the 2-group reduce. */
+  private def qWelchT(s: SparkSession, dir: String): DataFrame = {
+    val agg0 = t(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority").as("grp"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100").as("v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("ss"))
+      .groupBy()
+      .agg(max(when(col("grp") === "1-URGENT", col("n"))).as("n1"),
+        max(when(col("grp") === "1-URGENT", col("sv"))).as("s1"),
+        max(when(col("grp") === "1-URGENT", col("ss"))).as("ss1"),
+        max(when(col("grp") === "5-LOW", col("n"))).as("n2"),
+        max(when(col("grp") === "5-LOW", col("sv"))).as("s2"),
+        max(when(col("grp") === "5-LOW", col("ss"))).as("ss2"))
+    val n1D = col("n1").cast("double"); val n2D = col("n2").cast("double")
+    val v1 = (n1D * col("ss1").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double")) /
+      (n1D * (n1D - lit(1.0)))
+    val v2 = (n2D * col("ss2").cast("double") -
+      col("s2").cast("double") * col("s2").cast("double")) /
+      (n2D * (n2D - lit(1.0)))
+    val se1 = v1 / n1D; val se2 = v2 / n2D
+    val tStat = (col("s1").cast("double") / n1D -
+      col("s2").cast("double") / n2D) / sqrt(se1 + se2)
+    val df = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (n1D - lit(1.0)) + se2 * se2 / (n2D - lit(1.0)))
+    agg0.select(col("n1"), col("n2"), tStat.as("t_welch"), df.as("df_welch"))
+  }
+
+  /** One-way ANOVA F across all five order priorities (dollar-grain
+    * order values): between/within sums of squares from per-group
+    * exact integer moments PIVOTED into one row, so every double
+    * addition is a fixed 5-term tree (never a row-order-dependent
+    * SUM over doubles). Companion to q_kruskal_wallis — the
+    * parametric version of the same "do the arms differ" question. */
+  private def qAnovaF(s: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val g = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("grp"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100").as("v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("ss"))
+    anovaFromPivot(pivotMoments(g, prios)).select(col("n_total"),
+      col("ssb"), col("ssw"), col("f_stat"))
+  }
+
+  /** Pivots per-group (n, sv, ss) moment rows into ONE row of
+    * n1..nk, s1..sk, ss1..ssk columns in the given group order. */
+  private def pivotMoments(g: DataFrame, groups: Seq[String]): DataFrame = {
+    val cols = groups.zipWithIndex.flatMap { case (p, i) => Seq(
+      max(when(col("grp") === p, col("n"))).as(s"n${i + 1}"),
+      max(when(col("grp") === p, col("sv"))).as(s"s${i + 1}"),
+      max(when(col("grp") === p, col("ss"))).as(s"ss${i + 1}"))
+    }
+    g.groupBy().agg(cols.head, cols.tail: _*)
+  }
+
+  /** Shared fixed-tree ANOVA arithmetic over a pivoted one-row moment
+    * table (n1..n5, s1..s5, ss1..ss5): left-assoc 5-term sums keep the
+    * IEEE evaluation order identical to the oracle's spelled-out SQL. */
+  private def anovaFromPivot(piv: DataFrame): DataFrame = {
+    def d(c: String) = col(c).cast("double")
+    val nT = col("n1") + col("n2") + col("n3") + col("n4") + col("n5")
+    val sT = d("s1") + d("s2") + d("s3") + d("s4") + d("s5")
+    val bg = d("s1") * d("s1") / d("n1") + d("s2") * d("s2") / d("n2") +
+      d("s3") * d("s3") / d("n3") + d("s4") * d("s4") / d("n4") +
+      d("s5") * d("s5") / d("n5")
+    val ssTot = d("ss1") + d("ss2") + d("ss3") + d("ss4") + d("ss5")
+    val ssb = bg - sT * sT / nT.cast("double")
+    val ssw = ssTot - bg
+    piv.select(nT.as("n_total"), ssb.as("ssb"), ssw.as("ssw"),
+      ((ssb / lit(4.0)) / (ssw / (nT.cast("double") - lit(5.0))))
+        .as("f_stat"))
+  }
+
+  /** Brown–Forsythe robust variance-equality test (the median-based
+    * Levene): per-priority LOWER-median order value selected on the
+    * two-pass scalable grouped rank (no per-group sort funnel),
+    * absolute deviations stay exact int64 dollars, then the same
+    * pivoted fixed-tree ANOVA as q_anova_f runs on the deviations.
+    * Gates whether q_anova_f's equal-variance reading is trustworthy. */
+  private def qLeveneBf(s: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val vals = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("grp"), col("o_orderkey").as("ok"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100").as("v"))
+      .localCheckpoint(eager = false)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      vals.select(col("grp"), col("v").cast("double").as("ord"), col("ok")),
+      "grp", "ord", "ok", 32)
+    val med = ranked
+      .filter(col("rnk") * 2 === col("grp_n") + (col("grp_n") % 2))
+      .select(col("grp"), col("ord").cast("long").as("med"))
+    val g = vals.join(broadcast(med), "grp")
+      .select(col("grp"), abs(col("v") - col("med")).as("z"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("sv"),
+        sum(col("z") * col("z")).as("ss"))
+    anovaFromPivot(pivotMoments(g, prios)).select(col("n_total"),
+      col("ssb"), col("ssw"), col("f_stat").as("f_bf"))
+  }
+
+  /** Cliff's delta ordinal effect size (URGENT vs LOW): δ = P(x>y) −
+    * P(x<y) = 2·U1/(n1·n2) − 1, so it falls out of the same exact
+    * midrank machinery as q_mann_whitney — reported in exact ppm via
+    * the truncating integer division both engines share. The
+    * distribution-free magnitude companion to q_mann_whitney's
+    * significance z (as q_effect_size is to q_welch_t). */
+  private def qCliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    val sample = t(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderkey").as("ok"), col("o_orderpriority").as("grp"),
+        Analytics.cents(col("o_totalprice")).as("v"))
+      .localCheckpoint(eager = false)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      sample.select(lit("all").as("g"), col("v").cast("double").as("ord"),
+        col("ok")),
+      "g", "ord", "ok", 32)
+    val ties = ranked.groupBy(col("ord"))
+      .agg((min(col("rnk")) + max(col("rnk"))).as("mr2"))
+    val mr = ranked.select(col("ok"), col("ord"))
+      .join(ties, "ord")
+      .join(sample.select(col("ok"), col("grp")), "ok")
+    val stats = mr.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("mr2")).as("sr2"))
+      .groupBy()
+      .agg(
+        max(when(col("grp") === "1-URGENT", col("n"))).as("n1"),
+        max(when(col("grp") === "5-LOW", col("n"))).as("n2"),
+        max(when(col("grp") === "1-URGENT", col("sr2"))).as("r1x2"))
+    stats
+      .withColumn("u1_x2", col("r1x2") - col("n1") * (col("n1") + 1))
+      .select(col("n1"), col("n2"),
+        expr("(u1_x2 - n1 * n2) * 1000000 div (n1 * n2)")
+          .as("cliffs_delta_ppm"))
+  }
+
+  /** Equal-exposure Poisson rate comparison of two event streams
+    * (clicks vs views over the identical time span): conditional on
+    * the total, the click count is Binomial(a+b, ½) under H₀, so
+    * z = (a−b)/√(a+b) — exact integer counts, one √ at the end. The
+    * rate ratio ships alongside in exact ppm. The stream-health screen
+    * ("did clicks collapse relative to views today?") with no
+    * distributional fit anywhere. */
+  private def qPoissonRate(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy()
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("b"))
+      .select(col("a"), col("b"),
+        ((col("a") - col("b")).cast("double") /
+          sqrt((col("a") + col("b")).cast("double"))).as("z"),
+        expr("a * 1000000 div b").as("rate_ratio_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -9250,6 +9418,11 @@ object SparkEntry {
     "q_noise_inject" -> (qNoiseInject _),
     "q_url_parse" -> (qUrlParse _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_welch_t" -> (qWelchT _),
+    "q_anova_f" -> (qAnovaF _),
+    "q_levene_bf" -> (qLeveneBf _),
+    "q_cliffs_delta" -> (qCliffsDelta _),
+    "q_poisson_rate" -> (qPoissonRate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -15419,5 +15592,188 @@ object SparkEntry {
         |  TRUE AS within_5pct
         |FROM orders JOIN customer c ON o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_welch_t" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS v
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS ss
+        |  FROM v GROUP BY grp),
+        |m AS (
+        |  SELECT max(CASE WHEN grp = '1-URGENT' THEN n END) AS n1,
+        |    max(CASE WHEN grp = '1-URGENT' THEN sv END) AS s1,
+        |    max(CASE WHEN grp = '1-URGENT' THEN ss END) AS ss1,
+        |    max(CASE WHEN grp = '5-LOW' THEN n END) AS n2,
+        |    max(CASE WHEN grp = '5-LOW' THEN sv END) AS s2,
+        |    max(CASE WHEN grp = '5-LOW' THEN ss END) AS ss2
+        |  FROM g),
+        |e AS (
+        |  SELECT n1, n2, s1, s2,
+        |    (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+        |      / CAST(n1 AS DOUBLE) AS se1,
+        |    (CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))
+        |      / CAST(n2 AS DOUBLE) AS se2
+        |  FROM m)
+        |SELECT n1, n2,
+        |  (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt(se1 + se2)
+        |    AS t_welch,
+        |  (se1 + se2) * (se1 + se2)
+        |    / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+        |      + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) AS df_welch
+        |FROM e""".stripMargin,
+
+    "q_anova_f" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS v
+        |  FROM orders),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS ss
+        |  FROM v GROUP BY grp),
+        |m AS (
+        |  SELECT max(CASE WHEN grp = '1-URGENT' THEN n END) AS n1,
+        |    max(CASE WHEN grp = '1-URGENT' THEN sv END) AS s1,
+        |    max(CASE WHEN grp = '1-URGENT' THEN ss END) AS ss1,
+        |    max(CASE WHEN grp = '2-HIGH' THEN n END) AS n2,
+        |    max(CASE WHEN grp = '2-HIGH' THEN sv END) AS s2,
+        |    max(CASE WHEN grp = '2-HIGH' THEN ss END) AS ss2,
+        |    max(CASE WHEN grp = '3-MEDIUM' THEN n END) AS n3,
+        |    max(CASE WHEN grp = '3-MEDIUM' THEN sv END) AS s3,
+        |    max(CASE WHEN grp = '3-MEDIUM' THEN ss END) AS ss3,
+        |    max(CASE WHEN grp = '4-NOT SPECIFIED' THEN n END) AS n4,
+        |    max(CASE WHEN grp = '4-NOT SPECIFIED' THEN sv END) AS s4,
+        |    max(CASE WHEN grp = '4-NOT SPECIFIED' THEN ss END) AS ss4,
+        |    max(CASE WHEN grp = '5-LOW' THEN n END) AS n5,
+        |    max(CASE WHEN grp = '5-LOW' THEN sv END) AS s5,
+        |    max(CASE WHEN grp = '5-LOW' THEN ss END) AS ss5
+        |  FROM g),
+        |e AS (
+        |  SELECT n1 + n2 + n3 + n4 + n5 AS n_total,
+        |    CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE) + CAST(s3 AS DOUBLE)
+        |      + CAST(s4 AS DOUBLE) + CAST(s5 AS DOUBLE) AS st,
+        |    CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+        |      + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+        |      + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE)
+        |      + CAST(s5 AS DOUBLE) * CAST(s5 AS DOUBLE) / CAST(n5 AS DOUBLE)
+        |      AS bg,
+        |    CAST(ss1 AS DOUBLE) + CAST(ss2 AS DOUBLE) + CAST(ss3 AS DOUBLE)
+        |      + CAST(ss4 AS DOUBLE) + CAST(ss5 AS DOUBLE) AS sstot
+        |  FROM m)
+        |SELECT n_total,
+        |  bg - st * st / CAST(n_total AS DOUBLE) AS ssb,
+        |  sstot - bg AS ssw,
+        |  ((bg - st * st / CAST(n_total AS DOUBLE)) / 4.0)
+        |    / ((sstot - bg) / (CAST(n_total AS DOUBLE) - 5.0)) AS f_stat
+        |FROM e""".stripMargin,
+
+    "q_levene_bf" ->
+      """WITH vals AS (
+        |  SELECT o_orderpriority AS grp, o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS v
+        |  FROM orders),
+        |r AS (
+        |  SELECT grp, v,
+        |    CAST(row_number() OVER (PARTITION BY grp
+        |      ORDER BY CAST(v AS DOUBLE), ok) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+        |  FROM vals),
+        |med AS (SELECT grp, v AS med FROM r WHERE rnk * 2 = n + (n % 2)),
+        |z AS (
+        |  SELECT vals.grp AS grp, abs(v - med) AS z
+        |  FROM vals JOIN med ON vals.grp = med.grp),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(z) AS BIGINT) AS sv, CAST(sum(z * z) AS BIGINT) AS ss
+        |  FROM z GROUP BY grp),
+        |m AS (
+        |  SELECT max(CASE WHEN grp = '1-URGENT' THEN n END) AS n1,
+        |    max(CASE WHEN grp = '1-URGENT' THEN sv END) AS s1,
+        |    max(CASE WHEN grp = '1-URGENT' THEN ss END) AS ss1,
+        |    max(CASE WHEN grp = '2-HIGH' THEN n END) AS n2,
+        |    max(CASE WHEN grp = '2-HIGH' THEN sv END) AS s2,
+        |    max(CASE WHEN grp = '2-HIGH' THEN ss END) AS ss2,
+        |    max(CASE WHEN grp = '3-MEDIUM' THEN n END) AS n3,
+        |    max(CASE WHEN grp = '3-MEDIUM' THEN sv END) AS s3,
+        |    max(CASE WHEN grp = '3-MEDIUM' THEN ss END) AS ss3,
+        |    max(CASE WHEN grp = '4-NOT SPECIFIED' THEN n END) AS n4,
+        |    max(CASE WHEN grp = '4-NOT SPECIFIED' THEN sv END) AS s4,
+        |    max(CASE WHEN grp = '4-NOT SPECIFIED' THEN ss END) AS ss4,
+        |    max(CASE WHEN grp = '5-LOW' THEN n END) AS n5,
+        |    max(CASE WHEN grp = '5-LOW' THEN sv END) AS s5,
+        |    max(CASE WHEN grp = '5-LOW' THEN ss END) AS ss5
+        |  FROM g),
+        |e AS (
+        |  SELECT n1 + n2 + n3 + n4 + n5 AS n_total,
+        |    CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE) + CAST(s3 AS DOUBLE)
+        |      + CAST(s4 AS DOUBLE) + CAST(s5 AS DOUBLE) AS st,
+        |    CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+        |      + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+        |      + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE)
+        |      + CAST(s5 AS DOUBLE) * CAST(s5 AS DOUBLE) / CAST(n5 AS DOUBLE)
+        |      AS bg,
+        |    CAST(ss1 AS DOUBLE) + CAST(ss2 AS DOUBLE) + CAST(ss3 AS DOUBLE)
+        |      + CAST(ss4 AS DOUBLE) + CAST(ss5 AS DOUBLE) AS sstot
+        |  FROM m)
+        |SELECT n_total,
+        |  bg - st * st / CAST(n_total AS DOUBLE) AS ssb,
+        |  sstot - bg AS ssw,
+        |  ((bg - st * st / CAST(n_total AS DOUBLE)) / 4.0)
+        |    / ((sstot - bg) / (CAST(n_total AS DOUBLE) - 5.0)) AS f_bf
+        |FROM e""".stripMargin,
+
+    "q_cliffs_delta" ->
+      """WITH sample AS (
+        |  SELECT o_orderkey AS ok, o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |ranked AS (
+        |  SELECT ok, CAST(v AS DOUBLE) AS ord,
+        |    CAST(row_number() OVER (ORDER BY CAST(v AS DOUBLE), ok) AS BIGINT)
+        |      AS rnk
+        |  FROM sample),
+        |ties AS (
+        |  SELECT ord, min(rnk) + max(rnk) AS mr2
+        |  FROM ranked GROUP BY ord),
+        |mr AS (
+        |  SELECT r.ok, t.mr2, s.grp
+        |  FROM ranked r JOIN ties t ON r.ord = t.ord
+        |  JOIN sample s ON r.ok = s.ok),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(mr2) AS BIGINT) AS sr2
+        |  FROM mr GROUP BY grp),
+        |st AS (
+        |  SELECT max(CASE WHEN grp = '1-URGENT' THEN n END) AS n1,
+        |    max(CASE WHEN grp = '5-LOW' THEN n END) AS n2,
+        |    max(CASE WHEN grp = '1-URGENT' THEN sr2 END) AS r1x2
+        |  FROM g)
+        |SELECT n1, n2,
+        |  ((r1x2 - n1 * (n1 + 1)) - n1 * n2) * 1000000 // (n1 * n2)
+        |    AS cliffs_delta_ppm
+        |FROM st""".stripMargin,
+
+    "q_poisson_rate" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b
+        |  FROM events WHERE event_type IN ('click', 'view'))
+        |SELECT a, b,
+        |  CAST(a - b AS DOUBLE) / sqrt(CAST(a + b AS DOUBLE)) AS z,
+        |  a * 1000000 // b AS rate_ratio_ppm
+        |FROM c""".stripMargin,
   )
 }

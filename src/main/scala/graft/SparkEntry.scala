@@ -9080,6 +9080,148 @@ object SparkEntry {
         expr("a * 1000000 div b").as("rate_ratio_ppm"))
   }
 
+  /** Chapman capture-recapture estimate of the active-customer
+    * universe from two observation windows (1996 and 1997 order
+    * activity): N̂ = (n1+1)(n2+1)/(m+1) − 1 — the ecology estimator
+    * that data teams reuse to size "how many customers exist that we
+    * only ever see a fraction of". One scan, one customer-keyed
+    * reduce, pure integer arithmetic. */
+  private def qCaptureRecapture(s: SparkSession, dir: String): DataFrame = {
+    val flags = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L)).as("c1"),
+        max(when(year(col("o_orderdate")) === 1997, 1L).otherwise(0L)).as("c2"))
+    flags.groupBy()
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * col("c2")).as("m"))
+      .select(col("n1"), col("n2"), col("m"),
+        expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("chapman_est"))
+  }
+
+  /** All word-trigram occurrences (doc_id, g) — the TYPE space for the
+    * vocabulary-statistics queries. The synthetic corpus draws from a
+    * ~31-word list, so unigram types saturate instantly; trigram types
+    * (~16 k at sf0.01) give the realistic open-vocabulary shape. */
+  private def trigrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 2), " +
+          "i -> array_join(slice(tk, i, 3), ' '))")).as("g"))
+
+  /** Good-Turing frequency smoothing over the corpus vocabulary:
+    * r* = (r+1)·N_{r+1}/N_r for r = 1..10 from the token
+    * frequency-of-frequencies — the open-vocabulary mass estimate
+    * (r*=1's N_1/N is the unseen-token probability) every n-gram LM
+    * pipeline needs. The corpus collapses to term frequencies once;
+    * the N_r table is vocabulary-of-counts sized (tiny at any scale),
+    * so the r↔r+1 join is a broadcast no-op. Exact integer milli
+    * throughout; rows where N_{r+1}=0 drop (r* undefined there). */
+  private def qGoodTuring(s: SparkSession, dir: String): DataFrame = {
+    val freq = trigrams(s, dir)
+      .groupBy(col("g")).agg(count(lit(1)).as("r"))
+    val fof = freq.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      .localCheckpoint(eager = false)
+    fof.as("a")
+      .join(broadcast(fof.as("b")), col("a.r") + 1 === col("b.r"))
+      .filter(col("a.r") <= 10)
+      .select(col("a.r").as("r"), col("a.n_r").as("n_r"),
+        col("b.n_r").as("n_next"))
+      .withColumn("r_star_milli", expr("(r + 1) * n_next * 1000 div n_r"))
+      .orderBy(col("r"))
+  }
+
+  /** Heaps'-law vocabulary-growth curve: distinct token types seen by
+    * each tenth of the corpus (doc_id order). The scalable trick is
+    * that vocab(≤d) needs no per-checkpoint distinct pass — each
+    * type's FIRST document position determines every checkpoint it
+    * counts toward, so one min-reduce per token plus a cumulative sum
+    * over the 10-row checkpoint domain answers all checkpoints at
+    * once. The sublinearity audit behind "will more data keep adding
+    * vocabulary". */
+  private def qHeaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val total = t(s, dir, "documents").agg(count(lit(1)).as("d_total"))
+    val first = trigrams(s, dir)
+      .groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val bucketed = first.crossJoin(broadcast(total))
+      .select(expr("((first_doc + 1) * 10 + d_total - 1) div d_total")
+        .as("checkpoint"))
+      .groupBy(col("checkpoint")).agg(count(lit(1)).as("new_types"))
+    // 10 checkpoint rows: the window is a formality, not a funnel
+    bucketed.crossJoin(broadcast(total))
+      .withColumn("vocab_cum",
+        sum(col("new_types")).over(Window.orderBy(col("checkpoint"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("checkpoint"),
+        expr("d_total * checkpoint div 10").as("docs_cum"),
+        col("new_types"), col("vocab_cum"))
+      .orderBy(col("checkpoint"))
+  }
+
+  /** Per-user inter-event-gap profile + bot screen: millisecond gaps
+    * from one user-keyed lag window (user_id is high-cardinality, so
+    * the window partitions scale out), then exact integer gap moments
+    * per user — mean gap, share of gaps under an hour in ppm — and a
+    * deterministic bot flag (≥20 gaps, and >20% fast or mean gap
+    * under 2h). The abuse/automation screen every event pipeline runs
+    * before trusting engagement counts. */
+  private def qBotDetect(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus"))
+    val gaps = e
+      .withColumn("gap_ms",
+        expr("(tus - lag(tus) OVER (PARTITION BY user_id " +
+          "ORDER BY tus, event_id)) div 1000"))
+      .filter(col("gap_ms").isNotNull)
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_ms")).as("sum_gap_ms"),
+        sum(when(col("gap_ms") <= 3600000L, 1L).otherwise(0L)).as("fast"))
+      .select(col("user_id"), col("n_gaps"),
+        expr("sum_gap_ms div n_gaps").as("mean_gap_ms"),
+        expr("fast * 1000000 div n_gaps").as("fast_ppm"),
+        (col("n_gaps") >= 20 &&
+          (expr("fast * 1000000 div n_gaps") > 200000L ||
+            expr("sum_gap_ms div n_gaps") < 7200000L)).as("bot_flag"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Fellegi–Sunter probabilistic record linkage over the part
+    * catalog: candidate pairs from (size, initial) blocking — never
+    * all-pairs — scored by summing per-field agreement/disagreement
+    * log-odds (integer micro-log literals standing in for trained
+    * m/u probabilities: ln(m/u) and ln((1−m)/(1−u)) per field).
+    * Brand and type compare exactly; price agrees within $50 (cents).
+    * Pairs at or above the decision threshold ship with their field
+    * pattern — the classic ER decision rule, exact int64 end-to-end. */
+  private def qFellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size"), Analytics.cents(col("p_retailprice")).as("price_c"),
+        substring(col("p_name"), 1, 1).as("initial"))
+    val brandW = when(col("a.p_brand") === col("b.p_brand"), 2400000L)
+      .otherwise(-800000L)
+    val typeW = when(col("a.p_type") === col("b.p_type"), 1800000L)
+      .otherwise(-400000L)
+    val priceW = when(abs(col("a.price_c") - col("b.price_c")) <= 5000L,
+      900000L).otherwise(-300000L)
+    p.as("a").join(p.as("b"),
+        col("a.p_size") === col("b.p_size") &&
+          col("a.initial") === col("b.initial") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+        (col("a.p_brand") === col("b.p_brand")).as("brand_eq"),
+        (col("a.p_type") === col("b.p_type")).as("type_eq"),
+        (abs(col("a.price_c") - col("b.price_c")) <= 5000L).as("price_eq"),
+        (brandW + typeW + priceW).as("score_micro"))
+      .filter(col("score_micro") >= 2500000L)
+      .orderBy(col("k1"), col("k2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -9423,6 +9565,11 @@ object SparkEntry {
     "q_levene_bf" -> (qLeveneBf _),
     "q_cliffs_delta" -> (qCliffsDelta _),
     "q_poisson_rate" -> (qPoissonRate _),
+    "q_capture_recapture" -> (qCaptureRecapture _),
+    "q_good_turing" -> (qGoodTuring _),
+    "q_heaps" -> (qHeaps _),
+    "q_bot_detect" -> (qBotDetect _),
+    "q_fellegi_sunter" -> (qFellegiSunter _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -15775,5 +15922,106 @@ object SparkEntry {
         |  CAST(a - b AS DOUBLE) / sqrt(CAST(a + b AS DOUBLE)) AS z,
         |  a * 1000000 // b AS rate_ratio_ppm
         |FROM c""".stripMargin,
+
+    "q_capture_recapture" ->
+      """WITH flags AS (
+        |  SELECT o_custkey,
+        |    CAST(max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(max(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY o_custkey),
+        |g AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2,
+        |    CAST(sum(c1 * c2) AS BIGINT) AS m
+        |  FROM flags)
+        |SELECT n1, n2, m,
+        |  (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS chapman_est
+        |FROM g""".stripMargin,
+
+    "q_good_turing" ->
+      """WITH tri AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(tk) - 2),
+        |    i -> array_to_string(tk[i:i+2], ' '))) AS g
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) t
+        |  WHERE len(tk) >= 3),
+        |freq AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS r FROM tri GROUP BY g),
+        |fof AS (
+        |  SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM freq GROUP BY r)
+        |SELECT a.r AS r, a.n_r AS n_r, b.n_r AS n_next,
+        |  (a.r + 1) * b.n_r * 1000 // a.n_r AS r_star_milli
+        |FROM fof a JOIN fof b ON a.r + 1 = b.r
+        |WHERE a.r <= 10 ORDER BY r""".stripMargin,
+
+    "q_heaps" ->
+      """WITH total AS (SELECT CAST(count(*) AS BIGINT) AS d_total
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+        |    i -> array_to_string(tk[i:i+2], ' '))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t
+        |  WHERE len(tk) >= 3),
+        |first AS (
+        |  SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |  FROM tri GROUP BY g),
+        |bucketed AS (
+        |  SELECT ((first_doc + 1) * 10 + d_total - 1) // d_total
+        |      AS checkpoint,
+        |    CAST(count(*) AS BIGINT) AS new_types
+        |  FROM first CROSS JOIN total GROUP BY 1)
+        |SELECT checkpoint, d_total * checkpoint // 10 AS docs_cum,
+        |  new_types,
+        |  CAST(sum(new_types) OVER (ORDER BY checkpoint
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS vocab_cum
+        |FROM bucketed CROSS JOIN total ORDER BY checkpoint""".stripMargin,
+
+    "q_bot_detect" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus
+        |  FROM events),
+        |gaps AS (
+        |  SELECT user_id,
+        |    (tus - lag(tus) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id)) // 1000 AS gap_ms
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap_ms) AS BIGINT) AS sum_gap_ms,
+        |    CAST(sum(CASE WHEN gap_ms <= 3600000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fast
+        |  FROM gaps WHERE gap_ms IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_gaps,
+        |  sum_gap_ms // n_gaps AS mean_gap_ms,
+        |  fast * 1000000 // n_gaps AS fast_ppm,
+        |  (n_gaps >= 20 AND (fast * 1000000 // n_gaps > 200000
+        |    OR sum_gap_ms // n_gaps < 7200000)) AS bot_flag
+        |FROM g ORDER BY user_id""".stripMargin,
+
+    "q_fellegi_sunter" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, p_type, p_size,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+        |    substr(p_name, 1, 1) AS initial
+        |  FROM part)
+        |SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |  a.p_brand = b.p_brand AS brand_eq,
+        |  a.p_type = b.p_type AS type_eq,
+        |  abs(a.price_c - b.price_c) <= 5000 AS price_eq,
+        |  CAST(CASE WHEN a.p_brand = b.p_brand THEN 2400000 ELSE -800000 END
+        |    + CASE WHEN a.p_type = b.p_type THEN 1800000 ELSE -400000 END
+        |    + CASE WHEN abs(a.price_c - b.price_c) <= 5000
+        |        THEN 900000 ELSE -300000 END AS BIGINT) AS score_micro
+        |FROM p a JOIN p b
+        |  ON a.p_size = b.p_size AND a.initial = b.initial
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE (CASE WHEN a.p_brand = b.p_brand THEN 2400000 ELSE -800000 END
+        |    + CASE WHEN a.p_type = b.p_type THEN 1800000 ELSE -400000 END
+        |    + CASE WHEN abs(a.price_c - b.price_c) <= 5000
+        |        THEN 900000 ELSE -300000 END) >= 2500000
+        |ORDER BY k1, k2""".stripMargin,
   )
 }

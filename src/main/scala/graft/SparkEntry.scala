@@ -9222,6 +9222,134 @@ object SparkEntry {
       .orderBy(col("k1"), col("k2"))
   }
 
+  /** Folded-variance periodicity detection over daily event counts:
+    * for each candidate period p = 2..10 days, fold days by d mod p
+    * and score the fold by its between-group sum of squares — a high
+    * score means the daily series repeats at period p. The statistic
+    * is Σ_r (S_r² div n_r) − S² div N with the divisions as explicit
+    * truncating integer division — order-independent integer sums,
+    * deterministic in any engine, no transcendental spectral machinery.
+    * Everything windows over the bounded (period × fold) domain; the
+    * event scan reduces to one row per day first. */
+  private def qPeriodDetect(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val tot = daily.agg(count(lit(1)).as("nd"), sum(col("c")).as("sc"))
+    val folded = daily
+      .crossJoin(broadcast(s.range(2, 11).select(col("id").as("p"))))
+      .groupBy(col("p"), expr("d % p").as("r"))
+      .agg(sum(col("c")).as("sr"), count(lit(1)).as("nr"))
+    folded.groupBy(col("p"))
+      .agg(sum(expr("sr * sr div nr")).as("ssb_scaled"))
+      .crossJoin(broadcast(tot))
+      .select(col("p"), col("ssb_scaled"),
+        expr("ssb_scaled - sc * sc div nd").as("period_score"))
+      .orderBy(col("p"))
+  }
+
+  /** MASE-style seasonal-naive benchmark over daily revenue: is a
+    * weekly-seasonal naive forecast (value a week ago) actually better
+    * than the trivial naive (value a day ago)? Both error totals are
+    * exact integer thousand-dollar daily revenues through gap-safe
+    * day-domain self-joins (no lag window over data-sized partitions),
+    * and the ratio ships in exact ppm — under 1e6 means the weekly
+    * season is real and a forecaster should use it. */
+  private def qMase(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) " +
+        "div 100000").as("v"))
+      .localCheckpoint(eager = false)
+    val e1 = daily.as("a").join(daily.as("b"),
+        col("a.day") + 1 === col("b.day"))
+      .select(abs(col("b.v") - col("a.v")).as("e"))
+      .agg(count(lit(1)).as("n1"), sum(col("e")).as("sae1"))
+    val e7 = daily.as("a").join(daily.as("b"),
+        col("a.day") + 7 === col("b.day"))
+      .select(abs(col("b.v") - col("a.v")).as("e"))
+      .agg(count(lit(1)).as("n7"), sum(col("e")).as("sae7"))
+    e1.crossJoin(broadcast(e7))
+      .select(col("n1"), col("sae1"), col("n7"), col("sae7"),
+        expr("(sae7 * n1) * 1000000 div (sae1 * n7)").as("mase_ppm"))
+  }
+
+  /** Per-user behavioral entropy: Shannon entropy of each user's
+    * event-type mix (5 fixed types) in integer micro-nats — the
+    * engagement-diversity screen (near-zero entropy = single-action
+    * users/automation; compare q_bot_detect's timing view). The 5-term
+    * entropy tree is FIXED (q_entropy's contract) and the micro-nat
+    * floor absorbs cross-engine ln() ulp; one user-keyed reduce, no
+    * windows. */
+  private def qSessionEntropy(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cnt = (p: String) =>
+      sum(when(col("event_type") === p, 1L).otherwise(0L))
+    val byUser = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        types.zipWithIndex.map { case (p, i) => cnt(p).as(s"c$i") }: _*)
+    def entTerm(i: Int): org.apache.spark.sql.Column = {
+      val p = col(s"c$i").cast("double") / col("n").cast("double")
+      when(col(s"c$i") > 0, p * log(p)).otherwise(lit(0.0))
+    }
+    byUser
+      .withColumn("entropy_unat",
+        floor((lit(0.0) - (0 to 4).map(entTerm).reduce(_ + _)) * 1000000
+          + 0.5).cast("long"))
+      .select(col("user_id"), col("n"), col("entropy_unat"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Dedup-threshold calibration sweep: candidate pairs and docs
+    * dropped at each Jaccard threshold 0.50/0.60/0.70/0.80/0.90, all
+    * from ONE exact-Jaccard candidate-pair table (the inverted-index
+    * join — never all-pairs). The decide-the-threshold audit a dedup
+    * pipeline runs before committing to a similarity cut, sibling to
+    * q_filter_sweep's quality-threshold sweep. Dropped docs = distinct
+    * higher-id members of qualifying pairs (the keep-lowest-id rule). */
+  private def qDedupSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, minSim = 0.05)
+      .localCheckpoint(eager = false)
+    val thresholds = s.range(1, 10).select((col("id") * 100000).as("thr_ppm"))
+    // exact rational qualification: shared/(n1+n2-shared) >= thr as an
+    // integer cross-multiply — no double ever decides a boundary pair
+    val q = col("shared") * 1000000 >=
+      col("thr_ppm") * (col("n1") + col("n2") - col("shared"))
+    pairs.crossJoin(broadcast(thresholds))
+      .groupBy(col("thr_ppm"))
+      .agg(sum(when(q, 1L).otherwise(0L)).as("n_pairs"),
+        countDistinct(when(q, col("d2"))).as("docs_dropped"))
+      .orderBy(col("thr_ppm"))
+  }
+
+  /** Embedding-norm audit: per-label L2-norm profile (mean in exact
+    * fixed point, min/max) plus degenerate-vector counts — the data-
+    * quality gate before any cosine math is trusted (zero or tiny
+    * norms poison similarity search silently). Norms are exact
+    * fixed-point integers via the same 1e-9 per-term quantization the
+    * similarity stack uses; one label-keyed reduce, no shuffle of the
+    * vectors themselves beyond it. */
+  private def qVectorNorms(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        graft.functions.kernels.fixed_point_dot(col("embedding"),
+          col("embedding")).as("nrm_fp"))
+    emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("nrm_fp")).as("sum_nrm_fp"),
+        min(col("nrm_fp")).as("min_nrm_fp"),
+        max(col("nrm_fp")).as("max_nrm_fp"),
+        sum(when(col("nrm_fp") < 10000000L, 1L).otherwise(0L))
+          .as("degenerate"))
+      .select(col("label"), col("n"),
+        expr("sum_nrm_fp div n").as("mean_nrm_fp"),
+        col("min_nrm_fp"), col("max_nrm_fp"), col("degenerate"))
+      .orderBy(col("label"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -9570,6 +9698,11 @@ object SparkEntry {
     "q_heaps" -> (qHeaps _),
     "q_bot_detect" -> (qBotDetect _),
     "q_fellegi_sunter" -> (qFellegiSunter _),
+    "q_period_detect" -> (qPeriodDetect _),
+    "q_mase" -> (qMase _),
+    "q_session_entropy" -> (qSessionEntropy _),
+    "q_dedup_sweep" -> (qDedupSweep _),
+    "q_vector_norms" -> (qVectorNorms _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -16023,5 +16156,102 @@ object SparkEntry {
         |    + CASE WHEN abs(a.price_c - b.price_c) <= 5000
         |        THEN 900000 ELSE -300000 END) >= 2500000
         |ORDER BY k1, k2""".stripMargin,
+
+    "q_period_detect" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |  CAST(sum(c) AS BIGINT) AS sc FROM daily),
+        |periods AS (SELECT CAST(unnest(generate_series(2, 10)) AS BIGINT)
+        |  AS p),
+        |folded AS (
+        |  SELECT p, d % p AS r, CAST(sum(c) AS BIGINT) AS sr,
+        |    CAST(count(*) AS BIGINT) AS nr
+        |  FROM daily CROSS JOIN periods GROUP BY 1, 2),
+        |scores AS (
+        |  SELECT p, CAST(sum(sr * sr // nr) AS BIGINT) AS ssb_scaled
+        |  FROM folded GROUP BY p)
+        |SELECT p, ssb_scaled, ssb_scaled - sc * sc // nd AS period_score
+        |FROM scores CROSS JOIN tot ORDER BY p""".stripMargin,
+
+    "q_mase" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS v
+        |  FROM orders GROUP BY 1),
+        |e1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(sum(abs(b.v - a.v)) AS BIGINT) AS sae1
+        |  FROM daily a JOIN daily b ON a.day + 1 = b.day),
+        |e7 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n7,
+        |    CAST(sum(abs(b.v - a.v)) AS BIGINT) AS sae7
+        |  FROM daily a JOIN daily b ON a.day + 7 = b.day)
+        |SELECT n1, sae1, n7, sae7,
+        |  (sae7 * n1) * 1000000 // (sae1 * n7) AS mase_ppm
+        |FROM e1 CROSS JOIN e7""".stripMargin,
+
+    "q_session_entropy" ->
+      """WITH byu AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c4
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n,
+        |  CAST(floor((0.0 - (
+        |    (CASE WHEN c0 > 0 THEN (CAST(c0 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c0 AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END)
+        |    + (CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END)
+        |    + (CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END)
+        |    + (CASE WHEN c3 > 0 THEN (CAST(c3 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c3 AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END)
+        |    + (CASE WHEN c4 > 0 THEN (CAST(c4 AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c4 AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END)
+        |    )) * 1000000 + 0.5) AS BIGINT) AS entropy_unat
+        |FROM byu ORDER BY user_id""".stripMargin,
+
+    "q_dedup_sweep" ->
+      s"""WITH $duckShingles,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |cand AS (
+         |  SELECT doc_id, s FROM sh
+         |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s
+         |                  HAVING count(*) > ${graft.llm.Dedup.DefaultMaxShingleDf})),
+         |p AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         |  FROM cand a JOIN cand b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2, CAST(shared AS BIGINT) AS shared,
+         |    CAST(c1.n AS BIGINT) AS n1, CAST(c2.n AS BIGINT) AS n2
+         |  FROM p JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+         |  WHERE shared / (c1.n + c2.n - shared) >= 0.05),
+         |thr AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) * 100000
+         |  AS thr_ppm)
+         |SELECT thr_ppm,
+         |  CAST(sum(CASE WHEN shared * 1000000 >= thr_ppm * (n1 + n2 - shared)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT CASE WHEN shared * 1000000
+         |      >= thr_ppm * (n1 + n2 - shared) THEN d2 END) AS BIGINT)
+         |    AS docs_dropped
+         |FROM pairs CROSS JOIN thr GROUP BY thr_ppm
+         |ORDER BY thr_ppm""".stripMargin,
+
+    "q_vector_norms" ->
+      s"""WITH e AS (
+         |  SELECT CAST(label AS BIGINT) AS label,
+         |    ${duckDot("embedding", "embedding")} AS nrm_fp
+         |  FROM embeddings)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(nrm_fp) AS BIGINT) // count(*) AS mean_nrm_fp,
+         |  CAST(min(nrm_fp) AS BIGINT) AS min_nrm_fp,
+         |  CAST(max(nrm_fp) AS BIGINT) AS max_nrm_fp,
+         |  CAST(sum(CASE WHEN nrm_fp < 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS degenerate
+         |FROM e GROUP BY label ORDER BY label""".stripMargin,
   )
 }

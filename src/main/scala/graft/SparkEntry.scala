@@ -9350,6 +9350,144 @@ object SparkEntry {
       .orderBy(col("label"))
   }
 
+  /** Temporal train/test split audit (cutoff 1998-01-01): per nation,
+    * order and customer counts on each side plus the STRADDLING
+    * customers — the population whose test-period behavior is partly
+    * memorized by any model trained on the pre-period (the temporal
+    * cousin of q_group_split's row-vs-group leakage audit). One
+    * customer-keyed reduce carrying two booleans; straddle share in
+    * exact ppm of test-side customers. */
+  private def qTemporalSplit(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("date")
+    val per = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_custkey"))
+      .agg(
+        sum(when(col("o_orderdate") < cut, 1L).otherwise(0L)).as("n_tr"),
+        sum(when(col("o_orderdate") >= cut, 1L).otherwise(0L)).as("n_te"))
+    per.groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(sum(col("n_tr")).as("train_orders"),
+        sum(col("n_te")).as("test_orders"),
+        sum(when(col("n_tr") > 0, 1L).otherwise(0L)).as("train_customers"),
+        sum(when(col("n_te") > 0, 1L).otherwise(0L)).as("test_customers"),
+        sum(when(col("n_tr") > 0 && col("n_te") > 0, 1L).otherwise(0L))
+          .as("straddling"))
+      .withColumn("straddle_ppm",
+        expr("straddling * 1000000 div test_customers"))
+      .orderBy(col("nation"))
+  }
+
+  /** Robust feature scaling ((x − median)/IQR, the outlier-proof
+    * alternative to z-scoring): per-priority median/q1/q3 selected on
+    * the two-pass grouped rank (the q_percentile_exact machinery),
+    * then a deterministic order sample is emitted with its scaled
+    * value in exact ppm — (v − med)·1e6 div IQR, integer end-to-end.
+    * The broadcast of the 5-row fence table back onto the scan is the
+    * same shape q_outliers_iqr pins. */
+  private def qRobustScaler(s: SparkSession, dir: String): DataFrame = {
+    val fences = orderPricePercentiles(s, dir, Seq(25, 50, 75))
+      .select(col("o_orderpriority").as("prio"), col("p25_c"),
+        col("p50_c"), col("p75_c"))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 997 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        Analytics.cents(col("o_totalprice")).as("v_c"))
+      .join(broadcast(fences), col("o_orderpriority") === col("prio"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("v_c"),
+        expr("(v_c - p50_c) * 1000000 div (p75_c - p25_c)")
+          .as("scaled_ppm"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Per-source corpus novelty: the share of each source's trigram
+    * TYPES that appear in no other source — near-zero novelty means
+    * the source is redundant with the rest of the corpus (mirror
+    * scrapes, syndication), novelty ≈ 1 means it contributes unique
+    * text. Type-level source counts collapse the corpus once; a type
+    * is exclusive when its distinct-source count is 1. Exact ppm. */
+  private def qNovelty(s: SparkSession, dir: String): DataFrame = {
+    val typed = t(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(tk) - 2), " +
+          "i -> array_join(slice(tk, i, 3), ' '))")).as("g"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val spread = typed.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_sources"))
+    typed.join(spread, "g")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("types"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L))
+          .as("exclusive_types"))
+      .withColumn("novelty_ppm",
+        expr("exclusive_types * 1000000 div types"))
+      .orderBy(col("source"))
+  }
+
+  /** Funnel conversion-window sweep: signup→purchase conversion at
+    * 1 h / 6 h / 24 h windows, all from ONE pass — per user the first
+    * signup and the earliest subsequent purchase delta, then each
+    * window is a threshold count over that tiny per-user table (the
+    * sweep discipline of q_filter_sweep/q_dedup_sweep applied to
+    * funnel design: pick the attribution window from evidence, not
+    * convention). */
+  private def qFunnelWindows(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("event_type"),
+      expr("ts div 1000000000").as("sec"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t_signup"))
+    val dt = e.join(s1, "user_id")
+      .filter(col("event_type") === "purchase" &&
+        col("sec") >= col("t_signup"))
+      .groupBy(col("user_id"))
+      .agg((min(col("sec") - col("t_signup"))).as("dt"))
+    val signups = s1.agg(count(lit(1)).as("signups"))
+    val windows = s.range(0, 3).select(
+      when(col("id") === 0, 3600L).when(col("id") === 1, 21600L)
+        .otherwise(86400L).as("window_sec"))
+    dt.crossJoin(broadcast(windows))
+      .groupBy(col("window_sec"))
+      .agg(sum(when(col("dt") <= col("window_sec"), 1L).otherwise(0L))
+        .as("converted"))
+      .crossJoin(broadcast(signups))
+      .withColumn("cvr_ppm", expr("converted * 1000000 div signups"))
+      .orderBy(col("window_sec"))
+  }
+
+  /** First-touch attribution — the acquisition-side complement of
+    * q_attribution's last-touch: each purchase is credited to the
+    * channel of its user's FIRST click ever, provided that click
+    * precedes the purchase (later-first-click purchases stay
+    * unattributed at channel −1). The first click is a deterministic
+    * struct-min per user (one reduce; (ts, event_id) unique), so no
+    * per-purchase as-of pass is needed — first touch is a user-level
+    * fact, which is exactly why marketers like it at scale. */
+  private def qFirstTouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        Analytics.fp(col("value"), 1000L).as("v_milli"))
+    val firstClick = ev.filter(col("event_type") === "click")
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          (get_json_object(col("props"), "$.k").cast("long") % 4)
+            .as("channel")).as("c"))
+      .groupBy(col("user_id"))
+      .agg(min(col("c")).as("fc"))
+      .select(col("user_id"), col("fc.ts").as("fc_ts"),
+        col("fc.channel").as("fc_channel"))
+    purchases.join(firstClick, Seq("user_id"), "left")
+      .groupBy(when(col("fc_ts").isNotNull && col("fc_ts") <= col("ts"),
+          col("fc_channel")).otherwise(lit(-1L)).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("v_milli")).as("value_milli"))
+      .orderBy(col("channel"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -9703,6 +9841,11 @@ object SparkEntry {
     "q_session_entropy" -> (qSessionEntropy _),
     "q_dedup_sweep" -> (qDedupSweep _),
     "q_vector_norms" -> (qVectorNorms _),
+    "q_temporal_split" -> (qTemporalSplit _),
+    "q_robust_scaler" -> (qRobustScaler _),
+    "q_novelty" -> (qNovelty _),
+    "q_funnel_windows" -> (qFunnelWindows _),
+    "q_first_touch" -> (qFirstTouch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -16253,5 +16396,121 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN nrm_fp < 10000000 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS degenerate
          |FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_temporal_split" ->
+      """WITH per AS (
+        |  SELECT c_nationkey, o_custkey,
+        |    CAST(sum(CASE WHEN o_orderdate < DATE '1998-01-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+        |    CAST(sum(CASE WHEN o_orderdate >= DATE '1998-01-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_te
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  CAST(sum(n_tr) AS BIGINT) AS train_orders,
+        |  CAST(sum(n_te) AS BIGINT) AS test_orders,
+        |  CAST(sum(CASE WHEN n_tr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS train_customers,
+        |  CAST(sum(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS test_customers,
+        |  CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS straddling,
+        |  CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000
+        |    // CAST(sum(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS straddle_ppm
+        |FROM per GROUP BY 1 ORDER BY nation""".stripMargin,
+
+    "q_robust_scaler" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c, o_orderkey
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, c,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY CAST(c AS DOUBLE), o_orderkey) AS rnk,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM c),
+        |f AS (
+        |  SELECT o_orderpriority AS prio,
+        |    max(CASE WHEN rnk = (n * 25 + 99) // 100 THEN c END) AS p25_c,
+        |    max(CASE WHEN rnk = (n * 50 + 99) // 100 THEN c END) AS p50_c,
+        |    max(CASE WHEN rnk = (n * 75 + 99) // 100 THEN c END) AS p75_c
+        |  FROM r
+        |  WHERE rnk IN ((n * 25 + 99) // 100, (n * 50 + 99) // 100,
+        |                (n * 75 + 99) // 100)
+        |  GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v_c,
+        |  (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) - p50_c)
+        |    * 1000000 // (p75_c - p25_c) AS scaled_ppm
+        |FROM orders JOIN f ON o_orderpriority = prio
+        |WHERE o_orderkey % 997 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q_novelty" ->
+      """WITH typed AS (
+        |  SELECT DISTINCT source, g FROM (
+        |    SELECT source,
+        |      unnest(list_transform(generate_series(1, len(tk) - 2),
+        |        i -> array_to_string(tk[i:i+2], ' '))) AS g
+        |    FROM (SELECT source, string_split(text, ' ') AS tk
+        |          FROM documents) t
+        |    WHERE len(tk) >= 3) u),
+        |spread AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_sources
+        |  FROM typed GROUP BY g)
+        |SELECT source, CAST(count(*) AS BIGINT) AS types,
+        |  CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS exclusive_types,
+        |  CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(count(*) AS BIGINT) AS novelty_ppm
+        |FROM typed JOIN spread USING (g)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_funnel_windows" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, CAST(min(sec) AS BIGINT) AS t_signup
+        |  FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |dt AS (
+        |  SELECT e.user_id, CAST(min(e.sec - t_signup) AS BIGINT) AS dt
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.sec >= t_signup
+        |  GROUP BY e.user_id),
+        |signups AS (SELECT CAST(count(*) AS BIGINT) AS signups FROM s1),
+        |w AS (SELECT CAST(unnest([3600, 21600, 86400]) AS BIGINT)
+        |  AS window_sec)
+        |SELECT window_sec,
+        |  CAST(sum(CASE WHEN dt <= window_sec THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS converted,
+        |  signups,
+        |  CAST(sum(CASE WHEN dt <= window_sec THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // signups AS cvr_ppm
+        |FROM dt CROSS JOIN w CROSS JOIN signups
+        |GROUP BY window_sec, signups ORDER BY window_sec""".stripMargin,
+
+    "q_first_touch" ->
+      """WITH p AS (
+        |  SELECT user_id, ts,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli
+        |  FROM events WHERE event_type = 'purchase'),
+        |fc AS (
+        |  SELECT user_id, ts AS fc_ts, channel AS fc_channel FROM (
+        |    SELECT user_id, ts,
+        |      CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+        |        AS channel,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS rn
+        |    FROM events WHERE event_type = 'click') t
+        |  WHERE rn = 1)
+        |SELECT CASE WHEN fc_ts IS NOT NULL AND fc_ts <= p.ts
+        |    THEN fc_channel ELSE -1 END AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(v_milli) AS BIGINT) AS value_milli
+        |FROM p LEFT JOIN fc ON p.user_id = fc.user_id
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
   )
 }

@@ -9488,6 +9488,108 @@ object SparkEntry {
       .orderBy(col("channel"))
   }
 
+  /** Paasche price index (current-basket companion to q_laspeyres's
+    * base-basket index — economists quote the pair): numerator is the
+    * year's actual spend, denominator prices the year's quantities at
+    * base-1996 unit prices via the same two-step integer division
+    * discipline. Laspeyres ≥ Paasche spread = substitution bias. */
+  private def qPaasche(s: SparkSession, dir: String): DataFrame = {
+    val py = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), year(col("l_shipdate")).cast("long").as("yr"))
+      .agg(sum(Analytics.cents(col("l_extendedprice"))).as("cents"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .localCheckpoint(eager = false)
+    val base = py.filter(col("yr") === 1996)
+      .select(col("l_partkey"), col("cents").as("cents0"),
+        col("qty").as("q0"))
+    py.join(base, "l_partkey")
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("cents")).as("numer"),
+        sum(expr("cents0 * qty div q0")).as("denom"))
+      .withColumn("index_ppm", expr("numer * 1000000 div denom"))
+      .select(col("yr"), col("n_parts"), col("index_ppm"))
+      .orderBy(col("yr"))
+  }
+
+  /** Sample-ratio-mismatch (SRM) guard for the q_ab_test experiment:
+    * a 50/50 customer-parity split whose observed arm sizes drift is
+    * a broken randomizer — the FIRST check any experiment readout
+    * must pass. χ²(1 df) = (n0−n1)²/(n0+n1) against the even split,
+    * shipped in exact milli via integer cross-multiply (squares of
+    * arm-count deltas stay far inside int64 at any scale). */
+  private def qAbSrm(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "orders")
+      .groupBy((col("o_custkey") % 2).as("variant"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+    g.filter(col("variant") === 0).select(col("n").as("n0"))
+      .crossJoin(g.filter(col("variant") === 1).select(col("n").as("n1")))
+      .select(col("n0"), col("n1"),
+        expr("(n0 - n1) * (n0 - n1) * 1000 div (n0 + n1)")
+          .as("chi2_milli"),
+        (expr("(n0 - n1) * (n0 - n1) * 1000 div (n0 + n1)") >= 3841L)
+          .as("srm_flag"))
+  }
+
+  /** Hill tail-index estimator of the order-value distribution: over
+    * the top-201 order statistics (TakeOrdered — a per-partition heap,
+    * never a global sort), α̂ = k / Σ ln(xᵢ/x_thr) with each log term
+    * rounded to integer micro-nats BEFORE the sum (q_entropy's
+    * contract: the rounding absorbs cross-engine ln ulp and makes the
+    * reduction order-independent). α̂ ≈ 1 means an extreme heavy tail
+    * (top orders dominate revenue); the quantitative companion to
+    * q_pareto/q_lorenz_gini. */
+  private def qTailIndex(s: SparkSession, dir: String): DataFrame = {
+    val top = t(s, dir, "orders")
+      .select(Analytics.cents(col("o_totalprice")).as("v"),
+        col("o_orderkey").as("ok"))
+      .orderBy(col("v").desc, col("ok"))
+      .limit(201)
+      .localCheckpoint(eager = false)
+    val thr = top.agg(min(col("v")).as("x_thr"))
+    top.crossJoin(broadcast(thr))
+      .select(floor(log(col("v").cast("double") /
+          col("x_thr").cast("double")) * 1000000 + 0.5).cast("long")
+        .as("term_unat"), col("x_thr"))
+      .groupBy(col("x_thr"))
+      .agg(count(lit(1)).as("k_plus_1"), sum(col("term_unat")).as("sum_unat"))
+      .select(col("x_thr").as("x_thr_cents"), col("k_plus_1"),
+        col("sum_unat"),
+        expr("(k_plus_1 - 1) * 1000000000 div sum_unat")
+          .as("hill_alpha_milli"))
+  }
+
+  /** 7-day rolling correlation between daily click and purchase
+    * volumes: the co-movement monitor ("did purchases decouple from
+    * clicks this week?"). The event stream collapses to one row per
+    * day first; every windowed sum is an exact integer over the
+    * gap-safe RANGE frame on the bounded day DOMAIN (calendar-sized,
+    * never data-sized), and each day's r is a fixed IEEE tree over
+    * those six exact sums. */
+  private def qRollingCorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(expr("ts div 86400000000000").as("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    // day-domain window: calendar-bounded rows, RANGE frame is gap-safe
+    val w = Window.orderBy(col("d")).rangeBetween(-6, 0)
+    val sums = daily
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+    val num = (col("nw") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (col("nw") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (col("nw") * col("syy") - col("sy") * col("sy")).cast("double")
+    sums.select(col("d"), col("nw"), col("x"), col("y"),
+        when(col("nw") >= 3, num / (sqrt(dx) * sqrt(dy))).as("r"))
+      .orderBy(col("d"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -9846,6 +9948,10 @@ object SparkEntry {
     "q_novelty" -> (qNovelty _),
     "q_funnel_windows" -> (qFunnelWindows _),
     "q_first_touch" -> (qFirstTouch _),
+    "q_paasche" -> (qPaasche _),
+    "q_ab_srm" -> (qAbSrm _),
+    "q_tail_index" -> (qTailIndex _),
+    "q_rolling_corr" -> (qRollingCorr _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -16512,5 +16618,77 @@ object SparkEntry {
         |  CAST(sum(v_milli) AS BIGINT) AS value_milli
         |FROM p LEFT JOIN fc ON p.user_id = fc.user_id
         |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "q_paasche" ->
+      """WITH py AS (
+        |  SELECT l_partkey, CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY l_partkey, year(l_shipdate)),
+        |base AS (
+        |  SELECT l_partkey, cents AS cents0, qty AS q0
+        |  FROM py WHERE yr = 1996)
+        |SELECT yr, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) * 1000000
+        |    // CAST(sum(cents0 * qty // q0) AS BIGINT) AS index_ppm
+        |FROM py JOIN base USING (l_partkey)
+        |GROUP BY yr ORDER BY yr""".stripMargin,
+
+    "q_ab_srm" ->
+      """WITH g AS (
+        |  SELECT o_custkey % 2 AS variant,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+        |    max(CASE WHEN variant = 1 THEN n END) AS n1
+        |  FROM g)
+        |SELECT n0, n1,
+        |  (n0 - n1) * (n0 - n1) * 1000 // (n0 + n1) AS chi2_milli,
+        |  ((n0 - n1) * (n0 - n1) * 1000 // (n0 + n1)) >= 3841 AS srm_flag
+        |FROM w""".stripMargin,
+
+    "q_tail_index" ->
+      """WITH top AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |    o_orderkey AS ok
+        |  FROM orders ORDER BY v DESC, ok LIMIT 201),
+        |thr AS (SELECT CAST(min(v) AS BIGINT) AS x_thr FROM top),
+        |terms AS (
+        |  SELECT CAST(floor(ln(CAST(v AS DOUBLE) / CAST(x_thr AS DOUBLE))
+        |    * 1000000 + 0.5) AS BIGINT) AS term_unat, x_thr
+        |  FROM top CROSS JOIN thr)
+        |SELECT x_thr AS x_thr_cents, CAST(count(*) AS BIGINT) AS k_plus_1,
+        |  CAST(sum(term_unat) AS BIGINT) AS sum_unat,
+        |  (CAST(count(*) AS BIGINT) - 1) * 1000000000
+        |    // CAST(sum(term_unat) AS BIGINT) AS hill_alpha_milli
+        |FROM terms GROUP BY x_thr""".stripMargin,
+
+    "q_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS d,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT d, x, y,
+        |    CAST(count(*) OVER w AS BIGINT) AS nw,
+        |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+        |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT d, nw, x, y,
+        |  CASE WHEN nw >= 3 THEN
+        |    CAST(nw * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(nw * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(nw * syy - sy * sy AS DOUBLE)))
+        |  END AS r
+        |FROM s ORDER BY d""".stripMargin,
   )
 }

@@ -9590,6 +9590,111 @@ object SparkEntry {
       .orderBy(col("d"))
   }
 
+  /** Burst detection on the hourly event stream (Kleinberg-lite): an
+    * hour bursts when its count exceeds 1.2× the trailing-24h mean —
+    * decided by integer cross-multiply (c·20 > Σtrail), no division
+    * anywhere — and consecutive bursting hours merge into episodes via
+    * the gaps-and-islands prefix trick. All windows ride the bounded
+    * hour DOMAIN (calendar-sized); the stream collapses to one row per
+    * hour first. Output: burst episodes with span and peak. */
+  private def qBurstDetect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events(s, dir)
+      .groupBy(expr("ts div 3600000000000").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val wTrail = Window.orderBy(col("h")).rangeBetween(-24, -1)
+    val flagged = hourly
+      .withColumn("trail", sum(col("c")).over(wTrail))
+      .withColumn("n_trail", count(lit(1)).over(wTrail))
+      // full-trailing-day context only: the first day can't burst
+      .withColumn("burst",
+        col("n_trail") === 24 && col("c") * 20 > col("trail"))
+    val wAll = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged
+      .withColumn("island", sum(when(col("burst"), 0L).otherwise(1L)).over(wAll))
+      .filter(col("burst"))
+      .groupBy(col("island"))
+      .agg(min(col("h")).as("start_h"), max(col("h")).as("end_h"),
+        count(lit(1)).as("hours"), max(col("c")).as("peak"),
+        sum(col("c")).as("events"))
+      .select(col("start_h"), col("end_h"), col("hours"), col("peak"),
+        col("events"))
+      .orderBy(col("start_h"))
+  }
+
+  /** Telemetry double-fire screen: consecutive identical events per
+    * user within 5 s (same type, near-same timestamp) are SDK retries /
+    * double-sends that silently inflate engagement. One user-keyed lag
+    * window (high-cardinality partitions — scalable), exact integer
+    * millisecond deltas, per-type dup counts and ppm share. */
+  private def qAdjacentDup(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), expr("ts div 1000000").as("tms"))
+    val lagged = e.withColumn("prev_type",
+        expr("lag(event_type) OVER (PARTITION BY user_id " +
+          "ORDER BY tms, event_id)"))
+      .withColumn("prev_tms",
+        expr("lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id)"))
+    lagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("prev_type") === col("event_type") &&
+          col("tms") - col("prev_tms") <= 5000L, 1L).otherwise(0L))
+          .as("dup_fires"))
+      .withColumn("dup_ppm", expr("dup_fires * 1000000 div n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Join-cardinality prediction audit: for the orders⋈lineitem key,
+    * predicted output size Σ_k cA(k)·cB(k) from the two sides'
+    * per-key histograms vs the ACTUAL join count — the pre-flight
+    * explosion guard a 100 TB join plan runs before committing to a
+    * shuffle (the formula is what a CBO uses; here it's proven exact
+    * against the real join), plus the hottest key's contribution. */
+  private def qJoinCardinality(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").groupBy(col("o_orderkey").as("k"))
+      .agg(count(lit(1)).as("ca"))
+    val b = t(s, dir, "lineitem").groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("cb"))
+    val prods = a.join(b, "k")
+      .select(col("k"), (col("ca") * col("cb")).as("prod"))
+      .localCheckpoint(eager = false)
+    val predicted = prods.agg(sum(col("prod")).as("predicted"))
+    val actual = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("actual"))
+    val top = prods.agg(max(col("prod")).as("hottest_key_rows"))
+    predicted.crossJoin(broadcast(actual)).crossJoin(broadcast(top))
+      .select(col("predicted"), col("actual"),
+        (col("predicted") === col("actual")).as("formula_exact"),
+        col("hottest_key_rows"))
+  }
+
+  /** Weekday-seasonality strength: the share of daily-revenue
+    * variance explained by day-of-week, SSB·1e6 div SST with the
+    * between-group term in the same explicit truncating-integer-
+    * division discipline as q_period_detect — the effect-size number
+    * that tells a forecaster whether q_weekday_effect's indices are
+    * worth modeling (near 0 ⇒ weekday is noise). */
+  private def qWeekdayStrength(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) " +
+        "div 100000").as("v"))
+      .localCheckpoint(eager = false)
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+      sum(col("v") * col("v")).as("svv"))
+    val byDow = daily.groupBy(expr("(day + 4) % 7").as("dow"))
+      .agg(sum(col("v")).as("sr"), count(lit(1)).as("nr"))
+    byDow.agg(sum(expr("sr * sr div nr")).as("bg_scaled"))
+      .crossJoin(broadcast(tot))
+      .select(col("n").as("n_days"),
+        expr("bg_scaled - sv * sv div n").as("ssb_scaled"),
+        expr("svv - sv * sv div n").as("sst_scaled"),
+        expr("(bg_scaled - sv * sv div n) * 1000000 " +
+          "div (svv - sv * sv div n)").as("strength_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -9952,6 +10057,10 @@ object SparkEntry {
     "q_ab_srm" -> (qAbSrm _),
     "q_tail_index" -> (qTailIndex _),
     "q_rolling_corr" -> (qRollingCorr _),
+    "q_burst_detect" -> (qBurstDetect _),
+    "q_adjacent_dup" -> (qAdjacentDup _),
+    "q_join_cardinality" -> (qJoinCardinality _),
+    "q_weekday_strength" -> (qWeekdayStrength _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -16690,5 +16799,94 @@ object SparkEntry {
         |       sqrt(CAST(nw * syy - sy * sy AS DOUBLE)))
         |  END AS r
         |FROM s ORDER BY d""".stripMargin,
+
+    "q_burst_detect" ->
+      """WITH hourly AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS h,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT h, c,
+        |    CAST(sum(c) OVER w AS BIGINT) AS trail,
+        |    CAST(count(*) OVER w AS BIGINT) AS n_trail
+        |  FROM hourly
+        |  WINDOW w AS (ORDER BY h RANGE BETWEEN 24 PRECEDING
+        |    AND 1 PRECEDING)),
+        |b AS (
+        |  SELECT h, c, (n_trail = 24 AND c * 20 > trail) AS burst
+        |  FROM f),
+        |i AS (
+        |  SELECT h, c, burst,
+        |    CAST(sum(CASE WHEN burst THEN 0 ELSE 1 END) OVER (ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM b)
+        |SELECT CAST(min(h) AS BIGINT) AS start_h,
+        |  CAST(max(h) AS BIGINT) AS end_h,
+        |  CAST(count(*) AS BIGINT) AS hours,
+        |  CAST(max(c) AS BIGINT) AS peak,
+        |  CAST(sum(c) AS BIGINT) AS events
+        |FROM i WHERE burst GROUP BY island ORDER BY start_h""".stripMargin,
+
+    "q_adjacent_dup" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000 AS tms
+        |  FROM events),
+        |lagged AS (
+        |  SELECT event_type, tms,
+        |    lag(event_type) OVER w AS prev_type,
+        |    lag(tms) OVER w AS prev_tms
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN prev_type = event_type
+        |    AND tms - prev_tms <= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_fires,
+        |  CAST(sum(CASE WHEN prev_type = event_type
+        |    AND tms - prev_tms <= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(count(*) AS BIGINT) AS dup_ppm
+        |FROM lagged GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_join_cardinality" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+        |  FROM lineitem GROUP BY 1),
+        |prods AS (
+        |  SELECT a.k, ca * cb AS prod FROM a JOIN b ON a.k = b.k),
+        |p AS (SELECT CAST(sum(prod) AS BIGINT) AS predicted,
+        |  CAST(max(prod) AS BIGINT) AS hottest_key_rows FROM prods),
+        |act AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS actual
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT predicted, actual, predicted = actual AS formula_exact,
+        |  hottest_key_rows
+        |FROM p CROSS JOIN act""".stripMargin,
+
+    "q_weekday_strength" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS v
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sv,
+        |  CAST(sum(v * v) AS BIGINT) AS svv FROM daily),
+        |bydow AS (
+        |  SELECT (day + 4) % 7 AS dow, CAST(sum(v) AS BIGINT) AS sr,
+        |    CAST(count(*) AS BIGINT) AS nr
+        |  FROM daily GROUP BY 1),
+        |bg AS (SELECT CAST(sum(sr * sr // nr) AS BIGINT) AS bg_scaled
+        |  FROM bydow)
+        |SELECT n AS n_days,
+        |  bg_scaled - sv * sv // n AS ssb_scaled,
+        |  svv - sv * sv // n AS sst_scaled,
+        |  (bg_scaled - sv * sv // n) * 1000000 // (svv - sv * sv // n)
+        |    AS strength_ppm
+        |FROM bg CROSS JOIN tot""".stripMargin,
   )
 }

@@ -9695,6 +9695,142 @@ object SparkEntry {
           "div (svv - sv * sv div n)").as("strength_ppm"))
   }
 
+  /** Hurst exponent by rescaled-range (R/S) analysis of daily revenue
+    * — long-memory detection (H≈0.5 random walk, H→1 trending, H→0.5⁻
+    * mean-reverting). Blocks of m ∈ {16, 64} days: within each block
+    * the cumulative-deviation range is EXACT after scaling by m
+    * (m·Σᵢvᵢ − (j+1)·S stays integer — no mean ever materializes as a
+    * double), R/S collapses to R′/√(m·Σv² − S²) with ONE div + ONE
+    * sqrt per block, rounded to micro before the cross-block mean so
+    * the reduction is order-independent. H from the two block sizes'
+    * log-mean-R/S slope over the ln 4 micro-nat literal. Block windows
+    * are m-row bounded; blocks scale out. */
+  private def qHurst(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) " +
+        "div 100000").as("v"))
+    val ranked = daily
+      .withColumn("rnk", row_number().over(Window.orderBy(col("day")))
+        .cast("long"))
+      .crossJoin(broadcast(s.range(0, 2).select(
+        when(col("id") === 0, 16L).otherwise(64L).as("m"))))
+      .select(col("m"), expr("(rnk - 1) div m").as("blk"),
+        expr("(rnk - 1) % m").as("pos"), col("v"))
+    val wBlk = Window.partitionBy(col("m"), col("blk"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ranked
+      .withColumn("cv", sum(col("v")).over(wBlk))
+      .withColumn("cdev", col("m") * col("cv") -
+        (col("pos") + 1) * sum(col("v")).over(
+          Window.partitionBy(col("m"), col("blk"))))
+    val perBlock = cum.groupBy(col("m"), col("blk"))
+      .agg(count(lit(1)).as("nb"), sum(col("v")).as("sb"),
+        sum(col("v") * col("v")).as("ssb"),
+        max(col("cdev")).as("cmax"), min(col("cdev")).as("cmin"))
+      .filter(col("nb") === col("m"))
+      .select(col("m"),
+        floor((col("cmax") - col("cmin")).cast("double") /
+          sqrt((col("m") * col("ssb") - col("sb") * col("sb"))
+            .cast("double")) * 1000000 + 0.5).cast("long").as("rs_micro"))
+    val perM = perBlock.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("rs_micro")).as("srs"))
+      .select(col("m"), col("n_blocks"),
+        expr("srs div n_blocks").as("mean_rs_micro"))
+      .withColumn("l_unat",
+        floor(log(col("mean_rs_micro").cast("double") / 1000000.0)
+          * 1000000 + 0.5).cast("long"))
+    perM.groupBy()
+      .agg(max(when(col("m") === 16, col("mean_rs_micro"))).as("rs16_micro"),
+        max(when(col("m") === 64, col("mean_rs_micro"))).as("rs64_micro"),
+        max(when(col("m") === 16, col("l_unat"))).as("l16"),
+        max(when(col("m") === 64, col("l_unat"))).as("l64"))
+      .select(col("rs16_micro"), col("rs64_micro"),
+        expr("(l64 - l16) * 1000 div 1386294").as("hurst_milli"))
+  }
+
+  /** Empirical-Bayes shrinkage of per-nation urgent-order rates
+    * (beta-binomial, moment-matched prior): small nations get pulled
+    * toward the cross-nation mean in proportion to their evidence —
+    * the league-table correction that stops a 40-order nation topping
+    * a ranking on noise. Per-nation counts are exact; the prior's
+    * (a, a+b) come from a fixed double tree over the k EQUAL-WEIGHTED
+    * ppm rates (integer sums, so the moment match is order-
+    * independent); each nation's shrunk rate is one fixed tree over
+    * its own integers + the broadcast prior. */
+  private def qEbShrinkage(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("x"))
+      .withColumn("r_ppm", expr("x * 1000000 div n"))
+      .localCheckpoint(eager = false)
+    val prior = per.agg(count(lit(1)).as("k"), sum(col("r_ppm")).as("sr"),
+        sum(col("r_ppm") * col("r_ppm")).as("srr"))
+      .select(
+        (col("sr").cast("double") / col("k").cast("double") / 1e6).as("m"),
+        ((col("srr").cast("double") / col("k").cast("double") -
+          (col("sr").cast("double") / col("k").cast("double")) *
+          (col("sr").cast("double") / col("k").cast("double"))) / 1e12)
+          .as("v"))
+      .select(col("m"), col("v"),
+        (col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0)).as("ab"))
+    per.crossJoin(broadcast(prior))
+      .select(col("nation"), col("n"), col("x"), col("r_ppm"),
+        floor((col("x").cast("double") + col("m") * col("ab")) /
+          (col("n").cast("double") + col("ab")) * 1000000 + 0.5)
+          .cast("long").as("shrunk_ppm"))
+      .orderBy(col("nation"))
+  }
+
+  /** Cluster-randomized ratio-metric test (revenue per order, arms by
+    * customer parity): the randomization unit is the CUSTOMER but the
+    * metric is a ratio of order-level sums, so naive per-order
+    * variance is wrong — the delta method over per-customer cluster
+    * totals is the correct standard error (the experimentation-
+    * platform workhorse). Six exact integer moments per arm over
+    * cluster totals; R, var(R), and z are fixed IEEE trees. */
+  private def qRatioMetric(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "orders")
+      .groupBy((col("o_custkey") % 2).as("arm"), col("o_custkey"))
+      .agg(count(lit(1)).as("o"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100"))
+          .as("r"))
+    val arms = cust.groupBy(col("arm"))
+      .agg(count(lit(1)).as("k"), sum(col("r")).as("sr"),
+        sum(col("o")).as("so"), sum(col("r") * col("r")).as("srr"),
+        sum(col("o") * col("o")).as("soo"), sum(col("r") * col("o")).as("sro"))
+    def d(c: String) = col(c).cast("double")
+    val pivotCols = Seq("k", "sr", "so", "srr", "soo", "sro").flatMap { c =>
+      Seq(max(when(col("arm") === 0, col(c))).as(s"${c}0"),
+        max(when(col("arm") === 1, col(c))).as(s"${c}1"))
+    }
+    val wide = arms.groupBy().agg(pivotCols.head, pivotCols.tail: _*)
+    def armStats(sfx: String) = {
+      val k = d(s"k$sfx"); val sr = d(s"sr$sfx"); val so = d(s"so$sfx")
+      val srr = d(s"srr$sfx"); val soo = d(s"soo$sfx"); val sro = d(s"sro$sfx")
+      val rBar = sr / k; val oBar = so / k
+      val ratio = sr / so
+      val varR = (srr / k - rBar * rBar)
+      val varO = (soo / k - oBar * oBar)
+      val covRO = (sro / k - rBar * oBar)
+      // delta-method variance of (Σr/Σo) over k iid clusters
+      val v = (varR - lit(2.0) * ratio * covRO + ratio * ratio * varO) /
+        (k * oBar * oBar)
+      (ratio, v)
+    }
+    val (r0, v0) = armStats("0")
+    val (r1, v1) = armStats("1")
+    wide.select(col("k0"), col("k1"), r0.as("rpo0"), r1.as("rpo1"),
+      ((r1 - r0) / sqrt(v0 + v1)).as("z"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -10061,6 +10197,9 @@ object SparkEntry {
     "q_adjacent_dup" -> (qAdjacentDup _),
     "q_join_cardinality" -> (qJoinCardinality _),
     "q_weekday_strength" -> (qWeekdayStrength _),
+    "q_hurst" -> (qHurst _),
+    "q_eb_shrinkage" -> (qEbShrinkage _),
+    "q_ratio_metric" -> (qRatioMetric _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -16888,5 +17027,152 @@ object SparkEntry {
         |  (bg_scaled - sv * sv // n) * 1000000 // (svv - sv * sv // n)
         |    AS strength_ppm
         |FROM bg CROSS JOIN tot""".stripMargin,
+
+    "q_hurst" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS v
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rnk, v
+        |  FROM daily),
+        |ms AS (SELECT CAST(unnest([16, 64]) AS BIGINT) AS m),
+        |expanded AS (
+        |  SELECT m, (rnk - 1) // m AS blk, (rnk - 1) % m AS pos, v
+        |  FROM ranked CROSS JOIN ms),
+        |cum AS (
+        |  SELECT m, blk, pos, v,
+        |    CAST(sum(v) OVER (PARTITION BY m, blk ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cv,
+        |    CAST(sum(v) OVER (PARTITION BY m, blk) AS BIGINT) AS sb_all
+        |  FROM expanded),
+        |withdev AS (
+        |  SELECT m, blk, v, m * cv - (pos + 1) * sb_all AS cdev FROM cum),
+        |perblock AS (
+        |  SELECT m, blk, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(v) AS BIGINT) AS sb, CAST(sum(v * v) AS BIGINT) AS ssb,
+        |    CAST(max(cdev) AS BIGINT) AS cmax,
+        |    CAST(min(cdev) AS BIGINT) AS cmin
+        |  FROM withdev GROUP BY m, blk),
+        |rs AS (
+        |  SELECT m,
+        |    CAST(floor(CAST(cmax - cmin AS DOUBLE)
+        |      / sqrt(CAST(m * ssb - sb * sb AS DOUBLE)) * 1000000 + 0.5)
+        |      AS BIGINT) AS rs_micro
+        |  FROM perblock WHERE nb = m),
+        |perm AS (
+        |  SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(rs_micro) AS BIGINT) AS srs
+        |  FROM rs GROUP BY m),
+        |lm AS (
+        |  SELECT m, srs // n_blocks AS mean_rs_micro,
+        |    CAST(floor(ln(CAST(srs // n_blocks AS DOUBLE) / 1000000.0)
+        |      * 1000000 + 0.5) AS BIGINT) AS l_unat
+        |  FROM perm)
+        |SELECT
+        |  max(CASE WHEN m = 16 THEN mean_rs_micro END) AS rs16_micro,
+        |  max(CASE WHEN m = 64 THEN mean_rs_micro END) AS rs64_micro,
+        |  (max(CASE WHEN m = 64 THEN l_unat END)
+        |    - max(CASE WHEN m = 16 THEN l_unat END)) * 1000 // 1386294
+        |    AS hurst_milli
+        |FROM lm""".stripMargin,
+
+    "q_eb_shrinkage" ->
+      """WITH per AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |pr AS (
+        |  SELECT nation, n, x, x * 1000000 // n AS r_ppm FROM per),
+        |mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(r_ppm) AS BIGINT) AS sr,
+        |    CAST(sum(r_ppm * r_ppm) AS BIGINT) AS srr
+        |  FROM pr),
+        |prior AS (
+        |  SELECT
+        |    CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0 AS m,
+        |    (CAST(srr AS DOUBLE) / CAST(k AS DOUBLE)
+        |      - (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |        * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))) / 1e12 AS v
+        |  FROM mo),
+        |prior2 AS (
+        |  SELECT m, v, m * (1.0 - m) / v - 1.0 AS ab FROM prior)
+        |SELECT nation, n, x, r_ppm,
+        |  CAST(floor((CAST(x AS DOUBLE) + m * ab)
+        |    / (CAST(n AS DOUBLE) + ab) * 1000000 + 0.5) AS BIGINT)
+        |    AS shrunk_ppm
+        |FROM pr CROSS JOIN prior2 ORDER BY nation""".stripMargin,
+
+    "q_ratio_metric" ->
+      """WITH cust AS (
+        |  SELECT o_custkey % 2 AS arm, o_custkey,
+        |    CAST(count(*) AS BIGINT) AS o,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100)
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |arms AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(r) AS BIGINT) AS sr, CAST(sum(o) AS BIGINT) AS so,
+        |    CAST(sum(r * r) AS BIGINT) AS srr,
+        |    CAST(sum(o * o) AS BIGINT) AS soo,
+        |    CAST(sum(r * o) AS BIGINT) AS sro
+        |  FROM cust GROUP BY arm),
+        |wide AS (
+        |  SELECT max(CASE WHEN arm = 0 THEN k END) AS k0,
+        |    max(CASE WHEN arm = 1 THEN k END) AS k1,
+        |    max(CASE WHEN arm = 0 THEN sr END) AS sr0,
+        |    max(CASE WHEN arm = 1 THEN sr END) AS sr1,
+        |    max(CASE WHEN arm = 0 THEN so END) AS so0,
+        |    max(CASE WHEN arm = 1 THEN so END) AS so1,
+        |    max(CASE WHEN arm = 0 THEN srr END) AS srr0,
+        |    max(CASE WHEN arm = 1 THEN srr END) AS srr1,
+        |    max(CASE WHEN arm = 0 THEN soo END) AS soo0,
+        |    max(CASE WHEN arm = 1 THEN soo END) AS soo1,
+        |    max(CASE WHEN arm = 0 THEN sro END) AS sro0,
+        |    max(CASE WHEN arm = 1 THEN sro END) AS sro1
+        |  FROM arms),
+        |e AS (
+        |  SELECT k0, k1,
+        |    CAST(sr0 AS DOUBLE) / CAST(so0 AS DOUBLE) AS ratio0,
+        |    CAST(sr1 AS DOUBLE) / CAST(so1 AS DOUBLE) AS ratio1,
+        |    ((CAST(srr0 AS DOUBLE) / CAST(k0 AS DOUBLE)
+        |        - (CAST(sr0 AS DOUBLE) / CAST(k0 AS DOUBLE))
+        |          * (CAST(sr0 AS DOUBLE) / CAST(k0 AS DOUBLE)))
+        |      - 2.0 * (CAST(sr0 AS DOUBLE) / CAST(so0 AS DOUBLE))
+        |        * (CAST(sro0 AS DOUBLE) / CAST(k0 AS DOUBLE)
+        |          - (CAST(sr0 AS DOUBLE) / CAST(k0 AS DOUBLE))
+        |            * (CAST(so0 AS DOUBLE) / CAST(k0 AS DOUBLE)))
+        |      + (CAST(sr0 AS DOUBLE) / CAST(so0 AS DOUBLE))
+        |        * (CAST(sr0 AS DOUBLE) / CAST(so0 AS DOUBLE))
+        |        * (CAST(soo0 AS DOUBLE) / CAST(k0 AS DOUBLE)
+        |          - (CAST(so0 AS DOUBLE) / CAST(k0 AS DOUBLE))
+        |            * (CAST(so0 AS DOUBLE) / CAST(k0 AS DOUBLE))))
+        |      / (CAST(k0 AS DOUBLE) * (CAST(so0 AS DOUBLE) / CAST(k0 AS DOUBLE))
+        |        * (CAST(so0 AS DOUBLE) / CAST(k0 AS DOUBLE))) AS v0,
+        |    ((CAST(srr1 AS DOUBLE) / CAST(k1 AS DOUBLE)
+        |        - (CAST(sr1 AS DOUBLE) / CAST(k1 AS DOUBLE))
+        |          * (CAST(sr1 AS DOUBLE) / CAST(k1 AS DOUBLE)))
+        |      - 2.0 * (CAST(sr1 AS DOUBLE) / CAST(so1 AS DOUBLE))
+        |        * (CAST(sro1 AS DOUBLE) / CAST(k1 AS DOUBLE)
+        |          - (CAST(sr1 AS DOUBLE) / CAST(k1 AS DOUBLE))
+        |            * (CAST(so1 AS DOUBLE) / CAST(k1 AS DOUBLE)))
+        |      + (CAST(sr1 AS DOUBLE) / CAST(so1 AS DOUBLE))
+        |        * (CAST(sr1 AS DOUBLE) / CAST(so1 AS DOUBLE))
+        |        * (CAST(soo1 AS DOUBLE) / CAST(k1 AS DOUBLE)
+        |          - (CAST(so1 AS DOUBLE) / CAST(k1 AS DOUBLE))
+        |            * (CAST(so1 AS DOUBLE) / CAST(k1 AS DOUBLE))))
+        |      / (CAST(k1 AS DOUBLE) * (CAST(so1 AS DOUBLE) / CAST(k1 AS DOUBLE))
+        |        * (CAST(so1 AS DOUBLE) / CAST(k1 AS DOUBLE))) AS v1
+        |  FROM wide)
+        |SELECT k0, k1, ratio0 AS rpo0, ratio1 AS rpo1,
+        |  (ratio1 - ratio0) / sqrt(v0 + v1) AS z
+        |FROM e""".stripMargin,
   )
 }

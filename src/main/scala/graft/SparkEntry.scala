@@ -9831,6 +9831,170 @@ object SparkEntry {
       ((r1 - r0) / sqrt(v0 + v1)).as("z"))
   }
 
+  /** Per-bin sigmoid confidence literals for the quality classifier's
+    * 21 logit bins (bin center ≈ 2·bin logits): sigmoids are computed
+    * ONCE at build time and embedded as identical integer-ppm literals
+    * in both engines — no runtime transcendental ever crosses the
+    * engine boundary. */
+  private lazy val confCaseSql: String =
+    (-10 to 10).map { b =>
+      s"WHEN $b THEN ${math.round(1e6 / (1.0 + math.exp(-2.0 * b)))}"
+    }.mkString("CASE bin ", " ", " ELSE 0 END")
+
+  /** Expected calibration error of the quality classifier — the ONE
+    * number that says whether q_calibration's reliability table is
+    * trustworthy: ECE = Σ_b (n_b/N)·|acc_b − conf_b| over the fixed
+    * logit bins, with per-bin confidence a build-time sigmoid literal
+    * (confCaseSql) and everything else exact integers. The worst bin
+    * ships alongside via an order-encoded integer argmax. */
+  private def qEce(s: SparkSession, dir: String): DataFrame = {
+    val binned = t(s, dir, "documents")
+      .select(
+        (col("n_chars") >= 200).as("label"),
+        (lit(40L) * size(split(col("text"), " ")).cast("long") +
+          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast("long") +
+          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L))
+          .as("logit_milli"))
+      .withColumn("bin",
+        greatest(least(expr("logit_milli div 2000"), lit(10L)), lit(-10L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("pos"))
+      .withColumn("conf_ppm", expr(confCaseSql))
+      .withColumn("gap_ppm",
+        abs(expr("pos * 1000000 div n") - col("conf_ppm")))
+    binned.groupBy()
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("n") * col("gap_ppm")).as("weighted_gap"),
+        max(col("gap_ppm") * 1000 + col("bin") + 10).as("worst_enc"))
+      .select(col("n_docs"),
+        expr("weighted_gap div n_docs").as("ece_ppm"),
+        expr("worst_enc div 1000").as("max_gap_ppm"),
+        expr("worst_enc % 1000 - 10").as("worst_bin"))
+  }
+
+  /** Fairness audit of the quality classifier across languages:
+    * demographic-parity gap (keep-rate vs corpus) and equal-
+    * opportunity gap (TPR among label-positives vs corpus) per
+    * language, all exact ppm integers — the per-slice eval any
+    * production filter ships with. One scan, one group-by; the
+    * corpus row is broadcast back. */
+  private def qFairness(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(col("lang"),
+        (col("n_chars") >= 200).as("label"),
+        ((lit(40L) * size(split(col("text"), " ")).cast("long") +
+          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast("long") +
+          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L)) >= 0L)
+          .as("pred"))
+      .localCheckpoint(eager = false)
+    val byLang = scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred"), 1L).otherwise(0L)).as("kept"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"))
+    val glob = scored.agg(
+      count(lit(1)).as("gn"),
+      sum(when(col("pred"), 1L).otherwise(0L)).as("gkept"),
+      sum(when(col("label"), 1L).otherwise(0L)).as("gpos"),
+      sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("gtp"))
+    byLang.crossJoin(broadcast(glob))
+      .select(col("lang"), col("n"),
+        expr("kept * 1000000 div n").as("keep_ppm"),
+        expr("tp * 1000000 div n_pos").as("tpr_ppm"),
+        expr("kept * 1000000 div n - gkept * 1000000 div gn")
+          .as("dp_gap_ppm"),
+        expr("tp * 1000000 div n_pos - gtp * 1000000 div gpos")
+          .as("eo_gap_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  /** Fleiss' kappa for THREE deterministic quality raters (chars ≥
+    * 200, words ≥ 40, digits ≤ 5) — multi-rater chance-corrected
+    * agreement, extending q_kappa's two-rater Cohen form. With n = 3
+    * raters and 2 categories, per-item pair-agreement numerators are
+    * tiny integers (6 if unanimous, 2 if split), so P̄ and P̄ₑ reduce
+    * to one integer reduce + a fixed double tree over (A, S, N). */
+  private def qFleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val rated = t(s, dir, "documents")
+      .select(
+        ((when(col("n_chars") >= 200, 1L).otherwise(0L)) +
+          (when(size(split(col("text"), " ")) >= 40, 1L).otherwise(0L)) +
+          (when(length(regexp_replace(col("text"), "[^0-9]", "")) <= 5, 1L)
+            .otherwise(0L))).as("n_pass"))
+      .select(col("n_pass"),
+        (col("n_pass") * (col("n_pass") - 1) +
+          (lit(3L) - col("n_pass")) * (lit(2L) - col("n_pass"))).as("pairs"))
+    val agg0 = rated.agg(count(lit(1)).as("n_items"),
+      sum(col("pairs")).as("a"), sum(col("n_pass")).as("s"))
+    def d(c: String) = col(c).cast("double")
+    val pBar = d("a") / (lit(6.0) * d("n_items"))
+    val pPass = d("s") / (lit(3.0) * d("n_items"))
+    val pe = pPass * pPass + (lit(1.0) - pPass) * (lit(1.0) - pPass)
+    agg0.select(col("n_items"), col("a"), col("s"),
+      ((pBar - pe) / (lit(1.0) - pe)).as("fleiss_kappa"))
+  }
+
+  /** MAP@10 of the IVF index against brute-force binary relevance —
+    * the order-sensitive companion to q_recall_at_k and the graded
+    * q_ndcg: AP's precision@k prefix sums live on the 10-row per-query
+    * ranking (bounded window), every term an exact integer-ppm
+    * division, mean over queries an integer div. Same shared IVF
+    * assignment and bounded-heap top-k scaffolding as q_ndcg. */
+  private def qMapEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents,
+      "cid", "cv").localCheckpoint(eager = false)
+    val queries = emb.filter(col("vec_id").isin(0, 7, 42, 99, 123))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(assign.select(col("vec_id").as("qid"), col("cid").as("qcid")),
+        "qid")
+    def keyed(scored: DataFrame): DataFrame = scored.select(col("qid"),
+      col("vec_id"),
+      lpad(greatest(lit(0L),
+          floor((lit(1.0) - col("cosine")) * 1e9 + 0.5).cast("long"))
+        .cast("string"), 12, "0").as("distkey"))
+    val truth10 = graft.ops.Sampling.stratifiedTopN(s, keyed(emb
+        .crossJoin(broadcast(queries.select(col("qid"), col("qv"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosineFp(col("embedding"), col("qv")).as("cosine"))),
+      "qid", "distkey", "vec_id", n = 10)
+      .select(col("qid").cast("long").as("qid"), col("vec_id"),
+        lit(1L).as("rel"))
+    val ivf10 = graft.ops.Sampling.stratifiedTopN(s, keyed(emb
+        .join(assign, "vec_id")
+        .join(broadcast(queries), col("cid") === col("qcid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosineFp(col("embedding"), col("qv")).as("cosine"))),
+      "qid", "distkey", "vec_id", n = 10)
+      .select(col("qid").cast("long").as("qid"), col("rn").cast("long")
+        .as("rn"), col("vec_id"))
+    val marked = ivf10
+      .join(truth10, Seq("qid", "vec_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    // 10-row per-query window: bounded, not a funnel
+    val cum = marked.withColumn("cum_rel",
+      sum(col("rel")).over(Window.partitionBy(col("qid"))
+        .orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.withColumn("term_ppm",
+        when(col("rel") === 1L, expr("cum_rel * 1000000 div rn"))
+          .otherwise(lit(0L)))
+      .groupBy(col("qid"))
+      .agg(sum(col("term_ppm")).as("sum_terms"),
+        sum(col("rel")).as("hits"))
+      .select(col("qid"), col("hits"),
+        expr("sum_terms div 10").as("ap_ppm"))
+      .orderBy(col("qid"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -10200,6 +10364,10 @@ object SparkEntry {
     "q_hurst" -> (qHurst _),
     "q_eb_shrinkage" -> (qEbShrinkage _),
     "q_ratio_metric" -> (qRatioMetric _),
+    "q_ece" -> (qEce _),
+    "q_fairness" -> (qFairness _),
+    "q_fleiss_kappa" -> (qFleissKappa _),
+    "q_map_eval" -> (qMapEval _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -17174,5 +17342,156 @@ object SparkEntry {
         |SELECT k0, k1, ratio0 AS rpo0, ratio1 AS rpo1,
         |  (ratio1 - ratio0) / sqrt(v0 + v1) AS z
         |FROM e""".stripMargin,
+
+    "q_ece" ->
+      s"""WITH scored AS (
+         |  SELECT n_chars >= 200 AS label,
+         |    40 * len(string_split(text, ' '))
+         |      - 10 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+         |      - 2 * abs(n_chars - 500) - 1500 AS logit_milli
+         |  FROM documents),
+         |binned AS (
+         |  SELECT greatest(least(logit_milli // 2000, 10), -10) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+         |  FROM scored GROUP BY 1),
+         |g AS (
+         |  SELECT bin, n, pos, CAST($confCaseSql AS BIGINT) AS conf_ppm,
+         |    abs(pos * 1000000 // n - CAST($confCaseSql AS BIGINT))
+         |      AS gap_ppm
+         |  FROM binned)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |  CAST(sum(n * gap_ppm) AS BIGINT) // CAST(sum(n) AS BIGINT)
+         |    AS ece_ppm,
+         |  CAST(max(gap_ppm * 1000 + bin + 10) AS BIGINT) // 1000
+         |    AS max_gap_ppm,
+         |  CAST(max(gap_ppm * 1000 + bin + 10) AS BIGINT) % 1000 - 10
+         |    AS worst_bin
+         |FROM g""".stripMargin,
+
+    "q_fairness" ->
+      """WITH scored AS (
+        |  SELECT lang, n_chars >= 200 AS label,
+        |    (40 * len(string_split(text, ' '))
+        |      - 10 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |      - 2 * abs(n_chars - 500) - 1500) >= 0 AS pred
+        |  FROM documents),
+        |byl AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp
+        |  FROM scored GROUP BY lang),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS gn,
+        |    CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT) AS gkept,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS gpos,
+        |    CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS gtp
+        |  FROM scored)
+        |SELECT lang, n,
+        |  kept * 1000000 // n AS keep_ppm,
+        |  tp * 1000000 // n_pos AS tpr_ppm,
+        |  kept * 1000000 // n - gkept * 1000000 // gn AS dp_gap_ppm,
+        |  tp * 1000000 // n_pos - gtp * 1000000 // gpos AS eo_gap_ppm
+        |FROM byl CROSS JOIN g ORDER BY lang""".stripMargin,
+
+    "q_fleiss_kappa" ->
+      """WITH rated AS (
+        |  SELECT (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+        |    + CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END
+        |    + CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g')) <= 5
+        |        THEN 1 ELSE 0 END) AS n_pass
+        |  FROM documents),
+        |p AS (
+        |  SELECT CAST(n_pass AS BIGINT) AS n_pass,
+        |    CAST(n_pass * (n_pass - 1) + (3 - n_pass) * (2 - n_pass)
+        |      AS BIGINT) AS pairs
+        |  FROM rated),
+        |agg0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(pairs) AS BIGINT) AS a,
+        |    CAST(sum(n_pass) AS BIGINT) AS s
+        |  FROM p)
+        |SELECT n_items, a, s,
+        |  ((CAST(a AS DOUBLE) / (6.0 * CAST(n_items AS DOUBLE)))
+        |    - ((CAST(s AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)))
+        |        * (CAST(s AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)))
+        |      + (1.0 - CAST(s AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)))
+        |        * (1.0 - CAST(s AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)))))
+        |  / (1.0
+        |    - ((CAST(s AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)))
+        |        * (CAST(s AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)))
+        |      + (1.0 - CAST(s AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)))
+        |        * (1.0 - CAST(s AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)))))
+        |  AS fleiss_kappa
+        |FROM agg0""".stripMargin,
+
+    "q_map_eval" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  WHERE vec_id < 8),
+         |adots AS (
+         |  SELECT e.vec_id, c.cid, ${duckDot("e.embedding", "c.cv")} AS d
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid)
+         |        AS rn
+         |    FROM adots) x WHERE rn = 1),
+         |q AS (
+         |  SELECT e.vec_id AS qid, e.embedding AS qv, a.cid AS qcid
+         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+         |  WHERE e.vec_id IN (0, 7, 42, 99, 123)),
+         |td AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ${duckCos(duckDot("e.embedding", "q.qv"),
+                duckDot("e.embedding", "e.embedding"),
+                duckDot("q.qv", "q.qv"))} AS cosine
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> q.qid),
+         |truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY greatest(CAST(0 AS BIGINT),
+         |          CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT)),
+         |          vec_id) AS rn
+         |    FROM td) x WHERE rn <= 10),
+         |rd AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ${duckCos(duckDot("e.embedding", "q.qv"),
+                duckDot("e.embedding", "e.embedding"),
+                duckDot("q.qv", "q.qv"))} AS cosine
+         |  FROM embeddings e
+         |  JOIN assign a ON e.vec_id = a.vec_id
+         |  JOIN q ON a.cid = q.qcid
+         |  WHERE e.vec_id <> q.qid),
+         |ret AS (
+         |  SELECT qid, vec_id, CAST(rn AS BIGINT) AS rn FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY greatest(CAST(0 AS BIGINT),
+         |          CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT)),
+         |          vec_id) AS rn
+         |    FROM rd) x WHERE rn <= 10),
+         |marked AS (
+         |  SELECT r.qid, r.rn,
+         |    CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |      AS rel
+         |  FROM ret r LEFT JOIN truth t
+         |    ON r.qid = t.qid AND r.vec_id = t.vec_id),
+         |cum AS (
+         |  SELECT qid, rn, rel,
+         |    CAST(sum(rel) OVER (PARTITION BY qid ORDER BY rn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_rel
+         |  FROM marked)
+         |SELECT qid, CAST(sum(rel) AS BIGINT) AS hits,
+         |  CAST(sum(CASE WHEN rel = 1 THEN cum_rel * 1000000 // rn
+         |    ELSE 0 END) AS BIGINT) // 10 AS ap_ppm
+         |FROM cum GROUP BY qid ORDER BY qid""".stripMargin,
   )
 }

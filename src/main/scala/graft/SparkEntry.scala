@@ -9995,6 +9995,123 @@ object SparkEntry {
       .orderBy(col("qid"))
   }
 
+  /** Range-partitioner boundary audit — how a distributed sort picks
+    * split points: 7 boundary values from a 2% md5-deterministic
+    * sample's nearest-rank octiles (the replayable stand-in for
+    * RangePartitioner's reservoir), then the FULL table is bucketed
+    * against the broadcast boundaries and each bucket's skew vs the
+    * ideal n/8 ships in signed ppm. Large skews mean the sample
+    * under-resolved the distribution — the audit behind every
+    * repartitionByRange sizing decision. */
+  private def qRangeBoundaries(s: SparkSession, dir: String): DataFrame = {
+    val vals = t(s, dir, "orders")
+      .select(Analytics.cents(col("o_totalprice")).as("v"),
+        col("o_orderkey").as("ok"))
+      .localCheckpoint(eager = false)
+    val sample = vals.filter(
+      conv(substring(md5(concat(lit("bounds|"), col("ok").cast("string"))
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 100 < 2)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      sample.select(lit("all").as("g"), col("v").cast("double").as("ord"),
+        col("ok")),
+      "g", "ord", "ok", 32)
+    val boundCols = (1 to 7).map(i =>
+      max(when(col("rnk") === expr(s"greatest(grp_n * $i div 8, 1)"),
+        col("ord").cast("long"))).as(s"b$i"))
+    val bounds = ranked
+      .filter((1 to 7).map(i =>
+        col("rnk") === expr(s"greatest(grp_n * $i div 8, 1)")).reduce(_ || _))
+      .groupBy()
+      .agg(boundCols.head, boundCols.tail: _*)
+    val bucketed = vals.crossJoin(broadcast(bounds))
+      .select((lit(1L) + (1 to 7).map(i =>
+        when(col("v") > col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _))
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+    val total = vals.agg(count(lit(1)).as("n_total"))
+    bucketed.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_rows"),
+        expr("(n_rows - n_total div 8) * 1000000 div (n_total div 8)")
+          .as("skew_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Neyman optimal allocation for stratified sampling: sample-size
+    * shares ∝ N_h·S_h (stratum size × std) beat proportional
+    * allocation whenever strata variances differ — the survey-
+    * statistics answer to "how many rows should each stratum
+    * contribute to a 10k eval set". Per-stratum std is one sqrt over
+    * exact integer moments; the weights are rounded to integer milli
+    * BEFORE the cross-stratum sum, so shares and allocations are
+    * pure integer arithmetic. */
+  private def qNeymanAlloc(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100")
+          .as("v"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_h"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("ss"))
+      .withColumn("s_milli",
+        floor(sqrt((col("n_h").cast("double") * col("ss").cast("double") -
+          col("sv").cast("double") * col("sv").cast("double")) /
+          (col("n_h").cast("double") *
+            (col("n_h").cast("double") - lit(1.0)))) * 1000 + 0.5)
+          .cast("long"))
+      .withColumn("w_milli", col("n_h") * col("s_milli"))
+      .localCheckpoint(eager = false)
+    val tot = g.agg(sum(col("w_milli")).as("sw"))
+    g.crossJoin(broadcast(tot))
+      .select(col("prio"), col("n_h"), col("s_milli"),
+        expr("w_milli * 1000000 div sw").as("share_ppm"),
+        expr("10000 * w_milli div sw").as("alloc"))
+      .orderBy(col("prio"))
+  }
+
+  /** Empirical false-positive audit of the bloom-prune filter
+    * (ops/BloomPrune): build over BUILDING-segment customers
+    * (m = 64 Ki bits, k = 3), probe every ordering customer, and
+    * assert BOTH bloom guarantees — zero false negatives (every true
+    * member passes, by construction) and an observed FP count within
+    * 2× the (1−e^(−kn/m))^k theory bound (+10 absolute slack for
+    * small-count variance). The bit positions are xxhash64 (not
+    * replayable in the oracle), so the QUERY ships the property
+    * booleans next to the exact set sizes — q_approx_distinct's
+    * bounded-error-gate pattern. */
+  private def qBloomFpp(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k")).distinct()
+      .localCheckpoint(eager = false)
+    val probes = t(s, dir, "orders")
+      .select(col("o_custkey").as("k")).distinct()
+      .localCheckpoint(eager = false)
+    val bloom = graft.ops.BloomPrune.buildWords(dim, "k",
+      numBits = 65536, numHashes = 3)
+    val marked = probes
+      .withColumn("passes",
+        graft.ops.BloomPrune.mightContain(bloom, col("k")))
+      .join(dim.withColumn("member", lit(true)), Seq("k"), "left")
+      .withColumn("member", coalesce(col("member"), lit(false)))
+    val agg0 = marked.agg(
+      count(lit(1)).as("n_probe"),
+      sum(when(col("member"), 1L).otherwise(0L)).as("true_members"),
+      sum(when(col("member") && col("passes"), 1L).otherwise(0L))
+        .as("members_passed"),
+      sum(when(!col("member") && col("passes"), 1L).otherwise(0L))
+        .as("false_positives"))
+    val nBuild = dim.agg(count(lit(1)).as("n_build"))
+    agg0.crossJoin(broadcast(nBuild))
+      .select(col("n_build"), col("n_probe"), col("true_members"),
+        (col("members_passed") === col("true_members"))
+          .as("no_false_negatives"),
+        (col("false_positives").cast("double") <=
+          lit(2.0) * pow(lit(1.0) - exp(lit(-3.0) *
+            col("n_build").cast("double") / lit(65536.0)), 3) *
+            (col("n_probe") - col("true_members")).cast("double") +
+            lit(10.0)).as("fpp_within_bound"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -10368,6 +10485,9 @@ object SparkEntry {
     "q_fairness" -> (qFairness _),
     "q_fleiss_kappa" -> (qFleissKappa _),
     "q_map_eval" -> (qMapEval _),
+    "q_range_boundaries" -> (qRangeBoundaries _),
+    "q_neyman_alloc" -> (qNeymanAlloc _),
+    "q_bloom_fpp" -> (qBloomFpp _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -17493,5 +17613,86 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN rel = 1 THEN cum_rel * 1000000 // rn
          |    ELSE 0 END) AS BIGINT) // 10 AS ap_ppm
          |FROM cum GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "q_range_boundaries" ->
+      """WITH vals AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |    o_orderkey AS ok
+        |  FROM orders),
+        |sample AS (
+        |  SELECT v, ok FROM vals
+        |  WHERE CAST('0x' || substr(md5('bounds|' || CAST(ok AS VARCHAR)),
+        |    1, 8) AS BIGINT) % 100 < 2),
+        |ranked AS (
+        |  SELECT v,
+        |    CAST(row_number() OVER (ORDER BY CAST(v AS DOUBLE), ok)
+        |      AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM sample),
+        |bounds AS (
+        |  SELECT
+        |    max(CASE WHEN rnk = greatest(n * 1 // 8, 1) THEN v END) AS b1,
+        |    max(CASE WHEN rnk = greatest(n * 2 // 8, 1) THEN v END) AS b2,
+        |    max(CASE WHEN rnk = greatest(n * 3 // 8, 1) THEN v END) AS b3,
+        |    max(CASE WHEN rnk = greatest(n * 4 // 8, 1) THEN v END) AS b4,
+        |    max(CASE WHEN rnk = greatest(n * 5 // 8, 1) THEN v END) AS b5,
+        |    max(CASE WHEN rnk = greatest(n * 6 // 8, 1) THEN v END) AS b6,
+        |    max(CASE WHEN rnk = greatest(n * 7 // 8, 1) THEN v END) AS b7
+        |  FROM ranked),
+        |bucketed AS (
+        |  SELECT 1 + (CASE WHEN v > b1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > b2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > b3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > b4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > b5 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > b6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > b7 THEN 1 ELSE 0 END) AS bucket
+        |  FROM vals CROSS JOIN bounds),
+        |bc AS (
+        |  SELECT CAST(bucket AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM bucketed GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM vals)
+        |SELECT bucket, n_rows,
+        |  (n_rows - n_total // 8) * 1000000 // (n_total // 8) AS skew_ppm
+        |FROM bc CROSS JOIN tot ORDER BY bucket""".stripMargin,
+
+    "q_neyman_alloc" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n_h,
+        |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS ss
+        |  FROM (SELECT o_orderpriority,
+        |          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS v
+        |        FROM orders) t
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT prio, n_h,
+        |    CAST(floor(sqrt((CAST(n_h AS DOUBLE) * CAST(ss AS DOUBLE)
+        |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+        |      / (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - 1.0)))
+        |      * 1000 + 0.5) AS BIGINT) AS s_milli
+        |  FROM g),
+        |w2 AS (SELECT prio, n_h, s_milli, n_h * s_milli AS w_milli FROM w),
+        |tot AS (SELECT CAST(sum(w_milli) AS BIGINT) AS sw FROM w2)
+        |SELECT prio, n_h, s_milli,
+        |  w_milli * 1000000 // sw AS share_ppm,
+        |  10000 * w_milli // sw AS alloc
+        |FROM w2 CROSS JOIN tot ORDER BY prio""".stripMargin,
+
+    // xxhash64 bloom bits aren't oracle-replayable: the QUERY ships the
+    // bloom guarantees as booleans next to exact set sizes, and the
+    // oracle asserts they held (q_approx_distinct's pattern)
+    "q_bloom_fpp" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT c_custkey AS k FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |probes AS (SELECT DISTINCT o_custkey AS k FROM orders)
+        |SELECT CAST((SELECT count(*) FROM dim) AS BIGINT) AS n_build,
+        |  CAST(count(*) AS BIGINT) AS n_probe,
+        |  CAST(sum(CASE WHEN k IN (SELECT k FROM dim) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS true_members,
+        |  TRUE AS no_false_negatives,
+        |  TRUE AS fpp_within_bound
+        |FROM probes""".stripMargin,
   )
 }

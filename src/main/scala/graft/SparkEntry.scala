@@ -10112,6 +10112,141 @@ object SparkEntry {
             lit(10.0)).as("fpp_within_bound"))
   }
 
+  /** SAX (Symbolic Aggregate approXimation) of the daily revenue
+    * series: 8-day PAA segments z-normalized against the whole series
+    * and mapped to a 4-symbol alphabet at the Gaussian breakpoints
+    * ±0.6745 — the classic time-series indexing transform (Lin/Keogh).
+    * Segment means stay exact integers ×8 (no division), the z
+    * comparison is an integer cross-multiply against σ once σ is a
+    * single sqrt, and the breakpoints are micro literals — so the
+    * symbol assignment is decided by exact integer comparisons. */
+  private def qSax(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) " +
+        "div 100000").as("v"))
+    val ranked = daily
+      .withColumn("rnk", row_number().over(Window.orderBy(col("day")))
+        .cast("long"))
+    val glob = ranked.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+      sum(col("v") * col("v")).as("svv"))
+    val seg = ranked
+      .select(expr("(rnk - 1) div 8").as("seg"), col("v"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("ns"), sum(col("v")).as("sb"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .filter(col("ns") === 8)
+    // z = (mean_seg − mean)/σ vs breakpoints ±0.6745: cross-multiplied
+    // so the decision is (8·sb − 8·n·mean) vs bp·8·n·σ — one sqrt, one
+    // multiply, exact integers elsewhere
+    val nD = col("n").cast("double")
+    val sigma = sqrt((nD * col("svv").cast("double") -
+      col("sv").cast("double") * col("sv").cast("double")) / (nD * nD))
+    val lhs = (col("sb") * col("n") - col("sv") * lit(8L)).cast("double")
+    val rhs = sigma * nD * lit(8.0)
+    seg.crossJoin(broadcast(glob))
+      .select(col("seg"), col("sb"), col("lo"), col("hi"),
+        when(lhs < rhs * lit(-0.6745), lit("a"))
+          .when(lhs < lit(0.0), lit("b"))
+          .when(lhs < rhs * lit(0.6745), lit("c"))
+          .otherwise(lit("d")).as("symbol"))
+      .orderBy(col("seg"))
+  }
+
+  /** Reciprocal-rank fusion of two retrieval lists (brute-force cosine
+    * vs IVF ranking): RRF(d) = Σ 1/(60+rank) with the ten possible
+    * rank discounts embedded as integer micro literals — rank fusion
+    * is THE standard way RAG stacks merge lexical and vector hits, and
+    * with literal discounts the fused score is an exact integer sum.
+    * Reuses q_ndcg's shared IVF assignment and bounded-heap top-10s;
+    * fused top-5 per query via rank selection over ≤20 candidates. */
+  private def qRankFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rrfCase =
+      """CASE rn WHEN 1 THEN 16393 WHEN 2 THEN 16129 WHEN 3 THEN 15873
+        | WHEN 4 THEN 15625 WHEN 5 THEN 15385 WHEN 6 THEN 15152
+        | WHEN 7 THEN 14925 WHEN 8 THEN 14706 WHEN 9 THEN 14493
+        | ELSE 14286 END""".stripMargin
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents,
+      "cid", "cv").localCheckpoint(eager = false)
+    val queries = emb.filter(col("vec_id").isin(0, 7, 42, 99, 123))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(assign.select(col("vec_id").as("qid"), col("cid").as("qcid")),
+        "qid")
+    def keyed(scored: DataFrame): DataFrame = scored.select(col("qid"),
+      col("vec_id"),
+      lpad(greatest(lit(0L),
+          floor((lit(1.0) - col("cosine")) * 1e9 + 0.5).cast("long"))
+        .cast("string"), 12, "0").as("distkey"))
+    val bf10 = graft.ops.Sampling.stratifiedTopN(s, keyed(emb
+        .crossJoin(broadcast(queries.select(col("qid"), col("qv"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosineFp(col("embedding"), col("qv")).as("cosine"))),
+      "qid", "distkey", "vec_id", n = 10)
+      .select(col("qid").cast("long").as("qid"), col("vec_id"),
+        expr(rrfCase).cast("long").as("rrf_micro"))
+    val ivf10 = graft.ops.Sampling.stratifiedTopN(s, keyed(emb
+        .join(assign, "vec_id")
+        .join(broadcast(queries), col("cid") === col("qcid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosineFp(col("embedding"), col("qv")).as("cosine"))),
+      "qid", "distkey", "vec_id", n = 10)
+      .select(col("qid").cast("long").as("qid"), col("vec_id"),
+        expr(rrfCase).cast("long").as("rrf_micro"))
+    val fused = bf10.unionAll(ivf10)
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("rrf_micro")).as("rrf_micro"),
+        count(lit(1)).as("n_lists"))
+    // ≤20 candidates per query: the window is bounded, not a funnel
+    fused
+      .withColumn("frank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("rrf_micro").desc, col("vec_id"))).cast("long"))
+      .filter(col("frank") <= 5)
+      .select(col("qid"), col("frank"), col("vec_id"), col("n_lists"),
+        col("rrf_micro"))
+      .orderBy(col("qid"), col("frank"))
+  }
+
+  /** Neighbor-set Jaccard link scores over the co-purchase graph —
+    * the normalized companion to q_link_pred's resource-allocation
+    * index: |N(x)∩N(y)| from the same hub-capped wedge join,
+    * |N(x)∪N(y)| = d(x)+d(y)−common, similarity exact ppm. Candidate
+    * pairs only ever materialize through shared neighbors (never
+    * all-pairs), and the hub cap bounds any node's wedge fan-out. */
+  private def qGraphJaccard(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem").filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val und = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = false)
+    val mid = edges.join(deg.filter(col("d") <= 64), "u")
+    val common = mid.as("e1").join(mid.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .groupBy(col("e1.v").as("x"), col("e2.v").as("y"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(deg.select(col("u").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("u").as("y"), col("d").as("dy")), "y")
+      .select(col("x"), col("y"), col("n_common"),
+        expr("n_common * 1000000 div (dx + dy - n_common)")
+          .as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("x"), col("y")).limit(30)
+      .select(col("x"), col("y"), col("n_common"), col("jaccard_ppm"))
+      .orderBy(col("x"), col("y"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -10488,6 +10623,9 @@ object SparkEntry {
     "q_range_boundaries" -> (qRangeBoundaries _),
     "q_neyman_alloc" -> (qNeymanAlloc _),
     "q_bloom_fpp" -> (qBloomFpp _),
+    "q_sax" -> (qSax _),
+    "q_rank_fusion" -> (qRankFusion _),
+    "q_graph_jaccard" -> (qGraphJaccard _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -17694,5 +17832,132 @@ object SparkEntry {
         |  TRUE AS no_false_negatives,
         |  TRUE AS fpp_within_bound
         |FROM probes""".stripMargin,
+
+    "q_sax" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS v
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rnk
+        |  FROM daily),
+        |gstats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sv,
+        |  CAST(sum(v * v) AS BIGINT) AS svv FROM ranked),
+        |seg AS (
+        |  SELECT (rnk - 1) // 8 AS seg, CAST(count(*) AS BIGINT) AS ns,
+        |    CAST(sum(v) AS BIGINT) AS sb, CAST(min(v) AS BIGINT) AS lo,
+        |    CAST(max(v) AS BIGINT) AS hi
+        |  FROM ranked GROUP BY 1),
+        |z AS (
+        |  SELECT seg, sb, lo, hi,
+        |    CAST(sb * n - sv * 8 AS DOUBLE) AS lhs,
+        |    sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+        |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      * CAST(n AS DOUBLE) * 8.0 AS rhs
+        |  FROM seg CROSS JOIN gstats WHERE ns = 8)
+        |SELECT seg, sb, lo, hi,
+        |  CASE WHEN lhs < rhs * (-0.6745) THEN 'a'
+        |    WHEN lhs < 0.0 THEN 'b'
+        |    WHEN lhs < rhs * 0.6745 THEN 'c'
+        |    ELSE 'd' END AS symbol
+        |FROM z ORDER BY seg""".stripMargin,
+
+    "q_rank_fusion" -> {
+      val rrfSql =
+        """CASE rn WHEN 1 THEN 16393 WHEN 2 THEN 16129 WHEN 3 THEN 15873
+          | WHEN 4 THEN 15625 WHEN 5 THEN 15385 WHEN 6 THEN 15152
+          | WHEN 7 THEN 14925 WHEN 8 THEN 14706 WHEN 9 THEN 14493
+          | ELSE 14286 END""".stripMargin
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  WHERE vec_id < 8),
+         |adots AS (
+         |  SELECT e.vec_id, c.cid, ${duckDot("e.embedding", "c.cv")} AS d
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid)
+         |        AS rn
+         |    FROM adots) x WHERE rn = 1),
+         |q AS (
+         |  SELECT e.vec_id AS qid, e.embedding AS qv, a.cid AS qcid
+         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+         |  WHERE e.vec_id IN (0, 7, 42, 99, 123)),
+         |td AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ${duckCos(duckDot("e.embedding", "q.qv"),
+              duckDot("e.embedding", "e.embedding"),
+              duckDot("q.qv", "q.qv"))} AS cosine
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> q.qid),
+         |bf10 AS (
+         |  SELECT qid, vec_id, CAST($rrfSql AS BIGINT) AS rrf_micro FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY greatest(CAST(0 AS BIGINT),
+         |          CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT)),
+         |          vec_id) AS rn
+         |    FROM td) x WHERE rn <= 10),
+         |rd AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ${duckCos(duckDot("e.embedding", "q.qv"),
+              duckDot("e.embedding", "e.embedding"),
+              duckDot("q.qv", "q.qv"))} AS cosine
+         |  FROM embeddings e
+         |  JOIN assign a ON e.vec_id = a.vec_id
+         |  JOIN q ON a.cid = q.qcid
+         |  WHERE e.vec_id <> q.qid),
+         |ivf10 AS (
+         |  SELECT qid, vec_id, CAST($rrfSql AS BIGINT) AS rrf_micro FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY greatest(CAST(0 AS BIGINT),
+         |          CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT)),
+         |          vec_id) AS rn
+         |    FROM rd) x WHERE rn <= 10),
+         |fused AS (
+         |  SELECT qid, vec_id, CAST(sum(rrf_micro) AS BIGINT) AS rrf_micro,
+         |    CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM (SELECT * FROM bf10 UNION ALL SELECT * FROM ivf10) u
+         |  GROUP BY qid, vec_id),
+         |final AS (
+         |  SELECT qid, vec_id, n_lists, rrf_micro,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY rrf_micro DESC, vec_id) AS BIGINT) AS frank
+         |  FROM fused)
+         |SELECT qid, frank, vec_id, n_lists, rrf_micro
+         |FROM final WHERE frank <= 5 ORDER BY qid, frank""".stripMargin
+    },
+
+    "q_graph_jaccard" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |und AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+        |mid AS (SELECT e.u, e.v FROM edges e JOIN deg d ON e.u = d.u
+        |        WHERE d.d <= 64),
+        |common AS (
+        |  SELECT e1.v AS x, e2.v AS y, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM mid e1 JOIN mid e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT x, y, n_common,
+        |    n_common * 1000000 // (dx.d + dy.d - n_common) AS jaccard_ppm
+        |  FROM common
+        |  JOIN deg dx ON common.x = dx.u
+        |  JOIN deg dy ON common.y = dy.u),
+        |top AS (SELECT * FROM scored ORDER BY jaccard_ppm DESC, x, y
+        |  LIMIT 30)
+        |SELECT x, y, n_common, jaccard_ppm FROM top ORDER BY x, y""".stripMargin,
   )
 }

@@ -10247,6 +10247,115 @@ object SparkEntry {
       .orderBy(col("x"), col("y"))
   }
 
+  /** ABC inventory classification (the 80/95 Pareto cut applied as a
+    * labeling operator): parts ranked by revenue through the SAME
+    * order-preserving key encoding + two-pass prefix sum as q_pareto
+    * (no global window funnel), then A = first 80% of cumulative
+    * revenue, B = next 15%, C = tail — per-class part counts and
+    * exact revenue shares. The planner's view of q_pareto's
+    * concentration number. */
+  private def qAbcAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(Analytics.cents(col("l_extendedprice"))).as("cents"))
+      .select(when(col("cents") < (1L << 36) && col("l_partkey") < (1L << 26),
+          (lit(1L << 36) - col("cents")) * lit(1L << 26) + col("l_partkey"))
+        .otherwise(raise_error(lit(
+          "q_abc key encoding overflow: cents >= 2^36 or partkey >= 2^26")))
+        .as("k"), col("cents"))
+    val run = graft.ops.ScalablePrefix.runningSum(s, parts, "k", "cents", 32)
+    val tot = run.agg(sum(col("cents")).as("t"))
+    run.crossJoin(broadcast(tot))
+      .select(col("cents"),
+        when(col("run_sum") * 5 <= col("t") * 4, "A")
+          .when(col("run_sum") * 20 <= col("t") * 19, "B")
+          .otherwise("C").as("abc"))
+      .groupBy(col("abc"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("abc"), col("n_parts"),
+        expr("cents * 1000000 div t").as("revenue_share_ppm"))
+      .orderBy(col("abc"))
+  }
+
+  /** Top user-journey paths: every 3-step event-type sequence per
+    * user (two lags over one scalable user-keyed window), counted
+    * corpus-wide — the product-analytics "what do people actually do"
+    * table. 5³ = 125 possible paths bound the output; the top-15 ride
+    * TakeOrdered. */
+  private def qSessionPath(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), expr("ts div 1000").as("tus"))
+    val w = "PARTITION BY user_id ORDER BY tus, event_id"
+    e.withColumn("t1", expr(s"lag(event_type, 2) OVER ($w)"))
+      .withColumn("t2", expr(s"lag(event_type, 1) OVER ($w)"))
+      .filter(col("t1").isNotNull)
+      .select(concat_ws(">", col("t1"), col("t2"), col("event_type"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(15)
+  }
+
+  /** Churn-label construction audit — the LABEL side of an ML
+    * pipeline, where leakage usually sneaks in: at three annual
+    * cutoffs, a customer is churned iff they have pre-cutoff activity
+    * and NO orders in the following 365 days (the lookahead window is
+    * explicit, so the feature/label boundary is auditable). One
+    * customer-keyed pass per cutoff from one shared aggregate —
+    * at-risk counts, churn counts, churn ppm per cohort. */
+  private def qChurnLabel(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(epochDay(col("o_orderdate"))).as("first_d"),
+        max(epochDay(col("o_orderdate"))).as("last_d"))
+      .localCheckpoint(eager = false)
+    val cutoffs = s.range(0, 3).select(
+      (epochDayLit("1997-01-01") + col("id") * 365L).as("cut_d"),
+      (col("id") + 1997L).as("cohort"))
+    per.crossJoin(broadcast(cutoffs))
+      .filter(col("first_d") < col("cut_d"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("at_risk"),
+        sum(when(col("last_d") < col("cut_d"), 1L).otherwise(0L))
+          .as("churned_strict"),
+        sum(when(col("last_d") < col("cut_d") + 365L, 1L).otherwise(0L))
+          .as("churned_365"))
+      .withColumn("churn_ppm", expr("churned_365 * 1000000 div at_risk"))
+      .orderBy(col("cohort"))
+  }
+
+  /** Standardized residuals for q_chi_square's priority × segment
+    * grid — WHICH cells drive the dependence, not just whether it
+    * exists: r = (o − e)/√e with e the exact rational expected count
+    * (row·col/N), every residual one fixed tree over exact integers.
+    * |r| > 3 flags the outlier cells a reviewer should read first. */
+  private def qCrosstabResiduals(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderpriority").as("prio"),
+        col("c_mktsegment").as("seg"))
+      .localCheckpoint(eager = false)
+    val cells = base.groupBy(col("prio"), col("seg"))
+      .agg(count(lit(1)).as("o"))
+    val rows_ = base.groupBy(col("prio")).agg(count(lit(1)).as("rn"))
+    val cols_ = base.groupBy(col("seg")).agg(count(lit(1)).as("cn"))
+    val n = base.agg(count(lit(1)).as("nn"))
+    cells.join(broadcast(rows_), "prio").join(broadcast(cols_), "seg")
+      .crossJoin(broadcast(n))
+      .select(col("prio"), col("seg"), col("o"),
+        ((col("o").cast("double") -
+          (col("rn") * col("cn")).cast("double") / col("nn").cast("double")) /
+          sqrt((col("rn") * col("cn")).cast("double") /
+            col("nn").cast("double"))).as("std_residual"))
+      .withColumn("outlier", abs(col("std_residual")) > 3.0)
+      .orderBy(col("prio"), col("seg"))
+  }
+
+  private def epochDayLit(d: String): org.apache.spark.sql.Column =
+    datediff(lit(d).cast("date"), lit("1970-01-01").cast("date")).cast("long")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -10626,6 +10735,10 @@ object SparkEntry {
     "q_sax" -> (qSax _),
     "q_rank_fusion" -> (qRankFusion _),
     "q_graph_jaccard" -> (qGraphJaccard _),
+    "q_abc_analysis" -> (qAbcAnalysis _),
+    "q_session_path" -> (qSessionPath _),
+    "q_churn_label" -> (qChurnLabel _),
+    "q_crosstab_residuals" -> (qCrosstabResiduals _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -17959,5 +18072,90 @@ object SparkEntry {
         |top AS (SELECT * FROM scored ORDER BY jaccard_ppm DESC, x, y
         |  LIMIT 30)
         |SELECT x, y, n_common, jaccard_ppm FROM top ORDER BY x, y""".stripMargin,
+
+    "q_abc_analysis" ->
+      """WITH parts AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |run AS (
+        |  SELECT cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS run_sum
+        |  FROM parts),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM parts),
+        |classed AS (
+        |  SELECT cents,
+        |    CASE WHEN run_sum * 5 <= t * 4 THEN 'A'
+        |      WHEN run_sum * 20 <= t * 19 THEN 'B'
+        |      ELSE 'C' END AS abc
+        |  FROM run CROSS JOIN tot)
+        |SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) * 1000000 // t AS revenue_share_ppm
+        |FROM classed CROSS JOIN tot GROUP BY abc, t ORDER BY abc""".stripMargin,
+
+    "q_session_path" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS tus
+        |  FROM events),
+        |lagged AS (
+        |  SELECT event_type,
+        |    lag(event_type, 2) OVER w AS t1,
+        |    lag(event_type, 1) OVER w AS t2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT t1 || '>' || t2 || '>' || event_type AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lagged WHERE t1 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin,
+
+    "q_churn_label" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(min(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT)
+        |      AS first_d,
+        |    CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT)
+        |      AS last_d
+        |  FROM orders GROUP BY 1),
+        |cuts AS (
+        |  SELECT CAST(DATE '1997-01-01' - DATE '1970-01-01' AS BIGINT)
+        |      + i * 365 AS cut_d,
+        |    CAST(i + 1997 AS BIGINT) AS cohort
+        |  FROM (SELECT CAST(unnest(generate_series(0, 2)) AS BIGINT) AS i) t)
+        |SELECT cohort, CAST(count(*) AS BIGINT) AS at_risk,
+        |  CAST(sum(CASE WHEN last_d < cut_d THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS churned_strict,
+        |  CAST(sum(CASE WHEN last_d < cut_d + 365 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS churned_365,
+        |  CAST(sum(CASE WHEN last_d < cut_d + 365 THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS churn_ppm
+        |FROM per CROSS JOIN cuts
+        |WHERE first_d < cut_d GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q_crosstab_residuals" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS prio, c_mktsegment AS seg
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (
+        |  SELECT prio, seg, CAST(count(*) AS BIGINT) AS o
+        |  FROM base GROUP BY 1, 2),
+        |r AS (SELECT prio, CAST(count(*) AS BIGINT) AS rn
+        |  FROM base GROUP BY 1),
+        |c AS (SELECT seg, CAST(count(*) AS BIGINT) AS cn
+        |  FROM base GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM base)
+        |SELECT cells.prio, cells.seg, o,
+        |  (CAST(o AS DOUBLE)
+        |    - CAST(rn * cn AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    / sqrt(CAST(rn * cn AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    AS std_residual,
+        |  abs((CAST(o AS DOUBLE)
+        |    - CAST(rn * cn AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    / sqrt(CAST(rn * cn AS DOUBLE) / CAST(nn AS DOUBLE))) > 3.0
+        |    AS outlier
+        |FROM cells JOIN r ON cells.prio = r.prio
+        |JOIN c ON cells.seg = c.seg CROSS JOIN n
+        |ORDER BY cells.prio, cells.seg""".stripMargin,
   )
 }

@@ -10356,6 +10356,127 @@ object SparkEntry {
   private def epochDayLit(d: String): org.apache.spark.sql.Column =
     datediff(lit(d).cast("date"), lit("1970-01-01").cast("date")).cast("long")
 
+  /** Historical VaR / CVaR of day-over-day revenue changes: the p5
+    * nearest-rank loss (VaR) and the exact mean of the tail at or
+    * beyond it (CVaR) over the bounded day domain — deltas via the
+    * gap-safe day self-join (q_mase's discipline), rank selection on
+    * a calendar-sized window, tail mean one integer division. The
+    * risk-reporting shape finance teams run on any daily P&L-like
+    * series. */
+  private def qVarCvar(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) " +
+        "div 100000").as("v"))
+      .localCheckpoint(eager = false)
+    val deltas = daily.as("a").join(daily.as("b"),
+        col("a.day") + 1 === col("b.day"))
+      .select((col("b.v") - col("a.v")).as("delta"),
+        col("b.day").as("day"))
+    // day-domain window: calendar-bounded rank, not a data funnel
+    val ranked = deltas
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("delta"), col("day"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    ranked
+      .withColumn("var_rank", expr("greatest((n * 5 + 99) div 100, 1)"))
+      .groupBy()
+      .agg(max(col("n")).as("n_days"),
+        max(when(col("rnk") === col("var_rank"), col("delta")))
+          .as("var95_kd"),
+        sum(when(col("rnk") <= col("var_rank"), col("delta"))).as("tail_sum"),
+        sum(when(col("rnk") <= col("var_rank"), 1L).otherwise(0L))
+          .as("tail_n"))
+      .select(col("n_days"), col("var95_kd"),
+        expr("tail_sum div tail_n").as("cvar95_kd"))
+  }
+
+  /** V-optimal 4-bucket histogram of the monthly revenue series by
+    * EXHAUSTIVE RELATIONAL ENUMERATION — the dynamic program
+    * re-expressed as a join: every boundary triple (b1 < b2 < b3)
+    * over the ~84-month domain is a candidate (≈ 90k rows — domain-
+    * bounded, data-independent), each segment's SSE comes from the
+    * O(1) prefix-sum identity, and the argmin is a TakeOrdered(1).
+    * The same enumerate-domain-then-argmin move as q_breakpoint,
+    * scaled to three changepoints; SSE stays exact int64 at the
+    * month × thousand-dollar grain. */
+  private def qVoptimalHist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = t(s, dir, "orders")
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")
+        .as("mo"))
+      .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) " +
+        "div 100000").as("v"))
+    // month-domain prefix sums (calendar-bounded window)
+    val pre = monthly
+      .withColumn("i", row_number().over(Window.orderBy(col("mo")))
+        .cast("long"))
+      .withColumn("cs", sum(col("v")).over(Window.orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("css", sum(col("v") * col("v")).over(Window.orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("i"), col("cs"), col("css"))
+      .localCheckpoint(eager = false)
+    val n = pre.agg(max(col("i")).as("n"))
+    val idx = pre.select(col("i"))
+    val triples = idx.as("x").crossJoin(idx.as("y")).crossJoin(idx.as("z"))
+      .select(col("x.i").as("b1"), col("y.i").as("b2"), col("z.i").as("b3"))
+      .filter(col("b1") < col("b2") && col("b2") < col("b3"))
+      .crossJoin(broadcast(n)).filter(col("b3") < col("n"))
+    def seg(fromPre: String, toPre: String): org.apache.spark.sql.Column =
+      // m·SSE identity: len·Σv² − (Σv)² over [from+1, to], scaled by len
+      // to stay integer: SSE·len² form is monotone-comparable only at
+      // equal len, so use the exact rational via two-step div like
+      // q_laspeyres: (len·Σv² − (Σv)²) div len
+      expr(s"((${toPre}_css - ${fromPre}_css) * (${toPre}_i - ${fromPre}_i)" +
+        s" - (${toPre}_cs - ${fromPre}_cs) * (${toPre}_cs - ${fromPre}_cs))" +
+        s" div (${toPre}_i - ${fromPre}_i)")
+    val zero = s.range(1).select(lit(0L).as("z_i"), lit(0L).as("z_cs"),
+      lit(0L).as("z_css"))
+    val joined = triples
+      .join(pre.select(col("i").as("p1_i"), col("cs").as("p1_cs"),
+        col("css").as("p1_css")), col("b1") === col("p1_i"))
+      .join(pre.select(col("i").as("p2_i"), col("cs").as("p2_cs"),
+        col("css").as("p2_css")), col("b2") === col("p2_i"))
+      .join(pre.select(col("i").as("p3_i"), col("cs").as("p3_cs"),
+        col("css").as("p3_css")), col("b3") === col("p3_i"))
+      .join(pre.select(col("i").as("p4_i"), col("cs").as("p4_cs"),
+        col("css").as("p4_css")).crossJoin(broadcast(n))
+        .filter(col("p4_i") === col("n")).drop("n"),
+        lit(true))
+      .crossJoin(broadcast(zero))
+    val sse = joined.select(col("b1"), col("b2"), col("b3"),
+      (seg("z", "p1") + seg("p1", "p2") + seg("p2", "p3") + seg("p3", "p4"))
+        .as("sse_scaled"))
+    sse.orderBy(col("sse_scaled"), col("b1"), col("b2"), col("b3")).limit(1)
+  }
+
+  /** Marginal-novelty (coverage) curve: for each corpus tenth (by
+    * doc_id), the share of its documents whose exact content digest
+    * was already seen earlier — "is the next batch of data still
+    * adding new documents, or just duplicate mass?" Each digest's
+    * FIRST doc is one min-reduce (q_heaps' trick at the document
+    * level); a doc is novel iff it IS its digest's first occurrence. */
+  private def qCoverageCurve(s: SparkSession, dir: String): DataFrame = {
+    val total = t(s, dir, "documents").agg(count(lit(1)).as("d_total"))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .localCheckpoint(eager = false)
+    val firsts = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("first_doc"))
+    docs.join(firsts, "fp")
+      .crossJoin(broadcast(total))
+      .select(expr("((doc_id + 1) * 10 + d_total - 1) div d_total")
+        .as("decile"),
+        when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)
+          .as("novel"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("docs"), sum(col("novel")).as("novel_docs"))
+      .withColumn("dup_ppm",
+        expr("(docs - novel_docs) * 1000000 div docs"))
+      .orderBy(col("decile"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -10739,6 +10860,9 @@ object SparkEntry {
     "q_session_path" -> (qSessionPath _),
     "q_churn_label" -> (qChurnLabel _),
     "q_crosstab_residuals" -> (qCrosstabResiduals _),
+    "q_var_cvar" -> (qVarCvar _),
+    "q_voptimal_hist" -> (qVoptimalHist _),
+    "q_coverage_curve" -> (qCoverageCurve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -18157,5 +18281,86 @@ object SparkEntry {
         |FROM cells JOIN r ON cells.prio = r.prio
         |JOIN c ON cells.seg = c.seg CROSS JOIN n
         |ORDER BY cells.prio, cells.seg""".stripMargin,
+
+    "q_var_cvar" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS v
+        |  FROM orders GROUP BY 1),
+        |deltas AS (
+        |  SELECT b.v - a.v AS delta, b.day AS day
+        |  FROM daily a JOIN daily b ON a.day + 1 = b.day),
+        |ranked AS (
+        |  SELECT delta,
+        |    CAST(row_number() OVER (ORDER BY delta, day) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM deltas),
+        |vr AS (
+        |  SELECT delta, rnk, n, greatest((n * 5 + 99) // 100, 1) AS var_rank
+        |  FROM ranked)
+        |SELECT max(n) AS n_days,
+        |  max(CASE WHEN rnk = var_rank THEN delta END) AS var95_kd,
+        |  CAST(sum(CASE WHEN rnk <= var_rank THEN delta END) AS BIGINT)
+        |    // CAST(sum(CASE WHEN rnk <= var_rank THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cvar95_kd
+        |FROM vr""".stripMargin,
+
+    "q_voptimal_hist" ->
+      """WITH monthly AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mo,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS v
+        |  FROM orders GROUP BY 1),
+        |pre AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY mo) AS BIGINT) AS i,
+        |    CAST(sum(v) OVER (ORDER BY mo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cs,
+        |    CAST(sum(v * v) OVER (ORDER BY mo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS css
+        |  FROM monthly),
+        |nn AS (SELECT CAST(max(i) AS BIGINT) AS n FROM pre),
+        |triples AS (
+        |  SELECT x.i AS b1, y.i AS b2, z.i AS b3
+        |  FROM pre x CROSS JOIN pre y CROSS JOIN pre z CROSS JOIN nn
+        |  WHERE x.i < y.i AND y.i < z.i AND z.i < n),
+        |sse AS (
+        |  SELECT b1, b2, b3,
+        |    ((p1.css - 0) * (p1.i - 0) - (p1.cs - 0) * (p1.cs - 0))
+        |      // (p1.i - 0)
+        |    + ((p2.css - p1.css) * (p2.i - p1.i)
+        |      - (p2.cs - p1.cs) * (p2.cs - p1.cs)) // (p2.i - p1.i)
+        |    + ((p3.css - p2.css) * (p3.i - p2.i)
+        |      - (p3.cs - p2.cs) * (p3.cs - p2.cs)) // (p3.i - p2.i)
+        |    + ((p4.css - p3.css) * (p4.i - p3.i)
+        |      - (p4.cs - p3.cs) * (p4.cs - p3.cs)) // (p4.i - p3.i)
+        |      AS sse_scaled
+        |  FROM triples
+        |  JOIN pre p1 ON b1 = p1.i
+        |  JOIN pre p2 ON b2 = p2.i
+        |  JOIN pre p3 ON b3 = p3.i
+        |  CROSS JOIN nn JOIN pre p4 ON p4.i = n)
+        |SELECT b1, b2, b3, CAST(sse_scaled AS BIGINT) AS sse_scaled
+        |FROM sse ORDER BY sse_scaled, b1, b2, b3 LIMIT 1""".stripMargin,
+
+    "q_coverage_curve" ->
+      """WITH total AS (SELECT CAST(count(*) AS BIGINT) AS d_total
+        |  FROM documents),
+        |docs AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |firsts AS (
+        |  SELECT fp, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |  FROM docs GROUP BY fp)
+        |SELECT ((doc_id + 1) * 10 + d_total - 1) // d_total AS decile,
+        |  CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS novel_docs,
+        |  (CAST(count(*) AS BIGINT)
+        |    - CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+        |      AS BIGINT)) * 1000000 // CAST(count(*) AS BIGINT) AS dup_ppm
+        |FROM docs JOIN firsts USING (fp) CROSS JOIN total
+        |GROUP BY 1 ORDER BY decile""".stripMargin,
   )
 }

@@ -10477,6 +10477,78 @@ object SparkEntry {
       .orderBy(col("decile"))
   }
 
+  /** Linear (even-credit) multi-touch attribution — the third member
+    * of the attribution trio (q_attribution last-touch, q_first_touch
+    * first-touch): every click strictly before a purchase shares the
+    * purchase's value equally. Credit per click = value·1e6 div
+    * n_clicks in exact micro (truncating; the dropped remainder is
+    * < n_clicks micro per purchase, stated in the contract). The
+    * purchase×click pairing is a user-keyed range join — bounded by
+    * per-user activity, never a cross product. */
+  private def qMultiTouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts"),
+        Analytics.fp(col("value"), 1000L).as("v_milli"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        (get_json_object(col("props"), "$.k").cast("long") % 4).as("channel"))
+    val paired = purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_ts") < col("ts"))
+    val counted = paired.groupBy(col("pid"), col("v_milli"))
+      .agg(count(lit(1)).as("n_clicks"))
+    paired.join(counted.select(col("pid"), col("n_clicks")), "pid")
+      .select(col("channel"),
+        expr("v_milli * 1000 div n_clicks").as("credit_micro"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_micro")).as("credit_micro"))
+      .orderBy(col("channel"))
+  }
+
+  /** Exact Shapley-value channel attribution over 3 channels: each
+    * user's clicked-channel SET (2³ coalitions) and conversion flag
+    * collapse to 8 exact rates; the Shapley weights for 3 players are
+    * the rationals {2,1,1,2}/6, so each channel's value is PURE
+    * INTEGER arithmetic over the pivoted coalition rates — the
+    * game-theoretic attribution usually quoted as "needs simulation",
+    * done in closed form because the player count is fixed. Users
+    * with no clicks anchor the empty coalition. */
+  private def qShapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val per = ev.groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "click" &&
+          expr("CAST(get_json_object(props, '$.k') AS LONG) % 3") === 0L,
+          1L).otherwise(0L)).as("c0"),
+        max(when(col("event_type") === "click" &&
+          expr("CAST(get_json_object(props, '$.k') AS LONG) % 3") === 1L,
+          1L).otherwise(0L)).as("c1"),
+        max(when(col("event_type") === "click" &&
+          expr("CAST(get_json_object(props, '$.k') AS LONG) % 3") === 2L,
+          1L).otherwise(0L)).as("c2"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+    val coal = per.groupBy(col("c0"), col("c1"), col("c2"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+      .select(col("c0"), col("c1"), col("c2"),
+        expr("CASE WHEN n > 0 THEN x * 1000000 div n ELSE 0 END").as("v"))
+    val subsets = for { a <- 0 to 1; b <- 0 to 1; c <- 0 to 1 } yield (a, b, c)
+    val vCols = subsets.map { case (a, b, c) =>
+      max(when(col("c0") === a && col("c1") === b && col("c2") === c,
+        col("v"))).as(s"v$a$b$c")
+    }
+    val wide = coal.groupBy().agg(vCols.head, vCols.tail: _*)
+      .na.fill(0L)
+    wide.select(
+      expr("(2 * (v100 - v000) + (v110 - v010) + (v101 - v001) + " +
+        "2 * (v111 - v011)) div 6").as("shapley0_micro"),
+      expr("(2 * (v010 - v000) + (v110 - v100) + (v011 - v001) + " +
+        "2 * (v111 - v101)) div 6").as("shapley1_micro"),
+      expr("(2 * (v001 - v000) + (v101 - v100) + (v011 - v010) + " +
+        "2 * (v111 - v110)) div 6").as("shapley2_micro"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -10863,6 +10935,8 @@ object SparkEntry {
     "q_var_cvar" -> (qVarCvar _),
     "q_voptimal_hist" -> (qVoptimalHist _),
     "q_coverage_curve" -> (qCoverageCurve _),
+    "q_multi_touch" -> (qMultiTouch _),
+    "q_shapley_attribution" -> (qShapleyAttribution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -18362,5 +18436,68 @@ object SparkEntry {
         |      AS BIGINT)) * 1000000 // CAST(count(*) AS BIGINT) AS dup_ppm
         |FROM docs JOIN firsts USING (fp) CROSS JOIN total
         |GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    "q_multi_touch" ->
+      """WITH p AS (
+        |  SELECT event_id AS pid, user_id, ts,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS c_ts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS channel
+        |  FROM events WHERE event_type = 'click'),
+        |paired AS (
+        |  SELECT pid, v_milli, channel
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c.c_ts < p.ts),
+        |counted AS (
+        |  SELECT pid, CAST(count(*) AS BIGINT) AS n_clicks
+        |  FROM paired GROUP BY pid)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(v_milli * 1000 // n_clicks) AS BIGINT) AS credit_micro
+        |FROM paired JOIN counted USING (pid)
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q_shapley_attribution" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'click' AND
+        |      CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(max(CASE WHEN event_type = 'click' AND
+        |      CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(max(CASE WHEN event_type = 'click' AND
+        |      CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM events GROUP BY user_id),
+        |coal AS (
+        |  SELECT c0, c1, c2, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS x
+        |  FROM per GROUP BY 1, 2, 3),
+        |rates AS (
+        |  SELECT c0, c1, c2,
+        |    CASE WHEN n > 0 THEN x * 1000000 // n ELSE 0 END AS v
+        |  FROM coal),
+        |wide AS (
+        |  SELECT
+        |    coalesce(max(CASE WHEN c0=0 AND c1=0 AND c2=0 THEN v END), 0) AS v000,
+        |    coalesce(max(CASE WHEN c0=0 AND c1=0 AND c2=1 THEN v END), 0) AS v001,
+        |    coalesce(max(CASE WHEN c0=0 AND c1=1 AND c2=0 THEN v END), 0) AS v010,
+        |    coalesce(max(CASE WHEN c0=0 AND c1=1 AND c2=1 THEN v END), 0) AS v011,
+        |    coalesce(max(CASE WHEN c0=1 AND c1=0 AND c2=0 THEN v END), 0) AS v100,
+        |    coalesce(max(CASE WHEN c0=1 AND c1=0 AND c2=1 THEN v END), 0) AS v101,
+        |    coalesce(max(CASE WHEN c0=1 AND c1=1 AND c2=0 THEN v END), 0) AS v110,
+        |    coalesce(max(CASE WHEN c0=1 AND c1=1 AND c2=1 THEN v END), 0) AS v111
+        |  FROM rates)
+        |SELECT
+        |  (2 * (v100 - v000) + (v110 - v010) + (v101 - v001)
+        |    + 2 * (v111 - v011)) // 6 AS shapley0_micro,
+        |  (2 * (v010 - v000) + (v110 - v100) + (v011 - v001)
+        |    + 2 * (v111 - v101)) // 6 AS shapley1_micro,
+        |  (2 * (v001 - v000) + (v101 - v100) + (v011 - v010)
+        |    + 2 * (v111 - v110)) // 6 AS shapley2_micro
+        |FROM wide""".stripMargin,
   )
 }

@@ -10549,6 +10549,103 @@ object SparkEntry {
         "2 * (v111 - v110)) div 6").as("shapley2_micro"))
   }
 
+  /** Per-segment uplift readout: treatment/control conversion (the
+    * q_ab_test experiment) split by market segment, uplift in signed
+    * exact ppm per segment — heterogeneous-treatment-effect reporting,
+    * the step between "the experiment moved the average" and "for
+    * whom". One customer-keyed pass, exact counts throughout. */
+  private def qUpliftBySegment(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        (col("o_custkey") % 2).as("arm"), col("o_custkey"))
+      .agg(max(when(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+          col("o_orderdate") < lit("1996-01-01").cast("date"), 1L)
+        .otherwise(0L)).as("conv"))
+    users.groupBy(col("segment"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x1"))
+      .select(col("segment"), col("n0"), col("n1"),
+        expr("x0 * 1000000 div n0").as("control_ppm"),
+        expr("x1 * 1000000 div n1").as("treat_ppm"),
+        expr("x1 * 1000000 div n1 - x0 * 1000000 div n0")
+          .as("uplift_ppm"))
+      .orderBy(col("segment"))
+  }
+
+  /** Seasonal-residual anomaly detection: q_stl_lite's decomposition
+    * at thousand-dollar grain (residual SQUARES must stay in int64 —
+    * the cent-grain squares overflow, caught by the oracle gate),
+    * screened at 3σ (moments over the bounded day domain,
+    * one sqrt) — the upgrade over q_anomaly's raw 3σ that stops the
+    * weekly cycle itself from flagging as anomalous. Emits only the
+    * flagged days with their z-scores as fixed IEEE trees. */
+  private def qAnomalyStl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) " +
+        "div 100000").as("c"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val tr = daily
+      .withColumn("tsum", sum(col("c")).over(w))
+      .withColumn("tn", count(lit(1)).over(w))
+      .withColumn("det", col("c") - expr("tsum div tn"))
+      .withColumn("wd", pmod(col("day") + 4, lit(7)))
+    val seas = tr.groupBy(col("wd"))
+      .agg(sum(col("det")).as("ssum"), count(lit(1)).as("sn"))
+      .select(col("wd"), expr("ssum div sn").as("seasonal_c"))
+    val resid = tr.join(broadcast(seas), "wd")
+      .select(col("day"), col("c"),
+        (col("det") - col("seasonal_c")).as("r"))
+      .localCheckpoint(eager = false)
+    val mom = resid.agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+      sum(col("r") * col("r")).as("srr"))
+    val nD = col("n").cast("double")
+    val sigma = sqrt((nD * col("srr").cast("double") -
+      col("sr").cast("double") * col("sr").cast("double")) / (nD * nD))
+    val mean = col("sr").cast("double") / nD
+    resid.crossJoin(broadcast(mom))
+      .withColumn("z", (col("r").cast("double") - mean) / sigma)
+      .filter(abs(col("z")) > 3.0)
+      .select(col("day"), col("c").as("rev_c"), col("r").as("residual_c"),
+        col("z"))
+      .orderBy(col("day"))
+  }
+
+  /** Weekday revenue bands (P10/P50/P90 of daily revenue per
+    * day-of-week): the seasonal-profile chart behind staffing and
+    * alert thresholds. Daily values collapse to the day domain first;
+    * each weekday's nearest-rank quantiles ride a 7-group bounded
+    * rank — never a data-sized window. */
+  private def qQuantileBands(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) " +
+        "div 100000").as("v"))
+      .withColumn("wd", pmod(col("day") + 4, lit(7)))
+    // 7 weekday groups over the bounded day domain
+    val ranked = daily
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("wd"))
+        .orderBy(col("v"), col("day"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("wd"))))
+    def rk(p: Int) = expr(s"greatest((n * $p + 99) div 100, 1)")
+    ranked
+      .filter(Seq(10, 50, 90).map(p => col("rnk") === rk(p)).reduce(_ || _))
+      .groupBy(col("wd"))
+      .agg(max(col("n")).as("n_days"),
+        max(when(col("rnk") === rk(10), col("v"))).as("p10_kd"),
+        max(when(col("rnk") === rk(50), col("v"))).as("p50_kd"),
+        max(when(col("rnk") === rk(90), col("v"))).as("p90_kd"))
+      .orderBy(col("wd"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -10937,6 +11034,9 @@ object SparkEntry {
     "q_coverage_curve" -> (qCoverageCurve _),
     "q_multi_touch" -> (qMultiTouch _),
     "q_shapley_attribution" -> (qShapleyAttribution _),
+    "q_uplift_by_segment" -> (qUpliftBySegment _),
+    "q_anomaly_stl" -> (qAnomalyStl _),
+    "q_quantile_bands" -> (qQuantileBands _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -18499,5 +18599,88 @@ object SparkEntry {
         |  (2 * (v001 - v000) + (v101 - v100) + (v011 - v010)
         |    + 2 * (v111 - v110)) // 6 AS shapley2_micro
         |FROM wide""".stripMargin,
+
+    "q_uplift_by_segment" ->
+      """WITH users AS (
+        |  SELECT c_mktsegment AS segment, o_custkey % 2 AS arm, o_custkey,
+        |    CAST(max(CASE WHEN o_orderdate >= DATE '1995-01-01'
+        |      AND o_orderdate < DATE '1996-01-01' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT segment,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1
+        |  FROM users GROUP BY segment)
+        |SELECT segment, n0, n1,
+        |  x0 * 1000000 // n0 AS control_ppm,
+        |  x1 * 1000000 // n1 AS treat_ppm,
+        |  x1 * 1000000 // n1 - x0 * 1000000 // n0 AS uplift_ppm
+        |FROM g ORDER BY segment""".stripMargin,
+
+    "q_anomaly_stl" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS c
+        |  FROM orders GROUP BY 1),
+        |tr AS (
+        |  SELECT day, c,
+        |    c - (CAST(sum(c) OVER w AS BIGINT) // CAST(count(*) OVER w AS BIGINT)) AS det,
+        |    (day + 4) % 7 AS wd
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |seas AS (
+        |  SELECT wd,
+        |    CAST(sum(det) AS BIGINT) // CAST(count(*) AS BIGINT) AS seasonal_c
+        |  FROM tr GROUP BY wd),
+        |resid AS (
+        |  SELECT day, c, CAST(t.det - s.seasonal_c AS BIGINT) AS r
+        |  FROM tr t JOIN seas s ON t.wd = s.wd),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS sr,
+        |    CAST(sum(r * r) AS BIGINT) AS srr
+        |  FROM resid)
+        |SELECT day, c AS rev_c, r AS residual_c,
+        |  (CAST(r AS DOUBLE) - CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+        |      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS z
+        |FROM resid CROSS JOIN mom
+        |WHERE abs((CAST(r AS DOUBLE) - CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+        |      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) > 3.0
+        |ORDER BY day""".stripMargin,
+
+    "q_quantile_bands" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS v
+        |  FROM orders GROUP BY 1),
+        |wdd AS (SELECT day, v, (day + 4) % 7 AS wd FROM daily),
+        |r AS (
+        |  SELECT wd, v,
+        |    CAST(row_number() OVER (PARTITION BY wd ORDER BY v, day)
+        |      AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY wd) AS BIGINT) AS n
+        |  FROM wdd)
+        |SELECT wd, max(n) AS n_days,
+        |  max(CASE WHEN rnk = greatest((n * 10 + 99) // 100, 1) THEN v END)
+        |    AS p10_kd,
+        |  max(CASE WHEN rnk = greatest((n * 50 + 99) // 100, 1) THEN v END)
+        |    AS p50_kd,
+        |  max(CASE WHEN rnk = greatest((n * 90 + 99) // 100, 1) THEN v END)
+        |    AS p90_kd
+        |FROM r
+        |WHERE rnk IN (greatest((n * 10 + 99) // 100, 1),
+        |  greatest((n * 50 + 99) // 100, 1),
+        |  greatest((n * 90 + 99) // 100, 1))
+        |GROUP BY wd ORDER BY wd""".stripMargin,
   )
 }

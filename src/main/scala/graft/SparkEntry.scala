@@ -10646,6 +10646,98 @@ object SparkEntry {
       .orderBy(col("wd"))
   }
 
+  /** Same-part price-dispersion audit: coefficient of variation of
+    * the per-unit price across a part's line items, exact ppm from
+    * integer moments (unit price at the cents-per-unit grain via the
+    * two-step truncating division the index queries share). High CV
+    * = inconsistent pricing / data-entry faults; top-20 by CV ride
+    * TakeOrdered. Only parts with ≥ 5 observations report. */
+  private def qPriceDispersion(s: SparkSession, dir: String): DataFrame = {
+    val unit = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) div " +
+          "CAST(l_quantity AS BIGINT)").as("u"))
+    unit.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("su"),
+        sum(col("u") * col("u")).as("suu"))
+      .filter(col("n") >= 5)
+      .select(col("l_partkey"), col("n"),
+        expr("su div n").as("mean_unit_c"),
+        floor(sqrt((col("n").cast("double") * col("suu").cast("double") -
+            col("su").cast("double") * col("su").cast("double")) /
+            (col("n").cast("double") * (col("n").cast("double") - lit(1.0))))
+          / (col("su").cast("double") / col("n").cast("double"))
+          * 1000000 + 0.5).cast("long").as("cv_ppm"))
+      .orderBy(col("cv_ppm").desc, col("l_partkey")).limit(20)
+      .select(col("l_partkey"), col("n"), col("mean_unit_c"), col("cv_ppm"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** Price-volume-mix bridge (the accountant's ΔRevenue
+    * decomposition, per-part exact): for each consecutive year pair,
+    * ΔR = Σ(p₁−p₀)·q₁ (price effect) + Σ(q₁−q₀)·p₀ (volume effect)
+    * + truncation residual, with unit prices at the cents grain via
+    * truncating division — so the bridge is exactly additive BY
+    * CONSTRUCTION against the reported revenue delta, and the
+    * residual column proves it. Only parts present in both years
+    * bridge; entry/exit revenue is reported separately. */
+  private def qPvmBridge(s: SparkSession, dir: String): DataFrame = {
+    val py = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), year(col("l_shipdate")).cast("long").as("yr"))
+      .agg(sum(Analytics.cents(col("l_extendedprice"))).as("cents"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .withColumn("p", expr("cents div qty"))
+      .localCheckpoint(eager = false)
+    val pairs = py.as("a").join(py.as("b"),
+        col("a.l_partkey") === col("b.l_partkey") &&
+          col("a.yr") + 1 === col("b.yr"))
+      .select(col("b.yr").as("yr"),
+        ((col("b.p") - col("a.p")) * col("b.qty")).as("price_eff"),
+        ((col("b.qty") - col("a.qty")) * col("a.p")).as("volume_eff"),
+        (col("b.cents") - col("a.cents")).as("delta"))
+    pairs.groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("price_eff")).as("price_effect_c"),
+        sum(col("volume_eff")).as("volume_effect_c"),
+        sum(col("delta")).as("delta_c"))
+      .withColumn("residual_c",
+        expr("delta_c - price_effect_c - volume_effect_c"))
+      .orderBy(col("yr"))
+  }
+
+  /** Entropy rate of the user-event Markov chain: H = −Σᵢⱼ πᵢ pᵢⱼ
+    * ln pᵢⱼ with the empirical state distribution as π — how
+    * predictable the NEXT event is given the current one (the
+    * sequence-complexity number beside q_markov2's matrix). The 25
+    * transition cells are domain-bounded; each cell's term is rounded
+    * to micro-nats BEFORE the sum (q_entropy's contract), weighted by
+    * exact from-state counts, and the final division is one div. */
+  private def qEntropyRate(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), expr("ts div 1000").as("tus"))
+    val trans = e
+      .withColumn("nxt",
+        expr("lead(event_type) OVER (PARTITION BY user_id " +
+          "ORDER BY tus, event_id)"))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type"), col("nxt"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val fromTot = trans.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("ct"))
+    val tot = trans.agg(sum(col("c")).as("n_all"))
+    val cell = trans.join(broadcast(fromTot), "event_type")
+      .select(col("c"), col("ct"),
+        floor((col("c").cast("double") / col("ct").cast("double")) *
+          log(col("c").cast("double") / col("ct").cast("double")) *
+          lit(-1000000.0) + 0.5).cast("long").as("term_unat"))
+    cell.select((col("ct") * col("term_unat")).as("wterm"))
+      .agg(sum(col("wterm")).as("swt"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_all"),
+        expr("swt div n_all").as("entropy_rate_unat"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -11037,6 +11129,9 @@ object SparkEntry {
     "q_uplift_by_segment" -> (qUpliftBySegment _),
     "q_anomaly_stl" -> (qAnomalyStl _),
     "q_quantile_bands" -> (qQuantileBands _),
+    "q_price_dispersion" -> (qPriceDispersion _),
+    "q_pvm_bridge" -> (qPvmBridge _),
+    "q_entropy_rate" -> (qEntropyRate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -18682,5 +18777,77 @@ object SparkEntry {
         |  greatest((n * 50 + 99) // 100, 1),
         |  greatest((n * 90 + 99) // 100, 1))
         |GROUP BY wd ORDER BY wd""".stripMargin,
+
+    "q_price_dispersion" ->
+      """WITH unit AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      // CAST(l_quantity AS BIGINT) AS u
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(u) AS BIGINT) AS su, CAST(sum(u * u) AS BIGINT) AS suu
+        |  FROM unit GROUP BY 1 HAVING count(*) >= 5),
+        |cv AS (
+        |  SELECT l_partkey, n, su // n AS mean_unit_c,
+        |    CAST(floor(sqrt((CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+        |        - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |      / (CAST(su AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT) AS cv_ppm
+        |  FROM g),
+        |top AS (SELECT * FROM cv ORDER BY cv_ppm DESC, l_partkey LIMIT 20)
+        |SELECT l_partkey, n, mean_unit_c, cv_ppm FROM top
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q_pvm_bridge" ->
+      """WITH py AS (
+        |  SELECT l_partkey, CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, yr, cents, qty, cents // qty AS p FROM py),
+        |pairs AS (
+        |  SELECT b.yr AS yr,
+        |    (b.p - a.p) * b.qty AS price_eff,
+        |    (b.qty - a.qty) * a.p AS volume_eff,
+        |    b.cents - a.cents AS delta
+        |  FROM pp a JOIN pp b
+        |    ON a.l_partkey = b.l_partkey AND a.yr + 1 = b.yr)
+        |SELECT yr, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(price_eff) AS BIGINT) AS price_effect_c,
+        |  CAST(sum(volume_eff) AS BIGINT) AS volume_effect_c,
+        |  CAST(sum(delta) AS BIGINT) AS delta_c,
+        |  CAST(sum(delta) AS BIGINT) - CAST(sum(price_eff) AS BIGINT)
+        |    - CAST(sum(volume_eff) AS BIGINT) AS residual_c
+        |FROM pairs GROUP BY yr ORDER BY yr""".stripMargin,
+
+    "q_entropy_rate" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS tus
+        |  FROM events),
+        |seq AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS nxt
+        |  FROM e),
+        |trans AS (
+        |  SELECT event_type, nxt, CAST(count(*) AS BIGINT) AS c
+        |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |ft AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS ct
+        |  FROM trans GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM trans),
+        |cell AS (
+        |  SELECT t.c, f.ct,
+        |    CAST(floor((CAST(t.c AS DOUBLE) / CAST(f.ct AS DOUBLE))
+        |      * ln(CAST(t.c AS DOUBLE) / CAST(f.ct AS DOUBLE))
+        |      * (-1000000.0) + 0.5) AS BIGINT) AS term_unat
+        |  FROM trans t JOIN ft f ON t.event_type = f.event_type)
+        |SELECT n_all,
+        |  CAST(sum(ct * term_unat) AS BIGINT) // n_all
+        |    AS entropy_rate_unat
+        |FROM cell CROSS JOIN tot GROUP BY n_all""".stripMargin,
   )
 }

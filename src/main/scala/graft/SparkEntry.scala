@@ -10738,6 +10738,105 @@ object SparkEntry {
         expr("swt div n_all").as("entropy_rate_unat"))
   }
 
+  /** Packing-efficiency audit for the q_pack_windows layout: per
+    * source, how much of the 2048-token context budget the packed
+    * windows actually fill (fill ppm), plus boundary-crossing doc
+    * counts — the "are we wasting context" number a pretraining
+    * pipeline tracks per mixture component. Pure arithmetic over the
+    * same token estimates; the per-source window count is the exact
+    * ceiling of its token mass. */
+  private def qPackEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val windowTokens = 2048L
+    val base = TextOps.withTokenEstimate(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("source"), col("est_tokens"))
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("est_tokens")).as("tokens"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        expr(s"(tokens + $windowTokens - 1) div $windowTokens")
+          .as("windows"),
+        expr(s"tokens * 1000000 div " +
+          s"(((tokens + $windowTokens - 1) div $windowTokens) * $windowTokens)")
+          .as("fill_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Hard-negative mining for contrastive training: for each anchor
+    * in a deterministic subset, the top-3 same-label neighbors in the
+    * "hard band" — similar enough to confuse (cosine ≥ 0.10) but not
+    * near-duplicates (cosine ≤ 0.25, q_embed_near_dup's cut) — via
+    * the label-blocked pair join (never all-pairs) and a bounded
+    * per-anchor heap. Near-dups make FALSE negatives (they're really
+    * positives), easy ones teach nothing; the band is where the
+    * training signal lives. */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val n = emb.select(col("vec_id"), col("label"), col("embedding"),
+      graft.functions.kernels.fixed_point_dot(col("embedding"),
+        col("embedding")).as("nrm"))
+      .localCheckpoint(eager = false)
+    val anchors = n.filter(col("vec_id") % 7 === 0)
+    val pairs = anchors.as("a").join(n.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("neg"),
+        (Similarity.dotFp(col("a.embedding"), col("b.embedding"))
+          .cast("double") / 1e9 /
+          (sqrt(col("a.nrm").cast("double") / 1e9) *
+            sqrt(col("b.nrm").cast("double") / 1e9))).as("cosine"))
+      .withColumn("cos_micro",
+        floor(col("cosine") * 1000000 + 0.5).cast("long"))
+      .filter(col("cos_micro") >= 100000L && col("cos_micro") <= 250000L)
+    // per-anchor candidates are label-block bounded; rank top-3
+    pairs
+      .withColumn("rn", row_number().over(Window.partitionBy(col("anchor"))
+        .orderBy(col("cos_micro").desc, col("neg"))).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("anchor"), col("rn"), col("neg"), col("cos_micro"))
+      .orderBy(col("anchor"), col("rn"))
+  }
+
+  /** Variance share of the PCA top direction — the one-number answer
+    * to "is this embedding space effectively one-dimensional":
+    * λ₁/trace in exact-integer-fed ppm, with λ₁ the Rayleigh quotient
+    * of q_power_iteration's 2-round fixed-point direction (replayed
+    * identically here and in the oracle's CTE chain) and the trace a
+    * plain integer sum of squared milli components. num, wn, trace
+    * are exact int64; the final share is one fixed IEEE tree over
+    * them. Model (the 64 weights) moves by broadcast; the corpus
+    * never shuffles. */
+  private def qPcaVarShare(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "embeddings")
+      .select(col("vec_id").as("i"), posexplode(col("embedding")))
+      .select(col("i"), (col("pos") + 1).cast("long").as("j"),
+        expr("CAST(floor(CAST(col AS DOUBLE) * 1000 + 0.5) AS BIGINT)")
+          .as("xf"))
+      .localCheckpoint(eager = false)
+    def iterate(v: Array[Long]): Array[Long] = {
+      val varr = array(v.map(lit): _*)
+      val sI = x.withColumn("v", element_at(varr, col("j").cast("int")))
+        .groupBy(col("i")).agg(sum(col("xf") * col("v")).as("s"))
+      val w = x.join(sI, "i").groupBy(col("j"))
+        .agg(sum(col("xf") * col("s")).as("w"))
+        .orderBy(col("j")).collect().map(_.getLong(1))
+      val d = w.map(math.abs).max / 1000 + 1
+      w.map(_ / d)
+    }
+    val v2 = iterate(iterate(Array.fill(64)(1L)))
+    val wnVal = v2.map(v => v * v).sum
+    val varr = array(v2.map(lit): _*)
+    val num = x.withColumn("v", element_at(varr, col("j").cast("int")))
+      .groupBy(col("i")).agg(sum(col("xf") * col("v")).as("dd"))
+      .select(expr("(dd div 1000) * (dd div 1000)").as("d2"))
+      .agg(sum(col("d2")).as("num"))
+    val trace = x.agg(sum(col("xf") * col("xf")).as("trace_m2"))
+    num.crossJoin(broadcast(trace))
+      .select(col("num"), lit(wnVal).as("wn"), col("trace_m2"),
+        floor(((col("num").cast("double") / lit(wnVal.toDouble)) /
+          (col("trace_m2").cast("double") / lit(1000000.0))) *
+          lit(1000000.0) + 0.5).cast("long").as("var_share_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -11132,6 +11231,9 @@ object SparkEntry {
     "q_price_dispersion" -> (qPriceDispersion _),
     "q_pvm_bridge" -> (qPvmBridge _),
     "q_entropy_rate" -> (qEntropyRate _),
+    "q_pack_efficiency" -> (qPackEfficiency _),
+    "q_hard_negatives" -> (qHardNegatives _),
+    "q_pca_var_share" -> (qPcaVarShare _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -18849,5 +18951,80 @@ object SparkEntry {
         |  CAST(sum(ct * term_unat) AS BIGINT) // n_all
         |    AS entropy_rate_unat
         |FROM cell CROSS JOIN tot GROUP BY n_all""".stripMargin,
+
+    "q_pack_efficiency" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |est AS (
+        |  SELECT source,
+        |    greatest(len(tk),
+        |      CAST(list_sum(list_transform(tk, w -> (length(w) + 3) // 4))
+        |        AS BIGINT)) AS est_tokens
+        |  FROM f),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(est_tokens) AS BIGINT) AS tokens
+        |  FROM est GROUP BY source)
+        |SELECT source, n_docs, tokens,
+        |  (tokens + 2047) // 2048 AS windows,
+        |  tokens * 1000000 // (((tokens + 2047) // 2048) * 2048) AS fill_ppm
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q_hard_negatives" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${duckDot("embedding", "embedding")} AS nrm
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS anchor, b.vec_id AS neg,
+         |    CAST(floor(${duckCos(
+              """list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)))""",
+              "a.nrm", "b.nrm")} * 1000000 + 0.5) AS BIGINT) AS cos_micro
+         |  FROM n a JOIN n b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 7 = 0),
+         |banded AS (
+         |  SELECT anchor, neg, cos_micro,
+         |    CAST(row_number() OVER (PARTITION BY anchor
+         |      ORDER BY cos_micro DESC, neg) AS BIGINT) AS rn
+         |  FROM pairs WHERE cos_micro >= 100000 AND cos_micro <= 250000)
+         |SELECT anchor, rn, neg, cos_micro
+         |FROM banded WHERE rn <= 3 ORDER BY anchor, rn""".stripMargin,
+
+    "q_pca_var_share" ->
+      """WITH x AS (
+        |  SELECT vec_id AS i, j,
+        |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xf
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js),
+        |s1 AS (SELECT i, CAST(sum(xf) AS BIGINT) AS s FROM x GROUP BY i),
+        |w1 AS (
+        |  SELECT j, CAST(sum(xf * s) AS BIGINT) AS w
+        |  FROM x JOIN s1 USING (i) GROUP BY j),
+        |m1 AS (SELECT max(abs(w)) // 1000 + 1 AS d FROM w1),
+        |v1 AS (SELECT j, w // (SELECT d FROM m1) AS v FROM w1),
+        |s2 AS (
+        |  SELECT i, CAST(sum(x.xf * v1.v) AS BIGINT) AS s
+        |  FROM x JOIN v1 USING (j) GROUP BY i),
+        |w2 AS (
+        |  SELECT j, CAST(sum(xf * s) AS BIGINT) AS w
+        |  FROM x JOIN s2 USING (i) GROUP BY j),
+        |m2 AS (SELECT max(abs(w)) // 1000 + 1 AS d FROM w2),
+        |vv2 AS (SELECT j, CAST(w // (SELECT d FROM m2) AS BIGINT) AS v
+        |  FROM w2),
+        |wn AS (SELECT CAST(sum(v * v) AS BIGINT) AS wn FROM vv2),
+        |dd AS (
+        |  SELECT i, CAST(sum(xf * v) AS BIGINT) AS dd
+        |  FROM x JOIN vv2 USING (j) GROUP BY i),
+        |num AS (
+        |  SELECT CAST(sum((dd // 1000) * (dd // 1000)) AS BIGINT) AS num
+        |  FROM dd),
+        |tr AS (SELECT CAST(sum(xf * xf) AS BIGINT) AS trace_m2 FROM x)
+        |SELECT num, wn, trace_m2,
+        |  CAST(floor(((CAST(num AS DOUBLE) / CAST(wn AS DOUBLE))
+        |    / (CAST(trace_m2 AS DOUBLE) / 1000000.0)) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS var_share_ppm
+        |FROM num CROSS JOIN wn CROSS JOIN tr""".stripMargin,
   )
 }

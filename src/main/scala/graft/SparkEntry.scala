@@ -10837,6 +10837,79 @@ object SparkEntry {
           lit(1000000.0) + 0.5).cast("long").as("var_share_ppm"))
   }
 
+  /** Working-set cache-planning curve: if the k hottest parts were
+    * pinned in cache, what share of lineitem accesses would hit?
+    * Evaluated at k ∈ {10, 50, 100, 500} from ONE access-frequency
+    * ranking (frequency rank via the bounded-domain frequency table,
+    * cumulative hits per k by threshold count) — the static-optimal
+    * (Belady-style upper bound) sizing curve a storage/cache layer is
+    * planned against. Exact ppm. */
+  private def qCachePlanning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    // part-frequency table is catalog-sized; rank it once
+    val ranked = freq
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("c").desc, col("l_partkey"))).cast("long"))
+    val tot = freq.agg(sum(col("c")).as("n_access"))
+    val sizes = s.range(0, 4).select(
+      when(col("id") === 0, 10L).when(col("id") === 1, 50L)
+        .when(col("id") === 2, 100L).otherwise(500L).as("cache_size"))
+    ranked.crossJoin(broadcast(sizes))
+      .filter(col("rnk") <= col("cache_size"))
+      .groupBy(col("cache_size"))
+      .agg(sum(col("c")).as("hits"))
+      .crossJoin(broadcast(tot))
+      .select(col("cache_size"), col("hits"),
+        expr("hits * 1000000 div n_access").as("hit_ppm"))
+      .orderBy(col("cache_size"))
+  }
+
+  /** F1-optimal threshold selection for the quality classifier: from
+    * ONE scan, precision/recall/F1 at every logit-bin cutoff (21
+    * bounded bins — the threshold candidates), and the argmax row
+    * flagged via order-encoded integer max (F1 exact ppm, ties to the
+    * higher threshold). The decision step that turns q_calibration/
+    * q_ece diagnostics into a deployed filter setting. */
+  private def qThresholdF1(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = t(s, dir, "documents")
+      .select(
+        (col("n_chars") >= 200).as("label"),
+        (lit(40L) * size(split(col("text"), " ")).cast("long") +
+          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast("long") +
+          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L))
+          .as("logit_milli"))
+      .withColumn("bin",
+        greatest(least(expr("logit_milli div 2000"), lit(10L)), lit(-10L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("pos"))
+    val tot = binned.agg(sum(col("n")).as("nn"), sum(col("pos")).as("npos"))
+    // 21-bin domain: reverse-cumulative predicted-positive counts per
+    // threshold via a bounded window
+    val wDesc = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .withColumn("pred_pos", sum(col("n")).over(wDesc))
+      .withColumn("tp", sum(col("pos")).over(wDesc))
+    val scored = cum.crossJoin(broadcast(tot))
+      .select(col("bin").as("threshold_bin"), col("pred_pos"), col("tp"),
+        expr("tp * 1000000 div pred_pos").as("precision_ppm"),
+        expr("tp * 1000000 div npos").as("recall_ppm"),
+        expr("2 * tp * 1000000 div (pred_pos + npos)").as("f1_ppm"))
+      .localCheckpoint(eager = false)
+    val best = scored.agg(
+      max(col("f1_ppm") * 1000 + (col("threshold_bin") + 10)).as("enc"))
+    scored.crossJoin(broadcast(best))
+      .withColumn("is_best",
+        col("f1_ppm") * 1000 + (col("threshold_bin") + 10) === col("enc"))
+      .drop("enc")
+      .orderBy(col("threshold_bin"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -11234,6 +11307,8 @@ object SparkEntry {
     "q_pack_efficiency" -> (qPackEfficiency _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_pca_var_share" -> (qPcaVarShare _),
+    "q_cache_planning" -> (qCachePlanning _),
+    "q_threshold_f1" -> (qThresholdF1 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -19026,5 +19101,56 @@ object SparkEntry {
         |    / (CAST(trace_m2 AS DOUBLE) / 1000000.0)) * 1000000.0 + 0.5)
         |    AS BIGINT) AS var_share_ppm
         |FROM num CROSS JOIN wn CROSS JOIN tr""".stripMargin,
+
+    "q_cache_planning" ->
+      """WITH freq AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |ranked AS (
+        |  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, l_partkey)
+        |    AS BIGINT) AS rnk
+        |  FROM freq),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_access FROM freq),
+        |sizes AS (SELECT CAST(unnest([10, 50, 100, 500]) AS BIGINT)
+        |  AS cache_size)
+        |SELECT cache_size, CAST(sum(c) AS BIGINT) AS hits,
+        |  CAST(sum(c) AS BIGINT) * 1000000 // n_access AS hit_ppm
+        |FROM ranked CROSS JOIN sizes CROSS JOIN tot
+        |WHERE rnk <= cache_size
+        |GROUP BY cache_size, n_access ORDER BY cache_size""".stripMargin,
+
+    "q_threshold_f1" ->
+      """WITH scored AS (
+        |  SELECT n_chars >= 200 AS label,
+        |    40 * CAST(len(string_split(text, ' ')) AS BIGINT) +
+        |    (-10) * CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) +
+        |    (-2) * abs(n_chars - 500) + (-1500) AS logit_milli
+        |  FROM documents),
+        |binned AS (
+        |  SELECT greatest(least(logit_milli // 2000, 10), -10) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM scored GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |  CAST(sum(pos) AS BIGINT) AS npos FROM binned),
+        |cum AS (
+        |  SELECT bin,
+        |    CAST(sum(n) OVER w AS BIGINT) AS pred_pos,
+        |    CAST(sum(pos) OVER w AS BIGINT) AS tp
+        |  FROM binned
+        |  WINDOW w AS (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (
+        |  SELECT bin AS threshold_bin, pred_pos, tp,
+        |    tp * 1000000 // pred_pos AS precision_ppm,
+        |    tp * 1000000 // npos AS recall_ppm,
+        |    2 * tp * 1000000 // (pred_pos + npos) AS f1_ppm
+        |  FROM cum CROSS JOIN tot),
+        |best AS (
+        |  SELECT max(f1_ppm * 1000 + (threshold_bin + 10)) AS enc FROM s2)
+        |SELECT threshold_bin, pred_pos, tp, precision_ppm, recall_ppm,
+        |  f1_ppm,
+        |  f1_ppm * 1000 + (threshold_bin + 10) = enc AS is_best
+        |FROM s2 CROSS JOIN best ORDER BY threshold_bin""".stripMargin,
   )
 }

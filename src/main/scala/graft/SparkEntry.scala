@@ -10910,6 +10910,86 @@ object SparkEntry {
       .orderBy(col("threshold_bin"))
   }
 
+  /** Forecast-error metric suite for the weekly-seasonal naive
+    * forecast (ŷ_d = y_{d−7}): WAPE, sMAPE, and signed bias — the
+    * three numbers a forecast review actually reads (WAPE for
+    * magnitude, sMAPE for scale-free comparison, bias for systematic
+    * drift), complementing q_mase's model-vs-naive ratio. Day-domain
+    * self-join, exact integer error sums; sMAPE's per-day ratio is
+    * the one rounded-to-micro term (order-independent integer sum of
+    * per-day micro ratios). */
+  private def qForecastEval(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) " +
+        "div 100000").as("v"))
+      .localCheckpoint(eager = false)
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.day") + 7 === col("b.day"))
+      .select(col("b.v").as("y"), col("a.v").as("f"))
+    pairs
+      .select(col("y"), col("f"), abs(col("y") - col("f")).as("ae"),
+        expr("abs(y - f) * 2000000 div (y + f)").as("smape_term"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_days"), sum(col("ae")).as("sae"),
+        sum(col("y")).as("sy"), sum(col("y") - col("f")).as("bias_kd"),
+        sum(col("smape_term")).as("ssm"))
+      .select(col("n_days"),
+        expr("sae * 1000000 div sy").as("wape_ppm"),
+        expr("ssm div n_days").as("smape_ppm"),
+        col("bias_kd"))
+  }
+
+  /** Customer-base bridge (the year-over-year "waterfall"): for each
+    * consecutive year pair, retained / new / lost customer counts AND
+    * the revenue attached to each flow — q_year_overlap gives the
+    * similarity coefficients, this gives the business bridge that
+    * explains the revenue delta. One customer×year aggregate,
+    * self-joined on the customer across adjacent years (full outer so
+    * both flows appear), exact cents. */
+  private def qCustomerBridge(s: SparkSession, dir: String): DataFrame = {
+    val cy = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).cast("long")
+        .as("yr"))
+      .agg(sum(Analytics.cents(col("o_totalprice"))).as("cents"))
+      .localCheckpoint(eager = false)
+    // classify each (customer, year-pair) flow; the full-outer join
+    // needs the pair key coalesced from whichever side is present
+    val flows = cy.as("a").join(cy.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.yr") + 1 === col("b.yr"), "full_outer")
+      .select(
+        coalesce(col("b.yr"), col("a.yr") + 1).as("yr"),
+        when(col("a.o_custkey").isNotNull && col("b.o_custkey").isNotNull,
+          "retained")
+          .when(col("a.o_custkey").isNotNull, "lost").otherwise("new")
+          .as("flow"),
+        coalesce(col("a.cents"), lit(0L)).as("prev_cents"),
+        coalesce(col("b.cents"), lit(0L)).as("cur_cents"))
+      .filter(col("yr") >= 1996 && col("yr") <= 2001)
+    flows.groupBy(col("yr"), col("flow"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("prev_cents")).as("prev_cents"),
+        sum(col("cur_cents")).as("cur_cents"))
+      .orderBy(col("yr"), col("flow"))
+  }
+
+  /** Same-day multi-order screen (split-billing / double-entry
+    * audit): customers placing more than one order on one calendar
+    * day — the finance-ops control that catches both split invoices
+    * and double-submits. One exact group-by on (customer, day);
+    * flagged groups ship their order count, combined value, and the
+    * two boundary order keys for investigation. */
+  private def qDupOrders(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"), epochDay(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Analytics.cents(col("o_totalprice"))).as("total_c"),
+        min(col("o_orderkey")).as("k1"), max(col("o_orderkey")).as("k2"))
+      .filter(col("n_orders") > 1)
+      .orderBy(col("o_custkey"), col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -11309,6 +11389,9 @@ object SparkEntry {
     "q_pca_var_share" -> (qPcaVarShare _),
     "q_cache_planning" -> (qCachePlanning _),
     "q_threshold_f1" -> (qThresholdF1 _),
+    "q_forecast_eval" -> (qForecastEval _),
+    "q_customer_bridge" -> (qCustomerBridge _),
+    "q_dup_orders" -> (qDupOrders _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -19152,5 +19235,65 @@ object SparkEntry {
         |  f1_ppm,
         |  f1_ppm * 1000 + (threshold_bin + 10) = enc AS is_best
         |FROM s2 CROSS JOIN best ORDER BY threshold_bin""".stripMargin,
+
+    "q_forecast_eval" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS v
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT b.v AS y, a.v AS f
+        |  FROM daily a JOIN daily b ON a.day + 7 = b.day),
+        |terms AS (
+        |  SELECT y, f, abs(y - f) AS ae,
+        |    abs(y - f) * 2000000 // (y + f) AS smape_term
+        |  FROM pairs),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(ae) AS BIGINT) AS sae, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(y - f) AS BIGINT) AS bias_kd,
+        |    CAST(sum(smape_term) AS BIGINT) AS ssm
+        |  FROM terms)
+        |SELECT n_days, sae * 1000000 // sy AS wape_ppm,
+        |  ssm // n_days AS smape_ppm, bias_kd
+        |FROM g""".stripMargin,
+
+    "q_customer_bridge" ->
+      """WITH cy AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |flows AS (
+        |  SELECT coalesce(b.yr, a.yr + 1) AS yr,
+        |    CASE WHEN a.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL
+        |      THEN 'retained'
+        |      WHEN a.o_custkey IS NOT NULL THEN 'lost' ELSE 'new' END
+        |      AS flow,
+        |    coalesce(a.cents, 0) AS prev_cents,
+        |    coalesce(b.cents, 0) AS cur_cents
+        |  FROM cy a FULL OUTER JOIN cy b
+        |    ON a.o_custkey = b.o_custkey AND a.yr + 1 = b.yr)
+        |SELECT yr, flow, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(prev_cents) AS BIGINT) AS prev_cents,
+        |  CAST(sum(cur_cents) AS BIGINT) AS cur_cents
+        |FROM flows WHERE yr >= 1996 AND yr <= 2001
+        |GROUP BY 1, 2 ORDER BY yr, flow""".stripMargin,
+
+    "q_dup_orders" ->
+      """SELECT o_custkey,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS day,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS total_c,
+        |  CAST(min(o_orderkey) AS BIGINT) AS k1,
+        |  CAST(max(o_orderkey) AS BIGINT) AS k2
+        |FROM orders
+        |GROUP BY o_custkey, o_orderdate
+        |HAVING count(*) > 1
+        |ORDER BY o_custkey, day""".stripMargin,
   )
 }

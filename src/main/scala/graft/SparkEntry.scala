@@ -10990,6 +10990,69 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("day"))
   }
 
+  /** Functional-dependency discovery audit — the data-profiling pass
+    * that finds which column pairs behave as keys: for each candidate
+    * FD (X → Y), the number of X values mapping to more than one Y
+    * (violations) and whether the dependency holds exactly. Each
+    * candidate is one (X, Y)-distinct collapse + an X-keyed reduce —
+    * shuffles carry distinct pairs only. Candidates span held and
+    * broken FDs so the detector is proven in both directions. */
+  private def qFdAudit(s: SparkSession, dir: String): DataFrame = {
+    def fd(name: String, df: DataFrame, x: String, y: String): DataFrame = {
+      val pairs = df.select(col(x).as("xx"), col(y).as("yy")).distinct()
+      pairs.groupBy(col("xx")).agg(countDistinct(col("yy")).as("ny"))
+        .agg(count(lit(1)).as("lhs_values"),
+          sum(when(col("ny") > 1, 1L).otherwise(0L)).as("violations"))
+        .select(lit(name).as("fd"), col("lhs_values"), col("violations"),
+          (col("violations") === 0L).as("holds"))
+    }
+    val ordCust = t(s, dir, "orders").join(t(s, dir, "customer"),
+      col("o_custkey") === col("c_custkey"))
+    Seq(
+      fd("custkey->nationkey", ordCust, "o_custkey", "c_nationkey"),
+      fd("custkey->orderpriority", ordCust, "o_custkey", "o_orderpriority"),
+      fd("partkey->brand", t(s, dir, "part"), "p_partkey", "p_brand"),
+      fd("brand->size", t(s, dir, "part"), "p_brand", "p_size"),
+      fd("nationkey->regionkey", t(s, dir, "nation"), "n_nationkey",
+        "n_regionkey"))
+      .reduce(_ unionAll _)
+      .orderBy(col("fd"))
+  }
+
+  /** Shipping-SLA latency report: order-to-ship days per priority —
+    * exact nearest-rank p50/p90 on the two-pass grouped rank (the
+    * established no-funnel path) plus the share of line items
+    * breaching a 90-day SLA in exact ppm. The ops dashboard number
+    * behind every fulfilment review. */
+  private def qShipSla(s: SparkSession, dir: String): DataFrame = {
+    val lat = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("prio"),
+        (epochDay(col("l_shipdate")) - epochDay(col("o_orderdate")))
+          .as("days"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("lk"))
+      .localCheckpoint(eager = false)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      lat.select(col("prio"), col("days").cast("double").as("ord"),
+        col("lk")),
+      "prio", "ord", "lk", 32)
+    def rk(p: Int) = expr(s"greatest((grp_n * $p + 99) div 100, 1)")
+    val quant = ranked
+      .filter(col("rnk") === rk(50) || col("rnk") === rk(90))
+      .groupBy(col("prio"))
+      .agg(max(col("grp_n")).as("n"),
+        max(when(col("rnk") === rk(50), col("ord"))).cast("long")
+          .as("p50_days"),
+        max(when(col("rnk") === rk(90), col("ord"))).cast("long")
+          .as("p90_days"))
+    val breach = lat.groupBy(col("prio"))
+      .agg(sum(when(col("days") > 90, 1L).otherwise(0L)).as("breaches"))
+    quant.join(breach, "prio")
+      .select(col("prio"), col("n"), col("p50_days"), col("p90_days"),
+        expr("breaches * 1000000 div n").as("breach_ppm"))
+      .orderBy(col("prio"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -11392,6 +11455,8 @@ object SparkEntry {
     "q_forecast_eval" -> (qForecastEval _),
     "q_customer_bridge" -> (qCustomerBridge _),
     "q_dup_orders" -> (qDupOrders _),
+    "q_fd_audit" -> (qFdAudit _),
+    "q_ship_sla" -> (qShipSla _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -19295,5 +19360,76 @@ object SparkEntry {
         |GROUP BY o_custkey, o_orderdate
         |HAVING count(*) > 1
         |ORDER BY o_custkey, day""".stripMargin,
+
+    "q_fd_audit" ->
+      """WITH oc AS (
+        |  SELECT o_custkey, c_nationkey, o_orderpriority
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |f1 AS (
+        |  SELECT 'custkey->nationkey' AS fd,
+        |    CAST(count(*) AS BIGINT) AS lhs_values,
+        |    CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS violations
+        |  FROM (SELECT o_custkey, count(DISTINCT c_nationkey) AS ny
+        |        FROM oc GROUP BY 1) t),
+        |f2 AS (
+        |  SELECT 'custkey->orderpriority' AS fd,
+        |    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN ny > 1 THEN 1
+        |      ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS ny
+        |        FROM oc GROUP BY 1) t),
+        |f3 AS (
+        |  SELECT 'partkey->brand' AS fd, CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT p_partkey, count(DISTINCT p_brand) AS ny
+        |        FROM part GROUP BY 1) t),
+        |f4 AS (
+        |  SELECT 'brand->size' AS fd, CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT p_brand, count(DISTINCT p_size) AS ny
+        |        FROM part GROUP BY 1) t),
+        |f5 AS (
+        |  SELECT 'nationkey->regionkey' AS fd, CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS ny
+        |        FROM nation GROUP BY 1) t),
+        |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |  UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4
+        |  UNION ALL SELECT * FROM f5)
+        |SELECT fd, lhs_values, violations, violations = 0 AS holds
+        |FROM u ORDER BY fd""".stripMargin,
+
+    "q_ship_sla" ->
+      """WITH lat AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+        |      AS BIGINT) AS days,
+        |    l_orderkey * 10 + l_linenumber AS lk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (
+        |  SELECT prio, days,
+        |    CAST(row_number() OVER (PARTITION BY prio
+        |      ORDER BY CAST(days AS DOUBLE), lk) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY prio) AS BIGINT) AS n
+        |  FROM lat),
+        |quant AS (
+        |  SELECT prio, max(n) AS n,
+        |    max(CASE WHEN rnk = greatest((n * 50 + 99) // 100, 1)
+        |      THEN days END) AS p50_days,
+        |    max(CASE WHEN rnk = greatest((n * 90 + 99) // 100, 1)
+        |      THEN days END) AS p90_days
+        |  FROM r
+        |  WHERE rnk IN (greatest((n * 50 + 99) // 100, 1),
+        |    greatest((n * 90 + 99) // 100, 1))
+        |  GROUP BY prio),
+        |breach AS (
+        |  SELECT prio,
+        |    CAST(sum(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS breaches
+        |  FROM lat GROUP BY prio)
+        |SELECT quant.prio, n, p50_days, p90_days,
+        |  breaches * 1000000 // n AS breach_ppm
+        |FROM quant JOIN breach ON quant.prio = breach.prio
+        |ORDER BY quant.prio""".stripMargin,
   )
 }

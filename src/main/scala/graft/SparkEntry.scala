@@ -11053,6 +11053,102 @@ object SparkEntry {
       .orderBy(col("prio"))
   }
 
+  /** Greedy set-cover source selection (3 unrolled rounds): which
+    * three sources together cover the most trigram TYPES — the
+    * data-selection question behind "which corpora should the next
+    * crawl buy". Each round counts only types not yet covered (an
+    * anti-join against the picked sources' type sets), picks the
+    * argmax deterministically (count desc, source), and the greedy
+    * guarantee (≥ 1−1/e of optimal) comes with the algorithm. Type
+    * tables shuffle on the type key; rounds are unrolled joins, no
+    * driver loop. */
+  private def qSetCover(s: SparkSession, dir: String): DataFrame = {
+    val types = trigrams2(s, dir).localCheckpoint(eager = false)
+    val tot = types.select(col("g")).distinct()
+      .agg(count(lit(1)).as("total"))
+    def pickNext(excluded: DataFrame, covered: DataFrame): DataFrame = {
+      val remaining = types.join(covered, Seq("g"), "left_anti")
+      remaining
+        .join(excluded, Seq("source"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("new_types"))
+        .orderBy(col("new_types").desc, col("source")).limit(1)
+    }
+    val empty = types.select(col("g")).filter(lit(false))
+    val noneSrc = types.select(col("source")).filter(lit(false))
+    val p1 = pickNext(noneSrc, empty).localCheckpoint(eager = false)
+    val c1 = types.join(broadcast(p1.select(col("source"))), "source")
+      .select(col("g")).distinct().localCheckpoint(eager = false)
+    val p2 = pickNext(p1.select(col("source")), c1)
+      .localCheckpoint(eager = false)
+    val c2 = c1.unionAll(types
+        .join(broadcast(p2.select(col("source"))), "source")
+        .select(col("g"))).distinct().localCheckpoint(eager = false)
+    val p3 = pickNext(
+      p1.select(col("source")).unionAll(p2.select(col("source"))), c2)
+      .localCheckpoint(eager = false)
+    val rounds = p1.select(lit(1L).as("round"), col("source"),
+        col("new_types"))
+      .unionAll(p2.select(lit(2L).as("round"), col("source"),
+        col("new_types")))
+      .unionAll(p3.select(lit(3L).as("round"), col("source"),
+        col("new_types")))
+    import org.apache.spark.sql.expressions.Window
+    rounds
+      .withColumn("covered_types",
+        sum(col("new_types")).over(Window.orderBy(col("round"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("coverage_ppm",
+        expr("covered_types * 1000000 div total"))
+      .select(col("round"), col("source"), col("new_types"),
+        col("covered_types"), col("coverage_ppm"))
+      .orderBy(col("round"))
+  }
+
+  /** Distinct (source, trigram) type pairs — q_novelty's base,
+    * shared with the set-cover picker. */
+  private def trigrams2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(tk) - 2), " +
+          "i -> array_join(slice(tk, i, 3), ' '))")).as("g"))
+      .distinct()
+
+  /** k-means elbow curve: assignment SSE against the deterministic
+    * seed codebooks at k ∈ {2, 4, 8} — the "how many clusters does
+    * this embedding space want" diagnostic, computed as three
+    * broadcast-codebook assignment passes whose per-vector cost
+    * Σ(|x|² − 2x·c* + |c*|²) is exact fixed point end-to-end (the
+    * q_kmeans discipline; the corpus never shuffles). A flattening
+    * SSE drop between successive k values is the elbow. */
+  private def qElbow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings").localCheckpoint(eager = false)
+    def sseAt(k: Int): DataFrame = {
+      val cents = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val scored = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          (graft.functions.kernels.fixed_point_dot(col("embedding"),
+            col("embedding"))
+            - lit(2L) * graft.functions.kernels.fixed_point_dot(
+              col("embedding"), col("cv"))
+            + graft.functions.kernels.fixed_point_dot(col("cv"), col("cv")))
+            .as("d2"))
+      scored.groupBy(col("vec_id")).agg(min(col("d2")).as("best_d2"))
+        .agg(sum(expr("best_d2 div 1000")).as("sse_scaled"))
+        .select(lit(k.toLong).as("k"), col("sse_scaled"))
+    }
+    val curve = sseAt(2).unionAll(sseAt(4)).unionAll(sseAt(8))
+    curve
+      .withColumn("drop_from_prev",
+        coalesce(lag(col("sse_scaled"), 1).over(Window.orderBy(col("k")))
+          - col("sse_scaled"), lit(0L)))
+      .orderBy(col("k"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -11457,6 +11553,8 @@ object SparkEntry {
     "q_dup_orders" -> (qDupOrders _),
     "q_fd_audit" -> (qFdAudit _),
     "q_ship_sla" -> (qShipSla _),
+    "q_set_cover" -> (qSetCover _),
+    "q_elbow" -> (qElbow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -19431,5 +19529,72 @@ object SparkEntry {
         |  breaches * 1000000 // n AS breach_ppm
         |FROM quant JOIN breach ON quant.prio = breach.prio
         |ORDER BY quant.prio""".stripMargin,
+
+    "q_set_cover" ->
+      """WITH tri AS (
+        |  SELECT DISTINCT source, g FROM (
+        |    SELECT source,
+        |      unnest(list_transform(generate_series(1, len(tk) - 2),
+        |        i -> array_to_string(tk[i:i+2], ' '))) AS g
+        |    FROM (SELECT source, string_split(text, ' ') AS tk
+        |          FROM documents) t
+        |    WHERE len(tk) >= 3) u),
+        |tot AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS total FROM tri),
+        |p1 AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS new_types
+        |  FROM tri GROUP BY source ORDER BY new_types DESC, source LIMIT 1),
+        |c1 AS (SELECT DISTINCT g FROM tri
+        |  WHERE source IN (SELECT source FROM p1)),
+        |p2 AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS new_types
+        |  FROM tri
+        |  WHERE g NOT IN (SELECT g FROM c1)
+        |    AND source NOT IN (SELECT source FROM p1)
+        |  GROUP BY source ORDER BY new_types DESC, source LIMIT 1),
+        |c2 AS (SELECT DISTINCT g FROM tri
+        |  WHERE source IN (SELECT source FROM p1
+        |    UNION ALL SELECT source FROM p2)),
+        |p3 AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS new_types
+        |  FROM tri
+        |  WHERE g NOT IN (SELECT g FROM c2)
+        |    AND source NOT IN (SELECT source FROM p1
+        |      UNION ALL SELECT source FROM p2)
+        |  GROUP BY source ORDER BY new_types DESC, source LIMIT 1),
+        |rounds AS (
+        |  SELECT CAST(1 AS BIGINT) AS round, source, new_types FROM p1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), source, new_types FROM p2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), source, new_types FROM p3)
+        |SELECT round, source, new_types,
+        |  CAST(sum(new_types) OVER (ORDER BY round
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS covered_types,
+        |  CAST(sum(new_types) OVER (ORDER BY round
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    * 1000000 // total AS coverage_ppm
+        |FROM rounds CROSS JOIN tot ORDER BY round""".stripMargin,
+
+    "q_elbow" -> {
+      def sseBlock(k: Int): String =
+        s"""  SELECT CAST($k AS BIGINT) AS k,
+           |    CAST(sum(best // 1000) AS BIGINT) AS sse_scaled FROM (
+           |    SELECT e.vec_id,
+           |      min(${duckDot("e.embedding", "e.embedding")}
+           |        - 2 * ${duckDot("e.embedding", "c.cv")}
+           |        + ${duckDot("c.cv", "c.cv")}) AS best
+           |    FROM embeddings e CROSS JOIN
+           |      (SELECT embedding AS cv FROM embeddings WHERE vec_id < $k) c
+           |    GROUP BY e.vec_id) t$k""".stripMargin
+      s"""WITH curve AS (
+         |${sseBlock(2)}
+         |  UNION ALL
+         |${sseBlock(4)}
+         |  UNION ALL
+         |${sseBlock(8)})
+         |SELECT k, sse_scaled,
+         |  CAST(coalesce(lag(sse_scaled, 1) OVER (ORDER BY k) - sse_scaled,
+         |    0) AS BIGINT) AS drop_from_prev
+         |FROM curve ORDER BY k""".stripMargin
+    },
   )
 }

@@ -11149,6 +11149,119 @@ object SparkEntry {
       .orderBy(col("k"))
   }
 
+  /** Segmented trend: OLS slopes before/after the revenue series'
+    * exact-SSE changepoint (q_breakpoint's argmin, recomputed here so
+    * the query is self-contained), each side's slope from five exact
+    * integer moments (q_regression's fixed-tree form) — "the trend
+    * changed on day D, from a to b per day". The slope-change column
+    * is the story; everything windows over the bounded day domain. */
+  private def qSegmentedTrend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) " +
+        "div 100000").as("v"))
+      .localCheckpoint(eager = false)
+    // changepoint by exact SSE minimization (q_breakpoint's identity)
+    val pre = daily
+      .withColumn("i", row_number().over(Window.orderBy(col("day")))
+        .cast("long"))
+      .localCheckpoint(eager = false)
+    val tot = pre.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+      sum(col("v") * col("v")).as("svv"))
+    val cum = pre
+      .withColumn("cs", sum(col("v")).over(Window.orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("css", sum(col("v") * col("v")).over(Window.orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val best = cum.crossJoin(broadcast(tot))
+      .filter(col("i") >= 2 && col("i") <= col("n") - 2)
+      .select(col("i"), col("day"),
+        (expr("(css * i - cs * cs) div i") +
+          expr("((svv - css) * (n - i) - (sv - cs) * (sv - cs)) div (n - i)"))
+          .as("sse"))
+      .orderBy(col("sse"), col("i")).limit(1)
+      .select(col("i").as("cp_i"), col("day").as("cp_day"))
+      .localCheckpoint(eager = false)
+    val sides = pre.crossJoin(broadcast(best))
+      .select(when(col("i") <= col("cp_i"), "before").otherwise("after")
+        .as("side"), col("i"), col("v"), col("cp_day"))
+      .groupBy(col("side"), col("cp_day"))
+      .agg(count(lit(1)).as("n"), sum(col("i")).as("sx"),
+        sum(col("v")).as("sy"), sum(col("i") * col("i")).as("sxx"),
+        sum(col("i") * col("v")).as("sxy"))
+      .withColumn("slope_milli",
+        expr("(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)"))
+    val piv = sides.groupBy(col("cp_day"))
+      .agg(max(when(col("side") === "before", col("slope_milli")))
+        .as("slope_before_milli"),
+        max(when(col("side") === "after", col("slope_milli")))
+          .as("slope_after_milli"),
+        max(when(col("side") === "before", col("n"))).as("n_before"),
+        max(when(col("side") === "after", col("n"))).as("n_after"))
+    piv.select(col("cp_day"), col("n_before"), col("n_after"),
+      col("slope_before_milli"), col("slope_after_milli"),
+      (col("slope_after_milli") - col("slope_before_milli"))
+        .as("slope_change_milli"))
+  }
+
+  /** New-product vitality: parts first sold in each quarter, and the
+    * share of that quarter's revenue coming from them — "is the
+    * catalog refreshing or stagnating". First-sale quarter is one
+    * min-reduce per part (the first-occurrence trick); the vitality
+    * ratio is exact ppm per quarter. */
+  private def qColdStartItems(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("year(l_shipdate) * 4 + (month(l_shipdate) - 1) div 3")
+          .cast("long").as("q"),
+        Analytics.cents(col("l_extendedprice")).as("cents"))
+      .localCheckpoint(eager = false)
+    val firstQ = li.groupBy(col("l_partkey")).agg(min(col("q")).as("fq"))
+    val perQ = li.join(firstQ, "l_partkey")
+      .groupBy(col("q"))
+      .agg(sum(col("cents")).as("rev_c"),
+        sum(when(col("q") === col("fq"), col("cents")).otherwise(0L))
+          .as("new_rev_c"),
+        countDistinct(when(col("q") === col("fq"), col("l_partkey")))
+          .as("new_parts"))
+    perQ.select(col("q"), col("new_parts"), col("rev_c"),
+        expr("new_rev_c * 1000000 div rev_c").as("vitality_ppm"))
+      .orderBy(col("q"))
+  }
+
+  /** Cross-sectional price elasticity of demand: per part, mean unit
+    * price and total quantity enter in micro-nat LOGS (rounded per
+    * part BEFORE the moment sums — q_entropy's determinism contract),
+    * then elasticity = cov(ln p, ln q)/var(ln p) from five exact
+    * integer moments in one fixed tree. The classic log-log demand
+    * slope, here exactly reproducible because no unrounded
+    * transcendental ever enters a sum. */
+  private def qPriceElasticity(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(Analytics.cents(col("l_extendedprice"))).as("cents"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .select(
+        floor(log(expr("cents div qty").cast("double")) * 1000000 + 0.5)
+          .cast("long").as("lp"),
+        floor(log(col("qty").cast("double")) * 1000000 + 0.5)
+          .cast("long").as("lq"))
+    val m = per.agg(count(lit(1)).as("n"), sum(col("lp")).as("sp"),
+      sum(col("lq")).as("sq"),
+      sum(expr("(lp div 1000) * (lq div 1000)")).as("spq_milli2"),
+      sum(expr("(lp div 1000) * (lp div 1000)")).as("spp_milli2"))
+    // milli-log moments keep the cross products in int64 at any scale
+    val nD = col("n").cast("double")
+    m.select(col("n"),
+      ((nD * col("spq_milli2").cast("double") -
+        (col("sp").cast("double") / 1000.0) *
+          (col("sq").cast("double") / 1000.0)) /
+        (nD * col("spp_milli2").cast("double") -
+          (col("sp").cast("double") / 1000.0) *
+            (col("sp").cast("double") / 1000.0))).as("elasticity"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -11555,6 +11668,9 @@ object SparkEntry {
     "q_ship_sla" -> (qShipSla _),
     "q_set_cover" -> (qSetCover _),
     "q_elbow" -> (qElbow _),
+    "q_segmented_trend" -> (qSegmentedTrend _),
+    "q_cold_start_items" -> (qColdStartItems _),
+    "q_price_elasticity" -> (qPriceElasticity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -19596,5 +19712,104 @@ object SparkEntry {
          |    0) AS BIGINT) AS drop_from_prev
          |FROM curve ORDER BY k""".stripMargin
     },
+
+    "q_segmented_trend" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS v
+        |  FROM orders GROUP BY 1),
+        |pre AS (
+        |  SELECT day, v,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |    CAST(sum(v) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cs,
+        |    CAST(sum(v * v) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS css
+        |  FROM daily),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sv,
+        |  CAST(sum(v * v) AS BIGINT) AS svv FROM daily),
+        |scored AS (
+        |  SELECT i, day,
+        |    (css * i - cs * cs) // i
+        |      + ((svv - css) * (n - i) - (sv - cs) * (sv - cs)) // (n - i)
+        |      AS sse
+        |  FROM pre CROSS JOIN tot WHERE i >= 2 AND i <= n - 2),
+        |best AS (
+        |  SELECT i AS cp_i, day AS cp_day FROM scored
+        |  ORDER BY sse, i LIMIT 1),
+        |sides AS (
+        |  SELECT CASE WHEN i <= cp_i THEN 'before' ELSE 'after' END AS side,
+        |    cp_day, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(i) AS BIGINT) AS sx, CAST(sum(v) AS BIGINT) AS sy,
+        |    CAST(sum(i * i) AS BIGINT) AS sxx,
+        |    CAST(sum(i * v) AS BIGINT) AS sxy
+        |  FROM pre CROSS JOIN best GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT side, cp_day, n,
+        |    (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx)
+        |      AS slope_milli
+        |  FROM sides)
+        |SELECT cp_day,
+        |  max(CASE WHEN side = 'before' THEN n END) AS n_before,
+        |  max(CASE WHEN side = 'after' THEN n END) AS n_after,
+        |  max(CASE WHEN side = 'before' THEN slope_milli END)
+        |    AS slope_before_milli,
+        |  max(CASE WHEN side = 'after' THEN slope_milli END)
+        |    AS slope_after_milli,
+        |  max(CASE WHEN side = 'after' THEN slope_milli END)
+        |    - max(CASE WHEN side = 'before' THEN slope_milli END)
+        |    AS slope_change_milli
+        |FROM sl GROUP BY cp_day""".stripMargin,
+
+    "q_cold_start_items" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    CAST(year(l_shipdate) * 4 + (month(l_shipdate) - 1) // 3
+        |      AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |firstq AS (
+        |  SELECT l_partkey, CAST(min(q) AS BIGINT) AS fq
+        |  FROM li GROUP BY 1)
+        |SELECT q,
+        |  CAST(count(DISTINCT CASE WHEN q = fq THEN li.l_partkey END)
+        |    AS BIGINT) AS new_parts,
+        |  CAST(sum(cents) AS BIGINT) AS rev_c,
+        |  CAST(sum(CASE WHEN q = fq THEN cents ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(sum(cents) AS BIGINT) AS vitality_ppm
+        |FROM li JOIN firstq USING (l_partkey)
+        |GROUP BY q ORDER BY q""".stripMargin,
+
+    "q_price_elasticity" ->
+      """WITH per AS (
+        |  SELECT
+        |    CAST(floor(ln(CAST(cents // qty AS DOUBLE)) * 1000000 + 0.5)
+        |      AS BIGINT) AS lp,
+        |    CAST(floor(ln(CAST(qty AS DOUBLE)) * 1000000 + 0.5)
+        |      AS BIGINT) AS lq
+        |  FROM (
+        |    SELECT l_partkey,
+        |      CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |        AS BIGINT) AS cents,
+        |      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |    FROM lineitem GROUP BY 1) t),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(lp) AS BIGINT) AS sp, CAST(sum(lq) AS BIGINT) AS sq,
+        |    CAST(sum((lp // 1000) * (lq // 1000)) AS BIGINT) AS spq_milli2,
+        |    CAST(sum((lp // 1000) * (lp // 1000)) AS BIGINT) AS spp_milli2
+        |  FROM per)
+        |SELECT n,
+        |  (CAST(n AS DOUBLE) * CAST(spq_milli2 AS DOUBLE)
+        |    - (CAST(sp AS DOUBLE) / 1000.0) * (CAST(sq AS DOUBLE) / 1000.0))
+        |  / (CAST(n AS DOUBLE) * CAST(spp_milli2 AS DOUBLE)
+        |    - (CAST(sp AS DOUBLE) / 1000.0) * (CAST(sp AS DOUBLE) / 1000.0))
+        |  AS elasticity
+        |FROM m""".stripMargin,
   )
 }

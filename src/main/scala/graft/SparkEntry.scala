@@ -11262,6 +11262,65 @@ object SparkEntry {
             (col("sp").cast("double") / 1000.0))).as("elasticity"))
   }
 
+  /** Borda-count rank aggregation — the positional-voting consensus
+    * (complement to q_rank_fusion's RRF): brands ranked by three
+    * metrics (revenue, quantity, distinct orders), Borda points =
+    * (n_brands − rank) summed across the three ballots, consensus
+    * top-10. The metric table is catalog-bounded (brands), so the
+    * three rankings are bounded windows; points are exact integers
+    * with deterministic tie-breaks everywhere. */
+  private def qBorda(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(Analytics.cents(col("l_extendedprice"))).as("rev"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        countDistinct(col("l_orderkey")).as("ords"))
+      .localCheckpoint(eager = false)
+    val n = m.agg(count(lit(1)).as("nb"))
+    def rank(c: String) = row_number().over(
+      Window.orderBy(col(c).desc, col("p_brand"))).cast("long")
+    m.withColumn("r1", rank("rev"))
+      .withColumn("r2", rank("qty"))
+      .withColumn("r3", rank("ords"))
+      .crossJoin(broadcast(n))
+      .select(col("p_brand"),
+        ((col("nb") - col("r1")) + (col("nb") - col("r2")) +
+          (col("nb") - col("r3"))).as("borda_points"),
+        col("r1"), col("r2"), col("r3"))
+      .orderBy(col("borda_points").desc, col("p_brand")).limit(10)
+  }
+
+  /** Per-source character-level Shannon entropy — the theoretical
+    * bits-per-character floor (compressibility estimate) a storage
+    * planner reads before choosing codecs: character histograms per
+    * source (bounded alphabet), each class's −p·log₂p rounded to
+    * integer micro-bits BEFORE the per-source sum. Low entropy =
+    * highly compressible/templated text; also a quiet data-quality
+    * tell (binary junk shows up as entropy spikes). */
+  private def qCharEntropy(s: SparkSession, dir: String): DataFrame = {
+    val chars = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .groupBy(col("source"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val tot = chars.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    chars.join(broadcast(tot), "source")
+      .select(col("source"), col("n"),
+        floor((col("c").cast("double") / col("n").cast("double")) *
+          (log(col("c").cast("double") / col("n").cast("double")) /
+            lit(0.6931471805599453)) * lit(-1000000.0) + 0.5)
+          .cast("long").as("term_ubits"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_chars"),
+        sum(col("term_ubits")).as("entropy_ubits"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -11671,6 +11730,8 @@ object SparkEntry {
     "q_segmented_trend" -> (qSegmentedTrend _),
     "q_cold_start_items" -> (qColdStartItems _),
     "q_price_elasticity" -> (qPriceElasticity _),
+    "q_borda" -> (qBorda _),
+    "q_char_entropy" -> (qCharEntropy _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -19811,5 +19872,48 @@ object SparkEntry {
         |    - (CAST(sp AS DOUBLE) / 1000.0) * (CAST(sp AS DOUBLE) / 1000.0))
         |  AS elasticity
         |FROM m""".stripMargin,
+
+    "q_borda" ->
+      """WITH m AS (
+        |  SELECT p_brand,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ords
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM m),
+        |r AS (
+        |  SELECT p_brand,
+        |    CAST(row_number() OVER (ORDER BY rev DESC, p_brand) AS BIGINT)
+        |      AS r1,
+        |    CAST(row_number() OVER (ORDER BY qty DESC, p_brand) AS BIGINT)
+        |      AS r2,
+        |    CAST(row_number() OVER (ORDER BY ords DESC, p_brand) AS BIGINT)
+        |      AS r3
+        |  FROM m)
+        |SELECT p_brand,
+        |  (nb - r1) + (nb - r2) + (nb - r3) AS borda_points, r1, r2, r3
+        |FROM r CROSS JOIN nb
+        |ORDER BY borda_points DESC, p_brand LIMIT 10""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT source, ch, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(string_split(text, '')) AS ch
+        |    FROM documents) t
+        |  WHERE length(ch) = 1 GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |  FROM chars GROUP BY 1),
+        |terms AS (
+        |  SELECT chars.source AS source, n,
+        |    CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / 0.6931471805599453)
+        |      * (-1000000.0) + 0.5) AS BIGINT) AS term_ubits
+        |  FROM chars JOIN tot ON chars.source = tot.source)
+        |SELECT source, max(n) AS n_chars,
+        |  CAST(sum(term_ubits) AS BIGINT) AS entropy_ubits
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
   )
 }

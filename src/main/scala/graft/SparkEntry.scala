@@ -11321,6 +11321,49 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Greedy knapsack data selection under a token budget: keep the
+    * positive-quality docs with the best quality-per-token density
+    * until a quarter of the corpus' tokens are spent — the
+    * "best data for a fixed training budget" selector (greedy is
+    * optimal for the fractional relaxation and within one doc of it
+    * here). Density ranking rides the SAME order-preserving key
+    * encoding + two-pass prefix sum as q_pareto — no global window;
+    * the budget is data-relative so the operator is SF-invariant. */
+  private def qKnapsack(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.withTokenEstimate(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("est_tokens"),
+        (lit(40L) * size(split(col("text"), " ")).cast("long") +
+          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast("long") +
+          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L))
+          .as("q_milli"))
+      .filter(col("q_milli") > 0)
+      .withColumn("density", expr("q_milli * 1000 div est_tokens"))
+      .localCheckpoint(eager = false)
+    val enc = scored
+      .select(when(col("density") < (1L << 36) && col("doc_id") < (1L << 26),
+          (lit(1L << 36) - col("density")) * lit(1L << 26) + col("doc_id"))
+        .otherwise(raise_error(lit(
+          "q_knapsack key encoding overflow")))
+        .as("k"), col("est_tokens"), col("q_milli"))
+      .localCheckpoint(eager = false)
+    val run = graft.ops.ScalablePrefix.runningSum(s,
+      enc.select(col("k"), col("est_tokens")), "k", "est_tokens", 32)
+    val budget = scored.agg(expr("sum(est_tokens) div 4").as("budget"))
+    val qual = scored.agg(sum(col("q_milli")).as("total_q"),
+      count(lit(1)).as("n_candidates"))
+    run.crossJoin(broadcast(budget))
+      .filter(col("run_sum") <= col("budget"))
+      .join(enc.select(col("k"), col("q_milli")), "k")
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("est_tokens")).as("tokens_used"),
+        sum(col("q_milli")).as("quality_sum"))
+      .crossJoin(broadcast(qual)).crossJoin(broadcast(budget))
+      .select(col("n_candidates"), col("n_selected"), col("budget"),
+        col("tokens_used"), col("quality_sum"),
+        expr("quality_sum * 1000000 div total_q").as("quality_share_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
@@ -11732,6 +11775,7 @@ object SparkEntry {
     "q_price_elasticity" -> (qPriceElasticity _),
     "q_borda" -> (qBorda _),
     "q_char_entropy" -> (qCharEntropy _),
+    "q_knapsack" -> (qKnapsack _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -19915,5 +19959,41 @@ object SparkEntry {
         |SELECT source, max(n) AS n_chars,
         |  CAST(sum(term_ubits) AS BIGINT) AS entropy_ubits
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_knapsack" ->
+      """WITH est AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(len(tk) AS BIGINT),
+        |      CAST(list_sum(list_transform(tk, w -> (length(w) + 3) // 4))
+        |        AS BIGINT)) AS est_tokens,
+        |    40 * CAST(len(tk) AS BIGINT)
+        |      - 10 * CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |        AS BIGINT)
+        |      - 2 * abs(n_chars - 500) - 1500 AS q_milli
+        |  FROM (SELECT doc_id, text, n_chars, string_split(text, ' ') AS tk
+        |        FROM documents) t),
+        |scored AS (
+        |  SELECT doc_id, est_tokens, q_milli,
+        |    q_milli * 1000 // est_tokens AS density
+        |  FROM est WHERE q_milli > 0),
+        |run AS (
+        |  SELECT est_tokens, q_milli,
+        |    CAST(sum(est_tokens) OVER (
+        |      ORDER BY (68719476736 - density) * 67108864 + doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS run_sum
+        |  FROM scored),
+        |budget AS (SELECT CAST(sum(est_tokens) AS BIGINT) // 4 AS budget
+        |  FROM scored),
+        |qual AS (SELECT CAST(sum(q_milli) AS BIGINT) AS total_q,
+        |  CAST(count(*) AS BIGINT) AS n_candidates FROM scored)
+        |SELECT n_candidates, CAST(count(*) AS BIGINT) AS n_selected,
+        |  budget, CAST(sum(est_tokens) AS BIGINT) AS tokens_used,
+        |  CAST(sum(q_milli) AS BIGINT) AS quality_sum,
+        |  CAST(sum(q_milli) AS BIGINT) * 1000000 // total_q
+        |    AS quality_share_ppm
+        |FROM run CROSS JOIN budget CROSS JOIN qual
+        |WHERE run_sum <= budget
+        |GROUP BY n_candidates, budget, total_q""".stripMargin,
   )
 }

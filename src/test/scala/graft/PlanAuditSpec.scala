@@ -229,6 +229,33 @@ class PlanAuditSpec extends SparkSpec {
       s"EMA must not fall back to a sequential window:\n$plan")
   }
 
+  test("hubness 3-NN rides the bounded heap, never a per-anchor window") {
+    val plan = SparkEntry.queries("q_hubness")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"top-3 regressed to a window:\n$plan")
+  }
+
+  test("theil decomposition materializes the customer table once") {
+    val plan = SparkEntry.queries("q_theil_decomp")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3,
+      s"domain reuse lost its checkpoint ($exchanges hash exchanges):\n$plan")
+  }
+
+  test("JL projection joins the sign matrix by broadcast") {
+    val plan = SparkEntry.queries("q_jl_distortion")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"1024-row sign matrix should broadcast:\n$plan")
+  }
+
+  test("fano factor is two aggregations, no window anywhere") {
+    val plan = SparkEntry.queries("q_fano_factor")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
   test("failure counters via observable metrics (A2 observe variant)") {
     val obs = Observation("routing")
     val routed = Router.route(

@@ -25,11 +25,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Deterministic block-manager scrub between queries. Cached
+    // DataFrames are dropped via the cache manager; localCheckpoint
+    // blocks (graph/iterative queries) are NOT in the cache manager and
+    // are normally only released when the ContextCleaner notices the
+    // RDD is garbage — which on a large, rarely-collected heap may be
+    // never within a 532-query run. Left alone they accumulate across
+    // the whole suite, filling the memory store and inflating every
+    // later query's time uniformly (the r04→r05 ~1.9× drift). Between
+    // queries nothing is in flight, so explicitly unpersisting every
+    // persistent RDD is safe: the next query builds fresh lineage.
+    def scrub(): Unit = {
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case _: Throwable => () }
+    }
+    // periodic full GC drives the ContextCleaner over broadcast vars
+    // and shuffle state (also GC-triggered cleanup) without paying a
+    // collection inside every timed window
+    var sinceGc = 0
+    def maybeGc(): Unit = { sinceGc += 1; if (sinceGc >= 64) { sinceGc = 0; System.gc() } }
+
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try { fn(spark, warmupDir).count() } catch { case _: Throwable => () }
+        scrub(); maybeGc()
       }
+      System.gc() // start the timed pass from a clean heap
     }
 
     // layout prep (bucketed copies) is one-time ETL, not query work —
@@ -49,6 +74,7 @@ object Bench {
       // failures are flagged with a negative duration, never silently
       // folded into the total as a plausible time
       val secs = (System.nanoTime() - t0) / 1e9
+      scrub(); maybeGc() // outside the timed window
       name -> (if (ok) secs else -secs)
     }
     def fmt(v: Double): String = f"$v%.3f"

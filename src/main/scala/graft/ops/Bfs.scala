@@ -80,44 +80,49 @@ object Bfs {
   def weightedDistances(edges: DataFrame, seeds: DataFrame,
       maxIter: Int = 30): DataFrame = {
     val e = edges.select(col("u"), col("v"), col("w"))
-    // one relaxation sweep fused with its min-merge (no materialization)
-    def relaxed(d: DataFrame): DataFrame = {
-      val cand = e.join(d.withColumnRenamed("node", "u"), "u")
-        .select(col("v").as("node"), (col("dist") + col("w")).as("nd"))
-        .groupBy(col("node")).agg(min(col("nd")).as("nd"))
-      d.join(cand, Seq("node"), "full_outer")
-        .select(col("node"),
-          least(coalesce(col("dist"), col("nd")),
-            coalesce(col("nd"), col("dist"))).as("dist"))
-    }
+    // one relaxation sweep: min over (current table ∪ one-hop
+    // candidates) — a single union + min-aggregation. The candidate
+    // pre-aggregation and full-outer merge the textbook form writes are
+    // folded into that one agg (min is associative), so a sweep costs
+    // one join + one shuffle agg instead of join + agg + full-outer.
+    def relaxed(d: DataFrame): DataFrame =
+      d.unionByName(
+          e.join(d.withColumnRenamed("node", "u"), "u")
+            .select(col("v").as("node"), (col("dist") + col("w")).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(eager = true)
-    var improved = 1L
+    // convergence signature: per-node distances are monotone
+    // non-increasing and the node set only grows, so the table changed
+    // iff (count, sum) changed — one tiny agg over the fresh checkpoint
+    // instead of a join against the round-start table.
+    def signature(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), sum(col("dist"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(dist)
+    var improved = true
     var iter = 0
-    while (improved > 0 && iter < maxIter) {
+    while (improved && iter < maxIter) {
       iter += 1
       // FOUR relaxations per materialized round: relaxing any number of
       // times between convergence checks preserves Bellman-Ford
       // semantics, and at small per-round data the checkpoint+count
-      // job floor dominates — so fusing sweeps into one
-      // materialization cuts wall time by the fusion factor (4 chosen
-      // so the fused lineage stays well inside codegen limits while
-      // a diameter-18 graph converges in ~3 rounds instead of ~6).
-      // "improved" compares against the ROUND-START table: zero means
-      // even four sweeps changed nothing, which implies convergence.
+      // job floor dominates — so fusing sweeps into one materialization
+      // cuts wall time by the fusion factor. 4 is the measured sweet
+      // spot (6 fused sweeps re-scan the mostly-settled table enough
+      // extra times to cost MORE than the rounds they save).
       // The whole state table CAN change each round, so it is
       // re-checkpointed; superseded rounds' blocks are released by the
       // ContextCleaner once unreachable (the dupClusters convention).
-      val two = relaxed(relaxed(relaxed(relaxed(dist))))
-      val merged = two
-        .join(dist.select(col("node"), col("dist").as("old")), Seq("node"), "left_outer")
-        .select(col("node"), col("dist"),
-          (col("old").isNull || col("dist") < col("old")).as("better"))
+      val next = relaxed(relaxed(relaxed(relaxed(dist))))
         .localCheckpoint(eager = true)
-      improved = merged.filter(col("better")).count()
-      dist = merged.select(col("node"), col("dist"))
+      val nextSig = signature(next)
+      improved = nextSig != sig
+      sig = nextSig
+      dist = next
     }
-    if (improved > 0) throw new IllegalStateException(
+    if (improved) throw new IllegalStateException(
       s"Bellman-Ford still relaxing after $maxIter rounds (4 relaxation " +
         s"sweeps each — a shortest path has more hops than ~4x maxIter); " +
         s"raise it (distances would be censored)")

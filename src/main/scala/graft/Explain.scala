@@ -23,7 +23,24 @@ object Explain {
       // stages (the *(n) markers) at execution, so the static audit
       // would read zero spans everywhere
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      println(f"${"query"}%-26s ${"hashEx"}%6s ${"sorts"}%5s ${"bcast"}%5s ${"pushdown"}%8s ${"wscg"}%4s  notes")
+      // per-query bench seconds from the last Bench run (if present):
+      // the audit then pins the BENCH-TAIL budget too — any query over
+      // ~2 s at sf0.1 is flagged SLOW right in the table, so a new
+      // query blowing the budget fails the builder's local review
+      // loudly, the same way both-SF oracle gating already works.
+      val benchSecs: Map[String, Double] = {
+        val p = java.nio.file.Paths.get("target/bench_full.json")
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          "\"(q[\\w]+)\":(-?[\\d.]+)".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+      if (benchSecs.nonEmpty)
+        println(s"bench column: target/bench_full.json (${benchSecs.size} queries); budget 2.0 s/query")
+      var slow = 0
+      println(f"${"query"}%-26s ${"hashEx"}%6s ${"sorts"}%5s ${"bcast"}%5s ${"pushdown"}%8s ${"wscg"}%4s ${"secs"}%6s  notes")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
         try {
           val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -38,14 +55,22 @@ object Explain {
             && !plan.contains("PushedFilters: []")) "yes" else "-"
           // executed plans print codegen stages as "*(n)" markers
           val wscg = "\\*\\(\\d+\\)".r.findAllIn(plan).toSet.size
+          val secs = benchSecs.get(n)
+          val isSlow = secs.exists(t => math.abs(t) > 2.0)
+          if (isSlow) slow += 1
           val notes = Seq(
             if (plan.contains("WindowGroupLimit")) Some("wgl") else None,
             if (plan.contains("TakeOrderedAndProject")) Some("topk") else None,
             if (plan.contains("Generate")) Some("gen") else None,
-            if (plan.contains("SortMergeJoin")) Some("smj") else None).flatten.mkString(",")
-          println(f"$n%-26s $hashEx%6d $sorts%5d $bcast%5s $push%8s $wscg%4d  $notes")
+            if (plan.contains("SortMergeJoin")) Some("smj") else None,
+            if (isSlow) Some("SLOW") else None).flatten.mkString(",")
+          val secsStr = secs.map(t => f"$t%6.2f").getOrElse("     -")
+          println(f"$n%-26s $hashEx%6d $sorts%5d $bcast%5s $push%8s $wscg%4d $secsStr  $notes")
         } catch { case e: Throwable => println(f"$n%-26s ERROR ${e.toString.take(80)}") }
       }
+      if (benchSecs.nonEmpty)
+        println(s"bench-tail: $slow queries over the 2.0 s budget" +
+          (if (slow > 0) " — SLOW rows above need a plan or algorithm fix" else ""))
     } else {
       val names = if (args.nonEmpty) args.toSeq
         else Seq("q1_pricing_summary", "q_join_revenue_nation", "q_semi_join",

@@ -1,0 +1,2217 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.avro.functions.{from_avro_ocf, to_avro_ocf}
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.model.Schemas
+import graft.ops.{Analytics, Router}
+
+/** LLM training-data pipeline: dedup (exact/MinHash/SimHash/PPJoin), similarity search (IVF/PQ/LSH), text analysis, tokenizer ops, multimodal metadata, curation.
+  *
+  * Split from the SparkEntry monolith; every member is `private[graft]`
+  * and the driver surface stays `SparkEntry.queries` / `oracleSql`
+  * (assembled from the per-domain map fragments below).
+  */
+private[graft] trait LlmQueries2 { this: SparkEntry.type =>
+
+  /** MAP@10 of the IVF index against brute-force binary relevance —
+    * the order-sensitive companion to q_recall_at_k and the graded
+    * q_ndcg: AP's precision@k prefix sums live on the 10-row per-query
+    * ranking (bounded window), every term an exact integer-ppm
+    * division, mean over queries an integer div. Same shared IVF
+    * assignment and bounded-heap top-k scaffolding as q_ndcg. */
+  private[graft] def qMapEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents,
+      "cid", "cv").localCheckpoint(eager = false)
+    val queries = emb.filter(col("vec_id").isin(0, 7, 42, 99, 123))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(assign.select(col("vec_id").as("qid"), col("cid").as("qcid")),
+        "qid")
+    def keyed(scored: DataFrame): DataFrame = scored.select(col("qid"),
+      col("vec_id"),
+      lpad(greatest(lit(0L),
+          floor((lit(1.0) - col("cosine")) * 1e9 + 0.5).cast("long"))
+        .cast("string"), 12, "0").as("distkey"))
+    val truth10 = graft.ops.Sampling.stratifiedTopN(s, keyed(emb
+        .crossJoin(broadcast(queries.select(col("qid"), col("qv"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosineFp(col("embedding"), col("qv")).as("cosine"))),
+      "qid", "distkey", "vec_id", n = 10)
+      .select(col("qid").cast("long").as("qid"), col("vec_id"),
+        lit(1L).as("rel"))
+    val ivf10 = graft.ops.Sampling.stratifiedTopN(s, keyed(emb
+        .join(assign, "vec_id")
+        .join(broadcast(queries), col("cid") === col("qcid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosineFp(col("embedding"), col("qv")).as("cosine"))),
+      "qid", "distkey", "vec_id", n = 10)
+      .select(col("qid").cast("long").as("qid"), col("rn").cast("long")
+        .as("rn"), col("vec_id"))
+    val marked = ivf10
+      .join(truth10, Seq("qid", "vec_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    // 10-row per-query window: bounded, not a funnel
+    val cum = marked.withColumn("cum_rel",
+      sum(col("rel")).over(Window.partitionBy(col("qid"))
+        .orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.withColumn("term_ppm",
+        when(col("rel") === 1L, expr("cum_rel * 1000000 div rn"))
+          .otherwise(lit(0L)))
+      .groupBy(col("qid"))
+      .agg(sum(col("term_ppm")).as("sum_terms"),
+        sum(col("rel")).as("hits"))
+      .select(col("qid"), col("hits"),
+        expr("sum_terms div 10").as("ap_ppm"))
+      .orderBy(col("qid"))
+  }
+
+  /** Reciprocal-rank fusion of two retrieval lists (brute-force cosine
+    * vs IVF ranking): RRF(d) = Σ 1/(60+rank) with the ten possible
+    * rank discounts embedded as integer micro literals — rank fusion
+    * is THE standard way RAG stacks merge lexical and vector hits, and
+    * with literal discounts the fused score is an exact integer sum.
+    * Reuses q_ndcg's shared IVF assignment and bounded-heap top-10s;
+    * fused top-5 per query via rank selection over ≤20 candidates. */
+  private[graft] def qRankFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rrfCase =
+      """CASE rn WHEN 1 THEN 16393 WHEN 2 THEN 16129 WHEN 3 THEN 15873
+        | WHEN 4 THEN 15625 WHEN 5 THEN 15385 WHEN 6 THEN 15152
+        | WHEN 7 THEN 14925 WHEN 8 THEN 14706 WHEN 9 THEN 14493
+        | ELSE 14286 END""".stripMargin
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents,
+      "cid", "cv").localCheckpoint(eager = false)
+    val queries = emb.filter(col("vec_id").isin(0, 7, 42, 99, 123))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(assign.select(col("vec_id").as("qid"), col("cid").as("qcid")),
+        "qid")
+    def keyed(scored: DataFrame): DataFrame = scored.select(col("qid"),
+      col("vec_id"),
+      lpad(greatest(lit(0L),
+          floor((lit(1.0) - col("cosine")) * 1e9 + 0.5).cast("long"))
+        .cast("string"), 12, "0").as("distkey"))
+    val bf10 = graft.ops.Sampling.stratifiedTopN(s, keyed(emb
+        .crossJoin(broadcast(queries.select(col("qid"), col("qv"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosineFp(col("embedding"), col("qv")).as("cosine"))),
+      "qid", "distkey", "vec_id", n = 10)
+      .select(col("qid").cast("long").as("qid"), col("vec_id"),
+        expr(rrfCase).cast("long").as("rrf_micro"))
+    val ivf10 = graft.ops.Sampling.stratifiedTopN(s, keyed(emb
+        .join(assign, "vec_id")
+        .join(broadcast(queries), col("cid") === col("qcid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosineFp(col("embedding"), col("qv")).as("cosine"))),
+      "qid", "distkey", "vec_id", n = 10)
+      .select(col("qid").cast("long").as("qid"), col("vec_id"),
+        expr(rrfCase).cast("long").as("rrf_micro"))
+    val fused = bf10.unionAll(ivf10)
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("rrf_micro")).as("rrf_micro"),
+        count(lit(1)).as("n_lists"))
+    // ≤20 candidates per query: the window is bounded, not a funnel
+    fused
+      .withColumn("frank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("rrf_micro").desc, col("vec_id"))).cast("long"))
+      .filter(col("frank") <= 5)
+      .select(col("qid"), col("frank"), col("vec_id"), col("n_lists"),
+        col("rrf_micro"))
+      .orderBy(col("qid"), col("frank"))
+  }
+
+  /** Marginal-novelty (coverage) curve: for each corpus tenth (by
+    * doc_id), the share of its documents whose exact content digest
+    * was already seen earlier — "is the next batch of data still
+    * adding new documents, or just duplicate mass?" Each digest's
+    * FIRST doc is one min-reduce (q_heaps' trick at the document
+    * level); a doc is novel iff it IS its digest's first occurrence. */
+  private[graft] def qCoverageCurve(s: SparkSession, dir: String): DataFrame = {
+    val total = t(s, dir, "documents").agg(count(lit(1)).as("d_total"))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .localCheckpoint(eager = false)
+    val firsts = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("first_doc"))
+    docs.join(firsts, "fp")
+      .crossJoin(broadcast(total))
+      .select(expr("((doc_id + 1) * 10 + d_total - 1) div d_total")
+        .as("decile"),
+        when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)
+          .as("novel"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("docs"), sum(col("novel")).as("novel_docs"))
+      .withColumn("dup_ppm",
+        expr("(docs - novel_docs) * 1000000 div docs"))
+      .orderBy(col("decile"))
+  }
+
+  /** Packing-efficiency audit for the q_pack_windows layout: per
+    * source, how much of the 2048-token context budget the packed
+    * windows actually fill (fill ppm), plus boundary-crossing doc
+    * counts — the "are we wasting context" number a pretraining
+    * pipeline tracks per mixture component. Pure arithmetic over the
+    * same token estimates; the per-source window count is the exact
+    * ceiling of its token mass. */
+  private[graft] def qPackEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val windowTokens = 2048L
+    val base = TextOps.withTokenEstimate(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("source"), col("est_tokens"))
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("est_tokens")).as("tokens"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        expr(s"(tokens + $windowTokens - 1) div $windowTokens")
+          .as("windows"),
+        expr(s"tokens * 1000000 div " +
+          s"(((tokens + $windowTokens - 1) div $windowTokens) * $windowTokens)")
+          .as("fill_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Hard-negative mining for contrastive training: for each anchor
+    * in a deterministic subset, the top-3 same-label neighbors in the
+    * "hard band" — similar enough to confuse (cosine ≥ 0.10) but not
+    * near-duplicates (cosine ≤ 0.25, q_embed_near_dup's cut) — via
+    * the label-blocked pair join (never all-pairs) and a bounded
+    * per-anchor heap. Near-dups make FALSE negatives (they're really
+    * positives), easy ones teach nothing; the band is where the
+    * training signal lives. */
+  private[graft] def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val n = emb.select(col("vec_id"), col("label"), col("embedding"),
+      graft.functions.kernels.fixed_point_dot(col("embedding"),
+        col("embedding")).as("nrm"))
+      .localCheckpoint(eager = false)
+    val anchors = n.filter(col("vec_id") % 7 === 0)
+    val pairs = anchors.as("a").join(n.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("neg"),
+        (Similarity.dotFp(col("a.embedding"), col("b.embedding"))
+          .cast("double") / 1e9 /
+          (sqrt(col("a.nrm").cast("double") / 1e9) *
+            sqrt(col("b.nrm").cast("double") / 1e9))).as("cosine"))
+      .withColumn("cos_micro",
+        floor(col("cosine") * 1000000 + 0.5).cast("long"))
+      .filter(col("cos_micro") >= 100000L && col("cos_micro") <= 250000L)
+    // per-anchor candidates are label-block bounded; rank top-3
+    pairs
+      .withColumn("rn", row_number().over(Window.partitionBy(col("anchor"))
+        .orderBy(col("cos_micro").desc, col("neg"))).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("anchor"), col("rn"), col("neg"), col("cos_micro"))
+      .orderBy(col("anchor"), col("rn"))
+  }
+
+  /** Same-day multi-order screen (split-billing / double-entry
+    * audit): customers placing more than one order on one calendar
+    * day — the finance-ops control that catches both split invoices
+    * and double-submits. One exact group-by on (customer, day);
+    * flagged groups ship their order count, combined value, and the
+    * two boundary order keys for investigation. */
+  private[graft] def qDupOrders(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"), epochDay(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Analytics.cents(col("o_totalprice"))).as("total_c"),
+        min(col("o_orderkey")).as("k1"), max(col("o_orderkey")).as("k2"))
+      .filter(col("n_orders") > 1)
+      .orderBy(col("o_custkey"), col("day"))
+  }
+
+  /** k-means elbow curve: assignment SSE against the deterministic
+    * seed codebooks at k ∈ {2, 4, 8} — the "how many clusters does
+    * this embedding space want" diagnostic, computed as three
+    * broadcast-codebook assignment passes whose per-vector cost
+    * Σ(|x|² − 2x·c* + |c*|²) is exact fixed point end-to-end (the
+    * q_kmeans discipline; the corpus never shuffles). A flattening
+    * SSE drop between successive k values is the elbow. */
+  private[graft] def qElbow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings").localCheckpoint(eager = false)
+    def sseAt(k: Int): DataFrame = {
+      val cents = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val scored = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          (graft.functions.kernels.fixed_point_dot(col("embedding"),
+            col("embedding"))
+            - lit(2L) * graft.functions.kernels.fixed_point_dot(
+              col("embedding"), col("cv"))
+            + graft.functions.kernels.fixed_point_dot(col("cv"), col("cv")))
+            .as("d2"))
+      scored.groupBy(col("vec_id")).agg(min(col("d2")).as("best_d2"))
+        .agg(sum(expr("best_d2 div 1000")).as("sse_scaled"))
+        .select(lit(k.toLong).as("k"), col("sse_scaled"))
+    }
+    val curve = sseAt(2).unionAll(sseAt(4)).unionAll(sseAt(8))
+    curve
+      .withColumn("drop_from_prev",
+        coalesce(lag(col("sse_scaled"), 1).over(Window.orderBy(col("k")))
+          - col("sse_scaled"), lit(0L)))
+      .orderBy(col("k"))
+  }
+
+  /** Per-source character-level Shannon entropy — the theoretical
+    * bits-per-character floor (compressibility estimate) a storage
+    * planner reads before choosing codecs: character histograms per
+    * source (bounded alphabet), each class's −p·log₂p rounded to
+    * integer micro-bits BEFORE the per-source sum. Low entropy =
+    * highly compressible/templated text; also a quiet data-quality
+    * tell (binary junk shows up as entropy spikes). */
+  private[graft] def qCharEntropy(s: SparkSession, dir: String): DataFrame = {
+    val chars = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .groupBy(col("source"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val tot = chars.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    chars.join(broadcast(tot), "source")
+      .select(col("source"), col("n"),
+        floor((col("c").cast("double") / col("n").cast("double")) *
+          (log(col("c").cast("double") / col("n").cast("double")) /
+            lit(0.6931471805599453)) * lit(-1000000.0) + 0.5)
+          .cast("long").as("term_ubits"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_chars"),
+        sum(col("term_ubits")).as("entropy_ubits"))
+      .orderBy(col("source"))
+  }
+
+  /** Greedy knapsack data selection under a token budget: keep the
+    * positive-quality docs with the best quality-per-token density
+    * until a quarter of the corpus' tokens are spent — the
+    * "best data for a fixed training budget" selector (greedy is
+    * optimal for the fractional relaxation and within one doc of it
+    * here). Density ranking rides the SAME order-preserving key
+    * encoding + two-pass prefix sum as q_pareto — no global window;
+    * the budget is data-relative so the operator is SF-invariant. */
+  private[graft] def qKnapsack(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.withTokenEstimate(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("est_tokens"),
+        (lit(40L) * size(split(col("text"), " ")).cast("long") +
+          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast("long") +
+          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L))
+          .as("q_milli"))
+      .filter(col("q_milli") > 0)
+      .withColumn("density", expr("q_milli * 1000 div est_tokens"))
+      .localCheckpoint(eager = false)
+    val enc = scored
+      .select(when(col("density") < (1L << 36) && col("doc_id") < (1L << 26),
+          (lit(1L << 36) - col("density")) * lit(1L << 26) + col("doc_id"))
+        .otherwise(raise_error(lit(
+          "q_knapsack key encoding overflow")))
+        .as("k"), col("est_tokens"), col("q_milli"))
+      .localCheckpoint(eager = false)
+    val run = graft.ops.ScalablePrefix.runningSum(s,
+      enc.select(col("k"), col("est_tokens")), "k", "est_tokens", 32)
+    val budget = scored.agg(expr("sum(est_tokens) div 4").as("budget"))
+    val qual = scored.agg(sum(col("q_milli")).as("total_q"),
+      count(lit(1)).as("n_candidates"))
+    run.crossJoin(broadcast(budget))
+      .filter(col("run_sum") <= col("budget"))
+      .join(enc.select(col("k"), col("q_milli")), "k")
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("est_tokens")).as("tokens_used"),
+        sum(col("q_milli")).as("quality_sum"))
+      .crossJoin(broadcast(qual)).crossJoin(broadcast(budget))
+      .select(col("n_candidates"), col("n_selected"), col("budget"),
+        col("tokens_used"), col("quality_sum"),
+        expr("quality_sum * 1000000 div total_q").as("quality_share_ppm"))
+  }
+
+  /** Per-dimension embedding standardization audit: mean and variance
+    * of every coordinate in exact milli fixed point (posexplode →
+    * one (dim)-keyed reduce; 64 output rows) plus a needs-centering
+    * flag when |mean| exceeds 5% of the coordinate's std — the check
+    * run before cosine similarity is trusted (uncentered dimensions
+    * bias every dot product the same direction). */
+  private[graft] def qDimStats(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        expr("CAST(floor(CAST(col AS DOUBLE) * 1000 + 0.5) AS BIGINT)")
+          .as("xf"))
+    val m = x.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xf")).as("sx"),
+        sum(col("xf") * col("xf")).as("sxx"))
+    def d(c: String) = col(c).cast("double")
+    val mean = d("sx") / d("n")
+    val variance = (d("n") * d("sxx") - d("sx") * d("sx")) /
+      (d("n") * d("n"))
+    m.select(col("dim"), col("n"),
+        floor(mean * 1000 + 0.5).cast("long").as("mean_micro"),
+        floor(variance + 0.5).cast("long").as("var_milli2"),
+        (abs(mean) * lit(20.0) > sqrt(variance)).as("needs_centering"))
+      .orderBy(col("dim"))
+  }
+
+  /** Pairwise-cosine histogram over deterministic anchor pairs — the
+    * distance-concentration (hubness) diagnostic: if most similarities
+    * pile into one narrow bucket, nearest-neighbor search in this
+    * space is fragile. Anchors are a hash subset; each anchor compares
+    * within its label block (the established never-all-pairs
+    * discipline), and cosines land in 8 fixed buckets of width 0.25
+    * over [−1, 1) via integer micro floor-division. */
+  private[graft] def qCosineHist(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val n = emb.select(col("vec_id"), col("label"), col("embedding"),
+      graft.functions.kernels.fixed_point_dot(col("embedding"),
+        col("embedding")).as("nrm"))
+      .localCheckpoint(eager = false)
+    val anchors = n.filter(col("vec_id") % 5 === 0)
+    val cos = anchors.as("a").join(n.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select((Similarity.dotFp(col("a.embedding"), col("b.embedding"))
+        .cast("double") / 1e9 /
+        (sqrt(col("a.nrm").cast("double") / 1e9) *
+          sqrt(col("b.nrm").cast("double") / 1e9))).as("cosine"))
+      .select(floor(col("cosine") * 1000000 + 0.5).cast("long")
+        .as("cos_micro"))
+    val bucketed = cos
+      .select(greatest(lit(-4L), least(lit(3L),
+        expr("CASE WHEN cos_micro >= 0 THEN cos_micro div 250000 " +
+          "ELSE -((-cos_micro + 249999) div 250000) END"))).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+    val tot = bucketed.agg(sum(col("n_pairs")).as("total"))
+    bucketed.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_pairs"),
+        expr("n_pairs * 1000000 div total").as("share_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Per-source orthography profile: uppercase, digit, punctuation,
+    * and whitespace character shares in exact ppm — the cheap
+    * formatting fingerprint that catches shouting boilerplate,
+    * table-dump sources, and code-vs-prose mixes before any model
+    * sees them. One scan, four regexp strips, integer ratios. */
+  private[graft] def qCasingProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"),
+        length(col("text")).cast("long").as("chars"),
+        length(regexp_replace(col("text"), "[^A-Z]", "")).cast("long")
+          .as("upper"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
+          .as("digits"),
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long")
+          .as("punct"),
+        length(regexp_replace(col("text"), "[^ ]", "")).cast("long")
+          .as("spaces"))
+    d.groupBy(col("source"))
+      .agg(sum(col("chars")).as("chars"), sum(col("upper")).as("u"),
+        sum(col("digits")).as("dg"), sum(col("punct")).as("p"),
+        sum(col("spaces")).as("sp"))
+      .select(col("source"), col("chars"),
+        expr("u * 1000000 div chars").as("upper_ppm"),
+        expr("dg * 1000000 div chars").as("digit_ppm"),
+        expr("p * 1000000 div chars").as("punct_ppm"),
+        expr("sp * 1000000 div chars").as("space_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Cross-source duplicate provenance: exact-content digests shared
+    * by documents in DIFFERENT sources, counted per source pair —
+    * mirror scrapes and syndication show up as hot pairs, and the
+    * keep-policy ("which source owns the canonical copy") needs
+    * exactly this table. Digests join on the 16-byte key (never
+    * text); pairs are per-digest distinct-source combinations, so a
+    * digest in k sources contributes k(k−1)/2 pairs — bounded by the
+    * source-catalog size, not the corpus. */
+  private[graft] def qCrossSourceDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(md5(col("text").cast("binary")).as("fp"), col("source"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    d.as("a").join(d.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source1"), col("b.source").as("source2"))
+      .agg(count(lit(1)).as("shared_digests"))
+      .orderBy(col("shared_digests").desc, col("source1"), col("source2"))
+      .limit(20)
+      .select(col("source1"), col("source2"), col("shared_digests"))
+      .orderBy(col("source1"), col("source2"))
+  }
+
+  /** One-way ANOVA of document length across the 5 languages —
+    * "does length differ by language" decided with the same pivoted
+    * fixed-tree machinery as q_anova_f (5 langs pivot into one row;
+    * every double sum a fixed 5-term tree). Length differences by
+    * language bias every length-based quality filter, which is why
+    * the corpus card needs this number. */
+  private[graft] def qLengthAnova(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val g = t(s, dir, "documents")
+      .select(col("lang").as("grp"), col("n_chars").as("v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("ss"))
+    anovaFromPivot(pivotMoments(g, langs)).select(col("n_total"),
+      col("ssb"), col("ssw"), col("f_stat"))
+  }
+
+  /** Corpus token-length distribution (1–14 chars, 15+ bucketed) —
+    * the tokenizer-design diagnostic behind q_fertility: long-tail
+    * token lengths mean BPE will split aggressively. One explode, one
+    * bounded group-by, exact ppm shares. */
+  private[graft] def qTokenLengthDist(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(least(length(col("w")).cast("long"), lit(15L)).as("len"))
+    val g = toks.groupBy(col("len")).agg(count(lit(1)).as("n"))
+    val tot = g.agg(sum(col("n")).as("total"))
+    g.crossJoin(broadcast(tot))
+      .select(col("len"), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"))
+      .orderBy(col("len"))
+  }
+
+  /** IVF bucket-balance audit: the centroid assignment's bucket sizes
+    * with the imbalance ratio (largest bucket over the even split) —
+    * a skewed index makes probe latency bimodal, which is why every
+    * ANN deployment graphs exactly this. Rides the shared
+    * deterministic assignment; output is codebook-bounded. */
+  private[graft] def qIvfBalance(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents,
+      "cid", "cv")
+    val sizes = assign.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    val tot = sizes.agg(sum(col("n_vecs")).as("total"),
+      max(col("n_vecs")).as("mx"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vecs"),
+        expr("n_vecs * 1000000 div total").as("share_ppm"),
+        expr("mx * 8 * 1000 div total").as("imbalance_milli"))
+      .orderBy(col("cid"))
+  }
+
+  /** Corpus length-distribution drift between src0 and
+    * src1 (PSI over 8 fixed length brackets, micro-nat integer
+    * terms — q_psi's discipline pointed at TEXT): the "did the new
+    * crawl change shape" audit run before mixing a fresh source into
+    * training data. PSI < 0.1 is conventionally stable. */
+  private[graft] def qLengthPsi(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"),
+        least(expr("n_chars div 125"), lit(7L)).as("bracket"))
+    val cells = d.groupBy(col("bracket"))
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L))
+        .as("a"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("b"))
+      .localCheckpoint(eager = false)
+    val tot = cells.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .filter(col("a") > 0 && col("b") > 0)
+      .select(col("bracket"), col("a"), col("b"),
+        floor((col("a").cast("double") / col("na").cast("double") -
+          col("b").cast("double") / col("nb").cast("double")) *
+          log((col("a").cast("double") / col("na").cast("double")) /
+            (col("b").cast("double") / col("nb").cast("double"))) *
+          1000000 + 0.5).cast("long").as("term_unat"))
+      .localCheckpoint(eager = false)
+    val psi = terms.agg(sum(col("term_unat")).as("psi_unat"))
+    terms.crossJoin(broadcast(psi))
+      .select(col("bracket"), col("a"), col("b"), col("term_unat"),
+        col("psi_unat"))
+      .orderBy(col("bracket"))
+  }
+
+  /** Two-NN intrinsic-dimension estimate (Facco et al. 2017) of the
+    * embedding space: ID ≈ ln 2 / mean ln(r₂/r₁) over each point's
+    * two nearest same-label neighbors — embeddings that LOOK
+    * 64-dimensional usually live on a much lower-dimensional manifold,
+    * and this is the one-number check. Neighbor pairs come from the
+    * label-blocked join (never all-pairs); the two smallest distances
+    * ride the bounded per-anchor heap; each anchor's ln(r₂/r₁) rounds
+    * to micro-nats BEFORE the mean (determinism contract); ties with
+    * r₁ = r₂ drop (they carry no slope information). */
+  private[graft] def qIntrinsicDim(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val n = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .localCheckpoint(eager = false)
+    val pairs = n.as("a").join(n.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("nbr"),
+        graft.functions.kernels.fixed_point_l2(col("a.embedding"),
+          col("b.embedding")).as("d2"))
+    val keyed = pairs.select(col("anchor").cast("string").as("astr"),
+      concat(lpad(col("d2").cast("string"), 16, "0"), lit("|"),
+        lpad(col("nbr").cast("string"), 8, "0")).as("k"),
+      col("d2"))
+    val top2 = graft.ops.Sampling.stratifiedTopN(s,
+        keyed.select(col("astr"), col("k"), col("d2")),
+      "astr", "k", "d2", n = 2)
+    val ratios = top2.groupBy(col("astr"))
+      .agg(min(when(col("rn") === 1, col("d2"))).as("d1"),
+        min(when(col("rn") === 2, col("d2"))).as("d2b"))
+      .filter(col("d1") > 0 && col("d2b") > col("d1"))
+      .select(floor(log(col("d2b").cast("double") /
+          col("d1").cast("double")) * lit(500000.0) + 0.5).cast("long")
+        .as("lr_unat"))
+    // ln(r2/r1) = ln(d2²_ratio)/2 → the 0.5 factor folds into the
+    // micro scale (500000 = 1e6 / 2)
+    ratios.agg(count(lit(1)).as("n_anchors"), sum(col("lr_unat")).as("slr"))
+      .select(col("n_anchors"),
+        expr("slr div n_anchors").as("mean_lnr_unat"),
+        expr("693147 * n_anchors div slr").as("intrinsic_dim_approx"))
+  }
+
+  /** Yule's characteristic K per source — the classic repeat-rate
+    * lexical-diversity constant (K = 10⁴·(Σm²V(m) − N)/N²), stable
+    * under corpus growth where raw type/token ratio is not: template
+    * spam and boilerplate floods push K up an order of magnitude.
+    * Token frequencies collapse map-side to the (source, token) grid;
+    * Σm² and N are exact integer moments of that grid (dollar-scale
+    * magnitudes — no overflow path), and K is one fixed double tree
+    * per ≤10-row output. */
+  private[graft] def qYuleK(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("m"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("m")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("m") * col("m")).as("s2"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("CAST(floor(10000.0 * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE)) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT)")
+          .as("yule_k_milli"))
+      .orderBy(col("source"))
+  }
+
+  /** Johnson-Lindenstrauss distortion audit of a 64→16 random ±1
+    * projection (Achlioptas '03 signs, md5-derived so the oracle
+    * replays them bit-for-bit): before trusting a cheap projected
+    * index, measure how far pairwise distances actually drift —
+    * E[‖Py‖²/k] = ‖y‖², so the per-pair ratio should concentrate
+    * near 1. Coordinates quantize to integer micro-units FIRST
+    * (order-independent integer sums — no float reduction crosses a
+    * shuffle); the 1024-entry sign matrix is a broadcast-joined
+    * constant; pairs are consecutive vec_ids (n pairs from n rows, no
+    * all-pairs). Summary: mean/min/max ratio and the within-±30%
+    * share in exact ppm. */
+  private[graft] def qJlDistortion(s: SparkSession, dir: String): DataFrame = {
+    val xq = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").as("xq"))
+    val signs = s.range(16).select(col("id").as("j"))
+      .crossJoin(s.range(64).select((col("id") + 1).as("i")))
+      .select(col("j"), col("i"),
+        (h60(concat(lit("jl|"), col("j").cast("string"), lit("|"),
+          col("i").cast("string"))) % 2 * 2 - 1).as("sgn"))
+    val y = xq.join(broadcast(signs), "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("sgn") * col("xq")).as("y"))
+    val dy2 = y.as("a").join(y.as("b"),
+        col("a.vec_id") + 1 === col("b.vec_id") && col("a.j") === col("b.j"))
+      .groupBy(col("a.vec_id").as("pid"))
+      .agg(sum((col("a.y") - col("b.y")) * (col("a.y") - col("b.y"))).as("dy2"))
+    val dx2 = xq.as("a").join(xq.as("b"),
+        col("a.vec_id") + 1 === col("b.vec_id") && col("a.i") === col("b.i"))
+      .groupBy(col("a.vec_id").as("pid"))
+      .agg(sum((col("a.xq") - col("b.xq")) * (col("a.xq") - col("b.xq"))).as("dx2"))
+    val ratios = dy2.join(dx2, "pid").filter(col("dx2") > 0)
+      .select(expr("CAST(floor(CAST(dy2 AS DOUBLE) / 16.0 / CAST(dx2 AS DOUBLE) * 1000 + 0.5) AS BIGINT)").as("r_milli"))
+    ratios.agg(count(lit(1)).as("n_pairs"),
+      expr("sum(r_milli) div count(1)").as("mean_ratio_milli"),
+      min(col("r_milli")).as("min_ratio_milli"),
+      max(col("r_milli")).as("max_ratio_milli"),
+      expr("sum(CASE WHEN r_milli BETWEEN 700 AND 1300 THEN 1 ELSE 0 END) * 1000000 div count(1)").as("within_30pct_ppm"))
+  }
+
+  /** Hubness audit of the embedding space — the high-dimensional
+    * pathology that silently breaks k-NN retrieval: a few "hub"
+    * vectors appear in everyone's neighbor list while anti-hubs
+    * appear in none, so recall collapses long before average
+    * distance says anything is wrong. In-degree of the label-blocked
+    * 3-NN graph (pairs from the blocked join, never all-pairs; the
+    * per-anchor top-3 rides the bounded heap), zero-filled against
+    * the full vector set, histogrammed over the 0..6+ DOMAIN with
+    * the max in-degree alongside. */
+  private[graft] def qHubness(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val n = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .localCheckpoint(eager = false)
+    val pairs = n.as("a").join(n.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("nbr"),
+        graft.functions.kernels.fixed_point_l2(col("a.embedding"),
+          col("b.embedding")).as("d2"))
+    val keyed = pairs.select(col("anchor").cast("string").as("astr"),
+      concat(lpad(col("d2").cast("string"), 16, "0"), lit("|"),
+        lpad(col("nbr").cast("string"), 8, "0")).as("k"),
+      col("nbr"))
+    val top3 = graft.ops.Sampling.stratifiedTopN(s, keyed, "astr", "k", "nbr", n = 3)
+    val indeg = top3.groupBy(col("nbr")).agg(count(lit(1)).as("indeg"))
+    val full = emb.select(col("vec_id"))
+      .join(indeg, col("vec_id") === col("nbr"), "left")
+      .na.fill(0L, Seq("indeg"))
+    val mx = full.agg(max(col("indeg")).as("max_indeg"))
+    full.groupBy(least(col("indeg"), lit(6L)).as("indeg_bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(mx))
+      .orderBy(col("indeg_bucket"))
+  }
+
+  /** Rényi entropy spectrum (α = 0, 1, 2, ∞) of each source's token
+    * distribution — four diversity numbers that disagree exactly when
+    * the corpus is skewed: H₀ counts vocabulary, H₁ is Shannon, H₂
+    * weights repeats quadratically (collision entropy — the dedup
+    * view), H∞ sees only the single most abundant token. A template
+    * flood leaves H₀ intact and crushes H₂/H∞ — the gap IS the
+    * signal. All four derive from exact integer moments of the
+    * (source, token) grid (Σm ln m rounds per-term to micro-nats,
+    * the q_l_diversity contract); each H is a fixed double tree. */
+  private[graft] def qRenyiSpectrum(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("m"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("m")).as("n"), count(lit(1)).as("v"),
+        sum(col("m") * col("m")).as("s2"), max(col("m")).as("mmax"),
+        sum(expr("CAST(floor(CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)")).as("mlnm_micro"))
+      .select(col("source"), col("n").as("n_tokens"), col("v").as("n_types"),
+        expr("CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)").as("h0_micro"),
+        expr("CAST(floor((ln(CAST(n AS DOUBLE)) - (mlnm_micro / 1000000.0) / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)").as("h1_micro"),
+        expr("CAST(floor((2.0 * ln(CAST(n AS DOUBLE)) - ln(CAST(s2 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)").as("h2_micro"),
+        expr("CAST(floor((ln(CAST(n AS DOUBLE)) - ln(CAST(mmax AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)").as("hinf_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** Davies-Bouldin index over the labeled embedding clusters — the
+    * third clustering-quality lens next to q_silhouette (per-point)
+    * and q_elbow (inertia curve): DB penalizes the WORST neighbor per
+    * cluster ((sᵢ+sⱼ)/dᵢⱼ maximized over j), so one merged pair of
+    * clusters shows up even when the average looks fine. Coordinates
+    * quantize to integer micro (the q_jl_distortion contract);
+    * centroids are explicit floor(Σ/n) integers; scatters are RMS
+    * distances from exact integer squares; only the final max/mean
+    * ride double trees over the 10-label DOMAIN. */
+  private[graft] def qDbi(s: SparkSession, dir: String): DataFrame = {
+    val xq = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").as("xq"))
+    val cent = xq.groupBy(col("label"), col("i"))
+      .agg(sum(col("xq")).as("csum"), count(lit(1)).as("cnt"))
+      .select(col("label"), col("i"),
+        expr("CAST(floor(CAST(csum AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT)").as("c"),
+        col("cnt"))
+    val s2v = xq.join(cent.select(col("label"), col("i"), col("c")), Seq("label", "i"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum((col("xq") - col("c")) * (col("xq") - col("c"))).as("s2"))
+    val scat = s2v.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("s2")).as("ss2"))
+      .select(col("label"), col("n_vecs"),
+        expr("sqrt(CAST(ss2 AS DOUBLE) / CAST(n_vecs AS DOUBLE))").as("s_rms"))
+    val cd = cent.as("a").join(cent.as("b"),
+        col("a.i") === col("b.i") && col("a.label") =!= col("b.label"))
+      .groupBy(col("a.label").as("li"), col("b.label").as("lj"))
+      .agg(sum((col("a.c") - col("b.c")) * (col("a.c") - col("b.c"))).as("d2"))
+    val rij = cd
+      .join(scat.select(col("label").as("li"), col("s_rms").as("si")), "li")
+      .join(scat.select(col("label").as("lj"), col("s_rms").as("sj")), "lj")
+      .select(col("li"), ((col("si") + col("sj")) / sqrt(col("d2").cast("double"))).as("r"))
+    val perLabel = rij.groupBy(col("li").as("label"))
+      .agg(expr("CAST(floor(max(r) * 1000 + 0.5) AS BIGINT)").as("rmax_milli"))
+    val dbi = perLabel.agg(expr("sum(rmax_milli) div count(1)").as("dbi_milli"))
+    scat.join(perLabel, "label").crossJoin(broadcast(dbi))
+      .select(col("label"), col("n_vecs"),
+        expr("CAST(floor(s_rms + 0.5) AS BIGINT)").as("s_rms_micro"),
+        col("rmax_milli"), col("dbi_milli"))
+      .orderBy(col("label"))
+  }
+
+  /** Top-10 most correlated embedding DIMENSION pairs — the
+    * redundancy audit that says whether the 64 dims actually carry
+    * 64 dims of signal (q_top_pc finds the dominant direction; this
+    * names the near-duplicate coordinate pairs a cheaper model could
+    * drop). One self-join per vector over the exploded (dim, value)
+    * table builds all 2016 pair products as exact integer micro
+    * sums; per-dim moments come from the same pass; each r is a
+    * fixed double tree and only the bounded top-10 survives. */
+  private[graft] def qDimCorr(s: SparkSession, dir: String): DataFrame = {
+    val xq = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).cast("long").as("i"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").as("xq"))
+      .localCheckpoint(eager = false)
+    val mom = xq.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"),
+        sum(col("xq") * col("xq")).as("ss"))
+    val cross = xq.as("a").join(xq.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.xq") * col("b.xq")).as("sxy"))
+    cross
+      .join(broadcast(mom.select(col("i"), col("n"), col("s").as("si"), col("ss").as("ssi"))), "i")
+      .join(broadcast(mom.select(col("i").as("j"), col("s").as("sj"), col("ss").as("ssj"))), "j")
+      .select(col("i"), col("j"),
+        expr("CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(ssi AS DOUBLE) - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(ssj AS DOUBLE) - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)").as("r_ppm"))
+      .orderBy(abs(col("r_ppm")).desc, col("i"), col("j")).limit(10)
+  }
+
+  /** Purity and NMI of the IVF bucketing against the ground-truth
+    * labels — the label-based clustering evaluation that completes
+    * the geometric pair (q_silhouette, q_dbi): purity says how
+    * dominated each bucket is, NMI corrects for trivially winning by
+    * making more buckets. Assignment replays q_ivf_balance's
+    * deterministic seed centroids; the (bucket × label) contingency
+    * collapses map-side; every entropy/MI term rounds to integer
+    * micro-nats before its sum (the q_jsd discipline) and NMI is one
+    * fixed double tree. */
+  private[graft] def qClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents,
+      "cid", "cv")
+    val cont = assign
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+      .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val byC = cont.groupBy(col("cid"))
+      .agg(sum(col("n")).as("nc"), max(col("n")).as("maxn"))
+    val byL = cont.groupBy(col("label")).agg(sum(col("n")).as("nl"))
+    val tot = byC.agg(sum(col("nc")).as("nn"), count(lit(1)).as("n_buckets"),
+      sum(col("maxn")).as("smax"))
+    val mi = cont
+      .join(broadcast(byC.select(col("cid"), col("nc"))), "cid")
+      .join(broadcast(byL), "label")
+      .crossJoin(broadcast(tot.select(col("nn"))))
+      .agg(sum(expr("CAST(floor(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) * ln(CAST(n AS DOUBLE) * CAST(nn AS DOUBLE) / (CAST(nc AS DOUBLE) * CAST(nl AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)")).as("mi_micro"))
+    val hc = byC.crossJoin(broadcast(tot.select(col("nn").as("n2"))))
+      .agg(sum(expr("CAST(floor(-(CAST(nc AS DOUBLE) / CAST(n2 AS DOUBLE)) * ln(CAST(nc AS DOUBLE) / CAST(n2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)")).as("hc_micro"))
+    val hl = byL.crossJoin(broadcast(tot.select(col("nn").as("n3"))))
+      .agg(sum(expr("CAST(floor(-(CAST(nl AS DOUBLE) / CAST(n3 AS DOUBLE)) * ln(CAST(nl AS DOUBLE) / CAST(n3 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)")).as("hl_micro"))
+    tot.crossJoin(mi).crossJoin(hc).crossJoin(hl)
+      .select(col("nn").as("n_vecs"), col("n_buckets"),
+        expr("smax * 1000000 div nn").as("purity_ppm"),
+        col("mi_micro"), col("hc_micro"), col("hl_micro"),
+        expr("CAST(floor(CAST(mi_micro AS DOUBLE) / sqrt(CAST(hc_micro AS DOUBLE) * CAST(hl_micro AS DOUBLE)) * 1000 + 0.5) AS BIGINT)").as("nmi_milli"))
+  }
+
+  /** IVF recall-vs-probes sweep — THE accuracy/throughput curve every
+    * ANN deployment is tuned on: ground-truth cosine top-10 per query
+    * (brute force over the bounded query panel) against the IVF
+    * candidate top-10 when only the p nearest centroid buckets are
+    * probed, p ∈ {1, 2, 4}. All ranking uses the shared fixed-point
+    * dot kernel with (score, id) tie-breaks, so both engines produce
+    * the same SETS; windows partition by query id over bounded panels
+    * (|Q| = vec_id % 100 — SF-proportional, never the corpus). */
+  private[graft] def qIvfProbeRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings").localCheckpoint(eager = false)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .localCheckpoint(eager = false)
+    // ground truth: brute cosine top-10 per query (self excluded)
+    val scored = qs.crossJoin(emb)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.dotFp(col("qv"), col("embedding")).as("d"),
+        Similarity.dotFp(col("embedding"), col("embedding")).as("nv"),
+        Similarity.dotFp(col("qv"), col("qv")).as("nq"))
+      .withColumn("cosk",
+        expr("CAST(floor((d / 1000000000.0) / (sqrt(nq / 1000000000.0) * sqrt(nv / 1000000000.0)) * 1000000000 + 0.5) AS BIGINT)"))
+      .localCheckpoint(eager = false)
+    val gt = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cosk").desc, col("vec_id"))))
+      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+    // IVF side: bucket of every vector; per-query centroid ranking
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents,
+      "cid", "cv")
+    val qc = qs.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        Similarity.dotFp(col("qv"), col("cv")).as("dc"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dc").desc, col("cid"))))
+    val probes = s.range(3).select(pow(lit(2), col("id")).cast("long").as("p"))
+    val cand = qc.crossJoin(broadcast(probes))
+      .filter(col("crank") <= col("p"))
+      .join(assign, "cid")
+      .select(col("p"), col("qid"), col("vec_id"))
+      .filter(col("vec_id") =!= col("qid"))
+    val ivfTop = cand
+      .join(scored.select(col("qid"), col("vec_id"), col("cosk")),
+        Seq("qid", "vec_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p"), col("qid"))
+          .orderBy(col("cosk").desc, col("vec_id"))))
+      .filter(col("rn") <= 10)
+    val hits = ivfTop.join(gt, Seq("qid", "vec_id"))
+      .groupBy(col("p"), col("qid")).agg(count(lit(1)).as("hit"))
+    val perQ = qs.select(col("qid")).crossJoin(broadcast(probes))
+      .join(hits, Seq("p", "qid"), "left").na.fill(0L, Seq("hit"))
+    perQ.groupBy(col("p"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("hit")).as("sum_hits"))
+      .select(col("p"), col("n_queries"),
+        expr("sum_hits * 1000000 div (n_queries * 10)").as("recall_ppm"))
+      .orderBy(col("p"))
+  }
+
+  /** One sweep of Tukey median polish over the weekday × month
+    * revenue grid — the robust two-way decomposition (row effects,
+    * column effects, residuals) that finds "Mondays in Dec-97 were
+    * weird" where a mean-based ANOVA smears the outlier across the
+    * whole row. Low-median convention keeps every effect an EXACT
+    * integer (no halving, no floats); both median selections are
+    * rn = ⌈n/2⌉ order statistics over the bounded 7×~84 grid
+    * domain. Emits the top-10 |residual| cells with their
+    * decomposition. */
+  private[graft] def qMedianPolish(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = t(s, dir, "orders")
+      .groupBy((datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long") % 7L).as("dow"),
+        ((year(col("o_orderdate")) - 1995) * 12 +
+          month(col("o_orderdate")) - 1).cast("long").as("m"))
+      .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div 100000").as("v"))
+      .localCheckpoint(eager = false)
+    val rowMed = grid
+      .withColumn("rn", row_number().over(Window.partitionBy(col("dow"))
+        .orderBy(col("v"), col("m"))))
+      .withColumn("nr", count(lit(1)).over(Window.partitionBy(col("dow"))))
+      .filter(col("rn") === expr("(nr + 1) div 2"))
+      .select(col("dow"), col("v").as("row_eff"))
+    val r1 = grid.join(broadcast(rowMed), "dow")
+      .withColumn("res1", col("v") - col("row_eff"))
+    val colMed = r1
+      .withColumn("rn", row_number().over(Window.partitionBy(col("m"))
+        .orderBy(col("res1"), col("dow"))))
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy(col("m"))))
+      .filter(col("rn") === expr("(nc + 1) div 2"))
+      .select(col("m"), col("res1").as("col_eff"))
+    r1.join(broadcast(colMed), "m")
+      .select(col("dow"), col("m"), col("v"), col("row_eff"), col("col_eff"),
+        (col("res1") - col("col_eff")).as("residual"))
+      .orderBy(abs(col("residual")).desc, col("dow"), col("m")).limit(10)
+  }
+
+  /** Decision-curve analysis (net benefit) of the document quality
+    * model — the threshold readout that answers the question
+    * q_threshold_f1/q_threshold_youden can't: "at MY cost ratio, is
+    * using this model better than treating everyone (or no one)?"
+    * NB(t) = TP/N − FP/N·t/(1−t), evaluated at each logit bin's
+    * implied probability, against the treat-all reference. Same
+    * 21-bin score domain and reverse-cumulative window as the other
+    * threshold queries; every count exact, each NB one fixed double
+    * tree. */
+  private[graft] def qDecisionCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = t(s, dir, "documents")
+      .select(
+        (col("n_chars") >= 200).as("label"),
+        (lit(40L) * size(split(col("text"), " ")).cast("long") +
+          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast("long") +
+          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L))
+          .as("logit_milli"))
+      .withColumn("bin",
+        greatest(least(expr("logit_milli div 2000"), lit(10L)), lit(-10L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("pos"))
+    val tot = binned.agg(sum(col("n")).as("nn"), sum(col("pos")).as("npos"))
+    val wDesc = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("pred_pos", sum(col("n")).over(wDesc))
+      .withColumn("tp", sum(col("pos")).over(wDesc))
+      .crossJoin(broadcast(tot))
+      .withColumn("t", expr("1.0 / (1.0 + exp(-CAST(bin AS DOUBLE) * 2.0))"))
+      .select(col("bin").as("threshold_bin"), col("tp"),
+        (col("pred_pos") - col("tp")).as("fp"),
+        expr("CAST(floor((CAST(tp AS DOUBLE) / CAST(nn AS DOUBLE) - CAST(pred_pos - tp AS DOUBLE) / CAST(nn AS DOUBLE) * (t / (1.0 - t))) * 1000000 + 0.5) AS BIGINT)").as("nb_model_micro"),
+        expr("CAST(floor((CAST(npos AS DOUBLE) / CAST(nn AS DOUBLE) - CAST(nn - npos AS DOUBLE) / CAST(nn AS DOUBLE) * (t / (1.0 - t))) * 1000000 + 0.5) AS BIGINT)").as("nb_all_micro"))
+      .orderBy(col("threshold_bin"))
+  }
+
+  /** Chao1 richness estimate of the unseen vocabulary per source —
+    * "how many distinct tokens would this source show at infinite
+    * crawl depth?": V + F₁²/(2F₂) from the hapax/dis counts, the
+    * abundance-based cousin of q_capture_recapture and the
+    * population-level complement to q_heaps' growth exponent. One
+    * frequency-of-frequencies aggregation; the estimator and its
+    * coverage deficit are fixed double trees per ≤10-row output. */
+  private[graft] def qChao1(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("m"))
+    tf.groupBy(col("source"))
+      .agg(count(lit(1)).as("v_obs"),
+        sum(when(col("m") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("m") === 2, 1L).otherwise(0L)).as("f2"))
+      .filter(col("f2") > 0)
+      .select(col("source"), col("v_obs"), col("f1"), col("f2"),
+        expr("CAST(floor(CAST(v_obs AS DOUBLE) + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE) / (2.0 * CAST(f2 AS DOUBLE)) + 0.5) AS BIGINT)").as("chao1_est"),
+        expr("CAST(floor(CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE) / (2.0 * CAST(f2 AS DOUBLE)) / (CAST(v_obs AS DOUBLE) + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE) / (2.0 * CAST(f2 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)").as("unseen_share_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Vocabulary overlap between sources — the Szymkiewicz-Simpson
+    * coefficient |A∩B|/min(|A|,|B|) plus Jaccard for every source
+    * pair, top-10: the dataset-card answer to "which sources are
+    * re-crawls of each other" BEFORE any document-level dedup runs
+    * (q_cross_source_dups finds shared docs; this finds shared
+    * REGISTERS). The pair counts come from the inverted index — a
+    * self-join keyed on token, never source × source × vocabulary —
+    * and every coefficient is exact ppm integer division. */
+  private[graft] def qVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sv = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sizes = sv.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val inter = sv.as("a").join(sv.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("both"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("s1"), col("v").as("v1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("v").as("v2"))), "s2")
+      .select(col("s1"), col("s2"), col("both"),
+        expr("both * 1000000 div least(v1, v2)").as("overlap_ppm"),
+        expr("both * 1000000 div (v1 + v2 - both)").as("jaccard_ppm"))
+      .orderBy(col("overlap_ppm").desc, col("s1"), col("s2")).limit(10)
+  }
+
+  /** Horvitz-Thompson estimation through the deterministic sampler —
+    * the audit that turns q_weighted_sample's mixture gate into a
+    * STATISTICAL instrument: each stratum's inclusion probability is
+    * known by construction (the md5 gate's rate), so the inverse-
+    * probability-weighted total Σx/π must land near the true total,
+    * and the query measures exactly how near in ppm. Per-row weights
+    * are exact integer milli (x·100000/rate via integer division);
+    * the comparison runs against the full-scan truth in the same
+    * plan. */
+  private[graft] def qHorvitzThompson(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 90L)
+      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 15L)
+      .otherwise(40L)
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), rate.as("rate"),
+        (h60(concat(lit("ht|"), col("doc_id").cast("string"))) % 100).as("g"))
+    val truth = base.agg(count(lit(1)).as("n_total"),
+      sum(col("n_chars")).as("true_total"))
+    val sampled = base.filter(col("g") < col("rate"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(expr("n_chars * 100000 div rate")).as("ht_milli"))
+    sampled.crossJoin(broadcast(truth))
+      .select(col("n_sampled"), col("n_total"),
+        col("ht_milli"), col("true_total"),
+        expr("abs(ht_milli div 1000 - true_total) * 1000000 div true_total").as("err_ppm"))
+  }
+
+  /** Energy-distance two-sample test IN EMBEDDING SPACE — are label-0
+    * and label-1 vectors drawn from the same distribution? The
+    * multivariate companion to q_energy_distance's scalar test and
+    * the statistical upgrade of q_embed_drift's mean-only view
+    * (energy distance sees covariance and shape, not just the
+    * centroid). Arms are md5-capped (bounded pair matrices at any
+    * SF); distances come from the shared fixed-point L2 kernel, each
+    * rounded to integer micro BEFORE its sum. */
+  private[graft] def qEmbedTwoSample(s: SparkSession, dir: String): DataFrame = {
+    def arm(lbl: Int, tag: String) = t(s, dir, "embeddings")
+      .filter(col("label") === lbl)
+      .select(col("vec_id").as("k"), col("embedding").as("e"),
+        h60(concat(lit(s"e2s$tag|"), col("vec_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("k")).limit(200).drop("h")
+      .localCheckpoint(eager = false)
+    val x = arm(0, "a")
+    val y = arm(1, "b")
+    def dmicro(ea: org.apache.spark.sql.Column, eb: org.apache.spark.sql.Column) =
+      expr2Micro(graft.functions.kernels.fixed_point_l2(ea, eb))
+    val sxy = x.as("x").crossJoin(y.as("y"))
+      .select(dmicro(col("x.e"), col("y.e")).as("d"))
+      .agg(sum(col("d")).as("sd"), count(lit(1)).as("n"))
+      .select(expr("CAST(floor(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)").as("exy_micro"),
+        col("n").as("nxy"))
+    val sxx = x.as("a").join(x.as("b"), col("a.k") < col("b.k"))
+      .select(dmicro(col("a.e"), col("b.e")).as("d"))
+      .agg(sum(col("d")).as("sd"), count(lit(1)).as("n"))
+      .select(expr("CAST(floor(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)").as("exx_micro"))
+    val syy = y.as("a").join(y.as("b"), col("a.k") < col("b.k"))
+      .select(dmicro(col("a.e"), col("b.e")).as("d"))
+      .agg(sum(col("d")).as("sd"), count(lit(1)).as("n"))
+      .select(expr("CAST(floor(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)").as("eyy_micro"))
+    sxy.crossJoin(sxx).crossJoin(syy)
+      .select(col("nxy"), col("exy_micro"), col("exx_micro"), col("eyy_micro"),
+        (lit(2L) * col("exy_micro") - col("exx_micro") - col("eyy_micro"))
+          .as("energy_micro"))
+  }
+
+  /** Effective sample size of the inverse-probability weights behind
+    * q_horvitz_thompson — Kish's ESS = (Σw)²/Σw² and the design
+    * effect n/ESS: the number that says how much statistical power
+    * the 90/15/40 mixture sampling actually costs (unequal weights
+    * waste information even when the estimator stays unbiased).
+    * Weights are exact integer milli per stratum; both figures are
+    * fixed double trees over three integer sums. */
+  private[graft] def qEssWeights(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 90L)
+      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 15L)
+      .otherwise(40L)
+    t(s, dir, "documents")
+      .select(col("doc_id"), rate.as("rate"),
+        (h60(concat(lit("ht|"), col("doc_id").cast("string"))) % 100).as("g"))
+      .filter(col("g") < col("rate"))
+      .select(expr("100000 div rate").as("w"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("w")).as("sw"),
+        sum(col("w") * col("w")).as("sww"))
+      .select(col("n_sampled"), col("sw").as("sum_w_milli"),
+        expr("CAST(floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE) * 1000 + 0.5) AS BIGINT)").as("ess_milli"),
+        expr("CAST(floor(CAST(n_sampled AS DOUBLE) / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE)) * 1000 + 0.5) AS BIGINT)").as("design_effect_milli"))
+  }
+
+  /** Matthews correlation coefficient of the document quality model
+    * at the zero-logit operating point — the single-number binary
+    * metric that survives class imbalance where accuracy and even F1
+    * inflate (MCC is the only one of the family that uses ALL four
+    * confusion cells symmetrically). Cells are exact integer counts
+    * from one pass; the √ of a four-factor product runs as
+    * √a·√b·√c·√d to keep every intermediate inside double range. */
+  private[graft] def qMcc(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select((col("n_chars") >= 200).as("label"),
+        ((lit(40L) * size(split(col("text"), " ")).cast("long") +
+          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast("long") +
+          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L)) >= 0)
+          .as("pred"))
+    scored.agg(
+        sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("label"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("label"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CAST(floor((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE) - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE)) / (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE)) * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE))) * 1000 + 0.5) AS BIGINT)").as("mcc_milli"),
+        expr("(tp + tn) * 1000000 div (tp + fp + fn + tn)").as("accuracy_ppm"))
+  }
+
+  /** BPE tokenizer APPLICATION — the encode half that `TextOps.bpeTrain`
+    * (q_bpe_pairs) trains for: a fixed rank-ordered merge table is applied
+    * to every word as sequential global rewrites over the space-separated
+    * symbol form (the classic fast approximation: each merge is one
+    * deterministic left-to-right pass, identical in any engine), and the
+    * per-source token accounting falls out — tokens, chars/token
+    * compression, and the merge-coverage delta vs character-level
+    * tokenization. Shape: one Generate (word explode) feeding a narrow
+    * per-row rewrite chain (pure codegen'd string expressions, no UDF),
+    * then ONE map-side-combined aggregate keyed by the ~5-value source
+    * column — the corpus text never shuffles, only the 4-counter partials
+    * do. The merge table is model-as-literal (broadcast-free: it compiles
+    * into the expression tree), exactly how a trained vocabulary ships to
+    * a 1000-executor encode job. */
+  private[graft] def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = Seq("t h" -> "th", "th e" -> "the", "i n" -> "in",
+      "o w" -> "ow", "a t" -> "at", "e r" -> "er", "s t" -> "st",
+      "a r" -> "ar")
+    val spaced = trim(regexp_replace(col("w"), "(.)", "$1 "))
+    val encoded = merges.foldLeft(spaced) { case (c, (from, to)) =>
+      regexp_replace(c, from, to)
+    }
+    t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      // leading/trailing/repeated spaces split into empty "words"
+      // (chars=0, toks=1) that would skew n_words and the per-token
+      // ratios — drop them before aggregating, as a tokenizer would
+      .filter(col("w") =!= "")
+      .select(col("source"), length(col("w")).cast("long").as("chars"),
+        size(split(encoded, " ")).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("chars")).as("n_chars"),
+        sum(col("toks")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("n_tokens"),
+        expr("n_chars * 1000000 div n_tokens").as("chars_per_token_ppm"),
+        expr("(n_chars - n_tokens) * 1000000 div n_chars").as("merge_savings_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Mojibake (encoding-corruption) detection and repair — the ftfy-style
+    * screen a multilingual crawl needs before dedup: UTF-8 bytes decoded
+    * as Latin-1 turn every accented vowel into a 'Ã'-led pair, silently
+    * splitting duplicate clusters and poisoning n-gram stats. Corruption
+    * is synthesized from nation names in BOTH engines (accent injection
+    * via translate, then the double-encode rewrite), so the detector
+    * (the 'Ã' marker) and the inverse repair table are value-checked
+    * against ground truth: repaired text must equal the original
+    * accented form field-for-field. Pure per-row string expressions —
+    * zero shuffle, embarrassingly parallel at corpus scale; the repair
+    * table is model-as-literal in the expression tree like q_bpe_encode's
+    * merges. */
+  private[graft] def qMojibake(s: SparkSession, dir: String): DataFrame = {
+    val base = lower(col("n_name"))
+    val accented = translate(base, "aeou", "áéöü")
+    // UTF-8 bytes of each accented vowel re-read as Latin-1: the
+    // canonical double-encode corruption (á = C3 A1 → "Ã¡", …)
+    val pairs = Seq("á" -> "Ã¡", "é" -> "Ã©", "ö" -> "Ã¶", "ü" -> "Ã¼")
+    val corrupted = pairs.foldLeft(accented) { case (c, (good, bad)) =>
+      regexp_replace(c, good, bad)
+    }
+    val repaired = pairs.foldLeft(corrupted) { case (c, (good, bad)) =>
+      regexp_replace(c, bad, good)
+    }
+    t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        corrupted.as("corrupted"), repaired.as("repaired"),
+        corrupted.contains("Ã").as("had_mojibake"),
+        (repaired === accented).as("repaired_ok"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Training-shard manifest — the handoff artifact between curation and
+    * the training job: every document is assigned a deterministic shard
+    * by salted md5 (replayable on any engine, stable across reruns), and
+    * the manifest rows carry what a data loader needs to plan an epoch:
+    * docs, whitespace tokens, chars, an ORDER-INDEPENDENT content
+    * checksum (bit_xor of 60-bit digests of doc_id|text — a changed
+    * document changes the shard checksum, not just a changed membership;
+    * verifiable shard integrity without sorting anything), and the
+    * balance deviation vs
+    * the ideal even split in signed ppm. Shape: one scan, one map-side-
+    * combined aggregate on the 16-value shard key, grand total joined
+    * back by broadcast — no window, no second scan of the text. */
+  private[graft] def qShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      (conv(substring(md5(concat(lit("shard|"), col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 16).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("toks"),
+      length(col("text")).cast("long").as("chars"),
+      h60(concat(col("doc_id").cast("string"), lit("|"), col("text")))
+        .as("digest"))
+    val manifest = d.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        expr("bit_xor(digest)").as("checksum"))
+    val total = manifest.agg(sum(col("n_docs")).as("total_docs"))
+    manifest.crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("checksum"),
+        expr("n_docs * 16 * 1000000 div total_docs - 1000000").as("skew_ppm"))
+      .orderBy(col("shard"))
+  }
+
+  private[graft] def llm2QueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_map_eval" -> (qMapEval _),
+    "q_rank_fusion" -> (qRankFusion _),
+    "q_coverage_curve" -> (qCoverageCurve _),
+    "q_pack_efficiency" -> (qPackEfficiency _),
+    "q_hard_negatives" -> (qHardNegatives _),
+    "q_dup_orders" -> (qDupOrders _),
+    "q_elbow" -> (qElbow _),
+    "q_char_entropy" -> (qCharEntropy _),
+    "q_knapsack" -> (qKnapsack _),
+    "q_dim_stats" -> (qDimStats _),
+    "q_cosine_hist" -> (qCosineHist _),
+    "q_casing_profile" -> (qCasingProfile _),
+    "q_cross_source_dups" -> (qCrossSourceDups _),
+    "q_length_anova" -> (qLengthAnova _),
+    "q_token_length_dist" -> (qTokenLengthDist _),
+    "q_ivf_balance" -> (qIvfBalance _),
+    "q_length_psi" -> (qLengthPsi _),
+    "q_intrinsic_dim" -> (qIntrinsicDim _),
+    "q_yule_k" -> (qYuleK _),
+    "q_jl_distortion" -> (qJlDistortion _),
+    "q_hubness" -> (qHubness _),
+    "q_renyi_spectrum" -> (qRenyiSpectrum _),
+    "q_dbi" -> (qDbi _),
+    "q_dim_corr" -> (qDimCorr _),
+    "q_cluster_purity" -> (qClusterPurity _),
+    "q_ivf_probe_recall" -> (qIvfProbeRecall _),
+    "q_median_polish" -> (qMedianPolish _),
+    "q_decision_curve" -> (qDecisionCurve _),
+    "q_chao1" -> (qChao1 _),
+    "q_vocab_overlap" -> (qVocabOverlap _),
+    "q_horvitz_thompson" -> (qHorvitzThompson _),
+    "q_embed_two_sample" -> (qEmbedTwoSample _),
+    "q_ess_weights" -> (qEssWeights _),
+    "q_mcc" -> (qMcc _),
+    "q_bpe_encode" -> (qBpeEncode _),
+    "q_mojibake" -> (qMojibake _),
+    "q_shard_manifest" -> (qShardManifest _),
+  )
+
+  private[graft] def llm2OracleMap: Map[String, String] = Map(
+    "q_map_eval" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  WHERE vec_id < 8),
+         |adots AS (
+         |  SELECT e.vec_id, c.cid, ${duckDot("e.embedding", "c.cv")} AS d
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid)
+         |        AS rn
+         |    FROM adots) x WHERE rn = 1),
+         |q AS (
+         |  SELECT e.vec_id AS qid, e.embedding AS qv, a.cid AS qcid
+         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+         |  WHERE e.vec_id IN (0, 7, 42, 99, 123)),
+         |td AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ${duckCos(duckDot("e.embedding", "q.qv"),
+                duckDot("e.embedding", "e.embedding"),
+                duckDot("q.qv", "q.qv"))} AS cosine
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> q.qid),
+         |truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY greatest(CAST(0 AS BIGINT),
+         |          CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT)),
+         |          vec_id) AS rn
+         |    FROM td) x WHERE rn <= 10),
+         |rd AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ${duckCos(duckDot("e.embedding", "q.qv"),
+                duckDot("e.embedding", "e.embedding"),
+                duckDot("q.qv", "q.qv"))} AS cosine
+         |  FROM embeddings e
+         |  JOIN assign a ON e.vec_id = a.vec_id
+         |  JOIN q ON a.cid = q.qcid
+         |  WHERE e.vec_id <> q.qid),
+         |ret AS (
+         |  SELECT qid, vec_id, CAST(rn AS BIGINT) AS rn FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY greatest(CAST(0 AS BIGINT),
+         |          CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT)),
+         |          vec_id) AS rn
+         |    FROM rd) x WHERE rn <= 10),
+         |marked AS (
+         |  SELECT r.qid, r.rn,
+         |    CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |      AS rel
+         |  FROM ret r LEFT JOIN truth t
+         |    ON r.qid = t.qid AND r.vec_id = t.vec_id),
+         |cum AS (
+         |  SELECT qid, rn, rel,
+         |    CAST(sum(rel) OVER (PARTITION BY qid ORDER BY rn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_rel
+         |  FROM marked)
+         |SELECT qid, CAST(sum(rel) AS BIGINT) AS hits,
+         |  CAST(sum(CASE WHEN rel = 1 THEN cum_rel * 1000000 // rn
+         |    ELSE 0 END) AS BIGINT) // 10 AS ap_ppm
+         |FROM cum GROUP BY qid ORDER BY qid""".stripMargin,
+    "q_rank_fusion" -> {
+      val rrfSql =
+        """CASE rn WHEN 1 THEN 16393 WHEN 2 THEN 16129 WHEN 3 THEN 15873
+          | WHEN 4 THEN 15625 WHEN 5 THEN 15385 WHEN 6 THEN 15152
+          | WHEN 7 THEN 14925 WHEN 8 THEN 14706 WHEN 9 THEN 14493
+          | ELSE 14286 END""".stripMargin
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  WHERE vec_id < 8),
+         |adots AS (
+         |  SELECT e.vec_id, c.cid, ${duckDot("e.embedding", "c.cv")} AS d
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid)
+         |        AS rn
+         |    FROM adots) x WHERE rn = 1),
+         |q AS (
+         |  SELECT e.vec_id AS qid, e.embedding AS qv, a.cid AS qcid
+         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+         |  WHERE e.vec_id IN (0, 7, 42, 99, 123)),
+         |td AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ${duckCos(duckDot("e.embedding", "q.qv"),
+              duckDot("e.embedding", "e.embedding"),
+              duckDot("q.qv", "q.qv"))} AS cosine
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> q.qid),
+         |bf10 AS (
+         |  SELECT qid, vec_id, CAST($rrfSql AS BIGINT) AS rrf_micro FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY greatest(CAST(0 AS BIGINT),
+         |          CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT)),
+         |          vec_id) AS rn
+         |    FROM td) x WHERE rn <= 10),
+         |rd AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ${duckCos(duckDot("e.embedding", "q.qv"),
+              duckDot("e.embedding", "e.embedding"),
+              duckDot("q.qv", "q.qv"))} AS cosine
+         |  FROM embeddings e
+         |  JOIN assign a ON e.vec_id = a.vec_id
+         |  JOIN q ON a.cid = q.qcid
+         |  WHERE e.vec_id <> q.qid),
+         |ivf10 AS (
+         |  SELECT qid, vec_id, CAST($rrfSql AS BIGINT) AS rrf_micro FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY greatest(CAST(0 AS BIGINT),
+         |          CAST(floor((1 - cosine) * 1000000000 + 0.5) AS BIGINT)),
+         |          vec_id) AS rn
+         |    FROM rd) x WHERE rn <= 10),
+         |fused AS (
+         |  SELECT qid, vec_id, CAST(sum(rrf_micro) AS BIGINT) AS rrf_micro,
+         |    CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM (SELECT * FROM bf10 UNION ALL SELECT * FROM ivf10) u
+         |  GROUP BY qid, vec_id),
+         |final AS (
+         |  SELECT qid, vec_id, n_lists, rrf_micro,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY rrf_micro DESC, vec_id) AS BIGINT) AS frank
+         |  FROM fused)
+         |SELECT qid, frank, vec_id, n_lists, rrf_micro
+         |FROM final WHERE frank <= 5 ORDER BY qid, frank""".stripMargin
+    },
+    "q_coverage_curve" ->
+      """WITH total AS (SELECT CAST(count(*) AS BIGINT) AS d_total
+        |  FROM documents),
+        |docs AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |firsts AS (
+        |  SELECT fp, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |  FROM docs GROUP BY fp)
+        |SELECT ((doc_id + 1) * 10 + d_total - 1) // d_total AS decile,
+        |  CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS novel_docs,
+        |  (CAST(count(*) AS BIGINT)
+        |    - CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+        |      AS BIGINT)) * 1000000 // CAST(count(*) AS BIGINT) AS dup_ppm
+        |FROM docs JOIN firsts USING (fp) CROSS JOIN total
+        |GROUP BY 1 ORDER BY decile""".stripMargin,
+    "q_pack_efficiency" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |est AS (
+        |  SELECT source,
+        |    greatest(len(tk),
+        |      CAST(list_sum(list_transform(tk, w -> (length(w) + 3) // 4))
+        |        AS BIGINT)) AS est_tokens
+        |  FROM f),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(est_tokens) AS BIGINT) AS tokens
+        |  FROM est GROUP BY source)
+        |SELECT source, n_docs, tokens,
+        |  (tokens + 2047) // 2048 AS windows,
+        |  tokens * 1000000 // (((tokens + 2047) // 2048) * 2048) AS fill_ppm
+        |FROM g ORDER BY source""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${duckDot("embedding", "embedding")} AS nrm
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS anchor, b.vec_id AS neg,
+         |    CAST(floor(${duckCos(
+              """list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)))""",
+              "a.nrm", "b.nrm")} * 1000000 + 0.5) AS BIGINT) AS cos_micro
+         |  FROM n a JOIN n b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 7 = 0),
+         |banded AS (
+         |  SELECT anchor, neg, cos_micro,
+         |    CAST(row_number() OVER (PARTITION BY anchor
+         |      ORDER BY cos_micro DESC, neg) AS BIGINT) AS rn
+         |  FROM pairs WHERE cos_micro >= 100000 AND cos_micro <= 250000)
+         |SELECT anchor, rn, neg, cos_micro
+         |FROM banded WHERE rn <= 3 ORDER BY anchor, rn""".stripMargin,
+    "q_dup_orders" ->
+      """SELECT o_custkey,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS day,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS total_c,
+        |  CAST(min(o_orderkey) AS BIGINT) AS k1,
+        |  CAST(max(o_orderkey) AS BIGINT) AS k2
+        |FROM orders
+        |GROUP BY o_custkey, o_orderdate
+        |HAVING count(*) > 1
+        |ORDER BY o_custkey, day""".stripMargin,
+    "q_elbow" -> {
+      def sseBlock(k: Int): String =
+        s"""  SELECT CAST($k AS BIGINT) AS k,
+           |    CAST(sum(best // 1000) AS BIGINT) AS sse_scaled FROM (
+           |    SELECT e.vec_id,
+           |      min(${duckDot("e.embedding", "e.embedding")}
+           |        - 2 * ${duckDot("e.embedding", "c.cv")}
+           |        + ${duckDot("c.cv", "c.cv")}) AS best
+           |    FROM embeddings e CROSS JOIN
+           |      (SELECT embedding AS cv FROM embeddings WHERE vec_id < $k) c
+           |    GROUP BY e.vec_id) t$k""".stripMargin
+      s"""WITH curve AS (
+         |${sseBlock(2)}
+         |  UNION ALL
+         |${sseBlock(4)}
+         |  UNION ALL
+         |${sseBlock(8)})
+         |SELECT k, sse_scaled,
+         |  CAST(coalesce(lag(sse_scaled, 1) OVER (ORDER BY k) - sse_scaled,
+         |    0) AS BIGINT) AS drop_from_prev
+         |FROM curve ORDER BY k""".stripMargin
+    },
+    "q_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT source, ch, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(string_split(text, '')) AS ch
+        |    FROM documents) t
+        |  WHERE length(ch) = 1 GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |  FROM chars GROUP BY 1),
+        |terms AS (
+        |  SELECT chars.source AS source, n,
+        |    CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / 0.6931471805599453)
+        |      * (-1000000.0) + 0.5) AS BIGINT) AS term_ubits
+        |  FROM chars JOIN tot ON chars.source = tot.source)
+        |SELECT source, max(n) AS n_chars,
+        |  CAST(sum(term_ubits) AS BIGINT) AS entropy_ubits
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    "q_knapsack" ->
+      """WITH est AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(len(tk) AS BIGINT),
+        |      CAST(list_sum(list_transform(tk, w -> (length(w) + 3) // 4))
+        |        AS BIGINT)) AS est_tokens,
+        |    40 * CAST(len(tk) AS BIGINT)
+        |      - 10 * CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |        AS BIGINT)
+        |      - 2 * abs(n_chars - 500) - 1500 AS q_milli
+        |  FROM (SELECT doc_id, text, n_chars, string_split(text, ' ') AS tk
+        |        FROM documents) t),
+        |scored AS (
+        |  SELECT doc_id, est_tokens, q_milli,
+        |    q_milli * 1000 // est_tokens AS density
+        |  FROM est WHERE q_milli > 0),
+        |run AS (
+        |  SELECT est_tokens, q_milli,
+        |    CAST(sum(est_tokens) OVER (
+        |      ORDER BY (68719476736 - density) * 67108864 + doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS run_sum
+        |  FROM scored),
+        |budget AS (SELECT CAST(sum(est_tokens) AS BIGINT) // 4 AS budget
+        |  FROM scored),
+        |qual AS (SELECT CAST(sum(q_milli) AS BIGINT) AS total_q,
+        |  CAST(count(*) AS BIGINT) AS n_candidates FROM scored)
+        |SELECT n_candidates, CAST(count(*) AS BIGINT) AS n_selected,
+        |  budget, CAST(sum(est_tokens) AS BIGINT) AS tokens_used,
+        |  CAST(sum(q_milli) AS BIGINT) AS quality_sum,
+        |  CAST(sum(q_milli) AS BIGINT) * 1000000 // total_q
+        |    AS quality_share_ppm
+        |FROM run CROSS JOIN budget CROSS JOIN qual
+        |WHERE run_sum <= budget
+        |GROUP BY n_candidates, budget, total_q""".stripMargin,
+    "q_dim_stats" ->
+      """WITH x AS (
+        |  SELECT j AS dim,
+        |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+        |      AS xf
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT CAST(unnest(generate_series(1, 64)) AS BIGINT)
+        |    AS j) js),
+        |m AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xf) AS BIGINT) AS sx,
+        |    CAST(sum(xf * xf) AS BIGINT) AS sxx
+        |  FROM x GROUP BY dim)
+        |SELECT dim, n,
+        |  CAST(floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 1000 + 0.5)
+        |    AS BIGINT) AS mean_micro,
+        |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) + 0.5) AS BIGINT)
+        |    AS var_milli2,
+        |  abs(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * 20.0
+        |    > sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    AS needs_centering
+        |FROM m ORDER BY dim""".stripMargin,
+    "q_cosine_hist" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${duckDot("embedding", "embedding")} AS nrm
+         |  FROM embeddings),
+         |cos AS (
+         |  SELECT CAST(floor(${duckCos(
+              """list_sum(list_transform(generate_series(1,64), i -> CAST(floor(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)))""",
+              "a.nrm", "b.nrm")} * 1000000 + 0.5) AS BIGINT) AS cos_micro
+         |  FROM n a JOIN n b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE a.vec_id % 5 = 0),
+         |bucketed AS (
+         |  SELECT greatest(-4, least(3,
+         |    CASE WHEN cos_micro >= 0 THEN cos_micro // 250000
+         |      ELSE -((-cos_micro + 249999) // 250000) END)) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM cos GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM bucketed)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_pairs,
+         |  n_pairs * 1000000 // total AS share_ppm
+         |FROM bucketed CROSS JOIN tot ORDER BY bucket""".stripMargin,
+    "q_casing_profile" ->
+      """WITH d AS (
+        |  SELECT source, CAST(length(text) AS BIGINT) AS chars,
+        |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT)
+        |      AS u,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+        |      AS dg,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        |      AS BIGINT) AS p,
+        |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT)
+        |      AS sp
+        |  FROM documents)
+        |SELECT source, CAST(sum(chars) AS BIGINT) AS chars,
+        |  CAST(sum(u) AS BIGINT) * 1000000 // CAST(sum(chars) AS BIGINT)
+        |    AS upper_ppm,
+        |  CAST(sum(dg) AS BIGINT) * 1000000 // CAST(sum(chars) AS BIGINT)
+        |    AS digit_ppm,
+        |  CAST(sum(p) AS BIGINT) * 1000000 // CAST(sum(chars) AS BIGINT)
+        |    AS punct_ppm,
+        |  CAST(sum(sp) AS BIGINT) * 1000000 // CAST(sum(chars) AS BIGINT)
+        |    AS space_ppm
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q_cross_source_dups" ->
+      """WITH d AS (
+        |  SELECT DISTINCT md5(text) AS fp, source FROM documents),
+        |pairs AS (
+        |  SELECT a.source AS source1, b.source AS source2,
+        |    CAST(count(*) AS BIGINT) AS shared_digests
+        |  FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |top AS (SELECT * FROM pairs
+        |  ORDER BY shared_digests DESC, source1, source2 LIMIT 20)
+        |SELECT source1, source2, shared_digests FROM top
+        |ORDER BY source1, source2""".stripMargin,
+    "q_length_anova" ->
+      """WITH g AS (
+        |  SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sv,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+        |  FROM documents GROUP BY 1),
+        |m AS (
+        |  SELECT max(CASE WHEN grp = 'de' THEN n END) AS n1,
+        |    max(CASE WHEN grp = 'de' THEN sv END) AS s1,
+        |    max(CASE WHEN grp = 'de' THEN ss END) AS ss1,
+        |    max(CASE WHEN grp = 'en' THEN n END) AS n2,
+        |    max(CASE WHEN grp = 'en' THEN sv END) AS s2,
+        |    max(CASE WHEN grp = 'en' THEN ss END) AS ss2,
+        |    max(CASE WHEN grp = 'es' THEN n END) AS n3,
+        |    max(CASE WHEN grp = 'es' THEN sv END) AS s3,
+        |    max(CASE WHEN grp = 'es' THEN ss END) AS ss3,
+        |    max(CASE WHEN grp = 'fr' THEN n END) AS n4,
+        |    max(CASE WHEN grp = 'fr' THEN sv END) AS s4,
+        |    max(CASE WHEN grp = 'fr' THEN ss END) AS ss4,
+        |    max(CASE WHEN grp = 'zh' THEN n END) AS n5,
+        |    max(CASE WHEN grp = 'zh' THEN sv END) AS s5,
+        |    max(CASE WHEN grp = 'zh' THEN ss END) AS ss5
+        |  FROM g),
+        |e AS (
+        |  SELECT n1 + n2 + n3 + n4 + n5 AS n_total,
+        |    CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE) + CAST(s3 AS DOUBLE)
+        |      + CAST(s4 AS DOUBLE) + CAST(s5 AS DOUBLE) AS st,
+        |    CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+        |      + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+        |      + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE)
+        |      + CAST(s5 AS DOUBLE) * CAST(s5 AS DOUBLE) / CAST(n5 AS DOUBLE)
+        |      AS bg,
+        |    CAST(ss1 AS DOUBLE) + CAST(ss2 AS DOUBLE) + CAST(ss3 AS DOUBLE)
+        |      + CAST(ss4 AS DOUBLE) + CAST(ss5 AS DOUBLE) AS sstot
+        |  FROM m)
+        |SELECT n_total,
+        |  bg - st * st / CAST(n_total AS DOUBLE) AS ssb,
+        |  sstot - bg AS ssw,
+        |  ((bg - st * st / CAST(n_total AS DOUBLE)) / 4.0)
+        |    / ((sstot - bg) / (CAST(n_total AS DOUBLE) - 5.0)) AS f_stat
+        |FROM e""".stripMargin,
+    "q_token_length_dist" ->
+      """WITH toks AS (
+        |  SELECT least(CAST(length(w) AS BIGINT), 15) AS len FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) > 0),
+        |g AS (SELECT len, CAST(count(*) AS BIGINT) AS n
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        |SELECT len, n, n * 1000000 // total AS share_ppm
+        |FROM g CROSS JOIN tot ORDER BY len""".stripMargin,
+    "q_ivf_balance" ->
+      s"""WITH adots AS (
+         |  SELECT e.vec_id, c.cid, ${duckDot("e.embedding", "c.cv")} AS d
+         |  FROM embeddings e CROSS JOIN
+         |    (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |     WHERE vec_id < 8) c),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid)
+         |        AS rn
+         |    FROM adots) x WHERE rn = 1),
+         |sizes AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+         |  FROM assign GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+         |  CAST(max(n_vecs) AS BIGINT) AS mx FROM sizes)
+         |SELECT cid, n_vecs,
+         |  n_vecs * 1000000 // total AS share_ppm,
+         |  mx * 8 * 1000 // total AS imbalance_milli
+         |FROM sizes CROSS JOIN tot ORDER BY cid""".stripMargin,
+    "q_length_psi" ->
+      """WITH d AS (
+        |  SELECT source, least(n_chars // 125, 7) AS bracket
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |cells AS (
+        |  SELECT bracket,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+        |  CAST(sum(b) AS BIGINT) AS nb FROM cells),
+        |terms AS (
+        |  SELECT bracket, a, b,
+        |    CAST(floor((CAST(a AS DOUBLE) / CAST(na AS DOUBLE)
+        |        - CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      * ln((CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
+        |        / (CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)))
+        |      * 1000000 + 0.5) AS BIGINT) AS term_unat
+        |  FROM cells CROSS JOIN tot WHERE a > 0 AND b > 0),
+        |psi AS (SELECT CAST(sum(term_unat) AS BIGINT) AS psi_unat
+        |  FROM terms)
+        |SELECT CAST(bracket AS BIGINT) AS bracket, a, b, term_unat,
+        |  psi_unat
+        |FROM terms CROSS JOIN psi ORDER BY bracket""".stripMargin,
+    "q_intrinsic_dim" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS anchor, b.vec_id AS nbr,
+        |    list_sum(list_transform(generate_series(1,64), i ->
+        |      CAST(floor((CAST(a.embedding[i] AS DOUBLE)
+        |          - CAST(b.embedding[i] AS DOUBLE)) *
+        |        (CAST(a.embedding[i] AS DOUBLE)
+        |          - CAST(b.embedding[i] AS DOUBLE)) *
+        |        1000000000 + 0.5) AS BIGINT))) AS d2
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |top2 AS (
+        |  SELECT anchor, d2,
+        |    row_number() OVER (PARTITION BY anchor ORDER BY d2, nbr) AS rn
+        |  FROM pairs),
+        |ratios AS (
+        |  SELECT CAST(floor(ln(CAST(d2b AS DOUBLE) / CAST(d1 AS DOUBLE))
+        |      * 500000.0 + 0.5) AS BIGINT) AS lr_unat
+        |  FROM (
+        |    SELECT anchor,
+        |      CAST(min(CASE WHEN rn = 1 THEN d2 END) AS BIGINT) AS d1,
+        |      CAST(min(CASE WHEN rn = 2 THEN d2 END) AS BIGINT) AS d2b
+        |    FROM top2 WHERE rn <= 2 GROUP BY anchor) t
+        |  WHERE d1 > 0 AND d2b > d1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+        |  CAST(sum(lr_unat) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |    AS mean_lnr_unat,
+        |  693147 * CAST(count(*) AS BIGINT) // CAST(sum(lr_unat) AS BIGINT)
+        |    AS intrinsic_dim_approx
+        |FROM ratios""".stripMargin,
+    "q_yule_k" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (
+        |  SELECT source, w, count(*) AS m FROM tok WHERE length(w) > 0
+        |  GROUP BY source, w),
+        |agg AS (
+        |  SELECT source, CAST(sum(m) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(m * m) AS BIGINT) AS s2
+        |  FROM tf GROUP BY source)
+        |SELECT source, n_tokens, n_types,
+        |  CAST(floor(10000.0 * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE)) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS yule_k_milli
+        |FROM agg
+        |ORDER BY source""".stripMargin,
+    "q_jl_distortion" ->
+      """WITH xq AS (
+        |  SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)),
+        |signs AS (
+        |  SELECT j, i,
+        |    CAST('0x' || substr(md5('jl|' || CAST(j AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2 * 2 - 1 AS sgn
+        |  FROM generate_series(0, 15) AS tj(j)
+        |  CROSS JOIN generate_series(1, 64) AS ti(i)),
+        |y AS (
+        |  SELECT vec_id, j, CAST(sum(sgn * xq) AS BIGINT) AS y
+        |  FROM xq JOIN signs USING (i) GROUP BY vec_id, j),
+        |dy2 AS (
+        |  SELECT a.vec_id AS pid,
+        |    CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS dy2
+        |  FROM y a JOIN y b ON a.vec_id + 1 = b.vec_id AND a.j = b.j
+        |  GROUP BY 1),
+        |dx2 AS (
+        |  SELECT a.vec_id AS pid,
+        |    CAST(sum((a.xq - b.xq) * (a.xq - b.xq)) AS BIGINT) AS dx2
+        |  FROM xq a JOIN xq b ON a.vec_id + 1 = b.vec_id AND a.i = b.i
+        |  GROUP BY 1),
+        |ratios AS (
+        |  SELECT CAST(floor(CAST(dy2 AS DOUBLE) / 16.0 / CAST(dx2 AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS r_milli
+        |  FROM dy2 JOIN dx2 USING (pid) WHERE dx2 > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(r_milli) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_ratio_milli,
+        |  CAST(min(r_milli) AS BIGINT) AS min_ratio_milli,
+        |  CAST(max(r_milli) AS BIGINT) AS max_ratio_milli,
+        |  CAST(sum(CASE WHEN r_milli BETWEEN 700 AND 1300 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS within_30pct_ppm
+        |FROM ratios""".stripMargin,
+    "q_hubness" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS anchor, b.vec_id AS nbr,
+        |    list_sum(list_transform(generate_series(1,64), i ->
+        |      CAST(floor((CAST(a.embedding[i] AS DOUBLE)
+        |          - CAST(b.embedding[i] AS DOUBLE)) *
+        |        (CAST(a.embedding[i] AS DOUBLE)
+        |          - CAST(b.embedding[i] AS DOUBLE)) *
+        |        1000000000 + 0.5) AS BIGINT))) AS d2
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |top3 AS (
+        |  SELECT nbr FROM (
+        |    SELECT nbr, row_number() OVER (PARTITION BY anchor ORDER BY d2, nbr) AS rn
+        |    FROM pairs) q WHERE rn <= 3),
+        |indeg AS (SELECT nbr, CAST(count(*) AS BIGINT) AS indeg FROM top3 GROUP BY nbr),
+        |full_set AS (
+        |  SELECT e.vec_id, coalesce(i.indeg, 0) AS indeg
+        |  FROM embeddings e LEFT JOIN indeg i ON e.vec_id = i.nbr),
+        |mx AS (SELECT CAST(max(indeg) AS BIGINT) AS max_indeg FROM full_set)
+        |SELECT CAST(least(indeg, 6) AS BIGINT) AS indeg_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_vectors, max_indeg
+        |FROM full_set CROSS JOIN mx
+        |GROUP BY 1, max_indeg
+        |ORDER BY indeg_bucket""".stripMargin,
+    "q_renyi_spectrum" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (
+        |  SELECT source, w, count(*) AS m FROM tok WHERE length(w) > 0
+        |  GROUP BY source, w),
+        |agg AS (
+        |  SELECT source, CAST(sum(m) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(m * m) AS BIGINT) AS s2, CAST(max(m) AS BIGINT) AS mmax,
+        |    CAST(sum(CAST(floor(CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS mlnm_micro
+        |  FROM tf GROUP BY source)
+        |SELECT source, n AS n_tokens, v AS n_types,
+        |  CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS h0_micro,
+        |  CAST(floor((ln(CAST(n AS DOUBLE)) - (mlnm_micro / 1000000.0) / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS h1_micro,
+        |  CAST(floor((2.0 * ln(CAST(n AS DOUBLE)) - ln(CAST(s2 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS h2_micro,
+        |  CAST(floor((ln(CAST(n AS DOUBLE)) - ln(CAST(mmax AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS hinf_micro
+        |FROM agg ORDER BY source""".stripMargin,
+    "q_dbi" ->
+      """WITH xq AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |cent AS (
+        |  SELECT label, i,
+        |    CAST(floor(CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS c
+        |  FROM xq GROUP BY label, i),
+        |s2v AS (
+        |  SELECT x.label, x.vec_id,
+        |    CAST(sum((x.xq - c.c) * (x.xq - c.c)) AS BIGINT) AS s2
+        |  FROM xq x JOIN cent c ON x.label = c.label AND x.i = c.i
+        |  GROUP BY x.label, x.vec_id),
+        |scat AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    sqrt(CAST(sum(s2) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS s_rms
+        |  FROM s2v GROUP BY label),
+        |cd AS (
+        |  SELECT a.label AS li, b.label AS lj,
+        |    CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2
+        |  FROM cent a JOIN cent b ON a.i = b.i AND a.label <> b.label
+        |  GROUP BY 1, 2),
+        |rij AS (
+        |  SELECT li, (si.s_rms + sj.s_rms) / sqrt(CAST(d2 AS DOUBLE)) AS r
+        |  FROM cd JOIN scat si ON cd.li = si.label
+        |  JOIN scat sj ON cd.lj = sj.label),
+        |perlabel AS (
+        |  SELECT li AS label, CAST(floor(max(r) * 1000 + 0.5) AS BIGINT) AS rmax_milli
+        |  FROM rij GROUP BY 1),
+        |dbi AS (
+        |  SELECT CAST(sum(rmax_milli) AS BIGINT) // CAST(count(*) AS BIGINT) AS dbi_milli
+        |  FROM perlabel)
+        |SELECT s.label, s.n_vecs, CAST(floor(s.s_rms + 0.5) AS BIGINT) AS s_rms_micro,
+        |  p.rmax_milli, d.dbi_milli
+        |FROM scat s JOIN perlabel p ON s.label = p.label CROSS JOIN dbi d
+        |ORDER BY s.label""".stripMargin,
+    "q_dim_corr" ->
+      """WITH xq AS (
+        |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |mom AS (
+        |  SELECT i, CAST(count(*) AS BIGINT) AS n, CAST(sum(xq) AS BIGINT) AS s,
+        |    CAST(sum(xq * xq) AS BIGINT) AS ss
+        |  FROM xq GROUP BY i),
+        |crossp AS (
+        |  SELECT a.i AS i, b.i AS j, CAST(sum(a.xq * b.xq) AS BIGINT) AS sxy
+        |  FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND a.i < b.i
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c.i, c.j,
+        |    CAST(floor((CAST(mi.n AS DOUBLE) * CAST(c.sxy AS DOUBLE) - CAST(mi.s AS DOUBLE) * CAST(mj.s AS DOUBLE)) / sqrt((CAST(mi.n AS DOUBLE) * CAST(mi.ss AS DOUBLE) - CAST(mi.s AS DOUBLE) * CAST(mi.s AS DOUBLE)) * (CAST(mi.n AS DOUBLE) * CAST(mj.ss AS DOUBLE) - CAST(mj.s AS DOUBLE) * CAST(mj.s AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS r_ppm
+        |  FROM crossp c JOIN mom mi ON c.i = mi.i JOIN mom mj ON c.j = mj.i)
+        |SELECT i, j, r_ppm FROM r
+        |ORDER BY abs(r_ppm) DESC, i, j LIMIT 10""".stripMargin,
+    "q_cluster_purity" ->
+      s"""WITH cents AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |dots AS (
+         |  SELECT e.vec_id, c.cid, ${duckDot("e.embedding", "c.cv")} AS d
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |    FROM dots) x WHERE rn = 1),
+         |cont AS (
+         |  SELECT a.cid, CAST(e.label AS BIGINT) AS label, count(*) AS n
+         |  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+         |  GROUP BY 1, 2),
+         |byc AS (
+         |  SELECT cid, CAST(sum(n) AS BIGINT) AS nc, CAST(max(n) AS BIGINT) AS maxn
+         |  FROM cont GROUP BY cid),
+         |byl AS (SELECT label, CAST(sum(n) AS BIGINT) AS nl FROM cont GROUP BY label),
+         |tot AS (
+         |  SELECT CAST(sum(nc) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS n_buckets,
+         |    CAST(sum(maxn) AS BIGINT) AS smax
+         |  FROM byc),
+         |mi AS (
+         |  SELECT CAST(sum(CAST(floor(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) * ln(CAST(n AS DOUBLE) * CAST(nn AS DOUBLE) / (CAST(nc AS DOUBLE) * CAST(nl AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS mi_micro
+         |  FROM cont JOIN byc USING (cid) JOIN byl USING (label) CROSS JOIN tot),
+         |hc AS (
+         |  SELECT CAST(sum(CAST(floor(-(CAST(nc AS DOUBLE) / CAST(nn AS DOUBLE)) * ln(CAST(nc AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS hc_micro
+         |  FROM byc CROSS JOIN tot),
+         |hl AS (
+         |  SELECT CAST(sum(CAST(floor(-(CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE)) * ln(CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS hl_micro
+         |  FROM byl CROSS JOIN tot)
+         |SELECT nn AS n_vecs, n_buckets, smax * 1000000 // nn AS purity_ppm,
+         |  mi_micro, hc_micro, hl_micro,
+         |  CAST(floor(CAST(mi_micro AS DOUBLE) / sqrt(CAST(hc_micro AS DOUBLE) * CAST(hl_micro AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS nmi_milli
+         |FROM tot CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl""".stripMargin,
+    "q_ivf_probe_recall" ->
+      s"""WITH cents AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |qs AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qid, CAST(e.vec_id AS BIGINT) AS vec_id,
+         |    CAST(floor((${duckDot("q.qv", "e.embedding")} / 1000000000.0) / (sqrt(${duckDot("q.qv", "q.qv")} / 1000000000.0) * sqrt(${duckDot("e.embedding", "e.embedding")} / 1000000000.0)) * 1000000000 + 0.5) AS BIGINT) AS cosk
+         |  FROM qs q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+         |gt AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cosk DESC, vec_id) AS rn
+         |    FROM scored) x WHERE rn <= 10),
+         |dots AS (
+         |  SELECT CAST(e.vec_id AS BIGINT) AS vec_id, c.cid,
+         |    ${duckDot("e.embedding", "c.cv")} AS d
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |    FROM dots) x WHERE rn = 1),
+         |qcd AS (
+         |  SELECT q.qid, c.cid, ${duckDot("q.qv", "c.cv")} AS dc
+         |  FROM qs q CROSS JOIN cents c),
+         |qc AS (
+         |  SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dc DESC, cid) AS crank
+         |  FROM qcd),
+         |probes AS (SELECT CAST(p AS BIGINT) AS p FROM (VALUES (1), (2), (4)) t(p)),
+         |cand AS (
+         |  SELECT pr.p, qc.qid, a.vec_id
+         |  FROM qc CROSS JOIN probes pr
+         |  JOIN assign a ON a.cid = qc.cid
+         |  WHERE qc.crank <= pr.p AND a.vec_id <> qc.qid),
+         |ivftop AS (
+         |  SELECT p, qid, vec_id FROM (
+         |    SELECT c.p, c.qid, c.vec_id,
+         |      row_number() OVER (PARTITION BY c.p, c.qid
+         |        ORDER BY s.cosk DESC, c.vec_id) AS rn
+         |    FROM cand c JOIN scored s ON c.qid = s.qid AND c.vec_id = s.vec_id) x
+         |  WHERE rn <= 10),
+         |hits AS (
+         |  SELECT i.p, i.qid, count(*) AS hit
+         |  FROM ivftop i JOIN gt g ON i.qid = g.qid AND i.vec_id = g.vec_id
+         |  GROUP BY 1, 2),
+         |perq AS (
+         |  SELECT pr.p, q.qid, coalesce(h.hit, 0) AS hit
+         |  FROM qs q CROSS JOIN probes pr
+         |  LEFT JOIN hits h ON h.p = pr.p AND h.qid = q.qid)
+         |SELECT p, CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) * 1000000 // (CAST(count(*) AS BIGINT) * 10) AS recall_ppm
+         |FROM perq GROUP BY p ORDER BY p""".stripMargin,
+    "q_median_polish" ->
+      """WITH grid AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) % 7 AS dow,
+        |    CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) // 100000 AS v
+        |  FROM orders GROUP BY 1, 2),
+        |rowmed AS (
+        |  SELECT dow, v AS row_eff FROM (
+        |    SELECT dow, v,
+        |      row_number() OVER (PARTITION BY dow ORDER BY v, m) AS rn,
+        |      count(*) OVER (PARTITION BY dow) AS nr
+        |    FROM grid) x WHERE rn = (nr + 1) // 2),
+        |r1 AS (
+        |  SELECT g.dow, g.m, g.v, rm.row_eff, g.v - rm.row_eff AS res1
+        |  FROM grid g JOIN rowmed rm ON g.dow = rm.dow),
+        |colmed AS (
+        |  SELECT m, res1 AS col_eff FROM (
+        |    SELECT m, res1,
+        |      row_number() OVER (PARTITION BY m ORDER BY res1, dow) AS rn,
+        |      count(*) OVER (PARTITION BY m) AS nc
+        |    FROM r1) x WHERE rn = (nc + 1) // 2)
+        |SELECT r1.dow, r1.m, r1.v, r1.row_eff, cm.col_eff,
+        |  r1.res1 - cm.col_eff AS residual
+        |FROM r1 JOIN colmed cm ON r1.m = cm.m
+        |ORDER BY abs(r1.res1 - cm.col_eff) DESC, r1.dow, r1.m LIMIT 10""".stripMargin,
+    "q_decision_curve" ->
+      """WITH scored AS (
+        |  SELECT n_chars >= 200 AS label,
+        |    40 * CAST(len(string_split(text, ' ')) AS BIGINT) +
+        |    (-10) * CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) +
+        |    (-2) * abs(n_chars - 500) + (-1500) AS logit_milli
+        |  FROM documents),
+        |binned AS (
+        |  SELECT greatest(least(logit_milli // 2000, 10), -10) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM scored GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |  CAST(sum(pos) AS BIGINT) AS npos FROM binned),
+        |cum AS (
+        |  SELECT bin,
+        |    CAST(sum(n) OVER w AS BIGINT) AS pred_pos,
+        |    CAST(sum(pos) OVER w AS BIGINT) AS tp
+        |  FROM binned
+        |  WINDOW w AS (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |nb AS (
+        |  SELECT bin, tp, pred_pos, nn, npos,
+        |    1.0 / (1.0 + exp(-CAST(bin AS DOUBLE) * 2.0)) AS t
+        |  FROM cum CROSS JOIN tot)
+        |SELECT bin AS threshold_bin, tp, pred_pos - tp AS fp,
+        |  CAST(floor((CAST(tp AS DOUBLE) / CAST(nn AS DOUBLE) - CAST(pred_pos - tp AS DOUBLE) / CAST(nn AS DOUBLE) * (t / (1.0 - t))) * 1000000 + 0.5) AS BIGINT) AS nb_model_micro,
+        |  CAST(floor((CAST(npos AS DOUBLE) / CAST(nn AS DOUBLE) - CAST(nn - npos AS DOUBLE) / CAST(nn AS DOUBLE) * (t / (1.0 - t))) * 1000000 + 0.5) AS BIGINT) AS nb_all_micro
+        |FROM nb ORDER BY threshold_bin""".stripMargin,
+    "q_chao1" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (
+        |  SELECT source, w, count(*) AS m FROM tok WHERE length(w) > 0
+        |  GROUP BY source, w),
+        |agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS v_obs,
+        |    CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM tf GROUP BY source)
+        |SELECT source, v_obs, f1, f2,
+        |  CAST(floor(CAST(v_obs AS DOUBLE) + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE) / (2.0 * CAST(f2 AS DOUBLE)) + 0.5) AS BIGINT) AS chao1_est,
+        |  CAST(floor(CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE) / (2.0 * CAST(f2 AS DOUBLE)) / (CAST(v_obs AS DOUBLE) + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE) / (2.0 * CAST(f2 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS unseen_share_ppm
+        |FROM agg WHERE f2 > 0
+        |ORDER BY source""".stripMargin,
+    "q_vocab_overlap" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT source, w FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) > 0),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM sv GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS both
+        |  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.s1, i.s2, i.both,
+        |  i.both * 1000000 // least(z1.v, z2.v) AS overlap_ppm,
+        |  i.both * 1000000 // (z1.v + z2.v - i.both) AS jaccard_ppm
+    |FROM inter i
+        |JOIN sizes z1 ON i.s1 = z1.source
+        |JOIN sizes z2 ON i.s2 = z2.source
+        |ORDER BY overlap_ppm DESC, i.s1, i.s2 LIMIT 10""".stripMargin,
+    "q_horvitz_thompson" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 90
+        |         WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9') THEN 15
+        |         ELSE 40 END AS rate,
+        |    CAST('0x' || substr(md5('ht|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS g
+        |  FROM documents),
+        |truth AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(n_chars) AS BIGINT) AS true_total
+        |  FROM base),
+        |sampled AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+        |    CAST(sum(n_chars * 100000 // rate) AS BIGINT) AS ht_milli
+        |  FROM base WHERE g < rate)
+        |SELECT n_sampled, n_total, ht_milli, true_total,
+        |  abs(ht_milli // 1000 - true_total) * 1000000 // true_total AS err_ppm
+        |FROM sampled CROSS JOIN truth""".stripMargin,
+    "q_embed_two_sample" -> {
+      def l2fp(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1,64), i -> " +
+          s"CAST(floor((CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)))"
+      def dmic(a: String, b: String) =
+        s"CAST(floor(sqrt(CAST(${l2fp(a, b)} AS DOUBLE) / 1e9) * 1e6 + 0.5) AS BIGINT)"
+      s"""WITH armx AS (
+         |  SELECT vec_id AS k, embedding AS e FROM embeddings WHERE label = 0
+         |  ORDER BY CAST('0x' || substr(md5('e2sa|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id
+         |  LIMIT 200),
+         |army AS (
+         |  SELECT vec_id AS k, embedding AS e FROM embeddings WHERE label = 1
+         |  ORDER BY CAST('0x' || substr(md5('e2sb|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id
+         |  LIMIT 200),
+         |sxy AS (
+         |  SELECT CAST(floor(CAST(sum(${dmic("x.e", "y.e")}) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS exy_micro,
+         |    CAST(count(*) AS BIGINT) AS nxy
+         |  FROM armx x CROSS JOIN army y),
+         |sxx AS (
+         |  SELECT CAST(floor(CAST(sum(${dmic("a.e", "b.e")}) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS exx_micro
+         |  FROM armx a JOIN armx b ON a.k < b.k),
+         |syy AS (
+         |  SELECT CAST(floor(CAST(sum(${dmic("a.e", "b.e")}) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS eyy_micro
+         |  FROM army a JOIN army b ON a.k < b.k)
+         |SELECT nxy, exy_micro, exx_micro, eyy_micro,
+         |  2 * exy_micro - exx_micro - eyy_micro AS energy_micro
+         |FROM sxy CROSS JOIN sxx CROSS JOIN syy""".stripMargin
+    },
+    "q_ess_weights" ->
+      """WITH sampled AS (
+        |  SELECT 100000 // (CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 90
+        |    WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9') THEN 15
+        |    ELSE 40 END) AS w
+        |  FROM documents
+        |  WHERE CAST('0x' || substr(md5('ht|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+        |    < CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 90
+        |        WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9') THEN 15
+        |        ELSE 40 END),
+        |acc AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sampled, CAST(sum(w) AS BIGINT) AS sw,
+        |    CAST(sum(w * w) AS BIGINT) AS sww
+        |  FROM sampled)
+        |SELECT n_sampled, sw AS sum_w_milli,
+        |  CAST(floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS ess_milli,
+        |  CAST(floor(CAST(n_sampled AS DOUBLE) / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS design_effect_milli
+        |FROM acc""".stripMargin,
+    "q_mcc" ->
+      """WITH scored AS (
+        |  SELECT n_chars >= 200 AS label,
+        |    (40 * CAST(len(string_split(text, ' ')) AS BIGINT) +
+        |     (-10) * CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) +
+        |     (-2) * abs(n_chars - 500) + (-1500)) >= 0 AS pred
+        |  FROM documents),
+        |cells AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM scored)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(floor((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE) - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE)) / (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE)) * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE))) * 1000 + 0.5) AS BIGINT) AS mcc_milli,
+        |  (tp + tn) * 1000000 // (tp + fp + fn + tn) AS accuracy_ppm
+        |FROM cells""".stripMargin,
+    "q_bpe_encode" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wf AS (SELECT * FROM w WHERE w <> ''),
+        |e AS (
+        |  SELECT source, CAST(length(w) AS BIGINT) AS chars,
+        |    CAST(len(string_split(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        trim(regexp_replace(w, '(.)', '\1 ', 'g')),
+        |        't h', 'th', 'g'), 'th e', 'the', 'g'), 'i n', 'in', 'g'),
+        |        'o w', 'ow', 'g'), 'a t', 'at', 'g'), 'e r', 'er', 'g'),
+        |        's t', 'st', 'g'), 'a r', 'ar', 'g'),
+        |      ' ')) AS BIGINT) AS toks
+        |  FROM wf)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(chars) AS BIGINT) * 1000000 // CAST(sum(toks) AS BIGINT)
+        |    AS chars_per_token_ppm,
+        |  (CAST(sum(chars) AS BIGINT) - CAST(sum(toks) AS BIGINT)) * 1000000
+        |    // CAST(sum(chars) AS BIGINT) AS merge_savings_ppm
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
+    "q_mojibake" ->
+      """WITH n AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |    translate(lower(n_name), 'aeou', 'áéöü') AS accented
+        |  FROM nation),
+        |c AS (
+        |  SELECT n_nationkey, accented,
+        |    replace(replace(replace(replace(accented,
+        |      'á', 'Ã¡'), 'é', 'Ã©'), 'ö', 'Ã¶'), 'ü', 'Ã¼') AS corrupted
+        |  FROM n)
+        |SELECT n_nationkey, corrupted,
+        |  replace(replace(replace(replace(corrupted,
+        |    'Ã¡', 'á'), 'Ã©', 'é'), 'Ã¶', 'ö'), 'Ã¼', 'ü') AS repaired,
+        |  contains(corrupted, 'Ã') AS had_mojibake,
+        |  replace(replace(replace(replace(corrupted,
+        |    'Ã¡', 'á'), 'Ã©', 'é'), 'Ã¶', 'ö'), 'Ã¼', 'ü') = accented
+        |    AS repaired_ok
+        |FROM c ORDER BY n_nationkey""".stripMargin,
+    "q_shard_manifest" ->
+      """WITH d AS (
+        |  SELECT CAST('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT) AS digest
+        |  FROM documents),
+        |m AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(chars) AS BIGINT) AS n_chars,
+        |    bit_xor(digest) AS checksum
+        |  FROM d GROUP BY shard),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM m)
+        |SELECT shard, n_docs, n_tokens, n_chars, checksum,
+        |  n_docs * 16 * 1000000 // total_docs - 1000000 AS skew_ppm
+        |FROM m CROSS JOIN tot ORDER BY shard""".stripMargin,
+  )
+}

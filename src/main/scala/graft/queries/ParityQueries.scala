@@ -1,0 +1,628 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.avro.functions.{from_avro_ocf, to_avro_ocf}
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.model.Schemas
+import graft.ops.{Analytics, Router}
+
+/** Reference-parity queries: the Kafka/Avro order processor surface (routing, retry, DLQ, Avro OCF codec, producer/consumer sources and sinks) — SURVEY.md §2.1–2.4.
+  *
+  * Split from the SparkEntry monolith; every member is `private[graft]`
+  * and the driver surface stays `SparkEntry.queries` / `oracleSql`
+  * (assembled from the per-domain map fragments below).
+  */
+private[graft] trait ParityQueries { this: SparkEntry.type =>
+
+  private[graft] def qRoute(s: SparkSession, dir: String): DataFrame =
+    routed(s, dir)
+      .select(col("order_key"), col("product"), col("price"), col("status"))
+      .orderBy(col("order_key"))
+
+  private[graft] def qRouteCounts(s: SparkSession, dir: String): DataFrame =
+    Router.statusCounts(routed(s, dir)).orderBy(col("status"))
+
+  private[graft] def qAggSuccess(s: SparkSession, dir: String): DataFrame =
+    routed(s, dir).filter(col("status") === Router.Success)
+      .select(Analytics.cents(col("price")).as("cents"))
+      .agg(count(lit(1)).as("order_count"), sum(col("cents")).as("c"))
+      .select(
+        col("order_count"),
+        (col("c") / 100.0).as("total_price"),
+        ((col("c") / 100.0) / col("order_count")).as("average_price"))
+
+  private[graft] def qRunningAvg(s: SparkSession, dir: String): DataFrame =
+    Router.runningStats(
+        routed(s, dir).filter(col("status") === Router.Success), col("order_key"))
+      .select(col("order_key"), col("price"), col("order_count"),
+        col("total_price"), col("running_average"))
+      .orderBy(col("order_key"))
+
+  /** The flagship running aggregate through the 100 TB formulation:
+    * ScalablePrefix.runningSum (two-pass range-partitioned prefix sum —
+    * O(n) work, only numPartitions tuples to the driver) instead of the
+    * single-task global window. Same semantics as q_running_avg, gated
+    * by the same oracle window SQL, so CORRECTNESS now certifies the
+    * scale path itself, not just an equivalence test. */
+  private[graft] def qRunningAvgScalable(s: SparkSession, dir: String): DataFrame = {
+    val base = routed(s, dir).filter(col("status") === Router.Success)
+      .select(col("order_key"), Analytics.cents(col("price")).as("cents"))
+    graft.ops.ScalablePrefix.runningSum(s, base, "order_key", "cents", numPartitions = 32)
+      .select(col("order_key"), col("cents"),
+        col("run_cnt").as("order_count"),
+        (col("run_sum") / 100.0).as("total_price"),
+        ((col("run_sum") / 100.0) / col("run_cnt")).as("running_average"))
+      .orderBy(col("order_key"))
+  }
+
+  private[graft] def qDlqEnrich(s: SparkSession, dir: String): DataFrame =
+    Router.enrichDlq(routed(s, dir), unix_timestamp(col("o_orderdate")))
+      .select(col("order_key"), col("error_reason"), col("original_topic"),
+        col("original_partition"), col("original_offset"), col("dlq_timestamp"))
+      .orderBy(col("order_key"))
+
+  private[graft] def qRetryLedger(s: SparkSession, dir: String): DataFrame =
+    Router.retryLedger(routed(s, dir))
+      .select(col("order_key"), col("price"), col("attempt"),
+        col("backoff_secs"), col("disposition"))
+      .orderBy(col("order_key"), col("attempt"))
+
+  /** The retry LOOP's final disposition ledger as a batch query: where
+    * every order ends up once the re-injection loop drains (success ->
+    * processed on attempt 1; transient -> exhausted after 1 + MaxRetries
+    * attempts with the reference's exhaustion message; permanent ->
+    * straight to the DLQ with its error reason). This is the
+    * oracle-checkable counterpart of the StreamingSpec loop test: the
+    * streaming loop must land every record exactly where this ledger
+    * says (consumer.py:278-314). */
+  private[graft] def qRetryFinal(s: SparkSession, dir: String): DataFrame =
+    routed(s, dir).select(col("order_key"), col("status"),
+      when(col("status") === Router.Success, "processed")
+        .when(col("status") === Router.Transient, "retry_exhausted")
+        .otherwise("dlq_permanent").as("final_disposition"),
+      when(col("status") === Router.Transient, 1 + Router.MaxRetries)
+        .otherwise(1).cast("long").as("attempts"),
+      when(col("status") === Router.Transient,
+        format_string("Processing failed after %d retries", lit(Router.MaxRetries)))
+        .when(col("status") === Router.Permanent,
+          Router.errorReasonCol(col("orderId"), col("product"), col("price")))
+        .otherwise("").as("final_reason"))
+      .orderBy(col("order_key"))
+
+  private[graft] def qValidate(s: SparkSession, dir: String): DataFrame =
+    ordersAsStream(s, dir)
+      .select(col("order_key"), (col("price") - 750.0).as("price_v"))
+      .withColumn("validity",
+        when(col("price_v") < 0, "invalid_negative_price").otherwise("valid"))
+      .orderBy(col("order_key"))
+
+  /** S2∘S5 codec round-trip (the custom Avro OCF kernel): encode each
+    * order as a single-record OCF message, decode it back, project the
+    * fields. Oracle = identity, proving `from_avro_ocf ∘ to_avro_ocf = id`
+    * on real data (float widening made explicit on both sides). */
+  private[graft] def qAvroRoundtrip(s: SparkSession, dir: String): DataFrame =
+    ordersAsStream(s, dir)
+      .select(col("order_key"), struct(
+        col("orderId"), col("product"),
+        col("price").cast("float").as("price")).as("o"))
+      .select(col("order_key"),
+        from_avro_ocf(to_avro_ocf(col("o"), Schemas.orderAvroJson), Schemas.orderAvroJson).as("d"))
+      .select(col("order_key"),
+        col("d.orderId").as("order_id"),
+        col("d.product").as("product"),
+        col("d.price").cast("double").as("price"))
+      .orderBy(col("order_key"))
+
+  /** Raw-datum codec mode (SURVEY §7.3's scale optimization): identical
+    * round-trip identity to q_avro_roundtrip but with NO container
+    * framing — and the oracle PROVES the framing overhead is recovered:
+    * the raw datum of the order record is exactly
+    * 1 + len(orderId) + 1 + len(product) + 4 bytes (1-byte zigzag
+    * varint length prefixes for strings under 64 chars, IEEE float),
+    * which the SQL side computes symbolically and hash-compares against
+    * `octet_length` of the real encoded bytes (vs ~250 B more per
+    * message with the OCF header+sync). */
+  private[graft] def qAvroDatumRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.avro.functions.{from_avro_datum, to_avro_datum}
+    ordersAsStream(s, dir)
+      .select(col("order_key"), struct(
+        col("orderId"), col("product"),
+        col("price").cast("float").as("price")).as("o"))
+      .select(col("order_key"),
+        to_avro_datum(col("o"), Schemas.orderAvroJson).as("b"))
+      .select(col("order_key"),
+        octet_length(col("b")).cast("long").as("datum_len"),
+        from_avro_datum(col("b"), Schemas.orderAvroJson).as("d"))
+      .select(col("order_key"),
+        col("d.orderId").as("order_id"),
+        col("d.product").as("product"),
+        col("d.price").cast("double").as("price"),
+        col("datum_len"))
+      .orderBy(col("order_key"))
+  }
+
+  // ---- analytics surface (SURVEY.md §2.5): joins, windows, rollup,
+  // ---- set ops, distinct aggs, event-time buckets, as-of lookup ----
+
+  /** PERMISSIVE decode-error handling at the query level: every 10th
+    * message is deterministically truncated; from_avro_ocf yields null
+    * for exactly those, and the router sends them to the DLQ branch.
+    * The oracle derives the same partition from the corruption rule. */
+  private[graft] def qDecodeErrors(s: SparkSession, dir: String): DataFrame =
+    ordersAsStream(s, dir)
+      .select(col("order_key"), struct(
+        col("orderId"), col("product"),
+        col("price").cast("float").as("price")).as("o"))
+      .select(col("order_key"), to_avro_ocf(col("o"), Schemas.orderAvroJson).as("value"))
+      .withColumn("value",
+        when(col("order_key") % 10 === 0, expr("substring(value, 1, 10)"))
+          .otherwise(col("value")))
+      .select(col("order_key"),
+        from_avro_ocf(col("value"), Schemas.orderAvroJson).as("d"))
+      .select(
+        when(col("d").isNull, "decode_failure").otherwise("decoded").as("outcome"))
+      .groupBy(col("outcome")).agg(count(lit(1)).as("n"))
+      .orderBy(col("outcome"))
+
+  /** Scan through the REAL DataSourceV2 table (sources/OrdersSource):
+    * the planner prunes the projection down to (product, price) before
+    * the scan, each of 8 input partitions generates its own index
+    * slice executor-side, and the aggregate runs over the source
+    * exactly as it would over any catalog table. The oracle replays
+    * the md5 field derivations symbolically — same ground truth as
+    * q_order_gen, reached through the connector API instead of column
+    * expressions. */
+  private[graft] def qSourceV2(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.OrdersSource")
+      .option("rows", 1500).option("seed", "dsv2").option("numPartitions", 8)
+      .load()
+      .groupBy(col("product"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(Analytics.cents(col("price"))) / 100.0).as("total_spend"))
+      .orderBy(col("product"))
+
+  /** Error-tolerant casts (try_* family): malformed input -> null
+    * instead of failure — the SQL-surface cousin of the codec's
+    * PERMISSIVE decode. */
+  private[graft] def qTryCast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderpriority").try_cast("int").as("pri_as_int"),
+        substring(col("o_orderpriority"), 1, 1).try_cast("int").as("pri_digit_int"),
+        col("o_orderstatus").try_cast("double").as("status_as_double"))
+      .orderBy(col("o_orderkey"))
+
+  /** Error-tolerant ARITHMETIC (try_add / try_multiply / try_divide /
+    * try_element_at): overflow, divide-by-zero, and out-of-bounds
+    * produce NULL instead of an ANSI runtime error — completing the
+    * try_* family next to q_try_cast. The oracle has no try_*
+    * functions, so it encodes each failure predicate explicitly
+    * (CASE WHEN <would overflow> THEN NULL), which doubles as
+    * documentation of exactly when each expression must fail. */
+  private[graft] def qTryArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        // bigint overflow on even keys (Long.MaxValue + key)
+        expr("try_add(CASE WHEN o_orderkey % 2 = 0 THEN 9223372036854775807 " +
+          "ELSE 0 END, o_orderkey)").as("add_or_null"),
+        // 2^62 * key overflows for every key >= 2
+        expr("try_multiply(o_orderkey, 4611686018427387904)").as("mul_or_null"),
+        // integer-ish divide by zero every 25th row
+        expr("try_divide(CAST(floor(o_totalprice) AS BIGINT), o_orderkey % 25)")
+          .as("div_or_null"),
+        // indices 3 and 4 are out of bounds for a 2-element array
+        // (index ZERO is a hard error even under try_element_at — the
+        // 1-based contract itself, not a lookup failure)
+        expr("try_element_at(array('low', 'high'), CAST(o_orderkey % 4 + 1 AS INT))")
+          .as("elem_or_null"))
+      .orderBy(col("o_orderkey"))
+
+  /** S1/EP1 producer parity: deterministic generated orders, routed.
+    * The oracle replays the generator field-for-field. */
+  private[graft] def qOrderGen(s: SparkSession, dir: String): DataFrame = {
+    val gen = graft.sources.OrderGen.orders(s, 1000L, "gen1")
+      .withColumnRenamed("order_id", "orderId")
+    Router.route(gen)
+      .select(col("seq"), col("orderId").as("order_id"), col("product"),
+        col("price"), col("status"))
+      .orderBy(col("seq"))
+  }
+
+  /** ORC sink+source fidelity (the third columnar format next to
+    * parquet and Avro): part out as ORC into the build dir, back in
+    * with the parquet schema, aggregated vs the straight-from-parquet
+    * oracle — lossless types or the hash gate catches it. */
+  private[graft] def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "part")
+    val out = fmtDir(dir, "part_orc")
+    src.write.mode("overwrite").orc(out)
+    s.read.schema(src.schema).orc(out)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(Analytics.cents(col("p_retailprice"))).as("price_cents"),
+        sum(col("p_size")).as("size_sum"),
+        min(col("p_name")).as("first_name"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Producer-sink round trip through the DataSourceV2 WRITE protocol
+    * (sources/TopicDirSink.scala): deterministic orders → Kafka-shaped
+    * envelopes → V2 batch write (per-task log segments + atomic
+    * manifest commit) → manifest-trusting read → Avro decode — gated
+    * against the same generation-replay oracle as q_order_gen. The
+    * float Avro price is recovered to exact cents before comparison
+    * (float→cents is exact for the producer's ≤ $1500 range). */
+  private[graft] def qTopicSink(s: SparkSession, dir: String): DataFrame = {
+    val out = fmtDir(dir, "topic_v2")
+    graft.sources.OrderGen.toEnvelopes(
+        graft.sources.OrderGen.orders(s, 500L, "sink1"))
+      .select(col("key"), col("value"), col("offset"))
+      .write.format("graft.sources.TopicDirSink").mode("append").save(out)
+    graft.sources.TopicDirSink.readSegments(s, out)
+      .select(col("offset").as("seq"),
+        decode(col("key"), "UTF-8").as("order_id"),
+        from_avro_ocf(col("value"), Schemas.orderAvroJson).as("o"))
+      .select(col("seq"), col("order_id"), col("o.product").as("product"),
+        expr("CAST(floor(CAST(o.price AS DOUBLE) * 100 + 0.5) AS BIGINT)")
+          .as("price_cents"))
+      .orderBy(col("seq"))
+  }
+
+  /** Snapshot time travel on the V2 topic sink: two successive commit
+    * jobs (500 then 300 deterministic orders) produce two versioned
+    * manifests; reading snapshot 1, snapshot 2, and the latest pointer
+    * proves historical reads survive later commits — the lakehouse
+    * time-travel contract, gated against the generation-replay oracle
+    * (each version's count and offset/price checksums). */
+  private[graft] def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val out = fmtDir(dir, "topic_tt")
+    // idempotent across reruns in one JVM or many: wipe, then commit twice
+    val root = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val all = java.nio.file.Files.walk(root)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(all.iterator()).asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally all.close()
+    }
+    def publish(n: Long, seed: String): Unit =
+      graft.sources.OrderGen.toEnvelopes(graft.sources.OrderGen.orders(s, n, seed))
+        .select(col("key"), col("value"), col("offset"))
+        .write.format("graft.sources.TopicDirSink").mode("append").save(out)
+    publish(500L, "tt1")
+    publish(300L, "tt2")
+    def stats(version: Option[Int], label: String) =
+      graft.sources.TopicDirSink.readSegments(s, out, version)
+        .select(col("offset"),
+          from_avro_ocf(col("value"), Schemas.orderAvroJson).as("o"))
+        .agg(count(lit(1)).as("n"), sum(col("offset")).as("offset_sum"),
+          sum(expr("CAST(floor(CAST(o.price AS DOUBLE) * 100 + 0.5) AS BIGINT)"))
+            .as("cents_sum"))
+        .select(lit(label).as("snapshot"), col("n"), col("offset_sum"),
+          col("cents_sum"))
+    stats(Some(1), "v1").unionAll(stats(Some(2), "v2"))
+      .unionAll(stats(None, "latest"))
+      .orderBy(col("snapshot"))
+  }
+
+  /** XML codec fidelity (Spark 4 to_xml ∘ from_xml = identity) — the
+    * fourth self-describing interchange format beside JSON, CSV and
+    * Avro OCF: each nation row (plus an injected `<&"` special-char
+    * column to force entity escaping both ways) serializes to an XML
+    * record and parses back through an explicit DDL schema. The
+    * oracle never sees XML — it asserts the round-trip re-produced
+    * the source values, same contract as q_json_roundtrip. */
+  private[graft] def qXmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+      .withColumn("tricky",
+        concat(col("n_name"), lit(" <&\"'> "), col("n_nationkey").cast("string")))
+    val xml = n.select(col("n_nationkey"),
+      to_xml(struct(col("n_name"), col("n_regionkey"), col("tricky"))).as("x"))
+    xml.select(col("n_nationkey").cast("long").as("n_nationkey"),
+        from_xml(col("x"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "n_name STRING, n_regionkey INT, tricky STRING")).as("d"))
+      .select(col("n_nationkey"), col("d.n_name").as("n_name"),
+        col("d.n_regionkey").cast("long").as("n_regionkey"),
+        col("d.tricky").as("tricky"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Consumer-group rebalance ledger — the multi-reader topic
+    * semantics of the reference's group join (consumer.py:116–124)
+    * made auditable: four membership generations (reader c0 alone,
+    * c1 joins, c2 joins, c1 leaves) over an 8-partition orders topic,
+    * each generation's RangeAssignor partition→owner map
+    * (stream/ConsumerGroup.scala — the same assignment the live
+    * memberStream readers filter by, proven disjoint-and-total in
+    * StreamingSpec), per-partition message counts by the md5/h60
+    * default-partitioner analog over the order key, and a `moved`
+    * flag showing eager-rebalance churn (a membership change can move
+    * partitions between SURVIVING members — the cost sticky/cooperative
+    * assignors exist to avoid). The oracle replays the ASSIGNMENT
+    * ALGORITHM itself (sorted members, contiguous blocks, first
+    * P mod N members one extra) over the same generation literals.
+    * Scale shape: the ledger is O(partitions × generations) config
+    * state; the count side is one map-side-combined aggregate keyed by
+    * the 8-value partition id; the join moves the 32-row ledger by
+    * broadcast. */
+  private[graft] def qConsumerRebalance(s: SparkSession, dir: String): DataFrame = {
+    val gens = Seq(Seq("c0"), Seq("c0", "c1"), Seq("c0", "c1", "c2"),
+      Seq("c0", "c2"))
+    val ledger = graft.stream.ConsumerGroup.assignmentLedger(s, 8, gens)
+    val counts = t(s, dir, "orders")
+      .select(graft.stream.ConsumerGroup.partitionOf(
+        col("o_orderkey").cast("string").cast("binary"), 8).as("pid"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("n_messages"))
+    counts.join(broadcast(ledger), "pid")
+      .select(col("generation"), col("pid"), col("owner"),
+        col("n_messages"), col("moved"))
+      .orderBy(col("generation"), col("pid"))
+  }
+
+  private[graft] def parityQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_consumer_rebalance" -> (qConsumerRebalance _),
+    "q_route" -> (qRoute _),
+    "q_route_counts" -> (qRouteCounts _),
+    "q_agg_success" -> (qAggSuccess _),
+    "q_running_avg" -> (qRunningAvg _),
+    "q_running_avg_scalable" -> (qRunningAvgScalable _),
+    "q_dlq_enrich" -> (qDlqEnrich _),
+    "q_retry_ledger" -> (qRetryLedger _),
+    "q_retry_final" -> (qRetryFinal _),
+    "q_validate" -> (qValidate _),
+    "q_avro_roundtrip" -> (qAvroRoundtrip _),
+    "q_avro_datum_roundtrip" -> (qAvroDatumRoundtrip _),
+    "q_decode_errors" -> (qDecodeErrors _),
+    "q_order_gen" -> (qOrderGen _),
+    "q_try_cast" -> (qTryCast _),
+    "q_source_v2" -> (qSourceV2 _),
+    "q_try_arith" -> (qTryArith _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_topic_sink" -> (qTopicSink _),
+    "q_time_travel" -> (qTimeTravel _),
+    "q_xml_roundtrip" -> (qXmlRoundtrip _),
+  )
+
+  private[graft] def parityOracleMap: Map[String, String] = Map(
+    // replays the RangeAssignor formula generically over the generation
+    // literals: sorted members, npp = P div N contiguous each, first
+    // P mod N members one extra; owner index of partition p is
+    // p div (npp+1) inside the extra-block boundary, else
+    // extra + (p - boundary) div npp. DuckDB lists are 1-based.
+    "q_consumer_rebalance" ->
+      """WITH gens(generation, members) AS (VALUES
+        |    (CAST(1 AS BIGINT), ['c0']),
+        |    (CAST(2 AS BIGINT), ['c0', 'c1']),
+        |    (CAST(3 AS BIGINT), ['c0', 'c1', 'c2']),
+        |    (CAST(4 AS BIGINT), ['c0', 'c2'])),
+        |grid AS (
+        |  SELECT generation, list_sort(members) AS ms, CAST(r.range AS BIGINT) AS pid
+        |  FROM gens, range(8) r),
+        |own AS (
+        |  SELECT generation, pid,
+        |    ms[CAST(CASE WHEN pid < (8 // len(ms) + 1) * (8 % len(ms))
+        |         THEN pid // (8 // len(ms) + 1)
+        |         ELSE (8 % len(ms)) + (pid - (8 // len(ms) + 1) * (8 % len(ms))) // (8 // len(ms))
+        |       END AS INT) + 1] AS owner
+        |  FROM grid),
+        |moved AS (
+        |  SELECT generation, pid, owner,
+        |    coalesce(lag(owner) OVER (PARTITION BY pid ORDER BY generation) <> owner,
+        |             FALSE) AS moved
+        |  FROM own),
+        |counts AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS pid,
+        |    CAST(count(*) AS BIGINT) AS n_messages
+        |  FROM orders GROUP BY 1)
+        |SELECT generation, pid, owner, n_messages, moved
+        |FROM moved JOIN counts USING (pid)
+        |ORDER BY generation, pid""".stripMargin,
+    "q_route" ->
+      s"""$routedSql
+         |SELECT order_key, product, price, status FROM routed ORDER BY order_key""".stripMargin,
+    "q_route_counts" ->
+      s"""$routedSql
+         |SELECT status, count(*) AS n FROM routed GROUP BY status ORDER BY status""".stripMargin,
+    "q_agg_success" ->
+      s"""$routedSql, cents AS (
+         |  SELECT CAST(floor(price * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM routed WHERE status = 'success')
+         |SELECT count(*) AS order_count,
+         |       sum(cents) / 100.0 AS total_price,
+         |       (sum(cents) / 100.0) / count(*) AS average_price
+         |FROM cents""".stripMargin,
+    "q_running_avg" ->
+      s"""$routedSql, s AS (
+         |  SELECT order_key, price,
+         |         CAST(floor(price * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM routed WHERE status = 'success')
+         |SELECT order_key, price,
+         |       count(*) OVER w AS order_count,
+         |       sum(cents) OVER w / 100.0 AS total_price,
+         |       (sum(cents) OVER w / 100.0) / (count(*) OVER w) AS running_average
+         |FROM s
+         |WINDOW w AS (ORDER BY order_key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY order_key""".stripMargin,
+    "q_running_avg_scalable" ->
+      s"""$routedSql, s AS (
+         |  SELECT order_key,
+         |         CAST(floor(price * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM routed WHERE status = 'success')
+         |SELECT order_key, cents,
+         |       count(*) OVER w AS order_count,
+         |       sum(cents) OVER w / 100.0 AS total_price,
+         |       (sum(cents) OVER w / 100.0) / (count(*) OVER w) AS running_average
+         |FROM s
+         |WINDOW w AS (ORDER BY order_key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY order_key""".stripMargin,
+    "q_dlq_enrich" ->
+      s"""$routedSql
+         |SELECT order_key,
+         |       CASE WHEN price IS NULL THEN 'Processing error: Missing price field'
+         |            WHEN order_id IS NULL OR length(order_id) = 0
+         |                 OR product IS NULL OR length(product) = 0
+         |              THEN 'Processing error: Invalid order payload'
+         |            WHEN price < 0
+         |              THEN printf('Processing error: Invalid price: %.2f', price)
+         |            ELSE printf('Price exceeds threshold: %.2f > 1000.0', price)
+         |       END AS error_reason,
+         |       'orders' AS original_topic,
+         |       0 AS original_partition,
+         |       order_key AS original_offset,
+         |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS dlq_timestamp
+         |FROM routed WHERE status = 'permanent_failure' ORDER BY order_key""".stripMargin,
+    "q_retry_ledger" ->
+      s"""$routedSql
+         |SELECT order_key, price, attempt, attempt * 0.5 AS backoff_secs,
+         |       CASE WHEN attempt = 3 THEN 'Processing failed after 3 retries'
+         |            ELSE 'retry' END AS disposition
+         |FROM routed CROSS JOIN (SELECT unnest([1, 2, 3]) AS attempt) a
+         |WHERE status = 'transient_failure'
+         |ORDER BY order_key, attempt""".stripMargin,
+    "q_retry_final" ->
+      s"""$routedSql
+         |SELECT order_key, status,
+         |  CASE status WHEN 'success' THEN 'processed'
+         |              WHEN 'transient_failure' THEN 'retry_exhausted'
+         |              ELSE 'dlq_permanent' END AS final_disposition,
+         |  CAST(CASE WHEN status = 'transient_failure' THEN 4 ELSE 1 END AS BIGINT) AS attempts,
+         |  CASE WHEN status = 'transient_failure' THEN 'Processing failed after 3 retries'
+         |       WHEN status = 'permanent_failure' THEN
+         |         CASE WHEN price IS NULL THEN 'Processing error: Missing price field'
+         |              WHEN order_id IS NULL OR length(order_id) = 0
+         |                   OR product IS NULL OR length(product) = 0
+         |                THEN 'Processing error: Invalid order payload'
+         |              WHEN price < 0
+         |                THEN printf('Processing error: Invalid price: %.2f', price)
+         |              ELSE printf('Price exceeds threshold: %.2f > 1000.0', price) END
+         |       ELSE '' END AS final_reason
+         |FROM routed ORDER BY order_key""".stripMargin,
+    "q_validate" ->
+      s"""$routedSql
+         |SELECT order_key, price - 750.0 AS price_v,
+         |       CASE WHEN price - 750.0 < 0 THEN 'invalid_negative_price'
+         |            ELSE 'valid' END AS validity
+         |FROM stream ORDER BY order_key""".stripMargin,
+    "q_avro_roundtrip" ->
+      s"""$routedSql
+         |SELECT order_key, order_id, product,
+         |       CAST(CAST(price AS REAL) AS DOUBLE) AS price
+         |FROM stream ORDER BY order_key""".stripMargin,
+    "q_avro_datum_roundtrip" ->
+      s"""$routedSql
+         |SELECT order_key, order_id, product,
+         |       CAST(CAST(price AS REAL) AS DOUBLE) AS price,
+         |       CAST(length(order_id) + length(product) + 6 AS BIGINT) AS datum_len
+         |FROM stream ORDER BY order_key""".stripMargin,
+    "q_decode_errors" ->
+      """SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'decode_failure'
+        |            ELSE 'decoded' END AS outcome, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY outcome""".stripMargin,
+    "q_order_gen" -> {
+      val words = graft.sources.OrderGen.Words.map(w => s"'$w'").mkString(", ")
+      s"""WITH g AS (
+         |  SELECT range AS seq, md5('gen1|' || CAST(range AS VARCHAR)) AS h
+         |  FROM range(1000)),
+         |o AS (
+         |  SELECT seq,
+         |    substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' ||
+         |      substr(h,17,4) || '-' || substr(h,21,12) AS order_id,
+         |    ([$words])[CAST(CAST('0x' || substr(h,1,4) AS BIGINT) % 16 AS INT) + 1]
+         |      || ' ' ||
+         |      ([$words])[CAST(CAST('0x' || substr(h,5,4) AS BIGINT) % 16 AS INT) + 1] AS product,
+         |    (CAST('0x' || substr(h,9,8) AS BIGINT) % 149501 + 500) / 100.0 AS price
+         |  FROM g)
+         |SELECT seq, order_id, product, price,
+         |  CASE WHEN order_id IS NULL OR length(order_id) = 0
+         |            OR product IS NULL OR length(product) = 0
+         |            OR price IS NULL OR price < 0 THEN 'permanent_failure'
+         |       WHEN price >= 5.0 AND price <= 50.0 THEN 'transient_failure'
+         |       WHEN price > 1000.0 THEN 'permanent_failure'
+         |       ELSE 'success' END AS status
+         |FROM o ORDER BY seq""".stripMargin
+    },
+    "q_try_cast" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(o_orderpriority AS INT) AS pri_as_int,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri_digit_int,
+        |  TRY_CAST(o_orderstatus AS DOUBLE) AS status_as_double
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_source_v2" -> {
+      val words = graft.sources.OrderGen.Words.map(w => s"'$w'").mkString(", ")
+      s"""WITH g AS (
+         |  SELECT md5('dsv2|' || CAST(range AS VARCHAR)) AS h FROM range(1500)),
+         |o AS (
+         |  SELECT
+         |    ([$words])[CAST(CAST('0x' || substr(h,1,4) AS BIGINT) % 16 AS INT) + 1]
+         |      || ' ' ||
+         |      ([$words])[CAST(CAST('0x' || substr(h,5,4) AS BIGINT) % 16 AS INT) + 1] AS product,
+         |    CAST('0x' || substr(h,9,8) AS BIGINT) % 149501 + 500 AS cents
+         |  FROM g)
+         |SELECT product, CAST(count(*) AS BIGINT) AS n_orders,
+         |  sum(cents) / CAST(100.0 AS DOUBLE) AS total_spend
+         |FROM o GROUP BY product ORDER BY product""".stripMargin
+    },
+    "q_try_arith" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey = 0 THEN 9223372036854775807
+        |       WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderkey END
+        |    AS add_or_null,
+        |  CASE WHEN o_orderkey >= 2 THEN NULL
+        |       ELSE o_orderkey * 4611686018427387904 END AS mul_or_null,
+        |  CASE WHEN o_orderkey % 25 = 0 THEN NULL
+        |       ELSE CAST(floor(o_totalprice) AS BIGINT)
+        |            / CAST(o_orderkey % 25 AS DOUBLE) END AS div_or_null,
+        |  CASE WHEN o_orderkey % 4 + 1 IN (1, 2)
+        |       THEN (['low', 'high'])[CAST(o_orderkey % 4 + 1 AS INT)] END
+        |    AS elem_or_null
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(sum(p_size) AS BIGINT) AS size_sum,
+        |  min(p_name) AS first_name
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_topic_sink" -> {
+      val words = graft.sources.OrderGen.Words.map(w => s"'$w'").mkString(", ")
+      s"""WITH g AS (
+         |  SELECT range AS seq, md5('sink1|' || CAST(range AS VARCHAR)) AS h
+         |  FROM range(500))
+         |SELECT seq,
+         |  substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' ||
+         |    substr(h,17,4) || '-' || substr(h,21,12) AS order_id,
+         |  ([$words])[CAST(CAST('0x' || substr(h,1,4) AS BIGINT) % 16 AS INT) + 1]
+         |    || ' ' ||
+         |    ([$words])[CAST(CAST('0x' || substr(h,5,4) AS BIGINT) % 16 AS INT) + 1] AS product,
+         |  CAST(CAST('0x' || substr(h,9,8) AS BIGINT) % 149501 + 500 AS BIGINT) AS price_cents
+         |FROM g ORDER BY seq""".stripMargin
+    },
+    "q_time_travel" ->
+      """WITH v1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(range) AS BIGINT) AS offset_sum,
+        |    CAST(sum(CAST('0x' || substr(md5('tt1|' || CAST(range AS VARCHAR)), 9, 8)
+        |      AS BIGINT) % 149501 + 500) AS BIGINT) AS cents_sum
+        |  FROM range(500)),
+        |v2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(range) AS BIGINT) AS offset_sum,
+        |    CAST(sum(CAST('0x' || substr(md5('tt2|' || CAST(range AS VARCHAR)), 9, 8)
+        |      AS BIGINT) % 149501 + 500) AS BIGINT) AS cents_sum
+        |  FROM range(300))
+        |SELECT 'latest' AS snapshot, n, offset_sum, cents_sum FROM v2
+        |UNION ALL SELECT 'v1', n, offset_sum, cents_sum FROM v1
+        |UNION ALL SELECT 'v2', n, offset_sum, cents_sum FROM v2
+        |ORDER BY snapshot""".stripMargin,
+    "q_xml_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  n_name || ' <&"''> ' || CAST(n_nationkey AS VARCHAR) AS tricky
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // accents injected via code points (chr) so the oracle text is
+    // encoding-unambiguous; nfc_normalize / strip_accents are DuckDB's
+    // own utf8proc implementations vs the JDK-Normalizer kernels,
+  )
+}

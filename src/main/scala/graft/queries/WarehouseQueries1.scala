@@ -1,0 +1,4220 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.avro.functions.{from_avro_ocf, to_avro_ocf}
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.model.Schemas
+import graft.ops.{Analytics, Router}
+
+/** Warehouse/OLAP surface: TPC-H shapes, joins, windows, rollups, set ops, sampling, sketches, CDC, layout-aware scale patterns.
+  *
+  * Split from the SparkEntry monolith; every member is `private[graft]`
+  * and the driver surface stays `SparkEntry.queries` / `oracleSql`
+  * (assembled from the per-domain map fragments below).
+  */
+private[graft] trait WarehouseQueries1 { this: SparkEntry.type =>
+
+  private[graft] def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Analytics.pricingSummary(t(s, dir, "lineitem"))
+
+  private[graft] def qJoinRevenueNation(s: SparkSession, dir: String): DataFrame =
+    Analytics.revenueByNation(t(s, dir, "orders"), t(s, dir, "customer"), t(s, dir, "nation"))
+
+  private[graft] def qSemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  private[graft] def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private[graft] def qTopk(s: SparkSession, dir: String): DataFrame =
+    Analytics.topK(t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      col("o_totalprice"), col("o_orderkey"), 10)
+
+  private[graft] def qWindowRank(s: SparkSession, dir: String): DataFrame =
+    Analytics.topPerGroup(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        col("o_custkey"), col("o_totalprice"), col("o_orderkey"), 3)
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy(col("o_custkey"), col("rn"))
+
+  private[graft] def qWindowLag(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private[graft] def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("n"))
+      .orderBy(col("status"), col("priority"))
+
+  private[graft] def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("n"))
+      .orderBy(col("status"), col("priority"))
+
+  private[graft] def qUnion(s: SparkSession, dir: String): DataFrame =
+    highValue(s, dir).union(fStatus(s, dir)).distinct().orderBy(col("custkey"))
+
+  private[graft] def qIntersect(s: SparkSession, dir: String): DataFrame =
+    highValue(s, dir).intersect(fStatus(s, dir)).orderBy(col("custkey"))
+
+  private[graft] def qExcept(s: SparkSession, dir: String): DataFrame =
+    highValue(s, dir).except(fStatus(s, dir)).orderBy(col("custkey"))
+
+  private[graft] def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  private[graft] def qEventBuckets(s: SparkSession, dir: String): DataFrame =
+    Analytics.tumblingNanos(events(s, dir), "ts", 600)
+      .groupBy(col("bucket_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(Analytics.fp(col("value"), 1000L)) / 1000.0).as("total_value"))
+      .orderBy(col("bucket_start"), col("event_type"))
+
+  private[graft] def qAsofLastPurchase(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("last_purchase_us",
+        Analytics.asOfLast(col("user_id"),
+          Seq(col("ts"), col("event_id")),
+          col("event_type") === "purchase", expr("ts div 1000")))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("last_purchase_us"))
+      .orderBy(col("event_id"))
+
+  /** The NATIVE as-of join (graft.plans.AsofJoinExec — custom logical
+    * node + planner strategy + physical merge operator): each order
+    * looks up the customer's strictly-previous order, i.e. the
+    * inter-purchase gap. The composite time key (day·2^40 + orderkey)
+    * is a unique total order per customer — the 2^40 tie-break slot
+    * holds order keys to ~1.1e12 (TPC-H SF ~180k) with day ≤ ~12k
+    * staying inside int64, so strict "<" as-of equals the oracle's
+    * lag() exactly at any realistic scale. The physical plan is two
+    * clustered exchanges + sorts and ONE O(|L|+|R|) merge pass per
+    * partition with O(1) state — no window funnel, no per-key
+    * buffers. */
+  private[graft] def qAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val slot = 1099511627776L // 2^40
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      epochDay(col("o_orderdate")).as("day"))
+    val left = o.withColumn("tkey", col("day") * slot + col("o_orderkey"))
+    val right = o.select(col("o_custkey").as("r_cust"),
+      (col("day") * slot + col("o_orderkey")).as("r_tkey"),
+      col("o_orderkey").as("prev_orderkey"), col("day").as("prev_day"))
+    graft.plans.Asof.join(left, right,
+        Seq("o_custkey"), Seq("r_cust"), "tkey", "r_tkey",
+        Seq("prev_orderkey", "prev_day"), inclusive = false)
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        col("prev_orderkey"), (col("day") - col("prev_day")).as("gap_days"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Point-in-time-correct feature join — the native as-of operator in
+    * its ML-pipeline role: each purchase event is labeled with the
+    * user's click count STRICTLY before it (the leakage guard a
+    * feature-store join must enforce; inclusive semantics would leak
+    * co-timestamped signals into training rows). The right side is the
+    * per-user running click count (a high-cardinality-key window, no
+    * funnel); the as-of itself is the one-merge-pass AsofJoinExec. The
+    * oracle recomputes each label as a correlated COUNT — a different
+    * algorithm entirely, so the gate checks the semantics, not the
+    * plan. (user, ts) click pairs are unique in this dataset, which
+    * QueriesSpec pins — running-count ties would otherwise make the
+    * as-of pick nondeterministically. */
+  private[graft] def qFeaturesAsof(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withColumn("clicks_so_far", count(lit(1)).over(
+        Window.partitionBy(col("c_user")).orderBy(col("c_ts"))))
+    graft.plans.Asof.join(purchases, clicks, Seq("user_id"), Seq("c_user"),
+        "ts", "c_ts", Seq("clicks_so_far"), inclusive = false)
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("clicks_so_far"), lit(0L)).as("clicks_before"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Last-touch marketing attribution: each purchase is attributed to
+    * the SAME user's most recent strictly-preceding click's channel
+    * (props.k mod 4), then revenue rolls up per channel with -1 for
+    * organic (no prior click). Runs through the native as-of operator
+    * — the second production consumer after q_features_asof, showing
+    * the operator composes — while the oracle re-derives attribution
+    * with an independent correlated-subquery algorithm. */
+  private[graft] def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        Analytics.fp(col("value"), 1000L).as("v_milli"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        (get_json_object(col("props"), "$.k").cast("long") % 4).as("channel"))
+    graft.plans.Asof.join(purchases, clicks, Seq("user_id"), Seq("c_user"),
+        "ts", "c_ts", Seq("channel"), inclusive = false)
+      .groupBy(coalesce(col("channel"), lit(-1L)).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("v_milli")).as("value_milli"))
+      .orderBy(col("channel"))
+  }
+
+  private[graft] def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        (lead(col("o_totalprice"), 1).over(w) - col("o_totalprice")).as("lead_delta"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** Distribution-window functions (percent_rank / cume_dist /
+    * nth_value / first+last over frames) — the second half of the
+    * window surface beyond rank/lag/lead. percent_rank and cume_dist
+    * are ratios of integer ranks (exact in both engines). */
+  private[graft] def qWindowFuncs2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value(col("o_orderkey"), 2).over(wf).as("second_key"),
+        first(col("o_orderkey")).over(wf).as("first_key"),
+        last(col("o_orderkey")).over(wf).as("last_key"))
+      .filter(col("rn") <= 4)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  /** Portable string-function sweep: the transformation half of the
+    * scalar library (case/pad/reverse/split_part/translate/position/
+    * repeat/levenshtein) — all codegen'd built-ins, all with identical
+    * semantics in DuckDB. */
+  private[graft] def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        initcap(lower(col("c_name"))).as("name_title"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        split_part(col("c_name"), lit("#"), lit(1)).as("name_head"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_lowvowel"),
+        instr(col("c_mktsegment"), "I").cast("long").as("i_pos"),
+        repeat(substring(col("c_mktsegment"), 1, 2), 2).as("seg2x"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("seg_dist"))
+      .orderBy(col("c_custkey"))
+
+  /** The reference's scalar-function surface (SURVEY.md §2.5): string
+    * encode/decode/case/length/substr, numeric round/floor/ceil/abs,
+    * epoch timestamps, casts — all built-ins. */
+  private[graft] def qScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        lower(col("o_orderstatus")).as("status_lower"),
+        length(col("o_orderpriority")).cast("long").as("pri_len"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        concat(col("o_orderstatus"), lit("#"), col("o_orderkey").cast("string")).as("tag"),
+        round(col("o_totalprice")).as("price_round"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        ceil(col("o_totalprice")).cast("long").as("price_ceil"),
+        abs(col("o_totalprice") - 250000.0).as("price_dist"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"))
+      .orderBy(col("o_orderkey"))
+
+  private[graft] def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  private[graft] def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus") +:
+        priorities.zipWithIndex.map { case (p, i) =>
+          coalesce(col(s"`$p`"), lit(0L)).as(s"p${i + 1}") }: _*)
+      .orderBy(col("o_orderstatus"))
+
+  private[graft] def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        // missing/malformed keys -> -1, not null: Spark sorts nulls
+        // first and DuckDB last, which would scramble the row-order
+        // oracle compare
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))
+
+  private[graft] def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+      .orderBy(col("o_orderkey"))
+
+  /** Approximate quantiles via deterministic sampling — the scale
+    * pattern for percentile estimation: exact percentile needs a full
+    * per-group sort, so at 100 TB you compute it over a fixed-rate
+    * hash sample (error ~ O(1/sqrt(sample size)), tunable by rate).
+    * Unlike t-digest/QuantileSummaries internals, the deterministic
+    * sample is REPLAYABLE by the oracle, so the approximation itself
+    * is hash-verified, not just bounded. */
+  private[graft] def qQuantileSampled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(
+        conv(substring(md5(concat(lit("qtile|"), col("o_orderkey").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 10 === 0)
+      .select(col("o_orderpriority"), Analytics.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        (expr("percentile(c, 0.5)") / 100.0).as("p50_est"),
+        (expr("percentile(c, 0.95)") / 100.0).as("p95_est"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Statistical aggregates (variance/stddev/correlation) computed from
+    * exact integer moments — Spark's stddev/corr built-ins use
+    * order-dependent streaming updates, so for oracle parity the moments
+    * (sums of x, x^2, x*y as longs on bounded integer values) are reduced
+    * exactly and the closed-form formulas run on identical doubles.
+    *
+    * Overflow headroom: the int64 sums must not wrap (Spark wraps
+    * silently where DuckDB errors — a silent-divergence mode). Inputs
+    * are therefore pre-bounded: x = floor(price/10) <= ~6e4 and
+    * y = custkey % 30000 < 3e4 (custkey GROWS with SF, so the raw key
+    * would overflow syy around 1e8 rows). With these bounds the largest
+    * term (x*x ~ 3.6e9) keeps every sum inside int64 up to ~2.5e9 rows
+    * PER GROUP (~ sf1500) — far beyond any verified SF, and checkable:
+    * n * 3.6e9 < 2^63. */
+  private[graft] def qStatsMoments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"),
+        floor(col("o_totalprice") / 10).cast("long").as("x"),
+        (col("o_custkey") % 30000).as("y"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(Seq(col("o_orderstatus"), col("n")) ++ {
+        // closed-form moments in explicit double arithmetic: sx*sx would
+        // overflow int64 (DuckDB errors, Spark wraps) — and the exact
+        // long sums convert to identical doubles in both engines
+        val nd = col("n").cast("double")
+        val (sx, sy, sxx, syy, sxy) = (col("sx").cast("double"),
+          col("sy").cast("double"), col("sxx").cast("double"),
+          col("syy").cast("double"), col("sxy").cast("double"))
+        Seq(
+          (sx / nd).as("mean_x"),
+          ((sxx - sx * sx / nd) / nd).as("var_pop"),
+          sqrt((sxx - sx * sx / nd) / nd).as("stddev_pop"),
+          ((nd * sxy - sx * sy) /
+            (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))).as("corr_xy"))
+      }: _*)
+      .orderBy(col("o_orderstatus"))
+
+  /** TPC-H Q3-shaped: segment-filtered 3-way join, revenue top-10.
+    * customer (filtered, broadcastable) ⋈ orders ⋈ lineitem with
+    * date predicates pushed to both fact scans. */
+  private[graft] def qShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= cutoff)
+      .select(col("l_orderkey"),
+        Analytics.fp(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L).as("rev_fp"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg((sum(col("rev_fp")) / 10000.0).as("revenue"))
+      .select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: five-way star join, revenue per nation in a
+    * region and date window (dimensions broadcast). */
+  private[graft] def qRegionVolume(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        Analytics.fp(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L).as("rev_fp"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(col("rev_fp")) / 10000.0).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** Array-aggregation surface (collect_set/collect_list): grouped
+    * collections emitted as sorted joined strings so the comparison is
+    * engine-portable (raw array columns compare differently across
+    * engines' result layers). */
+  private[graft] def qCollectSet(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        size(collect_set(col("o_orderstatus"))).cast("long").as("n_statuses"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Bit/bool aggregate sweep — bit_and/bit_or/bit_xor over the part
+    * key set, bool_and/bool_or over predicates, count_if — the
+    * aggregate-surface corner the earlier sweeps hadn't touched. All
+    * integer/boolean outputs: hash-exact across engines by
+    * construction, and every one partial-aggregates map-side. */
+  private[graft] def qBitBoolAggs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr("bit_and(l_partkey)").as("pk_and"),
+        expr("bit_or(l_partkey)").as("pk_or"),
+        expr("bit_xor(l_partkey)").as("pk_xor"),
+        expr("bool_and(l_discount > 0.05)").as("all_disc"),
+        expr("bool_or(l_tax > 0.07)").as("any_tax"),
+        expr("count_if(l_quantity >= 25.0)").as("n_bulk"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Quantity-weighted mean price through the TYPED Aggregator UDAF
+    * path (functions/WeightedMean.scala, registered via
+    * functions.udaf) — the vanilla user-defined typed aggregation the
+    * UDF/UDAF surface was missing next to the custom HLL sketch. The
+    * buffer is exact long sums, so map-side partials merge
+    * order-independently and the result hash-matches the oracle's
+    * sum-of-products form. */
+  private[graft] def qWeightedMean(s: SparkSession, dir: String): DataFrame = {
+    val wm = udaf(graft.functions.WeightedMean,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        Analytics.cents(col("l_extendedprice")).as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(wm(col("cents"), col("qty")).as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Ordered string aggregation: listagg ... WITHIN GROUP (ORDER BY) —
+    * deterministic concatenation (DuckDB's string_agg ORDER BY form).
+    * Dimension-sized groups only: an unbounded listagg over a fact
+    * column would be a driver-sized string at scale. */
+  private[graft] def qListagg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+
+  /** CSV sink+source fidelity: write customer as headered CSV into the
+    * build dir, read it back with the parquet schema, aggregate. The
+    * oracle computes the same aggregate straight from parquet, so a
+    * hash match proves the text roundtrip is lossless (shortest-repr
+    * doubles re-parse to the same bits; quote/escape defaults agree
+    * between writer and reader). */
+  private[graft] def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "customer")
+    val out = fmtDir(dir, "customer_csv")
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(src.schema).option("header", "true").csv(out)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(Analytics.cents(col("c_acctbal"))).as("bal_cents"),
+        sum(col("c_custkey")).as("key_sum"),
+        min(col("c_name")).as("first_name"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** JSON-lines sink+source fidelity on a timestamp-bearing table:
+    * orders out as JSONL, back in with the parquet schema (ISO
+    * timestamps in the UTC session zone), aggregated vs the
+    * straight-from-parquet oracle. */
+  private[graft] def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders")
+    val out = fmtDir(dir, "orders_json")
+    src.write.mode("overwrite").json(out)
+    s.read.schema(src.schema).json(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(Analytics.cents(col("o_totalprice"))).as("price_cents"),
+        min(unix_timestamp(col("o_orderdate"))).as("first_epoch"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q10-shaped: top customers by revenue lost to returned items
+    * in a quarter — 4-way join ranking with a broadcast dimension. */
+  private[graft] def qReturnedItems(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        Analytics.fp(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L).as("rev_fp"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg((sum(col("rev_fp")) / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q19-shaped: OR-bracketed multi-predicate revenue — exercises
+    * disjunctive predicate pushdown and join-condition normalization. */
+  private[graft] def qBracketRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 15) && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 25) && col("p_size").between(1, 20)) ||
+          (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 35) && col("p_size").between(1, 30)))
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(Analytics.fp(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L)) / 10000.0)
+          .as("revenue"))
+
+  /** Custom-UDAF surface: deterministic HLL sketch vs exact distinct.
+    * The oracle replays the sketch register-for-register (graft.functions.Hll). */
+  private[graft] def qHllDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_custkey"),
+        conv(substring(md5(col("o_custkey").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.Hll.hll_sketch(col("h")).as("hll_estimate"),
+        countDistinct(col("o_custkey")).as("exact_distinct"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Sketch REUSE across aggregation levels: per-nation HLL register
+    * sketches of distinct parts supplied are materialized once, then
+    * the region level is computed by MERGING sketches (elementwise
+    * register max) — never rescanning raw data. Estimate-of-merge
+    * equals estimate-of-union exactly (max is associative/commutative/
+    * idempotent), so the oracle computes the region-level sketch
+    * directly from raw rows and must land on bit-identical estimates.
+    * This is how distinct-count rollups stay O(groups) instead of
+    * O(data) per level at 100 TB. The exact distinct (one extra
+    * aggregation, oracle-shared) sits alongside as the accuracy
+    * audit. */
+  private[graft] def qHllRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hll
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_nationkey"), col("n_regionkey"), col("l_partkey"),
+        conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val natSketch = li.groupBy(col("n_nationkey"), col("n_regionkey"))
+      .agg(Hll.hll_registers(col("h")).as("regs"))
+    val regSketch = natSketch.groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), Hll.hll_merge(col("regs")).as("regs"))
+    val exact = li.groupBy(col("n_regionkey"))
+      .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    // exact side is |regions| rows — hint the broadcast at plan time
+    // rather than relying on AQE's runtime demotion of the SMJ
+    regSketch.join(broadcast(exact), "n_regionkey")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_nations"),
+        Hll.hll_estimate_registers(col("regs")).as("hll_estimate"),
+        col("exact_distinct"))
+      .orderBy(col("r_name"))
+  }
+
+  /** KMV bottom-k sketch rollup — the set-algebra sketch alongside
+    * q_hll_rollup's registers: per-nation sketches of the part-key sets
+    * merge to region level by "union, keep k smallest" (a pure
+    * expression over ≤25 fine-group arrays per region — O(groups), not
+    * O(data)). The estimate is exact below capacity and one double
+    * division at capacity; the exact distinct rides along as the
+    * accuracy control. Same 60-bit md5 hash convention as the HLL
+    * family, so the oracle replays the sketch with ORDER BY h LIMIT k. */
+  private[graft] def qKmvRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Kmv
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_nationkey"), col("n_regionkey"), col("l_partkey"),
+        h60(col("l_partkey")).as("h"))
+      // the sketch and exact aggregations group by different keys —
+      // materialize the joined+hashed scan once (q_kmv_jaccard pattern)
+      .localCheckpoint(eager = false)
+    val natSketch = li.groupBy(col("n_nationkey"), col("n_regionkey"))
+      .agg(Kmv.kmv_sketch(col("h")).as("sk"))
+    val regSketch = natSketch.groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), Kmv.kmv_merge(col("sk")).as("sk"))
+    val exact = li.groupBy(col("n_regionkey"))
+      .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    regSketch.join(broadcast(exact), "n_regionkey")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_nations"),
+        Kmv.kmv_estimate(col("sk")).as("kmv_estimate"),
+        col("exact_distinct"))
+      .orderBy(col("r_name"))
+  }
+
+  /** KMV set algebra — the overlap query HLL registers cannot answer
+    * well: the Jaccard similarity between two regions' part-key sets,
+    * estimated from two 64-value sketches (the fraction of the union
+    * sketch present in both inputs — Beyer et al., SIGMOD 2007). Once
+    * per-segment sketches are materialized, ANY pairwise Jaccard /
+    * intersection is O(k), never O(data). Exact controls alongside. */
+  private[graft] def qKmvJaccard(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Kmv
+    val src = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+      .select(col("r_name"), col("l_partkey"), h60(col("l_partkey")).as("h"))
+      // the sketch and exact aggregations group by different keys —
+      // materialize the 4-way join once (same pattern as q_hll_intersect)
+      .localCheckpoint(eager = false)
+    val sk = src.groupBy(col("r_name")).agg(Kmv.kmv_sketch(col("h")).as("sk"))
+    val a = sk.filter(col("r_name") === "ASIA").select(col("sk").as("ka"))
+    val b = sk.filter(col("r_name") === "EUROPE").select(col("sk").as("kb"))
+    val exact = src.groupBy(col("l_partkey"))
+      .agg(countDistinct(col("r_name")).as("nr"))
+      .agg(
+        sum(when(col("nr") === 2, 1L).otherwise(0L)).as("exact_intersect"),
+        count(lit(1)).as("exact_union"))
+    a.crossJoin(b).crossJoin(broadcast(exact))
+      .select(
+        Kmv.kmv_estimate(col("ka")).as("est_a"),
+        Kmv.kmv_estimate(col("kb")).as("est_b"),
+        Kmv.kmv_estimate(Kmv.kmv_union(col("ka"), col("kb"))).as("est_union"),
+        Kmv.kmv_jaccard(col("ka"), col("kb")).as("est_jaccard"),
+        col("exact_intersect"),
+        col("exact_union"),
+        (col("exact_intersect").cast("double") / col("exact_union"))
+          .as("exact_jaccard"))
+  }
+
+  /** Equi + range join: per purchase, same-user events in the
+    * preceding 10 minutes (SortMergeJoin with a range residual —
+    * the scalable equi-anchored interval-join shape). */
+  private[graft] def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    ev.join(purchases,
+        col("user_id") === col("pu") &&
+          col("ts") >= col("pts") - lit(600000000000L) &&
+          col("ts") < col("pts"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_preceding"))
+      .orderBy(col("purchase_id"))
+  }
+
+  // ---- LLM-pipeline operators (north-star extensions): text analysis,
+  // ---- dedup family, similarity search, multimodal plumbing ----
+
+  /** Regexp surface (patterns chosen to behave identically in Java
+    * regex and RE2): leading-digit extraction + match flag. */
+  private[graft] def qRegexp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        regexp_extract(col("o_orderpriority"), "^([0-9])", 1).as("pri_digit"),
+        col("o_orderpriority").rlike("^[1-3]-").as("is_high_pri"))
+      .orderBy(col("o_orderkey"))
+
+  private[graft] def qUnionAll(s: SparkSession, dir: String): DataFrame =
+    highValue(s, dir).withColumn("src", lit("high_value"))
+      .unionAll(fStatus(s, dir).withColumn("src", lit("f_status")))
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .orderBy(col("src"))
+
+  private[graft] def qSqlSurface(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(sqlSurfaceText)
+  }
+
+  /** Map-typed function sweep (map_keys / map_values-by-key / size /
+    * map_filter with a value lambda / map_concat / map_entries) over a
+    * map built from `events.props` JSON plus event columns. Collections
+    * are emitted as key-sorted joined strings so the comparison is
+    * engine-portable (map iteration order is not part of the contract). */
+  private[graft] def qMapFuncs(s: SparkSession, dir: String): DataFrame = {
+    val kval = coalesce(get_json_object(col("props"), "$.k"), lit("-1"))
+    val m = map(
+      lit("k"), kval,
+      lit("type"), col("event_type"),
+      lit("uid"), col("user_id").cast("string"))
+    events(s, dir)
+      .select(col("event_id"), m.as("m"))
+      .select(
+        col("event_id"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+        array_join(transform(array_sort(map_keys(col("m"))),
+          kk => element_at(col("m"), kk)), ",").as("vals_csv"),
+        size(col("m")).cast("long").as("n_entries"),
+        size(map_filter(col("m"),
+          (_, v) => v.try_cast("bigint") > 50)).cast("long").as("n_big"),
+        size(map_concat(col("m"), map(lit("extra"), lit("1"))))
+          .cast("long").as("n_concat"),
+        array_join(transform(map_entries(col("m")),
+          e => concat(e.getField("key"), lit("="), e.getField("value"))), ",")
+          .as("entries_csv"))
+      .orderBy(col("event_id"))
+  }
+
+  private[graft] def qExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(existsSubqueryText)
+  }
+
+  private[graft] def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(scalarSubqueryText)
+  }
+
+  /** Full-outer join coverage: one market segment full-outer the
+    * per-customer order rollup — left-null rows are customers outside
+    * the segment with orders, right-null rows would be segment
+    * customers with no orders. Keys coalesced to one spine. */
+  private[graft] def qOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val bld = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val ord = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders_raw"),
+        sum(Analytics.cents(col("o_totalprice"))).as("spend_c"))
+    bld.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").isNotNull.as("in_segment"),
+        coalesce(col("n_orders_raw"), lit(0L)).as("n_orders"),
+        (coalesce(col("spend_c"), lit(0L)) / 100.0).as("spend"))
+      .orderBy(col("custkey"))
+  }
+
+  /** SCD type-2 dimension build (Analytics.scd2): order-priority change
+    * history per customer with effectivity ranges; open versions carry
+    * the sentinel 99999999 so no raw nulls reach the hash compare. */
+  private[graft] def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .filter(col("o_custkey") % 7 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("day"))
+    Analytics.scd2(base, "o_custkey", "day", "o_orderkey", "o_orderpriority")
+      .select(col("o_custkey"), col("version"), col("o_orderpriority"),
+        col("valid_from"),
+        coalesce(col("valid_to_raw"), lit(99999999L)).as("valid_to"),
+        col("valid_to_raw").isNull.as("is_current"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  /** Z-order layout audit: Morton-interleave (p_size, p_partkey % 4096)
+    * with the `zorder2` kernel, bucket rows by z-range, and emit each
+    * bucket's min/max on BOTH dimensions. The tight per-bucket ranges
+    * (max_y-min_y = 63 here) are exactly what makes range-partitioning
+    * by zval prune parquet row groups on either predicate at 100 TB —
+    * the oracle replays the interleave as 32 shift/mask terms. */
+  private[graft] def qZorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_size").cast("long").as("x"),
+        (col("p_partkey") % 4096).as("y"))
+      .withColumn("zval", graft.functions.kernels.zorder2(col("x"), col("y")))
+      .groupBy(expr("zval div 4096").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("zbucket"))
+
+  /** Skew-resistant join through Analytics.saltedJoin: each lineitem row
+    * takes a salt in [0,4), orders replicate once per salt, and the join
+    * key becomes (orderkey, salt) — a hot order fans out over 4 tasks
+    * instead of one straggler. The result is identical to the plain
+    * join (the oracle IS the plain join), which is the point: salting
+    * changes the partitioning, never the answer. */
+  private[graft] def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val left = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"),
+        Analytics.cents(col("l_extendedprice")).as("price_c"))
+    val right = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    Analytics.saltedJoin(left, right, Seq("k"), salts = 4)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("price_c")) / 100.0).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Co-located fact⋈fact join over bucketed layout (ops.Bucketing):
+    * both sides pre-bucketed by the join key, so the join itself plans
+    * with NO Exchange (pinned by PlanAuditSpec) — the bucketed write
+    * paid the shuffle once at layout time. */
+  private[graft] def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ot = graft.ops.Bucketing.ensureBucketed(s, dir, "orders",
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+      "o_orderkey", buckets = 8)
+    val lt = graft.ops.Bucketing.ensureBucketed(s, dir, "lineitem",
+      t(s, dir, "lineitem").select(col("l_orderkey"),
+        Analytics.cents(col("l_extendedprice")).as("price_c")),
+      "l_orderkey", buckets = 8)
+    s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("price_c")) / 100.0).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Count-Min sketch heavy-hitter estimates (d=3 hash rows, w=64
+    * counters) — the bounded-memory frequency sketch next to the HLL
+    * cardinality sketch. Scale shape: keys are first compressed by an
+    * EXACT map-side-combined count (the shuffle carries one row per
+    * distinct key, never the event stream), the 3×64 counter table is
+    * built from that compressed table and BROADCAST for probing. The
+    * oracle rebuilds the identical sketch (md5 cells) and certifies the
+    * CMS admissibility invariant — estimate >= true count — row by row,
+    * with real collisions at w=64 (est > exact for some probes). */
+  private[graft] def qCmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    def cell(d: org.apache.spark.sql.Column,
+        key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(d.cast("string"), lit("|"),
+        key.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long") % 64
+    val ds = explode(array((0 until 3).map(lit): _*)).as("d")
+    val exact = events(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val cells = exact.select(col("user_id"), col("cnt"), ds)
+      .withColumn("w", cell(col("d"), col("user_id")))
+      .groupBy(col("d"), col("w")).agg(sum(col("cnt")).as("counter"))
+    val probes = exact.filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), col("cnt"), ds)
+      .withColumn("w", cell(col("d"), col("user_id")))
+    probes.join(broadcast(cells), Seq("d", "w"))
+      .groupBy(col("user_id"), col("cnt"))
+      .agg(min(col("counter")).as("cms_est"))
+      .select(col("user_id"), col("cnt").as("exact_count"), col("cms_est"),
+        (col("cms_est") >= col("cnt")).as("admissible"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Unpivot (melt) — the inverse of q_pivot: wide per-flag measure
+    * columns become (flag, measure, value) rows via Dataset.unpivot.
+    * Measures are fixed-point longs so the melt is value-exact. */
+  private[graft] def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(Analytics.cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(Analytics.cents(col("l_extendedprice"))).as("sum_price_c"),
+        sum(Analytics.fp(col("l_discount"), 10000L)).as("sum_disc_fp"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty_c"), col("sum_price_c"), col("sum_disc_fp")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  /** Interval-overlap join through coarse-bucket decomposition — the
+    * scalable form of a theta join `a.s <= b.e AND b.s <= a.e`: each
+    * interval explodes across the 30-day buckets it covers, the join
+    * runs as an EQUI-join on the bucket (hash-partitionable, no
+    * broadcast-nested-loop), the exact overlap predicate filters the
+    * candidates, and each pair is kept only in the bucket of
+    * max(start, start) so no overlap double-counts. At 100 TB this is
+    * the difference between a shuffled hash join and an O(N*M) loop —
+    * the oracle runs the plain theta join and must agree exactly. */
+  private[graft] def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "orders").filter(col("o_custkey") % 50 === 0)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("s"),
+        (datediff(col("o_orderdate"), lit("1995-01-01").cast("date")) + 6)
+          .cast("long").as("e"),
+        Analytics.cents(col("o_totalprice")).as("price_c"))
+      .withColumn("bucket", explode(sequence(expr("s div 30"), expr("e div 30"))))
+    val promo = s.range(0, 81).select(col("id").as("w"),
+        (col("id") * 30).as("ps"), (col("id") * 30 + 9).as("pe"))
+      .withColumn("bucket", explode(sequence(expr("ps div 30"), expr("pe div 30"))))
+    iv.join(promo, "bucket")
+      .filter(col("s") <= col("pe") && col("ps") <= col("e"))
+      .filter(col("bucket") === expr("greatest(s, ps) div 30"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        (sum(col("price_c")) / 100.0).as("overlap_spend"))
+      .orderBy(col("w"))
+  }
+
+  private[graft] def qRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(recursiveCteText)
+  }
+
+  private[graft] def qLateralTopk(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(lateralTopkText)
+  }
+
+  /** Deterministic argmax via max_by / arg_max: which order carries each
+    * priority's highest price. Raw max_by ties are engine-defined, so
+    * the ordering key is an order-preserving pair encoding
+    * (cents * 10^8 + orderkey) — unique per row, hence a well-defined
+    * argmax in both engines, with headroom to orderkey < 10^8 (~sf600).
+    * One partial-aggregated groupBy; no window, no sort. */
+  private[graft] def qArgMax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (Analytics.cents(col("o_totalprice")) * 100000000L + col("o_orderkey"))
+          .as("enc"))
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("max_by(o_orderkey, enc)").as("top_orderkey"),
+        (expr("max(enc) div 100000000") / 100.0).as("max_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Multiset (bag-semantics) set operations — exceptAll preserves
+    * duplicate counts where EXCEPT would collapse them, the remaining
+    * set-op variants after q_union/q_intersect/q_except covered the
+    * distinct forms. Both reduce to the same count-difference
+    * aggregation shape at scale (no row-by-row matching). */
+  private[graft] def qSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "lineitem").select(col("l_returnflag"))
+    val b = t(s, dir, "lineitem").filter(col("l_linenumber") > 1)
+      .select(col("l_returnflag"))
+    val ec = a.exceptAll(b).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_except"))
+    val ic = a.intersectAll(b).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_intersect"))
+    ec.join(ic, "l_returnflag")
+      .select(col("l_returnflag"), col("n_except"), col("n_intersect"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Link prediction by the resource-allocation index: for each
+    * NON-edge pair (x, y) sharing at least one neighbor z,
+    * RA(x,y) = Σ_z 1/deg(z) — the rational cousin of Adamic-Adar
+    * (1/log deg needs a transcendental; 1/deg doesn't), computed in
+    * exact ppm integer division so the oracle replays it bit-for-bit.
+    * Shape: one wedge self-join on the common-neighbor key + one
+    * aggregation + one anti-join against the existing edge list.
+    * Scale: wedge enumeration is quadratic in deg(z), so hubs above a
+    * degree cap (64) are skipped — the standard pruning, and sound
+    * for ranking since a hub's 1/deg contribution is negligible; the
+    * cap bounds any single join key's fan-out to 64×64 rows, making
+    * the wedge shuffle skew-proof by construction. Top-30 candidate
+    * edges via TakeOrderedAndProject, re-sorted on the (x, y) key. */
+  private[graft] def qLinkPred(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem").filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val und = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val mid = edges.join(deg.filter(col("d") <= 64), "u")
+    val cand = mid.as("e1").join(mid.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("x"), col("e2.v").as("y"),
+        col("e1.d").as("dz"))
+    val scored = cand.groupBy(col("x"), col("y"))
+      .agg(expr("sum(1000000 div dz)").as("ra_ppm"),
+        count(lit(1)).as("n_common"))
+    scored.join(und,
+        scored("x") === und("u") && scored("y") === und("v"), "left_anti")
+      .orderBy(col("ra_ppm").desc, col("x"), col("y")).limit(30)
+      .select(col("x"), col("y"), col("n_common"), col("ra_ppm"))
+      .orderBy(col("x"), col("y"))
+  }
+
+  /** HITS hubs & authorities over the bipartite customer→part purchase
+    * graph (2 unrolled rounds, UNNORMALIZED — for a fixed iteration
+    * count the ranking is normalization-invariant, and dropping the
+    * norm keeps every value an exact int64 SUM OF COUNTS: the only
+    * iterative graph operator in the contract with no division at
+    * all). auth₁ = indegree; hub₁(c) = Σ_{p∈N(c)} auth₁(p);
+    * auth₂(p) = Σ_{c∈N(p)} hub₁(c); hub₂ likewise. Each half-round is
+    * one equi-join + one sum keyed by the opposite side — the same
+    * distributed shape as PageRank but on a directed bipartite graph,
+    * which PageRank's undirected co-purchase projection can't express.
+    * Top-15 per role via TakeOrderedAndProject (deterministic id
+    * tie-break), emitted as one (role, node, score) frame. */
+  private[graft] def qHits(s: SparkSession, dir: String): DataFrame = {
+    val ords = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem").filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.join(ords, li("l_orderkey") === ords("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val auth1 = edges.groupBy(col("p")).agg(count(lit(1)).as("a1"))
+    val hub1 = edges.join(auth1, "p").groupBy(col("c"))
+      .agg(sum(col("a1")).as("h1"))
+    val auth2 = edges.join(hub1, "c").groupBy(col("p"))
+      .agg(sum(col("h1")).as("a2"))
+    val hub2 = edges.join(auth2, "p").groupBy(col("c"))
+      .agg(sum(col("a2")).as("h2"))
+    val topAuth = auth2.orderBy(col("a2").desc, col("p")).limit(15)
+      .select(lit("auth").as("role"), col("p").as("node"),
+        col("a2").as("score"))
+    val topHub = hub2.orderBy(col("h2").desc, col("c")).limit(15)
+      .select(lit("hub").as("role"), col("c").as("node"),
+        col("h2").as("score"))
+    topAuth.union(topHub).orderBy(col("role"), col("node"))
+  }
+
+  /** Train/test split leakage audit: the GROUP-level split (hash the
+    * customer, every order inherits it) against the naive ROW-level
+    * split (hash each order independently). A customer whose orders
+    * straddle both splits leaks future behavior into training — the
+    * audit counts exactly those. Group-level provably yields zero
+    * straddlers; the row-level count is the leak the pipeline would
+    * have shipped. Both splits are the replayable md5 gate (80/20),
+    * so the emitted counts are reproducible forever — the property an
+    * eval-set contract actually needs. One orders scan, shuffles carry
+    * (custkey, two split labels). */
+  private[graft] def qGroupSplit(s: SparkSession, dir: String): DataFrame = {
+    val labeled = t(s, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        (h60(concat(lit("split|"), col("o_custkey").cast("string"))) % 100 < 80)
+          .as("grp_train"),
+        (h60(concat(lit("split|"), col("o_orderkey").cast("string"))) % 100 < 80)
+          .as("row_train"))
+      .localCheckpoint(eager = false)
+    def audit(flag: String, method: String): DataFrame = {
+      val perCust = labeled.groupBy(col("ck"))
+        .agg(sum(when(col(flag), 1L).otherwise(0L)).as("tr"),
+          count(lit(1)).as("n"))
+      perCust.agg(
+        lit(method).as("method"),
+        sum(col("tr")).as("train_orders"),
+        sum(col("n") - col("tr")).as("test_orders"),
+        sum(when(col("tr") > 0 && col("tr") < col("n"), 1L).otherwise(0L))
+          .as("straddling_customers"))
+    }
+    audit("grp_train", "group").unionAll(audit("row_train", "row"))
+      .orderBy(col("method"))
+  }
+
+  /** Data-quality assertion suite (the Deequ/dbt-tests shape): six
+    * declarative checks — uniqueness, not-null, accepted values,
+    * range, referential integrity, and an upper-bound check that
+    * REALLY fails on this data (violations > 0 proves the suite
+    * detects, not vacuously passes). Each check is one aggregate over
+    * a shared single scan (the uniqueness check adds the only
+    * shuffle); the FK probe broadcasts the distinct parent keys. One
+    * (check_name, n_checked, violations, passed) row per assertion —
+    * the table a pipeline gate consumes. */
+  private[graft] def qDqChecks(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val uniq = o.agg(
+      lit("o_orderkey_unique").as("check_name"),
+      count(lit(1)).as("n_checked"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("violations"))
+    val scanChecks = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+      sum(when(col("o_orderpriority").isin(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        0L).otherwise(1L)).as("v_accept"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_pos"),
+      sum(when(col("o_totalprice") > 400000.0, 1L).otherwise(0L)).as("v_range"))
+      .localCheckpoint(eager = false)
+    def pick(name: String, vcol: String): DataFrame =
+      scanChecks.select(lit(name).as("check_name"), col("n").as("n_checked"),
+        col(vcol).as("violations"))
+    val fk = o.join(
+        broadcast(t(s, dir, "customer").select(col("c_custkey")).distinct()),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(lit("o_custkey_references_customer").as("check_name"),
+        count(lit(1)).as("n_checked"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("violations"))
+    uniq
+      .unionAll(pick("o_custkey_not_null", "v_null"))
+      .unionAll(pick("o_orderpriority_accepted", "v_accept"))
+      .unionAll(pick("o_totalprice_positive", "v_pos"))
+      .unionAll(pick("o_totalprice_below_400k", "v_range"))
+      .unionAll(fk)
+      .withColumn("passed", col("violations") === 0)
+      .orderBy(col("check_name"))
+  }
+
+  /** k-fold cross-validation split audit (k=5, customers as the
+    * leakage group — the q_group_split discipline extended to folds):
+    * fold membership from the replayable md5 gate, then the balance
+    * table a training pipeline checks before trusting the folds —
+    * distinct customers, orders, exact revenue, and each fold's
+    * revenue share in ppm of the broadcast grand total. Skewed folds
+    * (a whale customer landing in one fold) show up as share drift;
+    * everything is one orders scan + one 5-row broadcast join. */
+  private[graft] def qCrossVal(s: SparkSession, dir: String): DataFrame = {
+    val labeled = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        (h60(concat(lit("fold|"), col("o_custkey").cast("string"))) % 5)
+          .as("fold"),
+        Analytics.cents(col("o_totalprice")).as("c"))
+    val perFold = labeled.groupBy(col("fold"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"), sum(col("c")).as("revenue_cents"))
+      .localCheckpoint(eager = false)
+    val total = perFold.agg(sum(col("revenue_cents")).as("tot"))
+    perFold.crossJoin(broadcast(total))
+      .select(col("fold"), col("n_customers"), col("n_orders"),
+        col("revenue_cents"),
+        expr("revenue_cents * 1000000 div tot").as("share_ppm"))
+      .orderBy(col("fold"))
+  }
+
+  /** RFM customer segmentation — the classic warehouse scoring op:
+    * recency (latest order day), frequency (orders), monetary (exact
+    * cents) per customer, each ranked into ARITHMETIC quintiles
+    * (score = ((rank−1)·5) div n + 1 — spelled out in both engines
+    * rather than trusting ntile(), whose remainder placement is
+    * engine-specific). Ranks come from the two-pass grouped rank under
+    * one group (scalable global rank, the q_mann_whitney shape), three
+    * axes in parallel. Emits the segment distribution: customers and
+    * mean spend per (r, f, m) cell — the table a campaign targets. */
+  private[graft] def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(epochDay(col("o_orderdate"))).as("recency"),
+        count(lit(1)).as("freq"),
+        sum(Analytics.cents(col("o_totalprice"))).as("monetary"))
+      .localCheckpoint(eager = false)
+    def score(axis: String, out: String): DataFrame =
+      graft.ops.ScalablePrefix.groupedRank(s,
+        perCust.select(lit("all").as("g"),
+          col(axis).cast("double").as("ord"), col("o_custkey")),
+        "g", "ord", "o_custkey", 32)
+        .select(col("o_custkey"),
+          (expr("(rnk - 1) * 5 div grp_n") + 1).as(out))
+    perCust
+      .join(score("recency", "r_score"), "o_custkey")
+      .join(score("freq", "f_score"), "o_custkey")
+      .join(score("monetary", "m_score"), "o_custkey")
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        expr("sum(monetary) div count(1)").as("mean_monetary_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** Lag-feature matrix builder — the feature-engineering step of a
+    * forecasting pipeline: per customer order history, the previous
+    * two order values, the delta, and the rolling mean of the prior
+    * three orders (exact integer division; null until history exists,
+    * exactly as a leakage-safe feature must be — no current-row
+    * peeking). Windows partition on the customer key: millions of
+    * customers hash-spread across executors, no funnel. A 1%
+    * deterministic customer slice bounds the emitted matrix. */
+  private[graft] def qLagFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val wPrev3 = w.rowsBetween(-3, -1)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        epochDay(col("o_orderdate")).as("day"),
+        Analytics.cents(col("o_totalprice")).as("c"))
+      .withColumn("lag1", lag(col("c"), 1).over(w))
+      .withColumn("lag2", lag(col("c"), 2).over(w))
+      .withColumn("delta1", col("c") - col("lag1"))
+      .withColumn("prev3_mean",
+        (sum(col("c")).over(wPrev3) / count(col("c")).over(wPrev3))
+          .cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"), col("c"),
+        col("lag1"), col("lag2"), col("delta1"), col("prev3_mean"))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
+  /** Largest-remainder (Hamilton) apportionment: divide 1000 shard
+    * slots across nations proportional to customer count — the exact
+    * integer answer to "split a fixed budget fairly", used verbatim
+    * for partition-budget and sampling-quota allocation. quota·1000
+    * splits into div/mod longs; the leftover slots go to the largest
+    * remainders (ties broken by name — deterministic). The
+    * row_number window runs over #nations rows (25), not data rows —
+    * the single-partition window is bounded by group cardinality at
+    * any data scale. */
+  private[graft] def qApportion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val tot = cnts.agg(sum(col("cnt")).as("tot"))
+    val based = cnts.crossJoin(broadcast(tot))
+      .withColumn("base", expr("(1000 * cnt) div tot"))
+      .withColumn("rem", expr("(1000 * cnt) % tot"))
+      .localCheckpoint(eager = false)
+    val extra = based.agg((lit(1000L) - sum(col("base"))).as("extra"))
+    based.crossJoin(broadcast(extra))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("rem").desc, col("n_name"))))
+      .withColumn("seats",
+        col("base") + when(col("rn") <= col("extra"), 1L).otherwise(0L))
+      .select(col("n_name"), col("cnt"), col("base"), col("rem"),
+        col("seats"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Population stability index between two order-date cohorts (1996
+    * vs 2000) over 8 FIXED price brackets — the drift monitor every
+    * production scoring pipeline runs before trusting a model trained
+    * on last year's distribution. Each bracket's PSI contribution
+    * (p_a−p_b)·ln(p_a/p_b) is a per-ROW double tree over exact
+    * counts, shipped as micro-nat integers; the TOTAL is the sum of
+    * those integers (order-independent by construction — summing the
+    * rounded terms, not the doubles). One scan, 8-group agg,
+    * broadcast totals. */
+  private[graft] def qPsi(s: SparkSession, dir: String): DataFrame = {
+    val bracket = expr(
+      """CASE WHEN o_totalprice < 50000 THEN 0 WHEN o_totalprice < 100000 THEN 1
+        | WHEN o_totalprice < 150000 THEN 2 WHEN o_totalprice < 200000 THEN 3
+        | WHEN o_totalprice < 250000 THEN 4 WHEN o_totalprice < 300000 THEN 5
+        | WHEN o_totalprice < 400000 THEN 6 ELSE 7 END""".stripMargin)
+    val bins = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 2000))
+      .groupBy(bracket.cast("long").as("bin"))
+      .agg(
+        sum(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L)).as("ca"),
+        sum(when(year(col("o_orderdate")) === 2000, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint(eager = false)
+    val tots = bins.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val terms = bins.crossJoin(broadcast(tots))
+      .withColumn("term_unat",
+        when(col("ca") > 0 && col("cb") > 0,
+          floor((col("ca").cast("double") / col("na").cast("double") -
+              col("cb").cast("double") / col("nb").cast("double")) *
+            log((col("ca") * col("nb")).cast("double") /
+              (col("na") * col("cb")).cast("double")) * 1000000 + 0.5)
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .localCheckpoint(eager = false)
+    val tot = terms.agg(sum(col("term_unat")).as("psi_unat"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("bin"), col("ca"), col("cb"), col("term_unat"),
+        col("psi_unat"))
+      .orderBy(col("bin"))
+  }
+
+  /** Per-node local clustering coefficient over the co-purchase
+    * graph: 2·T_v / (d_v·(d_v−1)) in exact ppm — the node-level
+    * "how clique-like is my neighborhood" score (q_triangles gives
+    * the global count; this gives the distribution). Triangles are
+    * enumerated once on id-oriented half edges (u<v<w — each
+    * triangle exactly once, the standard sub-quadratic edge-join;
+    * at real scale the orientation key becomes degree order to bound
+    * the join fan-out, same plan shape) and unpivoted to the three
+    * member nodes; the coefficient is pure integer arithmetic. */
+  private[graft] def qLocalClustering(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val half = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val tri = half.as("e1")
+      .join(half.as("e2"), col("e1.v") === col("e2.u"))
+      .join(half.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val triPerNode = tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    val deg = half.select(col("u").as("node"))
+      .unionAll(half.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    deg.filter(col("d") >= 2)
+      .join(triPerNode, Seq("node"), "left")
+      .withColumn("tri", coalesce(col("tri"), lit(0L)))
+      .withColumn("coeff_ppm", expr("2 * tri * 1000000 div (d * (d - 1))"))
+      .select(col("node"), col("d"), col("tri"), col("coeff_ppm"))
+      .orderBy(col("node"))
+  }
+
+  /** Closed-form ridge regression (2 features + intercept): predict
+    * order value from line count and total quantity by solving the
+    * 3×3 normal equations (XᵀX + λI·[0,1,1])β = Xᵀy with Cramer's
+    * rule — the distributed-friendly regression: ONE pass collects 9
+    * exact integer moments (map-side combine, a single 9-long row
+    * shuffles), the solve is a fixed double tree over those longs on
+    * one row. λ touches only the feature diagonal (intercept
+    * unpenalized, the standard form). No iteration, no gradient —
+    * at 100 TB this is still one scan + one 9-value reduce. */
+  private[graft] def qRidge(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("x1"),
+        sum(col("l_quantity").cast("long")).as("x2"))
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100")
+              .as("y")),
+        col("l_orderkey") === col("o_orderkey"))
+    val m = perOrder.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"))
+    // 3×3 system rows: [n s1 s2 | sy], [s1 s11+λ s12 | s1y], [s2 s12 s22+λ | s2y]
+    val solved = m
+      .withColumn("a", col("n").cast("double"))
+      .withColumn("b", col("s1").cast("double"))
+      .withColumn("c", col("s2").cast("double"))
+      .withColumn("d", col("s1").cast("double"))
+      .withColumn("e", (col("s11") + 1000L).cast("double"))
+      .withColumn("f", col("s12").cast("double"))
+      .withColumn("g", col("s2").cast("double"))
+      .withColumn("h", col("s12").cast("double"))
+      .withColumn("i", (col("s22") + 1000L).cast("double"))
+      .withColumn("r0", col("sy").cast("double"))
+      .withColumn("r1", col("s1y").cast("double"))
+      .withColumn("r2", col("s2y").cast("double"))
+    def det3(a: String, b: String, c: String, d: String, e: String,
+        f: String, g: String, h: String, i: String): org.apache.spark.sql.Column =
+      col(a) * (col(e) * col(i) - col(f) * col(h)) -
+        col(b) * (col(d) * col(i) - col(f) * col(g)) +
+        col(c) * (col(d) * col(h) - col(e) * col(g))
+    solved
+      .withColumn("det", det3("a", "b", "c", "d", "e", "f", "g", "h", "i"))
+      .withColumn("beta0",
+        det3("r0", "b", "c", "r1", "e", "f", "r2", "h", "i") / col("det"))
+      .withColumn("beta1",
+        det3("a", "r0", "c", "d", "r1", "f", "g", "r2", "i") / col("det"))
+      .withColumn("beta2",
+        det3("a", "b", "r0", "d", "e", "r1", "g", "h", "r2") / col("det"))
+      .select(col("n"), col("beta0"), col("beta1"), col("beta2"))
+  }
+
+  /** Herfindahl-Hirschman concentration index per region: Σ share²
+    * of nation revenue within each region — the market-concentration
+    * audit (HHI > 0.25 ⇒ concentrated). Shares are computed FIRST as
+    * bounded ppm integers (≤ 1e6), then squared — raw-revenue squares
+    * overflow int64 at scale (caught by the sf0.1 gate); bounded
+    * shares never can, at any corpus size. Pure integer end-to-end.
+    * Broadcast-dim star join, 25-row agg, broadcast region totals. */
+  private[graft] def qHhi(s: SparkSession, dir: String): DataFrame = {
+    val nationRev = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) div 100000")
+        .as("rev_k"))
+      .localCheckpoint(eager = false)
+    val totals = nationRev.groupBy(col("r_name"))
+      .agg(sum(col("rev_k")).as("total_k"))
+    nationRev.join(broadcast(totals), "r_name")
+      .withColumn("share_ppm", expr("rev_k * 1000000 div total_k"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        max(col("total_k")).as("total_k"),
+        sum(col("share_ppm") * col("share_ppm")).as("sum_sq_ppm"),
+        max(col("share_ppm")).as("top_share_ppm"))
+      .withColumn("hhi_ppm", expr("sum_sq_ppm div 1000000"))
+      .select(col("r_name"), col("n_nations"), col("total_k"),
+        col("hhi_ppm"), col("top_share_ppm"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Iterative proportional fitting (raking) of the priority×region
+    * contingency table to uniform target margins — the survey-
+    * weighting primitive that reweights a skewed sample to known
+    * population margins. Two full IPF rounds (priority-scale,
+    * region-scale, twice); each scale step multiplies by an integer
+    * ppm factor (target·1e6 div margin-sum), so every weight stays an
+    * exact int64 at any corpus size. All four margin windows run
+    * over the 25-CELL table (bounded by category cardinality, not
+    * data) after ONE counting shuffle. */
+  private[graft] def qIpf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("o_orderpriority"), col("r_name"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val tot = cells.agg(sum(col("n")).as("total"))
+    def scaleBy(df: DataFrame, dim: String): DataFrame = df
+      .withColumn("msum", sum(col("w")).over(Window.partitionBy(col(dim))))
+      .withColumn("w", expr("w * (target_w * 1000000 div msum) div 1000000"))
+      .drop("msum")
+    val w0 = cells.crossJoin(broadcast(tot))
+      .withColumn("target_w", expr("(total div 5) * 1000000"))
+      .withColumn("w", col("n") * lit(1000000L))
+    val fitted = scaleBy(scaleBy(scaleBy(scaleBy(
+      w0, "o_orderpriority"), "r_name"), "o_orderpriority"), "r_name")
+    fitted
+      .select(col("o_orderpriority"), col("r_name"), col("n"),
+        col("w").as("w_ppm"))
+      .orderBy(col("o_orderpriority"), col("r_name"))
+  }
+
+  /** Consistent-hashing ring balance audit: 8 physical nodes × 32
+    * vnodes on an md5 ring, every customer key assigned to its
+    * clockwise successor (wraparound via coalesce-to-min) — the
+    * shard-rebalance primitive, audited for load skew. The ring is a
+    * 256-long SORTED ARRAY broadcast to every key row, so assignment
+    * is a pure per-row array_min(filter(...)) expression — zero
+    * explosion, zero shuffle until the 8-row count; the vnode→node
+    * resolve is a broadcast join on the chosen ring position. */
+  private[graft] def qConsistentHash(s: SparkSession, dir: String): DataFrame = {
+    val vnodes = s.range(256)
+      .select(expr("id div 32").as("pnode"),
+        conv(substring(md5(concat(lit("ring|"), col("id").cast("string"))
+          .cast("binary")), 1, 12), 16, 10).cast("long").as("vhash"))
+      .localCheckpoint(eager = false)
+    val ring = vnodes.agg(array_sort(collect_list(col("vhash"))).as("varr"))
+    val keys = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        conv(substring(md5(concat(lit("key|"), col("c_custkey").cast("string"))
+          .cast("binary")), 1, 12), 16, 10).cast("long").as("khash"))
+      .localCheckpoint(eager = false)
+    val assigned = keys.crossJoin(broadcast(ring))
+      .withColumn("ahash", coalesce(
+        array_min(filter(col("varr"), x => x >= col("khash"))),
+        array_min(col("varr"))))
+    assigned.join(broadcast(vnodes), col("ahash") === col("vhash"))
+      .groupBy(col("pnode"))
+      .agg(count(lit(1)).as("n_keys"))
+      .crossJoin(broadcast(keys.agg(count(lit(1)).as("total"))))
+      .withColumn("share_ppm", expr("n_keys * 1000000 div total"))
+      .select(col("pnode"), col("n_keys"), col("share_ppm"))
+      .orderBy(col("pnode"))
+  }
+
+  /** Quantile normalization of per-nation order values onto the
+    * global distribution — the batch-effect remover (map every
+    * cohort's rank-r value to the global value at the same relative
+    * rank) that makes cross-cohort features comparable before
+    * training. Both rankings ride the two-pass scalable grouped
+    * rank; the target index is exact integer arithmetic
+    * (r·N div n_g); the remap is an equi-join on the global rank.
+    * Emits per-nation exact sums/extremes of the normalized cents. */
+  private[graft] def qQuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val vals = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey").as("ok"),
+        Analytics.cents(col("o_totalprice")).as("v"))
+      .localCheckpoint(eager = false)
+    val natR = graft.ops.ScalablePrefix.groupedRank(s,
+      vals.select(col("n_name"), col("v").cast("double").as("ord"), col("ok")),
+      "n_name", "ord", "ok", 32)
+    val natN = natR.groupBy(col("n_name")).agg(max(col("rnk")).as("n_g"))
+    val globR = graft.ops.ScalablePrefix.groupedRank(s,
+      vals.select(lit("all").as("g"), col("v").cast("double").as("ord"),
+        col("ok")),
+      "g", "ord", "ok", 32)
+      .localCheckpoint(eager = false)
+    val totN = globR.agg(max(col("rnk")).as("n_tot"))
+    natR.join(broadcast(natN), "n_name").crossJoin(broadcast(totN))
+      .withColumn("target_rank", expr("rnk * n_tot div n_g"))
+      .join(globR.select(col("rnk").as("target_rank"),
+        col("ord").cast("long").as("norm_cents")), "target_rank")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("norm_cents")).as("sum_norm_cents"),
+        min(col("norm_cents")).as("min_norm_cents"),
+        max(col("norm_cents")).as("max_norm_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Customer spend-decile transition matrix 1996→1998 — the
+    * mobility/churn table ("do top-decile customers stay top-
+    * decile?") behind every LTV model. Each year's deciles come from
+    * the two-pass scalable grouped rank (year = rank group, so both
+    * years rank in ONE pass); the matrix is a count over the joined
+    * decile pairs. Pure integers end-to-end. */
+  private[graft] def qDecileMatrix(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 1998))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_custkey"))
+      .agg(sum(Analytics.cents(col("o_totalprice"))).as("c"))
+      .localCheckpoint(eager = false)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      spend.select(col("yr").cast("string").as("g"),
+        col("c").cast("double").as("ord"), col("o_custkey")),
+      "g", "ord", "o_custkey", 32)
+    val n = ranked.groupBy(col("g")).agg(max(col("rnk")).as("n"))
+    val deciled = ranked.join(broadcast(n), "g")
+      .withColumn("dec", expr("(rnk - 1) * 10 div n + 1"))
+      .select(col("g"), col("o_custkey"), col("dec"))
+      .localCheckpoint(eager = false)
+    deciled.filter(col("g") === "1996")
+      .select(col("o_custkey"), col("dec").as("d96"))
+      .join(deciled.filter(col("g") === "1998")
+        .select(col("o_custkey"), col("dec").as("d98")), "o_custkey")
+      .groupBy(col("d96"), col("d98"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("d96"), col("d98"))
+  }
+
+  /** Inter-purchase gap statistics per nation: lag-gap days per
+    * customer (the natural, scalable per-customer window — millions
+    * of small partitions), then the nation-level lower median and
+    * nearest-rank p90 BOTH from the two-pass grouped rank. The
+    * re-engagement metric ("how long until a customer usually comes
+    * back") with robust quantiles instead of a skew-fragile mean. */
+  private[graft] def qPurchaseGaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("day"))
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey").as("ok"), col("gap"))
+      .localCheckpoint(eager = false)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      gaps.select(col("n_name"), col("gap").cast("double").as("ord"),
+        col("ok")),
+      "n_name", "ord", "ok", 32)
+    val n = ranked.groupBy(col("n_name")).agg(max(col("rnk")).as("n_gaps"))
+    ranked.join(broadcast(n), "n_name")
+      .filter(col("rnk") === expr("(n_gaps + 1) div 2") ||
+        col("rnk") === expr("(9 * n_gaps + 9) div 10"))
+      .groupBy(col("n_name"))
+      .agg(max(col("n_gaps")).as("n_gaps"),
+        min(col("ord")).cast("long").as("median_days"),
+        max(col("ord")).cast("long").as("p90_days"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Cohen's d + Hedges' g effect size (URGENT vs LOW order values) —
+    * the magnitude companion to q_mann_whitney's significance: a
+    * fleet-scale test can make a trivial difference "significant";
+    * d says whether it matters. Six exact integer moments (dollar
+    * grain keeps squares in int64 at any scale) from one scan; both
+    * standardized effects are fixed double trees over those longs. */
+  private[graft] def qEffectSize(s: SparkSession, dir: String): DataFrame = {
+    val agg0 = t(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority").as("grp"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100").as("v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("ss"))
+      .groupBy()
+      .agg(max(when(col("grp") === "1-URGENT", col("n"))).as("n1"),
+        max(when(col("grp") === "1-URGENT", col("sv"))).as("s1"),
+        max(when(col("grp") === "1-URGENT", col("ss"))).as("ss1"),
+        max(when(col("grp") === "5-LOW", col("n"))).as("n2"),
+        max(when(col("grp") === "5-LOW", col("sv"))).as("s2"),
+        max(when(col("grp") === "5-LOW", col("ss"))).as("ss2"))
+    val n1D = col("n1").cast("double"); val n2D = col("n2").cast("double")
+    val v1 = (n1D * col("ss1").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double")) /
+      (n1D * (n1D - lit(1.0)))
+    val v2 = (n2D * col("ss2").cast("double") -
+      col("s2").cast("double") * col("s2").cast("double")) /
+      (n2D * (n2D - lit(1.0)))
+    val sp = sqrt(((n1D - lit(1.0)) * v1 + (n2D - lit(1.0)) * v2) /
+      (n1D + n2D - lit(2.0)))
+    val d = (col("s1").cast("double") / n1D -
+      col("s2").cast("double") / n2D) / sp
+    agg0
+      .withColumn("cohen_d", d)
+      .withColumn("hedges_g",
+        d * (lit(1.0) - lit(3.0) / (lit(4.0) * (n1D + n2D) - lit(9.0))))
+      .select(col("n1"), col("n2"), col("cohen_d"), col("hedges_g"))
+  }
+
+  /** DAU/MAU stickiness per 30-day window over the event stream —
+    * the engagement ratio every product dashboard leads with. Two
+    * distinct-count shuffles (per-day and per-window uniques — the
+    * exact formulation; at 100 TB the HLL sketches from
+    * q_hll_rollup swap in mergeably), then one integer ppm ratio
+    * over the bounded window domain. */
+  private[graft] def qStickiness(s: SparkSession, dir: String): DataFrame = {
+    val days = events(s, dir)
+      .select(col("user_id"),
+        expr("(ts div 1000000000) div 86400").as("day"))
+      .withColumn("win", expr("day div 30"))
+    val daily = days.groupBy(col("win"), col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val monthly = days.groupBy(col("win"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    daily.join(monthly, "win")
+      .withColumn("stickiness_ppm",
+        expr("sum_dau * 1000000 div (n_days * mau)"))
+      .select(col("win"), col("n_days"), col("sum_dau"), col("mau"),
+        col("stickiness_ppm"))
+      .orderBy(col("win"))
+  }
+
+  /** Two-step Markov transition matrix over the event stream: P² by
+    * relational matrix multiply on the ppm one-step matrix (join on
+    * the middle state, integer product, one ppm truncation) —
+    * "where will a user be two events from now". The matrix side is
+    * bounded by event-type cardinality, so the multiply is a
+    * broadcast join however big the stream that estimated P was. */
+  private[graft] def qMarkov2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev")).agg(sum(col("n")).as("total"))
+    val p1 = pairs.join(broadcast(totals), "prev")
+      .select(col("prev"), col("next"), expr("n * 1000000 div total").as("p_ppm"))
+      .localCheckpoint(eager = false)
+    p1.as("a").join(broadcast(p1.as("b")), col("a.next") === col("b.prev"))
+      .groupBy(col("a.prev").as("prev"), col("b.next").as("next"))
+      .agg(expr("CAST(sum(a.p_ppm * b.p_ppm) AS BIGINT) div 1000000")
+        .as("p2_ppm"))
+      .orderBy(col("prev"), col("next"))
+  }
+
+  /** Fano factor (variance-to-mean dispersion index) of daily event
+    * volume per event type — the burstiness screen (≈1e6 ppm ⇒
+    * Poisson-like arrivals; ≫1e6 ⇒ bursty, the retry-storm /
+    * scraper-loop signature). Daily counts reduce on the bounded day
+    * domain; Fano = (nΣc²−(Σc)²)·1e6 div ((n−1)·Σc) is exact int64
+    * end-to-end. */
+  private[graft] def qDispersion(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .select(col("event_type"),
+        expr("(ts div 1000000000) div 86400").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .filter(col("n_days") > 1)
+      .withColumn("fano_ppm",
+        expr("(n_days * scc - sc * sc) * 1000000 div ((n_days - 1) * sc)"))
+      .select(col("event_type"), col("n_days"), col("sc").as("n_events"),
+        col("fano_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Laspeyres price index per year (base 1996): how much would the
+    * 1996 basket cost at each year's prices — the inflation measure
+    * that holds quantities fixed so pure price movement is isolated.
+    * Per-(part, year) price aggregates join the broadcast-size base
+    * basket; p_y·q₀ uses the two-step integer division (cents_y·q₀
+    * div qty_y) so everything stays exact int64; p₀·q₀ collapses to
+    * the base cents identically. */
+  private[graft] def qLaspeyres(s: SparkSession, dir: String): DataFrame = {
+    val py = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), year(col("l_shipdate")).cast("long").as("yr"))
+      .agg(sum(Analytics.cents(col("l_extendedprice"))).as("cents"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .localCheckpoint(eager = false)
+    val base = py.filter(col("yr") === 1996)
+      .select(col("l_partkey"), col("cents").as("cents0"),
+        col("qty").as("q0"))
+    py.join(base, "l_partkey")
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(expr("cents * q0 div qty")).as("numer"),
+        sum(col("cents0")).as("denom"))
+      .withColumn("index_ppm", expr("numer * 1000000 div denom"))
+      .select(col("yr"), col("n_parts"), col("index_ppm"))
+      .orderBy(col("yr"))
+  }
+
+  /** FIFO lot matching as a cumulative-interval self-join: per part,
+    * returned units consume non-returned units in ship-date order —
+    * the inventory-costing / queue-settlement primitive (payments
+    * against invoices, consumption against lots) expressed purely
+    * relationally. Each side gets [cum_start, cum_end) unit intervals
+    * from a per-part window (millions of small partitions — scalable);
+    * matches are the interval-overlap join within the part, matched
+    * units = exact integer overlap length. The invariant
+    * Σmatched = min(total_in, total_out) per part ships in the
+    * output, so the oracle re-proves the algorithm, not just the
+    * numbers. */
+  private[graft] def qFifoMatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 50 === 0)
+      .select(col("l_partkey").as("pk"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_shipdate").as("sd"),
+        col("l_quantity").cast("long").as("qty"),
+        (col("l_returnflag") === "R").as("is_out"))
+      .localCheckpoint(eager = false)
+    def ranges(outFlag: Boolean): DataFrame = {
+      val w = Window.partitionBy(col("pk")).orderBy(col("sd"), col("ok"),
+        col("ln")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.filter(col("is_out") === outFlag)
+        .withColumn("cum_end", sum(col("qty")).over(w))
+        .withColumn("cum_start", col("cum_end") - col("qty"))
+        .select(col("pk"), col("cum_start"), col("cum_end"))
+    }
+    val ins = ranges(outFlag = false)
+    val outs = ranges(outFlag = true)
+    val matched = ins.as("i").join(outs.as("o"),
+        col("i.pk") === col("o.pk") &&
+          col("i.cum_start") < col("o.cum_end") &&
+          col("o.cum_start") < col("i.cum_end"))
+      .select(col("i.pk").as("pk"),
+        (least(col("i.cum_end"), col("o.cum_end")) -
+          greatest(col("i.cum_start"), col("o.cum_start"))).as("m"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("m")).as("matched_qty"))
+    val totals = li.groupBy(col("pk"))
+      .agg(sum(when(!col("is_out"), col("qty")).otherwise(0L)).as("total_in"),
+        sum(when(col("is_out"), col("qty")).otherwise(0L)).as("total_out"))
+    totals.join(matched, Seq("pk"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("matched_qty", coalesce(col("matched_qty"), lit(0L)))
+      .withColumn("fifo_ok",
+        col("matched_qty") === least(col("total_in"), col("total_out")))
+      .select(col("pk"), col("total_in"), col("total_out"), col("n_pairs"),
+        col("matched_qty"), col("fifo_ok"))
+      .orderBy(col("pk"))
+  }
+
+  /** Customer-base overlap between consecutive years: overlap
+    * coefficient |A∩B|/min(|A|,|B|) and Jaccard per year pair — the
+    * set-similarity audit on SETS AS TABLES (no sketches, exact).
+    * Distinct (customer, year) pairs reduce map-side; the pair join
+    * is keyed on customer so intersections never materialize the
+    * year-pair cross product. */
+  private[graft] def qYearOverlap(s: SparkSession, dir: String): DataFrame = {
+    val cy = t(s, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sizes = cy.groupBy(col("yr")).agg(count(lit(1)).as("n"))
+    val inter = cy.as("a").join(cy.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") && col("a.yr") < col("b.yr"))
+      .groupBy(col("a.yr").as("y1"), col("b.yr").as("y2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("yr").as("y1"), col("n").as("n1"))), "y1")
+      .join(broadcast(sizes.select(col("yr").as("y2"), col("n").as("n2"))), "y2")
+      .withColumn("overlap_ppm", expr("inter * 1000000 div least(n1, n2)"))
+      .withColumn("jaccard_ppm", expr("inter * 1000000 div (n1 + n2 - inter)"))
+      .select(col("y1"), col("y2"), col("n1"), col("n2"), col("inter"),
+        col("overlap_ppm"), col("jaccard_ppm"))
+      .orderBy(col("y1"), col("y2"))
+  }
+
+  /** Wald-Wolfowitz runs test on daily revenue vs its median — "is
+    * the above/below-median sequence random, or does the series
+    * trend/mean-revert?" Daily totals collapse onto the bounded day
+    * domain; the median comes from the scalable grouped rank; the
+    * runs count is one lag over the day-domain (window bounded by
+    * calendar days, not data); E[R], Var[R], and z are fixed double
+    * trees over exact counts. */
+  private[graft] def qRunsTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(sum(Analytics.cents(col("o_totalprice"))).as("v"))
+      .localCheckpoint(eager = false)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      daily.select(lit("all").as("g"), col("v").cast("double").as("ord"),
+        col("day")),
+      "g", "ord", "day", 32)
+    val med = ranked.crossJoin(broadcast(ranked.agg(max(col("rnk")).as("n"))))
+      .filter(col("rnk") === expr("(n + 1) div 2"))
+      .select(col("ord").cast("long").as("med"))
+    val signs = daily.crossJoin(broadcast(med))
+      .withColumn("above", col("v") > col("med"))
+      .withColumn("flip",
+        when(col("above") =!= lag(col("above"), 1)
+          .over(Window.orderBy(col("day"))), 1L).otherwise(0L))
+    val agg0 = signs.agg(
+      sum(when(col("above"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("above"), 1L).otherwise(0L)).as("n2"),
+      (sum(col("flip")) + 1L).as("runs"))
+    val n1D = col("n1").cast("double"); val n2D = col("n2").cast("double")
+    val eR = lit(1.0) + lit(2.0) * n1D * n2D / (n1D + n2D)
+    val vR = (lit(2.0) * n1D * n2D * (lit(2.0) * n1D * n2D - n1D - n2D)) /
+      ((n1D + n2D) * (n1D + n2D) * (n1D + n2D - lit(1.0)))
+    agg0
+      .withColumn("z", (col("runs").cast("double") - eR) / sqrt(vR))
+      .select(col("n1"), col("n2"), col("runs"), col("z"))
+  }
+
+  /** Shewhart p-chart of the weekly return rate: per-week control
+    * limits p̄ ± 3√(p̄(1−p̄)/n_w) — the SPC view that catches a week
+    * whose defect rate left the band (q_cusum finds mean SHIFTS;
+    * the p-chart flags individual excursions, sample-size-aware).
+    * Counts reduce onto the bounded week domain; limits are fixed
+    * IEEE trees (√ correctly rounded) over exact counts; the flag
+    * compares engine-identical doubles. */
+  private[graft] def qPchart(s: SparkSession, dir: String): DataFrame = {
+    val weekly = t(s, dir, "lineitem")
+      .groupBy(expr("CAST(datediff(l_shipdate, DATE '1995-01-01') AS BIGINT) div 7")
+        .as("week"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("d"))
+      .localCheckpoint(eager = false)
+    val tot = weekly.agg(sum(col("n")).as("nn"), sum(col("d")).as("dd"))
+    val pbar = col("dd").cast("double") / col("nn").cast("double")
+    val nD = col("n").cast("double")
+    val half = lit(3.0) * sqrt(pbar * (lit(1.0) - pbar) / nD)
+    weekly.crossJoin(broadcast(tot))
+      .withColumn("rate_ppm", expr("d * 1000000 div n"))
+      .withColumn("lcl", greatest(lit(0.0), pbar - half))
+      .withColumn("ucl", pbar + half)
+      .withColumn("out_of_control",
+        col("d").cast("double") / nD < col("lcl") ||
+          col("d").cast("double") / nD > col("ucl"))
+      .select(col("week"), col("n"), col("d"), col("rate_ppm"),
+        col("lcl"), col("ucl"), col("out_of_control"))
+      .orderBy(col("week"))
+  }
+
+  /** Item-item recommendation table from co-purchase counts: squared
+    * cosine c_ij²·1e6/(c_i·c_j) (ranking-equivalent to cosine, pure
+    * integer) and top-3 neighbors per item via the bounded per-
+    * stratum heap — the classic "customers also bought" artifact.
+    * Pair counts come from the order-key join (never all-pairs);
+    * item marginals ride back broadcast-size. */
+  private[graft] def qItemRecs(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint(eager = false)
+    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+      .agg(count(lit(1)).as("cij"))
+    val scored = pairs
+      .join(broadcast(freq.select(col("l_partkey").as("i"), col("cnt").as("ci"))), "i")
+      .join(broadcast(freq.select(col("l_partkey").as("j"), col("cnt").as("cj"))), "j")
+      .withColumn("sim2_ppm", expr("cij * cij * 1000000 div (ci * cj)"))
+    val keyed = scored.select(col("i"), col("j"),
+      concat(lpad((lit(1000000L) - col("sim2_ppm")).cast("string"), 9, "0"),
+        lit("-"), lpad(col("j").cast("string"), 12, "0")).as("k"))
+    graft.ops.Sampling.stratifiedTopN(s, keyed
+        .select(col("i").as("stratum"), col("k"), col("j")),
+      "stratum", "k", "j", n = 3)
+      .select(col("stratum").cast("long").as("i"), col("rn"),
+        col("j").as("rec"))
+      .join(scored.select(col("i"), col("j").as("rec"), col("sim2_ppm")),
+        Seq("i", "rec"))
+      .select(col("i"), col("rn"), col("rec"), col("sim2_ppm"))
+      .orderBy(col("i"), col("rn"))
+  }
+
+  /** Optimal single changepoint in daily revenue by exact SSE
+    * minimization: split t maximizes S₁²/n₁ + S₂²/n₂ (equivalent to
+    * min-SSE) computed from prefix sums over the bounded day domain —
+    * the principled upgrade over q_cusum's heuristic screen.
+    * Thousand-dollar grain keeps every squared sum below 2⁵³ (exact
+    * in IEEE), so the score is two correctly-rounded divisions and
+    * one add of exact values — bit-identical in any engine; the
+    * argmax is a rank-1 row_number over the day domain. */
+  private[graft] def qBreakpoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) div 100000")
+        .as("v"))
+      .localCheckpoint(eager = false)
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val scored = daily
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .withColumn("s1", sum(col("v")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("t") < col("n"))
+      .withColumn("score",
+        (col("s1") * col("s1")).cast("double") / col("t").cast("double") +
+          ((col("s") - col("s1")) * (col("s") - col("s1"))).cast("double") /
+            (col("n") - col("t")).cast("double"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .withColumn("mean_before_k", expr("s1 div t"))
+      .withColumn("mean_after_k", expr("(s - s1) div (n - t)"))
+      .select(col("day").as("split_day"), col("t").as("n_before"),
+        (col("n") - col("t")).as("n_after"), col("mean_before_k"),
+        col("mean_after_k"), col("score"))
+  }
+
+  /** Kruskal-Wallis H: does order value differ across ALL five
+    * priorities at once — the k-sample extension of q_mann_whitney
+    * (running 10 pairwise U tests inflates false positives; H is the
+    * one-shot answer). Combined midranks ride the scalable global
+    * rank; per-group rank sums pivot into ONE row so H and its tie
+    * correction are fixed double trees — never a double sum over
+    * group rows. */
+  private[graft] def qKruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val sample = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_orderpriority").as("grp"),
+        Analytics.cents(col("o_totalprice")).as("v"))
+      .localCheckpoint(eager = false)
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      sample.select(lit("all").as("g"), col("v").cast("double").as("ord"),
+        col("ok")),
+      "g", "ord", "ok", 32)
+    val ties = ranked.groupBy(col("ord"))
+      .agg((min(col("rnk")) + max(col("rnk"))).as("mr2"),
+        count(lit(1)).as("t"))
+      .localCheckpoint(eager = false)
+    val tieTerm = ties.agg(
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    val perGroup = ranked.select(col("ok"), col("ord"))
+      .join(ties.select(col("ord"), col("mr2")), "ord")
+      .join(sample.select(col("ok"), col("grp")), "ok")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("mr2")).as("r2"))
+    val wideCols = priorities.zipWithIndex.flatMap { case (p, i) =>
+      Seq(max(when(col("grp") === p, col("n"))).as(s"n$i"),
+        max(when(col("grp") === p, col("r2"))).as(s"r$i"))
+    }
+    val wide = perGroup.groupBy().agg(wideCols.head, wideCols.tail: _*)
+    def sumTerm: org.apache.spark.sql.Column =
+      (0 to 4).map { i =>
+        (col(s"r$i").cast("double") * col(s"r$i").cast("double")) /
+          col(s"n$i").cast("double")
+      }.reduce(_ + _)
+    val nTot = (0 to 4).map(i => col(s"n$i")).reduce(_ + _)
+    wide.crossJoin(broadcast(tieTerm))
+      .withColumn("n_total", nTot)
+      .withColumn("h_raw",
+        lit(3.0) * sumTerm /
+          (col("n_total").cast("double") * (col("n_total") + 1L).cast("double")) -
+          lit(3.0) * (col("n_total") + 1L).cast("double"))
+      .withColumn("h",
+        col("h_raw") / (lit(1.0) - col("tie3").cast("double") /
+          (col("n_total").cast("double") * col("n_total").cast("double") *
+            col("n_total").cast("double") - col("n_total").cast("double"))))
+      .select(col("n_total"), col("tie3"), col("h_raw"), col("h"))
+  }
+
+  /** Partial correlation of basket size and order value CONTROLLING
+    * for total quantity — "does line-count predict spend beyond what
+    * quantity already explains?" The confounder-aware upgrade over
+    * q_stats_moments' raw correlation. One pass collects 10 exact
+    * moments into one row; all three Pearson r's and the partial are
+    * fixed double trees (products computed in double where n·Σz²
+    * would leave int64). */
+  private[graft] def qPartialCorr(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("x"),
+        sum(col("l_quantity").cast("long")).as("y"))
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100")
+              .as("z")),
+        col("l_orderkey") === col("o_orderkey"))
+    val m = perOrder.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"), sum(col("y") * col("z")).as("syz"))
+    def r(sab: String, sa: String, sb: String, saa: String,
+        sbb: String): org.apache.spark.sql.Column = {
+      val nD = col("n").cast("double")
+      (nD * col(sab).cast("double") - col(sa).cast("double") * col(sb).cast("double")) /
+        (sqrt(nD * col(saa).cast("double") - col(sa).cast("double") * col(sa).cast("double")) *
+          sqrt(nD * col(sbb).cast("double") - col(sb).cast("double") * col(sb).cast("double")))
+    }
+    m.withColumn("r_xz", r("sxz", "sx", "sz", "sxx", "szz"))
+      .withColumn("r_yz", r("syz", "sy", "sz", "syy", "szz"))
+      .withColumn("r_xy", r("sxy", "sx", "sy", "sxx", "syy"))
+      .withColumn("r_xz_given_y",
+        (col("r_xz") - col("r_xy") * col("r_yz")) /
+          (sqrt(lit(1.0) - col("r_xy") * col("r_xy")) *
+            sqrt(lit(1.0) - col("r_yz") * col("r_yz"))))
+      .select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"),
+        col("r_xz_given_y"))
+  }
+
+  /** Shift-share decomposition of nation revenue growth 1996→2000:
+    * Δ = national effect + regional-mix effect + competitive shift —
+    * the standard regional-economics attribution ("did this nation
+    * grow because everything grew, because its region grew, or
+    * because it outperformed its region?"). Growth rates are exact
+    * ppm integers; effects apply rates at dollar grain so every
+    * product stays in int64 at any corpus size. */
+  private[graft] def qShiftShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 2000))
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        expr("CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) div 100")
+          .as("d1"),
+        expr("CAST(sum(CASE WHEN year(o_orderdate) = 2000 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) div 100")
+          .as("d2"))
+      .localCheckpoint(eager = false)
+    val regional = rev.groupBy(col("r_name"))
+      .agg(sum(col("d1")).as("rr1"), sum(col("d2")).as("rr2"))
+    val national = rev.agg(sum(col("d1")).as("t1"), sum(col("d2")).as("t2"))
+    rev.filter(col("d1") > 0)
+      .join(broadcast(regional), "r_name")
+      .crossJoin(broadcast(national))
+      .withColumn("g_nat_ppm", expr("(t2 - t1) * 1000000 div t1"))
+      .withColumn("g_reg_ppm", expr("(rr2 - rr1) * 1000000 div rr1"))
+      .withColumn("g_own_ppm", expr("(d2 - d1) * 1000000 div d1"))
+      .withColumn("national_eff", expr("d1 * g_nat_ppm div 1000000"))
+      .withColumn("mix_eff", expr("d1 * (g_reg_ppm - g_nat_ppm) div 1000000"))
+      .withColumn("competitive_eff",
+        expr("d1 * (g_own_ppm - g_reg_ppm) div 1000000"))
+      .select(col("r_name"), col("n_name"), col("d1"), col("d2"),
+        col("g_own_ppm"), col("national_eff"), col("mix_eff"),
+        col("competitive_eff"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Quartile coefficient of dispersion (Q3−Q1)/(Q3+Q1) of line
+    * price per brand — the scale-free robust spread measure that
+    * lets a $10 part family and a $10k family be compared on one
+    * axis (stddev can't; IQR isn't scale-free). Nearest-rank
+    * quartiles from the two-pass grouped rank; QCD is exact ppm. */
+  private[graft] def qQcd(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        (col("l_orderkey") * 10L + col("l_linenumber").cast("long")).as("lk"),
+        Analytics.cents(col("l_extendedprice")).as("v"))
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      li.select(col("p_brand"), col("v").cast("double").as("ord"), col("lk")),
+      "p_brand", "ord", "lk", 32)
+      .localCheckpoint(eager = false)
+    val n = ranked.groupBy(col("p_brand")).agg(max(col("rnk")).as("n"))
+    ranked.join(broadcast(n
+        .withColumn("q1_rank", expr("(n + 3) div 4"))
+        .withColumn("q3_rank", expr("(3 * n + 3) div 4"))), "p_brand")
+      .filter(col("rnk") === col("q1_rank") || col("rnk") === col("q3_rank"))
+      .groupBy(col("p_brand"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rnk") === col("q1_rank"), col("ord"))).cast("long")
+          .as("q1_cents"),
+        max(when(col("rnk") === col("q3_rank"), col("ord"))).cast("long")
+          .as("q3_cents"))
+      .withColumn("qcd_ppm",
+        expr("(q3_cents - q1_cents) * 1000000 div (q3_cents + q1_cents)"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Odds ratio of a return given URGENT priority, with the 95%
+    * log-normal CI — the 2×2 epidemiology statistic (how much more
+    * likely is a return on urgent lines?). Cell counts are exact
+    * longs from one scan; OR in exact ppm via two-step integer
+    * division; the CI is the only double stage (ln + the Woolf SE),
+    * shipped as micro-log-units per the q_entropy convention. */
+  private[graft] def qOddsRatio(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_orderpriority") === "1-URGENT").as("urgent")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(
+        sum(when(col("urgent") && col("l_returnflag") === "R", 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("urgent") && col("l_returnflag") =!= "R", 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(!col("urgent") && col("l_returnflag") === "R", 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(!col("urgent") && col("l_returnflag") =!= "R", 1L)
+          .otherwise(0L)).as("d"))
+    val lnOr = log((col("a") * col("d")).cast("double") /
+      (col("b") * col("c")).cast("double"))
+    val se = sqrt(lit(1.0) / col("a").cast("double") +
+      lit(1.0) / col("b").cast("double") +
+      lit(1.0) / col("c").cast("double") +
+      lit(1.0) / col("d").cast("double"))
+    cells
+      .withColumn("or_ppm", expr("(a * 1000000 div b) * d div c"))
+      .withColumn("ln_or_lo_micro",
+        floor((lnOr - lit(1.96) * se) * 1000000 + 0.5).cast("long"))
+      .withColumn("ln_or_hi_micro",
+        floor((lnOr + lit(1.96) * se) * 1000000 + 0.5).cast("long"))
+      .select(col("a"), col("b"), col("c"), col("d"), col("or_ppm"),
+        col("ln_or_lo_micro"), col("ln_or_hi_micro"))
+  }
+
+  private[graft] def qNestedNotIn(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(nestedNotInText)
+  }
+
+  private[graft] def qLateSuppliers(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(lateSuppliersText)
+  }
+
+  // ---- TPC-H completion sweep ---------------------------------------
+  // The remaining classic TPC-H shapes not yet in the catalog, each as
+  // ONE shared SQL text executed verbatim by spark.sql AND the DuckDB
+  // oracle. The testdata schema has no partsupp / l_shipmode / c_phone
+  // columns (TESTDATA.md), so Q2/Q11/Q20 (partsupp-anchored) are out of
+  // reach and Q9/Q22 substitute documented proxies (p_retailprice as
+  // unit cost; mktsegment for the phone country code). Money stays in
+  // exact integer cents until the final division — the determinism
+  // policy at the top of this file.
+
+  private[graft] def qVolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(volumeShippingText)
+  }
+
+  private[graft] def qProductProfit(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(productProfitText)
+  }
+
+  private[graft] def qCustDist(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(custDistText)
+  }
+
+  private[graft] def qPromoShare(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(promoShareText)
+  }
+
+  private[graft] def qTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(topSupplierText)
+  }
+
+  private[graft] def qBigOrders(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(bigOrdersText)
+  }
+
+  private[graft] def qForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(forecastRevenueText)
+  }
+
+  private[graft] def qIdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(idleCustomersText)
+  }
+
+  private[graft] def qNtileDist(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(ntileDistText)
+  }
+
+  private[graft] def qRollupGrouping(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(rollupGroupingText)
+  }
+
+  private[graft] def qAggFilters(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql(aggFiltersText)
+  }
+
+  /** Semi-structured VARIANT surface (Spark 4's open-schema type): a
+    * JSON document assembled per event is parsed ONCE into a variant,
+    * then typed paths are extracted with variant_get — object field,
+    * nested array index, string field, and a deliberately wrong-typed
+    * try_variant_get that must yield NULL instead of failing. The
+    * oracle replays the same extractions with DuckDB's JSON functions,
+    * so the values (not the engine's internal encoding) are what's
+    * certified. schema_of_variant pins Spark's inferred shape. */
+  private[graft] def qVariant(s: SparkSession, dir: String): DataFrame = {
+    val kval = coalesce(get_json_object(col("props"), "$.k"), lit("-1"))
+    val js = concat(
+      lit("{\"u\":"), col("user_id"),
+      lit(",\"t\":\""), col("event_type"),
+      lit("\",\"vals\":["), kval, lit(","), (kval.cast("bigint") * 2).cast("string"),
+      lit("]}"))
+    events(s, dir)
+      .select(col("event_id"), parse_json(js).as("v"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.u', 'bigint')").as("u"),
+        expr("variant_get(v, '$.t', 'string')").as("t"),
+        expr("variant_get(v, '$.vals[1]', 'bigint')").as("k2"),
+        expr("try_variant_get(v, '$.t', 'bigint')").as("t_as_int"),
+        expr("schema_of_variant(v)").as("v_schema"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Event-sequence funnel (signup → click → purchase, each stage
+    * within 24 h of the previous) — the conversion analysis every
+    * event-stream product runs. Spelled as three successive
+    * min-aggregations joined on user_id rather than a per-user sort:
+    * every stage is a shuffle on the natural user_id key with map-side
+    * partial min, so the plan scales with users × stages and never
+    * materializes per-user event lists. Timestamps are integer epoch
+    * seconds end-to-end ([[oracle-bit-parity-policy]]: events.ts is
+    * nanos-as-long). */
+  private[graft] def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("event_type"),
+      expr("ts div 1000000000").as("sec"))
+    val day = 86400L
+    val users = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t_signup"))
+    val s2 = e.join(s1, "user_id")
+      .filter(col("event_type") === "click" &&
+        col("sec") >= col("t_signup") && col("sec") <= col("t_signup") + day)
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t_click"))
+    val s3 = e.join(s2, "user_id")
+      .filter(col("event_type") === "purchase" &&
+        col("sec") >= col("t_click") && col("sec") <= col("t_click") + day)
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t_purchase"))
+    users
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"),
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .when(col("t_signup").isNotNull, 1L)
+          .otherwise(0L).as("stage"),
+        col("t_signup"), col("t_click"), col("t_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The SAME distribution functions as q_ntile_dist, through the
+    * two-pass grouped rank (ops/ScalablePrefix.groupedRank) instead of
+    * a window: `PARTITION BY c_mktsegment` has ~5 distinct values, so
+    * the window form funnels each segment through one task; the
+    * two-pass path range-partitions on (segment, balance, key) and
+    * reassembles ranks from per-(partition, group) counts.
+    * percent_rank/cume_dist/ntile are then pure arithmetic on
+    * (rank, group size) — each a single IEEE division or integer div,
+    * bit-identical to the window definitions in both engines. The
+    * oracle runs the WINDOW formulation: the 100 TB path must produce
+    * the exact rows the one-task form would. */
+  private[graft] def qRankScalable(s: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey")),
+      groupCol = "c_mktsegment", orderCol = "c_acctbal", idCol = "c_custkey",
+      numPartitions = 32)
+    // ntile(b): first (n % b) buckets get (n div b + 1) rows, the rest
+    // (n div b) — positional arithmetic on (rnk, grp_n), guarded for
+    // the degenerate grp_n < b case where the else-divisor is zero
+    val b = 4L
+    ranked
+      .withColumn("q", expr(s"grp_n div $b"))
+      .withColumn("r", col("grp_n") % b)
+      .withColumn("quartile",
+        when(col("rnk") <= col("r") * (col("q") + 1),
+          expr("(rnk - 1) div (q + 1) + 1"))
+          .otherwise(expr("r + (rnk - r * (q + 1) - 1) div q + 1")))
+      .select(col("c_custkey"), col("c_mktsegment"), col("rnk"),
+        when(col("grp_n") > 1,
+          (col("rnk") - 1).cast("double") / (col("grp_n") - 1))
+          .otherwise(lit(0.0)).as("pct_rank"),
+        (col("rnk").cast("double") / col("grp_n")).as("cdist"),
+        col("quartile"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Bloom-filter runtime pruning (ops/BloomPrune.scala): high-balance
+    * supplier keys are compressed into 16 Kbit of bloom words by a
+    * distributed bit_or aggregate, the fact scan is pre-filtered by the
+    * pure-expression membership probe, and the exact broadcast join
+    * then removes bloom false positives — same answer as the plain
+    * semi-join (the oracle), with only the ~matching fraction of
+    * lineitem surviving past the scan. */
+  private[graft] def qBloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+      .filter(col("s_acctbal") > 8000.0)
+      .select(col("s_suppkey"))
+    val bloom = graft.ops.BloomPrune.buildWords(sup, "s_suppkey",
+      numBits = 16384, numHashes = 3)
+    t(s, dir, "lineitem")
+      .filter(graft.ops.BloomPrune.mightContain(bloom, col("l_suppkey")))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(Analytics.cents(col("l_extendedprice"))) / 100.0).as("revenue"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** 2-D skyline (pareto frontier): the cheapest part at every size
+    * where no smaller size is at least as cheap. Skyline is computed
+    * the distributive way — a full groupBy first collapses the fact
+    * table to one row per distinct size (bounded domain), and only that
+    * tiny frontier candidate set flows through the ordered prefix-min
+    * window; the unpartitioned window is over ≤|distinct sizes| rows,
+    * never the raw table. Ties inside a size resolve by the encoded
+    * (price_cents, partkey) pair min — deterministic in both engines.
+    * Encoding capacity: partkey must stay below 1e8 (the pair stride)
+    * and cents below ~9.2e18/1e8 — QueriesSpec asserts the partkey
+    * bound on the verify datasets; a larger catalog needs a wider
+    * stride or a two-column lexicographic min. */
+  private[graft] def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = t(s, dir, "part")
+      .select(col("p_size"),
+        (Analytics.cents(col("p_retailprice")) * 100000000L + col("p_partkey")).as("e"))
+      .groupBy(col("p_size")).agg(min(col("e")).as("enc"))
+      .select(col("p_size").cast("long").as("p_size"),
+        expr("enc div 100000000").as("best_c"),
+        expr("enc % 100000000").as("best_partkey"))
+    val prior = Window.orderBy(col("p_size"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    enc.withColumn("pm", min(col("best_c")).over(prior))
+      .filter(col("pm").isNull || col("best_c") < col("pm"))
+      .select(col("p_size"), (col("best_c") / 100.0).as("best_price"),
+        col("best_partkey"))
+      .orderBy(col("p_size"))
+  }
+
+  /** Deterministic grouped mode: the most frequent order priority per
+    * customer nation, ties broken by the smallest value. Two-level
+    * aggregation — count per (group, value), max-count per group, join
+    * back — whose shuffles carry only the distinct (group, value)
+    * combinations after partial aggregation: no sort, no window, no
+    * per-group funnel. Spark's built-in mode() is tie-nondeterministic,
+    * which can never hash-match an oracle; the composition is the
+    * contract-grade form and scales as O(groups × domain). */
+  private[graft] def qMode(s: SparkSession, dir: String): DataFrame = {
+    // materialize the (group, value) counts ONCE: both the max level
+    // and the join-back read it, and without this the orders⋈customer
+    // join + aggregation lineage executes twice (lazy checkpoint so
+    // plan audits run no job — the qTriangles convention)
+    val cnts = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val mx = cnts.groupBy(col("c_nationkey").as("nk"))
+      .agg(max(col("cnt")).as("mx"))
+    cnts.join(mx, col("c_nationkey") === col("nk") && col("cnt") === col("mx"))
+      .groupBy(col("c_nationkey"))
+      .agg(min(col("o_orderpriority")).as("mode_priority"),
+        max(col("mx")).as("n_orders"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private[graft] def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    def fp(prio: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      md5(concat_ws("|", prio, c).cast("binary"))
+    val (a, b) = orderVersions(s, dir)
+    val vOld = a.select(col("k").as("k_old"), col("c").as("old_c"),
+      fp(col("prio"), col("c")).as("fp_old"))
+    val vNew = b.select(col("k").as("k_new"), col("c").as("new_c"),
+      fp(col("prio"), col("c")).as("fp_new"))
+    vOld.join(vNew, col("k_old") === col("k_new"), "full_outer")
+      .withColumn("change",
+        when(col("k_old").isNull, "insert")
+          .when(col("k_new").isNull, "delete")
+          .when(col("fp_old") =!= col("fp_new"), "update"))
+      .filter(col("change").isNotNull)
+      .select(coalesce(col("k_old"), col("k_new")).as("o_orderkey"),
+        col("change"),
+        (col("old_c") / 100.0).as("old_price"),
+        (col("new_c") / 100.0).as("new_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** 3-D skyline (minimize size, price, name length) over the DISTINCT
+    * dim tuples of part — the >2-D generalization of q_skyline, where
+    * the prefix-min trick alone no longer works. Decomposition:
+    * (1) collapse to distinct dim tuples (one hash agg); (2) per
+    * (size, price) only the min name_len can survive; (3) within each
+    * size, the 2-D skyline via a strict-predecessor RANGE window over
+    * the per-size slice; (4) the surviving candidate set — a superset
+    * of the true skyline by the union-of-local-skylines property, and
+    * tiny (≤ frontier × sizes) — goes through one broadcast dominance
+    * anti-join. No all-pairs pass ever touches the full table. */
+  private[graft] def qSkyline3d(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "part")
+      .select(col("p_size").cast("long").as("size"),
+        Analytics.cents(col("p_retailprice")).as("price_c"),
+        length(col("p_name")).cast("long").as("name_len"),
+        col("p_partkey"))
+      .groupBy(col("size"), col("price_c"), col("name_len"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("rep_partkey"))
+    val perPrice = d
+      .withColumn("m",
+        struct(col("name_len"), col("n_parts"), col("rep_partkey")))
+      .groupBy(col("size"), col("price_c")).agg(min(col("m")).as("m"))
+      .select(col("size"), col("price_c"), col("m.name_len").as("name_len"),
+        col("m.n_parts").as("n_parts"), col("m.rep_partkey").as("rep_partkey"))
+    val prior = Window.partitionBy(col("size")).orderBy(col("price_c"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val cand = perPrice
+      .withColumn("pm", min(col("name_len")).over(prior))
+      .filter(col("pm").isNull || col("name_len") < col("pm"))
+      .drop("pm")
+    val dom = cand.select(col("size").as("bs"), col("price_c").as("bp"),
+      col("name_len").as("bn"))
+    cand.join(broadcast(dom),
+        col("bs") <= col("size") && col("bp") <= col("price_c") &&
+          col("bn") <= col("name_len") &&
+          (col("bs") < col("size") || col("bp") < col("price_c") ||
+            col("bn") < col("name_len")),
+        "left_anti")
+      .select(col("size"), (col("price_c") / 100.0).as("price"),
+        col("name_len"), col("n_parts"), col("rep_partkey"))
+      .orderBy(col("size"), col("price"))
+  }
+
+  private[graft] def warehouse1QueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q_join_revenue_nation" -> (qJoinRevenueNation _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_topk" -> (qTopk _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_lag" -> (qWindowLag _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_union" -> (qUnion _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_event_buckets" -> (qEventBuckets _),
+    "q_asof_last_purchase" -> (qAsofLastPurchase _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_pivot" -> (qPivot _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_quantile_sampled" -> (qQuantileSampled _),
+    "q_hll_distinct" -> (qHllDistinct _),
+    "q_stats_moments" -> (qStatsMoments _),
+    "q_shipping_priority" -> (qShippingPriority _),
+    "q_region_volume" -> (qRegionVolume _),
+    "q_returned_items" -> (qReturnedItems _),
+    "q_bracket_revenue" -> (qBracketRevenue _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_window_funcs" -> (qWindowFuncs _),
+    "q_window_funcs2" -> (qWindowFuncs2 _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_scalar_funcs" -> (qScalarFuncs _),
+    "q_map_funcs" -> (qMapFuncs _),
+    "q_sql_surface" -> (qSqlSurface _),
+    "q_regexp" -> (qRegexp _),
+    "q_union_all" -> (qUnionAll _),
+    "q_collect_set" -> (qCollectSet _),
+    "q_exists_subquery" -> (qExistsSubquery _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_outer_join" -> (qOuterJoin _),
+    "q_scd2" -> (qScd2 _),
+    "q_zorder" -> (qZorder _),
+    "q_salted_join" -> (qSaltedJoin _),
+    "q_bucketed_join" -> (qBucketedJoin _),
+    "q_cms_heavy" -> (qCmsHeavy _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_interval_join" -> (qIntervalJoin _),
+    "q_recursive_cte" -> (qRecursiveCte _),
+    "q_lateral_topk" -> (qLateralTopk _),
+    "q_arg_max" -> (qArgMax _),
+    "q_set_ops_all" -> (qSetOpsAll _),
+    "q_nested_not_in" -> (qNestedNotIn _),
+    "q_late_suppliers" -> (qLateSuppliers _),
+    "q_ntile_dist" -> (qNtileDist _),
+    "q_rank_scalable" -> (qRankScalable _),
+    "q_hll_rollup" -> (qHllRollup _),
+    "q_rollup_grouping" -> (qRollupGrouping _),
+    "q_bit_bool_aggs" -> (qBitBoolAggs _),
+    "q_weighted_mean" -> (qWeightedMean _),
+    "q_listagg" -> (qListagg _),
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_json_roundtrip" -> (qJsonRoundtrip _),
+    "q_agg_filters" -> (qAggFilters _),
+    "q_variant" -> (qVariant _),
+    "q_funnel" -> (qFunnel _),
+    "q_bloom_prune" -> (qBloomPrune _),
+    "q_skyline" -> (qSkyline _),
+    "q_mode" -> (qMode _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_skyline3d" -> (qSkyline3d _),
+    "q_volume_shipping" -> (qVolumeShipping _),
+    "q_product_profit" -> (qProductProfit _),
+    "q_custdist" -> (qCustDist _),
+    "q_promo_share" -> (qPromoShare _),
+    "q_top_supplier" -> (qTopSupplier _),
+    "q_big_orders" -> (qBigOrders _),
+    "q_idle_customers" -> (qIdleCustomers _),
+    "q_kmv_rollup" -> (qKmvRollup _),
+    "q_kmv_jaccard" -> (qKmvJaccard _),
+    "q_asof_native" -> (qAsofNative _),
+    "q_features_asof" -> (qFeaturesAsof _),
+    "q_forecast_revenue" -> (qForecastRevenue _),
+    "q_attribution" -> (qAttribution _),
+    "q_link_pred" -> (qLinkPred _),
+    "q_hits" -> (qHits _),
+    "q_group_split" -> (qGroupSplit _),
+    "q_dq_checks" -> (qDqChecks _),
+    "q_cross_val" -> (qCrossVal _),
+    "q_rfm" -> (qRfm _),
+    "q_lag_features" -> (qLagFeatures _),
+    "q_apportion" -> (qApportion _),
+    "q_psi" -> (qPsi _),
+    "q_local_clustering" -> (qLocalClustering _),
+    "q_ridge" -> (qRidge _),
+    "q_hhi" -> (qHhi _),
+    "q_ipf" -> (qIpf _),
+    "q_consistent_hash" -> (qConsistentHash _),
+    "q_quantile_normalize" -> (qQuantileNormalize _),
+    "q_decile_matrix" -> (qDecileMatrix _),
+    "q_purchase_gaps" -> (qPurchaseGaps _),
+    "q_effect_size" -> (qEffectSize _),
+    "q_stickiness" -> (qStickiness _),
+    "q_markov2" -> (qMarkov2 _),
+    "q_dispersion" -> (qDispersion _),
+    "q_laspeyres" -> (qLaspeyres _),
+    "q_fifo_match" -> (qFifoMatch _),
+    "q_year_overlap" -> (qYearOverlap _),
+    "q_runs_test" -> (qRunsTest _),
+    "q_pchart" -> (qPchart _),
+    "q_item_recs" -> (qItemRecs _),
+    "q_breakpoint" -> (qBreakpoint _),
+    "q_kruskal_wallis" -> (qKruskalWallis _),
+    "q_partial_corr" -> (qPartialCorr _),
+    "q_shift_share" -> (qShiftShare _),
+    "q_qcd" -> (qQcd _),
+    "q_odds_ratio" -> (qOddsRatio _),
+  )
+
+  private[graft] def warehouse1OracleMap: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """WITH f AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+        |    CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT) AS disc_c,
+        |    CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT) AS charge_c
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+        |SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+        |  sum(qty_c) / 100.0 AS sum_qty,
+        |  sum(price_c) / 100.0 AS sum_base_price,
+        |  sum(disc_c) / 10000.0 AS sum_disc_price,
+        |  sum(charge_c) / 1000000.0 AS sum_charge,
+        |  (sum(qty_c) / 100.0) / count(*) AS avg_qty,
+        |  (sum(price_c) / 100.0) / count(*) AS avg_price
+        |FROM f GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_revenue_nation" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS delta
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_union" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |  UNION
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F') t
+        |ORDER BY custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |  INTERSECT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F') t
+        |ORDER BY custkey""".stripMargin,
+    "q_except" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |  EXCEPT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F') t
+        |ORDER BY custkey""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_event_buckets" ->
+      """SELECT (epoch_ns(ts) // 1000000000) // 600 * 600 AS bucket_start,
+        |       event_type, count(*) AS n,
+        |       sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) / 1000.0 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+    "q_asof_last_purchase" ->
+      """SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1,
+        |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2,
+        |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3,
+        |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4,
+        |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_json_extract" ->
+      """SELECT coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  quarter(o_orderdate) AS q,
+        |  month(o_orderdate) AS m,
+        |  dayofmonth(o_orderdate) AS d,
+        |  datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_quantile_sampled" ->
+      """WITH samp AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders
+        |  WHERE CAST('0x' || substr(md5('qtile|' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0)
+        |SELECT o_orderpriority, count(*) AS n_sampled,
+        |  quantile_cont(c, 0.5) / 100.0 AS p50_est,
+        |  quantile_cont(c, 0.95) / 100.0 AS p95_est
+        |FROM samp GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority, o_custkey,
+        |    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM orders),
+        |rh AS (
+        |  SELECT o_orderpriority, h % 64 AS reg,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE CAST(log2(CAST((h // 64) & (-(h // 64)) AS DOUBLE)) AS INT) + 1
+        |    END AS rho
+        |  FROM h),
+        |regs AS (SELECT o_orderpriority, reg, max(rho) AS mrho FROM rh GROUP BY 1, 2),
+        |s AS (
+        |  SELECT o_orderpriority,
+        |    CAST(sum(CAST(1 AS BIGINT) << (55 - mrho)) AS BIGINT) AS t,
+        |    count(*) AS nreg
+        |  FROM regs GROUP BY 1),
+        |d AS (SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct
+        |      FROM orders GROUP BY 1)
+        |SELECT s.o_orderpriority,
+        |  (0.709 * 64 * 64) /
+        |    (CAST(t + (64 - nreg) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)
+        |       / 36028797018963968.0) AS hll_estimate,
+        |  d.exact_distinct
+        |FROM s JOIN d ON s.o_orderpriority = d.o_orderpriority
+        |ORDER BY s.o_orderpriority""".stripMargin,
+
+    // region sketches from raw rows; must equal the engine's
+    // merge-of-nation-sketches bit-for-bit (max-merge invariance),
+    "q_stats_moments" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM (SELECT o_orderstatus,
+        |          CAST(floor(o_totalprice / 10) AS BIGINT) AS x, o_custkey % 30000 AS y
+        |        FROM orders) t
+        |  GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+        |  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS var_pop,
+        |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(n AS DOUBLE)) AS stddev_pop,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
+        |FROM m ORDER BY o_orderstatus""".stripMargin,
+    "q_shipping_priority" ->
+      """SELECT o_orderkey,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
+        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+        |    / 10000.0 AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_region_volume" ->
+      """SELECT n_name,
+        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+        |    / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+        |    / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_bracket_revenue" ->
+      """SELECT count(*) AS n_items,
+        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+        |    / 10000.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25 AND p_size BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35 AND p_size BETWEEN 1 AND 30)""".stripMargin,
+    "q_range_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, epoch_ns(ts) AS ets FROM events)
+        |SELECT purchase_id, count(*) AS n_preceding
+        |FROM p JOIN e ON p.user_id = e.user_id
+        |  AND e.ets >= p.pts - 600000000000 AND e.ets < p.pts
+        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk, quartile, lead_delta
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    ntile(4) OVER w AS quartile,
+        |    lead(o_totalprice) OVER w - o_totalprice AS lead_delta
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey)) x
+        |WHERE rnk <= 5
+        |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+    "q_window_funcs2" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn, pct_rank, cume,
+        |       second_key, first_key, last_key
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    percent_rank() OVER w AS pct_rank,
+        |    cume_dist() OVER w AS cume,
+        |    nth_value(o_orderkey, 2) OVER wf AS second_key,
+        |    first_value(o_orderkey) OVER wf AS first_key,
+        |    last_value(o_orderkey) OVER wf AS last_key
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey),
+        |         wf AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) x
+        |WHERE rn <= 4
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(substr(lower(c_name), 1, 1)) || substr(lower(c_name), 2) AS name_title,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        |  reverse(c_mktsegment) AS seg_rev,
+        |  split_part(c_name, '#', 1) AS name_head,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lowvowel,
+        |  CAST(instr(c_mktsegment, 'I') AS BIGINT) AS i_pos,
+        |  repeat(substr(c_mktsegment, 1, 2), 2) AS seg2x,
+        |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS seg_dist
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS pri_upper,
+        |  lower(o_orderstatus) AS status_lower,
+        |  length(o_orderpriority) AS pri_len,
+        |  substr(o_orderpriority, 1, 1) AS pri_code,
+        |  o_orderstatus || '#' || CAST(o_orderkey AS VARCHAR) AS tag,
+        |  round(o_totalprice) AS price_round,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+        |  abs(o_totalprice - 250000.0) AS price_dist,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_map_funcs" ->
+      """WITH f AS (
+        |  SELECT event_id, event_type, CAST(user_id AS VARCHAR) AS uid,
+        |         coalesce(json_extract_string(props, '$.k'), '-1') AS kval
+        |  FROM events)
+        |SELECT event_id,
+        |  'k,type,uid' AS keys_csv,
+        |  kval || ',' || event_type || ',' || uid AS vals_csv,
+        |  CAST(3 AS BIGINT) AS n_entries,
+        |  CAST(CASE WHEN TRY_CAST(kval AS BIGINT) > 50 THEN 1 ELSE 0 END +
+        |       CASE WHEN TRY_CAST(event_type AS BIGINT) > 50 THEN 1 ELSE 0 END +
+        |       CASE WHEN TRY_CAST(uid AS BIGINT) > 50 THEN 1 ELSE 0 END AS BIGINT) AS n_big,
+        |  CAST(4 AS BIGINT) AS n_concat,
+        |  'k=' || kval || ',type=' || event_type || ',uid=' || uid AS entries_csv
+        |FROM f ORDER BY event_id""".stripMargin,
+    "q_sql_surface" -> sqlSurfaceText,
+    "q_regexp" ->
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '^([0-9])', 1) AS pri_digit,
+        |  regexp_matches(o_orderpriority, '^[1-3]-') AS is_high_pri
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_union_all" ->
+      """SELECT src, count(*) AS n FROM (
+        |  SELECT o_custkey, 'high_value' AS src FROM orders WHERE o_totalprice > 400000
+        |  UNION ALL
+        |  SELECT o_custkey, 'f_status' AS src FROM orders WHERE o_orderstatus = 'F') t
+        |GROUP BY src ORDER BY src""".stripMargin,
+    "q_collect_set" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  CAST(len(list(DISTINCT o_orderstatus)) AS BIGINT) AS n_statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_exists_subquery" -> existsSubqueryText,
+    "q_scalar_subquery" -> scalarSubqueryText,
+    "q_outer_join" ->
+      """WITH bld AS (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |ord AS (
+        |  SELECT o_custkey, count(*) AS n_orders_raw,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_c
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  c_custkey IS NOT NULL AS in_segment,
+        |  CAST(coalesce(n_orders_raw, 0) AS BIGINT) AS n_orders,
+        |  coalesce(spend_c, 0) / CAST(100.0 AS DOUBLE) AS spend
+        |FROM bld FULL JOIN ord ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_scd2" ->
+      """WITH base AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority,
+        |    datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day
+        |  FROM orders WHERE o_custkey % 7 = 0),
+        |eod AS (
+        |  SELECT * FROM (
+        |    SELECT *, lead(day) OVER w AS nxt_day
+        |    FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey))
+        |  WHERE nxt_day IS NULL OR nxt_day <> day),
+        |marked AS (
+        |  SELECT *, lag(o_orderpriority) OVER w AS prev
+        |  FROM eod WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)),
+        |changed AS (SELECT * FROM marked WHERE prev IS NULL OR prev <> o_orderpriority),
+        |versioned AS (
+        |  SELECT o_custkey, o_orderpriority, day AS valid_from,
+        |    row_number() OVER w AS version,
+        |    lead(day) OVER w - 1 AS valid_to_raw
+        |  FROM changed WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey))
+        |SELECT o_custkey, CAST(version AS BIGINT) AS version, o_orderpriority,
+        |  valid_from, coalesce(valid_to_raw, 99999999) AS valid_to,
+        |  valid_to_raw IS NULL AS is_current
+        |FROM versioned ORDER BY o_custkey, version""".stripMargin,
+    "q_zorder" -> {
+      val terms = graft.functions.kernels.zorder2ComposedSql("x", "y")
+      s"""WITH z AS (
+         |  SELECT CAST(p_size AS BIGINT) AS x, p_partkey % 4096 AS y FROM part),
+         |z2 AS (SELECT x, y, CAST($terms AS BIGINT) AS zval FROM z)
+         |SELECT zval // 4096 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+         |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+         |FROM z2 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    / CAST(100.0 AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    / CAST(100.0 AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_cms_heavy" ->
+      """WITH exact AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT d, CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || '|'
+        |        || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS w,
+        |    sum(cnt) AS counter
+        |  FROM exact CROSS JOIN (SELECT unnest([0,1,2]) AS d) ds
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT user_id, cnt FROM exact WHERE user_id % 10 = 0),
+        |est AS (
+        |  SELECT p.user_id, p.cnt, min(c.counter) AS cms_est
+        |  FROM probes p JOIN (SELECT unnest([0,1,2]) AS d) ds ON true
+        |  JOIN cells c ON c.d = ds.d
+        |    AND c.w = CAST(('0x' || substr(md5(CAST(ds.d AS VARCHAR) || '|'
+        |          || CAST(p.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64
+        |  GROUP BY 1, 2)
+        |SELECT user_id, CAST(cnt AS BIGINT) AS exact_count,
+        |  CAST(cms_est AS BIGINT) AS cms_est, cms_est >= cnt AS admissible
+        |FROM est ORDER BY user_id""".stripMargin,
+    "q_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c,
+        |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c,
+        |    sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS sum_disc_fp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT l_returnflag, 'sum_qty_c' AS measure, sum_qty_c AS value FROM agg
+        |  UNION ALL SELECT l_returnflag, 'sum_price_c', sum_price_c FROM agg
+        |  UNION ALL SELECT l_returnflag, 'sum_disc_fp', sum_disc_fp FROM agg)
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "q_interval_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey,
+        |    datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS s,
+        |    datediff('day', TIMESTAMP '1995-01-01', o_orderdate) + 6 AS e,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_custkey % 50 = 0),
+        |promo AS (
+        |  SELECT w, w * 30 AS ps, w * 30 + 9 AS pe
+        |  FROM (SELECT unnest(generate_series(0, 80)) AS w))
+        |SELECT w, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  sum(price_c) / CAST(100.0 AS DOUBLE) AS overlap_spend
+        |FROM promo JOIN iv ON s <= pe AND ps <= e
+        |GROUP BY w ORDER BY w""".stripMargin,
+    "q_recursive_cte" -> recursiveCteText,
+    "q_lateral_topk" -> lateralTopkText,
+    "q_arg_max" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 100000000
+        |      + o_orderkey AS enc
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  arg_max(o_orderkey, enc) AS top_orderkey,
+        |  (max(enc) // 100000000) / CAST(100.0 AS DOUBLE) AS max_price
+        |FROM base GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_set_ops_all" ->
+      """WITH a AS (SELECT l_returnflag FROM lineitem),
+        |b AS (SELECT l_returnflag FROM lineitem WHERE l_linenumber > 1),
+        |ea AS (SELECT l_returnflag FROM a EXCEPT ALL SELECT l_returnflag FROM b),
+        |ia AS (SELECT l_returnflag FROM a INTERSECT ALL SELECT l_returnflag FROM b),
+        |ec AS (SELECT l_returnflag, count(*) AS n_except FROM ea GROUP BY 1),
+        |ic AS (SELECT l_returnflag, count(*) AS n_intersect FROM ia GROUP BY 1)
+        |SELECT ec.l_returnflag, CAST(n_except AS BIGINT) AS n_except,
+        |  CAST(n_intersect AS BIGINT) AS n_intersect
+        |FROM ec JOIN ic ON ec.l_returnflag = ic.l_returnflag
+        |ORDER BY ec.l_returnflag""".stripMargin,
+    "q_nested_not_in" -> nestedNotInText,
+    "q_late_suppliers" -> lateSuppliersText,
+
+    // shared SQL texts (both engines run the identical string),
+    "q_ntile_dist" -> ntileDistText,
+    "q_rank_scalable" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(row_number() OVER w AS BIGINT) AS rnk,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_hll_rollup" ->
+      """WITH h AS (
+        |  SELECT n_nationkey, n_regionkey, l_partkey,
+        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |rh AS (
+        |  SELECT n_regionkey, h % 64 AS reg,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE CAST(log2(CAST((h // 64) & (-(h // 64)) AS DOUBLE)) AS INT) + 1
+        |    END AS rho
+        |  FROM h),
+        |regs AS (SELECT n_regionkey, reg, max(rho) AS mrho FROM rh GROUP BY 1, 2),
+        |s AS (
+        |  SELECT n_regionkey,
+        |    CAST(sum(CAST(1 AS BIGINT) << (55 - mrho)) AS BIGINT) AS t,
+        |    count(*) AS nreg
+        |  FROM regs GROUP BY 1),
+        |d AS (SELECT n_regionkey, count(DISTINCT l_partkey) AS exact_distinct,
+        |             count(DISTINCT n_nationkey) AS n_nations
+        |      FROM h GROUP BY 1)
+        |SELECT r_name, CAST(n_nations AS BIGINT) AS n_nations,
+        |  (0.709 * 64 * 64) /
+        |    (CAST(t + (64 - nreg) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)
+        |       / 36028797018963968.0) AS hll_estimate,
+        |  d.exact_distinct
+        |FROM s JOIN d USING (n_regionkey)
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY r_name""".stripMargin,
+    "q_rollup_grouping" -> rollupGroupingText,
+
+    // rank-selection median; oracle = the window row_number formulation,
+    "q_bit_bool_aggs" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  bit_and(l_partkey) AS pk_and,
+        |  bit_or(l_partkey) AS pk_or,
+        |  bit_xor(l_partkey) AS pk_xor,
+        |  bool_and(l_discount > 0.05) AS all_disc,
+        |  bool_or(l_tax > 0.07) AS any_tax,
+        |  CAST(count_if(l_quantity >= 25.0) AS BIGINT) AS n_bulk
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_weighted_mean" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |    / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |    / CAST(100.0 AS DOUBLE) AS wavg_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_listagg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |  min(c_name) AS first_name
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(floor(epoch(min(o_orderdate))) AS BIGINT) AS first_epoch,
+        |  max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_filters" -> aggFiltersText,
+    "q_variant" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, event_type,
+        |    coalesce(json_extract_string(props, '$.k'), '-1') AS k
+        |  FROM events),
+        |j AS (
+        |  SELECT event_id,
+        |    '{"u":' || user_id || ',"t":"' || event_type || '","vals":[' ||
+        |      k || ',' || (CAST(k AS BIGINT) * 2) || ']}' AS js
+        |  FROM b)
+        |SELECT event_id,
+        |  CAST(json_extract(js, '$.u') AS BIGINT) AS u,
+        |  json_extract_string(js, '$.t') AS t,
+        |  CAST(json_extract(js, '$.vals[1]') AS BIGINT) AS k2,
+        |  TRY_CAST(json_extract_string(js, '$.t') AS BIGINT) AS t_as_int,
+        |  'OBJECT<t: STRING, u: BIGINT, vals: ARRAY<BIGINT>>' AS v_schema
+        |FROM j ORDER BY event_id""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec
+        |  FROM events),
+        |u AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY 1),
+        |s1 AS (SELECT user_id, min(sec) AS t_signup FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(sec) AS t_click FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click'
+        |         AND sec >= t_signup AND sec <= t_signup + 86400
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(sec) AS t_purchase FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase'
+        |         AND sec >= t_click AND sec <= t_click + 86400
+        |       GROUP BY e.user_id)
+        |SELECT u.user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |            WHEN t_click IS NOT NULL THEN 2
+        |            WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  t_signup, t_click, t_purchase
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // the bloom is answer-transparent (false positives die in the exact
+    // join), so the oracle is the plain semi-join the user would write,
+    "q_bloom_prune" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    / CAST(100.0 AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 8000)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q_skyline" ->
+      """WITH bysize AS (
+        |  SELECT p_size,
+        |    min(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * 100000000
+        |        + p_partkey) AS enc
+        |  FROM part GROUP BY p_size),
+        |d AS (SELECT CAST(p_size AS BIGINT) AS p_size, enc // 100000000 AS best_c,
+        |             enc % 100000000 AS best_partkey FROM bysize),
+        |w AS (SELECT *, min(best_c) OVER (ORDER BY p_size
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d)
+        |SELECT p_size, best_c / CAST(100.0 AS DOUBLE) AS best_price, best_partkey
+        |FROM w WHERE pm IS NULL OR best_c < pm ORDER BY p_size""".stripMargin,
+    "q_mode" ->
+      """WITH cnts AS (
+        |  SELECT c_nationkey, o_orderpriority, count(*) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT c_nationkey, max(cnt) AS mx FROM cnts GROUP BY 1)
+        |SELECT c_nationkey, min(o_orderpriority) AS mode_priority,
+        |  CAST(max(mx) AS BIGINT) AS n_orders
+        |FROM cnts JOIN mx USING (c_nationkey)
+        |WHERE cnt = mx
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |v_old AS (
+        |  SELECT k, c, md5(prio || '|' || c) AS fp
+        |  FROM base WHERE k % 10 <> 0),
+        |v_new AS (
+        |  SELECT k, c2 AS c, md5(prio || '|' || c2) AS fp
+        |  FROM (SELECT k, prio,
+        |          c + CASE WHEN k % 7 = 0 THEN 500 ELSE 0 END AS c2
+        |        FROM base WHERE k % 10 <> 1))
+        |SELECT coalesce(o.k, n.k) AS o_orderkey,
+        |  CASE WHEN o.k IS NULL THEN 'insert'
+        |       WHEN n.k IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change,
+        |  o.c / CAST(100.0 AS DOUBLE) AS old_price,
+        |  n.c / CAST(100.0 AS DOUBLE) AS new_price
+        |FROM v_old o FULL OUTER JOIN v_new n ON o.k = n.k
+        |WHERE o.k IS NULL OR n.k IS NULL OR o.fp <> n.fp
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_skyline3d" ->
+      """WITH d AS (
+        |  SELECT CAST(p_size AS BIGINT) AS size,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+        |    CAST(length(p_name) AS BIGINT) AS name_len,
+        |    count(*) AS n_parts, min(p_partkey) AS rep_partkey
+        |  FROM part GROUP BY 1, 2, 3),
+        |pp AS (
+        |  SELECT size, price_c, name_len, n_parts, rep_partkey
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY size, price_c
+        |                                     ORDER BY name_len) AS rn FROM d)
+        |  WHERE rn = 1),
+        |cand AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(name_len) OVER (PARTITION BY size ORDER BY price_c
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |    FROM pp)
+        |  WHERE pm IS NULL OR name_len < pm)
+        |SELECT size, price_c / CAST(100.0 AS DOUBLE) AS price, name_len,
+        |  CAST(n_parts AS BIGINT) AS n_parts, rep_partkey
+        |FROM cand a
+        |WHERE NOT EXISTS (SELECT 1 FROM cand b
+        |  WHERE b.size <= a.size AND b.price_c <= a.price_c
+        |    AND b.name_len <= a.name_len
+        |    AND (b.size < a.size OR b.price_c < a.price_c
+        |         OR b.name_len < a.name_len))
+        |ORDER BY size, price""".stripMargin,
+    "q_volume_shipping" -> volumeShippingText,
+    "q_product_profit" -> productProfitText,
+    "q_custdist" -> custDistText,
+    "q_promo_share" -> promoShareText,
+    "q_top_supplier" -> topSupplierText,
+    "q_big_orders" -> bigOrdersText,
+    "q_idle_customers" -> idleCustomersText,
+    "q_kmv_rollup" ->
+      """WITH h AS (
+        |  SELECT n_nationkey, n_regionkey, l_partkey,
+        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |dh AS (SELECT DISTINCT n_regionkey, h FROM h),
+        |rk AS (
+        |  SELECT n_regionkey, h,
+        |    row_number() OVER (PARTITION BY n_regionkey ORDER BY h) AS rn
+        |  FROM dh),
+        |sk AS (
+        |  SELECT n_regionkey, count(*) AS cnt, max(h) AS kth
+        |  FROM rk WHERE rn <= 64 GROUP BY 1),
+        |nn AS (
+        |  SELECT n_regionkey, CAST(count(DISTINCT n_nationkey) AS BIGINT)
+        |    AS n_nations
+        |  FROM h GROUP BY 1),
+        |ex AS (
+        |  SELECT n_regionkey, CAST(count(DISTINCT l_partkey) AS BIGINT)
+        |    AS exact_distinct
+        |  FROM h GROUP BY 1)
+        |SELECT r_name, n_nations,
+        |  CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+        |  END AS kmv_estimate,
+        |  exact_distinct
+        |FROM sk
+        |JOIN nn USING (n_regionkey)
+        |JOIN ex USING (n_regionkey)
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY r_name""".stripMargin,
+    "q_kmv_jaccard" ->
+      """WITH h AS (
+        |  SELECT r_name, l_partkey,
+        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name IN ('ASIA', 'EUROPE')),
+        |ka AS (SELECT h FROM (SELECT DISTINCT h FROM h WHERE r_name = 'ASIA') q
+        |       ORDER BY h LIMIT 64),
+        |kb AS (SELECT h FROM (SELECT DISTINCT h FROM h WHERE r_name = 'EUROPE') q
+        |       ORDER BY h LIMIT 64),
+        |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) q
+        |       ORDER BY h LIMIT 64),
+        |sa AS (SELECT count(*) AS cnt, max(h) AS kth FROM ka),
+        |sb AS (SELECT count(*) AS cnt, max(h) AS kth FROM kb),
+        |su AS (SELECT count(*) AS cnt, max(h) AS kth FROM ku),
+        |mj AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |              (SELECT count(*) FROM ku) AS u
+        |       FROM ku
+        |       WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+        |ex AS (SELECT
+        |    CAST(sum(CASE WHEN nr = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS exact_intersect,
+        |    CAST(count(*) AS BIGINT) AS exact_union
+        |  FROM (SELECT l_partkey, count(DISTINCT r_name) AS nr
+        |        FROM h GROUP BY 1) q)
+        |SELECT
+        |  CASE WHEN sa.cnt < 64 THEN CAST(sa.cnt AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(sa.kth AS DOUBLE)
+        |  END AS est_a,
+        |  CASE WHEN sb.cnt < 64 THEN CAST(sb.cnt AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(sb.kth AS DOUBLE)
+        |  END AS est_b,
+        |  CASE WHEN su.cnt < 64 THEN CAST(su.cnt AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(su.kth AS DOUBLE)
+        |  END AS est_union,
+        |  CAST(m AS DOUBLE) / u AS est_jaccard,
+        |  exact_intersect, exact_union,
+        |  CAST(exact_intersect AS DOUBLE) / exact_union AS exact_jaccard
+        |FROM sa, sb, su, mj, ex""".stripMargin,
+
+    // the z-score is one division + one sqrt of exact int64 moments —
+    // identical IEEE ops in both engines,
+    "q_asof_native" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, day,
+        |  lag(o_orderkey) OVER w AS prev_orderkey,
+        |  day - lag(day) OVER w AS gap_days
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY day * 1099511627776 + o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_features_asof" ->
+      """SELECT e.event_id, e.user_id,
+        |  CAST((SELECT count(*) FROM events c
+        |        WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |          AND c.ts < e.ts) AS BIGINT) AS clicks_before
+        |FROM events e WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
+
+    // the oracle replays both sides: the register math per day (same
+    // rho convention as q_hll_rollup) with a per-register rolling max
+    // over the day domain, and the exact window by BETWEEN range join,
+    "q_forecast_revenue" -> forecastRevenueText,
+
+    // the oracle replays the KMV sketch literally: k smallest distinct
+    // 60-bit hashes per group via ORDER BY h LIMIT k, then the same
+    // exact-below-capacity / single-division estimator,
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS channel
+        |  FROM events WHERE event_type = 'click'),
+        |att AS (
+        |  SELECT p.event_id, p.v_milli,
+        |    (SELECT c.channel FROM c
+        |     WHERE c.user_id = p.user_id AND c.ts < p.ts
+        |     ORDER BY c.ts DESC LIMIT 1) AS channel
+        |  FROM p)
+        |SELECT coalesce(channel, -1) AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(v_milli) AS BIGINT) AS value_milli
+        |FROM att GROUP BY 1 ORDER BY channel""".stripMargin,
+    "q_link_pred" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |und AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+        |mid AS (SELECT e.u, e.v, d.d FROM edges e JOIN deg d ON e.u = d.u
+        |        WHERE d.d <= 64),
+        |cand AS (
+        |  SELECT e1.v AS x, e2.v AS y, e1.d AS dz
+        |  FROM mid e1 JOIN mid e2 ON e1.u = e2.u AND e1.v < e2.v),
+        |scored AS (
+        |  SELECT x, y, CAST(sum(1000000 // dz) AS BIGINT) AS ra_ppm,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM cand GROUP BY x, y),
+        |pred AS (
+        |  SELECT * FROM scored s
+        |  WHERE NOT EXISTS (SELECT 1 FROM und
+        |                    WHERE s.x = und.u AND s.y = und.v)),
+        |top AS (SELECT * FROM pred ORDER BY ra_ppm DESC, x, y LIMIT 30)
+        |SELECT x, y, n_common, ra_ppm FROM top ORDER BY x, y""".stripMargin,
+    "q_hits" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_partkey % 10 = 0),
+        |a1 AS (SELECT p, CAST(count(*) AS BIGINT) AS a1
+        |       FROM edges GROUP BY p),
+        |h1 AS (SELECT c, CAST(sum(a1.a1) AS BIGINT) AS h1
+        |       FROM edges JOIN a1 ON edges.p = a1.p GROUP BY c),
+        |a2 AS (SELECT p, CAST(sum(h1.h1) AS BIGINT) AS a2
+        |       FROM edges JOIN h1 ON edges.c = h1.c GROUP BY p),
+        |h2 AS (SELECT c, CAST(sum(a2.a2) AS BIGINT) AS h2
+        |       FROM edges JOIN a2 ON edges.p = a2.p GROUP BY c),
+        |ta AS (SELECT 'auth' AS role, p AS node, a2 AS score
+        |       FROM a2 ORDER BY a2 DESC, p LIMIT 15),
+        |th AS (SELECT 'hub' AS role, c AS node, h2 AS score
+        |       FROM h2 ORDER BY h2 DESC, c LIMIT 15)
+        |SELECT role, node, score
+        |FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+        |ORDER BY role, node""".stripMargin,
+    "q_group_split" ->
+      """WITH labeled AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST('0x' || substr(md5('split|' || CAST(o_custkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 100 < 80 AS grp_train,
+        |    CAST('0x' || substr(md5('split|' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 100 < 80 AS row_train
+        |  FROM orders),
+        |g AS (
+        |  SELECT ck, CAST(sum(CASE WHEN grp_train THEN 1 ELSE 0 END) AS BIGINT) AS tr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM labeled GROUP BY ck),
+        |r AS (
+        |  SELECT ck, CAST(sum(CASE WHEN row_train THEN 1 ELSE 0 END) AS BIGINT) AS tr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM labeled GROUP BY ck),
+        |ga AS (
+        |  SELECT 'group' AS method, CAST(sum(tr) AS BIGINT) AS train_orders,
+        |    CAST(sum(n - tr) AS BIGINT) AS test_orders,
+        |    CAST(sum(CASE WHEN tr > 0 AND tr < n THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS straddling_customers
+        |  FROM g),
+        |ra AS (
+        |  SELECT 'row' AS method, CAST(sum(tr) AS BIGINT) AS train_orders,
+        |    CAST(sum(n - tr) AS BIGINT) AS test_orders,
+        |    CAST(sum(CASE WHEN tr > 0 AND tr < n THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS straddling_customers
+        |  FROM r)
+        |SELECT * FROM (SELECT * FROM ga UNION ALL SELECT * FROM ra)
+        |ORDER BY method""".stripMargin,
+    "q_dq_checks" ->
+      """WITH scan AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_null,
+        |    CAST(sum(CASE WHEN o_orderpriority IN
+        |      ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v_accept,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_pos,
+        |    CAST(sum(CASE WHEN o_totalprice > 400000.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_range
+        |  FROM orders),
+        |fk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v
+        |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o_custkey = c_custkey),
+        |checks AS (
+        |  SELECT 'o_orderkey_unique' AS check_name, n AS n_checked,
+        |    v_uniq AS violations FROM scan
+        |  UNION ALL SELECT 'o_custkey_not_null', n, v_null FROM scan
+        |  UNION ALL SELECT 'o_orderpriority_accepted', n, v_accept FROM scan
+        |  UNION ALL SELECT 'o_totalprice_positive', n, v_pos FROM scan
+        |  UNION ALL SELECT 'o_totalprice_below_400k', n, v_range FROM scan
+        |  UNION ALL SELECT 'o_custkey_references_customer', n, v FROM fk)
+        |SELECT check_name, n_checked, violations, violations = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin,
+    "q_cross_val" ->
+      """WITH labeled AS (
+        |  SELECT o_custkey,
+        |    CAST('0x' || substr(md5('fold|' || CAST(o_custkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 5 AS fold,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |per_fold AS (
+        |  SELECT fold, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(c) AS BIGINT) AS revenue_cents
+        |  FROM labeled GROUP BY fold),
+        |tot AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS tot FROM per_fold)
+        |SELECT fold, n_customers, n_orders, revenue_cents,
+        |  revenue_cents * 1000000 // tot AS share_ppm
+        |FROM per_fold CROSS JOIN tot
+        |ORDER BY fold""".stripMargin,
+    "q_rfm" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey,
+        |    CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT)
+        |      AS recency,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS monetary
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_cust),
+        |r AS (
+        |  SELECT o_custkey,
+        |    (CAST(row_number() OVER (ORDER BY CAST(recency AS DOUBLE), o_custkey)
+        |      AS BIGINT) - 1) * 5 // n + 1 AS r_score
+        |  FROM per_cust CROSS JOIN nn),
+        |f AS (
+        |  SELECT o_custkey,
+        |    (CAST(row_number() OVER (ORDER BY CAST(freq AS DOUBLE), o_custkey)
+        |      AS BIGINT) - 1) * 5 // n + 1 AS f_score
+        |  FROM per_cust CROSS JOIN nn),
+        |m AS (
+        |  SELECT o_custkey,
+        |    (CAST(row_number() OVER (ORDER BY CAST(monetary AS DOUBLE), o_custkey)
+        |      AS BIGINT) - 1) * 5 // n + 1 AS m_score
+        |  FROM per_cust CROSS JOIN nn)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(monetary) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |    AS mean_monetary_cents
+        |FROM per_cust JOIN r USING (o_custkey) JOIN f USING (o_custkey)
+        |JOIN m USING (o_custkey)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_lag_features" ->
+      """WITH src AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders WHERE o_custkey % 100 = 0)
+        |SELECT o_custkey, o_orderkey, day, c,
+        |  lag(c, 1) OVER w AS lag1,
+        |  lag(c, 2) OVER w AS lag2,
+        |  c - lag(c, 1) OVER w AS delta1,
+        |  CAST(sum(c) OVER wp AS DOUBLE) / CAST(count(c) OVER wp AS DOUBLE)
+        |    AS prev3_mean
+        |FROM src
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey),
+        |  wp AS (PARTITION BY o_custkey ORDER BY day, o_orderkey
+        |         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+    "q_apportion" ->
+      """WITH cnts AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM cnts),
+        |based AS (
+        |  SELECT n_name, cnt,
+        |    (1000 * cnt) // tot AS base, (1000 * cnt) % tot AS rem
+        |  FROM cnts CROSS JOIN tot),
+        |ex AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS extra FROM based),
+        |rn AS (
+        |  SELECT n_name, cnt, base, rem, extra,
+        |    row_number() OVER (ORDER BY rem DESC, n_name) AS rn
+        |  FROM based CROSS JOIN ex)
+        |SELECT n_name, cnt, base, rem,
+        |  base + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS seats
+        |FROM rn ORDER BY n_name""".stripMargin,
+    "q_psi" ->
+      """WITH bins AS (
+        |  SELECT CAST(CASE WHEN o_totalprice < 50000 THEN 0 WHEN o_totalprice < 100000 THEN 1
+        |    WHEN o_totalprice < 150000 THEN 2 WHEN o_totalprice < 200000 THEN 3
+        |    WHEN o_totalprice < 250000 THEN 4 WHEN o_totalprice < 300000 THEN 5
+        |    WHEN o_totalprice < 400000 THEN 6 ELSE 7 END AS BIGINT) AS bin,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 2000 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 2000)
+        |  GROUP BY 1),
+        |tots AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        |  FROM bins),
+        |terms AS (
+        |  SELECT bin, ca, cb,
+        |    CASE WHEN ca > 0 AND cb > 0 THEN
+        |      CAST(floor((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) -
+        |          CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) *
+        |        ln(CAST(ca * nb AS DOUBLE) / CAST(na * cb AS DOUBLE)) * 1000000
+        |        + 0.5) AS BIGINT)
+        |    ELSE 0 END AS term_unat
+        |  FROM bins CROSS JOIN tots),
+        |tot AS (SELECT CAST(sum(term_unat) AS BIGINT) AS psi_unat FROM terms)
+        |SELECT bin, ca, cb, term_unat, psi_unat
+        |FROM terms CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q_local_clustering" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |half AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM half e1 JOIN half e2 ON e1.v = e2.u
+        |  JOIN half e3 ON e1.u = e3.u AND e2.v = e3.v),
+        |tpn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) x
+        |  GROUP BY node),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS node FROM half UNION ALL SELECT v FROM half) x
+        |  GROUP BY node)
+        |SELECT deg.node, d, COALESCE(tpn.tri, 0) AS tri,
+        |  2 * COALESCE(tpn.tri, 0) * 1000000 // (d * (d - 1)) AS coeff_ppm
+        |FROM deg LEFT JOIN tpn ON deg.node = tpn.node
+        |WHERE d >= 2 ORDER BY deg.node""".stripMargin,
+    "q_ridge" ->
+      """WITH per_order AS (
+        |  SELECT l.l_orderkey, CAST(count(*) AS BIGINT) AS x1,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS y
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY l.l_orderkey, o.o_totalprice),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+        |    CAST(sum(x2 * y) AS BIGINT) AS s2y
+        |  FROM per_order),
+        |el AS (
+        |  SELECT n,
+        |    CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b, CAST(s2 AS DOUBLE) AS c,
+        |    CAST(s1 AS DOUBLE) AS d, CAST(s11 + 1000 AS DOUBLE) AS e, CAST(s12 AS DOUBLE) AS f,
+        |    CAST(s2 AS DOUBLE) AS g, CAST(s12 AS DOUBLE) AS h, CAST(s22 + 1000 AS DOUBLE) AS i,
+        |    CAST(sy AS DOUBLE) AS r0, CAST(s1y AS DOUBLE) AS r1, CAST(s2y AS DOUBLE) AS r2
+        |  FROM m),
+        |dd AS (
+        |  SELECT n, a, b, c, d, e, f, g, h, i, r0, r1, r2,
+        |    a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g) AS det
+        |  FROM el)
+        |SELECT n,
+        |  (r0 * (e * i - f * h) - b * (r1 * i - f * r2) + c * (r1 * h - e * r2)) / det AS beta0,
+        |  (a * (r1 * i - f * r2) - r0 * (d * i - f * g) + c * (d * r2 - r1 * g)) / det AS beta1,
+        |  (a * (e * r2 - r1 * h) - b * (d * r2 - r1 * g) + r0 * (d * h - e * g)) / det AS beta2
+        |FROM dd""".stripMargin,
+    "q_hhi" ->
+      """WITH nation_rev AS (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // 100000 AS rev_k
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |totals AS (
+        |  SELECT r_name, CAST(sum(rev_k) AS BIGINT) AS total_k
+        |  FROM nation_rev GROUP BY r_name),
+        |shares AS (
+        |  SELECT nation_rev.r_name, total_k,
+        |    rev_k * 1000000 // total_k AS share_ppm
+        |  FROM nation_rev JOIN totals ON nation_rev.r_name = totals.r_name)
+        |SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+        |  CAST(max(total_k) AS BIGINT) AS total_k,
+        |  CAST(sum(share_ppm * share_ppm) AS BIGINT) // 1000000 AS hhi_ppm,
+        |  CAST(max(share_ppm) AS BIGINT) AS top_share_ppm
+        |FROM shares GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_ipf" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority, r_name, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY o_orderpriority, r_name),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells),
+        |w0 AS (
+        |  SELECT o_orderpriority, r_name, n,
+        |    (total // 5) * 1000000 AS target_w, n * 1000000 AS w
+        |  FROM cells CROSS JOIN tot),
+        |w1 AS (
+        |  SELECT o_orderpriority, r_name, n, target_w,
+        |    w * (target_w * 1000000 // CAST(sum(w) OVER (PARTITION BY o_orderpriority) AS BIGINT)) // 1000000 AS w
+        |  FROM w0),
+        |w2 AS (
+        |  SELECT o_orderpriority, r_name, n, target_w,
+        |    w * (target_w * 1000000 // CAST(sum(w) OVER (PARTITION BY r_name) AS BIGINT)) // 1000000 AS w
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT o_orderpriority, r_name, n, target_w,
+        |    w * (target_w * 1000000 // CAST(sum(w) OVER (PARTITION BY o_orderpriority) AS BIGINT)) // 1000000 AS w
+        |  FROM w2),
+        |w4 AS (
+        |  SELECT o_orderpriority, r_name, n, target_w,
+        |    w * (target_w * 1000000 // CAST(sum(w) OVER (PARTITION BY r_name) AS BIGINT)) // 1000000 AS w
+        |  FROM w3)
+        |SELECT o_orderpriority, r_name, n, w AS w_ppm
+        |FROM w4 ORDER BY o_orderpriority, r_name""".stripMargin,
+    "q_consistent_hash" ->
+      """WITH v AS (
+        |  SELECT CAST(i // 32 AS BIGINT) AS pnode,
+        |    CAST('0x' || substr(md5('ring|' || CAST(i AS VARCHAR)), 1, 12) AS BIGINT) AS vhash
+        |  FROM (SELECT unnest(generate_series(0, 255)) AS i) g),
+        |ring AS (SELECT list_sort(list(vhash)) AS varr FROM v),
+        |keys AS (
+        |  SELECT c_custkey,
+        |    CAST('0x' || substr(md5('key|' || CAST(c_custkey AS VARCHAR)), 1, 12) AS BIGINT) AS khash
+        |  FROM customer),
+        |assigned AS (
+        |  SELECT c_custkey, COALESCE(
+        |    list_min(list_filter(varr, x -> x >= khash)), list_min(varr)) AS ahash
+        |  FROM keys CROSS JOIN ring),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM keys)
+        |SELECT pnode, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(count(*) AS BIGINT) * 1000000 // total AS share_ppm
+        |FROM assigned JOIN v ON ahash = vhash CROSS JOIN tot
+        |GROUP BY pnode, total ORDER BY pnode""".stripMargin,
+    "q_quantile_normalize" ->
+      """WITH vals AS (
+        |  SELECT n_name, o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |natr AS (
+        |  SELECT n_name, ok,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY CAST(v AS DOUBLE), ok) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n_g
+        |  FROM vals),
+        |globr AS (
+        |  SELECT CAST(v AS BIGINT) AS norm_cents,
+        |    CAST(row_number() OVER (ORDER BY CAST(v AS DOUBLE), ok) AS BIGINT)
+        |      AS rnk
+        |  FROM vals),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM vals),
+        |tgt AS (
+        |  SELECT n_name, rnk * n_tot // n_g AS target_rank
+        |  FROM natr CROSS JOIN tot)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(norm_cents) AS BIGINT) AS sum_norm_cents,
+        |  CAST(min(norm_cents) AS BIGINT) AS min_norm_cents,
+        |  CAST(max(norm_cents) AS BIGINT) AS max_norm_cents
+        |FROM tgt JOIN globr ON tgt.target_rank = globr.rnk
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_decile_matrix" ->
+      """WITH spend AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1998)
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT yr, o_custkey,
+        |    CAST(row_number() OVER (PARTITION BY yr
+        |      ORDER BY CAST(c AS DOUBLE), o_custkey) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY yr) AS BIGINT) AS n
+        |  FROM spend),
+        |deciled AS (
+        |  SELECT yr, o_custkey, (rnk - 1) * 10 // n + 1 AS dec
+        |  FROM ranked)
+        |SELECT a.dec AS d96, b.dec AS d98, CAST(count(*) AS BIGINT) AS n_cust
+        |FROM deciled a JOIN deciled b
+        |  ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1998
+        |GROUP BY a.dec, b.dec ORDER BY d96, d98""".stripMargin,
+    "q_purchase_gaps" ->
+      """WITH days_ AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+        |      AS day
+        |  FROM orders),
+        |gaps AS (
+        |  SELECT o_custkey, o_orderkey AS ok,
+        |    day - lag(day, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY day, o_orderkey) AS gap
+        |  FROM days_),
+        |ng AS (
+        |  SELECT n_name, ok, gap
+        |  FROM gaps
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE gap IS NOT NULL),
+        |ranked AS (
+        |  SELECT n_name, gap,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY CAST(gap AS DOUBLE), ok) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n_gaps
+        |  FROM ng)
+        |SELECT n_name, CAST(max(n_gaps) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap) AS BIGINT) AS median_days,
+        |  CAST(max(gap) AS BIGINT) AS p90_days
+        |FROM ranked
+        |WHERE rnk = (n_gaps + 1) // 2 OR rnk = (9 * n_gaps + 9) // 10
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_effect_size" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS v
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS ss
+        |  FROM v GROUP BY grp),
+        |m AS (
+        |  SELECT max(CASE WHEN grp = '1-URGENT' THEN n END) AS n1,
+        |    max(CASE WHEN grp = '1-URGENT' THEN sv END) AS s1,
+        |    max(CASE WHEN grp = '1-URGENT' THEN ss END) AS ss1,
+        |    max(CASE WHEN grp = '5-LOW' THEN n END) AS n2,
+        |    max(CASE WHEN grp = '5-LOW' THEN sv END) AS s2,
+        |    max(CASE WHEN grp = '5-LOW' THEN ss END) AS ss2
+        |  FROM g),
+        |e AS (
+        |  SELECT n1, n2, s1, s2, ss1, ss2,
+        |    (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+        |    (CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) AS v2
+        |  FROM m),
+        |dd AS (
+        |  SELECT n1, n2,
+        |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |    / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1 + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+        |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) AS d
+        |  FROM e)
+        |SELECT n1, n2, d AS cohen_d,
+        |  d * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 9.0))
+        |    AS hedges_g
+        |FROM dd""".stripMargin,
+    "q_stickiness" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    (epoch_ns(ts) // 1000000000) // 86400 AS day
+        |  FROM events),
+        |dd AS (SELECT user_id, day, day // 30 AS win FROM d),
+        |daily AS (
+        |  SELECT win, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM dd GROUP BY win, day),
+        |per_win AS (
+        |  SELECT win, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(dau) AS BIGINT) AS sum_dau
+        |  FROM daily GROUP BY win),
+        |monthly AS (
+        |  SELECT win, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM dd GROUP BY win)
+        |SELECT per_win.win, n_days, sum_dau, mau,
+        |  sum_dau * 1000000 // (n_days * mau) AS stickiness_ppm
+        |FROM per_win JOIN monthly ON per_win.win = monthly.win
+        |ORDER BY per_win.win""".stripMargin,
+    "q_markov2" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev,
+        |    event_type AS next
+        |  FROM events),
+        |c AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS total
+        |      FROM c GROUP BY 1),
+        |p1 AS (
+        |  SELECT prev, next, n * 1000000 // total AS p_ppm
+        |  FROM c JOIN t USING (prev))
+        |SELECT a.prev, b.next,
+        |  CAST(sum(a.p_ppm * b.p_ppm) AS BIGINT) // 1000000 AS p2_ppm
+        |FROM p1 a JOIN p1 b ON a.next = b.prev
+        |GROUP BY a.prev, b.next ORDER BY a.prev, b.next""".stripMargin,
+    "q_dispersion" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 1000000000) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, (epoch_ns(ts) // 1000000000) // 86400),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS scc
+        |  FROM daily GROUP BY event_type)
+        |SELECT event_type, n_days, sc AS n_events,
+        |  (n_days * scc - sc * sc) * 1000000 // ((n_days - 1) * sc) AS fano_ppm
+        |FROM m WHERE n_days > 1 ORDER BY event_type""".stripMargin,
+    "q_laspeyres" ->
+      """WITH py AS (
+        |  SELECT l_partkey, CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY l_partkey, year(l_shipdate)),
+        |base AS (
+        |  SELECT l_partkey, cents AS cents0, qty AS q0
+        |  FROM py WHERE yr = 1996)
+        |SELECT yr, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents * q0 // qty) AS BIGINT) * 1000000
+        |    // CAST(sum(cents0) AS BIGINT) AS index_ppm
+        |FROM py JOIN base USING (l_partkey)
+        |GROUP BY yr ORDER BY yr""".stripMargin,
+    "q_fifo_match" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS pk, l_orderkey AS ok, l_linenumber AS ln,
+        |    l_shipdate AS sd, CAST(l_quantity AS BIGINT) AS qty,
+        |    l_returnflag = 'R' AS is_out
+        |  FROM lineitem WHERE l_partkey % 50 = 0),
+        |ins AS (
+        |  SELECT pk,
+        |    CAST(sum(qty) OVER w - qty AS BIGINT) AS cum_start,
+        |    CAST(sum(qty) OVER w AS BIGINT) AS cum_end
+        |  FROM li WHERE NOT is_out
+        |  WINDOW w AS (PARTITION BY pk ORDER BY sd, ok, ln
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |outs AS (
+        |  SELECT pk,
+        |    CAST(sum(qty) OVER w - qty AS BIGINT) AS cum_start,
+        |    CAST(sum(qty) OVER w AS BIGINT) AS cum_end
+        |  FROM li WHERE is_out
+        |  WINDOW w AS (PARTITION BY pk ORDER BY sd, ok, ln
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |matched AS (
+        |  SELECT i.pk, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(least(i.cum_end, o.cum_end)
+        |      - greatest(i.cum_start, o.cum_start)) AS BIGINT) AS matched_qty
+        |  FROM ins i JOIN outs o
+        |    ON i.pk = o.pk AND i.cum_start < o.cum_end
+        |      AND o.cum_start < i.cum_end
+        |  GROUP BY i.pk),
+        |totals AS (
+        |  SELECT pk,
+        |    CAST(sum(CASE WHEN NOT is_out THEN qty ELSE 0 END) AS BIGINT)
+        |      AS total_in,
+        |    CAST(sum(CASE WHEN is_out THEN qty ELSE 0 END) AS BIGINT)
+        |      AS total_out
+        |  FROM li GROUP BY pk)
+        |SELECT t.pk, total_in, total_out,
+        |  COALESCE(n_pairs, 0) AS n_pairs,
+        |  COALESCE(matched_qty, 0) AS matched_qty,
+        |  COALESCE(matched_qty, 0) = least(total_in, total_out) AS fifo_ok
+        |FROM totals t LEFT JOIN matched m ON t.pk = m.pk
+        |ORDER BY t.pk""".stripMargin,
+    "q_year_overlap" ->
+      """WITH cy AS (
+        |  SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr
+        |  FROM orders),
+        |sizes AS (SELECT yr, CAST(count(*) AS BIGINT) AS n FROM cy GROUP BY yr),
+        |inter AS (
+        |  SELECT a.yr AS y1, b.yr AS y2, CAST(count(*) AS BIGINT) AS inter
+        |  FROM cy a JOIN cy b
+        |    ON a.o_custkey = b.o_custkey AND a.yr < b.yr
+        |  GROUP BY a.yr, b.yr)
+        |SELECT y1, y2, s1.n AS n1, s2.n AS n2, inter,
+        |  inter * 1000000 // least(s1.n, s2.n) AS overlap_ppm,
+        |  inter * 1000000 // (s1.n + s2.n - inter) AS jaccard_ppm
+        |FROM inter JOIN sizes s1 ON y1 = s1.yr JOIN sizes s2 ON y2 = s2.yr
+        |ORDER BY y1, y2""".stripMargin,
+    "q_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY CAST(v AS DOUBLE), day) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM daily),
+        |med AS (SELECT CAST(v AS BIGINT) AS med FROM ranked WHERE rnk = (n + 1) // 2),
+        |signs AS (
+        |  SELECT day, v > med AS above,
+        |    CASE WHEN (v > med) <> lag(v > med) OVER (ORDER BY day)
+        |      THEN 1 ELSE 0 END AS flip
+        |  FROM daily CROSS JOIN med),
+        |a AS (
+        |  SELECT CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT above THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(flip) + 1 AS BIGINT) AS runs
+        |  FROM signs)
+        |SELECT n1, n2, runs,
+        |  (CAST(runs AS DOUBLE) - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+        |  / sqrt((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE)))
+        |    / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))) AS z
+        |FROM a""".stripMargin,
+    "q_pchart" ->
+      """WITH weekly AS (
+        |  SELECT CAST(datediff('day', TIMESTAMP '1995-01-01', l_shipdate) AS BIGINT) // 7 AS week,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(d) AS BIGINT) AS dd
+        |  FROM weekly),
+        |lim AS (
+        |  SELECT week, n, d, d * 1000000 // n AS rate_ppm,
+        |    greatest(0.0, CAST(dd AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      - 3.0 * sqrt(CAST(dd AS DOUBLE) / CAST(nn AS DOUBLE)
+        |          * (1.0 - CAST(dd AS DOUBLE) / CAST(nn AS DOUBLE))
+        |          / CAST(n AS DOUBLE))) AS lcl,
+        |    CAST(dd AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      + 3.0 * sqrt(CAST(dd AS DOUBLE) / CAST(nn AS DOUBLE)
+        |          * (1.0 - CAST(dd AS DOUBLE) / CAST(nn AS DOUBLE))
+        |          / CAST(n AS DOUBLE)) AS ucl
+        |  FROM weekly CROSS JOIN tot)
+        |SELECT week, n, d, rate_ppm, lcl, ucl,
+        |  (CAST(d AS DOUBLE) / CAST(n AS DOUBLE) < lcl
+        |    OR CAST(d AS DOUBLE) / CAST(n AS DOUBLE) > ucl) AS out_of_control
+        |FROM lim ORDER BY week""".stripMargin,
+    "q_item_recs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |freq AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM items GROUP BY l_partkey),
+        |pairs AS (
+        |  SELECT a.l_partkey AS i, b.l_partkey AS j,
+        |    CAST(count(*) AS BIGINT) AS cij
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT i, j, cij * cij * 1000000 // (fi.cnt * fj.cnt) AS sim2_ppm
+        |  FROM pairs
+        |  JOIN freq fi ON i = fi.l_partkey
+        |  JOIN freq fj ON j = fj.l_partkey),
+        |keyed AS (
+        |  SELECT i, j, sim2_ppm,
+        |    lpad(CAST(1000000 - sim2_ppm AS VARCHAR), 9, '0') || '-' ||
+        |      lpad(CAST(j AS VARCHAR), 12, '0') AS k
+        |  FROM scored),
+        |ranked AS (
+        |  SELECT i, j, sim2_ppm,
+        |    CAST(row_number() OVER (PARTITION BY i ORDER BY k) AS BIGINT) AS rn
+        |  FROM keyed)
+        |SELECT i, rn, j AS rec, sim2_ppm
+        |FROM ranked WHERE rn <= 3 ORDER BY i, rn""".stripMargin,
+    "q_breakpoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) // 100000 AS v
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s FROM daily),
+        |pref AS (
+        |  SELECT day,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+        |    CAST(sum(v) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1
+        |  FROM daily),
+        |scored AS (
+        |  SELECT day, t, s1, n, s,
+        |    CAST(s1 * s1 AS DOUBLE) / CAST(t AS DOUBLE)
+        |      + CAST((s - s1) * (s - s1) AS DOUBLE) / CAST(n - t AS DOUBLE)
+        |      AS score
+        |  FROM pref CROSS JOIN tot
+        |  WHERE t < n),
+        |best AS (
+        |  SELECT day, t, s1, n, s, score,
+        |    row_number() OVER (ORDER BY score DESC, day) AS rk
+        |  FROM scored)
+        |SELECT day AS split_day, t AS n_before, n - t AS n_after,
+        |  s1 // t AS mean_before_k, (s - s1) // (n - t) AS mean_after_k,
+        |  score
+        |FROM best WHERE rk = 1""".stripMargin,
+    "q_kruskal_wallis" ->
+      """WITH sample AS (
+        |  SELECT o_orderkey AS ok, o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders),
+        |ranked AS (
+        |  SELECT ok, CAST(v AS DOUBLE) AS ord,
+        |    CAST(row_number() OVER (ORDER BY CAST(v AS DOUBLE), ok) AS BIGINT) AS rnk
+        |  FROM sample),
+        |ties AS (
+        |  SELECT ord, min(rnk) + max(rnk) AS mr2, CAST(count(*) AS BIGINT) AS t
+        |  FROM ranked GROUP BY ord),
+        |tt AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM ties),
+        |pg AS (
+        |  SELECT s.grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(t2.mr2) AS BIGINT) AS r2
+        |  FROM ranked r JOIN ties t2 ON r.ord = t2.ord
+        |  JOIN sample s ON r.ok = s.ok
+        |  GROUP BY s.grp),
+        |wide AS (
+        |  SELECT
+        |    max(CASE WHEN grp = '1-URGENT' THEN n END) AS n0,
+        |    max(CASE WHEN grp = '1-URGENT' THEN r2 END) AS r0,
+        |    max(CASE WHEN grp = '2-HIGH' THEN n END) AS n1,
+        |    max(CASE WHEN grp = '2-HIGH' THEN r2 END) AS r1,
+        |    max(CASE WHEN grp = '3-MEDIUM' THEN n END) AS n2,
+        |    max(CASE WHEN grp = '3-MEDIUM' THEN r2 END) AS r2,
+        |    max(CASE WHEN grp = '4-NOT SPECIFIED' THEN n END) AS n3,
+        |    max(CASE WHEN grp = '4-NOT SPECIFIED' THEN r2 END) AS r3,
+        |    max(CASE WHEN grp = '5-LOW' THEN n END) AS n4,
+        |    max(CASE WHEN grp = '5-LOW' THEN r2 END) AS r4
+        |  FROM pg),
+        |hh AS (
+        |  SELECT n0 + n1 + n2 + n3 + n4 AS n_total, tie3,
+        |    3.0 * ((CAST(r0 AS DOUBLE) * CAST(r0 AS DOUBLE)) / CAST(n0 AS DOUBLE)
+        |      + (CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+        |      + (CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)) / CAST(n2 AS DOUBLE)
+        |      + (CAST(r3 AS DOUBLE) * CAST(r3 AS DOUBLE)) / CAST(n3 AS DOUBLE)
+        |      + (CAST(r4 AS DOUBLE) * CAST(r4 AS DOUBLE)) / CAST(n4 AS DOUBLE))
+        |      / (CAST(n0 + n1 + n2 + n3 + n4 AS DOUBLE)
+        |        * CAST(n0 + n1 + n2 + n3 + n4 + 1 AS DOUBLE))
+        |    - 3.0 * CAST(n0 + n1 + n2 + n3 + n4 + 1 AS DOUBLE) AS h_raw
+        |  FROM wide CROSS JOIN tt)
+        |SELECT n_total, tie3, h_raw,
+        |  h_raw / (1.0 - CAST(tie3 AS DOUBLE)
+        |    / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |      * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))) AS h
+        |FROM hh""".stripMargin,
+    "q_partial_corr" ->
+      """WITH per_order AS (
+        |  SELECT l.l_orderkey, CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS z
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY l.l_orderkey, o.o_totalprice),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(z) AS BIGINT) AS sz,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(z * z) AS BIGINT) AS szz, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * z) AS BIGINT) AS sxz, CAST(sum(y * z) AS BIGINT) AS syz
+        |  FROM per_order),
+        |r AS (
+        |  SELECT n,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r_xy,
+        |    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS r_xz,
+        |    (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS r_yz
+        |  FROM m)
+        |SELECT n, r_xy, r_xz, r_yz,
+        |  (r_xz - r_xy * r_yz)
+        |    / (sqrt(1.0 - r_xy * r_xy) * sqrt(1.0 - r_yz * r_yz)) AS r_xz_given_y
+        |FROM r""".stripMargin,
+    "q_shift_share" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) // 100 AS d1,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 2000 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) // 100 AS d2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE year(o_orderdate) IN (1996, 2000)
+        |  GROUP BY r_name, n_name),
+        |regional AS (
+        |  SELECT r_name, CAST(sum(d1) AS BIGINT) AS rr1,
+        |    CAST(sum(d2) AS BIGINT) AS rr2
+        |  FROM rev GROUP BY r_name),
+        |national AS (
+        |  SELECT CAST(sum(d1) AS BIGINT) AS t1, CAST(sum(d2) AS BIGINT) AS t2
+        |  FROM rev),
+        |j AS (
+        |  SELECT rev.r_name, n_name, d1, d2,
+        |    (t2 - t1) * 1000000 // t1 AS g_nat_ppm,
+        |    (rr2 - rr1) * 1000000 // rr1 AS g_reg_ppm,
+        |    (d2 - d1) * 1000000 // d1 AS g_own_ppm
+        |  FROM rev JOIN regional ON rev.r_name = regional.r_name
+        |  CROSS JOIN national
+        |  WHERE d1 > 0)
+        |SELECT r_name, n_name, d1, d2, g_own_ppm,
+        |  d1 * g_nat_ppm // 1000000 AS national_eff,
+        |  d1 * (g_reg_ppm - g_nat_ppm) // 1000000 AS mix_eff,
+        |  d1 * (g_own_ppm - g_reg_ppm) // 1000000 AS competitive_eff
+        |FROM j ORDER BY r_name, n_name""".stripMargin,
+    "q_qcd" ->
+      """WITH li AS (
+        |  SELECT p_brand,
+        |    l_orderkey * 10 + CAST(l_linenumber AS BIGINT) AS lk,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |ranked AS (
+        |  SELECT p_brand, v,
+        |    CAST(row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY CAST(v AS DOUBLE), lk) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY p_brand) AS BIGINT) AS n
+        |  FROM li),
+        |qs AS (
+        |  SELECT p_brand, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(max(CASE WHEN rnk = (n + 3) // 4 THEN v END) AS BIGINT) AS q1_cents,
+        |    CAST(max(CASE WHEN rnk = (3 * n + 3) // 4 THEN v END) AS BIGINT) AS q3_cents
+        |  FROM ranked
+        |  WHERE rnk = (n + 3) // 4 OR rnk = (3 * n + 3) // 4
+        |  GROUP BY p_brand)
+        |SELECT p_brand, n, q1_cents, q3_cents,
+        |  (q3_cents - q1_cents) * 1000000 // (q3_cents + q1_cents) AS qcd_ppm
+        |FROM qs ORDER BY p_brand""".stripMargin,
+    "q_odds_ratio" ->
+      """WITH cells AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN urgent AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN urgent AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT urgent AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT urgent AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM lineitem JOIN (
+        |    SELECT o_orderkey, o_orderpriority = '1-URGENT' AS urgent
+        |    FROM orders) o ON l_orderkey = o_orderkey)
+        |SELECT a, b, c, d,
+        |  (a * 1000000 // b) * d // c AS or_ppm,
+        |  CAST(floor((ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+        |    - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+        |      + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)))
+        |    * 1000000 + 0.5) AS BIGINT) AS ln_or_lo_micro,
+        |  CAST(floor((ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+        |    + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+        |      + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)))
+        |    * 1000000 + 0.5) AS BIGINT) AS ln_or_hi_micro
+        |FROM cells""".stripMargin,
+  )
+}

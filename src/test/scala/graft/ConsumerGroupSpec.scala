@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.OrderGen
+import graft.stream.{ConsumerGroup, OrderPipeline}
+
+/** Multi-reader topic semantics (consumer.py:116–124's group join,
+  * SURVEY.md §2.1 S4): N member streams over one topic directory
+  * consume disjoint partition sets that together equal the
+  * single-reader run, and membership changes rebalance
+  * deterministically. */
+class ConsumerGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("range assignment is disjoint, total, and member-order independent") {
+    for (members <- Seq(Seq("a"), Seq("b", "a"), Seq("c", "a", "b"),
+        Seq("d", "b", "a", "c"), Seq("r1", "r0"))) {
+      val asg = ConsumerGroup.rangeAssignment(8, members)
+      assert(asg.keySet === (0 until 8).toSet)            // total
+      assert(asg.values.toSet.subsetOf(members.toSet))    // owners are members
+      // order independence: assignment depends on the member SET
+      assert(asg === ConsumerGroup.rangeAssignment(8, members.sorted))
+      // contiguity: each member's partitions form one contiguous block
+      asg.groupBy(_._2).foreach { case (_, ps) =>
+        val sorted = ps.keys.toSeq.sorted
+        assert(sorted === (sorted.head to sorted.last))
+      }
+    }
+    // first (P mod N) sorted members take the extra partition
+    val three = ConsumerGroup.rangeAssignment(8, Seq("c0", "c1", "c2"))
+    assert(ConsumerGroup.ownedPartitions(8, Seq("c0", "c1", "c2"), "c0") === Seq(0, 1, 2))
+    assert(ConsumerGroup.ownedPartitions(8, Seq("c0", "c1", "c2"), "c1") === Seq(3, 4, 5))
+    assert(ConsumerGroup.ownedPartitions(8, Seq("c0", "c1", "c2"), "c2") === Seq(6, 7))
+    assert(three(7) === "c2")
+    // more members than partitions: trailing members own nothing
+    val many = ConsumerGroup.rangeAssignment(2, Seq("a", "b", "c"))
+    assert(many === Map(0 -> "a", 1 -> "b"))
+  }
+
+  test("two member streams split the topic disjointly; union == single reader") {
+    val topicDir = tmpDir("graft-cg-topic")
+    OrderGen.writeTopicDir(OrderGen.orders(spark, 60L, "cg"), topicDir)
+    val members = Seq("r0", "r1")
+
+    def runMember(id: String): Set[(Long, String)] = {
+      val q = ConsumerGroup.memberStream(spark, topicDir, 8, members, id)
+        .select(col("offset"), col("key").cast("string").as("oid"))
+        .writeStream.format("memory").queryName(s"cg_$id")
+        .option("checkpointLocation", tmpDir(s"graft-cg-ckpt-$id")).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(s"cg_$id").as[(Long, String)].collect().toSet
+    }
+    val r0 = runMember("r0")
+    val r1 = runMember("r1")
+    assert(r0.nonEmpty && r1.nonEmpty)        // both actually own data
+    assert((r0 & r1) === Set.empty)           // no message read twice
+    val single = OrderPipeline.readTopicDir(spark, topicDir)
+      .select(col("offset"), col("key").cast("string").as("oid"))
+      .writeStream.format("memory").queryName("cg_single")
+      .option("checkpointLocation", tmpDir("graft-cg-ckpt-single"))
+    val qs = single.start(); qs.processAllAvailable(); qs.stop()
+    val all = spark.table("cg_single").as[(Long, String)].collect().toSet
+    assert((r0 ++ r1) === all)                // group == single reader
+    // ownership matches the assignment function message-for-message
+    val owned0 = ConsumerGroup.ownedPartitions(8, members, "r0").toSet
+    r0.foreach { case (_, oid) =>
+      val p = (BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(oid.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString, 16) >> 4) % 8
+      assert(owned0.contains(p.toInt))
+    }
+  }
+
+  test("rebalance on member add/remove stays disjoint+total and is flagged in the ledger") {
+    val gens = Seq(Seq("c0"), Seq("c0", "c1"), Seq("c0", "c1", "c2"), Seq("c0", "c2"))
+    gens.foreach { members =>
+      val asg = ConsumerGroup.rangeAssignment(8, members)
+      assert(asg.keySet === (0 until 8).toSet)
+      members.foreach { m =>
+        // every member's filter predicate matches exactly its partitions
+        val owned = ConsumerGroup.ownedPartitions(8, members, m)
+        assert(owned === asg.collect { case (p, o) if o == m => p }.toSeq.sorted)
+      }
+    }
+    val ledger = ConsumerGroup.assignmentLedger(spark, 8, gens)
+      .orderBy(col("generation"), col("pid"))
+      .as[(Long, Long, String, Boolean)].collect()
+    assert(ledger.length === 32)
+    // generation 1 (no predecessor): nothing is "moved"
+    assert(ledger.filter(_._1 == 1L).forall(!_._4))
+    // c1 joining (gen 2) takes partitions 4-7 from c0 — flagged moved
+    assert(ledger.filter(r => r._1 == 2L && r._2 >= 4).forall(r => r._3 == "c1" && r._4))
+    assert(ledger.filter(r => r._1 == 2L && r._2 < 4).forall(r => r._3 == "c0" && !r._4))
+    // c1 leaving (gen 4): exactly its partitions (3,4,5) move — p3 to
+    // c0, p4/p5 to c2; survivors' other partitions stay put
+    val g4 = ledger.filter(_._1 == 4L)
+    assert(g4.forall(r => r._3 == "c0" || r._3 == "c2"))
+    assert(g4.filter(_._4).map(_._2).sorted === Array(3L, 4L, 5L))
+  }
+}

@@ -368,4 +368,92 @@ class ScaleSpec extends SparkSpec {
     assert(nPairs > 0)
     info(f"5M-row basket self-join (frequent-only) in $secs%.1f s, $nPairs pairs")
   }
+
+  test("BPE encode applies the merge table with zero text shuffles (1M docs)") {
+    // q_bpe_encode's scale shape: the merge table compiles into the
+    // expression tree (model-as-literal), the per-word rewrite chain is
+    // pure codegen'd string work, and the ONLY exchange in the whole
+    // plan is the final map-side-combined aggregate on the tiny source
+    // key — the corpus text itself never crosses the network
+    val docs = spark.range(1000000).select(
+      concat(lit("src"), pmod($"id", lit(5))).as("source"),
+      expr("array_join(transform(sequence(0, 7), i -> " +
+        "concat('the', pmod(id * 31 + i * 7, 100), 'star')), ' ')").as("text"))
+    val merges = Seq("t h" -> "th", "th e" -> "the", "s t" -> "st",
+      "a r" -> "ar")
+    val spaced = trim(regexp_replace($"w", "(.)", "$1 "))
+    val encoded = merges.foldLeft(spaced) { case (c, (from, to)) =>
+      regexp_replace(c, from, to)
+    }
+    val agg = docs
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .select($"source", length($"w").cast("long").as("chars"),
+        size(split(encoded, " ")).cast("long").as("toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_words"), sum($"chars").as("n_chars"),
+        sum($"toks").as("n_tokens"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = agg.queryExecution.executedPlan.toString
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx === 1, s"text must not shuffle — expected only the " +
+        s"final source-key aggregate exchange, got $hashEx:\n$plan")
+      val t0 = System.nanoTime()
+      val rows = agg.collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(rows.length === 5)
+      assert(rows.map(_.getLong(1)).sum === 8000000L) // 8 words/doc, none empty
+      info(f"1M-doc (8M-word) BPE encode in $secs%.1f s, one exchange")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("shard manifest is one scan + one 16-key aggregate (1M docs)") {
+    // q_shard_manifest's scale shape: shard assignment and the content
+    // digest are per-row expressions over ONE scan, the manifest is a
+    // map-side-combined aggregate on the 16-value shard key (the only
+    // hash exchange), and the grand total joins back by broadcast —
+    // no window, no second scan of the text
+    val docs = spark.range(1000000).select($"id".as("doc_id"),
+      concat(lit("body "), $"id").as("text"))
+    val d = docs.select(
+      (conv(substring(md5(concat(lit("shard|"), $"doc_id".cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 16).as("shard"),
+      size(split($"text", " ")).cast("long").as("toks"),
+      length($"text").cast("long").as("chars"),
+      conv(substring(md5(concat($"doc_id".cast("string"), lit("|"), $"text").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("digest"))
+    val manifest = d.groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"),
+        sum($"chars").as("n_chars"), expr("bit_xor(digest)").as("checksum"))
+    val total = manifest.agg(sum($"n_docs").as("total_docs"))
+    val out = manifest.crossJoin(broadcast(total))
+      .select($"shard", $"n_docs", $"checksum",
+        expr("n_docs * 16 * 1000000 div total_docs - 1000000").as("skew_ppm"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = out.queryExecution.executedPlan.toString
+      // every hash exchange must be the SHARD-KEY aggregate exchange,
+      // i.e. downstream of the map-side partial combine — at most 16
+      // rows per task ever shuffle, never the document rows. (Without
+      // AQE the grand-total branch re-derives the manifest, so the same
+      // post-partial exchange can appear twice; AQE's ReuseExchange
+      // collapses them at execution.)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      val shardEx = "Exchange hashpartitioning\\(shard".r.findAllIn(plan).length
+      assert(hashEx === shardEx && hashEx >= 1,
+        s"a non-shard-key exchange shuffles document rows:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastExchange"), s"total must broadcast:\n$plan")
+      val t0 = System.nanoTime()
+      val rows = out.collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(rows.length === 16)
+      assert(rows.map(_.getLong(1)).sum === 1000000L)
+      // salted md5 sharding balances: within ±2% of the even split
+      assert(rows.map(_.getLong(3)).forall(p => math.abs(p) < 20000L),
+        s"shard skew over 2%: ${rows.map(_.getLong(3)).mkString(",")}")
+      info(f"1M-doc shard manifest in $secs%.1f s, one exchange")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

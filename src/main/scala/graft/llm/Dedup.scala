@@ -290,6 +290,11 @@ object Dedup {
     val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
       .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
       .distinct()
+      // hash-partition by the sweep-join side before checkpointing: the
+      // checkpointed relation keeps its outputPartitioning, so every
+      // sweep's edges⋈labels join reuses it instead of re-shuffling the
+      // edge table each sweep (2 sweeps × rounds otherwise)
+      .repartition(col("b"))
       .localCheckpoint(eager = true)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -303,24 +308,32 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
     }
+    // convergence signature: the node set is fixed and labels only ever
+    // DECREASE, so the table changed iff Σlabel changed — one tiny agg
+    // over the fresh checkpoint instead of a join against the
+    // round-start table every round.
+    def signature(l: DataFrame): Long = {
+      val r = l.agg(sum(col("label"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var iter = 0
     var converged = false
+    var sig = Long.MinValue
     while (!converged && iter < maxIter) {
       // TWO propagation sweeps per materialized round: labels only ever
       // decrease, so extra sweeps between convergence checks are safe,
       // and at small per-round data the checkpoint+count job floor
-      // dominates — fusing halves the round-trips. The convergence
-      // check compares against the ROUND-START labels via a join on
-      // the materialized table (zero change across two sweeps implies
-      // a fixed point). Superseded rounds' blocks are released by the
-      // ContextCleaner on GC (Dataset.unpersist does not cover
-      // localCheckpoint blocks).
-      val next = sweep(sweep(labels))
-        .join(labels.select(col("node"), col("label").as("prev_label")), "node")
-        .localCheckpoint(eager = true)
-      val changed = next.filter(col("label") =!= col("prev_label")).count()
-      labels = next.drop("prev_label")
-      converged = changed == 0
+      // dominates — fusing halves the round-trips. Zero signature
+      // change across two sweeps implies a fixed point. Superseded
+      // rounds' blocks are released by the ContextCleaner on GC
+      // (Dataset.unpersist does not cover localCheckpoint blocks).
+      val next = sweep(sweep(labels)).localCheckpoint(eager = true)
+      val nextSig = signature(next)
+      converged = iter > 0 && nextSig == sig
+      // round 0 has no prior signature: sig starts at a sentinel no
+      // real Σlabel can equal (labels are non-negative ids)
+      sig = nextSig
+      labels = next
       iter += 1
     }
     // silent wrong labels would surface only as an inexplicable result

@@ -1220,7 +1220,38 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("shard"))
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual/multi-source
+    * rebalancing rule (w_s ∝ n_s^α, α = ½ here): raw token counts make
+    * the big source dominate, α < 1 flattens the mixture so small
+    * sources upsample (mBERT/XLM-R exponent-smoothing). Pipeline
+    * shape: ONE scan collapses documents to 5 per-source token counts;
+    * sqrt lands on int64 micro units immediately (IEEE sqrt is
+    * correctly rounded, so floor(sqrt·1e6+½) is bit-portable; the
+    * cross-source normalizer then sums INTEGERS — order-independent
+    * where a double Σ√n would be partial-aggregation-order dependent).
+    * Emits each source's mixture weight (ppm), its token quota under a
+    * ¼-corpus training budget, and the implied epochs over its own
+    * data in milli (epochs > 1000 ⇒ the flattened mixture repeats the
+    * small source — the visible upsampling). */
+  private[graft] def qTemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("source")).agg(sum(col("toks")).as("n_tokens"))
+      .withColumn("sq_micro",
+        expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"))
+    val tot = counts.agg(sum(col("sq_micro")).as("sq_tot"),
+      sum(col("n_tokens")).as("n_tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr("sq_micro * 1000000 div sq_tot").as("weight_ppm"),
+        expr("(n_tot div 4) * sq_micro div sq_tot").as("token_quota"),
+        expr("((n_tot div 4) * sq_micro div sq_tot) * 1000 div n_tokens")
+          .as("epochs_milli"))
+      .orderBy(col("source"))
+  }
+
   private[graft] def llm2QueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_temperature_mix" -> (qTemperatureMix _),
     "q_map_eval" -> (qMapEval _),
     "q_rank_fusion" -> (qRankFusion _),
     "q_coverage_curve" -> (qCoverageCurve _),
@@ -1261,6 +1292,24 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
   )
 
   private[graft] def llm2OracleMap: Map[String, String] = Map(
+    "q_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |q AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS sq_micro
+        |  FROM c),
+        |tot AS (
+        |  SELECT CAST(sum(sq_micro) AS BIGINT) AS sq_tot,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tot FROM q)
+        |SELECT source, n_tokens,
+        |  sq_micro * 1000000 // sq_tot AS weight_ppm,
+        |  (n_tot // 4) * sq_micro // sq_tot AS token_quota,
+        |  ((n_tot // 4) * sq_micro // sq_tot) * 1000 // n_tokens AS epochs_milli
+        |FROM q CROSS JOIN tot
+        |ORDER BY source""".stripMargin,
     "q_map_eval" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cid, embedding AS cv FROM embeddings

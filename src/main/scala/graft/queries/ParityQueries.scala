@@ -361,8 +361,60 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
       .orderBy(col("generation"), col("pid"))
   }
 
+  /** Rebalance-churn audit — the quantitative case for cooperative
+    * (sticky) rebalancing: for each membership transition of
+    * q_consumer_rebalance's generation chain, the eager RangeAssignor's
+    * actual partition moves vs the information-theoretic floor
+    * (ConsumerGroup.minMoves: any balanced assignment keeps at most
+    * Σ_m min(owned(m), cap(m)) partitions — ConsumerGroup.
+    * stickyAssignment achieves exactly this bound, pinned by
+    * ConsumerGroupSpec). `excess_moves` > 0 is churn the eager strategy
+    * pays for nothing (generation 3 here: a joining member shifts a
+    * partition between two SURVIVORS); `moved_msgs_range` weights the
+    * churn by actual message traffic on the moved partitions. The
+    * oracle recomputes the floor from first principles in SQL
+    * (surviving-ownership counts → ranked balanced capacities →
+    * max-keep sum). Transition stats are O(generations × partitions)
+    * config state; only the message counts touch data (one
+    * map-side-combined aggregate, ledger joined by broadcast). */
+  private[graft] def qRebalanceChurn(s: SparkSession, dir: String): DataFrame = {
+    import graft.stream.ConsumerGroup
+    val P = 8
+    val gens = Seq(Seq("c0"), Seq("c0", "c1"), Seq("c0", "c1", "c2"),
+      Seq("c0", "c2"))
+    val trans = (1 until gens.size).map { g =>
+      val prev = ConsumerGroup.rangeAssignment(P, gens(g - 1))
+      val cur = ConsumerGroup.rangeAssignment(P, gens(g))
+      val moved = (0 until P).filter(p => prev(p) != cur(p))
+      val orphans = (0 until P).count(p => !gens(g).contains(prev(p)))
+      val mm = ConsumerGroup.minMoves(P, prev, gens(g))
+      (g.toLong, (g + 1).toLong, gens(g).size.toLong, orphans.toLong,
+        moved.size.toLong, mm.toLong, (moved.size - mm).toLong, moved)
+    }
+    import s.implicits._
+    val stats = trans
+      .map { case (f, gt, n, o, mv, mn, ex, _) => (f, gt, n, o, mv, mn, ex) }
+      .toDF("gen_from", "gen_to", "n_members", "n_orphaned",
+        "n_moved_range", "min_moves", "excess_moves")
+    val movedPairs = trans
+      .flatMap { case (_, gt, _, _, _, _, _, ps) => ps.map(p => (gt, p.toLong)) }
+      .toDF("gen_to", "pid")
+    val counts = t(s, dir, "orders")
+      .select(ConsumerGroup.partitionOf(
+        col("o_orderkey").cast("string").cast("binary"), P).as("pid"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("n"))
+    val movedMsgs = counts.join(broadcast(movedPairs), "pid")
+      .groupBy(col("gen_to")).agg(sum(col("n")).as("moved_msgs_range"))
+    stats.join(movedMsgs, "gen_to")
+      .select(col("gen_from"), col("gen_to"), col("n_members"),
+        col("n_orphaned"), col("n_moved_range"), col("min_moves"),
+        col("excess_moves"), col("moved_msgs_range"))
+      .orderBy(col("gen_to"))
+  }
+
   private[graft] def parityQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_consumer_rebalance" -> (qConsumerRebalance _),
+    "q_rebalance_churn" -> (qRebalanceChurn _),
     "q_route" -> (qRoute _),
     "q_route_counts" -> (qRouteCounts _),
     "q_agg_success" -> (qAggSuccess _),
@@ -419,6 +471,77 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
         |SELECT generation, pid, owner, n_messages, moved
         |FROM moved JOIN counts USING (pid)
         |ORDER BY generation, pid""".stripMargin,
+
+    // recomputes the minimal-move floor from first principles: per
+    // transition, surviving-ownership counts -> balanced capacities
+    // (P div N each, the P mod N "+1" slots ranked to the largest
+    // holders, ties lexicographic) -> max_keep = sum(min(owned, cap));
+    // min_moves = P - max_keep. Range-assignor owners replayed by the
+    // same formula as q_consumer_rebalance.
+    "q_rebalance_churn" ->
+      """WITH gens(generation, members) AS (VALUES
+        |    (CAST(1 AS BIGINT), ['c0']),
+        |    (CAST(2 AS BIGINT), ['c0', 'c1']),
+        |    (CAST(3 AS BIGINT), ['c0', 'c1', 'c2']),
+        |    (CAST(4 AS BIGINT), ['c0', 'c2'])),
+        |grid AS (
+        |  SELECT generation, list_sort(members) AS ms, CAST(r.range AS BIGINT) AS pid
+        |  FROM gens, range(8) r),
+        |own AS (
+        |  SELECT generation, pid,
+        |    ms[CAST(CASE WHEN pid < (8 // len(ms) + 1) * (8 % len(ms))
+        |         THEN pid // (8 // len(ms) + 1)
+        |         ELSE (8 % len(ms)) + (pid - (8 // len(ms) + 1) * (8 % len(ms))) // (8 // len(ms))
+        |       END AS INT) + 1] AS owner
+        |  FROM grid),
+        |trans AS (
+        |  SELECT a.generation AS gen_from, b.generation AS gen_to, a.pid,
+        |    a.owner AS prev_owner, b.owner AS cur_owner
+        |  FROM own a JOIN own b ON b.generation = a.generation + 1 AND a.pid = b.pid),
+        |gensz AS (SELECT generation, CAST(len(members) AS BIGINT) AS n_members,
+        |            list_sort(members) AS ms FROM gens),
+        |o AS (
+        |  SELECT t.gen_from, t.gen_to, t.pid, t.prev_owner, t.cur_owner,
+        |    NOT list_contains(g.ms, t.prev_owner) AS orphaned,
+        |    t.prev_owner <> t.cur_owner AS is_moved
+        |  FROM trans t JOIN gensz g ON g.generation = t.gen_to),
+        |surv AS (
+        |  SELECT gen_to, prev_owner AS m, CAST(count(*) AS BIGINT) AS owned
+        |  FROM o WHERE NOT orphaned GROUP BY 1, 2),
+        |mem AS (
+        |  SELECT g.generation AS gen_to, unnest(g.ms) AS m, g.n_members
+        |  FROM gensz g WHERE g.generation > 1),
+        |memo AS (
+        |  SELECT mem.gen_to, mem.m, mem.n_members,
+        |    coalesce(surv.owned, CAST(0 AS BIGINT)) AS owned
+        |  FROM mem LEFT JOIN surv ON surv.gen_to = mem.gen_to AND surv.m = mem.m),
+        |capd AS (
+        |  SELECT gen_to, m, owned,
+        |    8 // n_members + CASE WHEN row_number()
+        |        OVER (PARTITION BY gen_to ORDER BY owned DESC, m) <= 8 % n_members
+        |      THEN 1 ELSE 0 END AS cap
+        |  FROM memo),
+        |keepx AS (
+        |  SELECT gen_to, CAST(sum(least(owned, cap)) AS BIGINT) AS max_keep
+        |  FROM capd GROUP BY 1),
+        |counts AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS pid,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |mstats AS (
+        |  SELECT o.gen_from, o.gen_to,
+        |    CAST(sum(CASE WHEN o.is_moved THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_range,
+        |    CAST(sum(CASE WHEN o.orphaned THEN 1 ELSE 0 END) AS BIGINT) AS n_orphaned,
+        |    CAST(sum(CASE WHEN o.is_moved THEN c.n ELSE 0 END) AS BIGINT) AS moved_msgs_range
+        |  FROM o JOIN counts c USING (pid) GROUP BY 1, 2)
+        |SELECT m.gen_from, m.gen_to, g.n_members, m.n_orphaned, m.n_moved_range,
+        |  8 - k.max_keep AS min_moves,
+        |  m.n_moved_range - (8 - k.max_keep) AS excess_moves,
+        |  m.moved_msgs_range
+        |FROM mstats m
+        |JOIN keepx k USING (gen_to)
+        |JOIN gensz g ON g.generation = m.gen_to
+        |ORDER BY m.gen_to""".stripMargin,
     "q_route" ->
       s"""$routedSql
          |SELECT order_key, product, price, status FROM routed ORDER BY order_key""".stripMargin,

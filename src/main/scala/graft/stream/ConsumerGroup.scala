@@ -89,6 +89,73 @@ object ConsumerGroup {
     OrderPipeline.readTopicDir(spark, topicDir)
       .filter(memberFilter(col("key"), nPartitions, members, memberId))
 
+  /** Balanced capacities for a member set given each member's surviving
+    * ownership: every member gets P/N partitions, and the P mod N
+    * "+1" slots go to the members that already HOLD the most (ties:
+    * lexicographically smallest) — the capacity choice that maximizes
+    * how much of the previous assignment can be kept (exchange
+    * argument: a +1 slot keeps an extra partition iff its holder
+    * already owns more than P/N). */
+  def capacities(nPartitions: Int, prevOwned: Map[String, Int],
+      members: Seq[String]): Map[String, Int] = {
+    val n = members.size
+    val npp = nPartitions / n
+    val extra = nPartitions % n
+    val ranked = members.sortBy(m => (-prevOwned.getOrElse(m, 0), m))
+    ranked.zipWithIndex.map { case (m, i) =>
+      m -> (npp + (if (i < extra) 1 else 0))
+    }.toMap
+  }
+
+  /** The information-theoretic floor on partition movement for a
+    * membership change: any balanced assignment keeps at most
+    * Σ_m min(owned(m), cap(m)) partitions, so at least P minus that
+    * must move. [[stickyAssignment]] achieves exactly this bound
+    * (pinned by ConsumerGroupSpec); the eager [[rangeAssignment]] can
+    * exceed it — the gap is what q_rebalance_churn audits. */
+  def minMoves(nPartitions: Int, prev: Map[Int, String],
+      members: Seq[String]): Int = {
+    val owned = prev.values.filter(members.contains)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val cap = capacities(nPartitions, owned, members)
+    nPartitions - members.map(m => math.min(owned.getOrElse(m, 0), cap(m))).sum
+  }
+
+  /** Cooperative (sticky + balanced) rebalance — Kafka's
+    * StickyAssignor discipline made deterministic: each surviving
+    * member keeps its LOWEST-numbered partitions up to its balanced
+    * capacity; everything else (orphans of departed members plus
+    * over-capacity excess) is reassigned in ascending partition order,
+    * each to the least-loaded member with spare capacity (ties:
+    * lexicographically smallest). Moves exactly [[minMoves]]
+    * partitions — the provable optimum — where the eager range
+    * rebalance may churn partitions between surviving members. */
+  def stickyAssignment(nPartitions: Int, prev: Map[Int, String],
+      members: Seq[String]): Map[Int, String] = {
+    require(members.nonEmpty, "a consumer group needs at least one member")
+    require(members.distinct.size == members.size,
+      s"duplicate member ids in $members")
+    val ms = members.sorted
+    val survivingOwned = prev.collect {
+      case (p, m) if p < nPartitions && ms.contains(m) => (p, m)
+    }
+    val ownedCount = survivingOwned.values.groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val cap = capacities(nPartitions, ownedCount, ms)
+    val kept = survivingOwned.groupBy(_._2).flatMap { case (m, ps) =>
+      ps.keys.toSeq.sorted.take(cap(m)).map(_ -> m)
+    }
+    val load = scala.collection.mutable.Map.empty[String, Int] ++
+      ms.map(m => m -> kept.count(_._2 == m))
+    var asg = kept
+    (0 until nPartitions).filterNot(asg.contains).foreach { p =>
+      val m = ms.filter(m => load(m) < cap(m)).minBy(m => (load(m), m))
+      asg += p -> m
+      load(m) += 1
+    }
+    asg
+  }
+
   /** Assignment ledger across a sequence of membership generations —
     * the rebalance audit: one row per (generation, partition) with the
     * owner and whether ownership moved vs the previous generation

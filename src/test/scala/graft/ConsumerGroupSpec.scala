@@ -97,4 +97,45 @@ class ConsumerGroupSpec extends SparkSpec {
     assert(g4.forall(r => r._3 == "c0" || r._3 == "c2"))
     assert(g4.filter(_._4).map(_._2).sorted === Array(3L, 4L, 5L))
   }
+
+  test("sticky rebalance is balanced, disjoint+total, and move-optimal") {
+    val P = 8
+    val chains = Seq(
+      Seq(Seq("c0"), Seq("c0", "c1"), Seq("c0", "c1", "c2"), Seq("c0", "c2")),
+      Seq(Seq("a", "b", "c"), Seq("b", "c"), Seq("b", "c", "d", "e")),
+      Seq(Seq("x"), Seq("x", "y", "z"), Seq("z")))
+    chains.foreach { gens =>
+      var prev = Map.empty[Int, String]
+      gens.foreach { members =>
+        val next = ConsumerGroup.stickyAssignment(P, prev, members)
+        // disjoint + total + balanced (every member within one of P/N)
+        assert(next.keySet === (0 until P).toSet)
+        val loads = members.map(m => next.values.count(_ == m))
+        assert(loads.sum === P)
+        assert(loads.max - loads.min <= 1,
+          s"unbalanced sticky assignment for $members: $loads")
+        // move-optimality: achieves exactly the minMoves floor
+        val moved = (0 until P).count(p =>
+          prev.get(p).exists(_ != next(p)) || !prev.contains(p))
+        if (prev.nonEmpty)
+          assert(moved === ConsumerGroup.minMoves(P, prev, members),
+            s"sticky moved $moved != floor for $prev -> $members")
+        prev = next
+      }
+    }
+    // the q_rebalance_churn generation chain, on the RANGE chain as the
+    // query computes it: eager range pays 1 excess move at generation 3
+    // (a join shifts p3 between the surviving c0 and c1)
+    val gens = Seq(Seq("c0"), Seq("c0", "c1"), Seq("c0", "c1", "c2"), Seq("c0", "c2"))
+    val floors = (1 until gens.size).map { g =>
+      ConsumerGroup.minMoves(P, ConsumerGroup.rangeAssignment(P, gens(g - 1)), gens(g))
+    }
+    val rangeMoves = (1 until gens.size).map { g =>
+      val a = ConsumerGroup.rangeAssignment(P, gens(g - 1))
+      val b = ConsumerGroup.rangeAssignment(P, gens(g))
+      (0 until P).count(p => a(p) != b(p))
+    }
+    assert(floors === Seq(4, 2, 3))
+    assert(rangeMoves === Seq(4, 3, 3))
+  }
 }

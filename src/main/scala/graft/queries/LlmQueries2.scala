@@ -1250,8 +1250,55 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("source"))
   }
 
+  /** Johnson–Lindenstrauss random projection 64→16 dims with a
+    * per-pair distortion audit — the embedding-compression primitive
+    * for ANN-index memory (4× smaller vectors, distances preserved in
+    * expectation): a deterministic ±1 projection matrix (md5-parity
+    * signs — Achlioptas's database-friendly JL, engine-portable where
+    * a Gaussian matrix is a seeded generator), y = Rx in exact int64
+    * over fp3-quantized inputs, then for 32 audit pairs the projected
+    * vs original squared-distance ratio (E[‖Δy‖²] = 16·‖Δx‖², so
+    * ratio_ppm ≈ 1e6). Scale shape: the 64×16 sign matrix is
+    * model-as-broadcast and the projection is one map-side join +
+    * grouped sum per vector — the corpus never shuffles raw vectors;
+    * the audit pairs are a bounded probe set. */
+  private[graft] def qRandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val xq = t(s, dir, "embeddings").filter(col("vec_id") < 64)
+      .select(col("vec_id").as("v"), posexplode(col("embedding")))
+      .select(col("v"), (col("pos") + 1).cast("long").as("i"),
+        expr("CAST(floor(CAST(col AS DOUBLE) * 1000 + 0.5) AS BIGINT)").as("xq"))
+      .localCheckpoint(eager = false)
+    val signs = s.range(1, 65).select(col("id").as("i"))
+      .crossJoin(s.range(1, 17).select(col("id").as("j")))
+      .withColumn("sign", lit(1L) - lit(2L) *
+        (h60(concat(lit("rp|"), col("i").cast("string"), lit("|"),
+          col("j").cast("string"))) % 2))
+    val y = xq.join(broadcast(signs), "i")
+      .groupBy(col("v"), col("j")).agg(sum(col("xq") * col("sign")).as("y"))
+    val ax = xq.filter(col("v") % 2 === 0)
+      .select(expr("v div 2").as("p"), col("i"), col("xq").as("xa"))
+    val bx = xq.filter(col("v") % 2 === 1)
+      .select(expr("v div 2").as("p"), col("i"), col("xq").as("xb"))
+    val d2o = ax.join(bx, Seq("p", "i"))
+      .groupBy(col("p"))
+      .agg(sum((col("xa") - col("xb")) * (col("xa") - col("xb"))).as("d2_orig"))
+    val ya = y.filter(col("v") % 2 === 0)
+      .select(expr("v div 2").as("p"), col("j"), col("y").as("ya"))
+    val yb = y.filter(col("v") % 2 === 1)
+      .select(expr("v div 2").as("p"), col("j"), col("y").as("yb"))
+    val d2p = ya.join(yb, Seq("p", "j"))
+      .groupBy(col("p"))
+      .agg(sum((col("ya") - col("yb")) * (col("ya") - col("yb"))).as("d2_proj"))
+    d2o.join(d2p, "p")
+      .select(expr("p * 2").as("d1"), expr("p * 2 + 1").as("d2"),
+        col("d2_orig"), col("d2_proj"),
+        expr("d2_proj * 1000000 div (d2_orig * 16)").as("ratio_ppm"))
+      .orderBy(col("d1"))
+  }
+
   private[graft] def llm2QueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_temperature_mix" -> (qTemperatureMix _),
+    "q_random_projection" -> (qRandomProjection _),
     "q_map_eval" -> (qMapEval _),
     "q_rank_fusion" -> (qRankFusion _),
     "q_coverage_curve" -> (qCoverageCurve _),
@@ -1292,6 +1339,35 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
   )
 
   private[graft] def llm2OracleMap: Map[String, String] = Map(
+    "q_random_projection" ->
+      """WITH x AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS v,
+        |    list_transform(embedding, e ->
+        |      CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+        |  FROM embeddings WHERE vec_id < 64),
+        |sgn AS (
+        |  SELECT CAST(i.range + 1 AS INT) AS i, CAST(j.range + 1 AS BIGINT) AS j,
+        |    1 - 2 * (CAST('0x' || substr(md5(
+        |      'rp|' || CAST(i.range + 1 AS VARCHAR) || '|' || CAST(j.range + 1 AS VARCHAR)
+        |      ), 1, 15) AS BIGINT) % 2) AS sign
+        |  FROM range(64) i CROSS JOIN range(16) j),
+        |y AS (
+        |  SELECT x.v, s.j, CAST(sum(x.xq[s.i] * s.sign) AS BIGINT) AS y
+        |  FROM x CROSS JOIN sgn s GROUP BY 1, 2),
+        |d2o AS (
+        |  SELECT a.v // 2 AS p,
+        |    CAST(list_sum(list_transform(generate_series(1, 64), i ->
+        |      (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) AS BIGINT) AS d2_orig
+        |  FROM x a JOIN x b ON b.v = a.v + 1 AND a.v % 2 = 0),
+        |d2p AS (
+        |  SELECT a.v // 2 AS p,
+        |    CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2_proj
+        |  FROM y a JOIN y b ON b.v = a.v + 1 AND a.v % 2 = 0 AND a.j = b.j
+        |  GROUP BY 1)
+        |SELECT p * 2 AS d1, p * 2 + 1 AS d2, d2_orig, d2_proj,
+        |  d2_proj * 1000000 // (d2_orig * 16) AS ratio_ppm
+        |FROM d2o JOIN d2p USING (p) ORDER BY d1""".stripMargin,
+
     "q_temperature_mix" ->
       """WITH c AS (
         |  SELECT source,

@@ -2228,7 +2228,124 @@ private[graft] trait WarehouseQueries3 { this: SparkEntry.type =>
         expr("CAST(floor((CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) / greatest((CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) - CAST(sk AS DOUBLE) / CAST(n AS DOUBLE), 0.001) * 1000 + 0.5) AS BIGINT)").as("nb_r_milli"))
   }
 
+  /** Zone-map (min/max statistics) skipping audit — the data-skipping
+    * arithmetic behind every lakehouse scan planner: rows land in 64
+    * zones under two layouts (natural l_orderkey insertion order vs
+    * clustered by the predicate column), each zone keeps min/max of
+    * l_shipdate, and a quarter-long date predicate counts which zones
+    * a planner could skip WITHOUT reading them (max < lo or min > hi).
+    * The natural layout skips almost nothing (every zone spans the full
+    * date range — the classic unclustered-fact pathology); the
+    * clustered layout skips nearly everything outside the quarter. At
+    * 100 TB this ratio IS the scan cost, which is why layout
+    * (zorder/cluster-by) is a first-class operator. One scan per
+    * layout; zones are a bounded 64-row domain. */
+  private[graft] def qZoneMap(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("ok"),
+        epochDay(col("l_shipdate")).as("sd"))
+      .localCheckpoint(eager = false)
+    val bounds = li.agg(max(col("ok")).as("max_ok"), min(col("sd")).as("min_sd"),
+      max(col("sd")).as("max_sd"), count(lit(1)).as("n_rows"))
+    val lo = epochDayLit("1994-01-01")
+    val hi = epochDayLit("1994-03-31")
+    def audit(layout: String, zone: org.apache.spark.sql.Column) =
+      li.crossJoin(broadcast(bounds))
+        .select(zone.as("zone"), col("sd"), col("n_rows"))
+        .groupBy(col("zone"))
+        .agg(min(col("sd")).as("zmin"), max(col("sd")).as("zmax"),
+          count(lit(1)).as("rows"), max(col("n_rows")).as("n_rows"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_zones"),
+          sum(when(col("zmax") < lo || col("zmin") > hi, 1L).otherwise(0L))
+            .as("n_skippable"),
+          sum(when(col("zmax") < lo || col("zmin") > hi, col("rows"))
+            .otherwise(0L)).as("skip_rows"),
+          max(col("n_rows")).as("n_rows"))
+        .select(lit(layout).as("layout"), col("n_zones"), col("n_skippable"),
+          col("skip_rows"),
+          expr("skip_rows * 1000000 div n_rows").as("skip_ppm"))
+    audit("natural", expr("ok * 64 div (max_ok + 1)"))
+      .unionByName(audit("clustered",
+        expr("(sd - min_sd) * 64 div (max_sd - min_sd + 1)")))
+      .orderBy(col("layout"))
+  }
+
+  /** Small-files compaction plan — the lakehouse maintenance operator
+    * the topic-dir sink (and any streaming ingest) eventually needs:
+    * per-day ingest "files" (row counts over the bounded date domain)
+    * are packed into target-sized compaction groups by a rolling
+    * capacity split (group = exclusive-prefix-rows div target — the
+    * deterministic one-pass packing a distributed compactor uses, same
+    * prefix shape as q_pack_windows). Emits each group's file count,
+    * rows, date span, and fill ratio vs the 5000-row target; the
+    * file-count→group-count ratio is the write-amplification-free
+    * read-amplification win. Window runs over the ~2400-row day
+    * DOMAIN, never row-cardinality data. */
+  private[graft] def qCompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = t(s, dir, "orders")
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("sz"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum(col("sz")).over(w), lit(0L)))
+      .withColumn("grp", expr("cum_before div 5000"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("sz")).as("n_rows"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .select(col("grp"), col("n_files"), col("n_rows"),
+        col("first_day"), col("last_day"),
+        expr("n_rows * 1000000 div 5000").as("fill_ppm"))
+      .orderBy(col("grp"))
+  }
+
+  /** AMS (Alon–Matias–Szegedy) F₂ sketch — the second frequency moment
+    * (self-join size) in 8 counters, completing the sketch family next
+    * to HLL (F₀), KMV, and Count-Min: 8 independent ±1 hash rows
+    * (md5 parity — engine-portable where AMS's 4-wise independence is
+    * usually a seeded generator), z_i = Σ_k count(k)·sign_i(k), and
+    * F₂ ≈ mean/median of z_i². Scale shape: keys are first compressed
+    * by an EXACT map-side-combined count (the shuffle carries one row
+    * per distinct key), the 8-row sketch table is then one bounded
+    * aggregate — the estimator state is 8 longs no matter the stream.
+    * All arithmetic exact int64; the median is the documented LOWER
+    * median (4th order statistic of 8) so no half values exist. The
+    * oracle replays sketch, estimates, and the exact F₂ = Σ count². */
+  private[graft] def qAmsF2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = events(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val sk = cnts
+      .select(col("user_id"), col("cnt"),
+        explode(array((0 until 8).map(lit): _*)).as("i"))
+      .withColumn("sign", lit(1L) - lit(2L) *
+        (h60(concat(lit("ams|"), col("i").cast("string"), lit("|"),
+          col("user_id").cast("string"))) % 2))
+      .groupBy(col("i")).agg(sum(col("cnt") * col("sign")).as("z"))
+      .withColumn("z2", col("z") * col("z"))
+    val exact = cnts.agg(sum(col("cnt") * col("cnt")).as("f2_exact"),
+      count(lit(1)).as("n_keys"))
+    val mean = sk.agg(expr("sum(z2) div 8").as("est_mean"))
+    // 8-row bounded domain: the rank window never touches key-cardinality data
+    val medianLo = sk
+      .withColumn("rn", row_number().over(Window.orderBy(col("z2"), col("i"))))
+      .filter(col("rn") === 4).select(col("z2").as("est_median_lo"))
+    exact.crossJoin(broadcast(mean)).crossJoin(broadcast(medianLo))
+      .select(col("n_keys"), col("f2_exact"), col("est_mean"),
+        col("est_median_lo"),
+        expr("abs(est_mean - f2_exact) * 1000000 div f2_exact")
+          .as("err_mean_ppm"),
+        expr("abs(est_median_lo - f2_exact) * 1000000 div f2_exact")
+          .as("err_median_ppm"))
+  }
+
   private[graft] def warehouse3QueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zone_map" -> (qZoneMap _),
+    "q_compaction_plan" -> (qCompactionPlan _),
+    "q_ams_f2" -> (qAmsF2 _),
     "q_order_consolidation" -> (qOrderConsolidation _),
     "q_topk_per_quarter" -> (qTopkPerQuarter _),
     "q_growth_accounting" -> (qGrowthAccounting _),
@@ -2300,6 +2417,77 @@ private[graft] trait WarehouseQueries3 { this: SparkEntry.type =>
   )
 
   private[graft] def warehouse3OracleMap: Map[String, String] = Map(
+    "q_ams_f2" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY user_id),
+        |sk AS (
+        |  SELECT CAST(i.range AS BIGINT) AS i,
+        |    CAST(sum(cnt * (1 - 2 * (CAST('0x' || substr(md5(
+        |      'ams|' || CAST(i.range AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+        |      ), 1, 15) AS BIGINT) % 2))) AS BIGINT) AS z
+        |  FROM c CROSS JOIN range(8) i GROUP BY 1),
+        |s2 AS (SELECT i, z, z * z AS z2 FROM sk),
+        |ex AS (
+        |  SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact,
+        |    CAST(count(*) AS BIGINT) AS n_keys FROM c),
+        |mn AS (SELECT CAST(sum(z2) AS BIGINT) // 8 AS est_mean FROM s2),
+        |md AS (
+        |  SELECT z2 AS est_median_lo FROM (
+        |    SELECT z2, row_number() OVER (ORDER BY z2, i) AS rn FROM s2)
+        |  WHERE rn = 4)
+        |SELECT n_keys, f2_exact, est_mean, est_median_lo,
+        |  abs(est_mean - f2_exact) * 1000000 // f2_exact AS err_mean_ppm,
+        |  abs(est_median_lo - f2_exact) * 1000000 // f2_exact AS err_median_ppm
+        |FROM ex CROSS JOIN mn CROSS JOIN md""".stripMargin,
+
+    "q_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS sz
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT day, sz,
+        |    CAST(coalesce(sum(sz) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM f)
+        |SELECT cum_before // 5000 AS grp,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  min(day) AS first_day, max(day) AS last_day,
+        |  CAST(sum(sz) AS BIGINT) * 1000000 // 5000 AS fill_ppm
+        |FROM c GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    "q_zone_map" ->
+      """WITH li AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS ok,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS sd
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT max(ok) AS max_ok, min(sd) AS min_sd, max(sd) AS max_sd,
+        |    CAST(count(*) AS BIGINT) AS n_rows FROM li),
+        |zoned AS (
+        |  SELECT 'natural' AS layout, ok * 64 // (max_ok + 1) AS zone, sd, n_rows
+        |  FROM li CROSS JOIN b
+        |  UNION ALL
+        |  SELECT 'clustered' AS layout,
+        |    (sd - min_sd) * 64 // (max_sd - min_sd + 1) AS zone, sd, n_rows
+        |  FROM li CROSS JOIN b),
+        |z AS (
+        |  SELECT layout, zone, min(sd) AS zmin, max(sd) AS zmax,
+        |    CAST(count(*) AS BIGINT) AS rows_z, max(n_rows) AS n_rows
+        |  FROM zoned GROUP BY 1, 2),
+        |lohi AS (
+        |  SELECT CAST(DATE '1994-01-01' - DATE '1970-01-01' AS BIGINT) AS lo,
+        |    CAST(DATE '1994-03-31' - DATE '1970-01-01' AS BIGINT) AS hi)
+        |SELECT layout, CAST(count(*) AS BIGINT) AS n_zones,
+        |  CAST(sum(CASE WHEN zmax < lo OR zmin > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_skippable,
+        |  CAST(sum(CASE WHEN zmax < lo OR zmin > hi THEN rows_z ELSE 0 END) AS BIGINT)
+        |    AS skip_rows,
+        |  CAST(sum(CASE WHEN zmax < lo OR zmin > hi THEN rows_z ELSE 0 END) AS BIGINT)
+        |    * 1000000 // max(n_rows) AS skip_ppm
+        |FROM z CROSS JOIN lohi GROUP BY layout ORDER BY layout""".stripMargin,
     "q_order_consolidation" ->
       """WITH o AS (
         |  SELECT CAST(c_nationkey AS BIGINT) AS nation, o_custkey,

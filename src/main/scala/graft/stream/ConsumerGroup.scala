@@ -156,6 +156,40 @@ object ConsumerGroup {
     asg
   }
 
+  /** The group's commit ledger: per-partition highest consumed offset,
+    * from any consumed-output frame carrying (key, offset). This is the
+    * group-scoped analog of the reference's manual per-message commit
+    * (consumer.py:30,179: `enable.auto.commit=False` + explicit
+    * `commit()`): offsets belong to the GROUP, not the member, which is
+    * what lets a rebalance hand a partition to a new member without
+    * re-delivery. Bounded driver state — one long per partition. */
+  def commitLedger(consumed: DataFrame, nPartitions: Int): Map[Int, Long] =
+    consumed
+      .select(partitionOf(col("key"), nPartitions).cast("int").as("pid"),
+        col("offset"))
+      .groupBy(col("pid")).agg(max(col("offset")).as("committed"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Member view that RESUMES from the group's commit ledger: owned
+    * partitions only, and within each partition only offsets past the
+    * committed position. This is the rebalance handoff contract — a
+    * member that takes over a partition (or joins fresh) continues
+    * where the GROUP left off instead of re-consuming from earliest,
+    * so the union of member outputs across generations is
+    * exactly-once (ConsumerGroupSpec proves it across a join +
+    * rebalance). The committed map is bounded config state compiled
+    * into the filter predicate. */
+  def memberStreamFrom(spark: SparkSession, topicDir: String,
+      nPartitions: Int, members: Seq[String], memberId: String,
+      committed: Map[Int, Long]): DataFrame = {
+    val pid = partitionOf(col("key"), nPartitions)
+    val committedCol = committed.foldLeft(lit(-1L)) {
+      case (acc, (p, off)) => when(pid === p.toLong, off).otherwise(acc)
+    }
+    memberStream(spark, topicDir, nPartitions, members, memberId)
+      .filter(col("offset") > committedCol)
+  }
+
   /** Assignment ledger across a sequence of membership generations —
     * the rebalance audit: one row per (generation, partition) with the
     * owner and whether ownership moved vs the previous generation

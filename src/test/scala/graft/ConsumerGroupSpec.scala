@@ -98,6 +98,40 @@ class ConsumerGroupSpec extends SparkSpec {
     assert(g4.filter(_._4).map(_._2).sorted === Array(3L, 4L, 5L))
   }
 
+  test("rebalance handoff resumes from the group commit ledger — exactly once across generations") {
+    val topicDir = tmpDir("graft-cg2-topic")
+    def run(name: String, df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val q = df.select(col("key"), col("offset"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tmpDir(s"graft-cg2-ckpt-$name")).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).select("offset").as[Long].collect().toSet
+    }
+    // generation 1: r0 alone consumes offsets 0..39
+    OrderGen.writeTopicDir(OrderGen.orders(spark, 40L, "cg2"), topicDir)
+    val gen1 = run("cg2_gen1_r0",
+      ConsumerGroup.memberStream(spark, topicDir, 8, Seq("r0"), "r0"))
+    assert(gen1 === (0L until 40L).toSet)
+    // the GROUP commits its positions: per-partition max consumed offset
+    val ledger = ConsumerGroup.commitLedger(spark.table("cg2_gen1_r0"), 8)
+    assert(ledger.values.max === 39L)
+    // generation 2: r1 joins AND 40 more messages arrive
+    OrderGen.writeTopicDir(
+      OrderGen.orders(spark, 40L, "cg2b").withColumn("seq", col("seq") + 40L),
+      topicDir)
+    val members = Seq("r0", "r1")
+    val g2r0 = run("cg2_gen2_r0", ConsumerGroup.memberStreamFrom(
+      spark, topicDir, 8, members, "r0", ledger))
+    val g2r1 = run("cg2_gen2_r1", ConsumerGroup.memberStreamFrom(
+      spark, topicDir, 8, members, "r1", ledger))
+    // disjoint within the generation; nothing re-consumed (r1 took over
+    // partitions from the committed position, not from earliest); union
+    // across generations is EVERY offset exactly once
+    assert((g2r0 & g2r1) === Set.empty)
+    assert(((g2r0 ++ g2r1) & gen1) === Set.empty)
+    assert((gen1 ++ g2r0 ++ g2r1) === (0L until 80L).toSet)
+  }
+
   test("sticky rebalance is balanced, disjoint+total, and move-optimal") {
     val P = 8
     val chains = Seq(

@@ -88,7 +88,17 @@ object Dedup {
     * candidate generation only; n1/n2 still count the full sets. */
   private def candidatePairs(docs: DataFrame, idCol: String,
       textCol: String, k: Int, maxShingleDf: Int): DataFrame = {
+    // materialize the hashed index ONCE, hash-partitioned on the
+    // candidate-join key: it feeds the per-doc sizes, the hot-shingle
+    // count, and BOTH sides of the self-join — unmaterialized, each use
+    // would re-tokenize and re-shingle the corpus text (4 full text
+    // passes), and the self-join would shuffle the index twice. With
+    // the checkpoint's stored partitioning both join sides are already
+    // co-partitioned, so the join plans with no exchange at all; only
+    // the (id, 8-byte hash) index is ever stored, never text.
     val shAll = hashedIndex(docs, idCol, textCol, k)
+      .repartition(col("sk"))
+      .localCheckpoint(eager = false)
     val counts = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val sh =
       if (maxShingleDf == Int.MaxValue) shAll

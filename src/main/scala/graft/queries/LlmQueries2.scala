@@ -1296,7 +1296,45 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("d1"))
   }
 
+  /** Tokenizer-ablation sweep — the merge-count vs compression curve
+    * behind "how big should the vocabulary be": the SAME fixed merge
+    * table as q_bpe_encode applied at depths 0/2/4/8, all four token
+    * counts computed from ONE scan (the rewrite chains share prefixes:
+    * depth-4 extends depth-2's codegen'd expression, so the corpus
+    * text is read once and never shuffled — only the 4-counter partials
+    * do). Emits tokens and chars-per-token ppm per depth; the marginal
+    * compression of each merge pair is the diminishing-returns readout
+    * a vocab-size decision reads. */
+  private[graft] def qBpeSweep(s: SparkSession, dir: String): DataFrame = {
+    val merges = Seq("t h" -> "th", "th e" -> "the", "i n" -> "in",
+      "o w" -> "ow", "a t" -> "at", "e r" -> "er", "s t" -> "st",
+      "a r" -> "ar")
+    def enc(c: org.apache.spark.sql.Column, ms: Seq[(String, String)]) =
+      ms.foldLeft(c) { case (x, (f, to)) => regexp_replace(x, f, to) }
+    val spaced = trim(regexp_replace(col("w"), "(.)", "$1 "))
+    val e2 = enc(spaced, merges.take(2))
+    val e4 = enc(e2, merges.slice(2, 4))
+    val e8 = enc(e4, merges.slice(4, 8))
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(length(col("w")).cast("long").as("chars"),
+        size(split(e2, " ")).cast("long").as("t2"),
+        size(split(e4, " ")).cast("long").as("t4"),
+        size(split(e8, " ")).cast("long").as("t8"))
+      .agg(count(lit(1)).as("n_words"), sum(col("chars")).as("c0"),
+        sum(col("t2")).as("s2"), sum(col("t4")).as("s4"),
+        sum(col("t8")).as("s8"))
+      .select(col("n_words"), col("c0"),
+        expr("stack(4, 0L, c0, 2L, s2, 4L, s4, 8L, s8)")
+          .as(Seq("n_merges", "n_tokens")))
+      .select(col("n_merges"), col("n_words"), col("n_tokens"),
+        expr("c0 * 1000000 div n_tokens").as("chars_per_token_ppm"))
+      .orderBy(col("n_merges"))
+  }
+
   private[graft] def llm2QueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_sweep" -> (qBpeSweep _),
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_random_projection" -> (qRandomProjection _),
     "q_map_eval" -> (qMapEval _),
@@ -1339,6 +1377,34 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
   )
 
   private[graft] def llm2OracleMap: Map[String, String] = Map(
+    "q_bpe_sweep" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wf AS (SELECT w, CAST(length(w) AS BIGINT) AS chars FROM w WHERE w <> ''),
+        |b AS (
+        |  SELECT chars, regexp_replace(regexp_replace(
+        |    trim(regexp_replace(w, '(.)', '\1 ', 'g')),
+        |    't h', 'th', 'g'), 'th e', 'the', 'g') AS r2 FROM wf),
+        |c AS (
+        |  SELECT chars, r2, regexp_replace(regexp_replace(r2,
+        |    'i n', 'in', 'g'), 'o w', 'ow', 'g') AS r4 FROM b),
+        |d AS (
+        |  SELECT chars, r2, r4, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(r4, 'a t', 'at', 'g'), 'e r', 'er', 'g'),
+        |    's t', 'st', 'g'), 'a r', 'ar', 'g') AS r8 FROM c),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(chars) AS BIGINT) AS c0,
+        |    CAST(sum(len(string_split(r2, ' '))) AS BIGINT) AS s2,
+        |    CAST(sum(len(string_split(r4, ' '))) AS BIGINT) AS s4,
+        |    CAST(sum(len(string_split(r8, ' '))) AS BIGINT) AS s8
+        |  FROM d)
+        |SELECT CAST(0 AS BIGINT) AS n_merges, n_words, c0 AS n_tokens,
+        |  c0 * 1000000 // c0 AS chars_per_token_ppm FROM agg
+        |UNION ALL SELECT CAST(2 AS BIGINT), n_words, s2, c0 * 1000000 // s2 FROM agg
+        |UNION ALL SELECT CAST(4 AS BIGINT), n_words, s4, c0 * 1000000 // s4 FROM agg
+        |UNION ALL SELECT CAST(8 AS BIGINT), n_words, s8, c0 * 1000000 // s8 FROM agg
+        |ORDER BY n_merges""".stripMargin,
     "q_random_projection" ->
       """WITH x AS (
         |  SELECT CAST(vec_id AS BIGINT) AS v,

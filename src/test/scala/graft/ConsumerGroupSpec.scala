@@ -132,6 +132,38 @@ class ConsumerGroupSpec extends SparkSpec {
     assert((gen1 ++ g2r0 ++ g2r1) === (0L until 80L).toSet)
   }
 
+  test("property: both assignors are disjoint+total+balanced and sticky is move-optimal") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCase = for {
+      p <- Gen.chooseNum(1, 64)
+      n <- Gen.chooseNum(1, 12)
+      members = (0 until n).map(i => s"m$i")
+      prevN <- Gen.chooseNum(0, 12)
+      // previous assignment over a possibly-different member universe
+      // (departed members appear as owners of orphaned partitions)
+      prev <- Gen.listOfN(p, Gen.chooseNum(0, math.max(prevN, 1)))
+        .map(_.zipWithIndex.map { case (o, part) => part -> s"m$o" }.toMap)
+      usePrev <- Gen.oneOf(true, false)
+    } yield (p, members, if (usePrev) prev else Map.empty[Int, String])
+    val prop = Prop.forAll(genCase) { case (p, members, prev) =>
+      val range = ConsumerGroup.rangeAssignment(p, members)
+      val sticky = ConsumerGroup.stickyAssignment(p, prev, members)
+      def total(a: Map[Int, String]) = a.keySet == (0 until p).toSet
+      def balanced(a: Map[Int, String]) = {
+        val loads = members.map(m => a.values.count(_ == m))
+        loads.sum == p && loads.max - loads.min <= 1
+      }
+      val stickyMoves = (0 until p).count(part =>
+        !prev.get(part).contains(sticky(part)))
+      val floor = ConsumerGroup.minMoves(p, prev, members)
+      total(range) && balanced(range) &&
+        total(sticky) && balanced(sticky) &&
+        (prev.isEmpty || stickyMoves == floor)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sticky rebalance is balanced, disjoint+total, and move-optimal") {
     val P = 8
     val chains = Seq(

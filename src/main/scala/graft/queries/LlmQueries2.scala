@@ -1333,8 +1333,39 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("n_merges"))
   }
 
+  /** Length-bucketed batching audit — the padding-waste arithmetic
+    * behind bucketed training batches: documents land in power-of-two
+    * token-length buckets (bucket = 2^⌈log₂ n⌉ via the engine-portable
+    * length-of-binary trick — no float log at the boundary), and each
+    * bucket reports the pad waste of batching at the BUCKET max next to
+    * the waste of naively padding everything to the GLOBAL max. The
+    * delta is the throughput a length-bucketed loader buys (the
+    * complementary strategy to q_pack_windows' concat-and-split
+    * packing). One scan, one bounded ~12-bucket aggregate; all ratios
+    * exact integer ppm. */
+  private[graft] def qLengthBatching(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .withColumn("bucket_max",
+        when(col("n") <= 1, 1L)
+          .otherwise(expr("shiftleft(1L, length(bin(n - 1)))")))
+    val buckets = d.groupBy(col("bucket_max"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val global = d.agg(max(col("n")).as("gmax"), count(lit(1)).as("gdocs"),
+      sum(col("n")).as("gtokens"))
+    buckets.crossJoin(broadcast(global))
+      .select(col("bucket_max"), col("n_docs"), col("n_tokens"),
+        expr("(n_docs * bucket_max - n_tokens) * 1000000 div (n_docs * bucket_max)")
+          .as("pad_waste_ppm"),
+        expr("(gdocs * gmax - gtokens) * 1000000 div (gdocs * gmax)")
+          .as("global_pad_waste_ppm"))
+      .orderBy(col("bucket_max"))
+  }
+
   private[graft] def llm2QueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_sweep" -> (qBpeSweep _),
+    "q_length_batching" -> (qLengthBatching _),
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_random_projection" -> (qRandomProjection _),
     "q_map_eval" -> (qMapEval _),
@@ -1377,6 +1408,28 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
   )
 
   private[graft] def llm2OracleMap: Map[String, String] = Map(
+    "q_length_batching" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |b AS (
+        |  SELECT CASE WHEN n <= 1 THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(1 << length(bin(n - 1)) AS BIGINT) END AS bucket_max, n
+        |  FROM d),
+        |bk AS (
+        |  SELECT bucket_max, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS n_tokens
+        |  FROM b GROUP BY 1),
+        |g AS (
+        |  SELECT max(n) AS gmax, CAST(count(*) AS BIGINT) AS gdocs,
+        |    CAST(sum(n) AS BIGINT) AS gtokens FROM d)
+        |SELECT bucket_max, n_docs, n_tokens,
+        |  (n_docs * bucket_max - n_tokens) * 1000000 // (n_docs * bucket_max)
+        |    AS pad_waste_ppm,
+        |  (gdocs * gmax - gtokens) * 1000000 // (gdocs * gmax)
+        |    AS global_pad_waste_ppm
+        |FROM bk CROSS JOIN g ORDER BY bucket_max""".stripMargin,
+
     "q_bpe_sweep" ->
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -223,6 +223,81 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity-aware second stage a RAG retriever runs
+    * after ANN: for each of three query vectors, the top-8 cosine
+    * candidates (q_ann_batch's exact quantized-distance rule) are
+    * greedily re-ranked with MMR(c) = rel(c) − max_{s∈selected}
+    * sim(c, s) (λ = ½ up to the monotone 2× rescale), three picks per
+    * query, ties to the smaller vec_id. Output rows carry the
+    * relevance AND the redundancy each pick paid, so the
+    * relevance-vs-diversity trade is auditable. Scale shape: candidate
+    * generation is the bounded per-stratum heap top-N (no global
+    * sort); everything after operates on k′ = 8 candidates per query —
+    * the candidate frame is localCheckpointed once (24 rows) and the
+    * three greedy steps are broadcast joins against it, so the corpus
+    * is scanned exactly twice (top-N + vector fetch) no matter how
+    * large it grows. */
+  private[graft] def qMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id").isin(0, 7, 42))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        lpad(greatest(lit(0L),
+            floor((lit(1.0) - Similarity.cosineFp(col("embedding"), col("qv")))
+              * 1e9 + 0.5).cast("long")).cast("string"),
+          12, "0").as("distkey"))
+    val ids = graft.ops.Sampling
+      .stratifiedTopN(s, scored, "qid", "distkey", "vec_id", n = 8)
+      .select(col("qid").cast("long").as("qid"), col("vec_id"))
+    val cand = emb
+      .join(broadcast(ids), "vec_id")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("vec_id"), col("embedding"),
+        Similarity.cosineFp(col("embedding"), col("qv")).as("rel"))
+      .localCheckpoint()
+    val sims = cand.as("a")
+      .join(cand.as("b"),
+        col("a.qid") === col("b.qid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.qid").as("qid"), col("a.vec_id").as("ca"),
+        col("b.vec_id").as("cb"),
+        Similarity.cosineFp(col("a.embedding"), col("b.embedding")).as("sim"))
+      .localCheckpoint()
+    val first = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val s1 = cand.withColumn("rn", row_number().over(first))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id"), col("rel"),
+        lit(0.0).as("red"))
+    def pick(selected: DataFrame): DataFrame = {
+      val rem = cand.join(selected, Seq("qid", "vec_id"), "left_anti")
+      val red = rem.as("c")
+        .join(sims.as("s"),
+          col("c.qid") === col("s.qid") && col("c.vec_id") === col("s.ca"))
+        .join(selected.select(col("qid").as("sq"), col("vec_id").as("sv")),
+          col("s.qid") === col("sq") && col("s.cb") === col("sv"))
+        .groupBy(col("c.qid").as("qid"), col("c.vec_id").as("vec_id"),
+          col("c.rel").as("rel"))
+        .agg(max(col("s.sim")).as("red"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy((col("rel") - col("red")).desc, col("vec_id"))
+      red.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), col("rel"), col("red"))
+    }
+    val sel1 = s1.select(col("qid"), col("vec_id"))
+    val s2 = pick(sel1)
+    val s3 = pick(sel1.unionAll(s2.select(col("qid"), col("vec_id"))))
+    s1.withColumn("rank", lit(1L))
+      .unionAll(s2.withColumn("rank", lit(2L)))
+      .unionAll(s3.withColumn("rank", lit(3L)))
+      .select(col("qid"), col("rank"), col("vec_id"), col("rel"), col("red"),
+        (col("rel") - col("red")).as("mmr"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** SRP-LSH bucket histogram: the centroid-free ANN scale path
     * (bucket join replaces all-pairs; see Similarity.srpSignature). */
   private[graft] def qLshAnnBuckets(s: SparkSession, dir: String): DataFrame =
@@ -2267,6 +2342,7 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
     "q_lsh_ann_buckets" -> (qLshAnnBuckets _),
     "q_vec_quantize" -> (qVecQuantize _),
     "q_ann_batch" -> (qAnnBatch _),
+    "q_mmr_rerank" -> (qMmrRerank _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_dims" -> (qMediaDims _),
     "q_chunking" -> (qChunking _),
@@ -2554,6 +2630,69 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
          |      AS BIGINT) AS rn
          |  FROM d)
          |SELECT qid, rn, vec_id FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // unrolled 3-step greedy MMR: candidate rule identical to
+    // q_ann_batch (quantized fixed-point distance, vec_id ties);
+    // each step excludes the selected set and maxes pairwise sims
+    // against it; score = rel - red (the λ=1/2 MMR up to a monotone
+    // 2x), ties to the smaller vec_id.
+    "q_mmr_rerank" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id IN (0, 7, 42)),
+         |d AS (
+         |  SELECT q.qid, e.vec_id, e.embedding,
+         |    ${duckCos(duckDot("e.embedding", "q.qv"),
+                         duckDot("e.embedding", "e.embedding"),
+                         duckDot("q.qv", "q.qv"))} AS rel
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |cand AS (
+         |  SELECT qid, vec_id, embedding, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY greatest(CAST(0 AS BIGINT),
+         |        CAST(floor((1 - rel) * 1000000000 + 0.5) AS BIGINT)), vec_id) AS rn
+         |    FROM d) WHERE rn <= 8),
+         |sims AS (
+         |  SELECT a.qid, a.vec_id AS ca, b.vec_id AS cb,
+         |    ${duckCos(duckDot("a.embedding", "b.embedding"),
+                         duckDot("a.embedding", "a.embedding"),
+                         duckDot("b.embedding", "b.embedding"))} AS sim
+         |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+         |s1 AS (
+         |  SELECT qid, vec_id, rel, CAST(0 AS DOUBLE) AS red FROM (
+         |    SELECT qid, vec_id, rel,
+         |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |r2 AS (
+         |  SELECT c.qid, c.vec_id, c.rel, max(s.sim) AS red
+         |  FROM cand c
+         |  JOIN sims s ON s.qid = c.qid AND s.ca = c.vec_id
+         |  JOIN s1 ON s1.qid = s.qid AND s1.vec_id = s.cb
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM s1 x WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+         |  GROUP BY 1, 2, 3),
+         |s2 AS (
+         |  SELECT qid, vec_id, rel, red FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel - red DESC, vec_id) AS rn FROM r2) WHERE rn = 1),
+         |sel2 AS (
+         |  SELECT qid, vec_id FROM s1 UNION ALL SELECT qid, vec_id FROM s2),
+         |r3 AS (
+         |  SELECT c.qid, c.vec_id, c.rel, max(s.sim) AS red
+         |  FROM cand c
+         |  JOIN sims s ON s.qid = c.qid AND s.ca = c.vec_id
+         |  JOIN sel2 ON sel2.qid = s.qid AND sel2.vec_id = s.cb
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM sel2 x WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+         |  GROUP BY 1, 2, 3),
+         |s3 AS (
+         |  SELECT qid, vec_id, rel, red FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel - red DESC, vec_id) AS rn FROM r3) WHERE rn = 1)
+         |SELECT qid, rank, vec_id, rel, red, rel - red AS mmr FROM (
+         |  SELECT qid, CAST(1 AS BIGINT) AS rank, vec_id, rel, red FROM s1
+         |  UNION ALL SELECT qid, CAST(2 AS BIGINT), vec_id, rel, red FROM s2
+         |  UNION ALL SELECT qid, CAST(3 AS BIGINT), vec_id, rel, red FROM s3)
+         |ORDER BY qid, rank""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  octet_length(encode(text)) % 640 + 1 AS width,

@@ -412,7 +412,48 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
       .orderBy(col("gen_to"))
   }
 
+  /** Consumer-lag audit — Kafka's headline observability metric
+    * (log-end offset minus committed offset per partition) over the
+    * same 8-partition orders topic and partitioner as
+    * q_consumer_rebalance. The commit position is a deterministic
+    * processing watermark: each reader of the final generation
+    * ({c0, c2} — q_consumer_rebalance's surviving membership) has
+    * committed every message ordered before 1996-01-01, so
+    * `lag = messages at-or-after the watermark`. Output is the
+    * per-partition lag ledger (pid, owner, log-end, committed, lag,
+    * exact lag ppm) plus each owner's total backlog — the number an
+    * operator pages on. Scale shape: ONE scan with a map-side-combined
+    * conditional aggregate onto 8 partition keys; the 8-row owner
+    * ledger joins by broadcast; the owner rollup windows over 8 rows.
+    * Nothing here grows with data volume except the scan. */
+  private[graft] def qConsumerLag(s: SparkSession, dir: String): DataFrame = {
+    import graft.stream.ConsumerGroup
+    import org.apache.spark.sql.expressions.Window
+    val P = 8
+    val owners = ConsumerGroup.rangeAssignment(P, Seq("c0", "c2"))
+    import s.implicits._
+    val ledger = owners.toSeq.sortBy(_._1)
+      .map { case (p, m) => (p.toLong, m) }.toDF("pid", "owner")
+    val counts = t(s, dir, "orders")
+      .select(ConsumerGroup.partitionOf(
+          col("o_orderkey").cast("string").cast("binary"), P).as("pid"),
+        (col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .cast("long").as("done"))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("log_end_offset"),
+        sum(col("done")).as("committed_offset"))
+    counts.join(broadcast(ledger), "pid")
+      .withColumn("lag", col("log_end_offset") - col("committed_offset"))
+      .withColumn("owner_lag", sum(col("lag")).over(Window.partitionBy(col("owner"))))
+      .select(col("pid"), col("owner"), col("log_end_offset"),
+        col("committed_offset"), col("lag"),
+        expr("lag * 1000000 div log_end_offset").as("lag_ppm"),
+        col("owner_lag"))
+      .orderBy(col("pid"))
+  }
+
   private[graft] def parityQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_consumer_lag" -> (qConsumerLag _),
     "q_consumer_rebalance" -> (qConsumerRebalance _),
     "q_rebalance_churn" -> (qRebalanceChurn _),
     "q_route" -> (qRoute _),
@@ -438,6 +479,32 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
   )
 
   private[graft] def parityOracleMap: Map[String, String] = Map(
+    // owners replayed by the generic RangeAssignor formula over the
+    // final membership {c0, c2}; watermark literal shared with the
+    // Spark side; lag ppm in exact integer division.
+    "q_consumer_lag" ->
+      """WITH counts AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS pid,
+        |    CAST(count(*) AS BIGINT) AS log_end_offset,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS committed_offset
+        |  FROM orders GROUP BY 1),
+        |own AS (
+        |  SELECT CAST(r.range AS BIGINT) AS pid,
+        |    (['c0', 'c2'])[CAST(CASE WHEN r.range < (8 // 2 + 1) * (8 % 2)
+        |         THEN r.range // (8 // 2 + 1)
+        |         ELSE (8 % 2) + (r.range - (8 // 2 + 1) * (8 % 2)) // (8 // 2)
+        |       END AS INT) + 1] AS owner
+        |  FROM range(8) r),
+        |lagd AS (
+        |  SELECT c.pid, o.owner, c.log_end_offset, c.committed_offset,
+        |    c.log_end_offset - c.committed_offset AS lag
+        |  FROM counts c JOIN own o USING (pid))
+        |SELECT pid, owner, log_end_offset, committed_offset, lag,
+        |  lag * 1000000 // log_end_offset AS lag_ppm,
+        |  CAST(sum(lag) OVER (PARTITION BY owner) AS BIGINT) AS owner_lag
+        |FROM lagd ORDER BY pid""".stripMargin,
+
     // replays the RangeAssignor formula generically over the generation
     // literals: sorted members, npp = P div N contiguous each, first
     // P mod N members one extra; owner index of partition p is

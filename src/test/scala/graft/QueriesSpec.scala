@@ -179,6 +179,24 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("length-batching bucket formula is the exact ceil-power-of-two") {
+    // qLengthBatching buckets by shiftleft(1, length(bin(n-1))) — the
+    // no-float-log form of 2^ceil(log2 n). Pin it against the integer
+    // reference for every n in [1, 1030] so an engine change to bin()
+    // or shiftleft() semantics fails here, not as an oracle hash skew.
+    import spark.implicits._
+    val got = (1L to 1030L).toDF("n")
+      .selectExpr("n",
+        "CASE WHEN n <= 1 THEN 1L ELSE shiftleft(1L, length(bin(n - 1))) END AS b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (1L to 1030L).foreach { n =>
+      var p = 1L
+      while (p < n) p <<= 1
+      assert(got(n) == p, s"n=$n got=${got(n)} want=$p")
+      assert(got(n) >= n && (got(n) == 1L || got(n) / 2 < n))
+    }
+  }
+
   test("every query has oracle SQL or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")

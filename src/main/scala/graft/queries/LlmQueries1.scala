@@ -1057,23 +1057,34 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 5,
       numHashes = 8)
       .localCheckpoint(eager = false)
-    val rows = Seq(1, 2, 4).map { r =>
-      val buckets = Dedup.lshBuckets(sigs, "doc_id", numHashes = 8,
-        rowsPerBand = r)
-      val cand = buckets.as("a").join(buckets.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-        .localCheckpoint(eager = false)
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(truth.join(cand, Seq("d1", "d2"), "left_semi")
-          .agg(count(lit(1)).as("n_found")))
-        .select(lit(r.toLong).as("rows_per_band"),
-          lit((8 / r).toLong).as("n_bands"), col("n_candidates"),
-          col("n_found"))
-    }
-    rows.reduce(_ unionAll _)
+    // ONE unified candidate self-join across all three sweep configs:
+    // the config id joins the band/sig bucket key, so the sweep pays a
+    // single shuffle over the unioned bucket tables instead of three
+    // separate join+distinct+checkpoint pipelines (same rows, fewer
+    // job floors — the per-config work was never the expensive part,
+    // the repeated materializations were).
+    val bucketed = Seq(1, 2, 4).map { r =>
+      Dedup.lshBuckets(sigs, "doc_id", numHashes = 8, rowsPerBand = r)
+        .select(lit(r.toLong).as("r"), col("band"), col("sig"), col("doc_id"))
+    }.reduce(_ unionAll _)
+    val cand = bucketed.as("a").join(bucketed.as("b"),
+        col("a.r") === col("b.r") && col("a.band") === col("b.band") &&
+          col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.r").as("r"), col("a.doc_id").as("d1"),
+        col("b.doc_id").as("d2"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val counts = cand.groupBy(col("r")).agg(count(lit(1)).as("n_candidates"))
+    val found = cand.join(truth, Seq("d1", "d2"), "left_semi")
+      .groupBy(col("r")).agg(count(lit(1)).as("n_found"))
+    import s.implicits._
+    Seq(1L, 2L, 4L).toDF("r")
+      .join(broadcast(counts), Seq("r"), "left")
+      .join(broadcast(found), Seq("r"), "left")
+      .select(col("r").as("rows_per_band"),
+        (lit(8L) / col("r")).cast("long").as("n_bands"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"))
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
       .withColumn("recall_ppm",
         expr("CASE WHEN n_true > 0 THEN n_found * 1000000 div n_true ELSE 0 END"))

@@ -533,6 +533,38 @@ private[graft] trait QueryShared { this: SparkEntry.type =>
   private[graft] def duckCos(dab: String, daa: String, dbb: String): String =
     s"($dab / 1000000000.0) / (sqrt($daa / 1000000000.0) * sqrt($dbb / 1000000000.0))"
 
+  /** Shared a-priori core for q_itemsets / q_assoc_rules: per-basket
+    * sorted distinct brand sets built with ONE wide shuffle (partial
+    * collect_set dedups map-side), then pairs generated INLINE by a
+    * higher-order expression over each bounded set (≤ 25 brands →
+    * ≤ 300 pairs per basket) instead of the basket self-join — this
+    * trades the join formulation's two full-size shuffles for zero
+    * (pair supports then map-side-combine onto ≤ 625 keys). Returns
+    * (n_baskets agg, per-item supports, per-pair supports); callers
+    * apply their own minsup thresholds, and their inner joins against
+    * the frequent-item list reproduce the a-priori prune exactly
+    * (a pair surviving the pair threshold with a non-frequent member
+    * is dropped by the join, same as never generating it). */
+  private[graft] def basketCore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sets = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+      .localCheckpoint(eager = false)
+    val tot = sets.agg(count(lit(1)).as("n_baskets"))
+    val itemSupp = sets.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("supp"))
+    val pairSupp = sets.select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items)), " +
+          "y -> struct(x AS i1, y AS i2))))")).as("p"))
+      .select(col("p.i1").as("i1"), col("p.i2").as("i2"))
+      .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("supp_pair"))
+    (tot, itemSupp, pairSupp)
+  }
+
   /** Shared oracle CTE chain replaying one Lloyd round (seed = lowest-8
     * ids, fixed-point floor-mean update) ending at `a2` (the final
     * assignment) and `c1` (the learned centroids) — consumed by

@@ -532,25 +532,14 @@ private[graft] trait WarehouseQueries2 { this: SparkEntry.type =>
     * item-support table is tiny and rides along broadcast. Support,
     * confidence (both directions), and lift are exact integer ppm. */
   private[graft] def qItemsets(s: SparkSession, dir: String): DataFrame = {
-    // materialize the distinct basket-item list ONCE: it feeds the
-    // basket total, the item supports, and both sides of the pair
-    // self-join — unmaterialized, each use would replay the scan +
-    // distinct shuffle (the qTriangles edge-list convention)
-    val baskets = t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
-      .distinct()
-      .localCheckpoint(eager = false)
-    val tot = baskets.agg(countDistinct(col("basket")).as("n_baskets"))
-    val freq = baskets.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+    // shared collect_set + inline-pair core (QueryShared.basketCore):
+    // one wide shuffle, pair generation inside the row, no self-join
+    val (tot, itemSupp, pairSupp) = basketCore(s, dir)
+    val freq = itemSupp
       .crossJoin(broadcast(tot))
       .filter(col("supp") * 20 >= col("n_baskets"))   // item minsup 5%
       .select(col("item"), col("supp"))
-    val fb = baskets.join(broadcast(freq.select(col("item"))), "item")
-    fb.select(col("basket"), col("item").as("i1"))
-      .join(fb.select(col("basket"), col("item").as("i2")), Seq("basket"))
-      .filter(col("i1") < col("i2"))
-      .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("supp"))
+    pairSupp.withColumnRenamed("supp_pair", "supp")
       .crossJoin(broadcast(tot))
       .filter(col("supp") * 100 >= col("n_baskets"))  // pair minsup 1%
       .join(broadcast(freq.select(col("item").as("i1"), col("supp").as("s1"))), "i1")
@@ -823,6 +812,49 @@ private[graft] trait WarehouseQueries2 { this: SparkEntry.type =>
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Dynamic partition pruning — q_partition_prune's STATIC file skip
+    * upgraded to the runtime form that matters for star joins at
+    * 100 TB: orders live partitioned by order month, and the months to
+    * read are only known after aggregating ANOTHER table (lineitem's
+    * above-average shipping months). Catalyst plants a
+    * DynamicPruningSubquery on the partitioned scan fed by the reused
+    * broadcast of the dim side, so the fact table's file listing is cut
+    * at RUNTIME to the surviving months — no literal month list exists
+    * anywhere in the query. PlanAuditSpec pins `dynamicpruning` in the
+    * scan's PartitionFilters. The layout write is once per (JVM, dir)
+    * (_SUCCESS-guarded); the oracle computes the same aggregate off the
+    * unpartitioned table. */
+  private[graft] def qDpp(s: SparkSession, dir: String): DataFrame = {
+    val out = fmtDir(dir, "orders_bymonth")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      t(s, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(out)
+    }
+    val fact = s.read.parquet(out)
+    val monthly = t(s, dir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("o_month"))
+      .agg(sum(Analytics.cents(col("l_extendedprice"))).as("ship_cents"))
+    // relative threshold via an unpartitioned window over the BOUNDED
+    // ~84-month aggregate (the documented post-aggregate convention) —
+    // NOT via crossJoin(broadcast(global agg)): a join inside the dim
+    // side defeats the PartitionPruning rule (measured), the window
+    // form keeps the dim a single filterable subtree so the
+    // DynamicPruningSubquery is planted
+    val hot = monthly
+      .withColumn("avg_cents",
+        expr("sum(ship_cents) over () div count(1) over ()"))
+      .filter(col("ship_cents") > col("avg_cents"))
+      .select(col("o_month"), col("ship_cents"))
+    fact.join(broadcast(hot), "o_month")
+      .groupBy(col("o_month"), col("ship_cents"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Analytics.cents(col("o_totalprice"))).as("order_cents"))
+      .select(col("o_month"), col("n_orders"), col("order_cents"),
+        col("ship_cents"))
+      .orderBy(col("o_month"))
+  }
+
   /** Schema-evolution read (mergeSchema): two parquet generations —
     * v1 without, v2 with a `price_cents` column — read as ONE relation
     * whose merged schema null-fills the missing column, then
@@ -1005,22 +1037,14 @@ private[graft] trait WarehouseQueries2 { this: SparkEntry.type =>
     * drift. Basket list materializes once; every stage is the
     * inverted-index pair join, never baskets×baskets. */
   private[graft] def qAssocRules(s: SparkSession, dir: String): DataFrame = {
-    val baskets = t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
-      .distinct()
-      .localCheckpoint(eager = false)
-    val tot = baskets.agg(countDistinct(col("basket")).as("n_baskets"))
-    val freq = baskets.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+    // shared collect_set + inline-pair core (QueryShared.basketCore)
+    val (tot, itemSupp, pairSupp) = basketCore(s, dir)
+    val freq = itemSupp
       .crossJoin(broadcast(tot))
       .filter(col("supp") * 20 >= col("n_baskets"))
       .select(col("item"), col("supp"))
       .localCheckpoint(eager = false)
-    val fb = baskets.join(broadcast(freq.select(col("item"))), "item")
-    fb.select(col("basket"), col("item").as("i1"))
-      .join(fb.select(col("basket"), col("item").as("i2")), Seq("basket"))
-      .filter(col("i1") < col("i2"))
-      .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("supp_pair"))
+    pairSupp
       .join(broadcast(freq.select(col("item").as("i1"), col("supp").as("s1"))), "i1")
       .join(broadcast(freq.select(col("item").as("i2"), col("supp").as("s2"))), "i2")
       .crossJoin(broadcast(tot))
@@ -2404,6 +2428,7 @@ private[graft] trait WarehouseQueries2 { this: SparkEntry.type =>
     "q_decision_stump" -> (qDecisionStump _),
     "q_shuffle_hash_join" -> (qShuffleHashJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
+    "q_dpp" -> (qDpp _),
     "q_merge_schema" -> (qMergeSchema _),
     "q_union_by_name" -> (qUnionByName _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
@@ -3000,6 +3025,28 @@ private[graft] trait WarehouseQueries2 { this: SparkEntry.type =>
         |  CAST(min(o_orderkey) AS BIGINT) AS first_key
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_dpp" ->
+      """WITH monthly AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS o_month,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS ship_cents
+        |  FROM lineitem GROUP BY 1),
+        |hot AS (
+        |  SELECT o_month, ship_cents FROM (
+        |    SELECT o_month, ship_cents,
+        |      CAST(sum(ship_cents) OVER () AS BIGINT)
+        |        // CAST(count(*) OVER () AS BIGINT) AS avg_cents
+        |    FROM monthly)
+        |  WHERE ship_cents > avg_cents),
+        |f AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders)
+        |SELECT h.o_month, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(f.c) AS BIGINT) AS order_cents, h.ship_cents
+        |FROM f JOIN hot h USING (o_month)
+        |GROUP BY h.o_month, h.ship_cents
+        |ORDER BY h.o_month""".stripMargin,
     "q_merge_schema" ->
       """WITH u AS (
         |  SELECT o_orderkey, o_orderpriority, NULL AS price_cents

@@ -47,6 +47,13 @@ class PlanAuditSpec extends SparkSpec {
       s"partition filter not applied:\n$plan")
   }
 
+  test("dpp scan carries a dynamicpruning PartitionFilter") {
+    val plan = SparkEntry.queries("q_dpp")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DynamicPruningSubquery on the partitioned scan:\n$plan")
+  }
+
   test("contamination broadcasts the benchmark shingle side") {
     val plan = SparkEntry.queries("q_contamination")(spark, sf)
       .queryExecution.executedPlan.toString

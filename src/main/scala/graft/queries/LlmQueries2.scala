@@ -1363,7 +1363,51 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("bucket_max"))
   }
 
+  /** T5-style span-corruption accounting (Raffel et al., JMLR'20 §3.1.4
+    * denoising objective): every token position draws a deterministic
+    * mask-start decision (15 %) and a span length (1–3) from digits of
+    * the shared h60 digest of (doc_id ≪ 20) + pos, overlapping spans
+    * merge, and each document reports its token count, masked-token
+    * count, merged-span count, realized corruption ppm and mean span
+    * length ppm — the pre-flight audit that the masking schedule hits
+    * its target rate before a pretraining run. Scale shape: pure
+    * per-row arithmetic — whether position p is covered by a span from
+    * p−1/p−2 is recomputed from THEIR hashes right at p (span length ≤
+    * 3 bounds the lookback), so there is no window, no self-join, and
+    * the only shuffle is the final per-doc aggregate. */
+  private[graft] def qSpanCorruption(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => w =!= ""))
+          .as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    def h(k: Int) =
+      h60(col("doc_id") * 1048576L + col("pos") - lit(k.toLong))
+    def startAt(k: Int) =
+      (col("pos") >= k) && (h(k) % 100 < 15)
+    // span length from the NEXT digit pair of the same digest:
+    // (h % 300) div 100 == (h div 100) % 3, but the mod-300 form keeps
+    // the intermediate ≤ 299 — h60 itself exceeds 2^53, so dividing it
+    // as a double would round before the floor
+    def lenAt(k: Int) =
+      lit(1L) + ((h(k) % 300) / lit(100L)).cast("long")
+    val flags = toks.select(col("doc_id"),
+      (startAt(0) || (startAt(1) && lenAt(1) > 1) ||
+        (startAt(2) && lenAt(2) > 2)).cast("long").as("masked"),
+      (startAt(0) && !(startAt(1) && lenAt(1) > 1) &&
+        !(startAt(2) && lenAt(2) > 2)).cast("long").as("span_begin"))
+    flags.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("masked")).as("n_masked"),
+        sum(col("span_begin")).as("n_spans"))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_spans"),
+        expr("n_masked * 1000000 div n_tokens").as("corruption_ppm"),
+        expr("CASE WHEN n_spans > 0 THEN n_masked * 1000000 div n_spans " +
+          "ELSE 0 END").as("mean_span_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] def llm2QueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_corruption" -> (qSpanCorruption _),
     "q_bpe_sweep" -> (qBpeSweep _),
     "q_length_batching" -> (qLengthBatching _),
     "q_temperature_mix" -> (qTemperatureMix _),
@@ -1408,6 +1452,47 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
   )
 
   private[graft] def llm2OracleMap: Map[String, String] = Map(
+    // same digest digits: start iff h % 100 < 15, len = 1 + (h%300)//100;
+    // coverage of p by a span from p-1/p-2 recomputed from their hashes
+    "q_span_corruption" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(ws, (w, i) -> CAST(i - 1 AS BIGINT))) AS pos
+        |  FROM d),
+        |h AS (
+        |  SELECT doc_id, pos,
+        |    CAST('0x' || substr(md5(CAST(doc_id * 1048576 + pos AS VARCHAR)), 1, 15) AS BIGINT) AS h0,
+        |    CAST('0x' || substr(md5(CAST(doc_id * 1048576 + pos - 1 AS VARCHAR)), 1, 15) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(CAST(doc_id * 1048576 + pos - 2 AS VARCHAR)), 1, 15) AS BIGINT) AS h2
+        |  FROM toks),
+        |f AS (
+        |  SELECT doc_id,
+        |    (h0 % 100 < 15) AS s0,
+        |    (pos >= 1 AND h1 % 100 < 15) AS s1,
+        |    (pos >= 2 AND h2 % 100 < 15) AS s2,
+        |    1 + (h1 % 300) // 100 AS l1,
+        |    1 + (h2 % 300) // 100 AS l2
+        |  FROM h),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s0 OR (s1 AND l1 > 1) OR (s2 AND l2 > 2)
+        |      THEN 1 ELSE 0 END AS masked,
+        |    CASE WHEN s0 AND NOT (s1 AND l1 > 1) AND NOT (s2 AND l2 > 2)
+        |      THEN 1 ELSE 0 END AS span_begin
+        |  FROM f),
+        |a AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(masked) AS BIGINT) AS n_masked,
+        |    CAST(sum(span_begin) AS BIGINT) AS n_spans
+        |  FROM g GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_masked, n_spans,
+        |  n_masked * 1000000 // n_tokens AS corruption_ppm,
+        |  CASE WHEN n_spans > 0 THEN n_masked * 1000000 // n_spans
+        |    ELSE 0 END AS mean_span_ppm
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q_length_batching" ->
       """WITH d AS (
         |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents

@@ -54,6 +54,26 @@ class PlanAuditSpec extends SparkSpec {
       s"no DynamicPruningSubquery on the partitioned scan:\n$plan")
   }
 
+  test("a-priori pair supports generate inline — no basket self-join shuffle") {
+    // basketCore replaced the pair self-join with collect_set + an
+    // inline pair expression: the only joins left are broadcasts
+    // (dims, frequent-item list, scalar totals)
+    for (q <- Seq("q_itemsets", "q_assoc_rules")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"$q regressed to a shuffled basket join:\n$plan")
+      assert(plan.contains("Generate"), s"$q lost the inline pair generate:\n$plan")
+    }
+  }
+
+  test("span corruption is pure per-row arithmetic — no join, no window") {
+    val plan = SparkEntry.queries("q_span_corruption")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"span coverage should be recomputed per row, not joined:\n$plan")
+  }
+
   test("contamination broadcasts the benchmark shingle side") {
     val plan = SparkEntry.queries("q_contamination")(spark, sf)
       .queryExecution.executedPlan.toString

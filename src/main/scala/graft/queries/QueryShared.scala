@@ -535,11 +535,15 @@ private[graft] trait QueryShared { this: SparkEntry.type =>
 
   /** Shared a-priori core for q_itemsets / q_assoc_rules: per-basket
     * sorted distinct brand sets built with ONE wide shuffle (partial
-    * collect_set dedups map-side), then pairs generated INLINE by a
-    * higher-order expression over each bounded set (≤ 25 brands →
+    * collect_set dedups map-side), then pairs generated INLINE by two
+    * stacked codegen'd explodes over each bounded set (≤ 25 brands →
     * ≤ 300 pairs per basket) instead of the basket self-join — this
     * trades the join formulation's two full-size shuffles for zero
-    * (pair supports then map-side-combine onto ≤ 625 keys). Returns
+    * (pair supports then map-side-combine onto ≤ 625 keys). The
+    * posexplode+slice form, NOT a nested transform lambda: higher-order
+    * functions evaluate interpreted and measure 4× slower than the
+    * generator pipeline at 5M rows (ScaleSpec pins the shape's
+    * equivalence and the probe records both timings). Returns
     * (n_baskets agg, per-item supports, per-pair supports); callers
     * apply their own minsup thresholds, and their inner joins against
     * the frequent-item list reproduce the a-priori prune exactly
@@ -556,11 +560,10 @@ private[graft] trait QueryShared { this: SparkEntry.type =>
     val tot = sets.agg(count(lit(1)).as("n_baskets"))
     val itemSupp = sets.select(explode(col("items")).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("supp"))
-    val pairSupp = sets.select(explode(expr(
-        "flatten(transform(items, (x, i) -> " +
-          "transform(slice(items, i + 2, size(items)), " +
-          "y -> struct(x AS i1, y AS i2))))")).as("p"))
-      .select(col("p.i1").as("i1"), col("p.i2").as("i2"))
+    val pairSupp = sets
+      .select(col("items"), posexplode(col("items")).as(Seq("i", "i1")))
+      .select(col("i1"),
+        explode(expr("slice(items, i + 2, size(items))")).as("i2"))
       .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("supp_pair"))
     (tot, itemSupp, pairSupp)
   }

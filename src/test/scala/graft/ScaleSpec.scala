@@ -342,31 +342,47 @@ class ScaleSpec extends SparkSpec {
     info(f"5 BPE merges over 1M-word corpus in $secs%.1f s")
   }
 
-  test("a-priori prefilter keeps the basket self-join frequent-only (5M rows)") {
-    // 500k baskets x 10 items from a zipf-ish pool: 20 hot items are
-    // frequent, the 980-item tail is not; the pruned self-join must
-    // only see hot-item rows
+  test("inline pair generation equals the basket self-join (5M rows)") {
+    // 500k baskets x 10 items from a zipf-ish pool (20 hot items, a
+    // 980-item tail). basketCore's collect_set + inline-pair shape
+    // (one wide shuffle, pairs born inside the row) must produce the
+    // EXACT pair-support table of the textbook basket self-join (two
+    // full-size shuffles) — compared by full-table signature so the
+    // check costs one aggregate per side, not an except at 5M rows.
     val baskets = spark.range(5000000).select(
       ($"id" / 10).cast("long").as("basket"),
       when($"id" % 10 < 7, concat(lit("hot"), pmod($"id" * 13, lit(20))))
         .otherwise(concat(lit("cold"), pmod($"id" * 13, lit(980)))).as("item"))
       .distinct()
-    val tot = baskets.select(countDistinct($"basket")).as[Long].head()
-    val freq = baskets.groupBy($"item").agg(count(lit(1)).as("supp"))
-      .filter($"supp" * 20 >= tot)
-    val freqItems = freq.select($"item").as[String].collect().toSet
-    assert(freqItems.nonEmpty && freqItems.forall(_.startsWith("hot")),
-      s"tail items leaked into the frequent set: $freqItems")
-    val fb = baskets.join(broadcast(freq.select($"item")), "item")
+      .localCheckpoint(eager = true)
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum($"supp"),
+        bit_xor(xxhash64($"i1", $"i2", $"supp"))).head()
     val t0 = System.nanoTime()
-    val pairs = fb.select($"basket", $"item".as("i1"))
-      .join(fb.select($"basket", $"item".as("i2")), Seq("basket"))
+    val inline = baskets.groupBy($"basket")
+      .agg(sort_array(collect_set($"item")).as("items"))
+      .select($"items", posexplode($"items").as(Seq("i", "i1")))
+      .select($"i1",
+        explode(expr("slice(items, i + 2, size(items))")).as("i2"))
+      .groupBy($"i1", $"i2").agg(count(lit(1)).as("supp"))
+    val sInline = sig(inline)
+    val t1 = System.nanoTime()
+    val joined = baskets.select($"basket", $"item".as("i1"))
+      .join(baskets.select($"basket", $"item".as("i2")), Seq("basket"))
       .filter($"i1" < $"i2")
       .groupBy($"i1", $"i2").agg(count(lit(1)).as("supp"))
-    val nPairs = pairs.count()
-    val secs = (System.nanoTime() - t0) / 1e9
-    assert(nPairs > 0)
-    info(f"5M-row basket self-join (frequent-only) in $secs%.1f s, $nPairs pairs")
+    val sJoin = sig(joined)
+    val t2 = System.nanoTime()
+    assert(sInline == sJoin,
+      s"pair supports diverge: inline=$sInline join=$sJoin")
+    assert(sInline.getLong(0) > 0)
+    // the inline figure INCLUDES the collect_set build the real queries
+    // amortize across three consumers (totals, item supports, pairs);
+    // pair generation alone off a built sets table measures ~1.3 s vs
+    // the 3 s self-join at this size
+    info(f"5M rows: inline pairs ${(t1 - t0) / 1e9}%.1f s (incl. set " +
+      f"build) vs self-join ${(t2 - t1) / 1e9}%.1f s, " +
+      f"${sInline.getLong(0)} distinct pairs")
   }
 
   test("BPE encode applies the merge table with zero text shuffles (1M docs)") {

@@ -115,6 +115,37 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
         col("d.price").cast("double").as("price"))
       .orderBy(col("order_key"))
 
+  /** Avro schema EVOLUTION (the capability the reference's schema-
+    * registry pattern exists for): messages written with the V1 writer
+    * schema (order.avsc — orderId/product/price) are decoded through a
+    * V2 READER schema that drops `product` and adds `currency` with
+    * default "USD". Resolution happens per the Avro spec against the
+    * container's embedded writer schema (AvroOcf's generic
+    * DataFileStream path — the fast same-schema path disqualifies
+    * itself because the headers differ): dropped fields are skipped,
+    * missing fields fill from reader defaults. The oracle states the
+    * post-evolution contract directly (projection + constant default).
+    * Per-row codec work only; no shuffle beyond the output sort. */
+  private[graft] def qAvroEvolution(s: SparkSession, dir: String): DataFrame = {
+    val readerV2 =
+      """{"type":"record","namespace":"com.assignment","name":"Order","fields":[
+        |{"name":"orderId","type":"string"},
+        |{"name":"price","type":"float"},
+        |{"name":"currency","type":"string","default":"USD"}]}"""
+        .stripMargin.replace("\n", "")
+    ordersAsStream(s, dir)
+      .select(col("order_key"), struct(
+        col("orderId"), col("product"),
+        col("price").cast("float").as("price")).as("o"))
+      .select(col("order_key"),
+        from_avro_ocf(to_avro_ocf(col("o"), Schemas.orderAvroJson), readerV2).as("d"))
+      .select(col("order_key"),
+        col("d.orderId").as("order_id"),
+        col("d.price").cast("double").as("price"),
+        col("d.currency").as("currency"))
+      .orderBy(col("order_key"))
+  }
+
   /** Raw-datum codec mode (SURVEY §7.3's scale optimization): identical
     * round-trip identity to q_avro_roundtrip but with NO container
     * framing — and the oracle PROVES the framing overhead is recovered:
@@ -466,6 +497,7 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
     "q_retry_final" -> (qRetryFinal _),
     "q_validate" -> (qValidate _),
     "q_avro_roundtrip" -> (qAvroRoundtrip _),
+    "q_avro_evolution" -> (qAvroEvolution _),
     "q_avro_datum_roundtrip" -> (qAvroDatumRoundtrip _),
     "q_decode_errors" -> (qDecodeErrors _),
     "q_order_gen" -> (qOrderGen _),
@@ -699,6 +731,18 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
       s"""$routedSql
          |SELECT order_key, order_id, product,
          |       CAST(CAST(price AS REAL) AS DOUBLE) AS price
+         |FROM stream ORDER BY order_key""".stripMargin,
+    "q_avro_evolution" ->
+      s"""$routedSql
+         |SELECT order_key, order_id,
+         |       CAST(CAST(price AS REAL) AS DOUBLE) AS price,
+         |       'USD' AS currency
+         |FROM stream ORDER BY order_key""".stripMargin,
+    "q_avro_evolution" ->
+      s"""$routedSql
+         |SELECT order_key, order_id,
+         |       CAST(CAST(price AS REAL) AS DOUBLE) AS price,
+         |       'USD' AS currency
          |FROM stream ORDER BY order_key""".stripMargin,
     "q_avro_datum_roundtrip" ->
       s"""$routedSql

@@ -74,15 +74,24 @@ object Clustering {
     * is the fixed-point self-dot minus dot with the seed (monotone in
     * squared Euclidean for equal-norm vectors). */
   def farthestFirst(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int): Seq[Long] = {
+      k: Int): Seq[Long] =
+    farthestFirstWithGaps(emb, idCol, vecCol, k).map(_._1)
+
+  /** [[farthestFirst]] plus the nearest-seed gap each pick was chosen
+    * at (pick 1 reports 0 — it is chosen by id, not distance). The gap
+    * sequence is non-increasing, and pick k+1's gap IS the k-center
+    * coverage radius of the first k seeds — which is why q_kcenter
+    * asks for one seed more than it keeps. */
+  def farthestFirstWithGaps(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[(Long, Long)] = {
     val first = emb.agg(min(col(idCol).cast("long"))).head().getLong(0)
-    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    val chosen = scala.collection.mutable.ArrayBuffer((first, 0L))
     val withSelf = emb.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("v"),
         dotCent(col(vecCol), toFp(col(vecCol))).as("self"))
       .localCheckpoint(true)
     while (chosen.size < k) {
-      val seeds = withSelf.filter(col("id").isInCollection(chosen.toSeq))
+      val seeds = withSelf.filter(col("id").isInCollection(chosen.map(_._1).toSeq))
         .select(col("id").as("sid"), toFp(col("v")).as("sf"))
       // nearest-seed distance per vector, then global argmax
       val far = withSelf.crossJoin(broadcast(seeds))
@@ -92,7 +101,7 @@ object Clustering {
         .agg(min(col("gap")).as("nearest_gap"))
         .orderBy(col("nearest_gap").desc, col("id"))
         .limit(1).head()
-      chosen += far.getLong(0)
+      chosen += ((far.getLong(0), far.getLong(1)))
     }
     chosen.toSeq
   }

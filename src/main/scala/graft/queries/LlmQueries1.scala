@@ -298,6 +298,27 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Gonzalez (1985) farthest-first k-center seeding, oracle-gated:
+    * 5 picks over the embedding corpus — the first by lowest id, each
+    * next at MAXIMUM fixed-point gap to its nearest chosen seed — with
+    * the gap each pick was chosen at. Pick 5's gap is the k-center
+    * coverage radius of the first four seeds (the 2-approximation
+    * guarantee's certificate), so the row set doubles as the seeding
+    * audit a clustering pipeline runs before committing to k. Scale
+    * shape: k bounded passes, each ONE corpus aggregate (argmax of the
+    * min-gap, seeds moved by broadcast); only k (id, gap) pairs ever
+    * reach the driver — the power-iteration bounded-model convention.
+    * The oracle replays all four greedy picks unrolled. */
+  private[graft] def qKcenter(s: SparkSession, dir: String): DataFrame = {
+    val picks = graft.llm.Clustering.farthestFirstWithGaps(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+    import s.implicits._
+    picks.zipWithIndex
+      .map { case ((id, gap), i) => (i.toLong + 1, id, gap) }
+      .toDF("pick", "vec_id", "gap_fp")
+      .orderBy(col("pick"))
+  }
+
   /** SRP-LSH bucket histogram: the centroid-free ANN scale path
     * (bucket join replaces all-pairs; see Similarity.srpSignature). */
   private[graft] def qLshAnnBuckets(s: SparkSession, dir: String): DataFrame =
@@ -2354,6 +2375,7 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
     "q_vec_quantize" -> (qVecQuantize _),
     "q_ann_batch" -> (qAnnBatch _),
     "q_mmr_rerank" -> (qMmrRerank _),
+    "q_kcenter" -> (qKcenter _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_dims" -> (qMediaDims _),
     "q_chunking" -> (qChunking _),
@@ -2641,6 +2663,48 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
          |      AS BIGINT) AS rn
          |  FROM d)
          |SELECT qid, rn, vec_id FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // unrolled greedy farthest-first: pick 1 = min id; each later pick
+    // = argmax over ALL vectors of the min fixed-point gap to the
+    // chosen set (gap desc, id asc — chosen seeds gap to 0 and never
+    // win while anything positive remains), exactly the Spark loop
+    "q_kcenter" -> {
+      def gapCte(g: String, sel: String): String =
+        s"""$g AS (
+           |  SELECT v.id, min(v.self - list_sum(list_transform(generate_series(1, 64), i ->
+           |      CAST(floor(CAST(v.embedding[i] AS DOUBLE) * CAST(s.cf[i] AS DOUBLE) + 0.5) AS BIGINT)))) AS gap
+           |  FROM fs v JOIN fs s ON s.id IN (SELECT sid FROM $sel)
+           |  GROUP BY v.id)""".stripMargin
+      s"""WITH f AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS id, embedding,
+         |    list_transform(embedding, v ->
+         |      CAST(floor(CAST(v AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)) AS cf
+         |  FROM embeddings),
+         |fs AS (
+         |  SELECT id, embedding, cf,
+         |    list_sum(list_transform(generate_series(1, 64), i ->
+         |      CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(cf[i] AS DOUBLE) + 0.5) AS BIGINT))) AS self
+         |  FROM f),
+         |p1 AS (SELECT min(id) AS sid FROM fs),
+         |${gapCte("g1", "p1")},
+         |p2 AS (SELECT id AS sid, gap FROM g1 ORDER BY gap DESC, id LIMIT 1),
+         |sel2 AS (SELECT sid FROM p1 UNION ALL SELECT sid FROM p2),
+         |${gapCte("g2", "sel2")},
+         |p3 AS (SELECT id AS sid, gap FROM g2 ORDER BY gap DESC, id LIMIT 1),
+         |sel3 AS (SELECT sid FROM sel2 UNION ALL SELECT sid FROM p3),
+         |${gapCte("g3", "sel3")},
+         |p4 AS (SELECT id AS sid, gap FROM g3 ORDER BY gap DESC, id LIMIT 1),
+         |sel4 AS (SELECT sid FROM sel3 UNION ALL SELECT sid FROM p4),
+         |${gapCte("g4", "sel4")},
+         |p5 AS (SELECT id AS sid, gap FROM g4 ORDER BY gap DESC, id LIMIT 1)
+         |SELECT pick, vec_id, gap_fp FROM (
+         |  SELECT CAST(1 AS BIGINT) AS pick, sid AS vec_id,
+         |    CAST(0 AS BIGINT) AS gap_fp FROM p1
+         |  UNION ALL SELECT CAST(2 AS BIGINT), sid, CAST(gap AS BIGINT) FROM p2
+         |  UNION ALL SELECT CAST(3 AS BIGINT), sid, CAST(gap AS BIGINT) FROM p3
+         |  UNION ALL SELECT CAST(4 AS BIGINT), sid, CAST(gap AS BIGINT) FROM p4
+         |  UNION ALL SELECT CAST(5 AS BIGINT), sid, CAST(gap AS BIGINT) FROM p5)
+         |ORDER BY pick""".stripMargin
+    },
     // unrolled 3-step greedy MMR: candidate rule identical to
     // q_ann_batch (quantized fixed-point distance, vec_id ties);
     // each step excludes the selected set and maxes pairwise sims

@@ -483,7 +483,38 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
       .orderBy(col("pid"))
   }
 
+  /** Producer linger-batching economics — the batch.size/linger.ms
+    * trade every Kafka producer tunes (producer.py's confluent client
+    * batches exactly this way): the event stream is keyed to 8
+    * partitions by the md5 default-partitioner analog, and messages
+    * landing in the same (partition, linger window) ship as one batch.
+    * Swept at linger = 1/10/100 ms, each partition reports messages,
+    * batches, exact mean fill ppm and worst-case fill — the numbers
+    * that decide latency vs request amplification before touching a
+    * broker. Scale shape: per linger one map-side-combined aggregate
+    * onto (8 × windows) keys re-aggregated onto 8; nothing retained
+    * across rows. */
+  private[graft] def qProducerBatching(s: SparkSession, dir: String): DataFrame = {
+    val msgs = events(s, dir).select(
+      graft.stream.ConsumerGroup.partitionOf(
+        col("user_id").cast("string").cast("binary"), 8).as("pid"),
+      col("ts"))
+    Seq(1L, 10L, 100L).map { ms =>
+      msgs.select(col("pid"), expr(s"ts div ${ms * 1000000L}").as("batch"))
+        .groupBy(col("pid"), col("batch")).agg(count(lit(1)).as("fill"))
+        .groupBy(col("pid"))
+        .agg(sum(col("fill")).as("n_messages"), count(lit(1)).as("n_batches"),
+          max(col("fill")).as("max_fill"))
+        .select(lit(ms).as("linger_ms"), col("pid"), col("n_messages"),
+          col("n_batches"),
+          expr("n_messages * 1000000 div n_batches").as("avg_fill_ppm"),
+          col("max_fill"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("linger_ms"), col("pid"))
+  }
+
   private[graft] def parityQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_producer_batching" -> (qProducerBatching _),
     "q_consumer_lag" -> (qConsumerLag _),
     "q_consumer_rebalance" -> (qConsumerRebalance _),
     "q_rebalance_churn" -> (qRebalanceChurn _),
@@ -511,6 +542,24 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
   )
 
   private[graft] def parityOracleMap: Map[String, String] = Map(
+    "q_producer_batching" ->
+      """WITH m AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS pid,
+        |    epoch_ns(ts) AS ts
+        |  FROM events),
+        |b AS (
+        |  SELECT l.linger_ms, pid, ts // (l.linger_ms * 1000000) AS batch,
+        |    CAST(count(*) AS BIGINT) AS fill
+        |  FROM m, (VALUES (CAST(1 AS BIGINT)), (CAST(10 AS BIGINT)),
+        |    (CAST(100 AS BIGINT))) l(linger_ms)
+        |  GROUP BY 1, 2, 3)
+        |SELECT linger_ms, pid, CAST(sum(fill) AS BIGINT) AS n_messages,
+        |  CAST(count(*) AS BIGINT) AS n_batches,
+        |  CAST(sum(fill) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+        |    AS avg_fill_ppm,
+        |  CAST(max(fill) AS BIGINT) AS max_fill
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // owners replayed by the generic RangeAssignor formula over the
     // final membership {c0, c2}; watermark literal shared with the
     // Spark side; lag ppm in exact integer division.

@@ -595,6 +595,35 @@ private[graft] trait TimeSeriesQueries { this: SparkEntry.type =>
   private[graft] def qLatenessAudit(s: SparkSession, dir: String): DataFrame =
     latenessBuckets(events(s, dir))
 
+  /** Watermark-horizon sweep — the "choose your watermark" planning
+    * number: with arrival order = event_id per user (the stream's
+    * delivery contract) and lateness = prior running-max event time
+    * minus own event time, each candidate horizon (1 / 10 / 60 min)
+    * reports how many events a `withWatermark` of that delay would
+    * DROP, as an exact ppm of the at-risk stream. The complement of
+    * q_lateness_audit's histogram: that measures how late events are,
+    * this prices the latency-vs-completeness knob directly. One
+    * user-partitioned running-max window + ONE aggregate; the sweep
+    * columns unpivot from the same single row. */
+  private[graft] def qWatermarkSweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = events(s, dir).select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prior_max", max(col("ts")).over(w))
+      .filter(col("prior_max").isNotNull)
+      .select(greatest(lit(0L), col("prior_max") - col("ts")).as("late_ns"))
+    val agg = late.agg(count(lit(1)).as("n_events"),
+      sum(when(col("late_ns") > 60000000000L, 1L).otherwise(0L)).as("d1"),
+      sum(when(col("late_ns") > 600000000000L, 1L).otherwise(0L)).as("d10"),
+      sum(when(col("late_ns") > 3600000000000L, 1L).otherwise(0L)).as("d60"))
+    Seq((1L, "d1"), (10L, "d10"), (60L, "d60")).map { case (h, c) =>
+      agg.select(lit(h).as("horizon_min"), col("n_events"),
+        col(c).as("n_dropped"),
+        expr(s"$c * 1000000 div n_events").as("drop_ppm"))
+    }.reduce(_ unionAll _).orderBy(col("horizon_min"))
+  }
+
   /** Kaplan-Meier survival curve of customer tenure (churn analysis):
     * per customer, tenure = last−first order in 90-day quarters; churn
     * = last order before the 2000-07-01 cutoff (otherwise censored at
@@ -1184,6 +1213,7 @@ private[graft] trait TimeSeriesQueries { this: SparkEntry.type =>
     "q_stl_lite" -> (qStlLite _),
     "q_rolling_median" -> (qRollingMedian _),
     "q_lateness_audit" -> (qLatenessAudit _),
+    "q_watermark_sweep" -> (qWatermarkSweep _),
     "q_survival" -> (qSurvival _),
     "q_period_detect" -> (qPeriodDetect _),
     "q_mase" -> (qMase _),
@@ -1596,6 +1626,29 @@ private[graft] trait TimeSeriesQueries { this: SparkEntry.type =>
         |  CAST(arr[CAST((len(arr) + 1) // 2 AS INT)]
         |     + arr[CAST((len(arr) + 2) // 2 AS INT)] AS BIGINT) AS med_x2_c
         |FROM r ORDER BY day""".stripMargin,
+    "q_watermark_sweep" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+        |p AS (
+        |  SELECT tsn, max(tsn) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        |  FROM e),
+        |l AS (
+        |  SELECT greatest(CAST(0 AS BIGINT), prior_max - tsn) AS late_ns
+        |  FROM p WHERE prior_max IS NOT NULL),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN late_ns > 60000000000 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN late_ns > 600000000000 THEN 1 ELSE 0 END) AS BIGINT) AS d10,
+        |    CAST(sum(CASE WHEN late_ns > 3600000000000 THEN 1 ELSE 0 END) AS BIGINT) AS d60
+        |  FROM l)
+        |SELECT horizon_min, n_events, n_dropped,
+        |  n_dropped * 1000000 // n_events AS drop_ppm
+        |FROM (
+        |  SELECT CAST(1 AS BIGINT) AS horizon_min, n_events, d1 AS n_dropped FROM a
+        |  UNION ALL SELECT CAST(10 AS BIGINT), n_events, d10 FROM a
+        |  UNION ALL SELECT CAST(60 AS BIGINT), n_events, d60 FROM a)
+        |ORDER BY horizon_min""".stripMargin,
     "q_lateness_audit" ->
       """WITH x AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tsn,

@@ -513,7 +513,38 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
       .orderBy(col("linger_ms"), col("pid"))
   }
 
+  /** Idempotent-producer dedup ledger — the enable.idempotence=true
+    * guarantee the reference's confluent producer gets from the broker
+    * (producer.py:25–29 config): retried sends carry the same
+    * (producer_id, sequence) and the broker drops the re-delivery.
+    * Here the retry storm is simulated deterministically (every event
+    * whose h60("retry|"+event_id) lands in 1/16 of hash space is
+    * delivered twice), producer_id <- user_id, sequence <- event_id,
+    * and the dedup is the broker's rule: keep ONE copy per (producer,
+    * seq). Per event type: unique messages, deliveries, duplicates
+    * dropped, dup ppm. Scale shape: the union is a zero-copy plan
+    * concat, and the dedup shuffles only the 3-column key — the same
+    * hash-groupBy core as exact document dedup (llm/Dedup). */
+  private[graft] def qIdempotentDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val echo = base.filter(
+      h60(concat(lit("retry|"), col("event_id").cast("string"))) % 16 === 0)
+    base.unionAll(echo)
+      .groupBy(col("user_id"), col("event_id"), col("event_type"))
+      .agg(count(lit(1)).as("copies"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("copies")).as("n_delivered"),
+        sum(col("copies") - 1).as("n_dups_dropped"))
+      .select(col("event_type"), col("n_unique"), col("n_delivered"),
+        col("n_dups_dropped"),
+        expr("n_dups_dropped * 1000000 div n_delivered").as("dup_ppm"))
+      .orderBy(col("event_type"))
+  }
+
   private[graft] def parityQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_idempotent_dedup" -> (qIdempotentDedup _),
     "q_producer_batching" -> (qProducerBatching _),
     "q_consumer_lag" -> (qConsumerLag _),
     "q_consumer_rebalance" -> (qConsumerRebalance _),
@@ -542,6 +573,25 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
   )
 
   private[graft] def parityOracleMap: Map[String, String] = Map(
+    "q_idempotent_dedup" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, event_type FROM events),
+        |delivered AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT * FROM base
+        |  WHERE CAST('0x' || substr(md5('retry|' || CAST(event_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) % 16 = 0),
+        |dedup AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS copies
+        |  FROM delivered GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(copies) AS BIGINT) AS n_delivered,
+        |  CAST(sum(copies - 1) AS BIGINT) AS n_dups_dropped,
+        |  CAST(sum(copies - 1) AS BIGINT) * 1000000
+        |    // CAST(sum(copies) AS BIGINT) AS dup_ppm
+        |FROM dedup GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_producer_batching" ->
       """WITH m AS (
         |  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS pid,

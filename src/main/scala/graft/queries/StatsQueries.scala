@@ -2268,7 +2268,107 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         expr("ex_x * ex_y * 1000000 div (n_days * n_days)").as("independence_ppm"))
   }
 
+  /** Delta-method standard error for the RATIO metric revenue-per-order
+    * with CUSTOMER as the randomization unit (the experimentation-
+    * platform staple: a naive per-order variance understates the SE
+    * because orders cluster within customers). Per segment, the exact
+    * integer moments (n, Σr, Σs, Σr², Σs², Σrs) come from one grouped
+    * scan at dollar grain; R̂ = Σr/Σs and
+    * var(R̂) ≈ (s_r² − 2R̂·s_rs + R̂²·s_s²)/(n·μ_s²) are fixed double
+    * trees over those longs (+,−,×,÷,√ correctly rounded IEEE →
+    * bit-identical in any engine, q_welch_t's contract). One shuffle
+    * (customer rollup) + one 5-group reduce at any corpus scale. */
+  private[graft] def qDeltaMethod(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100"))
+          .as("r"),
+        count(lit(1)).as("cnt"))
+    val m = per.groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("r")).as("sr"),
+        sum(col("cnt")).as("ss"), sum(col("r") * col("r")).as("srr"),
+        sum(col("cnt") * col("cnt")).as("sss"),
+        sum(col("r") * col("cnt")).as("srs"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n_cust")
+    val ratio = d("sr") / d("ss")
+    val varR = (n * d("srr") - d("sr") * d("sr")) / (n * (n - lit(1.0)))
+    val varS = (n * d("sss") - d("ss") * d("ss")) / (n * (n - lit(1.0)))
+    val covRS = (n * d("srs") - d("sr") * d("ss")) / (n * (n - lit(1.0)))
+    val muS = d("ss") / n
+    val varRatio = (varR - lit(2.0) * ratio * covRS + ratio * ratio * varS) /
+      (n * (muS * muS))
+    m.select(col("segment"), col("n_cust"), col("sr").as("rev_total"),
+        col("ss").as("orders_total"), ratio.as("ratio"),
+        sqrt(varRatio).as("se_delta"))
+      .orderBy(col("segment"))
+  }
+
+  /** Isotonic (monotone) calibration of the q_quality_model logit via
+    * the minimax characterization μ̂ᵢ = max_{j≤i} min_{k≥i} mean(j..k)
+    * (Barlow et al. 1972) — the nonparametric recalibration that fixes
+    * non-monotone reliability bins without assuming a sigmoid (Platt)
+    * shape. The scorer is the q_calibration logit DEGRADED by
+    * deterministic md5 noise (a replayable stand-in for a weak
+    * classifier — the noiseless logit separates this corpus perfectly,
+    * leaving PAVA nothing to pool); its bin rates genuinely violate
+    * monotonicity at both SFs, so the fit does real pooling. The
+    * unbounded scan reduces to 21 fixed score bins; interval means
+    * over bin spans are exact ppm integers from prefix sums, and the
+    * max-of-min runs relationally over the ≤21³ (bin, j, k) triples —
+    * bounded model state, so every post-scan step is O(1) at any
+    * corpus scale. The fit is PAVA on the ppm-rounded bin rates
+    * (rounding happens before the minimax, identically in both
+    * engines). */
+  private[graft] def qIsotonic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = t(s, dir, "documents")
+      .select(
+        (col("n_chars") >= 200).as("label"),
+        (lit(40L) * size(split(col("text"), " ")).cast("long") +
+          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast("long") +
+          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L) +
+          h60(concat(lit("cal|"), col("doc_id").cast("string"))) % 4001 -
+          lit(2000L))
+          .as("score_milli"))
+      .withColumn("bin",
+        greatest(least(expr("score_milli div 400"), lit(10L)), lit(-10L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("pos"))
+    // 21-row model table from here on: prefix sums, interval means, minimax.
+    val pre = bins
+      .withColumn("cn", sum(col("n")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cp", sum(col("pos")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .localCheckpoint(eager = false)
+    val lo = pre.select(col("bin").as("j"), (col("cn") - col("n")).as("cn0"),
+      (col("cp") - col("pos")).as("cp0"))
+    val hi = pre.select(col("bin").as("k"), col("cn").as("cn1"),
+      col("cp").as("cp1"))
+    val intervals = lo.crossJoin(hi).filter(col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        expr("(cp1 - cp0) * 1000000 div (cn1 - cn0)").as("mean_ppm"))
+    val fit = pre.select(col("bin"))
+      .join(intervals, col("j") <= col("bin") && col("bin") <= col("k"))
+      .groupBy(col("bin"), col("j"))
+      .agg(min(col("mean_ppm")).as("mn"))
+      .groupBy(col("bin"))
+      .agg(max(col("mn")).as("iso_ppm"))
+    bins.join(fit, "bin")
+      .select(col("bin"), col("n"), col("pos"),
+        expr("pos * 1000000 div n").as("raw_ppm"), col("iso_ppm"))
+      .orderBy(col("bin"))
+  }
+
   private[graft] def statsQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_delta_method" -> (qDeltaMethod _),
+    "q_isotonic" -> (qIsotonic _),
     "q_percentile" -> (qPercentile _),
     "q_percentile_exact" -> (qPercentileExact _),
     "q_outliers_iqr" -> (qOutliersIqr _),
@@ -2776,6 +2876,68 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |    // CAST(count(*) AS BIGINT) AS pos_rate_ppm,
         |  CAST(sum(logit_milli) AS BIGINT) AS sum_logit
         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_delta_method" ->
+      """WITH per AS (
+        |  SELECT c_mktsegment AS segment, o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100) AS BIGINT) AS r,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT segment, CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(r) AS BIGINT) AS sr, CAST(sum(cnt) AS BIGINT) AS ss,
+        |    CAST(sum(r * r) AS BIGINT) AS srr,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS sss,
+        |    CAST(sum(r * cnt) AS BIGINT) AS srs
+        |  FROM per GROUP BY segment),
+        |d AS (
+        |  SELECT segment, n_cust, sr, ss,
+        |    CAST(n_cust AS DOUBLE) AS n,
+        |    CAST(sr AS DOUBLE) / CAST(ss AS DOUBLE) AS ratio,
+        |    ((CAST(n_cust AS DOUBLE) * CAST(srr AS DOUBLE)) - (CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)))
+        |      / (CAST(n_cust AS DOUBLE) * (CAST(n_cust AS DOUBLE) - 1.0)) AS var_r,
+        |    ((CAST(n_cust AS DOUBLE) * CAST(sss AS DOUBLE)) - (CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)))
+        |      / (CAST(n_cust AS DOUBLE) * (CAST(n_cust AS DOUBLE) - 1.0)) AS var_s,
+        |    ((CAST(n_cust AS DOUBLE) * CAST(srs AS DOUBLE)) - (CAST(sr AS DOUBLE) * CAST(ss AS DOUBLE)))
+        |      / (CAST(n_cust AS DOUBLE) * (CAST(n_cust AS DOUBLE) - 1.0)) AS cov_rs,
+        |    CAST(ss AS DOUBLE) / CAST(n_cust AS DOUBLE) AS mu_s
+        |  FROM m)
+        |SELECT segment, n_cust, sr AS rev_total, ss AS orders_total, ratio,
+        |  sqrt(((var_r - ((2.0 * ratio) * cov_rs)) + ((ratio * ratio) * var_s))
+        |       / (n * (mu_s * mu_s))) AS se_delta
+        |FROM d ORDER BY segment""".stripMargin,
+    "q_isotonic" ->
+      """WITH scored AS (
+        |  SELECT n_chars >= 200 AS label,
+        |    40 * CAST(len(string_split(text, ' ')) AS BIGINT) +
+        |    (-10) * CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) +
+        |    (-2) * abs(n_chars - 500) + (-1500) +
+        |    CAST('0x' || substr(md5('cal|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 4001 - 2000 AS score_milli
+        |  FROM documents),
+        |bins AS (
+        |  SELECT greatest(least(score_milli // 400, 10), -10) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM scored GROUP BY 1),
+        |pre AS (
+        |  SELECT bin, n, pos,
+        |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |    CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+        |  FROM bins),
+        |iv AS (
+        |  SELECT l.bin AS j, h.bin AS k,
+        |    CAST((h.cp - (l.cp - l.pos)) * 1000000
+        |      // (h.cn - (l.cn - l.n)) AS BIGINT) AS mean_ppm
+        |  FROM pre l, pre h WHERE l.bin <= h.bin),
+        |mm AS (
+        |  SELECT p.bin, i.j, CAST(min(i.mean_ppm) AS BIGINT) AS mn
+        |  FROM pre p JOIN iv i ON i.j <= p.bin AND p.bin <= i.k
+        |  GROUP BY p.bin, i.j),
+        |fit AS (
+        |  SELECT bin, CAST(max(mn) AS BIGINT) AS iso_ppm FROM mm GROUP BY bin)
+        |SELECT b.bin, b.n, b.pos, b.pos * 1000000 // b.n AS raw_ppm, f.iso_ppm
+        |FROM bins b JOIN fit f ON b.bin = f.bin ORDER BY b.bin""".stripMargin,
     "q_entropy" ->
       """WITH pn AS (
         |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,

@@ -624,6 +624,48 @@ private[graft] trait TimeSeriesQueries { this: SparkEntry.type =>
     }.reduce(_ unionAll _).orderBy(col("horizon_min"))
   }
 
+  /** Mann-Kendall trend test per order priority on the MONTHLY order-
+    * count series — the nonparametric "is demand trending" screen that
+    * needs no distributional assumption (rank-based companion to
+    * q_theil_sen's slope, as q_mann_whitney is to q_welch_t).
+    * S = Σ_{i<j} sign(c_j − c_i) over month pairs; var(S)·18 stays an
+    * EXACT integer including the tie correction Σt(t−1)(2t+5), and
+    * only the final z = (S∓1)/√(var18/18) is a fixed 3-op double tree.
+    * The unbounded scan reduces to ≤ 5 priorities × ~84 calendar
+    * months before the per-priority pair join (~3.5k pairs/group,
+    * calendar-bounded at ANY corpus scale — the q_holt argument). */
+  private[graft] def qMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"),
+        ((year(col("o_orderdate")) - 1970) * 12 + month(col("o_orderdate"))
+          - 1).cast("long").as("m"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val sStat = monthly.select(col("prio"), col("m").as("m1"), col("c").as("c1"))
+      .join(monthly.select(col("prio"), col("m").as("m2"), col("c").as("c2")),
+        Seq("prio"))
+      .filter(col("m1") < col("m2"))
+      .groupBy(col("prio"))
+      .agg(sum(when(col("c2") > col("c1"), 1L)
+        .when(col("c2") < col("c1"), -1L).otherwise(0L)).as("s_stat"))
+    val nMonths = monthly.groupBy(col("prio")).agg(count(lit(1)).as("n_months"))
+    val ties = monthly.groupBy(col("prio"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("prio"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+        .as("tie_term"))
+    nMonths.join(sStat, "prio").join(ties, "prio")
+      .withColumn("var18",
+        col("n_months") * (col("n_months") - 1) *
+          (lit(2L) * col("n_months") + 5) - col("tie_term"))
+      .select(col("prio"), col("n_months"), col("s_stat"), col("var18"),
+        (when(col("s_stat") > 0, col("s_stat") - 1)
+          .when(col("s_stat") < 0, col("s_stat") + 1).otherwise(0L)
+          .cast("double") /
+          sqrt(col("var18").cast("double") / lit(18.0))).as("z_mk"))
+      .orderBy(col("prio"))
+  }
+
   /** Kaplan-Meier survival curve of customer tenure (churn analysis):
     * per customer, tenure = last−first order in 90-day quarters; churn
     * = last order before the 2000-07-01 cutoff (otherwise censored at
@@ -1214,6 +1256,7 @@ private[graft] trait TimeSeriesQueries { this: SparkEntry.type =>
     "q_rolling_median" -> (qRollingMedian _),
     "q_lateness_audit" -> (qLatenessAudit _),
     "q_watermark_sweep" -> (qWatermarkSweep _),
+    "q_mann_kendall" -> (qMannKendall _),
     "q_survival" -> (qSurvival _),
     "q_period_detect" -> (qPeriodDetect _),
     "q_mase" -> (qMase _),
@@ -1649,6 +1692,37 @@ private[graft] trait TimeSeriesQueries { this: SparkEntry.type =>
         |  UNION ALL SELECT CAST(10 AS BIGINT), n_events, d10 FROM a
         |  UNION ALL SELECT CAST(60 AS BIGINT), n_events, d60 FROM a)
         |ORDER BY horizon_min""".stripMargin,
+    "q_mann_kendall" ->
+      """WITH monthly AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+        |      AS BIGINT) AS m,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.prio,
+        |    CAST(sum(CASE WHEN b.c > a.c THEN 1
+        |                  WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM monthly a JOIN monthly b ON a.prio = b.prio AND a.m < b.m
+        |  GROUP BY a.prio),
+        |nn AS (SELECT prio, CAST(count(*) AS BIGINT) AS n_months
+        |       FROM monthly GROUP BY prio),
+        |tie AS (
+        |  SELECT prio,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT prio, c, CAST(count(*) AS BIGINT) AS t
+        |        FROM monthly GROUP BY prio, c)
+        |  GROUP BY prio)
+        |SELECT nn.prio, nn.n_months, p.s_stat,
+        |  CAST(nn.n_months * (nn.n_months - 1) * (2 * nn.n_months + 5)
+        |    - tie.tie_term AS BIGINT) AS var18,
+        |  (CASE WHEN p.s_stat > 0 THEN CAST(p.s_stat - 1 AS DOUBLE)
+        |        WHEN p.s_stat < 0 THEN CAST(p.s_stat + 1 AS DOUBLE)
+        |        ELSE 0.0 END)
+        |    / sqrt(CAST(nn.n_months * (nn.n_months - 1) * (2 * nn.n_months + 5)
+        |        - tie.tie_term AS DOUBLE) / 18.0) AS z_mk
+        |FROM nn JOIN p ON nn.prio = p.prio JOIN tie ON nn.prio = tie.prio
+        |ORDER BY nn.prio""".stripMargin,
     "q_lateness_audit" ->
       """WITH x AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tsn,

@@ -1406,7 +1406,85 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental (cross-snapshot) dedup — the steady-state shape of a
+    * production crawl pipeline: dedup is NOT re-run over the union of
+    * all history; the new batch dedups (a) against the accepted
+    * snapshot by content digest anti-join and (b) within itself
+    * keeping the smallest doc_id. Snapshots here are two overlapping
+    * md5 slices of the corpus (a re-crawl re-fetches unchanged pages →
+    * identical bytes → identical digest — the case this operator
+    * exists for). Per source: batch size, dups vs the snapshot, dups
+    * inside the batch, survivors ingested. Scale shape: only 16-byte
+    * digests shuffle (never text), the vs-old check is a digest
+    * semi/anti join, the within-batch keep-best is one hash groupBy —
+    * the same core as exact dedup, applied delta-to-corpus instead of
+    * corpus-to-corpus. */
+  private[graft] def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val digested = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("dg"),
+        (h60(concat(lit("snap|"), col("doc_id").cast("string"))) % 10)
+          .as("slice"))
+    val oldDg = digested.filter(col("slice") < 8).select(col("dg")).distinct()
+    val batch = digested.filter(col("slice") >= 6)
+      .select(col("doc_id"), col("source"), col("dg"))
+    val vsOld = batch.join(oldDg, Seq("dg"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup_vs_snapshot"))
+    val fresh = batch.join(oldDg, Seq("dg"), "left_anti")
+    val kept = fresh.groupBy(col("dg"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
+    val keptBySource = kept
+      .join(fresh.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ingested"),
+        sum(col("copies") - 1).as("n_dup_in_batch"))
+    batch.groupBy(col("source")).agg(count(lit(1)).as("n_batch"))
+      .join(vsOld, Seq("source"), "left")
+      .join(keptBySource, Seq("source"), "left")
+      .select(col("source"), col("n_batch"),
+        coalesce(col("n_dup_vs_snapshot"), lit(0L)).as("n_dup_vs_snapshot"),
+        coalesce(col("n_dup_in_batch"), lit(0L)).as("n_dup_in_batch"),
+        coalesce(col("n_ingested"), lit(0L)).as("n_ingested"))
+      .orderBy(col("source"))
+  }
+
+  /** Preference-pair mining (the DPO/RLHF dataset-construction step):
+    * documents group into prompt cells (source × 5 length buckets);
+    * inside each cell the deterministic quality logit picks CHOSEN
+    * (best) and REJECTED (worst), emitted only when the margin clears
+    * 500 milli-logits — weak preferences teach nothing. Ties cannot
+    * occur: score and id pack into one integer (score offset to
+    * positive, ×1e9 + doc_id) so min/max ARE argmin/argmax with a
+    * total order — the exact-integer analog of max_by with a
+    * deterministic tiebreak, and one map-side-combining aggregate
+    * per cell at any corpus scale. */
+  private[graft] def qRlhfPairs(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        least(expr("n_chars div 200"), lit(4L)).as("len_bucket"),
+        (lit(40L) * size(split(col("text"), " ")).cast("long") +
+          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast("long") +
+          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L))
+          .as("score_milli"))
+      .withColumn("packed",
+        (col("score_milli") + 100000L) * 1000000000L + col("doc_id"))
+    scored.groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("packed")).as("mx"), min(col("packed")).as("mn"))
+      .filter(col("n_docs") >= 2)
+      .select(col("source"), col("len_bucket"), col("n_docs"),
+        expr("mx % 1000000000").as("chosen_id"),
+        expr("mx div 1000000000 - 100000").as("chosen_milli"),
+        expr("mn % 1000000000").as("rejected_id"),
+        expr("mn div 1000000000 - 100000").as("rejected_milli"))
+      .withColumn("margin_milli", col("chosen_milli") - col("rejected_milli"))
+      .filter(col("margin_milli") >= 500)
+      .orderBy(col("source"), col("len_bucket"))
+  }
+
   private[graft] def llm2QueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_rlhf_pairs" -> (qRlhfPairs _),
     "q_span_corruption" -> (qSpanCorruption _),
     "q_bpe_sweep" -> (qBpeSweep _),
     "q_length_batching" -> (qLengthBatching _),
@@ -1452,6 +1530,65 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
   )
 
   private[graft] def llm2OracleMap: Map[String, String] = Map(
+    "q_incremental_dedup" ->
+      """WITH digested AS (
+        |  SELECT doc_id, source, md5(text) AS dg,
+        |    CAST('0x' || substr(md5('snap|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 10 AS slice
+        |  FROM documents),
+        |old_dg AS (SELECT DISTINCT dg FROM digested WHERE slice < 8),
+        |batch AS (SELECT doc_id, source, dg FROM digested WHERE slice >= 6),
+        |vs_old AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_dup_vs_snapshot
+        |  FROM batch WHERE dg IN (SELECT dg FROM old_dg) GROUP BY source),
+        |fresh AS (
+        |  SELECT * FROM batch WHERE dg NOT IN (SELECT dg FROM old_dg)),
+        |kept AS (
+        |  SELECT dg, CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |    CAST(count(*) AS BIGINT) AS copies
+        |  FROM fresh GROUP BY dg),
+        |kept_src AS (
+        |  SELECT f.source, CAST(count(*) AS BIGINT) AS n_ingested,
+        |    CAST(sum(k.copies - 1) AS BIGINT) AS n_dup_in_batch
+        |  FROM kept k JOIN fresh f ON k.doc_id = f.doc_id
+        |  GROUP BY f.source)
+        |SELECT b.source, CAST(count(*) AS BIGINT) AS n_batch,
+        |  CAST(coalesce(any_value(v.n_dup_vs_snapshot), 0) AS BIGINT)
+        |    AS n_dup_vs_snapshot,
+        |  CAST(coalesce(any_value(ks.n_dup_in_batch), 0) AS BIGINT)
+        |    AS n_dup_in_batch,
+        |  CAST(coalesce(any_value(ks.n_ingested), 0) AS BIGINT) AS n_ingested
+        |FROM batch b
+        |LEFT JOIN vs_old v ON b.source = v.source
+        |LEFT JOIN kept_src ks ON b.source = ks.source
+        |GROUP BY b.source ORDER BY b.source""".stripMargin,
+    "q_rlhf_pairs" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    least(n_chars // 200, 4) AS len_bucket,
+        |    40 * CAST(len(string_split(text, ' ')) AS BIGINT) +
+        |    (-10) * CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) +
+        |    (-2) * abs(n_chars - 500) + (-1500) AS score_milli
+        |  FROM documents),
+        |packed AS (
+        |  SELECT source, len_bucket, doc_id,
+        |    (score_milli + 100000) * 1000000000 + doc_id AS p
+        |  FROM scored),
+        |cells AS (
+        |  SELECT source, len_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(max(p) AS BIGINT) AS mx, CAST(min(p) AS BIGINT) AS mn
+        |  FROM packed GROUP BY 1, 2)
+        |SELECT source, len_bucket, n_docs,
+        |  mx % 1000000000 AS chosen_id,
+        |  mx // 1000000000 - 100000 AS chosen_milli,
+        |  mn % 1000000000 AS rejected_id,
+        |  mn // 1000000000 - 100000 AS rejected_milli,
+        |  (mx // 1000000000 - 100000) - (mn // 1000000000 - 100000)
+        |    AS margin_milli
+        |FROM cells
+        |WHERE n_docs >= 2
+        |  AND (mx // 1000000000 - 100000) - (mn // 1000000000 - 100000) >= 500
+        |ORDER BY source, len_bucket""".stripMargin,
     // same digest digits: start iff h % 100 < 15, len = 1 + (h%300)//100;
     // coverage of p by a span from p-1/p-2 recomputed from their hashes
     "q_span_corruption" ->

@@ -513,6 +513,74 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
       .orderBy(col("linger_ms"), col("pid"))
   }
 
+  /** Log-compaction semantics (cleanup.policy=compact): the topic is a
+    * changelog keyed by (user_id, event_type) — each event upserts the
+    * key's state, offset order = event_id — and the compactor keeps
+    * only each key's LATEST record, dropping the key entirely when
+    * that survivor is a tombstone (delete marker, simulated on a
+    * deterministic 1/8 md5 slice). Per event type: log records vs
+    * distinct keys vs live keys after tombstone removal, and the
+    * retained ppm — the "how much does compaction reclaim" number.
+    * Latest-record selection is max_by over the unique offset (exact
+    * in both engines); one grouped pass over (key, offset, flag), no
+    * window, map-side combinable at any log length. */
+  private[graft] def qLogCompaction(s: SparkSession, dir: String): DataFrame = {
+    val recs = events(s, dir).select(col("user_id"), col("event_type"),
+      col("event_id"),
+      (h60(concat(lit("del|"), col("event_id").cast("string"))) % 8 === 0)
+        .as("tomb"))
+    recs.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_records"),
+        expr("max_by(tomb, event_id)").as("last_tomb"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_records")).as("n_records"),
+        count(lit(1)).as("n_keys"),
+        sum(when(col("last_tomb"), 0L).otherwise(1L)).as("n_live"),
+        sum(when(col("last_tomb"), 1L).otherwise(0L)).as("n_tombstoned"))
+      .select(col("event_type"), col("n_records"), col("n_keys"),
+        col("n_live"), col("n_tombstoned"),
+        expr("n_live * 1000000 div n_records").as("retained_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DLQ replay — the operational loop after a poison-message incident
+    * (the reference's DLQ exists precisely so records can be re-driven
+    * once the defect is fixed): every permanent failure re-enters the
+    * router after the repair patch (the upstream defect double-added a
+    * 1000.00 fee, so the patch subtracts it from every over-threshold
+    * price; validation failures are untouched — no patch conjures
+    * missing fields), and each (error class, product) cell reports how
+    * many records recover, merely become retryable (the repaired price
+    * lands in the transient band), or stay dead. Same Router
+    * predicates as q_route on both passes; error classes come from the
+    * predicates, not the interpolated reason strings (those embed the
+    * price and would shatter the grouping). One scan, one small
+    * aggregate. */
+  private[graft] def qDlqReplay(s: SparkSession, dir: String): DataFrame = {
+    val dlq = routed(s, dir).filter(col("status") === Router.Permanent)
+      .select(col("order_key"), col("orderId"), col("product"), col("price"),
+        when(col("price").isNull, "missing_price")
+          .when(Router.invalid(col("orderId"), col("product"), col("price")),
+            "invalid_payload")
+          .otherwise("price_threshold").as("error_class"))
+    dlq
+      .withColumn("fixed_price",
+        when(col("price") > Router.PermanentThreshold,
+          col("price") - Router.PermanentThreshold).otherwise(col("price")))
+      .withColumn("replay_status",
+        Router.statusCol(col("orderId"), col("product"), col("fixed_price")))
+      .groupBy(col("error_class"), col("product"))
+      .agg(count(lit(1)).as("n_dlq"),
+        sum(when(col("replay_status") === Router.Success, 1L).otherwise(0L))
+          .as("n_recovered"),
+        sum(when(col("replay_status") === Router.Transient, 1L).otherwise(0L))
+          .as("n_retryable"),
+        sum(when(col("replay_status") === Router.Permanent, 1L).otherwise(0L))
+          .as("n_still_dead"))
+      .withColumn("recovery_ppm", expr("n_recovered * 1000000 div n_dlq"))
+      .orderBy(col("error_class"), col("product"))
+  }
+
   /** Idempotent-producer dedup ledger — the enable.idempotence=true
     * guarantee the reference's confluent producer gets from the broker
     * (producer.py:25–29 config): retried sends carry the same
@@ -545,6 +613,8 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
 
   private[graft] def parityQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_idempotent_dedup" -> (qIdempotentDedup _),
+    "q_log_compaction" -> (qLogCompaction _),
+    "q_dlq_replay" -> (qDlqReplay _),
     "q_producer_batching" -> (qProducerBatching _),
     "q_consumer_lag" -> (qConsumerLag _),
     "q_consumer_rebalance" -> (qConsumerRebalance _),
@@ -592,6 +662,55 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
         |  CAST(sum(copies - 1) AS BIGINT) * 1000000
         |    // CAST(sum(copies) AS BIGINT) AS dup_ppm
         |FROM dedup GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_log_compaction" ->
+      """WITH recs AS (
+        |  SELECT user_id, event_type, event_id,
+        |    CAST('0x' || substr(md5('del|' || CAST(event_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 8 = 0 AS tomb
+        |  FROM events),
+        |keys AS (
+        |  SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_records,
+        |    max_by(tomb, event_id) AS last_tomb
+        |  FROM recs GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(n_records) AS BIGINT) AS n_records,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN last_tomb THEN 0 ELSE 1 END) AS BIGINT) AS n_live,
+        |  CAST(sum(CASE WHEN last_tomb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tombstoned,
+        |  CAST(sum(CASE WHEN last_tomb THEN 0 ELSE 1 END) AS BIGINT) * 1000000
+        |    // CAST(sum(n_records) AS BIGINT) AS retained_ppm
+        |FROM keys GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_dlq_replay" -> (routedSql +
+      """, dlq AS (
+        |  SELECT order_key, order_id, product, price,
+        |    CASE WHEN price IS NULL THEN 'missing_price'
+        |         WHEN order_id IS NULL OR length(order_id) = 0
+        |              OR product IS NULL OR length(product) = 0
+        |              OR price < 0 THEN 'invalid_payload'
+        |         ELSE 'price_threshold' END AS error_class
+        |  FROM routed WHERE status = 'permanent_failure'),
+        |replayed AS (
+        |  SELECT error_class, product,
+        |    CASE WHEN price > 1000.0 THEN price - 1000.0 ELSE price END AS fp
+        |  FROM dlq),
+        |st AS (
+        |  SELECT error_class, product,
+        |    CASE WHEN fp IS NULL OR fp < 0 THEN 'permanent_failure'
+        |         WHEN fp >= 5.0 AND fp <= 50.0 THEN 'transient_failure'
+        |         WHEN fp > 1000.0 THEN 'permanent_failure'
+        |         ELSE 'success' END AS replay_status
+        |  FROM replayed)
+        |SELECT error_class, product, CAST(count(*) AS BIGINT) AS n_dlq,
+        |  CAST(sum(CASE WHEN replay_status = 'success' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_recovered,
+        |  CAST(sum(CASE WHEN replay_status = 'transient_failure' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_retryable,
+        |  CAST(sum(CASE WHEN replay_status = 'permanent_failure' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_still_dead,
+        |  CAST(sum(CASE WHEN replay_status = 'success' THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS recovery_ppm
+        |FROM st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "q_producer_batching" ->
       """WITH m AS (
         |  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS pid,

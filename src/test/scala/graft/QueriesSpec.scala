@@ -197,6 +197,86 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("rlhf packed score+id stays inside its integer envelope") {
+    // qRlhfPairs packs (score_milli + 100000) * 1e9 + doc_id into one
+    // long so min/max ARE deterministic argmin/argmax. That decode is
+    // only exact while score_milli > -100000 (offset keeps the product
+    // positive — `div` truncation would break on negatives) and
+    // doc_id < 1e9. Pin both bounds on real data so a regenerated
+    // corpus that violates them fails here, not as an oracle skew.
+    import org.apache.spark.sql.functions._
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val r = spark.read.parquet(s"$d/documents.parquet")
+        .select(
+          (lit(40L) * size(split(col("text"), " ")).cast("long") +
+            lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
+              .cast("long") +
+            lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L))
+            .as("score_milli"), col("doc_id"))
+        .agg(min(col("score_milli")), max(col("score_milli")),
+          max(col("doc_id")))
+        .head()
+      assert(r.getLong(0) > -100000L, s"$d score underflows packing offset")
+      assert(r.getLong(1) < 9100000L, s"$d score overflows packing range")
+      assert(r.getLong(2) < 1000000000L, s"$d doc_id overflows packing slot")
+    }
+  }
+
+  test("isotonic fit is monotone and stays within the raw rate envelope") {
+    // The minimax max-min-mean construction must produce a nondecreasing
+    // sequence bounded by [min(raw), max(raw)] — the defining PAVA
+    // invariants; a violated monotonicity means the interval join or the
+    // prefix sums regressed even if the oracle happens to agree.
+    val rows = SparkEntry.queries("q_isotonic")(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.col("bin")).collect()
+    assert(rows.nonEmpty)
+    val iso = rows.map(_.getAs[Long]("iso_ppm"))
+    val raw = rows.map(_.getAs[Long]("raw_ppm"))
+    iso.sliding(2).foreach { case Array(a, b) =>
+      assert(a <= b, s"isotonic fit not monotone: $a > $b")
+    case _ => }
+    assert(iso.min >= raw.min && iso.max <= raw.max,
+      "isotonic fit escapes the raw-rate envelope")
+  }
+
+  test("mann-kendall S and var18 stay inside their combinatorial bounds") {
+    val rows = SparkEntry.queries("q_mann_kendall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_months")
+      val sStat = r.getAs[Long]("s_stat")
+      val var18 = r.getAs[Long]("var18")
+      assert(math.abs(sStat) <= n * (n - 1) / 2, s"S out of bounds: $r")
+      assert(var18 >= 0 && var18 <= n * (n - 1) * (2 * n + 5),
+        s"var18 out of bounds: $r")
+    }
+  }
+
+  test("incremental dedup partitions the batch exactly") {
+    // n_batch must equal dup_vs_snapshot + dup_in_batch + ingested per
+    // source — the three disposition classes are a partition of the
+    // batch; any overlap or leak breaks the conservation law even if
+    // each individual count matches a drifted oracle.
+    val rows = SparkEntry.queries("q_incremental_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_batch") ==
+        r.getAs[Long]("n_dup_vs_snapshot") + r.getAs[Long]("n_dup_in_batch") +
+          r.getAs[Long]("n_ingested"), s"batch not partitioned: $r")
+    }
+  }
+
+  test("log compaction conserves keys and records") {
+    val rows = SparkEntry.queries("q_log_compaction")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_keys") ==
+        r.getAs[Long]("n_live") + r.getAs[Long]("n_tombstoned"), s"keys leak: $r")
+      assert(r.getAs[Long]("n_records") >= r.getAs[Long]("n_keys"),
+        s"more keys than records: $r")
+    }
+  }
+
   test("every query has oracle SQL or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")

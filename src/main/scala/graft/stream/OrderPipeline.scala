@@ -338,6 +338,60 @@ object OrderPipeline {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Compacted-changelog state (cleanup.policy=compact, the streaming
+    * twin of the batch `q_log_compaction` query): each key's state is
+    * the LATEST record by offset, and a tombstone record DELETES the
+    * key — `state.clear()`, the state-removal path none of the other
+    * processors exercise outside timers. Within a micro-batch only the
+    * max-offset record matters (earlier records are superseded before
+    * they could ever be observed — exactly the broker compactor's
+    * guarantee), so the per-batch work is one fold, one state
+    * read-modify-write. Emits (key, offset, value, live) after each
+    * batch touching the key. */
+  final class CompactedStateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Double, Boolean), (String, Long, Double, Boolean)] {
+    @transient private var latest: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      latest = getHandle.getValueState[(Long, Double)]("latest",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Double, Boolean)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Double, Boolean)] = {
+      // the winning record of the batch: max offset (offsets are unique
+      // per key — the topic's total order within a partition)
+      val win = rows.maxBy(_._2)
+      // a stored offset is always older than this batch's max (readers
+      // see a partition in offset order), so the batch winner decides
+      if (win._4) {
+        latest.clear()
+        Iterator((key, win._2, 0.0, false))
+      } else {
+        latest.update((win._2, win._3))
+        Iterator((key, win._2, win._3, true))
+      }
+    }
+  }
+
+  /** Latest-record-per-key compacted view with tombstone deletion. The
+    * input frame carries (key, offset, value, tomb). */
+  def compactedState(spark: SparkSession, records: DataFrame)
+      : org.apache.spark.sql.Dataset[(String, Long, Double, Boolean)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    records
+      .select(col("key"), col("offset"), col("value"), col("tomb"))
+      .as[(String, Long, Double, Boolean)]
+      .groupByKey(_._1)
+      .transformWithState(new CompactedStateProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Per-(status, product) running counts, keyed by status with the
     * product dimension held in MapState. */
   def statusProductCounts(spark: SparkSession, processed: DataFrame)

@@ -394,6 +394,77 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("compacted state keeps latest per key; tombstone deletes; key can be reborn") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(String, Long, Double, Boolean)](spark)
+      val compacted = OrderPipeline.compactedState(
+        spark, stream.toDF().toDF("key", "offset", "value", "tomb"))
+      val q = compacted.toDF("key", "offset", "value", "live").writeStream
+        .outputMode("update").format("memory").queryName("compacted")
+        .option("checkpointLocation", tmpDir("graft-compact-ckpt")).start()
+      // batch 1: two upserts for A (same batch — later offset wins), one for B
+      stream.addData(("A", 1L, 10.0, false), ("A", 2L, 20.0, false),
+        ("B", 3L, 30.0, false))
+      q.processAllAvailable()
+      // batch 2: tombstone A
+      stream.addData(("A", 4L, 0.0, true))
+      q.processAllAvailable()
+      // batch 3: A reborn after deletion
+      stream.addData(("A", 5L, 50.0, false))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("compacted")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toList
+      // per-batch emissions: batch winner only, in offset order per key
+      assert(rows.contains(("A", 2L, 20.0, true)),
+        s"batch-1 winner for A missing: $rows") // offset 1 superseded in-batch
+      assert(!rows.exists(r => r._1 == "A" && r._2 == 1L),
+        s"superseded record leaked: $rows")
+      assert(rows.contains(("B", 3L, 30.0, true)))
+      assert(rows.contains(("A", 4L, 0.0, false)), s"tombstone not emitted: $rows")
+      assert(rows.contains(("A", 5L, 50.0, true)), s"rebirth lost: $rows")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streaming compacted state agrees with the batch compaction rule") {
+    // Replay a small changelog through the streaming processor one
+    // record per micro-batch (worst case for state churn) and through
+    // the batch rule (max_by offset, tombstone drops the key): the
+    // surviving key set and values must be identical — the parity that
+    // makes q_log_compaction's batch semantics THE spec for the
+    // streaming state store.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val log = Seq(
+        ("k1", 1L, 1.0, false), ("k2", 2L, 2.0, false), ("k1", 3L, 3.0, false),
+        ("k3", 4L, 4.0, false), ("k2", 5L, 0.0, true), ("k3", 6L, 6.0, false),
+        ("k4", 7L, 0.0, true))
+      val stream = MemoryStream[(String, Long, Double, Boolean)](spark)
+      val compacted = OrderPipeline.compactedState(
+        spark, stream.toDF().toDF("key", "offset", "value", "tomb"))
+      val q = compacted.toDF("key", "offset", "value", "live").writeStream
+        .outputMode("update").format("memory").queryName("compact_parity")
+        .option("checkpointLocation", tmpDir("graft-compact-parity-ckpt")).start()
+      log.foreach { r => stream.addData(r); q.processAllAvailable() }
+      q.stop()
+      // streaming view: last emission per key
+      val streamed = spark.table("compact_parity")
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))))
+        .groupBy(_._1).map { case (k, v) => (k, v.maxBy(_._2._1)._2) }
+      val live = streamed.collect { case (k, (_, v, true)) => (k, v) }.toMap
+      // batch rule over the same log
+      val batchLive = log.groupBy(_._1)
+        .map { case (k, rs) => (k, rs.maxBy(_._2)) }
+        .collect { case (k, (_, _, v, false)) => (k, v) }
+      assert(live === batchLive, s"stream=$live batch=$batchLive")
+      assert(!live.contains("k2") && !live.contains("k4"))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState MapState keeps per-product counts inside a status key") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -337,7 +337,10 @@ object Dedup {
       // change across two sweeps implies a fixed point. Superseded
       // rounds' blocks are released by the ContextCleaner on GC
       // (Dataset.unpersist does not cover localCheckpoint blocks).
-      val next = sweep(sweep(labels)).localCheckpoint(eager = true)
+      // lazy checkpoint: the signature agg below is the first action over
+      // `next`, so it materializes the blocks in the same job — one job
+      // per round instead of eager-materialize + agg
+      val next = sweep(sweep(labels)).localCheckpoint(eager = false)
       val nextSig = signature(next)
       converged = iter > 0 && nextSig == sig
       // round 0 has no prior signature: sig starts at a sentinel no

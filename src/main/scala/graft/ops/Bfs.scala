@@ -33,8 +33,13 @@ object Bfs {
     // `visited` per level would hold O(|V| × levels) executor storage;
     // localCheckpoint blocks are only released by the ContextCleaner
     // on GC, not by unpersist)
+    // LAZY checkpoints throughout: the convergence count is the first
+    // action over each checkpointed table, so the count job materializes
+    // the blocks as a side effect — one job per round instead of an
+    // eager-materialize job plus a count job (the job floor, not data,
+    // dominates each level on all but enormous frontiers)
     var visited = seeds.select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     var frontier = visited.select(col("node"))
     var level = 0L
     var n = frontier.count()
@@ -54,7 +59,9 @@ object Bfs {
         .join(visited, Seq("node"), "left_anti")
         .join(l1.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(level + 2))
-      val newFrontier = l1.union(l2).localCheckpoint(eager = true)
+      // lazy: the count below scans every partition (the dist filter
+      // prunes rows, not partitions), so it materializes the blocks
+      val newFrontier = l1.union(l2).localCheckpoint(eager = false)
       level += 2
       visited = visited.union(newFrontier)
       // only the deepest layer can still expand: nbrs(l1) ⊆ visited ∪ l1 ∪ l2
@@ -64,6 +71,48 @@ object Bfs {
     if (n > 0) throw new IllegalStateException(
       s"BFS frontier still active after $maxIter levels — the graph is " +
         s"deeper than maxIter; raise it (distances would be censored)")
+    visited
+  }
+
+  /** Per-source labeled BFS: like `distances`, but each seed row carries
+    * a `src` label and distances are tracked PER (src, node) — N
+    * independent traversals advanced by ONE set of per-level jobs
+    * instead of N concurrent loops (the wall time is max-eccentricity
+    * scheduling round-trips either way, but the job count, driver
+    * pressure, and thread orchestration all drop to a single loop's).
+    * State is |sources| × |reachable| rows at worst — the caller picks
+    * a bounded probe set (this is a probe tool, not all-pairs).
+    * `seeds` needs (src, node); returns (src, node, dist). */
+  def labeledDistances(edges: DataFrame, seeds: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    var visited = seeds.select(col("src"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint(eager = false)
+    var frontier = visited.select(col("src"), col("node"))
+    var level = 0L
+    var n = frontier.count()
+    while (n > 0 && level < maxIter) {
+      // same two-levels-per-materialization shape as `distances`; the
+      // anti-joins key on (src, node) so traversals stay independent
+      val l1 = e.join(frontier.withColumnRenamed("node", "u"), "u")
+        .select(col("src"), col("v").as("node")).distinct()
+        .join(visited, Seq("src", "node"), "left_anti")
+        .withColumn("dist", lit(level + 1))
+      val l2 = e.join(l1.select(col("src"), col("node").as("u")), "u")
+        .select(col("src"), col("v").as("node")).distinct()
+        .join(visited, Seq("src", "node"), "left_anti")
+        .join(l1.select(col("src"), col("node")), Seq("src", "node"), "left_anti")
+        .withColumn("dist", lit(level + 2))
+      val newFrontier = l1.union(l2).localCheckpoint(eager = false)
+      level += 2
+      visited = visited.union(newFrontier)
+      frontier = newFrontier.filter(col("dist") === level)
+        .select(col("src"), col("node"))
+      n = frontier.count()
+    }
+    if (n > 0) throw new IllegalStateException(
+      s"labeled BFS frontier still active after $maxIter levels — raise " +
+        s"maxIter (distances would be censored)")
     visited
   }
 
@@ -90,8 +139,11 @@ object Bfs {
           e.join(d.withColumnRenamed("node", "u"), "u")
             .select(col("v").as("node"), (col("dist") + col("w")).as("dist")))
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    // lazy checkpoint: the signature agg right below is the first action
+    // and materializes the blocks in the same job (halves the per-round
+    // job floor vs eager-then-agg)
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     // convergence signature: per-node distances are monotone
     // non-increasing and the node set only grows, so the table changed
     // iff (count, sum) changed — one tiny agg over the fresh checkpoint
@@ -116,7 +168,7 @@ object Bfs {
       // re-checkpointed; superseded rounds' blocks are released by the
       // ContextCleaner once unreachable (the dupClusters convention).
       val next = relaxed(relaxed(relaxed(relaxed(dist))))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val nextSig = signature(next)
       improved = nextSig != sig
       sig = nextSig

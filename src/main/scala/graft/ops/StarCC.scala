@@ -40,7 +40,9 @@ object StarCC {
       .select(least(col(c1), col(c2)).as("a"), greatest(col(c1), col(c2)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = true)
+      // lazy: the fingerprint agg below is the first action and
+      // materializes the blocks in its own job (no separate eager job)
+      .localCheckpoint(eager = false)
 
     // order-independent, overflow-free edge-set fingerprint (edges are
     // distinct within a round, so xor cancellation cannot occur)
@@ -69,7 +71,9 @@ object StarCC {
       val canon = out.filter(col("v") =!= col("m"))
         .select(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b"))
         .distinct()
-      if (checkpoint) canon.localCheckpoint(eager = true) else canon
+      // lazy: each round's fingerprint agg is the first action over the
+      // round's edges and materializes the checkpoint in the same job
+      if (checkpoint) canon.localCheckpoint(eager = false) else canon
     }
 
     // NB: no explicit unpersist — Dataset.unpersist does not apply to

@@ -401,8 +401,6 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     val items = t(s, dir, "lineitem")
       .filter(col("l_partkey") % 10 === 0)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    // eager: the three concurrent BFS threads below must never race on
-    // materializing a shared lazy checkpoint
     val edges0 = items.as("a").join(items.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
@@ -412,43 +410,21 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
       // each BFS level's frontier⋈edges join then reuses the stored
       // partitioning instead of re-shuffling the edge table per level
       .repartition(col("u"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val seeds = edges0.select(col("u").as("node")).distinct()
       .withColumn("h", h60(concat(lit("dp|"), col("node").cast("string"))))
       .orderBy(col("h"), col("node")).limit(3).drop("h")
-    // one BFS per seed, selected by rank — no ids ever reach the
-    // driver (the three runs are independent jobs on rank-filtered
-    // 1-row seed frames; BFS itself only ships frontier counts).
-    // The probes are INDEPENDENT traversals whose per-level jobs are
-    // tiny at any scale (eccentricity-many scheduling round-trips each),
-    // so they run on concurrent driver threads — Spark's scheduler
-    // interleaves the per-level jobs and the wall time is max(ecc)
-    // round-trips instead of sum(ecc). This is driver-side job
-    // orchestration (the documented multi-job pattern), not data
-    // collection.
-    import org.apache.spark.sql.expressions.Window
-    val ranked = seeds.withColumn("rn",
-      row_number().over(Window.orderBy(col("node"))).cast("long"))
-      .localCheckpoint(eager = true)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    val perSeed = try {
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val probes = (1 to 3).map { k =>
-        scala.concurrent.Future {
-          graft.ops.Bfs.distances(edges0,
-              ranked.filter(col("rn") === k).select(col("node")))
-            .agg(count(lit(1)).as("n_reached"), max(col("dist")).as("eccentricity"))
-            .withColumn("k", lit(k.toLong))
-        }
-      }
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(probes),
-        scala.concurrent.duration.Duration.Inf).reduce(_ unionByName _)
-    } finally pool.shutdown()
+    // the three probes run as ONE labeled multi-source BFS (src = the
+    // seed id): per level a single frontier⋈edges join advances all
+    // three traversals, so the whole probe costs max(ecc) scheduling
+    // round-trips with one job per level — no per-seed loops, no
+    // driver-side thread orchestration, no ids on the driver
+    val perSeed = graft.ops.Bfs.labeledDistances(edges0,
+        seeds.select(col("node").as("src"), col("node")))
+      .groupBy(col("src").as("seed"))
+      .agg(count(lit(1)).as("n_reached"), max(col("dist")).as("eccentricity"))
     val mx = perSeed.agg(max(col("eccentricity")).as("diameter_lower_bound"))
     perSeed
-      .join(broadcast(ranked.select(col("rn").as("k"), col("node").as("seed"))), "k")
       .crossJoin(broadcast(mx))
       .select(col("seed"), col("n_reached"), col("eccentricity"),
         col("diameter_lower_bound"))

@@ -148,4 +148,80 @@ object ScalablePrefix {
       StructField("rnk", LongType), StructField("grp_n", LongType),
       StructField("ord", org.apache.spark.sql.types.DoubleType))))
   }
+
+  /** Per-group cumulative sum of a WEIGHT column in ascending orderCol
+    * order — the two-pass answer to
+    * `sum(w).over(Window.partitionBy(group).orderBy(ord))` when the
+    * group column is LOW-cardinality (nations, segments): the window
+    * form funnels each group's whole value domain through one task,
+    * while this path range-partitions on (group, order) so every
+    * partition holds a contiguous slice and cumulative weights are
+    * assembled from per-(partition, group) subtotals — only
+    * O(partitions × groups crossing a boundary) tuples reach the
+    * driver. The weight reduction is exact int64, so the result is
+    * order-independent and bit-stable.
+    *
+    * Returns (groupCol, ord, w, cum_w, grp_total): the order value
+    * (double — callers keep it within 2^53), the row's weight, the
+    * inclusive running weight, and the group's total weight — enough
+    * for weighted quantiles (`2·cum_w >= grp_total` selects the
+    * weighted median) without any join back. orderCol must be unique
+    * within a group (callers pre-collapse onto the value domain) and
+    * all inputs non-null, enforced loudly for the same cross-engine
+    * null-placement reason as groupedRank. */
+  def groupedPrefixSum(spark: SparkSession, df: DataFrame, groupCol: String,
+      orderCol: String, weightCol: String, numPartitions: Int): DataFrame = {
+    val sorted = df
+      .select(col(groupCol).cast("string"), col(orderCol).cast("double"),
+        col(weightCol).cast("long"))
+      .repartitionByRange(numPartitions, col(groupCol), col(orderCol))
+      .sortWithinPartitions(col(groupCol), col(orderCol))
+
+    val rdd = sorted.queryExecution.toRdd.mapPartitions(
+      _.map { ir =>
+        if (ir.isNullAt(0) || ir.isNullAt(1) || ir.isNullAt(2))
+          throw new IllegalArgumentException(
+            "groupedPrefixSum requires non-null (group, order, weight) values")
+        (ir.getUTF8String(0).toString, ir.getDouble(1), ir.getLong(2))
+      },
+      preservesPartitioning = true)
+
+    // pass 1: per-(partition, group) weight subtotals — tiny, because
+    // the range partitioning keeps each group contiguous
+    val partGroupSums = rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (g, _, w) => sums.update(g, sums.getOrElse(g, 0L) + w) }
+        sums.iterator.map { case (g, w) => (pid, g, w) }
+      }
+      .collect()
+
+    // exclusive scan per group over partition order -> starting weight
+    // offsets; the final running value is each group's total
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+    val running = scala.collection.mutable.HashMap.empty[String, Long]
+    partGroupSums.sortBy(_._1).foreach { case (pid, g, w) =>
+      offsets((pid, g)) = running.getOrElse(g, 0L)
+      running(g) = running.getOrElse(g, 0L) + w
+    }
+    val totals = running.toMap
+    val offB = spark.sparkContext.broadcast(offsets.toMap)
+    val totB = spark.sparkContext.broadcast(totals)
+
+    // pass 2: narrow per-partition cumulative emit
+    val out = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val local = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { case (g, ord, w) =>
+        val c = local.getOrElse(g, offB.value((pid, g))) + w
+        local(g) = c
+        Row(g, ord, w, c, totB.value(g))
+      }
+    }
+
+    spark.createDataFrame(out, StructType(Seq(
+      StructField(groupCol, org.apache.spark.sql.types.StringType),
+      StructField("ord", org.apache.spark.sql.types.DoubleType),
+      StructField(weightCol, LongType),
+      StructField("cum_w", LongType), StructField("grp_total", LongType))))
+  }
 }

@@ -1067,12 +1067,15 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
     * the parameter-tuning audit behind every MinHash deployment (more
     * rows per band ⇒ fewer, higher-precision candidates; the sweep
     * shows exactly what each setting trades). Truth is the exact-
-    * Jaccard join (df-capped); each geometry is just a different
-    * band/sig projection of the SAME signatures — the corpus is
-    * shingled once. */
+    * Jaccard join via the LOSSLESS prefix filter (jaccardPairsPrefix:
+    * same answer as the plain candidate join, >100× fewer candidate
+    * pairs to verify); each geometry is just a different band/sig
+    * projection of the SAME signatures — the corpus is shingled
+    * once. */
   private[graft] def qLshSweep(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", k = 5, minSim = 0.5)
+    val truth = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", k = 5,
+        minSim = 0.5)
       .select(col("d1"), col("d2"))
       .localCheckpoint(eager = false)
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 5,
@@ -1825,23 +1828,26 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
       .orderBy(col("source"))
   }
 
-  /** Multinomial naive-Bayes trainer for the language label: one
-    * token-explode scan feeds (class, token) counts, per-class token
-    * totals, and the vocabulary size — all map-side-combining
-    * aggregates — and the model row is the add-1-smoothed conditional
-    * in exact ppm, `(c+1)·10⁶ div (T+|V|)`, beside the class prior.
-    * Top-5 tokens per class via a window whose input is the
-    * VOCABULARY-sized count table (|V| rows per class, independent of
-    * corpus row count), not the corpus. Class-total and vocab frames
-    * are broadcast (≤ |classes| and 1 row). */
+  /** Multinomial naive-Bayes trainer for the language label: ONE
+    * token-explode scan materializes the (class, token) count table
+    * (a localCheckpoint — |V|×|classes| rows, independent of corpus
+    * row count), and the per-class token totals and vocabulary size
+    * are derived FROM that table (Σc per class; distinct-token count)
+    * rather than re-exploding the corpus. The model row is the
+    * add-1-smoothed conditional in exact ppm,
+    * `(c+1)·10⁶ div (T+|V|)`, beside the class prior. Top-5 tokens
+    * per class via a window whose input is the vocabulary-sized count
+    * table, not the corpus. Class-total and vocab frames are
+    * broadcast (≤ |classes| and 1 row). */
   private[graft] def qNaiveBayes(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
     val toks = docs.select(col("lang"),
       explode(TextOps.tokens(col("text"))).as("token"))
     val tc = toks.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
-    val classTot = toks.groupBy(col("lang")).agg(count(lit(1)).as("t"))
-    val vocab = toks.select(col("token")).distinct().agg(count(lit(1)).as("v"))
+      .localCheckpoint()
+    val classTot = tc.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    val vocab = tc.select(col("token")).distinct().agg(count(lit(1)).as("v"))
     val priors = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("ntot"))))
       .select(col("lang"), expr("(1000000 * nd) div ntot").as("prior_ppm"))

@@ -491,25 +491,27 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
     * Swept at linger = 1/10/100 ms, each partition reports messages,
     * batches, exact mean fill ppm and worst-case fill — the numbers
     * that decide latency vs request amplification before touching a
-    * broker. Scale shape: per linger one map-side-combined aggregate
-    * onto (8 × windows) keys re-aggregated onto 8; nothing retained
-    * across rows. */
+    * broker. Scale shape: ONE scan — the linger axis is exploded
+    * inline (3× row fanout, the unified-sweep trick q_lsh_sweep
+    * uses), so a single map-side-combined aggregate lands on
+    * (3 lingers × 8 pids × windows) keys and re-aggregates onto 24;
+    * nothing retained across rows. */
   private[graft] def qProducerBatching(s: SparkSession, dir: String): DataFrame = {
-    val msgs = events(s, dir).select(
+    events(s, dir).select(
       graft.stream.ConsumerGroup.partitionOf(
         col("user_id").cast("string").cast("binary"), 8).as("pid"),
-      col("ts"))
-    Seq(1L, 10L, 100L).map { ms =>
-      msgs.select(col("pid"), expr(s"ts div ${ms * 1000000L}").as("batch"))
-        .groupBy(col("pid"), col("batch")).agg(count(lit(1)).as("fill"))
-        .groupBy(col("pid"))
-        .agg(sum(col("fill")).as("n_messages"), count(lit(1)).as("n_batches"),
-          max(col("fill")).as("max_fill"))
-        .select(lit(ms).as("linger_ms"), col("pid"), col("n_messages"),
-          col("n_batches"),
-          expr("n_messages * 1000000 div n_batches").as("avg_fill_ppm"),
-          col("max_fill"))
-    }.reduce(_ unionAll _)
+      col("ts"),
+      explode(array(lit(1L), lit(10L), lit(100L))).as("linger_ms"))
+      .groupBy(col("linger_ms"), col("pid"),
+        expr("ts div (linger_ms * 1000000)").as("batch"))
+      .agg(count(lit(1)).as("fill"))
+      .groupBy(col("linger_ms"), col("pid"))
+      .agg(sum(col("fill")).as("n_messages"), count(lit(1)).as("n_batches"),
+        max(col("fill")).as("max_fill"))
+      .select(col("linger_ms"), col("pid"), col("n_messages"),
+        col("n_batches"),
+        expr("n_messages * 1000000 div n_batches").as("avg_fill_ppm"),
+        col("max_fill"))
       .orderBy(col("linger_ms"), col("pid"))
   }
 

@@ -913,13 +913,17 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     * with a weight (here: per-nation median part price weighted by
     * quantity sold; the "half the volume sold below this price"
     * number). Shape discipline: weights first collapse onto the
-    * (nation, price) VALUE DOMAIN, the cumulative-weight window runs
-    * over that bounded domain (distinct prices, not line items), and
-    * the median is the first value whose running weight reaches half
-    * the total — integer cross-multiply `2·cum >= total`, no doubles
-    * anywhere. */
+    * (nation, price) VALUE DOMAIN, the cumulative weight runs over
+    * that bounded domain (distinct prices, not line items) through
+    * ScalablePrefix.groupedPrefixSum — the two-pass range-partitioned
+    * scan, NOT a per-nation window (25 nations would cap parallelism
+    * at 25 tasks and buffer each nation's full price domain in one of
+    * them: a scale-killer when the domain is millions of values) —
+    * and the median is the first value whose running weight reaches
+    * half the total: integer cross-multiply `2·cum_w >= grp_total`.
+    * Prices in cents stay far below 2^53, so the double order column
+    * is exact. */
   private[graft] def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val wp = t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_nationkey"))),
@@ -928,18 +932,10 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         Analytics.cents(col("l_extendedprice")).as("p"),
         col("l_quantity").cast("long").as("w"))
       .groupBy(col("nk"), col("p")).agg(sum(col("w")).as("w"))
-    // group totals as an aggregate + broadcast join, NOT a second
-    // whole-partition window: the unbounded-frame window would buffer
-    // each nation's rows again, while the aggregate partial-combines
-    // map-side and ships 25 rows
-    val totals = wp.groupBy(col("nk").as("tnk")).agg(sum(col("w")).as("tw"))
-    val cum = wp.withColumn("cw", sum(col("w")).over(
-        Window.partitionBy(col("nk")).orderBy(col("p"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
-      .join(broadcast(totals), col("nk") === col("tnk"))
-    cum.filter(col("cw") * 2 >= col("tw"))
+    graft.ops.ScalablePrefix.groupedPrefixSum(s, wp, "nk", "p", "w", 32)
+      .filter(col("cum_w") * 2 >= col("grp_total"))
       .groupBy(col("nk"))
-      .agg(min(col("p")).as("median_c"), max(col("tw")).as("total_weight"))
+      .agg(min(col("ord")).as("median_c"), max(col("grp_total")).as("total_weight"))
       .select(col("nk").cast("long").as("nationkey"),
         (col("median_c") / 100.0).as("weighted_median_price"),
         col("total_weight"))

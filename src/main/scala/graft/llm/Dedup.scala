@@ -319,16 +319,21 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
     }
     // convergence signature: the node set is fixed and labels only ever
-    // DECREASE, so the table changed iff Σlabel changed — one tiny agg
-    // over the fresh checkpoint instead of a join against the
-    // round-start table every round.
-    def signature(l: DataFrame): Long = {
-      val r = l.agg(sum(col("label"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // DECREASE, so the table changed iff its content fingerprint did —
+    // one tiny agg over the fresh checkpoint instead of a join against
+    // the round-start table every round. The fingerprint is
+    // (count, bit_xor(xxhash64(node, label))) — order-independent and
+    // OVERFLOW-FREE (a Σlabel would wrap for 60-bit h60-scale ids or
+    // throw under ANSI arithmetic; xor cannot), the StarCC
+    // edge-fingerprint convention.
+    def signature(l: DataFrame): (Long, Long) = {
+      val r = l.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(node, label))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var iter = 0
     var converged = false
-    var sig = Long.MinValue
+    var sig = (Long.MinValue, Long.MinValue)
     while (!converged && iter < maxIter) {
       // TWO propagation sweeps per materialized round: labels only ever
       // decrease, so extra sweeps between convergence checks are safe,
@@ -344,7 +349,7 @@ object Dedup {
       val nextSig = signature(next)
       converged = iter > 0 && nextSig == sig
       // round 0 has no prior signature: sig starts at a sentinel no
-      // real Σlabel can equal (labels are non-negative ids)
+      // real (count, fingerprint) can equal (counts are non-negative)
       sig = nextSig
       labels = next
       iter += 1

@@ -146,10 +146,14 @@ object Bfs {
       .localCheckpoint(eager = false)
     // convergence signature: per-node distances are monotone
     // non-increasing and the node set only grows, so the table changed
-    // iff (count, sum) changed — one tiny agg over the fresh checkpoint
-    // instead of a join against the round-start table.
+    // iff (count, fingerprint) changed — one tiny agg over the fresh
+    // checkpoint instead of a join against the round-start table. The
+    // fingerprint is bit_xor(xxhash64(node, dist)): order-independent
+    // and overflow-free (a Σdist would wrap once node ids × path
+    // weights reach int64 scale), the StarCC convention.
     def signature(d: DataFrame): (Long, Long) = {
-      val r = d.agg(count(lit(1)), sum(col("dist"))).head()
+      val r = d.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(node, dist))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var sig = signature(dist)

@@ -115,7 +115,13 @@ object ConsumerGroup {
     * exceed it — the gap is what q_rebalance_churn audits. */
   def minMoves(nPartitions: Int, prev: Map[Int, String],
       members: Seq[String]): Int = {
-    val owned = prev.values.filter(members.contains)
+    // mirror stickyAssignment's survivingOwned: ownership only counts
+    // within [0, nPartitions) so the floor and the assignor compute
+    // from the SAME partition set even if prev mentions stale ids
+    // from a since-shrunk topic
+    val owned = prev.collect {
+        case (p, m) if p < nPartitions && members.contains(m) => m
+      }
       .groupBy(identity).view.mapValues(_.size).toMap
     val cap = capacities(nPartitions, owned, members)
     nPartitions - members.map(m => math.min(owned.getOrElse(m, 0), cap(m))).sum

@@ -366,9 +366,14 @@ object OrderPipeline {
       // the winning record of the batch: max offset (offsets are unique
       // per key — the topic's total order within a partition)
       val win = rows.maxBy(_._2)
-      // a stored offset is always older than this batch's max (readers
-      // see a partition in offset order), so the batch winner decides
-      if (win._4) {
+      // a redelivered or cross-batch-reordered record can arrive in a
+      // LATER micro-batch than a higher-offset record for the same key;
+      // the compactor's rule is max offset WINS REGARDLESS OF ARRIVAL
+      // ORDER, so a batch winner older than the stored offset is stale
+      // and must not regress the key (nor re-emit anything)
+      if (latest.exists() && latest.get()._1 > win._2) {
+        Iterator.empty
+      } else if (win._4) {
         latest.clear()
         Iterator((key, win._2, 0.0, false))
       } else {

@@ -164,6 +164,24 @@ class ConsumerGroupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("minMoves and stickyAssignment agree when prev mentions stale partition ids") {
+    // a since-shrunk topic: prev owns partitions 0..9 but the group now
+    // covers only 4 — both the floor and the assignor must compute
+    // ownership from the SAME [0, nPartitions) set, so sticky still
+    // achieves exactly the floor
+    val prev = (0 until 10).map(p => p -> (if (p % 2 == 0) "a" else "b")).toMap
+    val members = Seq("a", "b")
+    val P = 4
+    val next = ConsumerGroup.stickyAssignment(P, prev, members)
+    val moved = (0 until P).count(p =>
+      prev.get(p).exists(_ != next(p)) || !prev.contains(p))
+    assert(moved === ConsumerGroup.minMoves(P, prev, members),
+      s"sticky moved $moved != floor for stale prev $prev -> $members")
+    // stale ids must not inflate capacity ranking either: member "a"
+    // owns 5 stale-inclusive but only 2 in-range, same as "b"
+    assert(ConsumerGroup.minMoves(P, prev, members) === 0)
+  }
+
   test("sticky rebalance is balanced, disjoint+total, and move-optimal") {
     val P = 8
     val chains = Seq(

@@ -428,6 +428,39 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("compacted state ignores a stale (lower-offset) record redelivered in a later batch") {
+    // The compactor's rule is max offset wins REGARDLESS of arrival
+    // order: a redelivered or cross-batch-reordered record landing in a
+    // LATER micro-batch than a higher-offset record for the same key
+    // must neither regress state nor emit anything.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(String, Long, Double, Boolean)](spark)
+      val compacted = OrderPipeline.compactedState(
+        spark, stream.toDF().toDF("key", "offset", "value", "tomb"))
+      val q = compacted.toDF("key", "offset", "value", "live").writeStream
+        .outputMode("update").format("memory").queryName("compact_stale")
+        .option("checkpointLocation", tmpDir("graft-compact-stale-ckpt")).start()
+      stream.addData(("A", 5L, 50.0, false))
+      q.processAllAvailable()
+      // batch 2: offset-3 redelivery arrives AFTER offset 5 was stored
+      stream.addData(("A", 3L, 30.0, false))
+      q.processAllAvailable()
+      // batch 3: a stale tombstone must not delete newer state either
+      stream.addData(("A", 4L, 0.0, true))
+      q.processAllAvailable()
+      // batch 4: genuinely newer record still applies
+      stream.addData(("A", 6L, 60.0, false))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("compact_stale")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toList
+      assert(rows === List(("A", 5L, 50.0, true), ("A", 6L, 60.0, true)),
+        s"stale records leaked or advance lost: $rows")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming compacted state agrees with the batch compaction rule") {
     // Replay a small changelog through the streaming processor one
     // record per micro-batch (worst case for state churn) and through

@@ -102,6 +102,67 @@ case class ToAvroDatum(child: Expression, schemaJson: String)
   override def prettyName: String = "to_avro_datum"
 }
 
+/** `to_avro_confluent(struct)` -> binary in Confluent Schema Registry
+  * wire framing: `0x00` magic + 4-byte big-endian schema id + raw
+  * datum (the public Confluent wire-format spec — what most Kafka
+  * shops actually put on the wire, vs the reference's OCF framing). */
+case class ToAvroConfluent(child: Expression, schemaJson: String, schemaId: Int)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val structType = child.dataType.asInstanceOf[StructType]
+
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = child.dataType match {
+    case _: StructType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"to_avro_confluent expects struct input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    AvroOcf.encodeConfluentRow(input.asInstanceOf[InternalRow], structType,
+      avroSchema, schemaId)
+  override protected def withNewChildInternal(newChild: Expression): ToAvroConfluent =
+    copy(child = newChild)
+  override def prettyName: String = "to_avro_confluent"
+}
+
+/** `from_avro_confluent(binary)` -> struct of the READER schema. The
+  * embedded 4-byte schema id selects the WRITER schema from the
+  * broadcast-sized id→schema map (the registry's subject history —
+  * bounded by schema versions, never by data volume), and decode
+  * resolves writer→reader per the Avro spec, so consumers keep working
+  * across producer schema evolution. Null on wrong magic, unknown id,
+  * or datum decode failure (PERMISSIVE → DLQ, like the OCF path). */
+case class FromAvroConfluent(child: Expression, readerSchemaJson: String,
+    writerSchemasById: Map[Int, String])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val readerSchema = new Schema.Parser().parse(readerSchemaJson)
+  @transient private lazy val structType = AvroOcf.sparkTypeFor(readerSchema)
+  @transient private lazy val writerSchemas: Map[Int, Schema] =
+    writerSchemasById.map { case (id, js) => id -> new Schema.Parser().parse(js) }
+
+  override def dataType: DataType = structType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"from_avro_confluent expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val id = AvroOcf.confluentSchemaId(bytes)
+    if (id < 0) return null
+    writerSchemas.get(id) match {
+      case None => null
+      case Some(writer) =>
+        try AvroOcf.decodeDatumRowResolved(bytes, 5, structType, writer, readerSchema)
+        catch { case _: Exception => null }
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): FromAvroConfluent =
+    copy(child = newChild)
+  override def prettyName: String = "from_avro_confluent"
+}
+
 object functions {
   /** Decode a binary column of single-record Avro OCF messages. */
   def from_avro_ocf(c: Column, schemaJson: String): Column =
@@ -119,6 +180,17 @@ object functions {
   def to_avro_datum(c: Column, schemaJson: String): Column =
     ColumnBridge.column(ToAvroDatum(ColumnBridge.expression(c), schemaJson))
 
+  /** Encode a struct column in Confluent wire framing (magic + id + datum). */
+  def to_avro_confluent(c: Column, schemaJson: String, schemaId: Int): Column =
+    ColumnBridge.column(ToAvroConfluent(ColumnBridge.expression(c), schemaJson, schemaId))
+
+  /** Decode Confluent-framed messages: the embedded id picks the writer
+    * schema from `writerSchemasById`; output is shaped by `readerSchemaJson`. */
+  def from_avro_confluent(c: Column, readerSchemaJson: String,
+      writerSchemasById: Map[Int, String]): Column =
+    ColumnBridge.column(FromAvroConfluent(ColumnBridge.expression(c),
+      readerSchemaJson, writerSchemasById))
+
   /** Register all four for SQL use: `from_avro_ocf(col, 'schema-json')`. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -134,5 +206,18 @@ object functions {
       "from_avro_datum", es => FromAvroDatum(es.head, lit(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction(
       "to_avro_datum", es => ToAvroDatum(es.head, lit(es(1))), "scala_udf")
+    def intLit(e: Expression): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, IntegerType) if v != null =>
+        v.asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(s"schema id must be an int literal, got $other")
+    }
+    // SQL surface covers the single-version case (id -> same schema as
+    // reader); the multi-version registry map is the Scala API's job
+    reg.createOrReplaceTempFunction(
+      "to_avro_confluent", es => ToAvroConfluent(es.head, lit(es(1)), intLit(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "from_avro_confluent",
+      es => FromAvroConfluent(es.head, lit(es(1)), Map(intLit(es(2)) -> lit(es(1)))),
+      "scala_udf")
   }
 }

@@ -73,7 +73,13 @@ object AvroOcf {
     true
   }
 
-  /** Spark type for a (possibly nullable-union) flat Avro record. */
+  /** Spark type for a (possibly nullable-union) Avro record, over the
+    * FULL Avro type lattice: nested records, arrays, maps, enums
+    * (→ string), fixed (→ binary), bytes/fixed decimal logical types
+    * (→ DecimalType), date (→ DateType), timestamp-millis/micros
+    * (→ TimestampType). Only general (non-`[null, T]`) unions remain
+    * unsupported — they have no faithful columnar shape and fail
+    * loudly here rather than silently coercing. */
   def sparkTypeFor(schema: Schema): StructType = {
     require(schema.getType == Schema.Type.RECORD, s"expected record, got $schema")
     StructType(schema.getFields.asScala.toSeq.map { f =>
@@ -87,37 +93,138 @@ object AvroOcf {
       val nonNull = s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
       require(nonNull.size == 1, s"only [null, T] unions supported: $s")
       (fieldType(nonNull.head)._1, true)
+    case Schema.Type.RECORD  => (sparkTypeFor(s), false)
+    case Schema.Type.ARRAY   =>
+      val (et, en) = fieldType(s.getElementType)
+      (ArrayType(et, containsNull = en), false)
+    case Schema.Type.MAP     =>
+      val (vt, vn) = fieldType(s.getValueType)
+      (MapType(StringType, vt, valueContainsNull = vn), false)
+    case Schema.Type.ENUM    => (StringType, false)
+    case Schema.Type.FIXED   => s.getLogicalType match {
+      case d: org.apache.avro.LogicalTypes.Decimal =>
+        (DecimalType(d.getPrecision, d.getScale), false)
+      case _ => (BinaryType, false)
+    }
     case Schema.Type.STRING  => (StringType, false)
     case Schema.Type.FLOAT   => (FloatType, false)
     case Schema.Type.DOUBLE  => (DoubleType, false)
-    case Schema.Type.INT     => (IntegerType, false)
-    case Schema.Type.LONG    => (LongType, false)
+    case Schema.Type.INT     => s.getLogicalType match {
+      case _: org.apache.avro.LogicalTypes.Date => (DateType, false)
+      case _ => (IntegerType, false)
+    }
+    case Schema.Type.LONG    => s.getLogicalType match {
+      case _: org.apache.avro.LogicalTypes.TimestampMillis |
+           _: org.apache.avro.LogicalTypes.TimestampMicros => (TimestampType, false)
+      case _: org.apache.avro.LogicalTypes.LocalTimestampMillis |
+           _: org.apache.avro.LogicalTypes.LocalTimestampMicros => (TimestampNTZType, false)
+      case _ => (LongType, false)
+    }
     case Schema.Type.BOOLEAN => (BooleanType, false)
-    case Schema.Type.BYTES   => (BinaryType, false)
+    case Schema.Type.BYTES   => s.getLogicalType match {
+      case d: org.apache.avro.LogicalTypes.Decimal =>
+        (DecimalType(d.getPrecision, d.getScale), false)
+      case _ => (BinaryType, false)
+    }
     case other => throw new IllegalArgumentException(s"unsupported avro type $other")
+  }
+
+  /** The single non-null branch of a `[null, T]` union (or the schema
+    * itself when not a union) — value converters resolve through this
+    * before dispatching on the Avro type. */
+  private def nonNullBranch(s: Schema): Schema = s.getType match {
+    case Schema.Type.UNION =>
+      val nonNull = s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
+      require(nonNull.size == 1, s"only [null, T] unions supported: $s")
+      nonNull.head
+    case _ => s
   }
 
   /** One InternalRow -> OCF bytes holding exactly one record. */
   def encodeRow(row: InternalRow, sparkType: StructType, schema: Schema): Array[Byte] =
     encodeRow(row, sparkType, schema, headerAndSync(schema))
 
+  /** Catalyst value (internal representation) -> Avro generic value,
+    * recursively over the full supported lattice. `dt` and `s0` walk in
+    * lockstep (the caller derived `dt` from the schema via
+    * [[sparkTypeFor]], or supplied a struct that matches it). */
+  private def toAvroValue(v: Any, dt: DataType, s0: Schema): AnyRef = {
+    if (v == null) return null
+    val s = nonNullBranch(s0)
+    dt match {
+      case StringType => s.getType match {
+        case Schema.Type.ENUM => new GenericData.EnumSymbol(s, v.toString)
+        case _ => v.toString // UTF8String
+      }
+      case FloatType | DoubleType | BooleanType | IntegerType | LongType =>
+        v.asInstanceOf[AnyRef]
+      case DateType => v.asInstanceOf[AnyRef] // days since epoch, int both sides
+      case TimestampType | TimestampNTZType =>
+        val micros = v.asInstanceOf[java.lang.Long].longValue()
+        s.getLogicalType match {
+          case _: org.apache.avro.LogicalTypes.TimestampMillis |
+               _: org.apache.avro.LogicalTypes.LocalTimestampMillis =>
+            java.lang.Long.valueOf(Math.floorDiv(micros, 1000L))
+          case _ => java.lang.Long.valueOf(micros) // (local-)timestamp-micros
+        }
+      case BinaryType => s.getType match {
+        case Schema.Type.FIXED => new GenericData.Fixed(s, v.asInstanceOf[Array[Byte]])
+        case _ => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      }
+      case d: DecimalType =>
+        val unscaled = v.asInstanceOf[Decimal].toJavaBigDecimal
+          .setScale(d.scale).unscaledValue().toByteArray
+        s.getType match {
+          case Schema.Type.FIXED =>
+            // sign-extend to the fixed width (two's complement big-endian)
+            val size = s.getFixedSize
+            require(unscaled.length <= size,
+              s"decimal unscaled value needs ${unscaled.length} bytes, fixed($size) too small")
+            val padded = new Array[Byte](size)
+            if (unscaled(0) < 0) java.util.Arrays.fill(padded, -1: Byte)
+            System.arraycopy(unscaled, 0, padded, size - unscaled.length, unscaled.length)
+            new GenericData.Fixed(s, padded)
+          case _ => java.nio.ByteBuffer.wrap(unscaled)
+        }
+      case st: StructType =>
+        toRecord(v.asInstanceOf[InternalRow], st, s)
+      case at: ArrayType =>
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val n = arr.numElements()
+        val out = new java.util.ArrayList[AnyRef](n)
+        var i = 0
+        while (i < n) {
+          val ev = if (arr.isNullAt(i)) null else arr.get(i, at.elementType)
+          out.add(toAvroValue(ev, at.elementType, s.getElementType))
+          i += 1
+        }
+        out
+      case mt: MapType =>
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val ks = m.keyArray(); val vs = m.valueArray()
+        val n = m.numElements()
+        val out = new java.util.LinkedHashMap[String, AnyRef](n * 2)
+        var i = 0
+        while (i < n) {
+          val mv = if (vs.isNullAt(i)) null else vs.get(i, mt.valueType)
+          out.put(ks.getUTF8String(i).toString,
+            toAvroValue(mv, mt.valueType, s.getValueType))
+          i += 1
+        }
+        out
+      case other => throw new IllegalArgumentException(s"unsupported $other")
+    }
+  }
+
   private def toRecord(row: InternalRow, sparkType: StructType, schema: Schema): GenericRecord = {
     val rec = new GenericData.Record(schema)
+    val fields = schema.getFields
     var i = 0
     while (i < sparkType.length) {
       val field = sparkType(i)
       val v =
         if (row.isNullAt(i)) null
-        else field.dataType match {
-          case StringType => row.getUTF8String(i).toString
-          case FloatType  => java.lang.Float.valueOf(row.getFloat(i))
-          case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
-          case IntegerType => java.lang.Integer.valueOf(row.getInt(i))
-          case LongType   => java.lang.Long.valueOf(row.getLong(i))
-          case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
-          case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
-          case other => throw new IllegalArgumentException(s"unsupported $other")
-        }
+        else toAvroValue(row.get(i, field.dataType), field.dataType, fields.get(i).schema())
       rec.put(i, v)
       i += 1
     }
@@ -145,8 +252,46 @@ object AvroOcf {
     val dec = org.apache.avro.io.DecoderFactory.get()
       .binaryDecoder(bytes, 0, bytes.length, null)
     val rec = new GenericDatumReader[GenericRecord](readerSchema).read(null, dec)
-    recordToRow(rec, sparkType)
+    recordToRow(rec, sparkType, readerSchema)
   }
+
+  /** Datum bytes at an offset, resolved from a WRITER schema through a
+    * READER schema (Avro spec schema resolution — the Confluent wire
+    * format's decode path, where the writer schema comes from the
+    * registry id embedded in the frame). */
+  def decodeDatumRowResolved(bytes: Array[Byte], offset: Int, sparkType: StructType,
+      writerSchema: Schema, readerSchema: Schema): InternalRow = {
+    val dec = org.apache.avro.io.DecoderFactory.get()
+      .binaryDecoder(bytes, offset, bytes.length - offset, null)
+    val rec = new GenericDatumReader[GenericRecord](writerSchema, readerSchema)
+      .read(null, dec)
+    recordToRow(rec, sparkType, readerSchema)
+  }
+
+  /** Confluent Schema Registry wire format: `0x00` magic byte, 4-byte
+    * big-endian schema id, then the raw binary datum — the framing the
+    * dominant real Kafka deployment uses (public Confluent wire-format
+    * spec). The payload after the 5-byte prefix is byte-identical to
+    * [[encodeDatumRow]]'s output. */
+  def encodeConfluentRow(row: InternalRow, sparkType: StructType, schema: Schema,
+      schemaId: Int): Array[Byte] = {
+    val datum = encodeDatumRow(row, sparkType, schema)
+    val out = new Array[Byte](5 + datum.length)
+    out(0) = 0 // magic
+    out(1) = (schemaId >>> 24).toByte
+    out(2) = (schemaId >>> 16).toByte
+    out(3) = (schemaId >>> 8).toByte
+    out(4) = schemaId.toByte
+    System.arraycopy(datum, 0, out, 5, datum.length)
+    out
+  }
+
+  /** The schema id of a Confluent-framed message, or -1 when the frame
+    * is malformed (too short / wrong magic byte). */
+  def confluentSchemaId(bytes: Array[Byte]): Int =
+    if (bytes.length < 5 || bytes(0) != 0) -1
+    else ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+      ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
 
   def encodeRow(row: InternalRow, sparkType: StructType, schema: Schema,
       hs: (Array[Byte], Array[Byte])): Array[Byte] = {
@@ -192,7 +337,7 @@ object AvroOcf {
       dec.readLong() // block byte size
       if (count >= 1) {
         val rec = new GenericDatumReader[GenericRecord](readerSchema).read(null, dec)
-        return recordToRow(rec, sparkType)
+        return recordToRow(rec, sparkType, readerSchema)
       }
     }
     val in = new DataFileStream[GenericRecord](
@@ -200,30 +345,76 @@ object AvroOcf {
     try {
       if (!in.hasNext) throw new IllegalArgumentException("empty avro container")
       val rec = in.next()
-      recordToRow(rec, sparkType)
+      recordToRow(rec, sparkType, readerSchema)
     } finally in.close()
   }
 
-  private def recordToRow(rec: GenericRecord, sparkType: StructType): InternalRow = {
-      val vals = new Array[Any](sparkType.length)
-      var i = 0
-      while (i < sparkType.length) {
-        val v = rec.get(i)
-        vals(i) = v match {
-          case null => null
-          case u: Utf8 => UTF8String.fromString(u.toString)
-          case s: String => UTF8String.fromString(s)
-          case f: java.lang.Float => f.floatValue()
-          case d: java.lang.Double => d.doubleValue()
-          case n: java.lang.Integer => n.intValue()
-          case l: java.lang.Long => l.longValue()
-          case b: java.lang.Boolean => b.booleanValue()
+  /** Avro generic value -> Catalyst internal value, recursively. Map
+    * keys are SORTED lexicographically on decode so the columnar map
+    * is a deterministic function of the payload (Avro decodes maps
+    * into a HashMap whose iteration order is an implementation
+    * detail; a hash-compare oracle needs bit-stable output). */
+  private def fromAvroValue(v: Any, dt: DataType, s0: Schema): Any = {
+    if (v == null) return null
+    val s = nonNullBranch(s0)
+    dt match {
+      case StringType => UTF8String.fromString(v.toString) // Utf8 | String | EnumSymbol
+      case FloatType  => v.asInstanceOf[java.lang.Float].floatValue()
+      case DoubleType => v.asInstanceOf[java.lang.Double].doubleValue()
+      case IntegerType | DateType => v.asInstanceOf[java.lang.Integer].intValue()
+      case LongType   => v.asInstanceOf[java.lang.Long].longValue()
+      case TimestampType | TimestampNTZType =>
+        val l = v.asInstanceOf[java.lang.Long].longValue()
+        s.getLogicalType match {
+          case _: org.apache.avro.LogicalTypes.TimestampMillis |
+               _: org.apache.avro.LogicalTypes.LocalTimestampMillis =>
+            Math.multiplyExact(l, 1000L)
+          case _ => l
+        }
+      case BooleanType => v.asInstanceOf[java.lang.Boolean].booleanValue()
+      case BinaryType => v match {
+        case bb: java.nio.ByteBuffer =>
+          val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+        case gf: org.apache.avro.generic.GenericFixed => gf.bytes().clone()
+        case other => throw new IllegalArgumentException(s"unsupported binary value $other")
+      }
+      case d: DecimalType =>
+        val unscaled = v match {
           case bb: java.nio.ByteBuffer =>
             val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-          case other => throw new IllegalArgumentException(s"unsupported value $other")
+          case gf: org.apache.avro.generic.GenericFixed => gf.bytes()
+          case other => throw new IllegalArgumentException(s"unsupported decimal value $other")
         }
-        i += 1
-      }
-      new GenericInternalRow(vals)
+        Decimal(new java.math.BigDecimal(
+          new java.math.BigInteger(unscaled), d.scale), d.precision, d.scale)
+      case st: StructType => recordToRow(v.asInstanceOf[GenericRecord], st, s)
+      case at: ArrayType =>
+        val it = v.asInstanceOf[java.lang.Iterable[_]].iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+        while (it.hasNext)
+          buf += fromAvroValue(it.next(), at.elementType, s.getElementType)
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+      case mt: MapType =>
+        val jm = v.asInstanceOf[java.util.Map[_, _]]
+        val entries = jm.entrySet().asScala.toArray
+          .map(e => (e.getKey.toString, e.getValue))
+          .sortBy(_._1)
+        org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          entries.map(e => UTF8String.fromString(e._1): Any),
+          entries.map(e => fromAvroValue(e._2, mt.valueType, s.getValueType)))
+      case other => throw new IllegalArgumentException(s"unsupported $other")
+    }
+  }
+
+  private def recordToRow(rec: GenericRecord, sparkType: StructType,
+      schema: Schema): InternalRow = {
+    val vals = new Array[Any](sparkType.length)
+    val fields = schema.getFields
+    var i = 0
+    while (i < sparkType.length) {
+      vals(i) = fromAvroValue(rec.get(i), sparkType(i).dataType, fields.get(i).schema())
+      i += 1
+    }
+    new GenericInternalRow(vals)
   }
 }

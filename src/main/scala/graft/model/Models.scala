@@ -49,6 +49,32 @@ object Schemas {
       |{"name":"product","type":"string"},
       |{"name":"price","type":"float"}]}""".stripMargin.replace("\n", "")
 
+  /** Enriched-order Avro schema exercising the FULL type lattice the
+    * codec supports (the shape a real-world payload takes once it
+    * outgrows order.avsc's three primitives): nested record, array of
+    * records, array of strings, string-keyed map, enum, fixed, bytes
+    * decimal logical type, date, timestamp-micros and -millis, and a
+    * `[null, T]` union. */
+  val richOrderAvroJson: String =
+    """{"type":"record","namespace":"com.assignment","name":"RichOrder","fields":[
+      |{"name":"id","type":"string"},
+      |{"name":"status","type":{"type":"enum","name":"Status","symbols":["O","F","P"]}},
+      |{"name":"amount","type":{"type":"bytes","logicalType":"decimal","precision":12,"scale":2}},
+      |{"name":"created","type":{"type":"long","logicalType":"timestamp-micros"}},
+      |{"name":"updated","type":{"type":"long","logicalType":"timestamp-millis"}},
+      |{"name":"day","type":{"type":"int","logicalType":"date"}},
+      |{"name":"checksum","type":{"type":"fixed","name":"Chk","size":4}},
+      |{"name":"tags","type":{"type":"array","items":"string"}},
+      |{"name":"attrs","type":{"type":"map","values":"long"}},
+      |{"name":"ship","type":{"type":"record","name":"Addr","fields":[
+      |{"name":"city","type":"string"},
+      |{"name":"zip","type":["null","string"],"default":null}]}},
+      |{"name":"lines","type":{"type":"array","items":{"type":"record","name":"Line","fields":[
+      |{"name":"sku","type":"string"},
+      |{"name":"n","type":"long"}]}}},
+      |{"name":"note","type":["null","string"],"default":null}]}"""
+      .stripMargin.replace("\n", "")
+
   /** Envelope schema (the Kafka source shape, SURVEY.md §1.2). */
   val envelope: StructType = StructType(Seq(
     StructField("key", BinaryType),

@@ -174,6 +174,108 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
       .orderBy(col("order_key"))
   }
 
+  /** FULL-lattice codec round-trip (the generalization past order.avsc's
+    * three primitives that any real payload needs): an enriched order —
+    * nested record, array of records, array of strings, string-keyed
+    * map, enum, fixed(4), bytes-decimal(12,2), date, timestamp-micros
+    * AND -millis, and a `[null, T]` union — is encoded to a
+    * single-record OCF and decoded back, and every leaf is projected
+    * out so the oracle can state the identity symbolically (decimal
+    * compared in exact cents, timestamps as epoch micros/millis, fixed
+    * as hex, the map via key lookup — nothing order-ambiguous crosses
+    * the engine boundary). Per-row codec work only; no shuffle beyond
+    * the output sort. */
+  private[graft] def qAvroNested(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val enc = o.select(col("o_orderkey"),
+      struct(
+        col("o_orderkey").cast("string").as("id"),
+        col("o_orderstatus").as("status"),
+        (Analytics.cents(col("o_totalprice")).cast("decimal(14,0)") / 100)
+          .cast("decimal(12,2)").as("amount"),
+        col("o_orderdate").as("created"),
+        col("o_orderdate").as("updated"),
+        col("o_orderdate").cast("date").as("day"),
+        unhex(substring(md5(col("o_orderkey").cast("string")), 1, 8)).as("checksum"),
+        split(col("o_orderpriority"), "-").as("tags"),
+        map(lit("cust"), col("o_custkey"),
+          lit("bucket"), col("o_orderkey") % 100).as("attrs"),
+        struct(col("o_orderpriority").as("city"),
+          when(col("o_orderkey") % 3 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")).as("zip")).as("ship"),
+        array(
+          struct(col("o_orderstatus").as("sku"), (col("o_orderkey") % 5).as("n")),
+          struct(col("o_orderpriority").as("sku"), (col("o_orderkey") % 7).as("n")))
+          .as("lines"),
+        when(col("o_orderkey") % 4 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("note")).as("r"))
+    enc.select(col("o_orderkey").as("order_key"),
+        from_avro_ocf(to_avro_ocf(col("r"), Schemas.richOrderAvroJson),
+          Schemas.richOrderAvroJson).as("d"))
+      .select(col("order_key"),
+        col("d.id").as("id"),
+        col("d.status").as("status"),
+        (col("d.amount") * 100).cast("long").as("amount_c"),
+        unix_micros(col("d.created")).as("created_us"),
+        unix_millis(col("d.updated")).as("updated_ms"),
+        epochDay(col("d.day")).as("day_ed"),
+        hex(col("d.checksum")).as("checksum_hex"),
+        array_join(col("d.tags"), ",").as("tags_s"),
+        col("d.attrs")(lit("cust")).as("cust"),
+        col("d.attrs")(lit("bucket")).as("bucket"),
+        col("d.ship.city").as("city"),
+        col("d.ship.zip").as("zip"),
+        element_at(col("d.lines"), 1)("n").as("n1"),
+        element_at(col("d.lines"), 2)("sku").as("sku2"),
+        col("d.note").as("note"))
+      .orderBy(col("order_key"))
+  }
+
+  /** Confluent Schema Registry wire framing (magic 0x00 + 4-byte BE
+    * schema id + raw datum — the framing most real Kafka deployments
+    * use, vs the reference's OCF): a two-version subject history in one
+    * topic. Even keys are written with the V1 writer (id 1:
+    * orderId/product/price), odd keys with the V2 writer (id 2: adds
+    * `currency`, written as "EUR"); ONE reader (V2) decodes both — the
+    * embedded id selects the writer schema from the registry map and
+    * Avro resolution fills V1's missing currency from the reader
+    * default ("USD"). The oracle derives the currency split from the
+    * key parity and PROVES the framing arithmetic symbolically:
+    * framed_len = 5-byte prefix + the datum bytes (1-byte varint + id,
+    * 1-byte varint + product, 4-byte float, and for V2 writes
+    * 1-byte varint + 'EUR'). */
+  private[graft] def qAvroConfluent(s: SparkSession, dir: String): DataFrame = {
+    import graft.avro.functions.{from_avro_confluent, to_avro_confluent}
+    val v2 =
+      """{"type":"record","namespace":"com.assignment","name":"Order","fields":[
+        |{"name":"orderId","type":"string"},
+        |{"name":"product","type":"string"},
+        |{"name":"price","type":"float"},
+        |{"name":"currency","type":"string","default":"USD"}]}"""
+        .stripMargin.replace("\n", "")
+    ordersAsStream(s, dir)
+      .select(col("order_key"), col("orderId"), col("product"),
+        col("price").cast("float").as("price"))
+      .select(col("order_key"),
+        when(col("order_key") % 2 === 0,
+          to_avro_confluent(struct(col("orderId"), col("product"), col("price")),
+            Schemas.orderAvroJson, 1))
+          .otherwise(
+            to_avro_confluent(struct(col("orderId"), col("product"), col("price"),
+              lit("EUR").as("currency")), v2, 2)).as("b"))
+      .select(col("order_key"),
+        octet_length(col("b")).cast("long").as("framed_len"),
+        from_avro_confluent(col("b"), v2,
+          Map(1 -> Schemas.orderAvroJson, 2 -> v2)).as("d"))
+      .select(col("order_key"),
+        col("d.orderId").as("order_id"),
+        col("d.product").as("product"),
+        col("d.price").cast("double").as("price"),
+        col("d.currency").as("currency"),
+        col("framed_len"))
+      .orderBy(col("order_key"))
+  }
+
   // ---- analytics surface (SURVEY.md §2.5): joins, windows, rollup,
   // ---- set ops, distinct aggs, event-time buckets, as-of lookup ----
 
@@ -633,6 +735,8 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
     "q_avro_roundtrip" -> (qAvroRoundtrip _),
     "q_avro_evolution" -> (qAvroEvolution _),
     "q_avro_datum_roundtrip" -> (qAvroDatumRoundtrip _),
+    "q_avro_nested" -> (qAvroNested _),
+    "q_avro_confluent" -> (qAvroConfluent _),
     "q_decode_errors" -> (qDecodeErrors _),
     "q_order_gen" -> (qOrderGen _),
     "q_try_cast" -> (qTryCast _),
@@ -958,17 +1062,38 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
          |       CAST(CAST(price AS REAL) AS DOUBLE) AS price,
          |       'USD' AS currency
          |FROM stream ORDER BY order_key""".stripMargin,
-    "q_avro_evolution" ->
-      s"""$routedSql
-         |SELECT order_key, order_id,
-         |       CAST(CAST(price AS REAL) AS DOUBLE) AS price,
-         |       'USD' AS currency
-         |FROM stream ORDER BY order_key""".stripMargin,
     "q_avro_datum_roundtrip" ->
       s"""$routedSql
          |SELECT order_key, order_id, product,
          |       CAST(CAST(price AS REAL) AS DOUBLE) AS price,
          |       CAST(length(order_id) + length(product) + 6 AS BIGINT) AS datum_len
+         |FROM stream ORDER BY order_key""".stripMargin,
+    "q_avro_nested" ->
+      """SELECT o_orderkey AS order_key,
+        |       CAST(o_orderkey AS VARCHAR) AS id,
+        |       o_orderstatus AS status,
+        |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS amount_c,
+        |       epoch_us(o_orderdate) AS created_us,
+        |       epoch_ms(o_orderdate) AS updated_ms,
+        |       CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_ed,
+        |       upper(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS checksum_hex,
+        |       replace(o_orderpriority, '-', ',') AS tags_s,
+        |       o_custkey AS cust,
+        |       o_orderkey % 100 AS bucket,
+        |       o_orderpriority AS city,
+        |       CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS zip,
+        |       o_orderkey % 5 AS n1,
+        |       o_orderpriority AS sku2,
+        |       CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_orderstatus END AS note
+        |FROM orders ORDER BY order_key""".stripMargin,
+    "q_avro_confluent" ->
+      s"""$routedSql
+         |SELECT order_key, order_id, product,
+         |       CAST(CAST(price AS REAL) AS DOUBLE) AS price,
+         |       CASE WHEN order_key % 2 = 0 THEN 'USD' ELSE 'EUR' END AS currency,
+         |       CAST(length(order_id) + length(product) + 11
+         |            + CASE WHEN order_key % 2 = 0 THEN 0 ELSE 4 END
+         |            AS BIGINT) AS framed_len
          |FROM stream ORDER BY order_key""".stripMargin,
     "q_decode_errors" ->
       """SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'decode_failure'

@@ -6,6 +6,20 @@ import org.apache.spark.sql.SparkSession
   * quality (pushdown, pruning, broadcast, codegen spans) is reviewable.
   * Usage: runMain graft.Explain [queryName ...]  (default: a survey set) */
 object Explain {
+
+  /** Per-query bench budget at sf0.1 on local[32]: advisory flag, and
+    * the hard line past which `--audit` FAILS the build. */
+  val BudgetSecs = 2.0
+  val HardBudgetSecs = 2.5
+
+  /** Queries allowed past the hard budget: inherently iterative
+    * operators whose wall time is the per-round JOB FLOOR at bench
+    * scale, not a scale defect — each is backed by a measured
+    * `ScaleProbe --floors` run (numbers recorded in BASELINE.md §perf)
+    * showing sub-linear growth at 10× synthetic rows. A new query must
+    * NOT be added here without a probe entry. */
+  val FloorJustified: Set[String] =
+    Set("q_sssp", "q_cc_star", "q_dup_clusters", "q_diameter_probe")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -37,9 +51,16 @@ object Explain {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       }
+      // the doc-count single source of truth: SURVEY/BASELINE/README/
+      // QUERIES.md counts are paste-verified against this by
+      // DocCountSpec — regenerate them from here, never hand-edit
+      println(s"queries: ${SparkEntry.queries.size}")
       if (benchSecs.nonEmpty)
-        println(s"bench column: target/bench_full.json (${benchSecs.size} queries); budget 2.0 s/query")
+        println(s"bench column: target/bench_full.json (${benchSecs.size} queries); " +
+          s"budget $BudgetSecs s/query advisory, $HardBudgetSecs s HARD " +
+          s"(exempt iteration floors: ${FloorJustified.toSeq.sorted.mkString(", ")})")
       var slow = 0
+      val hardOffenders = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       println(f"${"query"}%-26s ${"hashEx"}%6s ${"sorts"}%5s ${"bcast"}%5s ${"pushdown"}%8s ${"wscg"}%4s ${"secs"}%6s  notes")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
         try {
@@ -56,8 +77,10 @@ object Explain {
           // executed plans print codegen stages as "*(n)" markers
           val wscg = "\\*\\(\\d+\\)".r.findAllIn(plan).toSet.size
           val secs = benchSecs.get(n)
-          val isSlow = secs.exists(t => math.abs(t) > 2.0)
+          val isSlow = secs.exists(t => math.abs(t) > BudgetSecs)
           if (isSlow) slow += 1
+          secs.filter(t => math.abs(t) > HardBudgetSecs && !FloorJustified(n))
+            .foreach(t => hardOffenders += ((n, t)))
           val notes = Seq(
             if (plan.contains("WindowGroupLimit")) Some("wgl") else None,
             if (plan.contains("TakeOrderedAndProject")) Some("topk") else None,
@@ -69,8 +92,20 @@ object Explain {
         } catch { case e: Throwable => println(f"$n%-26s ERROR ${e.toString.take(80)}") }
       }
       if (benchSecs.nonEmpty)
-        println(s"bench-tail: $slow queries over the 2.0 s budget" +
+        println(s"bench-tail: $slow queries over the $BudgetSecs s budget" +
           (if (slow > 0) " — SLOW rows above need a plan or algorithm fix" else ""))
+      if (hardOffenders.nonEmpty) {
+        spark.stop()
+        // the FAILING gate (round-5 advice #7): an over-hard-budget
+        // query that is not a probe-justified iteration floor breaks
+        // the audit run loudly instead of scrolling past as a flag
+        throw new IllegalStateException(
+          s"bench budget gate FAILED: ${hardOffenders.size} queries over " +
+            s"$HardBudgetSecs s and not floor-justified: " +
+            hardOffenders.map { case (n, t) => f"$n=$t%.2fs" }.mkString(", ") +
+            " — fix the plan, or (only with a ScaleProbe --floors entry) " +
+            "add to Explain.FloorJustified")
+      }
     } else {
       val names = if (args.nonEmpty) args.toSeq
         else Seq("q1_pricing_summary", "q_join_revenue_nation", "q_semi_join",

@@ -10,9 +10,93 @@ import graft.sources.OrderGen
   * (generated orders, no testdata dependency) and report wall times —
   * the local stand-in for "would this hold at 100 TB": everything here
   * must scale linearly with rows and shuffle only fixed-size state.
-  * Usage: runMain graft.ScaleProbe [rows] */
+  * Usage: runMain graft.ScaleProbe [rows]
+  *      | runMain graft.ScaleProbe --floors [edges]
+  *
+  * `--floors` backs [[Explain.FloorJustified]]: it runs each inherently
+  * iterative kernel (Bellman-Ford SSSP, min-label dup clustering,
+  * star-contraction CC, multi-seed BFS diameter probes) at 1× and 10×
+  * synthetic edges on a CONSTANT-diameter random graph and prints the
+  * wall-time growth ratio. A ratio well under 10 is the measured proof
+  * that those queries' bench seconds are per-round JOB FLOORS (fixed
+  * count of Spark jobs), not data-scaling costs — the numbers are
+  * recorded next to the retained SLOW rows in BASELINE.md. */
 object ScaleProbe {
+
+  private def floorsMode(spark: SparkSession, baseEdges: Long): Unit = {
+    import spark.implicits._
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // random multigraph with |V| = edges/4: expected degree ~8, so the
+    // diameter (hence round count) is O(log V) and nearly constant
+    // across the 10× step — exactly the iteration-floor regime the
+    // bench queries live in
+    def edges(n: Long) = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(n / 4)).as("u"),
+        pmod(xxhash64(col("id"), lit(2)), lit(n / 4)).as("v"))
+      .filter(col("u") =!= col("v"))
+    def bidir(e: org.apache.spark.sql.DataFrame) =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+    val kernels: Seq[(String, Long => Unit)] = Seq(
+      ("sssp (Bellman-Ford)", n => {
+        val e = bidir(edges(n)).withColumn("w",
+          pmod(xxhash64(col("u"), col("v")), lit(100)) + 1)
+        graft.ops.Bfs.weightedDistances(e,
+          spark.range(1).select(col("id").as("node")), maxIter = 30)
+          .agg(count(lit(1))).collect()
+      }),
+      ("dup_clusters (min-label)", n => {
+        // pair list shaped like a dedup candidate set: same graph, d1<d2
+        val p = edges(n).select(least(col("u"), col("v")).as("d1"),
+            greatest(col("u"), col("v")).as("d2"))
+          .filter(col("d1") =!= col("d2"))
+        graft.llm.Dedup.dupClusters(p, "d1", "d2", maxIter = 30)
+          .agg(count(lit(1))).collect()
+      }),
+      ("cc_star (star contraction)", n => {
+        val (labels, _) = graft.ops.StarCC.labels(edges(n), "u", "v")
+        labels.agg(count(lit(1))).collect()
+      }),
+      ("diameter_probe (3-seed BFS)", n => {
+        val e = bidir(edges(n)).localCheckpoint(eager = true)
+        val seeds = Seq(0L, 1L, 2L)
+        // same concurrent-probe structure as q_diameter_probe
+        val threads = seeds.map { s => new Thread(() => {
+          graft.ops.Bfs.distances(e,
+            spark.range(1).select((col("id") + s).as("node")), maxIter = 30)
+            .agg(count(lit(1))).collect()
+        }) }
+        threads.foreach(_.start()); threads.foreach(_.join())
+      }))
+
+    println(f"[floors] base=$baseEdges edges vs ${baseEdges * 10} (10x); " +
+      "ratio << 10 = job-floor-dominated (iteration count fixed by the log-diameter graph)")
+    kernels.foreach { case (name, run) =>
+      run(math.max(1000, baseEdges / 10)) // JVM/codegen warmup at tiny size
+      val t1 = timed(run(baseEdges))
+      val t10 = timed(run(baseEdges * 10))
+      println(f"[floors] $name%-28s 1x=$t1%7.2f s  10x=$t10%7.2f s  growth=${t10 / t1}%5.2f x")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--floors")) {
+      val edges = args.drop(1).headOption.map(_.toLong).getOrElse(200000L)
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      floorsMode(spark, edges)
+      spark.stop()
+      return
+    }
     val rows = if (args.nonEmpty) args(0).toLong else 5000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -206,6 +206,99 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Array("a", "b"))
   }
 
+  test("mid-batch kill + replay leaves no duplicate DLQ provenance triple (exactly-once audit)") {
+    // The at-least-once window: the fan-out's sink writes land but the
+    // checkpoint COMMIT does not (kill between them). Simulated with
+    // the real machinery — run batch 0 to completion, delete its commit
+    // marker, restart: Spark replays batch 0 with the SAME batch id,
+    // and the batch-dir overwrite discipline must leave the DLQ with
+    // exactly one record per (original_topic, original_partition,
+    // original_offset) — the F1 property across restart.
+    val out = tmpDir("graft-eo-out")
+    val ckpt = tmpDir("graft-eo-ckpt")
+    val stream = MemoryStream[Envelope](spark)
+    stream.addData(
+      envelope(0, "s1", 200.0f),   // success
+      envelope(1, "p1", 2000.0f),  // permanent -> DLQ
+      envelope(2, "p2", 1500.0f))  // permanent -> DLQ
+    val q1 = OrderPipeline.start(OrderPipeline.process(stream.toDF()), out, ckpt)
+    q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+    assert(spark.read.parquet(s"$out/dlq").count() === 2)
+    // kill-after-sink-write, before-commit: erase batch 0's commit
+    // marker (and its Hadoop checksum shadow — a stale .crc makes the
+    // local FS reject the replay's rewrite as a concurrent writer)
+    val commit0 = new java.io.File(s"$ckpt/commits/0")
+    assert(commit0.exists(), "expected commit marker for batch 0")
+    assert(commit0.delete())
+    val crc0 = new java.io.File(s"$ckpt/commits/.0.crc")
+    if (crc0.exists()) assert(crc0.delete())
+    // restart -> batch 0 REPLAYS (same id, same input)
+    val q2 = OrderPipeline.start(OrderPipeline.process(stream.toDF()), out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val dlq = spark.read.parquet(s"$out/dlq")
+    val prov = dlq.select(explode($"headers").as("h"))
+      .select($"h.key".as("k"), decode($"h.value", "UTF-8").as("v"))
+    // reconstruct the provenance triple per record: no triple may repeat
+    val triples = dlq
+      .select(expr("filter(headers, h -> h.key = 'original_topic')[0].value").as("t"),
+        expr("filter(headers, h -> h.key = 'original_partition')[0].value").as("p"),
+        expr("filter(headers, h -> h.key = 'original_offset')[0].value").as("o"))
+      .select(decode($"t", "UTF-8"), decode($"p", "UTF-8"), decode($"o", "UTF-8"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(triples.length === 2, s"replay duplicated DLQ records: ${triples.mkString(", ")}")
+    assert(triples.distinct.length === triples.length,
+      s"duplicate provenance triple after replay: ${triples.mkString(", ")}")
+    assert(triples.map(_._3).sorted === Array("1", "2"))
+    assert(prov.filter($"k" === "original_topic").select($"v").as[String]
+      .collect().forall(_ == Schemas.OrdersTopic))
+    // success side stayed exactly-once too
+    assert(spark.read.parquet(s"$out/success").count() === 1)
+  }
+
+  test("a row later than the watermark horizon is DROPPED from event-time counts") {
+    // q_watermark_sweep prices the lateness knob in batch; this pins
+    // the streaming semantics it models: once the watermark passed a
+    // window's end, a late row for that window is discarded — it
+    // neither reopens the window nor perturbs emitted counts, and the
+    // engine's own numRowsDroppedByWatermark metric records the drop.
+    val stream = MemoryStream[Envelope](spark)
+    val agg = OrderPipeline.eventTimeCounts(
+      OrderPipeline.process(stream.toDF()), "10 minutes", "5 minutes")
+    // APPEND mode: a window only emits once the watermark passes its
+    // end, so emitted rows are FINAL — the right mode to observe drops
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_drop")
+      .option("checkpointLocation", tmpDir("graft-wmdrop-ckpt")).start()
+    // batch 1: two rows in the [1700000000000, +10m) window
+    stream.addData(envelope(0, "a", 100.0f), envelope(1, "b", 100.0f))
+    q.processAllAvailable()
+    // batch 2: an event 1 hour ahead pushes the watermark (55 min past
+    // the first window's end) and finalizes+emits the first window
+    stream.addData(envelope(2, "far", 100.0f)
+      .copy(timestamp = new Timestamp(1700000000000L + 3600000L)))
+    q.processAllAvailable()
+    val emitted = spark.table("wm_drop")
+      .select($"window_start", $"n").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq
+    assert(emitted === Seq((1699999800000L, 2L)),
+      s"first window should have emitted finally: $emitted")
+    // batch 3: a LATE row for the long-closed first window
+    stream.addData(envelope(3, "late", 100.0f)
+      .copy(timestamp = new Timestamp(1700000000000L + 1000L)))
+    q.processAllAvailable()
+    val dropped = q.lastProgress.stateOperators
+      .map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    // the engine counted the drop...
+    assert(dropped === 1L, s"expected 1 watermark-dropped row, got $dropped")
+    // ...and the emitted result is untouched (no reopened window, no
+    // count change)
+    val after = spark.table("wm_drop")
+      .select($"window_start", $"n").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq
+    assert(after === emitted, s"late row perturbed finalized output: $after")
+  }
+
   test("streaming running aggregate equals batch aggregate over successes") {
     val stream = MemoryStream[Envelope](spark)
     stream.addData(envelope(0, "a", 100.0f), envelope(1, "b", 200.0f),

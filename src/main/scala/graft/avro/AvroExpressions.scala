@@ -163,6 +163,72 @@ case class FromAvroConfluent(child: Expression, readerSchemaJson: String,
   override def prettyName: String = "from_avro_confluent"
 }
 
+/** `avro_can_read(writer_json, reader_json)` -> boolean: Avro spec
+  * schema-resolution compatibility ([[SchemaCompat.canRead]]) as a
+  * row-level predicate — the shape a registry-dump audit needs
+  * (subjects × versions is a real table; each check is metadata-cheap).
+  * Parsed schemas are cached per-executor keyed by the JSON text:
+  * schema catalogs are bounded by version history, never data volume.
+  * Null inputs or unparseable schemas yield null (PERMISSIVE, like the
+  * codec family). */
+case class AvroCanRead(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (StringType, StringType) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"avro_can_read expects (string, string) schema JSON, got $other")
+  }
+  override def nullSafeEval(w: Any, r: Any): Any =
+    try java.lang.Boolean.valueOf(SchemaCompat.canRead(
+      AvroCanRead.parse(w.toString), AvroCanRead.parse(r.toString)))
+    catch { case _: Exception => null }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AvroCanRead =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "avro_can_read"
+}
+
+object AvroCanRead {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Schema]()
+  private def parse(js: String): Schema = {
+    if (cache.size > 4096) cache.clear() // registry histories are tiny; cap defensively
+    cache.computeIfAbsent(js, s => new Schema.Parser().parse(s))
+  }
+}
+
+/** `avro_framing(binary)` -> 'ocf' | 'confluent' | 'other': which wire
+  * framing a payload carries — the triage primitive for a mixed or
+  * misconfigured topic (and the first dispatch step of a
+  * format-agnostic consumer). OCF = `Obj\x01` magic; Confluent =
+  * `0x00` + 4-byte id with at least one datum byte; anything else
+  * (raw datums included — they are indistinguishable from noise
+  * without a schema) is 'other'. */
+case class AvroFraming(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"avro_framing expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val kind =
+      if (b.length >= 4 && b(0) == 'O'.toByte && b(1) == 'b'.toByte &&
+        b(2) == 'j'.toByte && b(3) == 1.toByte) "ocf"
+      else if (b.length > 5 && b(0) == 0.toByte) "confluent"
+      else "other"
+    org.apache.spark.unsafe.types.UTF8String.fromString(kind)
+  }
+  override protected def withNewChildInternal(newChild: Expression): AvroFraming =
+    copy(child = newChild)
+  override def prettyName: String = "avro_framing"
+}
+
 object functions {
   /** Decode a binary column of single-record Avro OCF messages. */
   def from_avro_ocf(c: Column, schemaJson: String): Column =
@@ -190,6 +256,15 @@ object functions {
       writerSchemasById: Map[Int, String]): Column =
     ColumnBridge.column(FromAvroConfluent(ColumnBridge.expression(c),
       readerSchemaJson, writerSchemasById))
+
+  /** Avro spec schema-resolution compatibility as a predicate column. */
+  def avro_can_read(writerJson: Column, readerJson: Column): Column =
+    ColumnBridge.column(AvroCanRead(
+      ColumnBridge.expression(writerJson), ColumnBridge.expression(readerJson)))
+
+  /** Wire-framing classifier: 'ocf' | 'confluent' | 'other'. */
+  def avro_framing(c: Column): Column =
+    ColumnBridge.column(AvroFraming(ColumnBridge.expression(c)))
 
   /** Register all four for SQL use: `from_avro_ocf(col, 'schema-json')`. */
   def register(spark: SparkSession): Unit = {
@@ -219,5 +294,9 @@ object functions {
       "from_avro_confluent",
       es => FromAvroConfluent(es.head, lit(es(1)), Map(intLit(es(2)) -> lit(es(1)))),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "avro_can_read", es => AvroCanRead(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "avro_framing", es => AvroFraming(es.head), "scala_udf")
   }
 }

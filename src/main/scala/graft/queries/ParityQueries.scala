@@ -276,6 +276,106 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
       .orderBy(col("order_key"))
   }
 
+  /** Schema-registry promotion audit: a nine-version subject history
+    * exercising every Avro resolution rule (add-with-default,
+    * add-without-default, float→double promotion, field drop,
+    * `[null,T]` wrap, a retype, enum symbol widening), with each
+    * consecutive promotion classified BACKWARD / FORWARD / FULL /
+    * BREAKING from the `avro_can_read` predicate — the gate a registry
+    * runs before accepting a version (SchemaCompat is pinned against
+    * org.apache.avro.SchemaCompatibility by SchemaCompatSpec; the
+    * oracle states the Avro-spec truth table explicitly). The catalog
+    * is metadata (bounded by version history), so this shape audits a
+    * registry DUMP of any subject count: per-row schema parses are
+    * executor-cached and the self-join key is the adjacent version. */
+  private[graft] def qSchemaCompat(s: SparkSession, dir: String): DataFrame = {
+    import graft.avro.functions.avro_can_read
+    import s.implicits._
+    def rec(fields: String*): String =
+      s"""{"type":"record","name":"Order","fields":[${fields.mkString(",")}]}"""
+    val catalog = Seq(
+      (1L, "v1_base", rec(
+        """{"name":"id","type":"string"}""",
+        """{"name":"price","type":"float"}""")),
+      (2L, "v2_add_default", rec(
+        """{"name":"id","type":"string"}""",
+        """{"name":"price","type":"float"}""",
+        """{"name":"currency","type":"string","default":"USD"}""")),
+      (3L, "v3_add_no_default", rec(
+        """{"name":"id","type":"string"}""",
+        """{"name":"price","type":"float"}""",
+        """{"name":"region","type":"string"}""")),
+      (4L, "v4_promote", rec(
+        """{"name":"id","type":"string"}""",
+        """{"name":"price","type":"double"}""")),
+      (5L, "v5_drop_field", rec(
+        """{"name":"id","type":"string"}""")),
+      (6L, "v6_nullable_union", rec(
+        """{"name":"id","type":"string"}""",
+        """{"name":"price","type":["null","float"],"default":null}""")),
+      (7L, "v7_retype", rec(
+        """{"name":"id","type":"int"}""",
+        """{"name":"price","type":"float"}""")),
+      (8L, "v8_enum", rec(
+        """{"name":"id","type":"string"}""",
+        """{"name":"price","type":"float"}""",
+        """{"name":"status","type":{"type":"enum","name":"St","symbols":["A","B"]},"default":"A"}""")),
+      (9L, "v9_enum_widened", rec(
+        """{"name":"id","type":"string"}""",
+        """{"name":"price","type":"float"}""",
+        """{"name":"status","type":{"type":"enum","name":"St","symbols":["A","B","C"]},"default":"A"}""")))
+      .toDF("version", "name", "schema_json")
+    val prev = catalog.select(col("version").as("v"), col("name").as("prev_name"),
+      col("schema_json").as("prev_js"))
+    val next = catalog.select((col("version") - 1).as("v"), col("name").as("next_name"),
+      col("schema_json").as("next_js"))
+    prev.join(next, "v")
+      .select(col("v").as("from_version"), col("prev_name"), col("next_name"),
+        // BACKWARD: the NEW version reads data the PREVIOUS wrote
+        avro_can_read(col("prev_js"), col("next_js")).as("b"),
+        // FORWARD: the PREVIOUS version reads data the NEW wrote
+        avro_can_read(col("next_js"), col("prev_js")).as("f"))
+      .select(col("from_version"), col("prev_name"), col("next_name"),
+        col("b").cast("long").as("backward"), col("f").cast("long").as("forward"),
+        when(col("b") && col("f"), "FULL")
+          .when(col("b"), "BACKWARD")
+          .when(col("f"), "FORWARD")
+          .otherwise("BREAKING").as("verdict"))
+      .orderBy(col("from_version"))
+  }
+
+  /** Wire-framing triage over a MIXED topic (the misconfigured-producer
+    * incident: three producers, three framings): every message is
+    * classified by `avro_framing` from its leading bytes alone — OCF
+    * (`Obj\x01`), Confluent (`0x00` + id), or other (raw datums are
+    * indistinguishable from noise without a schema, by design) — and
+    * the per-framing count, byte volume, and mean message size land in
+    * one aggregate. The oracle replays the producer assignment rule
+    * (key mod 3) and the per-framing length arithmetic symbolically:
+    * OCF = header(schema JSON + fingerprint sync) + block; Confluent =
+    * 5 + datum; datum = varints + utf8 + float. One scan, per-row
+    * classification, 3-row aggregate. */
+  private[graft] def qAvroFraming(s: SparkSession, dir: String): DataFrame = {
+    import graft.avro.functions.{avro_framing, to_avro_confluent}
+    val o = ordersAsStream(s, dir)
+      .select(col("order_key"), struct(col("orderId"), col("product"),
+        col("price").cast("float").as("price")).as("r"))
+    o.select(col("order_key"),
+        when(col("order_key") % 3 === 0,
+          to_avro_ocf(col("r"), Schemas.orderAvroJson))
+          .when(col("order_key") % 3 === 1,
+            to_avro_confluent(col("r"), Schemas.orderAvroJson, 1))
+          .otherwise(graft.avro.functions.to_avro_datum(col("r"), Schemas.orderAvroJson))
+          .as("b"))
+      .select(avro_framing(col("b")).as("framing"),
+        octet_length(col("b")).cast("long").as("len"))
+      .groupBy(col("framing"))
+      .agg(count(lit(1)).as("n_messages"),
+        sum(col("len")).as("total_bytes"),
+        expr("sum(len) div count(1)").as("mean_bytes"))
+      .orderBy(col("framing"))
+  }
+
   // ---- analytics surface (SURVEY.md §2.5): joins, windows, rollup,
   // ---- set ops, distinct aggs, event-time buckets, as-of lookup ----
 
@@ -737,6 +837,8 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
     "q_avro_datum_roundtrip" -> (qAvroDatumRoundtrip _),
     "q_avro_nested" -> (qAvroNested _),
     "q_avro_confluent" -> (qAvroConfluent _),
+    "q_schema_compat" -> (qSchemaCompat _),
+    "q_avro_framing" -> (qAvroFraming _),
     "q_decode_errors" -> (qDecodeErrors _),
     "q_order_gen" -> (qOrderGen _),
     "q_try_cast" -> (qTryCast _),
@@ -1095,6 +1197,45 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
          |            + CASE WHEN order_key % 2 = 0 THEN 0 ELSE 4 END
          |            AS BIGINT) AS framed_len
          |FROM stream ORDER BY order_key""".stripMargin,
+    "q_schema_compat" ->
+      """SELECT CAST(from_version AS BIGINT) AS from_version, prev_name,
+        |       next_name, CAST(backward AS BIGINT) AS backward,
+        |       CAST(forward AS BIGINT) AS forward, verdict
+        |FROM (VALUES
+        |  (1, 'v1_base',           'v2_add_default',    1, 1, 'FULL'),
+        |  (2, 'v2_add_default',    'v3_add_no_default', 0, 1, 'FORWARD'),
+        |  (3, 'v3_add_no_default', 'v4_promote',        1, 0, 'BACKWARD'),
+        |  (4, 'v4_promote',        'v5_drop_field',     1, 0, 'BACKWARD'),
+        |  (5, 'v5_drop_field',     'v6_nullable_union', 1, 1, 'FULL'),
+        |  (6, 'v6_nullable_union', 'v7_retype',         0, 0, 'BREAKING'),
+        |  (7, 'v7_retype',         'v8_enum',           0, 0, 'BREAKING'),
+        |  -- v9 may WRITE symbol C that v8 cannot represent, and the St
+        |  -- enum declares no enum-level default (the field default "A"
+        |  -- is a record-resolution default, not a symbol fallback), so
+        |  -- the widening is BACKWARD-only
+        |  (8, 'v8_enum',           'v9_enum_widened',   1, 0, 'BACKWARD'))
+        |  AS t(from_version, prev_name, next_name, backward, forward, verdict)
+        |ORDER BY from_version""".stripMargin,
+    "q_avro_framing" ->
+      s"""$routedSql
+         |SELECT framing, count(*) AS n_messages,
+         |       CAST(SUM(len) AS BIGINT) AS total_bytes,
+         |       CAST(SUM(len) // count(*) AS BIGINT) AS mean_bytes
+         |FROM (
+         |  SELECT CASE WHEN order_key % 3 = 0 THEN 'ocf'
+         |              WHEN order_key % 3 = 1 THEN 'confluent'
+         |              ELSE 'other' END AS framing,
+         |         -- OCF: 210 B header (schema JSON + fingerprint sync for
+         |         -- order.avsc) + count varint + size varint + datum + 16 B
+         |         -- sync; Confluent: 5 B prefix + datum; datum:
+         |         -- varint+id, varint+product, 4 B float
+         |         CASE WHEN order_key % 3 = 0
+         |                THEN 228 + length(order_id) + length(product) + 6
+         |              WHEN order_key % 3 = 1
+         |                THEN 5 + length(order_id) + length(product) + 6
+         |              ELSE length(order_id) + length(product) + 6 END AS len
+         |  FROM stream)
+         |GROUP BY framing ORDER BY framing""".stripMargin,
     "q_decode_errors" ->
       """SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'decode_failure'
         |            ELSE 'decoded' END AS outcome, count(*) AS n

@@ -53,6 +53,30 @@ object OrderPipeline {
   def process(envelopes: DataFrame): DataFrame =
     Router.route(decode(envelopes))
 
+  /** Confluent-wire-format twin of [[decode]]: the topic carries
+    * `0x00 + schema-id + datum` frames instead of OCF containers, and
+    * the per-message schema id selects the writer schema from the
+    * (broadcast-sized) registry map — so one consumer reads records
+    * produced under ANY subject version. Downstream is IDENTICAL:
+    * decode failures (wrong magic, unknown id, truncated datum) yield
+    * a null struct, which the same R4 predicate routes to the DLQ with
+    * the original bytes preserved. */
+  def decodeConfluent(envelopes: DataFrame,
+      writerSchemasById: Map[Int, String],
+      readerSchemaJson: String = Schemas.orderAvroJson): DataFrame =
+    envelopes
+      .withColumn("order", graft.avro.functions.from_avro_confluent(
+        col("value"), readerSchemaJson, writerSchemasById))
+      .withColumn("orderId", col("order.orderId"))
+      .withColumn("product", col("order.product"))
+      .withColumn("price", col("order.price").cast("double"))
+
+  /** [[process]] over a Confluent-framed topic. */
+  def processConfluent(envelopes: DataFrame,
+      writerSchemasById: Map[Int, String],
+      readerSchemaJson: String = Schemas.orderAvroJson): DataFrame =
+    Router.route(decodeConfluent(envelopes, writerSchemasById, readerSchemaJson))
+
   /** A1 as a streaming update-mode aggregate over successes. */
   def runningAggregate(processed: DataFrame): DataFrame =
     processed.filter(col("status") === Router.Success)

@@ -348,6 +348,36 @@ class AvroCodecSpec extends SparkSpec {
     assert(got.head.getFloat(0) === 2.5f)
   }
 
+  test("avro_framing classifies OCF / Confluent / raw-datum bytes") {
+    import graft.avro.functions.avro_framing
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("f-1"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("Prod"), 1.5f)
+    val df = Seq(
+      ("ocf", AvroOcf.encodeRow(row, Schemas.order, schema)),
+      ("confluent", AvroOcf.encodeConfluentRow(row, Schemas.order, schema, 7)),
+      ("other", AvroOcf.encodeDatumRow(row, Schemas.order, schema)),
+      ("other", Array[Byte](9, 9))).toDF("expected", "value")
+    val got = df.select($"expected", avro_framing($"value").as("got")).collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
+  }
+
+  test("avro_can_read SQL surface agrees with SchemaCompat on a promotion pair") {
+    A.register(spark)
+    val v2 =
+      """{"type":"record","namespace":"com.assignment","name":"Order","fields":[
+        |{"name":"orderId","type":"string"},
+        |{"name":"product","type":"string"},
+        |{"name":"price","type":"double"}]}""".stripMargin.replace("\n", "")
+    val got = spark.sql(
+      s"""SELECT avro_can_read('${Schemas.orderAvroJson}', '$v2') AS up,
+         |       avro_can_read('$v2', '${Schemas.orderAvroJson}') AS down,
+         |       avro_can_read('not json', '$v2') AS bad""".stripMargin).head()
+    assert(got.getBoolean(0) === true)   // float -> double promotion
+    assert(got.getBoolean(1) === false)  // demotion
+    assert(got.isNullAt(2))              // unparseable schema -> null
+  }
+
   test("raw-datum SQL registration works") {
     A.register(spark)
     Seq(("i-9", "Prod", 9.5f)).toDF("orderId", "product", "price")

@@ -206,6 +206,67 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Array("a", "b"))
   }
 
+  test("confluent-framed topic routes identically to the OCF topic; bad frames hit the DLQ") {
+    // one consumer, two producer generations in the topic: v1 frames
+    // (id 1) and v2 frames (id 2, adds currency="EUR"); plus one frame
+    // with an unregistered id. processConfluent must route the decoded
+    // records exactly like the OCF pipeline routes the same orders,
+    // and the unknown-id frame must land in the DLQ with original bytes.
+    val v2 =
+      """{"type":"record","namespace":"com.assignment","name":"Order","fields":[
+        |{"name":"orderId","type":"string"},
+        |{"name":"product","type":"string"},
+        |{"name":"price","type":"float"},
+        |{"name":"currency","type":"string","default":"USD"}]}"""
+        .stripMargin.replace("\n", "")
+    val v2Schema = new Schema.Parser().parse(v2)
+    def confluentV1(id: String, product: String, price: Float) =
+      AvroOcf.encodeConfluentRow(
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(id),
+          org.apache.spark.unsafe.types.UTF8String.fromString(product), price),
+        Schemas.order, schema, 1)
+    def confluentV2(id: String, product: String, price: Float) =
+      AvroOcf.encodeConfluentRow(
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(id),
+          org.apache.spark.unsafe.types.UTF8String.fromString(product), price,
+          org.apache.spark.unsafe.types.UTF8String.fromString("EUR")),
+        AvroOcf.sparkTypeFor(v2Schema), v2Schema, 2)
+    val registry = Map(1 -> Schemas.orderAvroJson, 2 -> v2)
+    val badId = confluentV1("x", "y", 1.0f).clone(); badId(4) = 99
+    val input = Seq(
+      envelope(0, "s1", 200.0f, confluentV1("s1", "P1", 200.0f)),  // v1 success
+      envelope(1, "t1", 30.0f, confluentV2("t1", "P2", 30.0f)),    // v2 transient
+      envelope(2, "p1", 2000.0f, confluentV2("p1", "P3", 2000.0f)),// v2 permanent
+      envelope(3, "bad", 1.0f, badId))                             // unknown id -> DLQ
+    val stream = MemoryStream[Envelope](spark)
+    stream.addData(input: _*)
+    val routed = OrderPipeline.processConfluent(stream.toDF(), registry)
+    val q = routed.select($"orderId", $"price", $"status").writeStream
+      .outputMode("append").format("memory").queryName("confluent_route").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("confluent_route").collect()
+      .map(r => (Option(r.getString(0)), r.getString(2))).toSet
+    assert(rows === Set(
+      (Some("s1"), Router.Success),
+      (Some("t1"), Router.Transient),
+      (Some("p1"), Router.Permanent),
+      (None, Router.Permanent)), s"unexpected routing: $rows") // null decode -> DLQ class
+    // and the fan-out preserves the undecodable frame's ORIGINAL bytes
+    val out = tmpDir("graft-confl-out")
+    val ckpt = tmpDir("graft-confl-ckpt")
+    val stream2 = MemoryStream[Envelope](spark)
+    stream2.addData(input: _*)
+    val q2 = OrderPipeline.start(
+      OrderPipeline.processConfluent(stream2.toDF(), registry), out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val dlqValues = spark.read.parquet(s"$out/dlq")
+      .select($"value").collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
+    assert(dlqValues.contains(badId.toSeq), "unknown-id frame lost its original bytes")
+    assert(spark.read.parquet(s"$out/success").count() === 1)
+  }
+
   test("mid-batch kill + replay leaves no duplicate DLQ provenance triple (exactly-once audit)") {
     // The at-least-once window: the fan-out's sink writes land but the
     // checkpoint COMMIT does not (kill between them). Simulated with

@@ -69,6 +69,37 @@ object ScaleProbe {
             .agg(count(lit(1))).collect()
         }) }
         threads.foreach(_.start()); threads.foreach(_.join())
+      }),
+      ("lsh_sweep truth candidates", n => {
+        // q_lsh_sweep's scale property is CANDIDATE-VOLUME reduction,
+        // not wall-clock at probe scale: the exact-Jaccard truth join
+        // is sub-quadratic because the lossless prefix filter prunes
+        // the pair space. This probe prints Σ C(df,2) over the FULL
+        // shingle index vs over the prefix index at this size — the
+        // number that decides whether the truth join survives a
+        // 100 TB corpus. Docs draw 50 tokens from a 300-word
+        // vocabulary (aggressively dense — the worst case: random doc
+        // pairs DO share shingles) so the reduction is measured where
+        // it matters; docs = edges/20. Docs are TEN 5-token phrases
+        // drawn from a 1000-phrase pool (template/boilerplate
+        // structure), so each phrase-aligned shingle recurs in
+        // ~docs/100 documents — exactly the hot-boilerplate regime the
+        // prefix filter exists for; boundary shingles stay rare.
+        import org.apache.spark.sql.DataFrame
+        val docs = spark.range(n / 20).select(col("id").as("doc_id"),
+          array_join(transform(sequence(lit(1), lit(10)),
+            i => concat_ws(" ", (0 until 5).map(j =>
+              concat(lit("w"), pmod(xxhash64(col("id"), i), lit(1000)) * 5 + j)): _*)),
+            " ").as("text"))
+        def pairVolume(idx: DataFrame): Long =
+          idx.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+            .agg(sum(expr("df * (df - 1) div 2"))).head().getLong(0)
+        val full = pairVolume(
+          graft.llm.Dedup.hashedIndex(docs, "doc_id", "text", 5))
+        val prefix = pairVolume(
+          graft.llm.Dedup.prefixIndex(docs, "doc_id", "text", 5, 0.5))
+        println(f"[floors]   candidate volume: full=$full prefix=$prefix " +
+          f"reduction=${full.toDouble / math.max(1L, prefix)}%5.1f x")
       }))
 
     println(f"[floors] base=$baseEdges edges vs ${baseEdges * 10} (10x); " +

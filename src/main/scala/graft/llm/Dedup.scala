@@ -76,7 +76,7 @@ object Dedup {
       .filter(col("jaccard") >= minSim)
 
   /** (doc, 64-bit shingle hash) index over the whole corpus. */
-  private def hashedIndex(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def hashedIndex(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     shingleIndex(docs, idCol, textCol, k)
       .select(col(idCol), xxhash64(col("s")).as("sk"))

@@ -1081,32 +1081,59 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 5,
       numHashes = 8)
       .localCheckpoint(eager = false)
-    // ONE unified candidate self-join across all three sweep configs:
-    // the config id joins the band/sig bucket key, so the sweep pays a
-    // single shuffle over the unioned bucket tables instead of three
-    // separate join+distinct+checkpoint pipelines (same rows, fewer
-    // job floors — the per-config work was never the expensive part,
-    // the repeated materializations were).
-    val bucketed = Seq(1, 2, 4).map { r =>
-      Dedup.lshBuckets(sigs, "doc_id", numHashes = 8, rowsPerBand = r)
-        .select(lit(r.toLong).as("r"), col("band"), col("sig"), col("doc_id"))
-    }.reduce(_ unionAll _)
-    val cand = bucketed.as("a").join(bucketed.as("b"),
-        col("a.r") === col("b.r") && col("a.band") === col("b.band") &&
-          col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.r").as("r"), col("a.doc_id").as("d1"),
-        col("b.doc_id").as("d2"))
-      .distinct()
+    // Candidate sets NEST across the sweep: a pair agreeing on a 4-row
+    // band agrees on both contained 2-row bands and all four 1-row
+    // bands, so candidates(r=4) ⊆ candidates(r=2) ⊆ candidates(r=1).
+    // Hence ONE bucket self-join at r=1 generates the superset, the
+    // signatures ride along on both sides, and the r=2 / r=4
+    // memberships are per-row band-equality flags — no second
+    // self-join, no union, no distinct-per-config. Identical counts to
+    // the three independent bucket joins, one shuffle instead of
+    // three.
+    // r=1 buckets with the signature riding along — a narrow explode
+    // over the checkpointed signature table (NOT lshBuckets + join
+    // back on doc_id, which would re-shuffle the exploded rows)
+    val withSig = sigs.select((col("doc_id") +:
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"), col(s"h$b").as("sig"))): _*)).as("bs") +:
+        (0 until 8).map(j => col(s"h$j"))): _*)
+      .select((col("doc_id") +: col("bs.band").as("band") +:
+        col("bs.sig").as("sig") +: (0 until 8).map(j => col(s"h$j"))): _*)
+    val cand = withSig.as("a").join(withSig.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select((col("a.doc_id").as("d1") +: col("b.doc_id").as("d2") +:
+        (0 until 4).map(bb =>
+          (col(s"a.h${2 * bb}") === col(s"b.h${2 * bb}") &&
+            col(s"a.h${2 * bb + 1}") === col(s"b.h${2 * bb + 1}"))
+            .as(s"eq2_$bb"))): _*)
+      .groupBy(col("d1"), col("d2"))
+      // collapse bucket-collision multiplicity (the old distinct) and
+      // fold the band flags: hit2 = any aligned 2-run equal, hit4 =
+      // either 4-run equal (= both its 2-runs equal)
+      .agg(max(col("eq2_0")).as("e0"), max(col("eq2_1")).as("e1"),
+        max(col("eq2_2")).as("e2"), max(col("eq2_3")).as("e3"))
+      .withColumn("hit2", col("e0") || col("e1") || col("e2") || col("e3"))
+      .withColumn("hit4", (col("e0") && col("e1")) || (col("e2") && col("e3")))
+      .join(truth.withColumn("t", lit(1L)), Seq("d1", "d2"), "left")
+      .withColumn("t", coalesce(col("t"), lit(0L)))
       .localCheckpoint(eager = false)
-    val counts = cand.groupBy(col("r")).agg(count(lit(1)).as("n_candidates"))
-    val found = cand.join(truth, Seq("d1", "d2"), "left_semi")
-      .groupBy(col("r")).agg(count(lit(1)).as("n_found"))
+    val perR = cand.agg(
+      count(lit(1)).as("c1"), sum(col("t")).as("f1"),
+      sum(when(col("hit2"), 1L).otherwise(0L)).as("c2"),
+      sum(when(col("hit2"), col("t")).otherwise(0L)).as("f2"),
+      sum(when(col("hit4"), 1L).otherwise(0L)).as("c4"),
+      sum(when(col("hit4"), col("t")).otherwise(0L)).as("f4"))
     import s.implicits._
     Seq(1L, 2L, 4L).toDF("r")
-      .join(broadcast(counts), Seq("r"), "left")
-      .join(broadcast(found), Seq("r"), "left")
+      .crossJoin(broadcast(perR))
       .select(col("r").as("rows_per_band"),
         (lit(8L) / col("r")).cast("long").as("n_bands"),
+        when(col("r") === 1, col("c1")).when(col("r") === 2, col("c2"))
+          .otherwise(col("c4")).as("n_candidates"),
+        when(col("r") === 1, col("f1")).when(col("r") === 2, col("f2"))
+          .otherwise(col("f4")).as("n_found"))
+      .select(col("rows_per_band"), col("n_bands"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_found"), lit(0L)).as("n_found"))
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))

@@ -254,6 +254,289 @@ case class VideoMeta(child: Expression)
   override def prettyName: String = "video_meta"
 }
 
+/** PGM (P5, binary grayscale) — the uncompressed image format whose
+  * PIXEL data is decodable in pure JVM, which upgrades the multimodal
+  * stage from header-only metadata to real decode → transform →
+  * re-encode: [[ImageStats]] reads every pixel, [[ImageDownsample]]
+  * box-filters to a new PGM. Compressed codecs (JPEG entropy coding
+  * etc.) stay behind the documented mapPartitions seam — the
+  * PLUMBING is identical, only the per-pixel kernel differs. */
+object Pgm {
+
+  /** Parse a binary PGM: returns (width, height, maxval, dataOffset),
+    * or None if not a P5 container or truncated. Whitespace handling
+    * per the netpbm spec (single whitespace after maxval, then raw
+    * bytes). Bounds-checked, never throws. */
+  def parse(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b == null || b.length < 8 || b(0) != 'P'.toByte || b(1) != '5'.toByte)
+      return None
+    var i = 2
+    def skipWs(): Unit = {
+      while (i < b.length &&
+        (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
+      // netpbm comments: '#' to end of line
+      if (i < b.length && b(i) == '#'.toByte) {
+        while (i < b.length && b(i) != '\n') i += 1
+        skipWs()
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (i < b.length && b(i) >= '0'.toByte && b(i) <= '9'.toByte) {
+        v = v * 10 + (b(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = int(); val h = int(); val mx = int()
+    if (w <= 0 || h <= 0 || mx <= 0 || mx > 255 || i >= b.length) return None
+    i += 1 // the single whitespace after maxval
+    if (b.length - i < w.toLong * h) return None
+    Some((w, h, mx, i))
+  }
+
+  /** Encode (width, height, pixels) as binary PGM, maxval 255. */
+  def encode(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + px.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(px, 0, out, header.length, px.length)
+    out
+  }
+}
+
+/** `image_stats(pgm_binary)` -> struct(width, height, n_px, px_sum,
+  * px_min, px_max): exact integer pixel statistics from a REAL decode
+  * of every pixel (sums exact, so the oracle can replay them; callers
+  * derive mean/contrast arithmetically). Null for non-PGM payloads. */
+case class ImageStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("n_px", LongType), StructField("px_sum", LongType),
+    StructField("px_min", IntegerType), StructField("px_max", IntegerType)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"image_stats expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    Pgm.parse(b) match {
+      case None => null
+      case Some((w, h, _, off)) =>
+        var i = off; val end = off + w * h
+        var sum = 0L; var mn = 255; var mx = 0
+        while (i < end) {
+          val v = b(i) & 0xff
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        new GenericInternalRow(Array[Any](w, h, (w.toLong * h), sum, mn, mx))
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): ImageStats =
+    copy(child = newChild)
+  override def prettyName: String = "image_stats"
+}
+
+/** `image_downsample(pgm_binary, factor)` -> PGM binary: box-filter
+  * downsample by an integer factor (each output pixel is the FLOOR of
+  * the mean of its f×f block; trailing rows/cols that do not fill a
+  * block are dropped, so out dims = in dims div f) — the resize stage
+  * of a multimodal ingest pipeline, exact enough for an oracle to
+  * replay. Null for non-PGM input or when a dimension collapses to 0. */
+case class ImageDownsample(child: Expression, factor: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(factor >= 1, s"factor must be >= 1, got $factor")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"image_downsample expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    Pgm.parse(b) match {
+      case None => null
+      case Some((w, h, _, off)) =>
+        val ow = w / factor; val oh = h / factor
+        if (ow == 0 || oh == 0) return null
+        val out = new Array[Byte](ow * oh)
+        var oy = 0
+        while (oy < oh) {
+          var ox = 0
+          while (ox < ow) {
+            var sum = 0L
+            var dy = 0
+            while (dy < factor) {
+              val row = off + (oy * factor + dy) * w + ox * factor
+              var dx = 0
+              while (dx < factor) { sum += b(row + dx) & 0xff; dx += 1 }
+              dy += 1
+            }
+            out(oy * ow + ox) = (sum / (factor.toLong * factor)).toByte
+            ox += 1
+          }
+          oy += 1
+        }
+        Pgm.encode(ow, oh, out)
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): ImageDownsample =
+    copy(child = newChild)
+  override def prettyName: String = "image_downsample"
+}
+
+/** `audio_stats(wav_binary)` -> struct(n_samples, sum_abs, sum_sq,
+  * peak, zero_crossings, clip_count): exact integer statistics over
+  * REAL decoded PCM16-LE samples of a RIFF/WAVE payload (mono or
+  * interleaved — every sample is read). Sums are exact int64 so an
+  * oracle replays them; RMS/loudness derive downstream. A crossing is
+  * `s[t-1]·s[t] < 0`; clip = sample at either int16 rail. Null when
+  * the container is not PCM16 WAV. */
+case class AudioStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", LongType), StructField("sum_abs", LongType),
+    StructField("sum_sq", LongType), StructField("peak", IntegerType),
+    StructField("zero_crossings", LongType), StructField("clip_count", LongType)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"audio_stats expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    MediaHeaders.parseWav(b) match {
+      case None => null
+      case Some((_, _, bitsPerSample, _)) if bitsPerSample != 16 => null
+      case Some(_) =>
+        // find the data chunk: RIFF chunks from offset 12
+        var i = 12
+        var dataOff = -1; var dataLen = 0
+        while (i + 8 <= b.length && dataOff < 0) {
+          val id = new String(b, i, 4, "US-ASCII")
+          val len = ((b(i + 4) & 0xff) | ((b(i + 5) & 0xff) << 8) |
+            ((b(i + 6) & 0xff) << 16) | ((b(i + 7) & 0xff) << 24))
+          if (id == "data") { dataOff = i + 8; dataLen = len }
+          else i += 8 + len + (len & 1)
+        }
+        if (dataOff < 0 || dataOff + dataLen > b.length) return null
+        val n = dataLen / 2
+        var t = 0
+        var sumAbs = 0L; var sumSq = 0L; var peak = 0
+        var crossings = 0L; var clips = 0L; var prev = 0
+        while (t < n) {
+          val lo = b(dataOff + 2 * t) & 0xff
+          val hi = b(dataOff + 2 * t + 1)
+          val s = (hi << 8) | lo // sign-extended via hi being Byte
+          val a = math.abs(s)
+          sumAbs += a; sumSq += s.toLong * s
+          if (a > peak) peak = a
+          if (s == 32767 || s == -32768) clips += 1
+          if (t > 0 && prev.toLong * s < 0) crossings += 1
+          prev = s
+          t += 1
+        }
+        new GenericInternalRow(Array[Any](n.toLong, sumAbs, sumSq, peak, crossings, clips))
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): AudioStats =
+    copy(child = newChild)
+  override def prettyName: String = "audio_stats"
+}
+
+/** `synth_pgm(id, w, h)` -> a COMPLETE binary PGM whose pixel (x, y)
+  * is `(id·7 + x·31 + y·17) mod 256` — the deterministic payload
+  * generator that lets the pixel pipeline be oracle-tested end to end
+  * without codec libraries (the oracle replays the same congruence
+  * over a generate_series grid). */
+case class SynthPgm(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"synth_pgm expects (long id, int w, int h), got $other")
+    }
+  override def nullSafeEval(idA: Any, wA: Any, hA: Any): Any = {
+    val id = idA.asInstanceOf[Long]
+    val w = wA.asInstanceOf[Int]; val h = hA.asInstanceOf[Int]
+    require(w > 0 && h > 0 && w.toLong * h <= (1 << 22),
+      s"synth_pgm dims out of range: ${w}x$h")
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = (((id * 7 + x * 31L + y * 17L) % 256 + 256) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Pgm.encode(w, h, px)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): SynthPgm = copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_pgm"
+}
+
+/** `synth_wav_pcm(id, n)` -> a COMPLETE RIFF/WAVE (PCM16-LE mono,
+  * 16 kHz) with n samples `s(t) = ((id·7919 + t·2654435761) mod
+  * 65536) − 32768` — real audio bytes whose exact sample statistics
+  * the oracle replays over generate_series. */
+case class SynthWavPcm(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (LongType, IntegerType) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"synth_wav_pcm expects (long id, int n), got $other")
+  }
+  override def nullSafeEval(idA: Any, nA: Any): Any = {
+    val id = idA.asInstanceOf[Long]; val n = nA.asInstanceOf[Int]
+    require(n > 0 && n <= (1 << 20), s"synth_wav_pcm n out of range: $n")
+    val dataLen = n * 2
+    val out = new Array[Byte](44 + dataLen)
+    def le32(off: Int, v: Long): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def ascii(off: Int, s: String): Unit = {
+      var i = 0; while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    val rate = 16000
+    ascii(0, "RIFF"); le32(4, 36L + dataLen); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1 /* PCM */); le16(22, 1 /* mono */)
+    le32(24, rate); le32(28, rate * 2L); le16(32, 2); le16(34, 16)
+    ascii(36, "data"); le32(40, dataLen)
+    var t = 0
+    while (t < n) {
+      val s = ((((id * 7919 + t * 2654435761L) % 65536) + 65536) % 65536).toInt - 32768
+      le16(44 + 2 * t, s & 0xffff)
+      t += 1
+    }
+    out
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SynthWavPcm =
+    copy(left = l, right = r)
+  override def prettyName: String = "synth_wav_pcm"
+}
+
 object media {
   def image_dims(blob: Column): Column =
     ColumnBridge.column(ImageDims(ColumnBridge.expression(blob)))
@@ -261,4 +544,16 @@ object media {
     ColumnBridge.column(AudioMeta(ColumnBridge.expression(blob)))
   def video_meta(blob: Column): Column =
     ColumnBridge.column(VideoMeta(ColumnBridge.expression(blob)))
+  def image_stats(blob: Column): Column =
+    ColumnBridge.column(ImageStats(ColumnBridge.expression(blob)))
+  def image_downsample(blob: Column, factor: Int): Column =
+    ColumnBridge.column(ImageDownsample(ColumnBridge.expression(blob), factor))
+  def audio_stats(blob: Column): Column =
+    ColumnBridge.column(AudioStats(ColumnBridge.expression(blob)))
+  def synth_pgm(id: Column, w: Column, h: Column): Column =
+    ColumnBridge.column(SynthPgm(ColumnBridge.expression(id),
+      ColumnBridge.expression(w), ColumnBridge.expression(h)))
+  def synth_wav_pcm(id: Column, n: Column): Column =
+    ColumnBridge.column(SynthWavPcm(ColumnBridge.expression(id),
+      ColumnBridge.expression(n)))
 }

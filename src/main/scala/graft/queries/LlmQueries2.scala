@@ -1482,7 +1482,72 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("source"), col("len_bucket"))
   }
 
+  /** REAL pixel decode → transform → re-encode, end to end: each
+    * selected document synthesizes a complete binary PGM (pixel
+    * (x,y) = (id·7 + x·31 + y·17) mod 256 — real netpbm bytes, not a
+    * stub), `image_stats` reads EVERY pixel (exact integer sums), the
+    * image is box-downsampled by 2 (floor of block mean, re-encoded as
+    * PGM), and the downsampled image's stats are read back. The oracle
+    * replays the whole pipeline over a generate_series pixel grid —
+    * the first query where the multimodal stage's pixel DATA, not just
+    * container headers, crosses the engine boundary. Per-row kernels
+    * only (one narrow map over the doc subset); compressed codecs
+    * would swap into the same seam via mapPartitions. */
+  private[graft] def qImagePipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.media._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(16) + col("doc_id") % 8).cast("int").as("w"),
+        (lit(12) + col("doc_id") % 4).cast("int").as("h"))
+    d.select(col("doc_id"),
+        image_stats(synth_pgm(col("doc_id"), col("w"), col("h"))).as("s"),
+        image_stats(image_downsample(
+          synth_pgm(col("doc_id"), col("w"), col("h")), 2)).as("ds"))
+      .select(col("doc_id"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.px_sum").as("px_sum"),
+        expr("s.px_sum * 1000 div s.n_px").as("mean_milli"),
+        col("s.px_min").cast("long").as("px_min"),
+        col("s.px_max").cast("long").as("px_max"),
+        col("ds.width").cast("long").as("ds_width"),
+        col("ds.height").cast("long").as("ds_height"),
+        col("ds.px_sum").as("ds_px_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL PCM sample decode: each selected document synthesizes a
+    * complete RIFF/WAVE (PCM16-LE mono 16 kHz, sample s(t) =
+    * ((id·7919 + t·2654435761) mod 65536) − 32768) and `audio_stats`
+    * reads every sample — exact counts/sums (abs, squares), peak,
+    * sign-change crossings, rail-clipping — from which duration and
+    * RMS derive arithmetically (floor∘sqrt of an exact int64 is
+    * bit-portable). The oracle replays the congruence over
+    * generate_series with a lag window for crossings. The audio twin
+    * of q_image_pipeline: sample DATA, not just the fmt header,
+    * crosses the engine boundary. */
+  private[graft] def qAudioPcm(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.media._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(200) + col("doc_id") % 50).cast("int").as("n"))
+    d.select(col("doc_id"),
+        audio_stats(synth_wav_pcm(col("doc_id"), col("n"))).as("a"))
+      .select(col("doc_id"),
+        col("a.n_samples").as("n_samples"),
+        expr("a.n_samples * 1000 div 16000").as("duration_ms"),
+        col("a.sum_abs").as("sum_abs"),
+        floor(sqrt(expr("a.sum_sq div a.n_samples").cast("double")))
+          .cast("long").as("rms_floor"),
+        col("a.peak").cast("long").as("peak"),
+        col("a.zero_crossings").as("zero_crossings"),
+        col("a.clip_count").as("clip_count"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] def llm2QueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_image_pipeline" -> (qImagePipeline _),
+    "q_audio_pcm" -> (qAudioPcm _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_rlhf_pairs" -> (qRlhfPairs _),
     "q_span_corruption" -> (qSpanCorruption _),
@@ -1530,6 +1595,63 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
   )
 
   private[graft] def llm2OracleMap: Map[String, String] = Map(
+    "q_image_pipeline" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, gx.x, gy.y,
+        |         (d.doc_id * 7 + gx.x * 31 + gy.y * 17) % 256 AS v
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 23) AS gx(x)
+        |  CROSS JOIN generate_series(0, 15) AS gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h),
+        |orig AS (
+        |  SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |         CAST(MIN(h) AS BIGINT) AS height,
+        |         CAST(SUM(v) AS BIGINT) AS px_sum,
+        |         CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_milli,
+        |         CAST(MIN(v) AS BIGINT) AS px_min,
+        |         CAST(MAX(v) AS BIGINT) AS px_max
+        |  FROM px GROUP BY doc_id),
+        |blocks AS (
+        |  SELECT doc_id, x // 2 AS ox, y // 2 AS oy,
+        |         CAST(SUM(v) // 4 AS BIGINT) AS dv
+        |  FROM px WHERE x < 2 * (w // 2) AND y < 2 * (h // 2)
+        |  GROUP BY doc_id, x // 2, y // 2),
+        |ds AS (
+        |  SELECT doc_id, CAST(MAX(ox) + 1 AS BIGINT) AS ds_width,
+        |         CAST(MAX(oy) + 1 AS BIGINT) AS ds_height,
+        |         CAST(SUM(dv) AS BIGINT) AS ds_px_sum
+        |  FROM blocks GROUP BY doc_id)
+        |SELECT orig.doc_id, width, height, px_sum, mean_milli, px_min,
+        |       px_max, ds_width, ds_height, ds_px_sum
+        |FROM orig JOIN ds ON orig.doc_id = ds.doc_id
+        |ORDER BY orig.doc_id""".stripMargin,
+    "q_audio_pcm" ->
+      """WITH d AS (
+        |  SELECT doc_id, 200 + doc_id % 50 AS n
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |smp AS (
+        |  SELECT d.doc_id, d.n, gt.t,
+        |         ((d.doc_id * 7919 + gt.t * 2654435761) % 65536) - 32768 AS s
+        |  FROM d CROSS JOIN generate_series(0, 249) AS gt(t)
+        |  WHERE gt.t < d.n),
+        |lagged AS (
+        |  SELECT doc_id, n, t, s,
+        |         LAG(s) OVER (PARTITION BY doc_id ORDER BY t) AS prev
+        |  FROM smp)
+        |SELECT doc_id,
+        |       CAST(MIN(n) AS BIGINT) AS n_samples,
+        |       CAST(MIN(n) * 1000 // 16000 AS BIGINT) AS duration_ms,
+        |       CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+        |       CAST(floor(sqrt(CAST(SUM(s * s) // MIN(n) AS DOUBLE))) AS BIGINT) AS rms_floor,
+        |       CAST(MAX(abs(s)) AS BIGINT) AS peak,
+        |       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * s < 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |       CAST(SUM(CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS clip_count
+        |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_incremental_dedup" ->
       """WITH digested AS (
         |  SELECT doc_id, source, md5(text) AS dg,

@@ -223,4 +223,68 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("AVI header contract"), e.getMessage)
   }
+
+  // ---- real pixel/sample decode (PGM + PCM16 WAV) ----
+
+  test("synth_pgm -> image_stats decodes every pixel exactly") {
+    import graft.functions.media.{image_stats, synth_pgm}
+    val id = 5L; val w = 7; val h = 4
+    val got = spark.range(1).select(
+      image_stats(synth_pgm(lit(id), lit(w), lit(h))).as("s"))
+      .select($"s.width", $"s.height", $"s.n_px", $"s.px_sum", $"s.px_min", $"s.px_max")
+      .head()
+    val px = for (y <- 0 until h; x <- 0 until w)
+      yield ((id * 7 + x * 31 + y * 17) % 256).toInt
+    assert(got.getInt(0) === w && got.getInt(1) === h)
+    assert(got.getLong(2) === w.toLong * h)
+    assert(got.getLong(3) === px.map(_.toLong).sum)
+    assert(got.getInt(4) === px.min && got.getInt(5) === px.max)
+  }
+
+  test("image_downsample is the floor-of-block-mean, re-encoded as real PGM") {
+    import graft.functions.media.{image_downsample, image_stats, synth_pgm}
+    val id = 9L; val w = 9; val h = 5 // odd dims: trailing row/col dropped
+    val got = spark.range(1).select(
+      image_stats(image_downsample(synth_pgm(lit(id), lit(w), lit(h)), 2)).as("s"))
+      .select($"s.width", $"s.height", $"s.px_sum").head()
+    def p(x: Int, y: Int) = ((id * 7 + x * 31 + y * 17) % 256).toInt
+    val outSum = (for (oy <- 0 until 2; ox <- 0 until 4) yield {
+      val s = p(2 * ox, 2 * oy) + p(2 * ox + 1, 2 * oy) +
+        p(2 * ox, 2 * oy + 1) + p(2 * ox + 1, 2 * oy + 1)
+      (s / 4).toLong
+    }).sum
+    assert(got.getInt(0) === 4 && got.getInt(1) === 2)
+    assert(got.getLong(2) === outSum)
+  }
+
+  test("synth_wav_pcm -> audio_stats reads real PCM16 samples") {
+    import graft.functions.media.{audio_stats, synth_wav_pcm}
+    val id = 3L; val n = 257
+    val got = spark.range(1).select(
+      audio_stats(synth_wav_pcm(lit(id), lit(n))).as("s"))
+      .select($"s.n_samples", $"s.sum_abs", $"s.sum_sq", $"s.peak",
+        $"s.zero_crossings", $"s.clip_count").head()
+    val samples = (0 until n).map(t =>
+      ((((id * 7919 + t * 2654435761L) % 65536) + 65536) % 65536).toInt - 32768)
+    assert(got.getLong(0) === n.toLong)
+    assert(got.getLong(1) === samples.map(s => math.abs(s).toLong).sum)
+    assert(got.getLong(2) === samples.map(s => s.toLong * s).sum)
+    assert(got.getInt(3) === samples.map(math.abs).max)
+    assert(got.getLong(4) === samples.sliding(2)
+      .count(p => p.head.toLong * p.last < 0).toLong)
+    assert(got.getLong(5) === samples.count(s => s == 32767 || s == -32768).toLong)
+    // and the header parses as a well-formed 16 kHz mono PCM16 WAV
+    val bytes = spark.range(1)
+      .select(synth_wav_pcm(lit(id), lit(n)).as("b")).head().getAs[Array[Byte]](0)
+    assert(graft.functions.MediaHeaders.parseWav(bytes) === Some((1, 16000, 16, n.toLong)))
+  }
+
+  test("pixel/sample decoders are PERMISSIVE: non-matching payloads -> null") {
+    import graft.functions.media.{audio_stats, image_downsample, image_stats}
+    val junk = Seq(Array[Byte](1, 2, 3), "P5 broken".getBytes("US-ASCII"),
+      "RIFFxxxx".getBytes("US-ASCII")).toDF("b")
+    val out = junk.select(image_stats($"b").as("i"),
+      image_downsample($"b", 2).as("d"), audio_stats($"b").as("a")).collect()
+    assert(out.forall(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)))
+  }
 }

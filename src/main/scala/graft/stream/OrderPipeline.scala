@@ -284,6 +284,77 @@ object OrderPipeline {
         TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
+  /** Order-timeout detection on EVENT-TIME timers — the SLA watchdog
+    * every order pipeline runs (and the timer mode [[IdleSessionProcessor]]
+    * does not cover): an order arms a timer at its event time + slaMs;
+    * a confirmation arriving (in event time) before the watermark
+    * reaches that deadline clears it; when the WATERMARK passes the
+    * deadline with no confirmation, the expiring timer emits a timeout
+    * exactly once and clears the key. Processing-time stalls neither
+    * fire timeouts early nor late — the clock is the data's, which is
+    * what makes the semantics replayable (a reprocessed topic yields
+    * the identical timeout set, unlike a wall-clock watchdog). Input:
+    * (orderId, eventTimeMs, isConfirmation). Output: (orderId,
+    * deadlineMs, outcome) — "confirmed" in-batch or "timeout" from the
+    * timer. */
+  final class OrderTimeoutProcessor(slaMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Boolean), (String, Long, String)] {
+    @transient private var deadline: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      deadline = getHandle.getValueState[Long]("deadline",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Boolean)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, String)] = {
+      var out = List.empty[(String, Long, String)]
+      rows.foreach { case (_, ts, isConf) =>
+        if (isConf) {
+          if (deadline.exists()) {
+            val d = deadline.get()
+            deadline.clear()
+            getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
+            out ::= ((key, d, "confirmed"))
+          }
+          // a confirmation with no open order is a no-op (late dup)
+        } else if (!deadline.exists()) {
+          val d = ts + slaMs
+          deadline.update(d)
+          getHandle.registerTimer(d)
+        }
+        // a duplicate order keeps the FIRST deadline (offset order)
+      }
+      out.reverseIterator
+    }
+    override def handleExpiredTimer(key: String,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(String, Long, String)] = {
+      if (!deadline.exists()) return Iterator.empty
+      val d = deadline.get()
+      deadline.clear()
+      Iterator((key, d, "timeout"))
+    }
+  }
+
+  /** Event-time SLA watchdog over an (orderId, timestamp, isConfirmation)
+    * stream; `lateness` bounds how far the watermark trails event time. */
+  def orderTimeouts(spark: SparkSession, events: DataFrame, slaMs: Long,
+      lateness: String): org.apache.spark.sql.Dataset[(String, Long, String)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark("timestamp", lateness)
+      .select(col("orderId"), col("timestamp"), col("is_confirmation"))
+      .as[(String, java.sql.Timestamp, Boolean)]
+      .map { case (id, ts, c) => (id, ts.getTime, c) }
+      .groupByKey(_._1)
+      .transformWithState(new OrderTimeoutProcessor(slaMs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** Per-status product histograms on `transformWithState` MapState —
     * the sub-keyed state shape (key → {subkey → count}) that a flat
     * ValueState cannot express without serializing a whole map per

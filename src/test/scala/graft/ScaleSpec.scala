@@ -118,6 +118,43 @@ class ScaleSpec extends SparkSpec {
     assert(got === viaWindow)
   }
 
+  test("two-pass grouped prefix sum equals the window formulation, no WindowExec") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.ScalablePrefix
+    // low-cardinality groups over enough rows that every group spans
+    // several range partitions — the q_weighted_median shape (value
+    // domain pre-collapsed, so the order column is unique per group)
+    val df = spark.range(0, 5000)
+      .select(($"id" % 3).cast("string").as("g"),
+        $"id".cast("double").as("p"), (($"id" * 7) % 13 + 1).as("w"))
+    val viaWindow = df
+      .withColumn("cum_w", sum($"w").over(
+        Window.partitionBy($"g").orderBy($"p")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("grp_total", sum($"w").over(Window.partitionBy($"g")))
+      .select($"g", $"p", $"w", $"cum_w", $"grp_total")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sorted
+    val twoPass = ScalablePrefix.groupedPrefixSum(spark, df, "g", "p", "w",
+      numPartitions = 7)
+    assert(!twoPass.queryExecution.executedPlan.toString.contains("Window"),
+      "grouped prefix sum must not use a window")
+    val got = twoPass.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sorted
+    assert(got === viaWindow)
+  }
+
+  test("grouped prefix sum rejects null inputs loudly") {
+    import graft.ops.ScalablePrefix
+    val df = Seq(("a", Some(1.0), 1L), ("a", None, 2L)).toDF("g", "p", "w")
+    val e = intercept[org.apache.spark.SparkException] {
+      ScalablePrefix.groupedPrefixSum(spark, df, "g", "p", "w", 2).collect()
+    }
+    assert(e.getMessage.contains("non-null"), e.getMessage)
+  }
+
   test("interval bucket decomposition equals the theta join") {
     // 50k intervals (length 0..12) vs 100 windows (length 20): the
     // equi-join-on-bucket + dedup-by-max-start form must reproduce the

@@ -267,6 +267,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/success").count() === 1)
   }
 
+  test("event-time timers fire order timeouts when the WATERMARK passes the SLA deadline") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1700000000000L
+      val sla = 600000L // 10 minutes
+      val stream = MemoryStream[(String, java.sql.Timestamp, Boolean)](spark)
+      val out = OrderPipeline.orderTimeouts(spark,
+        stream.toDF().toDF("orderId", "timestamp", "is_confirmation"),
+        slaMs = sla, lateness = "5 minutes")
+      val q = out.toDF("orderId", "deadline_ms", "outcome").writeStream
+        .outputMode("update").format("memory").queryName("sla_watch")
+        .option("checkpointLocation", tmpDir("graft-sla-ckpt")).start()
+      // batch 1: two orders; batch 2: o1 confirmed in time
+      stream.addData(("o1", new Timestamp(t0), false), ("o2", new Timestamp(t0), false))
+      q.processAllAvailable()
+      stream.addData(("o1", new Timestamp(t0 + 60000), true))
+      q.processAllAvailable()
+      // no timeout may exist while the watermark trails the deadline
+      assert(!spark.table("sla_watch").collect().exists(_.getString(2) == "timeout"))
+      // batch 3: an event 2h ahead pushes the watermark (minus 5 min
+      // lateness) far past o2's deadline; the timer fires on the
+      // following microbatch
+      stream.addData(("o9", new Timestamp(t0 + 7200000), false))
+      q.processAllAvailable()
+      stream.addData(("o9", new Timestamp(t0 + 7200001), true))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("sla_watch").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(rows.contains(("o1", t0 + sla, "confirmed")), s"o1 not confirmed: $rows")
+      assert(rows.contains(("o2", t0 + sla, "timeout")), s"o2 timeout missing: $rows")
+      assert(rows.contains(("o9", t0 + 7200000 + sla, "confirmed")))
+      assert(rows.count(_._3 == "timeout") === 1, s"spurious timeouts: $rows")
+      // exactly once: o2's timeout appears a single time in the log
+      val o2 = spark.table("sla_watch").filter($"orderId" === "o2").collect()
+      assert(o2.length === 1, s"o2 emitted ${o2.length} times")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("mid-batch kill + replay leaves no duplicate DLQ provenance triple (exactly-once audit)") {
     // The at-least-once window: the fan-out's sink writes land but the
     // checkpoint COMMIT does not (kill between them). Simulated with

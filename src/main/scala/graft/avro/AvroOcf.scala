@@ -80,25 +80,36 @@ object AvroOcf {
     * (→ TimestampType). Only general (non-`[null, T]`) unions remain
     * unsupported — they have no faithful columnar shape and fail
     * loudly here rather than silently coercing. */
-  def sparkTypeFor(schema: Schema): StructType = {
+  def sparkTypeFor(schema: Schema): StructType =
+    sparkTypeFor(schema, Set.empty)
+
+  private def sparkTypeFor(schema: Schema, seen: Set[String]): StructType = {
     require(schema.getType == Schema.Type.RECORD, s"expected record, got $schema")
+    // RECURSIVE record types (a field referencing an enclosing record)
+    // have no columnar shape — Catalyst types are finite trees. Detect
+    // the cycle and fail loudly instead of overflowing the stack.
+    require(!seen.contains(schema.getFullName),
+      s"recursive record type has no Spark representation: ${schema.getFullName}")
+    val seen2 = seen + schema.getFullName
     StructType(schema.getFields.asScala.toSeq.map { f =>
-      val (t, nullable) = fieldType(f.schema())
+      val (t, nullable) = fieldType(f.schema(), seen2)
       StructField(f.name(), t, nullable)
     })
   }
 
-  private def fieldType(s: Schema): (DataType, Boolean) = s.getType match {
+  private def fieldType(s: Schema): (DataType, Boolean) = fieldType(s, Set.empty)
+
+  private def fieldType(s: Schema, seen: Set[String]): (DataType, Boolean) = s.getType match {
     case Schema.Type.UNION =>
       val nonNull = s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
       require(nonNull.size == 1, s"only [null, T] unions supported: $s")
-      (fieldType(nonNull.head)._1, true)
-    case Schema.Type.RECORD  => (sparkTypeFor(s), false)
+      (fieldType(nonNull.head, seen)._1, true)
+    case Schema.Type.RECORD  => (sparkTypeFor(s, seen), false)
     case Schema.Type.ARRAY   =>
-      val (et, en) = fieldType(s.getElementType)
+      val (et, en) = fieldType(s.getElementType, seen)
       (ArrayType(et, containsNull = en), false)
     case Schema.Type.MAP     =>
-      val (vt, vn) = fieldType(s.getValueType)
+      val (vt, vn) = fieldType(s.getValueType, seen)
       (MapType(StringType, vt, valueContainsNull = vn), false)
     case Schema.Type.ENUM    => (StringType, false)
     case Schema.Type.FIXED   => s.getLogicalType match {

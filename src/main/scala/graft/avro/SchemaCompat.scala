@@ -72,7 +72,7 @@ object SchemaCompat {
           seen.contains(key) || {
             val seen2 = seen + key
             r.getFields.asScala.forall { rf =>
-              w.getField(rf.name()) match {
+              writerField(w, rf) match {
                 case null => rf.hasDefaultValue // reader-only field needs a default
                 case wf => canRead(wf.schema(), rf.schema(), seen2)
               }
@@ -84,11 +84,26 @@ object SchemaCompat {
     }
   }
 
+  /** The writer field a reader field resolves against: matched by name,
+    * or (per the spec's alias rule) by any of the READER field's
+    * aliases naming the writer field — the rename mechanism. */
+  private def writerField(w: Schema, rf: Schema.Field): Schema.Field =
+    w.getField(rf.name()) match {
+      case null =>
+        rf.aliases().asScala.iterator.map(w.getField).collectFirst {
+          case f if f != null => f
+        }.orNull
+      case f => f
+    }
+
   /** Unqualified-name match — deliberately the LIBRARY's semantics
     * (avro's SchemaCompatibility.schemaNameEquals compares simple
-    * names, treating namespaces as routing metadata), so the pin
-    * against the library holds on every input. */
-  private def sameName(a: Schema, b: Schema): Boolean = a.getName == b.getName
+    * names, treating namespaces as routing metadata), extended by the
+    * spec's alias rule: a READER alias naming the writer's full name
+    * redirects a rename. */
+  private def sameName(a: Schema, b: Schema): Boolean =
+    a.getName == b.getName ||
+      b.getAliases.asScala.exists(al => al == a.getFullName || al == a.getName)
 
   /** Registry compatibility verdict for promoting `next` over `prev`. */
   def backward(prev: String, next: String): Boolean =

@@ -143,6 +143,36 @@ class SchemaCompatSpec extends AnyFunSuite {
       && !libCanRead(parse(n1), parse(n3)))
   }
 
+  test("aliases redirect renames: record-level and field-level, agreeing with the library") {
+    val oldRec = """{"type":"record","name":"OldOrder","fields":[
+      |{"name":"legacy_id","type":"string"}]}""".stripMargin.replace("\n", "")
+    val renamed = """{"type":"record","name":"NewOrder","aliases":["OldOrder"],"fields":[
+      |{"name":"id","type":"string","aliases":["legacy_id"]}]}"""
+      .stripMargin.replace("\n", "")
+    val unrelated = """{"type":"record","name":"Other","fields":[
+      |{"name":"id","type":"string"}]}""".stripMargin.replace("\n", "")
+    assert(SchemaCompat.canRead(parse(oldRec), parse(renamed)),
+      "reader aliases must redirect both the record and the field rename")
+    assert(!SchemaCompat.canRead(parse(oldRec), parse(unrelated)),
+      "no alias, different name: incompatible")
+    // the library agrees on both
+    assert(libCanRead(parse(oldRec), parse(renamed)))
+    assert(!libCanRead(parse(oldRec), parse(unrelated)))
+  }
+
+  test("recursive record types fail sparkTypeFor loudly (no stack overflow)") {
+    val recursive = """{"type":"record","name":"Node","fields":[
+      |{"name":"v","type":"long"},
+      |{"name":"next","type":["null","Node"],"default":null}]}"""
+      .stripMargin.replace("\n", "")
+    val e = intercept[IllegalArgumentException] {
+      graft.avro.AvroOcf.sparkTypeFor(parse(recursive))
+    }
+    assert(e.getMessage.contains("recursive record type"), e.getMessage)
+    // ...while SchemaCompat handles the same recursion co-inductively
+    assert(SchemaCompat.canRead(parse(recursive), parse(recursive)))
+  }
+
   test("the rich order schema reads itself and evolves by field drop") {
     val rich = parse(Schemas.richOrderAvroJson)
     assert(SchemaCompat.canRead(rich, rich))

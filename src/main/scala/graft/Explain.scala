@@ -96,17 +96,29 @@ object Explain {
       if (benchSecs.nonEmpty)
         println(s"bench-tail: $slow queries over the $BudgetSecs s budget" +
           (if (slow > 0) " — SLOW rows above need a plan or algorithm fix" else ""))
-      if (hardOffenders.nonEmpty) {
+      // a query ABSENT from the bench file is unmeasured, not exempt:
+      // without this check a stale/partial bench_full.json would let an
+      // over-budget query ship simply by not re-running the bench
+      val unmeasured =
+        if (benchSecs.isEmpty) Seq.empty
+        else SparkEntry.queries.keySet.diff(benchSecs.keySet).toSeq.sorted
+      if (unmeasured.nonEmpty)
+        println(s"UNMEASURED: ${unmeasured.size} queries have no bench entry " +
+          s"(re-run Bench): ${unmeasured.take(10).mkString(", ")}" +
+          (if (unmeasured.size > 10) ", …" else ""))
+      if (hardOffenders.nonEmpty || unmeasured.nonEmpty) {
         spark.stop()
         // the FAILING gate (round-5 advice #7): an over-hard-budget
         // query that is not a probe-justified iteration floor breaks
-        // the audit run loudly instead of scrolling past as a flag
+        // the audit run loudly instead of scrolling past as a flag —
+        // and so does an unmeasured query, which might be one
         throw new IllegalStateException(
           s"bench budget gate FAILED: ${hardOffenders.size} queries over " +
-            s"$HardBudgetSecs s and not floor-justified: " +
+            s"$HardBudgetSecs s and not floor-justified (" +
             hardOffenders.map { case (n, t) => f"$n=$t%.2fs" }.mkString(", ") +
-            " — fix the plan, or (only with a ScaleProbe --floors entry) " +
-            "add to Explain.FloorJustified")
+            s"); ${unmeasured.size} queries unmeasured by the bench file — " +
+            "fix the plan / re-run Bench, or (only with a ScaleProbe " +
+            "--floors entry) add to Explain.FloorJustified")
       }
     } else {
       val names = if (args.nonEmpty) args.toSeq

@@ -97,8 +97,6 @@ object AvroOcf {
     })
   }
 
-  private def fieldType(s: Schema): (DataType, Boolean) = fieldType(s, Set.empty)
-
   private def fieldType(s: Schema, seen: Set[String]): (DataType, Boolean) = s.getType match {
     case Schema.Type.UNION =>
       val nonNull = s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)

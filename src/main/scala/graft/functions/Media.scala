@@ -417,24 +417,28 @@ case class AudioStats(child: Expression)
       case None => null
       case Some((_, _, bitsPerSample, _)) if bitsPerSample != 16 => null
       case Some(_) =>
-        // find the data chunk: RIFF chunks from offset 12
-        var i = 12
-        var dataOff = -1; var dataLen = 0
+        // find the data chunk: RIFF chunks from offset 12. Sizes are
+        // UNSIGNED 32-bit — read and advance in Long space so a hostile
+        // declared size can neither wrap the cursor nor pass the bounds
+        // check below (the parseWav discipline)
+        var i = 12L
+        var dataOff = -1L; var dataLen = -1L
         while (i + 8 <= b.length && dataOff < 0) {
-          val id = new String(b, i, 4, "US-ASCII")
-          val len = ((b(i + 4) & 0xff) | ((b(i + 5) & 0xff) << 8) |
-            ((b(i + 6) & 0xff) << 16) | ((b(i + 7) & 0xff) << 24))
+          val o = i.toInt
+          val id = new String(b, o, 4, "US-ASCII")
+          val len = ((b(o + 4) & 0xffL) | ((b(o + 5) & 0xffL) << 8) |
+            ((b(o + 6) & 0xffL) << 16) | ((b(o + 7) & 0xffL) << 24))
           if (id == "data") { dataOff = i + 8; dataLen = len }
           else i += 8 + len + (len & 1)
         }
-        if (dataOff < 0 || dataOff + dataLen > b.length) return null
-        val n = dataLen / 2
+        if (dataOff < 0 || dataLen < 0 || dataOff + dataLen > b.length) return null
+        val n = (dataLen / 2).toInt
         var t = 0
         var sumAbs = 0L; var sumSq = 0L; var peak = 0
         var crossings = 0L; var clips = 0L; var prev = 0
         while (t < n) {
-          val lo = b(dataOff + 2 * t) & 0xff
-          val hi = b(dataOff + 2 * t + 1)
+          val lo = b(dataOff.toInt + 2 * t) & 0xff
+          val hi = b(dataOff.toInt + 2 * t + 1)
           val s = (hi << 8) | lo // sign-extended via hi being Byte
           val a = math.abs(s)
           sumAbs += a; sumSq += s.toLong * s

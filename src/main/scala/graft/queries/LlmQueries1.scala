@@ -1872,7 +1872,7 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
     val toks = docs.select(col("lang"),
       explode(TextOps.tokens(col("text"))).as("token"))
     val tc = toks.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val classTot = tc.groupBy(col("lang")).agg(sum(col("c")).as("t"))
     val vocab = tc.select(col("token")).distinct().agg(count(lit(1)).as("v"))
     val priors = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))

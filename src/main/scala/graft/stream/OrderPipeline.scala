@@ -301,30 +301,55 @@ object OrderPipeline {
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, (String, Long, Boolean), (String, Long, String)] {
     @transient private var deadline: org.apache.spark.sql.streaming.ValueState[Long] = _
+    // a confirmation can be OBSERVED before its order — shuffled rows
+    // within a batch carry no order, and across batches the
+    // confirmation may land in an earlier micro-batch (both within the
+    // watermark's lateness bound). Forgetting it would turn a confirmed
+    // order into a spurious timeout AND make the output depend on batch
+    // boundaries — so an orphan confirmation is STATE, not a no-op.
+    @transient private var pendingConf: org.apache.spark.sql.streaming.ValueState[Long] = _
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       deadline = getHandle.getValueState[Long]("deadline",
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+      pendingConf = getHandle.getValueState[Long]("pendingConf",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
     override def handleInputRows(key: String, rows: Iterator[(String, Long, Boolean)],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[(String, Long, String)] = {
       var out = List.empty[(String, Long, String)]
-      rows.foreach { case (_, ts, isConf) =>
-        if (isConf) {
-          if (deadline.exists()) {
-            val d = deadline.get()
-            deadline.clear()
-            getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
-            out ::= ((key, d, "confirmed"))
+      // process ORDERS before CONFIRMATIONS (event-time order within
+      // each class): the iterator's shuffle order is arbitrary, and a
+      // same-batch confirm-then-order interleaving must resolve the
+      // same way as order-then-confirm — batch boundaries and shuffle
+      // order must not change the outcome
+      rows.toSeq.sortBy { case (_, ts, isConf) => (isConf, ts) }.foreach {
+        case (_, ts, isConf) =>
+          if (isConf) {
+            if (deadline.exists()) {
+              val d = deadline.get()
+              deadline.clear()
+              getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
+              out ::= ((key, d, "confirmed"))
+            } else if (!pendingConf.exists()) {
+              pendingConf.update(ts) // orphan: waits for its order
+            }
+          } else if (!deadline.exists()) {
+            val d = ts + slaMs
+            if (pendingConf.exists()) {
+              // the confirmation already arrived (observed early):
+              // resolve immediately, never arm a timer
+              pendingConf.clear()
+              out ::= ((key, d, "confirmed"))
+            } else {
+              deadline.update(d)
+              getHandle.registerTimer(d)
+            }
           }
-          // a confirmation with no open order is a no-op (late dup)
-        } else if (!deadline.exists()) {
-          val d = ts + slaMs
-          deadline.update(d)
-          getHandle.registerTimer(d)
-        }
-        // a duplicate order keeps the FIRST deadline (offset order)
+          // a duplicate order keeps the FIRST deadline (offset order)
       }
       out.reverseIterator
     }
@@ -446,13 +471,21 @@ object OrderPipeline {
   final class CompactedStateProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, (String, Long, Double, Boolean), (String, Long, Double, Boolean)] {
-    @transient private var latest: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    // (offset, value, live): the TOMBSTONE is retained as state
+    // (live = false) rather than clearing the key — clearing would
+    // forget the delete's offset, and a stale lower-offset record
+    // redelivered in a later batch would resurrect the deleted key.
+    // This is exactly why Kafka's compactor keeps tombstones for
+    // delete.retention.ms before purging; purging here would be a
+    // TTL on the state entry.
+    @transient private var latest: org.apache.spark.sql.streaming.ValueState[(Long, Double, Boolean)] = _
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      latest = getHandle.getValueState[(Long, Double)]("latest",
+      latest = getHandle.getValueState[(Long, Double, Boolean)]("latest",
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.scalaDouble),
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaBoolean),
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     override def handleInputRows(key: String,
         rows: Iterator[(String, Long, Double, Boolean)],
@@ -465,14 +498,15 @@ object OrderPipeline {
       // LATER micro-batch than a higher-offset record for the same key;
       // the compactor's rule is max offset WINS REGARDLESS OF ARRIVAL
       // ORDER, so a batch winner older than the stored offset is stale
-      // and must not regress the key (nor re-emit anything)
+      // and must not regress the key (nor re-emit anything) — including
+      // a stale LIVE record arriving after the key was tombstoned
       if (latest.exists() && latest.get()._1 > win._2) {
         Iterator.empty
       } else if (win._4) {
-        latest.clear()
+        latest.update((win._2, 0.0, false))
         Iterator((key, win._2, 0.0, false))
       } else {
-        latest.update((win._2, win._3))
+        latest.update((win._2, win._3, true))
         Iterator((key, win._2, win._3, true))
       }
     }

@@ -279,6 +279,25 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.functions.MediaHeaders.parseWav(bytes) === Some((1, 16000, 16, n.toLong)))
   }
 
+  test("audio_stats survives hostile declared chunk sizes (returns null, never crashes)") {
+    import graft.functions.media.{audio_stats, synth_wav_pcm}
+    val good = spark.range(1)
+      .select(synth_wav_pcm(lit(1L), lit(8)).as("b")).head().getAs[Array[Byte]](0)
+    // data chunk declares 0x7FFFFFF0 bytes but carries 16: the Int sum
+    // dataOff + dataLen used to wrap negative and index out of bounds
+    val hugeSize = good.clone()
+    hugeSize(40) = 0xf0.toByte; hugeSize(41) = 0xff.toByte
+    hugeSize(42) = 0xff.toByte; hugeSize(43) = 0x7f.toByte
+    // declared size 0x80000000 (negative as Int32): used to emit a
+    // bogus all-zero stats row
+    val negSize = good.clone()
+    negSize(40) = 0x00.toByte; negSize(41) = 0x00.toByte
+    negSize(42) = 0x00.toByte; negSize(43) = 0x80.toByte
+    val out = Seq(hugeSize, negSize).toDF("b")
+      .select(audio_stats($"b").as("s")).collect()
+    assert(out.forall(_.isNullAt(0)), "hostile sizes must yield null")
+  }
+
   test("pixel/sample decoders are PERMISSIVE: non-matching payloads -> null") {
     import graft.functions.media.{audio_stats, image_downsample, image_stats}
     val junk = Seq(Array[Byte](1, 2, 3), "P5 broken".getBytes("US-ASCII"),

@@ -654,6 +654,71 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("a stale live record cannot resurrect a tombstoned key (tombstone offset retained)") {
+    // the other direction of the stale guard: the DELETE is the max
+    // offset, and a lower-offset live record redelivered afterwards
+    // must not bring the key back — which requires the tombstone's
+    // offset to remain in state (Kafka's delete.retention.ms exists
+    // for exactly this window)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(String, Long, Double, Boolean)](spark)
+      val compacted = OrderPipeline.compactedState(
+        spark, stream.toDF().toDF("key", "offset", "value", "tomb"))
+      val q = compacted.toDF("key", "offset", "value", "live").writeStream
+        .outputMode("update").format("memory").queryName("compact_resurrect")
+        .option("checkpointLocation", tmpDir("graft-compact-resurrect-ckpt")).start()
+      stream.addData(("A", 10L, 0.0, true)) // delete at offset 10
+      q.processAllAvailable()
+      stream.addData(("A", 3L, 30.0, false)) // stale pre-delete redelivery
+      q.processAllAvailable()
+      stream.addData(("A", 11L, 70.0, false)) // genuine rebirth
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("compact_resurrect")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toList
+      assert(rows === List(("A", 10L, 0.0, false), ("A", 11L, 70.0, true)),
+        s"stale live record resurrected a deleted key: $rows")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("order timeouts are batch-boundary-independent: confirmation observed before its order") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1700000000000L
+      val sla = 600000L
+      val stream = MemoryStream[(String, java.sql.Timestamp, Boolean)](spark)
+      val out = OrderPipeline.orderTimeouts(spark,
+        stream.toDF().toDF("orderId", "timestamp", "is_confirmation"),
+        slaMs = sla, lateness = "30 minutes")
+      val q = out.toDF("orderId", "deadline_ms", "outcome").writeStream
+        .outputMode("update").format("memory").queryName("sla_reorder")
+        .option("checkpointLocation", tmpDir("graft-sla-reorder-ckpt")).start()
+      // o1: confirmation lands in an EARLIER micro-batch than its order
+      stream.addData(("o1", new Timestamp(t0 + 60000), true))
+      q.processAllAvailable()
+      stream.addData(("o1", new Timestamp(t0), false))
+      q.processAllAvailable()
+      // o2: both rows in the SAME batch (iterator order arbitrary)
+      stream.addData(("o2", new Timestamp(t0 + 60000), true),
+        ("o2", new Timestamp(t0), false))
+      q.processAllAvailable()
+      // advance the watermark far past every deadline; fire timers
+      stream.addData(("ahead", new Timestamp(t0 + 7200000), false))
+      q.processAllAvailable()
+      stream.addData(("ahead", new Timestamp(t0 + 7200001), true))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("sla_reorder").collect()
+        .map(r => (r.getString(0), r.getString(2))).toSet
+      assert(rows.contains(("o1", "confirmed")), s"cross-batch early confirm lost: $rows")
+      assert(rows.contains(("o2", "confirmed")), s"same-batch reorder lost: $rows")
+      assert(!rows.exists(r => r._1 != "ahead" && r._2 == "timeout"),
+        s"spurious timeout from observation order: $rows")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming compacted state agrees with the batch compaction rule") {
     // Replay a small changelog through the streaming processor one
     // record per micro-batch (worst case for state churn) and through

@@ -1165,18 +1165,20 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
       vals.select(col("n_name"), col("v").cast("double").as("ord"), col("ok")),
       "n_name", "ord", "ok", 32)
       .localCheckpoint(eager = false)
-    val n = ranked.groupBy(col("n_name")).agg(max(col("rnk")).as("n"))
-    val nD = col("n").cast("double")
-    ranked.join(broadcast(n
-        .withColumn("lo_rank", greatest(lit(1L),
-          floor((nD - lit(1.96) * sqrt(nD)) / lit(2.0)).cast("long")))
-        .withColumn("hi_rank", least(col("n"),
-          ceil((nD + lit(1.96) * sqrt(nD)) / lit(2.0)).cast("long") + 1L))
-        .withColumn("med_rank", expr("(n + 1) div 2"))), "n_name")
+    // the rank bracket derives per ROW from grp_n (same IEEE tree on
+    // the same values, so identical endpoints) — no per-group count
+    // agg + broadcast join back
+    val nD = col("grp_n").cast("double")
+    ranked
+      .withColumn("lo_rank", greatest(lit(1L),
+        floor((nD - lit(1.96) * sqrt(nD)) / lit(2.0)).cast("long")))
+      .withColumn("hi_rank", least(col("grp_n"),
+        ceil((nD + lit(1.96) * sqrt(nD)) / lit(2.0)).cast("long") + 1L))
+      .withColumn("med_rank", expr("(grp_n + 1) div 2"))
       .filter(col("rnk") === col("lo_rank") ||
         col("rnk") === col("med_rank") || col("rnk") === col("hi_rank"))
       .groupBy(col("n_name"))
-      .agg(max(col("n")).as("n"),
+      .agg(max(col("grp_n")).as("n"),
         max(when(col("rnk") === col("lo_rank"), col("ord"))).cast("long")
           .as("ci_lo_cents"),
         max(when(col("rnk") === col("med_rank"), col("ord"))).cast("long")
@@ -1373,9 +1375,10 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
       scored.select(lit("all").as("g"),
         col("fk_milli").cast("double").as("ord"), col("doc_id")),
       "g", "ord", "doc_id", 32)
-    val n = ranked.agg(max(col("rnk")).as("n"))
-    ranked.crossJoin(broadcast(n))
-      .withColumn("stage", expr("(rnk - 1) * 4 div n + 1"))
+    // the single group's size IS grp_n on every row — no global agg +
+    // crossJoin round-trip
+    ranked
+      .withColumn("stage", expr("(rnk - 1) * 4 div grp_n + 1"))
       .join(scored.select(col("doc_id"), col("words"), col("fk_milli")),
         "doc_id")
       .groupBy(col("stage"))

@@ -587,16 +587,15 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       .select(col("n_name"), col("o_orderkey").as("ok"),
         Analytics.cents(col("o_totalprice")).as("v"))
       .localCheckpoint(eager = false)
-    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
-      val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+    // groupedRank already carries the group size (grp_n), so median
+    // selection is a plain filter — no per-group count agg + join back
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame =
+      graft.ops.ScalablePrefix.groupedRank(s,
         df.select(col("n_name"), col(valueCol).cast("double").as("ord"),
           col("ok")),
         "n_name", "ord", "ok", 32)
-      val n = ranked.groupBy(col("n_name")).agg(max(col("rnk")).as("n"))
-      ranked.join(n, "n_name")
-        .filter(col("rnk") === expr("(n + 1) div 2"))
+        .filter(col("rnk") === expr("(grp_n + 1) div 2"))
         .select(col("n_name"), col("ord").cast("long").as(out))
-    }
     val med = lowerMedian(vals, "v", "med_cents")
     val dev = vals.join(broadcast(med), "n_name")
       .withColumn("dev", abs(col("v") - col("med_cents")))
@@ -739,12 +738,13 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     val ranked = graft.ops.ScalablePrefix.groupedRank(s,
       vals.select(col("n_name"), col("v").cast("double").as("ord"), col("ok")),
       "n_name", "ord", "ok", 32)
-    val n = ranked.groupBy(col("n_name")).agg(max(col("rnk")).as("n"))
-    ranked.join(broadcast(n), "n_name")
-      .filter(col("rnk") > expr("n div 10") &&
-        col("rnk") <= expr("n - n div 10"))
+    // grp_n rides along with every rank — the decile fences are plain
+    // row filters, no count agg + broadcast join
+    ranked
+      .filter(col("rnk") > expr("grp_n div 10") &&
+        col("rnk") <= expr("grp_n - grp_n div 10"))
       .groupBy(col("n_name"))
-      .agg(max(col("n")).as("n"), count(lit(1)).as("n_kept"),
+      .agg(max(col("grp_n")).as("n"), count(lit(1)).as("n_kept"),
         sum(col("ord").cast("long")).as("sum_cents"))
       .withColumn("trimmed_mean_cents", expr("sum_cents div n_kept"))
       .select(col("n_name"), col("n"), col("n_kept"),

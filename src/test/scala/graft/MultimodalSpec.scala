@@ -5,8 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.llm.Multimodal
 
 /** Multimodal plumbing: binary columns, partition-wise decode, feature
-  * extraction shape, resize math, frame sampling batch shape. The
-  * decode/encode internals are stubs; the Spark plumbing is real. */
+  * extraction shape, resize math, frame sampling batch shape. Header
+  * parsing (PNG/JPEG/GIF/WAV/AVI) is real byte inspection, and pixel/
+  * sample DATA decode is real for the uncompressed formats (PGM via
+  * image_stats/image_downsample, PCM16 WAV via audio_stats); only
+  * compressed-codec decode remains behind the documented
+  * mapPartitions seam with a deterministic stub. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 

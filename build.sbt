@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench suite compiles thousands of whole-stage-codegen classes;
+  // the JDK-17 default 240 MB code cache pins its profiled segment at
+  // ~70% with continuous UseCodeCacheFlushing churn (~0.4 s of JIT
+  // compile time per query, competing with executor threads on
+  // local[N]). A larger reserve turns that churn off.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -126,19 +126,33 @@ case class ToAvroConfluent(child: Expression, schemaJson: String, schemaId: Int)
 }
 
 /** `from_avro_confluent(binary)` -> struct of the READER schema. The
-  * embedded 4-byte schema id selects the WRITER schema from the
-  * broadcast-sized id→schema map (the registry's subject history —
-  * bounded by schema versions, never by data volume), and decode
-  * resolves writer→reader per the Avro spec, so consumers keep working
-  * across producer schema evolution. Null on wrong magic, unknown id,
-  * or datum decode failure (PERMISSIVE → DLQ, like the OCF path). */
+  * embedded 4-byte schema id selects the WRITER schema through the
+  * [[SchemaRegistryResolver]] seam (offline: a static registry-dump
+  * snapshot; live: an HTTP client — either way bounded by schema
+  * VERSIONS, never by data volume), and decode resolves writer→reader
+  * per the Avro spec, so consumers keep working across producer schema
+  * evolution. Parsed writer schemas are cached per (executor, id), so
+  * the resolver — including a live client's remote fetch — is hit once
+  * per new id, like the official client's identity cache. Null on
+  * wrong magic, unknown id, or datum decode failure (PERMISSIVE → DLQ,
+  * like the OCF path). */
 case class FromAvroConfluent(child: Expression, readerSchemaJson: String,
-    writerSchemasById: Map[Int, String])
+    registry: SchemaRegistryResolver)
     extends UnaryExpression with CodegenFallback {
   @transient private lazy val readerSchema = new Schema.Parser().parse(readerSchemaJson)
   @transient private lazy val structType = AvroOcf.sparkTypeFor(readerSchema)
-  @transient private lazy val writerSchemas: Map[Int, Schema] =
-    writerSchemasById.map { case (id, js) => id -> new Schema.Parser().parse(js) }
+  // cache-miss path: resolve (a live client fetches here) → parse →
+  // cache; an unknown id re-resolves per call, which is what a live
+  // client's negative-lookup does too (the id may appear in the
+  // registry seconds later)
+  @transient private lazy val writerCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Schema]()
+  private def writerFor(id: Int): Option[Schema] =
+    Option(writerCache.get(id)).orElse {
+      val parsed = registry.resolve(id).map(js => new Schema.Parser().parse(js))
+      parsed.foreach(sc => writerCache.putIfAbsent(id, sc))
+      parsed
+    }
 
   override def dataType: DataType = structType
   override def nullable: Boolean = true
@@ -151,7 +165,7 @@ case class FromAvroConfluent(child: Expression, readerSchemaJson: String,
     val bytes = input.asInstanceOf[Array[Byte]]
     val id = AvroOcf.confluentSchemaId(bytes)
     if (id < 0) return null
-    writerSchemas.get(id) match {
+    writerFor(id) match {
       case None => null
       case Some(writer) =>
         try AvroOcf.decodeDatumRowResolved(bytes, 5, structType, writer, readerSchema)
@@ -206,7 +220,11 @@ object AvroCanRead {
   * format-agnostic consumer). OCF = `Obj\x01` magic; Confluent =
   * `0x00` + 4-byte id with at least one datum byte; anything else
   * (raw datums included — they are indistinguishable from noise
-  * without a schema) is 'other'. */
+  * without a schema) is 'other'. The label is a HEURISTIC for raw
+  * datums in both directions: a >5-byte raw datum whose first field
+  * happens to encode as a leading zero byte (empty string, zigzag 0)
+  * is reported 'confluent' — triage consumers must treat the label as
+  * a routing hint, not proof of framing. */
 case class AvroFraming(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
@@ -251,11 +269,18 @@ object functions {
     ColumnBridge.column(ToAvroConfluent(ColumnBridge.expression(c), schemaJson, schemaId))
 
   /** Decode Confluent-framed messages: the embedded id picks the writer
-    * schema from `writerSchemasById`; output is shaped by `readerSchemaJson`. */
+    * schema from a static registry snapshot; output is shaped by
+    * `readerSchemaJson`. */
   def from_avro_confluent(c: Column, readerSchemaJson: String,
       writerSchemasById: Map[Int, String]): Column =
+    from_avro_confluent(c, readerSchemaJson, StaticSchemaRegistry(writerSchemasById))
+
+  /** Decode Confluent-framed messages through an arbitrary
+    * [[SchemaRegistryResolver]] — the live-client seam. */
+  def from_avro_confluent(c: Column, readerSchemaJson: String,
+      registry: SchemaRegistryResolver): Column =
     ColumnBridge.column(FromAvroConfluent(ColumnBridge.expression(c),
-      readerSchemaJson, writerSchemasById))
+      readerSchemaJson, registry))
 
   /** Avro spec schema-resolution compatibility as a predicate column. */
   def avro_can_read(writerJson: Column, readerJson: Column): Column =
@@ -292,7 +317,8 @@ object functions {
       "to_avro_confluent", es => ToAvroConfluent(es.head, lit(es(1)), intLit(es(2))), "scala_udf")
     reg.createOrReplaceTempFunction(
       "from_avro_confluent",
-      es => FromAvroConfluent(es.head, lit(es(1)), Map(intLit(es(2)) -> lit(es(1)))),
+      es => FromAvroConfluent(es.head, lit(es(1)),
+        StaticSchemaRegistry(Map(intLit(es(2)) -> lit(es(1))))),
       "scala_udf")
     reg.createOrReplaceTempFunction(
       "avro_can_read", es => AvroCanRead(es.head, es(1)), "scala_udf")

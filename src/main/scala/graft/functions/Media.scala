@@ -290,7 +290,11 @@ object Pgm {
     }
     val w = int(); val h = int(); val mx = int()
     if (w <= 0 || h <= 0 || mx <= 0 || mx > 255 || i >= b.length) return None
-    i += 1 // the single whitespace after maxval
+    // the single whitespace after maxval must actually BE whitespace:
+    // a malformed header like "P5 8 8 255X…" must fail, not silently
+    // shift the pixel window by one byte
+    if (b(i) != ' ' && b(i) != '\n' && b(i) != '\r' && b(i) != '\t') return None
+    i += 1
     if (b.length - i < w.toLong * h) return None
     Some((w, h, mx, i))
   }
@@ -541,6 +545,246 @@ case class SynthWavPcm(left: Expression, right: Expression)
   override def prettyName: String = "synth_wav_pcm"
 }
 
+/** Minimal REAL PNG codec for 8-bit grayscale, non-interlaced images —
+  * the compressed-format pixel path (round-7 advice: "real corpora are
+  * JPEG/PNG-deflate"). Everything is pure JVM: DEFLATE via
+  * java.util.zip (the same zlib stream every PNG encoder writes),
+  * CRC-32 via java.util.zip.CRC32, and the full scanline filter set
+  * (None/Sub/Up/Average/Paeth, PNG spec §9) on both encode and decode.
+  * The container reference for the header layout is the public PNG
+  * spec (RFC 2083); the reference repo has no multimodal path — this
+  * generalizes its byte-level Avro codec discipline to media bytes. */
+object Png {
+  private val Sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def crc(typ: Array[Byte], data: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(typ); c.update(data); c.getValue
+  }
+
+  private def chunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val t = typ.getBytes("US-ASCII")
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    be32(data.length.toLong); out.write(t); out.write(data); be32(crc(t, data))
+  }
+
+  /** Paeth predictor (PNG spec §9.4) — exact spec arithmetic. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode 8-bit grayscale pixels as a complete PNG. Each scanline is
+    * filtered with type (row mod 5) — exercising ALL five spec filters
+    * so a decoder that fakes unfiltering cannot round-trip — then the
+    * filtered stream is DEFLATE-compressed into one IDAT. */
+  def encode(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    val ihdr = new Array[Byte](13)
+    def be32a(off: Int, v: Int): Unit = {
+      ihdr(off) = ((v >> 24) & 0xff).toByte; ihdr(off + 1) = ((v >> 16) & 0xff).toByte
+      ihdr(off + 2) = ((v >> 8) & 0xff).toByte; ihdr(off + 3) = (v & 0xff).toByte
+    }
+    be32a(0, w); be32a(4, h)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 0 // color type: grayscale
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0 // deflate, adaptive filters, no interlace
+    // filtered scanlines: 1 filter-type byte + w filtered bytes per row
+    val raw = new Array[Byte]((w + 1) * h)
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      raw(y * (w + 1)) = f.toByte
+      var x = 0
+      while (x < w) {
+        val cur = px(y * w + x) & 0xff
+        val left = if (x > 0) px(y * w + x - 1) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * w + x) & 0xff else 0
+        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xff else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(y * (w + 1) + 1 + x) = (filtered & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Sig)
+    chunk(out, "IHDR", ihdr)
+    chunk(out, "IDAT", bos.toByteArray)
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode a grayscale-8 non-interlaced PNG: verifies the signature
+    * and every chunk CRC, concatenates multi-IDAT streams, INFLATEs,
+    * and un-filters all five scanline filter types. Returns
+    * (width, height, pixels) or None for anything malformed — never
+    * throws on arbitrary bytes. */
+  def decode(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b == null || b.length < Sig.length + 12) return None
+    var i = 0
+    while (i < Sig.length) { if (b(i) != Sig(i)) return None; i += 1 }
+    def be32(off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var seenEnd = false
+    while (!seenEnd) {
+      if (i + 8 > b.length) return None
+      val len = be32(i)
+      if (len > Int.MaxValue - 12 || i + 12 + len > b.length) return None
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      val data = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len.toInt)
+      val tb = java.util.Arrays.copyOfRange(b, i + 4, i + 8)
+      if (crc(tb, data) != be32(i + 8 + len.toInt)) return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(i + 8).toInt; h = be32(i + 12).toInt
+          // grayscale-8, deflate, non-interlaced only — the synthetic
+          // corpus contract; other color types report None (metadata
+          // still flows through image_dims)
+          if (data(8) != 8 || data(9) != 0 || data(10) != 0 ||
+            data(11) != 0 || data(12) != 0) return None
+          if (w <= 0 || h <= 0 || w.toLong * h > (1 << 24)) return None
+        case "IDAT" => idat.write(data)
+        case "IEND" => seenEnd = true
+        case _ => () // ancillary chunks skipped (CRC still verified)
+      }
+      i += 12 + len.toInt
+    }
+    if (w <= 0 || h <= 0) return None
+    val raw = new Array[Byte]((w + 1) * h)
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !infl.finished()) {
+        val n = infl.inflate(raw, got, raw.length - got)
+        if (n == 0 && infl.needsInput()) return None // truncated stream
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally infl.end()
+    if (got != raw.length) return None
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (w + 1)) & 0xff
+      if (f > 4) return None
+      var x = 0
+      while (x < w) {
+        val cur = raw(y * (w + 1) + 1 + x) & 0xff
+        val left = if (x > 0) px(y * w + x - 1) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * w + x) & 0xff else 0
+        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xff else 0
+        val recon = f match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => cur + paeth(left, up, ul)
+        }
+        px(y * w + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+}
+
+/** `synth_png(id, w, h)` -> a COMPLETE compressed PNG (grayscale-8,
+  * DEFLATE IDAT, all five scanline filters cycling by row) with pixel
+  * (x, y) = (id·7 + x·31 + y·17) mod 256 — the same congruence as
+  * synth_pgm, so the oracle replays pixel statistics without needing
+  * zlib: the engine proves decode(deflate(filter(px))) == px. */
+case class SynthPng(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"synth_png expects (long id, int w, int h), got $other")
+    }
+  override def nullSafeEval(idA: Any, wA: Any, hA: Any): Any = {
+    val id = idA.asInstanceOf[Long]
+    val w = wA.asInstanceOf[Int]; val h = hA.asInstanceOf[Int]
+    require(w > 0 && h > 0 && w.toLong * h <= (1 << 22),
+      s"synth_png dims out of range: ${w}x$h")
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = (((id * 7 + x * 31L + y * 17L) % 256 + 256) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Png.encode(w, h, px)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): SynthPng = copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_png"
+}
+
+/** `png_stats(png_binary)` -> struct(width, height, n_px, px_sum,
+  * px_min, px_max): the SAME exact integer statistics as image_stats,
+  * but from a REAL compressed decode — chunk walk with CRC checks,
+  * INFLATE, full five-filter reconstruction. Null for anything that is
+  * not a well-formed grayscale-8 PNG. */
+case class PngStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("n_px", LongType), StructField("px_sum", LongType),
+    StructField("px_min", IntegerType), StructField("px_max", IntegerType)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"png_stats expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Png.decode(input.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some((w, h, px)) =>
+        var i = 0; var sum = 0L; var mn = 255; var mx = 0
+        while (i < px.length) {
+          val v = px(i) & 0xff
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        new GenericInternalRow(Array[Any](w, h, w.toLong * h, sum, mn, mx))
+    }
+  override protected def withNewChildInternal(newChild: Expression): PngStats =
+    copy(child = newChild)
+  override def prettyName: String = "png_stats"
+}
+
 object media {
   def image_dims(blob: Column): Column =
     ColumnBridge.column(ImageDims(ColumnBridge.expression(blob)))
@@ -560,4 +804,9 @@ object media {
   def synth_wav_pcm(id: Column, n: Column): Column =
     ColumnBridge.column(SynthWavPcm(ColumnBridge.expression(id),
       ColumnBridge.expression(n)))
+  def synth_png(id: Column, w: Column, h: Column): Column =
+    ColumnBridge.column(SynthPng(ColumnBridge.expression(id),
+      ColumnBridge.expression(w), ColumnBridge.expression(h)))
+  def png_stats(blob: Column): Column =
+    ColumnBridge.column(PngStats(ColumnBridge.expression(blob)))
 }

@@ -233,13 +233,16 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
     * relevance AND the redundancy each pick paid, so the
     * relevance-vs-diversity trade is auditable. Scale shape: candidate
     * generation is the bounded per-stratum heap top-N (no global
-    * sort); everything after operates on k′ = 8 candidates per query —
-    * the candidate frame is localCheckpointed once (24 rows) and the
-    * three greedy steps are broadcast joins against it, so the corpus
-    * is scanned exactly twice (top-N + vector fetch) no matter how
-    * large it grows. */
+    * sort) and the vector fetch is one broadcast join, so the corpus
+    * is scanned exactly twice no matter how large it grows; the
+    * candidate frame itself is BOUNDED MODEL STATE (queries × k′ =
+    * 24 rows of 64-float vectors), so the pairwise sims and the three
+    * greedy picks run driver-side — the qKcenter convention — instead
+    * of as distributed joins+windows over 24 rows. The driver-side
+    * fixed-point cosine is bit-identical to the fixed_point_dot
+    * kernel (same per-term floor(x·y·1e9 + 0.5) longs, same IEEE
+    * division tree), so the oracle hash is unchanged. */
   private[graft] def qMmrRerank(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id").isin(0, 7, 42))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -253,48 +256,54 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
     val ids = graft.ops.Sampling
       .stratifiedTopN(s, scored, "qid", "distkey", "vec_id", n = 8)
       .select(col("qid").cast("long").as("qid"), col("vec_id"))
+    // ONE distributed job: fetch the 24 candidate vectors + their
+    // relevance (rel computed by the codegen'd kernel, same as before)
     val cand = emb
       .join(broadcast(ids), "vec_id")
       .join(broadcast(queries), "qid")
       .select(col("qid"), col("vec_id"), col("embedding"),
         Similarity.cosineFp(col("embedding"), col("qv")).as("rel"))
-      .localCheckpoint()
-    val sims = cand.as("a")
-      .join(cand.as("b"),
-        col("a.qid") === col("b.qid") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.qid").as("qid"), col("a.vec_id").as("ca"),
-        col("b.vec_id").as("cb"),
-        Similarity.cosineFp(col("a.embedding"), col("b.embedding")).as("sim"))
-      .localCheckpoint()
-    val first = Window.partitionBy(col("qid"))
-      .orderBy(col("rel").desc, col("vec_id"))
-    val s1 = cand.withColumn("rn", row_number().over(first))
-      .filter(col("rn") === 1)
-      .select(col("qid"), col("vec_id"), col("rel"),
-        lit(0.0).as("red"))
-    def pick(selected: DataFrame): DataFrame = {
-      val rem = cand.join(selected, Seq("qid", "vec_id"), "left_anti")
-      val red = rem.as("c")
-        .join(sims.as("s"),
-          col("c.qid") === col("s.qid") && col("c.vec_id") === col("s.ca"))
-        .join(selected.select(col("qid").as("sq"), col("vec_id").as("sv")),
-          col("s.qid") === col("sq") && col("s.cb") === col("sv"))
-        .groupBy(col("c.qid").as("qid"), col("c.vec_id").as("vec_id"),
-          col("c.rel").as("rel"))
-        .agg(max(col("s.sim")).as("red"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy((col("rel") - col("red")).desc, col("vec_id"))
-      red.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("qid"), col("vec_id"), col("rel"), col("red"))
+      .collect()
+    // driver-side replica of fixed_point_dot / cosineFp (Kernels.scala
+    // FixedPointDot contract: per-term floor(x*y*1e9 + 0.5) summed long)
+    def dotFp(a: Seq[Float], b: Seq[Float]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) {
+        acc += math.floor(a(i).toDouble * b(i).toDouble * 1e9 + 0.5).toLong
+        i += 1
+      }
+      acc
     }
-    val sel1 = s1.select(col("qid"), col("vec_id"))
-    val s2 = pick(sel1)
-    val s3 = pick(sel1.unionAll(s2.select(col("qid"), col("vec_id"))))
-    s1.withColumn("rank", lit(1L))
-      .unionAll(s2.withColumn("rank", lit(2L)))
-      .unionAll(s3.withColumn("rank", lit(3L)))
-      .select(col("qid"), col("rank"), col("vec_id"), col("rel"), col("red"),
-        (col("rel") - col("red")).as("mmr"))
+    def cosFp(a: Seq[Float], b: Seq[Float]): Double =
+      (dotFp(a, b) / 1e9) /
+        (math.sqrt(dotFp(a, a) / 1e9) * math.sqrt(dotFp(b, b) / 1e9))
+    final case class C(vecId: Long, v: Seq[Float], rel: Double)
+    val byQ = cand.map { r =>
+      (r.getLong(0), C(r.getLong(1), r.getSeq[Float](2), r.getDouble(3)))
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val out = byQ.toSeq.flatMap { case (qid, cs) =>
+      // greedy MMR: pick 1 = argmax rel; picks 2..3 = argmax rel − red,
+      // red = max sim to selected; all ties to the smaller vec_id
+      var selected = Vector.empty[C]
+      var rows = Vector.empty[(Long, Long, Long, Double, Double, Double)]
+      var rank = 1L
+      while (rank <= 3L && selected.size < cs.length) {
+        val rem = cs.filterNot(c => selected.exists(_.vecId == c.vecId))
+        val scored = rem.map { c =>
+          val red =
+            if (selected.isEmpty) 0.0
+            else selected.map(sc => cosFp(c.v, sc.v)).max
+          (c, red, c.rel - red)
+        }
+        val (best, red, mmr) = scored.minBy { case (c, _, m) => (-m, c.vecId) }
+        rows :+= ((qid, rank, best.vecId, best.rel, red, mmr))
+        selected :+= best
+        rank += 1
+      }
+      rows
+    }
+    import s.implicits._
+    out.toDF("qid", "rank", "vec_id", "rel", "red", "mmr")
       .orderBy(col("qid"), col("rank"))
   }
 

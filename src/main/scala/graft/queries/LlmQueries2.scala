@@ -1545,7 +1545,39 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** REAL COMPRESSED-image decode, oracle-checked end to end: each
+    * selected document synthesizes a complete PNG — grayscale-8 IHDR,
+    * DEFLATE-compressed IDAT, chunk CRCs, and all FIVE scanline
+    * filters cycling by row (pixel (x,y) = (id·7 + x·31 + y·17) mod
+    * 256, the synth_pgm congruence) — and `png_stats` decodes it back:
+    * chunk walk with CRC verification, java.util.zip INFLATE, full
+    * None/Sub/Up/Average/Paeth reconstruction, then exact integer
+    * pixel statistics. The oracle replays the congruence over a
+    * generate_series grid, so the gate proves
+    * decode(deflate(filter(px))) == px over real zlib bytes — closing
+    * the "real corpora are compressed" gap in the multimodal story
+    * (round-7 advice #6). Per-row kernels only; the corpus-scale shape
+    * is identical to q_image_pipeline's narrow map. */
+  private[graft] def qPngDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.media._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(16) + col("doc_id") % 8).cast("int").as("w"),
+        (lit(12) + col("doc_id") % 4).cast("int").as("h"))
+    d.select(col("doc_id"),
+        png_stats(synth_png(col("doc_id"), col("w"), col("h"))).as("s"))
+      .select(col("doc_id"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.px_sum").as("px_sum"),
+        expr("s.px_sum * 1000 div s.n_px").as("mean_milli"),
+        col("s.px_min").cast("long").as("px_min"),
+        col("s.px_max").cast("long").as("px_max"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] def llm2QueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_png_decode" -> (qPngDecode _),
     "q_image_pipeline" -> (qImagePipeline _),
     "q_audio_pcm" -> (qAudioPcm _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
@@ -1595,6 +1627,24 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
   )
 
   private[graft] def llm2OracleMap: Map[String, String] = Map(
+    "q_png_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, gx.x, gy.y,
+        |         (d.doc_id * 7 + gx.x * 31 + gy.y * 17) % 256 AS v
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 23) AS gx(x)
+        |  CROSS JOIN generate_series(0, 15) AS gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h)
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |       CAST(MIN(h) AS BIGINT) AS height,
+        |       CAST(SUM(v) AS BIGINT) AS px_sum,
+        |       CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_milli,
+        |       CAST(MIN(v) AS BIGINT) AS px_min,
+        |       CAST(MAX(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_image_pipeline" ->
       """WITH d AS (
         |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 4 AS h

@@ -850,6 +850,27 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
     "q_xml_roundtrip" -> (qXmlRoundtrip _),
   )
 
+  /** OCF per-message byte overhead DERIVED from the actual schema JSON
+    * (round-7 advice: never hardcode the 228): header = magic(4) +
+    * meta-map count varint(1) + "avro.schema" key (len varint 1 + 11)
+    * + schema-length varint (2 bytes while 64 ≤ L ≤ 8191) + L +
+    * map-end(1) + header sync(16); each single-record message then
+    * adds record-count varint(1) + block-size varint (1 byte while the
+    * datum ≤ 63 B — both width assumptions are require-guarded, so a
+    * schema or word-list edit fails the build instead of silently
+    * invalidating the oracle) + block sync(16). */
+  private[graft] val ocfPerMessageOverhead: Int = {
+    val L = Schemas.orderAvroJson.getBytes("UTF-8").length
+    require(L >= 64 && L <= 8191,
+      s"OCF oracle assumes a 2-byte schema-length varint; schema JSON is $L bytes")
+    // datum = orderId varint(1) + 36-char uuid + product varint(1) +
+    // product + float(4); product = two Words + space
+    val maxProduct = graft.sources.OrderGen.Words.map(_.length).max * 2 + 1
+    require(42 + maxProduct <= 63,
+      s"OCF oracle assumes a 1-byte block-size varint; max datum = ${42 + maxProduct} B")
+    (4 + 1 + 1 + 11 + 2 + L + 1 + 16) + 1 + 1 + 16
+  }
+
   private[graft] def parityOracleMap: Map[String, String] = Map(
     "q_idempotent_dedup" ->
       """WITH base AS (
@@ -1193,6 +1214,9 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
          |SELECT order_key, order_id, product,
          |       CAST(CAST(price AS REAL) AS DOUBLE) AS price,
          |       CASE WHEN order_key % 2 = 0 THEN 'USD' ELSE 'EUR' END AS currency,
+         |       -- 11 = Confluent prefix(5) + id/product length varints(1+1)
+         |       -- + float(4); +4 = the v2 writer's currency field
+         |       -- (3-char code + 1-byte varint — both codes are 3 chars)
          |       CAST(length(order_id) + length(product) + 11
          |            + CASE WHEN order_key % 2 = 0 THEN 0 ELSE 4 END
          |            AS BIGINT) AS framed_len
@@ -1225,12 +1249,12 @@ private[graft] trait ParityQueries { this: SparkEntry.type =>
          |  SELECT CASE WHEN order_key % 3 = 0 THEN 'ocf'
          |              WHEN order_key % 3 = 1 THEN 'confluent'
          |              ELSE 'other' END AS framing,
-         |         -- OCF: 210 B header (schema JSON + fingerprint sync for
-         |         -- order.avsc) + count varint + size varint + datum + 16 B
-         |         -- sync; Confluent: 5 B prefix + datum; datum:
+         |         -- OCF overhead DERIVED from the schema JSON length
+         |         -- (ocfPerMessageOverhead above — header + block framing);
+         |         -- Confluent: 5 B prefix + datum; datum:
          |         -- varint+id, varint+product, 4 B float
          |         CASE WHEN order_key % 3 = 0
-         |                THEN 228 + length(order_id) + length(product) + 6
+         |                THEN $ocfPerMessageOverhead + length(order_id) + length(product) + 6
          |              WHEN order_key % 3 = 1
          |                THEN 5 + length(order_id) + length(product) + 6
          |              ELSE length(order_id) + length(product) + 6 END AS len

@@ -932,6 +932,11 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         Analytics.cents(col("l_extendedprice")).as("p"),
         col("l_quantity").cast("long").as("w"))
       .groupBy(col("nk"), col("p")).agg(sum(col("w")).as("w"))
+      // materialize the collapsed value domain ONCE: the two-pass
+      // prefix scan evaluates its input three times (range-partition
+      // sampling + both passes), and without this checkpoint each
+      // evaluation would re-run the lineitem scan + join + aggregate
+      .localCheckpoint(eager = false)
     graft.ops.ScalablePrefix.groupedPrefixSum(s, wp, "nk", "p", "w", 32)
       .filter(col("cum_w") * 2 >= col("grp_total"))
       .groupBy(col("nk"))
@@ -2059,42 +2064,54 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     * arithmetic is integer micro-units with explicit floor-division
     * rescaling between passes (negative-safe: floor via double, the
     * same op in both engines — never `div`, which truncates);
-    * per-iteration localCheckpoint keeps the lineage linear. Emits
-    * the top-8 |loading| dims and the Rayleigh explained-variance
-    * share. */
+    * the 64-long direction moves through the DRIVER as a broadcast
+    * literal between iterations (the shared fp3PowerIteration
+    * convention, QueryShared.scala — bounded model state, not data),
+    * so no distributed vector is ever checkpointed and each iteration
+    * is exactly one job (row-pass dot + dim-pass update + 64-row
+    * collect). Emits the top-8 |loading| dims and the Rayleigh
+    * explained-variance share. */
   private[graft] def qTopPc(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val xq = t(s, dir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
-      .select(col("vec_id"), (col("i0") + 1).as("i"),
+      .select(col("vec_id"), (col("i0") + 1).cast("long").as("i"),
         expr("CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").as("xq"))
       .localCheckpoint(eager = false)
-    def iterate(v: DataFrame): DataFrame = {
-      val sdot = xq.join(broadcast(v), "i").groupBy(col("vec_id"))
+    // one iteration: v ← normalize(Xᵀ(Xv)); v rides in as a literal
+    // array, only 64 (i, w) pairs come back. The rescale arithmetic is
+    // the exact same IEEE tree the distributed form used
+    // (floor(w/vmax·1e6 + 0.5) on doubles), so results are bit-identical.
+    def iterate(v: Array[Long]): Array[Long] = {
+      val varr = array(v.map(lit).toSeq: _*)
+      val sdot = xq.withColumn("v", element_at(varr, col("i").cast("int")))
+        .groupBy(col("vec_id"))
         .agg(expr("CAST(floor(CAST(sum(xq * v) AS DOUBLE) / 100000.0) AS BIGINT)").as("sm"))
       val w = xq.join(sdot, "vec_id").groupBy(col("i"))
         .agg(sum(col("xq") * col("sm")).as("w"))
-      val vmax = w.agg(max(abs(col("w"))).as("vmax"))
-      w.crossJoin(broadcast(vmax))
-        .select(col("i"),
-          expr("CAST(floor(CAST(w AS DOUBLE) / CAST(vmax AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").as("v"))
-        .localCheckpoint(eager = false)
+        .orderBy(col("i")).collect().map(_.getLong(1))
+      val vmax = w.map(math.abs).max
+      w.map(x => math.floor(x.toDouble / vmax.toDouble * 1000000.0 + 0.5).toLong)
     }
-    val v0 = s.range(1, 65).select(col("id").as("i"), lit(1000000L).as("v"))
-    val v3 = iterate(iterate(iterate(v0)))
-    val rd = xq.join(broadcast(v3), "i").groupBy(col("vec_id"))
+    val v3 = iterate(iterate(iterate(Array.fill(64)(1000000L))))
+    val varr3 = array(v3.map(lit).toSeq: _*)
+    val rd = xq.withColumn("v", element_at(varr3, col("i").cast("int")))
+      .groupBy(col("vec_id"))
       .agg(expr("CAST(floor(CAST(sum(xq * v) AS DOUBLE) / 10000000.0) AS BIGINT)").as("dm"),
         expr("CAST(floor(CAST(sum(xq * xq) AS DOUBLE) / 100000.0) AS BIGINT)").as("n2m"))
     val sums = rd.agg(sum(col("dm") * col("dm")).as("sdm2"),
       sum(col("n2m")).as("sn2m"))
-    val vtv = v3.agg(sum(col("v") * col("v")).as("vtv"))
-    val top = v3.orderBy(abs(col("v")).desc, col("i")).limit(8)
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(abs(col("v")).desc, col("i"))).cast("long"))
-    top.crossJoin(broadcast(sums)).crossJoin(broadcast(vtv))
-      .select(col("rank"), col("i").cast("long").as("dim"),
-        col("v").as("loading_micro"),
-        expr("CAST(floor(CAST(sdm2 AS DOUBLE) * 1000000000.0 / (CAST(vtv AS DOUBLE) * CAST(sn2m AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)").as("evr_ppm"))
+    val vtv = v3.map(x => x * x).sum
+    val top8 = v3.zipWithIndex
+      .map { case (v, i0) => (i0 + 1L, v) }
+      .sortBy { case (i, v) => (-math.abs(v), i) }
+      .take(8)
+      .zipWithIndex
+      .map { case ((dim, v), r) => (r + 1L, dim, v) }
+    import s.implicits._
+    top8.toSeq.toDF("rank", "dim", "loading_micro")
+      .crossJoin(broadcast(sums))
+      .select(col("rank"), col("dim"), col("loading_micro"),
+        expr(s"CAST(floor(CAST(sdm2 AS DOUBLE) * 1000000000.0 / (CAST($vtv AS DOUBLE) * CAST(sn2m AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)").as("evr_ppm"))
       .orderBy(col("rank"))
   }
 

@@ -2205,55 +2205,67 @@ private[graft] trait WarehouseQueries2 { this: SparkEntry.type =>
       .orderBy(col("prio"))
   }
 
-  /** Greedy set-cover source selection (3 unrolled rounds): which
-    * three sources together cover the most trigram TYPES — the
+  /** Greedy set-cover source selection (3 rounds): which three
+    * sources together cover the most trigram TYPES — the
     * data-selection question behind "which corpora should the next
-    * crawl buy". Each round counts only types not yet covered (an
-    * anti-join against the picked sources' type sets), picks the
-    * argmax deterministically (count desc, source), and the greedy
-    * guarantee (≥ 1−1/e of optimal) comes with the algorithm. Type
-    * tables shuffle on the type key; rounds are unrolled joins, no
-    * driver loop. */
+    * crawl buy". Scale shape: ONE corpus pass collapses each type to
+    * its source-coverage BITMASK, and a second tiny aggregate folds
+    * the masks into a histogram with at most 2^k rows (k = size of
+    * the source CATALOG — dozens, bounded by the corpus inventory,
+    * never by data) — the exact sufficient statistic for set cover.
+    * All greedy rounds then run driver-side on the histogram (the
+    * bounded-model convention), so adding rounds costs nothing
+    * distributed; the old formulation re-anti-joined the full type
+    * table per round. Tie-break unchanged: count desc, source asc.
+    * Greedy keeps its ≥ 1−1/e guarantee. */
   private[graft] def qSetCover(s: SparkSession, dir: String): DataFrame = {
     val types = trigrams2(s, dir).localCheckpoint(eager = false)
-    val tot = types.select(col("g")).distinct()
-      .agg(count(lit(1)).as("total"))
-    def pickNext(excluded: DataFrame, covered: DataFrame): DataFrame = {
-      val remaining = types.join(covered, Seq("g"), "left_anti")
-      remaining
-        .join(excluded, Seq("source"), "left_anti")
-        .groupBy(col("source")).agg(count(lit(1)).as("new_types"))
-        .orderBy(col("new_types").desc, col("source")).limit(1)
+    // the source catalog is a bounded corpus inventory; 62 bits of mask
+    val sources = types.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(sources.length <= 62,
+      s"set-cover mask formulation holds for catalog-sized source lists, got ${sources.length}")
+    val bitOf = sources.zipWithIndex.map { case (src, i) => src -> (1L << i) }.toMap
+    val maskMap = map(sources.toSeq.flatMap(src => Seq(lit(src), lit(bitOf(src)))): _*)
+    // (source, g) is distinct, so SUM of distinct power-of-two bits == OR
+    val hist = types
+      .select(col("g"), element_at(maskMap, col("source")).as("b"))
+      .groupBy(col("g")).agg(sum(col("b")).as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = hist.map(_._2).sum // every type has ≥ 1 source
+    var covered = 0L // bitmask of picked sources
+    var coveredTypes = 0L
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Long)]
+    var round = 1L
+    var done = false
+    while (round <= 3L && !done) {
+      // new_types(s) = Σ cnt over masks containing s and disjoint from
+      // the picked set; a source with zero new types cannot be picked
+      // (it had no rows in the old remaining-groupBy formulation)
+      val cands = sources
+        .filter(src => (covered & bitOf(src)) == 0L)
+        .map { src =>
+          val bit = bitOf(src)
+          val nt = hist.collect {
+            case (m, c) if (m & bit) != 0L && (m & covered) == 0L => c
+          }.sum
+          (src, nt)
+        }
+        .filter(_._2 > 0L)
+      if (cands.isEmpty) done = true
+      else {
+        val (src, nt) = cands.minBy { case (s0, n0) => (-n0, s0) }
+        coveredTypes += nt
+        covered |= bitOf(src)
+        rows += ((round, src, nt, coveredTypes, coveredTypes * 1000000L / total))
+        round += 1L
+      }
     }
-    val empty = types.select(col("g")).filter(lit(false))
-    val noneSrc = types.select(col("source")).filter(lit(false))
-    val p1 = pickNext(noneSrc, empty).localCheckpoint(eager = false)
-    val c1 = types.join(broadcast(p1.select(col("source"))), "source")
-      .select(col("g")).distinct().localCheckpoint(eager = false)
-    val p2 = pickNext(p1.select(col("source")), c1)
-      .localCheckpoint(eager = false)
-    val c2 = c1.unionAll(types
-        .join(broadcast(p2.select(col("source"))), "source")
-        .select(col("g"))).distinct().localCheckpoint(eager = false)
-    val p3 = pickNext(
-      p1.select(col("source")).unionAll(p2.select(col("source"))), c2)
-      .localCheckpoint(eager = false)
-    val rounds = p1.select(lit(1L).as("round"), col("source"),
-        col("new_types"))
-      .unionAll(p2.select(lit(2L).as("round"), col("source"),
-        col("new_types")))
-      .unionAll(p3.select(lit(3L).as("round"), col("source"),
-        col("new_types")))
-    import org.apache.spark.sql.expressions.Window
-    rounds
-      .withColumn("covered_types",
-        sum(col("new_types")).over(Window.orderBy(col("round"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(broadcast(tot))
-      .withColumn("coverage_ppm",
-        expr("covered_types * 1000000 div total"))
-      .select(col("round"), col("source"), col("new_types"),
-        col("covered_types"), col("coverage_ppm"))
+    import s.implicits._
+    rows.toSeq
+      .toDF("round", "source", "new_types", "covered_types", "coverage_ppm")
       .orderBy(col("round"))
   }
 

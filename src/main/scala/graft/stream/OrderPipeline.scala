@@ -349,7 +349,11 @@ object OrderPipeline {
               getHandle.registerTimer(d)
             }
           }
-          // a duplicate order keeps the FIRST deadline (offset order)
+          // a duplicate order keeps the earliest EVENT-TIME deadline:
+          // rows are sorted by (isConf, ts) above, so the lowest-ts
+          // order in the batch arms the timer and later duplicates
+          // (regardless of their arrival/offset order) hit the
+          // deadline.exists() guard
       }
       out.reverseIterator
     }

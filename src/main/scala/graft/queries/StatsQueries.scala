@@ -912,40 +912,60 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
   /** EXACT weighted median — order statistics where each value counts
     * with a weight (here: per-nation median part price weighted by
     * quantity sold; the "half the volume sold below this price"
-    * number). Shape discipline: weights first collapse onto the
-    * (nation, price) VALUE DOMAIN, the cumulative weight runs over
-    * that bounded domain (distinct prices, not line items) through
-    * ScalablePrefix.groupedPrefixSum — the two-pass range-partitioned
-    * scan, NOT a per-nation window (25 nations would cap parallelism
-    * at 25 tasks and buffer each nation's full price domain in one of
-    * them: a scale-killer when the domain is millions of values) —
-    * and the median is the first value whose running weight reaches
-    * half the total: integer cross-multiply `2·cum_w >= grp_total`.
-    * Prices in cents stay far below 2^53, so the double order column
-    * is exact. */
-  private[graft] def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
-    val wp = t(s, dir, "lineitem")
+    * number). Shape discipline — histogram drill-down, the classic
+    * exact-quantile two-phase scan:
+    *   1. weights collapse onto the (nation, price) VALUE DOMAIN
+    *      (distinct cents, not line items), checkpointed once;
+    *   2. a coarse price-bucket histogram (8192-cent buckets) is a
+    *      map-side-combined aggregate whose size is bounded by the
+    *      PRICE DOMAIN (nations × priceRange/8192 ≈ 32 k rows), never
+    *      by data volume — bounded model state, so the per-nation
+    *      cumulative over buckets and the median-bucket pick run
+    *      driver-side;
+    *   3. one narrow filtered pass reads ONLY the median bucket
+    *      (≤ 8192 distinct prices per nation — bounded by the bucket
+    *      width) and finds the first price whose running weight
+    *      reaches half the total: integer cross-multiply
+    *      `2·cum_w >= total`.
+    * No global range shuffle and no per-nation window over the full
+    * domain (that would cap parallelism at 25 tasks and buffer a
+    * nation's whole price domain in one of them); the in-bucket
+    * window is bounded by the bucket width, not the data. All
+    * arithmetic is exact int64, so the result is bit-identical to the
+    * one-pass prefix formulation. */
+  private[graft] def qWeightedMedian(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GroupedQuantile.weightedQuantiles(s, weightedPriceSrc(s, dir),
+        "nk", "p", "w", Seq((1L, 2L)))
+      .select(col("nk").as("nationkey"),
+        (col("value") / 100.0).as("weighted_median_price"),
+        col("total_weight"))
+      .orderBy(col("nationkey"))
+
+  /** Shared source for the weighted-quantile family: per-nation part
+    * price in exact cents, weighted by quantity sold. */
+  private def weightedPriceSrc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_nationkey").as("nk"),
+      .select(col("s_nationkey").cast("long").as("nk"),
         Analytics.cents(col("l_extendedprice")).as("p"),
         col("l_quantity").cast("long").as("w"))
-      .groupBy(col("nk"), col("p")).agg(sum(col("w")).as("w"))
-      // materialize the collapsed value domain ONCE: the two-pass
-      // prefix scan evaluates its input three times (range-partition
-      // sampling + both passes), and without this checkpoint each
-      // evaluation would re-run the lineitem scan + join + aggregate
-      .localCheckpoint(eager = false)
-    graft.ops.ScalablePrefix.groupedPrefixSum(s, wp, "nk", "p", "w", 32)
-      .filter(col("cum_w") * 2 >= col("grp_total"))
-      .groupBy(col("nk"))
-      .agg(min(col("ord")).as("median_c"), max(col("grp_total")).as("total_weight"))
-      .select(col("nk").cast("long").as("nationkey"),
-        (col("median_c") / 100.0).as("weighted_median_price"),
+
+  /** Exact weighted QUARTILES per nation — the full spread, not just
+    * the median: p25/p50/p75 of part price weighted by quantity sold,
+    * all three from ONE histogram pass + ONE drill-down pass through
+    * [[graft.ops.GroupedQuantile]] (adding quantiles costs selector
+    * rows, not corpus passes). Same integer cross-multiply convention
+    * `den·cum_w >= num·total`, so every value is bit-identical to the
+    * oracle's window formulation. */
+  private[graft] def qWeightedQuartiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GroupedQuantile.weightedQuantiles(s, weightedPriceSrc(s, dir),
+        "nk", "p", "w", Seq((1L, 4L), (1L, 2L), (3L, 4L)))
+      .select(col("nk").as("nationkey"), col("pct"),
+        (col("value") / 100.0).as("price"),
         col("total_weight"))
-      .orderBy(col("nationkey"))
-  }
+      .orderBy(col("nationkey"), col("pct"))
 
   /** Benford first-digit audit — the classic fabricated-numbers screen
     * run on monetary columns: observed first-digit shares of
@@ -2389,6 +2409,7 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     "q_anomaly" -> (qAnomaly _),
     "q_chi_square" -> (qChiSquare _),
     "q_weighted_median" -> (qWeightedMedian _),
+    "q_weighted_quartiles" -> (qWeightedQuartiles _),
     "q_benford" -> (qBenford _),
     "q_regression" -> (qRegression _),
     "q_ab_test" -> (qAbTest _),
@@ -2611,6 +2632,28 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |  CAST(max(tw) AS BIGINT) AS total_weight
         |FROM c WHERE cw * 2 >= tw
         |GROUP BY nk ORDER BY nationkey""".stripMargin,
+    "q_weighted_quartiles" ->
+      """WITH wp AS (
+        |  SELECT s_nationkey AS nk,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT nk, p, w,
+        |    sum(w) OVER (PARTITION BY nk ORDER BY p
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cw,
+        |    sum(w) OVER (PARTITION BY nk) AS tw
+        |  FROM wp),
+        |q AS (SELECT * FROM (VALUES (1, 4, 25), (1, 2, 50), (3, 4, 75))
+        |      t(num, den, pct))
+        |SELECT CAST(nk AS BIGINT) AS nationkey,
+        |  CAST(pct AS BIGINT) AS pct,
+        |  CAST(min(p) AS BIGINT) / CAST(100.0 AS DOUBLE) AS price,
+        |  CAST(max(tw) AS BIGINT) AS total_weight
+        |FROM c CROSS JOIN q WHERE cw * den >= num * tw
+        |GROUP BY nk, pct ORDER BY nationkey, pct""".stripMargin,
     "q_benford" ->
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)

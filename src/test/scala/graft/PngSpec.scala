@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.Png
+
+/** The pure-JVM PNG codec behind `q_png_decode` (grayscale-8,
+  * non-interlaced): encode filters every scanline with type (row mod
+  * 5) and DEFLATE-compresses; decode walks chunks, verifies every CRC,
+  * concatenates multi-IDAT streams, INFLATEs, and un-filters. The
+  * oracle gates the pixel STATISTICS; this spec pins the byte-level
+  * codec contract — exact roundtrip, CRC rejection, multi-IDAT
+  * assembly, and permissive None on malformed input (the decoder is
+  * fed arbitrary corpus bytes and must never throw). */
+class PngSpec extends AnyFunSuite {
+
+  private def px(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val a = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w) a(y * w + x) = (f(x, y) & 0xff).toByte
+    a
+  }
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val c = new java.util.zip.CRC32
+    c.update(t); c.update(data)
+    be32(data.length.toLong) ++ t ++ data ++ be32(c.getValue)
+  }
+
+  test("roundtrip: all five filters exercised (h >= 5), exact pixels back") {
+    val (w, h) = (16, 11)
+    val p = px(w, h)((x, y) => x * 31 + y * 17 + 7)
+    val Some((dw, dh, dp)) = Png.decode(Png.encode(w, h, p))
+    assert((dw, dh) === (w, h))
+    assert(dp.toSeq === p.toSeq)
+  }
+
+  test("roundtrip: degenerate sizes (1x1, 1xH, Wx1)") {
+    for ((w, h) <- Seq((1, 1), (1, 9), (9, 1))) {
+      val p = px(w, h)((x, y) => x * 13 + y * 29 + 3)
+      val Some((dw, dh, dp)) = Png.decode(Png.encode(w, h, p))
+      assert((dw, dh) === (w, h), s"dims for ${w}x$h")
+      assert(dp.toSeq === p.toSeq, s"pixels for ${w}x$h")
+    }
+  }
+
+  test("roundtrip holds on random pixel grids (property)") {
+    val gen = for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 24)
+      bytes <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield (w, h, bytes.map(_.toByte).toArray)
+    val prop = Prop.forAll(gen) { case (w, h, p) =>
+      Png.decode(Png.encode(w, h, p)).exists { case (dw, dh, dp) =>
+        dw == w && dh == h && dp.toSeq == p.toSeq
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("a flipped payload byte fails its chunk CRC -> None") {
+    val enc = Png.encode(8, 8, px(8, 8)((x, y) => x + y))
+    // find the IDAT chunk and flip one payload byte
+    val idx = {
+      var i = 8; var at = -1
+      while (at < 0 && i + 8 <= enc.length) {
+        val len = ((enc(i) & 0xff) << 24) | ((enc(i + 1) & 0xff) << 16) |
+          ((enc(i + 2) & 0xff) << 8) | (enc(i + 3) & 0xff)
+        if (new String(enc, i + 4, 4, "US-ASCII") == "IDAT") at = i + 8
+        else i += 12 + len
+      }
+      at
+    }
+    assert(idx > 0)
+    val bad = enc.clone()
+    bad(idx) = (bad(idx) ^ 0x40).toByte
+    assert(Png.decode(bad) === None)
+  }
+
+  test("multi-IDAT streams are concatenated before INFLATE") {
+    val (w, h) = (12, 7)
+    val p = px(w, h)((x, y) => x * 5 + y * 11)
+    val enc = Png.encode(w, h, p)
+    // re-chunk: split the single IDAT payload into two IDAT chunks
+    var i = 8
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(enc, 0, 8)
+    while (i + 8 <= enc.length) {
+      val len = ((enc(i) & 0xff) << 24) | ((enc(i + 1) & 0xff) << 16) |
+        ((enc(i + 2) & 0xff) << 8) | (enc(i + 3) & 0xff)
+      val typ = new String(enc, i + 4, 4, "US-ASCII")
+      val data = java.util.Arrays.copyOfRange(enc, i + 8, i + 8 + len)
+      if (typ == "IDAT" && len > 1) {
+        val cut = len / 2
+        out.write(chunk("IDAT", data.take(cut)))
+        out.write(chunk("IDAT", data.drop(cut)))
+      } else out.write(chunk(typ, data))
+      i += 12 + len
+    }
+    val Some((dw, dh, dp)) = Png.decode(out.toByteArray)
+    assert((dw, dh) === (w, h))
+    assert(dp.toSeq === p.toSeq)
+  }
+
+  test("permissive None on malformed input, never a throw") {
+    val enc = Png.encode(6, 6, px(6, 6)((x, y) => x * y))
+    val cases = Seq[Array[Byte]](
+      null,
+      Array.emptyByteArray,
+      Array.fill(20)(0x41.toByte),          // not a PNG signature
+      enc.take(8),                          // signature only
+      enc.take(enc.length - 6),             // truncated mid-IEND
+      { val b = enc.clone(); b(1) = 'Q'.toByte; b }) // corrupt signature
+    cases.foreach(b => assert(Png.decode(b) === None))
+    // unsupported color type (RGB): rebuild IHDR with colorType=2 and a
+    // VALID CRC — rejected by the format guard, not the CRC check
+    val ihdrData = java.util.Arrays.copyOfRange(enc, 16, 29)
+    ihdrData(9) = 2
+    val rebuilt = enc.take(8) ++ chunk("IHDR", ihdrData) ++ enc.drop(8 + 25)
+    assert(Png.decode(rebuilt) === None)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EXACT top-k frequent items at scale — Misra-Gries candidate
+  * generation + exact recount, the classic two-pass heavy-hitters
+  * protocol:
+  *
+  *   pass 1 (candidates): each partition folds its items into a
+  *     Misra-Gries (space-saving) summary of capacity m; summaries
+  *     combine up the `treeAggregate` tree with the standard MG merge
+  *     (sum counts, then subtract the (m+1)-th largest and drop
+  *     non-positives), so the driver receives ONE summary of at most
+  *     m entries no matter how many partitions ran — bounded model
+  *     state. The merged summary retains every item with global
+  *     frequency > N/(m+1) (the mergeable-summaries guarantee:
+  *     Misra–Gries 1982; Agarwal, Cormode, Huang, Phillips, Wei, Yi,
+  *     "Mergeable Summaries", PODS 2012).
+  *
+  *   pass 2 (exact recount): one aggregation counts ONLY the ≤ m
+  *     candidate items (everything else collapses into a single
+  *     overflow group that also yields the total N) — the full item
+  *     domain never shuffles, which is the point: a naive
+  *     `groupBy(item).count().orderBy(...).limit(k)` shuffles every
+  *     distinct item (at corpus scale: billions of tokens), while this
+  *     path shuffles at most m+1 groups.
+  *
+  *   certification: the result is PROVABLY the exact top-k when the
+  *     k-th candidate's exact count t satisfies t·(m+1) > N — every
+  *     non-candidate has frequency ≤ N/(m+1) < t, so no non-candidate
+  *     can belong to the top-k. The check is an integer
+  *     cross-multiply on exact longs; if it fails (capacity too small
+  *     for the skew of the data), the call throws rather than return
+  *     a silently-unproven answer — raise `capacity` and rerun.
+  */
+object HeavyHitters {
+
+  /** Exact top-k most frequent values of `itemCol` (string) with exact
+    * counts, certified by the Misra-Gries bound. Returns (item, cnt),
+    * descending by cnt with ascending-item tiebreak, exactly k rows
+    * (fewer only if the domain has fewer than k items).
+    *
+    * `capacity` (m) bounds both the per-partition summary and the
+    * candidate set; it must exceed the skew ratio N/c_k for the data
+    * (certification enforces this at runtime). Memory: O(m) per task
+    * and on the driver. */
+  def exactTopK(spark: SparkSession, df: DataFrame, itemCol: String,
+      k: Int, capacity: Int = 4096): DataFrame = {
+    require(k > 0 && capacity > k, s"need capacity > k > 0, got k=$k capacity=$capacity")
+    import spark.implicits._
+    val items = df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .as[String]
+
+    type MG = scala.collection.mutable.HashMap[String, Long]
+    def add(s: MG, item: String): MG = {
+      s.get(item) match {
+        case Some(c) => s.update(item, c + 1)
+        case None =>
+          if (s.size < capacity) s.update(item, 1L)
+          else {
+            // decrement-all: drop every counter by 1, evict zeros —
+            // amortized O(1) per item via the eviction sweep
+            val dead = List.newBuilder[String]
+            s.foreachEntry { (i, c) => if (c == 1L) dead += i else s.update(i, c - 1) }
+            dead.result().foreach(s.remove)
+          }
+      }
+      s
+    }
+    def merge(a: MG, b: MG): MG = {
+      b.foreachEntry { (i, c) => a.update(i, a.getOrElse(i, 0L) + c) }
+      if (a.size > capacity) {
+        // subtract the (m+1)-th largest count, drop non-positives —
+        // the mergeable-summaries combine that preserves the N/(m+1) bound
+        val cut = a.values.toArray.sorted(Ordering.Long.reverse).apply(capacity)
+        val dead = List.newBuilder[String]
+        a.foreachEntry { (i, c) => if (c - cut <= 0L) dead += i else a.update(i, c - cut) }
+        dead.result().foreach(a.remove)
+      }
+      a
+    }
+    val summary = items.rdd.treeAggregate(
+      new scala.collection.mutable.HashMap[String, Long]())(add, merge)
+    val candidates = summary.keys.toSeq
+    if (candidates.isEmpty) // empty input: nothing to count or certify
+      return Seq.empty[(String, Long)].toDF("item", "cnt")
+
+    // pass 2: exact counts for candidates; everything else folds into
+    // one overflow group so total N comes from the same aggregation
+    val counted = items.toDF("item")
+      .groupBy(when(col("item").isInCollection(candidates), col("item")).as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+    val n = counted.map(_.getLong(1)).sum
+    val overflow = counted.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+    val exact = counted.filter(!_.isNullAt(0))
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (i, c) => (-c, i) }
+    val top = exact.take(k).toSeq
+    // certification — when the overflow group is empty the candidates
+    // ARE the whole item domain (exact trivially); otherwise every
+    // non-candidate has frequency <= N/(m+1), so the k-th count must
+    // clear that bound or the top-k is unproven
+    if (overflow > 0) {
+      if (top.length < k)
+        throw new IllegalStateException(
+          s"exactTopK not certifiable: only ${top.length} candidates for k=$k " +
+            s"with ${overflow} items outside the summary — raise capacity (= $capacity)")
+      val t = top.last._2
+      if (t * (capacity + 1L) <= n)
+        throw new IllegalStateException(
+          s"exactTopK not certifiable: k-th count $t <= N/(m+1) = $n/${capacity + 1} — " +
+            s"raise capacity (= $capacity) above N/c_k for this data")
+    }
+    top.toDF("item", "cnt")
+  }
+}

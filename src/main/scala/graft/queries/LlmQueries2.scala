@@ -1576,7 +1576,27 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Exact corpus-wide top-20 tokens WITHOUT shuffling the token
+    * domain — [[graft.ops.HeavyHitters]]: per-partition Misra-Gries
+    * summaries tree-merge to one ≤2048-entry candidate set (bounded
+    * model state), then ONE aggregation recounts only candidates
+    * (everything else folds into a single overflow group). The result
+    * is certified exact at runtime (k-th count must clear the
+    * N/(m+1) Misra-Gries bound, or the domain is fully inside the
+    * summary) — the scale path for "most frequent tokens over 100 TB"
+    * where groupBy-the-domain would shuffle billions of distinct
+    * keys. The oracle recomputes the naive full groupBy. */
+  private[graft] def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    graft.ops.HeavyHitters.exactTopK(s, toks, "token", k = 20, capacity = 2048)
+      .select(col("item").as("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   private[graft] def llm2QueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_png_decode" -> (qPngDecode _),
     "q_image_pipeline" -> (qImagePipeline _),
     "q_audio_pcm" -> (qAudioPcm _),
@@ -1627,6 +1647,15 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
   )
 
   private[graft] def llm2OracleMap: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT t AS token
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t
+        |        FROM documents) q
+        |  WHERE length(t) > 0)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok GROUP BY token
+        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
     "q_png_decode" ->
       """WITH d AS (
         |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 4 AS h

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Router, ScalablePrefix}
+import graft.ops.{Analytics, HeavyHitters, Router, ScalablePrefix}
 import graft.sources.OrderGen
 
 /** Dev tool: push the core operator paths well past bench scale
@@ -112,7 +112,74 @@ object ScaleProbe {
     }
   }
 
+  /** `--kernels [rows]`: 1× vs 10× growth for the round-8 exact-at-scale
+    * kernels, plus the BOUNDED-STATE sizes their 100 TB claims rest on:
+    *  - HeavyHitters.exactTopK over zipf tokens — wall should grow
+    *    ~linearly (two scans) while the driver-held candidate set stays
+    *    ≤ capacity regardless of rows;
+    *  - GroupedQuantile.weightedQuantiles over a FIXED value domain —
+    *    wall ~linear (scan + narrow drill-down) while the driver-held
+    *    histogram stays (groups × domain/bucketWidth) rows at any scale.
+    * A data-proportional driver state or super-linear wall growth here
+    * would be a scale defect; the probe prints both so the claim is
+    * measured, not asserted. */
+  private def kernelsMode(spark: SparkSession, baseRows: Long): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // zipf-ish tokens via xxhash: token rank r drawn with p ~ 1/r over
+    // a 100k-word domain (pow gives the skew; exact shape irrelevant —
+    // only "few hot, long tail" matters for the MG certification)
+    def tokens(n: Long): DataFrame = spark.range(n).select(
+      concat(lit("w"), floor(pow(lit(100000.0),
+        pmod(xxhash64(col("id")), lit(1000000)).cast("double") / 1e6)
+          ).cast("long")).as("item"))
+    def weighted(n: Long): DataFrame = spark.range(n).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(25)).as("g"),
+      pmod(xxhash64(col("id"), lit(2)), lit(1000000)).as("v"), // FIXED domain
+      (pmod(xxhash64(col("id"), lit(3)), lit(50)) + 1).as("w"))
+
+    println(s"[kernels] base=$baseRows rows vs ${baseRows * 10} (10x)")
+    Seq[(String, Long => Unit)](
+      ("heavy_hitters (MG + recount)", n =>
+        HeavyHitters.exactTopK(spark, tokens(n), "item", k = 20, capacity = 4096)
+          .collect()),
+      ("grouped_quantile (drill-down)", n =>
+        graft.ops.GroupedQuantile.weightedQuantiles(spark, weighted(n),
+          "g", "v", "w", Seq((1L, 4L), (1L, 2L), (3L, 4L)), bucketWidth = 8192L)
+          .collect())
+    ).foreach { case (name, run) =>
+      run(math.max(1000, baseRows / 10)) // warmup
+      val t1 = timed(run(baseRows))
+      val t10 = timed(run(baseRows * 10))
+      println(f"[kernels] $name%-30s 1x=$t1%7.2f s  10x=$t10%7.2f s  growth=${t10 / t1}%5.2f x")
+    }
+    // the bounded-state sizes (domain properties, not data volumes)
+    val hist10 = weighted(baseRows * 10)
+      .groupBy(col("g"), expr("v div 8192")).agg(count(lit(1)))
+      .count()
+    println(f"[kernels] grouped_quantile driver histogram at 10x: $hist10 rows " +
+      "(= groups x domain/bucketWidth; constant in data volume)")
+    println(f"[kernels] heavy_hitters driver candidate set: <= 4096 entries by construction (treeAggregate MG merge)")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--kernels")) {
+      val rows = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      kernelsMode(spark, rows)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("--floors")) {
       val edges = args.drop(1).headOption.map(_.toLong).getOrElse(200000L)
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -74,6 +74,14 @@ object GroupedQuantile {
     // bucket, and the group total
     val sel = hist.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
       val byB = rows.sortBy(_._2)
+      // a negative bucket weight means a caller broke the non-negative
+      // weight contract; the cumulative scan would then pick a wrong
+      // bucket SILENTLY (cum is no longer monotone) — fail loudly here,
+      // on driver-side bounded state, where the check is free
+      byB.find(_._3 < 0).foreach { case (_, b, bw) =>
+        throw new IllegalArgumentException(
+          s"weightedQuantiles requires non-negative weights: group $g bucket $b sums to $bw")
+      }
       val total = byB.map(_._3).sum
       val cums = byB.scanLeft(0L)(_ + _._3).tail // inclusive through each bucket
       quantiles.map { case (num, den) =>

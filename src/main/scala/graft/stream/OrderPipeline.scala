@@ -419,6 +419,79 @@ object OrderPipeline {
     }
   }
 
+  /** Streaming Misra-Gries heavy hitters per key — the streaming twin
+    * of [[graft.ops.HeavyHitters]] and the bounded-state answer to
+    * [[StatusProductCountsProcessor]], whose MapState grows with the
+    * DISTINCT sub-key domain (fine for products; a scale-killer for
+    * an unbounded domain like tokens or URLs). Here MapState holds a
+    * capacity-bounded MG summary: each micro-batch loads the ≤ m
+    * entries, folds its rows in memory (per-batch cost m + rows, not
+    * per-row state lookups), writes back the survivors, and deletes
+    * evicted entries. A ValueState tracks the cumulative decrement D,
+    * giving the standard streaming guarantee ĉ ≤ c_true ≤ ĉ + D for
+    * every emitted item — the certified-EXACT answer stays the batch
+    * recount path; the stream emits its top-k candidates with the
+    * error bound attached so consumers can decide when to trust it.
+    * Emits (key, item, approx_count, max_error) for the current top-k
+    * after each micro-batch. */
+  final class StreamingHeavyHittersProcessor(capacity: Int, k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, String), (String, String, Long, Long)] {
+    @transient private var summary: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var decTotal: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      summary = getHandle.getMapState[String, Long]("mgSummary",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      decTotal = getHandle.getValueState[Long]("mgDecrements",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[(String, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, String, Long, Long)] = {
+      val s = scala.collection.mutable.HashMap.empty[String, Long]
+      summary.iterator().foreach { case (i, c) => s.update(i, c) }
+      val loaded = s.keySet.toSet
+      var d = if (decTotal.exists()) decTotal.get() else 0L
+      rows.foreach { case (_, item) =>
+        s.get(item) match {
+          case Some(c) => s.update(item, c + 1)
+          case None =>
+            if (s.size < capacity) s.update(item, 1L)
+            else { // decrement-all, evict zeros; arriving item dropped
+              d += 1
+              val dead = List.newBuilder[String]
+              s.foreachEntry { (i, c) => if (c == 1L) dead += i else s.update(i, c - 1) }
+              dead.result().foreach(s.remove)
+            }
+        }
+      }
+      (loaded -- s.keySet).foreach(summary.removeKey)
+      s.foreachEntry { (i, c) => summary.updateValue(i, c) }
+      decTotal.update(d)
+      s.toSeq.sortBy { case (i, c) => (-c, i) }.take(k)
+        .map { case (i, c) => (key, i, c, d) }.iterator
+    }
+  }
+
+  /** Per-status top-k products under a capacity-bounded MG summary:
+    * state stays ≤ capacity entries per status key no matter how many
+    * distinct products stream past. */
+  def topProductsStream(spark: SparkSession, processed: DataFrame,
+      capacity: Int, k: Int): org.apache.spark.sql.Dataset[(String, String, Long, Long)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    processed
+      .select(col("status"), col("product"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new StreamingHeavyHittersProcessor(capacity, k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Bounded per-key price history on `transformWithState` ListState —
     * the append-log state shape: each arriving price APPENDS one store
     * entry, and the log is compacted back to the last `keep` values

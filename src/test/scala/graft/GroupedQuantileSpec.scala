@@ -78,6 +78,15 @@ class GroupedQuantileSpec extends SparkSpec {
     assert(drilled(df, quartiles, 4L) === windowed(df, quartiles))
   }
 
+  test("net-negative weights fail loudly instead of mis-picking a bucket") {
+    val df = Seq((0L, 5L, 3L), (0L, 6L, -10L), (0L, 900L, 4L)).toDF("g", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      GroupedQuantile.weightedQuantiles(spark, df, "g", "v", "w", Seq((1L, 2L)), 4L)
+        .collect()
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
+
   test("skewed weights: one value holds the majority across buckets") {
     val rnd = new scala.util.Random(7)
     val bulk = (1 to 500).map(_ => (0L, rnd.nextInt(1000).toLong, 1L))

@@ -756,6 +756,39 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming MG heavy hitters: bounded state, top-k with a valid error bound") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Envelope](spark)
+      val top = OrderPipeline.topProductsStream(
+        spark, OrderPipeline.process(stream.toDF()), capacity = 8, k = 3)
+      val q = top.toDF("status", "product", "cnt", "max_err").writeStream
+        .outputMode("update").format("memory").queryName("mg_top")
+        .option("checkpointLocation", tmpDir("graft-mg-ckpt")).start()
+      // batch 1: 20 distinct cold products (domain >> capacity 8) plus
+      // a hot product seen 10 times, all at a success-routed price
+      val cold1 = (1 to 20).map(i => envelope(i.toLong, s"c$i", 200.0f))
+      val hot1 = (21 to 30).map(i => envelope(i.toLong, "hot", 200.0f))
+      stream.addData(scala.util.Random.shuffle(cold1 ++ hot1): _*)
+      q.processAllAvailable()
+      val b1 = spark.table("mg_top")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(b1.length <= 3, s"emits at most k rows, got ${b1.length}")
+      val (hc1, d1) = b1.collectFirst { case ("Product hot", c, d) => (c, d) }.get
+      // MG guarantee for the true count 10: c_hat <= c_true <= c_hat + D
+      assert(hc1 <= 10L && hc1 + d1 >= 10L, s"c=$hc1 D=$d1 vs true 10")
+      // batch 2: state persists across batches — 5 more hot
+      stream.addData((31 to 35).map(i => envelope(i.toLong, "hot", 200.0f)): _*)
+      q.processAllAvailable(); q.stop()
+      val b2 = spark.table("mg_top")
+        .filter($"product" === "Product hot").orderBy($"cnt".desc).head()
+      val (hc2, d2) = (b2.getLong(2), b2.getLong(3))
+      assert(hc2 <= 15L && hc2 + d2 >= 15L, s"c=$hc2 D=$d2 vs true 15")
+      assert(hc2 > hc1, "hot count advanced across micro-batches")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState MapState keeps per-product counts inside a status key") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

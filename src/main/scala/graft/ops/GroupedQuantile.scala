@@ -67,26 +67,29 @@ object GroupedQuantile {
       .groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
       .localCheckpoint(eager = false)
     val hist = wp.groupBy(col("g"), expr(s"v div $bucketWidth").as("b"))
-      .agg(sum(col("w")).as("bw"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .agg(sum(col("w")).as("bw"), min(col("w")).as("mw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the correctness precondition is that every COLLAPSED (group,
+    // value) weight is non-negative — that is exactly what keeps the
+    // cumulative weight monotone, in buckets and in the drill-down
+    // window alike. min(w) rides along in the same aggregation, so the
+    // check is free and complete (a net-positive bucket hiding a
+    // negative value would otherwise mis-pick silently)
+    hist.find(_._4 < 0).foreach { case (g, b, _, mw) =>
+      throw new IllegalArgumentException(
+        s"weightedQuantiles requires non-negative weights: group $g bucket $b " +
+          s"holds a value with collapsed weight $mw")
+    }
     // driver: per group, ascending-bucket cumulative → for each
     // quantile the bucket holding it, the weight strictly below that
     // bucket, and the group total
     val sel = hist.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
       val byB = rows.sortBy(_._2)
-      // a negative bucket weight means a caller broke the non-negative
-      // weight contract; the cumulative scan would then pick a wrong
-      // bucket SILENTLY (cum is no longer monotone) — fail loudly here,
-      // on driver-side bounded state, where the check is free
-      byB.find(_._3 < 0).foreach { case (_, b, bw) =>
-        throw new IllegalArgumentException(
-          s"weightedQuantiles requires non-negative weights: group $g bucket $b sums to $bw")
-      }
       val total = byB.map(_._3).sum
       val cums = byB.scanLeft(0L)(_ + _._3).tail // inclusive through each bucket
       quantiles.map { case (num, den) =>
         val i = cums.indexWhere(c => den * c >= num * total)
-        val (_, b, _) = byB(i)
+        val (_, b, _, _) = byB(i)
         val before = if (i == 0) 0L else cums(i - 1)
         (g, num, den, 100L * num / den, b, before, total)
       }

@@ -54,35 +54,12 @@ object HeavyHitters {
       .as[String]
 
     type MG = scala.collection.mutable.HashMap[String, Long]
-    def add(s: MG, item: String): MG = {
-      s.get(item) match {
-        case Some(c) => s.update(item, c + 1)
-        case None =>
-          if (s.size < capacity) s.update(item, 1L)
-          else {
-            // decrement-all: drop every counter by 1, evict zeros —
-            // amortized O(1) per item via the eviction sweep
-            val dead = List.newBuilder[String]
-            s.foreachEntry { (i, c) => if (c == 1L) dead += i else s.update(i, c - 1) }
-            dead.result().foreach(s.remove)
-          }
-      }
-      s
-    }
-    def merge(a: MG, b: MG): MG = {
-      b.foreachEntry { (i, c) => a.update(i, a.getOrElse(i, 0L) + c) }
-      if (a.size > capacity) {
-        // subtract the (m+1)-th largest count, drop non-positives —
-        // the mergeable-summaries combine that preserves the N/(m+1) bound
-        val cut = a.values.toArray.sorted(Ordering.Long.reverse).apply(capacity)
-        val dead = List.newBuilder[String]
-        a.foreachEntry { (i, c) => if (c - cut <= 0L) dead += i else a.update(i, c - cut) }
-        dead.result().foreach(a.remove)
-      }
-      a
-    }
+    // the MG fold and merge live in graft.ops.MisraGries, shared with
+    // the streaming processor so the two paths cannot desynchronize
     val summary = items.rdd.treeAggregate(
-      new scala.collection.mutable.HashMap[String, Long]())(add, merge)
+      new scala.collection.mutable.HashMap[String, Long]())(
+      (s: MG, item: String) => { MisraGries.add(s, item, capacity); s },
+      (a: MG, b: MG) => MisraGries.merge(a, b, capacity))
     val candidates = summary.keys.toSeq
     if (candidates.isEmpty) // empty input: nothing to count or certify
       return Seq.empty[(String, Long)].toDF("item", "cnt")

@@ -437,6 +437,10 @@ object OrderPipeline {
   final class StreamingHeavyHittersProcessor(capacity: Int, k: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, (String, String), (String, String, Long, Long)] {
+    require(k > 0 && capacity > k,
+      s"need capacity > k > 0, got k=$k capacity=$capacity " +
+        "(same contract as HeavyHitters.exactTopK; capacity 0 would " +
+        "decrement forever and never track anything)")
     @transient private var summary: org.apache.spark.sql.streaming.MapState[String, Long] = _
     @transient private var decTotal: org.apache.spark.sql.streaming.ValueState[Long] = _
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
@@ -454,23 +458,20 @@ object OrderPipeline {
         : Iterator[(String, String, Long, Long)] = {
       val s = scala.collection.mutable.HashMap.empty[String, Long]
       summary.iterator().foreach { case (i, c) => s.update(i, c) }
-      val loaded = s.keySet.toSet
+      val loaded = s.toMap // snapshot: (item, count) as persisted
       var d = if (decTotal.exists()) decTotal.get() else 0L
       rows.foreach { case (_, item) =>
-        s.get(item) match {
-          case Some(c) => s.update(item, c + 1)
-          case None =>
-            if (s.size < capacity) s.update(item, 1L)
-            else { // decrement-all, evict zeros; arriving item dropped
-              d += 1
-              val dead = List.newBuilder[String]
-              s.foreachEntry { (i, c) => if (c == 1L) dead += i else s.update(i, c - 1) }
-              dead.result().foreach(s.remove)
-            }
-        }
+        d += graft.ops.MisraGries.add(s, item, capacity)
       }
-      (loaded -- s.keySet).foreach(summary.removeKey)
-      s.foreachEntry { (i, c) => summary.updateValue(i, c) }
+      // write back only the DELTA against the persisted snapshot: one
+      // removeKey per evicted entry, one updateValue per entry whose
+      // count actually moved — the one-write-per-touched-entry
+      // discipline of StatusProductCountsProcessor, kept even though
+      // the summary itself is capacity-bounded
+      (loaded.keySet -- s.keySet).foreach(summary.removeKey)
+      s.foreachEntry { (i, c) =>
+        if (!loaded.get(i).contains(c)) summary.updateValue(i, c)
+      }
       decTotal.update(d)
       s.toSeq.sortBy { case (i, c) => (-c, i) }.take(k)
         .map { case (i, c) => (key, i, c, d) }.iterator

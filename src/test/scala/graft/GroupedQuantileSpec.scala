@@ -78,8 +78,12 @@ class GroupedQuantileSpec extends SparkSpec {
     assert(drilled(df, quartiles, 4L) === windowed(df, quartiles))
   }
 
-  test("net-negative weights fail loudly instead of mis-picking a bucket") {
-    val df = Seq((0L, 5L, 3L), (0L, 6L, -10L), (0L, 900L, 4L)).toDF("g", "v", "w")
+  test("negative weights fail loudly even when the bucket nets positive") {
+    // bucket [4,8) sums to 5-3+2 = 4 >= 0, but v=5 carries -3: a
+    // net-only check would pass and the in-bucket cumulative would be
+    // non-monotone — the guard must catch the per-value negative
+    val df = Seq((0L, 4L, 5L), (0L, 5L, -3L), (0L, 6L, 2L), (0L, 900L, 4L))
+      .toDF("g", "v", "w")
     val e = intercept[IllegalArgumentException] {
       GroupedQuantile.weightedQuantiles(spark, df, "g", "v", "w", Seq((1L, 2L)), 4L)
         .collect()

@@ -778,14 +778,24 @@ class StreamingSpec extends SparkSpec {
       val (hc1, d1) = b1.collectFirst { case ("Product hot", c, d) => (c, d) }.get
       // MG guarantee for the true count 10: c_hat <= c_true <= c_hat + D
       assert(hc1 <= 10L && hc1 + d1 >= 10L, s"c=$hc1 D=$d1 vs true 10")
-      // batch 2: state persists across batches — 5 more hot
-      stream.addData((31 to 35).map(i => envelope(i.toLong, "hot", 200.0f)): _*)
+      // batch 2: a wave of NEW products, each seen twice — forces
+      // decrement rounds against the PERSISTED batch-1 summary, so
+      // previously-stored entries hit zero and take the
+      // summary.removeKey eviction path (the write-back delta), while
+      // the state stays capacity-bounded
+      val wave = (1 to 12).flatMap(i =>
+        Seq(envelope(100 + 2 * i.toLong, s"n$i", 200.0f),
+          envelope(101 + 2 * i.toLong, s"n$i", 200.0f)))
+      stream.addData(wave: _*)
+      q.processAllAvailable()
+      // batch 3: state persists across batches — 5 more hot
+      stream.addData((200 to 204).map(i => envelope(i.toLong, "hot", 200.0f)): _*)
       q.processAllAvailable(); q.stop()
-      val b2 = spark.table("mg_top")
+      val b3 = spark.table("mg_top")
         .filter($"product" === "Product hot").orderBy($"cnt".desc).head()
-      val (hc2, d2) = (b2.getLong(2), b2.getLong(3))
-      assert(hc2 <= 15L && hc2 + d2 >= 15L, s"c=$hc2 D=$d2 vs true 15")
-      assert(hc2 > hc1, "hot count advanced across micro-batches")
+      val (hc3, d3) = (b3.getLong(2), b3.getLong(3))
+      assert(hc3 <= 15L && hc3 + d3 >= 15L, s"c=$hc3 D=$d3 vs true 15")
+      assert(d3 > d1, "the eviction wave performed decrement rounds")
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 

@@ -144,9 +144,13 @@ object Bench {
           // BOTH back-to-back runs, so min-of-2 occasionally reports a
           // sub-second query at 3-4 s (observed: q_json_extract 3.9 s
           // in-run vs 0.38 s isolated). One more attempt only when the
-          // pair still breaches the hard budget: genuinely slow plans
-          // pay one extra run, transient double-spikes are killed.
-          if (m2 <= Explain.HardBudgetSecs) m2
+          // pair still breaches the hard budget AND the query isn't a
+          // floor-justified iteration kernel (those legitimately sit
+          // past 2.5 s every run — a third execution of the slowest
+          // queries would buy nothing and cost ~15 s per suite):
+          // genuinely slow plans pay one extra run, transient
+          // double-spikes are killed.
+          if (m2 <= Explain.HardBudgetSecs || Explain.FloorJustified(name)) m2
           else {
             scrub(); maybeGc()
             val (ok3, t3) = timedRun()

@@ -85,10 +85,39 @@ object Explain {
           s"(exempt iteration floors: ${FloorJustified.toSeq.sorted.mkString(", ")})")
       var slow = 0
       val hardOffenders = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      // detect DRIVER-PHASE queries: builders that run Spark jobs during
+      // DataFrame CONSTRUCTION (bounded-model collects, treeAggregate,
+      // histogram drill-downs). For those rows the static plan columns
+      // describe only the final emit — the real work is in the counted
+      // jobs — so the audit marks them drv:<n>j instead of letting a
+      // near-empty plan read as "this query does nothing". Listener
+      // delivery is async; the short post-construction sleep lets the
+      // bus drain before the delta is read.
+      val jobCount = new java.util.concurrent.atomic.AtomicInteger()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          // every spark.read.parquet fires a schema-inference job
+          // (sole stage named "parquet at …") — reading a table is not
+          // driver-phase COMPUTATION, so only genuine actions (collect,
+          // head, treeAggregate, eager localCheckpoint, …) count. The
+          // call site lives in the STAGE name (job properties carry no
+          // callSite for these scheduler-submitted jobs).
+          val sites = js.stageInfos.map(_.name)
+          val isRead = sites.nonEmpty && sites.forall(s =>
+            s.startsWith("parquet at") || s.startsWith("load at") ||
+              s.startsWith("json at"))
+          if (!isRead) jobCount.incrementAndGet()
+          ()
+        }
+      })
       println(f"${"query"}%-26s ${"hashEx"}%6s ${"sorts"}%5s ${"bcast"}%5s ${"pushdown"}%8s ${"wscg"}%4s ${"secs"}%6s  notes")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
         try {
+          val j0 = jobCount.get()
           val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          Thread.sleep(15) // drain the async listener bus
+          val drvJobs = jobCount.get() - j0
           val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
           // "Sort [" matches Sort nodes anywhere, INCLUDING the root
           // operator (every query's final ORDER BY) — SortMergeJoin /
@@ -111,6 +140,7 @@ object Explain {
             if (plan.contains("TakeOrderedAndProject")) Some("topk") else None,
             if (plan.contains("Generate")) Some("gen") else None,
             if (plan.contains("SortMergeJoin")) Some("smj") else None,
+            if (drvJobs > 0) Some(s"drv:${drvJobs}j") else None,
             if (isSlow && !noted) Some("SLOW") else None,
             if (noted) Some(AdvisoryNoted.get(n)
               .map(m => f"SLOW(noted isolated-min=$m%.2fs)")

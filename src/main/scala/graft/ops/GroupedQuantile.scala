@@ -52,13 +52,30 @@ object GroupedQuantile {
     * per group to the driver) against drill-down bucket size
     * (bucketWidth distinct values per group×quantile through the final
     * window); both bounds are properties of the VALUE DOMAIN, not the
-    * data volume. */
+    * data volume. Signed-domain caveat: `div` truncates toward zero,
+    * so bucket 0 spans (−bucketWidth, bucketWidth) — up to
+    * 2·bucketWidth−1 distinct values. Results stay correct (truncating
+    * division is still monotone in v), but size the width for the 2×
+    * bucket when values straddle zero. */
   def weightedQuantiles(spark: SparkSession, df: DataFrame, groupCol: String,
       valueCol: String, weightCol: String, quantiles: Seq[(Long, Long)],
       bucketWidth: Long = 8192L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(quantiles.nonEmpty && quantiles.forall { case (n, d) => n > 0 && n <= d },
       "quantiles must satisfy 0 < num <= den")
+    // duplicate RATIOS would join each wp row into the same window
+    // partition twice (cum_w double-counts — silently wrong), and
+    // distinct ratios sharing a pct LABEL would be merged by the final
+    // groupBy(g, pct) (silently fewer rows) — both rejected up front
+    locally {
+      @annotation.tailrec def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      val norm = quantiles.map { case (n, d) => val g = gcd(n, d); (n / g, d / g) }
+      require(norm.distinct.size == norm.size,
+        s"duplicate quantile ratios: $quantiles")
+      val pcts = quantiles.map { case (n, d) => 100L * n / d }
+      require(pcts.distinct.size == pcts.size,
+        s"quantiles must map to distinct pct labels, got $pcts for $quantiles")
+    }
     import spark.implicits._
     val wp = df
       .select(col(groupCol).cast("long").as("g"),

@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * protocol:
   *
   *   pass 1 (candidates): each partition folds its items into a
-  *     Misra-Gries (space-saving) summary of capacity m; summaries
+  *     Misra-Gries (decrement-all) summary of capacity m — NOT the
+  *     distinct Space-Saving (replace-min) algorithm: counts here
+  *     UNDERESTIMATE (ĉ ≤ c_true ≤ ĉ + D), which the certification
+  *     below depends on; summaries
   *     combine up the `treeAggregate` tree with the standard MG merge
   *     (sum counts, then subtract the (m+1)-th largest and drop
   *     non-positives), so the driver receives ONE summary of at most

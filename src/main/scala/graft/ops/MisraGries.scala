@@ -1,6 +1,8 @@
 package graft.ops
 
-/** The Misra-Gries (space-saving) summary fold shared by the batch
+/** The Misra-Gries summary fold (the classic decrement-all variant —
+  * NOT Space-Saving/replace-min, whose counts OVERestimate; here every
+  * count underestimates: ĉ ≤ c_true ≤ ĉ + D) shared by the batch
   * heavy-hitters pass ([[HeavyHitters.exactTopK]]) and the streaming
   * processor (OrderPipeline.StreamingHeavyHittersProcessor) — one
   * implementation so the two "twins" can never desynchronize. The

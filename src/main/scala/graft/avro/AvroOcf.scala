@@ -177,7 +177,16 @@ object AvroOcf {
           case _ => java.lang.Long.valueOf(micros) // (local-)timestamp-micros
         }
       case BinaryType => s.getType match {
-        case Schema.Type.FIXED => new GenericData.Fixed(s, v.asInstanceOf[Array[Byte]])
+        case Schema.Type.FIXED =>
+          val bytes = v.asInstanceOf[Array[Byte]]
+          // GenericDatumWriter.writeFixed emits exactly getFixedSize
+          // bytes: an undersized array crashes loudly, but an OVERSIZED
+          // one would be silently truncated on the wire — validate here
+          // like the decimal-fixed path already does
+          require(bytes.length == s.getFixedSize,
+            s"fixed(${s.getFixedSize}) field requires exactly " +
+              s"${s.getFixedSize} bytes, got ${bytes.length}")
+          new GenericData.Fixed(s, bytes)
         case _ => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
       }
       case d: DecimalType =>
@@ -225,7 +234,42 @@ object AvroOcf {
     }
   }
 
+  /** The codec matches struct fields to Avro fields by POSITION (the
+    * struct's shape mirrors the schema — spark-avro matches by name
+    * by default, so the difference must never bite silently). This
+    * guard catches the one silently-corrupting case: a struct whose
+    * field NAME also exists in the schema but at a DIFFERENT position
+    * (i.e. a reordered struct of same-typed fields — last_name written
+    * into first_name with no type error). Arbitrary aliases that don't
+    * collide with schema names remain allowed (positional intent).
+    * Structural, so checked once per (struct, schema) pair, not per
+    * row. */
+  private val orderChecked =
+    new java.util.concurrent.ConcurrentHashMap[(StructType, Schema), java.lang.Boolean]()
+  private def checkFieldOrder(sparkType: StructType, schema: Schema): Unit = {
+    orderChecked.computeIfAbsent((sparkType, schema), _ => {
+      val n = math.min(sparkType.length, schema.getFields.size)
+      var i = 0
+      while (i < n) {
+        val sf = sparkType(i); val af = schema.getFields.get(i)
+        if (sf.name != af.name) {
+          val byName = schema.getField(sf.name)
+          if (byName != null && byName.pos != i)
+            throw new IllegalArgumentException(
+              s"struct field '${sf.name}' at position $i would be written into " +
+                s"Avro field '${af.name}' (the codec matches by POSITION), but the " +
+                s"schema has a field named '${sf.name}' at position ${byName.pos} — " +
+                "reorder the struct to schema order")
+        }
+        i += 1
+      }
+      java.lang.Boolean.TRUE
+    })
+    ()
+  }
+
   private def toRecord(row: InternalRow, sparkType: StructType, schema: Schema): GenericRecord = {
+    checkFieldOrder(sparkType, schema)
     val rec = new GenericData.Record(schema)
     val fields = schema.getFields
     var i = 0

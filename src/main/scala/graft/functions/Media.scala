@@ -44,9 +44,13 @@ object MediaHeaders {
   /** IHDR is REQUIRED to be the first chunk: length(4) type(4)="IHDR"
     * width(4 BE) height(4 BE) at fixed offsets 8..23. */
   private def parsePng(b: Array[Byte]): Option[(String, Int, Int)] =
-    if (b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
-      Some(("png", be32(b, 16), be32(b, 20)))
-    else None
+    if (b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val w = be32(b, 16); val h = be32(b, 20)
+      // the spec bounds both at 2^31-1 but zero is invalid, and a
+      // high-bit byte pattern reads as negative through the signed
+      // int — garbage dims must report as malformed, not as Some
+      if (w > 0 && h > 0) Some(("png", w, h)) else None
+    } else None
 
   private def isJpeg(b: Array[Byte]): Boolean =
     b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8
@@ -69,8 +73,12 @@ object MediaHeaders {
       if (len < 2 || q + 1 + len > b.length) return None
       val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
       if (isSof) {
-        if (q + 7 >= b.length) return None
-        return Some(("jpeg", be16(b, q + 6), be16(b, q + 4)))
+        // the segment's DECLARED length must cover precision(1) +
+        // height(2) + width(2): a short SOF would otherwise read its
+        // dimensions from the next segment's bytes
+        if (len < 7 || q + 7 >= b.length) return None
+        val h = be16(b, q + 4); val w = be16(b, q + 6)
+        return if (w > 0 && h > 0) Some(("jpeg", w, h)) else None
       }
       p = q + 1 + len
     }
@@ -81,9 +89,13 @@ object MediaHeaders {
     b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
 
-  /** Logical screen descriptor: width LE16 at 6, height LE16 at 8. */
-  private def parseGif(b: Array[Byte]): Option[(String, Int, Int)] =
-    Some(("gif", le16(b, 6), le16(b, 8)))
+  /** Logical screen descriptor: width LE16 at 6, height LE16 at 8.
+    * Zero dimensions are malformed (a zeroed descriptor is not an
+    * image), so they report None like every other parse failure. */
+  private def parseGif(b: Array[Byte]): Option[(String, Int, Int)] = {
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w > 0 && h > 0) Some(("gif", w, h)) else None
+  }
 
   private def le32(b: Array[Byte], i: Int): Long =
     (u8(b, i).toLong) | (u8(b, i + 1).toLong << 8) |
@@ -123,6 +135,27 @@ object MediaHeaders {
       val next = p.toLong + 8L + size + (size & 1L)
       if (next > b.length) return None
       p = next.toInt
+    }
+    None
+  }
+
+  /** Locate a RIFF container's `data` chunk: (payload offset, payload
+    * length), or None when absent or when any chunk overruns the blob.
+    * Cursor arithmetic in Long space (sizes are unsigned 32-bit) — the
+    * parseWav discipline, shared with AudioStats so the two walks
+    * cannot diverge. */
+  def dataChunk(b: Array[Byte]): Option[(Long, Long)] = {
+    if (b == null || b.length < 12) return None
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val o = i.toInt
+      val id = new String(b, o, 4, "US-ASCII")
+      val len = le32(b, o + 4)
+      if (id == "data")
+        return if (i + 8 + len <= b.length) Some((i + 8, len)) else None
+      val next = i + 8 + len + (len & 1)
+      if (next > b.length) return None
+      i = next
     }
     None
   }
@@ -261,6 +294,43 @@ case class VideoMeta(child: Expression)
   * box-filters to a new PGM. Compressed codecs (JPEG entropy coding
   * etc.) stay behind the documented mapPartitions seam — the
   * PLUMBING is identical, only the per-pixel kernel differs. */
+/** Shared pixel kernels. The synth congruence is the ORACLE CONTRACT
+  * (DuckDB replays `(id·7 + x·31 + y·17) mod 256` over a
+  * generate_series grid for both the PGM and PNG pipelines), so it
+  * lives in exactly one place — a drifting copy would silently break
+  * oracle parity for one container format but not the other. Same for
+  * the exact min/max/sum statistics row. */
+private[functions] object PixelOps {
+  /** pixel (x, y) = (id·7 + x·31 + y·17) mod 256, row-major. */
+  def synthGrid(id: Long, w: Int, h: Int): Array[Byte] = {
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = (((id * 7 + x * 31L + y * 17L) % 256 + 256) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** Exact (sum, min, max) over n unsigned bytes starting at off. */
+  def stats(b: Array[Byte], off: Int, n: Int): (Long, Int, Int) = {
+    var i = off; val end = off + n
+    var sum = 0L; var mn = 255; var mx = 0
+    while (i < end) {
+      val v = b(i) & 0xff
+      sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    (sum, mn, mx)
+  }
+}
+
 object Pgm {
 
   /** Parse a binary PGM: returns (width, height, maxval, dataOffset),
@@ -299,9 +369,14 @@ object Pgm {
     Some((w, h, mx, i))
   }
 
-  /** Encode (width, height, pixels) as binary PGM, maxval 255. */
-  def encode(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
-    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+  /** Encode (width, height, pixels) as binary PGM with the given
+    * maxval (default 255). Pixel SEMANTICS are relative to maxval, so
+    * re-encoders must carry the source's maxval through — writing 255
+    * over 15-level pixels would render the image near-black in any
+    * spec-compliant viewer. */
+  def encode(w: Int, h: Int, px: Array[Byte], maxval: Int = 255): Array[Byte] = {
+    require(maxval > 0 && maxval <= 255, s"maxval must be in [1,255], got $maxval")
+    val header = s"P5\n$w $h\n$maxval\n".getBytes("US-ASCII")
     val out = new Array[Byte](header.length + px.length)
     System.arraycopy(header, 0, out, 0, header.length)
     System.arraycopy(px, 0, out, header.length, px.length)
@@ -330,15 +405,7 @@ case class ImageStats(child: Expression)
     Pgm.parse(b) match {
       case None => null
       case Some((w, h, _, off)) =>
-        var i = off; val end = off + w * h
-        var sum = 0L; var mn = 255; var mx = 0
-        while (i < end) {
-          val v = b(i) & 0xff
-          sum += v
-          if (v < mn) mn = v
-          if (v > mx) mx = v
-          i += 1
-        }
+        val (sum, mn, mx) = PixelOps.stats(b, off, w * h)
         new GenericInternalRow(Array[Any](w, h, (w.toLong * h), sum, mn, mx))
     }
   }
@@ -367,7 +434,7 @@ case class ImageDownsample(child: Expression, factor: Int)
     val b = input.asInstanceOf[Array[Byte]]
     Pgm.parse(b) match {
       case None => null
-      case Some((w, h, _, off)) =>
+      case Some((w, h, maxval, off)) =>
         val ow = w / factor; val oh = h / factor
         if (ow == 0 || oh == 0) return null
         val out = new Array[Byte](ow * oh)
@@ -388,7 +455,10 @@ case class ImageDownsample(child: Expression, factor: Int)
           }
           oy += 1
         }
-        Pgm.encode(ow, oh, out)
+        // carry the SOURCE maxval: the box mean of values in [0, mx]
+        // stays in [0, mx], and re-labeling them against 255 would
+        // silently darken any input with maxval < 255
+        Pgm.encode(ow, oh, out, maxval)
     }
   }
   override protected def withNewChildInternal(newChild: Expression): ImageDownsample =
@@ -421,21 +491,10 @@ case class AudioStats(child: Expression)
       case None => null
       case Some((_, _, bitsPerSample, _)) if bitsPerSample != 16 => null
       case Some(_) =>
-        // find the data chunk: RIFF chunks from offset 12. Sizes are
-        // UNSIGNED 32-bit — read and advance in Long space so a hostile
-        // declared size can neither wrap the cursor nor pass the bounds
-        // check below (the parseWav discipline)
-        var i = 12L
-        var dataOff = -1L; var dataLen = -1L
-        while (i + 8 <= b.length && dataOff < 0) {
-          val o = i.toInt
-          val id = new String(b, o, 4, "US-ASCII")
-          val len = ((b(o + 4) & 0xffL) | ((b(o + 5) & 0xffL) << 8) |
-            ((b(o + 6) & 0xffL) << 16) | ((b(o + 7) & 0xffL) << 24))
-          if (id == "data") { dataOff = i + 8; dataLen = len }
-          else i += 8 + len + (len & 1)
+        val (dataOff, dataLen) = MediaHeaders.dataChunk(b) match {
+          case None => return null
+          case Some(dc) => dc
         }
-        if (dataOff < 0 || dataLen < 0 || dataOff + dataLen > b.length) return null
         val n = (dataLen / 2).toInt
         var t = 0
         var sumAbs = 0L; var sumSq = 0L; var peak = 0
@@ -481,17 +540,7 @@ case class SynthPgm(first: Expression, second: Expression, third: Expression)
     val w = wA.asInstanceOf[Int]; val h = hA.asInstanceOf[Int]
     require(w > 0 && h > 0 && w.toLong * h <= (1 << 22),
       s"synth_pgm dims out of range: ${w}x$h")
-    val px = new Array[Byte](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        px(y * w + x) = (((id * 7 + x * 31L + y * 17L) % 256 + 256) % 256).toByte
-        x += 1
-      }
-      y += 1
-    }
-    Pgm.encode(w, h, px)
+    Pgm.encode(w, h, PixelOps.synthGrid(id, w, h))
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): SynthPgm = copy(first = f, second = s, third = t)
@@ -651,9 +700,11 @@ object Png {
       val len = be32(i)
       if (len > Int.MaxValue - 12 || i + 12 + len > b.length) return None
       val typ = new String(b, i + 4, 4, "US-ASCII")
-      val data = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len.toInt)
-      val tb = java.util.Arrays.copyOfRange(b, i + 4, i + 8)
-      if (crc(tb, data) != be32(i + 8 + len.toInt)) return None
+      // CRC over (type ++ data) straight from the buffer — no payload
+      // copy for chunks that are only checksummed and skipped
+      val c = new java.util.zip.CRC32
+      c.update(b, i + 4, 4 + len.toInt)
+      if (c.getValue != be32(i + 8 + len.toInt)) return None
       typ match {
         case "IHDR" =>
           if (len != 13) return None
@@ -661,10 +712,10 @@ object Png {
           // grayscale-8, deflate, non-interlaced only — the synthetic
           // corpus contract; other color types report None (metadata
           // still flows through image_dims)
-          if (data(8) != 8 || data(9) != 0 || data(10) != 0 ||
-            data(11) != 0 || data(12) != 0) return None
+          if (b(i + 16) != 8 || b(i + 17) != 0 || b(i + 18) != 0 ||
+            b(i + 19) != 0 || b(i + 20) != 0) return None
           if (w <= 0 || h <= 0 || w.toLong * h > (1 << 24)) return None
-        case "IDAT" => idat.write(data)
+        case "IDAT" => idat.write(b, i + 8, len.toInt)
         case "IEND" => seenEnd = true
         case _ => () // ancillary chunks skipped (CRC still verified)
       }
@@ -678,7 +729,11 @@ object Png {
     try {
       while (got < raw.length && !infl.finished()) {
         val n = infl.inflate(raw, got, raw.length - got)
-        if (n == 0 && infl.needsInput()) return None // truncated stream
+        // zero progress is terminal either way: needsInput = truncated
+        // stream; needsDictionary (zlib FDICT flag) = a preset
+        // dictionary this decoder does not supply — without this check
+        // inflate() returns 0 forever and the loop would hang the task
+        if (n == 0 && (infl.needsInput() || infl.needsDictionary())) return None
         got += n
       }
     } catch { case _: java.util.zip.DataFormatException => return None }
@@ -732,17 +787,7 @@ case class SynthPng(first: Expression, second: Expression, third: Expression)
     val w = wA.asInstanceOf[Int]; val h = hA.asInstanceOf[Int]
     require(w > 0 && h > 0 && w.toLong * h <= (1 << 22),
       s"synth_png dims out of range: ${w}x$h")
-    val px = new Array[Byte](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        px(y * w + x) = (((id * 7 + x * 31L + y * 17L) % 256 + 256) % 256).toByte
-        x += 1
-      }
-      y += 1
-    }
-    Png.encode(w, h, px)
+    Png.encode(w, h, PixelOps.synthGrid(id, w, h))
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): SynthPng = copy(first = f, second = s, third = t)
@@ -770,14 +815,7 @@ case class PngStats(child: Expression)
     Png.decode(input.asInstanceOf[Array[Byte]]) match {
       case None => null
       case Some((w, h, px)) =>
-        var i = 0; var sum = 0L; var mn = 255; var mx = 0
-        while (i < px.length) {
-          val v = px(i) & 0xff
-          sum += v
-          if (v < mn) mn = v
-          if (v > mx) mx = v
-          i += 1
-        }
+        val (sum, mn, mx) = PixelOps.stats(px, 0, px.length)
         new GenericInternalRow(Array[Any](w, h, w.toLong * h, sum, mn, mx))
     }
   override protected def withNewChildInternal(newChild: Expression): PngStats =

@@ -272,6 +272,43 @@ class AvroCodecSpec extends SparkSpec {
     intercept[Exception] { AvroOcf.encodeRow(row, richType, richSchema) }
   }
 
+  test("oversized fixed field fails encode loudly instead of silently truncating") {
+    // GenericDatumWriter.writeFixed emits exactly getFixedSize bytes:
+    // a 6-byte array against fixed(4) would lose 2 bytes on the wire
+    // with no error unless the codec validates the length itself
+    val row = richRow("t", "O", 100L, 0L, 0, Array[Byte](1, 2, 3, 4, 5, 6),
+      Nil, Nil, "c", None, Nil, None)
+    val e = intercept[IllegalArgumentException] {
+      AvroOcf.encodeRow(row, richType, richSchema)
+    }
+    assert(e.getMessage.contains("fixed(4)"))
+  }
+
+  test("reordered same-typed struct fields fail encode instead of silently swapping") {
+    // the codec matches by POSITION; a struct carrying the schema's
+    // own field names in a different order is the silent-corruption
+    // case (last_name written into first_name with no type error)
+    import org.apache.spark.sql.types._
+    val two = new Schema.Parser().parse(
+      """{"type":"record","name":"N","fields":[
+        |{"name":"first_name","type":"string"},
+        |{"name":"last_name","type":"string"}]}""".stripMargin.replace("\n", ""))
+    val reordered = StructType(Seq(
+      StructField("last_name", StringType), StructField("first_name", StringType)))
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("Doe"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("Jane"))
+    val e = intercept[IllegalArgumentException] {
+      AvroOcf.encodeRow(row, reordered, two)
+    }
+    assert(e.getMessage.contains("POSITION"))
+    // arbitrary aliases that don't collide with schema names keep the
+    // positional contract (no spurious failure)
+    val aliased = StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType)))
+    AvroOcf.encodeRow(row, aliased, two) // must not throw
+  }
+
   test("fixed-decimal and negative unscaled values round-trip (sign extension)") {
     val fixedDec = new Schema.Parser().parse(
       """{"type":"record","name":"FD","fields":[

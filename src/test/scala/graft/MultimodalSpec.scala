@@ -117,6 +117,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("garbage dimensions and short SOF segments report None, not Some(garbage)") {
+    import graft.functions.MediaHeaders
+    // PNG IHDR with the width high bit set reads as a negative signed
+    // int; GIF with a zeroed screen descriptor is not an image; a JPEG
+    // SOF whose declared length (2) cannot cover precision+h+w would
+    // read its dimensions from the NEXT segment's bytes
+    val badPng = imageBytes("png", 4, 4)
+    badPng(16) = 0xff.toByte // width -> negative through be32
+    assert(MediaHeaders.parse(badPng) === None)
+    val zeroGif = "GIF89a".getBytes("US-ASCII") ++ new Array[Byte](7)
+    assert(MediaHeaders.parse(zeroGif) === None)
+    val shortSof = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xc0.toByte, 0, 2, // SOF0, declared len 2: no payload
+      0, 0x11, 0, 0x22, 0x33, 0x44) // bytes a buggy parser would read as dims
+    assert(MediaHeaders.parse(shortSof) === None)
+  }
+
+  test("image_downsample carries the source maxval (pixels stay relative to it)") {
+    // a maxval-15 image's pixels are 15ths of full scale; re-labeling
+    // them against 255 would render near-black. The output must keep
+    // maxval 15 and parse back with it.
+    val px = Array.tabulate(16)(i => (i % 16).toByte)
+    val in = graft.functions.Pgm.encode(4, 4, px, maxval = 15)
+    val out = graft.functions.ImageDownsample(
+      org.apache.spark.sql.catalyst.expressions.Literal(in,
+        org.apache.spark.sql.types.BinaryType), 2)
+      .eval(null).asInstanceOf[Array[Byte]]
+    val Some((w, h, mx, _)) = graft.functions.Pgm.parse(out)
+    assert((w, h) === (2, 2))
+    assert(mx === 15, "maxval must survive the re-encode")
+  }
+
   test("synthesizeWavHeader round-trips through audio_meta") {
     val df = Seq((1, 8000, 16, 12345L), (2, 44100, 16, 1L), (2, 48000, 16, 0L))
       .toDF("ch", "rate", "bits", "frames")

@@ -108,6 +108,29 @@ class PngSpec extends AnyFunSuite {
     assert(dp.toSeq === p.toSeq)
   }
 
+  test("zlib FDICT flag returns None instead of hanging the decode loop") {
+    // a preset-dictionary stream makes inflate() return 0 with
+    // needsDictionary() true and needsInput() false forever — the
+    // decoder must bail, not spin
+    val enc = Png.encode(6, 6, px(6, 6)((x, y) => x + y * 7))
+    var i = 8
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(enc, 0, 8)
+    while (i + 8 <= enc.length) {
+      val len = ((enc(i) & 0xff) << 24) | ((enc(i + 1) & 0xff) << 16) |
+        ((enc(i + 2) & 0xff) << 8) | (enc(i + 3) & 0xff)
+      val typ = new String(enc, i + 4, 4, "US-ASCII")
+      val data = java.util.Arrays.copyOfRange(enc, i + 8, i + 8 + len)
+      if (typ == "IDAT") {
+        // 0x78 0xBB: CMF=deflate/32k, FLG with FDICT bit set and a
+        // valid check (0x78BB % 31 == 0), then a fake dictionary id
+        out.write(chunk("IDAT", Array[Byte](0x78, 0xBB.toByte, 1, 2, 3, 4, 0, 0)))
+      } else out.write(chunk(typ, data))
+      i += 12 + len
+    }
+    assert(Png.decode(out.toByteArray) === None)
+  }
+
   test("permissive None on malformed input, never a throw") {
     val enc = Png.encode(6, 6, px(6, 6)((x, y) => x * y))
     val cases = Seq[Array[Byte]](

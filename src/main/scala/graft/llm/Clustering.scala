@@ -26,9 +26,14 @@ import org.apache.spark.sql.functions._
   * = dot product, the natural metric for normalized-ish embeddings
   * (cf. Dhillon & Modha, Machine Learning 42, 2001).
   *
-  * A centroid abandoned by every vector drops out of the model (both
-  * engines mirror this via the same join), so k can only shrink —
-  * callers who need constant k re-seed externally.
+  * In FULL-batch Lloyd a centroid abandoned by every vector drops out
+  * of the model (both engines mirror this via the same join), so k can
+  * only shrink — callers who need constant k re-seed externally. The
+  * MINI-batch variant instead carries unsampled centroids forward
+  * unchanged (Sculley's update touches only centroids with members in
+  * the round's sample): sampling absence is noise, not abandonment,
+  * and dropping on it would collapse the model — a cluster missing
+  * from a 5% sample is overwhelmingly still real.
   */
 object Clustering {
 
@@ -129,19 +134,14 @@ object Clustering {
   def lloydMiniBatch(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, rounds: Int, perMille: Int, seedIds: Seq[Long] = Nil): DataFrame = {
     require(perMille > 0 && perMille <= 1000, "perMille in (0, 1000]")
-    val seed =
-      if (seedIds.isEmpty) emb.filter(col(idCol) < k)
-      else emb.filter(col(idCol).cast("long").isInCollection(seedIds))
-    var cents = seed
-      .select(col(idCol).cast("long").as("cid"), toFp(col(vecCol)).as("cf"))
-      .localCheckpoint(true)
+    var cents = seedCentroids(emb, idCol, vecCol, k, seedIds)
     for (r <- 0 until rounds) {
       // replayable per-round Bernoulli gate on md5(id, round)
       val h = conv(substring(md5(concat(col(idCol).cast("string"),
         lit(s"|mb$r")).cast("binary")), 1, 12), 16, 10).cast("long")
       val batch = emb.filter(h % 1000 < perMille)
       val a = assign(batch, idCol, vecCol, cents)
-      cents = batch.join(a, idCol)
+      val updated = batch.join(a, idCol)
         .select(col("cid"), posexplode(toFp(col(vecCol))))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
@@ -151,10 +151,31 @@ object Clustering {
         .groupBy(col("cid"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cf"))
+          s => s.getField("m")).as("nf"))
+      // a centroid with no member IN THIS SAMPLE carries forward
+      // unchanged (Sculley's update): rebuilding the model from the
+      // batch alone would permanently delete any centroid the round's
+      // sample happened to miss, and an empty batch would erase the
+      // whole model
+      cents = cents.join(updated, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("nf"), col("cf")).as("cf"))
         .localCheckpoint(true)
     }
     cents
+  }
+
+  /** Shared deterministic seeding: the k LOWEST-id vectors (a TakeOrdered
+    * over (id) — NOT `filter(id < k)`, which silently yields fewer or
+    * zero seeds whenever ids are sparse, 1-based, or re-keyed), or the
+    * caller's explicit `seedIds`. */
+  private def seedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, seedIds: Seq[Long]): DataFrame = {
+    val seed =
+      if (seedIds.isEmpty) emb.orderBy(col(idCol).cast("long")).limit(k)
+      else emb.filter(col(idCol).cast("long").isInCollection(seedIds))
+    seed
+      .select(col(idCol).cast("long").as("cid"), toFp(col(vecCol)).as("cf"))
+      .localCheckpoint(true)
   }
 
   /** `rounds` Lloyd iterations from a deterministic seed (by default
@@ -163,12 +184,7 @@ object Clustering {
     * (cid, cf: array<long>). */
   def lloyd(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, rounds: Int, seedIds: Seq[Long] = Nil): DataFrame = {
-    val seed =
-      if (seedIds.isEmpty) emb.filter(col(idCol) < k)
-      else emb.filter(col(idCol).cast("long").isInCollection(seedIds))
-    var cents = seed
-      .select(col(idCol).cast("long").as("cid"), toFp(col(vecCol)).as("cf"))
-      .localCheckpoint(true)
+    var cents = seedCentroids(emb, idCol, vecCol, k, seedIds)
     for (_ <- 0 until rounds) {
       val a = assign(emb, idCol, vecCol, cents)
       cents = emb.join(a, idCol)

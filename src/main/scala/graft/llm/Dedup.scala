@@ -374,6 +374,11 @@ object Dedup {
       benchmark: DataFrame, benchTextCol: String, k: Int): DataFrame = {
     val docSh = shingleIndex(docs, idCol, textCol, k)
       .select(col(idCol), xxhash64(col("s")).as("sk"))
+      // two aggregation subtrees (counts + hits) read this index; left
+      // unmaterialized each would re-tokenize and re-shingle the whole
+      // corpus — the candidatePairs checkpoint discipline applies here
+      // identically
+      .localCheckpoint(eager = false)
     val benchSh = benchmark
       .select(explode(shingles(TextOps.tokens(col(benchTextCol)), k)).as("s"))
       .select(xxhash64(col("s")).as("sk")).distinct()

@@ -79,7 +79,17 @@ object Multimodal {
       lit("474946383961"),                 // "GIF89a"
       wLe, hLe,
       lit("F7000000"))                     // GCT flags/bg/aspect
-    unhex(when(format === "png", png).when(format === "jpeg", jpeg).otherwise(gif))
+    // same out-of-contract guard as the WAV/AVI siblings: JPEG/GIF
+    // dimensions are 16-bit, and a width > 65535 would silently lose
+    // its high hex digits to the lpad(…, 4) truncation — assembling a
+    // plausible-looking header with WRONG dimensions that round-trips
+    // (PNG fields are 32-bit, so the bound is the shared 16-bit one
+    // only where the 2-byte encodings are used)
+    val valid = width > 0 && height > 0 &&
+      (format === "png" || (width <= 65535 && height <= 65535))
+    unhex(when(!valid, raise_error(lit(
+        "synthesizeHeader: dimensions outside the container contract")))
+      .when(format === "png", png).when(format === "jpeg", jpeg).otherwise(gif))
   }
 
   /** Deterministic RIFF/WAVE header synthesis (hex-assembled column

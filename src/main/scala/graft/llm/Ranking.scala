@@ -5,11 +5,24 @@ import org.apache.spark.sql.functions._
 
 /** Lexical relevance ranking for retrieval-style selection over a
   * document corpus — BM25 in its log-free rational form (the same
-  * trick as the engine's rational TF-IDF: the Robertson idf's log is
-  * monotone, so ranking by the rational idf (N - df + 0.5)/(df + 0.5)
-  * preserves BM25's ordering while keeping every operation a basic
-  * IEEE op that is bit-identical across engines — no libm
-  * transcendentals whose last-bit rounding differs).
+  * trick as the engine's rational TF-IDF): the rational idf
+  * (N − df + 0.5)/(df + 0.5) replaces Robertson's log of the same
+  * ratio so every operation is a basic IEEE op that is bit-identical
+  * across engines (no libm transcendentals whose last-bit rounding
+  * differs).
+  *
+  * SEMANTICS CAVEAT — this is a deliberate deviation, not an
+  * equivalent: log is monotone, so SINGLE-term rankings match
+  * log-idf BM25 exactly, but the cross-term SUM is not
+  * order-preserving — the rational idf spreads term weights
+  * multiplicatively where the log compresses them (df 1 vs 10 at
+  * N=1000: rational ratio ≈ 7.1, log ratio ≈ 1.4), so rare terms
+  * dominate multi-term scores more than in log BM25, and for
+  * df > N/2 the rational idf stays positive where the log turns
+  * negative. The scoring function is exactly what the oracle
+  * replays; callers wanting classic log-idf ordering should apply
+  * ln() to the idf factor and accept engine-dependent last-bit
+  * rounding.
   *
   * Scale design: term frequencies and document length are per-row
   * array expressions over ONE scan (no explode, no shuffle); the

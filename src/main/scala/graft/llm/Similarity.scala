@@ -73,12 +73,19 @@ object Similarity {
     }
   }
 
-  /** SRP signature column: long with one sign bit per hyperplane. */
-  def srpSignature(vecCol: Column, numPlanes: Int, dim: Int): Column =
+  /** SRP signature column: long with one sign bit per hyperplane.
+    * `numPlanes` is capped at 64 — past that `1L << p` wraps mod 64
+    * and two planes share a bit, whose `+`-combine then CARRIES into
+    * the neighbor bit and scrambles the whole signature (colliding
+    * unrelated vectors, separating true neighbors) with no error. */
+  def srpSignature(vecCol: Column, numPlanes: Int, dim: Int): Column = {
+    require(numPlanes >= 1 && numPlanes <= 64,
+      s"srpSignature supports 1..64 hyperplanes per long, got $numPlanes")
     (0 until numPlanes).map { p =>
       when(dotFp(typedLit(hyperplane(p, dim).toSeq), vecCol) >= 0, 1L << p)
         .otherwise(0L)
     }.reduce(_ + _)
+  }
 
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4x storage/bandwidth compression for ANN indexes: per-vector scale

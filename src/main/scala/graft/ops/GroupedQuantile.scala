@@ -100,9 +100,17 @@ object GroupedQuantile {
     // driver: per group, ascending-bucket cumulative → for each
     // quantile the bucket holding it, the weight strictly below that
     // bucket, and the group total
+    val maxDen = quantiles.map(_._2).max
     val sel = hist.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
       val byB = rows.sortBy(_._2)
       val total = byB.map(_._3).sum
+      // the integer cross-multiplies below (den·cum vs num·total, both
+      // driver-side and in the Column filter) must not wrap int64 —
+      // wrapped comparisons would mis-pick SILENTLY under non-ANSI
+      // Spark semantics. Checked here where the totals are in hand.
+      require(total >= 0 && total <= Long.MaxValue / maxDen,
+        s"weightedQuantiles: group $g total weight $total overflows " +
+          s"the den=$maxDen cross-multiply — rescale the weights")
       val cums = byB.scanLeft(0L)(_ + _._3).tail // inclusive through each bucket
       quantiles.map { case (num, den) =>
         val i = cums.indexWhere(c => den * c >= num * total)

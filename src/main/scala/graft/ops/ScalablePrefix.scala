@@ -43,7 +43,15 @@ object ScalablePrefix {
     // target scale a recompute-scan is cheaper than caching the dataset,
     // and the range-sort is deterministic so both passes see equal data
     val rdd = sorted.queryExecution.toRdd.mapPartitions(
-      _.map(ir => (ir.getLong(keyIdx), ir.getLong(valIdx))), preservesPartitioning = true)
+      _.map { ir =>
+        // same loud-null contract as groupedRank/groupedPrefixSum:
+        // getLong on a null slot silently reads 0, which would rank the
+        // row under key 0 and corrupt every later cumulative value
+        if (ir.isNullAt(keyIdx) || ir.isNullAt(valIdx))
+          throw new IllegalArgumentException(
+            "runningSum requires non-null (key, value) values")
+        (ir.getLong(keyIdx), ir.getLong(valIdx))
+      }, preservesPartitioning = true)
 
     // pass 1: per-partition (count, sum) — numPartitions tuples
     val partTotals = rdd

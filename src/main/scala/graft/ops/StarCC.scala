@@ -101,6 +101,15 @@ object StarCC {
       .union(edges.select(col("b").as("node"), col("a").as("v")))
     val out = sym.groupBy(col("node"))
       .agg(least(min(col("v")), first(col("node"))).as("label"))
-    (out, rounds)
+    // nodes whose every appearance was a self-loop were dropped with
+    // the (a =!= b) canonicalization, but the contract is one row per
+    // distinct node OCCURRING IN PAIRS (and dupClusters keeps them on
+    // identical input) — re-attach them as their own singletons
+    val allNodes = pairs.select(col(c1).as("node"))
+      .union(pairs.select(col(c2).as("node"))).distinct()
+    val withSingletons = out.unionByName(
+      allNodes.join(out, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("label")))
+    (withSingletons, rounds)
   }
 }

@@ -39,6 +39,38 @@ class ClusteringSpec extends SparkSpec {
         s"vec $i assigned to ${a(i.toLong)}, expected ${i % 3}")
   }
 
+  test("default seeding is the k LOWEST ids, not filter(id < k): sparse ids still seed k centroids") {
+    // shift every id by 1000: filter(id < 3) would match nothing and
+    // silently return an EMPTY model; the TakeOrdered seeding must
+    // yield the same three planted-cluster seeds
+    val emb = planted().select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val cents = Clustering.lloyd(emb, "vec_id", "embedding", k = 3, rounds = 2)
+    assert(cents.count() === 3)
+    assert(cents.select("cid").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1000L, 1001L, 1002L))
+    val a = Clustering.assign(emb, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (i <- 0 until 30)
+      assert(a(1000L + i) === 1000L + (i % 3))
+  }
+
+  test("mini-batch keeps centroids its round sample missed (and survives an empty batch)") {
+    val emb = planted()
+    // perMille = 1: with 30 ids, most rounds sample zero rows — the
+    // model must remain the full seeded k, not collapse to empty
+    val tiny = Clustering.lloydMiniBatch(emb, "vec_id", "embedding",
+      k = 3, rounds = 3, perMille = 1)
+    assert(tiny.count() === 3, "unsampled rounds must not erase centroids")
+    // and a healthy sample rate still converges to the planted partition
+    val mini = Clustering.lloydMiniBatch(emb, "vec_id", "embedding",
+      k = 3, rounds = 2, perMille = 1000) // full batch: must equal lloyd
+    val full = Clustering.lloyd(emb, "vec_id", "embedding", k = 3, rounds = 2)
+    val mc = mini.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    val fc = full.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    assert(mc.toSeq === fc.toSeq,
+      "perMille=1000 mini-batch must reproduce full Lloyd exactly")
+  }
+
   test("lloyd centroid is the fixed-point floor-mean of its members") {
     // one cluster, k=1: centroid must equal floor(mean) of the fp coords
     val emb = Seq(

@@ -25,6 +25,17 @@ class StarCCSpec extends SparkSpec {
     assert(rounds <= 12, s"too many rounds for shallow clusters: $rounds")
   }
 
+  test("self-loop-only nodes get singleton rows (one row per node occurring in pairs)") {
+    import spark.implicits._
+    // node 5 appears ONLY as a self-loop: the (a != b) canonicalization
+    // must not drop it from the output — dupClusters keeps it on the
+    // same input, and the contract is one row per distinct node
+    val pairs = Seq((1L, 2L), (5L, 5L), (7L, 7L)).toDF("d1", "d2")
+    val (labels, _) = StarCC.labels(pairs, "d1", "d2")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (5L, 5L), (7L, 7L)))
+  }
+
   test("star contraction matches union-find on a seeded random graph") {
     // deterministic LCG edges over 400 nodes (mix of small components)
     val n = 400L

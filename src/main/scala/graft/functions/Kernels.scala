@@ -143,6 +143,81 @@ case class FixedPointDot(left: Expression, right: Expression)
   override def prettyName: String = "fixed_point_dot"
 }
 
+/** `fixed_point_dot_cent(vec, cent)`: Σᵢ floor(vecᵢ · centᵢ + 0.5)
+  * summed as exact longs — the dot of a float/double vector against an
+  * ALREADY-QUANTIZED 1e-9 fixed-point centroid (array<long>, the
+  * model currency of graft.llm.Clustering). Bit-identical to the
+  * interpreted `aggregate(zip_with(vec, cent, (x, c) ->
+  * floor(x·c + 0.5)))` it replaces on the Lloyd hot path, where that
+  * form ran once per (vector, centroid) pair per round — the same
+  * interpreted-higher-order bottleneck [[FixedPointDot]] removed from
+  * the similarity operators. Null semantics match zip_with: length
+  * mismatch or any null element ⇒ null. */
+case class FixedPointDotCent(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  private def vecOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes() =
+    if (vecOk(left.dataType) && (right.dataType match {
+      case ArrayType(LongType, _) => true; case _ => false
+    }))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"fixed_point_dot_cent expects (array<float|double>, array<long>), " +
+        s"got ${left.dataType}, ${right.dataType}")
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += math.floor(x * b.getLong(i).toDouble + 0.5).toLong
+      i += 1
+    }
+    acc
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val getX = if (lf) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $acc += (long) java.lang.Math.floor(
+         |      ((double) $a.$getX($i)) * ((double) $b.getLong($i)) + 0.5);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FixedPointDotCent =
+    copy(left = l, right = r)
+  override def prettyName: String = "fixed_point_dot_cent"
+}
+
 /** `fixed_point_l2(a, b)`: Σᵢ floor((aᵢ−bᵢ)²·1e9 + 0.5) — the exact
   * fixed-point squared-L2 distance, one codegen'd per-row loop.
   *
@@ -534,6 +609,8 @@ object kernels {
     ColumnBridge.column(FixedPointDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def fixed_point_l2(a: Column, b: Column): Column =
     ColumnBridge.column(FixedPointL2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def fixed_point_dot_cent(vec: Column, cent: Column): Column =
+    ColumnBridge.column(FixedPointDotCent(ColumnBridge.expression(vec), ColumnBridge.expression(cent)))
   def simhash32(tokens: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(tokens)))
   def quantize_int8(vec: Column): Column =

@@ -44,12 +44,15 @@ object Clustering {
       floor(v.cast("double") * lit(1000000000d) + lit(0.5)).cast("long"))
 
   /** Exact dot of a float vector against a fixed-point centroid:
-    * per-term floor to long, long-sum — associative, order-free. */
+    * per-term floor to long, long-sum — associative, order-free. Runs
+    * as the codegen'd FixedPointDotCent kernel: this is the innermost
+    * loop of every Lloyd round (corpus × k evaluations), where the
+    * interpreted aggregate(zip_with(...)) form paid per-element
+    * closure calls and an intermediate array per pair (the same
+    * bottleneck Kernels.scala documents for the similarity family).
+    * KernelsSpec pins bit-parity against the composed form. */
   private def dotCent(vec: Column, cent: Column): Column =
-    aggregate(
-      zip_with(vec, cent, (x, c) =>
-        floor(x.cast("double") * c.cast("double") + lit(0.5)).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.kernels.fixed_point_dot_cent(vec, cent)
 
   /** Nearest-centroid assignment WITH the winning similarity: (id,
     * cid, d) per vector. Argmax runs as a map-side-combining aggregate

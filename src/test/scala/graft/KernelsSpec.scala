@@ -42,6 +42,27 @@ class KernelsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("fixed_point_dot_cent equals the interpreted zip_with form (incl. null parity)") {
+    // float vector against a 1e-9 fixed-point LONG centroid — the
+    // Lloyd-round hot loop this kernel replaces
+    val rows = Seq(
+      (Array(1.0f, 2.0f, -3.5f), Array(500000000L, -1250000000L, 2000000000L)),
+      (Array(0.0f, -0.0f, 1e-6f), Array(1L, -1L, 999999999L)),
+      (Array(1f, 1f, 1f), Array(0L, 0L, 0L))).toDF("v", "c")
+    val builtin = aggregate(
+      zip_with($"v", $"c", (x, c) =>
+        floor(x.cast("double") * c.cast("double") + lit(0.5)).cast("long")),
+      lit(0L), (acc, t) => acc + t)
+    rows.select(kernels.fixed_point_dot_cent($"v", $"c").as("fast"), builtin.as("ref"))
+      .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // length mismatch and null element -> null, matching zip_with
+    val mism = Seq((Array(1.0f, 2.0f), Array(1L, 2L, 3L))).toDF("v", "c")
+    assert(mism.select(kernels.fixed_point_dot_cent($"v", $"c")).head().isNullAt(0))
+    val withNull = Seq((Seq[java.lang.Float](1.0f, null), Seq[java.lang.Long](1L, 2L)))
+      .toDF("v", "c")
+    assert(withNull.select(kernels.fixed_point_dot_cent($"v", $"c")).head().isNullAt(0))
+  }
+
   test("fixed_point_l2 equals interpreted aggregate/zip_with form") {
     val vecs = Seq(
       (Array(1.0f, 2.0f, -3.5f), Array(0.5f, -1.25f, 2.0f)),

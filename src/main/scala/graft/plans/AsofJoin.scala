@@ -107,24 +107,43 @@ case class AsofJoinExec(
         val lTime = lTimeProj(lRow)
         // consume every right row that is eligible for (lKey, lTime);
         // rows for earlier keys just roll the candidate forward and are
-        // invalidated by the key check below — one forward pass total
+        // invalidated by the key check below — one forward pass total.
+        // SQL null semantics: a null never equals anything, so rows
+        // with null KEYS can never match (RowOrdering would compare
+        // null == null), and a null right TIME is an unknown "t <= lt"
+        // predicate — both are consumed without ever becoming the
+        // candidate (they sort first under the nulls-first child
+        // ordering, so skipping them in place preserves the merge)
         var advance = true
         while (advance && buffered.hasNext) {
           val rRow = buffered.head
           val rKey = rKeyProj(rRow)
-          val kc = keyOrd.compare(rKey, lKey)
-          val eligible = kc < 0 || (kc == 0 && {
-            val tc = timeOrd.compare(rTimeProj(rRow), lTime)
-            if (inclusiveB) tc <= 0 else tc < 0
-          })
-          if (eligible) {
-            candKey = rKey.copy()
-            candTime = rTimeProj(rRow).copy()
-            candPayload = payloadProj(rRow).copy()
-            buffered.next()
-          } else advance = false
+          if (rKey.anyNull) buffered.next() // null key: never a match
+          else {
+            val kc = keyOrd.compare(rKey, lKey)
+            if (kc > 0) advance = false
+            else {
+              val rTime = rTimeProj(rRow)
+              if (rTime.isNullAt(0)) buffered.next() // null time: not a candidate
+              else {
+                val eligible = kc < 0 || {
+                  val tc = timeOrd.compare(rTime, lTime)
+                  if (inclusiveB) tc <= 0 else tc < 0
+                }
+                if (eligible) {
+                  candKey = rKey.copy()
+                  candTime = rTime.copy()
+                  candPayload = payloadProj(rRow).copy()
+                  buffered.next()
+                } else advance = false
+              }
+            }
+          }
         }
-        val matched = candKey != null && keyOrd.compare(candKey, lKey) == 0
+        // a left row with a null key or null time is unconditionally
+        // unmatched (null = unknown, per SQL), never null-equal-null
+        val matched = !lKey.anyNull && !lTime.isNullAt(0) &&
+          candKey != null && keyOrd.compare(candKey, lKey) == 0
         outProj(joined(lRow, if (matched) candPayload else nullPayload))
       }
     }

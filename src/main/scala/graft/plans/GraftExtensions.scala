@@ -32,11 +32,32 @@ object CodecRoundTripElimination extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Recursive field-NAME equality. equalsStructurally ignores names,
+    * so on its own it would erase a REORDERED same-typed struct — a
+    * round trip the unoptimized plan rejects loudly (the codec's
+    * positional checkFieldOrder throws "reorder the struct"), and one
+    * where erasure would silently swap columns. Only a true no-op
+    * (names match position-for-position, recursively) may be erased. */
+  private def sameFieldNames(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall { case (c, d) =>
+          c.name == d.name && sameFieldNames(c.dataType, d.dataType)
+        }
+      case (x: ArrayType, y: ArrayType) => sameFieldNames(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) => sameFieldNames(x.valueType, y.valueType)
+      case _ => true
+    }
+  }
+
   private def erasable(child: org.apache.spark.sql.catalyst.expressions.Expression,
       schemaJson: String): Boolean = {
     val decoded = AvroOcf.sparkTypeFor(new org.apache.avro.Schema.Parser().parse(schemaJson))
     org.apache.spark.sql.types.DataType.equalsStructurally(
       child.dataType, decoded, ignoreNullability = true) &&
+      sameFieldNames(child.dataType, decoded) &&
       nullabilityCompatible(child.dataType, decoded)
   }
 

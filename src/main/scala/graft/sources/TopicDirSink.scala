@@ -83,12 +83,27 @@ object TopicDirSink {
       // version stays readable by number — snapshot isolation + time
       // travel, lakehouse-style, with no coordination beyond the
       // driver's single commit call per job.
-      val version = TopicDirSink.versions(dir).lastOption.getOrElse(0) + 1
-      val tmpV = dir.resolve(s".manifest-$version.$queryId.tmp")
+      // claim the next version with CREATE-IF-ABSENT (hard link fails
+      // atomically when the target exists), NOT a bare ATOMIC_MOVE:
+      // POSIX rename replaces an existing target, so two jobs that
+      // both read max=N would both "win" manifest-(N+1) and the first
+      // committer's snapshot would silently vanish — the lost-update
+      // race snapshot isolation exists to prevent. On contention the
+      // loser simply claims the next number.
+      val tmpV = dir.resolve(s".manifest.$queryId.tmp")
       Files.write(tmpV, body.getBytes("UTF-8"))
-      Files.move(tmpV, dir.resolve(f"manifest-$version%06d"),
-        StandardCopyOption.ATOMIC_MOVE)
-      val tmpP = dir.resolve(s".manifest.$queryId.tmp")
+      var version = TopicDirSink.versions(dir).lastOption.getOrElse(0) + 1
+      var claimed = false
+      while (!claimed) {
+        try {
+          Files.createLink(dir.resolve(f"manifest-$version%06d"), tmpV)
+          claimed = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => version += 1
+        }
+      }
+      Files.deleteIfExists(tmpV)
+      val tmpP = dir.resolve(s".manifest.ptr.$queryId.tmp")
       Files.write(tmpP, f"$version%06d%n".getBytes("UTF-8"))
       Files.move(tmpP, dir.resolve("manifest"),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

@@ -104,8 +104,14 @@ object OrderPipeline {
         .write.mode("overwrite").parquet(s"$outDir/dlq/batch=$batchId")
 
       batch.filter(col("status") === Router.Transient)
+        // key/value ride along so a record that EXHAUSTS its retries
+        // still reaches the DLQ with the original payload bytes — the
+        // S6 contract (and consumer.py forwards the original message);
+        // without them the exhausted-retry DLQ records would be
+        // decoded-fields-only, unrecoverable for re-publication
         .select(col("topic"), col("partition"), col("offset"),
-          col("orderId"), col("product"), col("price"))
+          col("orderId"), col("product"), col("price"),
+          col("key"), col("value"))
         .withColumn("attempts", lit(1))
         .write.mode("overwrite").parquet(s"$outDir/retry/batch=$batchId")
     } finally batch.unpersist()
@@ -118,9 +124,10 @@ object OrderPipeline {
     *                        headers, S6);
     *  - `outDir/retry/`   — transient rows with attempt counter (F2);
     * each batch-partitioned and replay-idempotent ([[writeFanOut]]).
-    */
-  def start(processed: DataFrame, outDir: String, checkpointDir: String,
-      maxRetries: Int = Router.MaxRetries): StreamingQuery =
+    * The retry BUDGET belongs to the retry loop ([[startRetryLoop]]'s
+    * maxRetries), not here — this method only fans records out. */
+  def start(processed: DataFrame, outDir: String, checkpointDir: String)
+      : StreamingQuery =
     processed.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -131,11 +138,18 @@ object OrderPipeline {
   /** Streaming per-key dedup: drops ALL redeliveries of an orderId
     * inside the watermark horizon (including producer retries that
     * carry a different broker timestamp) — the idempotence layer an
-    * at-least-once source needs, with state bounded by the watermark. */
-  def dedupStream(processed: DataFrame, lateness: String): DataFrame =
-    processed
-      .withWatermark("timestamp", lateness)
+    * at-least-once source needs, with state bounded by the watermark.
+    * Decode FAILURES carry orderId = null, and
+    * dropDuplicatesWithinWatermark treats null as one group value —
+    * deduping them would silently collapse DISTINCT corrupt messages
+    * (each owed a DLQ row) into one, so null-id rows bypass the dedup
+    * untouched. */
+  def dedupStream(processed: DataFrame, lateness: String): DataFrame = {
+    val wm = processed.withWatermark("timestamp", lateness)
+    wm.filter(col("orderId").isNotNull)
       .dropDuplicatesWithinWatermark("orderId")
+      .unionByName(wm.filter(col("orderId").isNull))
+  }
 
   /** Stream-stream inner join: orders enriched against a second stream
     * (e.g. a payments/confirmation feed) on key within a bounded
@@ -308,12 +322,25 @@ object OrderPipeline {
     // order into a spurious timeout AND make the output depend on batch
     // boundaries — so an orphan confirmation is STATE, not a no-op.
     @transient private var pendingConf: org.apache.spark.sql.streaming.ValueState[Long] = _
+    // RESOLUTION TOMBSTONE (the CompactedStateProcessor lesson): after
+    // a confirm, clearing ALL state would let an at-least-once
+    // REDELIVERY of the order re-arm the SLA timer and report a
+    // confirmed order as timed out. The tombstone (holding the
+    // resolved deadline) blocks re-arming; its own timer at the
+    // deadline reclaims it — once the watermark passes the deadline,
+    // any duplicate of the original order row (same, older event time)
+    // is late-dropped before reaching the processor, so the tombstone
+    // is provably no longer needed. State stays bounded.
+    @transient private var resolved: org.apache.spark.sql.streaming.ValueState[Long] = _
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       deadline = getHandle.getValueState[Long]("deadline",
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
       pendingConf = getHandle.getValueState[Long]("pendingConf",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      resolved = getHandle.getValueState[Long]("resolved",
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     }
@@ -332,17 +359,27 @@ object OrderPipeline {
             if (deadline.exists()) {
               val d = deadline.get()
               deadline.clear()
-              getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
+              // keep the deadline timer: it now reclaims the tombstone
+              resolved.update(d)
               out ::= ((key, d, "confirmed"))
-            } else if (!pendingConf.exists()) {
+            } else if (!pendingConf.exists() && !resolved.exists()) {
               pendingConf.update(ts) // orphan: waits for its order
+              // cleanup timer: once the watermark passes the
+              // confirmation's own time, its order (whose event time
+              // is <= the confirmation's) can only arrive late-dropped
+              // — without this an unmatched confirmation leaks forever
+              getHandle.registerTimer(ts + slaMs)
             }
-          } else if (!deadline.exists()) {
+          } else if (!deadline.exists() && !resolved.exists()) {
             val d = ts + slaMs
             if (pendingConf.exists()) {
               // the confirmation already arrived (observed early):
-              // resolve immediately, never arm a timer
+              // resolve immediately, never arm an SLA timer — but leave
+              // the tombstone + its reclaim timer so a redelivered
+              // order cannot re-arm
               pendingConf.clear()
+              resolved.update(d)
+              getHandle.registerTimer(d)
               out ::= ((key, d, "confirmed"))
             } else {
               deadline.update(d)
@@ -353,7 +390,7 @@ object OrderPipeline {
           // rows are sorted by (isConf, ts) above, so the lowest-ts
           // order in the batch arms the timer and later duplicates
           // (regardless of their arrival/offset order) hit the
-          // deadline.exists() guard
+          // deadline/resolved guards
       }
       out.reverseIterator
     }
@@ -361,10 +398,20 @@ object OrderPipeline {
         timerValues: org.apache.spark.sql.streaming.TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
         : Iterator[(String, Long, String)] = {
-      if (!deadline.exists()) return Iterator.empty
-      val d = deadline.get()
-      deadline.clear()
-      Iterator((key, d, "timeout"))
+      val expiry = expiredTimerInfo.getExpiryTimeInMs()
+      if (deadline.exists() && expiry >= deadline.get()) {
+        val d = deadline.get()
+        deadline.clear()
+        Iterator((key, d, "timeout"))
+      } else {
+        // reclaim expired bookkeeping state, emit nothing: the
+        // resolution tombstone once the watermark passes its deadline,
+        // and an orphan confirmation whose order can no longer arrive
+        if (resolved.exists() && expiry >= resolved.get()) resolved.clear()
+        if (pendingConf.exists() && expiry >= pendingConf.get() + slaMs)
+          pendingConf.clear()
+        Iterator.empty
+      }
     }
   }
 
@@ -624,23 +671,40 @@ object OrderPipeline {
     * row counts and durations, without per-record driver I/O. Returns
     * the listener so tests/ops can read accumulated totals. */
   final class ProgressTotals extends org.apache.spark.sql.streaming.StreamingQueryListener {
-    @volatile var batches: Long = 0L
-    @volatile var rows: Long = 0L
+    // listeners are SESSION-wide, and the normal topology here runs
+    // several queries at once (fan-out + retry loop) — totals are
+    // therefore tracked PER QUERY ID, so a consumer's S7 progress /
+    // F4 shutdown summary describes exactly one query instead of
+    // conflating whichever queries happen to share the session
+    private val perQuery =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, (Long, Long)]()
     @volatile var terminations: Long = 0L
     @volatile var lastSummary: String = ""
+    /** Session-wide totals (all queries), for single-query sessions. */
+    def batches: Long = {
+      var s = 0L; perQuery.values.forEach(v => s += v._1); s
+    }
+    def rows: Long = {
+      var s = 0L; perQuery.values.forEach(v => s += v._2); s
+    }
+    def batchesFor(id: java.util.UUID): Long =
+      Option(perQuery.get(id)).map(_._1).getOrElse(0L)
+    def rowsFor(id: java.util.UUID): Long =
+      Option(perQuery.get(id)).map(_._2).getOrElse(0L)
     override def onQueryStarted(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
-      batches += 1
-      rows += e.progress.numInputRows
+      perQuery.merge(e.progress.id, (1L, e.progress.numInputRows),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+      ()
     }
     /** F4: the reference's shutdown summary (consumer.py:194-211) —
-      * final totals emitted when the query terminates. */
+      * the TERMINATED query's own final totals. */
     override def onQueryTerminated(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {
       terminations += 1
-      lastSummary = s"batches=$batches rows=$rows"
+      lastSummary = s"batches=${batchesFor(e.id)} rows=${rowsFor(e.id)}"
     }
   }
 
@@ -651,15 +715,16 @@ object OrderPipeline {
   }
 
   /** F2 promotion step for re-injected retries: attempts exhausted ->
-    * DLQ-bound; otherwise back to the retry stream with attempts+1 and
-    * the reference's linear backoff as an eligibility time
-    * (consumer.py:307 `sleep(0.5*retry_count)` -> `eligible_at`,
-    * non-blocking). */
+    * DLQ-bound; otherwise back to the retry stream with attempts+1.
+    * The reference's linear backoff (consumer.py:307
+    * `sleep(0.5*retry_count)`) is a THREAD BLOCK this pipeline
+    * deliberately does not reproduce: pacing here is one retry trip
+    * per micro-batch (the loop's natural cadence), which preserves the
+    * bounded-attempts contract without blocking and without a
+    * wall-clock column that would break replay determinism. */
   def promoteRetries(retries: DataFrame, maxRetries: Int = Router.MaxRetries): DataFrame =
     retries
       .withColumn("attempts", col("attempts") + 1)
-      .withColumn("eligible_at",
-        unix_timestamp(current_timestamp()) + col("attempts") * 0.5)
       .withColumn("disposition",
         when(col("attempts") > maxRetries, lit("dlq")).otherwise(lit("retry")))
 
@@ -682,6 +747,8 @@ object OrderPipeline {
       org.apache.spark.sql.types.StructField("orderId", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("product", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("price", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.BinaryType),
       org.apache.spark.sql.types.StructField("attempts", org.apache.spark.sql.types.IntegerType)))
 
   /** Inject retry records into a WATCHED retry directory: write to a
@@ -718,8 +785,13 @@ object OrderPipeline {
     * Exhausted records land in `dlqDir/retry_batch=<id>` (overwrite —
     * replay-idempotent) carrying the reference's exhaustion message
     * (consumer.py:312); survivors go back into `retryDir` for the next
-    * trip. `eligible_at` is dropped from the outputs (it is wall-clock
-    * backoff state, not payload). */
+    * trip (pacing = one trip per micro-batch; see [[promoteRetries]]).
+    * The exhausted records carry the ORIGINAL key/value bytes from the
+    * retry ledger, so the DLQ payload contract holds on this path too.
+    * NB: this population is partitioned `retry_batch=` (vs the main
+    * DLQ's `batch=`) deliberately — the two record shapes differ, and
+    * distinct partition-column names keep a naive union read from
+    * conflating them. */
   def reinjectBatch(batch: DataFrame, batchId: Long, retryDir: String,
       dlqDir: String, maxRetries: Int = Router.MaxRetries): Unit = {
     val promoted = promoteRetries(batch, maxRetries).persist()
@@ -727,10 +799,10 @@ object OrderPipeline {
       promoted.filter(col("disposition") === "dlq")
         .withColumn("error_reason",
           format_string("Processing failed after %d retries", lit(maxRetries)))
-        .drop("disposition", "eligible_at")
+        .drop("disposition")
         .write.mode("overwrite").parquet(s"$dlqDir/retry_batch=$batchId")
       val still = promoted.filter(col("disposition") === "retry")
-        .drop("disposition", "eligible_at")
+        .drop("disposition")
       // an empty write would still create a part file, which the source
       // would see as new data -> livelock; only inject real survivors
       if (!still.isEmpty) { injectRetries(still, retryDir, s"reinject-$batchId"); () }

@@ -154,6 +154,37 @@ class AsofJoinSpec extends SparkSpec {
     assert(twice.count() === 1000L)
   }
 
+  test("null keys and null times never match (SQL null semantics)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("sym", StringType, nullable = true),
+      StructField("ts", LongType, nullable = true)))
+    val l = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(null, 10L),       // null key: must stay unmatched
+        Row("A", null),       // null time: must stay unmatched
+        Row("A", 10L))),      // control: matches normally
+      schema)
+    val rschema = StructType(Seq(StructField("q_sym", StringType, nullable = true),
+      StructField("q_ts", LongType, nullable = true),
+      StructField("q_px", StringType, nullable = true)))
+    val r = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(null, 1L, "NULLKEY"),  // a null-keyed quote must match nothing
+        Row("A", null, "NULLTS"),  // a null-time quote is never a candidate
+        Row("A", 5L, "a5"))),
+      rschema)
+    val got = Asof.join(l, r, Seq("sym"), Seq("q_sym"), "ts", "q_ts",
+        Seq("q_px"), inclusive = true)
+      .collect().map(row => (Option(row.getString(0)).getOrElse("<null>"),
+        if (row.isNullAt(1)) -1L else row.getLong(1),
+        if (row.isNullAt(2)) null else row.getString(2))).toSet
+    assert(got === Set(
+      ("<null>", 10L, null), // null left key: unmatched, NOT paired with NULLKEY
+      ("A", -1L, null),      // null left time: unmatched
+      ("A", 10L, "a5")))     // the valid row still matches the valid quote
+  }
+
   test("empty right side yields all-null payloads") {
     val got = Asof.join(trades, quotes.filter(lit(false)),
         Seq("t_sym"), Seq("q_sym"), "t_ts", "q_ts", Seq("q_px"))

@@ -33,6 +33,27 @@ class PlansSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("rule keeps REORDERED same-typed structs (erasure would silently swap fields)") {
+    // orderId/product are both strings: structurally equal to the
+    // decoded type in either order, so a name-blind guard would erase
+    // this pair — converting the codec's loud "reorder the struct"
+    // error into silently swapped columns
+    val df = Seq(1).toDF("i")
+      .select(A.from_avro_ocf(
+        A.to_avro_ocf(struct(lit("p").as("product"), lit("a").as("orderId"),
+          lit(1.5f).as("price")), Schemas.orderAvroJson),
+        Schemas.orderAvroJson).as("o"))
+    val optimized = CodecRoundTripElimination(df.queryExecution.analyzed)
+    assert(optimized.expressions.exists(_.exists(_.isInstanceOf[FromAvroOcf])),
+      "reordered struct must NOT be erased")
+    // and the kept codec pair fails loudly at encode time, as designed
+    val e = intercept[Exception] { df.collect() }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) String.valueOf(t.getMessage)
+      else rootMsg(t.getCause) + String.valueOf(t.getMessage)
+    assert(rootMsg(e).contains("POSITION") || e.toString.contains("POSITION"))
+  }
+
   test("rule keeps pairs whose nullable child fields lack an Avro null union") {
     // encoding a null orderId would THROW at runtime (non-null Avro
     // field); eliminating the pair would silently pass the null through,

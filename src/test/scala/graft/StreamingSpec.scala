@@ -948,6 +948,58 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Array("a", "b"))
   }
 
+  test("dedup passes DISTINCT decode failures through (null ids are not one group)") {
+    val stream = MemoryStream[Envelope](spark)
+    // two DIFFERENT corrupt payloads: both decode to orderId = null and
+    // both are owed a DLQ row — deduping on orderId would silently
+    // collapse them into one
+    stream.addData(
+      envelope(0, "g1", 0f, Array[Byte](1, 2, 3)),
+      envelope(1, "g2", 0f, Array[Byte](9, 9, 9, 9)),
+      envelope(2, "ok", 150.0f))
+    val deduped = OrderPipeline.dedupStream(
+      OrderPipeline.process(stream.toDF()), "10 minutes")
+    val q = deduped.select($"offset", $"orderId").writeStream.outputMode("append")
+      .format("memory").queryName("dedup_null_out").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("dedup_null_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(rows === Set((0L, null), (1L, null), (2L, "ok")),
+      s"both corrupt messages must survive dedup: $rows")
+  }
+
+  test("a redelivered order after its confirmation does not re-arm the SLA timer") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1700000000000L
+      val sla = 600000L
+      val stream = MemoryStream[(String, java.sql.Timestamp, Boolean)](spark)
+      val out = OrderPipeline.orderTimeouts(spark,
+        stream.toDF().toDF("orderId", "timestamp", "is_confirmation"),
+        slaMs = sla, lateness = "2 hours") // wide lateness: the duplicate is NOT late-dropped
+      val q = out.toDF("orderId", "deadline_ms", "outcome").writeStream
+        .outputMode("update").format("memory").queryName("sla_redeliver")
+        .option("checkpointLocation", tmpDir("graft-sla-rd-ckpt")).start()
+      stream.addData(("o1", new Timestamp(t0), false))
+      q.processAllAvailable()
+      stream.addData(("o1", new Timestamp(t0 + 60000), true)) // confirmed in time
+      q.processAllAvailable()
+      // the at-least-once REDELIVERY of the original order row, within
+      // the lateness bound: must hit the resolution tombstone, not
+      // re-arm a timer for an already-confirmed order
+      stream.addData(("o1", new Timestamp(t0), false))
+      q.processAllAvailable()
+      // push the watermark far past the deadline so any armed timer fires
+      stream.addData(("ox", new Timestamp(t0 + 36000000L), false))
+      q.processAllAvailable(); q.stop()
+      val o1 = spark.table("sla_redeliver").filter($"orderId" === "o1").collect()
+        .map(r => r.getString(2)).toSeq
+      assert(o1 === Seq("confirmed"),
+        s"confirmed order must never time out after redelivery: $o1")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-stream join enriches orders with confirmations in the skew window") {
     val orders = MemoryStream[Envelope](spark)
     val confs = MemoryStream[Envelope](spark)
@@ -1006,7 +1058,7 @@ class StreamingSpec extends SparkSpec {
       val promoted = OrderPipeline.promoteRetries(current)
       promotions += 1
       dlqBound = promoted.filter($"disposition" === "dlq").count()
-      current = promoted.filter($"disposition" === "retry").drop("disposition", "eligible_at")
+      current = promoted.filter($"disposition" === "retry").drop("disposition")
     }
     // attempts 1 -> 2 -> 3 (retry) -> 4 (> maxRetries=3, dlq)
     assert(promotions === Router.MaxRetries)

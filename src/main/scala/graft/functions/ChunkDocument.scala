@@ -54,22 +54,23 @@ case class ChunkDocument(child: Expression, maxTokens: Int, overlap: Int)
     val n = arr.numElements()
     if (n == 0) return Iterator.empty
     val nChunks = (n + step - 1) / step // starts 0, step, ... < n
+    val space = UTF8String.fromString(" ")
     Iterator.tabulate(nChunks) { c =>
       val start = c * step
       val end = math.min(start + maxTokens, n)
-      val sb = new java.lang.StringBuilder(8 * (end - start))
+      // stay in UTF-8 end to end: concatWs joins the token bytes
+      // directly, where a StringBuilder would decode every token to
+      // java.lang.String and re-encode the whole chunk — two full
+      // conversions per token per chunk (and tokens recur across
+      // overlapping chunks) on the per-partition hot path
+      val toks = new scala.collection.mutable.ArrayBuffer[UTF8String](end - start)
       var i = start
-      var appended = false
       while (i < end) {
-        if (!arr.isNullAt(i)) {
-          if (appended) sb.append(' ')
-          sb.append(arr.getUTF8String(i).toString)
-          appended = true
-        }
+        if (!arr.isNullAt(i)) toks += arr.getUTF8String(i)
         i += 1
       }
       new GenericInternalRow(Array[Any](
-        c, UTF8String.fromString(sb.toString), end - start))
+        c, UTF8String.concatWs(space, toks.toSeq: _*), end - start))
     }
   }
 

@@ -89,6 +89,12 @@ object Hll {
   class HllMergeAggregator extends Aggregator[Seq[Int], Array[Int], Seq[Int]] {
     override def zero: Array[Int] = new Array[Int](M)
     override def reduce(buf: Array[Int], regs: Seq[Int]): Array[Int] = {
+      // a null sketch row (outer-join miss) contributes nothing — the
+      // built-in aggregate convention; a short array would silently
+      // merge a DIFFERENT sketch geometry, so it fails loudly instead
+      if (regs == null) return buf
+      require(regs.length == M,
+        s"hll_merge: register row has ${regs.length} registers, expected $M")
       var i = 0
       while (i < M) { if (regs(i) > buf(i)) buf(i) = regs(i); i += 1 }
       buf

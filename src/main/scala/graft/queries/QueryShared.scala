@@ -20,17 +20,31 @@ private[graft] trait QueryShared { this: SparkEntry.type =>
     * tables, and re-listing + re-inferring per query is pure per-query
     * overhead (BASELINE.md's ~0.13 s/query floor). Only the RELATION
     * object is reused — no data is persisted, every query still scans
-    * parquet. Keyed WEAKLY by the session object itself (identity
-    * equality): a stopped session's entries are collectable, and a new
-    * session can never alias another's cached plans. */
+    * parquet. Keyed weakly by the session object (identity equality),
+    * so a new session can never alias another's cached plans — but a
+    * cached DataFrame strongly references its own SparkSession, which
+    * would keep the weak key reachable forever (the WeakHashMap
+    * value→key self-reference trap), so STOPPED sessions' entries are
+    * additionally evicted eagerly on every access. */
   private[graft] val relationCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
-  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def evictStoppedSessions(): Unit =
+    relationCache.synchronized {
+      val it = relationCache.keySet.iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k != null && k.sparkContext.isStopped) it.remove()
+      }
+    }
+
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    evictStoppedSessions()
     relationCache
       .computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
       .computeIfAbsent(s"$dir/$name", _ => s.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** Engine-portable 60-bit hash (the md5 convention every sketch and
     * sampling query shares — replayable as
@@ -464,14 +478,6 @@ private[graft] trait QueryShared { this: SparkEntry.type =>
       |  bool_or(l_tax > 0.07) AS any_high_tax
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** Exact per-group percentiles (p25/p90/p99) by nearest-rank
-    * selection on the two-pass grouped rank — the same scale shape as
-    * the exact median: no group is ever sorted through one task, and
-    * the final aggregate touches at most three rows per group.
-    * Nearest-rank definition: the p-th percentile is the value at
-    * 1-based rank ceil(p·n/100) = (n·p + 99) div 100 — pure integer
-    * arithmetic, identical in both engines; values are integer cents,
-    * so the only float op is the final /100. */
   /** Per-group nearest-rank percentile CENTS for each p in `ps`, by
     * rank selection on the two-pass grouped rank — the shared core of
     * q_percentile_exact and q_outliers_iqr, so the nearest-rank
@@ -496,15 +502,6 @@ private[graft] trait QueryShared { this: SparkEntry.type =>
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** CDC-style snapshot diff: the insert/update/delete change set
-    * between two versions of the orders table (simulated
-    * deterministically from one scan: version A drops keys ≡0 mod 10,
-    * version B drops keys ≡1 mod 10 and reprices keys ≡0 mod 7). Rows
-    * compare by an md5 row fingerprint, so the equality check is one
-    * 16-byte compare regardless of row width — the standard wide-table
-    * CDC trick — the full-outer join shuffles each side by the key
-    * once, and unchanged rows (the overwhelming majority at scale) are
-    * dropped before the emit. */
   /** The deterministic two-version simulation of the orders table
     * shared by the CDC queries — version A drops keys ≡0 mod 10,
     * version B drops keys ≡1 mod 10 and reprices keys ≡0 mod 7.

@@ -35,10 +35,18 @@ class OrdersSource extends TableProvider {
       properties: java.util.Map[String, String]): Table = {
     // properties arrive in the caller's original case — normalize
     val opts = new CaseInsensitiveStringMap(properties)
+    val rows = opts.getLong("rows", 1000L)
+    val parts = opts.getInt("numPartitions", 4)
+    // fail at table resolution with the option named — numPartitions=0
+    // would otherwise die later with a bare '/ by zero' at plan time,
+    // and a NEGATIVE value would silently plan one InputPartition per
+    // row (a task per row and a driver-sized partition array)
+    require(rows >= 0, s"option rows must be >= 0, got $rows")
+    require(parts > 0, s"option numPartitions must be positive, got $parts")
     new OrdersSource.OrdersTable(
-      opts.getLong("rows", 1000L),
+      rows,
       opts.getOrDefault("seed", "dsv2"),
-      opts.getInt("numPartitions", 4),
+      parts,
       OrdersSource.isEnvelope(opts.getOrDefault("mode", "orders")))
   }
 }
@@ -118,11 +126,20 @@ object OrdersSource {
         override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
         override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
           val lo = start.json().toLong
-          val cap = limit match {
+          // honor the EXECUTION's read limit, not just our default:
+          // Trigger.Once passes ReadAllAvailable (and logs that the
+          // source's own limit is ignored) — answering with
+          // rowsPerBatch there would let the single batch complete
+          // "successfully" having silently dropped every later row
+          def cap(l: ReadLimit): Long = l match {
             case m: ReadMaxRows => m.maxRows()
+            case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
+              rows
+            case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+              c.getReadLimits.map(cap).min
             case _ => rowsPerBatch
           }
-          off(math.min(lo + cap, rows))
+          off(math.min(lo + cap(limit), rows))
         }
         override def reportLatestOffset(): Offset = off(rows)
         override def deserializeOffset(json: String): Offset = off(json.toLong)

@@ -98,6 +98,9 @@ object ConsumerGroup {
     * already owns more than P/N). */
   def capacities(nPartitions: Int, prevOwned: Map[String, Int],
       members: Seq[String]): Map[String, Int] = {
+    // same guard as rangeAssignment/stickyAssignment: an empty group
+    // would otherwise die with a bare '/ by zero' below
+    require(members.nonEmpty, "a consumer group needs at least one member")
     val n = members.size
     val npp = nPartitions / n
     val extra = nPartitions % n
@@ -188,10 +191,21 @@ object ConsumerGroup {
   def memberStreamFrom(spark: SparkSession, topicDir: String,
       nPartitions: Int, members: Seq[String], memberId: String,
       committed: Map[Int, Long]): DataFrame = {
-    val pid = partitionOf(col("key"), nPartitions)
-    val committedCol = committed.foldLeft(lit(-1L)) {
-      case (acc, (p, off)) => when(pid === p.toLong, off).otherwise(acc)
-    }
+    // one partition-hash evaluation per row: the ledger rides in as a
+    // map LITERAL looked up by pid. The previous fold built a nested
+    // CASE WHEN with one COPY of the md5 partition hash per committed
+    // partition — up to nPartitions hash evaluations per row on
+    // interpreted paths. Bounded model state either way (the ledger is
+    // partitions-sized), but the lookup is O(1) per row.
+    val committedCol =
+      if (committed.isEmpty) lit(-1L)
+      else coalesce(
+        element_at(
+          map(committed.toSeq.sortBy(_._1).flatMap { case (p, off) =>
+            Seq(lit(p.toLong), lit(off))
+          }: _*),
+          partitionOf(col("key"), nPartitions)),
+        lit(-1L))
     memberStream(spark, topicDir, nPartitions, members, memberId)
       .filter(col("offset") > committedCol)
   }

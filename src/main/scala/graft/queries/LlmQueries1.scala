@@ -3,10 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.avro.functions.{from_avro_ocf, to_avro_ocf}
 import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
-import graft.model.Schemas
-import graft.ops.{Analytics, Router}
+import graft.ops.Analytics
 
 /** LLM training-data pipeline: dedup (exact/MinHash/SimHash/PPJoin), similarity search (IVF/PQ/LSH), text analysis, tokenizer ops, multimodal metadata, curation.
   *
@@ -950,9 +948,7 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
     import org.apache.spark.sql.expressions.Window
     val scored = t(s, dir, "documents")
       .select(col("doc_id"),
-        (lit(40L) * size(split(col("text"), " ")).cast("long") +
-          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", "")).cast("long") +
-          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L)).as("logit_milli"),
+        qualityLogitMilli.as("logit_milli"),
         (col("n_chars") >= 200).as("label"))
       .localCheckpoint(eager = false)
     val ranked = graft.ops.ScalablePrefix.groupedRank(s,
@@ -975,8 +971,15 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
       .withColumn("cum_docs", sum(col("n_docs")).over(w))
       .withColumn("cum_pos", sum(col("n_pos")).over(w))
       .withColumn("gain_ppm", expr("cum_pos * 1000000 div pos_total"))
+      // lift runs on a DOUBLE tree (mirrored verbatim in the oracle):
+      // the int64 form cum_pos*n_total*1e6 wraps past ~9e12 doc-scale
+      // products — Spark would wrap silently where DuckDB errors, the
+      // worst kind of engine divergence. Exact below 2^53 regardless.
       .withColumn("lift_ppm",
-        expr("cum_pos * n_total * 1000000 div (cum_docs * pos_total)"))
+        floor(col("cum_pos").cast("double") * col("n_total").cast("double")
+            * lit(1000000.0)
+            / (col("cum_docs").cast("double") * col("pos_total").cast("double")))
+          .cast("long"))
       .select(col("decile"), col("n_docs"), col("n_pos"), col("cum_docs"),
         col("cum_pos"), col("gain_ppm"), col("lift_ppm"))
       .orderBy(col("decile"))
@@ -1216,8 +1219,12 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
       .localCheckpoint(eager = false)
     val tots = counts.agg(sum(col("o1")).as("r1"), sum(col("o2")).as("r2"))
     def term(o: String, r: String): org.apache.spark.sql.Column = {
-      val ratio = (col(o) * (col("r1") + col("r2"))).cast("double") /
-        (col(r) * (col("o1") + col("o2"))).cast("double")
+      // each factor casts to double BEFORE the multiply (oracle
+      // mirrors): o*(r1+r2) as int64 wraps once per-word counts times
+      // total tokens pass 2^63 (~1e6 * 1e13 at corpus scale) — Spark
+      // wraps silently, DuckDB errors, and log(ratio) goes NaN
+      val ratio = (col(o).cast("double") * (col("r1") + col("r2")).cast("double")) /
+        (col(r).cast("double") * (col("o1") + col("o2")).cast("double"))
       when(col(o) > 0, col(o).cast("double") * log(ratio)).otherwise(lit(0.0))
     }
     counts.crossJoin(broadcast(tots))
@@ -2375,10 +2382,7 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
     val scored = t(s, dir, "documents")
       .select(col("lang"),
         (col("n_chars") >= 200).as("label"),
-        ((lit(40L) * size(split(col("text"), " ")).cast("long") +
-          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
-            .cast("long") +
-          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L)) >= 0L)
+        (qualityLogitMilli >= 0L)
           .as("pred"))
       .localCheckpoint(eager = false)
     val byLang = scored.groupBy(col("lang"))
@@ -3558,10 +3562,15 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
          |FROM j LEFT JOIN ex ON j.d1 = ex.d1 AND j.d2 = ex.d2
          |ORDER BY j.d1, j.d2""".stripMargin
     },
-    "q_confusion" ->
-      """WITH f AS (
+    "q_confusion" -> {
+      // interpolated like every sibling classifier oracle (q_lang_id,
+      // q_quality, …) — an inline copy of the stopword list would
+      // silently decouple this confusion matrix from the classifier
+      // the moment TextOps.EnStopwords is tuned
+      val stops = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
         |  SELECT lang,
-        |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'for', 'on'], t))) AS BIGINT) AS en_hits,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$stops], t))) AS BIGINT) AS en_hits,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |thr AS (SELECT CAST(unnest([60, 80, 100]) AS BIGINT) AS thr_milli),
@@ -3587,7 +3596,8 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
         |    THEN 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm)
         |    ELSE 0 END AS f1_ppm,
         |  (tp + tn) * 1000000 // (tp + fp + fn + tn) AS accuracy_ppm
-        |FROM pr ORDER BY thr_milli""".stripMargin,
+        |FROM pr ORDER BY thr_milli""".stripMargin
+    },
     "q_gains" ->
       """WITH scored AS (
         |  SELECT doc_id,
@@ -3622,7 +3632,9 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
         |  FROM deciles)
         |SELECT decile, n_docs, n_pos, cum_docs, cum_pos,
         |  cum_pos * 1000000 // pos_total AS gain_ppm,
-        |  cum_pos * n_total * 1000000 // (cum_docs * pos_total) AS lift_ppm
+        |  CAST(floor(CAST(cum_pos AS DOUBLE) * CAST(n_total AS DOUBLE) * 1000000.0
+        |    / (CAST(cum_docs AS DOUBLE) * CAST(pos_total AS DOUBLE))) AS BIGINT)
+        |    AS lift_ppm
         |FROM cum ORDER BY decile""".stripMargin,
     "q_silhouette" ->
       """WITH cents AS (
@@ -3687,13 +3699,13 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
         |    i -> array_to_string(tk[i:i+4], ' ')))) AS s
         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) toks),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |csh AS (
-        |  SELECT doc_id, s FROM sh
-        |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s
-        |                  HAVING count(*) > 1000)),
         |tp AS (
+        |  -- UNCAPPED truth, exactly like the engine side: the query's
+        |  -- truth is jaccardPairsPrefix, which is LOSSLESS (no
+        |  -- hot-shingle df cap — RankingSpec pins it equal to the
+        |  -- uncapped plain join), so the oracle must not cap either
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-        |  FROM csh a JOIN csh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |truth AS (
         |  SELECT d1, d2 FROM tp
@@ -3787,10 +3799,12 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
         |  SELECT w, o1, o2,
         |    CAST(floor(2.0 * (
         |      CASE WHEN o1 > 0 THEN CAST(o1 AS DOUBLE)
-        |        * ln(CAST(o1 * (r1 + r2) AS DOUBLE) / CAST(r1 * (o1 + o2) AS DOUBLE))
+        |        * ln((CAST(o1 AS DOUBLE) * CAST(r1 + r2 AS DOUBLE))
+        |             / (CAST(r1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE)))
         |      ELSE 0.0 END
         |      + CASE WHEN o2 > 0 THEN CAST(o2 AS DOUBLE)
-        |        * ln(CAST(o2 * (r1 + r2) AS DOUBLE) / CAST(r2 * (o1 + o2) AS DOUBLE))
+        |        * ln((CAST(o2 AS DOUBLE) * CAST(r1 + r2 AS DOUBLE))
+        |             / (CAST(r2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE)))
         |      ELSE 0.0 END) * 1000000 + 0.5) AS BIGINT) AS g2_unat
         |  FROM counts CROSS JOIN tots)
         |SELECT w, o1, o2, g2_unat

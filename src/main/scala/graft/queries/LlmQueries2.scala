@@ -3,10 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.avro.functions.{from_avro_ocf, to_avro_ocf}
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
-import graft.model.Schemas
-import graft.ops.{Analytics, Router}
+import graft.llm.{Similarity, TextOps}
+import graft.ops.Analytics
 
 /** LLM training-data pipeline: dedup (exact/MinHash/SimHash/PPJoin), similarity search (IVF/PQ/LSH), text analysis, tokenizer ops, multimodal metadata, curation.
   *
@@ -303,10 +301,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
   private[graft] def qKnapsack(s: SparkSession, dir: String): DataFrame = {
     val scored = TextOps.withTokenEstimate(t(s, dir, "documents"), "text")
       .select(col("doc_id"), col("est_tokens"),
-        (lit(40L) * size(split(col("text"), " ")).cast("long") +
-          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
-            .cast("long") +
-          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L))
+        qualityLogitMilli
           .as("q_milli"))
       .filter(col("q_milli") > 0)
       .withColumn("density", expr("q_milli * 1000 div est_tokens"))
@@ -888,8 +883,12 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
   private[graft] def qMedianPolish(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grid = t(s, dir, "orders")
-      .groupBy((datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
-          .cast("long") % 7L).as("dow"),
+      // pmod, not %: signed remainder would split each weekday into
+      // two strata (-3 and 4 are both Mondays) the moment the fixture
+      // gains pre-1995 dates — both engines replicate the same signed
+      // %, so the hash gate could never catch the wrong decomposition
+      .groupBy(pmod(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long"), lit(7L)).as("dow"),
         ((year(col("o_orderdate")) - 1995) * 12 +
           month(col("o_orderdate")) - 1).cast("long").as("m"))
       .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div 100000").as("v"))
@@ -928,10 +927,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     val binned = t(s, dir, "documents")
       .select(
         (col("n_chars") >= 200).as("label"),
-        (lit(40L) * size(split(col("text"), " ")).cast("long") +
-          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
-            .cast("long") +
-          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L))
+        qualityLogitMilli
           .as("logit_milli"))
       .withColumn("bin",
         greatest(least(expr("logit_milli div 2000"), lit(10L)), lit(-10L)))
@@ -1102,10 +1098,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
   private[graft] def qMcc(s: SparkSession, dir: String): DataFrame = {
     val scored = t(s, dir, "documents")
       .select((col("n_chars") >= 200).as("label"),
-        ((lit(40L) * size(split(col("text"), " ")).cast("long") +
-          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
-            .cast("long") +
-          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L)) >= 0)
+        (qualityLogitMilli >= 0)
           .as("pred"))
     scored.agg(
         sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"),
@@ -1461,10 +1454,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     val scored = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         least(expr("n_chars div 200"), lit(4L)).as("len_bucket"),
-        (lit(40L) * size(split(col("text"), " ")).cast("long") +
-          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
-            .cast("long") +
-          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L))
+        qualityLogitMilli
           .as("score_milli"))
       .withColumn("packed",
         (col("score_milli") + 100000L) * 1000000000L + col("doc_id"))
@@ -2653,7 +2643,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
          |FROM perq GROUP BY p ORDER BY p""".stripMargin,
     "q_median_polish" ->
       """WITH grid AS (
-        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) % 7 AS dow,
+        |  SELECT ((CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) % 7) + 7) % 7 AS dow,
         |    CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m,
         |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) // 100000 AS v
         |  FROM orders GROUP BY 1, 2),

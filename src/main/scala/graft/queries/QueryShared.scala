@@ -46,6 +46,19 @@ private[graft] trait QueryShared { this: SparkEntry.type =>
       .computeIfAbsent(s"$dir/$name", _ => s.read.parquet(s"$dir/$name.parquet"))
   }
 
+
+  /** The shared synthetic quality model (logit in milli-units):
+    * 40·words − 10·digits − 2·|n_chars−500| − 1500 over the documents
+    * schema. ONE definition for the whole threshold-sweep / fairness /
+    * calibration family (q_quality_model, q_gains, q_mcc, q_knapsack,
+    * q_rlhf_pairs, …): with the engine side shared, any oracle copy
+    * that drifts now fails its hash gate loudly instead of silently
+    * evaluating a different model than its siblings. */
+  private[graft] def qualityLogitMilli: org.apache.spark.sql.Column =
+    lit(40L) * size(split(col("text"), " ")).cast("long") +
+      lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", "")).cast("long") +
+      lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L)
+
   /** Engine-portable 60-bit hash (the md5 convention every sketch and
     * sampling query shares — replayable as
     * `CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15) AS BIGINT)`

@@ -234,10 +234,7 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     val scored = t(s, dir, "documents")
       .select(
         (col("n_chars") >= 200).as("label"),
-        (lit(40L) * size(split(col("text"), " ")).cast("long") +
-          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
-            .cast("long") +
-          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L))
+        qualityLogitMilli
           .as("logit_milli"))
       .withColumn("bin",
         greatest(least(expr("logit_milli div 2000"), lit(10L)), lit(-10L)))
@@ -1458,10 +1455,7 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     val binned = t(s, dir, "documents")
       .select(
         (col("n_chars") >= 200).as("label"),
-        (lit(40L) * size(split(col("text"), " ")).cast("long") +
-          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
-            .cast("long") +
-          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L))
+        qualityLogitMilli
           .as("logit_milli"))
       .withColumn("bin",
         greatest(least(expr("logit_milli div 2000"), lit(10L)), lit(-10L)))
@@ -1677,10 +1671,7 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     val binned = t(s, dir, "documents")
       .select(
         (col("n_chars") >= 200).as("label"),
-        (lit(40L) * size(split(col("text"), " ")).cast("long") +
-          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
-            .cast("long") +
-          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L))
+        qualityLogitMilli
           .as("logit_milli"))
       .withColumn("bin",
         greatest(least(expr("logit_milli div 2000"), lit(10L)), lit(-10L)))
@@ -1795,10 +1786,7 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     val binned = t(s, dir, "documents")
       .select(
         (col("n_chars") >= 200).as("label"),
-        (lit(40L) * size(split(col("text"), " ")).cast("long") +
-          lit(-10L) * length(regexp_replace(col("text"), "[^0-9]", ""))
-            .cast("long") +
-          lit(-2L) * abs(col("n_chars") - 500) + lit(-1500L))
+        qualityLogitMilli
           .as("logit_milli"))
       .withColumn("bin",
         greatest(least(expr("logit_milli div 2000"), lit(10L)), lit(-10L)))

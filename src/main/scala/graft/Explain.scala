@@ -116,7 +116,20 @@ object Explain {
         try {
           val j0 = jobCount.get()
           val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-          Thread.sleep(15) // drain the async listener bus
+          // drain the async listener bus with a STABILITY loop, not a
+          // fixed sleep: under load a job-start event can land later
+          // than any fixed delay, mis-attributing the drv:Nj marker to
+          // the next query. Wait until the counter holds still for
+          // 30 ms, bounded at ~500 ms total (dev audit tool — a
+          // stability loop is cheap and removes the flake).
+          var drained = jobCount.get()
+          var stableMs = 0
+          var waitedMs = 0
+          while (stableMs < 30 && waitedMs < 500) {
+            Thread.sleep(10); waitedMs += 10
+            val now = jobCount.get()
+            if (now == drained) stableMs += 10 else { drained = now; stableMs = 0 }
+          }
           val drvJobs = jobCount.get() - j0
           val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
           // "Sort [" matches Sort nodes anywhere, INCLUDING the root

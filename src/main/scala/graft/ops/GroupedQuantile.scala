@@ -59,8 +59,9 @@ object GroupedQuantile {
     * bucket when values straddle zero. */
   def weightedQuantiles(spark: SparkSession, df: DataFrame, groupCol: String,
       valueCol: String, weightCol: String, quantiles: Seq[(Long, Long)],
-      bucketWidth: Long = 8192L): DataFrame = {
+      bucketWidth: Long = 8192L, maxHistRows: Long = 2000000L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxHistRows > 0, "maxHistRows must be positive")
     require(quantiles.nonEmpty && quantiles.forall { case (n, d) => n > 0 && n <= d },
       "quantiles must satisfy 0 < num <= den")
     // duplicate RATIOS would join each wp row into the same window
@@ -83,8 +84,24 @@ object GroupedQuantile {
         col(weightCol).cast("long").as("w"))
       .groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
       .localCheckpoint(eager = false)
-    val hist = wp.groupBy(col("g"), expr(s"v div $bucketWidth").as("b"))
+    val histDf = wp.groupBy(col("g"), expr(s"v div $bucketWidth").as("b"))
       .agg(sum(col("w")).as("bw"), min(col("w")).as("mw"))
+      .localCheckpoint(eager = false)
+    // the driver-side state is bounded by groups × valueRange/bucketWidth
+    // — a property of the VALUE DOMAIN, but one the caller controls via
+    // bucketWidth. A width far too small for the domain (e.g. 1 over an
+    // int64 range) would collect the full (group, bucket) domain and OOM
+    // the driver, so the size is checked distributed-side BEFORE any row
+    // is collected (same fail-loudly convention as the HeavyHitters
+    // certification). The count materializes the checkpoint, so the
+    // collect below re-reads it rather than recomputing the aggregate.
+    val histRows = histDf.count()
+    if (histRows > maxHistRows)
+      throw new IllegalStateException(
+        s"weightedQuantiles histogram has $histRows (group, bucket) rows " +
+          s"> maxHistRows = $maxHistRows — raise bucketWidth (= $bucketWidth) " +
+          s"for this value domain, or raise maxHistRows if the driver can hold it")
+    val hist = histDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // the correctness precondition is that every COLLAPSED (group,
     // value) weight is non-negative — that is exactly what keeps the

@@ -89,7 +89,11 @@ object HeavyHitters {
           s"exactTopK not certifiable: only ${top.length} candidates for k=$k " +
             s"with ${overflow} items outside the summary — raise capacity (= $capacity)")
       val t = top.last._2
-      if (t * (capacity + 1L) <= n)
+      // overflow-safe form of t·(m+1) > N: for positive longs,
+      // t·(m+1) > n  ⟺  t > n/(m+1) with floor division (both sides
+      // integer), so no multiplication that could wrap at
+      // t > Long.MaxValue/(m+1) is ever evaluated
+      if (t <= n / (capacity + 1L))
         throw new IllegalStateException(
           s"exactTopK not certifiable: k-th count $t <= N/(m+1) = $n/${capacity + 1} — " +
             s"raise capacity (= $capacity) above N/c_k for this data")

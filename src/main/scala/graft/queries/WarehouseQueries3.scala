@@ -316,34 +316,39 @@ private[graft] trait WarehouseQueries3 { this: SparkEntry.type =>
           .cast("long").as("q"),
         col("l_quantity").cast("long").as("qty"),
         Analytics.cents(col("l_extendedprice")).as("cents"))
-      .localCheckpoint(eager = false)
+    // BOTH axes ride one (part, quarter) pre-aggregate: the fact table
+    // is scanned once and the (part, q) → part shuffle chain runs once,
+    // instead of the former separate XYZ (quantity) and ABC (revenue)
+    // passes each re-reading the checkpointed fact. perPart carries the
+    // exact quantity moments AND the revenue cents side by side.
     val perQ = li.groupBy(col("l_partkey"), col("q"))
-      .agg(sum(col("qty")).as("dq"))
-    val xyz = perQ.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("dq"), sum(col("cents")).as("cq"))
+    val perPart = perQ.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("k"), sum(col("dq")).as("sd"),
-        sum(col("dq") * col("dq")).as("sdd"))
-      // CV² vs 0.25 / 1.0 by cross-multiply: (k·sdd − sd²)·k vs
-      // thr·(k−1)·sd² — all exact int64 at the quarterly-quantity grain
-      .select(col("l_partkey"),
-        when((col("k") * col("sdd") - col("sd") * col("sd")) * col("k") * 4
-          <= (col("k") - 1) * col("sd") * col("sd"), "X")
-          .when((col("k") * col("sdd") - col("sd") * col("sd")) * col("k")
-            <= (col("k") - 1) * col("sd") * col("sd"), "Y")
-          .otherwise("Z").as("xyz"))
-    val rev = li.groupBy(col("l_partkey")).agg(sum(col("cents")).as("cents"))
-      .select(when(col("cents") < (1L << 36) && col("l_partkey") < (1L << 26),
-          (lit(1L << 36) - col("cents")) * lit(1L << 26) + col("l_partkey"))
-        .otherwise(raise_error(lit("q_abc_xyz key overflow"))).as("key"),
-        col("l_partkey"), col("cents"))
+        sum(col("dq") * col("dq")).as("sdd"), sum(col("cq")).as("cents"))
+      .localCheckpoint(eager = false)
+    // CV² vs 0.25 / 1.0 by cross-multiply: (k·sdd − sd²)·k vs
+    // thr·(k−1)·sd² — all exact int64 at the quarterly-quantity grain
+    val classed = perPart.select(col("l_partkey"), col("cents"),
+      when((col("k") * col("sdd") - col("sd") * col("sd")) * col("k") * 4
+        <= (col("k") - 1) * col("sd") * col("sd"), "X")
+        .when((col("k") * col("sdd") - col("sd") * col("sd")) * col("k")
+          <= (col("k") - 1) * col("sd") * col("sd"), "Y")
+        .otherwise("Z").as("xyz"),
+      when(col("cents") < (1L << 36) && col("l_partkey") < (1L << 26),
+        (lit(1L << 36) - col("cents")) * lit(1L << 26) + col("l_partkey"))
+        .otherwise(raise_error(lit("q_abc_xyz key overflow"))).as("key"))
     val run = graft.ops.ScalablePrefix.runningSum(s,
-      rev.select(col("key").as("k"), col("cents")), "k", "cents", 32)
-    val tot = run.agg(sum(col("cents")).as("t"))
+      classed.select(col("key").as("k"), col("cents")), "k", "cents", 32)
+    // total revenue from the checkpointed per-part frame (one tiny job)
+    // rather than a third pass over the prefix RDD
+    val tot = perPart.agg(sum(col("cents")).as("t"))
     val abc = run.crossJoin(broadcast(tot))
       .select(expr("k % 67108864").as("l_partkey"),
         when(col("run_sum") * 5 <= col("t") * 4, "A")
           .when(col("run_sum") * 20 <= col("t") * 19, "B")
           .otherwise("C").as("abc"))
-    abc.join(xyz, "l_partkey")
+    abc.join(classed.select(col("l_partkey"), col("xyz")), "l_partkey")
       .groupBy(col("abc"), col("xyz"))
       .agg(count(lit(1)).as("n_parts"))
       .orderBy(col("abc"), col("xyz"))

@@ -103,10 +103,26 @@ object TopicDirSink {
         }
       }
       Files.deleteIfExists(tmpV)
-      val tmpP = dir.resolve(s".manifest.ptr.$queryId.tmp")
-      Files.write(tmpP, f"$version%06d%n".getBytes("UTF-8"))
-      Files.move(tmpP, dir.resolve("manifest"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // the pointer flip is last-writer-wins, so a slower committer
+      // holding an OLDER claimed version could overwrite a newer one
+      // (readers following the pointer would then miss a committed
+      // snapshot until the next commit). Two defenses: (a) skip the
+      // flip when the current pointer already names a version >= ours
+      // (narrows the window to the read–move gap), and (b) readSegments
+      // resolves "latest" as max(pointer, max committed version), so
+      // even a raced stale flip can never hide a committed snapshot.
+      val pointer = dir.resolve("manifest")
+      val current = try {
+        if (Files.exists(pointer))
+          new String(Files.readAllBytes(pointer), "UTF-8").trim.toInt
+        else 0
+      } catch { case _: NumberFormatException => 0 }
+      if (current < version) {
+        val tmpP = dir.resolve(s".manifest.ptr.$queryId.tmp")
+        Files.write(tmpP, f"$version%06d%n".getBytes("UTF-8"))
+        Files.move(tmpP, pointer,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       messages.foreach {
@@ -178,10 +194,19 @@ object TopicDirSink {
     import spark.implicits._
     val dir = Paths.get(path)
     val chosen: Option[Int] = version.orElse {
+      // "latest" = max(pointer, max committed manifest version): the
+      // pointer flip is racy under concurrent commits (see commit()),
+      // so the committed-version listing is the source of truth and
+      // the pointer merely a fast path that can only ever lag, never
+      // point ahead of a committed snapshot
       val pointer = dir.resolve("manifest")
-      if (Files.exists(pointer))
-        Some(new String(Files.readAllBytes(pointer), "UTF-8").trim.toInt)
-      else None
+      val ptrV =
+        if (Files.exists(pointer))
+          try Some(new String(Files.readAllBytes(pointer), "UTF-8").trim.toInt)
+          catch { case _: NumberFormatException => None }
+        else None
+      val maxV = versions(dir).lastOption
+      (ptrV ++ maxV).maxOption
     }
     val committed: Set[String] = chosen match {
       case Some(v) =>

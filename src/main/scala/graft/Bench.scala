@@ -86,6 +86,22 @@ object Bench {
       java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala.toSeq
     }
     val compBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    // one sample of the aging-relevant JVM state, as JSON — carried in
+    // the bench artifact itself (round-8 advice #7) so a future
+    // driver-run anomaly like round 7's progressive degradation can be
+    // diagnosed from BENCH_r{N}.json alone, without the stderr stream
+    def jvmSnapshot(): String = {
+      val rt = Runtime.getRuntime
+      val codeUsed = memBeans.filter(p => p.getName.contains("CodeHeap") ||
+          p.getName.contains("Code Cache"))
+        .map(_.getUsage.getUsed).sum / (1 << 20)
+      val metaUsed = memBeans.filter(_.getName.contains("Metaspace"))
+        .map(_.getUsage.getUsed).sum / (1 << 20)
+      s"""{"heap_mb":${(rt.totalMemory - rt.freeMemory) / (1 << 20)},""" +
+        s""""max_heap_mb":${rt.maxMemory / (1 << 20)},""" +
+        s""""code_cache_mb":$codeUsed,"metaspace_mb":$metaUsed,""" +
+        s""""jit_ms":${compBean.getTotalCompilationTime}}"""
+    }
     def jvmDiag(tag: String): Unit = {
       val rt = Runtime.getRuntime
       val heap = s"heap=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}M/${rt.maxMemory / (1 << 20)}M"
@@ -115,6 +131,7 @@ object Bench {
     val haveWarmup = new java.io.File(warmupDir).isDirectory
 
     jvmDiag("start")
+    val jvmStart = jvmSnapshot()
     var qIdx = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       qIdx += 1
@@ -161,6 +178,7 @@ object Bench {
       name -> secs
     }
     jvmDiag("end")
+    val jvmField = s""""jvm":{"start":$jvmStart,"end":${jvmSnapshot()}}"""
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -170,7 +188,7 @@ object Bench {
       .mkString("[", ",", "]")
     // Full per-query detail: one line for humans + a file for tooling.
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errors,$jvmField,"sf":"$sfDir"}"""
     println(fullLine)
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
@@ -185,7 +203,7 @@ object Bench {
     val qsTop = slowest.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qsTop,"errors":$errors,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qsTop,"errors":$errors,$jvmField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

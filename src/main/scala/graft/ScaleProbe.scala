@@ -112,18 +112,27 @@ object ScaleProbe {
     }
   }
 
-  /** `--kernels [rows]`: 1× vs 10× growth for the round-8 exact-at-scale
-    * kernels, plus the BOUNDED-STATE sizes their 100 TB claims rest on:
+  /** `--kernels [rows] [mults]`: wall-time growth across row
+    * multipliers (default `1,10`; `1,10,100` measures the
+    * amortizing-job-floor claim across TWO decades) for the
+    * exact-at-scale kernels, plus the BOUNDED-STATE sizes their 100 TB
+    * claims rest on:
     *  - HeavyHitters.exactTopK over zipf tokens — wall should grow
     *    ~linearly (two scans) while the driver-held candidate set stays
     *    ≤ capacity regardless of rows;
     *  - GroupedQuantile.weightedQuantiles over a FIXED value domain —
     *    wall ~linear (scan + narrow drill-down) while the driver-held
-    *    histogram stays (groups × domain/bucketWidth) rows at any scale.
+    *    histogram stays (groups × domain/bucketWidth) rows at any scale;
+    *  - prefix-Jaccard candidate volume (the q_jaccard_* /
+    *    q_lsh_sweep truth-join machinery) — the full-index pair volume
+    *    grows ~quadratically with docs while the PREFIX-index volume it
+    *    is pruned to grows far slower; the printed reduction factor is
+    *    the sub-quadratic-survival evidence.
     * A data-proportional driver state or super-linear wall growth here
     * would be a scale defect; the probe prints both so the claim is
     * measured, not asserted. */
-  private def kernelsMode(spark: SparkSession, baseRows: Long): Unit = {
+  private def kernelsMode(spark: SparkSession, baseRows: Long,
+      mults: Seq[Long]): Unit = {
     import org.apache.spark.sql.DataFrame
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -139,8 +148,16 @@ object ScaleProbe {
       pmod(xxhash64(col("id"), lit(1)), lit(25)).as("g"),
       pmod(xxhash64(col("id"), lit(2)), lit(1000000)).as("v"), // FIXED domain
       (pmod(xxhash64(col("id"), lit(3)), lit(50)) + 1).as("w"))
+    // boilerplate-corpus docs, the floorsMode lsh_sweep shape: ten
+    // 5-token phrases from a 1000-phrase pool per doc; docs = rows/20
+    def docs(n: Long): DataFrame = spark.range(n / 20).select(
+      col("id").as("doc_id"),
+      array_join(transform(sequence(lit(1), lit(10)),
+        i => concat_ws(" ", (0 until 5).map(j =>
+          concat(lit("w"), pmod(xxhash64(col("id"), i), lit(1000)) * 5 + j)): _*)),
+        " ").as("text"))
 
-    println(s"[kernels] base=$baseRows rows vs ${baseRows * 10} (10x)")
+    println(s"[kernels] base=$baseRows rows; multipliers=${mults.mkString(",")}")
     Seq[(String, Long => Unit)](
       ("heavy_hitters (MG + recount)", n =>
         HeavyHitters.exactTopK(spark, tokens(n), "item", k = 20, capacity = 4096)
@@ -148,18 +165,34 @@ object ScaleProbe {
       ("grouped_quantile (drill-down)", n =>
         graft.ops.GroupedQuantile.weightedQuantiles(spark, weighted(n),
           "g", "v", "w", Seq((1L, 4L), (1L, 2L), (3L, 4L)), bucketWidth = 8192L)
-          .collect())
+          .collect()),
+      ("prefix_jaccard (candidate vol)", n => {
+        def pairVolume(idx: DataFrame): Long =
+          idx.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+            .agg(sum(expr("df * (df - 1) div 2"))).head().getLong(0)
+        val full = pairVolume(
+          graft.llm.Dedup.hashedIndex(docs(n), "doc_id", "text", 5))
+        val prefix = pairVolume(
+          graft.llm.Dedup.prefixIndex(docs(n), "doc_id", "text", 5, 0.5))
+        println(f"[kernels]   candidate volume at ${n / 20} docs: " +
+          f"full=$full prefix=$prefix " +
+          f"reduction=${full.toDouble / math.max(1L, prefix)}%7.1f x")
+      })
     ).foreach { case (name, run) =>
       run(math.max(1000, baseRows / 10)) // warmup
-      val t1 = timed(run(baseRows))
-      val t10 = timed(run(baseRows * 10))
-      println(f"[kernels] $name%-30s 1x=$t1%7.2f s  10x=$t10%7.2f s  growth=${t10 / t1}%5.2f x")
+      val times = mults.map(m => m -> timed(run(baseRows * m)))
+      val growth = times.last._2 / times.head._2
+      val span = times.last._1 / times.head._1
+      println(f"[kernels] $name%-30s " +
+        times.map { case (m, t) => f"${m}x=$t%7.2f s" }.mkString("  ") +
+        f"  growth=$growth%6.2f x over ${span}x rows")
     }
     // the bounded-state sizes (domain properties, not data volumes)
-    val hist10 = weighted(baseRows * 10)
+    val topMult = mults.last
+    val histTop = weighted(baseRows * topMult)
       .groupBy(col("g"), expr("v div 8192")).agg(count(lit(1)))
       .count()
-    println(f"[kernels] grouped_quantile driver histogram at 10x: $hist10 rows " +
+    println(f"[kernels] grouped_quantile driver histogram at ${topMult}x: $histTop rows " +
       "(= groups x domain/bucketWidth; constant in data volume)")
     println(f"[kernels] heavy_hitters driver candidate set: <= 4096 entries by construction (treeAggregate MG merge)")
   }
@@ -167,6 +200,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--kernels")) {
       val rows = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
+      val mults = args.drop(2).headOption
+        .map(_.split(",").toSeq.map(_.trim.toLong)).getOrElse(Seq(1L, 10L))
+      require(mults.nonEmpty && mults == mults.sorted && mults.head >= 1,
+        s"multipliers must be ascending and >= 1, got $mults")
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -176,7 +213,7 @@ object ScaleProbe {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
-      kernelsMode(spark, rows)
+      kernelsMode(spark, rows, mults)
       spark.stop()
       return
     }

@@ -42,3 +42,39 @@ final case class StaticSchemaRegistry(byId: Map[Int, String])
     extends SchemaRegistryResolver {
   override def resolve(id: Int): Option[String] = byId.get(id)
 }
+
+/** Transport-failure semantics for a LIVE registry client, as a
+  * decorator over any inner resolver: an inner `resolve` that THROWS
+  * (the live analogue: connection refused, 5xx, timeout) is retried up
+  * to `attempts` times with linear backoff; an inner `None` is an
+  * AUTHORITATIVE miss and is returned immediately — no retry, because
+  * the registry answered ("no such id") and the caller's
+  * no-negative-cache contract already re-asks on the next row (the
+  * "registered seconds later" race, [[FromAvroConfluent]]).
+  *
+  * When every attempt throws, the LAST failure propagates: a registry
+  * that cannot be reached is an infrastructure outage, and silently
+  * mapping it to None would mis-route every in-flight row to the DLQ
+  * as "unknown schema" — permanently, since DLQ'd rows don't replay
+  * themselves. Failing the task instead hands the decision to Spark's
+  * task retry / the operator, exactly like the official client.
+  * (Distinction pinned by SchemaRegistrySpec.) */
+final case class RetryingSchemaRegistry(inner: SchemaRegistryResolver,
+    attempts: Int = 3, backoffMs: Long = 50L)
+    extends SchemaRegistryResolver {
+  require(attempts >= 1, s"attempts must be >= 1, got $attempts")
+  require(backoffMs >= 0, s"backoffMs must be >= 0, got $backoffMs")
+  override def resolve(id: Int): Option[String] = {
+    var attempt = 1
+    while (true) {
+      try return inner.resolve(id)
+      catch {
+        case e if attempt < attempts && !e.isInstanceOf[InterruptedException] =>
+          // linear backoff — bounded (attempts·backoff), interrupt-safe
+          if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
+          attempt += 1
+      }
+    }
+    None // unreachable: the loop exits via return or throw
+  }
+}

@@ -628,11 +628,14 @@ object Png {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode 8-bit grayscale pixels as a complete PNG. Each scanline is
-    * filtered with type (row mod 5) — exercising ALL five spec filters
-    * so a decoder that fakes unfiltering cannot round-trip — then the
-    * filtered stream is DEFLATE-compressed into one IDAT. */
-  def encode(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+  /** Shared encode core: filter each scanline with type (row mod 5) —
+    * exercising ALL five spec filters so a decoder that fakes
+    * unfiltering cannot round-trip — DEFLATE into one IDAT, emit
+    * IHDR (+ PLTE when present) + IDAT + IEND. `bpp` is the filter
+    * bytes-per-pixel (3 for truecolor, 1 for grayscale AND palette —
+    * palette filtering operates on index bytes, PNG spec §9.2). */
+  private def encodeCore(w: Int, h: Int, colorType: Int, bpp: Int,
+      data: Array[Byte], palette: Array[Byte]): Array[Byte] = {
     val ihdr = new Array[Byte](13)
     def be32a(off: Int, v: Int): Unit = {
       ihdr(off) = ((v >> 24) & 0xff).toByte; ihdr(off + 1) = ((v >> 16) & 0xff).toByte
@@ -640,20 +643,21 @@ object Png {
     }
     be32a(0, w); be32a(4, h)
     ihdr(8) = 8 // bit depth
-    ihdr(9) = 0 // color type: grayscale
+    ihdr(9) = colorType.toByte
     ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0 // deflate, adaptive filters, no interlace
-    // filtered scanlines: 1 filter-type byte + w filtered bytes per row
-    val raw = new Array[Byte]((w + 1) * h)
+    // filtered scanlines: 1 filter-type byte + w·bpp filtered bytes/row
+    val rb = w * bpp
+    val raw = new Array[Byte]((rb + 1) * h)
     var y = 0
     while (y < h) {
       val f = y % 5
-      raw(y * (w + 1)) = f.toByte
-      var x = 0
-      while (x < w) {
-        val cur = px(y * w + x) & 0xff
-        val left = if (x > 0) px(y * w + x - 1) & 0xff else 0
-        val up = if (y > 0) px((y - 1) * w + x) & 0xff else 0
-        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xff else 0
+      raw(y * (rb + 1)) = f.toByte
+      var i = 0
+      while (i < rb) {
+        val cur = data(y * rb + i) & 0xff
+        val left = if (i >= bpp) data(y * rb + i - bpp) & 0xff else 0
+        val up = if (y > 0) data((y - 1) * rb + i) & 0xff else 0
+        val ul = if (i >= bpp && y > 0) data((y - 1) * rb + i - bpp) & 0xff else 0
         val filtered = f match {
           case 0 => cur
           case 1 => cur - left
@@ -661,8 +665,8 @@ object Png {
           case 3 => cur - (left + up) / 2
           case 4 => cur - paeth(left, up, ul)
         }
-        raw(y * (w + 1) + 1 + x) = (filtered & 0xff).toByte
-        x += 1
+        raw(y * (rb + 1) + 1 + i) = (filtered & 0xff).toByte
+        i += 1
       }
       y += 1
     }
@@ -675,24 +679,63 @@ object Png {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Sig)
     chunk(out, "IHDR", ihdr)
+    if (palette != null) chunk(out, "PLTE", palette)
     chunk(out, "IDAT", bos.toByteArray)
     chunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
 
-  /** Decode a grayscale-8 non-interlaced PNG: verifies the signature
+  /** Encode 8-bit grayscale pixels as a complete PNG (color type 0). */
+  def encode(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+    encodeCore(w, h, 0, 1, px, null)
+
+  /** Encode 8-bit truecolor pixels (interleaved RGB, 3·w·h bytes) as a
+    * complete PNG (color type 2). */
+  def encodeRgb(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(px.length == 3 * w * h,
+      s"encodeRgb: expected ${3 * w * h} bytes for ${w}x$h, got ${px.length}")
+    encodeCore(w, h, 2, 3, px, null)
+  }
+
+  /** Encode palette-indexed pixels (color type 3): `idx` is one index
+    * byte per pixel, `palette` is interleaved RGB entries (3·n bytes,
+    * 1 ≤ n ≤ 256) emitted as the PLTE chunk. Every index must have an
+    * entry — an out-of-range index would decode against garbage. */
+  def encodePal(w: Int, h: Int, idx: Array[Byte], palette: Array[Byte]): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.length >= 3 && palette.length <= 768,
+      s"encodePal: palette must be 3..768 bytes in RGB triples, got ${palette.length}")
+    val n = palette.length / 3
+    require(idx.forall(b => (b & 0xff) < n),
+      s"encodePal: an index exceeds the $n-entry palette")
+    encodeCore(w, h, 3, 1, idx, palette)
+  }
+
+  /** Decode a grayscale-8 non-interlaced PNG: (width, height, pixels)
+    * or None. Delegates to [[decodeFull]] and accepts ONLY color
+    * type 0 — the original scope, kept for png_stats back-compat. */
+  def decode(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeFull(b) match {
+      case Some((w, h, 1, px)) => Some((w, h, px))
+      case _ => None
+    }
+
+  /** Decode an 8-bit non-interlaced PNG of color type 0 (grayscale),
+    * 2 (truecolor RGB), or 3 (palette + PLTE): verifies the signature
     * and every chunk CRC, concatenates multi-IDAT streams, INFLATEs,
-    * and un-filters all five scanline filter types. Returns
-    * (width, height, pixels) or None for anything malformed — never
-    * throws on arbitrary bytes. */
-  def decode(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    * un-filters all five scanline filter types with the color type's
+    * bytes-per-pixel offset, and expands palette indices through PLTE.
+    * Returns (width, height, channels, pixels) — channels 1 for
+    * grayscale, 3 (interleaved RGB) for truecolor AND palette — or
+    * None for anything malformed — never throws on arbitrary bytes. */
+  def decodeFull(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (b == null || b.length < Sig.length + 12) return None
     var i = 0
     while (i < Sig.length) { if (b(i) != Sig(i)) return None; i += 1 }
     def be32(off: Int): Long =
       ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
         ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
-    var w = -1; var h = -1
+    var w = -1; var h = -1; var colorType = -1
+    var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var seenEnd = false
     while (!seenEnd) {
@@ -709,12 +752,18 @@ object Png {
         case "IHDR" =>
           if (len != 13) return None
           w = be32(i + 8).toInt; h = be32(i + 12).toInt
-          // grayscale-8, deflate, non-interlaced only — the synthetic
-          // corpus contract; other color types report None (metadata
-          // still flows through image_dims)
-          if (b(i + 16) != 8 || b(i + 17) != 0 || b(i + 18) != 0 ||
-            b(i + 19) != 0 || b(i + 20) != 0) return None
+          colorType = b(i + 17) & 0xff
+          // 8-bit depth, color type 0/2/3, deflate, non-interlaced —
+          // anything else reports None (metadata still flows through
+          // image_dims)
+          if (b(i + 16) != 8 ||
+            (colorType != 0 && colorType != 2 && colorType != 3) ||
+            b(i + 18) != 0 || b(i + 19) != 0 || b(i + 20) != 0) return None
           if (w <= 0 || h <= 0 || w.toLong * h > (1 << 24)) return None
+        case "PLTE" =>
+          // spec §11.2.3: length divisible by 3, 1..256 RGB entries
+          if (len % 3 != 0 || len < 3 || len > 768) return None
+          palette = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len.toInt)
         case "IDAT" => idat.write(b, i + 8, len.toInt)
         case "IEND" => seenEnd = true
         case _ => () // ancillary chunks skipped (CRC still verified)
@@ -722,7 +771,10 @@ object Png {
       i += 12 + len.toInt
     }
     if (w <= 0 || h <= 0) return None
-    val raw = new Array[Byte]((w + 1) * h)
+    if (colorType == 3 && palette == null) return None // PLTE is REQUIRED
+    val bpp = if (colorType == 2) 3 else 1 // filter bytes-per-pixel
+    val rb = w * bpp
+    val raw = new Array[Byte]((rb + 1) * h)
     val infl = new java.util.zip.Inflater()
     infl.setInput(idat.toByteArray)
     var got = 0
@@ -739,17 +791,19 @@ object Png {
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally infl.end()
     if (got != raw.length) return None
-    val px = new Array[Byte](w * h)
+    // un-filter in the filtered domain (index bytes for palette,
+    // channel bytes for gray/RGB): left neighbor is bpp bytes back
+    val dat = new Array[Byte](rb * h)
     var y = 0
     while (y < h) {
-      val f = raw(y * (w + 1)) & 0xff
+      val f = raw(y * (rb + 1)) & 0xff
       if (f > 4) return None
       var x = 0
-      while (x < w) {
-        val cur = raw(y * (w + 1) + 1 + x) & 0xff
-        val left = if (x > 0) px(y * w + x - 1) & 0xff else 0
-        val up = if (y > 0) px((y - 1) * w + x) & 0xff else 0
-        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xff else 0
+      while (x < rb) {
+        val cur = raw(y * (rb + 1) + 1 + x) & 0xff
+        val left = if (x >= bpp) dat(y * rb + x - bpp) & 0xff else 0
+        val up = if (y > 0) dat((y - 1) * rb + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) dat((y - 1) * rb + x - bpp) & 0xff else 0
         val recon = f match {
           case 0 => cur
           case 1 => cur + left
@@ -757,12 +811,28 @@ object Png {
           case 3 => cur + (left + up) / 2
           case 4 => cur + paeth(left, up, ul)
         }
-        px(y * w + x) = (recon & 0xff).toByte
+        dat(y * rb + x) = (recon & 0xff).toByte
         x += 1
       }
       y += 1
     }
-    Some((w, h, px))
+    colorType match {
+      case 0 => Some((w, h, 1, dat))
+      case 2 => Some((w, h, 3, dat))
+      case 3 =>
+        val n = palette.length / 3
+        val px = new Array[Byte](3 * w * h)
+        var k = 0
+        while (k < w * h) {
+          val idx = dat(k) & 0xff
+          if (idx >= n) return None // index past PLTE: malformed
+          px(3 * k) = palette(3 * idx)
+          px(3 * k + 1) = palette(3 * idx + 1)
+          px(3 * k + 2) = palette(3 * idx + 2)
+          k += 1
+        }
+        Some((w, h, 3, px))
+    }
   }
 }
 
@@ -823,6 +893,650 @@ case class PngStats(child: Expression)
   override def prettyName: String = "png_stats"
 }
 
+/** `synth_png_rgb(id, w, h)` -> a COMPLETE truecolor PNG (color
+  * type 2, DEFLATE IDAT, all five scanline filters cycling by row)
+  * with per-channel congruences R = (id·7 + x·31 + y·17) mod 256,
+  * G = (id·11 + x·13 + y·29) mod 256, B = (id·3 + x·37 + y·23) mod
+  * 256 — three distinct planes so a decoder that confuses channel
+  * interleave or the 3-byte filter offset cannot round-trip. */
+case class SynthPngRgb(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"synth_png_rgb expects (long id, int w, int h), got $other")
+    }
+  override def nullSafeEval(idA: Any, wA: Any, hA: Any): Any = {
+    val id = idA.asInstanceOf[Long]
+    val w = wA.asInstanceOf[Int]; val h = hA.asInstanceOf[Int]
+    require(w > 0 && h > 0 && w.toLong * h <= (1 << 21),
+      s"synth_png_rgb dims out of range: ${w}x$h")
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val k = 3 * (y * w + x)
+        px(k) = (((id * 7 + x * 31L + y * 17L) % 256 + 256) % 256).toByte
+        px(k + 1) = (((id * 11 + x * 13L + y * 29L) % 256 + 256) % 256).toByte
+        px(k + 2) = (((id * 3 + x * 37L + y * 23L) % 256 + 256) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Png.encodeRgb(w, h, px)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): SynthPngRgb = copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_png_rgb"
+}
+
+/** `synth_png_pal(id, w, h)` -> a COMPLETE palette PNG (color type 3,
+  * 256-entry PLTE with palette[i] = ((i·7+3) mod 256, (i·11+5) mod
+  * 256, (i·13+7) mod 256), index (x,y) = (id·7 + x·31 + y·17) mod 256
+  * — the synth_pgm congruence as palette INDICES, so the oracle
+  * replays decoded RGB by composing the two congruences). */
+case class SynthPngPal(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"synth_png_pal expects (long id, int w, int h), got $other")
+    }
+  override def nullSafeEval(idA: Any, wA: Any, hA: Any): Any = {
+    val id = idA.asInstanceOf[Long]
+    val w = wA.asInstanceOf[Int]; val h = hA.asInstanceOf[Int]
+    require(w > 0 && h > 0 && w.toLong * h <= (1 << 22),
+      s"synth_png_pal dims out of range: ${w}x$h")
+    val pal = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      pal(3 * i) = ((i * 7 + 3) % 256).toByte
+      pal(3 * i + 1) = ((i * 11 + 5) % 256).toByte
+      pal(3 * i + 2) = ((i * 13 + 7) % 256).toByte
+      i += 1
+    }
+    Png.encodePal(w, h, PixelOps.synthGrid(id, w, h), pal)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): SynthPngPal = copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_png_pal"
+}
+
+/** `png_stats_rgb(png_binary)` -> struct(width, height, channels,
+  * n_px, px_sum, r_sum, g_sum, b_sum, px_min, px_max): exact integer
+  * statistics from a REAL decode of any supported PNG color type —
+  * truecolor and palette yield per-channel sums over the expanded RGB
+  * plane; grayscale reports its single plane in all three channel
+  * slots. px_min/px_max/px_sum range over every decoded byte. Null
+  * for anything [[Png.decodeFull]] rejects. */
+case class PngStatsRgb(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("channels", IntegerType), StructField("n_px", LongType),
+    StructField("px_sum", LongType), StructField("r_sum", LongType),
+    StructField("g_sum", LongType), StructField("b_sum", LongType),
+    StructField("px_min", IntegerType), StructField("px_max", IntegerType)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"png_stats_rgb expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Png.decodeFull(input.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some((w, h, ch, px)) =>
+        val (sum, mn, mx) = PixelOps.stats(px, 0, px.length)
+        val chSums = new Array[Long](3)
+        if (ch == 1) { chSums(0) = sum; chSums(1) = sum; chSums(2) = sum }
+        else {
+          var k = 0
+          while (k < px.length) { chSums(k % 3) += px(k) & 0xff; k += 1 }
+        }
+        new GenericInternalRow(Array[Any](w, h, ch, w.toLong * h, sum,
+          chSums(0), chSums(1), chSums(2), mn, mx))
+    }
+  override protected def withNewChildInternal(newChild: Expression): PngStatsRgb =
+    copy(child = newChild)
+  override def prettyName: String = "png_stats_rgb"
+}
+
+/** Minimal REAL baseline JPEG codec (ITU-T T.81) for 8-bit grayscale,
+  * baseline sequential DCT — the entropy-coded pixel path that closes
+  * the "real corpora are JPEG" gap (round-8 advice #2). Pure JVM:
+  * canonical Huffman coding straight from the spec's code-assignment
+  * algorithm (F.2.2.3), the Annex K.3 luminance code tables on the
+  * encode side (the decoder builds its tables from the DHT segments in
+  * the stream, never from constants), forward/inverse DCT as direct
+  * double-precision Σ cos·cos sums, 0xFF byte stuffing, and DC
+  * prediction. Scope (honestly stated, like the PNG path's): baseline
+  * sequential, single 8-bit component (grayscale — trivially 4:4:4),
+  * no progressive/arithmetic/hierarchical modes, restart markers
+  * accepted on decode but not emitted.
+  *
+  * Exactness contract: JPEG is lossy in general, so the oracle-gated
+  * query feeds BLOCK-CONSTANT images (every 8×8 block one value, the
+  * congruence keyed on the block index). For those the DCT is exactly
+  * representable — DC = 8·(v−128), every AC coefficient 0 — so with
+  * the all-ones quantization table the decode returns bit-exact
+  * pixels and DuckDB replays the statistics with integer arithmetic.
+  * Arbitrary images round-trip within ±2 gray levels (MultimodalSpec
+  * pins both properties). */
+object Jpeg {
+  // natural-order index of the k-th coefficient in zigzag scan order
+  // (T.81 Figure A.6) — coef layout is v*8+u (v = vertical frequency),
+  // pixel layout y*8+x
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Annex K.3 luminance tables: BITS (codes per length 1..16) + HUFFVAL
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = (0 to 11).toArray
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Canonical code assignment (T.81 C.2/F.2.2.3): symbol → (code,
+    * length). Shared by the encoder (from the Annex K constants) and
+    * the decoder (from the DHT bytes in the stream). */
+  private def buildCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out += vals(k) -> ((code, len)); code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out.result()
+  }
+  // decoder-side index: (length, code) → symbol
+  private def buildDecode(bits: Array[Int], vals: Array[Int]): Map[(Int, Int), Int] =
+    buildCodes(bits, vals).map { case (sym, (code, len)) => (len, code) -> sym }
+
+  private val C = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+  private val Cos = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+
+  /** FDCT (A.3.3): s = 64 level-shifted samples (y·8+x) → S(v·8+u). */
+  private def fdct(s: Array[Int]): Array[Double] = {
+    val out = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var sum = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) { sum += s(y * 8 + x) * Cos(x)(u) * Cos(y)(v); x += 1 }
+          y += 1
+        }
+        out(v * 8 + u) = 0.25 * C(u) * C(v) * sum
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  /** IDCT (A.3.3): dequantized S(v·8+u) → 64 samples (y·8+x), still
+    * level-shifted (caller adds 128 / rounds / clamps). */
+  private def idct(coef: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            sum += C(u) * C(v) * coef(v * 8 + u) * Cos(x)(u) * Cos(y)(v)
+            u += 1
+          }
+          v += 1
+        }
+        out(y * 8 + x) = 0.25 * sum
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** MSB-first bit writer with 0xFF→0xFF00 byte stuffing (B.1.1.5);
+    * flush pads the final byte with 1-bits (F.1.2.3). */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def write(bits: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((bits >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = while (n != 0) write(1, 1)
+  }
+
+  /** Amplitude category (F.1.2.1.1): bit length of |v|, 0 for v = 0. */
+  private def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Encode 8-bit grayscale pixels as a complete baseline JPEG:
+    * JFIF APP0, all-ones DQT (max quality — the exactness contract
+    * above depends on it), SOF0 (one component, 1×1 sampling), Annex K
+    * DHT pair, SOS, entropy-coded MCU row-major scan with edge-pixel
+    * replication for partial boundary blocks, EOI. */
+  def encode(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && px.length == w * h,
+      s"encode: dims ${w}x$h do not match ${px.length} pixels")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xe0); be16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1) // version 1.1
+    out.write(0); be16(1); be16(1); out.write(0); out.write(0)
+    marker(0xdb); be16(67); out.write(0x00) // DQT: Pq=0 Tq=0
+    var i = 0
+    while (i < 64) { out.write(1); i += 1 }
+    marker(0xc0); be16(11) // SOF0
+    out.write(8); be16(h); be16(w)
+    out.write(1); out.write(1); out.write(0x11); out.write(0)
+    marker(0xc4) // DHT: DC then AC luminance in one segment
+    be16(2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length))
+    out.write(0x00); DcBits.foreach(out.write); DcVals.foreach(out.write)
+    out.write(0x10); AcBits.foreach(out.write); AcVals.foreach(out.write)
+    marker(0xda); be16(8) // SOS
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    val dcCodes = buildCodes(DcBits, DcVals)
+    val acCodes = buildCodes(AcBits, AcVals)
+    val bw = new BitWriter(out)
+    def amplitude(v: Int, size: Int): Int =
+      if (v >= 0) v else v + (1 << size) - 1
+    val bh8 = (h + 7) / 8
+    val bw8 = (w + 7) / 8
+    var pred = 0
+    val samp = new Array[Int](64)
+    var by = 0
+    while (by < bh8) {
+      var bx = 0
+      while (bx < bw8) {
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            // edge replication for partial boundary blocks
+            val sy = math.min(by * 8 + y, h - 1)
+            val sx = math.min(bx * 8 + x, w - 1)
+            samp(y * 8 + x) = (px(sy * w + sx) & 0xff) - 128
+            x += 1
+          }
+          y += 1
+        }
+        val coef = fdct(samp)
+        // all-ones quantization: quantized value = round(S)
+        val q = new Array[Int](64)
+        var k = 0
+        while (k < 64) { q(k) = math.round(coef(k)).toInt; k += 1 }
+        val dc = q(0)
+        val diff = dc - pred
+        pred = dc
+        val s = category(diff)
+        val (dcode, dlen) = dcCodes(s)
+        bw.write(dcode, dlen)
+        if (s > 0) bw.write(amplitude(diff, s), s)
+        // AC: run-length over zigzag positions 1..63
+        var run = 0
+        k = 1
+        while (k < 64) {
+          val v = q(Zigzag(k))
+          if (v == 0) run += 1
+          else {
+            while (run > 15) { val (zc, zl) = acCodes(0xf0); bw.write(zc, zl); run -= 16 }
+            val sz = category(v)
+            val (ac, al) = acCodes((run << 4) | sz)
+            bw.write(ac, al)
+            bw.write(amplitude(v, sz), sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = acCodes(0x00); bw.write(ec, el) } // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Decode a baseline sequential grayscale JPEG: marker walk, DQT/DHT
+    * table collection (tables from the STREAM, never assumed), SOF0
+    * validation (8-bit, one component, 1×1 sampling), entropy decode
+    * with byte unstuffing and restart-marker handling, dequantize,
+    * de-zigzag, IDCT, +128 level shift with round-and-clamp. Returns
+    * (width, height, pixels) or None for anything malformed or out of
+    * scope (progressive, multi-component, 12-bit, …) — never throws
+    * on arbitrary bytes, the image_dims/Png.decode discipline. */
+  def decode(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b == null || b.length < 4) return None
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    val qts = new Array[Array[Int]](4) // zigzag order, as stored in DQT
+    val dcTables = new Array[Map[(Int, Int), Int]](4)
+    val acTables = new Array[Map[(Int, Int), Int]](4)
+    var w = -1; var h = -1
+    var dcSel = -1; var acSel = -1; var qtSel = -1
+    var restartInterval = 0
+    var p = 2
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    while (p + 3 < b.length) {
+      if (u8(p) != 0xff) return None
+      var q = p + 1
+      while (q < b.length && u8(q) == 0xff) q += 1
+      if (q >= b.length) return None
+      val m = u8(q)
+      if (m == 0xd9) return None // EOI before any scan
+      if (q + 2 >= b.length) return None
+      val len = be16(q + 1)
+      if (len < 2 || q + 1 + len > b.length) return None
+      val seg = q + 3 // first payload byte
+      val segEnd = q + 1 + len
+      m match {
+        case 0xdb => // DQT: one or more (PqTq, 64 bytes) entries
+          var i = seg
+          while (i < segEnd) {
+            val pq = u8(i) >> 4; val tq = u8(i) & 0x0f
+            if (pq != 0 || tq > 3 || i + 1 + 64 > segEnd) return None
+            qts(tq) = Array.tabulate(64)(k => u8(i + 1 + k))
+            i += 65
+          }
+        case 0xc4 => // DHT: one or more (TcTh, bits, vals) entries
+          var i = seg
+          while (i < segEnd) {
+            if (i + 17 > segEnd) return None
+            val tc = u8(i) >> 4; val th = u8(i) & 0x0f
+            if (tc > 1 || th > 3) return None
+            val bits = Array.tabulate(16)(k => u8(i + 1 + k))
+            val nv = bits.sum
+            if (nv > 256 || i + 17 + nv > segEnd) return None
+            val vals = Array.tabulate(nv)(k => u8(i + 17 + k))
+            if (tc == 0) dcTables(th) = buildDecode(bits, vals)
+            else acTables(th) = buildDecode(bits, vals)
+            i += 17 + nv
+          }
+        case 0xc0 => // SOF0 baseline
+          if (len < 8) return None
+          if (u8(seg) != 8) return None // 8-bit precision only
+          h = be16(seg + 1); w = be16(seg + 3)
+          val ncomp = u8(seg + 5)
+          // grayscale single component, 1×1 sampling — scope stated in
+          // the object doc; anything else reports None (dims still
+          // flow through image_dims)
+          if (ncomp != 1 || len < 8 + 3) return None
+          if (u8(seg + 7) != 0x11) return None
+          qtSel = u8(seg + 8)
+          if (w <= 0 || h <= 0 || w.toLong * h > (1 << 24)) return None
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+            0xcb | 0xcd | 0xce | 0xcf =>
+          return None // non-baseline frame types out of scope
+        case 0xdd => // DRI
+          if (len != 4) return None
+          restartInterval = be16(seg)
+        case 0xda => // SOS: entropy-coded data follows
+          if (w <= 0 || qtSel < 0) return None
+          if (u8(seg) != 1 || len < 8) return None
+          dcSel = u8(seg + 2) >> 4; acSel = u8(seg + 2) & 0x0f
+          if (dcSel > 3 || acSel > 3) return None
+          val qt = qts(qtSel)
+          val dcT = dcTables(dcSel)
+          val acT = acTables(acSel)
+          if (qt == null || dcT == null || acT == null) return None
+          return decodeScan(b, segEnd, w, h, qt, dcT, acT, restartInterval)
+        case _ => () // APPn / COM / other: skipped
+      }
+      p = q + 1 + len
+    }
+    None
+  }
+
+  /** Entropy-coded scan decode. MSB-first bit reader over the stuffed
+    * byte stream; RSTn resets the DC predictor and re-aligns to a byte
+    * boundary; any other marker mid-scan is malformed (single-scan
+    * baseline). */
+  private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int,
+      qt: Array[Int], dcT: Map[(Int, Int), Int], acT: Map[(Int, Int), Int],
+      restartInterval: Int): Option[(Int, Int, Array[Byte])] = {
+    var pos = start
+    var acc = 0
+    var nb = 0
+    var truncated = false
+    // returns -1 on a truncated stream (flag checked by callers)
+    def nextBit(): Int = {
+      while (nb == 0) {
+        if (pos >= b.length) { truncated = true; return -1 }
+        val v = b(pos) & 0xff
+        if (v == 0xff) {
+          if (pos + 1 >= b.length) { truncated = true; return -1 }
+          val nxt = b(pos + 1) & 0xff
+          if (nxt == 0x00) { acc = 0xff; nb = 8; pos += 2 }
+          else { truncated = true; return -1 } // marker inside a block
+        } else { acc = v; nb = 8; pos += 1 }
+      }
+      nb -= 1
+      (acc >> nb) & 1
+    }
+    def decodeSym(t: Map[(Int, Int), Int]): Int = {
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        val bit = nextBit()
+        if (bit < 0) return -1
+        code = (code << 1) | bit
+        len += 1
+        t.get((len, code)) match {
+          case Some(s) => return s
+          case None => ()
+        }
+      }
+      -1
+    }
+    def receiveExtend(size: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < size) {
+        val bit = nextBit()
+        if (bit < 0) return Int.MinValue
+        v = (v << 1) | bit
+        i += 1
+      }
+      if (size == 0) 0
+      else if (v < (1 << (size - 1))) v - (1 << size) + 1
+      else v
+    }
+    val bw8 = (w + 7) / 8
+    val bh8 = (h + 7) / 8
+    val px = new Array[Byte](w * h)
+    val coef = new Array[Double](64)
+    var pred = 0
+    var blocksToRestart = if (restartInterval > 0) restartInterval else -1
+    var by = 0
+    while (by < bh8) {
+      var bx = 0
+      while (bx < bw8) {
+        if (blocksToRestart == 0) {
+          // byte-align and consume the RSTn marker
+          nb = 0
+          if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff ||
+            (b(pos + 1) & 0xff) < 0xd0 || (b(pos + 1) & 0xff) > 0xd7) return None
+          pos += 2
+          pred = 0
+          blocksToRestart = restartInterval
+        }
+        java.util.Arrays.fill(coef, 0.0)
+        val s = decodeSym(dcT)
+        if (s < 0 || s > 11) return None
+        val diff = receiveExtend(s)
+        if (diff == Int.MinValue) return None
+        pred += diff
+        coef(0) = pred.toDouble * qt(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = decodeSym(acT)
+          if (rs < 0) return None
+          val run = rs >> 4
+          val size = rs & 0x0f
+          if (size == 0) {
+            if (run == 15) k += 16 // ZRL
+            else eob = true // EOB
+          } else {
+            k += run
+            if (k > 63) return None
+            val v = receiveExtend(size)
+            if (v == Int.MinValue) return None
+            coef(Zigzag(k)) = v.toDouble * qt(k)
+            k += 1
+          }
+        }
+        val out = idct(coef)
+        var y = 0
+        while (y < 8) {
+          val py = by * 8 + y
+          if (py < h) {
+            var x = 0
+            while (x < 8) {
+              val pxx = bx * 8 + x
+              if (pxx < w) {
+                val v = math.round(out(y * 8 + x) + 128.0).toInt
+                px(py * w + pxx) =
+                  (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+              }
+              x += 1
+            }
+          }
+          y += 1
+        }
+        if (blocksToRestart > 0) blocksToRestart -= 1
+        bx += 1
+      }
+      by += 1
+    }
+    if (truncated) None else Some((w, h, px))
+  }
+}
+
+/** `synth_jpeg(id, w, h)` -> a COMPLETE baseline JPEG (grayscale,
+  * Annex K Huffman tables, all-ones quantization) whose 8×8 block at
+  * (bx, by) is the CONSTANT value (id·7 + bx·31 + by·17) mod 256 —
+  * block-constant so the lossy codec is exactly invertible (DC-only
+  * spectra; see [[Jpeg]]) and the oracle replays pixel statistics with
+  * integer arithmetic over a generate_series grid. */
+case class SynthJpeg(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"synth_jpeg expects (long id, int w, int h), got $other")
+    }
+  override def nullSafeEval(idA: Any, wA: Any, hA: Any): Any = {
+    val id = idA.asInstanceOf[Long]
+    val w = wA.asInstanceOf[Int]; val h = hA.asInstanceOf[Int]
+    require(w > 0 && h > 0 && w.toLong * h <= (1 << 22),
+      s"synth_jpeg dims out of range: ${w}x$h")
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) =
+          (((id * 7 + (x / 8) * 31L + (y / 8) * 17L) % 256 + 256) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Jpeg.encode(w, h, px)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): SynthJpeg = copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jpeg"
+}
+
+/** `jpeg_stats(jpeg_binary)` -> struct(width, height, n_px, px_sum,
+  * px_min, px_max): exact integer pixel statistics from a REAL
+  * baseline JPEG decode — marker walk, stream-defined Huffman tables,
+  * entropy decode with unstuffing, dequantize, IDCT. Null for anything
+  * that is not a baseline grayscale JPEG. */
+case class JpegStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("n_px", LongType), StructField("px_sum", LongType),
+    StructField("px_min", IntegerType), StructField("px_max", IntegerType)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jpeg_stats expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Jpeg.decode(input.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some((w, h, px)) =>
+        val (sum, mn, mx) = PixelOps.stats(px, 0, px.length)
+        new GenericInternalRow(Array[Any](w, h, w.toLong * h, sum, mn, mx))
+    }
+  override protected def withNewChildInternal(newChild: Expression): JpegStats =
+    copy(child = newChild)
+  override def prettyName: String = "jpeg_stats"
+}
+
 object media {
   def image_dims(blob: Column): Column =
     ColumnBridge.column(ImageDims(ColumnBridge.expression(blob)))
@@ -847,4 +1561,17 @@ object media {
       ColumnBridge.expression(w), ColumnBridge.expression(h)))
   def png_stats(blob: Column): Column =
     ColumnBridge.column(PngStats(ColumnBridge.expression(blob)))
+  def synth_png_rgb(id: Column, w: Column, h: Column): Column =
+    ColumnBridge.column(SynthPngRgb(ColumnBridge.expression(id),
+      ColumnBridge.expression(w), ColumnBridge.expression(h)))
+  def synth_png_pal(id: Column, w: Column, h: Column): Column =
+    ColumnBridge.column(SynthPngPal(ColumnBridge.expression(id),
+      ColumnBridge.expression(w), ColumnBridge.expression(h)))
+  def png_stats_rgb(blob: Column): Column =
+    ColumnBridge.column(PngStatsRgb(ColumnBridge.expression(blob)))
+  def synth_jpeg(id: Column, w: Column, h: Column): Column =
+    ColumnBridge.column(SynthJpeg(ColumnBridge.expression(id),
+      ColumnBridge.expression(w), ColumnBridge.expression(h)))
+  def jpeg_stats(blob: Column): Column =
+    ColumnBridge.column(JpegStats(ColumnBridge.expression(blob)))
 }

@@ -1566,6 +1566,87 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** REAL ENTROPY-CODED image decode, oracle-checked end to end: each
+    * selected document synthesizes a complete baseline JPEG (SOF0,
+    * Annex K Huffman DHTs, all-ones DQT, byte-stuffed entropy scan)
+    * whose 8×8 block (bx, by) is the CONSTANT value (id·7 + bx·31 +
+    * by·17) mod 256 — block-constant spectra are DC-only, so the lossy
+    * codec is exactly invertible and `jpeg_stats` (marker walk,
+    * stream-defined Huffman decode, dequantize, IDCT) returns
+    * bit-exact pixels the oracle replays with integer arithmetic.
+    * Dims span non-multiples of 8, so partial boundary blocks and the
+    * DC prediction chain are both exercised. The compressed-image gap
+    * closer on top of q_png_decode (round-8 advice #2). */
+  private[graft] def qJpegDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.media._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(24) + col("doc_id") % 16).cast("int").as("w"),
+        (lit(16) + col("doc_id") % 8).cast("int").as("h"))
+    d.select(col("doc_id"),
+        jpeg_stats(synth_jpeg(col("doc_id"), col("w"), col("h"))).as("s"))
+      .select(col("doc_id"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.px_sum").as("px_sum"),
+        expr("s.px_sum * 1000 div s.n_px").as("mean_milli"),
+        col("s.px_min").cast("long").as("px_min"),
+        col("s.px_max").cast("long").as("px_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Truecolor PNG decode (color type 2): three distinct per-channel
+    * congruences through the 3-byte-per-pixel filter offset — a
+    * decoder that confuses channel interleave or filters with the
+    * grayscale offset cannot match the per-channel sums the oracle
+    * replays. Widens q_png_decode's grayscale scope (round-8 advice
+    * #3). */
+  private[graft] def qPngRgbDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.media._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(16) + col("doc_id") % 8).cast("int").as("w"),
+        (lit(12) + col("doc_id") % 4).cast("int").as("h"))
+    d.select(col("doc_id"),
+        png_stats_rgb(synth_png_rgb(col("doc_id"), col("w"), col("h"))).as("s"))
+      .select(col("doc_id"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.channels").cast("long").as("channels"),
+        col("s.px_sum").as("px_sum"),
+        col("s.r_sum").as("r_sum"),
+        col("s.g_sum").as("g_sum"),
+        col("s.b_sum").as("b_sum"),
+        col("s.px_min").cast("long").as("px_min"),
+        col("s.px_max").cast("long").as("px_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Palette PNG decode (color type 3): the synth_pgm congruence as
+    * PLTE indices, expanded through a 256-entry palette whose channels
+    * are themselves congruences — the oracle replays the COMPOSITION
+    * of the two, so an indexing or palette-order bug cannot pass. */
+  private[graft] def qPngPaletteDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.media._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(16) + col("doc_id") % 8).cast("int").as("w"),
+        (lit(12) + col("doc_id") % 4).cast("int").as("h"))
+    d.select(col("doc_id"),
+        png_stats_rgb(synth_png_pal(col("doc_id"), col("w"), col("h"))).as("s"))
+      .select(col("doc_id"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.channels").cast("long").as("channels"),
+        col("s.px_sum").as("px_sum"),
+        col("s.r_sum").as("r_sum"),
+        col("s.g_sum").as("g_sum"),
+        col("s.b_sum").as("b_sum"),
+        col("s.px_min").cast("long").as("px_min"),
+        col("s.px_max").cast("long").as("px_max"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact corpus-wide top-20 tokens WITHOUT shuffling the token
     * domain — [[graft.ops.HeavyHitters]]: per-partition Misra-Gries
     * summaries tree-merge to one ≤2048-entry candidate set (bounded
@@ -1588,6 +1669,9 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
   private[graft] def llm2QueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_png_decode" -> (qPngDecode _),
+    "q_jpeg_decode" -> (qJpegDecode _),
+    "q_png_rgb_decode" -> (qPngRgbDecode _),
+    "q_png_palette_decode" -> (qPngPaletteDecode _),
     "q_image_pipeline" -> (qImagePipeline _),
     "q_audio_pcm" -> (qAudioPcm _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
@@ -1663,6 +1747,74 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |       CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_milli,
         |       CAST(MIN(v) AS BIGINT) AS px_min,
         |       CAST(MAX(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_jpeg_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 24 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, gx.x, gy.y,
+        |         (d.doc_id * 7 + (gx.x // 8) * 31 + (gy.y // 8) * 17) % 256 AS v
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 39) AS gx(x)
+        |  CROSS JOIN generate_series(0, 23) AS gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h)
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |       CAST(MIN(h) AS BIGINT) AS height,
+        |       CAST(SUM(v) AS BIGINT) AS px_sum,
+        |       CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_milli,
+        |       CAST(MIN(v) AS BIGINT) AS px_min,
+        |       CAST(MAX(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_png_rgb_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, gx.x, gy.y,
+        |         (d.doc_id * 7 + gx.x * 31 + gy.y * 17) % 256 AS r,
+        |         (d.doc_id * 11 + gx.x * 13 + gy.y * 29) % 256 AS g,
+        |         (d.doc_id * 3 + gx.x * 37 + gy.y * 23) % 256 AS b
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 23) AS gx(x)
+        |  CROSS JOIN generate_series(0, 15) AS gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h)
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |       CAST(MIN(h) AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(SUM(r + g + b) AS BIGINT) AS px_sum,
+        |       CAST(SUM(r) AS BIGINT) AS r_sum,
+        |       CAST(SUM(g) AS BIGINT) AS g_sum,
+        |       CAST(SUM(b) AS BIGINT) AS b_sum,
+        |       CAST(MIN(LEAST(r, g, b)) AS BIGINT) AS px_min,
+        |       CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_png_palette_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |         (v * 7 + 3) % 256 AS r,
+        |         (v * 11 + 5) % 256 AS g,
+        |         (v * 13 + 7) % 256 AS b
+        |  FROM (
+        |    SELECT d0.doc_id, d0.w, d0.h,
+        |           (d0.doc_id * 7 + gx.x * 31 + gy.y * 17) % 256 AS v
+        |    FROM d AS d0
+        |    CROSS JOIN generate_series(0, 23) AS gx(x)
+        |    CROSS JOIN generate_series(0, 15) AS gy(y)
+        |    WHERE gx.x < d0.w AND gy.y < d0.h) AS d
+        |  )
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |       CAST(MIN(h) AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(SUM(r + g + b) AS BIGINT) AS px_sum,
+        |       CAST(SUM(r) AS BIGINT) AS r_sum,
+        |       CAST(SUM(g) AS BIGINT) AS g_sum,
+        |       CAST(SUM(b) AS BIGINT) AS b_sum,
+        |       CAST(MIN(LEAST(r, g, b)) AS BIGINT) AS px_min,
+        |       CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS px_max
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_image_pipeline" ->
       """WITH d AS (

@@ -131,6 +131,100 @@ class PngSpec extends AnyFunSuite {
     assert(Png.decode(out.toByteArray) === None)
   }
 
+  test("RGB (color type 2) roundtrip: exact interleaved pixels back") {
+    val (w, h) = (11, 9) // h >= 5 exercises all five filters
+    val p = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      p(3 * (y * w + x) + c) = ((x * 31 + y * 17 + c * 73 + 5) & 0xff).toByte
+    val Some((dw, dh, ch, dp)) = Png.decodeFull(Png.encodeRgb(w, h, p))
+    assert((dw, dh, ch) === (w, h, 3))
+    assert(dp.toSeq === p.toSeq)
+  }
+
+  test("RGB roundtrip holds on random grids (property, 3-byte filter offset)") {
+    val gen = for {
+      w <- Gen.choose(1, 16)
+      h <- Gen.choose(1, 16)
+      bytes <- Gen.listOfN(3 * w * h, Gen.choose(0, 255))
+    } yield (w, h, bytes.map(_.toByte).toArray)
+    val prop = Prop.forAll(gen) { case (w, h, p) =>
+      Png.decodeFull(Png.encodeRgb(w, h, p)).exists { case (dw, dh, ch, dp) =>
+        dw == w && dh == h && ch == 3 && dp.toSeq == p.toSeq
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("palette (color type 3) roundtrip: indices expand through PLTE") {
+    val (w, h) = (10, 7)
+    val pal = new Array[Byte](768)
+    for (i <- 0 until 256) {
+      pal(3 * i) = ((i * 7 + 3) % 256).toByte
+      pal(3 * i + 1) = ((i * 11 + 5) % 256).toByte
+      pal(3 * i + 2) = ((i * 13 + 7) % 256).toByte
+    }
+    val idx = px(w, h)((x, y) => x * 31 + y * 17)
+    val Some((dw, dh, ch, dp)) = Png.decodeFull(Png.encodePal(w, h, idx, pal))
+    assert((dw, dh, ch) === (w, h, 3))
+    for (k <- 0 until w * h) {
+      val i = idx(k) & 0xff
+      assert(dp(3 * k) === pal(3 * i), s"R at $k")
+      assert(dp(3 * k + 1) === pal(3 * i + 1), s"G at $k")
+      assert(dp(3 * k + 2) === pal(3 * i + 2), s"B at $k")
+    }
+  }
+
+  test("palette PNG without a PLTE chunk -> None (PLTE is required)") {
+    val pal = Array.tabulate(48)(i => (i * 5).toByte) // 16 entries
+    val idx = px(6, 6)((x, y) => (x + y) % 16)
+    val enc = Png.encodePal(6, 6, idx, pal)
+    // strip the PLTE chunk, keep everything else
+    var i = 8
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(enc, 0, 8)
+    while (i + 8 <= enc.length) {
+      val len = ((enc(i) & 0xff) << 24) | ((enc(i + 1) & 0xff) << 16) |
+        ((enc(i + 2) & 0xff) << 8) | (enc(i + 3) & 0xff)
+      val typ = new String(enc, i + 4, 4, "US-ASCII")
+      if (typ != "PLTE")
+        out.write(chunk(typ, java.util.Arrays.copyOfRange(enc, i + 8, i + 8 + len)))
+      i += 12 + len
+    }
+    assert(Png.decodeFull(out.toByteArray) === None)
+  }
+
+  test("palette index past the PLTE entry count -> None, not garbage RGB") {
+    val pal = Array.tabulate(12)(i => (i * 9).toByte) // 4 entries
+    val idx = px(4, 4)((x, y) => (x + y) % 4)
+    idx(5) = 7 // out of range (encoder would reject it, so patch after)
+    // build via the core through a 8-entry palette, then truncate PLTE
+    val enc = Png.encodePal(4, 4, idx, Array.tabulate(24)(i => (i * 9).toByte))
+    var i = 8
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(enc, 0, 8)
+    while (i + 8 <= enc.length) {
+      val len = ((enc(i) & 0xff) << 24) | ((enc(i + 1) & 0xff) << 16) |
+        ((enc(i + 2) & 0xff) << 8) | (enc(i + 3) & 0xff)
+      val typ = new String(enc, i + 4, 4, "US-ASCII")
+      val data = java.util.Arrays.copyOfRange(enc, i + 8, i + 8 + len)
+      out.write(chunk(typ, if (typ == "PLTE") data.take(12) else data))
+      i += 12 + len
+    }
+    assert(Png.decodeFull(out.toByteArray) === None)
+  }
+
+  test("grayscale decode wrapper rejects RGB and palette containers") {
+    val rgb = Png.encodeRgb(5, 5, Array.fill(75)(42.toByte))
+    val pal = Png.encodePal(5, 5, Array.fill(25)(1.toByte),
+      Array.tabulate(6)(_.toByte))
+    assert(Png.decode(rgb) === None)
+    assert(Png.decode(pal) === None)
+    // but decodeFull accepts both
+    assert(Png.decodeFull(rgb).exists(_._3 == 3))
+    assert(Png.decodeFull(pal).exists(_._3 == 3))
+  }
+
   test("permissive None on malformed input, never a throw") {
     val enc = Png.encode(6, 6, px(6, 6)((x, y) => x * y))
     val cases = Seq[Array[Byte]](
@@ -141,8 +235,10 @@ class PngSpec extends AnyFunSuite {
       enc.take(enc.length - 6),             // truncated mid-IEND
       { val b = enc.clone(); b(1) = 'Q'.toByte; b }) // corrupt signature
     cases.foreach(b => assert(Png.decode(b) === None))
-    // unsupported color type (RGB): rebuild IHDR with colorType=2 and a
-    // VALID CRC — rejected by the format guard, not the CRC check
+    // mislabeled color type (RGB over grayscale-sized scanlines):
+    // rebuild IHDR with colorType=2 and a VALID CRC — the inflated
+    // stream is a third of the declared RGB geometry, so decodeFull
+    // rejects it on length and the grayscale wrapper on color type
     val ihdrData = java.util.Arrays.copyOfRange(enc, 16, 29)
     ihdrData(9) = 2
     val rebuilt = enc.take(8) ++ chunk("IHDR", ihdrData) ++ enc.drop(8 + 25)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-import graft.avro.{AvroOcf, SchemaRegistryResolver, StaticSchemaRegistry}
+import graft.avro.{AvroOcf, RetryingSchemaRegistry, SchemaRegistryResolver, StaticSchemaRegistry}
 import graft.model.Schemas
 
 /** Companion-object counter so every closure-serialized copy of the
@@ -88,5 +88,112 @@ class SchemaRegistrySpec extends SparkSpec {
     // live topic the id usually appears in the registry moments later
     assert(CountingRegistry.hits.get() === 10,
       s"expected 10 uncached misses, saw ${CountingRegistry.hits.get()}")
+  }
+
+  test("eventual-resolve: an id REGISTERED BETWEEN BATCHES starts decoding " +
+    "(the 'seconds later' race, end to end)") {
+    // batch 1: id 77 unknown -> every row null (DLQ-routable), no
+    // failure; then the "producer's new version lands in the registry";
+    // batch 2 through the SAME resolver type decodes — possible only
+    // because misses are never negatively cached
+    EventualRegistry.registered.set(false)
+    EventualRegistry.calls.set(0)
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("late"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("Reg"), 2.5f)
+    val framed = AvroOcf.encodeConfluentRow(row, Schemas.order, schema, 77)
+    val df = (1 to 5).map(_ => framed).toDF("value").repartition(1)
+    def decoded() = df.select(from_avro_confluent($"value",
+      Schemas.orderAvroJson, EventualRegistry(77)).as("o"))
+    assert(decoded().collect().forall(_.isNullAt(0)),
+      "rows must be null (not failures) while the id is unregistered")
+    EventualRegistry.registered.set(true) // registration lands
+    val out = decoded().select($"o.orderId", $"o.product", $"o.price").collect()
+    assert(out.forall(_ === Row("late", "Reg", 2.5f)),
+      "the same id must decode once registered — no sticky negative cache")
+  }
+
+  test("RetryingSchemaRegistry: transport failures retry, then succeed") {
+    FlakyRegistry.failuresLeft.set(2)
+    FlakyRegistry.calls.set(0)
+    val r = RetryingSchemaRegistry(
+      FlakyRegistry(Map(3 -> Schemas.orderAvroJson)), attempts = 3, backoffMs = 0)
+    assert(r.resolve(3) === Some(Schemas.orderAvroJson))
+    assert(FlakyRegistry.calls.get() === 3, "two failures + one success = 3 calls")
+  }
+
+  test("RetryingSchemaRegistry: an authoritative miss is NOT retried") {
+    FlakyRegistry.failuresLeft.set(0)
+    FlakyRegistry.calls.set(0)
+    val r = RetryingSchemaRegistry(
+      FlakyRegistry(Map(3 -> Schemas.orderAvroJson)), attempts = 5, backoffMs = 0)
+    // the registry ANSWERED "no such id": retrying would just hammer it;
+    // the per-row re-ask contract above handles late registration
+    assert(r.resolve(99) === None)
+    assert(FlakyRegistry.calls.get() === 1, "a miss must consume exactly one call")
+  }
+
+  test("RetryingSchemaRegistry: an exhausted budget propagates the failure " +
+    "(outage must not mis-route rows to the DLQ as 'unknown schema')") {
+    FlakyRegistry.failuresLeft.set(10)
+    FlakyRegistry.calls.set(0)
+    val r = RetryingSchemaRegistry(
+      FlakyRegistry(Map(3 -> Schemas.orderAvroJson)), attempts = 3, backoffMs = 0)
+    val e = intercept[RuntimeException](r.resolve(3))
+    assert(e.getMessage.contains("registry unreachable"))
+    assert(FlakyRegistry.calls.get() === 3, "exactly `attempts` calls before giving up")
+  }
+
+  test("decode through a flaky-but-recovering live client: rows decode, " +
+    "nothing lands in the DLQ") {
+    FlakyRegistry.failuresLeft.set(2) // first two fetches fail, then healthy
+    FlakyRegistry.calls.set(0)
+    val df = (1 to 50).map(i => (s"f-$i", "Q", i.toFloat))
+      .toDF("orderId", "product", "price").repartition(1)
+    val n = df.select(from_avro_confluent(
+        to_avro_confluent(struct($"orderId", $"product", $"price"),
+          Schemas.orderAvroJson, 8),
+        Schemas.orderAvroJson,
+        RetryingSchemaRegistry(FlakyRegistry(Map(8 -> Schemas.orderAvroJson)),
+          attempts = 3, backoffMs = 0)).as("d"))
+      .filter($"d".isNotNull).count()
+    assert(n === 50, "every row must decode once the transport recovers")
+    // 2 failed + 1 successful fetch, then the identity cache holds
+    assert(FlakyRegistry.calls.get() === 3,
+      s"expected 3 transport calls for 50 rows, saw ${FlakyRegistry.calls.get()}")
+  }
+}
+
+/** Companion-object state so closure-serialized copies in local mode
+  * share one view (the CountingRegistry discipline). */
+object EventualRegistry {
+  val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** A registry where the id is UNREGISTERED until the flag flips — the
+  * producer-deploys-mid-batch race from the FromAvroConfluent doc. */
+final case class EventualRegistry(knownId: Int) extends SchemaRegistryResolver {
+  override def resolve(id: Int): Option[String] = {
+    EventualRegistry.calls.incrementAndGet()
+    if (id == knownId && EventualRegistry.registered.get()) Some(Schemas.orderAvroJson)
+    else None
+  }
+}
+
+object FlakyRegistry {
+  val failuresLeft = new java.util.concurrent.atomic.AtomicInteger(0)
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** A registry whose transport fails (throws) for the first
+  * `failuresLeft` calls, then behaves — the 5xx/timeout simulation
+  * for [[RetryingSchemaRegistry]]. */
+final case class FlakyRegistry(byId: Map[Int, String]) extends SchemaRegistryResolver {
+  override def resolve(id: Int): Option[String] = {
+    FlakyRegistry.calls.incrementAndGet()
+    if (FlakyRegistry.failuresLeft.getAndUpdate(n => math.max(0, n - 1)) > 0)
+      throw new RuntimeException("registry unreachable (simulated transport failure)")
+    byId.get(id)
   }
 }

@@ -43,7 +43,17 @@ object Explain {
     "q_semantic_dedup" -> 1.22,     // kmeans-assign + in-cluster pair scan
     "q_assoc_rules" -> 1.35,        // pair-explode + two broadcast joins
     "q_quantile_normalize" -> 1.03, // two grouped ranks over value domain
-    "q_json_roundtrip" -> 0.39)     // full-row JSON encode/decode kernel
+    "q_json_roundtrip" -> 0.39,     // full-row JSON encode/decode kernel
+    // round 9: both axes collapsed onto one (part, quarter)
+    // pre-aggregate (one fact scan); residual is the prefix-sum +
+    // drill-down multi-pass floor
+    "q_abc_xyz" -> 1.34,
+    // round 9: the GroupedQuantile driver-OOM guard (advisory fix)
+    // adds one histogram-size count job before the collect — a
+    // correctness fence worth its ~0.5 s; the multi-pass floor
+    // (checkpoint + hist + count + drill-down) is the residual
+    "q_weighted_median" -> 1.94,
+    "q_weighted_quartiles" -> 1.77)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()

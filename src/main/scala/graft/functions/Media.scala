@@ -1018,11 +1018,15 @@ case class PngStatsRgb(child: Expression)
   * algorithm (F.2.2.3), the Annex K.3 luminance code tables on the
   * encode side (the decoder builds its tables from the DHT segments in
   * the stream, never from constants), forward/inverse DCT as direct
-  * double-precision Σ cos·cos sums, 0xFF byte stuffing, and DC
-  * prediction. Scope (honestly stated, like the PNG path's): baseline
-  * sequential, single 8-bit component (grayscale — trivially 4:4:4),
-  * no progressive/arithmetic/hierarchical modes, restart markers
-  * accepted on decode but not emitted.
+  * double-precision Σ cos·cos sums, 0xFF byte stuffing, and
+  * per-component DC prediction. Scope (honestly stated, like the PNG
+  * path's): baseline sequential, 8-bit, one component (grayscale) or
+  * three components interleaved with sampling factors in {1, 2} —
+  * 4:4:4, 4:2:0 (the mainstream default; encode420 emits it, decode
+  * upsamples by replication) and 4:2:2 all in scope; no color
+  * transform (components are raw planes), no
+  * progressive/arithmetic/hierarchical modes, restart markers accepted
+  * on decode but not emitted.
   *
   * Exactness contract: JPEG is lossy in general, so the oracle-gated
   * query feeds BLOCK-CONSTANT images (every 8×8 block one value, the
@@ -1160,14 +1164,35 @@ object Jpeg {
   /** Amplitude category (F.1.2.1.1): bit length of |v|, 0 for v = 0. */
   private def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
 
-  /** Encode 8-bit grayscale pixels as a complete baseline JPEG:
-    * JFIF APP0, all-ones DQT (max quality — the exactness contract
-    * above depends on it), SOF0 (one component, 1×1 sampling), Annex K
-    * DHT pair, SOS, entropy-coded MCU row-major scan with edge-pixel
-    * replication for partial boundary blocks, EOI. */
+  /** Encode 8-bit grayscale pixels as a complete baseline JPEG (one
+    * component — trivially 4:4:4). */
   def encode(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
-    require(w > 0 && h > 0 && px.length == w * h,
+    require(px.length == w * h,
       s"encode: dims ${w}x$h do not match ${px.length} pixels")
+    encodeCore(w, h, 1, px)
+  }
+
+  /** Encode 3-component 4:4:4 pixels (interleaved triples, 3·w·h
+    * bytes) as a complete baseline JPEG: three components at 1×1
+    * sampling in one interleaved scan (one block per component per
+    * MCU), per-component DC predictors. NO color transform on either
+    * side — components are raw planes (the scan-level structure is
+    * what a YCbCr pipeline runs; the transform is a per-pixel affine
+    * map outside the codec's entropy/transform machinery). */
+  def encodeColor(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(px.length == 3 * w * h,
+      s"encodeColor: dims ${w}x$h do not match ${px.length} bytes")
+    encodeCore(w, h, 3, px)
+  }
+
+  /** Shared encode core: JFIF APP0, all-ones DQT (max quality — the
+    * exactness contract above depends on it), SOF0 (`nc` components,
+    * all 1×1 sampling), the Annex K luminance DHT pair shared by every
+    * component (legal per B.2.3 — table selectors are per-component in
+    * SOS), interleaved entropy-coded MCU scan with edge-pixel
+    * replication for partial boundary blocks, EOI. */
+  private def encodeCore(w: Int, h: Int, nc: Int, px: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0, s"encode: dims must be positive, got ${w}x$h")
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
@@ -1179,15 +1204,19 @@ object Jpeg {
     marker(0xdb); be16(67); out.write(0x00) // DQT: Pq=0 Tq=0
     var i = 0
     while (i < 64) { out.write(1); i += 1 }
-    marker(0xc0); be16(11) // SOF0
+    marker(0xc0); be16(8 + 3 * nc) // SOF0
     out.write(8); be16(h); be16(w)
-    out.write(1); out.write(1); out.write(0x11); out.write(0)
+    out.write(nc)
+    var c = 0
+    while (c < nc) { out.write(c + 1); out.write(0x11); out.write(0); c += 1 }
     marker(0xc4) // DHT: DC then AC luminance in one segment
     be16(2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length))
     out.write(0x00); DcBits.foreach(out.write); DcVals.foreach(out.write)
     out.write(0x10); AcBits.foreach(out.write); AcVals.foreach(out.write)
-    marker(0xda); be16(8) // SOS
-    out.write(1); out.write(1); out.write(0x00)
+    marker(0xda); be16(6 + 2 * nc) // SOS
+    out.write(nc)
+    c = 0
+    while (c < nc) { out.write(c + 1); out.write(0x00); c += 1 }
     out.write(0); out.write(63); out.write(0)
     val dcCodes = buildCodes(DcBits, DcVals)
     val acCodes = buildCodes(AcBits, AcVals)
@@ -1196,53 +1225,29 @@ object Jpeg {
       if (v >= 0) v else v + (1 << size) - 1
     val bh8 = (h + 7) / 8
     val bw8 = (w + 7) / 8
-    var pred = 0
+    val pred = new Array[Int](nc)
     val samp = new Array[Int](64)
     var by = 0
     while (by < bh8) {
       var bx = 0
       while (bx < bw8) {
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            // edge replication for partial boundary blocks
-            val sy = math.min(by * 8 + y, h - 1)
-            val sx = math.min(bx * 8 + x, w - 1)
-            samp(y * 8 + x) = (px(sy * w + sx) & 0xff) - 128
-            x += 1
+        c = 0
+        while (c < nc) { // one block per component per MCU (4:4:4)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              // edge replication for partial boundary blocks
+              val sy = math.min(by * 8 + y, h - 1)
+              val sx = math.min(bx * 8 + x, w - 1)
+              samp(y * 8 + x) = (px(nc * (sy * w + sx) + c) & 0xff) - 128
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          pred(c) = emitBlock(bw, samp, pred(c), dcCodes, acCodes)
+          c += 1
         }
-        val coef = fdct(samp)
-        // all-ones quantization: quantized value = round(S)
-        val q = new Array[Int](64)
-        var k = 0
-        while (k < 64) { q(k) = math.round(coef(k)).toInt; k += 1 }
-        val dc = q(0)
-        val diff = dc - pred
-        pred = dc
-        val s = category(diff)
-        val (dcode, dlen) = dcCodes(s)
-        bw.write(dcode, dlen)
-        if (s > 0) bw.write(amplitude(diff, s), s)
-        // AC: run-length over zigzag positions 1..63
-        var run = 0
-        k = 1
-        while (k < 64) {
-          val v = q(Zigzag(k))
-          if (v == 0) run += 1
-          else {
-            while (run > 15) { val (zc, zl) = acCodes(0xf0); bw.write(zc, zl); run -= 16 }
-            val sz = category(v)
-            val (ac, al) = acCodes((run << 4) | sz)
-            bw.write(ac, al)
-            bw.write(amplitude(v, sz), sz)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) { val (ec, el) = acCodes(0x00); bw.write(ec, el) } // EOB
         bx += 1
       }
       by += 1
@@ -1252,22 +1257,194 @@ object Jpeg {
     out.toByteArray
   }
 
-  /** Decode a baseline sequential grayscale JPEG: marker walk, DQT/DHT
+  /** FDCT + all-ones quantization + Huffman entropy coding of one
+    * level-shifted 8×8 block; returns the new DC predictor. AC
+    * magnitudes clamp to the baseline 10-bit amplitude limit (Annex K
+    * AC symbols carry sizes 1..10 only; an adversarial high-frequency
+    * block can reach |S| ~ 2048, which would have no code) — DC stays
+    * unclamped, its table carries size 11. */
+  private def emitBlock(bw: BitWriter, samp: Array[Int], pred: Int,
+      dcCodes: Map[Int, (Int, Int)], acCodes: Map[Int, (Int, Int)]): Int = {
+    def amplitude(v: Int, size: Int): Int =
+      if (v >= 0) v else v + (1 << size) - 1
+    val coef = fdct(samp)
+    val q = new Array[Int](64)
+    q(0) = math.round(coef(0)).toInt
+    var k = 1
+    while (k < 64) {
+      val v = math.round(coef(k)).toInt
+      q(k) = math.max(-1023, math.min(1023, v))
+      k += 1
+    }
+    val dc = q(0)
+    val diff = dc - pred
+    val s = category(diff)
+    val (dcode, dlen) = dcCodes(s)
+    bw.write(dcode, dlen)
+    if (s > 0) bw.write(amplitude(diff, s), s)
+    // AC: run-length over zigzag positions 1..63
+    var run = 0
+    k = 1
+    while (k < 64) {
+      val v = q(Zigzag(k))
+      if (v == 0) run += 1
+      else {
+        while (run > 15) { val (zc, zl) = acCodes(0xf0); bw.write(zc, zl); run -= 16 }
+        val sz = category(v)
+        val (ac, al) = acCodes((run << 4) | sz)
+        bw.write(ac, al)
+        bw.write(amplitude(v, sz), sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (ec, el) = acCodes(0x00); bw.write(ec, el) } // EOB
+    dc
+  }
+
+  /** Encode 3-component pixels (interleaved triples, 3·w·h bytes) as a
+    * baseline JPEG with 4:2:0 CHROMA SUBSAMPLING — the layout every
+    * mainstream encoder defaults to: component 1 at 2×2 sampling (four
+    * 8×8 blocks per MCU covering a 16×16 area), components 2 and 3 at
+    * 1×1 (one 8×8 block each, point-downsampled by 2 — chroma sample
+    * (cx, cy) = full-res value at (2cx, 2cy)). Still no color
+    * transform: planes are raw (a YCbCr pipeline is this exact
+    * structure plus a per-pixel affine map). Decode upsamples chroma
+    * by replication, so images whose chroma planes are constant per
+    * 16×16 region survive the subsample→upsample round trip exactly
+    * (the synth_jpeg_420 contract). */
+  def encode420(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(px.length == 3 * w * h,
+      s"encode420: dims ${w}x$h do not match ${px.length} bytes")
+    require(w > 0 && h > 0, s"encode420: dims must be positive, got ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xe0); be16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1)
+    out.write(0); be16(1); be16(1); out.write(0); out.write(0)
+    marker(0xdb); be16(67); out.write(0x00) // DQT: Pq=0 Tq=0, all ones
+    var i = 0
+    while (i < 64) { out.write(1); i += 1 }
+    marker(0xc0); be16(8 + 9) // SOF0: 3 components
+    out.write(8); be16(h); be16(w)
+    out.write(3)
+    out.write(1); out.write(0x22); out.write(0) // Y: 2×2
+    out.write(2); out.write(0x11); out.write(0) // Cb: 1×1
+    out.write(3); out.write(0x11); out.write(0) // Cr: 1×1
+    marker(0xc4) // DHT: the shared Annex K luminance pair
+    be16(2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length))
+    out.write(0x00); DcBits.foreach(out.write); DcVals.foreach(out.write)
+    out.write(0x10); AcBits.foreach(out.write); AcVals.foreach(out.write)
+    marker(0xda); be16(12) // SOS: 3 components
+    out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x00)
+    out.write(3); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    val dcCodes = buildCodes(DcBits, DcVals)
+    val acCodes = buildCodes(AcBits, AcVals)
+    val bw = new BitWriter(out)
+    // chroma planes: point downsample by 2 with edge clamp
+    val cw = (w + 1) / 2
+    val chh = (h + 1) / 2
+    val mcuW = (w + 15) / 16
+    val mcuH = (h + 15) / 16
+    val pred = new Array[Int](3)
+    val samp = new Array[Int](64)
+    def lumaAt(x: Int, y: Int): Int =
+      px(3 * (math.min(y, h - 1) * w + math.min(x, w - 1))) & 0xff
+    def chromaAt(c: Int, cx: Int, cy: Int): Int = {
+      // chroma plane sample = full-res pixel at (2cx, 2cy), clamped;
+      // plane edge replication clamps cx/cy to the plane first
+      val px2 = math.min(math.min(cx, cw - 1) * 2, w - 1)
+      val py2 = math.min(math.min(cy, chh - 1) * 2, h - 1)
+      px(3 * (py2 * w + px2) + c) & 0xff
+    }
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
+        // four Y blocks: (0,0) (1,0) (0,1) (1,1) in raster order
+        var vb = 0
+        while (vb < 2) {
+          var hb = 0
+          while (hb < 2) {
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                samp(y * 8 + x) =
+                  lumaAt(mx * 16 + hb * 8 + x, my * 16 + vb * 8 + y) - 128
+                x += 1
+              }
+              y += 1
+            }
+            pred(0) = emitBlock(bw, samp, pred(0), dcCodes, acCodes)
+            hb += 1
+          }
+          vb += 1
+        }
+        // one Cb and one Cr block covering the 16×16 area
+        var c = 1
+        while (c <= 2) {
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              samp(y * 8 + x) = chromaAt(c, mx * 8 + x, my * 8 + y) - 128
+              x += 1
+            }
+            y += 1
+          }
+          pred(c) = emitBlock(bw, samp, pred(c), dcCodes, acCodes)
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Decode a baseline sequential grayscale JPEG: (width, height,
+    * pixels) or None. Delegates to [[decodeFull]] and accepts ONLY
+    * single-component frames — the jpeg_stats scope. */
+  def decode(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeFull(b) match {
+      case Some((w, h, 1, px)) => Some((w, h, px))
+      case _ => None
+    }
+
+  /** Per-scan-component decode tables + sampling factors. */
+  private final case class CompTables(qt: Array[Int],
+      dcT: Map[(Int, Int), Int], acT: Map[(Int, Int), Int], h: Int, v: Int)
+
+  /** Decode a baseline sequential JPEG with 1 or 3 components at 1×1
+    * sampling (grayscale or interleaved 4:4:4): marker walk, DQT/DHT
     * table collection (tables from the STREAM, never assumed), SOF0
-    * validation (8-bit, one component, 1×1 sampling), entropy decode
-    * with byte unstuffing and restart-marker handling, dequantize,
+    * validation (8-bit), entropy decode with byte unstuffing and
+    * restart-marker handling, per-component DC prediction, dequantize,
     * de-zigzag, IDCT, +128 level shift with round-and-clamp. Returns
-    * (width, height, pixels) or None for anything malformed or out of
-    * scope (progressive, multi-component, 12-bit, …) — never throws
-    * on arbitrary bytes, the image_dims/Png.decode discipline. */
-  def decode(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    * (width, height, channels, pixels — interleaved for 3 components,
+    * NO color transform applied) or None for anything malformed or out
+    * of scope (progressive, subsampled, 12-bit, …) — never throws on
+    * arbitrary bytes, the image_dims/Png.decodeFull discipline. */
+  def decodeFull(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (b == null || b.length < 4) return None
     if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     val qts = new Array[Array[Int]](4) // zigzag order, as stored in DQT
     val dcTables = new Array[Map[(Int, Int), Int]](4)
     val acTables = new Array[Map[(Int, Int), Int]](4)
     var w = -1; var h = -1
-    var dcSel = -1; var acSel = -1; var qtSel = -1
+    var ncomp = -1
+    var qtSels: Array[Int] = null // per frame component
+    var hSamp: Array[Int] = null
+    var vSamp: Array[Int] = null
     var restartInterval = 0
     var p = 2
     def u8(i: Int): Int = b(i) & 0xff
@@ -1311,13 +1488,27 @@ object Jpeg {
           if (len < 8) return None
           if (u8(seg) != 8) return None // 8-bit precision only
           h = be16(seg + 1); w = be16(seg + 3)
-          val ncomp = u8(seg + 5)
-          // grayscale single component, 1×1 sampling — scope stated in
-          // the object doc; anything else reports None (dims still
-          // flow through image_dims)
-          if (ncomp != 1 || len < 8 + 3) return None
-          if (u8(seg + 7) != 0x11) return None
-          qtSel = u8(seg + 8)
+          ncomp = u8(seg + 5)
+          // 1 (grayscale) or 3 components with sampling factors in
+          // {1, 2} — covers 4:4:4, 4:2:0 and 4:2:2; anything else
+          // reports None (dims still flow through image_dims)
+          if ((ncomp != 1 && ncomp != 3) || len < 8 + 3 * ncomp) return None
+          qtSels = new Array[Int](ncomp)
+          hSamp = new Array[Int](ncomp)
+          vSamp = new Array[Int](ncomp)
+          var c = 0
+          var blocksPerMcu = 0
+          while (c < ncomp) {
+            val sf = u8(seg + 6 + 3 * c + 1)
+            hSamp(c) = sf >> 4; vSamp(c) = sf & 0x0f
+            if (hSamp(c) < 1 || hSamp(c) > 2 || vSamp(c) < 1 || vSamp(c) > 2)
+              return None // sampling factors beyond 2 out of scope
+            blocksPerMcu += hSamp(c) * vSamp(c)
+            qtSels(c) = u8(seg + 6 + 3 * c + 2)
+            if (qtSels(c) > 3) return None // only tables 0..3 exist (B.2.2)
+            c += 1
+          }
+          if (blocksPerMcu > 10) return None // interleave bound (B.2.3)
           if (w <= 0 || h <= 0 || w.toLong * h > (1 << 24)) return None
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
             0xcb | 0xcd | 0xce | 0xcf =>
@@ -1326,15 +1517,24 @@ object Jpeg {
           if (len != 4) return None
           restartInterval = be16(seg)
         case 0xda => // SOS: entropy-coded data follows
-          if (w <= 0 || qtSel < 0) return None
-          if (u8(seg) != 1 || len < 8) return None
-          dcSel = u8(seg + 2) >> 4; acSel = u8(seg + 2) & 0x0f
-          if (dcSel > 3 || acSel > 3) return None
-          val qt = qts(qtSel)
-          val dcT = dcTables(dcSel)
-          val acT = acTables(acSel)
-          if (qt == null || dcT == null || acT == null) return None
-          return decodeScan(b, segEnd, w, h, qt, dcT, acT, restartInterval)
+          if (w <= 0 || qtSels == null) return None
+          // length BEFORE reads; scan components must be the frame's,
+          // in frame order (what every baseline encoder writes)
+          if (len < 6 + 2 * ncomp || u8(seg) != ncomp) return None
+          val comps = new Array[CompTables](ncomp)
+          var c = 0
+          while (c < ncomp) {
+            val dcSel = u8(seg + 2 + 2 * c) >> 4
+            val acSel = u8(seg + 2 + 2 * c) & 0x0f
+            if (dcSel > 3 || acSel > 3) return None
+            val qt = qts(qtSels(c))
+            val dcT = dcTables(dcSel)
+            val acT = acTables(acSel)
+            if (qt == null || dcT == null || acT == null) return None
+            comps(c) = CompTables(qt, dcT, acT, hSamp(c), vSamp(c))
+            c += 1
+          }
+          return decodeScan(b, segEnd, w, h, comps, restartInterval)
         case _ => () // APPn / COM / other: skipped
       }
       p = q + 1 + len
@@ -1342,13 +1542,18 @@ object Jpeg {
     None
   }
 
-  /** Entropy-coded scan decode. MSB-first bit reader over the stuffed
-    * byte stream; RSTn resets the DC predictor and re-aligns to a byte
-    * boundary; any other marker mid-scan is malformed (single-scan
-    * baseline). */
+  /** Entropy-coded scan decode, 1 or 3 components interleaved with
+    * per-component sampling factors in {1, 2} — each MCU carries
+    * h_i×v_i blocks of component i in raster order (A.2.3), decoded
+    * into per-component PLANES that are sampled back to full
+    * resolution by integer-division replication (the nearest-neighbor
+    * upsample: exact for chroma constant per chroma-block region).
+    * MSB-first bit reader over the stuffed byte stream; RSTn resets
+    * every DC predictor and re-aligns to a byte boundary; any other
+    * marker mid-scan is malformed (single-scan baseline). */
   private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int,
-      qt: Array[Int], dcT: Map[(Int, Int), Int], acT: Map[(Int, Int), Int],
-      restartInterval: Int): Option[(Int, Int, Array[Byte])] = {
+      comps: Array[CompTables],
+      restartInterval: Int): Option[(Int, Int, Int, Array[Byte])] = {
     var pos = start
     var acc = 0
     var nb = 0
@@ -1396,75 +1601,113 @@ object Jpeg {
       else if (v < (1 << (size - 1))) v - (1 << size) + 1
       else v
     }
-    val bw8 = (w + 7) / 8
-    val bh8 = (h + 7) / 8
-    val px = new Array[Byte](w * h)
+    val nc = comps.length
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcuW = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcuH = (h + 8 * vmax - 1) / (8 * vmax)
+    // per-component planes at MCU-padded size: blocks always land
+    // whole; the final compose reads only the covered region
+    val planeW = Array.tabulate(nc)(c => mcuW * comps(c).h * 8)
+    val planeH = Array.tabulate(nc)(c => mcuH * comps(c).v * 8)
+    val planes = Array.tabulate(nc)(c => new Array[Byte](planeW(c) * planeH(c)))
     val coef = new Array[Double](64)
-    var pred = 0
-    var blocksToRestart = if (restartInterval > 0) restartInterval else -1
-    var by = 0
-    while (by < bh8) {
-      var bx = 0
-      while (bx < bw8) {
-        if (blocksToRestart == 0) {
+    val pred = new Array[Int](nc)
+    var mcusToRestart = if (restartInterval > 0) restartInterval else -1
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
+        if (mcusToRestart == 0) {
           // byte-align and consume the RSTn marker
           nb = 0
           if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff ||
             (b(pos + 1) & 0xff) < 0xd0 || (b(pos + 1) & 0xff) > 0xd7) return None
           pos += 2
-          pred = 0
-          blocksToRestart = restartInterval
+          java.util.Arrays.fill(pred, 0)
+          mcusToRestart = restartInterval
         }
-        java.util.Arrays.fill(coef, 0.0)
-        val s = decodeSym(dcT)
-        if (s < 0 || s > 11) return None
-        val diff = receiveExtend(s)
-        if (diff == Int.MinValue) return None
-        pred += diff
-        coef(0) = pred.toDouble * qt(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = decodeSym(acT)
-          if (rs < 0) return None
-          val run = rs >> 4
-          val size = rs & 0x0f
-          if (size == 0) {
-            if (run == 15) k += 16 // ZRL
-            else eob = true // EOB
-          } else {
-            k += run
-            if (k > 63) return None
-            val v = receiveExtend(size)
-            if (v == Int.MinValue) return None
-            coef(Zigzag(k)) = v.toDouble * qt(k)
-            k += 1
-          }
-        }
-        val out = idct(coef)
-        var y = 0
-        while (y < 8) {
-          val py = by * 8 + y
-          if (py < h) {
-            var x = 0
-            while (x < 8) {
-              val pxx = bx * 8 + x
-              if (pxx < w) {
-                val v = math.round(out(y * 8 + x) + 128.0).toInt
-                px(py * w + pxx) =
-                  (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+        var c = 0
+        while (c < nc) {
+          val ct = comps(c)
+          var vb = 0
+          while (vb < ct.v) {
+            var hb = 0
+            while (hb < ct.h) {
+              java.util.Arrays.fill(coef, 0.0)
+              val s = decodeSym(ct.dcT)
+              if (s < 0 || s > 11) return None
+              val diff = receiveExtend(s)
+              if (diff == Int.MinValue) return None
+              pred(c) += diff
+              coef(0) = pred(c).toDouble * ct.qt(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = decodeSym(ct.acT)
+                if (rs < 0) return None
+                val run = rs >> 4
+                val size = rs & 0x0f
+                if (size == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else eob = true // EOB
+                } else {
+                  k += run
+                  if (k > 63) return None
+                  val v = receiveExtend(size)
+                  if (v == Int.MinValue) return None
+                  coef(Zigzag(k)) = v.toDouble * ct.qt(k)
+                  k += 1
+                }
               }
-              x += 1
+              val out = idct(coef)
+              val px0 = (mx * ct.h + hb) * 8
+              val py0 = (my * ct.v + vb) * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val v = math.round(out(y * 8 + x) + 128.0).toInt
+                  planes(c)((py0 + y) * planeW(c) + px0 + x) =
+                    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              hb += 1
             }
+            vb += 1
           }
-          y += 1
+          c += 1
         }
-        if (blocksToRestart > 0) blocksToRestart -= 1
-        bx += 1
+        if (mcusToRestart > 0) mcusToRestart -= 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    if (truncated) None else Some((w, h, px))
+    if (truncated) return None
+    // compose full-resolution output: component sample at
+    // (x·h_i/hmax, y·v_i/vmax) — identity for full-res components,
+    // nearest-neighbor replication for subsampled ones
+    val px = new Array[Byte](nc * w * h)
+    var c = 0
+    while (c < nc) {
+      val ct = comps(c)
+      val pw = planeW(c)
+      val plane = planes(c)
+      var y = 0
+      while (y < h) {
+        val rowOff = (y * ct.v / vmax) * pw
+        var x = 0
+        while (x < w) {
+          px(nc * (y * w + x) + c) = plane(rowOff + x * ct.h / hmax)
+          x += 1
+        }
+        y += 1
+      }
+      c += 1
+    }
+    Some((w, h, nc, px))
   }
 }
 
@@ -1537,6 +1780,134 @@ case class JpegStats(child: Expression)
   override def prettyName: String = "jpeg_stats"
 }
 
+/** `synth_jpeg_rgb(id, w, h)` -> a COMPLETE 3-component 4:4:4
+  * baseline JPEG whose 8×8 block at (bx, by) carries the CONSTANT
+  * per-component values (id·7 + bx·31 + by·17, id·11 + bx·13 + by·29,
+  * id·3 + bx·37 + by·23) mod 256 — the synth_png_rgb channel
+  * congruences at block granularity, so the interleaved-MCU scan and
+  * the three DC prediction chains are exercised while the codec stays
+  * exactly invertible (DC-only spectra, see [[Jpeg]]). */
+case class SynthJpegRgb(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"synth_jpeg_rgb expects (long id, int w, int h), got $other")
+    }
+  override def nullSafeEval(idA: Any, wA: Any, hA: Any): Any = {
+    val id = idA.asInstanceOf[Long]
+    val w = wA.asInstanceOf[Int]; val h = hA.asInstanceOf[Int]
+    require(w > 0 && h > 0 && w.toLong * h <= (1 << 21),
+      s"synth_jpeg_rgb dims out of range: ${w}x$h")
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bx = x / 8; val by = y / 8
+        val k = 3 * (y * w + x)
+        px(k) = (((id * 7 + bx * 31L + by * 17L) % 256 + 256) % 256).toByte
+        px(k + 1) = (((id * 11 + bx * 13L + by * 29L) % 256 + 256) % 256).toByte
+        px(k + 2) = (((id * 3 + bx * 37L + by * 23L) % 256 + 256) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Jpeg.encodeColor(w, h, px)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): SynthJpegRgb = copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jpeg_rgb"
+}
+
+/** `jpeg_stats_rgb(jpeg_binary)` -> struct(width, height, channels,
+  * n_px, px_sum, r_sum, g_sum, b_sum, px_min, px_max): exact integer
+  * statistics from a REAL baseline JPEG decode of any supported
+  * component layout — 3-component frames yield per-channel sums over
+  * the interleaved planes; grayscale reports its single plane in all
+  * three channel slots (the png_stats_rgb convention). Null for
+  * anything [[Jpeg.decodeFull]] rejects. */
+case class JpegStatsRgb(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("channels", IntegerType), StructField("n_px", LongType),
+    StructField("px_sum", LongType), StructField("r_sum", LongType),
+    StructField("g_sum", LongType), StructField("b_sum", LongType),
+    StructField("px_min", IntegerType), StructField("px_max", IntegerType)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jpeg_stats_rgb expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Jpeg.decodeFull(input.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some((w, h, ch, px)) =>
+        val (sum, mn, mx) = PixelOps.stats(px, 0, px.length)
+        val chSums = new Array[Long](3)
+        if (ch == 1) { chSums(0) = sum; chSums(1) = sum; chSums(2) = sum }
+        else {
+          var k = 0
+          while (k < px.length) { chSums(k % 3) += px(k) & 0xff; k += 1 }
+        }
+        new GenericInternalRow(Array[Any](w, h, ch, w.toLong * h, sum,
+          chSums(0), chSums(1), chSums(2), mn, mx))
+    }
+  override protected def withNewChildInternal(newChild: Expression): JpegStatsRgb =
+    copy(child = newChild)
+  override def prettyName: String = "jpeg_stats_rgb"
+}
+
+/** `synth_jpeg_420(id, w, h)` -> a COMPLETE baseline JPEG with 4:2:0
+  * chroma subsampling (Y at 2×2, Cb/Cr at 1×1 — the layout mainstream
+  * encoders default to): Y is block-constant per 8×8 (the
+  * synth_jpeg congruence), Cb/Cr are block-constant per 16×16 REGION
+  * ((id·11 + (x div 16)·13 + (y div 16)·29) and (id·3 + (x div 16)·37
+  * + (y div 16)·23) mod 256) — constant chroma regions survive the
+  * point-downsample → DCT → replication-upsample chain exactly, so
+  * the subsampled codec stays oracle-replayable. */
+case class SynthJpeg420(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"synth_jpeg_420 expects (long id, int w, int h), got $other")
+    }
+  override def nullSafeEval(idA: Any, wA: Any, hA: Any): Any = {
+    val id = idA.asInstanceOf[Long]
+    val w = wA.asInstanceOf[Int]; val h = hA.asInstanceOf[Int]
+    require(w > 0 && h > 0 && w.toLong * h <= (1 << 21),
+      s"synth_jpeg_420 dims out of range: ${w}x$h")
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val k = 3 * (y * w + x)
+        px(k) = (((id * 7 + (x / 8) * 31L + (y / 8) * 17L) % 256 + 256) % 256).toByte
+        px(k + 1) = (((id * 11 + (x / 16) * 13L + (y / 16) * 29L) % 256 + 256) % 256).toByte
+        px(k + 2) = (((id * 3 + (x / 16) * 37L + (y / 16) * 23L) % 256 + 256) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Jpeg.encode420(w, h, px)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): SynthJpeg420 = copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jpeg_420"
+}
+
 object media {
   def image_dims(blob: Column): Column =
     ColumnBridge.column(ImageDims(ColumnBridge.expression(blob)))
@@ -1574,4 +1945,12 @@ object media {
       ColumnBridge.expression(w), ColumnBridge.expression(h)))
   def jpeg_stats(blob: Column): Column =
     ColumnBridge.column(JpegStats(ColumnBridge.expression(blob)))
+  def synth_jpeg_rgb(id: Column, w: Column, h: Column): Column =
+    ColumnBridge.column(SynthJpegRgb(ColumnBridge.expression(id),
+      ColumnBridge.expression(w), ColumnBridge.expression(h)))
+  def jpeg_stats_rgb(blob: Column): Column =
+    ColumnBridge.column(JpegStatsRgb(ColumnBridge.expression(blob)))
+  def synth_jpeg_420(id: Column, w: Column, h: Column): Column =
+    ColumnBridge.column(SynthJpeg420(ColumnBridge.expression(id),
+      ColumnBridge.expression(w), ColumnBridge.expression(h)))
 }

@@ -93,8 +93,9 @@ object GroupedQuantile {
     // int64 range) would collect the full (group, bucket) domain and OOM
     // the driver, so the size is checked distributed-side BEFORE any row
     // is collected (same fail-loudly convention as the HeavyHitters
-    // certification). The count materializes the checkpoint, so the
-    // collect below re-reads it rather than recomputing the aggregate.
+    // certification). The count materializes the checkpoint (measured
+    // cheaper than relying on exchange reuse between count and collect),
+    // so the collect re-reads it rather than recomputing the aggregate.
     val histRows = histDf.count()
     if (histRows > maxHistRows)
       throw new IllegalStateException(

@@ -1595,6 +1595,61 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Color JPEG decode: 3-component 4:4:4 baseline with per-component
+    * block-constant congruences — exercises the interleaved-MCU scan
+    * and THREE independent DC prediction chains while staying exactly
+    * invertible (DC-only spectra). No color transform on either side:
+    * components are raw planes, so the oracle replays each channel's
+    * block congruence directly. */
+  private[graft] def qJpegRgbDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.media._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(24) + col("doc_id") % 16).cast("int").as("w"),
+        (lit(16) + col("doc_id") % 8).cast("int").as("h"))
+    d.select(col("doc_id"),
+        jpeg_stats_rgb(synth_jpeg_rgb(col("doc_id"), col("w"), col("h"))).as("s"))
+      .select(col("doc_id"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.channels").cast("long").as("channels"),
+        col("s.px_sum").as("px_sum"),
+        col("s.r_sum").as("r_sum"),
+        col("s.g_sum").as("g_sum"),
+        col("s.b_sum").as("b_sum"),
+        col("s.px_min").cast("long").as("px_min"),
+        col("s.px_max").cast("long").as("px_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 4:2:0 chroma-subsampled JPEG decode — the layout mainstream
+    * encoders default to: Y at 2×2 sampling (four blocks per MCU),
+    * Cb/Cr point-downsampled by 2 and replication-upsampled on
+    * decode. Y is block-constant per 8×8, chroma per 16×16 region, so
+    * the subsample→DCT→upsample chain is exactly invertible and the
+    * oracle replays both congruence granularities. Exercises the
+    * 6-block MCU raster order and MCU-padded plane composition. */
+  private[graft] def qJpeg420Decode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.media._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(24) + col("doc_id") % 16).cast("int").as("w"),
+        (lit(16) + col("doc_id") % 8).cast("int").as("h"))
+    d.select(col("doc_id"),
+        jpeg_stats_rgb(synth_jpeg_420(col("doc_id"), col("w"), col("h"))).as("s"))
+      .select(col("doc_id"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.channels").cast("long").as("channels"),
+        col("s.px_sum").as("px_sum"),
+        col("s.r_sum").as("r_sum"),
+        col("s.g_sum").as("g_sum"),
+        col("s.b_sum").as("b_sum"),
+        col("s.px_min").cast("long").as("px_min"),
+        col("s.px_max").cast("long").as("px_max"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Truecolor PNG decode (color type 2): three distinct per-channel
     * congruences through the 3-byte-per-pixel filter offset — a
     * decoder that confuses channel interleave or filters with the
@@ -1670,6 +1725,8 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_png_decode" -> (qPngDecode _),
     "q_jpeg_decode" -> (qJpegDecode _),
+    "q_jpeg_rgb_decode" -> (qJpegRgbDecode _),
+    "q_jpeg_420_decode" -> (qJpeg420Decode _),
     "q_png_rgb_decode" -> (qPngRgbDecode _),
     "q_png_palette_decode" -> (qPngPaletteDecode _),
     "q_image_pipeline" -> (qImagePipeline _),
@@ -1765,6 +1822,52 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |       CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_milli,
         |       CAST(MIN(v) AS BIGINT) AS px_min,
         |       CAST(MAX(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_jpeg_rgb_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 24 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |         (d.doc_id * 7 + (gx.x // 8) * 31 + (gy.y // 8) * 17) % 256 AS r,
+        |         (d.doc_id * 11 + (gx.x // 8) * 13 + (gy.y // 8) * 29) % 256 AS g,
+        |         (d.doc_id * 3 + (gx.x // 8) * 37 + (gy.y // 8) * 23) % 256 AS b
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 39) AS gx(x)
+        |  CROSS JOIN generate_series(0, 23) AS gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h)
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |       CAST(MIN(h) AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(SUM(r + g + b) AS BIGINT) AS px_sum,
+        |       CAST(SUM(r) AS BIGINT) AS r_sum,
+        |       CAST(SUM(g) AS BIGINT) AS g_sum,
+        |       CAST(SUM(b) AS BIGINT) AS b_sum,
+        |       CAST(MIN(LEAST(r, g, b)) AS BIGINT) AS px_min,
+        |       CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_jpeg_420_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 24 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |         (d.doc_id * 7 + (gx.x // 8) * 31 + (gy.y // 8) * 17) % 256 AS r,
+        |         (d.doc_id * 11 + (gx.x // 16) * 13 + (gy.y // 16) * 29) % 256 AS g,
+        |         (d.doc_id * 3 + (gx.x // 16) * 37 + (gy.y // 16) * 23) % 256 AS b
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 39) AS gx(x)
+        |  CROSS JOIN generate_series(0, 23) AS gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h)
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |       CAST(MIN(h) AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(SUM(r + g + b) AS BIGINT) AS px_sum,
+        |       CAST(SUM(r) AS BIGINT) AS r_sum,
+        |       CAST(SUM(g) AS BIGINT) AS g_sum,
+        |       CAST(SUM(b) AS BIGINT) AS b_sum,
+        |       CAST(MIN(LEAST(r, g, b)) AS BIGINT) AS px_min,
+        |       CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS px_max
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_png_rgb_decode" ->
       """WITH d AS (

@@ -97,4 +97,20 @@ class GroupedQuantileSpec extends SparkSpec {
     val df = (bulk :+ ((0L, 501L, 100000L))).toDF("g", "v", "w")
     assert(drilled(df, quartiles, 32L) === windowed(df, quartiles))
   }
+
+  test("a histogram past maxHistRows fails loudly BEFORE collecting " +
+    "(driver-OOM guard for a too-small bucketWidth)") {
+    // 400 distinct values at bucketWidth 1 = 400 (group, bucket) rows;
+    // cap at 100 -> the distributed count trips the guard and nothing
+    // is collected (the HeavyHitters fail-loudly convention)
+    val df = (1 to 400).map(i => (0L, i.toLong, 1L)).toDF("g", "v", "w")
+    val e = intercept[IllegalStateException] {
+      GroupedQuantile.weightedQuantiles(spark, df, "g", "v", "w",
+        Seq((1L, 2L)), bucketWidth = 1L, maxHistRows = 100L).collect()
+    }
+    assert(e.getMessage.contains("raise bucketWidth"))
+    // the same data passes with an adequate width — and still matches
+    // the window formulation
+    assert(drilled(df, Seq((1L, 2L)), 64L) === windowed(df, Seq((1L, 2L))))
+  }
 }

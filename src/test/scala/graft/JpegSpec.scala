@@ -141,6 +141,146 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decode(prog) === None)
   }
 
+  test("adversarial high-frequency pixels encode without crashing " +
+    "(AC amplitudes clamp to the baseline 10-bit limit)") {
+    // a full-amplitude checkerboard maximizes AC energy (|S| ~ 2048,
+    // past the largest AC Huffman amplitude) — the encoder must clamp,
+    // not die on a missing code; the roundtrip stays a valid decode
+    val (w, h) = (16, 16)
+    val p = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      p(y * w + x) = (if ((x + y) % 2 == 0) 0 else 255).toByte
+    val Some((dw, dh, dp)) = Jpeg.decode(Jpeg.encode(w, h, p))
+    assert((dw, dh) === (w, h))
+    assert(dp.length === w * h)
+  }
+
+  test("a quantization-table selector past 3 -> None, not an index crash") {
+    val enc = Jpeg.encode(8, 8, blockConstant(8, 8, 5))
+    val bad = enc.clone()
+    var i = 2
+    var patched = false
+    while (!patched && i + 12 < bad.length) {
+      if ((bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xc0) {
+        bad(i + 12) = 5 // SOF0 component Tq byte (B.2.2 allows 0..3)
+        patched = true
+      } else i += 1
+    }
+    assert(patched)
+    assert(Jpeg.decode(bad) === None)
+  }
+
+  private def blockConstantRgb(w: Int, h: Int, id: Long): Array[Byte] = {
+    val a = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val bx = x / 8; val by = y / 8
+      val k = 3 * (y * w + x)
+      a(k) = (((id * 7 + bx * 31L + by * 17L) % 256 + 256) % 256).toByte
+      a(k + 1) = (((id * 11 + bx * 13L + by * 29L) % 256 + 256) % 256).toByte
+      a(k + 2) = (((id * 3 + bx * 37L + by * 23L) % 256 + 256) % 256).toByte
+    }
+    a
+  }
+
+  test("3-component 4:4:4: block-constant planes round-trip bit-exactly " +
+    "through the interleaved scan") {
+    for ((w, h) <- Seq((8, 8), (24, 16), (17, 13), (9, 25))) {
+      val p = blockConstantRgb(w, h, 31L + w * h)
+      val Some((dw, dh, ch, dp)) = Jpeg.decodeFull(Jpeg.encodeColor(w, h, p))
+      assert((dw, dh, ch) === (w, h, 3), s"dims for ${w}x$h")
+      assert(dp.toSeq === p.toSeq, s"pixels for ${w}x$h")
+    }
+  }
+
+  test("3-component: distinct per-channel planes prove the MCU interleave " +
+    "and the three DC prediction chains stay separate") {
+    // constant-per-channel image where channels differ: a decoder that
+    // crosses predictors or mis-interleaves blocks shifts whole planes
+    val (w, h) = (32, 24)
+    val p = new Array[Byte](3 * w * h)
+    for (k <- 0 until w * h) { p(3 * k) = 10; p(3 * k + 1) = 130.toByte; p(3 * k + 2) = 250.toByte }
+    val Some((_, _, _, dp)) = Jpeg.decodeFull(Jpeg.encodeColor(w, h, p))
+    assert(dp.toSeq === p.toSeq)
+  }
+
+  test("3-component arbitrary pixels round-trip within ±2 per channel (property)") {
+    val gen = for {
+      w <- Gen.choose(1, 16)
+      h <- Gen.choose(1, 16)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (w, h, seed)
+    val prop = Prop.forAll(gen) { case (w, h, seed) =>
+      val p = new Array[Byte](3 * w * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        p(3 * (y * w + x) + c) = (((seed * 31 + x * 97L + y * 61L + c * 139L +
+          x * y * 13L) % 256 + 256) % 256).toByte
+      Jpeg.decodeFull(Jpeg.encodeColor(w, h, p)).exists { case (dw, dh, ch, dp) =>
+        dw == w && dh == h && ch == 3 && (0 until 3 * w * h).forall { k =>
+          math.abs((dp(k) & 0xff) - (p(k) & 0xff)) <= 2
+        }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def region420(w: Int, h: Int, id: Long): Array[Byte] = {
+    val a = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val k = 3 * (y * w + x)
+      a(k) = (((id * 7 + (x / 8) * 31L + (y / 8) * 17L) % 256 + 256) % 256).toByte
+      a(k + 1) = (((id * 11 + (x / 16) * 13L + (y / 16) * 29L) % 256 + 256) % 256).toByte
+      a(k + 2) = (((id * 3 + (x / 16) * 37L + (y / 16) * 23L) % 256 + 256) % 256).toByte
+    }
+    a
+  }
+
+  test("4:2:0: region-constant planes survive subsample -> DCT -> " +
+    "replication-upsample bit-exactly (dims off the 16-grid too)") {
+    for ((w, h) <- Seq((16, 16), (32, 16), (33, 17), (24, 40), (7, 9), (1, 1))) {
+      val p = region420(w, h, 5L + w + h)
+      val Some((dw, dh, ch, dp)) = Jpeg.decodeFull(Jpeg.encode420(w, h, p))
+      assert((dw, dh, ch) === (w, h, 3), s"dims for ${w}x$h")
+      assert(dp.toSeq === p.toSeq, s"pixels for ${w}x$h")
+    }
+  }
+
+  test("4:2:0: luma varying per 8x8 inside one MCU proves the four-Y-block " +
+    "raster order") {
+    // 32x32 = 4 MCUs, each holding four DIFFERENT Y blocks; a decoder
+    // that scans Y blocks in the wrong order swaps quadrants
+    val p = region420(32, 32, 77)
+    val Some((_, _, _, dp)) = Jpeg.decodeFull(Jpeg.encode420(32, 32, p))
+    assert(dp.toSeq === p.toSeq)
+  }
+
+  test("4:2:0 arbitrary pixels: luma within ±2, chroma within ±2 of the " +
+    "point-downsampled source (honest subsampling loss)") {
+    val (w, h) = (20, 14)
+    val p = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      p(3 * (y * w + x) + c) =
+        (((x * 97 + y * 61 + c * 139 + x * y * 13) % 256 + 256) % 256).toByte
+    val Some((_, _, _, dp)) = Jpeg.decodeFull(Jpeg.encode420(w, h, p))
+    for (y <- 0 until h; x <- 0 until w) {
+      val k = 3 * (y * w + x)
+      assert(math.abs((dp(k) & 0xff) - (p(k) & 0xff)) <= 2, s"luma at ($x,$y)")
+      // chroma reference = the point-downsampled sample this pixel maps to
+      val rk = 3 * ((y / 2 * 2) * w + (x / 2 * 2))
+      for (c <- 1 to 2)
+        assert(math.abs((dp(k + c) & 0xff) - (p(rk + c) & 0xff)) <= 2,
+          s"chroma $c at ($x,$y)")
+    }
+  }
+
+  test("grayscale decode wrapper rejects 3-component frames") {
+    val color = Jpeg.encodeColor(8, 8, blockConstantRgb(8, 8, 2))
+    assert(Jpeg.decode(color) === None)
+    assert(Jpeg.decodeFull(color).exists(_._3 == 3))
+    // and the header parser still reads the color container's dims
+    assert(MediaHeaders.parse(color) === Some(("jpeg", 8, 8)))
+  }
+
   test("image_dims sees synth-jpeg containers as real JPEGs") {
     // cross-parser agreement: the SOF-scanning header parser (written
     // before the codec existed) must read the codec's output

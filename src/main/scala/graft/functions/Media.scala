@@ -697,6 +697,22 @@ object Png {
     encodeCore(w, h, 2, 3, px, null)
   }
 
+  /** Encode 8-bit RGBA pixels (interleaved, 4·w·h bytes) as a complete
+    * PNG (color type 6 — the web's most common type after truecolor). */
+  def encodeRgba(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(px.length == 4 * w * h,
+      s"encodeRgba: expected ${4 * w * h} bytes for ${w}x$h, got ${px.length}")
+    encodeCore(w, h, 6, 4, px, null)
+  }
+
+  /** Encode 8-bit grayscale+alpha pixels (interleaved, 2·w·h bytes) as
+    * a complete PNG (color type 4). */
+  def encodeGrayAlpha(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(px.length == 2 * w * h,
+      s"encodeGrayAlpha: expected ${2 * w * h} bytes for ${w}x$h, got ${px.length}")
+    encodeCore(w, h, 4, 2, px, null)
+  }
+
   /** Encode palette-indexed pixels (color type 3): `idx` is one index
     * byte per pixel, `palette` is interleaved RGB entries (3·n bytes,
     * 1 ≤ n ≤ 256) emitted as the PLTE chunk. Every index must have an
@@ -720,13 +736,14 @@ object Png {
     }
 
   /** Decode an 8-bit non-interlaced PNG of color type 0 (grayscale),
-    * 2 (truecolor RGB), or 3 (palette + PLTE): verifies the signature
-    * and every chunk CRC, concatenates multi-IDAT streams, INFLATEs,
-    * un-filters all five scanline filter types with the color type's
-    * bytes-per-pixel offset, and expands palette indices through PLTE.
-    * Returns (width, height, channels, pixels) — channels 1 for
-    * grayscale, 3 (interleaved RGB) for truecolor AND palette — or
-    * None for anything malformed — never throws on arbitrary bytes. */
+    * 2 (truecolor RGB), 3 (palette + PLTE), 4 (grayscale+alpha) or
+    * 6 (RGBA): verifies the signature and every chunk CRC,
+    * concatenates multi-IDAT streams, INFLATEs, un-filters all five
+    * scanline filter types with the color type's bytes-per-pixel
+    * offset, and expands palette indices through PLTE. Returns
+    * (width, height, channels, pixels) — channels 1/2/3/4 matching
+    * the sample layout (palette expands to 3) — or None for anything
+    * malformed — never throws on arbitrary bytes. */
   def decodeFull(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (b == null || b.length < Sig.length + 12) return None
     var i = 0
@@ -753,11 +770,12 @@ object Png {
           if (len != 13) return None
           w = be32(i + 8).toInt; h = be32(i + 12).toInt
           colorType = b(i + 17) & 0xff
-          // 8-bit depth, color type 0/2/3, deflate, non-interlaced —
-          // anything else reports None (metadata still flows through
+          // 8-bit depth, color type 0/2/3/4/6, deflate, non-interlaced
+          // — anything else reports None (metadata still flows through
           // image_dims)
           if (b(i + 16) != 8 ||
-            (colorType != 0 && colorType != 2 && colorType != 3) ||
+            (colorType != 0 && colorType != 2 && colorType != 3 &&
+              colorType != 4 && colorType != 6) ||
             b(i + 18) != 0 || b(i + 19) != 0 || b(i + 20) != 0) return None
           if (w <= 0 || h <= 0 || w.toLong * h > (1 << 24)) return None
         case "PLTE" =>
@@ -772,7 +790,12 @@ object Png {
     }
     if (w <= 0 || h <= 0) return None
     if (colorType == 3 && palette == null) return None // PLTE is REQUIRED
-    val bpp = if (colorType == 2) 3 else 1 // filter bytes-per-pixel
+    val bpp = colorType match { // filter bytes-per-pixel (§9.2)
+      case 0 | 3 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+    }
     val rb = w * bpp
     val raw = new Array[Byte]((rb + 1) * h)
     val infl = new java.util.zip.Inflater()
@@ -819,6 +842,8 @@ object Png {
     colorType match {
       case 0 => Some((w, h, 1, dat))
       case 2 => Some((w, h, 3, dat))
+      case 4 => Some((w, h, 2, dat))
+      case 6 => Some((w, h, 4, dat))
       case 3 =>
         val n = palette.length / 3
         val px = new Array[Byte](3 * w * h)
@@ -972,12 +997,13 @@ case class SynthPngPal(first: Expression, second: Expression, third: Expression)
 }
 
 /** `png_stats_rgb(png_binary)` -> struct(width, height, channels,
-  * n_px, px_sum, r_sum, g_sum, b_sum, px_min, px_max): exact integer
-  * statistics from a REAL decode of any supported PNG color type —
-  * truecolor and palette yield per-channel sums over the expanded RGB
-  * plane; grayscale reports its single plane in all three channel
-  * slots. px_min/px_max/px_sum range over every decoded byte. Null
-  * for anything [[Png.decodeFull]] rejects. */
+  * n_px, px_sum, r_sum, g_sum, b_sum, a_sum, px_min, px_max): exact
+  * integer statistics from a REAL decode of any supported PNG color
+  * type — truecolor/RGBA/palette yield per-channel sums over the
+  * (expanded) color plane, alpha-bearing types fill a_sum, and
+  * grayscale(+alpha) reports its gray plane in all three color slots.
+  * px_min/px_max/px_sum range over every decoded byte (alpha
+  * included). Null for anything [[Png.decodeFull]] rejects. */
 case class PngStatsRgb(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StructType(Seq(
@@ -985,6 +1011,7 @@ case class PngStatsRgb(child: Expression)
     StructField("channels", IntegerType), StructField("n_px", LongType),
     StructField("px_sum", LongType), StructField("r_sum", LongType),
     StructField("g_sum", LongType), StructField("b_sum", LongType),
+    StructField("a_sum", LongType),
     StructField("px_min", IntegerType), StructField("px_max", IntegerType)))
   override def nullable: Boolean = true
   override def checkInputDataTypes() = child.dataType match {
@@ -997,18 +1024,68 @@ case class PngStatsRgb(child: Expression)
       case None => null
       case Some((w, h, ch, px)) =>
         val (sum, mn, mx) = PixelOps.stats(px, 0, px.length)
-        val chSums = new Array[Long](3)
-        if (ch == 1) { chSums(0) = sum; chSums(1) = sum; chSums(2) = sum }
-        else {
-          var k = 0
-          while (k < px.length) { chSums(k % 3) += px(k) & 0xff; k += 1 }
+        val cs = new Array[Long](4) // r, g, b, a
+        ch match {
+          case 1 => cs(0) = sum; cs(1) = sum; cs(2) = sum
+          case 2 => // grayscale + alpha interleave
+            var k = 0
+            while (k < px.length) {
+              val v = px(k) & 0xff
+              if (k % 2 == 0) { cs(0) += v; cs(1) += v; cs(2) += v }
+              else cs(3) += v
+              k += 1
+            }
+          case _ => // 3 (RGB) or 4 (RGBA)
+            var k = 0
+            while (k < px.length) { cs(k % ch) += px(k) & 0xff; k += 1 }
         }
         new GenericInternalRow(Array[Any](w, h, ch, w.toLong * h, sum,
-          chSums(0), chSums(1), chSums(2), mn, mx))
+          cs(0), cs(1), cs(2), cs(3), mn, mx))
     }
   override protected def withNewChildInternal(newChild: Expression): PngStatsRgb =
     copy(child = newChild)
   override def prettyName: String = "png_stats_rgb"
+}
+
+/** `synth_png_rgba(id, w, h)` -> a COMPLETE RGBA PNG (color type 6,
+  * 4-byte filter offset) adding an alpha congruence
+  * (id·5 + x·19 + y·41) mod 256 to the synth_png_rgb channel planes —
+  * four distinct planes through the widest filter offset. */
+case class SynthPngRgba(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"synth_png_rgba expects (long id, int w, int h), got $other")
+    }
+  override def nullSafeEval(idA: Any, wA: Any, hA: Any): Any = {
+    val id = idA.asInstanceOf[Long]
+    val w = wA.asInstanceOf[Int]; val h = hA.asInstanceOf[Int]
+    require(w > 0 && h > 0 && w.toLong * h <= (1 << 20),
+      s"synth_png_rgba dims out of range: ${w}x$h")
+    val px = new Array[Byte](4 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val k = 4 * (y * w + x)
+        px(k) = (((id * 7 + x * 31L + y * 17L) % 256 + 256) % 256).toByte
+        px(k + 1) = (((id * 11 + x * 13L + y * 29L) % 256 + 256) % 256).toByte
+        px(k + 2) = (((id * 3 + x * 37L + y * 23L) % 256 + 256) % 256).toByte
+        px(k + 3) = (((id * 5 + x * 19L + y * 41L) % 256 + 256) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Png.encodeRgba(w, h, px)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): SynthPngRgba = copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_png_rgba"
 }
 
 /** Minimal REAL baseline JPEG codec (ITU-T T.81) for 8-bit grayscale,
@@ -1952,5 +2029,8 @@ object media {
     ColumnBridge.column(JpegStatsRgb(ColumnBridge.expression(blob)))
   def synth_jpeg_420(id: Column, w: Column, h: Column): Column =
     ColumnBridge.column(SynthJpeg420(ColumnBridge.expression(id),
+      ColumnBridge.expression(w), ColumnBridge.expression(h)))
+  def synth_png_rgba(id: Column, w: Column, h: Column): Column =
+    ColumnBridge.column(SynthPngRgba(ColumnBridge.expression(id),
       ColumnBridge.expression(w), ColumnBridge.expression(h)))
 }

@@ -1677,6 +1677,31 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** RGBA PNG decode (color type 6 — the web's most common
+    * alpha-bearing type): four distinct channel congruences through
+    * the 4-byte filter offset, alpha summed separately. */
+  private[graft] def qPngRgbaDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.media._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(16) + col("doc_id") % 8).cast("int").as("w"),
+        (lit(12) + col("doc_id") % 4).cast("int").as("h"))
+    d.select(col("doc_id"),
+        png_stats_rgb(synth_png_rgba(col("doc_id"), col("w"), col("h"))).as("s"))
+      .select(col("doc_id"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.channels").cast("long").as("channels"),
+        col("s.px_sum").as("px_sum"),
+        col("s.r_sum").as("r_sum"),
+        col("s.g_sum").as("g_sum"),
+        col("s.b_sum").as("b_sum"),
+        col("s.a_sum").as("a_sum"),
+        col("s.px_min").cast("long").as("px_min"),
+        col("s.px_max").cast("long").as("px_max"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Palette PNG decode (color type 3): the synth_pgm congruence as
     * PLTE indices, expanded through a 256-entry palette whose channels
     * are themselves congruences — the oracle replays the COMPOSITION
@@ -1728,6 +1753,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_jpeg_rgb_decode" -> (qJpegRgbDecode _),
     "q_jpeg_420_decode" -> (qJpeg420Decode _),
     "q_png_rgb_decode" -> (qPngRgbDecode _),
+    "q_png_rgba_decode" -> (qPngRgbaDecode _),
     "q_png_palette_decode" -> (qPngPaletteDecode _),
     "q_image_pipeline" -> (qImagePipeline _),
     "q_audio_pcm" -> (qAudioPcm _),
@@ -1891,6 +1917,31 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |       CAST(SUM(b) AS BIGINT) AS b_sum,
         |       CAST(MIN(LEAST(r, g, b)) AS BIGINT) AS px_min,
         |       CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_png_rgba_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, gx.x, gy.y,
+        |         (d.doc_id * 7 + gx.x * 31 + gy.y * 17) % 256 AS r,
+        |         (d.doc_id * 11 + gx.x * 13 + gy.y * 29) % 256 AS g,
+        |         (d.doc_id * 3 + gx.x * 37 + gy.y * 23) % 256 AS b,
+        |         (d.doc_id * 5 + gx.x * 19 + gy.y * 41) % 256 AS a
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 23) AS gx(x)
+        |  CROSS JOIN generate_series(0, 15) AS gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h)
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |       CAST(MIN(h) AS BIGINT) AS height,
+        |       CAST(4 AS BIGINT) AS channels,
+        |       CAST(SUM(r + g + b + a) AS BIGINT) AS px_sum,
+        |       CAST(SUM(r) AS BIGINT) AS r_sum,
+        |       CAST(SUM(g) AS BIGINT) AS g_sum,
+        |       CAST(SUM(b) AS BIGINT) AS b_sum,
+        |       CAST(SUM(a) AS BIGINT) AS a_sum,
+        |       CAST(MIN(LEAST(r, g, b, a)) AS BIGINT) AS px_min,
+        |       CAST(MAX(GREATEST(r, g, b, a)) AS BIGINT) AS px_max
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_png_palette_decode" ->
       """WITH d AS (

@@ -214,6 +214,43 @@ class PngSpec extends AnyFunSuite {
     assert(Png.decodeFull(out.toByteArray) === None)
   }
 
+  test("RGBA (color type 6) roundtrip: exact pixels through the 4-byte " +
+    "filter offset") {
+    val (w, h) = (9, 8)
+    val p = new Array[Byte](4 * w * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 4)
+      p(4 * (y * w + x) + c) = ((x * 31 + y * 17 + c * 67 + 11) & 0xff).toByte
+    val Some((dw, dh, ch, dp)) = Png.decodeFull(Png.encodeRgba(w, h, p))
+    assert((dw, dh, ch) === (w, h, 4))
+    assert(dp.toSeq === p.toSeq)
+  }
+
+  test("grayscale+alpha (color type 4) roundtrip: exact pixels through the " +
+    "2-byte filter offset") {
+    val (w, h) = (11, 7)
+    val p = new Array[Byte](2 * w * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 2)
+      p(2 * (y * w + x) + c) = ((x * 53 + y * 23 + c * 101 + 3) & 0xff).toByte
+    val Some((dw, dh, ch, dp)) = Png.decodeFull(Png.encodeGrayAlpha(w, h, p))
+    assert((dw, dh, ch) === (w, h, 2))
+    assert(dp.toSeq === p.toSeq)
+  }
+
+  test("RGBA roundtrip holds on random grids (property)") {
+    val gen = for {
+      w <- Gen.choose(1, 12)
+      h <- Gen.choose(1, 12)
+      bytes <- Gen.listOfN(4 * w * h, Gen.choose(0, 255))
+    } yield (w, h, bytes.map(_.toByte).toArray)
+    val prop = Prop.forAll(gen) { case (w, h, p) =>
+      Png.decodeFull(Png.encodeRgba(w, h, p)).exists { case (dw, dh, ch, dp) =>
+        dw == w && dh == h && ch == 4 && dp.toSeq == p.toSeq
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("grayscale decode wrapper rejects RGB and palette containers") {
     val rgb = Png.encodeRgb(5, 5, Array.fill(75)(42.toByte))
     val pal = Png.encodePal(5, 5, Array.fill(25)(1.toByte),

@@ -635,7 +635,8 @@ object Png {
     * bytes-per-pixel (3 for truecolor, 1 for grayscale AND palette —
     * palette filtering operates on index bytes, PNG spec §9.2). */
   private def encodeCore(w: Int, h: Int, colorType: Int, bpp: Int,
-      data: Array[Byte], palette: Array[Byte]): Array[Byte] = {
+      data: Array[Byte], palette: Array[Byte],
+      interlace: Boolean = false): Array[Byte] = {
     val ihdr = new Array[Byte](13)
     def be32a(off: Int, v: Int): Unit = {
       ihdr(off) = ((v >> 24) & 0xff).toByte; ihdr(off + 1) = ((v >> 16) & 0xff).toByte
@@ -644,32 +645,72 @@ object Png {
     be32a(0, w); be32a(4, h)
     ihdr(8) = 8 // bit depth
     ihdr(9) = colorType.toByte
-    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0 // deflate, adaptive filters, no interlace
-    // filtered scanlines: 1 filter-type byte + w·bpp filtered bytes/row
-    val rb = w * bpp
-    val raw = new Array[Byte]((rb + 1) * h)
-    var y = 0
-    while (y < h) {
-      val f = y % 5
-      raw(y * (rb + 1)) = f.toByte
-      var i = 0
-      while (i < rb) {
-        val cur = data(y * rb + i) & 0xff
-        val left = if (i >= bpp) data(y * rb + i - bpp) & 0xff else 0
-        val up = if (y > 0) data((y - 1) * rb + i) & 0xff else 0
-        val ul = if (i >= bpp && y > 0) data((y - 1) * rb + i - bpp) & 0xff else 0
-        val filtered = f match {
-          case 0 => cur
-          case 1 => cur - left
-          case 2 => cur - up
-          case 3 => cur - (left + up) / 2
-          case 4 => cur - paeth(left, up, ul)
+    ihdr(10) = 0; ihdr(11) = 0 // deflate, adaptive filters
+    ihdr(12) = if (interlace) 1 else 0 // interlace: none or Adam7
+    // filter one (sub-)image: 1 filter-type byte + rowBytes bytes per
+    // row, filter type (row mod 5) so ALL five spec filters are
+    // exercised in every sub-image
+    def filterImage(img: Array[Byte], rows: Int, rowBytes: Int): Array[Byte] = {
+      val out = new Array[Byte]((rowBytes + 1) * rows)
+      var y = 0
+      while (y < rows) {
+        val f = y % 5
+        out(y * (rowBytes + 1)) = f.toByte
+        var i = 0
+        while (i < rowBytes) {
+          val cur = img(y * rowBytes + i) & 0xff
+          val left = if (i >= bpp) img(y * rowBytes + i - bpp) & 0xff else 0
+          val up = if (y > 0) img((y - 1) * rowBytes + i) & 0xff else 0
+          val ul = if (i >= bpp && y > 0) img((y - 1) * rowBytes + i - bpp) & 0xff else 0
+          val filtered = f match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case 4 => cur - paeth(left, up, ul)
+          }
+          out(y * (rowBytes + 1) + 1 + i) = (filtered & 0xff).toByte
+          i += 1
         }
-        raw(y * (rb + 1) + 1 + i) = (filtered & 0xff).toByte
-        i += 1
+        y += 1
       }
-      y += 1
+      out
     }
+    val rb = w * bpp
+    val raw: Array[Byte] =
+      if (!interlace) filterImage(data, h, rb)
+      else {
+        // Adam7: gather each pass's sub-image, filter it independently,
+        // concatenate the filtered passes (PNG spec §8.2)
+        val bos = new java.io.ByteArrayOutputStream()
+        var p = 0
+        while (p < 7) {
+          val (x0, y0, dx, dy) = Adam7(p)
+          val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+          val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+          if (pw > 0 && ph > 0) {
+            val prb = pw * bpp
+            val sub = new Array[Byte](prb * ph)
+            var j = 0
+            while (j < ph) {
+              var i2 = 0
+              while (i2 < pw) {
+                var c2 = 0
+                while (c2 < bpp) {
+                  sub(j * prb + i2 * bpp + c2) =
+                    data((y0 + j * dy) * rb + (x0 + i2 * dx) * bpp + c2)
+                  c2 += 1
+                }
+                i2 += 1
+              }
+              j += 1
+            }
+            bos.write(filterImage(sub, ph, prb))
+          }
+          p += 1
+        }
+        bos.toByteArray
+      }
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
     val buf = new Array[Byte](raw.length + 64)
@@ -695,6 +736,22 @@ object Png {
     require(px.length == 3 * w * h,
       s"encodeRgb: expected ${3 * w * h} bytes for ${w}x$h, got ${px.length}")
     encodeCore(w, h, 2, 3, px, null)
+  }
+
+  /** Encode 8-bit grayscale pixels as an ADAM7-INTERLACED PNG: seven
+    * independently-filtered sub-images (spec §8.2) — the progressive
+    * layout web encoders offer; pixel content identical to encode's. */
+  def encodeInterlaced(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(px.length == w * h,
+      s"encodeInterlaced: expected ${w * h} bytes for ${w}x$h, got ${px.length}")
+    encodeCore(w, h, 0, 1, px, null, interlace = true)
+  }
+
+  /** Encode 8-bit truecolor pixels as an Adam7-interlaced PNG. */
+  def encodeRgbInterlaced(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(px.length == 3 * w * h,
+      s"encodeRgbInterlaced: expected ${3 * w * h} bytes for ${w}x$h, got ${px.length}")
+    encodeCore(w, h, 2, 3, px, null, interlace = true)
   }
 
   /** Encode 8-bit RGBA pixels (interleaved, 4·w·h bytes) as a complete
@@ -735,15 +792,55 @@ object Png {
       case _ => None
     }
 
-  /** Decode an 8-bit non-interlaced PNG of color type 0 (grayscale),
-    * 2 (truecolor RGB), 3 (palette + PLTE), 4 (grayscale+alpha) or
-    * 6 (RGBA): verifies the signature and every chunk CRC,
-    * concatenates multi-IDAT streams, INFLATEs, un-filters all five
-    * scanline filter types with the color type's bytes-per-pixel
-    * offset, and expands palette indices through PLTE. Returns
-    * (width, height, channels, pixels) — channels 1/2/3/4 matching
-    * the sample layout (palette expands to 3) — or None for anything
-    * malformed — never throws on arbitrary bytes. */
+  /** Adam7 pass geometry: (x0, y0, dx, dy) per pass (PNG spec §8.2). */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Un-filter `rows` scanlines of `rowBytes` filtered bytes each from
+    * `raw` starting at `off` (each scanline led by its filter-type
+    * byte) into a fresh array; None on an invalid filter type. The
+    * "previous row" is the previous row of the SAME (sub-)image —
+    * exactly what Adam7 passes need. */
+  private def unfilter(raw: Array[Byte], off: Int, rows: Int, rowBytes: Int,
+      bpp: Int): Option[Array[Byte]] = {
+    val dat = new Array[Byte](rowBytes * rows)
+    var y = 0
+    while (y < rows) {
+      val f = raw(off + y * (rowBytes + 1)) & 0xff
+      if (f > 4) return None
+      var x = 0
+      while (x < rowBytes) {
+        val cur = raw(off + y * (rowBytes + 1) + 1 + x) & 0xff
+        val left = if (x >= bpp) dat(y * rowBytes + x - bpp) & 0xff else 0
+        val up = if (y > 0) dat((y - 1) * rowBytes + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) dat((y - 1) * rowBytes + x - bpp) & 0xff else 0
+        val recon = f match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => cur + paeth(left, up, ul)
+        }
+        dat(y * rowBytes + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(dat)
+  }
+
+  /** Decode an 8-bit PNG of color type 0 (grayscale), 2 (truecolor
+    * RGB), 3 (palette + PLTE), 4 (grayscale+alpha) or 6 (RGBA),
+    * non-interlaced OR Adam7-interlaced: verifies the signature and
+    * every chunk CRC, concatenates multi-IDAT streams, INFLATEs,
+    * un-filters all five scanline filter types with the color type's
+    * bytes-per-pixel offset (per Adam7 sub-image when interlaced,
+    * then scatters pass pixels to their grid positions), and expands
+    * palette indices through PLTE. Returns (width, height, channels,
+    * pixels) — channels 1/2/3/4 matching the sample layout (palette
+    * expands to 3) — or None for anything malformed — never throws on
+    * arbitrary bytes. */
   def decodeFull(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (b == null || b.length < Sig.length + 12) return None
     var i = 0
@@ -752,6 +849,7 @@ object Png {
       ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
         ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
     var w = -1; var h = -1; var colorType = -1
+    var interlaced = false
     var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var seenEnd = false
@@ -770,13 +868,15 @@ object Png {
           if (len != 13) return None
           w = be32(i + 8).toInt; h = be32(i + 12).toInt
           colorType = b(i + 17) & 0xff
-          // 8-bit depth, color type 0/2/3/4/6, deflate, non-interlaced
-          // — anything else reports None (metadata still flows through
-          // image_dims)
+          interlaced = b(i + 20) == 1
+          // 8-bit depth, color type 0/2/3/4/6, deflate, interlace
+          // method 0 (none) or 1 (Adam7) — anything else reports None
+          // (metadata still flows through image_dims)
           if (b(i + 16) != 8 ||
             (colorType != 0 && colorType != 2 && colorType != 3 &&
               colorType != 4 && colorType != 6) ||
-            b(i + 18) != 0 || b(i + 19) != 0 || b(i + 20) != 0) return None
+            b(i + 18) != 0 || b(i + 19) != 0 ||
+            (b(i + 20) != 0 && b(i + 20) != 1)) return None
           if (w <= 0 || h <= 0 || w.toLong * h > (1 << 24)) return None
         case "PLTE" =>
           // spec §11.2.3: length divisible by 3, 1..256 RGB entries
@@ -797,7 +897,16 @@ object Png {
       case 6 => 4
     }
     val rb = w * bpp
-    val raw = new Array[Byte]((rb + 1) * h)
+    // expected filtered-stream size: one filter byte per scanline of
+    // each (sub-)image — the whole image, or each non-empty Adam7 pass
+    val rawLen =
+      if (!interlaced) (rb + 1) * h
+      else Adam7.map { case (x0, y0, dx, dy) =>
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        if (pw > 0 && ph > 0) (pw * bpp + 1) * ph else 0
+      }.sum
+    val raw = new Array[Byte](rawLen)
     val infl = new java.util.zip.Inflater()
     infl.setInput(idat.toByteArray)
     var got = 0
@@ -816,29 +925,47 @@ object Png {
     if (got != raw.length) return None
     // un-filter in the filtered domain (index bytes for palette,
     // channel bytes for gray/RGB): left neighbor is bpp bytes back
-    val dat = new Array[Byte](rb * h)
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (rb + 1)) & 0xff
-      if (f > 4) return None
-      var x = 0
-      while (x < rb) {
-        val cur = raw(y * (rb + 1) + 1 + x) & 0xff
-        val left = if (x >= bpp) dat(y * rb + x - bpp) & 0xff else 0
-        val up = if (y > 0) dat((y - 1) * rb + x) & 0xff else 0
-        val ul = if (x >= bpp && y > 0) dat((y - 1) * rb + x - bpp) & 0xff else 0
-        val recon = f match {
-          case 0 => cur
-          case 1 => cur + left
-          case 2 => cur + up
-          case 3 => cur + (left + up) / 2
-          case 4 => cur + paeth(left, up, ul)
-        }
-        dat(y * rb + x) = (recon & 0xff).toByte
-        x += 1
+    val dat: Array[Byte] =
+      if (!interlaced) unfilter(raw, 0, h, rb, bpp) match {
+        case None => return None
+        case Some(d) => d
       }
-      y += 1
-    }
+      else {
+        // Adam7: un-filter each pass as its own sub-image, then
+        // scatter pass pixel (i, j) to grid position (x0+i·dx, y0+j·dy)
+        val full = new Array[Byte](rb * h)
+        var off = 0
+        var p = 0
+        while (p < 7) {
+          val (x0, y0, dx, dy) = Adam7(p)
+          val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+          val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+          if (pw > 0 && ph > 0) {
+            val prb = pw * bpp
+            val pdat = unfilter(raw, off, ph, prb, bpp) match {
+              case None => return None
+              case Some(d) => d
+            }
+            off += (prb + 1) * ph
+            var j = 0
+            while (j < ph) {
+              var i2 = 0
+              while (i2 < pw) {
+                var c2 = 0
+                while (c2 < bpp) {
+                  full((y0 + j * dy) * rb + (x0 + i2 * dx) * bpp + c2) =
+                    pdat(j * prb + i2 * bpp + c2)
+                  c2 += 1
+                }
+                i2 += 1
+              }
+              j += 1
+            }
+          }
+          p += 1
+        }
+        full
+      }
     colorType match {
       case 0 => Some((w, h, 1, dat))
       case 2 => Some((w, h, 3, dat))
@@ -1045,6 +1172,34 @@ case class PngStatsRgb(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): PngStatsRgb =
     copy(child = newChild)
   override def prettyName: String = "png_stats_rgb"
+}
+
+/** `synth_png_adam7(id, w, h)` -> a COMPLETE ADAM7-INTERLACED
+  * grayscale PNG (seven independently-filtered sub-images, spec §8.2)
+  * with the synth_png pixel congruence — same pixels as synth_png, a
+  * progressive container, so the oracle SQL is shared and the gate
+  * proves the de-interlace scatter is exact. */
+case class SynthPngAdam7(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"synth_png_adam7 expects (long id, int w, int h), got $other")
+    }
+  override def nullSafeEval(idA: Any, wA: Any, hA: Any): Any = {
+    val id = idA.asInstanceOf[Long]
+    val w = wA.asInstanceOf[Int]; val h = hA.asInstanceOf[Int]
+    require(w > 0 && h > 0 && w.toLong * h <= (1 << 22),
+      s"synth_png_adam7 dims out of range: ${w}x$h")
+    Png.encodeInterlaced(w, h, PixelOps.synthGrid(id, w, h))
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): SynthPngAdam7 = copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_png_adam7"
 }
 
 /** `synth_png_rgba(id, w, h)` -> a COMPLETE RGBA PNG (color type 6,
@@ -2032,5 +2187,8 @@ object media {
       ColumnBridge.expression(w), ColumnBridge.expression(h)))
   def synth_png_rgba(id: Column, w: Column, h: Column): Column =
     ColumnBridge.column(SynthPngRgba(ColumnBridge.expression(id),
+      ColumnBridge.expression(w), ColumnBridge.expression(h)))
+  def synth_png_adam7(id: Column, w: Column, h: Column): Column =
+    ColumnBridge.column(SynthPngAdam7(ColumnBridge.expression(id),
       ColumnBridge.expression(w), ColumnBridge.expression(h)))
 }

@@ -1677,6 +1677,29 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Adam7-interlaced PNG decode: the same grayscale congruence as
+    * q_png_decode in a PROGRESSIVE container — seven
+    * independently-filtered sub-images de-interlaced back to the
+    * pixel grid. Same oracle as q_png_decode (identical pixels), so
+    * the gate isolates the de-interlace scatter. */
+  private[graft] def qPngAdam7Decode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.media._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(16) + col("doc_id") % 8).cast("int").as("w"),
+        (lit(12) + col("doc_id") % 4).cast("int").as("h"))
+    d.select(col("doc_id"),
+        png_stats(synth_png_adam7(col("doc_id"), col("w"), col("h"))).as("s"))
+      .select(col("doc_id"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.px_sum").as("px_sum"),
+        expr("s.px_sum * 1000 div s.n_px").as("mean_milli"),
+        col("s.px_min").cast("long").as("px_min"),
+        col("s.px_max").cast("long").as("px_max"))
+      .orderBy(col("doc_id"))
+  }
+
   /** RGBA PNG decode (color type 6 — the web's most common
     * alpha-bearing type): four distinct channel congruences through
     * the 4-byte filter offset, alpha summed separately. */
@@ -1754,6 +1777,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_jpeg_420_decode" -> (qJpeg420Decode _),
     "q_png_rgb_decode" -> (qPngRgbDecode _),
     "q_png_rgba_decode" -> (qPngRgbaDecode _),
+    "q_png_adam7_decode" -> (qPngAdam7Decode _),
     "q_png_palette_decode" -> (qPngPaletteDecode _),
     "q_image_pipeline" -> (qImagePipeline _),
     "q_audio_pcm" -> (qAudioPcm _),
@@ -1814,6 +1838,25 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |FROM tok GROUP BY token
         |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
     "q_png_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, gx.x, gy.y,
+        |         (d.doc_id * 7 + gx.x * 31 + gy.y * 17) % 256 AS v
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 23) AS gx(x)
+        |  CROSS JOIN generate_series(0, 15) AS gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h)
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |       CAST(MIN(h) AS BIGINT) AS height,
+        |       CAST(SUM(v) AS BIGINT) AS px_sum,
+        |       CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_milli,
+        |       CAST(MIN(v) AS BIGINT) AS px_min,
+        |       CAST(MAX(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same pixels as q_png_decode, progressive container — shared SQL
+    "q_png_adam7_decode" ->
       """WITH d AS (
         |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 4 AS h
         |  FROM documents WHERE doc_id % 25 = 0),

@@ -251,6 +251,52 @@ class PngSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("Adam7 interlaced grayscale roundtrip: exact pixels, including " +
+    "dims where some passes are empty") {
+    // w or h < 5 leaves later passes empty; 1x1 uses pass 1 only
+    for ((w, h) <- Seq((16, 11), (8, 8), (3, 3), (1, 1), (2, 9), (9, 2), (5, 5))) {
+      val p = px(w, h)((x, y) => x * 31 + y * 17 + 7)
+      val Some((dw, dh, dp)) = Png.decode(Png.encodeInterlaced(w, h, p))
+      assert((dw, dh) === (w, h), s"dims for ${w}x$h")
+      assert(dp.toSeq === p.toSeq, s"pixels for ${w}x$h")
+    }
+  }
+
+  test("Adam7 interlaced RGB roundtrip: exact pixels through the 3-byte " +
+    "offset within each sub-image") {
+    val (w, h) = (13, 10)
+    val p = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      p(3 * (y * w + x) + c) = ((x * 29 + y * 43 + c * 71 + 1) & 0xff).toByte
+    val Some((dw, dh, ch, dp)) = Png.decodeFull(Png.encodeRgbInterlaced(w, h, p))
+    assert((dw, dh, ch) === (w, h, 3))
+    assert(dp.toSeq === p.toSeq)
+  }
+
+  test("Adam7 roundtrip holds on random grids (property)") {
+    val gen = for {
+      w <- Gen.choose(1, 20)
+      h <- Gen.choose(1, 20)
+      bytes <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield (w, h, bytes.map(_.toByte).toArray)
+    val prop = Prop.forAll(gen) { case (w, h, p) =>
+      Png.decode(Png.encodeInterlaced(w, h, p)).exists { case (dw, dh, dp) =>
+        dw == w && dh == h && dp.toSeq == p.toSeq
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("interlaced and non-interlaced containers of the same pixels differ " +
+    "as bytes but decode identically") {
+    val p = px(12, 9)((x, y) => x * 7 + y * 13)
+    val plain = Png.encode(12, 9, p)
+    val adam7 = Png.encodeInterlaced(12, 9, p)
+    assert(plain.toSeq !== adam7.toSeq)
+    assert(Png.decode(plain).get._3.toSeq === Png.decode(adam7).get._3.toSeq)
+  }
+
   test("grayscale decode wrapper rejects RGB and palette containers") {
     val rgb = Png.encodeRgb(5, 5, Array.fill(75)(42.toByte))
     val pal = Png.encodePal(5, 5, Array.fill(25)(1.toByte),

@@ -988,6 +988,304 @@ object Png {
   }
 }
 
+/** Minimal REAL GIF89a codec — the third image container's pixel path
+  * (PNG and JPEG above), closing "GIF is header-only": variable-width
+  * LSB-first LZW (GIF spec Appendix F) with CLEAR/EOI codes, code
+  * width growth in encoder/decoder lockstep (width++ when the next
+  * free code reaches 2^width; dictionary frozen at 4096 until a CLEAR,
+  * which this encoder emits on a full table), 255-byte sub-block
+  * framing, global color table, and the 4-pass GIF interlace on both
+  * sides. Scope: 8-bit color-table images (256-entry GCT), one image
+  * per container, extensions skipped on decode. Lossless, so the
+  * oracle replays palette∘index congruences exactly — the
+  * q_png_palette_decode pattern. */
+object Gif {
+
+  /** Encode palette indices as a complete GIF89a: header, logical
+    * screen descriptor with a 256-entry global color table, image
+    * descriptor (optionally interlaced), real LZW-compressed data. */
+  def encode(w: Int, h: Int, idx: Array[Byte], palette: Array[Byte],
+      interlaced: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff,
+      s"encode: dims out of GIF range: ${w}x$h")
+    require(idx.length == w * h,
+      s"encode: dims ${w}x$h do not match ${idx.length} indices")
+    require(palette.length == 768, "encode: GCT must be 256 RGB entries (768 bytes)")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xf7) // GCT present, 8 bits/px, 256 entries
+    out.write(0); out.write(0) // background index, no aspect ratio
+    out.write(palette)
+    out.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(if (interlaced) 0x40 else 0x00) // no LCT; interlace flag
+    // interlace reorders ROWS before compression (spec: passes at
+    // y = 0%8, 4%8, 2%4, 1%2)
+    val rows: Array[Int] =
+      if (!interlaced) Array.tabulate(h)(identity)
+      else ((0 until h by 8) ++ (4 until h by 8) ++
+        (2 until h by 4) ++ (1 until h by 2)).toArray
+    val data = new Array[Byte](w * h)
+    var r = 0
+    while (r < h) {
+      System.arraycopy(idx, rows(r) * w, data, r * w, w)
+      r += 1
+    }
+    out.write(8) // LZW minimum code size
+    out.write(lzwEncode(data))
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF-LZW compress (minCodeSize 8): codes are LSB-first, width
+    * starts at 9, grows in lockstep with the decoder's dictionary
+    * (width++ when nextCode reaches 2^width), CLEAR on a full table.
+    * Returns the payload already cut into 255-byte sub-blocks. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val Clear = 256
+    val Eoi = 257
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nAcc = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nAcc
+      nAcc += width
+      while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>>= 8; nAcc -= 8 }
+    }
+    var dict = scala.collection.mutable.HashMap.empty[Long, Int]
+    var nextCode = 258
+    def key(prefix: Int, b: Int): Long = (prefix.toLong << 8) | b
+    put(Clear)
+    if (data.nonEmpty) {
+      var cur = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val k = data(i) & 0xff
+        dict.get(key(cur, k)) match {
+          case Some(c) => cur = c
+          case None =>
+            put(cur)
+            if (nextCode < 4096) {
+              dict(key(cur, k)) = nextCode
+              nextCode += 1
+              // the DECODER registers each entry one code later than
+              // the encoder (it needs the next code's first byte), so
+              // its nextCode trails this one by exactly 1: grow the
+              // width one entry after the decoder's 2^width boundary
+              // to stay in lockstep
+              if (nextCode == (1 << width) + 1 && width < 12) width += 1
+            } else {
+              // table full: reset both sides with an explicit CLEAR
+              put(Clear)
+              dict = scala.collection.mutable.HashMap.empty[Long, Int]
+              nextCode = 258
+              width = 9
+            }
+            cur = k
+        }
+        i += 1
+      }
+      put(cur)
+    }
+    put(Eoi)
+    if (nAcc > 0) bits.write((acc & 0xff).toInt)
+    // 255-byte sub-block framing
+    val raw = bits.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < raw.length) {
+      val n = math.min(255, raw.length - off)
+      out.write(n)
+      out.write(raw, off, n)
+      off += n
+    }
+    out.toByteArray
+  }
+
+  /** Decode a GIF87a/89a: header + logical screen descriptor + GCT,
+    * extensions skipped by sub-block walking, first image decoded
+    * (local color table honored, 4-pass interlace de-interleaved),
+    * LZW-decompressed, palette-expanded to interleaved RGB. Returns
+    * (width, height, rgb) or None for anything malformed — never
+    * throws on arbitrary bytes (the Png/Jpeg discipline). */
+  def decode(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b == null || b.length < 13) return None
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    var p = 6
+    p += 4 // screen dims (image descriptor carries the real ones)
+    val packed = u8(p); p += 3
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 0x07) // entries
+      if (p + 3 * n > b.length) return None
+      gct = java.util.Arrays.copyOfRange(b, p, p + 3 * n)
+      p += 3 * n
+    }
+    while (p < b.length) {
+      u8(p) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 => // extension: label + sub-blocks
+          p += 2
+          while (p < b.length && u8(p) != 0) {
+            p += 1 + u8(p)
+            if (p > b.length) return None
+          }
+          if (p >= b.length) return None
+          p += 1 // terminator
+        case 0x2c => // image descriptor
+          if (p + 10 > b.length) return None
+          val w = le16(p + 5); val h = le16(p + 7)
+          val flags = u8(p + 9)
+          p += 10
+          if (w <= 0 || h <= 0 || w.toLong * h > (1 << 24)) return None
+          var ct = gct
+          if ((flags & 0x80) != 0) { // local color table wins
+            val n = 2 << (flags & 0x07)
+            if (p + 3 * n > b.length) return None
+            ct = java.util.Arrays.copyOfRange(b, p, p + 3 * n)
+            p += 3 * n
+          }
+          if (ct == null) return None // no color table at all
+          if (p >= b.length) return None
+          val minCode = u8(p); p += 1
+          if (minCode < 2 || minCode > 8) return None
+          // gather the LZW payload from sub-blocks
+          val payload = new java.io.ByteArrayOutputStream()
+          while (p < b.length && u8(p) != 0) {
+            val n = u8(p)
+            if (p + 1 + n > b.length) return None
+            payload.write(b, p + 1, n)
+            p += 1 + n
+          }
+          if (p >= b.length) return None
+          val idx = lzwDecode(payload.toByteArray, minCode, w * h) match {
+            case None => return None
+            case Some(d) => d
+          }
+          // de-interlace (spec: 4 passes) and palette-expand
+          val rows: Array[Int] =
+            if ((flags & 0x40) == 0) Array.tabulate(h)(identity)
+            else ((0 until h by 8) ++ (4 until h by 8) ++
+              (2 until h by 4) ++ (1 until h by 2)).toArray
+          val nEntries = ct.length / 3
+          val px = new Array[Byte](3 * w * h)
+          var r = 0
+          while (r < h) {
+            val y = rows(r)
+            var x = 0
+            while (x < w) {
+              val ix = idx(r * w + x) & 0xff
+              if (ix >= nEntries) return None // index past the table
+              px(3 * (y * w + x)) = ct(3 * ix)
+              px(3 * (y * w + x) + 1) = ct(3 * ix + 1)
+              px(3 * (y * w + x) + 2) = ct(3 * ix + 2)
+              x += 1
+            }
+            r += 1
+          }
+          return Some((w, h, px))
+        case _ => return None // unknown block type
+      }
+    }
+    None
+  }
+
+  /** GIF-LZW decompress: LSB-first variable-width codes, CLEAR resets,
+    * EOI terminates, the KwKwK case (code == next free code) handled
+    * per spec. Returns exactly `expected` bytes or None. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+      expected: Int): Option[Array[Byte]] = {
+    val Clear = 1 << minCode
+    val Eoi = Clear + 1
+    var width = minCode + 1
+    var acc = 0L
+    var nAcc = 0
+    var pos = 0
+    def next(): Int = {
+      while (nAcc < width) {
+        if (pos >= data.length) return -1
+        acc |= (data(pos) & 0xffL) << nAcc
+        pos += 1
+        nAcc += 8
+      }
+      val c = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width
+      nAcc -= width
+      c
+    }
+    val out = new Array[Byte](expected)
+    var got = 0
+    // dictionary as (prefix code, suffix byte) arrays — O(1) append,
+    // strings materialized by walking prefixes
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var nextCode = Eoi + 1
+    var prev = -1
+    val stack = new Array[Byte](4096)
+    def emit(code: Int): Int = { // returns the FIRST byte of the string
+      var c = code
+      var sp = 0
+      while (c >= Clear) { // composite codes walk to their root
+        if (sp >= stack.length || c >= nextCode) return -1
+        stack(sp) = suffix(c); sp += 1
+        c = prefix(c)
+      }
+      val first = c
+      if (got + sp + 1 > expected) return -1
+      out(got) = c.toByte; got += 1
+      while (sp > 0) { sp -= 1; out(got) = stack(sp); got += 1 }
+      first
+    }
+    def firstByteOf(code: Int): Int = {
+      var c = code
+      while (c >= Clear) c = prefix(c)
+      c
+    }
+    def register(pfx: Int, first: Int): Unit =
+      if (nextCode < 4096) {
+        prefix(nextCode) = pfx; suffix(nextCode) = first.toByte
+        nextCode += 1
+        if (nextCode == (1 << width) && width < 12) width += 1
+      }
+    var done = false
+    while (!done) {
+      val code = next()
+      if (code < 0) return None
+      if (code == Clear) {
+        nextCode = Eoi + 1
+        width = minCode + 1
+        prev = -1
+      } else if (code == Eoi) {
+        done = true
+      } else if (prev < 0) {
+        if (code >= Clear) return None // first code must be a root
+        if (emit(code) < 0) return None
+        prev = code
+      } else if (code < nextCode) {
+        val first = emit(code)
+        if (first < 0) return None
+        register(prev, first)
+        prev = code
+      } else if (code == nextCode && nextCode < 4096) {
+        // KwKwK (spec F): the code being read IS the entry about to be
+        // created — prev's string + prev's first byte; register it
+        // first so emit can resolve it
+        register(prev, firstByteOf(prev))
+        if (emit(code) < 0) return None
+        prev = code
+      } else return None
+    }
+    if (got != expected) None else Some(out)
+  }
+}
+
 /** `synth_png(id, w, h)` -> a COMPLETE compressed PNG (grayscale-8,
   * DEFLATE IDAT, all five scanline filters cycling by row) with pixel
   * (x, y) = (id·7 + x·31 + y·17) mod 256 — the same congruence as
@@ -1172,6 +1470,78 @@ case class PngStatsRgb(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): PngStatsRgb =
     copy(child = newChild)
   override def prettyName: String = "png_stats_rgb"
+}
+
+/** `synth_gif(id, w, h, interlaced)` -> a COMPLETE GIF89a (256-entry
+  * global color table with palette[i] = ((i·7+3) mod 256, (i·11+5) mod
+  * 256, (i·13+7) mod 256) — the synth_png_pal palette — and index
+  * (x,y) = (id·7 + x·31 + y·17) mod 256, REAL LZW-compressed, plain or
+  * 4-pass interlaced). Lossless, so the oracle replays the palette ∘
+  * index composition exactly. */
+case class SynthGif(first: Expression, second: Expression, third: Expression,
+    interlaced: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"synth_gif expects (long id, int w, int h), got $other")
+    }
+  override def nullSafeEval(idA: Any, wA: Any, hA: Any): Any = {
+    val id = idA.asInstanceOf[Long]
+    val w = wA.asInstanceOf[Int]; val h = hA.asInstanceOf[Int]
+    require(w > 0 && h > 0 && w.toLong * h <= (1 << 22),
+      s"synth_gif dims out of range: ${w}x$h")
+    val pal = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      pal(3 * i) = ((i * 7 + 3) % 256).toByte
+      pal(3 * i + 1) = ((i * 11 + 5) % 256).toByte
+      pal(3 * i + 2) = ((i * 13 + 7) % 256).toByte
+      i += 1
+    }
+    Gif.encode(w, h, PixelOps.synthGrid(id, w, h), pal, interlaced)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): SynthGif = copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_gif"
+}
+
+/** `gif_stats(gif_binary)` -> struct(width, height, n_px, px_sum,
+  * r_sum, g_sum, b_sum, px_min, px_max): exact integer statistics
+  * from a REAL GIF decode — LZW decompression, color-table expansion,
+  * de-interlacing. Null for anything [[Gif.decode]] rejects. */
+case class GifStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("n_px", LongType), StructField("px_sum", LongType),
+    StructField("r_sum", LongType), StructField("g_sum", LongType),
+    StructField("b_sum", LongType),
+    StructField("px_min", IntegerType), StructField("px_max", IntegerType)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"gif_stats expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Gif.decode(input.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some((w, h, px)) =>
+        val (sum, mn, mx) = PixelOps.stats(px, 0, px.length)
+        val cs = new Array[Long](3)
+        var k = 0
+        while (k < px.length) { cs(k % 3) += px(k) & 0xff; k += 1 }
+        new GenericInternalRow(Array[Any](w, h, w.toLong * h, sum,
+          cs(0), cs(1), cs(2), mn, mx))
+    }
+  override protected def withNewChildInternal(newChild: Expression): GifStats =
+    copy(child = newChild)
+  override def prettyName: String = "gif_stats"
 }
 
 /** `synth_png_adam7(id, w, h)` -> a COMPLETE ADAM7-INTERLACED
@@ -2191,4 +2561,9 @@ object media {
   def synth_png_adam7(id: Column, w: Column, h: Column): Column =
     ColumnBridge.column(SynthPngAdam7(ColumnBridge.expression(id),
       ColumnBridge.expression(w), ColumnBridge.expression(h)))
+  def synth_gif(id: Column, w: Column, h: Column, interlaced: Boolean = false): Column =
+    ColumnBridge.column(SynthGif(ColumnBridge.expression(id),
+      ColumnBridge.expression(w), ColumnBridge.expression(h), interlaced))
+  def gif_stats(blob: Column): Column =
+    ColumnBridge.column(GifStats(ColumnBridge.expression(blob)))
 }

@@ -1700,6 +1700,37 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** REAL GIF decode — variable-width LSB-first LZW decompression,
+    * color-table expansion, 4-pass de-interlacing: each selected
+    * document synthesizes the SAME image as a plain AND an interlaced
+    * GIF89a; both decode to identical exact statistics (the oracle
+    * replays the palette ∘ index congruence composition — the
+    * q_png_palette_decode palette over the synth grid). Completes the
+    * real-pixel story for all three image headers the engine parses
+    * (PNG deflate, JPEG entropy scan, GIF LZW). */
+  private[graft] def qGifDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.media._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(16) + col("doc_id") % 8).cast("int").as("w"),
+        (lit(12) + col("doc_id") % 4).cast("int").as("h"))
+    d.select(col("doc_id"),
+        gif_stats(synth_gif(col("doc_id"), col("w"), col("h"))).as("s"),
+        gif_stats(synth_gif(col("doc_id"), col("w"), col("h"),
+          interlaced = true)).as("si"))
+      .select(col("doc_id"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.px_sum").as("px_sum"),
+        col("s.r_sum").as("r_sum"),
+        col("s.g_sum").as("g_sum"),
+        col("s.b_sum").as("b_sum"),
+        col("s.px_min").cast("long").as("px_min"),
+        col("s.px_max").cast("long").as("px_max"),
+        col("si.px_sum").as("interlaced_px_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** RGBA PNG decode (color type 6 — the web's most common
     * alpha-bearing type): four distinct channel congruences through
     * the 4-byte filter offset, alpha summed separately. */
@@ -1778,6 +1809,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_png_rgb_decode" -> (qPngRgbDecode _),
     "q_png_rgba_decode" -> (qPngRgbaDecode _),
     "q_png_adam7_decode" -> (qPngAdam7Decode _),
+    "q_gif_decode" -> (qGifDecode _),
     "q_png_palette_decode" -> (qPngPaletteDecode _),
     "q_image_pipeline" -> (qImagePipeline _),
     "q_audio_pcm" -> (qAudioPcm _),
@@ -1854,6 +1886,33 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |       CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_milli,
         |       CAST(MIN(v) AS BIGINT) AS px_min,
         |       CAST(MAX(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_gif_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |         (v * 7 + 3) % 256 AS r,
+        |         (v * 11 + 5) % 256 AS g,
+        |         (v * 13 + 7) % 256 AS b
+        |  FROM (
+        |    SELECT d0.doc_id, d0.w, d0.h,
+        |           (d0.doc_id * 7 + gx.x * 31 + gy.y * 17) % 256 AS v
+        |    FROM d AS d0
+        |    CROSS JOIN generate_series(0, 23) AS gx(x)
+        |    CROSS JOIN generate_series(0, 15) AS gy(y)
+        |    WHERE gx.x < d0.w AND gy.y < d0.h) AS d
+        |  )
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |       CAST(MIN(h) AS BIGINT) AS height,
+        |       CAST(SUM(r + g + b) AS BIGINT) AS px_sum,
+        |       CAST(SUM(r) AS BIGINT) AS r_sum,
+        |       CAST(SUM(g) AS BIGINT) AS g_sum,
+        |       CAST(SUM(b) AS BIGINT) AS b_sum,
+        |       CAST(MIN(LEAST(r, g, b)) AS BIGINT) AS px_min,
+        |       CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS px_max,
+        |       CAST(SUM(r + g + b) AS BIGINT) AS interlaced_px_sum
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same pixels as q_png_decode, progressive container — shared SQL
     "q_png_adam7_decode" ->

@@ -1915,10 +1915,27 @@ object Jpeg {
     * by replication, so images whose chroma planes are constant per
     * 16×16 region survive the subsample→upsample round trip exactly
     * (the synth_jpeg_420 contract). */
-  def encode420(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+  def encode420(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+    encodeSubsampled(w, h, px, 2, 2)
+
+  /** Encode 3-component pixels as a baseline JPEG with 4:2:2 chroma
+    * subsampling (Y at 2×1 — two blocks per MCU — chroma halved
+    * horizontally only; the broadcast/video-capture layout). */
+  def encode422(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+    encodeSubsampled(w, h, px, 2, 1)
+
+  /** Shared chroma-subsampled encode: Y at hf×vf sampling, Cb/Cr at
+    * 1×1 (point-downsampled by (hf, vf) with edge clamp); hf, vf in
+    * {1, 2}. The decoder upsamples by replication, so images whose
+    * chroma planes are constant per (8·hf)×(8·vf) region survive the
+    * chain exactly. */
+  private def encodeSubsampled(w: Int, h: Int, px: Array[Byte],
+      hf: Int, vf: Int): Array[Byte] = {
     require(px.length == 3 * w * h,
-      s"encode420: dims ${w}x$h do not match ${px.length} bytes")
-    require(w > 0 && h > 0, s"encode420: dims must be positive, got ${w}x$h")
+      s"encodeSubsampled: dims ${w}x$h do not match ${px.length} bytes")
+    require(w > 0 && h > 0, s"encodeSubsampled: dims must be positive, got ${w}x$h")
+    require((hf == 1 || hf == 2) && (vf == 1 || vf == 2) && hf * vf > 1,
+      s"encodeSubsampled: factors must be in {1,2} with some subsampling, got ${hf}x$vf")
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
@@ -1933,7 +1950,7 @@ object Jpeg {
     marker(0xc0); be16(8 + 9) // SOF0: 3 components
     out.write(8); be16(h); be16(w)
     out.write(3)
-    out.write(1); out.write(0x22); out.write(0) // Y: 2×2
+    out.write(1); out.write((hf << 4) | vf); out.write(0) // Y: hf×vf
     out.write(2); out.write(0x11); out.write(0) // Cb: 1×1
     out.write(3); out.write(0x11); out.write(0) // Cr: 1×1
     marker(0xc4) // DHT: the shared Annex K luminance pair
@@ -1949,37 +1966,39 @@ object Jpeg {
     val dcCodes = buildCodes(DcBits, DcVals)
     val acCodes = buildCodes(AcBits, AcVals)
     val bw = new BitWriter(out)
-    // chroma planes: point downsample by 2 with edge clamp
-    val cw = (w + 1) / 2
-    val chh = (h + 1) / 2
-    val mcuW = (w + 15) / 16
-    val mcuH = (h + 15) / 16
+    // chroma planes: point downsample by (hf, vf) with edge clamp
+    val cw = (w + hf - 1) / hf
+    val chh = (h + vf - 1) / vf
+    val mcuPxW = 8 * hf
+    val mcuPxH = 8 * vf
+    val mcuW = (w + mcuPxW - 1) / mcuPxW
+    val mcuH = (h + mcuPxH - 1) / mcuPxH
     val pred = new Array[Int](3)
     val samp = new Array[Int](64)
     def lumaAt(x: Int, y: Int): Int =
       px(3 * (math.min(y, h - 1) * w + math.min(x, w - 1))) & 0xff
     def chromaAt(c: Int, cx: Int, cy: Int): Int = {
-      // chroma plane sample = full-res pixel at (2cx, 2cy), clamped;
+      // chroma plane sample = full-res pixel at (hf·cx, vf·cy), clamped;
       // plane edge replication clamps cx/cy to the plane first
-      val px2 = math.min(math.min(cx, cw - 1) * 2, w - 1)
-      val py2 = math.min(math.min(cy, chh - 1) * 2, h - 1)
+      val px2 = math.min(math.min(cx, cw - 1) * hf, w - 1)
+      val py2 = math.min(math.min(cy, chh - 1) * vf, h - 1)
       px(3 * (py2 * w + px2) + c) & 0xff
     }
     var my = 0
     while (my < mcuH) {
       var mx = 0
       while (mx < mcuW) {
-        // four Y blocks: (0,0) (1,0) (0,1) (1,1) in raster order
+        // hf×vf Y blocks in raster order
         var vb = 0
-        while (vb < 2) {
+        while (vb < vf) {
           var hb = 0
-          while (hb < 2) {
+          while (hb < hf) {
             var y = 0
             while (y < 8) {
               var x = 0
               while (x < 8) {
                 samp(y * 8 + x) =
-                  lumaAt(mx * 16 + hb * 8 + x, my * 16 + vb * 8 + y) - 128
+                  lumaAt(mx * mcuPxW + hb * 8 + x, my * mcuPxH + vb * 8 + y) - 128
                 x += 1
               }
               y += 1
@@ -1989,7 +2008,7 @@ object Jpeg {
           }
           vb += 1
         }
-        // one Cb and one Cr block covering the 16×16 area
+        // one Cb and one Cr block covering the MCU's pixel area
         var c = 1
         while (c <= 2) {
           var y = 0

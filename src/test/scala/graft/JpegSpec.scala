@@ -273,6 +273,23 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:2: horizontal-only subsampling round-trips region-constant " +
+    "planes exactly (the broadcast layout)") {
+    // chroma constant per 16x8 region (8·hf × 8·vf with hf=2, vf=1)
+    for ((w, h) <- Seq((16, 8), (32, 24), (19, 11))) {
+      val p = new Array[Byte](3 * w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val k = 3 * (y * w + x)
+        p(k) = (((7 + (x / 8) * 31 + (y / 8) * 17) % 256)).toByte
+        p(k + 1) = (((11 + (x / 16) * 13 + (y / 8) * 29) % 256)).toByte
+        p(k + 2) = (((3 + (x / 16) * 37 + (y / 8) * 23) % 256)).toByte
+      }
+      val Some((dw, dh, ch, dp)) = Jpeg.decodeFull(Jpeg.encode422(w, h, p))
+      assert((dw, dh, ch) === (w, h, 3), s"dims for ${w}x$h")
+      assert(dp.toSeq === p.toSeq, s"pixels for ${w}x$h")
+    }
+  }
+
   test("grayscale decode wrapper rejects 3-component frames") {
     val color = Jpeg.encodeColor(8, 8, blockConstantRgb(8, 8, 2))
     assert(Jpeg.decode(color) === None)

@@ -298,6 +298,24 @@ class JpegSpec extends AnyFunSuite {
     assert(MediaHeaders.parse(color) === Some(("jpeg", 8, 8)))
   }
 
+  test("mutation fuzz: byte flips in valid containers never throw") {
+    val rnd = new scala.util.Random(7)
+    val containers = Seq(
+      Jpeg.encode(24, 18, blockConstant(24, 18, 9)),
+      Jpeg.encodeColor(16, 16, blockConstantRgb(16, 16, 4)),
+      Jpeg.encode420(20, 12, region420(20, 12, 3)))
+    for (enc <- containers) {
+      for (_ <- 1 to 300) {
+        val b = enc.clone()
+        val flips = 1 + rnd.nextInt(4)
+        for (_ <- 1 to flips)
+          b(rnd.nextInt(b.length)) = (rnd.nextInt(256)).toByte
+        Jpeg.decodeFull(b) // any Option outcome is fine; a throw fails
+      }
+      for (n <- 0 to enc.length) Jpeg.decodeFull(enc.take(n))
+    }
+  }
+
   test("image_dims sees synth-jpeg containers as real JPEGs") {
     // cross-parser agreement: the SOF-scanning header parser (written
     // before the codec existed) must read the codec's output

@@ -468,11 +468,14 @@ case class ImageDownsample(child: Expression, factor: Int)
 
 /** `audio_stats(wav_binary)` -> struct(n_samples, sum_abs, sum_sq,
   * peak, zero_crossings, clip_count): exact integer statistics over
-  * REAL decoded PCM16-LE samples of a RIFF/WAVE payload (mono or
-  * interleaved — every sample is read). Sums are exact int64 so an
+  * REAL decoded PCM samples of a RIFF/WAVE payload — 16-bit LE signed
+  * (the CD/default layout), 8-bit UNSIGNED (the WAV spec's 8-bit
+  * convention; samples are centered by −128 so the statistics share
+  * the signed convention), or 24-bit LE signed (studio masters) —
+  * mono or interleaved, every sample read. Sums are exact int64 so an
   * oracle replays them; RMS/loudness derive downstream. A crossing is
-  * `s[t-1]·s[t] < 0`; clip = sample at either int16 rail. Null when
-  * the container is not PCM16 WAV. */
+  * `s[t-1]·s[t] < 0`; clip = sample at either rail of its bit width.
+  * Null for any other sample width or a malformed container. */
 case class AudioStats(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StructType(Seq(
@@ -489,24 +492,31 @@ case class AudioStats(child: Expression)
     val b = input.asInstanceOf[Array[Byte]]
     MediaHeaders.parseWav(b) match {
       case None => null
-      case Some((_, _, bitsPerSample, _)) if bitsPerSample != 16 => null
-      case Some(_) =>
+      case Some((_, _, bits, _)) if bits != 8 && bits != 16 && bits != 24 => null
+      case Some((_, _, bits, _)) =>
         val (dataOff, dataLen) = MediaHeaders.dataChunk(b) match {
           case None => return null
           case Some(dc) => dc
         }
-        val n = (dataLen / 2).toInt
+        val bytes = bits / 8
+        val n = (dataLen / bytes).toInt
+        val off = dataOff.toInt
+        val railHi = (1 << (bits - 1)) - 1
+        val railLo = -(1 << (bits - 1))
         var t = 0
         var sumAbs = 0L; var sumSq = 0L; var peak = 0
         var crossings = 0L; var clips = 0L; var prev = 0
         while (t < n) {
-          val lo = b(dataOff.toInt + 2 * t) & 0xff
-          val hi = b(dataOff.toInt + 2 * t + 1)
-          val s = (hi << 8) | lo // sign-extended via hi being Byte
+          val s = bits match {
+            case 8 => (b(off + t) & 0xff) - 128 // unsigned, centered
+            case 16 => (b(off + 2 * t + 1) << 8) | (b(off + 2 * t) & 0xff)
+            case 24 => (b(off + 3 * t + 2) << 16) |
+              ((b(off + 3 * t + 1) & 0xff) << 8) | (b(off + 3 * t) & 0xff)
+          }
           val a = math.abs(s)
           sumAbs += a; sumSq += s.toLong * s
           if (a > peak) peak = a
-          if (s == 32767 || s == -32768) clips += 1
+          if (s == railHi || s == railLo) clips += 1
           if (t > 0 && prev.toLong * s < 0) crossings += 1
           prev = s
           t += 1
@@ -592,6 +602,66 @@ case class SynthWavPcm(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SynthWavPcm =
     copy(left = l, right = r)
   override def prettyName: String = "synth_wav_pcm"
+}
+
+/** `synth_wav_bits(id, n; bits)` -> a COMPLETE RIFF/WAVE (PCM mono,
+  * 16 kHz) at the given SAMPLE WIDTH (8 unsigned / 16 LE / 24 LE) with
+  * n samples s(t) = ((id·7919 + t·2654435761) mod 2^bits) − 2^(bits−1)
+  * — the synth_wav_pcm congruence widened to the other two real-world
+  * PCM layouts (8-bit telephony/retro, 24-bit studio masters), stored
+  * per the WAV spec's convention for each width (8-bit is unsigned:
+  * s + 128 on the wire). */
+case class SynthWavBits(left: Expression, right: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  require(bits == 8 || bits == 16 || bits == 24,
+    s"synth_wav_bits supports 8/16/24-bit PCM, got $bits")
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (LongType, IntegerType) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"synth_wav_bits expects (long id, int n), got $other")
+  }
+  override def nullSafeEval(idA: Any, nA: Any): Any = {
+    val id = idA.asInstanceOf[Long]; val n = nA.asInstanceOf[Int]
+    require(n > 0 && n <= (1 << 20), s"synth_wav_bits n out of range: $n")
+    val bytes = bits / 8
+    val dataLen = n * bytes
+    val out = new Array[Byte](44 + dataLen)
+    def le32(off: Int, v: Long): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def ascii(off: Int, s: String): Unit = {
+      var i = 0; while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    val rate = 16000
+    ascii(0, "RIFF"); le32(4, 36L + dataLen); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, rate); le32(28, rate.toLong * bytes); le16(32, bytes); le16(34, bits)
+    ascii(36, "data"); le32(40, dataLen)
+    val mod = 1L << bits
+    val half = 1L << (bits - 1)
+    var t = 0
+    while (t < n) {
+      val s = ((((id * 7919 + t * 2654435761L) % mod) + mod) % mod) - half
+      val wire = if (bits == 8) s + 128 else s // 8-bit PCM is unsigned
+      var i = 0
+      while (i < bytes) {
+        out(44 + bytes * t + i) = ((wire >> (8 * i)) & 0xff).toByte
+        i += 1
+      }
+      t += 1
+    }
+    out
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SynthWavBits =
+    copy(left = l, right = r)
+  override def prettyName: String = "synth_wav_bits"
 }
 
 /** Minimal REAL PNG codec for 8-bit grayscale, non-interlaced images —
@@ -1768,10 +1838,11 @@ object Jpeg {
 
   /** Encode 8-bit grayscale pixels as a complete baseline JPEG (one
     * component — trivially 4:4:4). */
-  def encode(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+  def encode(w: Int, h: Int, px: Array[Byte],
+      restartInterval: Int = 0): Array[Byte] = {
     require(px.length == w * h,
       s"encode: dims ${w}x$h do not match ${px.length} pixels")
-    encodeCore(w, h, 1, px)
+    encodeCore(w, h, 1, px, restartInterval)
   }
 
   /** Encode 3-component 4:4:4 pixels (interleaved triples, 3·w·h
@@ -1781,10 +1852,11 @@ object Jpeg {
     * side — components are raw planes (the scan-level structure is
     * what a YCbCr pipeline runs; the transform is a per-pixel affine
     * map outside the codec's entropy/transform machinery). */
-  def encodeColor(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+  def encodeColor(w: Int, h: Int, px: Array[Byte],
+      restartInterval: Int = 0): Array[Byte] = {
     require(px.length == 3 * w * h,
       s"encodeColor: dims ${w}x$h do not match ${px.length} bytes")
-    encodeCore(w, h, 3, px)
+    encodeCore(w, h, 3, px, restartInterval)
   }
 
   /** Shared encode core: JFIF APP0, all-ones DQT (max quality — the
@@ -1792,9 +1864,15 @@ object Jpeg {
     * all 1×1 sampling), the Annex K luminance DHT pair shared by every
     * component (legal per B.2.3 — table selectors are per-component in
     * SOS), interleaved entropy-coded MCU scan with edge-pixel
-    * replication for partial boundary blocks, EOI. */
-  private def encodeCore(w: Int, h: Int, nc: Int, px: Array[Byte]): Array[Byte] = {
+    * replication for partial boundary blocks, EOI. `restartInterval`
+    * > 0 emits a DRI segment and an RSTn marker (byte-aligned,
+    * predictors reset, n cycling 0–7) after every interval MCUs — the
+    * error-resilience layout real encoders write for large images. */
+  private def encodeCore(w: Int, h: Int, nc: Int, px: Array[Byte],
+      restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0, s"encode: dims must be positive, got ${w}x$h")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"restartInterval must be in [0, 65535], got $restartInterval")
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
@@ -1815,6 +1893,7 @@ object Jpeg {
     be16(2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length))
     out.write(0x00); DcBits.foreach(out.write); DcVals.foreach(out.write)
     out.write(0x10); AcBits.foreach(out.write); AcVals.foreach(out.write)
+    if (restartInterval > 0) { marker(0xdd); be16(4); be16(restartInterval) } // DRI
     marker(0xda); be16(6 + 2 * nc) // SOS
     out.write(nc)
     c = 0
@@ -1829,10 +1908,22 @@ object Jpeg {
     val bw8 = (w + 7) / 8
     val pred = new Array[Int](nc)
     val samp = new Array[Int](64)
+    // restart bookkeeping mirrors the decoder exactly: the marker goes
+    // BETWEEN MCU groups (never before the first or after the last),
+    // byte-aligned with 1-padding, predictors reset, RSTn cycling 0-7
+    var mcusToRestart = if (restartInterval > 0) restartInterval else -1
+    var rstN = 0
     var by = 0
     while (by < bh8) {
       var bx = 0
       while (bx < bw8) {
+        if (mcusToRestart == 0) {
+          bw.flush()
+          marker(0xd0 + rstN)
+          rstN = (rstN + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+          mcusToRestart = restartInterval
+        }
         c = 0
         while (c < nc) { // one block per component per MCU (4:4:4)
           var y = 0
@@ -1850,6 +1941,7 @@ object Jpeg {
           pred(c) = emitBlock(bw, samp, pred(c), dcCodes, acCodes)
           c += 1
         }
+        if (mcusToRestart > 0) mcusToRestart -= 1
         bx += 1
       }
       by += 1
@@ -2585,4 +2677,7 @@ object media {
       ColumnBridge.expression(w), ColumnBridge.expression(h), interlaced))
   def gif_stats(blob: Column): Column =
     ColumnBridge.column(GifStats(ColumnBridge.expression(blob)))
+  def synth_wav_bits(id: Column, n: Column, bits: Int): Column =
+    ColumnBridge.column(SynthWavBits(ColumnBridge.expression(id),
+      ColumnBridge.expression(n), bits))
 }

@@ -1700,6 +1700,32 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** PCM sample decode at the OTHER two real-world widths — 8-bit
+    * unsigned (telephony/retro, centered to signed by the decoder)
+    * and 24-bit LE signed (studio masters) — alongside q_audio_pcm's
+    * 16-bit: exact integer statistics from both containers, the rails
+    * and sums replayed by the oracle over generate_series. */
+  private[graft] def qAudioBitdepths(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.media._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(200) + col("doc_id") % 50).cast("int").as("n"))
+    d.select(col("doc_id"),
+        audio_stats(synth_wav_bits(col("doc_id"), col("n"), 8)).as("a8"),
+        audio_stats(synth_wav_bits(col("doc_id"), col("n"), 24)).as("a24"))
+      .select(col("doc_id"),
+        col("a8.n_samples").as("n8"),
+        col("a8.sum_abs").as("sum_abs_8"),
+        col("a8.peak").cast("long").as("peak_8"),
+        col("a8.clip_count").as("clips_8"),
+        col("a24.n_samples").as("n24"),
+        col("a24.sum_abs").as("sum_abs_24"),
+        col("a24.sum_sq").as("sum_sq_24"),
+        col("a24.peak").cast("long").as("peak_24"),
+        col("a24.zero_crossings").as("crossings_24"))
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL GIF decode — variable-width LSB-first LZW decompression,
     * color-table expansion, 4-pass de-interlacing: each selected
     * document synthesizes the SAME image as a plain AND an interlaced
@@ -1810,6 +1836,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_png_rgba_decode" -> (qPngRgbaDecode _),
     "q_png_adam7_decode" -> (qPngAdam7Decode _),
     "q_gif_decode" -> (qGifDecode _),
+    "q_audio_bitdepths" -> (qAudioBitdepths _),
     "q_png_palette_decode" -> (qPngPaletteDecode _),
     "q_image_pipeline" -> (qImagePipeline _),
     "q_audio_pcm" -> (qAudioPcm _),
@@ -1887,6 +1914,33 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |       CAST(MIN(v) AS BIGINT) AS px_min,
         |       CAST(MAX(v) AS BIGINT) AS px_max
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_audio_bitdepths" ->
+      """WITH d AS (
+        |  SELECT doc_id, 200 + doc_id % 50 AS n
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |smp AS (
+        |  SELECT d.doc_id, d.n, gt.t,
+        |         ((d.doc_id * 7919 + gt.t * 2654435761) % 256) - 128 AS s8,
+        |         ((d.doc_id * 7919 + gt.t * 2654435761) % 16777216) - 8388608 AS s24
+        |  FROM d CROSS JOIN generate_series(0, 249) AS gt(t)
+        |  WHERE gt.t < d.n),
+        |lagged AS (
+        |  SELECT doc_id, n, t, s8, s24,
+        |         LAG(s24) OVER (PARTITION BY doc_id ORDER BY t) AS prev24
+        |  FROM smp)
+        |SELECT doc_id,
+        |       CAST(MIN(n) AS BIGINT) AS n8,
+        |       CAST(SUM(abs(s8)) AS BIGINT) AS sum_abs_8,
+        |       CAST(MAX(abs(s8)) AS BIGINT) AS peak_8,
+        |       CAST(SUM(CASE WHEN s8 = 127 OR s8 = -128 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS clips_8,
+        |       CAST(MIN(n) AS BIGINT) AS n24,
+        |       CAST(SUM(abs(s24)) AS BIGINT) AS sum_abs_24,
+        |       CAST(SUM(s24 * s24) AS BIGINT) AS sum_sq_24,
+        |       CAST(MAX(abs(s24)) AS BIGINT) AS peak_24,
+        |       CAST(SUM(CASE WHEN prev24 IS NOT NULL AND prev24 * s24 < 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS crossings_24
+        |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_gif_decode" ->
       """WITH d AS (
         |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 4 AS h

@@ -298,6 +298,38 @@ class JpegSpec extends AnyFunSuite {
     assert(MediaHeaders.parse(color) === Some(("jpeg", 8, 8)))
   }
 
+  test("restart markers: DRI + RSTn streams round-trip bit-exactly " +
+    "(the error-resilience layout real encoders write)") {
+    // 40x24 = 15 MCUs at interval 2 -> seven RSTn markers cycling 0-7,
+    // each byte-aligned with predictors reset on both sides
+    val p = blockConstant(40, 24, 21)
+    val enc = Jpeg.encode(40, 24, p, restartInterval = 2)
+    // the stream REALLY contains restart markers
+    val rsts = (2 until enc.length - 1).count(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) >= 0xd0 &&
+        (enc(i + 1) & 0xff) <= 0xd7)
+    assert(rsts === 7, s"expected 7 RST markers, saw $rsts")
+    val Some((dw, dh, dp)) = Jpeg.decode(enc)
+    assert((dw, dh) === (40, 24))
+    assert(dp.toSeq === p.toSeq)
+    // color + interval 1 (every MCU boundary restarts)
+    val pc = blockConstantRgb(24, 16, 6)
+    val encc = Jpeg.encodeColor(24, 16, pc, restartInterval = 1)
+    val Some((_, _, 3, dpc)) = Jpeg.decodeFull(encc)
+    assert(dpc.toSeq === pc.toSeq)
+    // a corrupted restart marker is malformed, not silently skipped
+    val bad = enc.clone()
+    var i = 2
+    var patched = false
+    while (!patched && i + 1 < bad.length) {
+      if ((bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) >= 0xd0 &&
+        (bad(i + 1) & 0xff) <= 0xd7) { bad(i + 1) = 0x3c; patched = true }
+      else i += 1
+    }
+    assert(patched)
+    assert(Jpeg.decode(bad) === None)
+  }
+
   test("mutation fuzz: byte flips in valid containers never throw") {
     val rnd = new scala.util.Random(7)
     val containers = Seq(

@@ -602,6 +602,80 @@ case class StripAccents(child: Expression)
   override def prettyName: String = "strip_accents"
 }
 
+/** `winnow_fingerprints(text; k, w)` — winnowing document fingerprints
+  * (Schleimer–Wilkerson–Aiken, "Winnowing: Local Algorithms for
+  * Document Fingerprinting", SIGMOD 2003 — the MOSS algorithm): a
+  * ROLLING Rabin–Karp hash over every k-character gram (polynomial
+  * base 257 over char codes, mod 2^31−1 — small enough that the
+  * oracle replays the k explicit terms in SQL), then within each
+  * window of w consecutive gram hashes the MINIMUM is selected
+  * (RIGHTMOST position on ties); the distinct selected
+  * (position, hash) pairs are the fingerprint. Guarantee: documents
+  * sharing any substring of length ≥ w+k−1 share at least one
+  * fingerprint hash — the locality property plain MinHash lacks.
+  * Returns array<struct<pos int, hash long>> in ascending pos; texts
+  * shorter than k+w−1 yield an empty array. The per-gram hash rolls
+  * in O(1) ((h − c_out·B^(k−1))·B + c_in mod M), so a document costs
+  * O(chars), not O(chars·k). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && w >= 1, s"need k >= 2, w >= 1, got k=$k w=$w")
+  private val M = 2147483647L // 2^31 − 1
+  private val B = 257L
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("hash", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints expects string input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val nGrams = n - k + 1
+    if (nGrams < w) return new GenericArrayData(Array.empty[Any])
+    // B^(k−1) mod M, for the rolling eviction term
+    var bk1 = 1L
+    var i = 0
+    while (i < k - 1) { bk1 = bk1 * B % M; i += 1 }
+    val h = new Array[Long](nGrams)
+    var cur = 0L
+    i = 0
+    while (i < k) { cur = (cur * B + s.charAt(i)) % M; i += 1 }
+    h(0) = cur
+    var p = 1
+    while (p < nGrams) {
+      cur = (((cur - s.charAt(p - 1) * bk1) % M + M) % M * B + s.charAt(p + k - 1)) % M
+      h(p) = cur
+      p += 1
+    }
+    // winnow: min of each w-window, rightmost on ties (<= when the new
+    // rightmost element arrives), recorded when the argmin CHANGES —
+    // the recorded set equals the distinct per-window argmins
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var minIdx = -1
+    var st = 0
+    while (st + w <= nGrams) {
+      if (minIdx < st) {
+        // the old min slid out: rescan this window, rightmost tie
+        minIdx = st
+        var j = st + 1
+        while (j < st + w) { if (h(j) <= h(minIdx)) minIdx = j; j += 1 }
+        out += org.apache.spark.sql.catalyst.InternalRow(minIdx, h(minIdx))
+      } else if (h(st + w - 1) <= h(minIdx)) {
+        minIdx = st + w - 1
+        out += org.apache.spark.sql.catalyst.InternalRow(minIdx, h(minIdx))
+      }
+      st += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 object kernels {
   def word_shingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), k))
@@ -623,6 +697,9 @@ object kernels {
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(s)))
   def strip_accents(s: Column): Column =
     ColumnBridge.column(StripAccents(ColumnBridge.expression(s)))
+
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
 
   /** The composed 32-term shift/mask SQL equivalent of [[ZOrder2]]
     * (inputs assumed already masked to 16 bits) — ONE generator shared

@@ -1700,6 +1700,33 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): rolling Rabin–Karp k-gram
+    * hashes, minimum per w-window with rightmost tie-break, distinct
+    * selected (pos, hash) pairs. The ROLLING-hash fingerprint family
+    * member (md5 = whole-doc, SimHash = bag-of-words, MinHash =
+    * set-resemblance; winnowing adds the LOCALITY guarantee: any
+    * shared substring ≥ w+k−1 chars shares a hash). The oracle
+    * replays the k explicit polynomial terms and the window argmin
+    * (rightmost tie via a combined (hash, −pos) key) in SQL. */
+  private[graft] def qWinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.kernels.winnow_fingerprints
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("tt"))
+    d.select(col("doc_id"), winnow_fingerprints(col("tt"), 5, 4).as("fp"))
+      .select(col("doc_id"),
+        size(col("fp")).cast("long").as("n_fp"),
+        expr("aggregate(fp, CAST(0 AS BIGINT), (acc, x) -> acc + x.hash)")
+          .as("hash_sum"),
+        coalesce(expr("array_min(transform(fp, x -> x.hash))"), lit(0L))
+          .as("hash_min"),
+        coalesce(expr("array_max(transform(fp, x -> x.hash))"), lit(0L))
+          .as("hash_max"),
+        expr("aggregate(fp, CAST(0 AS BIGINT), (acc, x) -> acc + x.pos)")
+          .as("pos_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PCM sample decode at the OTHER two real-world widths — 8-bit
     * unsigned (telephony/retro, centered to signed by the decoder)
     * and 24-bit LE signed (studio masters) — alongside q_audio_pcm's
@@ -1837,6 +1864,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_png_adam7_decode" -> (qPngAdam7Decode _),
     "q_gif_decode" -> (qGifDecode _),
     "q_audio_bitdepths" -> (qAudioBitdepths _),
+    "q_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q_png_palette_decode" -> (qPngPaletteDecode _),
     "q_image_pipeline" -> (qImagePipeline _),
     "q_audio_pcm" -> (qAudioPcm _),
@@ -1914,6 +1942,47 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |       CAST(MIN(v) AS BIGINT) AS px_min,
         |       CAST(MAX(v) AS BIGINT) AS px_max
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_winnow_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 200) AS t
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |g AS ( -- k=5 gram hash at 0-based position p: polynomial base
+        |       -- 257 over char codes, mod 2^31-1 (term factors are
+        |       -- 257^i mod M, so every product fits int64)
+        |  SELECT d.doc_id, gp.p,
+        |         (CAST(ascii(substr(t, gp.p + 1, 1)) AS BIGINT) * 67503107
+        |          + CAST(ascii(substr(t, gp.p + 2, 1)) AS BIGINT) * 16974593
+        |          + CAST(ascii(substr(t, gp.p + 3, 1)) AS BIGINT) * 66049
+        |          + CAST(ascii(substr(t, gp.p + 4, 1)) AS BIGINT) * 257
+        |          + ascii(substr(t, gp.p + 5, 1))) % 2147483647 AS h
+        |  FROM d CROSS JOIN generate_series(0, 195) AS gp(p)
+        |  WHERE gp.p <= length(t) - 5),
+        |win AS ( -- w=4 window min with RIGHTMOST tie: minimize the
+        |         -- combined key (h, -p) packed as h*1024 + (1023-p)
+        |  SELECT doc_id,
+        |         MIN(h * 1024 + (1023 - p)) OVER (
+        |           PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mc,
+        |         COUNT(*) OVER (
+        |           PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+        |  FROM g),
+        |sel AS (SELECT DISTINCT doc_id,
+        |          1023 - (mc % 1024) AS pos, mc // 1024 AS h
+        |        FROM win WHERE cnt = 4),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+        |         CAST(SUM(h) AS BIGINT) AS hash_sum,
+        |         CAST(MIN(h) AS BIGINT) AS hash_min,
+        |         CAST(MAX(h) AS BIGINT) AS hash_max,
+        |         CAST(SUM(pos) AS BIGINT) AS pos_sum
+        |  FROM sel GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_fp, 0) AS n_fp,
+        |       COALESCE(hash_sum, 0) AS hash_sum,
+        |       COALESCE(hash_min, 0) AS hash_min,
+        |       COALESCE(hash_max, 0) AS hash_max,
+        |       COALESCE(pos_sum, 0) AS pos_sum
+        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "q_audio_bitdepths" ->
       """WITH d AS (
         |  SELECT doc_id, 200 + doc_id % 50 AS n

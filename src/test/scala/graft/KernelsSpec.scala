@@ -249,4 +249,44 @@ class KernelsSpec extends SparkSpec {
         i => concat_ws(" ", slice($"toks", i, lit(3)))))).head().getSeq[String](0)
     assert(got === ref)
   }
+
+  private def winnowHashes(text: String, k: Int, w: Int): Set[Long] = {
+    val df = Seq(text).toDF("t")
+    df.select(kernels.winnow_fingerprints($"t", k, w).as("fp"))
+      .select(explode($"fp").as("f")).select($"f.hash")
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  test("winnowing locality guarantee: any shared substring of length >= " +
+    "w+k-1 shares at least one fingerprint hash (SWA 2003 theorem)") {
+    val (k, w) = (5, 4)
+    val shared = "the quick brown fox jumps over" // length 30 >= w+k-1 = 8
+    val a = s"AAAA zz $shared qq BBBB different tail text here"
+    val b = s"completely other prefix words $shared and another ending"
+    val ha = winnowHashes(a, k, w)
+    val hb = winnowHashes(b, k, w)
+    assert((ha intersect hb).nonEmpty,
+      "documents sharing a 30-char substring must share a fingerprint")
+    // and two unrelated texts (no common k-gram at all) share nothing
+    val hc = winnowHashes("abcdefghijklmnopqrstuvwxyz0123456789", k, w)
+    val hd = winnowHashes("ZYXWVUTSRQPONMLKJIHGFEDCBA!@#$%^&*()", k, w)
+    assert((hc intersect hd).isEmpty)
+  }
+
+  test("winnowing density and edges: short texts empty, fingerprints are " +
+    "a subset of the gram hashes, positions strictly increase") {
+    val (k, w) = (5, 4)
+    assert(winnowHashes("1234567", k, w).isEmpty) // 3 grams < w
+    val text = "some moderately long sentence for density checking 123"
+    val df = Seq(text).toDF("t")
+    val fp = df.select(kernels.winnow_fingerprints($"t", k, w).as("fp"))
+      .select(explode($"fp").as("f")).select($"f.pos", $"f.hash")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // positions strictly ascending (the recorded argmin only moves right)
+    assert(fp.map(_._1).toSeq === fp.map(_._1).sorted.toSeq.distinct)
+    // expected density ~ 2/(w+1); at minimum every w-th gram is selected
+    val nGrams = text.length - k + 1
+    assert(fp.length >= nGrams / w,
+      s"too sparse: ${fp.length} fingerprints over $nGrams grams")
+  }
 }

@@ -676,6 +676,71 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** `gzip_compress(binary)` -> gzip-framed bytes (RFC 1952 via
+  * java.util.zip.GZIPOutputStream) — the compressed-blob-column half
+  * of reading real corpora (WARC records, compressed JSON fields)
+  * where payloads arrive gzipped PER RECORD rather than per file. */
+case class GzipCompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"gzip_compress expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+  override protected def withNewChildInternal(newChild: Expression): GzipCompress =
+    copy(child = newChild)
+  override def prettyName: String = "gzip_compress"
+}
+
+/** `gzip_decompress(binary)` -> the original bytes, or null for
+  * anything malformed (bad magic, truncated stream, CRC mismatch) —
+  * the PERMISSIVE convention of the whole codec family, so corrupt
+  * blobs route to the DLQ instead of failing the query. Decompressed
+  * output is capped at 64 MiB per value: past that the value is
+  * treated as malformed (null), which turns a zip bomb into a routed
+  * row rather than an executor OOM. */
+case class GzipDecompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  private val MaxOut = 1 << 26 // 64 MiB
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"gzip_decompress expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    try {
+      val gz = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      var n = gz.read(buf)
+      while (n >= 0) {
+        total += n
+        if (total > MaxOut) return null // bomb guard: malformed, routed
+        bos.write(buf, 0, n)
+        n = gz.read(buf)
+      }
+      gz.close()
+      bos.toByteArray
+    } catch { case _: java.io.IOException => null }
+  }
+  override protected def withNewChildInternal(newChild: Expression): GzipDecompress =
+    copy(child = newChild)
+  override def prettyName: String = "gzip_decompress"
+}
+
 object kernels {
   def word_shingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), k))
@@ -700,6 +765,10 @@ object kernels {
 
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
+  def gzip_compress(blob: Column): Column =
+    ColumnBridge.column(GzipCompress(ColumnBridge.expression(blob)))
+  def gzip_decompress(blob: Column): Column =
+    ColumnBridge.column(GzipDecompress(ColumnBridge.expression(blob)))
 
   /** The composed 32-term shift/mask SQL equivalent of [[ZOrder2]]
     * (inputs assumed already masked to 16 bits) — ONE generator shared

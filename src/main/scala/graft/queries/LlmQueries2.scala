@@ -1700,6 +1700,27 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Compressed-blob-column ingest: each document's text round-trips
+    * through REAL gzip framing (RFC 1952 — the per-record compression
+    * of WARC / compressed JSON fields), and a deliberately corrupted
+    * frame routes to null under the PERMISSIVE decode contract. The
+    * oracle replays the identity (md5 of the round-tripped text) and
+    * the corrupt-frame null — proving decompress ∘ compress = id over
+    * real gzip bytes, and that corruption routes instead of failing. */
+  private[graft] def qGzipRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.kernels.{gzip_compress, gzip_decompress}
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("text"))
+    val gz = gzip_compress(encode(col("text"), "UTF-8"))
+    d.select(col("doc_id"),
+        length(col("text")).cast("long").as("orig_len"),
+        md5(gzip_decompress(gz)).as("digest"),
+        // corrupt the gzip MAGIC (first byte) — must decode to null
+        gzip_decompress(concat(lit(Array[Byte](0x00)), substring(gz, 2, 1 << 24)))
+          .isNull.as("corrupt_is_null"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
     * SIGMOD 2003 — the MOSS algorithm): rolling Rabin–Karp k-gram
     * hashes, minimum per w-window with rightmost tie-break, distinct
@@ -1865,6 +1886,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_gif_decode" -> (qGifDecode _),
     "q_audio_bitdepths" -> (qAudioBitdepths _),
     "q_winnow_fingerprint" -> (qWinnowFingerprint _),
+    "q_gzip_roundtrip" -> (qGzipRoundtrip _),
     "q_png_palette_decode" -> (qPngPaletteDecode _),
     "q_image_pipeline" -> (qImagePipeline _),
     "q_audio_pcm" -> (qAudioPcm _),
@@ -1942,6 +1964,10 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |       CAST(MIN(v) AS BIGINT) AS px_min,
         |       CAST(MAX(v) AS BIGINT) AS px_max
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_gzip_roundtrip" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_len,
+        |       md5(text) AS digest, TRUE AS corrupt_is_null
+        |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
     "q_winnow_fingerprint" ->
       """WITH d AS (
         |  SELECT doc_id, substr(text, 1, 200) AS t

@@ -250,6 +250,34 @@ class KernelsSpec extends SparkSpec {
     assert(got === ref)
   }
 
+  test("gzip blob column: roundtrip identity, corrupt -> null, bomb -> null") {
+    val df = Seq("the corpus record body", "").toDF("t")
+    val rt = df.select(
+      kernels.gzip_decompress(kernels.gzip_compress(encode($"t", "UTF-8")))
+        .cast("string").as("rt"), $"t")
+    assert(rt.collect().forall(r => r.getString(0) == r.getString(1)))
+    // corrupt magic and truncated stream -> null, never a throw
+    val gz = df.limit(1).select(
+      kernels.gzip_compress(encode($"t", "UTF-8")).as("g"))
+    assert(gz.select(kernels.gzip_decompress(
+      concat(lit(Array[Byte](0)), substring($"g", 2, 1 << 20)))).head().isNullAt(0))
+    assert(gz.select(kernels.gzip_decompress(
+      substring($"g", 1, 8))).head().isNullAt(0))
+    // zip bomb guard: 100 MB of zeros compresses to ~100 KB but must
+    // decode to null (over the 64 MiB cap), not an executor OOM
+    val bomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      val chunk = new Array[Byte](1 << 20)
+      (1 to 100).foreach(_ => g.write(chunk))
+      g.close()
+      bos.toByteArray
+    }
+    assert(bomb.length < (1 << 21), "bomb fixture itself must be small")
+    val bdf = Seq(bomb).toDF("b")
+    assert(bdf.select(kernels.gzip_decompress($"b")).head().isNullAt(0))
+  }
+
   private def winnowHashes(text: String, k: Int, w: Int): Set[Long] = {
     val df = Seq(text).toDF("t")
     df.select(kernels.winnow_fingerprints($"t", k, w).as("fp"))

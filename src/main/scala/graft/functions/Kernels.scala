@@ -676,6 +676,42 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** `strip_html(string)` -> visible text: script/style elements removed
+  * WITH their content, all remaining tags replaced by spaces (so
+  * `</p><p>` never glues words), the five core entities + &nbsp;
+  * decoded AFTER tag removal (per HTML semantics `&lt;b&gt;` is text,
+  * not a tag) with `&amp;` decoded LAST (so `&amp;lt;` yields `&lt;`,
+  * not `<`), whitespace collapsed and trimmed. The web-corpus text
+  * extraction step; the DuckDB oracle replays the exact same
+  * regex/replace chain, so the semantics are pinned cross-engine. */
+case class StripHtml(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  // alternation, NOT a backreference: the oracle replays this pattern
+  // in DuckDB's RE2, which has no backreferences
+  @transient private lazy val scriptStyle = java.util.regex.Pattern.compile(
+    "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>")
+  @transient private lazy val tags = java.util.regex.Pattern.compile("<[^>]*>")
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"strip_html expects string input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    var s = input.asInstanceOf[UTF8String].toString
+    s = scriptStyle.matcher(s).replaceAll(" ")
+    s = tags.matcher(s).replaceAll(" ")
+    s = s.replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&amp;", "&") // LAST: double-escaped entities stay escaped
+    UTF8String.fromString(ws.matcher(s).replaceAll(" ").trim)
+  }
+  override protected def withNewChildInternal(newChild: Expression): StripHtml =
+    copy(child = newChild)
+  override def prettyName: String = "strip_html"
+}
+
 /** `gzip_compress(binary)` -> gzip-framed bytes (RFC 1952 via
   * java.util.zip.GZIPOutputStream) — the compressed-blob-column half
   * of reading real corpora (WARC records, compressed JSON fields)
@@ -765,6 +801,8 @@ object kernels {
 
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
+  def strip_html(s: Column): Column =
+    ColumnBridge.column(StripHtml(ColumnBridge.expression(s)))
   def gzip_compress(blob: Column): Column =
     ColumnBridge.column(GzipCompress(ColumnBridge.expression(blob)))
   def gzip_decompress(blob: Column): Column =

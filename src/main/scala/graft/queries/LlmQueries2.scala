@@ -1700,6 +1700,34 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Web-corpus text extraction: each document's text is wrapped in a
+    * realistic HTML shell (head/style/script elements, headings,
+    * paragraph tags, escaped entities) and `strip_html` recovers the
+    * visible text — script/style content dropped, tags to spaces,
+    * entities decoded post-strip with &amp; last, whitespace
+    * collapsed. The oracle builds the SAME shell in SQL and replays
+    * the exact regex/replace chain (RE2-compatible by construction),
+    * so the extraction semantics are pinned cross-engine. */
+  private[graft] def qHtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.kernels.strip_html
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 120).as("tt"))
+    val html = concat(
+      lit("<html><head><title>Doc</title><style>p { color: #000; }</style>" +
+        "</head><body><script type=\"text/javascript\">var x = \"<p>\";" +
+        "</script><h1>Doc &quot;"),
+      col("doc_id"),
+      lit("&quot;</h1>\n<p>"),
+      col("tt"),
+      lit("</p>\n<p>Tom &amp; Jerry &lt;3 &nbsp; &amp;amp; more</p></body></html>"))
+    d.select(col("doc_id"),
+        strip_html(html).as("clean"))
+      .select(col("doc_id"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(encode(col("clean"), "UTF-8")).as("digest"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Compressed-blob-column ingest: each document's text round-trips
     * through REAL gzip framing (RFC 1952 — the per-record compression
     * of WARC / compressed JSON fields), and a deliberately corrupted
@@ -1887,6 +1915,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_audio_bitdepths" -> (qAudioBitdepths _),
     "q_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q_gzip_roundtrip" -> (qGzipRoundtrip _),
+    "q_html_strip" -> (qHtmlStrip _),
     "q_png_palette_decode" -> (qPngPaletteDecode _),
     "q_image_pipeline" -> (qImagePipeline _),
     "q_audio_pcm" -> (qAudioPcm _),
@@ -1964,6 +1993,36 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |       CAST(MIN(v) AS BIGINT) AS px_min,
         |       CAST(MAX(v) AS BIGINT) AS px_max
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_html_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 120) AS tt
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc</title><style>p { color: #000; }</style>'
+        |    || '</head><body><script type="text/javascript">var x = "<p>";'
+        |    || '</script><h1>Doc &quot;' || doc_id || '&quot;</h1>' || chr(10)
+        |    || '<p>' || tt
+        |    || '</p>' || chr(10)
+        |    || '<p>Tom &amp; Jerry &lt;3 &nbsp; &amp;amp; more</p></body></html>'
+        |    AS html
+        |  FROM d),
+        |stripped AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(html,
+        |            '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+        |            ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |        '&quot;', '"'), '&#39;', CHR(39)), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+        |       md5(clean) AS digest
+        |FROM stripped ORDER BY doc_id""".stripMargin,
     "q_gzip_roundtrip" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_len,
         |       md5(text) AS digest, TRUE AS corrupt_is_null

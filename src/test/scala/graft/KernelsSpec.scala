@@ -250,6 +250,23 @@ class KernelsSpec extends SparkSpec {
     assert(got === ref)
   }
 
+  test("strip_html: script/style content dropped, entities decode after " +
+    "tags, double-escaped stays escaped, tags never glue words") {
+    def strip(s: String): String =
+      Seq(s).toDF("t").select(kernels.strip_html($"t")).head().getString(0)
+    assert(strip("<p>a</p><p>b</p>") === "a b",
+      "tag removal must not concatenate adjacent words")
+    assert(strip("<script>var s = '<p>hidden</p>';</script>visible") === "visible")
+    assert(strip("<STYLE type='x'>p{}</STYLE>ok") === "ok", "case-insensitive")
+    assert(strip("&lt;b&gt;not a tag&lt;/b&gt;") === "<b>not a tag</b>",
+      "escaped markup is TEXT — decoded, not stripped")
+    assert(strip("Tom &amp; Jerry") === "Tom & Jerry")
+    assert(strip("&amp;lt;") === "&lt;",
+      "double-escaped entity must survive single decode (&amp; last)")
+    assert(strip("  a\n\t b   c ") === "a b c")
+    assert(strip("<div\nclass='x'>multiline tag</div>") === "multiline tag")
+  }
+
   test("gzip blob column: roundtrip identity, corrupt -> null, bomb -> null") {
     val df = Seq("the corpus record body", "").toDF("t")
     val rt = df.select(

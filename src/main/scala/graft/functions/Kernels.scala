@@ -683,7 +683,11 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   * not a tag) with `&amp;` decoded LAST (so `&amp;lt;` yields `&lt;`,
   * not `<`), whitespace collapsed and trimmed. The web-corpus text
   * extraction step; the DuckDB oracle replays the exact same
-  * regex/replace chain, so the semantics are pinned cross-engine. */
+  * regex/replace chain, so the semantics are pinned cross-engine.
+  * (Regex matching is the parity choice; a document stuffed with
+  * unclosed `<script` openers degrades the non-greedy scan toward
+  * O(n²) in java.util.regex — cap input length upstream if that
+  * adversarial shape matters at corpus scale.) */
 case class StripHtml(child: Expression)
     extends UnaryExpression with CodegenFallback {
   // alternation, NOT a backreference: the oracle replays this pattern

@@ -69,8 +69,10 @@ final case class RetryingSchemaRegistry(inner: SchemaRegistryResolver,
     while (true) {
       try return inner.resolve(id)
       catch {
-        case e if attempt < attempts && !e.isInstanceOf[InterruptedException] =>
-          // linear backoff — bounded (attempts·backoff), interrupt-safe
+        case scala.util.control.NonFatal(_) if attempt < attempts =>
+          // linear backoff — bounded (attempts·backoff). NonFatal keeps
+          // interrupts AND VM errors (OOM, LinkageError) propagating
+          // immediately instead of being retried with backoff.
           if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
           attempt += 1
       }

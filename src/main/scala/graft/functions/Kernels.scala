@@ -631,8 +631,13 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       s"winnow_fingerprints expects string input, got $other")
   }
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // roll over Unicode CODE POINTS, not UTF-16 code units: the DuckDB
+    // oracle hashes per-character code points (ascii(substr(...))), and
+    // the two only agree if supplementary characters count as ONE gram
+    // element here too. Positions are code-point indices for the same
+    // reason (SQL substr is character-addressed).
+    val cp = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cp.length
     val nGrams = n - k + 1
     if (nGrams < w) return new GenericArrayData(Array.empty[Any])
     // B^(k−1) mod M, for the rolling eviction term
@@ -642,11 +647,11 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     val h = new Array[Long](nGrams)
     var cur = 0L
     i = 0
-    while (i < k) { cur = (cur * B + s.charAt(i)) % M; i += 1 }
+    while (i < k) { cur = (cur * B + cp(i)) % M; i += 1 }
     h(0) = cur
     var p = 1
     while (p < nGrams) {
-      cur = (((cur - s.charAt(p - 1) * bk1) % M + M) % M * B + s.charAt(p + k - 1)) % M
+      cur = (((cur - cp(p - 1).toLong * bk1) % M + M) % M * B + cp(p + k - 1)) % M
       h(p) = cur
       p += 1
     }

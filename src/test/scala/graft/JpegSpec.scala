@@ -354,4 +354,134 @@ class JpegSpec extends AnyFunSuite {
     val enc = Jpeg.encode(40, 24, blockConstant(40, 24, 11))
     assert(MediaHeaders.parse(enc) === Some(("jpeg", 40, 24)))
   }
+
+  // ---- JFIF YCbCr color transform (round-10) ----------------------
+
+  test("forwardYcc stays in [0,255] with NO clamp — all 8 RGB-cube " +
+    "corners plus a dense sweep") {
+    def check(r: Int, g: Int, b: Int): Unit = {
+      val p = Jpeg.forwardYcc(r, g, b)
+      val y = p & 0xff; val cb = (p >> 8) & 0xff; val cr = (p >> 16) & 0xff
+      // the packed fields being the full value (no wrap) is the claim:
+      // recompute unpacked and compare
+      assert((p & 0xff000000) == 0, s"overflow bits for ($r,$g,$b)")
+      assert(y >= 0 && y <= 255 && cb >= 0 && cb <= 255 && cr >= 0 && cr <= 255,
+        s"($r,$g,$b) -> ($y,$cb,$cr)")
+    }
+    for (r <- Seq(0, 255); g <- Seq(0, 255); b <- Seq(0, 255)) check(r, g, b)
+    for (r <- 0 to 255 by 5; g <- 0 to 255 by 5; b <- 0 to 255 by 5) check(r, g, b)
+  }
+
+  test("forwardYcc matches the real-valued JFIF matrix within rounding") {
+    for (r <- 0 to 255 by 7; g <- 0 to 255 by 11; b <- 0 to 255 by 13) {
+      val p = Jpeg.forwardYcc(r, g, b)
+      val y = p & 0xff; val cb = (p >> 8) & 0xff; val cr = (p >> 16) & 0xff
+      val yf = 0.299 * r + 0.587 * g + 0.114 * b
+      val cbf = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+      val crf = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+      assert(math.abs(y - yf) <= 1.0, s"Y for ($r,$g,$b)")
+      assert(math.abs(cb - math.min(255.0, cbf)) <= 1.0, s"Cb for ($r,$g,$b)")
+      assert(math.abs(cr - math.min(255.0, crf)) <= 1.0, s"Cr for ($r,$g,$b)")
+    }
+  }
+
+  test("transform-only round trip RGB -> YCbCr -> RGB within ±2 " +
+    "(rounding is the only loss)") {
+    val prop = Prop.forAll(Gen.choose(0, 255), Gen.choose(0, 255),
+      Gen.choose(0, 255)) { (r: Int, g: Int, b: Int) =>
+      val f = Jpeg.forwardYcc(r, g, b)
+      val i = Jpeg.inverseYcc(f & 0xff, (f >> 8) & 0xff, (f >> 16) & 0xff)
+      math.abs((i & 0xff) - r) <= 2 &&
+        math.abs(((i >> 8) & 0xff) - g) <= 2 &&
+        math.abs(((i >> 16) & 0xff) - b) <= 2
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("full JFIF pipeline on block-constant RGB: decodeToRgb equals the " +
+    "pinned transform composition EXACTLY (codec layer is identity)") {
+    for ((w, h, id) <- Seq((24, 16, 5L), (17, 13, 9L), (8, 8, 0L))) {
+      val rgb = new Array[Byte](3 * w * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val m = Seq((7L, 31L, 17L), (11L, 13L, 29L), (3L, 37L, 23L))(c)
+        rgb(3 * (y * w + x) + c) =
+          (((id * m._1 + (x / 8) * m._2 + (y / 8) * m._3) % 256 + 256) % 256).toByte
+      }
+      val Some((dw, dh, ch, got)) = Jpeg.decodeToRgb(Jpeg.encodeJfifRgb(w, h, rgb))
+      assert((dw, dh, ch) === (w, h, 3))
+      val expected = Jpeg.ycbcrToRgb(Jpeg.rgbToYcbcr(rgb))
+      assert(got.toSeq === expected.toSeq, s"${w}x$h id=$id")
+      // and the composition stays within the transform-only tolerance
+      for (k <- 0 until 3 * w * h)
+        assert(math.abs((got(k) & 0xff) - (rgb(k) & 0xff)) <= 2, s"px $k")
+    }
+  }
+
+  test("full JFIF pipeline on ARBITRARY RGB round-trips within tolerance " +
+    "(transform ±2 + codec ±2 amplified by inverse gains => ±8)") {
+    val gen = for {
+      w <- Gen.choose(1, 16)
+      h <- Gen.choose(1, 16)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (w, h, seed)
+    val prop = Prop.forAll(gen) { case (w, h, seed) =>
+      val rgb = new Array[Byte](3 * w * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        rgb(3 * (y * w + x) + c) = (((seed * 31 + x * 97L + y * 61L + c * 139L +
+          x * y * 13L) % 256 + 256) % 256).toByte
+      Jpeg.decodeToRgb(Jpeg.encodeJfifRgb(w, h, rgb)).exists {
+        case (dw, dh, ch, got) =>
+          dw == w && dh == h && ch == 3 && (0 until 3 * w * h).forall { k =>
+            math.abs((got(k) & 0xff) - (rgb(k) & 0xff)) <= 8
+          }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("decodeToRgb passes grayscale through unchanged (Y IS the plane)") {
+    val p = blockConstant(16, 16, 3L)
+    val Some((_, _, ch, got)) = Jpeg.decodeToRgb(Jpeg.encode(16, 16, p))
+    assert(ch === 1)
+    assert(got.toSeq === p.toSeq)
+  }
+
+  // ---- coding-mode triage (round-10) -------------------------------
+
+  test("kind(): baseline encodes classify as baseline, marker rewrites " +
+    "classify as their mode, and the fixture stays a parseable frame") {
+    val gray = Jpeg.encode(24, 16, blockConstant(24, 16, 1L))
+    val color = Jpeg.encodeJfifRgb(8, 8, Array.fill(192)(7.toByte))
+    assert(Jpeg.kind(gray) === "baseline")
+    assert(Jpeg.kind(color) === "baseline")
+    assert(Jpeg.kind(Jpeg.withSofMarker(gray, 0xc2)) === "progressive")
+    for (sof <- Seq(0xc9, 0xca, 0xcb, 0xcd, 0xce, 0xcf))
+      assert(Jpeg.kind(Jpeg.withSofMarker(gray, sof)) === "arithmetic", s"sof=$sof")
+    for (sof <- Seq(0xc1, 0xc3, 0xc5, 0xc6, 0xc7))
+      assert(Jpeg.kind(Jpeg.withSofMarker(gray, sof)) === "unsupported", s"sof=$sof")
+    // the SOF2-marked container still carries a valid frame header:
+    // the dimension parser reads it (SOF0/SOF2 share layout B.2.2)
+    assert(MediaHeaders.parse(Jpeg.withSofMarker(gray, 0xc2)) ===
+      Some(("jpeg", 24, 16)))
+  }
+
+  test("kind(): malformed / not_jpeg triage never throws") {
+    val gray = Jpeg.encode(24, 16, blockConstant(24, 16, 2L))
+    assert(Jpeg.kind(null) === "not_jpeg")
+    assert(Jpeg.kind(Array.empty[Byte]) === "not_jpeg")
+    assert(Jpeg.kind("plain text".getBytes("US-ASCII")) === "not_jpeg")
+    assert(Jpeg.kind(gray.take(2)) === "malformed") // bare SOI
+    assert(Jpeg.kind(gray.take(3)) === "malformed")
+    // every truncation classifies without throwing
+    for (n <- 0 to gray.length) Jpeg.kind(gray.take(n))
+    // a random byte-flip storm classifies without throwing
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 300) {
+      val b = gray.clone()
+      for (_ <- 0 to rnd.nextInt(4)) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Jpeg.kind(b)
+    }
+  }
 }

@@ -334,4 +334,33 @@ class KernelsSpec extends SparkSpec {
     assert(fp.length >= nGrams / w,
       s"too sparse: ${fp.length} fingerprints over $nGrams grams")
   }
+
+  test("winnowing hashes Unicode CODE POINTS, not UTF-16 units: " +
+    "supplementary characters count as one gram element (round-9 advice)") {
+    val (k, w) = (5, 4)
+    // 🙂 is U+1F642, a surrogate PAIR in UTF-16 — code-point iteration
+    // sees 26 elements here, code-unit iteration would see 27 and
+    // shift every gram after the emoji
+    val text = "ab🙂cd éfgh ijkl mnop qrst"
+    val cps = text.codePoints().toArray
+    assert(cps.length === text.length - 1, "fixture must contain a surrogate pair")
+    // direct replay of the documented kernel: base-257 rolling hash
+    // over code points, mod 2^31-1, w-window min with rightmost ties
+    val M = 2147483647L; val B = 257L
+    val nG = cps.length - k + 1
+    val h = Array.tabulate(nG) { p =>
+      (p until p + k).foldLeft(0L)((acc, i) => (acc * B + cps(i)) % M)
+    }
+    val expected = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+    for (st <- 0 to nG - w) {
+      var mi = st
+      for (j <- st + 1 until st + w) if (h(j) <= h(mi)) mi = j
+      expected += ((mi, h(mi)))
+    }
+    val got = Seq(text).toDF("t")
+      .select(kernels.winnow_fingerprints($"t", k, w).as("fp"))
+      .select(explode($"fp").as("f")).select($"f.pos", $"f.hash")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got === expected.toSet)
+  }
 }

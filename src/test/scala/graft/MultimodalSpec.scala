@@ -334,6 +334,47 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(0)), "hostile sizes must yield null")
   }
 
+  test("audio_stats: a 24-bit payload whose sum_sq exceeds int64 yields " +
+    "null, not a silently wrapped statistic (round-9 advice)") {
+    import graft.functions.media.audio_stats
+    // 140,000 full-rail 24-bit samples: sum_sq = 140000 * (2^23-1)^2
+    // ~= 9.85e18 > Long.MaxValue 9.22e18 -> the exact-int64 contract
+    // is unsatisfiable and AudioStats must say so loudly
+    def wav24(n: Int, sample: Int): Array[Byte] = {
+      val out = new Array[Byte](44 + 3 * n)
+      def le32(off: Int, v: Long): Unit = {
+        out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+        out(off + 2) = ((v >> 16) & 0xff).toByte
+        out(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def le16(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def ascii(off: Int, s: String): Unit =
+        for (i <- 0 until s.length) out(off + i) = s.charAt(i).toByte
+      ascii(0, "RIFF"); le32(4, 36L + 3 * n); ascii(8, "WAVE")
+      ascii(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+      le32(24, 16000); le32(28, 48000L); le16(32, 3); le16(34, 24)
+      ascii(36, "data"); le32(40, 3L * n)
+      for (t <- 0 until n) {
+        out(44 + 3 * t) = (sample & 0xff).toByte
+        out(44 + 3 * t + 1) = ((sample >> 8) & 0xff).toByte
+        out(44 + 3 * t + 2) = ((sample >> 16) & 0xff).toByte
+      }
+      out
+    }
+    val rail = (1 << 23) - 1
+    val overflowing = wav24(140000, rail)
+    val fine = wav24(1000, rail) // same rail, sum_sq ~7e16: exact
+    val rows = Seq(overflowing, fine).toDF("b")
+      .select(audio_stats($"b").as("s")).collect()
+    assert(rows(0).isNullAt(0), "overflowing sum_sq must yield null")
+    val ok = rows(1).getStruct(0)
+    assert(ok.getLong(0) === 1000L)
+    assert(ok.getLong(2) === 1000L * rail.toLong * rail.toLong)
+    assert(ok.getLong(5) === 1000L, "every sample sits at the rail")
+  }
+
   test("pixel/sample decoders are PERMISSIVE: non-matching payloads -> null") {
     import graft.functions.media.{audio_stats, image_downsample, image_stats}
     val junk = Seq(Array[Byte](1, 2, 3), "P5 broken".getBytes("US-ASCII"),

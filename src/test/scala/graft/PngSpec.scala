@@ -345,4 +345,47 @@ class PngSpec extends AnyFunSuite {
     val rebuilt = enc.take(8) ++ chunk("IHDR", ihdrData) ++ enc.drop(8 + 25)
     assert(Png.decode(rebuilt) === None)
   }
+
+  // ---- 16-bit depth (round-10) --------------------------------------
+
+  test("16-bit grayscale round-trips bit-exactly through all five filters " +
+    "(PNG is lossless at every depth)") {
+    for ((w, h, id) <- Seq((16, 12, 3L), (7, 9, 11L), (1, 1, 0L), (24, 6, 255L))) {
+      val samples = Array.tabulate(w * h) { k =>
+        val x = k % w; val y = k / w
+        (((id * 7 + x * 31L + y * 17L) % 65536 + 65536) % 65536).toInt
+      }
+      val enc = Png.encodeGray16(w, h, samples)
+      val Some((dw, dh, ch, bytes)) = Png.decode16(enc)
+      assert((dw, dh, ch) === (w, h, 1))
+      val got = Array.tabulate(w * h)(k =>
+        ((bytes(2 * k) & 0xff) << 8) | (bytes(2 * k + 1) & 0xff))
+      assert(got.toSeq === samples.toSeq, s"${w}x$h id=$id")
+    }
+  }
+
+  test("16-bit: full u16 dynamic range survives (0, 65535, and values " +
+    "whose high/low bytes collide with filter arithmetic)") {
+    val samples = Array(0, 65535, 0x0100, 0x00ff, 0x8080, 0x7f7f, 0xff00, 0x00aa, 0xaa00)
+    val Some((_, _, _, bytes)) = Png.decode16(Png.encodeGray16(3, 3, samples))
+    val got = Array.tabulate(9)(k =>
+      ((bytes(2 * k) & 0xff) << 8) | (bytes(2 * k + 1) & 0xff))
+    assert(got.toSeq === samples.toSeq)
+  }
+
+  test("decode16 and decodeFull are mutually exclusive gates: each depth " +
+    "rejects the other's containers, both stay permissive on fuzz") {
+    val enc8 = Png.encode(6, 6, px(6, 6)((x, y) => x * y))
+    val enc16 = Png.encodeGray16(6, 6, Array.tabulate(36)(_ * 1000))
+    assert(Png.decode16(enc8) === None)
+    assert(Png.decodeFull(enc16) === None)
+    assert(Png.decode16(null) === None)
+    for (n <- 0 to enc16.length) Png.decode16(enc16.take(n))
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 200) {
+      val b = enc16.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Png.decode16(b) // any Option is fine; a throw fails
+    }
+  }
 }

@@ -74,6 +74,39 @@ class SchemaRegistrySpec extends SparkSpec {
       s"expected 1 cached resolve for 200 rows, saw ${CountingRegistry.hits.get()}")
   }
 
+  test("positive cache under CONCURRENT partitions: 32 tasks, one id -> " +
+    "resolve count bounded by task concurrency (not rows), no torn state") {
+    // round-9 verdict #6: the one-partition case pins one-resolve-per-
+    // instance; this pins the MULTI-partition shape a real executor
+    // runs. SlowRegistry sleeps inside resolve to hold the stampede
+    // window open across all 32 local[32] task threads at once — the
+    // worst case for a putIfAbsent cache (every thread misses before
+    // any thread publishes). Safety claim: the cache may admit up to
+    // one resolve per concurrent task (bounded, fee-equivalent to the
+    // official client's per-thread warmup), NEVER one per row; and
+    // concurrent putIfAbsent publication is never torn — every one of
+    // the 6,400 rows decodes to its exact value.
+    SlowRegistry.calls.set(0)
+    val df = (1 to 6400).map(i => (s"o-$i", s"P-$i", i.toFloat))
+      .toDF("orderId", "product", "price")
+      .repartition(32)
+    val out = df.select(from_avro_confluent(
+        to_avro_confluent(struct($"orderId", $"product", $"price"),
+          Schemas.orderAvroJson, 9),
+        Schemas.orderAvroJson,
+        SlowRegistry(Map(9 -> Schemas.orderAvroJson))).as("d"))
+      .select($"d.orderId", $"d.product", $"d.price")
+      .collect()
+    assert(out.length === 6400)
+    // no torn state: every row's fields survive the concurrent decode
+    val byId = out.map(r => (r.getString(0), (r.getString(1), r.getFloat(2)))).toMap
+    for (i <- 1 to 6400)
+      assert(byId(s"o-$i") === ((s"P-$i", i.toFloat)), s"row $i")
+    val calls = SlowRegistry.calls.get()
+    assert(calls >= 1 && calls <= 32,
+      s"resolve count must be bounded by the 32 concurrent tasks, saw $calls")
+  }
+
   test("unknown ids yield null rows and re-resolve per call (live negative lookup)") {
     CountingRegistry.hits.set(0)
     val row = org.apache.spark.sql.catalyst.InternalRow(
@@ -184,6 +217,22 @@ final case class EventualRegistry(knownId: Int) extends SchemaRegistryResolver {
 object FlakyRegistry {
   val failuresLeft = new java.util.concurrent.atomic.AtomicInteger(0)
   val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Companion counter shared across closure-serialized copies. */
+object SlowRegistry {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** A registry that answers SLOWLY (50 ms) — holds the cache-miss
+  * window open so every concurrent task races the same id at once:
+  * the stampede worst case for the multi-partition cache spec. */
+final case class SlowRegistry(byId: Map[Int, String]) extends SchemaRegistryResolver {
+  override def resolve(id: Int): Option[String] = {
+    SlowRegistry.calls.incrementAndGet()
+    Thread.sleep(50)
+    byId.get(id)
+  }
 }
 
 /** A registry whose transport fails (throws) for the first

@@ -1220,4 +1220,67 @@ class StreamingSpec extends SparkSpec {
     assert(got === batchAssign)
     assert(got.size === 10)
   }
+
+  test("streaming grouped quantile: the bucket bracket survives checkpoint " +
+    "restart AND at-least-once redelivery (the MG twin's bound, for quantiles)") {
+    // round-9 verdict #8: HeavyHitters has a restart/redelivery-pinned
+    // streaming twin; this is the quantile counterpart. The histogram
+    // restored from RocksDB plus the redelivered folds must be ONE
+    // consistent fold of the DELIVERED multiset: total exactly equals
+    // delivered weight (reset -> too low, double-load -> too high),
+    // and the emitted median bucket brackets the true weighted median
+    // of everything delivered.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = tmpDir("graft-squant-ckpt")
+      val outDir = tmpDir("graft-squant-out")
+      val stream = MemoryStream[(Long, Long, Long)](spark)
+      val W = 16L
+      def startQuery() = graft.ops.StreamingQuantile.quantileStream(
+          spark, stream.toDS(), bucketWidth = W, quantiles = Seq((1L, 2L)))
+        .toDF("g", "pct", "lo", "hi", "total").writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      // run 1: group 7 gets values 0..39 weight 1 (median value 19,
+      // bucket 1 = [16, 32)), then KILL mid-stream
+      val q1 = startQuery()
+      val run1 = (0L until 40L).map(v => (7L, v, 1L))
+      stream.addData(run1: _*)
+      q1.processAllAvailable()
+      q1.stop() // state lives only in the checkpoint now
+      // run 2 from the same checkpoint: redeliver TEN of run 1's rows
+      // verbatim (values 30..39 — an at-least-once source rewound past
+      // its commit) plus a heavy new tail at value 100 that DRAGS the
+      // median into bucket 6 = [96, 112) iff the restored histogram
+      // and the redelivered+new folds combine into one multiset
+      val q2 = startQuery()
+      val redelivered = (30L until 40L).map(v => (7L, v, 1L))
+      val newTail = Seq((7L, 100L, 60L))
+      stream.addData(scala.util.Random.shuffle(redelivered ++ newTail): _*)
+      q2.processAllAvailable(); q2.stop()
+      // delivered multiset: 40 + 10 redelivered + weight-60 tail = 110
+      // total; median index 55 (1-based cum >= 55): cum through value
+      // 39 is 50 (40 + 10 dups with weight 1 each... values 30..39
+      // carry weight 2 now), so the 55th unit sits at value 100
+      val emitted = spark.read.parquet(outDir)
+      val last = emitted.filter($"g" === 7L).orderBy($"batch_id".desc).head()
+      assert(last.getLong(4) === 110L,
+        s"restored+redelivered total must equal delivered weight, got ${last.getLong(4)}")
+      assert(last.getLong(2) === 96L && last.getLong(3) === 112L,
+        s"median bracket must be [96,112), got [${last.getLong(2)},${last.getLong(3)})")
+      // batch ids continued across the restart (a resume, not a reset)
+      assert(emitted.select("batch_id").distinct().count() >= 2L)
+      // and run 1's own emission was right while it lived: median 19
+      // -> bucket [16, 32), total 40
+      val first = emitted.filter($"g" === 7L).orderBy($"batch_id".asc).head()
+      assert(first.getLong(4) === 40L && first.getLong(2) === 16L &&
+        first.getLong(3) === 32L)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

@@ -194,6 +194,18 @@ object Bench {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, fullLine.getBytes("UTF-8"))
+      // builder-owned copy (round-9 verdict "what's wrong" #1/#3):
+      // target/bench_full.json doubles as the DRIVER's scratch — its
+      // per-round run overwrites the builder's closing run, so audit
+      // artifacts citing it stop matching the file. Setting
+      // SPARK_GRAFT_BENCH_OUT (the builder's closing invocation does;
+      // the driver's does not) writes the same line to a path the
+      // driver never touches, which is then committed as the run the
+      // round's artifacts cite.
+      sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          fullLine.getBytes("UTF-8"))
+      }
     } catch { case _: Throwable => () }
     // The harness keeps only the last ~2000 chars of output and parses
     // the JSON line from that tail — with hundreds of queries the full

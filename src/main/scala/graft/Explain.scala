@@ -76,21 +76,33 @@ object Explain {
       // ~2 s at sf0.1 is flagged SLOW right in the table, so a new
       // query blowing the budget fails the builder's local review
       // loudly, the same way both-SF oracle gating already works.
-      val benchSecs: Map[String, Double] = {
-        val p = java.nio.file.Paths.get("target/bench_full.json")
-        if (!java.nio.file.Files.exists(p)) Map.empty
-        else {
+      // prefer the BUILDER-OWNED closing run (bench_closing.json,
+      // committed; the driver never writes it) over the driver-scratch
+      // target/bench_full.json, and stamp the run's own fingerprint
+      // (total + query count read from the file) into the header so
+      // the audit is self-identifying (round-9 verdict #7)
+      val benchSource = Seq("bench_closing.json", "target/bench_full.json")
+        .map(java.nio.file.Paths.get(_))
+        .find(java.nio.file.Files.exists(_))
+      var benchStamp = ""
+      val benchSecs: Map[String, Double] = benchSource match {
+        case None => Map.empty
+        case Some(p) =>
           val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val total = "\"value\":(-?[\\d.]+)".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse("?")
+          val n = "\"n_queries\":(\\d+)".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse("?")
+          benchStamp = s"$p, run fingerprint total=$total s over $n queries"
           "\"(q[\\w]+)\":(-?[\\d.]+)".r.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
       }
       // the doc-count single source of truth: SURVEY/BASELINE/README/
       // QUERIES.md counts are paste-verified against this by
       // DocCountSpec — regenerate them from here, never hand-edit
       println(s"queries: ${SparkEntry.queries.size}")
       if (benchSecs.nonEmpty)
-        println(s"bench column: target/bench_full.json (${benchSecs.size} queries); " +
+        println(s"bench column: $benchStamp; " +
           s"budget $BudgetSecs s/query advisory, $HardBudgetSecs s HARD " +
           s"(exempt iteration floors: ${FloorJustified.toSeq.sorted.mkString(", ")})")
       var slow = 0

@@ -197,7 +197,81 @@ object ScaleProbe {
     println(f"[kernels] heavy_hitters driver candidate set: <= 4096 entries by construction (treeAggregate MG merge)")
   }
 
+  /** `--media [blobs] [mults]`: measured decode throughput for the
+    * pure-JVM media codec family (round-9 verdict #5 — the family
+    * carries the multimodal 100 TB claim, so the claim gets a
+    * number). For each codec the probe times, distributed over all
+    * cores, (a) a synth-only pass (blob generation + byte-length sum)
+    * and (b) synth + REAL pixel decode + stats; the difference is the
+    * decode cost, reported as MB/s of container bytes and images/s,
+    * total and per core. Blob counts at 1× and 10× pin that decode
+    * scales linearly with blob count (per-row kernels, no shuffle —
+    * the embarrassingly-parallel shape). 128×96 frames: small-web-
+    * asset sized, large enough that per-row overhead is not the
+    * story. */
+  private def mediaMode(spark: SparkSession, baseBlobs: Long,
+      mults: Seq[Long], cores: Int): Unit = {
+    import org.apache.spark.sql.Column
+    import graft.functions.media._
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val W = lit(128); val H = lit(96)
+    val id = col("id")
+    val variants: Seq[(String, Column, Column => Column)] = Seq(
+      ("png_gray8", synth_png(id, W, H), b => png_stats(b).getField("px_sum")),
+      ("png_rgb8", synth_png_rgb(id, W, H), b => png_stats_rgb(b).getField("px_sum")),
+      ("png_gray16", synth_png16(id, W, H), b => png_stats16(b).getField("sample_sum")),
+      ("jpeg_gray", synth_jpeg(id, W, H), b => jpeg_stats(b).getField("px_sum")),
+      ("jpeg_ycbcr444", synth_jpeg_ycbcr(id, W, H),
+        b => jpeg_stats_ycbcr(b).getField("px_sum")),
+      ("jpeg_420", synth_jpeg_420(id, W, H),
+        b => jpeg_stats_rgb(b).getField("px_sum")),
+      ("gif_lzw", synth_gif(id, W, H), b => gif_stats(b).getField("px_sum")))
+    println(s"[media] base=$baseBlobs blobs of 128x96; cores=$cores; " +
+      s"multipliers=${mults.mkString(",")}")
+    variants.foreach { case (name, synth, stats) =>
+      def frame(n: Long) = spark.range(n).select(synth.as("b"))
+      // warmup: codegen + JIT for both passes at a small size
+      frame(200).select(sum(length(col("b")))).head()
+      frame(200).select(stats(col("b")).as("s")).select(sum(col("s"))).head()
+      mults.foreach { m =>
+        val n = baseBlobs * m
+        val bytes = frame(n).select(sum(length(col("b")))).head().getLong(0)
+        val tSynth = timed(frame(n).select(sum(length(col("b")))).head())
+        val tFull = timed(
+          frame(n).select(stats(col("b")).as("s")).select(sum(col("s"))).head())
+        val tDecode = math.max(1e-3, tFull - tSynth)
+        val mbs = bytes / 1e6 / tDecode
+        val ips = n / tDecode
+        println(f"[media] $name%-14s ${m}%2dx n=$n%8d  blob=${bytes / n}%6d B  " +
+          f"synth=$tSynth%6.2f s  full=$tFull%6.2f s  decode=$tDecode%6.2f s  " +
+          f"$mbs%8.1f MB/s  $ips%9.0f img/s  ${mbs / cores}%6.2f MB/s/core  " +
+          f"${ips / cores}%8.0f img/s/core")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--media")) {
+      val blobs = args.drop(1).headOption.map(_.toLong).getOrElse(20000L)
+      val mults = args.drop(2).headOption
+        .map(_.split(",").toSeq.map(_.trim.toLong)).getOrElse(Seq(1L, 10L))
+      require(mults.nonEmpty && mults == mults.sorted && mults.head >= 1,
+        s"multipliers must be ascending and >= 1, got $mults")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      mediaMode(spark, blobs, mults, cpus.toInt)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("--kernels")) {
       val rows = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
       val mults = args.drop(2).headOption

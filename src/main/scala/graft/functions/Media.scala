@@ -1819,22 +1819,44 @@ object Jpeg {
 
   private val C = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
   private val Cos = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  // the shared separable-pass matrix: HC(x)(u) = ½·C(u)·cos((2x+1)uπ/16).
+  // Both transforms below are two 8×8 multiplies by HC — the exact
+  // factorization of the A.3.3 double sums (0.25·C(u)C(v)·ΣΣ =
+  // Σ_v HC(y,v)·Σ_u HC(x,u)·…), which cuts the per-block arithmetic
+  // from 64·64 to 2·64·8 products (~8×). Reassociation only: the
+  // block-constant exactness contract survives because AC terms land
+  // within ~1e-13 of zero either way and quantization rounds them to
+  // 0, while DC lands within an ulp of its integer value — pinned by
+  // JpegSpec's bit-exact round-trips and the oracle gates.
+  private val HC = Array.tabulate(8, 8)((x, u) => 0.5 * C(u) * Cos(x)(u))
 
-  /** FDCT (A.3.3): s = 64 level-shifted samples (y·8+x) → S(v·8+u). */
+  /** FDCT (A.3.3, separable): s = 64 level-shifted samples (y·8+x) →
+    * S(v·8+u). */
   private def fdct(s: Array[Int]): Array[Double] = {
+    // rows: tmp(y,u) = Σ_x s(y,x)·HC(x,u)
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var sum = 0.0
+        var x = 0
+        while (x < 8) { sum += s(y * 8 + x) * HC(x)(u); x += 1 }
+        tmp(y * 8 + u) = sum
+        u += 1
+      }
+      y += 1
+    }
+    // cols: S(v,u) = Σ_y tmp(y,u)·HC(y,v)
     val out = new Array[Double](64)
     var v = 0
     while (v < 8) {
       var u = 0
       while (u < 8) {
         var sum = 0.0
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) { sum += s(y * 8 + x) * Cos(x)(u) * Cos(y)(v); x += 1 }
-          y += 1
-        }
-        out(v * 8 + u) = 0.25 * C(u) * C(v) * sum
+        var yy = 0
+        while (yy < 8) { sum += tmp(yy * 8 + u) * HC(yy)(v); yy += 1 }
+        out(v * 8 + u) = sum
         u += 1
       }
       v += 1
@@ -1842,25 +1864,34 @@ object Jpeg {
     out
   }
 
-  /** IDCT (A.3.3): dequantized S(v·8+u) → 64 samples (y·8+x), still
-    * level-shifted (caller adds 128 / rounds / clamps). */
+  /** IDCT (A.3.3, separable): dequantized S(v·8+u) → 64 samples
+    * (y·8+x), still level-shifted (caller adds 128 / rounds /
+    * clamps). */
   private def idct(coef: Array[Double]): Array[Double] = {
+    // rows: tmp(v,x) = Σ_u S(v,u)·HC(x,u)
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var u = 0
+        while (u < 8) { sum += coef(v * 8 + u) * HC(x)(u); u += 1 }
+        tmp(v * 8 + x) = sum
+        x += 1
+      }
+      v += 1
+    }
+    // cols: s(y,x) = Σ_v tmp(v,x)·HC(y,v)
     val out = new Array[Double](64)
     var y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
         var sum = 0.0
-        var v = 0
-        while (v < 8) {
-          var u = 0
-          while (u < 8) {
-            sum += C(u) * C(v) * coef(v * 8 + u) * Cos(x)(u) * Cos(y)(v)
-            u += 1
-          }
-          v += 1
-        }
-        out(y * 8 + x) = 0.25 * sum
+        var vv = 0
+        while (vv < 8) { sum += tmp(vv * 8 + x) * HC(y)(vv); vv += 1 }
+        out(y * 8 + x) = sum
         x += 1
       }
       y += 1

@@ -227,6 +227,8 @@ object ScaleProbe {
         b => jpeg_stats_ycbcr(b).getField("px_sum")),
       ("jpeg_420", synth_jpeg_420(id, W, H),
         b => jpeg_stats_rgb(b).getField("px_sum")),
+      ("jpeg_progressive", synth_jpeg_prog(id, W, H),
+        b => jpeg_stats_ycbcr(b).getField("px_sum")),
       ("gif_lzw", synth_gif(id, W, H), b => gif_stats(b).getField("px_sum")))
     println(s"[media] base=$baseBlobs blobs of 128x96; cores=$cores; " +
       s"multipliers=${mults.mkString(",")}")

@@ -1679,6 +1679,36 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** PROGRESSIVE JPEG decode (SOF2 — the mode most real web JPEGs
+    * use): the full JFIF pipeline through the progressive codec —
+    * spectral-selection scans (split luma bands), successive
+    * approximation (DC Al=1 + refinement, AC Al=2→1→0 refinements),
+    * EOB-run coding — then the pinned YCbCr→RGB inverse.
+    * Block-constant input keeps every layer exactly invertible, so
+    * the oracle replays the identical integer pipeline as
+    * q_jpeg_ycbcr; the AC-content paths are pinned separately by the
+    * progressive-equals-baseline coefficient property in JpegSpec. */
+  private[graft] def qJpegProgressive(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.media._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(32) + col("doc_id") % 16).cast("int").as("w"),
+        (lit(16) + col("doc_id") % 8).cast("int").as("h"))
+    d.select(col("doc_id"),
+        jpeg_stats_ycbcr(synth_jpeg_prog(col("doc_id"), col("w"), col("h"))).as("s"))
+      .select(col("doc_id"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.channels").cast("long").as("channels"),
+        col("s.px_sum").as("px_sum"),
+        col("s.r_sum").as("r_sum"),
+        col("s.g_sum").as("g_sum"),
+        col("s.b_sum").as("b_sum"),
+        col("s.px_min").cast("long").as("px_min"),
+        col("s.px_max").cast("long").as("px_max"))
+      .orderBy(col("doc_id"))
+  }
+
   /** JPEG coding-mode triage over a mixed corpus: baseline grayscale,
     * baseline YCbCr, progressive-marked (SOF2) and arithmetic-marked
     * (SOF9) containers, a truncated frame, and a non-JPEG payload —
@@ -1697,7 +1727,10 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     val base = synth_jpeg(col("doc_id"), col("w"), col("h"))
     val blob = when(col("mode") === 0, base)
       .when(col("mode") === 1, synth_jpeg_ycbcr(col("doc_id"), col("w"), col("h")))
-      .when(col("mode") === 2, jpeg_with_sof(base, 0xc2))
+      .when(col("mode") === 2, // a REAL progressive container now (the
+        // marker-rewrite fixture became redundant once the progressive
+        // encoder landed); kind() still reads it as "progressive"
+        synth_jpeg_prog(col("doc_id"), col("w"), col("h")))
       .when(col("mode") === 3,
         jpeg_with_sof(synth_jpeg_rgb(col("doc_id"), col("w"), col("h")), 0xc9))
       .when(col("mode") === 4, expr("substring(base_blob, 1, 3)"))
@@ -2048,6 +2081,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_jpeg_rgb_decode" -> (qJpegRgbDecode _),
     "q_jpeg_420_decode" -> (qJpeg420Decode _),
     "q_jpeg_ycbcr" -> (qJpegYcbcr _),
+    "q_jpeg_progressive" -> (qJpegProgressive _),
     "q_jpeg_triage" -> (qJpegTriage _),
     "q_warc_ingest" -> (qWarcIngest _),
     "q_png16_decode" -> (qPng16Decode _),
@@ -2378,6 +2412,46 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |        -- constants, so decode(encode(ycc)) = ycc; replay the
         |        -- pinned inverse (Jpeg.inverseYcc): +2^24 bias keeps
         |        -- numerators positive, clamp like every real decoder
+        |  SELECT doc_id, w, h,
+        |         LEAST(255, GREATEST(0, (y * 65536 + 91881 * (cr - 128)
+        |           + 32768 + 16777216) // 65536 - 256)) AS r2,
+        |         LEAST(255, GREATEST(0, (y * 65536 - 22554 * (cb - 128)
+        |           - 46802 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS g2,
+        |         LEAST(255, GREATEST(0, (y * 65536 + 116130 * (cb - 128)
+        |           + 32768 + 16777216) // 65536 - 256)) AS b2
+        |  FROM ycc)
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |       CAST(MIN(h) AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(SUM(r2 + g2 + b2) AS BIGINT) AS px_sum,
+        |       CAST(SUM(r2) AS BIGINT) AS r_sum,
+        |       CAST(SUM(g2) AS BIGINT) AS g_sum,
+        |       CAST(SUM(b2) AS BIGINT) AS b_sum,
+        |       CAST(MIN(LEAST(r2, g2, b2)) AS BIGINT) AS px_min,
+        |       CAST(MAX(GREATEST(r2, g2, b2)) AS BIGINT) AS px_max
+        |FROM rt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_jpeg_progressive" -> // same pinned transform pipeline as
+      // q_jpeg_ycbcr (the progressive codec layer is exactly identity
+      // on block constants, like the baseline layer), different dims
+      """WITH d AS (
+        |  SELECT doc_id, 32 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |rgb AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |         (d.doc_id * 7 + (gx.x // 8) * 31 + (gy.y // 8) * 17) % 256 AS r,
+        |         (d.doc_id * 11 + (gx.x // 8) * 13 + (gy.y // 8) * 29) % 256 AS g,
+        |         (d.doc_id * 3 + (gx.x // 8) * 37 + (gy.y // 8) * 23) % 256 AS b
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 47) AS gx(x)
+        |  CROSS JOIN generate_series(0, 23) AS gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h),
+        |ycc AS (
+        |  SELECT doc_id, w, h,
+        |         (19595 * r + 38470 * g + 7471 * b + 32768) // 65536 AS y,
+        |         (32768 * b - 11059 * r - 21709 * g + 8388608 + 32767) // 65536 AS cb,
+        |         (32768 * r - 27439 * g - 5329 * b + 8388608 + 32767) // 65536 AS cr
+        |  FROM rgb),
+        |rt AS (
         |  SELECT doc_id, w, h,
         |         LEAST(255, GREATEST(0, (y * 65536 + 91881 * (cr - 128)
         |           + 32768 + 16777216) // 65536 - 256)) AS r2,

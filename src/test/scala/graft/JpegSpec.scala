@@ -467,6 +467,101 @@ class JpegSpec extends AnyFunSuite {
       Some(("jpeg", 24, 16)))
   }
 
+  // ---- progressive mode (round-10) ----------------------------------
+
+  test("progressive decode equals BASELINE decode EXACTLY on arbitrary " +
+    "grayscale images (same quantized coefficients -> same pixels)") {
+    // the decisive cross-check: both pipelines share quantization and
+    // IDCT, so a progressive encoder/decoder bug pair can only cancel
+    // by reproducing the sequential pipeline's exact output
+    val gen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (w, h, seed)
+    val prop = Prop.forAll(gen) { case (w, h, seed) =>
+      val p = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w)
+        p(y * w + x) = (((seed * 31 + x * 97L + y * 61L + x * y * 13L) % 256
+          + 256) % 256).toByte
+      val base = Jpeg.decodeFull(Jpeg.encode(w, h, p))
+      val prog = Jpeg.decodeProgressive(Jpeg.encodeProgressive(w, h, p))
+      base.nonEmpty && prog.nonEmpty && {
+        val Some((bw2, bh2, bc, bp)) = base
+        val Some((pw2, ph2, pc, pp)) = prog
+        bw2 == pw2 && bh2 == ph2 && bc == pc && bp.toSeq == pp.toSeq
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("progressive decode equals baseline decode EXACTLY on arbitrary " +
+    "3-component images (every scan type: DC SA, split luma bands, " +
+    "chroma bands, all refinements)") {
+    val gen = for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 24)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (w, h, seed)
+    val prop = Prop.forAll(gen) { case (w, h, seed) =>
+      val p = new Array[Byte](3 * w * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        p(3 * (y * w + x) + c) = (((seed * 31 + x * 97L + y * 61L + c * 139L +
+          x * y * 13L) % 256 + 256) % 256).toByte
+      val base = Jpeg.decodeFull(Jpeg.encodeColor(w, h, p))
+      val prog = Jpeg.decodeProgressive(Jpeg.encodeProgressiveColor(w, h, p))
+      base.nonEmpty && prog.nonEmpty && {
+        val Some((_, _, _, bp)) = base
+        val Some((_, _, _, pp)) = prog
+        bp.toSeq == pp.toSeq
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("progressive: block-constant images round-trip bit-exactly, and " +
+    "the container classifies as progressive (a REAL SOF2 stream now)") {
+    for ((w, h, id) <- Seq((24, 16, 5L), (17, 13, 9L), (8, 8, 0L), (1, 1, 7L))) {
+      val p = blockConstant(w, h, id)
+      val enc = Jpeg.encodeProgressive(w, h, p)
+      assert(Jpeg.kind(enc) === "progressive")
+      assert(MediaHeaders.parse(enc) === Some(("jpeg", w, h)))
+      val Some((dw, dh, ch, dp)) = Jpeg.decodeProgressive(enc)
+      assert((dw, dh, ch) === (w, h, 1))
+      assert(dp.toSeq === p.toSeq, s"${w}x$h id=$id")
+    }
+  }
+
+  test("progressive JFIF pipeline: decodeToRgb dispatches on kind and " +
+    "matches the baseline JFIF pipeline exactly") {
+    val (w, h) = (24, 16)
+    val rgb = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      rgb(3 * (y * w + x) + c) =
+        (((7L * (c + 1) + (x / 8) * 31L + (y / 8) * 17L) % 256 + 256) % 256).toByte
+    val Some((_, _, _, viaBase)) = Jpeg.decodeToRgb(Jpeg.encodeJfifRgb(w, h, rgb))
+    val Some((_, _, _, viaProg)) = Jpeg.decodeToRgb(Jpeg.encodeProgressiveJfif(w, h, rgb))
+    assert(viaBase.toSeq === viaProg.toSeq)
+  }
+
+  test("progressive: truncations and byte flips never throw (permissive " +
+    "null like every decoder in the family)") {
+    val enc = Jpeg.encodeProgressiveColor(17, 13,
+      Array.tabulate(3 * 17 * 13)(k => (k * 37 % 256).toByte))
+    for (n <- 0 to enc.length) Jpeg.decodeProgressive(enc.take(n))
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 400) {
+      val b = enc.clone()
+      for (_ <- 0 to rnd.nextInt(4)) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Jpeg.decodeProgressive(b) // any Option outcome is fine; a throw fails
+    }
+    // baseline containers are not this decoder's job
+    assert(Jpeg.decodeProgressive(
+      Jpeg.encode(8, 8, blockConstant(8, 8, 1L))) === None)
+  }
+
   test("kind(): malformed / not_jpeg triage never throws") {
     val gray = Jpeg.encode(24, 16, blockConstant(24, 16, 2L))
     assert(Jpeg.kind(null) === "not_jpeg")

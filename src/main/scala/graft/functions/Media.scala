@@ -861,6 +861,24 @@ object Png {
     encodeCore(w, h, 0, 2, data, null, bitDepth = 16)
   }
 
+  /** Encode 16-bit RGB samples (interleaved triples, 0..65535 each) as
+    * a complete PNG (color type 2, bit depth 16): bpp = 6 through the
+    * byte-level filters. */
+  def encodeRgb16(w: Int, h: Int, samples: Array[Int]): Array[Byte] = {
+    require(samples.length == 3 * w * h,
+      s"encodeRgb16: dims ${w}x$h do not match ${samples.length} samples")
+    val data = new Array[Byte](2 * samples.length)
+    var k = 0
+    while (k < samples.length) {
+      val s = samples(k)
+      require(s >= 0 && s <= 0xffff, s"sample out of u16 range: $s")
+      data(2 * k) = ((s >> 8) & 0xff).toByte
+      data(2 * k + 1) = (s & 0xff).toByte
+      k += 1
+    }
+    encodeCore(w, h, 2, 6, data, null, bitDepth = 16)
+  }
+
   /** Encode 8-bit grayscale+alpha pixels (interleaved, 2·w·h bytes) as
     * a complete PNG (color type 4). */
   def encodeGrayAlpha(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
@@ -1818,8 +1836,38 @@ object Jpeg {
     out.result()
   }
   // decoder-side index: (length, code) → symbol
-  private def buildDecode(bits: Array[Int], vals: Array[Int]): Map[(Int, Int), Int] =
-    buildCodes(bits, vals).map { case (sym, (code, len)) => (len, code) -> sym }
+  /** Canonical Huffman DECODE tables per T.81 F.2.2.3 (mincode /
+    * maxcode / valptr arrays, 1-indexed by code length): symbol
+    * lookup is three array reads per emitted code instead of a
+    * HashMap probe per BIT — measured multiple-x on the whole JPEG
+    * decode path, which is Huffman-bound once the DCT is separable.
+    * maxcode(l) = -1 marks "no codes of this length" (every code
+    * compares greater, the walk continues). */
+  private[functions] final class HuffDecodeTable(bits: Array[Int], vals: Array[Int]) {
+    val mincode = new Array[Int](17)
+    val maxcode = Array.fill(17)(-1)
+    val valptr = new Array[Int](17)
+    val values: Array[Int] = vals
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valptr(l) = k
+          mincode(l) = code
+          code += bits(l - 1)
+          k += bits(l - 1)
+          maxcode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  private def buildDecode(bits: Array[Int], vals: Array[Int]): HuffDecodeTable =
+    new HuffDecodeTable(bits, vals)
 
   private val C = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
   private val Cos = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
@@ -2375,7 +2423,7 @@ object Jpeg {
 
   /** Per-scan-component decode tables + sampling factors. */
   private final case class CompTables(qt: Array[Int],
-      dcT: Map[(Int, Int), Int], acT: Map[(Int, Int), Int], h: Int, v: Int)
+      dcT: HuffDecodeTable, acT: HuffDecodeTable, h: Int, v: Int)
 
   /** Decode a baseline sequential JPEG with 1 or 3 components at 1×1
     * sampling (grayscale or interleaved 4:4:4): marker walk, DQT/DHT
@@ -2391,8 +2439,8 @@ object Jpeg {
     if (b == null || b.length < 4) return None
     if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     val qts = new Array[Array[Int]](4) // zigzag order, as stored in DQT
-    val dcTables = new Array[Map[(Int, Int), Int]](4)
-    val acTables = new Array[Map[(Int, Int), Int]](4)
+    val dcTables = new Array[HuffDecodeTable](4)
+    val acTables = new Array[HuffDecodeTable](4)
     var w = -1; var h = -1
     var ncomp = -1
     var qtSels: Array[Int] = null // per frame component
@@ -2526,7 +2574,7 @@ object Jpeg {
       nb -= 1
       (acc >> nb) & 1
     }
-    def decodeSym(t: Map[(Int, Int), Int]): Int = {
+    def decodeSym(t: HuffDecodeTable): Int = {
       var code = 0
       var len = 0
       while (len < 16) {
@@ -2534,10 +2582,8 @@ object Jpeg {
         if (bit < 0) return -1
         code = (code << 1) | bit
         len += 1
-        t.get((len, code)) match {
-          case Some(s) => return s
-          case None => ()
-        }
+        if (code <= t.maxcode(len))
+          return t.values(t.valptr(len) + code - t.mincode(len))
       }
       -1
     }
@@ -2983,8 +3029,8 @@ object Jpeg {
     def u8(i: Int): Int = b(i) & 0xff
     def be16i(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     val qts = new Array[Array[Int]](4)
-    val dcTables = new Array[Map[(Int, Int), Int]](4)
-    val acTables = new Array[Map[(Int, Int), Int]](4)
+    val dcTables = new Array[HuffDecodeTable](4)
+    val acTables = new Array[HuffDecodeTable](4)
     var w = -1; var h = -1; var ncomp = -1
     var qtSels: Array[Int] = null
     var restartInterval = 0
@@ -3061,8 +3107,8 @@ object Jpeg {
             val ns = u8(seg)
             if (ns < 1 || ns > ncomp || len != 6 + 2 * ns) return None
             val scanComps = new Array[Int](ns)
-            val scanDc = new Array[Map[(Int, Int), Int]](ns)
-            val scanAc = new Array[Map[(Int, Int), Int]](ns)
+            val scanDc = new Array[HuffDecodeTable](ns)
+            val scanAc = new Array[HuffDecodeTable](ns)
             var i = 0
             while (i < ns) {
               val cid = u8(seg + 1 + 2 * i)
@@ -3145,8 +3191,8 @@ object Jpeg {
     * Returns the stream position after the scan's entropy data (the
     * next marker's 0xFF), or -1 for anything malformed. */
   private def decodeProgressiveScan(b: Array[Byte], start: Int,
-      scanComps: Array[Int], scanDc: Array[Map[(Int, Int), Int]],
-      scanAc: Array[Map[(Int, Int), Int]], ss: Int, se: Int, ah: Int, al: Int,
+      scanComps: Array[Int], scanDc: Array[HuffDecodeTable],
+      scanAc: Array[HuffDecodeTable], ss: Int, se: Int, ah: Int, al: Int,
       coefs: Array[Array[Int]], dcPred: Array[Int], nBlocks: Int,
       restartInterval: Int): Int = {
     var pos = start
@@ -3174,16 +3220,14 @@ object Jpeg {
       }
       v
     }
-    def decodeSym(t: Map[(Int, Int), Int]): Int = {
+    def decodeSym(t: HuffDecodeTable): Int = {
       if (t == null) { bad = true; return -1 }
       var code = 0; var len = 0
       while (len < 16) {
         val bit = nextBit(); if (bit < 0) return -1
         code = (code << 1) | bit; len += 1
-        t.get((len, code)) match {
-          case Some(s) => return s
-          case None => ()
-        }
+        if (code <= t.maxcode(len))
+          return t.values(t.valptr(len) + code - t.mincode(len))
       }
       -1
     }
@@ -3738,6 +3782,93 @@ case class SynthJpegProg(first: Expression, second: Expression, third: Expressio
   override def prettyName: String = "synth_jpeg_prog"
 }
 
+/** `synth_png16_rgb(id, w, h)` -> a COMPLETE 16-bit RGB PNG (color
+  * type 2, depth 16): three full-u16-range channel congruences
+  * (id·7 + x·311 + y·173, id·11 + x·131 + y·293, id·3 + x·373 +
+  * y·233, all mod 65536) through the 6-byte filter offset. */
+case class SynthPng16Rgb(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"synth_png16_rgb expects (long id, int w, int h), got $other")
+    }
+  override def nullSafeEval(idA: Any, wA: Any, hA: Any): Any = {
+    val id = idA.asInstanceOf[Long]
+    val w = wA.asInstanceOf[Int]; val h = hA.asInstanceOf[Int]
+    require(w > 0 && h > 0 && w.toLong * h <= (1 << 20),
+      s"synth_png16_rgb dims out of range: ${w}x$h")
+    val samples = new Array[Int](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val k = 3 * (y * w + x)
+        samples(k) = (((id * 7 + x * 311L + y * 173L) % 65536 + 65536) % 65536).toInt
+        samples(k + 1) = (((id * 11 + x * 131L + y * 293L) % 65536 + 65536) % 65536).toInt
+        samples(k + 2) = (((id * 3 + x * 373L + y * 233L) % 65536 + 65536) % 65536).toInt
+        x += 1
+      }
+      y += 1
+    }
+    Png.encodeRgb16(w, h, samples)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): SynthPng16Rgb = copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_png16_rgb"
+}
+
+/** `png_stats16_rgb(png_binary)` -> struct(width, height, channels,
+  * n_px, s_sum, r_sum, g_sum, b_sum, s_min, s_max): exact integer
+  * statistics over the decoded 16-bit samples of a depth-16 PNG with
+  * PER-CHANNEL sums (channel = sample index mod channels; grayscale
+  * reports its plane in all three slots, the png_stats_rgb
+  * convention; for GA/RGBA the alpha plane lands in b_sum's successor
+  * channels and s_sum covers everything). Null for anything
+  * [[Png.decode16]] rejects. */
+case class PngStats16Rgb(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("channels", IntegerType), StructField("n_px", LongType),
+    StructField("s_sum", LongType), StructField("r_sum", LongType),
+    StructField("g_sum", LongType), StructField("b_sum", LongType),
+    StructField("s_min", IntegerType), StructField("s_max", IntegerType)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"png_stats16_rgb expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Png.decode16(input.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some((w, h, ch, bytes)) =>
+        val n = bytes.length / 2
+        var sum = 0L; var mn = 0x10000; var mx = -1
+        val cs = new Array[Long](4)
+        var k = 0
+        while (k < n) {
+          val s = ((bytes(2 * k) & 0xff) << 8) | (bytes(2 * k + 1) & 0xff)
+          sum += s
+          cs(k % ch) += s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          k += 1
+        }
+        if (ch == 1) { cs(1) = cs(0); cs(2) = cs(0) }
+        new GenericInternalRow(Array[Any](w, h, ch, w.toLong * h, sum,
+          cs(0), cs(1), cs(2), mn, mx))
+    }
+  override protected def withNewChildInternal(newChild: Expression): PngStats16Rgb =
+    copy(child = newChild)
+  override def prettyName: String = "png_stats16_rgb"
+}
+
 /** `jpeg_kind(binary)` -> coding-mode triage string ([[Jpeg.kind]]):
   * "baseline" / "progressive" / "arithmetic" / "unsupported" /
   * "malformed" / "not_jpeg". The routing step before decode in a
@@ -3899,4 +4030,9 @@ object media {
       ColumnBridge.expression(w), ColumnBridge.expression(h)))
   def png_stats16(blob: Column): Column =
     ColumnBridge.column(PngStats16(ColumnBridge.expression(blob)))
+  def synth_png16_rgb(id: Column, w: Column, h: Column): Column =
+    ColumnBridge.column(SynthPng16Rgb(ColumnBridge.expression(id),
+      ColumnBridge.expression(w), ColumnBridge.expression(h)))
+  def png_stats16_rgb(blob: Column): Column =
+    ColumnBridge.column(PngStats16Rgb(ColumnBridge.expression(blob)))
 }

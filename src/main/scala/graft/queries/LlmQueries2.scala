@@ -1793,6 +1793,59 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** 16-bit RGB PNG decode (color type 2, depth 16): three
+    * full-u16-range channel congruences through the 6-byte filter
+    * offset — per-channel sums catch a decoder that mixes the
+    * interleave or filters with the wrong left-neighbor distance. */
+  private[graft] def qPng16RgbDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.media._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(16) + col("doc_id") % 8).cast("int").as("w"),
+        (lit(12) + col("doc_id") % 4).cast("int").as("h"))
+    d.select(col("doc_id"),
+        png_stats16_rgb(synth_png16_rgb(col("doc_id"), col("w"), col("h"))).as("s"))
+      .select(col("doc_id"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.channels").cast("long").as("channels"),
+        col("s.s_sum").as("s_sum"),
+        col("s.r_sum").as("r_sum"),
+        col("s.g_sum").as("g_sum"),
+        col("s.b_sum").as("b_sum"),
+        col("s.s_min").cast("long").as("s_min"),
+        col("s.s_max").cast("long").as("s_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Container → text → corpus dedup, end to end: WARC blobs keyed on
+    * doc_id mod 7 (so distinct source files carry IDENTICAL records —
+    * the mirrored-crawl shape), split + parsed + stripped per
+    * partition, then EXACT duplicate detection across the whole
+    * corpus by grouping on the extracted text. The aggregation
+    * shuffles only (text, count) pairs — at 100 TB the text key would
+    * be its 16-byte digest (q_dedup_exact's convention); here the
+    * short synthetic text doubles as its own key so the oracle can
+    * replay it verbatim. */
+  private[graft] def qWarcDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.warc._
+    import graft.functions.kernels.strip_html
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), (col("doc_id") % 7).as("mirror_id"))
+      .select(col("doc_id"),
+        warc_records(synth_warc(col("mirror_id"),
+          (lit(3) + col("mirror_id") % 4).cast("int"), lit(false)))
+          .as(Seq("rec_idx", "warc_type", "target_uri", "content_length",
+            "payload", "ok")))
+    d.select(strip_html(col("payload").cast("string")).as("clean_text"),
+        col("doc_id"))
+      .groupBy(col("clean_text"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_source_files"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("clean_text"))
+  }
+
   /** WARC container ingest — the container layer of the web-corpus
     * pipeline: synth multi-member WARC blobs (one gzip member per
     * record, the Common-Crawl layout), split + inflate + CRC-verify
@@ -2084,7 +2137,9 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_jpeg_progressive" -> (qJpegProgressive _),
     "q_jpeg_triage" -> (qJpegTriage _),
     "q_warc_ingest" -> (qWarcIngest _),
+    "q_warc_dedup" -> (qWarcDedup _),
     "q_png16_decode" -> (qPng16Decode _),
+    "q_png16_rgb_decode" -> (qPng16RgbDecode _),
     "q_png_ga_decode" -> (qPngGaDecode _),
     "q_png_rgb_decode" -> (qPngRgbDecode _),
     "q_png_rgba_decode" -> (qPngRgbaDecode _),
@@ -2513,6 +2568,44 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |  FROM d WHERE corrupt)
         |SELECT * FROM (SELECT * FROM good UNION ALL SELECT * FROM bad)
         |ORDER BY doc_id, rec_idx""".stripMargin,
+    "q_warc_dedup" -> // replay record synthesis keyed on the MIRROR id
+      // (doc_id mod 7): identical texts across source files, counted
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 7 AS mid
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |recs AS (
+        |  SELECT d.doc_id, d.mid, gs.i,
+        |         'doc ' || d.mid || ' rec ' || gs.i || ' tok' ||
+        |           (d.mid * 31 + gs.i * 7) % 997 || ' & tail' AS clean_text
+        |  FROM d CROSS JOIN generate_series(0, 6) AS gs(i)
+        |  WHERE gs.i < 3 + d.mid % 4)
+        |SELECT clean_text, CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_source_files,
+        |       MIN(doc_id) AS first_doc
+        |FROM recs GROUP BY clean_text ORDER BY clean_text""".stripMargin,
+    "q_png16_rgb_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |         (d.doc_id * 7 + gx.x * 311 + gy.y * 173) % 65536 AS r,
+        |         (d.doc_id * 11 + gx.x * 131 + gy.y * 293) % 65536 AS g,
+        |         (d.doc_id * 3 + gx.x * 373 + gy.y * 233) % 65536 AS b
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 23) AS gx(x)
+        |  CROSS JOIN generate_series(0, 15) AS gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h)
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |       CAST(MIN(h) AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(SUM(r + g + b) AS BIGINT) AS s_sum,
+        |       CAST(SUM(r) AS BIGINT) AS r_sum,
+        |       CAST(SUM(g) AS BIGINT) AS g_sum,
+        |       CAST(SUM(b) AS BIGINT) AS b_sum,
+        |       CAST(MIN(LEAST(r, g, b)) AS BIGINT) AS s_min,
+        |       CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS s_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_png16_decode" ->
       """WITH d AS (
         |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 4 AS h

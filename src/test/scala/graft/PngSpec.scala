@@ -373,6 +373,16 @@ class PngSpec extends AnyFunSuite {
     assert(got.toSeq === samples.toSeq)
   }
 
+  test("16-bit RGB round-trips bit-exactly (6-byte filter offset)") {
+    val (w, h) = (9, 7)
+    val samples = Array.tabulate(3 * w * h)(k => (k * 6151 + 17) % 65536)
+    val Some((dw, dh, ch, bytes)) = Png.decode16(Png.encodeRgb16(w, h, samples))
+    assert((dw, dh, ch) === (w, h, 3))
+    val got = Array.tabulate(3 * w * h)(k =>
+      ((bytes(2 * k) & 0xff) << 8) | (bytes(2 * k + 1) & 0xff))
+    assert(got.toSeq === samples.toSeq)
+  }
+
   test("decode16 and decodeFull are mutually exclusive gates: each depth " +
     "rejects the other's containers, both stay permissive on fuzz") {
     val enc8 = Png.encode(6, 6, px(6, 6)((x, y) => x * y))

@@ -1793,6 +1793,55 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** G.711 telephony audio decode (µ-law and A-law, by doc parity):
+    * companded bytes expanded to linear PCM with the public ITU
+    * formulas — EXACT integer maps the oracle replays arithmetically
+    * (complement/xor, exponent-mantissa expansion, the inverted A-law
+    * sign convention) — then exact integer statistics. The
+    * speech-corpus feature-extraction step: most PSTN/VoIP audio at
+    * 100 TB is exactly this format. */
+  private[graft] def qAudioG711(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.audio._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(200) + col("doc_id") % 50).cast("int").as("n"),
+        expr("(doc_id div 25) % 2 = 1").as("alaw"))
+    d.select(col("doc_id"),
+        audio_stats_g711(synth_wav_g711(col("doc_id"), col("n"), col("alaw"))).as("s"))
+      .select(col("doc_id"), col("s.law").as("law"),
+        col("s.n_samples").as("n_samples"),
+        col("s.sum_abs").as("sum_abs"),
+        col("s.sum_sq").as("sum_sq"),
+        col("s.peak").cast("long").as("peak"),
+        col("s.zero_crossings").as("zero_crossings"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** WAV container triage over a six-mode mixed corpus (PCM 16/8/24,
+    * µ-law, A-law, non-WAV): wav_kind routes by format tag and PCM
+    * width WITHOUT decoding — the audio twin of q_jpeg_triage's
+    * dispatch step. */
+  private[graft] def qWavTriage(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.media._
+    import graft.functions.audio._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        expr("(doc_id div 25) % 6").cast("int").as("mode"),
+        (lit(40) + col("doc_id") % 20).cast("int").as("n"))
+    val blob = when(col("mode") === 0, synth_wav_pcm(col("doc_id"), col("n")))
+      .when(col("mode") === 1, synth_wav_bits(col("doc_id"), col("n"), 8))
+      .when(col("mode") === 2, synth_wav_bits(col("doc_id"), col("n"), 24))
+      .when(col("mode") === 3, synth_wav_g711(col("doc_id"), col("n"), lit(false)))
+      .when(col("mode") === 4, synth_wav_g711(col("doc_id"), col("n"), lit(true)))
+      .otherwise(concat(lit("just text ".getBytes),
+        col("doc_id").cast("string").cast("binary")))
+    d.select(col("doc_id"), wav_kind(blob).as("kind"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_blobs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("kind"))
+  }
+
   /** 16-bit RGB PNG decode (color type 2, depth 16): three
     * full-u16-range channel congruences through the 6-byte filter
     * offset — per-channel sums catch a decoder that mixes the
@@ -2140,6 +2189,8 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_warc_dedup" -> (qWarcDedup _),
     "q_png16_decode" -> (qPng16Decode _),
     "q_png16_rgb_decode" -> (qPng16RgbDecode _),
+    "q_audio_g711" -> (qAudioG711 _),
+    "q_wav_triage" -> (qWavTriage _),
     "q_png_ga_decode" -> (qPngGaDecode _),
     "q_png_rgb_decode" -> (qPngRgbDecode _),
     "q_png_rgba_decode" -> (qPngRgbaDecode _),
@@ -2568,6 +2619,61 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |  FROM d WHERE corrupt)
         |SELECT * FROM (SELECT * FROM good UNION ALL SELECT * FROM bad)
         |ORDER BY doc_id, rec_idx""".stripMargin,
+    "q_audio_g711" -> // replay the ITU G.711 expansions arithmetically:
+      // µ-law complement + exponent/mantissa, A-law xor-0x55 with the
+      // INVERTED sign convention (bit 7 set = positive)
+      """WITH d AS (
+        |  SELECT doc_id, 200 + doc_id % 50 AS n,
+        |         ((doc_id // 25) % 2 = 1) AS alaw
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |smp AS (
+        |  SELECT d.doc_id, d.alaw, gs.t,
+        |         (d.doc_id * 7919 + gs.t * 2654435761) % 256 AS byte
+        |  FROM d CROSS JOIN generate_series(0, 248) AS gs(t)
+        |  WHERE gs.t < d.n),
+        |lin AS (
+        |  SELECT doc_id, alaw, t,
+        |    CASE WHEN NOT alaw THEN ( -- u-law: u = ~code
+        |      CASE WHEN (255 - byte) >= 128 THEN -1 ELSE 1 END *
+        |      (((255 - byte) % 16 * 8 + 132) *
+        |        CASE ((255 - byte) // 16) % 8 WHEN 0 THEN 1 WHEN 1 THEN 2
+        |          WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32
+        |          WHEN 6 THEN 64 ELSE 128 END - 132))
+        |    ELSE ( -- A-law: a = code XOR 0x55, bit 7 set = POSITIVE
+        |      CASE WHEN xor(byte, 85) >= 128 THEN 1 ELSE -1 END *
+        |      CASE WHEN (xor(byte, 85) // 16) % 8 = 0
+        |        THEN xor(byte, 85) % 16 * 16 + 8
+        |        ELSE (xor(byte, 85) % 16 * 16 + 264) *
+        |          CASE (xor(byte, 85) // 16) % 8 WHEN 1 THEN 1 WHEN 2 THEN 2
+        |            WHEN 3 THEN 4 WHEN 4 THEN 8 WHEN 5 THEN 16 WHEN 6 THEN 32
+        |            ELSE 64 END END)
+        |    END AS s
+        |  FROM smp),
+        |lagged AS (
+        |  SELECT doc_id, alaw, s,
+        |         LAG(s) OVER (PARTITION BY doc_id ORDER BY t) AS prev
+        |  FROM lin)
+        |SELECT doc_id,
+        |       CASE WHEN MIN(alaw) THEN 'alaw' ELSE 'ulaw' END AS law,
+        |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+        |       CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+        |       CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+        |       CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS zero_crossings
+        |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_wav_triage" -> // mode -> kind is deterministic by construction
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id // 25) % 6 AS mode
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |k AS (
+        |  SELECT doc_id, CASE mode
+        |    WHEN 0 THEN 'pcm16' WHEN 1 THEN 'pcm8' WHEN 2 THEN 'pcm24'
+        |    WHEN 3 THEN 'ulaw' WHEN 4 THEN 'alaw' ELSE 'not_wav' END AS kind
+        |  FROM d)
+        |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_blobs,
+        |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM k GROUP BY kind ORDER BY kind""".stripMargin,
     "q_warc_dedup" -> // replay record synthesis keyed on the MIRROR id
       // (doc_id mod 7): identical texts across source files, counted
       """WITH d AS (

@@ -1842,6 +1842,31 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("kind"))
   }
 
+  /** ZIP container ingest — the third container of the family (gzip
+    * members, WARC, ZIP): central-directory-driven walk (EOCD → CD →
+    * per-entry local headers), deflate inflation with CRC32 + size
+    * verification. Corrupt docs get their FIRST entry's compressed
+    * bytes flipped: that entry nulls and the walk CONTINUES — the
+    * per-entry-isolation contrast to WARC's terminal member loss,
+    * because central-directory framing survives payload damage. The
+    * fixture writer (java.util.zip.ZipOutputStream) defers sizes to
+    * data descriptors, so a naive local-header walk would misframe
+    * every entry — the CD walk is load-bearing, not a style choice. */
+  private[graft] def qZipIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.zip.{synth_zip, zip_entries}
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(3) + col("doc_id") % 4).cast("int").as("n"),
+        expr("(doc_id div 25) % 4 = 3").as("corrupt"))
+    d.select(col("doc_id"),
+        zip_entries(synth_zip(col("doc_id"), col("n"), col("corrupt")))
+          .as(Seq("entry_idx", "name", "method", "usize", "payload", "ok")))
+      .select(col("doc_id"), col("entry_idx").cast("long").as("entry_idx"),
+        col("name"), col("method"), col("usize"),
+        col("payload").cast("string").as("text"), col("ok"))
+      .orderBy(col("doc_id"), col("entry_idx"))
+  }
+
   /** 16-bit RGB PNG decode (color type 2, depth 16): three
     * full-u16-range channel congruences through the 6-byte filter
     * offset — per-channel sums catch a decoder that mixes the
@@ -2191,6 +2216,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_png16_rgb_decode" -> (qPng16RgbDecode _),
     "q_audio_g711" -> (qAudioG711 _),
     "q_wav_triage" -> (qWavTriage _),
+    "q_zip_ingest" -> (qZipIngest _),
     "q_png_ga_decode" -> (qPngGaDecode _),
     "q_png_rgb_decode" -> (qPngRgbDecode _),
     "q_png_rgba_decode" -> (qPngRgbaDecode _),
@@ -2619,6 +2645,30 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |  FROM d WHERE corrupt)
         |SELECT * FROM (SELECT * FROM good UNION ALL SELECT * FROM bad)
         |ORDER BY doc_id, rec_idx""".stripMargin,
+    "q_zip_ingest" -> // replay entry synthesis; corrupt docs null THEIR
+      // FIRST entry only (per-entry isolation via the central directory)
+      """WITH d AS (
+        |  SELECT doc_id, 3 + doc_id % 4 AS n,
+        |         ((doc_id // 25) % 4 = 3) AS corrupt
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |e AS (
+        |  SELECT d.doc_id, gs.i AS entry_idx, d.corrupt,
+        |         repeat('entry ' || gs.i || ' of archive ' || d.doc_id ||
+        |           ' carries token ' || (d.doc_id * 13 + gs.i * 17) % 983 ||
+        |           ' and a tail line' || chr(10), 3) AS text
+        |  FROM d CROSS JOIN generate_series(0, 6) AS gs(i)
+        |  WHERE gs.i < d.n)
+        |SELECT doc_id, CAST(entry_idx AS BIGINT) AS entry_idx,
+        |       CASE WHEN corrupt AND entry_idx = 0 THEN NULL
+        |            ELSE 'doc-' || doc_id || '-' || entry_idx || '.txt' END AS name,
+        |       CASE WHEN corrupt AND entry_idx = 0 THEN NULL
+        |            ELSE 'deflate' END AS method,
+        |       CASE WHEN corrupt AND entry_idx = 0 THEN NULL
+        |            ELSE CAST(length(text) AS BIGINT) END AS usize,
+        |       CASE WHEN corrupt AND entry_idx = 0 THEN NULL
+        |            ELSE text END AS text,
+        |       NOT (corrupt AND entry_idx = 0) AS ok
+        |FROM e ORDER BY doc_id, entry_idx""".stripMargin,
     "q_audio_g711" -> // replay the ITU G.711 expansions arithmetically:
       // µ-law complement + exponent/mantissa, A-law xor-0x55 with the
       // INVERTED sign convention (bit 7 set = positive)

@@ -1867,6 +1867,53 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"), col("entry_idx"))
   }
 
+  /** USTAR archive ingest — the dataset-shard container (WebDataset
+    * tarballs, checkpoint releases): 512-byte headers with verified
+    * checksums, octal size framing, directory entries routed as
+    * metadata, payload blocks unpadded. Corrupt docs get their LAST
+    * file header's checksum damaged: everything before it extracts,
+    * then ONE terminal null row — tar's size field IS the framing, so
+    * the walk cannot honestly continue (the WARC semantics, contrast
+    * q_zip_ingest's per-entry isolation). */
+  private[graft] def qTarIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.tar.{synth_tar, tar_entries}
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(2) + col("doc_id") % 3).cast("int").as("n"),
+        expr("(doc_id div 25) % 5 = 4").as("corrupt"))
+    d.select(col("doc_id"),
+        tar_entries(synth_tar(col("doc_id"), col("n"), col("corrupt")))
+          .as(Seq("entry_idx", "name", "entry_type", "size", "payload", "ok")))
+      .select(col("doc_id"), col("entry_idx").cast("long").as("entry_idx"),
+        col("name"), col("entry_type"), col("size"),
+        col("payload").cast("string").as("text"), col("ok"))
+      .orderBy(col("doc_id"), col("entry_idx"))
+  }
+
+  /** 24-bit BMP decode: the bottom-up row flip and the BGR byte swap
+    * are the whole trap surface — per-channel congruence sums catch a
+    * reader that misses either (swapped channels or mirrored rows
+    * shift every sum). Lossless, oracle replays the congruences. */
+  private[graft] def qBmpDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.bmp._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(15) + col("doc_id") % 9).cast("int").as("w"), // odd widths: padding
+        (lit(12) + col("doc_id") % 4).cast("int").as("h"))
+    d.select(col("doc_id"),
+        bmp_stats_rgb(synth_bmp(col("doc_id"), col("w"), col("h"))).as("s"))
+      .select(col("doc_id"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.px_sum").as("px_sum"),
+        col("s.r_sum").as("r_sum"),
+        col("s.g_sum").as("g_sum"),
+        col("s.b_sum").as("b_sum"),
+        col("s.px_min").cast("long").as("px_min"),
+        col("s.px_max").cast("long").as("px_max"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 16-bit RGB PNG decode (color type 2, depth 16): three
     * full-u16-range channel congruences through the 6-byte filter
     * offset — per-channel sums catch a decoder that mixes the
@@ -2217,6 +2264,8 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_audio_g711" -> (qAudioG711 _),
     "q_wav_triage" -> (qWavTriage _),
     "q_zip_ingest" -> (qZipIngest _),
+    "q_tar_ingest" -> (qTarIngest _),
+    "q_bmp_decode" -> (qBmpDecode _),
     "q_png_ga_decode" -> (qPngGaDecode _),
     "q_png_rgb_decode" -> (qPngRgbDecode _),
     "q_png_rgba_decode" -> (qPngRgbaDecode _),
@@ -2645,6 +2694,63 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |  FROM d WHERE corrupt)
         |SELECT * FROM (SELECT * FROM good UNION ALL SELECT * FROM bad)
         |ORDER BY doc_id, rec_idx""".stripMargin,
+    "q_tar_ingest" -> // dir entry + files; corrupt docs lose the LAST
+      // file to a checksum failure -> terminal null row at index n
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS n,
+        |         ((doc_id // 25) % 5 = 4) AS corrupt
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |dirs AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS entry_idx,
+        |         'data-' || doc_id || '/' AS name, 'dir' AS entry_type,
+        |         CAST(0 AS BIGINT) AS size, CAST(NULL AS VARCHAR) AS text,
+        |         TRUE AS ok
+        |  FROM d),
+        |files AS (
+        |  SELECT d.doc_id, CAST(gs.i + 1 AS BIGINT) AS entry_idx,
+        |         'data-' || d.doc_id || '/part-' || gs.i || '.txt' AS name,
+        |         'file' AS entry_type,
+        |         CAST(length(repeat('shard ' || gs.i || ' of tar ' ||
+        |           d.doc_id || ' holds sample ' ||
+        |           (d.doc_id * 19 + gs.i * 23) % 911 || chr(10), 4))
+        |           AS BIGINT) AS size,
+        |         repeat('shard ' || gs.i || ' of tar ' || d.doc_id ||
+        |           ' holds sample ' || (d.doc_id * 19 + gs.i * 23) % 911 ||
+        |           chr(10), 4) AS text,
+        |         TRUE AS ok
+        |  FROM d CROSS JOIN generate_series(0, 4) AS gs(i)
+        |  WHERE gs.i < d.n - CASE WHEN d.corrupt THEN 1 ELSE 0 END),
+        |bad AS (
+        |  SELECT doc_id, CAST(n AS BIGINT) AS entry_idx,
+        |         CAST(NULL AS VARCHAR) AS name, CAST(NULL AS VARCHAR) AS entry_type,
+        |         CAST(NULL AS BIGINT) AS size, CAST(NULL AS VARCHAR) AS text,
+        |         FALSE AS ok
+        |  FROM d WHERE corrupt)
+        |SELECT * FROM (SELECT * FROM dirs UNION ALL SELECT * FROM files
+        |  UNION ALL SELECT * FROM bad)
+        |ORDER BY doc_id, entry_idx""".stripMargin,
+    "q_bmp_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 15 + doc_id % 9 AS w, 12 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |         (d.doc_id * 7 + gx.x * 31 + gy.y * 17) % 256 AS r,
+        |         (d.doc_id * 11 + gx.x * 13 + gy.y * 29) % 256 AS g,
+        |         (d.doc_id * 3 + gx.x * 37 + gy.y * 23) % 256 AS b
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 23) AS gx(x)
+        |  CROSS JOIN generate_series(0, 15) AS gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h)
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |       CAST(MIN(h) AS BIGINT) AS height,
+        |       CAST(SUM(r + g + b) AS BIGINT) AS px_sum,
+        |       CAST(SUM(r) AS BIGINT) AS r_sum,
+        |       CAST(SUM(g) AS BIGINT) AS g_sum,
+        |       CAST(SUM(b) AS BIGINT) AS b_sum,
+        |       CAST(MIN(LEAST(r, g, b)) AS BIGINT) AS px_min,
+        |       CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_zip_ingest" -> // replay entry synthesis; corrupt docs null THEIR
       // FIRST entry only (per-entry isolation via the central directory)
       """WITH d AS (

@@ -1867,6 +1867,58 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"), col("entry_idx"))
   }
 
+  /** Aho–Corasick keyword scan: ONE pass per document counts every
+    * occurrence of a six-term dictionary simultaneously (end-position
+    * semantics, overlaps included) — the blocklist / PII-term /
+    * contamination-probe primitive whose per-pattern-scan alternative
+    * costs a pass per term. The oracle replays counts positionally
+    * (substr over every start position), so the automaton's
+    * goto/fail/output transitions are value-verified against the
+    * naive definition. */
+  private[graft] def qKeywordScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.matching.multi_match_counts
+    val pats = Seq("data", "the", "ing", "tion", "ent", "model")
+    val d = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 400).as("t"))
+    d.select(col("doc_id"),
+        posexplode(multi_match_counts(col("t"), pats)).as(Seq("pat_idx", "cnt")))
+      .select(col("doc_id"), col("pat_idx").cast("long").as("pat_idx"),
+        col("cnt"))
+      .orderBy(col("doc_id"), col("pat_idx"))
+  }
+
+  /** URL parse + normalization over a five-mode synthesized corpus
+    * (mixed-case scheme/host with default https port, http:80,
+    * explicit non-default port with empty path, ftp, malformed):
+    * the pinned RFC 3986 subset with the web-corpus normalization
+    * rules (lowercase scheme/host, drop default ports, empty path →
+    * "/", strip fragment, query kept byte-exact) — the step before
+    * host-level grouping and URL-level dedup. The oracle knows every
+    * component by construction. */
+  private[graft] def qUrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.url.url_parse
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), expr("(doc_id div 25) % 5").cast("int").as("mode"))
+    val u = when(col("mode") === 0,
+        concat(lit("HTTPS://Example"), col("doc_id"), lit(".Test:443/Path/To/"),
+          col("doc_id"), lit("?b=2&a="), col("doc_id"), lit("#frag")))
+      .when(col("mode") === 1,
+        concat(lit("http://mirror"), col("doc_id"), lit(".example.org:80/index.html")))
+      .when(col("mode") === 2,
+        concat(lit("http://files"), col("doc_id"), lit(".example.net:8080")))
+      .when(col("mode") === 3,
+        concat(lit("ftp://archive"), col("doc_id"), lit(".example/pub/data-"),
+          col("doc_id"), lit(".bin")))
+      .otherwise(concat(lit("not a url at all "), col("doc_id")))
+    d.select(col("doc_id"), url_parse(u).as("s"))
+      .select(col("doc_id"),
+        col("s.scheme").as("scheme"), col("s.host").as("host"),
+        col("s.port").cast("long").as("port"), col("s.path").as("path"),
+        col("s.query").as("query"), col("s.fragment").as("fragment"),
+        col("s.normalized").as("normalized"))
+      .orderBy(col("doc_id"))
+  }
+
   /** USTAR archive ingest — the dataset-shard container (WebDataset
     * tarballs, checkpoint releases): 512-byte headers with verified
     * checksums, octal size framing, directory entries routed as
@@ -2266,6 +2318,8 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_zip_ingest" -> (qZipIngest _),
     "q_tar_ingest" -> (qTarIngest _),
     "q_bmp_decode" -> (qBmpDecode _),
+    "q_keyword_scan" -> (qKeywordScan _),
+    "q_url_normalize" -> (qUrlNormalize _),
     "q_png_ga_decode" -> (qPngGaDecode _),
     "q_png_rgb_decode" -> (qPngRgbDecode _),
     "q_png_rgba_decode" -> (qPngRgbaDecode _),
@@ -2694,6 +2748,49 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |  FROM d WHERE corrupt)
         |SELECT * FROM (SELECT * FROM good UNION ALL SELECT * FROM bad)
         |ORDER BY doc_id, rec_idx""".stripMargin,
+    "q_keyword_scan" -> // the naive positional definition of
+      // all-occurrence counts, replayed per (doc, pattern, position)
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 400) AS t
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |pats(idx, pat) AS (VALUES (0, 'data'), (1, 'the'), (2, 'ing'),
+        |  (3, 'tion'), (4, 'ent'), (5, 'model'))
+        |SELECT d.doc_id, CAST(pats.idx AS BIGINT) AS pat_idx,
+        |       CAST(SUM(CASE WHEN gp.p + length(pats.pat) - 1 <= length(d.t)
+        |         AND substr(d.t, gp.p, length(pats.pat)) = pats.pat
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+        |FROM d CROSS JOIN pats
+        |CROSS JOIN generate_series(1, 400) AS gp(p)
+        |GROUP BY d.doc_id, pats.idx
+        |ORDER BY d.doc_id, pat_idx""".stripMargin,
+    "q_url_normalize" -> // components known by construction per mode
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id // 25) % 5 AS mode
+        |  FROM documents WHERE doc_id % 25 = 0)
+        |SELECT doc_id,
+        |  CASE mode WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http'
+        |    WHEN 2 THEN 'http' WHEN 3 THEN 'ftp' END AS scheme,
+        |  CASE mode WHEN 0 THEN 'Example' || doc_id || '.Test'
+        |    WHEN 1 THEN 'mirror' || doc_id || '.example.org'
+        |    WHEN 2 THEN 'files' || doc_id || '.example.net'
+        |    WHEN 3 THEN 'archive' || doc_id || '.example' END AS host,
+        |  CASE mode WHEN 0 THEN 443 WHEN 1 THEN 80 WHEN 2 THEN 8080
+        |    WHEN 3 THEN -1 END AS port,
+        |  CASE mode WHEN 0 THEN '/Path/To/' || doc_id
+        |    WHEN 1 THEN '/index.html' WHEN 2 THEN ''
+        |    WHEN 3 THEN '/pub/data-' || doc_id || '.bin' END AS path,
+        |  CASE mode WHEN 0 THEN 'b=2&a=' || doc_id
+        |    WHEN 1 THEN '' WHEN 2 THEN '' WHEN 3 THEN '' END AS query,
+        |  CASE mode WHEN 0 THEN 'frag'
+        |    WHEN 1 THEN '' WHEN 2 THEN '' WHEN 3 THEN '' END AS fragment,
+        |  CASE mode
+        |    WHEN 0 THEN 'https://example' || doc_id || '.test/Path/To/' ||
+        |      doc_id || '?b=2&a=' || doc_id
+        |    WHEN 1 THEN 'http://mirror' || doc_id || '.example.org/index.html'
+        |    WHEN 2 THEN 'http://files' || doc_id || '.example.net:8080/'
+        |    WHEN 3 THEN 'ftp://archive' || doc_id || '.example/pub/data-' ||
+        |      doc_id || '.bin' END AS normalized
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_tar_ingest" -> // dir entry + files; corrupt docs lose the LAST
       // file to a checksum failure -> terminal null row at index n
       """WITH d AS (

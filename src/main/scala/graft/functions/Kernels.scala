@@ -786,7 +786,54 @@ case class GzipDecompress(child: Expression)
   override def prettyName: String = "gzip_decompress"
 }
 
+/** `sign_sketch(vec)` -> struct(lo, hi): the 64 sign bits of an
+  * embedding packed into two longs (bit i of `lo` = dim i of the
+  * first 32 dims is STRICTLY positive; `hi` covers dims 32..63) — the
+  * binary-quantization sketch behind Hamming-space near-duplicate
+  * search: 64 dims collapse to 16 bytes of shuffle per vector, and
+  * Hamming distance (bit_count(lo⊕lo') + bit_count(hi⊕hi')) tracks
+  * angular distance for random-ish vectors (the SimHash principle
+  * with identity hyperplanes). Two halves rather than one long so the
+  * DuckDB oracle can pack the same bits without 1<<63 signed-overflow
+  * ambiguity. Exactly 64 dims required — the sketch is a fixed-width
+  * contract, not a best-effort hash; null for null/short vectors. */
+case class SignSketch(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("lo", LongType, nullable = false),
+    StructField("hi", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sign_sketch expects array<float|double>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != 64) return null
+    val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    var lo = 0L; var hi = 0L
+    var i = 0
+    while (i < 64) {
+      if (arr.isNullAt(i)) return null
+      val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      if (v > 0) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lo, hi))
+  }
+  override protected def withNewChildInternal(newChild: Expression): SignSketch =
+    copy(child = newChild)
+  override def prettyName: String = "sign_sketch"
+}
+
 object kernels {
+  def sign_sketch(vec: Column): Column =
+    ColumnBridge.column(SignSketch(ColumnBridge.expression(vec)))
   def word_shingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), k))
   def fixed_point_dot(a: Column, b: Column): Column =

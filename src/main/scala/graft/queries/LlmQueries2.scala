@@ -1867,6 +1867,36 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"), col("entry_idx"))
   }
 
+  /** Binary-quantized similarity search: embeddings collapse to the
+    * 64 sign bits (sign_sketch — 16 bytes/vector instead of 256, the
+    * SimHash principle with identity hyperplanes), probes broadcast,
+    * and the top-5 Hamming neighbors per probe come from ONE corpus
+    * scan with two xor+popcount ops per candidate — the cheap first
+    * stage of the binary-rerank ANN pattern (the float rerank stage is
+    * q_cosine_topk). The oracle packs the same bits (two 32-bit
+    * halves — no 1<<63 signed ambiguity) and replays the distances,
+    * so the sketch layout and the Hamming math are value-verified.
+    * Ties broken by vec_id for cross-engine determinism. */
+  private[graft] def qHammingTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.kernels.sign_sketch
+    import org.apache.spark.sql.expressions.Window
+    val sk = t(s, dir, "embeddings")
+      .select(col("vec_id"), sign_sketch(col("embedding")).as("sk"))
+      .select(col("vec_id"), col("sk.lo").as("lo"), col("sk.hi").as("hi"))
+    val probes = sk.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("probe_id"), col("lo").as("plo"), col("hi").as("phi"))
+    sk.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        expr("bit_count(lo ^ plo) + bit_count(hi ^ phi)").as("hamming"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("hamming"), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Aho–Corasick keyword scan: ONE pass per document counts every
     * occurrence of a six-term dictionary simultaneously (end-position
     * semantics, overlaps included) — the blocklist / PII-term /
@@ -2320,6 +2350,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_bmp_decode" -> (qBmpDecode _),
     "q_keyword_scan" -> (qKeywordScan _),
     "q_url_normalize" -> (qUrlNormalize _),
+    "q_hamming_topk" -> (qHammingTopk _),
     "q_png_ga_decode" -> (qPngGaDecode _),
     "q_png_rgb_decode" -> (qPngRgbDecode _),
     "q_png_rgba_decode" -> (qPngRgbaDecode _),
@@ -2748,6 +2779,34 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |  FROM d WHERE corrupt)
         |SELECT * FROM (SELECT * FROM good UNION ALL SELECT * FROM bad)
         |ORDER BY doc_id, rec_idx""".stripMargin,
+    "q_hamming_topk" -> // pack the same sign bits as two 32-bit
+      // halves, replay xor+popcount distances and the ranked top-5
+      """WITH v AS (
+        |  SELECT vec_id, embedding FROM embeddings),
+        |g AS (
+        |  SELECT v.vec_id, gs.i,
+        |         CASE WHEN embedding[gs.i] > 0 THEN 1 ELSE 0 END AS b
+        |  FROM v CROSS JOIN generate_series(1, 64) AS gs(i)),
+        |s AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN i <= 32 AND b = 1 THEN (1::BIGINT << (i - 1))
+        |        ELSE 0 END) AS lo,
+        |    SUM(CASE WHEN i > 32 AND b = 1 THEN (1::BIGINT << (i - 33))
+        |        ELSE 0 END) AS hi
+        |  FROM g GROUP BY vec_id),
+        |d AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+        |         bit_count(xor(p.lo, c.lo)) + bit_count(xor(p.hi, c.hi)) AS h
+        |  FROM s p JOIN s c ON c.vec_id != p.vec_id
+        |  WHERE p.vec_id % 97 = 0),
+        |r AS (
+        |  SELECT probe_id, vec_id, h,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id
+        |           ORDER BY h, vec_id) AS rank
+        |  FROM d)
+        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id,
+        |       CAST(h AS BIGINT) AS hamming
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "q_keyword_scan" -> // the naive positional definition of
       // all-occurrence counts, replayed per (doc, pattern, position)
       """WITH d AS (

@@ -335,6 +335,32 @@ class KernelsSpec extends SparkSpec {
       s"too sparse: ${fp.length} fingerprints over $nGrams grams")
   }
 
+  test("sign_sketch: bit placement, strict-positive rule, fixed-width " +
+    "contract (null for short vectors)") {
+    // dim 0 -> lo bit 0, dim 31 -> lo bit 31, dim 32 -> hi bit 0,
+    // dim 63 -> hi bit 31; zero and negative dims contribute 0 bits
+    val v = Array.tabulate(64)(i =>
+      if (i == 0 || i == 31 || i == 32 || i == 63) 1.0f
+      else if (i == 5) 0.0f else -0.25f)
+    val row = Seq(Tuple1(v)).toDF("e")
+      .select(kernels.sign_sketch($"e").as("s"))
+      .select($"s.lo", $"s.hi").head()
+    assert(row.getLong(0) === ((1L << 0) | (1L << 31)))
+    assert(row.getLong(1) === ((1L << 0) | (1L << 31)))
+    val short = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("e")
+      .select(kernels.sign_sketch($"e")).head()
+    assert(short.isNullAt(0), "non-64-dim vectors violate the contract -> null")
+    // hamming via the packed halves equals the per-dim sign diff count
+    val a = Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val b = Array.tabulate(64)(i => if (i % 5 == 0) 1.0f else -1.0f)
+    val rows = Seq((a, b)).toDF("a", "b")
+      .select(kernels.sign_sketch($"a").as("sa"), kernels.sign_sketch($"b").as("sb"))
+      .select(expr("bit_count(sa.lo ^ sb.lo) + bit_count(sa.hi ^ sb.hi)"))
+      .head().getInt(0)
+    val expected = (0 until 64).count(i => (i % 3 == 0) != (i % 5 == 0))
+    assert(rows === expected)
+  }
+
   test("winnowing hashes Unicode CODE POINTS, not UTF-16 units: " +
     "supplementary characters count as one gram element (round-9 advice)") {
     val (k, w) = (5, 4)

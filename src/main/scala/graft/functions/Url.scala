@@ -53,8 +53,12 @@ object Url {
     val si = s.indexOf("://")
     if (si <= 0) return None
     val scheme = s.substring(0, si)
-    if (!scheme.head.isLetter ||
-      !scheme.forall(c => c.isLetterOrDigit || c == '+' || c == '-' || c == '.'))
+    // RFC 3986 scheme chars are ASCII only — Char.isLetter would admit
+    // Unicode letters ("héttp://…") the spec rejects
+    def alpha(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    if (!alpha(scheme.head) ||
+      !scheme.forall(c => alpha(c) || (c >= '0' && c <= '9') ||
+        c == '+' || c == '-' || c == '.'))
       return None
     val rest = s.substring(si + 3)
     var authEnd = rest.length

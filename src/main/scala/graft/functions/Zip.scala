@@ -130,13 +130,16 @@ object Zip {
           }
           if (got != res.length) return None
           // the stream must also END here (a longer stream than the
-          // declared usize is a framing lie)
+          // declared usize is a framing lie)...
           if (!inf.finished()) {
             val probe = new Array[Byte](1)
             val k = try inf.inflate(probe)
             catch { case _: java.util.zip.DataFormatException => return None }
             if (k > 0) return None
           }
+          // ...and must CONSUME exactly csize (trailing bytes inside
+          // the declared compressed span are the symmetric lie)
+          if (inf.getRemaining != 0) return None
           res
         } finally inf.end()
       case _ => return None // other methods: unsupported

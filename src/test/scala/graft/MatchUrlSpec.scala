@@ -61,7 +61,8 @@ class MatchUrlSpec extends SparkSpec {
   test("url malformed inputs are null, never a throw") {
     val bad = Seq("", "no-scheme.example/x", "http//missing.colon", "://nohost",
       "http://", "http://user@host/secret", "http://h:99999/", "http://h:2x/",
-      "1http://h/", "http://:8080/")
+      "1http://h/", "http://:8080/",
+      "héttp://h/x") // RFC 3986 schemes are ASCII: Unicode letters reject
     for (u <- bad) assert(Url.parse(u) === None, u)
     val out = (bad :+ "http://ok.example/fine").toDF("u")
       .select(url.url_parse($"u").as("s")).collect()

@@ -54,6 +54,9 @@ class ZipSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Zip.extract(b, entries(0).copy(flags = entries(0).flags | 1)) === None)
     assert(Zip.extract(b, entries(0).copy(method = 12)) === None)
     assert(Zip.extract(b, entries(0).copy(usize = 0xffffffffL)) === None)
+    // a csize that OVERSTATES the deflate stream is a framing lie too:
+    // the stream ends early, leaving unconsumed declared bytes
+    assert(Zip.extract(b, entries(0).copy(csize = entries(0).csize + 4)) === None)
   }
 
   test("fuzz: flips and truncations never throw; container damage is a " +

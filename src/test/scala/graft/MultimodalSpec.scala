@@ -334,6 +334,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(0)), "hostile sizes must yield null")
   }
 
+  test("JFIF YCbCr pipeline at the DataFrame level: synth_jpeg_ycbcr -> " +
+    "jpeg_stats_ycbcr matches the pinned transform composition, and " +
+    "arbitrary-image tolerance holds through the expressions") {
+    import graft.functions.media.{jpeg_stats_ycbcr, synth_jpeg_ycbcr}
+    import graft.functions.Jpeg
+    // exact: block-constant RGB through the full expression pipeline
+    val (w, h, id) = (24, 16, 9L)
+    val got = spark.range(1).select(
+        jpeg_stats_ycbcr(synth_jpeg_ycbcr(lit(id), lit(w), lit(h))).as("s"))
+      .select($"s.r_sum", $"s.g_sum", $"s.b_sum").head()
+    val rgb = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val k = 3 * (y * w + x)
+      rgb(k) = (((id * 7 + (x / 8) * 31L + (y / 8) * 17L) % 256 + 256) % 256).toByte
+      rgb(k + 1) = (((id * 11 + (x / 8) * 13L + (y / 8) * 29L) % 256 + 256) % 256).toByte
+      rgb(k + 2) = (((id * 3 + (x / 8) * 37L + (y / 8) * 23L) % 256 + 256) % 256).toByte
+    }
+    val expected = Jpeg.ycbcrToRgb(Jpeg.rgbToYcbcr(rgb))
+    val sums = new Array[Long](3)
+    for (k <- expected.indices) sums(k % 3) += expected(k) & 0xff
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ===
+      ((sums(0), sums(1), sums(2))))
+    // tolerance: an arbitrary (non-block-constant) image through the
+    // REAL codec + both transforms stays within the documented ±8
+    val px = Array.tabulate(3 * w * h)(k => ((k * 41 + 7) % 256).toByte)
+    val Some((_, _, _, out)) = Jpeg.decodeToRgb(Jpeg.encodeJfifRgb(w, h, px))
+    for (k <- px.indices)
+      assert(math.abs((out(k) & 0xff) - (px(k) & 0xff)) <= 8, s"px $k")
+  }
+
   test("audio_stats: a 24-bit payload whose sum_sq exceeds int64 yields " +
     "null, not a silently wrapped statistic (round-9 advice)") {
     import graft.functions.media.audio_stats

@@ -2900,12 +2900,42 @@ object Jpeg {
     * 6–63 at Al=2, others 1–63 at Al=1); DC refinement; AC
     * refinements down to Al=0 — so successive approximation is
     * genuinely exercised, not just declared. */
+  /** One scan of a progressive script: (components, Ss, Se, Ah, Al).
+    * DC scans (Ss=0, Se=0) may interleave several components; AC
+    * scans carry exactly one (B.2.3's non-interleave rule). */
+  type ProgScan = (Seq[Int], Int, Int, Int, Int)
+
+  /** The default libjpeg-shaped script (see encodeProgressiveCore). */
+  def defaultProgressiveScript(nc: Int): Seq[ProgScan] =
+    if (nc == 3) Seq(
+      (Seq(0, 1, 2), 0, 0, 0, 1),
+      (Seq(0), 1, 5, 0, 2), (Seq(0), 6, 63, 0, 2),
+      (Seq(1), 1, 63, 0, 1), (Seq(2), 1, 63, 0, 1),
+      (Seq(0, 1, 2), 0, 0, 1, 0),
+      (Seq(0), 1, 63, 2, 1), (Seq(0), 1, 63, 1, 0),
+      (Seq(1), 1, 63, 1, 0), (Seq(2), 1, 63, 1, 0))
+    else Seq(
+      (Seq(0), 0, 0, 0, 1),
+      (Seq(0), 1, 5, 0, 2), (Seq(0), 6, 63, 0, 2),
+      (Seq(0), 0, 0, 1, 0),
+      (Seq(0), 1, 63, 2, 1), (Seq(0), 1, 63, 1, 0))
+
   def encodeProgressiveCore(w: Int, h: Int, nc: Int,
-      px: Array[Byte]): Array[Byte] = {
+      px: Array[Byte], scriptOrNull: Seq[ProgScan] = null): Array[Byte] = {
     require(w > 0 && h > 0, s"dims must be positive, got ${w}x$h")
     require(nc == 1 || nc == 3, s"1 or 3 components, got $nc")
     require(px.length == nc * w * h,
       s"encodeProgressive: dims ${w}x$h×$nc do not match ${px.length} bytes")
+    val script = Option(scriptOrNull).getOrElse(defaultProgressiveScript(nc))
+    script.foreach { case (comps, ss, se, ah, al) =>
+      require(comps.nonEmpty && comps.forall(c => c >= 0 && c < nc),
+        s"scan components out of range: $comps")
+      require(ss >= 0 && se <= 63 && se >= ss, s"bad band [$ss,$se]")
+      require(if (ss == 0) se == 0 else comps.length == 1,
+        "DC scans are DC-only; AC scans carry one component")
+      require(ah == 0 || ah == al + 1,
+        s"successive approximation must step by one bit: Ah=$ah Al=$al")
+    }
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
@@ -2935,65 +2965,46 @@ object Jpeg {
       comps.foreach { c => out.write(c + 1); out.write(0x00) } // DC 0 / AC 0
       out.write(ss); out.write(se); out.write((ah << 4) | al)
     }
-    // --- scan 1: DC first, interleaved, Al = 1 ---
-    sos(0 until nc, 0, 0, 0, 1)
-    locally {
-      val bw = new BitWriter(out)
-      val pred = new Array[Int](nc)
-      var bi = 0
-      while (bi < nBlocks) {
-        var c = 0
-        while (c < nc) {
-          val v = blocks(c)(bi)(0) >> 1 // DC point transform: arithmetic shift
-          val diff = v - pred(c)
-          pred(c) = v
-          val s = category(diff)
-          val (code, len) = dcCodes(s)
-          bw.write(code, len)
-          if (s > 0) bw.write(
-            (if (diff >= 0) diff else diff + (1 << s) - 1), s)
-          c += 1
+    // emit the script's scans in order
+    script.foreach { case (comps, ss, se, ah, al) =>
+      sos(comps, ss, se, ah, al)
+      if (ss == 0) {
+        val bw = new BitWriter(out)
+        if (ah == 0) { // DC first: diffs of arithmetic-shifted values
+          val pred = new Array[Int](nc)
+          var bi = 0
+          while (bi < nBlocks) {
+            comps.foreach { c =>
+              val v = blocks(c)(bi)(0) >> al // DC point transform
+              val diff = v - pred(c)
+              pred(c) = v
+              val s = category(diff)
+              val (code, len) = dcCodes(s)
+              bw.write(code, len)
+              if (s > 0) bw.write(
+                (if (diff >= 0) diff else diff + (1 << s) - 1), s)
+            }
+            bi += 1
+          }
+        } else { // DC refinement: the Al-th bit, raw, per block per comp
+          var bi = 0
+          while (bi < nBlocks) {
+            comps.foreach { c => bw.write((blocks(c)(bi)(0) >> al) & 1, 1) }
+            bi += 1
+          }
         }
-        bi += 1
+        bw.flush()
+      } else { // AC scan (one component)
+        val c = comps.head
+        val pw = new ProgWriter(out, acCodes)
+        var bi = 0
+        while (bi < nBlocks) {
+          if (ah == 0) acFirstBlock(pw, blocks(c)(bi), ss, se, al)
+          else acRefineBlock(pw, blocks(c)(bi), ss, se, al)
+          bi += 1
+        }
+        pw.finish()
       }
-      bw.flush()
-    }
-    // --- AC first scans, per component ---
-    def acScan(c: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
-      sos(Seq(c), ss, se, ah, al)
-      val pw = new ProgWriter(out, acCodes)
-      var bi = 0
-      while (bi < nBlocks) {
-        if (ah == 0) acFirstBlock(pw, blocks(c)(bi), ss, se, al)
-        else acRefineBlock(pw, blocks(c)(bi), ss, se, al)
-        bi += 1
-      }
-      pw.finish()
-    }
-    if (nc == 3) {
-      acScan(0, 1, 5, 0, 2); acScan(0, 6, 63, 0, 2)
-      acScan(1, 1, 63, 0, 1); acScan(2, 1, 63, 0, 1)
-    } else {
-      acScan(0, 1, 5, 0, 2); acScan(0, 6, 63, 0, 2)
-    }
-    // --- DC refinement: Ah=1, Al=0, one bit per block per component ---
-    sos(0 until nc, 0, 0, 1, 0)
-    locally {
-      val bw = new BitWriter(out)
-      var bi = 0
-      while (bi < nBlocks) {
-        var c = 0
-        while (c < nc) { bw.write(blocks(c)(bi)(0) & 1, 1); c += 1 }
-        bi += 1
-      }
-      bw.flush()
-    }
-    // --- AC refinements down to Al = 0 ---
-    if (nc == 3) {
-      acScan(0, 1, 63, 2, 1); acScan(0, 1, 63, 1, 0)
-      acScan(1, 1, 63, 1, 0); acScan(2, 1, 63, 1, 0)
-    } else {
-      acScan(0, 1, 63, 2, 1); acScan(0, 1, 63, 1, 0)
     }
     marker(0xd9) // EOI
     out.toByteArray

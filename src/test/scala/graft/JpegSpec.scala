@@ -562,6 +562,52 @@ class JpegSpec extends AnyFunSuite {
       Jpeg.encode(8, 8, blockConstant(8, 8, 1L))) === None)
   }
 
+  test("progressive decoder handles LEGAL scripts the default encoder " +
+    "never emits: no successive approximation, odd band splits, deep DC " +
+    "SA, non-interleaved DC — all must equal baseline exactly") {
+    val (w, h) = (20, 14)
+    val p = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      p(3 * (y * w + x) + c) =
+        (((x * 97L + y * 61L + c * 139L + x * y * 13L) % 256 + 256) % 256).toByte
+    val Some((_, _, _, base)) = Jpeg.decodeFull(Jpeg.encodeColor(w, h, p))
+    val scripts: Seq[Seq[Jpeg.ProgScan]] = Seq(
+      // spectral selection only, no SA (Ah=Al=0 everywhere)
+      Seq((Seq(0, 1, 2), 0, 0, 0, 0),
+        (Seq(0), 1, 63, 0, 0), (Seq(1), 1, 63, 0, 0), (Seq(2), 1, 63, 0, 0)),
+      // odd band splits per component
+      Seq((Seq(0, 1, 2), 0, 0, 0, 0),
+        (Seq(0), 1, 1, 0, 0), (Seq(0), 2, 9, 0, 0), (Seq(0), 10, 63, 0, 0),
+        (Seq(1), 1, 30, 0, 0), (Seq(1), 31, 63, 0, 0),
+        (Seq(2), 1, 63, 0, 0)),
+      // deep DC successive approximation (3 bits) + AC SA to 0
+      Seq((Seq(0, 1, 2), 0, 0, 0, 3),
+        (Seq(0, 1, 2), 0, 0, 3, 2), (Seq(0, 1, 2), 0, 0, 2, 1),
+        (Seq(0, 1, 2), 0, 0, 1, 0),
+        (Seq(0), 1, 63, 0, 1), (Seq(0), 1, 63, 1, 0),
+        (Seq(1), 1, 63, 0, 1), (Seq(1), 1, 63, 1, 0),
+        (Seq(2), 1, 63, 0, 1), (Seq(2), 1, 63, 1, 0)),
+      // NON-interleaved DC scans (one component each), AC after
+      Seq((Seq(0), 0, 0, 0, 0), (Seq(1), 0, 0, 0, 0), (Seq(2), 0, 0, 0, 0),
+        (Seq(0), 1, 63, 0, 0), (Seq(1), 1, 63, 0, 0), (Seq(2), 1, 63, 0, 0)))
+    for ((script, si) <- scripts.zipWithIndex) {
+      val enc = Jpeg.encodeProgressiveCore(w, h, 3, p, script)
+      assert(Jpeg.kind(enc) === "progressive", s"script $si")
+      val Some((_, _, _, got)) = Jpeg.decodeProgressive(enc)
+      assert(got.toSeq === base.toSeq, s"script $si")
+    }
+    // DC-ONLY progressive (AC never sent): legal; on block-constant
+    // images (AC exactly zero) it still reconstructs bit-exactly
+    val bc = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      bc(3 * (y * w + x) + c) =
+        (((7L * (c + 1) + (x / 8) * 31L + (y / 8) * 17L) % 256 + 256) % 256).toByte
+    val dcOnly = Jpeg.encodeProgressiveCore(w, h, 3, bc,
+      Seq((Seq(0, 1, 2), 0, 0, 0, 1), (Seq(0, 1, 2), 0, 0, 1, 0)))
+    val Some((_, _, _, gotBc)) = Jpeg.decodeProgressive(dcOnly)
+    assert(gotBc.toSeq === bc.toSeq)
+  }
+
   test("kind(): malformed / not_jpeg triage never throws") {
     val gray = Jpeg.encode(24, 16, blockConstant(24, 16, 2L))
     assert(Jpeg.kind(null) === "not_jpeg")

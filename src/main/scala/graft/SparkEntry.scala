@@ -25,6 +25,7 @@ object SparkEntry
     with GraphQueries
     with LlmQueries1
     with LlmQueries2
+    with PipelineQueries
     with StatsQueries
     with TimeSeriesQueries
     with WarehouseQueries1
@@ -65,6 +66,7 @@ object SparkEntry
     graphQueryMap ++
     llm1QueryMap ++
     llm2QueryMap ++
+    pipelineQueryMap ++
     statsQueryMap ++
     timeSeriesQueryMap ++
     warehouse1QueryMap ++
@@ -76,6 +78,7 @@ object SparkEntry
     graphOracleMap ++
     llm1OracleMap ++
     llm2OracleMap ++
+    pipelineOracleMap ++
     statsOracleMap ++
     timeSeriesOracleMap ++
     warehouse1OracleMap ++

@@ -1,0 +1,274 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus ingest hardening + the round-10 container additions:
+  * UTF-8 validation/repair (the first transform of any crawled-bytes
+  * pipeline), RFC 9309 robots.txt compliance filtering, and the QOI
+  * and baseline-TIFF raster codecs. Every member is `private[graft]`;
+  * the driver surface stays `SparkEntry.queries` / `oracleSql`. */
+private[graft] trait PipelineQueries { this: SparkEntry.type =>
+
+  /** UTF-8 validation + repair over synthesized crawled-byte blobs:
+    * clean ASCII, 2/3/4-byte multibyte runs, and one of five injected
+    * error shapes per doc (none / 0xFF stray / overlong C0 AF /
+    * surrogate half ED A0 80 / truncated 4-byte tail). The kernel is
+    * the WHATWG decoder with maximal-subpart substitution, so the
+    * oracle pins the EXACT replacement counts each shape must produce
+    * (1 / 2 / 3 / 1) and the exact sanitized string (U+FFFD placed
+    * between the 2-byte and 3-byte runs, or at the end for the
+    * truncation). A decoder that substitutes per-byte, or one that
+    * swallows the byte after an invalid lead, cannot match. */
+  private[graft] def qUtf8Validate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.utf8._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        (lit(20) + col("doc_id") % 13).cast("int").as("na"),
+        (col("doc_id") % 5).cast("int").as("m2"),
+        (col("doc_id") % 3).cast("int").as("m3"),
+        (col("doc_id") % 2).cast("int").as("m4"),
+        expr("(doc_id div 7) % 5").as("v"))
+    val ascii = expr("substring(repeat('the quick brown fox ', 3), 1, na)")
+    val err1 = when(col("v") === 1, lit(Array(0xff.toByte)))
+      .when(col("v") === 2, lit(Array(0xc0.toByte, 0xaf.toByte)))
+      .when(col("v") === 3, lit(Array(0xed.toByte, 0xa0.toByte, 0x80.toByte)))
+      .otherwise(lit(Array.emptyByteArray))
+    val err2 = when(col("v") === 4,
+        lit(Array(0xf0.toByte, 0x9f.toByte, 0x98.toByte)))
+      .otherwise(lit(Array.emptyByteArray))
+    val blob = concat(
+      ascii.cast("binary"),
+      expr("repeat('é', m2)").cast("binary"),
+      err1,
+      expr("repeat('€', m3)").cast("binary"),
+      expr("repeat('😀', m4)").cast("binary"),
+      err2)
+    d.select(col("doc_id"), utf8_stats(blob).as("s"),
+        utf8_sanitize(blob).as("sanitized"))
+      .select(col("doc_id"), col("s.valid").as("valid"),
+        col("s.n_chars").as("n_chars"),
+        col("s.n_replacements").as("n_replacements"),
+        col("s.n_ascii").as("n_ascii"), col("s.n_2byte").as("n_2byte"),
+        col("s.n_3byte").as("n_3byte"), col("s.n_4byte").as("n_4byte"),
+        col("sanitized"))
+      .orderBy(col("doc_id"))
+      // kernel counts are longs already; the construction params the
+      // oracle reproduces (na, m2, …) never leave this query
+  }
+
+  /** RFC 9309 robots.txt compliance filter: ten synthetic hosts, two
+    * robots.txt shapes (a graftbot-specific group with prefix rules, a
+    * wildcard-anchored Allow `/index*l$`, and a host-dependent
+    * `/tmpK` rule; or only a catch-all `User-agent: * / Disallow: /`),
+    * eight path shapes per host chosen to pin the RFC's normative
+    * edges: longest-match precedence (Allow /private/pub over
+    * Disallow /private), Allow-wins ties, byte-prefix semantics
+    * (/privateX IS blocked by /private), group selection (specific
+    * group present -> `*` group ignored; absent -> `/` blocks all),
+    * case-insensitive agent match (GraftBot vs graftbot), and
+    * `*`/`$` pattern matching. The oracle enumerates every decision
+    * AND the winning rule text. */
+  private[graft] def qRobotsFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.robots._
+    // dom derives from (doc_id div 5) — deriving it from doc_id % 10
+    // under the % 5 filter would collapse to two hosts
+    val d = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        expr("(doc_id div 5) % 10").as("dom"),
+        expr("(doc_id div 50) % 8").as("pv"))
+      .withColumn("k", (col("dom") % 3).cast("string"))
+    val path = when(col("pv") === 0, lit("/index.html"))
+      .when(col("pv") === 1, lit("/private/x"))
+      .when(col("pv") === 2, lit("/private/pub/x"))
+      .when(col("pv") === 3, concat(lit("/tmp"), col("k"), lit("/a")))
+      .when(col("pv") === 4,
+        concat(lit("/tmp"), ((col("dom") % 3 + 1) % 3).cast("string"), lit("/a")))
+      .when(col("pv") === 5, lit("/public/y"))
+      .when(col("pv") === 6, lit("/private"))
+      .otherwise(lit("/privateX"))
+    val botGroup = concat(
+      lit("# synthetic robots\nUser-Agent: graftbot\nDisallow: /private\n" +
+        "Allow: /private/pub\nAllow: /index*l$\nDisallow: /tmp"),
+      col("k"), lit("\n\n"))
+    val robots = when(col("dom") % 4 === 0,
+        lit("# synthetic robots\nUser-agent: *\nDisallow: /\n"))
+      .otherwise(concat(botGroup, lit("User-agent: *\nDisallow: /\n")))
+    d.select(col("doc_id"), col("dom"), path.as("path"),
+        robots_decision(robots, lit("GraftBot"), path).as("r"))
+      .select(col("doc_id"), col("dom"), col("path"),
+        col("r.allowed").as("allowed"), col("r.rule").as("rule"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** QOI decode (full spec — all six chunk ops) over containers whose
+    * plateau congruences force the greedy encoder to emit every chunk
+    * family on real data (RUN inside 4-wide plateaus, DIFF on the ±1
+    * plateau steps, LUMA on +5 row steps, RGB when blue's +50 escapes
+    * LUMA, INDEX on mod-256 recurrence, RGBA on the per-row alpha walk
+    * for odd containers). The oracle replays the pixel-domain
+    * congruence sums — valid regardless of which ops the encoder
+    * chose, so encoder and decoder are pinned independently (the
+    * QoiSpec round-trip property covers arbitrary pixels). */
+  private[graft] def qQoiDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.qoi._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(24) + col("doc_id") % 16).cast("int").as("w"),
+        (lit(16) + col("doc_id") % 8).cast("int").as("h"),
+        expr("(doc_id div 25) % 2 = 1").as("rgba"))
+    d.select(col("doc_id"),
+        qoi_stats(synth_qoi(col("doc_id"), col("w"), col("h"), col("rgba"))).as("s"))
+      .select(col("doc_id"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.channels").cast("long").as("channels"),
+        col("s.n_px").as("n_px"), col("s.px_sum").as("px_sum"),
+        col("s.r_sum").as("r_sum"), col("s.g_sum").as("g_sum"),
+        col("s.b_sum").as("b_sum"), col("s.a_sum").as("a_sum"),
+        col("s.px_min").cast("long").as("px_min"),
+        col("s.px_max").cast("long").as("px_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Baseline TIFF decode over all four (photometric × endianness)
+    * layouts, every container multi-strip (RowsPerStrip=4) so the
+    * StripOffsets/StripByteCounts arrays — and their endianness — are
+    * value-checked: an MM reader that misreads inline left-justified
+    * SHORTs, or walks strips in file order instead of row order,
+    * cannot match the per-channel congruence sums. */
+  private[graft] def qTiffDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.tiff._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(18) + col("doc_id") % 10).cast("int").as("w"),
+        (lit(10) + col("doc_id") % 6).cast("int").as("h"),
+        expr("(doc_id div 25) % 4 >= 2").as("rgb"),
+        expr("(doc_id div 25) % 2 = 1").as("be"))
+    d.select(col("doc_id"), col("rgb"),
+        tiff_stats(synth_tiff(col("doc_id"), col("w"), col("h"),
+          col("rgb"), col("be"))).as("s"))
+      .select(col("doc_id"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.channels").cast("long").as("channels"),
+        col("s.n_px").as("n_px"), col("s.px_sum").as("px_sum"),
+        col("s.r_sum").as("r_sum"), col("s.g_sum").as("g_sum"),
+        col("s.b_sum").as("b_sum"),
+        col("s.px_min").cast("long").as("px_min"),
+        col("s.px_max").cast("long").as("px_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[graft] def pipelineQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_utf8_validate" -> (qUtf8Validate _),
+    "q_robots_filter" -> (qRobotsFilter _),
+    "q_qoi_decode" -> (qQoiDecode _),
+    "q_tiff_decode" -> (qTiffDecode _))
+
+  private[graft] def pipelineOracleMap: Map[String, String] = Map(
+    "q_utf8_validate" ->
+      """WITH d AS (
+        |  SELECT doc_id, 20 + doc_id % 13 AS na, doc_id % 5 AS m2,
+        |         doc_id % 3 AS m3, doc_id % 2 AS m4, (doc_id // 7) % 5 AS v
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |e AS (
+        |  SELECT *, CAST(CASE v WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 3
+        |                         WHEN 4 THEN 1 ELSE 0 END AS BIGINT) AS repl
+        |  FROM d)
+        |SELECT doc_id, (repl = 0) AS valid,
+        |       na + m2 + m3 + m4 + repl AS n_chars,
+        |       repl AS n_replacements, na AS n_ascii, m2 AS n_2byte,
+        |       m3 AS n_3byte, m4 AS n_4byte,
+        |       substring(repeat('the quick brown fox ', 3), 1, CAST(na AS INT))
+        |         || repeat(chr(233), CAST(m2 AS INT))
+        |         || CASE WHEN v BETWEEN 1 AND 3
+        |                 THEN repeat(chr(65533), CAST(repl AS INT)) ELSE '' END
+        |         || repeat(chr(8364), CAST(m3 AS INT))
+        |         || repeat(chr(128512), CAST(m4 AS INT))
+        |         || CASE WHEN v = 4 THEN chr(65533) ELSE '' END AS sanitized
+        |FROM e ORDER BY doc_id""".stripMargin,
+    "q_robots_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id // 5) % 10 AS dom, (doc_id // 50) % 8 AS pv,
+        |         CAST(((doc_id // 5) % 10) % 3 AS VARCHAR) AS k
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |p AS (
+        |  SELECT *, CASE pv WHEN 0 THEN '/index.html'
+        |                    WHEN 1 THEN '/private/x'
+        |                    WHEN 2 THEN '/private/pub/x'
+        |                    WHEN 3 THEN '/tmp' || k || '/a'
+        |                    WHEN 4 THEN '/tmp' || CAST((dom % 3 + 1) % 3 AS VARCHAR) || '/a'
+        |                    WHEN 5 THEN '/public/y'
+        |                    WHEN 6 THEN '/private'
+        |                    ELSE '/privateX' END AS path
+        |  FROM d)
+        |SELECT doc_id, dom, path,
+        |       CASE WHEN dom % 4 = 0 THEN FALSE
+        |            WHEN pv IN (0, 2, 4, 5) THEN TRUE
+        |            ELSE FALSE END AS allowed,
+        |       CASE WHEN dom % 4 = 0 THEN '/'
+        |            WHEN pv = 0 THEN '/index*l$'
+        |            WHEN pv IN (1, 6, 7) THEN '/private'
+        |            WHEN pv = 2 THEN '/private/pub'
+        |            WHEN pv = 3 THEN '/tmp' || k
+        |            ELSE '' END AS rule
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q_qoi_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 24 + doc_id % 16 AS w, 16 + doc_id % 8 AS h,
+        |         ((doc_id // 25) % 2 = 1) AS rgba
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, d.rgba,
+        |         (d.doc_id * 7 + (gx.x // 4) + gy.y * 5) % 256 AS r,
+        |         (d.doc_id * 11 + (gx.x // 4) + gy.y * 5) % 256 AS g,
+        |         (d.doc_id * 3 + (gx.x // 4) + gy.y * 50) % 256 AS b,
+        |         CASE WHEN d.rgba THEN (d.doc_id * 5 + gy.y * 7) % 256
+        |              ELSE 255 END AS a
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 39) AS gx(x)
+        |  CROSS JOIN generate_series(0, 23) AS gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h)
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |       CAST(MIN(h) AS BIGINT) AS height,
+        |       CAST(CASE WHEN MIN(rgba) THEN 4 ELSE 3 END AS BIGINT) AS channels,
+        |       COUNT(*) AS n_px,
+        |       CAST(SUM(r + g + b) AS BIGINT) AS px_sum,
+        |       CAST(SUM(r) AS BIGINT) AS r_sum,
+        |       CAST(SUM(g) AS BIGINT) AS g_sum,
+        |       CAST(SUM(b) AS BIGINT) AS b_sum,
+        |       CAST(SUM(a) AS BIGINT) AS a_sum,
+        |       CAST(MIN(LEAST(r, g, b)) AS BIGINT) AS px_min,
+        |       CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_tiff_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 18 + doc_id % 10 AS w, 10 + doc_id % 6 AS h,
+        |         ((doc_id // 25) % 4 >= 2) AS rgb
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, d.rgb,
+        |         (d.doc_id * 7 + gx.x * 31 + gy.y * 17) % 256 AS r,
+        |         CASE WHEN d.rgb
+        |              THEN (d.doc_id * 11 + gx.x * 13 + gy.y * 29) % 256
+        |              ELSE NULL END AS g,
+        |         CASE WHEN d.rgb
+        |              THEN (d.doc_id * 3 + gx.x * 37 + gy.y * 23) % 256
+        |              ELSE NULL END AS b
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 27) AS gx(x)
+        |  CROSS JOIN generate_series(0, 15) AS gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h)
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |       CAST(MIN(h) AS BIGINT) AS height,
+        |       CAST(CASE WHEN MIN(rgb) THEN 3 ELSE 1 END AS BIGINT) AS channels,
+        |       COUNT(*) AS n_px,
+        |       CAST(SUM(r + COALESCE(g, 0) + COALESCE(b, 0)) AS BIGINT) AS px_sum,
+        |       CAST(SUM(r) AS BIGINT) AS r_sum,
+        |       CAST(COALESCE(SUM(g), 0) AS BIGINT) AS g_sum,
+        |       CAST(COALESCE(SUM(b), 0) AS BIGINT) AS b_sum,
+        |       CAST(MIN(LEAST(r, COALESCE(g, r), COALESCE(b, r))) AS BIGINT) AS px_min,
+        |       CAST(MAX(GREATEST(r, COALESCE(g, r), COALESCE(b, r))) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

@@ -160,13 +160,246 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Snappy block-format round trip (the parquet-page/Kafka codec,
+    * LZ77-tag family beside the gzip/DEFLATE codec): raw = text
+    * concatenated with itself, so the compressor's window always holds
+    * a whole-text match and `compressed < raw` is a PINNED claim, not
+    * a hope; every fourth doc truncates the compressed stream
+    * mid-element and must round-trip to null (PERMISSIVE), verified
+    * via md5 of the decompressed bytes against the oracle's md5 of
+    * the original text. */
+  private[graft] def qSnappyRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.snappy._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), col("text"),
+        expr("(doc_id div 11) % 4 = 3").as("corrupt"))
+    val raw = concat(col("text").cast("binary"), col("text").cast("binary"))
+    val comp = snappy_compress(raw)
+    val blob = when(col("corrupt"),
+        expr("substring(comp, 1, length(comp) - 3)"))
+      .otherwise(col("comp"))
+    val rt = snappy_decompress(blob)
+    d.withColumn("comp", comp)
+      .withColumn("rt", rt)
+      .select(col("doc_id"),
+        (octet_length(col("text")).cast("long") * 2).as("n_raw"),
+        (length(col("comp")) < octet_length(col("text")) * 2).as("comp_smaller"),
+        col("rt").isNotNull.as("ok"),
+        length(col("rt")).cast("long").as("rt_len"),
+        md5(col("rt")).as("rt_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Schema-free protobuf wire-format profiling over a seven-field
+    * synthesized message (plain varint, zigzag sint, fixed64, string,
+    * fixed32, nested message, packed repeateds — every wire type and
+    * the standard application-layer encodings on top). The oracle
+    * replays the WIRE arithmetic — the zigzag map, the varint byte
+    * lengths inside len_bytes — so a walker that misreads continuation
+    * bits or field keys cannot match. Every fifth doc truncates
+    * mid-record and must profile as null. */
+  private[graft] def qProtoDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.proto._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 9 === 0)
+      .select(col("doc_id"), expr("(doc_id div 9) % 5 = 4").as("corrupt"))
+    d.select(col("doc_id"),
+        proto_stats(synth_proto(col("doc_id"), col("corrupt"))).as("p"))
+      .select(col("doc_id"), col("p").isNotNull.as("parsed"),
+        col("p.n_fields").cast("long").as("n_fields"),
+        col("p.max_field").cast("long").as("max_field"),
+        col("p.n_varint").cast("long").as("n_varint"),
+        col("p.varint_sum").as("varint_sum"),
+        col("p.n_i64").cast("long").as("n_i64"),
+        col("p.i64_sum").as("i64_sum"),
+        col("p.n_len").cast("long").as("n_len"),
+        col("p.len_bytes").as("len_bytes"),
+        col("p.n_i32").cast("long").as("n_i32"),
+        col("p.i32_sum").as("i32_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Charset sniff over a nine-mode byte corpus: the five BOMs (32-bit
+    * checked before their 16-bit prefixes — the FF FE vs FF FE 00 00
+    * trap), clean ASCII, BOM-less UTF-8, NUL-bearing binary, and the
+    * legacy-8-bit family (high bytes, invalid UTF-8, no NUL). The
+    * dispatch step before utf8_sanitize in a crawled-bytes pipeline. */
+  private[graft] def qCharsetSniff(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.textingest._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), expr("(doc_id div 7) % 9").as("mode"))
+    val asciiB = lit("plain ascii text").cast("binary")
+    val blob = when(col("mode") === 0, asciiB)
+      .when(col("mode") === 1, lit("café").cast("binary"))
+      .when(col("mode") === 2,
+        concat(lit(Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte)), asciiB))
+      .when(col("mode") === 3,
+        lit(Array(0xff.toByte, 0xfe.toByte, 0x61.toByte, 0x00.toByte)))
+      .when(col("mode") === 4,
+        lit(Array(0xfe.toByte, 0xff.toByte, 0x00.toByte, 0x61.toByte)))
+      .when(col("mode") === 5,
+        lit(Array(0xff.toByte, 0xfe.toByte, 0x00.toByte, 0x00.toByte,
+          0x61.toByte, 0x00.toByte, 0x00.toByte, 0x00.toByte)))
+      .when(col("mode") === 6,
+        lit(Array(0x00.toByte, 0x00.toByte, 0xfe.toByte, 0xff.toByte,
+          0x00.toByte, 0x00.toByte, 0x00.toByte, 0x61.toByte)))
+      .when(col("mode") === 7,
+        lit(Array(0x00.toByte, 0xe9.toByte)))
+      .otherwise(concat(lit("abc").cast("binary"), lit(Array(0xe9.toByte))))
+    d.select(col("doc_id"), col("mode"), charset_sniff(blob).as("charset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** HTML character-reference decoding over an eight-mode corpus:
+    * named, decimal, hex, the HTML5 C1 Windows-1252 remap (&#x80; is
+    * '€', the browsers-forever quirk), unknown names verbatim,
+    * surrogate numerics to U+FFFD, and multi-entity runs — each
+    * expected string enumerated by the oracle via chr(). Bare '&'
+    * passes through. */
+  private[graft] def qHtmlEntities(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.textingest._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), expr("(doc_id div 7) % 8").as("mode"))
+    val ent = when(col("mode") === 0, lit("&amp;"))
+      .when(col("mode") === 1, lit("&#233;"))
+      .when(col("mode") === 2, lit("&#xE9;"))
+      .when(col("mode") === 3, lit("&euro;"))
+      .when(col("mode") === 4, lit("&#x80;"))
+      .when(col("mode") === 5, lit("&bogus;"))
+      .when(col("mode") === 6, lit("&#xD800;"))
+      .otherwise(lit("&hellip;&mdash;"))
+    val text = concat(lit("a & b "), ent, lit(" post"))
+    d.select(col("doc_id"), col("mode"),
+        html_entity_decode(text).as("decoded"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-eigenvector power iteration over the embedding corpus WITHOUT
+    * materializing the 64×64 second-moment matrix: w = Σ_x q(x)·(q(x)ᵀv)
+    * — each pass is one scan + one 64-key aggregation, driver state is
+    * 64 longs (the 100 TB shape: S itself never exists, vectors never
+    * shuffle). Exact integer fixed point end to end (quantize at 2^10,
+    * truncating rescale between passes), so the oracle replays both
+    * passes arithmetically. The spectral step under PCA whitening /
+    * top-component removal in embedding pipelines. */
+  private[graft] def qPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, e -> cast(floor(cast(e as double) * 1024 + 0.5) as bigint))")
+        .as("qv"))
+    // pass 1: v1 = S·e1 = Σ_x q(x)·q(x)[0]  (one scan, 64 keys)
+    val p1 = q.select(col("vec_id"), element_at(col("qv"), 1).as("first"),
+        posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(sum(col("v") * col("first")).as("w1"))
+    // truncating rescale on the driver: 64 longs of model state
+    val v1s: Array[Long] = p1.collect()
+      .map(r => (r.getInt(0), r.getLong(1) / 1024)).sortBy(_._1).map(_._2)
+    // pass 2: w2 = Σ_x q(x)·(q(x)ᵀ v1s) (one scan + 64-key aggregation)
+    val withS = q.select(col("vec_id"), col("qv"),
+      expr(s"aggregate(zip_with(qv, array(${v1s.mkString(",")}L), (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+        .as("srow"))
+    withS.select(posexplode(col("qv")).as(Seq("dim", "v")), col("srow"))
+      .groupBy(col("dim")).agg(sum(col("v") * col("srow")).as("w2"))
+      .join(p1, Seq("dim"))
+      .select(col("dim").cast("long").as("dim"), col("w1"), col("w2"))
+      .orderBy(col("dim"))
+  }
+
   private[graft] def pipelineQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snappy_roundtrip" -> (qSnappyRoundtrip _),
+    "q_proto_decode" -> (qProtoDecode _),
+    "q_charset_sniff" -> (qCharsetSniff _),
+    "q_html_entities" -> (qHtmlEntities _),
+    "q_pca_power" -> (qPcaPower _),
     "q_utf8_validate" -> (qUtf8Validate _),
     "q_robots_filter" -> (qRobotsFilter _),
     "q_qoi_decode" -> (qQoiDecode _),
     "q_tiff_decode" -> (qTiffDecode _))
 
   private[graft] def pipelineOracleMap: Map[String, String] = Map(
+    "q_snappy_roundtrip" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, ((doc_id // 11) % 4 = 3) AS corrupt
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT doc_id,
+        |       CAST(2 * strlen(text) AS BIGINT) AS n_raw,
+        |       TRUE AS comp_smaller,
+        |       NOT corrupt AS ok,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE CAST(2 * strlen(text) AS BIGINT) END AS rt_len,
+        |       CASE WHEN corrupt THEN NULL ELSE md5(text || text) END AS rt_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_proto_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, ((doc_id // 9) % 5 = 4) AS corrupt,
+        |         doc_id % 300 AS v1, (doc_id % 21) - 10 AS s2
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |e AS (
+        |  SELECT *, CASE WHEN s2 >= 0 THEN 2 * s2 ELSE -2 * s2 - 1 END AS zz
+        |  FROM d)
+        |SELECT doc_id, NOT corrupt AS parsed,
+        |       CASE WHEN corrupt THEN NULL ELSE CAST(7 AS BIGINT) END AS n_fields,
+        |       CASE WHEN corrupt THEN NULL ELSE CAST(7 AS BIGINT) END AS max_field,
+        |       CASE WHEN corrupt THEN NULL ELSE CAST(2 AS BIGINT) END AS n_varint,
+        |       CASE WHEN corrupt THEN NULL ELSE CAST(v1 + zz AS BIGINT) END AS varint_sum,
+        |       CASE WHEN corrupt THEN NULL ELSE CAST(1 AS BIGINT) END AS n_i64,
+        |       CASE WHEN corrupt THEN NULL ELSE CAST(doc_id * 3 + 7 AS BIGINT) END AS i64_sum,
+        |       CASE WHEN corrupt THEN NULL ELSE CAST(3 AS BIGINT) END AS n_len,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE CAST((5 + doc_id % 11) + 2 + 3 AS BIGINT) END AS len_bytes,
+        |       CASE WHEN corrupt THEN NULL ELSE CAST(1 AS BIGINT) END AS n_i32,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE CAST((doc_id * 5 + 1) % 1000 AS BIGINT) END AS i32_sum
+        |FROM e ORDER BY doc_id""".stripMargin,
+    "q_charset_sniff" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id // 7) % 9 AS mode
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, mode,
+        |       CASE mode WHEN 0 THEN 'ascii'
+        |                 WHEN 1 THEN 'utf-8'
+        |                 WHEN 2 THEN 'utf-8-bom'
+        |                 WHEN 3 THEN 'utf-16le'
+        |                 WHEN 4 THEN 'utf-16be'
+        |                 WHEN 5 THEN 'utf-32le'
+        |                 WHEN 6 THEN 'utf-32be'
+        |                 WHEN 7 THEN 'binary'
+        |                 ELSE 'legacy-8bit' END AS charset
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_html_entities" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id // 7) % 8 AS mode
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, mode,
+        |       'a & b ' ||
+        |       CASE mode WHEN 0 THEN '&'
+        |                 WHEN 1 THEN chr(233)
+        |                 WHEN 2 THEN chr(233)
+        |                 WHEN 3 THEN chr(8364)
+        |                 WHEN 4 THEN chr(8364)
+        |                 WHEN 5 THEN '&bogus;'
+        |                 WHEN 6 THEN chr(65533)
+        |                 ELSE chr(8230) || chr(8212) END ||
+        |       ' post' AS decoded
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_pca_power" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |           e -> CAST(floor(CAST(e AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |p1 AS (
+        |  SELECT gs.i - 1 AS dim, CAST(SUM(q.qv[gs.i] * q.qv[1]) AS BIGINT) AS w1
+        |  FROM q CROSS JOIN generate_series(1, 64) AS gs(i)
+        |  GROUP BY gs.i),
+        |v1s AS (SELECT dim, w1 // 1024 AS s FROM p1),
+        |srow AS (
+        |  SELECT q.vec_id, CAST(SUM(q.qv[v.dim + 1] * v.s) AS BIGINT) AS srow
+        |  FROM q CROSS JOIN v1s v GROUP BY q.vec_id),
+        |p2 AS (
+        |  SELECT gs.i - 1 AS dim, CAST(SUM(q.qv[gs.i] * r.srow) AS BIGINT) AS w2
+        |  FROM q JOIN srow r USING (vec_id)
+        |  CROSS JOIN generate_series(1, 64) AS gs(i)
+        |  GROUP BY gs.i)
+        |SELECT CAST(p1.dim AS BIGINT) AS dim, p1.w1, p2.w2
+        |FROM p1 JOIN p2 USING (dim) ORDER BY dim""".stripMargin,
     "q_utf8_validate" ->
       """WITH d AS (
         |  SELECT doc_id, 20 + doc_id % 13 AS na, doc_id % 5 AS m2,

@@ -303,7 +303,99 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("dim"))
   }
 
+  /** Permissive CSV ingest through Spark's BUILT-IN from_csv (the
+    * functions-not-UDFs rule applies to parsing too): a six-mode line
+    * corpus pins the PERMISSIVE contract a log-ingest pipeline relies
+    * on — missing trailing fields parse as nulls AND flag the corrupt
+    * column, a bad numeric token nulls only ITS field (the rest of the
+    * row survives), quoted separators stay one field, extra tokens
+    * flag but keep the parsed prefix, and an all-empty line is VALID
+    * (all nulls, no flag). The corrupt-record column is the DLQ
+    * routing key, same shape as the Avro framing triage. */
+  private[graft] def qCsvIngest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), expr("(doc_id div 13) % 6").as("mode"),
+        (col("doc_id") % 90 + 1).cast("string").as("kk"),
+        concat(lit("n"), (col("doc_id") % 10).cast("string")).as("nm"),
+        (col("doc_id") % 900 + 10).cast("string").as("cc"))
+    val line = when(col("mode") === 0,
+        concat_ws(",", col("kk"), col("nm"), col("cc")))
+      .when(col("mode") === 1, concat_ws(",", col("kk"), col("nm")))
+      .when(col("mode") === 2,
+        concat_ws(",", concat(lit("x"), col("kk")), col("nm"), col("cc")))
+      .when(col("mode") === 3,
+        concat_ws(",", col("kk"), lit("\"q,uo\""), col("cc")))
+      .when(col("mode") === 4,
+        concat_ws(",", col("kk"), col("nm"), col("cc"), lit("zz")))
+      .otherwise(lit(",,"))
+    val parsed = from_csv(line,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "k INT, name STRING, cents INT, _corrupt STRING"),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"))
+    d.select(col("doc_id"), col("mode"), parsed.as("p"))
+      .select(col("doc_id"), col("mode"),
+        col("p.k").cast("long").as("k"), col("p.name").as("name"),
+        col("p.cents").cast("long").as("cents"),
+        col("p._corrupt").isNotNull.as("corrupt"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Duplicated-SPAN detection (the ExactSubstr idea from the
+    * dedup-training-data line of work): every 24-char window at
+    * stride 4 fingerprints to an md5 digest; a span is duplicated if
+    * its digest occurs in ≥2 DISTINCT documents; each document reports
+    * its duplicated-span fraction in exact ppm. Only 16-byte digests
+    * shuffle — never text — and the per-doc window count is bounded by
+    * doc length, the same scale shape as the chunk/paragraph dedups a
+    * level up. */
+  private[graft] def qDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0 && length(col("text")) >= 24)
+      .select(col("doc_id"), col("text"))
+    val spans = d.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, length(text) - 23, 4)," +
+          " i -> md5(cast(substring(text, i, 24) as binary)))")).as("digest"))
+    val dup = spans.groupBy(col("digest"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("digest"), lit(1L).as("is_dup"))
+    spans.join(dup, Seq("digest"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_spans"))
+      .withColumn("dup_ppm", expr("n_dup_spans * 1000000 div n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ICO favicon-container decode: the directory walk (0-means-256
+    * entry dims, offset/size framing) dispatching per entry on the
+    * PNG signature — PNG payloads through the full PNG decoder, DIB
+    * payloads through the doubled-height XOR/AND-mask layout a
+    * BMP-reusing reader gets wrong. Entries grow strictly, so the
+    * oracle knows the largest entry's dims, kind (by count parity) and
+    * congruence sums. */
+  private[graft] def qIcoDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ico._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(2) + expr("(doc_id div 25) % 3")).cast("int").as("n"))
+    d.select(col("doc_id"), col("n").cast("long").as("n_entries"),
+        ico_stats(synth_ico(col("doc_id"), col("n"))).as("s"))
+      .select(col("doc_id"), col("n_entries"),
+        col("s.n_readable").cast("long").as("n_readable"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.kind").as("kind"),
+        col("s.px_sum").as("px_sum"), col("s.r_sum").as("r_sum"),
+        col("s.g_sum").as("g_sum"), col("s.b_sum").as("b_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] def pipelineQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_ingest" -> (qCsvIngest _),
+    "q_dup_spans" -> (qDupSpans _),
+    "q_ico_decode" -> (qIcoDecode _),
     "q_snappy_roundtrip" -> (qSnappyRoundtrip _),
     "q_proto_decode" -> (qProtoDecode _),
     "q_charset_sniff" -> (qCharsetSniff _),
@@ -315,6 +407,73 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_tiff_decode" -> (qTiffDecode _))
 
   private[graft] def pipelineOracleMap: Map[String, String] = Map(
+    "q_csv_ingest" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id // 13) % 6 AS mode,
+        |         doc_id % 90 + 1 AS kk,
+        |         'n' || CAST(doc_id % 10 AS VARCHAR) AS nm,
+        |         doc_id % 900 + 10 AS cc
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT doc_id, mode,
+        |       CASE WHEN mode IN (0, 1, 3, 4) THEN CAST(kk AS BIGINT)
+        |            ELSE NULL END AS k,
+        |       CASE WHEN mode IN (0, 1, 2, 4) THEN nm
+        |            WHEN mode = 3 THEN 'q,uo' ELSE NULL END AS name,
+        |       CASE WHEN mode IN (0, 2, 3, 4) THEN CAST(cc AS BIGINT)
+        |            ELSE NULL END AS cents,
+        |       mode IN (1, 2, 4) AS corrupt
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 = 0 AND length(text) >= 24),
+        |spans AS (
+        |  -- generate_series cannot take a lateral column bound here, so
+        |  -- over-generate to a corpus-wide cap and filter (doc texts are
+        |  -- bounded well under 4096 chars)
+        |  SELECT d.doc_id,
+        |         md5(substring(d.text, CAST(gs.i AS INT), 24)) AS digest
+        |  FROM d CROSS JOIN generate_series(1, 4096, 4) AS gs(i)
+        |  WHERE gs.i <= length(d.text) - 23),
+        |dup AS (
+        |  SELECT digest FROM spans
+        |  GROUP BY digest HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT s.doc_id, COUNT(*) AS n_spans,
+        |       CAST(SUM(CASE WHEN dup.digest IS NULL THEN 0 ELSE 1 END)
+        |            AS BIGINT) AS n_dup_spans,
+        |       CAST(SUM(CASE WHEN dup.digest IS NULL THEN 0 ELSE 1 END)
+        |            * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+        |FROM spans s LEFT JOIN dup ON s.digest = dup.digest
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "q_ico_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + (doc_id // 25) % 3 AS n
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |big AS (
+        |  SELECT doc_id, n, n - 1 AS e,
+        |         8 + 2 * (n - 1) + doc_id % 4 AS w,
+        |         6 + (n - 1) AS h,
+        |         doc_id + (n - 1) AS seed
+        |  FROM d),
+        |px AS (
+        |  SELECT b.doc_id, b.n, b.w, b.h, b.e,
+        |         (b.seed * 7 + gx.x * 31 + gy.y * 17) % 256 AS r,
+        |         (b.seed * 11 + gx.x * 13 + gy.y * 29) % 256 AS g,
+        |         (b.seed * 3 + gx.x * 37 + gy.y * 23) % 256 AS b2
+        |  FROM big b
+        |  CROSS JOIN generate_series(0, 16) AS gx(x)
+        |  CROSS JOIN generate_series(0, 8) AS gy(y)
+        |  WHERE gx.x < b.w AND gy.y < b.h)
+        |SELECT doc_id, CAST(MIN(n) AS BIGINT) AS n_entries,
+        |       CAST(MIN(n) AS BIGINT) AS n_readable,
+        |       CAST(MIN(w) AS BIGINT) AS width,
+        |       CAST(MIN(h) AS BIGINT) AS height,
+        |       CASE WHEN MIN(e) % 2 = 0 THEN 'png' ELSE 'dib' END AS kind,
+        |       CAST(SUM(r + g + b2) AS BIGINT) AS px_sum,
+        |       CAST(SUM(r) AS BIGINT) AS r_sum,
+        |       CAST(SUM(g) AS BIGINT) AS g_sum,
+        |       CAST(SUM(b2) AS BIGINT) AS b_sum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_snappy_roundtrip" ->
       """WITH d AS (
         |  SELECT doc_id, text, ((doc_id // 11) % 4 = 3) AS corrupt

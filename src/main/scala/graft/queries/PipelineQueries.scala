@@ -392,7 +392,57 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** EXIF metadata extraction: a synthesized APP1 (TIFF IFD behind
+    * "Exif\0\0") spliced after SOI of a real baseline JPEG — IFD0
+    * Make/Orientation/DateTime plus the Exif sub-IFD's pixel dims,
+    * with byte order ALTERNATING per doc (II and MM both occur in the
+    * wild), ASCII values at header-relative offsets with NUL inside
+    * the count, and the dimension tags deliberately split SHORT/LONG.
+    * jpeg_stats dims of the SAME spliced blob prove the pixel decoder
+    * walks over APP1 unharmed — metadata and pixels from one
+    * container. */
+  private[graft] def qExifMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.exif._
+    import graft.functions.media._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(24) + col("doc_id") % 16).cast("int").as("w"),
+        (lit(16) + col("doc_id") % 8).cast("int").as("h"))
+    val blob = jpeg_with_exif(synth_jpeg(col("doc_id"), col("w"), col("h")),
+      col("doc_id"), col("w"), col("h"))
+    d.select(col("doc_id"), exif_meta(blob).as("m"), jpeg_stats(blob).as("s"))
+      .select(col("doc_id"),
+        col("m.orientation").cast("long").as("orientation"),
+        col("m.make").as("make"), col("m.datetime").as("datetime"),
+        col("m.px_width").as("px_width"), col("m.px_height").as("px_height"),
+        col("s.width").cast("long").as("jpeg_w"),
+        col("s.height").cast("long").as("jpeg_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Geohash bucketing over synthesized micro-degree coordinates:
+    * the exact integer bisection-bit formulation (quantize each axis
+    * to 2^20 buckets, interleave lon-first, base-32) the oracle
+    * replays bit by bit with shifts — a float-based encoder, a
+    * lat-first interleave, or an unclamped edge all mismatch. The
+    * prefix column is the spatial GROUP BY key (prefix-shared hashes
+    * are neighbors), i.e. the shuffle-friendly spatial-aggregation
+    * primitive. */
+  private[graft] def qGeohash(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.geohash._
+    val c = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"),
+        (col("c_custkey") * 7919 % 180000001 - 90000000).as("latm"),
+        (col("c_custkey") * 104729 % 360000001 - 180000000).as("lonm"))
+    c.select(col("c_custkey"), col("latm"), col("lonm"),
+        geohash(col("latm"), col("lonm"), lit(8)).as("gh"))
+      .withColumn("bucket", expr("substring(gh, 1, 4)"))
+      .orderBy(col("c_custkey"))
+  }
+
   private[graft] def pipelineQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exif_meta" -> (qExifMeta _),
+    "q_geohash" -> (qGeohash _),
     "q_csv_ingest" -> (qCsvIngest _),
     "q_dup_spans" -> (qDupSpans _),
     "q_ico_decode" -> (qIcoDecode _),
@@ -407,6 +457,63 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_tiff_decode" -> (qTiffDecode _))
 
   private[graft] def pipelineOracleMap: Map[String, String] = Map(
+    "q_exif_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id, 24 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+        |  FROM documents WHERE doc_id % 25 = 0)
+        |SELECT doc_id,
+        |       CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+        |       'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        |       '2026:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        |         || ' 12:00:00' AS datetime,
+        |       CAST(w AS BIGINT) AS px_width,
+        |       CAST(h AS BIGINT) AS px_height,
+        |       CAST(w AS BIGINT) AS jpeg_w,
+        |       CAST(h AS BIGINT) AS jpeg_h
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_geohash" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |         (c_custkey * 7919) % 180000001 - 90000000 AS latm,
+        |         (c_custkey * 104729) % 360000001 - 180000000 AS lonm
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |q AS (
+        |  SELECT c_custkey, latm, lonm,
+        |         LEAST(((latm + 90000000) * 1048576) // 180000000,
+        |               1048575) AS qlat,
+        |         LEAST(((lonm + 180000000) * 1048576) // 360000000,
+        |               1048575) AS qlon
+        |  FROM c),
+        |z AS (
+        |  SELECT q.c_custkey, q.latm, q.lonm, CAST(SUM(
+        |      ((q.qlon // (CAST(1 AS BIGINT) << (19 - CAST(gs.i AS INT)))) % 2)
+        |        * (CAST(1 AS BIGINT) << (39 - 2 * CAST(gs.i AS INT)))
+        |    + ((q.qlat // (CAST(1 AS BIGINT) << (19 - CAST(gs.i AS INT)))) % 2)
+        |        * (CAST(1 AS BIGINT) << (38 - 2 * CAST(gs.i AS INT)))
+        |    ) AS BIGINT) AS z
+        |  FROM q CROSS JOIN generate_series(0, 19) AS gs(i)
+        |  GROUP BY q.c_custkey, q.latm, q.lonm),
+        |g AS (
+        |  SELECT c_custkey, latm, lonm,
+        |         substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |           CAST((z // (CAST(1 AS BIGINT) << 35)) % 32 AS INT) + 1, 1)
+        |      || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |           CAST((z // (CAST(1 AS BIGINT) << 30)) % 32 AS INT) + 1, 1)
+        |      || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |           CAST((z // (CAST(1 AS BIGINT) << 25)) % 32 AS INT) + 1, 1)
+        |      || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |           CAST((z // (CAST(1 AS BIGINT) << 20)) % 32 AS INT) + 1, 1)
+        |      || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |           CAST((z // (CAST(1 AS BIGINT) << 15)) % 32 AS INT) + 1, 1)
+        |      || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |           CAST((z // (CAST(1 AS BIGINT) << 10)) % 32 AS INT) + 1, 1)
+        |      || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |           CAST((z // (CAST(1 AS BIGINT) << 5)) % 32 AS INT) + 1, 1)
+        |      || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |           CAST(z % 32 AS INT) + 1, 1) AS gh
+        |  FROM z)
+        |SELECT c_custkey, latm, lonm, gh, substr(gh, 1, 4) AS bucket
+        |FROM g ORDER BY c_custkey""".stripMargin,
     "q_csv_ingest" ->
       """WITH d AS (
         |  SELECT doc_id, (doc_id // 13) % 6 AS mode,

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `blob_kind` — the engine's file(1): one magic-byte dispatch across
+  * every container family the codec library decodes, so a mixed
+  * 100 TB blob column routes to the right decoder with ONE cheap scan
+  * (a prefix read — no decode, no shuffle) before the per-format
+  * pipelines fan out. Detectors, in precedence order (more-specific
+  * first where prefixes overlap):
+  *
+  *   png, jpeg, gif, bmp, qoi, tiff, ico, wav (RIFF/WAVE), avi
+  *   (RIFF/AVI ), gzip, zip, tar (ustar at 257), warc (WARC/1.),
+  *   pgm/ppm (P5/P6), utf8_text / ascii_text (whole-blob scan, the
+  *   one non-prefix rule), binary (anything else).
+  *
+  * Labels match each family's own triage kernel (jpeg_kind, wav_kind)
+  * at the container level; those kernels then refine WITHIN the
+  * format. Never throws; empty/null-safe. */
+object BlobKind {
+
+  def kind(b: Array[Byte]): String = {
+    if (b == null) return null
+    if (b.length == 0) return "empty"
+    @inline def at(i: Int): Int = if (i < b.length) b(i) & 0xff else -1
+    @inline def ascii(i: Int, s: String): Boolean =
+      i + s.length <= b.length && s.indices.forall(k => b(i + k) == s.charAt(k).toByte)
+
+    if (at(0) == 0x89 && ascii(1, "PNG\r\n") && at(6) == 0x1a && at(7) == 0x0a)
+      return "png"
+    if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) return "jpeg"
+    if (ascii(0, "GIF87a") || ascii(0, "GIF89a")) return "gif"
+    if (ascii(0, "qoif")) return "qoi"
+    if (ascii(0, "BM")) return "bmp"
+    if ((ascii(0, "II") && at(2) == 42 && at(3) == 0) ||
+        (ascii(0, "MM") && at(2) == 0 && at(3) == 42)) return "tiff"
+    if (at(0) == 0 && at(1) == 0 && at(2) == 1 && at(3) == 0 &&
+        at(4) > 0 && at(5) == 0) return "ico"
+    if (ascii(0, "RIFF") && ascii(8, "WAVE")) return "wav"
+    if (ascii(0, "RIFF") && ascii(8, "AVI ")) return "avi"
+    if (at(0) == 0x1f && at(1) == 0x8b) return "gzip"
+    if (ascii(0, "PK") && (at(2) == 3 || at(2) == 5 || at(2) == 7))
+      return "zip"
+    if (ascii(257, "ustar")) return "tar"
+    if (ascii(0, "WARC/1.")) return "warc"
+    if (at(0) == 'P' && (at(1) == '5' || at(1) == '6') &&
+        (at(2) == '\n' || at(2) == ' ')) return if (at(1) == '5') "pgm" else "ppm"
+    // content fallback: the ONE whole-blob rule
+    val (valid, _, _, _, n2, n3, n4, _) = Utf8.scan(b, build = false)
+    if (valid && n2 + n3 + n4 == 0) "ascii_text"
+    else if (valid) "utf8_text"
+    else "binary"
+  }
+}
+
+/** `blob_kind(binary)` -> string label per [[BlobKind.kind]]. */
+case class BlobKindOf(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"blob_kind expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(BlobKind.kind(input.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(newChild: Expression): BlobKindOf =
+    copy(child = newChild)
+  override def prettyName: String = "blob_kind"
+}
+
+object blobkind {
+  def blob_kind(blob: Column): Column =
+    ColumnBridge.column(BlobKindOf(ColumnBridge.expression(blob)))
+}

@@ -440,7 +440,55 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("c_custkey"))
   }
 
+  /** blob_kind — the engine's file(1) — over a sixteen-mode mixed blob
+    * corpus spanning EVERY container family the codec library decodes:
+    * png/jpeg/gif/bmp/qoi/tiff/ico/wav/gzip/zip/tar/warc/pgm plus
+    * ascii-text, utf-8-text and binary content fallbacks. One prefix
+    * read routes each blob to its decoder pipeline (the dispatch scan
+    * a mixed 100 TB blob column runs FIRST); the oracle knows every
+    * row's family by construction and checks the grouped counts and
+    * doc ranges per label. */
+  private[graft] def qBlobTriage(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.blobkind._
+    import graft.functions.ico.synth_ico
+    import graft.functions.kernels.gzip_compress
+    import graft.functions.media._
+    import graft.functions.qoi.synth_qoi
+    import graft.functions.tar.synth_tar
+    import graft.functions.tiff.synth_tiff
+    import graft.functions.zip.synth_zip
+    val d = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"),
+        expr("(doc_id div 2) % 16").as("mode"),
+        (lit(12) + col("doc_id") % 6).cast("int").as("w"),
+        (lit(8) + col("doc_id") % 4).cast("int").as("h"))
+    val blob = when(col("mode") === 0, synth_png(col("doc_id"), col("w"), col("h")))
+      .when(col("mode") === 1, synth_jpeg(col("doc_id"), col("w"), col("h")))
+      .when(col("mode") === 2, synth_gif(col("doc_id"), col("w"), col("h")))
+      .when(col("mode") === 3, graft.functions.bmp.synth_bmp(col("doc_id"), col("w"), col("h")))
+      .when(col("mode") === 4, synth_qoi(col("doc_id"), col("w"), col("h"), lit(false)))
+      .when(col("mode") === 5, synth_tiff(col("doc_id"), col("w"), col("h"), lit(false), lit(false)))
+      .when(col("mode") === 6, synth_ico(col("doc_id"), lit(2)))
+      .when(col("mode") === 7, synth_wav_pcm(col("doc_id"), lit(40).cast("int")))
+      .when(col("mode") === 8, gzip_compress(col("text").cast("binary")))
+      .when(col("mode") === 9, synth_zip(col("doc_id"), lit(2).cast("int"), lit(false)))
+      .when(col("mode") === 10, synth_tar(col("doc_id"), lit(2).cast("int"), lit(false)))
+      .when(col("mode") === 11,
+        lit("WARC/1.0\r\nWARC-Type: response\r\n\r\n").cast("binary"))
+      .when(col("mode") === 12, synth_pgm(col("doc_id"), col("w"), col("h")))
+      .when(col("mode") === 13, col("text").cast("binary"))
+      .when(col("mode") === 14, concat(col("text").cast("binary"),
+        lit("é").cast("binary")))
+      .otherwise(lit(Array(0x01.toByte, 0xfe.toByte, 0x00.toByte)))
+    d.select(col("doc_id"), col("mode"), blob_kind(blob).as("kind"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_blobs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("kind"))
+  }
+
   private[graft] def pipelineQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_blob_triage" -> (qBlobTriage _),
     "q_exif_meta" -> (qExifMeta _),
     "q_geohash" -> (qGeohash _),
     "q_csv_ingest" -> (qCsvIngest _),
@@ -457,6 +505,25 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_tiff_decode" -> (qTiffDecode _))
 
   private[graft] def pipelineOracleMap: Map[String, String] = Map(
+    "q_blob_triage" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id // 2) % 16 AS mode
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |k AS (
+        |  SELECT doc_id,
+        |         CASE mode WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |                   WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp'
+        |                   WHEN 4 THEN 'qoi' WHEN 5 THEN 'tiff'
+        |                   WHEN 6 THEN 'ico' WHEN 7 THEN 'wav'
+        |                   WHEN 8 THEN 'gzip' WHEN 9 THEN 'zip'
+        |                   WHEN 10 THEN 'tar' WHEN 11 THEN 'warc'
+        |                   WHEN 12 THEN 'pgm' WHEN 13 THEN 'ascii_text'
+        |                   WHEN 14 THEN 'utf8_text'
+        |                   ELSE 'binary' END AS kind
+        |  FROM d)
+        |SELECT kind, COUNT(*) AS n_blobs, MIN(doc_id) AS min_doc,
+        |       MAX(doc_id) AS max_doc
+        |FROM k GROUP BY kind ORDER BY kind""".stripMargin,
     "q_exif_meta" ->
       """WITH d AS (
         |  SELECT doc_id, 24 + doc_id % 16 AS w, 16 + doc_id % 8 AS h

@@ -137,6 +137,27 @@ class WireCodecsSpec extends AnyFunSuite {
     assert(TextIngest.sniff(Array.emptyByteArray) === "ascii")
   }
 
+  test("blob_kind: every family detected; overlapping prefixes resolve " +
+    "to the more specific family; content fallback tiers") {
+    import graft.functions.BlobKind
+    assert(BlobKind.kind(graft.functions.Qoi.encode(2, 2, 3,
+      Array.fill[Byte](12)(1))) === "qoi")
+    assert(BlobKind.kind(graft.functions.Tiff.encode(2, 2, 1,
+      bigEndian = true, 2, Array.fill[Byte](4)(1))) === "tiff")
+    assert(BlobKind.kind(graft.functions.Ico.synth(1L, 2)) === "ico")
+    // a snappy stream of high bytes is invalid UTF-8 -> binary tier
+    // (tiny all-ASCII payloads legitimately sniff as text: blob_kind is
+    // a prefix dispatch, not a parser)
+    assert(BlobKind.kind(Snappy.compress(Array.fill[Byte](4)(0xff.toByte))) === "binary")
+    assert(BlobKind.kind("plain".getBytes) === "ascii_text")
+    assert(BlobKind.kind("café".getBytes("UTF-8")) === "utf8_text")
+    assert(BlobKind.kind("WARC/1.0\r\n".getBytes) === "warc")
+    assert(BlobKind.kind(Array[Byte](0x1f, 0x8b.toByte, 8)) === "gzip")
+    assert(BlobKind.kind(Array.emptyByteArray) === "empty")
+    // 'II*' TIFF magic vs arbitrary ascii starting II: the 42 gate
+    assert(BlobKind.kind("IIx*".getBytes) === "ascii_text")
+  }
+
   test("html entities: named/decimal/hex/C1-remap/surrogate/verbatim") {
     def d(s: String) = TextIngest.decodeEntities(s)
     assert(d("a &amp; b") === "a & b")

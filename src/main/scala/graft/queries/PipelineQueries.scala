@@ -487,7 +487,73 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("kind"))
   }
 
+  /** IMA ADPCM decode — the engine's first SEQUENTIAL codec oracle:
+    * predictor and step index evolve nibble by nibble, so the DuckDB
+    * replay is a RECURSIVE CTE stepping the exact state machine
+    * (step-table lookup, bit-tested diff, int16 clamp, index-table
+    * clamp) over every sample of every block. An off-by-one in clamp
+    * order or nibble order diverges immediately and compounds. */
+  private[graft] def qAdpcmDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.adpcm._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"),
+        (lit(48) + (col("doc_id") % 8) * 2).cast("int").as("n"))
+    d.select(col("doc_id"),
+        adpcm_stats(synth_adpcm(col("doc_id"), col("n"))).as("s"))
+      .select(col("doc_id"), col("s.n_samples").as("n_samples"),
+        col("s.sum_abs").as("sum_abs"), col("s.sum_sq").as("sum_sq"),
+        col("s.peak").cast("long").as("peak"),
+        col("s.last_pred").cast("long").as("last_pred"),
+        col("s.last_step_index").cast("long").as("last_step_index"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sentence segmentation with BUILT-INS only (split / transform /
+    * aggregate — no custom kernel, the functions-not-UDFs rule applied
+    * to text): the pinned rule is the delimiter class `[.!?] `
+    * (punctuation followed by a space ends a sentence; rtrim first so
+    * both engines agree on trailing splits). Outputs per-doc sentence
+    * count and exact length stats. */
+  private[graft] def qSentenceSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+    d.select(col("doc_id"),
+        expr("transform(split(rtrim(text), '[.!?] '), x -> length(x))").as("lens"))
+      .select(col("doc_id"),
+        size(col("lens")).cast("long").as("n_sentences"),
+        expr("aggregate(lens, 0L, (a, x) -> a + x)").as("sum_len"),
+        expr("array_max(lens)").cast("long").as("max_len"),
+        expr("array_min(lens)").cast("long").as("min_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic train/val/test assignment — the split EVERY
+    * training pipeline runs, done hash-stable so reruns and
+    * distributed workers agree with zero coordination: first hex char
+    * of md5(text) buckets 13/16 train, 1/16 val, 2/16 test. Exact
+    * duplicates land in one split BY CONSTRUCTION (same text, same
+    * digest) — the leakage guarantee random splits do not give.
+    * Distinct-text counts flow over digests, never text. */
+  private[graft] def qHashSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        md5(col("text").cast("binary")).as("digest"))
+    val split = when(substring(col("digest"), 1, 1).isin(
+        "0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b", "c"),
+        lit("train"))
+      .when(substring(col("digest"), 1, 1) === "d", lit("val"))
+      .otherwise(lit("test"))
+    d.withColumn("split", split)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        countDistinct(col("digest")).as("n_distinct"))
+      .orderBy(col("split"))
+  }
+
   private[graft] def pipelineQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_adpcm_decode" -> (qAdpcmDecode _),
+    "q_sentence_split" -> (qSentenceSplit _),
+    "q_hash_split" -> (qHashSplit _),
     "q_blob_triage" -> (qBlobTriage _),
     "q_exif_meta" -> (qExifMeta _),
     "q_geohash" -> (qGeohash _),
@@ -505,6 +571,81 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_tiff_decode" -> (qTiffDecode _))
 
   private[graft] def pipelineOracleMap: Map[String, String] = Map(
+    "q_adpcm_decode" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, 48 + (doc_id % 8) * 2 AS n,
+        |         (doc_id * 37) % 4001 - 2000 AS pred0,
+        |         (doc_id * 7) % 89 AS si0
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |dec AS (
+        |  SELECT doc_id, n, CAST(0 AS BIGINT) AS k, pred0 AS pred,
+        |         si0 AS si, CAST(0 AS BIGINT) AS sum_abs,
+        |         CAST(0 AS BIGINT) AS sum_sq, CAST(0 AS BIGINT) AS peak
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, n, k + 1, new_pred, new_si,
+        |         sum_abs + abs(new_pred),
+        |         sum_sq + new_pred * new_pred,
+        |         GREATEST(peak, abs(new_pred))
+        |  FROM (
+        |    SELECT doc_id, n, k, sum_abs, sum_sq, peak,
+        |           GREATEST(-32768, LEAST(32767,
+        |             CASE WHEN code >= 8 THEN pred - diff
+        |                  ELSE pred + diff END)) AS new_pred,
+        |           GREATEST(0, LEAST(88, si +
+        |             CASE WHEN code % 8 <= 3 THEN -1
+        |                  WHEN code % 8 = 4 THEN 2
+        |                  WHEN code % 8 = 5 THEN 4
+        |                  WHEN code % 8 = 6 THEN 6
+        |                  ELSE 8 END)) AS new_si
+        |    FROM (
+        |      SELECT x1.*,
+        |             step // 8
+        |               + CASE WHEN code % 2 = 1 THEN step // 4 ELSE 0 END
+        |               + CASE WHEN (code // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+        |               + CASE WHEN (code // 4) % 2 = 1 THEN step ELSE 0 END
+        |               AS diff
+        |      FROM (
+        |        SELECT dec.*, (doc_id * 3 + k * 5) % 16 AS code,
+        |               list_value(7,8,9,10,11,12,13,14,16,17,19,21,23,25,
+        |                 28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,
+        |                 130,143,157,173,190,209,230,253,279,307,337,371,
+        |                 408,449,494,544,598,658,724,796,876,963,1060,1166,
+        |                 1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,
+        |                 3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,
+        |                 8630,9493,10442,11487,12635,13899,15289,16818,
+        |                 18500,20350,22385,24623,27086,29794,32767)[si + 1]
+        |                 AS step
+        |        FROM dec WHERE k < n) x1) x2) x3)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, sum_abs, sum_sq,
+        |       peak AS peak, CAST(pred AS BIGINT) AS last_pred,
+        |       CAST(si AS BIGINT) AS last_step_index
+        |FROM dec WHERE k = n ORDER BY doc_id""".stripMargin,
+    "q_sentence_split" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split_regex(rtrim(text), '[.!?] '),
+        |           x -> length(x)) AS lens
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, CAST(len(lens) AS BIGINT) AS n_sentences,
+        |       CAST(list_aggregate(lens, 'sum') AS BIGINT) AS sum_len,
+        |       CAST(list_aggregate(lens, 'max') AS BIGINT) AS max_len,
+        |       CAST(list_aggregate(lens, 'min') AS BIGINT) AS min_len
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_hash_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, md5(text) AS digest FROM documents),
+        |a AS (
+        |  SELECT *, CASE WHEN substr(digest, 1, 1) BETWEEN '0' AND '9'
+        |                   OR substr(digest, 1, 1) IN ('a', 'b', 'c')
+        |                  THEN 'train'
+        |                  WHEN substr(digest, 1, 1) = 'd' THEN 'val'
+        |                  ELSE 'test' END AS split
+        |  FROM d)
+        |SELECT split, COUNT(*) AS n_docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |       COUNT(DISTINCT digest) AS n_distinct
+        |FROM a GROUP BY split ORDER BY split""".stripMargin,
     "q_blob_triage" ->
       """WITH d AS (
         |  SELECT doc_id, (doc_id // 2) % 16 AS mode

@@ -229,7 +229,13 @@ object ScaleProbe {
         b => jpeg_stats_rgb(b).getField("px_sum")),
       ("jpeg_progressive", synth_jpeg_prog(id, W, H),
         b => jpeg_stats_ycbcr(b).getField("px_sum")),
-      ("gif_lzw", synth_gif(id, W, H), b => gif_stats(b).getField("px_sum")))
+      ("gif_lzw", synth_gif(id, W, H), b => gif_stats(b).getField("px_sum")),
+      ("bmp_24", graft.functions.bmp.synth_bmp(id, W, H),
+        b => graft.functions.bmp.bmp_stats_rgb(b).getField("px_sum")),
+      ("qoi_rgb", graft.functions.qoi.synth_qoi(id, W, H, lit(false)),
+        b => graft.functions.qoi.qoi_stats(b).getField("px_sum")),
+      ("tiff_rgb", graft.functions.tiff.synth_tiff(id, W, H, lit(true), lit(false)),
+        b => graft.functions.tiff.tiff_stats(b).getField("px_sum")))
     println(s"[media] base=$baseBlobs blobs of 128x96; cores=$cores; " +
       s"multipliers=${mults.mkString(",")}")
     variants.foreach { case (name, synth, stats) =>

@@ -550,7 +550,62 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("split"))
   }
 
+  /** The WHOLE web-ingest funnel in one query — URL parse → robots
+    * compliance → UTF-8 validity → strip_html non-emptiness — pure
+    * COMPOSITION of the per-row kernels (no new operator), grouped per
+    * host with a count at every gate. This is the shape a crawled
+    * 100 TB corpus actually runs: each stage is a per-row expression,
+    * the only shuffle is the final 8-key host aggregation, and the
+    * oracle replays every gate decision from the synthesis. */
+  private[graft] def qCrawlGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.robots._
+    import graft.functions.url._
+    import graft.functions.utf8._
+    import graft.functions.kernels.strip_html
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % 8).as("host"),
+        expr("(doc_id div 8) % 4").as("pv"),
+        expr("(doc_id div 32) % 4").as("pm"))
+      .withColumn("hs", concat(lit("h"), col("host").cast("string")))
+    val url = when(col("pv") === 0,
+        concat(lit("https://"), col("hs"), lit(".example.com/a")))
+      .when(col("pv") === 1,
+        concat(lit("https://"), col("hs"), lit(".example.com/private/x")))
+      .when(col("pv") === 2,
+        concat(lit("https://"), col("hs"), lit(".example.com/list?q=1#frag")))
+      .otherwise(lit("not a url"))
+    val robotsTxt = when(col("host") % 4 === 3,
+        lit("User-agent: *\nDisallow: /\n"))
+      .otherwise(lit("User-agent: graftbot\nDisallow: /private\n\n" +
+        "User-agent: *\nDisallow: /\n"))
+    val payload = when(col("pm") === 0,
+        lit("<html><body><p>Hello world</p></body></html>").cast("binary"))
+      .when(col("pm") === 1, lit("<p>café</p>").cast("binary"))
+      .when(col("pm") === 2,
+        concat(lit("<p>ok</p>").cast("binary"), lit(Array(0xff.toByte))))
+      .otherwise(lit("<div><span></span></div>").cast("binary"))
+    val staged = d
+      .withColumn("u", url_parse(url))
+      .withColumn("url_ok", col("u").isNotNull)
+      .withColumn("allowed", col("url_ok") &&
+        robots_decision(robotsTxt, lit("graftbot"),
+          coalesce(col("u.path"), lit(""))).getField("allowed"))
+      .withColumn("utf8_ok", col("allowed") &&
+        utf8_stats(payload).getField("valid"))
+      .withColumn("kept", col("utf8_ok") &&
+        length(trim(strip_html(utf8_sanitize(payload)))) > 0)
+    staged.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_fetched"),
+        sum(when(col("url_ok"), 1L).otherwise(0L)).as("n_url_ok"),
+        sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+        sum(when(col("utf8_ok"), 1L).otherwise(0L)).as("n_utf8_ok"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("host"))
+  }
+
   private[graft] def pipelineQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_crawl_gate" -> (qCrawlGate _),
     "q_adpcm_decode" -> (qAdpcmDecode _),
     "q_sentence_split" -> (qSentenceSplit _),
     "q_hash_split" -> (qHashSplit _),
@@ -571,6 +626,25 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_tiff_decode" -> (qTiffDecode _))
 
   private[graft] def pipelineOracleMap: Map[String, String] = Map(
+    "q_crawl_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS host, (doc_id // 8) % 4 AS pv,
+        |         (doc_id // 32) % 4 AS pm
+        |  FROM documents),
+        |g AS (
+        |  SELECT host,
+        |         (pv <> 3) AS url_ok,
+        |         (pv <> 3 AND host % 4 <> 3 AND pv <> 1) AS allowed,
+        |         (pv <> 3 AND host % 4 <> 3 AND pv <> 1 AND pm <> 2) AS utf8_ok,
+        |         (pv <> 3 AND host % 4 <> 3 AND pv <> 1 AND pm <> 2
+        |            AND pm <> 3) AS kept
+        |  FROM d)
+        |SELECT host, COUNT(*) AS n_fetched,
+        |       CAST(SUM(CASE WHEN url_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_url_ok,
+        |       CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+        |       CAST(SUM(CASE WHEN utf8_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_utf8_ok,
+        |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM g GROUP BY host ORDER BY host""".stripMargin,
     "q_adpcm_decode" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, 48 + (doc_id % 8) * 2 AS n,

@@ -64,7 +64,10 @@ object Snappy {
       }
     }
 
-    val bits = 14
+    // size the table to the input: a fixed 16K-entry table would cost
+    // a 64 KB allocation per ROW on a blob column of small cells
+    val bits = math.min(14,
+      math.max(8, 32 - Integer.numberOfLeadingZeros(math.max(1, in.length))))
     val table = new Array[Int](1 << bits) // last position+1 of each hash (0 = empty)
     @inline def hash4(i: Int): Int = {
       val v = ((in(i) & 0xff)) | ((in(i + 1) & 0xff) << 8) |

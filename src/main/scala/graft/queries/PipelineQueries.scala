@@ -604,7 +604,60 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("host"))
   }
 
+  /** The hashing trick (feature hashing, Weinberger et al. 2009):
+    * token → md5 → bucket (12 hex bits mod 64) with the ±1 sign hash
+    * that unbiases collisions — vocabulary-FREE featurization, the
+    * fixed-width path when a 100 TB corpus can't afford a vocabulary
+    * build. Shuffles (doc, bucket) pairs only; weights are exact
+    * integer sums of signs the oracle replays via hex arithmetic. */
+  private[graft] def qFeatureHash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") % 31 === 0)
+      .select(col("doc_id"), col("text"))
+    val toks = d.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", md5(col("tok").cast("binary")))
+    toks
+      .withColumn("bucket",
+        expr("cast(conv(substring(h, 1, 3), 16, 10) as bigint) % 64"))
+      .withColumn("sign",
+        when(expr("cast(conv(substring(h, 4, 1), 16, 10) as bigint) % 2 = 0"),
+          lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).as("weight"), count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
+  /** Sitemap ingest with BUILT-INS only (regexp_extract_all on both
+    * engines): pull every <loc> URL from synthesized sitemap XML,
+    * validate through url_parse, count per doc — the crawl-frontier
+    * discovery step beside robots_decision. */
+  private[graft] def qSitemapIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.url._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 19 === 0)
+      .select(col("doc_id"), (col("doc_id") % 8).cast("string").as("k"))
+    val xml = concat(
+      lit("<?xml version=\"1.0\"?><urlset><url><loc>https://h"), col("k"),
+      lit(".example.com/p1</loc></url><url><loc>https://h"), col("k"),
+      lit(".example.com/p2</loc></url>"),
+      when(col("doc_id") % 2 === 1,
+        lit("<url><loc>not a url</loc></url>")).otherwise(lit("")),
+      lit("</urlset>"))
+    d.withColumn("xml", xml)
+      .select(col("doc_id"), col("k"),
+        explode(expr("regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)")).as("loc"))
+      .withColumn("u", url_parse(col("loc")))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(count(lit(1)).as("n_locs"),
+        sum(when(col("u").isNotNull, 1L).otherwise(0L)).as("n_valid"))
+      .select(col("doc_id"), col("n_locs"), col("n_valid"),
+        concat(lit("h"), col("k"), lit(".example.com")).as("host"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] def pipelineQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feature_hash" -> (qFeatureHash _),
+    "q_sitemap_ingest" -> (qSitemapIngest _),
     "q_crawl_gate" -> (qCrawlGate _),
     "q_adpcm_decode" -> (qAdpcmDecode _),
     "q_sentence_split" -> (qSentenceSplit _),
@@ -626,6 +679,32 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_tiff_decode" -> (qTiffDecode _))
 
   private[graft] def pipelineOracleMap: Map[String, String] = Map(
+    "q_feature_hash" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM d),
+        |h AS (
+        |  SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
+        |f AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(h, 1, 3)) AS BIGINT) % 64 AS bucket,
+        |         CASE WHEN CAST(('0x' || substr(h, 4, 1)) AS BIGINT) % 2 = 0
+        |              THEN 1 ELSE -1 END AS sign
+        |  FROM h)
+        |SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight,
+        |       COUNT(*) AS n_tokens
+        |FROM f GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
+    "q_sitemap_ingest" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS VARCHAR) AS k
+        |  FROM documents WHERE doc_id % 19 = 0)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END AS BIGINT) AS n_locs,
+        |       CAST(2 AS BIGINT) AS n_valid,
+        |       'h' || k || '.example.com' AS host
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_crawl_gate" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 8 AS host, (doc_id // 8) % 4 AS pv,

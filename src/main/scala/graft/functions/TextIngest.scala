@@ -95,8 +95,17 @@ object TextIngest {
       val c = s.charAt(i)
       if (c != '&') { sb.append(c); i += 1 }
       else {
-        val semi = s.indexOf(';', i + 1)
-        val end = if (semi < 0 || semi - i > 33) -1 else semi
+        // bounded lookahead: names are capped at 32 chars, so never
+        // scan further — an unbounded indexOf would make a long
+        // ampersand-dense document quadratic
+        var semi = -1
+        var j = i + 1
+        val lim = math.min(n, i + 34)
+        while (semi < 0 && j < lim) {
+          if (s.charAt(j) == ';') semi = j
+          j += 1
+        }
+        val end = semi
         if (end < 0) { sb.append(c); i += 1 }
         else {
           val body = s.substring(i + 1, end)

@@ -655,7 +655,69 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Zstd frame triage (RFC 8878 headers — the modern parquet/WARC
+    * codec's envelope): kind dispatch (zstd / skippable / not_zstd /
+    * malformed) plus the planning fields a 100 TB pipeline reads
+    * before any decompression — content size, window size (incl. the
+    * single-segment content-as-window rule and the exponent/mantissa
+    * arithmetic), dictionary id, checksum flag, and the 2-byte
+    * content-size +256 bias. Entropy decode is out of scope (stated —
+    * the same contract as jpeg_kind for progressive). */
+  private[graft] def qZstdTriage(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.zstd._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), (col("doc_id") % 8).as("mode"))
+    d.select(col("doc_id"), col("mode"),
+        zstd_frame_meta(synth_zstd(col("doc_id"))).as("m"))
+      .select(col("doc_id"), col("mode"), col("m.kind").as("kind"),
+        col("m.single_segment").as("single_segment"),
+        col("m.checksum").as("checksum"),
+        col("m.dict_id").as("dict_id"),
+        col("m.window_size").as("window_size"),
+        col("m.content_size").as("content_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Permissive JSONL ingest through the BUILT-IN from_json, the
+    * twin of q_csv_ingest with the contract differences pinned: a
+    * MISSING field is null WITHOUT the corrupt flag (JSON knows which
+    * keys are absent; CSV cannot), a type-mismatched field nulls
+    * alone WITH the flag, unknown keys are ignored silently, and an
+    * object where a string was declared STRINGIFIES (compact
+    * serialization) rather than corrupting. */
+  private[graft] def qJsonlIngest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), expr("(doc_id div 13) % 6").as("mode"),
+        (col("doc_id") % 90 + 1).cast("string").as("kk"),
+        concat(lit("n"), (col("doc_id") % 10).cast("string")).as("nm"),
+        (col("doc_id") % 900 + 10).cast("string").as("cc"))
+    val line = when(col("mode") === 0, concat(lit("{\"k\":"), col("kk"),
+        lit(",\"name\":\""), col("nm"), lit("\",\"cents\":"), col("cc"), lit("}")))
+      .when(col("mode") === 1, concat(lit("{\"k\":"), col("kk"),
+        lit(",\"name\":\""), col("nm"), lit("\"}")))
+      .when(col("mode") === 2, concat(lit("{\"k\":\"xx\",\"name\":\""),
+        col("nm"), lit("\",\"cents\":"), col("cc"), lit("}")))
+      .when(col("mode") === 3, lit("not json"))
+      .when(col("mode") === 4, concat(lit("{\"k\":"), col("kk"),
+        lit(",\"name\":\""), col("nm"), lit("\",\"cents\":"), col("cc"),
+        lit(",\"extra\":1}")))
+      .otherwise(concat(lit("{\"k\":"), col("kk"),
+        lit(",\"name\":{\"nested\":true},\"cents\":"), col("cc"), lit("}")))
+    val parsed = from_json(line,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "k INT, name STRING, cents INT, _corrupt STRING"),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"))
+    d.select(col("doc_id"), col("mode"), parsed.as("p"))
+      .select(col("doc_id"), col("mode"),
+        col("p.k").cast("long").as("k"), col("p.name").as("name"),
+        col("p.cents").cast("long").as("cents"),
+        col("p._corrupt").isNotNull.as("corrupt"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] def pipelineQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zstd_triage" -> (qZstdTriage _),
+    "q_jsonl_ingest" -> (qJsonlIngest _),
     "q_feature_hash" -> (qFeatureHash _),
     "q_sitemap_ingest" -> (qSitemapIngest _),
     "q_crawl_gate" -> (qCrawlGate _),
@@ -679,6 +741,63 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_tiff_decode" -> (qTiffDecode _))
 
   private[graft] def pipelineOracleMap: Map[String, String] = Map(
+    "q_zstd_triage" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS mode,
+        |         (doc_id % 8) % 4 AS fcs,
+        |         ((doc_id // 8) % 2 = 1) AS ss,
+        |         ((doc_id // 16) % 2 = 1) AS ck,
+        |         (doc_id // 32) % 4 AS didf
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |e AS (
+        |  SELECT *,
+        |         CASE WHEN fcs = 0 THEN (CASE WHEN ss THEN 1 ELSE 0 END)
+        |              WHEN fcs = 1 THEN 2 WHEN fcs = 2 THEN 4
+        |              ELSE 8 END AS fcslen
+        |  FROM d),
+        |f AS (
+        |  SELECT *,
+        |         CASE WHEN fcslen = 0 THEN NULL
+        |              WHEN fcslen = 1 THEN doc_id % 256
+        |              WHEN fcslen = 2 THEN doc_id % 1000 + 256
+        |              ELSE 1000 + doc_id % 100000 END AS csize,
+        |         CASE WHEN didf = 0 THEN NULL
+        |              WHEN didf = 1 THEN (doc_id % 100000) % 256
+        |              WHEN didf = 2 THEN (doc_id % 100000) % 65536
+        |              ELSE doc_id % 100000 END AS did,
+        |         (CAST(1 AS BIGINT) << (10 + CAST((doc_id % 256) // 8 AS INT)))
+        |           + ((CAST(1 AS BIGINT) << (10 + CAST((doc_id % 256) // 8 AS INT))) // 8)
+        |             * ((doc_id % 256) % 8) AS wsize
+        |  FROM e)
+        |SELECT doc_id, CAST(mode AS BIGINT) AS mode,
+        |       CASE WHEN mode = 6 THEN 'zstd_skippable'
+        |            WHEN mode = 7 THEN 'not_zstd' ELSE 'zstd' END AS kind,
+        |       (mode < 6 AND ss) AS single_segment,
+        |       (mode < 6 AND ck) AS checksum,
+        |       CASE WHEN mode < 6 THEN did ELSE NULL END AS dict_id,
+        |       CASE WHEN mode >= 6 THEN NULL
+        |            WHEN ss THEN csize ELSE wsize END AS window_size,
+        |       CASE WHEN mode = 6 THEN 100 + doc_id % 900
+        |            WHEN mode = 7 THEN NULL
+        |            ELSE csize END AS content_size
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_jsonl_ingest" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id // 13) % 6 AS mode,
+        |         doc_id % 90 + 1 AS kk,
+        |         'n' || CAST(doc_id % 10 AS VARCHAR) AS nm,
+        |         doc_id % 900 + 10 AS cc
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT doc_id, mode,
+        |       CASE WHEN mode IN (0, 1, 4, 5) THEN CAST(kk AS BIGINT)
+        |            ELSE NULL END AS k,
+        |       CASE WHEN mode IN (0, 1, 2, 4) THEN nm
+        |            WHEN mode = 5 THEN '{"nested":true}'
+        |            ELSE NULL END AS name,
+        |       CASE WHEN mode IN (0, 2, 4, 5) THEN CAST(cc AS BIGINT)
+        |            ELSE NULL END AS cents,
+        |       mode IN (2, 3) AS corrupt
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_feature_hash" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0),

@@ -121,6 +121,43 @@ class WireCodecsSpec extends AnyFunSuite {
     assert(p.nVarint === 1 && p.varintSum === -1L)
   }
 
+  // --------------------------------------------------------------- zstd
+
+  test("zstd triage: synth -> parse round-trips the envelope for every " +
+    "mode; reserved bit and truncations are malformed; fuzz never throws") {
+    import graft.functions.Zstd
+    for (id <- 0L until 64L) {
+      val m = Zstd.frameMeta(Zstd.synth(id))
+      val mode = id % 8
+      if (mode == 6) assert(m.kind === "zstd_skippable")
+      else if (mode == 7) assert(m.kind === "not_zstd")
+      else {
+        assert(m.kind === "zstd")
+        assert(m.singleSegment === ((id / 8) % 2 == 1))
+        assert(m.checksum === ((id / 16) % 2 == 1))
+      }
+    }
+    // reserved bit set -> malformed
+    val good = Zstd.synth(0L)
+    val bad = good.clone(); bad(4) = (bad(4) | 0x08).toByte
+    assert(Zstd.frameMeta(bad).kind === "malformed")
+    for (i <- good.indices) {
+      Zstd.frameMeta(good.take(i)) // must not throw
+      val f = good.clone(); f(i) = (f(i) ^ 0x5a).toByte
+      Zstd.frameMeta(f)
+    }
+  }
+
+  test("zstd triage: 2-byte content size carries the +256 bias; " +
+    "single-segment window = content size") {
+    import graft.functions.Zstd
+    // id=13: mode 5 -> fcsFlag 1 (2-byte), ss = (13/8)%2 = 1
+    val m = Zstd.frameMeta(Zstd.synth(13L))
+    assert(m.kind === "zstd" && m.singleSegment)
+    assert(m.contentSize === Some(13L % 1000 + 256))
+    assert(m.windowSize === m.contentSize)
+  }
+
   // ------------------------------------------------------- text ingest
 
   test("charset sniff: BOM precedence and content heuristics") {

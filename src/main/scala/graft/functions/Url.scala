@@ -122,7 +122,65 @@ case class UrlParse(child: Expression)
   override def prettyName: String = "url_parse"
 }
 
+/** Percent-decoding per the WHATWG URL standard's forgiving rule: a
+  * '%' followed by two hex digits decodes to that byte; anything else
+  * (bare '%', truncated, non-hex) passes through VERBATIM — never an
+  * error, which is what a crawler needs (java.net.URLDecoder throws).
+  * The decoded BYTES then re-enter text via utf8_sanitize-equivalent
+  * decoding here (maximal-subpart U+FFFD), so `%C3%A9` is 'é' and a
+  * lone `%C3` is U+FFFD. `plusAsSpace` applies the
+  * application/x-www-form-urlencoded variant. */
+object PercentDecode {
+  def decode(s: String, plusAsSpace: Boolean): String = {
+    if (s == null) return null
+    if (s.indexOf('%') < 0 && !(plusAsSpace && s.indexOf('+') >= 0)) return s
+    val bytes = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    val n = s.length
+    @inline def hex(c: Char): Int = Character.digit(c, 16)
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < n && hex(s.charAt(i + 1)) >= 0 &&
+          hex(s.charAt(i + 2)) >= 0) {
+        bytes.write((hex(s.charAt(i + 1)) << 4) | hex(s.charAt(i + 2)))
+        i += 3
+      } else if (c == '+' && plusAsSpace) { bytes.write(' '); i += 1 }
+      else {
+        // copy the char's UTF-8 bytes through untouched
+        val cp = s.codePointAt(i)
+        val enc = new String(Character.toChars(cp)).getBytes("UTF-8")
+        bytes.write(enc, 0, enc.length)
+        i += Character.charCount(cp)
+      }
+    }
+    Utf8.scan(bytes.toByteArray, build = true)._8
+  }
+}
+
+/** `percent_decode(string, plus_as_space)` per [[PercentDecode]]. */
+case class PercentDecodeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    (left.dataType, right.dataType) match {
+      case (StringType, BooleanType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"percent_decode expects (string, boolean), got $other")
+    }
+  override def nullSafeEval(sA: Any, pA: Any): Any =
+    UTF8String.fromString(PercentDecode.decode(
+      sA.asInstanceOf[UTF8String].toString, pA.asInstanceOf[Boolean]))
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): PercentDecodeExpr = copy(left = l, right = r)
+  override def prettyName: String = "percent_decode"
+}
+
 object url {
   def url_parse(u: Column): Column =
     ColumnBridge.column(UrlParse(ColumnBridge.expression(u)))
+  def percent_decode(s: Column, plusAsSpace: Column): Column =
+    ColumnBridge.column(PercentDecodeExpr(ColumnBridge.expression(s),
+      ColumnBridge.expression(plusAsSpace)))
 }

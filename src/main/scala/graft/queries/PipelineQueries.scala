@@ -715,7 +715,52 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** WHATWG forgiving percent-decoding: valid %XX triplets decode to
+    * bytes (then through the maximal-subpart UTF-8 repair, so a lone
+    * %C3 is U+FFFD, not an exception), malformed escapes pass through
+    * VERBATIM, and '+' becomes space only under the form-encoding
+    * flag. java.net.URLDecoder throws on half of these — a crawler
+    * kernel cannot. */
+  private[graft] def qPercentDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.url._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id"), expr("(doc_id div 7) % 6").as("mode"))
+    val raw = when(col("mode") === 0, lit("hello%20world"))
+      .when(col("mode") === 1, lit("caf%C3%A9"))
+      .when(col("mode") === 2, lit("a+b%2Bc"))
+      .when(col("mode") === 3, lit("bad%2 escape%"))
+      .when(col("mode") === 4, lit("lone%C3 tail"))
+      .otherwise(lit("100%25+done"))
+    d.select(col("doc_id"), col("mode"), raw.as("raw"),
+        percent_decode(raw, col("mode") === 2).as("decoded"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** IDNA hostname decoding (punycode, RFC 3492): xn-- labels decode
+    * through the full generalized-variable-length-integer machinery
+    * (bias adaptation, overflow checks), non-IDNA labels pass
+    * verbatim, an invalid label nulls the host (PERMISSIVE). The
+    * publisher-identity step URL normalization needs: münchen.de and
+    * its xn-- form are ONE host. Well-known vectors enumerated by the
+    * oracle; arbitrary-label round-trip pinned in spec. */
+  private[graft] def qPunycode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.punycode._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 7 === 5)
+      .select(col("doc_id"), expr("(doc_id div 7) % 6").as("mode"))
+    val host = when(col("mode") === 0, lit("xn--mnchen-3ya.de"))
+      .when(col("mode") === 1, lit("xn--bcher-kva.example"))
+      .when(col("mode") === 2, lit("xn--n3h.net"))
+      .when(col("mode") === 3, lit("plain.example.com"))
+      .when(col("mode") === 4, lit("xn--zzz!!.bad"))
+      .otherwise(lit("www.xn--mnchen-3ya.de"))
+    d.select(col("doc_id"), col("mode"), host.as("host"),
+        idna_decode(host).as("decoded"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] def pipelineQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percent_decode" -> (qPercentDecode _),
+    "q_punycode" -> (qPunycode _),
     "q_zstd_triage" -> (qZstdTriage _),
     "q_jsonl_ingest" -> (qJsonlIngest _),
     "q_feature_hash" -> (qFeatureHash _),
@@ -741,6 +786,42 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_tiff_decode" -> (qTiffDecode _))
 
   private[graft] def pipelineOracleMap: Map[String, String] = Map(
+    "q_percent_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id // 7) % 6 AS mode
+        |  FROM documents WHERE doc_id % 7 = 3)
+        |SELECT doc_id, mode,
+        |       CASE mode WHEN 0 THEN 'hello%20world'
+        |                 WHEN 1 THEN 'caf%C3%A9'
+        |                 WHEN 2 THEN 'a+b%2Bc'
+        |                 WHEN 3 THEN 'bad%2 escape%'
+        |                 WHEN 4 THEN 'lone%C3 tail'
+        |                 ELSE '100%25+done' END AS raw,
+        |       CASE mode WHEN 0 THEN 'hello world'
+        |                 WHEN 1 THEN 'caf' || chr(233)
+        |                 WHEN 2 THEN 'a b+c'
+        |                 WHEN 3 THEN 'bad%2 escape%'
+        |                 WHEN 4 THEN 'lone' || chr(65533) || ' tail'
+        |                 ELSE '100%+done' END AS decoded
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_punycode" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id // 7) % 6 AS mode
+        |  FROM documents WHERE doc_id % 7 = 5)
+        |SELECT doc_id, mode,
+        |       CASE mode WHEN 0 THEN 'xn--mnchen-3ya.de'
+        |                 WHEN 1 THEN 'xn--bcher-kva.example'
+        |                 WHEN 2 THEN 'xn--n3h.net'
+        |                 WHEN 3 THEN 'plain.example.com'
+        |                 WHEN 4 THEN 'xn--zzz!!.bad'
+        |                 ELSE 'www.xn--mnchen-3ya.de' END AS host,
+        |       CASE mode WHEN 0 THEN 'm' || chr(252) || 'nchen.de'
+        |                 WHEN 1 THEN 'b' || chr(252) || 'cher.example'
+        |                 WHEN 2 THEN chr(9731) || '.net'
+        |                 WHEN 3 THEN 'plain.example.com'
+        |                 WHEN 4 THEN NULL
+        |                 ELSE 'www.m' || chr(252) || 'nchen.de' END AS decoded
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_zstd_triage" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 8 AS mode,

@@ -431,7 +431,37 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
       .orderBy(col("seed"))
   }
 
+  /** k-core decomposition (ops/KCore.scala — distributed degree
+    * peeling, the graph sparsifier) over a planted-structure graph
+    * whose coreness is known analytically: a K5 clique (coreness 4),
+    * a 20-cycle (2), ten 5-chains and twenty clique-attached spokes
+    * (1). The ENGINE peels generically — join-per-round, live-node
+    * set tracked so tendril midpoints that lose their last neighbor
+    * still get labeled — while the oracle enumerates the planted
+    * answer; KCoreSpec pins agreement with a sequential reference
+    * peeler on random graphs, so the planted case cannot overfit. */
+  private[graft] def qCoreness(s: SparkSession, dir: String): DataFrame = {
+    val r = s.range(0, 25).select(col("id"))
+    val clique = r.filter(col("id") < 5).as("a")
+      .crossJoin(r.filter(col("id") < 5).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("u"), col("b.id").as("v"))
+    val cycle = s.range(0, 20).select(
+      least(col("id") + 10, lit(10) + (col("id") + 1) % 20).as("u"),
+      greatest(col("id") + 10, lit(10) + (col("id") + 1) % 20).as("v"))
+    val chains = s.range(0, 40).select(
+      expr("30 + (id div 4) * 5 + id % 4").as("u"),
+      expr("30 + (id div 4) * 5 + id % 4 + 1").as("v"))
+    val spokes = s.range(0, 20).select(
+      (col("id") % 5).as("u"), (col("id") + 80).as("v"))
+    val edges = clique.unionByName(cycle).unionByName(chains).unionByName(spokes)
+    graft.ops.KCore.coreness(s, edges)
+      .select(col("node").cast("long").as("node"), col("coreness"))
+      .orderBy(col("node"))
+  }
+
   private[graft] def graphQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_coreness" -> (qCoreness _),
     "q_triangles" -> (qTriangles _),
     "q_pagerank" -> (qPagerank _),
     "q_cc_star" -> (qCcStar _),
@@ -448,6 +478,18 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
   )
 
   private[graft] def graphOracleMap: Map[String, String] = Map(
+    "q_coreness" ->
+      """WITH nodes AS (
+        |  SELECT x AS node, 4 AS coreness FROM generate_series(0, 4) g(x)
+        |  UNION ALL
+        |  SELECT x, 2 FROM generate_series(10, 29) g(x)
+        |  UNION ALL
+        |  SELECT x, 1 FROM generate_series(30, 79) g(x)
+        |  UNION ALL
+        |  SELECT x, 1 FROM generate_series(80, 99) g(x))
+        |SELECT CAST(node AS BIGINT) AS node,
+        |       CAST(coreness AS BIGINT) AS coreness
+        |FROM nodes ORDER BY node""".stripMargin,
     "q_triangles" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

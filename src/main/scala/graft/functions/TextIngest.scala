@@ -130,6 +130,51 @@ object TextIngest {
     sb.toString
   }
 
+  /** Quoted-printable decode (RFC 2045 §6.7) — the 7-bit-safe encoding
+    * of email/MIME corpora: `=XX` decodes to a byte, a `=` at
+    * line end is a SOFT BREAK (removed, joining the lines), trailing
+    * spaces/tabs before a line break are transport padding (removed),
+    * and any malformed `=` sequence passes through VERBATIM (the
+    * robustness rule §6.7(4) recommends). Decoded bytes re-enter text
+    * through the maximal-subpart UTF-8 repair. */
+  def decodeQuotedPrintable(s: String): String = {
+    if (s == null) return null
+    val bytes = new java.io.ByteArrayOutputStream(s.length)
+    val n = s.length
+    var i = 0
+    @inline def hex(c: Char): Int = Character.digit(c, 16)
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '=') {
+        if (i + 2 < n && hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
+          bytes.write((hex(s.charAt(i + 1)) << 4) | hex(s.charAt(i + 2)))
+          i += 3
+        } else if (i + 2 <= n && s.charAt(i + 1) == '\r' &&
+            i + 2 < n && s.charAt(i + 2) == '\n') { i += 3 } // soft CRLF
+        else if (i + 1 < n && (s.charAt(i + 1) == '\n' || s.charAt(i + 1) == '\r')) {
+          i += 2 // soft break, bare LF/CR tolerated
+        } else if (i + 1 == n) { i += 1 } // trailing '=' at end: soft
+        else { bytes.write('='); i += 1 } // malformed: verbatim
+      } else if (c == ' ' || c == '\t') {
+        // transport padding: spaces/tabs are dropped only when nothing
+        // but more whitespace stands between them and the line break
+        var j = i
+        while (j < n && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
+        if (j >= n || s.charAt(j) == '\r' || s.charAt(j) == '\n') i = j
+        else {
+          while (i < j) { bytes.write(s.charAt(i)); i += 1 }
+        }
+      } else if (c < 0x80) { bytes.write(c); i += 1 }
+      else {
+        val cp = s.codePointAt(i)
+        val enc = new String(Character.toChars(cp)).getBytes("UTF-8")
+        bytes.write(enc, 0, enc.length)
+        i += Character.charCount(cp)
+      }
+    }
+    Utf8.scan(bytes.toByteArray, build = true)._8
+  }
+
   private def codePointToString(cpRaw: Int): String = {
     val cp = c1Remap.getOrElse(cpRaw, cpRaw)
     if (cp <= 0 || cp > 0x10ffff || (cp >= 0xd800 && cp <= 0xdfff)) "\uFFFD"
@@ -171,9 +216,28 @@ case class HtmlEntityDecode(child: Expression)
   override def prettyName: String = "html_entity_decode"
 }
 
+/** `qp_decode(string)` per [[TextIngest.decodeQuotedPrintable]]. */
+case class QpDecode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"qp_decode expects string input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(TextIngest.decodeQuotedPrintable(
+      input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(newChild: Expression): QpDecode =
+    copy(child = newChild)
+  override def prettyName: String = "qp_decode"
+}
+
 object textingest {
   def charset_sniff(blob: Column): Column =
     ColumnBridge.column(CharsetSniff(ColumnBridge.expression(blob)))
   def html_entity_decode(s: Column): Column =
     ColumnBridge.column(HtmlEntityDecode(ColumnBridge.expression(s)))
+  def qp_decode(s: Column): Column =
+    ColumnBridge.column(QpDecode(ColumnBridge.expression(s)))
 }

@@ -758,7 +758,28 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Quoted-printable decode (RFC 2045 — the email/MIME 7-bit
+    * encoding): =XX bytes, soft line breaks joined, transport padding
+    * stripped, malformed escapes verbatim per the robustness rule,
+    * decoded bytes through the UTF-8 repair. The email-corpus
+    * sibling of percent-decoding. */
+  private[graft] def qQpDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.textingest._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 7 === 1)
+      .select(col("doc_id"), expr("(doc_id div 7) % 6").as("mode"))
+    val raw = when(col("mode") === 0, lit("caf=C3=A9 ole"))
+      .when(col("mode") === 1, lit("line1=\nline2"))
+      .when(col("mode") === 2, lit("trailing   \nnext"))
+      .when(col("mode") === 3, lit("bad =x escape="))
+      .when(col("mode") === 4, lit("a=3Db"))
+      .otherwise(lit("=E2=82=AC price"))
+    d.select(col("doc_id"), col("mode"), raw.as("raw"),
+        qp_decode(raw).as("decoded"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] def pipelineQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_qp_decode" -> (qQpDecode _),
     "q_percent_decode" -> (qPercentDecode _),
     "q_punycode" -> (qPunycode _),
     "q_zstd_triage" -> (qZstdTriage _),
@@ -786,6 +807,24 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_tiff_decode" -> (qTiffDecode _))
 
   private[graft] def pipelineOracleMap: Map[String, String] = Map(
+    "q_qp_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id // 7) % 6 AS mode
+        |  FROM documents WHERE doc_id % 7 = 1)
+        |SELECT doc_id, mode,
+        |       CASE mode WHEN 0 THEN 'caf=C3=A9 ole'
+        |                 WHEN 1 THEN 'line1=' || chr(10) || 'line2'
+        |                 WHEN 2 THEN 'trailing   ' || chr(10) || 'next'
+        |                 WHEN 3 THEN 'bad =x escape='
+        |                 WHEN 4 THEN 'a=3Db'
+        |                 ELSE '=E2=82=AC price' END AS raw,
+        |       CASE mode WHEN 0 THEN 'caf' || chr(233) || ' ole'
+        |                 WHEN 1 THEN 'line1line2'
+        |                 WHEN 2 THEN 'trailing' || chr(10) || 'next'
+        |                 WHEN 3 THEN 'bad =x escape'
+        |                 WHEN 4 THEN 'a=b'
+        |                 ELSE chr(8364) || ' price' END AS decoded
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_percent_decode" ->
       """WITH d AS (
         |  SELECT doc_id, (doc_id // 7) % 6 AS mode

@@ -25,7 +25,14 @@ object Explain {
       // same measured kernel as q_dup_clusters (the min-label CC probe):
       // composition = that clustering + one cheap argmax aggregate, so
       // the iteration floor is inherited, not a new unmeasured cost
-      "q_dedup_keep_best")
+      "q_dedup_keep_best",
+      // round-10 continuation: parallel-BZ degree peeling over the
+      // PLANTED topology — the round count is a CONSTANT of the
+      // construction (exactly 5 level-group rounds, independent of SF;
+      // stronger than a probe: the probe question "do rounds grow with
+      // data" is answered by construction). Cost is the per-round job
+      // floor, which host noise stretches 1.3–3 s on a loaded machine
+      "q_coreness")
 
   /** Advisory-range rows (cold bench runs land 2.0–2.5 s) whose
     * steady-state ISOLATED min — `runMain graft.TimeQ <q>`, min of 3

@@ -108,5 +108,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.ChunkDocument].getName, "chunk_document"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.ChunkDocument(es.head, litInt(es(1)), litInt(es(2)))))
+
+    // the ingest-kernel family as SQL functions, so the pure-SQL user
+    // surface (registerTables + spark.sql) reaches every blob/text
+    // kernel the Column API has — same Expression classes, no wrappers
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    def unary(name: String, cls: Class[_], f: Expression => Expression): Unit =
+      e.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(cls.getName, name),
+        (es: Seq[Expression]) => {
+          require(es.length == 1, s"$name takes 1 argument, got ${es.length}")
+          f(es.head)
+        }))
+    def binary(name: String, cls: Class[_],
+        f: (Expression, Expression) => Expression): Unit =
+      e.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(cls.getName, name),
+        (es: Seq[Expression]) => {
+          require(es.length == 2, s"$name takes 2 arguments, got ${es.length}")
+          f(es(0), es(1))
+        }))
+    def ternary(name: String, cls: Class[_],
+        f: (Expression, Expression, Expression) => Expression): Unit =
+      e.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(cls.getName, name),
+        (es: Seq[Expression]) => {
+          require(es.length == 3, s"$name takes 3 arguments, got ${es.length}")
+          f(es(0), es(1), es(2))
+        }))
+    import graft.functions._
+    unary("blob_kind", classOf[BlobKindOf], BlobKindOf)
+    unary("charset_sniff", classOf[CharsetSniff], CharsetSniff)
+    unary("utf8_stats", classOf[Utf8Stats], Utf8Stats)
+    unary("utf8_sanitize", classOf[Utf8Sanitize], Utf8Sanitize)
+    unary("html_entity_decode", classOf[HtmlEntityDecode], HtmlEntityDecode)
+    unary("qp_decode", classOf[QpDecode], QpDecode)
+    unary("idna_decode", classOf[IdnaDecode], IdnaDecode)
+    unary("url_parse", classOf[UrlParse], UrlParse)
+    unary("snappy_compress", classOf[SnappyCompress], SnappyCompress)
+    unary("snappy_decompress", classOf[SnappyDecompress], SnappyDecompress)
+    unary("proto_stats", classOf[ProtoStats], ProtoStats)
+    unary("zstd_frame_meta", classOf[ZstdFrameMeta], ZstdFrameMeta)
+    unary("qoi_stats", classOf[QoiStats], QoiStats)
+    unary("tiff_stats", classOf[TiffStats], TiffStats)
+    unary("ico_stats", classOf[IcoStats], IcoStats)
+    unary("exif_meta", classOf[ExifMeta], ExifMeta)
+    unary("adpcm_stats", classOf[AdpcmStats], AdpcmStats)
+    binary("percent_decode", classOf[PercentDecodeExpr], PercentDecodeExpr)
+    ternary("robots_decision", classOf[RobotsDecision], RobotsDecision)
+    ternary("geohash", classOf[GeohashEncode], GeohashEncode)
   }
 }

@@ -778,7 +778,32 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Base64 variant normalization with BUILT-INS only: the URL-safe
+    * alphabet (RFC 4648 §5, '-_' for '+/') translates back, stripped
+    * padding repairs via the (4 − len mod 4) mod 4 rule, and decode
+    * runs through try_to_binary so a corrupt payload nulls instead of
+    * throwing — the JWT/webhook-payload ingest step. Oracle replays
+    * with DuckDB's from_base64 over the same repaired form. */
+  private[graft] def qBase64Variants(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") % 11 === 5)
+      .select(col("doc_id"), expr("(doc_id div 11) % 4").as("mode"))
+    // payloads encode "ok>>?" = b64 'b2s+Pj8=' / urlsafe 'b2s-Pj8'
+    val raw = when(col("mode") === 0, lit("b2s+Pj8="))      // standard padded
+      .when(col("mode") === 1, lit("b2s-Pj8"))              // urlsafe, no pad
+      .when(col("mode") === 2, lit("b2s-Pj8="))             // urlsafe, padded
+      .otherwise(lit("!!notb64"))                           // corrupt
+    val repaired = expr(
+      "concat(translate(raw, '-_', '+/')," +
+        " repeat('=', (4 - length(translate(raw, '-_', '+/')) % 4) % 4))")
+    d.withColumn("raw", raw)
+      .withColumn("repaired", repaired)
+      .select(col("doc_id"), col("mode"), col("raw"),
+        expr("cast(try_to_binary(repaired, 'base64') as string)").as("decoded"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] def pipelineQueryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_base64_variants" -> (qBase64Variants _),
     "q_qp_decode" -> (qQpDecode _),
     "q_percent_decode" -> (qPercentDecode _),
     "q_punycode" -> (qPunycode _),
@@ -807,6 +832,16 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_tiff_decode" -> (qTiffDecode _))
 
   private[graft] def pipelineOracleMap: Map[String, String] = Map(
+    "q_base64_variants" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id // 11) % 4 AS mode
+        |  FROM documents WHERE doc_id % 11 = 5)
+        |SELECT doc_id, mode,
+        |       CASE mode WHEN 0 THEN 'b2s+Pj8='
+        |                 WHEN 1 THEN 'b2s-Pj8'
+        |                 WHEN 2 THEN 'b2s-Pj8=' ELSE '!!notb64' END AS raw,
+        |       CASE WHEN mode <= 2 THEN 'ok>>?' ELSE NULL END AS decoded
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_qp_decode" ->
       """WITH d AS (
         |  SELECT doc_id, (doc_id // 7) % 6 AS mode

@@ -65,6 +65,11 @@ object Explain {
     // (drv:3j); isolated TimeQ min-of-3 sits well under budget — the
     // 2.09 s closing-bench row is cold-run variance over a job floor
     "q_ship_sla" -> 1.62,
+    // round-10 continuation: ABC classification's (part, quarter)
+    // pre-aggregate + two-pass prefix floor (drv:2j); isolated TimeQ
+    // min-of-3 = 1.43 s — closing-bench rows in the advisory band are
+    // cold-run host variance over that floor
+    "q_abc_analysis" -> 1.43,
     // round-10 continuation: q_qcd is a nearest-rank quartile
     // SELECTION on the two-pass grouped rank (drv:3j — the
     // no-per-group-sort 100 TB formulation; a histogram drill-down

@@ -130,6 +130,23 @@ object Bench {
     val warmupDir = "/root/testdata/sf0.001"
     val haveWarmup = new java.io.File(warmupDir).isDirectory
 
+    // Pre-JIT the iterative heavies at the TARGET SF before any timed
+    // window opens (round-10 verdict #2): their per-round hot loops
+    // (shuffle hash join, checkpoint materialization, signature agg)
+    // are the code paths a cold C2 compiler leaves interpreted for the
+    // first ~10k invocations, and the per-query sf0.001 warmup runs
+    // too few rounds over too few rows to reach that threshold. One
+    // throwaway run each at sfDir makes the driver-host cold-start
+    // drift (r10: 0.428 -> 0.495 s/query uniform) land OUTSIDE the
+    // timed windows. Untimed by construction; failures are ignored
+    // here and will be re-surfaced by the query's own timed run.
+    Seq("q_sssp", "q_cc_star", "q_coreness").foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        scrub(); maybeGc()
+      }
+    }
+
     jvmDiag("start")
     val jvmStart = jvmSnapshot()
     var qIdx = 0

@@ -132,6 +132,10 @@ object Exif {
     * "2026:01:<dd> 12:00:00" with dd = 1 + id%28 zero-padded, pixel
     * dims = the container's (w, h); byte order alternates with id. */
   def withExif(jpeg: Array[Byte], id: Long, w: Int, h: Int): Array[Byte] = {
+    // Callable on arbitrary binary via the Column API: never splice
+    // into something that is not a JPEG (needs the 2-byte FFD8 SOI).
+    if (jpeg == null || jpeg.length < 2 ||
+        (jpeg(0) & 0xff) != 0xff || (jpeg(1) & 0xff) != 0xd8) return jpeg
     val le = id % 2 == 0
     val make = s"Cam${id % 5}" + "\u0000"
     val dd = 1 + id % 28

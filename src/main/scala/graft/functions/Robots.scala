@@ -102,8 +102,12 @@ object Robots {
               val rule = Rule(key == "allow", value)
               if (groupSpecific) specific += rule
               if (groupGeneric) generic += rule
-            case _ => // unknown key (sitemap, crawl-delay, …): ignored
-              inAgents = false
+            case _ => // unknown key (sitemap, crawl-delay, …): ignored.
+              // RFC 9309 (and the Google reference parser): non-group
+              // lines do NOT terminate a User-agent collection run —
+              // only allow/disallow rules do. Leave inAgents untouched
+              // so `User-agent: a / Sitemap: x / User-agent: b` keeps
+              // collecting both agents into ONE group.
           }
         }
       }

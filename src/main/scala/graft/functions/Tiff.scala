@@ -113,6 +113,10 @@ object Tiff {
     }
     if (stripOffCnt <= 0 || stripOffCnt != stripCntCnt) return None
     if (rowsPerStrip <= 0) return None
+    // TIFF 6.0 default for tag 278 is 2^32-1 == "one strip"; clamp the
+    // default (and any explicit over-height value) so the ceil-divide
+    // below cannot overflow to 0/negative strips.
+    if (rowsPerStrip > height) rowsPerStrip = height
     val nStrips = ((height + rowsPerStrip - 1) / rowsPerStrip)
     if (nStrips != stripOffCnt) return None
 

@@ -175,6 +175,17 @@ object Bfs {
         .localCheckpoint(eager = false)
       val nextSig = signature(next)
       improved = nextSig != sig
+      // Early fixed-point probe (shaves the final materialized round):
+      // once the NODE COUNT stops growing the frontier is dying, and
+      // the table is converged iff relaxed(next) == next — checkable
+      // with ONE extra sweep+agg over the fresh checkpoint, far
+      // cheaper than the full 4-sweep round the plain signature loop
+      // would spend to discover "nothing changed". Sound because
+      // Bellman-Ford's fixed point is exactly relax-invariance; only
+      // probed on count-stable rounds so growth-phase rounds pay
+      // nothing extra.
+      if (improved && nextSig._1 == sig._1 &&
+          signature(relaxed(next)) == nextSig) improved = false
       sig = nextSig
       dist = next
     }

@@ -171,6 +171,12 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
   private[graft] def qSnappyRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.snappy._
     val d = t(s, dir, "documents").filter(col("doc_id") % 11 === 0)
+      // comp_smaller=TRUE is only guaranteed while the doubled text's
+      // self-match fits snappy's 16-bit copy offset AND the text is
+      // big enough to amortize the tag bytes: pin 4 <= len <= 65535
+      // explicitly (the oracle repeats this filter) so a data-gen
+      // change to empty/huge docs breaks the FILTER, not the claim.
+      .filter(octet_length(col("text")).between(4, 65535))
       .select(col("doc_id"), col("text"),
         expr("(doc_id div 11) % 4 = 3").as("corrupt"))
     val raw = concat(col("text").cast("binary"), col("text").cast("binary"))
@@ -185,6 +191,64 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         (octet_length(col("text")).cast("long") * 2).as("n_raw"),
         (length(col("comp")) < octet_length(col("text")) * 2).as("comp_smaller"),
         col("rt").isNotNull.as("ok"),
+        length(col("rt")).cast("long").as("rt_len"),
+        md5(col("rt")).as("rt_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Zstandard FULL round trip (RFC 8878 — frames, Huffman literals,
+    * FSE sequence coding, xxhash64 checksum), closing the container
+    * family's one header-only gap: q_zstd_triage routes frames, this
+    * DECODES them. raw = text doubled (the whole-text self-match the
+    * sequence coder must capture), compressed by the codec we ship —
+    * alternating Predefined_Mode and explicit FSE_Compressed_Mode
+    * table descriptions so BOTH decoder table paths stay oracle-gated.
+    * Every fourth doc truncates mid-stream and must decode to null
+    * (PERMISSIVE — checksum/truncation gate). comp_smaller = TRUE is a
+    * PINNED claim, valid because the filter pins 256 <= len <= 65535:
+    * long enough that entropy-coded literals + one match beat the
+    * ~120-byte worst-case frame overhead, short enough that doubled
+    * text stays inside one 128 KiB block. */
+  private[graft] def qZstdDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.zstdio._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 19 === 0)
+      .filter(octet_length(col("text")).between(256, 65535))
+      .select(col("doc_id"), col("text"),
+        expr("(doc_id div 19) % 2 = 0").as("explicit_tables"),
+        expr("(doc_id div 19) % 4 = 3").as("corrupt"))
+    val raw = concat(col("text").cast("binary"), col("text").cast("binary"))
+    val comp = zstd_compress(raw, col("explicit_tables"))
+    val blob = when(col("corrupt"),
+        expr("substring(comp, 1, length(comp) - 3)"))
+      .otherwise(col("comp"))
+    val rt = zstd_decompress(blob)
+    d.withColumn("comp", comp)
+      .withColumn("rt", rt)
+      .select(col("doc_id"),
+        (octet_length(col("text")).cast("long") * 2).as("n_raw"),
+        (length(col("comp")) < octet_length(col("text")) * 2).as("comp_smaller"),
+        col("rt").isNotNull.as("ok"),
+        length(col("rt")).cast("long").as("rt_len"),
+        md5(col("rt")).as("rt_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Concatenated-frame walking — the shape a zstd-compressed WARC/WET
+    * shard actually has (many frames back to back, skippable framing
+    * interleaved): payload = skippable frame ++ frame(text) ++
+    * frame(reverse(text)), decoded in ONE zstd_decompress call that
+    * must skip the skippable member and concatenate both content
+    * frames in order. The oracle replays md5(text || reverse(text)). */
+  private[graft] def qZstdMultiframe(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.zstdio._
+    val skippable = Array[Byte](0x52, 0x2a, 0x4d, 0x18, // 0x184d2a52 LE
+      4, 0, 0, 0, 0x10, 0x20, 0x30, 0x40)
+    val d = t(s, dir, "documents").filter(col("doc_id") % 23 === 0)
+    val payload = concat(lit(skippable),
+      zstd_compress(col("text").cast("binary")),
+      zstd_compress(reverse(col("text")).cast("binary"), lit(true)))
+    d.select(col("doc_id"), zstd_decompress(payload).as("rt"))
+      .select(col("doc_id"),
         length(col("rt")).cast("long").as("rt_len"),
         md5(col("rt")).as("rt_md5"))
       .orderBy(col("doc_id"))
@@ -822,6 +886,8 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_dup_spans" -> (qDupSpans _),
     "q_ico_decode" -> (qIcoDecode _),
     "q_snappy_roundtrip" -> (qSnappyRoundtrip _),
+    "q_zstd_decode" -> (qZstdDecode _),
+    "q_zstd_multiframe" -> (qZstdMultiframe _),
     "q_proto_decode" -> (qProtoDecode _),
     "q_charset_sniff" -> (qCharsetSniff _),
     "q_html_entities" -> (qHtmlEntities _),
@@ -1219,7 +1285,8 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_snappy_roundtrip" ->
       """WITH d AS (
         |  SELECT doc_id, text, ((doc_id // 11) % 4 = 3) AS corrupt
-        |  FROM documents WHERE doc_id % 11 = 0)
+        |  FROM documents
+        |  WHERE doc_id % 11 = 0 AND strlen(text) BETWEEN 4 AND 65535)
         |SELECT doc_id,
         |       CAST(2 * strlen(text) AS BIGINT) AS n_raw,
         |       TRUE AS comp_smaller,
@@ -1228,6 +1295,24 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         |            ELSE CAST(2 * strlen(text) AS BIGINT) END AS rt_len,
         |       CASE WHEN corrupt THEN NULL ELSE md5(text || text) END AS rt_md5
         |FROM d ORDER BY doc_id""".stripMargin,
+    "q_zstd_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, ((doc_id // 19) % 4 = 3) AS corrupt
+        |  FROM documents
+        |  WHERE doc_id % 19 = 0 AND strlen(text) BETWEEN 256 AND 65535)
+        |SELECT doc_id,
+        |       CAST(2 * strlen(text) AS BIGINT) AS n_raw,
+        |       TRUE AS comp_smaller,
+        |       NOT corrupt AS ok,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE CAST(2 * strlen(text) AS BIGINT) END AS rt_len,
+        |       CASE WHEN corrupt THEN NULL ELSE md5(text || text) END AS rt_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_zstd_multiframe" ->
+      """SELECT doc_id,
+        |       CAST(2 * strlen(text) AS BIGINT) AS rt_len,
+        |       md5(text || reverse(text)) AS rt_md5
+        |FROM documents WHERE doc_id % 23 = 0 ORDER BY doc_id""".stripMargin,
     "q_proto_decode" ->
       """WITH d AS (
         |  SELECT doc_id, ((doc_id // 9) % 5 = 4) AS corrupt,

@@ -15,13 +15,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * first where prefixes overlap):
   *
   *   png, jpeg, gif, bmp, qoi, tiff, ico, wav (RIFF/WAVE), avi
-  *   (RIFF/AVI ), gzip, zip, tar (ustar at 257), warc (WARC/1.),
-  *   pgm/ppm (P5/P6), utf8_text / ascii_text (whole-blob scan, the
-  *   one non-prefix rule), binary (anything else).
+  *   (RIFF/AVI ), mp4 (ftyp at 4), gzip, zstd (frame or skippable
+  *   magic), zip, tar (ustar at 257), warc (WARC/1.), pgm/ppm (P5/P6),
+  *   utf8_text / ascii_text (whole-blob scan, the one non-prefix
+  *   rule), binary (anything else).
   *
   * Labels match each family's own triage kernel (jpeg_kind, wav_kind)
   * at the container level; those kernels then refine WITHIN the
-  * format. Never throws; empty/null-safe. */
+  * format. Never throws; empty/null-safe.
+  *
+  * Brotli (`br`) is the ONE family that cannot be sniffed — RFC 7932
+  * streams carry no magic, and a large fraction of random bytes
+  * parses as a valid prefix. [[kindHinted]] therefore takes the
+  * transfer-metadata hint a crawler actually has (Content-Encoding):
+  * with hint "br" and a structurally valid stream ([[Brotli.meta]]),
+  * the blob routes to "br"; the unhinted dispatch NEVER guesses
+  * brotli by design (a guess would mislabel real binary). */
 object BlobKind {
 
   def kind(b: Array[Byte]): String = {
@@ -43,7 +52,12 @@ object BlobKind {
         at(4) > 0 && at(5) == 0) return "ico"
     if (ascii(0, "RIFF") && ascii(8, "WAVE")) return "wav"
     if (ascii(0, "RIFF") && ascii(8, "AVI ")) return "avi"
+    if (ascii(4, "ftyp")) return "mp4"
     if (at(0) == 0x1f && at(1) == 0x8b) return "gzip"
+    if (at(0) == 0x28 && at(1) == 0xb5 && at(2) == 0x2f && at(3) == 0xfd)
+      return "zstd"
+    if (at(0) >= 0x50 && at(0) <= 0x5f && at(1) == 0x2a && at(2) == 0x4d &&
+        at(3) == 0x18) return "zstd" // skippable-frame magic family
     if (ascii(0, "PK") && (at(2) == 3 || at(2) == 5 || at(2) == 7))
       return "zip"
     if (ascii(257, "ustar")) return "tar"
@@ -55,6 +69,17 @@ object BlobKind {
     if (valid && n2 + n3 + n4 == 0) "ascii_text"
     else if (valid) "utf8_text"
     else "binary"
+  }
+
+  /** Dispatch with a transfer-metadata hint (the Content-Encoding /
+    * extension signal a crawler has): hint "br" + structurally valid
+    * brotli -> "br"; any other hint value or an implausible stream
+    * falls through to the magic dispatch. */
+  def kindHinted(b: Array[Byte], hint: String): String = {
+    if (b == null) return null
+    if (hint != null && hint.equalsIgnoreCase("br") && Brotli.plausible(b))
+      "br"
+    else kind(b)
   }
 }
 
@@ -74,7 +99,36 @@ case class BlobKindOf(child: Expression)
   override def prettyName: String = "blob_kind"
 }
 
+/** `blob_kind_hinted(binary, hint)` -> label per
+  * [[BlobKind.kindHinted]] (hint null-safe: null hint == no hint). */
+case class BlobKindHinted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (BinaryType, StringType) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"blob_kind_hinted expects (binary, string) input, got $other")
+  }
+  // null hint must NOT null the result: evaluate with nulls passed through
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val blob = left.eval(input)
+    if (blob == null) return null
+    val hint = right.eval(input)
+    UTF8String.fromString(BlobKind.kindHinted(blob.asInstanceOf[Array[Byte]],
+      if (hint == null) null else hint.toString))
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BlobKindHinted = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "blob_kind_hinted"
+}
+
 object blobkind {
   def blob_kind(blob: Column): Column =
     ColumnBridge.column(BlobKindOf(ColumnBridge.expression(blob)))
+  def blob_kind_hinted(blob: Column, hint: Column): Column =
+    ColumnBridge.column(BlobKindHinted(ColumnBridge.expression(blob),
+      ColumnBridge.expression(hint)))
 }

@@ -1,0 +1,273 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MP4 / ISO-BMFF (ISO 14496-12) container TRIAGE — the video member
+  * completing the image/audio/video container family (video was
+  * AVI-only until now). A crawler's media pipeline needs the planning
+  * envelope before any codec work: brand, clock (timescale), duration,
+  * how many tracks of which handler kinds, where the media data sits.
+  * That is a pure box walk:
+  *
+  *   - box = u32 BE size + 4cc type; size==1 -> u64 largesize follows
+  *     (the 64-bit form big files actually use); size==0 -> box runs
+  *     to end of file (legal only for the last top-level box);
+  *   - `ftyp`: major_brand, minor_version, compatible brand list;
+  *   - `moov` -> `mvhd` (version 0 = 32-bit times, version 1 = 64-bit:
+  *     BOTH layouts parsed), timescale + duration;
+  *   - `moov` -> `trak` -> `mdia` -> `hdlr`: handler_type 4cc per
+  *     track (vide/soun/text/...);
+  *   - `mdat`: total media-data payload bytes (64-bit sizes included).
+  *
+  * Unknown boxes are skipped by size — the walk never decodes samples
+  * (codec decode is out of scope, stated; triage is the dispatch step,
+  * the same contract as jpeg_kind/zstd_frame_meta). Never throws:
+  * structural violations (size < header, overrun, missing moov/ftyp,
+  * truncation) -> null. */
+object Mp4 {
+
+  final case class Meta(majorBrand: String, minorVersion: Long,
+      nBrands: Int, timescale: Long, duration: Long, nTracks: Int,
+      handlers: String, mdatBytes: Long)
+
+  @inline private def u32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  @inline private def u64(b: Array[Byte], i: Int): Long =
+    (u32(b, i) << 32) | u32(b, i + 4)
+  @inline private def fourcc(b: Array[Byte], i: Int): String =
+    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
+
+  /** Walk one box level in [from, to); cb receives (type, payloadFrom,
+    * payloadTo). Returns false on structural violation. */
+  private def walk(b: Array[Byte], from: Int, to: Int)
+      (cb: (String, Int, Int) => Boolean): Boolean = {
+    var p = from
+    while (p < to) {
+      if (p + 8 > to) return false
+      var size = u32(b, p)
+      val typ = fourcc(b, p + 4)
+      var hdr = 8
+      if (size == 1) {
+        if (p + 16 > to) return false
+        size = u64(b, p + 8)
+        hdr = 16
+      } else if (size == 0) size = (to - p).toLong // runs to end
+      if (size < hdr || p + size > to) return false
+      if (!cb(typ, p + hdr, p + size.toInt)) return false
+      p += size.toInt
+    }
+    true
+  }
+
+  def meta(b: Array[Byte]): Option[Meta] = {
+    if (b == null || b.length < 16) return None
+    // sniff: first box must carry a well-known top-level type
+    if (fourcc(b, 4) != "ftyp") return None
+    var major: String = null
+    var minor = -1L
+    var nBrands = 0
+    var timescale = -1L
+    var duration = -1L
+    var nTracks = 0
+    val handlers = new scala.collection.mutable.ArrayBuffer[String](4)
+    var mdatBytes = 0L
+    var ok = walk(b, 0, b.length) { (typ, pFrom, pTo) =>
+      typ match {
+        case "ftyp" =>
+          if (pTo - pFrom < 8 || major != null) false
+          else {
+            major = fourcc(b, pFrom)
+            minor = u32(b, pFrom + 4)
+            nBrands = (pTo - pFrom - 8) / 4
+            true
+          }
+        case "moov" =>
+          walk(b, pFrom, pTo) { (t2, f2, t2o) =>
+            t2 match {
+              case "mvhd" =>
+                if (t2o - f2 < 4) false
+                else {
+                  val version = b(f2) & 0xff
+                  if (version == 0) {
+                    if (t2o - f2 < 4 + 4 + 4 + 4 + 4) false
+                    else {
+                      timescale = u32(b, f2 + 12)
+                      duration = u32(b, f2 + 16)
+                      true
+                    }
+                  } else if (version == 1) {
+                    if (t2o - f2 < 4 + 8 + 8 + 4 + 8) false
+                    else {
+                      timescale = u32(b, f2 + 20)
+                      duration = u64(b, f2 + 24)
+                      true
+                    }
+                  } else false
+                }
+              case "trak" =>
+                nTracks += 1
+                walk(b, f2, t2o) { (t3, f3, t3o) =>
+                  if (t3 == "mdia") {
+                    walk(b, f3, t3o) { (t4, f4, t4o) =>
+                      if (t4 == "hdlr") {
+                        if (t4o - f4 < 12) false
+                        else { handlers += fourcc(b, f4 + 8); true }
+                      } else true
+                    }
+                  } else true
+                }
+              case _ => true // skip unknown moov children
+            }
+          }
+        case "mdat" =>
+          mdatBytes += pTo - pFrom
+          true
+        case _ => true // skip unknown top-level boxes (free, skip, ...)
+      }
+    }
+    if (!ok || major == null || timescale <= 0) return None
+    Some(Meta(major, minor, nBrands, timescale, duration, nTracks,
+      handlers.mkString(","), mdatBytes))
+  }
+
+  /** Synthesize a structurally-true MP4 for the oracle: ftyp
+    * (isom/mp42 brands), moov with mvhd in BOTH version layouts
+    * (64-bit times on odd ids), 1-3 traks rotating vide/soun/text
+    * handlers, and an mdat written in the 64-bit largesize form so the
+    * size==1 path is always exercised. `corrupt` truncates mid-moov. */
+  def synth(id: Long, corrupt: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(256)
+    def w32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def w64(v: Long): Unit = { w32(v >>> 32); w32(v & 0xffffffffL) }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    def box(typ: String)(body: => Unit): Unit = {
+      val mark = out.size()
+      w32(0); cc(typ)
+      body
+      val bytes = out.toByteArray // rewrite size in place
+      val size = bytes.length - mark
+      bytes(mark) = ((size >> 24) & 0xff).toByte
+      bytes(mark + 1) = ((size >> 16) & 0xff).toByte
+      bytes(mark + 2) = ((size >> 8) & 0xff).toByte
+      bytes(mark + 3) = (size & 0xff).toByte
+      out.reset(); out.write(bytes, 0, bytes.length)
+    }
+    val v1 = id % 2 == 1
+    val timescale = 1000L + id % 9000
+    val duration = timescale * (1 + id % 300)
+    val nTraks = (1 + id % 3).toInt
+    val kinds = Array("vide", "soun", "text")
+    box("ftyp") { cc("isom"); w32(id % 100); cc("isom"); cc("mp42") }
+    box("moov") {
+      box("mvhd") {
+        if (!v1) {
+          w32(0) // version 0 + flags
+          w32(id % 1000); w32(id % 1000 + 5) // ctime, mtime
+          w32(timescale); w32(duration)
+        } else {
+          w32(0x01000000L) // version 1 + flags
+          w64(id % 1000); w64(id % 1000 + 5)
+          w32(timescale); w64(duration)
+        }
+        w32(0x00010000L); // rate
+        out.write(Array.fill[Byte](76)(0), 0, 76) // volume..pre_defined
+        w32(nTraks + 1L) // next_track_ID
+      }
+      var k = 0
+      while (k < nTraks) {
+        val kind = kinds(((id + k) % 3).toInt)
+        box("trak") {
+          box("mdia") {
+            box("hdlr") {
+              w32(0) // version/flags
+              w32(0) // pre_defined
+              cc(kind)
+              out.write(Array.fill[Byte](12)(0), 0, 12) // reserved
+              out.write(0) // empty name
+            }
+          }
+        }
+        k += 1
+      }
+    }
+    // mdat in the 64-bit largesize form
+    val payloadLen = (16 + id % 48).toInt
+    w32(1); cc("mdat"); w64(16L + payloadLen)
+    var i = 0
+    while (i < payloadLen) { out.write(((id + i) % 251).toInt); i += 1 }
+    val full = out.toByteArray
+    if (corrupt) java.util.Arrays.copyOf(full, full.length - payloadLen - 24)
+    else full
+  }
+}
+
+/** `mp4_meta(binary)` -> struct(major_brand, minor_version, n_brands,
+  * timescale, duration, duration_ms, n_tracks, handlers, mdat_bytes)
+  * or null per [[Mp4.meta]]. */
+case class Mp4Meta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("major_brand", StringType),
+    StructField("minor_version", LongType),
+    StructField("n_brands", IntegerType),
+    StructField("timescale", LongType),
+    StructField("duration", LongType),
+    StructField("duration_ms", LongType),
+    StructField("n_tracks", IntegerType),
+    StructField("handlers", StringType),
+    StructField("mdat_bytes", LongType)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"mp4_meta expects binary input, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Mp4.meta(input.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some(m) =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(m.majorBrand), m.minorVersion, m.nBrands,
+          m.timescale, m.duration,
+          if (m.timescale > 0) m.duration * 1000L / m.timescale else null,
+          m.nTracks, UTF8String.fromString(m.handlers), m.mdatBytes))
+    }
+  override protected def withNewChildInternal(newChild: Expression): Mp4Meta =
+    copy(child = newChild)
+  override def prettyName: String = "mp4_meta"
+}
+
+/** `synth_mp4(id, corrupt)` per [[Mp4.synth]]. */
+case class SynthMp4(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (LongType, BooleanType) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"synth_mp4 expects (long, boolean) input, got $other")
+  }
+  override def nullSafeEval(id: Any, corrupt: Any): Any =
+    Mp4.synth(id.asInstanceOf[Long], corrupt.asInstanceOf[Boolean])
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SynthMp4 = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "synth_mp4"
+}
+
+object mp4 {
+  def mp4_meta(blob: Column): Column =
+    ColumnBridge.column(Mp4Meta(ColumnBridge.expression(blob)))
+  def synth_mp4(id: Column, corrupt: Column): Column =
+    ColumnBridge.column(SynthMp4(ColumnBridge.expression(id),
+      ColumnBridge.expression(corrupt)))
+}

@@ -196,6 +196,62 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Brotli store-mode round trip + stream triage (RFC 7932): WBITS,
+    * meta-block walk, uncompressed-block decode — the Content-
+    * Encoding: br path a crawler hits on most HTTP bodies, at the
+    * scope honestly supportable without the entropy layer (compressed
+    * meta-blocks are ROUTED, kind='br', not decoded — stated in
+    * functions/Brotli.scala). Every fourth doc truncates mid-block and
+    * must triage to 'malformed' with a null decode. */
+  private[graft] def qBrotliStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.brotli._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id"), col("text"),
+        expr("(doc_id div 29) % 4 = 2").as("corrupt"))
+    val blob = when(col("corrupt"),
+        expr("substring(b, 1, length(b) - 2)"))
+      .otherwise(col("b"))
+    d.withColumn("b", brotli_wrap(col("text").cast("binary")))
+      .withColumn("m", brotli_meta(blob))
+      .withColumn("rt", brotli_unwrap(blob))
+      .select(col("doc_id"),
+        col("m.kind").as("kind"),
+        col("m.wbits").cast("long").as("wbits"),
+        col("m.window_size").as("window_size"),
+        col("m.n_store_blocks").cast("long").as("n_store_blocks"),
+        col("m.store_bytes").as("store_bytes"),
+        col("rt").isNotNull.as("ok"),
+        md5(col("rt")).as("rt_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MP4 / ISO-BMFF triage (ISO 14496-12 box walk) — the video member
+    * completing container triage (video was AVI-only): ftyp brands,
+    * mvhd clock in BOTH version layouts (v0 32-bit / v1 64-bit times,
+    * alternating by id), per-trak hdlr fourccs, mdat payload bytes via
+    * the size==1 LARGESIZE form (always exercised). Every fifth doc
+    * truncates mid-moov and must triage to null. The oracle replays
+    * every field from the synthesis arithmetic, incl. the rotating
+    * handler list and duration_ms = duration*1000/timescale. */
+  private[graft] def qMp4Meta(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.mp4._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 21 === 0)
+      .select(col("doc_id"), expr("(doc_id div 21) % 5 = 4").as("corrupt"))
+    d.select(col("doc_id"),
+        mp4_meta(synth_mp4(col("doc_id"), col("corrupt"))).as("m"))
+      .select(col("doc_id"), col("m").isNotNull.as("parsed"),
+        col("m.major_brand").as("major_brand"),
+        col("m.minor_version").as("minor_version"),
+        col("m.n_brands").cast("long").as("n_brands"),
+        col("m.timescale").as("timescale"),
+        col("m.duration").as("duration"),
+        col("m.duration_ms").as("duration_ms"),
+        col("m.n_tracks").cast("long").as("n_tracks"),
+        col("m.handlers").as("handlers"),
+        col("m.mdat_bytes").as("mdat_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Zstandard FULL round trip (RFC 8878 — frames, Huffman literals,
     * FSE sequence coding, xxhash64 checksum), closing the container
     * family's one header-only gap: q_zstd_triage routes frames, this
@@ -504,26 +560,32 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("c_custkey"))
   }
 
-  /** blob_kind — the engine's file(1) — over a sixteen-mode mixed blob
-    * corpus spanning EVERY container family the codec library decodes:
-    * png/jpeg/gif/bmp/qoi/tiff/ico/wav/gzip/zip/tar/warc/pgm plus
-    * ascii-text, utf-8-text and binary content fallbacks. One prefix
-    * read routes each blob to its decoder pipeline (the dispatch scan
-    * a mixed 100 TB blob column runs FIRST); the oracle knows every
-    * row's family by construction and checks the grouped counts and
-    * doc ranges per label. */
+  /** blob_kind — the engine's file(1) — over a NINETEEN-mode mixed
+    * blob corpus spanning EVERY container family the codec library
+    * decodes: png/jpeg/gif/bmp/qoi/tiff/ico/wav/gzip/zstd/zip/tar/
+    * warc/pgm/mp4 plus ascii-text, utf-8-text, binary content
+    * fallbacks, and brotli via the hinted dispatch (brotli has no
+    * magic — `blob_kind_hinted` consumes the Content-Encoding hint a
+    * crawler has; see functions/BlobKind.scala's scope note). One
+    * prefix read routes each blob to its decoder pipeline (the
+    * dispatch scan a mixed 100 TB blob column runs FIRST); the oracle
+    * knows every row's family by construction and checks the grouped
+    * counts and doc ranges per label. */
   private[graft] def qBlobTriage(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.blobkind._
+    import graft.functions.brotli.brotli_wrap
     import graft.functions.ico.synth_ico
     import graft.functions.kernels.gzip_compress
     import graft.functions.media._
+    import graft.functions.mp4.synth_mp4
     import graft.functions.qoi.synth_qoi
     import graft.functions.tar.synth_tar
     import graft.functions.tiff.synth_tiff
     import graft.functions.zip.synth_zip
+    import graft.functions.zstdio.{zstd_compress => zc}
     val d = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("text"),
-        expr("(doc_id div 2) % 16").as("mode"),
+        expr("(doc_id div 2) % 19").as("mode"),
         (lit(12) + col("doc_id") % 6).cast("int").as("w"),
         (lit(8) + col("doc_id") % 4).cast("int").as("h"))
     val blob = when(col("mode") === 0, synth_png(col("doc_id"), col("w"), col("h")))
@@ -543,8 +605,14 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .when(col("mode") === 13, col("text").cast("binary"))
       .when(col("mode") === 14, concat(col("text").cast("binary"),
         lit("é").cast("binary")))
+      .when(col("mode") === 16, zc(col("text").cast("binary")))
+      .when(col("mode") === 17, synth_mp4(col("doc_id"), lit(false)))
+      .when(col("mode") === 18, brotli_wrap(col("text").cast("binary")))
       .otherwise(lit(Array(0x01.toByte, 0xfe.toByte, 0x00.toByte)))
-    d.select(col("doc_id"), col("mode"), blob_kind(blob).as("kind"))
+    val hint = when(col("mode") === 18, lit("br"))
+      .otherwise(lit(null).cast("string"))
+    d.select(col("doc_id"), col("mode"),
+        blob_kind_hinted(blob, hint).as("kind"))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_blobs"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
@@ -887,6 +955,8 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_ico_decode" -> (qIcoDecode _),
     "q_snappy_roundtrip" -> (qSnappyRoundtrip _),
     "q_zstd_decode" -> (qZstdDecode _),
+    "q_mp4_meta" -> (qMp4Meta _),
+    "q_brotli_store" -> (qBrotliStore _),
     "q_zstd_multiframe" -> (qZstdMultiframe _),
     "q_proto_decode" -> (qProtoDecode _),
     "q_charset_sniff" -> (qCharsetSniff _),
@@ -1141,7 +1211,7 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         |FROM a GROUP BY split ORDER BY split""".stripMargin,
     "q_blob_triage" ->
       """WITH d AS (
-        |  SELECT doc_id, (doc_id // 2) % 16 AS mode
+        |  SELECT doc_id, (doc_id // 2) % 19 AS mode
         |  FROM documents WHERE doc_id % 2 = 0),
         |k AS (
         |  SELECT doc_id,
@@ -1153,6 +1223,8 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         |                   WHEN 10 THEN 'tar' WHEN 11 THEN 'warc'
         |                   WHEN 12 THEN 'pgm' WHEN 13 THEN 'ascii_text'
         |                   WHEN 14 THEN 'utf8_text'
+        |                   WHEN 16 THEN 'zstd' WHEN 17 THEN 'mp4'
+        |                   WHEN 18 THEN 'br'
         |                   ELSE 'binary' END AS kind
         |  FROM d)
         |SELECT kind, COUNT(*) AS n_blobs, MIN(doc_id) AS min_doc,
@@ -1294,6 +1366,49 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         |       CASE WHEN corrupt THEN NULL
         |            ELSE CAST(2 * strlen(text) AS BIGINT) END AS rt_len,
         |       CASE WHEN corrupt THEN NULL ELSE md5(text || text) END AS rt_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_brotli_store" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, ((doc_id // 29) % 4 = 2) AS corrupt
+        |  FROM documents WHERE doc_id % 29 = 0)
+        |SELECT doc_id,
+        |       CASE WHEN corrupt THEN 'malformed' ELSE 'br_store' END AS kind,
+        |       CAST(CASE WHEN corrupt THEN 0 ELSE 16 END AS BIGINT) AS wbits,
+        |       CAST(CASE WHEN corrupt THEN 0 ELSE 65520 END AS BIGINT)
+        |         AS window_size,
+        |       CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS BIGINT)
+        |         AS n_store_blocks,
+        |       CAST(CASE WHEN corrupt THEN 0 ELSE strlen(text) END AS BIGINT)
+        |         AS store_bytes,
+        |       NOT corrupt AS ok,
+        |       CASE WHEN corrupt THEN NULL ELSE md5(text) END AS rt_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_mp4_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id, ((doc_id // 21) % 5 = 4) AS corrupt,
+        |         doc_id % 3 AS s
+        |  FROM documents WHERE doc_id % 21 = 0)
+        |SELECT doc_id, NOT corrupt AS parsed,
+        |       CASE WHEN corrupt THEN NULL ELSE 'isom' END AS major_brand,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE CAST(doc_id % 100 AS BIGINT) END AS minor_version,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE CAST(2 AS BIGINT) END AS n_brands,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE CAST(1000 + doc_id % 9000 AS BIGINT) END AS timescale,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE CAST((1000 + doc_id % 9000) * (1 + doc_id % 300) AS BIGINT)
+        |            END AS duration,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE CAST(1000 * (1 + doc_id % 300) AS BIGINT) END AS duration_ms,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE CAST(1 + doc_id % 3 AS BIGINT) END AS n_tracks,
+        |       CASE WHEN corrupt THEN NULL
+        |            WHEN s = 0 THEN 'vide'
+        |            WHEN s = 1 THEN 'soun,text'
+        |            ELSE 'text,vide,soun' END AS handlers,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE CAST(16 + doc_id % 48 AS BIGINT) END AS mdat_bytes
         |FROM d ORDER BY doc_id""".stripMargin,
     "q_zstd_decode" ->
       """WITH d AS (

@@ -1773,8 +1773,9 @@ case class SynthPngRgba(first: Expression, second: Expression, third: Expression
   * the raw-plane encode/decode entry points stay transform-free;
   * PROGRESSIVE mode (SOF2 — spectral selection AND successive
   * approximation, the mode most web JPEGs use) encodes and decodes
-  * at 1×1 sampling (encodeProgressive* / decodeProgressive;
-  * progressive + chroma subsampling stays out of scope); no
+  * with the same sampling scope as baseline — factors in {1, 2},
+  * covering 4:4:4, 4:2:0 (the web's default progressive layout,
+  * round 11) and 4:2:2 (encodeProgressive* / decodeProgressive); no
   * arithmetic/hierarchical modes (kind() triages those for routing),
   * restart markers accepted on decode but not emitted.
   *
@@ -2717,9 +2718,11 @@ object Jpeg {
   // carry one bit per coefficient), per T.81 G.1/G.2 — the mode the
   // majority of real web JPEGs use (round-9 verdict "What's missing"
   // #2 asked for triage at minimum; this implements the decode).
-  // Scope: 8-bit, Huffman, 1 or 3 components at 1×1 sampling
-  // (non-interleaved AC scans over the full-resolution block grid);
-  // progressive + chroma subsampling stays out of scope. The encoder
+  // Scope: 8-bit, Huffman, 1 or 3 components with sampling factors in
+  // {1, 2} — 4:4:4, 4:2:0 and 4:2:2 (round 11 wired the MCU
+  // interleave geometry: interleaved DC scans walk the MCU-padded
+  // per-component grids, non-interleaved AC scans walk each
+  // component's own ceil(dim/8) grid). The encoder
   // emits the classic libjpeg-shaped script (DC Al=1 → per-component
   // AC bands → DC refine → AC refines to Al=0), so EVERY path — EOB
   // runs, ZRL-in-refinement, correction bits, sign-first insertion —
@@ -3025,6 +3028,162 @@ object Jpeg {
   def encodeProgressiveJfif(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
     encodeProgressiveCore(w, h, 3, rgbToYcbcr(rgb))
 
+  /** PROGRESSIVE encode with chroma subsampling (round 11 — the web's
+    * DEFAULT progressive layout): Y at hf×vf, Cb/Cr at 1×1 with the
+    * SAME point-downsample convention as the baseline
+    * [[encodeSubsampled]], through the same libjpeg-shaped scan script
+    * as [[encodeProgressiveCore]]. Geometry per T.81: the interleaved
+    * DC scans walk MCUs over the MCU-PADDED Y grid (padding blocks are
+    * real edge-replicated blocks, so DC refinement bits stay
+    * consistent across scans); the non-interleaved AC scans walk each
+    * component's OWN ceil(dim/8) grid. */
+  def encodeProgressiveSubsampled(w: Int, h: Int, px: Array[Byte],
+      hf: Int, vf: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"dims must be positive, got ${w}x$h")
+    require(px.length == 3 * w * h,
+      s"encodeProgressiveSubsampled: dims ${w}x$h do not match ${px.length} bytes")
+    require((hf == 1 || hf == 2) && (vf == 1 || vf == 2) && hf * vf > 1,
+      s"factors must be in {1,2} with some subsampling, got ${hf}x$vf")
+    val mcuW = (w + 8 * hf - 1) / (8 * hf)
+    val mcuH = (h + 8 * vf - 1) / (8 * vf)
+    val cw = (w + hf - 1) / hf
+    val chh = (h + vf - 1) / vf
+    // per-component padded block grids (Y: mcuW·hf × mcuH·vf; C: mcuW × mcuH)
+    val padWs = Array(mcuW * hf, mcuW, mcuW)
+    val padHs = Array(mcuH * vf, mcuH, mcuH)
+    val ownWs = Array((w + 7) / 8, (cw + 7) / 8, (cw + 7) / 8)
+    val ownHs = Array((h + 7) / 8, (chh + 7) / 8, (chh + 7) / 8)
+    def lumaAt(x: Int, y: Int): Int =
+      px(3 * (math.min(y, h - 1) * w + math.min(x, w - 1))) & 0xff
+    def chromaAt(c: Int, cx: Int, cy: Int): Int = {
+      val px2 = math.min(math.min(cx, cw - 1) * hf, w - 1)
+      val py2 = math.min(math.min(cy, chh - 1) * vf, h - 1)
+      px(3 * (py2 * w + px2) + c) & 0xff
+    }
+    // quantized (all-ones DQT) coefficient stores on the padded grids
+    val samp = new Array[Int](64)
+    def qBlock(sample: (Int, Int) => Int, bx: Int, by: Int): Array[Int] = {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          samp(y * 8 + x) = sample(bx * 8 + x, by * 8 + y) - 128
+          x += 1
+        }
+        y += 1
+      }
+      val coef = fdct(samp)
+      val q = new Array[Int](64)
+      q(0) = math.round(coef(0)).toInt
+      var k = 1
+      while (k < 64) {
+        q(k) = math.max(-1023, math.min(1023, math.round(coef(k)).toInt))
+        k += 1
+      }
+      q
+    }
+    val blocks = Array.tabulate(3) { c =>
+      val sample: (Int, Int) => Int =
+        if (c == 0) lumaAt else (x, y) => chromaAt(c, x, y)
+      Array.tabulate(padWs(c) * padHs(c)) { bi =>
+        qBlock(sample, bi % padWs(c), bi / padWs(c))
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8)
+    marker(0xe0); be16(16); out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16(1); be16(1); out.write(0); out.write(0)
+    marker(0xdb); be16(67); out.write(0)
+    for (_ <- 0 until 64) out.write(1)
+    marker(0xc2); be16(8 + 9) // SOF2, 3 components
+    out.write(8); be16(h); be16(w); out.write(3)
+    out.write(1); out.write((hf << 4) | vf); out.write(0)
+    out.write(2); out.write(0x11); out.write(0)
+    out.write(3); out.write(0x11); out.write(0)
+    def dht(clazz: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length)
+      out.write(clazz << 4)
+      bits.foreach(out.write)
+      vals.foreach(out.write)
+    }
+    dht(0, ProgDcBits, ProgDcVals)
+    dht(1, ProgAcBits, ProgAcVals)
+    val dcCodes = buildCodes(ProgDcBits, ProgDcVals)
+    val acCodes = buildCodes(ProgAcBits, ProgAcVals)
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); be16(6 + 2 * comps.length); out.write(comps.length)
+      comps.foreach { c => out.write(c + 1); out.write(0x00) }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    val sampFactors = Array((hf, vf), (1, 1), (1, 1))
+    defaultProgressiveScript(3).foreach { case (comps, ss, se, ah, al) =>
+      sos(comps, ss, se, ah, al)
+      if (ss == 0) { // DC scan: interleaved MCU walk over padded grids
+        val bw = new BitWriter(out)
+        val pred = new Array[Int](3)
+        var mi = 0
+        val nMcus = mcuW * mcuH
+        while (mi < nMcus) {
+          val mx = mi % mcuW; val my = mi / mcuW
+          comps.foreach { c =>
+            val (chf, cvf) = sampFactors(c)
+            var v = 0
+            while (v < cvf) {
+              var hh = 0
+              while (hh < chf) {
+                val bIdx = (my * cvf + v) * padWs(c) + (mx * chf + hh)
+                if (ah == 0) {
+                  val dv = blocks(c)(bIdx)(0) >> al
+                  val diff = dv - pred(c)
+                  pred(c) = dv
+                  val s = category(diff)
+                  val (code, len) = dcCodes(s)
+                  bw.write(code, len)
+                  if (s > 0) bw.write(
+                    (if (diff >= 0) diff else diff + (1 << s) - 1), s)
+                } else {
+                  bw.write((blocks(c)(bIdx)(0) >> al) & 1, 1)
+                }
+                hh += 1
+              }
+              v += 1
+            }
+          }
+          mi += 1
+        }
+        bw.flush()
+      } else { // AC scan: one component over its OWN grid
+        val c = comps.head
+        val pw = new ProgWriter(out, acCodes)
+        var by = 0
+        while (by < ownHs(c)) {
+          var bx = 0
+          while (bx < ownWs(c)) {
+            val q = blocks(c)(by * padWs(c) + bx)
+            if (ah == 0) acFirstBlock(pw, q, ss, se, al)
+            else acRefineBlock(pw, q, ss, se, al)
+            bx += 1
+          }
+          by += 1
+        }
+        pw.finish()
+      }
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** Progressive 4:2:0 on raw planes (transform-free entry point). */
+  def encodeProgressive420(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+    encodeProgressiveSubsampled(w, h, px, 2, 2)
+
+  /** Real-world default: JFIF YCbCr + progressive + 4:2:0 — the
+    * layout mainstream web encoders actually emit. */
+  def encodeProgressive420Jfif(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeProgressiveSubsampled(w, h, rgbToYcbcr(rgb), 2, 2)
+
   /** Decode a PROGRESSIVE (SOF2) JPEG within the stated scope: walk
     * the markers, fold every scan — DC first/refine, AC first with
     * EOB runs, AC refine with correction bits — into per-component
@@ -3045,9 +3204,18 @@ object Jpeg {
     var w = -1; var h = -1; var ncomp = -1
     var qtSels: Array[Int] = null
     var restartInterval = 0
-    var coefs: Array[Array[Int]] = null // per comp: blocks*64, natural order
+    var coefs: Array[Array[Int]] = null // per comp: MCU-padded grid, *64
     var dcPred: Array[Int] = null
-    var blocksW = 0; var blocksH = 0
+    // sampling geometry (round 11: factors in {1,2} — 4:4:4/4:2:0/4:2:2,
+    // the same scope as the baseline decoder): interleaved DC scans walk
+    // the MCU-PADDED per-component grids (padding blocks are coded and
+    // discarded), non-interleaved scans walk each component's OWN grid
+    // (ceil(comp_dim/8)) indexed into the padded store
+    var hS: Array[Int] = null; var vS: Array[Int] = null
+    var hmax = 1; var vmax = 1
+    var mcuW = 0; var mcuH = 0
+    var padW: Array[Int] = null; var padH: Array[Int] = null
+    var ownW: Array[Int] = null; var ownH: Array[Int] = null
     var p = 2
     var seenEoi = false
     while (!seenEoi) {
@@ -3096,16 +3264,28 @@ object Jpeg {
             if (w.toLong * h > (1 << 22)) return None
             if (len < 8 + 3 * ncomp) return None
             qtSels = new Array[Int](ncomp)
+            hS = new Array[Int](ncomp); vS = new Array[Int](ncomp)
             var c = 0
             while (c < ncomp) {
               val samp = u8(seg + 6 + 3 * c + 1)
-              if (samp != 0x11) return None // scope: 1×1 sampling only
+              hS(c) = samp >> 4; vS(c) = samp & 0x0f
+              if (hS(c) < 1 || hS(c) > 2 || vS(c) < 1 || vS(c) > 2)
+                return None // factors beyond 2 out of scope (as baseline)
               qtSels(c) = u8(seg + 6 + 3 * c + 2)
               if (qtSels(c) > 3) return None
               c += 1
             }
-            blocksW = (w + 7) / 8; blocksH = (h + 7) / 8
-            coefs = Array.fill(ncomp)(new Array[Int](blocksW * blocksH * 64))
+            hmax = hS.max; vmax = vS.max
+            mcuW = (w + 8 * hmax - 1) / (8 * hmax)
+            mcuH = (h + 8 * vmax - 1) / (8 * vmax)
+            padW = Array.tabulate(ncomp)(c => mcuW * hS(c))
+            padH = Array.tabulate(ncomp)(c => mcuH * vS(c))
+            ownW = Array.tabulate(ncomp)(c =>
+              ((w * hS(c) + hmax - 1) / hmax + 7) / 8)
+            ownH = Array.tabulate(ncomp)(c =>
+              ((h * vS(c) + vmax - 1) / vmax + 7) / 8)
+            coefs = Array.tabulate(ncomp)(c =>
+              new Array[Int](padW(c) * padH(c) * 64))
             dcPred = new Array[Int](ncomp)
           case sof if sof >= 0xc0 && sof <= 0xcf && sof != 0xc4 &&
             sof != 0xc8 && sof != 0xcc =>
@@ -3139,9 +3319,11 @@ object Jpeg {
             if (ss == 0 && se != 0) return None // DC scans are DC-only
             if (ss > 0 && ns != 1) return None // AC scans: one component
             if (ss == 0 && ah == 0) java.util.Arrays.fill(dcPred, 0)
+            val c0 = scanComps(0)
             val next = decodeProgressiveScan(b, q + 1 + len, scanComps,
               scanDc, scanAc, ss, se, ah, al, coefs, dcPred,
-              blocksW * blocksH, restartInterval)
+              ns > 1, mcuW, mcuH, hS, vS, padW,
+              ownW(c0), ownH(c0), padW(c0), restartInterval)
             if (next < 0) return None
             p = next
           case _ => () // APPn / COM / other: skip
@@ -3150,45 +3332,53 @@ object Jpeg {
       }
     }
     if (coefs == null) return None
-    // reconstruct: dequantize + IDCT per block per component
-    val nBlocks = blocksW * blocksH
+    // reconstruct: dequantize + IDCT per OWN-grid block per component
+    // (MCU padding blocks carry coded-but-meaningless data and are
+    // skipped), then compose full resolution with replication upsample
     val planes = Array.tabulate(ncomp) { c =>
       val qt = qts(qtSels(c))
       if (qt == null) return None
-      val plane = new Array[Byte](blocksW * 8 * blocksH * 8)
+      val pw8 = ownW(c) * 8
+      val plane = new Array[Byte](pw8 * ownH(c) * 8)
       val dq = new Array[Double](64)
-      var bi = 0
-      while (bi < nBlocks) {
-        var k = 0
-        while (k < 64) {
-          dq(Zigzag(k)) = coefs(c)(bi * 64 + Zigzag(k)).toDouble * qt(k)
-          k += 1
-        }
-        val outPx = idct(dq)
-        val bx = bi % blocksW; val by = bi / blocksW
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            val v = math.round(outPx(y * 8 + x) + 128.0).toInt
-            plane((by * 8 + y) * (blocksW * 8) + bx * 8 + x) =
-              (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-            x += 1
+      var by = 0
+      while (by < ownH(c)) {
+        var bx = 0
+        while (bx < ownW(c)) {
+          val base = (by * padW(c) + bx) * 64
+          var k = 0
+          while (k < 64) {
+            dq(Zigzag(k)) = coefs(c)(base + Zigzag(k)).toDouble * qt(k)
+            k += 1
           }
-          y += 1
+          val outPx = idct(dq)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val v = math.round(outPx(y * 8 + x) + 128.0).toInt
+              plane((by * 8 + y) * pw8 + bx * 8 + x) =
+                (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
         }
-        bi += 1
+        by += 1
       }
       plane
     }
     val px = new Array[Byte](ncomp * w * h)
     var c = 0
     while (c < ncomp) {
+      val pw8 = ownW(c) * 8
       var y = 0
       while (y < h) {
+        val rowOff = (y * vS(c) / vmax) * pw8
         var x = 0
         while (x < w) {
-          px(ncomp * (y * w + x) + c) = planes(c)(y * (blocksW * 8) + x)
+          px(ncomp * (y * w + x) + c) = planes(c)(rowOff + x * hS(c) / hmax)
           x += 1
         }
         y += 1
@@ -3199,12 +3389,18 @@ object Jpeg {
   }
 
   /** One progressive scan's entropy decode, folded into `coefs`.
+    * Interleaved scans (ns > 1, DC bands only) walk MCUs over the
+    * padded grids; non-interleaved scans walk scanComps(0)'s OWN grid
+    * (ownW×ownH) indexed into its padded store (stride padW0).
     * Returns the stream position after the scan's entropy data (the
     * next marker's 0xFF), or -1 for anything malformed. */
   private def decodeProgressiveScan(b: Array[Byte], start: Int,
       scanComps: Array[Int], scanDc: Array[HuffDecodeTable],
       scanAc: Array[HuffDecodeTable], ss: Int, se: Int, ah: Int, al: Int,
-      coefs: Array[Array[Int]], dcPred: Array[Int], nBlocks: Int,
+      coefs: Array[Array[Int]], dcPred: Array[Int],
+      interleaved: Boolean, mcuW: Int, mcuH: Int,
+      hS: Array[Int], vS: Array[Int], padWs: Array[Int],
+      ownW: Int, ownH: Int, padW0: Int,
       restartInterval: Int): Int = {
     var pos = start
     var acc = 0
@@ -3250,8 +3446,26 @@ object Jpeg {
     val p1 = 1 << al
     val m1 = -1 << al
     var mcusToRestart = if (restartInterval > 0) restartInterval else -1
+    // one DC data unit for scan component i (frame component c) at
+    // coefficient base; false = corrupt stream
+    def dcUnit(i: Int, c: Int, base: Int): Boolean = {
+      if (ah == 0) {
+        val s = decodeSym(scanDc(i))
+        if (s < 0 || s > 11) return false
+        val bitsV = receive(s)
+        if (bitsV == Int.MinValue) return false
+        dcPred(c) += extend(bitsV, s)
+        coefs(c)(base) = dcPred(c) << al
+      } else {
+        val bit = nextBit()
+        if (bit < 0) return false
+        if (bit == 1) coefs(c)(base) |= p1
+      }
+      true
+    }
+    val nUnits = if (interleaved) mcuW * mcuH else ownW * ownH
     var bi = 0
-    while (bi < nBlocks && !bad) {
+    while (bi < nUnits && !bad) {
       if (mcusToRestart == 0) {
         nb = 0 // byte-align
         if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff ||
@@ -3261,27 +3475,31 @@ object Jpeg {
         eobrun = 0
         mcusToRestart = restartInterval
       }
-      if (ss == 0) { // DC scan: interleaved over scan components
+      if (interleaved) { // DC band over MCUs (AC scans are ns == 1)
+        if (ss != 0) return -1
+        val mx = bi % mcuW; val my = bi / mcuW
         var i = 0
         while (i < scanComps.length && !bad) {
           val c = scanComps(i)
-          if (ah == 0) {
-            val s = decodeSym(scanDc(i))
-            if (s < 0 || s > 11) return -1
-            val bitsV = receive(s)
-            if (bitsV == Int.MinValue) return -1
-            dcPred(c) += extend(bitsV, s)
-            coefs(c)(bi * 64) = dcPred(c) << al
-          } else {
-            val bit = nextBit()
-            if (bit < 0) return -1
-            if (bit == 1) coefs(c)(bi * 64) |= p1
+          var v = 0
+          while (v < vS(c) && !bad) {
+            var hh = 0
+            while (hh < hS(c) && !bad) {
+              val base = ((my * vS(c) + v) * padWs(c) + (mx * hS(c) + hh)) * 64
+              if (!dcUnit(i, c, base)) return -1
+              hh += 1
+            }
+            v += 1
           }
           i += 1
         }
-      } else { // AC scan: exactly one component
+      } else if (ss == 0) { // non-interleaved DC: one component, own grid
         val c = scanComps(0)
-        val base = bi * 64
+        val base = ((bi / ownW) * padW0 + (bi % ownW)) * 64
+        if (!dcUnit(0, c, base)) return -1
+      } else { // AC scan: exactly one component, own grid
+        val c = scanComps(0)
+        val base = ((bi / ownW) * padW0 + (bi % ownW)) * 64
         if (ah == 0) { // first scan for this band
           if (eobrun > 0) eobrun -= 1
           else {
@@ -3793,6 +4011,51 @@ case class SynthJpegProg(first: Expression, second: Expression, third: Expressio
   override def prettyName: String = "synth_jpeg_prog"
 }
 
+/** `synth_jpeg_prog420(id, w, h)` -> a COMPLETE real PROGRESSIVE JPEG
+  * at 4:2:0 chroma subsampling — the web's DEFAULT progressive layout
+  * (SOF2, Y at 2×2, libjpeg scan script, JFIF transform). RGB is
+  * constant per 16×16 REGION (the synth_jpeg_420 chroma granularity
+  * applied to all channels), so YCbCr stays region-constant, every Y
+  * block and every subsampled chroma block is constant, and the whole
+  * subsample → progressive-DCT → upsample chain is exactly
+  * invertible: the oracle replays forward ∘ identity ∘ inverse. */
+case class SynthJpegProg420(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"synth_jpeg_prog420 expects (long id, int w, int h), got $other")
+    }
+  override def nullSafeEval(idA: Any, wA: Any, hA: Any): Any = {
+    val id = idA.asInstanceOf[Long]
+    val w = wA.asInstanceOf[Int]; val h = hA.asInstanceOf[Int]
+    require(w > 0 && h > 0 && w.toLong * h <= (1 << 21),
+      s"synth_jpeg_prog420 dims out of range: ${w}x$h")
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rx = x / 16; val ry = y / 16
+        val k = 3 * (y * w + x)
+        px(k) = (((id * 7 + rx * 31L + ry * 17L) % 256 + 256) % 256).toByte
+        px(k + 1) = (((id * 11 + rx * 13L + ry * 29L) % 256 + 256) % 256).toByte
+        px(k + 2) = (((id * 3 + rx * 37L + ry * 23L) % 256 + 256) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Jpeg.encodeProgressive420Jfif(w, h, px)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): SynthJpegProg420 = copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jpeg_prog420"
+}
+
 /** `synth_png16_rgb(id, w, h)` -> a COMPLETE 16-bit RGB PNG (color
   * type 2, depth 16): three full-u16-range channel congruences
   * (id·7 + x·311 + y·173, id·11 + x·131 + y·293, id·3 + x·373 +
@@ -4035,6 +4298,9 @@ object media {
       ColumnBridge.expression(w), ColumnBridge.expression(h)))
   def synth_jpeg_prog(id: Column, w: Column, h: Column): Column =
     ColumnBridge.column(SynthJpegProg(ColumnBridge.expression(id),
+      ColumnBridge.expression(w), ColumnBridge.expression(h)))
+  def synth_jpeg_prog420(id: Column, w: Column, h: Column): Column =
+    ColumnBridge.column(SynthJpegProg420(ColumnBridge.expression(id),
       ColumnBridge.expression(w), ColumnBridge.expression(h)))
   def synth_png16(id: Column, w: Column, h: Column): Column =
     ColumnBridge.column(SynthPng16(ColumnBridge.expression(id),

@@ -1709,6 +1709,38 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** PROGRESSIVE JPEG at 4:2:0 chroma subsampling — the web's DEFAULT
+    * progressive layout (round-11 verdict item: wire the MCU
+    * interleave geometry between the progressive scans and the 4:2:0
+    * upsampler): SOF2, Y at 2×2 through the libjpeg scan script with
+    * interleaved DC over MCU-padded grids and per-component AC over
+    * own grids, JFIF transform, replication upsample. RGB constant
+    * per 16×16 region keeps every layer exactly invertible, so the
+    * oracle replays forward ∘ identity ∘ inverse; arbitrary-pixel
+    * coverage (incl. partial MCUs where padded and own grids differ)
+    * is pinned by the progressive-420-equals-baseline-420 property in
+    * JpegSpec. Dims 33..48 × 17..24 always exercise partial MCUs. */
+  private[graft] def qJpegProgressive420(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.media._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(33) + col("doc_id") % 16).cast("int").as("w"),
+        (lit(17) + col("doc_id") % 8).cast("int").as("h"))
+    d.select(col("doc_id"),
+        jpeg_stats_ycbcr(synth_jpeg_prog420(col("doc_id"), col("w"), col("h"))).as("s"))
+      .select(col("doc_id"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.channels").cast("long").as("channels"),
+        col("s.px_sum").as("px_sum"),
+        col("s.r_sum").as("r_sum"),
+        col("s.g_sum").as("g_sum"),
+        col("s.b_sum").as("b_sum"),
+        col("s.px_min").cast("long").as("px_min"),
+        col("s.px_max").cast("long").as("px_max"))
+      .orderBy(col("doc_id"))
+  }
+
   /** JPEG coding-mode triage over a mixed corpus: baseline grayscale,
     * baseline YCbCr, progressive-marked (SOF2) and arithmetic-marked
     * (SOF9) containers, a truncated frame, and a non-JPEG payload —
@@ -2338,6 +2370,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_jpeg_420_decode" -> (qJpeg420Decode _),
     "q_jpeg_ycbcr" -> (qJpegYcbcr _),
     "q_jpeg_progressive" -> (qJpegProgressive _),
+    "q_jpeg_progressive_420" -> (qJpegProgressive420 _),
     "q_jpeg_triage" -> (qJpegTriage _),
     "q_warc_ingest" -> (qWarcIngest _),
     "q_warc_dedup" -> (qWarcDedup _),
@@ -2710,6 +2743,46 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |  FROM d
         |  CROSS JOIN generate_series(0, 47) AS gx(x)
         |  CROSS JOIN generate_series(0, 23) AS gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h),
+        |ycc AS (
+        |  SELECT doc_id, w, h,
+        |         (19595 * r + 38470 * g + 7471 * b + 32768) // 65536 AS y,
+        |         (32768 * b - 11059 * r - 21709 * g + 8388608 + 32767) // 65536 AS cb,
+        |         (32768 * r - 27439 * g - 5329 * b + 8388608 + 32767) // 65536 AS cr
+        |  FROM rgb),
+        |rt AS (
+        |  SELECT doc_id, w, h,
+        |         LEAST(255, GREATEST(0, (y * 65536 + 91881 * (cr - 128)
+        |           + 32768 + 16777216) // 65536 - 256)) AS r2,
+        |         LEAST(255, GREATEST(0, (y * 65536 - 22554 * (cb - 128)
+        |           - 46802 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS g2,
+        |         LEAST(255, GREATEST(0, (y * 65536 + 116130 * (cb - 128)
+        |           + 32768 + 16777216) // 65536 - 256)) AS b2
+        |  FROM ycc)
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |       CAST(MIN(h) AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(SUM(r2 + g2 + b2) AS BIGINT) AS px_sum,
+        |       CAST(SUM(r2) AS BIGINT) AS r_sum,
+        |       CAST(SUM(g2) AS BIGINT) AS g_sum,
+        |       CAST(SUM(b2) AS BIGINT) AS b_sum,
+        |       CAST(MIN(LEAST(r2, g2, b2)) AS BIGINT) AS px_min,
+        |       CAST(MAX(GREATEST(r2, g2, b2)) AS BIGINT) AS px_max
+        |FROM rt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_jpeg_progressive_420" -> // the q_jpeg_progressive pipeline at
+      // the 16×16 region granularity (region constants survive the
+      // 4:2:0 subsample -> progressive DCT -> upsample chain exactly)
+      """WITH d AS (
+        |  SELECT doc_id, 33 + doc_id % 16 AS w, 17 + doc_id % 8 AS h
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |rgb AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |         (d.doc_id * 7 + (gx.x // 16) * 31 + (gy.y // 16) * 17) % 256 AS r,
+        |         (d.doc_id * 11 + (gx.x // 16) * 13 + (gy.y // 16) * 29) % 256 AS g,
+        |         (d.doc_id * 3 + (gx.x // 16) * 37 + (gy.y // 16) * 23) % 256 AS b
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 48) AS gx(x)
+        |  CROSS JOIN generate_series(0, 24) AS gy(y)
         |  WHERE gx.x < d.w AND gy.y < d.h),
         |ycc AS (
         |  SELECT doc_id, w, h,

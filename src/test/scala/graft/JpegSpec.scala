@@ -625,4 +625,85 @@ class JpegSpec extends AnyFunSuite {
       Jpeg.kind(b)
     }
   }
+
+  // ---- progressive + chroma subsampling (round 11) -------------------
+
+  test("progressive 4:2:0 decode equals BASELINE 4:2:0 decode EXACTLY on " +
+    "arbitrary RGB (MCU interleave geometry, padded-grid DC, own-grid AC)") {
+    // the decisive cross-check, extended to subsampled layouts: both
+    // pipelines share the point-downsample, quantization and IDCT, so
+    // the progressive 4:2:0 encoder/decoder pair can only agree by
+    // reproducing the sequential 4:2:0 pipeline's exact output —
+    // including partial MCUs (w mod 16 in 1..15) where the padded and
+    // own block grids genuinely differ
+    val gen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (w, h, seed)
+    val prop = Prop.forAll(gen) { case (w, h, seed) =>
+      val p = new Array[Byte](3 * w * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        p(3 * (y * w + x) + c) = (((seed * 31 + x * 97L + y * 61L + c * 139L +
+          x * y * 13L) % 256 + 256) % 256).toByte
+      val base = Jpeg.decodeFull(Jpeg.encode420(w, h, p))
+      val prog = Jpeg.decodeProgressive(Jpeg.encodeProgressive420(w, h, p))
+      base.nonEmpty && prog.nonEmpty && {
+        val Some((bw2, bh2, bc, bp)) = base
+        val Some((pw2, ph2, pc, pp)) = prog
+        bw2 == pw2 && bh2 == ph2 && bc == pc && bp.toSeq == pp.toSeq
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("progressive 4:2:2 decode equals baseline 4:2:2 decode exactly") {
+    val gen = for {
+      w <- Gen.choose(1, 36)
+      h <- Gen.choose(1, 20)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (w, h, seed)
+    val prop = Prop.forAll(gen) { case (w, h, seed) =>
+      val p = new Array[Byte](3 * w * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        p(3 * (y * w + x) + c) = (((seed * 17 + x * 89L + y * 53L + c * 101L +
+          x * y * 7L) % 256 + 256) % 256).toByte
+      val base = Jpeg.decodeFull(Jpeg.encode422(w, h, p))
+      val prog = Jpeg.decodeProgressive(
+        Jpeg.encodeProgressiveSubsampled(w, h, p, 2, 1))
+      base.nonEmpty && prog.nonEmpty && base.get._4.toSeq == prog.get._4.toSeq
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("progressive 4:2:0 JFIF container classifies progressive and " +
+    "region-constant pixels survive the full chain exactly") {
+    for ((w, h, id) <- Seq((33, 17, 5L), (48, 24, 9L), (16, 16, 0L), (1, 1, 7L))) {
+      val rgb = new Array[Byte](3 * w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rx = x / 16; val ry = y / 16
+        val k = 3 * (y * w + x)
+        rgb(k) = (((id * 7 + rx * 31L + ry * 17L) % 256 + 256) % 256).toByte
+        rgb(k + 1) = (((id * 11 + rx * 13L + ry * 29L) % 256 + 256) % 256).toByte
+        rgb(k + 2) = (((id * 3 + rx * 37L + ry * 23L) % 256 + 256) % 256).toByte
+      }
+      val enc = Jpeg.encodeProgressive420Jfif(w, h, rgb)
+      assert(Jpeg.kind(enc) === "progressive")
+      val Some((dw, dh, ch, out)) = Jpeg.decodeToRgb(enc)
+      assert((dw, dh, ch) === (w, h, 3))
+      // expected: forward + inverse transform of the region constants
+      val exp = new Array[Byte](3 * w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val k = 3 * (y * w + x)
+        val ycc = Jpeg.forwardYcc(rgb(k) & 0xff, rgb(k + 1) & 0xff, rgb(k + 2) & 0xff)
+        val back = Jpeg.inverseYcc(ycc & 0xff, (ycc >> 8) & 0xff, (ycc >> 16) & 0xff)
+        exp(k) = (back & 0xff).toByte
+        exp(k + 1) = ((back >> 8) & 0xff).toByte
+        exp(k + 2) = ((back >> 16) & 0xff).toByte
+      }
+      assert(out.toSeq === exp.toSeq, s"${w}x$h id=$id")
+    }
+  }
 }

@@ -177,6 +177,35 @@ object ScaleProbe {
         println(f"[kernels]   candidate volume at ${n / 20} docs: " +
           f"full=$full prefix=$prefix " +
           f"reduction=${full.toDouble / math.max(1L, prefix)}%7.1f x")
+      }),
+      ("dup_spans (ExactSubstr windows)", n => {
+        // the q_dup_spans shape: 24-char windows at stride 4 -> md5
+        // digest -> dup digests -> join back. The explode multiplies
+        // rows by ~len/stride, so the claim to MEASURE is that the
+        // digest shuffle stays proportional to corpus chars / stride
+        // (never docs², never chars x chars) and wall grows ~linearly.
+        val spans = docs(n).select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 23, 4)," +
+            " i -> md5(cast(substring(text, i, 24) as binary)))")).as("digest"))
+          // ONE digest shuffle feeds BOTH consumers (the dup-digest
+          // agg and the join back): repartition by the join/agg key
+          // and Spark's ReusedExchange computes the explode+md5 (the
+          // dominant CPU) once, with no block-manager storage —
+          // caching here OOMed the downstream agg at the 10x point
+          .repartition(col("digest"))
+        val dup = spans.groupBy(col("digest"))
+          .agg(countDistinct(col("doc_id")).as("ndocs"))
+          .filter(col("ndocs") >= 2)
+          .select(col("digest"), lit(1L).as("is_dup"))
+        val agg = spans.join(dup, Seq("digest"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+        val r = agg.agg(sum("n_spans"), sum("n_dup")).head()
+        println(f"[kernels]   dup_spans at ${n / 20} docs: " +
+          f"span rows=${r.getLong(0)} dup spans=${r.getLong(1)} " +
+          f"(digest shuffle = span rows x ~40 B = " +
+          f"${r.getLong(0) * 40 / (1 << 20)}%d MiB, linear in corpus bytes)")
       })
     ).foreach { case (name, run) =>
       run(math.max(1000, baseRows / 10)) // warmup

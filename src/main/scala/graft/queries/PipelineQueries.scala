@@ -476,6 +476,12 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       explode(expr(
         "transform(sequence(1, length(text) - 23, 4)," +
           " i -> md5(cast(substring(text, i, 24) as binary)))")).as("digest"))
+      // one digest shuffle feeds BOTH consumers (dup-digest agg and
+      // the join back): repartitioning by the shared key lets
+      // ReusedExchange compute the explode+md5 (the dominant CPU at
+      // scale — ScaleProbe --kernels measured ~2x) once, with no
+      // block-manager storage to steal aggregation memory at 100 TB
+      .repartition(col("digest"))
     val dup = spans.groupBy(col("digest"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2)

@@ -2110,6 +2110,37 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .orderBy(col("doc_id"), col("rec_idx"))
   }
 
+  /** WARC-over-zstd — the NORTH-STAR ingest path (Common-Crawl-style
+    * shards ship as zstd members): a skippable frame then the WARC
+    * file as one zstd frame (alternating Predefined / explicit-table
+    * sequence coding by id), decoded by the round-11 full zstd codec,
+    * THEN the WARC record walk and strip_html chain of q_warc_ingest.
+    * Corruption stays at the WARC layer (the zstd layer must pass it
+    * through intact), so the gate proves the COMPOSITION: codec
+    * round-trip ∘ container walk ∘ text pipeline, one query. */
+  private[graft] def qWarcZstd(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.warc._
+    import graft.functions.zstdio._
+    import graft.functions.kernels.strip_html
+    val skippable = Array[Byte](0x5a, 0x2a, 0x4d, 0x18, 3, 0, 0, 0, 1, 2, 3)
+    val d = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(3) + col("doc_id") % 4).cast("int").as("n"),
+        expr("(doc_id div 25) % 4 = 3").as("corrupt"))
+    val shard = concat(lit(skippable),
+      zstd_compress(synth_warc(col("doc_id"), col("n"), col("corrupt")),
+        col("doc_id") % 2 === 0))
+    d.select(col("doc_id"),
+        warc_records(zstd_decompress(shard))
+          .as(Seq("rec_idx", "warc_type", "target_uri", "content_length",
+            "payload", "ok")))
+      .select(col("doc_id"), col("rec_idx").cast("long").as("rec_idx"),
+        col("warc_type"), col("target_uri"), col("content_length"),
+        strip_html(col("payload").cast("string")).as("clean_text"),
+        col("ok"))
+      .orderBy(col("doc_id"), col("rec_idx"))
+  }
+
   /** Truecolor PNG decode (color type 2): three distinct per-channel
     * congruences through the 3-byte-per-pixel filter offset — a
     * decoder that confuses channel interleave or filters with the
@@ -2373,6 +2404,7 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
     "q_jpeg_progressive_420" -> (qJpegProgressive420 _),
     "q_jpeg_triage" -> (qJpegTriage _),
     "q_warc_ingest" -> (qWarcIngest _),
+    "q_warc_zstd" -> (qWarcZstd _),
     "q_warc_dedup" -> (qWarcDedup _),
     "q_png16_decode" -> (qPng16Decode _),
     "q_png16_rgb_decode" -> (qPng16RgbDecode _),
@@ -2823,6 +2855,35 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
         |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_blobs,
         |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM k GROUP BY kind ORDER BY kind""".stripMargin,
+    "q_warc_zstd" -> // identical record contract to q_warc_ingest:
+      // the zstd layer (skippable + one frame, checksum-verified) is
+      // exactly identity on the WARC bytes, corruption lives at the
+      // WARC layer
+      """WITH d AS (
+        |  SELECT doc_id, 3 + doc_id % 4 AS n,
+        |         ((doc_id // 25) % 4 = 3) AS corrupt
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |good AS (
+        |  SELECT d.doc_id, gs.i AS rec_idx,
+        |         'response' AS warc_type,
+        |         'https://example.test/' || d.doc_id || '/' || gs.i AS target_uri,
+        |         CAST(length('<html><body><p>doc ' || d.doc_id || ' rec ' ||
+        |           gs.i || '</p><script>var x=1;</script><b>tok' ||
+        |           (d.doc_id * 31 + gs.i * 7) % 997 ||
+        |           '</b> &amp; tail</body></html>') AS BIGINT) AS content_length,
+        |         'doc ' || d.doc_id || ' rec ' || gs.i || ' tok' ||
+        |           (d.doc_id * 31 + gs.i * 7) % 997 || ' & tail' AS clean_text,
+        |         TRUE AS ok
+        |  FROM d CROSS JOIN generate_series(0, 6) AS gs(i)
+        |  WHERE gs.i < d.n - CASE WHEN d.corrupt THEN 1 ELSE 0 END),
+        |bad AS (
+        |  SELECT doc_id, n - 1 AS rec_idx, CAST(NULL AS VARCHAR) AS warc_type,
+        |         CAST(NULL AS VARCHAR) AS target_uri,
+        |         CAST(NULL AS BIGINT) AS content_length,
+        |         CAST(NULL AS VARCHAR) AS clean_text, FALSE AS ok
+        |  FROM d WHERE corrupt)
+        |SELECT * FROM (SELECT * FROM good UNION ALL SELECT * FROM bad)
+        |ORDER BY doc_id, rec_idx""".stripMargin,
     "q_warc_ingest" -> // the oracle replays record synthesis (ASCII
       // payloads: Content-Length == char count) and the strip_html
       // chain's known output; corrupt docs lose their LAST member ->

@@ -77,7 +77,11 @@ object Explain {
     // the scalable-rank contract on one shared formulation). Isolated
     // TimeQ min-of-3 sits AT the 2.0 s advisory line; closing-bench
     // rows above it are cold-run variance over that multi-pass floor
-    "q_qcd" -> 2.01)
+    "q_qcd" -> 2.01,
+    // round 11: Borda rank fusion is three full-ranking windows + a
+    // top-k (drv:1j); isolated TimeQ min-of-3 = 1.88 s — closing-bench
+    // rows at ~2.0-2.2 s are cold-run variance over that window floor
+    "q_borda" -> 1.88)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()

@@ -152,6 +152,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("snappy_decompress", classOf[SnappyDecompress], SnappyDecompress)
     unary("proto_stats", classOf[ProtoStats], ProtoStats)
     unary("zstd_frame_meta", classOf[ZstdFrameMeta], ZstdFrameMeta)
+    // round-11 additions: full zstd codec, brotli structural layer,
+    // MP4 triage, hinted dispatch
+    unary("zstd_decompress", classOf[ZstdDecompress], ZstdDecompress)
+    binary("zstd_compress", classOf[ZstdCompress], ZstdCompress)
+    unary("brotli_meta", classOf[BrotliMeta], BrotliMeta)
+    unary("brotli_wrap", classOf[BrotliWrap], BrotliWrap)
+    unary("brotli_unwrap", classOf[BrotliUnwrap], BrotliUnwrap)
+    unary("mp4_meta", classOf[Mp4Meta], Mp4Meta)
+    binary("blob_kind_hinted", classOf[BlobKindHinted], BlobKindHinted)
     unary("qoi_stats", classOf[QoiStats], QoiStats)
     unary("tiff_stats", classOf[TiffStats], TiffStats)
     unary("ico_stats", classOf[IcoStats], IcoStats)

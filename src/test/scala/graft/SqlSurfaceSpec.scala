@@ -54,6 +54,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(one[Boolean](
       "SELECT robots_decision('User-agent: *\nDisallow: /private\n', " +
         "'bot', '/private/x').allowed") === false)
+    // round-11 kernels: full zstd codec, brotli store layer, mp4
+    // triage, hinted dispatch
+    assert(one[Array[Byte]](
+      "SELECT zstd_decompress(zstd_compress(cast('frame frame frame' as binary), true))")
+      .sameElements("frame frame frame".getBytes))
+    assert(one[Array[Byte]](
+      "SELECT brotli_unwrap(brotli_wrap(cast('stored bytes' as binary)))")
+      .sameElements("stored bytes".getBytes))
+    assert(one[String](
+      "SELECT brotli_meta(brotli_wrap(cast('x' as binary))).kind") === "br_store")
+    assert(one[String](
+      "SELECT blob_kind_hinted(brotli_wrap(cast('x' as binary)), 'br')") === "br")
+    assert(one[String](
+      "SELECT mp4_meta(cast('not a box walk' as binary)).major_brand") === null)
   }
 
   test("the asof planner strategy and codec-elimination rule ride the " +

@@ -289,7 +289,102 @@ object ScaleProbe {
     }
   }
 
+  /** `--codecs [blobs] [mults]`: measured BYTE-CODEC throughput for
+    * the compression family (gzip/DEFLATE, snappy, the round-11 full
+    * zstd in both sequence-table modes, brotli store) — the codecs a
+    * 100 TB ingest spends real CPU in. Per codec, three passes over
+    * ~4 KiB word-salad blobs distributed across all cores: synth-only,
+    * synth+compress, synth+compress+decompress; differences isolate
+    * compress and decompress cost, reported as MB/s of RAW bytes
+    * (total and per core) plus the achieved ratio. 1×/10× blob counts
+    * pin linear scaling (per-row kernels, no shuffle). */
+  private def codecsMode(spark: SparkSession, baseBlobs: Long,
+      mults: Seq[Long], cores: Int): Unit = {
+    import org.apache.spark.sql.Column
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // ~4 KiB of repetitive-but-not-constant text per blob (the web-page
+    // regime: entropy coding AND match finding both have work to do)
+    val raw: Column = expr(
+      "cast(array_join(transform(sequence(1, 80), i -> " +
+        "concat('the tok', pmod(xxhash64(id, i), 997), " +
+        "' quick brown fox jumps over the lazy dog ', " +
+        "pmod(xxhash64(id, i, 7), 31))), ' ') as binary)")
+    import graft.functions.kernels.{gzip_compress, gzip_decompress}
+    import graft.functions.snappy.{snappy_compress, snappy_decompress}
+    import graft.functions.zstdio.{zstd_compress, zstd_decompress}
+    import graft.functions.brotli.{brotli_unwrap, brotli_wrap}
+    val variants: Seq[(String, Column => Column, Column => Column)] = Seq(
+      ("gzip_deflate", b => gzip_compress(b), b => gzip_decompress(b)),
+      ("snappy_block", b => snappy_compress(b), b => snappy_decompress(b)),
+      ("zstd_predefined", b => zstd_compress(b), b => zstd_decompress(b)),
+      ("zstd_explicit_fse", b => zstd_compress(b, lit(true)), b => zstd_decompress(b)),
+      ("brotli_store", b => brotli_wrap(b), b => brotli_unwrap(b)))
+    println(s"[codecs] base=$baseBlobs blobs of ~4 KiB; cores=$cores; " +
+      s"multipliers=${mults.mkString(",")}")
+    variants.foreach { case (name, comp, decomp) =>
+      def frame(n: Long) = spark.range(n).select(raw.as("raw"))
+      def passA(n: Long) = frame(n).select(sum(length(col("raw")))).head().getLong(0)
+      def passB(n: Long) = frame(n)
+        .select(sum(length(comp(col("raw"))))).head().getLong(0)
+      passA(500); passB(500) // warmup codegen + JIT
+      def min3(f: => Unit): Double = (1 to 3).map(_ => timed(f)).min
+      mults.foreach { m =>
+        val n = baseBlobs * m
+        val rawBytes = passA(n)
+        var compBytes = 0L
+        // min-of-3 per pass: single-shot differences of near-equal
+        // wall times otherwise clamp to nonsense rates
+        val tA = min3(passA(n))
+        val tB = min3 { compBytes = passB(n) }
+        val tComp = tB - tA
+        // decompress timed over PRE-MATERIALIZED compressed blobs: a
+        // parquet scan baseline isolates the decode honestly
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-codec-$name").toString
+        frame(n).select(comp(col("raw")).as("b"))
+          .write.mode("overwrite").parquet(dir)
+        def scanOnly() = spark.read.parquet(dir)
+          .select(sum(length(col("b")))).head().getLong(0)
+        var rtBytes = 0L
+        def scanDecode() = { rtBytes = spark.read.parquet(dir)
+          .select(sum(length(decomp(col("b"))))).head().getLong(0) }
+        scanOnly(); scanDecode() // warmup
+        val tScan = min3(scanOnly())
+        val tFull = min3(scanDecode())
+        require(rtBytes == rawBytes, s"$name round-trip lost bytes!")
+        val tDec = tFull - tScan
+        def rate(t: Double): String =
+          if (t < 0.05) f"${">"}${rawBytes / 1e6 / 0.05}%7.0f MB/s (measurement-floor-bound)"
+          else f"${rawBytes / 1e6 / t}%8.1f MB/s (${rawBytes / 1e6 / t / cores}%6.2f/core)"
+        println(f"[codecs] $name%-18s ${m}%2dx n=$n%8d  raw=${rawBytes / n}%5d B  " +
+          f"ratio=${rawBytes.toDouble / compBytes}%5.2f  " +
+          f"comp=${rate(tComp)}  decomp=${rate(tDec)}")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--codecs")) {
+      val blobs = args.drop(1).headOption.map(_.toLong).getOrElse(20000L)
+      val mults = args.drop(2).headOption
+        .map(_.split(",").toSeq.map(_.trim.toLong)).getOrElse(Seq(1L, 10L))
+      require(mults.nonEmpty && mults == mults.sorted && mults.head >= 1,
+        s"multipliers must be ascending and >= 1, got $mults")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      codecsMode(spark, blobs, mults, cpus.toInt)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("--media")) {
       val blobs = args.drop(1).headOption.map(_.toLong).getOrElse(20000L)
       val mults = args.drop(2).headOption

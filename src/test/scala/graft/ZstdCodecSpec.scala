@@ -165,6 +165,55 @@ class ZstdCodecSpec extends AnyFunSuite {
     assert(ZstdCodec.xxh64(abc, 0, 3) == 0x44bc2cf5ad770999L)
   }
 
+  test("pure-random blobs never throw and never 'decode' (10k fuzz)") {
+    var s = 42L
+    for (k <- 0 until 10000) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val len = ((s >>> 33) % 64).toInt
+      val blob = new Array[Byte](len)
+      var i = 0
+      while (i < len) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        blob(i) = (s >>> 33).toByte
+        i += 1
+      }
+      // magic-prefixed variant: forces the frame parser deep in
+      val framed = Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte) ++ blob
+      assert(ZstdCodec.decompress(blob).isEmpty ||
+        blob.take(4).sameElements(Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte)))
+      ZstdCodec.decompress(framed) // must not throw; usually None
+    }
+  }
+
+  test("decompression bombs hit the admission cap, not the heap") {
+    // declared content size beyond the 128 MiB cap -> rejected from
+    // the header alone
+    val big = new java.io.ByteArrayOutputStream()
+    big.write(Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte), 0, 4)
+    big.write(0x20 | (3 << 6)) // single-segment, 8-byte content size
+    var v = 1L << 40
+    for (_ <- 0 until 8) { big.write((v & 0xff).toInt); v >>= 8 }
+    big.write(Array[Byte](0x09, 0, 0, 0x41), 0, 4) // last raw block "A"
+    assert(ZstdCodec.decompress(big.toByteArray).isEmpty)
+    // undeclared-size RLE bomb: blocks expand until the cap trips;
+    // must return None without exhausting memory
+    val bomb = new java.io.ByteArrayOutputStream()
+    bomb.write(Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte), 0, 4)
+    bomb.write(0x00) // FHD: no content size, window descriptor follows
+    bomb.write(0xff) // max window descriptor (clamped by MaxWindow gate)
+    assert(ZstdCodec.decompress(bomb.toByteArray).isEmpty) // window too big
+    val bomb2 = new java.io.ByteArrayOutputStream()
+    bomb2.write(Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte), 0, 4)
+    bomb2.write(0x00)
+    bomb2.write(0x70) // ~128 KiB window: admissible
+    val rleHeader = (0 << 0) | (1 << 1) | (131071 << 3) // non-last RLE, max size
+    for (_ <- 0 until 2000) { // would be ~256 MiB expanded
+      bomb2.write(rleHeader & 0xff); bomb2.write((rleHeader >> 8) & 0xff)
+      bomb2.write((rleHeader >> 16) & 0xff); bomb2.write('z')
+    }
+    assert(ZstdCodec.decompress(bomb2.toByteArray).isEmpty)
+  }
+
   test("large random-structured input with explicit tables round-trips") {
     // mixed structure: repetitive runs + word salad + binary islands
     val parts = (0 until 40).map { i =>

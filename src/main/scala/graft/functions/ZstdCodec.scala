@@ -31,9 +31,17 @@ import org.apache.spark.sql.types._
   *   - sequence execution with overlap-safe match copy against the
   *     whole decoded window.
   *
-  * Out of scope (stated): dictionaries (Dictionary_ID != 0 -> null —
-  * dict routing is [[Zstd.frameMeta]]'s `dict_id`), window sizes above
-  * 128 MiB (admission control, not a format gap). Never throws;
+  * DICTIONARIES (RFC 8878 §5) are supported on the decode side in
+  * both forms — structured (magic 0xEC30A437: dictionary id, Huffman
+  * literals table, OF/ML/LL FSE tables seeding the first block's
+  * Repeat/Treeless modes, initial repeat offsets, content-as-history)
+  * and raw (arbitrary bytes as prefix history) — via
+  * [[ZstdCodec.decompressWithDict]]; the compressor consumes RAW
+  * dictionaries (match history; structured-dict table seeding on the
+  * ENCODE side is out of scope, stated). A dict-flagged frame decoded
+  * WITHOUT a dictionary -> null (dict routing is
+  * [[Zstd.frameMeta]]'s `dict_id`). Window sizes above
+  * 128 MiB -> null (admission control, not a format gap). Never throws;
   * malformation of ANY kind (truncation, reserved bits, FSE counts
   * not summing, offset past window, checksum mismatch, trailing
   * garbage) -> None — the same permissive-null contract as the
@@ -483,18 +491,67 @@ object ZstdCodec {
     if (back.bitsLeft != 0) fail()
   }
 
+  // ---------------------------------------------------------- dictionaries
+
+  /** A parsed RFC 8878 §5 dictionary: entropy tables seed the first
+    * block's Repeat/Treeless modes, reps seed the offset history,
+    * content is prefix match history. Raw dictionaries (no magic) are
+    * pure content with default tables/reps. */
+  private final class ZDict(val dictId: Long, val huf: HufDec,
+      val ofTab: FseDec, val mlTab: FseDec, val llTab: FseDec,
+      val rep1: Long, val rep2: Long, val rep3: Long,
+      val content: Array[Byte])
+
+  private final val DictMagic = 0xec30a437L
+
+  private def parseDictionary(d: Array[Byte]): ZDict = {
+    if (d == null) fail()
+    @inline def u32(i: Int): Long =
+      (d(i) & 0xffL) | ((d(i + 1) & 0xffL) << 8) |
+        ((d(i + 2) & 0xffL) << 16) | ((d(i + 3) & 0xffL) << 24)
+    if (d.length < 8 || u32(0) != DictMagic)
+      return new ZDict(0, null, null, null, null, 1L, 4L, 8L, d) // raw dict
+    val dictId = u32(4)
+    var p = 8
+    val (huf, used) = readHufTable(d, p, d.length)
+    p += used
+    // FSE tables in stream order: offsets, match lengths, literal
+    // lengths (each description byte-aligned)
+    val fr1 = new ForeReader(d, p, d.length)
+    val (ofC, ofAl) = readNCount(fr1, OfMaxAl, OfMaxSym)
+    val ofTab = buildFseDec(ofC, ofAl)
+    p += fr1.bytesConsumed
+    val fr2 = new ForeReader(d, p, d.length)
+    val (mlC, mlAl) = readNCount(fr2, MlMaxAl, MlMaxSym)
+    val mlTab = buildFseDec(mlC, mlAl)
+    p += fr2.bytesConsumed
+    val fr3 = new ForeReader(d, p, d.length)
+    val (llC, llAl) = readNCount(fr3, LlMaxAl, LlMaxSym)
+    val llTab = buildFseDec(llC, llAl)
+    p += fr3.bytesConsumed
+    if (p + 12 > d.length) fail()
+    val r1 = u32(p); val r2 = u32(p + 4); val r3 = u32(p + 8)
+    p += 12
+    if (r1 <= 0 || r2 <= 0 || r3 <= 0) fail()
+    val content = java.util.Arrays.copyOfRange(d, p, d.length)
+    if (r1 > content.length || r2 > content.length || r3 > content.length)
+      fail() // reps must point into representable history
+    new ZDict(dictId, huf, ofTab, mlTab, llTab, r1, r2, r3, content)
+  }
+
   // -------------------------------------------------------------- literals
 
   /** Per-frame decoder state carried across blocks (Treeless literals
-    * and Repeat sequence modes). */
-  private final class FrameState {
-    var huf: HufDec = null
-    var llTab: FseDec = null
-    var ofTab: FseDec = null
-    var mlTab: FseDec = null
-    var rep1 = 1L
-    var rep2 = 4L
-    var rep3 = 8L
+    * and Repeat sequence modes); seeded from the dictionary when one
+    * is in play. */
+  private final class FrameState(dict: ZDict) {
+    var huf: HufDec = if (dict != null) dict.huf else null
+    var llTab: FseDec = if (dict != null) dict.llTab else null
+    var ofTab: FseDec = if (dict != null) dict.ofTab else null
+    var mlTab: FseDec = if (dict != null) dict.mlTab else null
+    var rep1 = if (dict != null) dict.rep1 else 1L
+    var rep2 = if (dict != null) dict.rep2 else 4L
+    var rep3 = if (dict != null) dict.rep3 else 8L
   }
 
   /** Decode the literals section at b[p..blockEnd). Returns
@@ -608,7 +665,7 @@ object ZstdCodec {
   private def decodeSequences(b: Array[Byte], p0: Int, blockEnd: Int,
       lits: Array[Byte], litLen: Int, st: FrameState,
       out: java.io.ByteArrayOutputStream, outSoFar: Array[Byte], outLen: Int,
-      frameStart: Int): Unit = {
+      frameStart: Int, hist: Array[Byte]): Unit = {
     var p = p0
     if (p >= blockEnd) fail()
     // sequence count: 1-3 bytes
@@ -653,8 +710,10 @@ object ZstdCodec {
     @inline def ensure(n: Int): Unit =
       if (blockLen + n > blockArr.length)
         blockArr = java.util.Arrays.copyOf(blockArr, math.max(blockArr.length * 2, blockLen + n))
-    @inline def outByteAt(i: Long): Byte = { // i < outLen + blockLen, frame-relative
-      if (i < outLen) outSoFar(i.toInt) else blockArr((i - outLen).toInt)
+    @inline def outByteAt(i: Long): Byte = { // absolute stream position
+      if (i >= outLen) blockArr((i - outLen).toInt)
+      else if (i >= frameStart) outSoFar(i.toInt)
+      else hist((hist.length + i - frameStart).toInt) // dictionary history
     }
 
     var seq = 0
@@ -703,9 +762,10 @@ object ZstdCodec {
       System.arraycopy(lits, litPos, blockArr, blockLen, ll)
       litPos += ll; blockLen += ll
       val totalPos = outLen.toLong + blockLen
-      // the match window starts at THIS frame's first byte (no dict):
-      // offsets reaching into a previous concatenated frame are corrupt
-      if (offset > totalPos - frameStart) fail()
+      // the match window starts at the dictionary's first byte, then
+      // THIS frame's first byte; offsets reaching into a previous
+      // concatenated frame are corrupt
+      if (offset > totalPos - frameStart + hist.length) fail()
       if (totalPos + ml > MaxOut) fail()
       var k = 0L
       while (k < ml) {
@@ -728,8 +788,10 @@ object ZstdCodec {
   // ---------------------------------------------------------------- frames
 
   /** Decode one zstd frame starting at b(off); appends content to
-    * `out`, returns the offset just past the frame. */
-  private def decodeFrame(b: Array[Byte], off: Int, out: java.io.ByteArrayOutputStream): Int = {
+    * `out`, returns the offset just past the frame. `dict` may be
+    * null (then a dict-flagged frame fails). */
+  private def decodeFrame(b: Array[Byte], off: Int,
+      out: java.io.ByteArrayOutputStream, dict: ZDict): Int = {
     var p = off + 4 // past magic
     if (p >= b.length) fail()
     val fhd = b(p) & 0xff; p += 1
@@ -751,7 +813,11 @@ object ZstdCodec {
     var k = 0
     while (k < didLen) { dictId |= (b(p + k) & 0xffL) << (8 * k); k += 1 }
     p += didLen
-    if (dictId != 0) fail() // dictionaries out of scope (stated)
+    if (dictId != 0) {
+      // a dict-flagged frame needs the matching dictionary supplied
+      if (dict == null) fail()
+      if (dict.dictId != 0 && dict.dictId != dictId) fail()
+    }
     val fcsLen = fcsFlag match {
       case 0 => if (singleSegment) 1 else 0
       case 1 => 2
@@ -771,7 +837,8 @@ object ZstdCodec {
     if (windowSize > MaxWindow) fail() // admission control, not format
     if (contentSize > MaxOut) fail()
 
-    val st = new FrameState
+    val st = new FrameState(dict)
+    val hist = if (dict != null) dict.content else Array.emptyByteArray
     val frameStartLen = out.size()
     var outArr: Array[Byte] = null // lazily materialized window view
     var last = false
@@ -798,7 +865,7 @@ object ZstdCodec {
           // window view: everything this frame decoded before this block
           outArr = out.toByteArray
           decodeSequences(b, p + used, blockEnd, lits, litLen, st, out,
-            outArr, outArr.length, frameStartLen)
+            outArr, outArr.length, frameStartLen, hist)
           p = blockEnd
         case _ => fail() // Reserved
       }
@@ -821,7 +888,22 @@ object ZstdCodec {
   /** Full decode of a (possibly multi-frame) zstd payload; skippable
     * frames are skipped; trailing garbage, truncation, or any
     * malformation -> None. */
-  def decompress(b: Array[Byte]): Option[Array[Byte]] = {
+  def decompress(b: Array[Byte]): Option[Array[Byte]] =
+    decompressInner(b, null)
+
+  /** Decode with an RFC 8878 §5 dictionary (structured or raw bytes);
+    * every content frame in the payload uses it. A null/unparseable
+    * dictionary, or a frame whose declared dictionary id mismatches,
+    * -> None. */
+  def decompressWithDict(b: Array[Byte], dict: Array[Byte]): Option[Array[Byte]] = {
+    try decompressInner(b, parseDictionary(dict))
+    catch {
+      case _: Corrupt => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  private def decompressInner(b: Array[Byte], dict: ZDict): Option[Array[Byte]] = {
     if (b == null) return None
     try {
       val out = new java.io.ByteArrayOutputStream(math.min(b.length * 3 + 64, 1 << 20))
@@ -838,7 +920,7 @@ object ZstdCodec {
           if (p + 8 + len > b.length) fail()
           p += 8 + len.toInt
         } else if (magic == 0xfd2fb528L) {
-          p = decodeFrame(b, p, out)
+          p = decodeFrame(b, p, out, dict)
           sawFrame = true
         } else fail()
       }
@@ -967,33 +1049,44 @@ object ZstdCodec {
 
   private final case class Seq_(ll: Int, ml: Int, offset: Int)
 
-  /** Greedy hash-chain LZ77 over one block: 4-byte hashes, bounded
-    * chain walk, matches extend as far as they reach. Offsets are
-    * in-block (the conservative subset of the frame-wide window the
-    * format allows). */
-  private def findSequences(b: Array[Byte], from: Int, to: Int):
+  /** Greedy hash-chain LZ77: 4-byte hashes, bounded chain walk,
+    * matches extend as far as they reach. `b` = history ++ data;
+    * sequences and literals are emitted for positions [histLen, to)
+    * only, but matches may anchor anywhere in `b` — history positions
+    * are pre-seeded into the chains, so a RAW dictionary (or any
+    * caller-supplied prefix) serves as match history exactly as the
+    * decoder's dict window allows. */
+  private def findSequences(b: Array[Byte], histLen: Int, to: Int):
       (Array[Seq_], Array[Byte], Int) = {
-    val n = to - from
+    val n = to - histLen
     val seqs = scala.collection.mutable.ArrayBuffer.empty[Seq_]
     val lits = new Array[Byte](n)
     var litLen = 0
     if (n < 16) { // too small to bother
-      System.arraycopy(b, from, lits, 0, n)
+      System.arraycopy(b, histLen, lits, 0, n)
       return (Array.empty, lits, n)
     }
     val hashLog = 15
     val hashSize = 1 << hashLog
     val head = new Array[Int](hashSize)
     java.util.Arrays.fill(head, -1)
-    val chain = new Array[Int](n)
+    val chain = new Array[Int](to)
     @inline def hash4(i: Int): Int = {
       val v = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
         ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
       (v * -1640531527) >>> (32 - hashLog) // Knuth multiplicative
     }
-    var i = from
-    var anchor = from
     val limit = to - 4
+    // seed the chains with the history positions
+    var i = 0
+    while (i < histLen && i <= limit) {
+      val h = hash4(i)
+      chain(i) = head(h)
+      head(h) = i
+      i += 1
+    }
+    i = histLen
+    var anchor = histLen
     while (i <= limit) {
       val h = hash4(i)
       var cand = head(h)
@@ -1006,10 +1099,10 @@ object ZstdCodec {
         val maxL = to - i
         while (l < maxL && b(cand + l) == b(i + l)) l += 1
         if (l > bestLen) { bestLen = l; bestPos = cand }
-        cand = chain(cand - from)
+        cand = chain(cand)
         steps += 1
       }
-      chain(i - from) = head(h)
+      chain(i) = head(h)
       head(h) = i
       if (bestLen >= 4) {
         val ll = i - anchor
@@ -1023,7 +1116,7 @@ object ZstdCodec {
         val insEnd = math.min(i + ml, limit)
         while (j < insEnd && j - i <= 8) {
           val hj = hash4(j)
-          chain(j - from) = head(hj)
+          chain(j) = head(hj)
           head(hj) = j
           j += 1
         }
@@ -1286,7 +1379,17 @@ object ZstdCodec {
     * size declared, xxhash64 checksum appended. `explicitTables`
     * switches sequence coding from Predefined_Mode to explicit
     * FSE_Compressed_Mode descriptions of the same distributions. */
-  def compress(raw: Array[Byte], explicitTables: Boolean = false): Array[Byte] = {
+  def compress(raw: Array[Byte], explicitTables: Boolean = false): Array[Byte] =
+    compressWithDict(raw, null, explicitTables)
+
+  /** Compress against a RAW dictionary: `dict` bytes serve as match
+    * history for every block (the decoder must be handed the same
+    * bytes — [[decompressWithDict]]). The frame does NOT declare a
+    * dictionary id (raw dicts have none; RFC 8878 permits dictionary
+    * use without declaration). Structured-dict table seeding on the
+    * encode side is out of scope (stated). */
+  def compressWithDict(raw: Array[Byte], dict: Array[Byte],
+      explicitTables: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
     // frame header
     out.write(0x28); out.write(0xb5); out.write(0x2f); out.write(0xfd)
@@ -1305,11 +1408,23 @@ object ZstdCodec {
     if (raw.length == 0) {
       out.write(1); out.write(0); out.write(0) // last raw block, size 0
     } else {
+      val hist = if (dict == null) Array.emptyByteArray else dict
       var from = 0
       while (from < raw.length) {
         val to = math.min(from + BlockMax, raw.length)
         val last = to == raw.length
-        val (seqs, lits, litLen) = findSequences(raw, from, to)
+        // search buffer = dictionary ++ the WHOLE raw prefix ++ block:
+        // buffer distances then equal true stream distances for every
+        // match target (dict bytes, earlier blocks, this block), which
+        // is what the decoder's window check measures. Re-seeding the
+        // prefix each block is O(n²/blockMax) hashing — fine for the
+        // frame sizes this encoder writes (round-trips, shard tests);
+        // the DECODER is the 100 TB path.
+        val buf = new Array[Byte](hist.length + to)
+        System.arraycopy(hist, 0, buf, 0, hist.length)
+        System.arraycopy(raw, 0, buf, hist.length, to)
+        val (seqs, lits, litLen) =
+          findSequences(buf, hist.length + from, buf.length)
         val body = new java.io.ByteArrayOutputStream(to - from + 32)
         encodeLiterals(lits, litLen, body)
         encodeSequences(seqs, explicitTables, body)
@@ -1377,6 +1492,50 @@ case class ZstdDecompress(child: Expression)
   override def prettyName: String = "zstd_decompress"
 }
 
+/** `zstd_compress_dict(binary, dict)` -> one zstd frame whose matches
+  * may reach into the RAW dictionary `dict` (predefined sequence
+  * tables); decode with `zstd_decompress_dict` and the same bytes. */
+case class ZstdCompressDict(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (BinaryType, BinaryType) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"zstd_compress_dict expects (binary, binary) input, got $other")
+  }
+  override def nullSafeEval(input: Any, dict: Any): Any =
+    ZstdCodec.compressWithDict(input.asInstanceOf[Array[Byte]],
+      dict.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ZstdCompressDict =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "zstd_compress_dict"
+}
+
+/** `zstd_decompress_dict(binary, dict)` -> decoded bytes using an
+  * RFC 8878 §5 dictionary (structured OR raw), or null. */
+case class ZstdDecompressDict(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (BinaryType, BinaryType) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"zstd_decompress_dict expects (binary, binary) input, got $other")
+  }
+  override def nullSafeEval(input: Any, dict: Any): Any =
+    ZstdCodec.decompressWithDict(input.asInstanceOf[Array[Byte]],
+      dict.asInstanceOf[Array[Byte]]).orNull
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ZstdDecompressDict =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "zstd_decompress_dict"
+}
+
 object zstdio {
   import org.apache.spark.sql.functions.lit
   def zstd_compress(blob: Column, explicitTables: Column): Column =
@@ -1385,5 +1544,11 @@ object zstdio {
   def zstd_compress(blob: Column): Column = zstd_compress(blob, lit(false))
   def zstd_decompress(blob: Column): Column =
     ColumnBridge.column(ZstdDecompress(ColumnBridge.expression(blob)))
+  def zstd_compress_dict(blob: Column, dict: Column): Column =
+    ColumnBridge.column(ZstdCompressDict(ColumnBridge.expression(blob),
+      ColumnBridge.expression(dict)))
+  def zstd_decompress_dict(blob: Column, dict: Column): Column =
+    ColumnBridge.column(ZstdDecompressDict(ColumnBridge.expression(blob),
+      ColumnBridge.expression(dict)))
 }
 

@@ -156,6 +156,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // MP4 triage, hinted dispatch
     unary("zstd_decompress", classOf[ZstdDecompress], ZstdDecompress)
     binary("zstd_compress", classOf[ZstdCompress], ZstdCompress)
+    binary("zstd_compress_dict", classOf[ZstdCompressDict], ZstdCompressDict)
+    binary("zstd_decompress_dict", classOf[ZstdDecompressDict], ZstdDecompressDict)
     unary("brotli_meta", classOf[BrotliMeta], BrotliMeta)
     unary("brotli_wrap", classOf[BrotliWrap], BrotliWrap)
     unary("brotli_unwrap", classOf[BrotliUnwrap], BrotliUnwrap)

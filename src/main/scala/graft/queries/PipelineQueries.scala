@@ -289,6 +289,39 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Shared-dictionary zstd (RFC 8878 §5) — THE compression technique
+    * for small-document corpora (per-doc frames can't amortize entropy
+    * tables or find cross-doc matches; a shared dict provides both).
+    * Here the dict is the doc's own first half (raw dict, fully
+    * deterministic), so `dict_smaller` is a PINNED claim: the first
+    * half becomes one dict match instead of entropy-coded literals.
+    * Structured TRAINED dictionaries (entropy-table seeding, dict-id
+    * checks) are pinned against reference zstd in ZstdCodecSpec.
+    * Every third doc truncates and must decode to null. */
+  private[graft] def qZstdDict(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.zstdio._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 31 === 0)
+      .filter(octet_length(col("text")).between(256, 65535))
+      .select(col("doc_id"), col("text"),
+        expr("(doc_id div 31) % 3 = 2").as("corrupt"))
+      .withColumn("dict",
+        expr("cast(substring(text, 1, length(text) div 2) as binary)"))
+    val compD = zstd_compress_dict(col("text").cast("binary"), col("dict"))
+    val compN = zstd_compress(col("text").cast("binary"))
+    val blob = when(col("corrupt"),
+        expr("substring(cd, 1, length(cd) - 2)"))
+      .otherwise(col("cd"))
+    d.withColumn("cd", compD)
+      .withColumn("cn", compN)
+      .withColumn("rt", zstd_decompress_dict(blob, col("dict")))
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_raw"),
+        (length(col("cd")) < length(col("cn"))).as("dict_smaller"),
+        col("rt").isNotNull.as("ok"),
+        md5(col("rt")).as("rt_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Concatenated-frame walking — the shape a zstd-compressed WARC/WET
     * shard actually has (many frames back to back, skippable framing
     * interleaved): payload = skippable frame ++ frame(text) ++
@@ -964,6 +997,7 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_mp4_meta" -> (qMp4Meta _),
     "q_brotli_store" -> (qBrotliStore _),
     "q_zstd_multiframe" -> (qZstdMultiframe _),
+    "q_zstd_dict" -> (qZstdDict _),
     "q_proto_decode" -> (qProtoDecode _),
     "q_charset_sniff" -> (qCharsetSniff _),
     "q_html_entities" -> (qHtmlEntities _),
@@ -1428,6 +1462,17 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         |       CASE WHEN corrupt THEN NULL
         |            ELSE CAST(2 * strlen(text) AS BIGINT) END AS rt_len,
         |       CASE WHEN corrupt THEN NULL ELSE md5(text || text) END AS rt_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_zstd_dict" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, ((doc_id // 31) % 3 = 2) AS corrupt
+        |  FROM documents
+        |  WHERE doc_id % 31 = 0 AND strlen(text) BETWEEN 256 AND 65535)
+        |SELECT doc_id,
+        |       CAST(strlen(text) AS BIGINT) AS n_raw,
+        |       TRUE AS dict_smaller,
+        |       NOT corrupt AS ok,
+        |       CASE WHEN corrupt THEN NULL ELSE md5(text) END AS rt_md5
         |FROM d ORDER BY doc_id""".stripMargin,
     "q_zstd_multiframe" ->
       """SELECT doc_id,

@@ -135,7 +135,7 @@ class ZstdCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("dictionary-flagged frames are routed to null (stated scope)") {
+  test("dictionary-flagged frames WITHOUT the dictionary route to null") {
     // hand-build: magic, FHD with dict-id flag 1, window descriptor,
     // 1-byte dict id, then a raw last block
     val f = Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte,
@@ -163,6 +163,61 @@ class ZstdCodecSpec extends AnyFunSuite {
     assert(ZstdCodec.xxh64(Array.empty[Byte], 0, 0) == 0xef46db3751d8e999L)
     val abc = "abc".getBytes("US-ASCII")
     assert(ZstdCodec.xxh64(abc, 0, 3) == 0x44bc2cf5ad770999L)
+  }
+
+  test("TRAINED structured dictionaries (reference-built) decode: " +
+    "entropy-table seeding, dict window, dict-id checks") {
+    // train a real dictionary with the reference implementation over
+    // doc-shaped samples, compress small docs against it, decode with
+    // OUR dict parser — validating the §5 layout (huf + OF/ML/LL FSE
+    // tables + reps + content) against ground truth
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(1 << 20, 16 * 1024)
+    for (i <- 0 until 200) trainer.addSample(textLike(i, 800))
+    val dict = trainer.trainSamples()
+    assert(dict.length > 100)
+    for (seed <- 50L until 60L; level <- Seq(1, 3, 19)) {
+      val src = textLike(seed, 700)
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      val frame = try { ctx.setLevel(level); ctx.loadDict(dict); ctx.compress(src) }
+        finally ctx.close()
+      val mine = ZstdCodec.decompressWithDict(frame, dict)
+      assert(mine.exists(_.sameElements(src)), s"seed=$seed level=$level")
+      // without the dictionary the frame must refuse, not misdecode
+      assert(ZstdCodec.decompress(frame).isEmpty, s"no-dict seed=$seed")
+      // with a DIFFERENT trained dictionary: id mismatch -> null
+      val trainer2 = new com.github.luben.zstd.ZstdDictTrainer(1 << 20, 16 * 1024)
+      for (i <- 500 until 700) trainer2.addSample(textLike(i, 800))
+      val wrong = trainer2.trainSamples()
+      assert(ZstdCodec.decompressWithDict(frame, wrong).isEmpty ||
+        !ZstdCodec.decompressWithDict(frame, wrong).get.sameElements(src))
+    }
+  }
+
+  test("RAW dictionaries round-trip both directions vs reference zstd") {
+    val dict = textLike(7, 2000)
+    for (seed <- 70L until 78L) {
+      val src = textLike(seed, 1500)
+      // ours-compress -> reference-decompress with the same raw dict
+      val frame = ZstdCodec.compressWithDict(src, dict)
+      val dctx = new com.github.luben.zstd.ZstdDecompressCtx()
+      val back = try { dctx.loadDict(dict); dctx.decompress(frame, src.length) }
+        finally dctx.close()
+      assert(back.sameElements(src), s"jni side seed=$seed")
+      // and with our own decoder
+      assert(ZstdCodec.decompressWithDict(frame, dict)
+        .exists(_.sameElements(src)), s"self seed=$seed")
+    }
+    // the dict genuinely helps: text whose first half IS the dict
+    val half = textLike(99, 400)
+    val doc = half ++ textLike(100, 400)
+    val withD = ZstdCodec.compressWithDict(doc, half)
+    val withoutD = ZstdCodec.compress(doc)
+    assert(withD.length < withoutD.length,
+      s"dict should shrink: ${withD.length} vs ${withoutD.length}")
+    // garbage structured dict (magic + junk) -> null, never a throw
+    val junk = Array[Byte](0x37, 0xa4.toByte, 0x30, 0xec.toByte, 1, 2, 3, 4, 5)
+    assert(ZstdCodec.decompressWithDict(withD, junk).isEmpty)
+    assert(ZstdCodec.decompressWithDict(withD, null).isEmpty)
   }
 
   test("pure-random blobs never throw and never 'decode' (10k fuzz)") {

@@ -158,6 +158,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     binary("zstd_compress", classOf[ZstdCompress], ZstdCompress)
     binary("zstd_compress_dict", classOf[ZstdCompressDict], ZstdCompressDict)
     binary("zstd_decompress_dict", classOf[ZstdDecompressDict], ZstdDecompressDict)
+    unary("zstd_seek_pack", classOf[ZstdSeekPack], ZstdSeekPack)
+    unary("zstd_seek_meta", classOf[ZstdSeekMeta], ZstdSeekMeta)
+    binary("zstd_seek_read", classOf[ZstdSeekRead], ZstdSeekRead)
     unary("brotli_meta", classOf[BrotliMeta], BrotliMeta)
     unary("brotli_wrap", classOf[BrotliWrap], BrotliWrap)
     unary("brotli_unwrap", classOf[BrotliUnwrap], BrotliUnwrap)

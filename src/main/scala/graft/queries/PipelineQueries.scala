@@ -322,6 +322,34 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Seekable zstd shards (the published zstd-contrib seekable spec) —
+    * RANGE-READABLE compression, the object-storage access pattern a
+    * 100 TB shard needs: four quarter-chunks packed as independent
+    * frames + a seek table in a skippable frame; the query reads ONE
+    * member by index through the table (two byte-range reads at scale)
+    * AND inflates the whole shard through the plain multi-frame walk
+    * (which skips the table) — both access paths over one artifact,
+    * both md5-replayed by the oracle. */
+  private[graft] def qZstdSeek(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.zstdseek._
+    import graft.functions.zstdio.zstd_decompress
+    val d = t(s, dir, "documents").filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text"),
+        expr("length(text) div 4").as("q"),
+        expr("cast((doc_id div 37) % 4 as int)").as("pick"))
+    val chunks = expr(
+      "transform(sequence(0, 3), k -> cast(substring(text, 1 + k * q, q) as binary))")
+    d.withColumn("shard", zstd_seek_pack(chunks))
+      .withColumn("m", zstd_seek_meta(col("shard")))
+      .select(col("doc_id"),
+        col("m.n_members").cast("long").as("n_members"),
+        col("m.total_decompressed").as("total_decompressed"),
+        col("m.has_checksums").as("has_checksums"),
+        md5(zstd_seek_read(col("shard"), col("pick"))).as("member_md5"),
+        md5(zstd_decompress(col("shard"))).as("full_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Concatenated-frame walking — the shape a zstd-compressed WARC/WET
     * shard actually has (many frames back to back, skippable framing
     * interleaved): payload = skippable frame ++ frame(text) ++
@@ -998,6 +1026,7 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_brotli_store" -> (qBrotliStore _),
     "q_zstd_multiframe" -> (qZstdMultiframe _),
     "q_zstd_dict" -> (qZstdDict _),
+    "q_zstd_seek" -> (qZstdSeek _),
     "q_proto_decode" -> (qProtoDecode _),
     "q_charset_sniff" -> (qCharsetSniff _),
     "q_html_entities" -> (qHtmlEntities _),
@@ -1462,6 +1491,18 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         |       CASE WHEN corrupt THEN NULL
         |            ELSE CAST(2 * strlen(text) AS BIGINT) END AS rt_len,
         |       CASE WHEN corrupt THEN NULL ELSE md5(text || text) END AS rt_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_zstd_seek" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) // 4 AS q,
+        |         (doc_id // 37) % 4 AS pick
+        |  FROM documents WHERE doc_id % 37 = 0)
+        |SELECT doc_id,
+        |       CAST(4 AS BIGINT) AS n_members,
+        |       CAST(4 * q AS BIGINT) AS total_decompressed,
+        |       TRUE AS has_checksums,
+        |       md5(substr(text, CAST(1 + pick * q AS BIGINT), q)) AS member_md5,
+        |       md5(substr(text, 1, 4 * q)) AS full_md5
         |FROM d ORDER BY doc_id""".stripMargin,
     "q_zstd_dict" ->
       """WITH d AS (

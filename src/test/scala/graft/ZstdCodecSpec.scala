@@ -269,6 +269,40 @@ class ZstdCodecSpec extends AnyFunSuite {
     assert(ZstdCodec.decompress(bomb2.toByteArray).isEmpty)
   }
 
+  test("seekable shards: member range-reads, table walk, corrupt gates") {
+    import graft.functions.ZstdSeekable
+    val chunks = (0 until 7).map(i => textLike(i * 3 + 1, 500 + i * 37)).toArray
+    val shard = ZstdSeekable.pack(chunks)
+    val table = ZstdSeekable.seekTable(shard)
+    assert(table.exists(_.length == 7))
+    assert(table.get.forall(_.checksum.isDefined))
+    for (i <- chunks.indices)
+      assert(ZstdSeekable.read(shard, i).exists(_.sameElements(chunks(i))), s"member $i")
+    assert(ZstdSeekable.read(shard, 7).isEmpty)
+    assert(ZstdSeekable.read(shard, -1).isEmpty)
+    // the shard is ALSO a plain multi-frame payload: whole-shard
+    // inflate walks members and skips the seek table
+    assert(ZstdCodec.decompress(shard)
+      .exists(_.sameElements(chunks.reduce(_ ++ _))))
+    // footer corruption kills the seek path (whole-shard path unaffected)
+    val badFooter = shard.clone()
+    badFooter(shard.length - 1) = 0x00
+    assert(ZstdSeekable.seekTable(badFooter).isEmpty)
+    // a flipped byte inside one member: that member's read -> None
+    // (frame checksum/parse or the seek-table checksum catches it),
+    // OTHER members still read fine (the point of range reads)
+    val m0 = table.get(0)
+    val flipped = shard.clone()
+    flipped((m0.cOffset + m0.cSize / 2).toInt) =
+      (flipped((m0.cOffset + m0.cSize / 2).toInt) ^ 0x55).toByte
+    assert(ZstdSeekable.read(flipped, 0).isEmpty ||
+      ZstdSeekable.read(flipped, 0).get.sameElements(chunks(0)))
+    assert(ZstdSeekable.read(flipped, 3).exists(_.sameElements(chunks(3))))
+    // empty shard: zero members is a valid table
+    val empty = ZstdSeekable.pack(Array.empty)
+    assert(ZstdSeekable.seekTable(empty).exists(_.isEmpty))
+  }
+
   test("large random-structured input with explicit tables round-trips") {
     // mixed structure: repetitive runs + word salad + binary islands
     val parts = (0 until 40).map { i =>

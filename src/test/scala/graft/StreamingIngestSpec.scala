@@ -43,6 +43,47 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("seekable zstd shards under streaming: member fan-out via the " +
+    "seek table, per-member decode, incremental counts") {
+    // a live feed of packed shards: each micro-batch row is one shard;
+    // the seek table drives the member fan-out (explode over
+    // n_members), each member decodes independently — the streaming
+    // twin of q_zstd_seek's range-read access path
+    import graft.functions.zstdseek._
+    val stream = MemoryStream[(Long, Int)](spark)
+    val chunksExpr = expr(
+      "transform(sequence(0, n - 1), k -> " +
+        "cast(concat('shard ', id, ' member ', k, ' payload ', " +
+        "repeat('x', 50 + k * 7)) as binary))")
+    val shards = stream.toDF().toDF("id", "n")
+      .withColumn("shard", zstd_seek_pack(chunksExpr))
+      .withColumn("m", zstd_seek_meta(col("shard")))
+      .select(col("id"), col("m.n_members").as("nm"),
+        explode(expr("sequence(0, m.n_members - 1)")).as("k"),
+        col("shard"))
+      .select(col("id"), col("k"),
+        zstd_seek_read(col("shard"), col("k").cast("int")).as("member"))
+      .select(col("id"),
+        col("member").isNotNull.as("ok"),
+        length(col("member")).as("len"))
+    val q = shards.groupBy(col("ok")).agg(count(lit(1)).as("n"),
+        sum(col("len")).as("bytes"))
+      .writeStream.format("memory").queryName("shard_members")
+      .outputMode("complete").start()
+    try {
+      stream.addData((1L, 2), (2L, 3))
+      q.processAllAvailable()
+      val r1 = spark.table("shard_members").collect()
+        .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      assert(r1 === Map(true -> 5L)) // 2 + 3 members, all decode
+      stream.addData((3L, 4))
+      q.processAllAvailable()
+      val r2 = spark.table("shard_members").collect()
+        .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      assert(r2 === Map(true -> 9L))
+    } finally q.stop()
+  }
+
   test("crawl-gate funnel under CHECKPOINTED streaming: file source -> " +
     "kernels -> per-host update-mode counts, kill/restart, no double count") {
     // the round-10 verdict's streaming-ingest ask: the SAME composed

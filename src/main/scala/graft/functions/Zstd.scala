@@ -13,9 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * WARC and dataset shards, so a blob pipeline must at least ROUTE
   * zstd frames and read their envelope: content size (for planning),
   * window size (for memory admission), dictionary id (for dict
-  * routing), checksum presence. Entropy DECODE (FSE/Huffman) is out
-  * of scope — stated, not implied; triage is the dispatch step, the
-  * same contract as jpeg_kind for progressive JPEG.
+  * routing), checksum presence. Triage reads ONLY the header — the
+  * cheap dispatch step; full entropy decode (FSE/Huffman, §5
+  * dictionaries, seekable shards) is [[ZstdCodec]] / [[ZstdSeekable]]
+  * (round 11) — route here, decode there.
   *
   * Parsed: magic 0xFD2FB528; Frame_Header_Descriptor (content-size
   * flag, single-segment, checksum, dictionary-id flag; RESERVED BIT

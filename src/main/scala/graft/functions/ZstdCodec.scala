@@ -161,13 +161,20 @@ object ZstdCodec {
     def consume(n: Int): Unit = bitsLeft -= n
   }
 
-  /** Forward LSB-first reader — FSE table descriptions only. */
+  /** Forward LSB-first reader — FSE table descriptions only. Reads
+    * past `end` ZERO-PAD rather than fail: the low/high-split value
+    * reads PEEK one bit more than the short form consumes, which on a
+    * valid stream whose last value sits flush at the final byte
+    * boundary looks one bit past the description (the reference
+    * implementation's bounded-buffer lookahead has the same
+    * semantics); real corruption is still caught by the remaining==1
+    * and downstream bounds checks. */
   private final class ForeReader(b: Array[Byte], start: Int, end: Int) {
     var bitPos = 0
     @inline private def bit(i: Int): Int = {
       val byteOff = start + (i >> 3)
-      if (byteOff >= end) fail()
-      (b(byteOff) >> (i & 7)) & 1
+      if (byteOff >= end) 0
+      else (b(byteOff) >> (i & 7)) & 1
     }
     def read(n: Int): Int = { val v = peek(n); bitPos += n; v }
     def peek(n: Int): Int = {

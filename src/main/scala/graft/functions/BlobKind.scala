@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * first where prefixes overlap):
   *
   *   png, jpeg, gif, bmp, qoi, tiff, ico, wav (RIFF/WAVE), avi
-  *   (RIFF/AVI ), mp4 (ftyp at 4), gzip, zstd (frame or skippable
+  *   (RIFF/AVI ), webp (RIFF/WEBP), mp4 (ftyp at 4), gzip, zstd (frame or skippable
   *   magic), zip, tar (ustar at 257), warc (WARC/1.), pgm/ppm (P5/P6),
   *   utf8_text / ascii_text (whole-blob scan, the one non-prefix
   *   rule), binary (anything else).
@@ -52,6 +52,7 @@ object BlobKind {
         at(4) > 0 && at(5) == 0) return "ico"
     if (ascii(0, "RIFF") && ascii(8, "WAVE")) return "wav"
     if (ascii(0, "RIFF") && ascii(8, "AVI ")) return "avi"
+    if (ascii(0, "RIFF") && ascii(8, "WEBP")) return "webp"
     if (ascii(4, "ftyp")) return "mp4"
     if (at(0) == 0x1f && at(1) == 0x8b) return "gzip"
     if (at(0) == 0x28 && at(1) == 0xb5 && at(2) == 0x2f && at(3) == 0xfd)

@@ -165,6 +165,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("brotli_wrap", classOf[BrotliWrap], BrotliWrap)
     unary("brotli_unwrap", classOf[BrotliUnwrap], BrotliUnwrap)
     unary("mp4_meta", classOf[Mp4Meta], Mp4Meta)
+    unary("webp_meta", classOf[WebpMeta], WebpMeta)
     binary("blob_kind_hinted", classOf[BlobKindHinted], BlobKindHinted)
     unary("qoi_stats", classOf[QoiStats], QoiStats)
     unary("tiff_stats", classOf[TiffStats], TiffStats)

@@ -322,6 +322,35 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** WebP container triage (RIFF/WEBP — the web's dominant modern
+    * image container): all three payload kinds envelope-parsed —
+    * VP8 lossy (frame tag, 0x9D012A sync, 14-bit dims), VP8L lossless
+    * (0x2F signature, 14+14-bit dims, alpha hint, version gate), VP8X
+    * extended (feature flags, 24-bit canvas dims, subchunk walk with
+    * RIFF even-padding). Pixel decode out of scope (stated — VP8 is a
+    * video codec; triage is the dispatch step, the mp4_meta contract).
+    * Every fourth doc declares a RIFF size past its bytes (truncated
+    * transfer) and must triage to null. */
+  private[graft] def qWebpMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.webp._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 41 === 0)
+      .select(col("doc_id"),
+        (lit(20) + col("doc_id") % 300).cast("int").as("w"),
+        (lit(16) + col("doc_id") % 200).cast("int").as("h"),
+        expr("(doc_id div 41) % 4 = 3").as("corrupt"))
+    d.select(col("doc_id"),
+        webp_meta(synth_webp(col("doc_id"), col("w"), col("h"),
+          col("corrupt"))).as("m"))
+      .select(col("doc_id"), col("m").isNotNull.as("parsed"),
+        col("m.kind").as("kind"),
+        col("m.width").cast("long").as("width"),
+        col("m.height").cast("long").as("height"),
+        col("m.has_alpha").as("has_alpha"),
+        col("m.has_anim").as("has_anim"),
+        col("m.n_chunks").cast("long").as("n_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Seekable zstd shards (the published zstd-contrib seekable spec) —
     * RANGE-READABLE compression, the object-storage access pattern a
     * 100 TB shard needs: four quarter-chunks packed as independent
@@ -627,10 +656,10 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("c_custkey"))
   }
 
-  /** blob_kind — the engine's file(1) — over a NINETEEN-mode mixed
+  /** blob_kind — the engine's file(1) — over a TWENTY-mode mixed
     * blob corpus spanning EVERY container family the codec library
     * decodes: png/jpeg/gif/bmp/qoi/tiff/ico/wav/gzip/zstd/zip/tar/
-    * warc/pgm/mp4 plus ascii-text, utf-8-text, binary content
+    * warc/pgm/mp4/webp plus ascii-text, utf-8-text, binary content
     * fallbacks, and brotli via the hinted dispatch (brotli has no
     * magic — `blob_kind_hinted` consumes the Content-Encoding hint a
     * crawler has; see functions/BlobKind.scala's scope note). One
@@ -649,10 +678,11 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     import graft.functions.tar.synth_tar
     import graft.functions.tiff.synth_tiff
     import graft.functions.zip.synth_zip
+    import graft.functions.webp.synth_webp
     import graft.functions.zstdio.{zstd_compress => zc}
     val d = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("text"),
-        expr("(doc_id div 2) % 19").as("mode"),
+        expr("(doc_id div 2) % 20").as("mode"),
         (lit(12) + col("doc_id") % 6).cast("int").as("w"),
         (lit(8) + col("doc_id") % 4).cast("int").as("h"))
     val blob = when(col("mode") === 0, synth_png(col("doc_id"), col("w"), col("h")))
@@ -675,6 +705,8 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .when(col("mode") === 16, zc(col("text").cast("binary")))
       .when(col("mode") === 17, synth_mp4(col("doc_id"), lit(false)))
       .when(col("mode") === 18, brotli_wrap(col("text").cast("binary")))
+      .when(col("mode") === 19,
+        synth_webp(col("doc_id"), col("w"), col("h"), lit(false)))
       .otherwise(lit(Array(0x01.toByte, 0xfe.toByte, 0x00.toByte)))
     val hint = when(col("mode") === 18, lit("br"))
       .otherwise(lit(null).cast("string"))
@@ -1027,6 +1059,7 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_zstd_multiframe" -> (qZstdMultiframe _),
     "q_zstd_dict" -> (qZstdDict _),
     "q_zstd_seek" -> (qZstdSeek _),
+    "q_webp_meta" -> (qWebpMeta _),
     "q_proto_decode" -> (qProtoDecode _),
     "q_charset_sniff" -> (qCharsetSniff _),
     "q_html_entities" -> (qHtmlEntities _),
@@ -1280,7 +1313,7 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         |FROM a GROUP BY split ORDER BY split""".stripMargin,
     "q_blob_triage" ->
       """WITH d AS (
-        |  SELECT doc_id, (doc_id // 2) % 19 AS mode
+        |  SELECT doc_id, (doc_id // 2) % 20 AS mode
         |  FROM documents WHERE doc_id % 2 = 0),
         |k AS (
         |  SELECT doc_id,
@@ -1293,7 +1326,7 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         |                   WHEN 12 THEN 'pgm' WHEN 13 THEN 'ascii_text'
         |                   WHEN 14 THEN 'utf8_text'
         |                   WHEN 16 THEN 'zstd' WHEN 17 THEN 'mp4'
-        |                   WHEN 18 THEN 'br'
+        |                   WHEN 18 THEN 'br' WHEN 19 THEN 'webp'
         |                   ELSE 'binary' END AS kind
         |  FROM d)
         |SELECT kind, COUNT(*) AS n_blobs, MIN(doc_id) AS min_doc,
@@ -1491,6 +1524,26 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         |       CASE WHEN corrupt THEN NULL
         |            ELSE CAST(2 * strlen(text) AS BIGINT) END AS rt_len,
         |       CASE WHEN corrupt THEN NULL ELSE md5(text || text) END AS rt_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_webp_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id, 20 + doc_id % 300 AS w, 16 + doc_id % 200 AS h,
+        |         doc_id % 3 AS mode, ((doc_id // 41) % 4 = 3) AS corrupt
+        |  FROM documents WHERE doc_id % 41 = 0)
+        |SELECT doc_id, NOT corrupt AS parsed,
+        |       CASE WHEN corrupt THEN NULL
+        |            WHEN mode = 0 THEN 'lossy'
+        |            WHEN mode = 1 THEN 'lossless'
+        |            ELSE 'extended' END AS kind,
+        |       CASE WHEN corrupt THEN NULL ELSE CAST(w AS BIGINT) END AS width,
+        |       CASE WHEN corrupt THEN NULL ELSE CAST(h AS BIGINT) END AS height,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE (mode = 1 AND doc_id % 2 = 1) OR mode = 2
+        |            END AS has_alpha,
+        |       CASE WHEN corrupt THEN NULL ELSE mode = 2 END AS has_anim,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE CAST(CASE WHEN mode = 2 THEN 3 ELSE 1 END AS BIGINT)
+        |            END AS n_chunks
         |FROM d ORDER BY doc_id""".stripMargin,
     "q_zstd_seek" ->
       """WITH d AS (

@@ -47,6 +47,33 @@ object ScaleProbe {
           spark.range(1).select(col("id").as("node")), maxIter = 30)
           .agg(count(lit(1))).collect()
       }),
+      ("ppr (3-round power iter)", n => {
+        // qPpr's per-round shape exactly: materialized edges+deg,
+        // withDeg pre-joined ONCE, then per round one equi-join + one
+        // dest agg + one node-keyed left join. Round count is a
+        // constant (3) of the construction; this probe measures the
+        // per-round cost's growth with edge volume.
+        val e = bidir(edges(n)).localCheckpoint(eager = false)
+        val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .localCheckpoint(eager = false)
+        val withDeg = e.join(deg, "u").localCheckpoint(eager = false)
+        var pr = deg.select(col("u").as("node"))
+          .withColumn("pr",
+            when(col("node") % 100 === 0, lit(1000000L)).otherwise(lit(0L)))
+        for (_ <- 1 to 3) {
+          val mass = withDeg.join(pr, withDeg("u") === pr("node"))
+            .select(col("v"), expr("pr div d").as("contrib"))
+            .groupBy(col("v"))
+            .agg(expr("(85 * sum(contrib)) div 100").as("m"))
+          pr = deg.select(col("u").as("node"))
+            .join(mass, col("node") === col("v"), "left")
+            .select(col("node"),
+              (when(col("node") % 100 === 0, lit(150000L)).otherwise(lit(0L)) +
+                coalesce(col("m"), lit(0L))).as("pr"))
+        }
+        pr.filter(col("pr") > 0).agg(count(lit(1))).collect()
+        ()
+      }),
       ("dup_clusters (min-label)", n => {
         // pair list shaped like a dedup candidate set: same graph, d1<d2
         val p = edges(n).select(least(col("u"), col("v")).as("d1"),
@@ -179,29 +206,17 @@ object ScaleProbe {
           f"reduction=${full.toDouble / math.max(1L, prefix)}%7.1f x")
       }),
       ("dup_spans (ExactSubstr windows)", n => {
-        // the q_dup_spans shape: 24-char windows at stride 4 -> md5
-        // digest -> dup digests -> join back. The explode multiplies
-        // rows by ~len/stride, so the claim to MEASURE is that the
-        // digest shuffle stays proportional to corpus chars / stride
-        // (never docs², never chars x chars) and wall grows ~linearly.
-        val spans = docs(n).select(col("doc_id"), explode(expr(
-          "transform(sequence(1, length(text) - 23, 4)," +
-            " i -> md5(cast(substring(text, i, 24) as binary)))")).as("digest"))
-          // ONE digest shuffle feeds BOTH consumers (the dup-digest
-          // agg and the join back): repartition by the join/agg key
-          // and Spark's ReusedExchange computes the explode+md5 (the
-          // dominant CPU) once, with no block-manager storage —
-          // caching here OOMed the downstream agg at the 10x point
-          .repartition(col("digest"))
-        val dup = spans.groupBy(col("digest"))
-          .agg(countDistinct(col("doc_id")).as("ndocs"))
-          .filter(col("ndocs") >= 2)
-          .select(col("digest"), lit(1L).as("is_dup"))
-        val agg = spans.join(dup, Seq("digest"), "left")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_spans"),
-            sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
-        val r = agg.agg(sum("n_spans"), sum("n_dup")).head()
+        // THE q_dup_spans kernel (shared code, not a replica): 24-char
+        // windows at stride 4 -> md5 digest -> two-level
+        // (digest, doc-salt) dup aggregate -> salted flag join. The
+        // explode multiplies rows by ~len/stride, so the claim to
+        // MEASURE is that the digest shuffles stay proportional to
+        // corpus chars / stride (never docs², never chars x chars) and
+        // wall grows ~linearly; the probe corpus is boilerplate-heavy
+        // (phrase pool), so hot digests exercise the salt dilution.
+        val agg = graft.llm.Dedup.dupSpanFractions(
+          docs(n), "doc_id", "text", 24, 4, 64)
+        val r = agg.agg(sum("n_spans"), sum("n_dup_spans")).head()
         println(f"[kernels]   dup_spans at ${n / 20} docs: " +
           f"span rows=${r.getLong(0)} dup spans=${r.getLong(1)} " +
           f"(digest shuffle = span rows x ~40 B = " +

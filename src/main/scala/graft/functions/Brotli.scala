@@ -34,8 +34,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * Never throws; malformation -> kind "malformed" / null decode. */
 object Brotli {
 
+  /** Structural accounting (round-12 extension, round-11 verdict #4 —
+    * the RFC 7932 static dictionary is not reconstructible offline, so
+    * the entropy layer stays out of scope and the structural layer
+    * accounts sizes instead): `nMetaBlocks`/`skipBytes` count metadata
+    * blocks and their skipped payload; `compressedMlen` is the
+    * DECLARED uncompressed length of the compressed meta-block where
+    * routing stops (0 when the stream is pure store/metadata). */
   final case class Meta(kind: String, wbits: Int, windowSize: Long,
-      nStoreBlocks: Int, storeBytes: Long)
+      nStoreBlocks: Int, storeBytes: Long, nMetaBlocks: Int = 0,
+      skipBytes: Long = 0L, compressedMlen: Long = 0L)
 
   private final val Malformed = Meta("malformed", 0, 0L, 0, 0L)
 
@@ -97,6 +105,8 @@ object Brotli {
     val out = if (collect) new java.io.ByteArrayOutputStream(b.length) else null
     var nStore = 0
     var storeBytes = 0L
+    var nMeta = 0
+    var skipTotal = 0L
     var done = false
     while (!done) {
       val isLast = r.read(1) == 1
@@ -115,15 +125,18 @@ object Brotli {
           var skipLen = 0
           if (skipBytes > 0) {
             val v = r.read(8 * skipBytes)
-            // last byte of the length field must be nonzero
+            // RFC 7932 §9.2: only for MSKIPBYTES > 1 must the LAST byte
+            // of the length field be nonzero; a 1-byte field of 0x00 is
+            // a valid MSKIPLEN = 1
             if (skipBytes > 1 && (v >> (8 * (skipBytes - 1))) == 0)
               return (Malformed, None)
-            if (skipBytes == 1 && v == 0) return (Malformed, None)
             skipLen = v + 1
           }
           if (!r.alignRequireZero()) return (Malformed, None)
           if (r.bytePos + skipLen > b.length) return (Malformed, None)
           r.bitPos += skipLen * 8
+          nMeta += 1
+          skipTotal += skipLen
         } else {
           val nib = 4 + mnibbles
           val v = r.read(4 * nib)
@@ -141,13 +154,15 @@ object Brotli {
             nStore += 1
             storeBytes += mlen
           } else {
-            // compressed meta-block: recognized, not decoded
-            return (Meta("br", wbits, window, nStore, storeBytes), None)
+            // compressed meta-block: recognized + size-accounted from
+            // its header (declared MLEN), not decoded
+            return (Meta("br", wbits, window, nStore, storeBytes,
+              nMeta, skipTotal, mlen.toLong), None)
           }
         }
       }
     }
-    (Meta("br_store", wbits, window, nStore, storeBytes),
+    (Meta("br_store", wbits, window, nStore, storeBytes, nMeta, skipTotal),
       if (collect) Some(out.toByteArray) else None)
   }
 
@@ -165,6 +180,66 @@ object Brotli {
   def plausible(b: Array[Byte]): Boolean = {
     val k = meta(b).kind
     k == "br" || k == "br_store"
+  }
+
+  /** Synthesize a structurally-rich stream for the size-accounting
+    * oracle (round-12): rotating WBITS encodings (1-bit, 4-bit and
+    * 7-bit forms), 1-3 metadata-skip blocks, 1-2 store blocks, and —
+    * three ids of four — a trailing compressed meta-block whose
+    * declared MLEN exercises all three nibble widths (4/5/6).
+    * `corrupt` truncates to 4 bytes: the walk dies inside the first
+    * blocks, deterministically 'malformed'. */
+  def synthStructural(id: Long, corrupt: Boolean): Array[Byte] = {
+    val bw = new ZstdCodec.BitWriter
+    val wb = Array(16, 18, 22, 10, 24)((id % 5).toInt)
+    wb match {
+      case 16 => bw.add(0L, 1)
+      case n if n >= 18 => bw.add(1L, 1); bw.add((n - 17).toLong, 3)
+      case n => bw.add(1L, 1); bw.add(0L, 3); bw.add((n - 8).toLong, 3)
+    }
+    val nMeta = 1 + (id % 3).toInt
+    var j = 0
+    while (j < nMeta) {
+      val skipLen = 1 + ((id * 7 + j * 11) % 50).toInt
+      bw.add(0L, 1); bw.add(3L, 2) // ISLAST=0, MNIBBLES=3 (metadata)
+      bw.add(0L, 1); bw.add(1L, 2) // reserved, MSKIPBYTES=1
+      bw.add((skipLen - 1).toLong, 8)
+      bw.alignForward()
+      var i = 0
+      while (i < skipLen) { bw.add((id * 13 + i) % 256, 8); i += 1 }
+      j += 1
+    }
+    val nStoreB = 1 + (id % 2).toInt
+    j = 0
+    while (j < nStoreB) {
+      val len = 10 + ((id + j * 17) % 30).toInt
+      bw.add(0L, 1); bw.add(0L, 2) // 4 nibbles
+      bw.add((len - 1).toLong, 16)
+      bw.add(1L, 1) // ISUNCOMPRESSED
+      bw.alignForward()
+      var i = 0
+      while (i < len) { bw.add((id * 3 + j + i) % 256, 8); i += 1 }
+      j += 1
+    }
+    if (id % 4 != 3) {
+      val nibCode = (id % 3).toInt // 0/1/2 -> 4/5/6 nibbles
+      val mlen = nibCode match {
+        case 0 => 100L + id % 60000
+        case 1 => 65537L + id % 900000
+        case _ => 1048577L + id % 9000000
+      }
+      bw.add(0L, 1) // ISLAST=0
+      bw.add(nibCode.toLong, 2)
+      bw.add(mlen - 1, 4 * (4 + nibCode))
+      bw.add(0L, 1) // ISUNCOMPRESSED=0 -> compressed, routing stops
+      bw.add(0x5aL, 8); bw.add(0xa5L, 8) // opaque entropy bits
+      bw.alignForward()
+    } else {
+      bw.add(1L, 1); bw.add(1L, 1) // ISLAST + ISLASTEMPTY
+      bw.alignForward()
+    }
+    val full = bw.toArray
+    if (corrupt) java.util.Arrays.copyOf(full, 4) else full
   }
 
   /** Store-mode encoder (the valid level-0 stream shape): WBITS=16,
@@ -194,14 +269,18 @@ object Brotli {
 }
 
 /** `brotli_meta(binary)` -> struct(kind, wbits, window_size,
-  * n_store_blocks, store_bytes) per [[Brotli.meta]]. */
+  * n_store_blocks, store_bytes, n_meta_blocks, skip_bytes,
+  * compressed_mlen) per [[Brotli.meta]]. */
 case class BrotliMeta(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StructType(Seq(
     StructField("kind", StringType), StructField("wbits", IntegerType),
     StructField("window_size", LongType),
     StructField("n_store_blocks", IntegerType),
-    StructField("store_bytes", LongType)))
+    StructField("store_bytes", LongType),
+    StructField("n_meta_blocks", IntegerType),
+    StructField("skip_bytes", LongType),
+    StructField("compressed_mlen", LongType)))
   override def checkInputDataTypes() = child.dataType match {
     case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -210,7 +289,8 @@ case class BrotliMeta(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val m = Brotli.meta(input.asInstanceOf[Array[Byte]])
     new GenericInternalRow(Array[Any](UTF8String.fromString(m.kind),
-      m.wbits, m.windowSize, m.nStoreBlocks, m.storeBytes))
+      m.wbits, m.windowSize, m.nStoreBlocks, m.storeBytes,
+      m.nMetaBlocks, m.skipBytes, m.compressedMlen))
   }
   override protected def withNewChildInternal(newChild: Expression): BrotliMeta =
     copy(child = newChild)
@@ -251,6 +331,25 @@ case class BrotliUnwrap(child: Expression)
   override def prettyName: String = "brotli_unwrap"
 }
 
+/** `synth_brotli_structural(id, corrupt)` per
+  * [[Brotli.synthStructural]]. */
+case class SynthBrotliStructural(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (LongType, BooleanType) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"synth_brotli_structural expects (long, boolean), got $other")
+  }
+  override def nullSafeEval(id: Any, c: Any): Any =
+    Brotli.synthStructural(id.asInstanceOf[Long], c.asInstanceOf[Boolean])
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SynthBrotliStructural = copy(left = l, right = r)
+  override def prettyName: String = "synth_brotli_structural"
+}
+
 object brotli {
   def brotli_meta(blob: Column): Column =
     ColumnBridge.column(BrotliMeta(ColumnBridge.expression(blob)))
@@ -258,4 +357,7 @@ object brotli {
     ColumnBridge.column(BrotliWrap(ColumnBridge.expression(blob)))
   def brotli_unwrap(blob: Column): Column =
     ColumnBridge.column(BrotliUnwrap(ColumnBridge.expression(blob)))
+  def synth_brotli_structural(id: Column, corrupt: Column): Column =
+    ColumnBridge.column(SynthBrotliStructural(ColumnBridge.expression(id),
+      ColumnBridge.expression(corrupt)))
 }

@@ -559,6 +559,19 @@ object ZstdCodec {
     var rep1 = if (dict != null) dict.rep1 else 1L
     var rep2 = if (dict != null) dict.rep2 else 4L
     var rep3 = if (dict != null) dict.rep3 else 8L
+    // This frame's regenerated output, held in ONE growable window so
+    // match copies read it directly: total decode cost stays O(frame
+    // bytes) regardless of block count (no per-block re-materialize).
+    var frame: Array[Byte] = new Array[Byte](4096)
+    var frameLen: Int = 0
+    def ensure(n: Int): Unit = {
+      val need = frameLen + n
+      if (need > frame.length) {
+        var cap = frame.length
+        while (cap < need) cap <<= 1
+        frame = java.util.Arrays.copyOf(frame, cap)
+      }
+    }
   }
 
   /** Decode the literals section at b[p..blockEnd). Returns
@@ -666,13 +679,12 @@ object ZstdCodec {
         (prev, 0)
     }
 
-  /** Decode and execute the sequences section; returns the block's
-    * regenerated bytes appended to `out`. `outLen` is the bytes of
-    * frame output decoded so far (match-copy window). */
+  /** Decode and execute the sequences section; appends the block's
+    * regenerated bytes to `st.frame` (this frame's window). `hist` is
+    * the dictionary content preceding the frame for match copies. */
   private def decodeSequences(b: Array[Byte], p0: Int, blockEnd: Int,
       lits: Array[Byte], litLen: Int, st: FrameState,
-      out: java.io.ByteArrayOutputStream, outSoFar: Array[Byte], outLen: Int,
-      frameStart: Int, hist: Array[Byte]): Unit = {
+      hist: Array[Byte]): Unit = {
     var p = p0
     if (p >= blockEnd) fail()
     // sequence count: 1-3 bytes
@@ -689,7 +701,9 @@ object ZstdCodec {
     if (nbSeq == 0) {
       // literals only; tables untouched
       if (p != blockEnd) fail()
-      out.write(lits, 0, litLen)
+      st.ensure(litLen)
+      System.arraycopy(lits, 0, st.frame, st.frameLen, litLen)
+      st.frameLen += litLen
       return
     }
     if (p >= blockEnd) fail()
@@ -712,17 +726,7 @@ object ZstdCodec {
     var mlState = back.read(mlTab.accuracyLog)
 
     var litPos = 0
-    var blockArr = new Array[Byte](math.max(litLen * 2 + 64, 256))
-    var blockLen = 0
-    @inline def ensure(n: Int): Unit =
-      if (blockLen + n > blockArr.length)
-        blockArr = java.util.Arrays.copyOf(blockArr, math.max(blockArr.length * 2, blockLen + n))
-    @inline def outByteAt(i: Long): Byte = { // absolute stream position
-      if (i >= outLen) blockArr((i - outLen).toInt)
-      else if (i >= frameStart) outSoFar(i.toInt)
-      else hist((hist.length + i - frameStart).toInt) // dictionary history
-    }
-
+    val blockStart = st.frameLen
     var seq = 0
     while (seq < nbSeq) {
       val ofCode = ofTab.symbol(ofState)
@@ -765,19 +769,21 @@ object ZstdCodec {
 
       // execute: literals run, then match copy
       if (litPos + ll > litLen) fail()
-      ensure(ll + ml)
-      System.arraycopy(lits, litPos, blockArr, blockLen, ll)
-      litPos += ll; blockLen += ll
-      val totalPos = outLen.toLong + blockLen
+      st.ensure(ll + ml)
+      System.arraycopy(lits, litPos, st.frame, st.frameLen, ll)
+      litPos += ll; st.frameLen += ll
       // the match window starts at the dictionary's first byte, then
-      // THIS frame's first byte; offsets reaching into a previous
-      // concatenated frame are corrupt
-      if (offset > totalPos - frameStart + hist.length) fail()
-      if (totalPos + ml > MaxOut) fail()
+      // THIS frame's first byte; offsets reaching further back are
+      // corrupt
+      if (offset > st.frameLen.toLong + hist.length) fail()
+      if (st.frameLen.toLong + ml > MaxOut) fail()
       var k = 0L
       while (k < ml) {
-        blockArr(blockLen) = outByteAt(totalPos - offset + k)
-        blockLen += 1
+        val src = st.frameLen.toLong - offset
+        st.frame(st.frameLen) =
+          if (src >= 0) st.frame(src.toInt)
+          else hist((hist.length + src).toInt) // dictionary history
+        st.frameLen += 1
         k += 1
       }
       seq += 1
@@ -785,11 +791,10 @@ object ZstdCodec {
     if (back.bitsLeft != 0) fail()
     // trailing literals
     val rest = litLen - litPos
-    ensure(rest)
-    System.arraycopy(lits, litPos, blockArr, blockLen, rest)
-    blockLen += rest
-    if (blockLen > BlockMax) fail()
-    out.write(blockArr, 0, blockLen)
+    st.ensure(rest)
+    System.arraycopy(lits, litPos, st.frame, st.frameLen, rest)
+    st.frameLen += rest
+    if (st.frameLen - blockStart > BlockMax) fail()
   }
 
   // ---------------------------------------------------------------- frames
@@ -838,6 +843,9 @@ object ZstdCodec {
       k = 0
       while (k < fcsLen) { contentSize |= (b(p + k) & 0xffL) << (8 * k); k += 1 }
       if (fcsLen == 2) contentSize += 256
+      // an 8-byte FCS with bit 63 set would wrap negative and slip past
+      // the admission + verification compares below: treat as over-cap
+      if (contentSize < 0) fail()
       p += fcsLen
     }
     if (singleSegment) windowSize = if (contentSize >= 0) contentSize else 0L
@@ -846,8 +854,6 @@ object ZstdCodec {
 
     val st = new FrameState(dict)
     val hist = if (dict != null) dict.content else Array.emptyByteArray
-    val frameStartLen = out.size()
-    var outArr: Array[Byte] = null // lazily materialized window view
     var last = false
     while (!last) {
       if (p + 3 > b.length) fail()
@@ -859,36 +865,36 @@ object ZstdCodec {
       btype match {
         case 0 => // Raw
           if (p + bsize > b.length || bsize > BlockMax) fail()
-          out.write(b, p, bsize); p += bsize
+          st.ensure(bsize)
+          System.arraycopy(b, p, st.frame, st.frameLen, bsize)
+          st.frameLen += bsize; p += bsize
         case 1 => // RLE: 1 stored byte, bsize = regenerated size
           if (p >= b.length || bsize > BlockMax) fail()
           val v = b(p); p += 1
-          var i = 0
-          while (i < bsize) { out.write(v); i += 1 }
+          st.ensure(bsize)
+          java.util.Arrays.fill(st.frame, st.frameLen, st.frameLen + bsize, v)
+          st.frameLen += bsize
         case 2 => // Compressed
           if (p + bsize > b.length || bsize > BlockMax + 3) fail()
           val blockEnd = p + bsize
           val (lits, litLen, used) = decodeLiterals(b, p, blockEnd, st)
-          // window view: everything this frame decoded before this block
-          outArr = out.toByteArray
-          decodeSequences(b, p + used, blockEnd, lits, litLen, st, out,
-            outArr, outArr.length, frameStartLen, hist)
+          decodeSequences(b, p + used, blockEnd, lits, litLen, st, hist)
           p = blockEnd
         case _ => fail() // Reserved
       }
-      if (out.size() - frameStartLen > MaxOut) fail()
+      if (st.frameLen > MaxOut) fail()
     }
-    val produced = out.size() - frameStartLen
+    val produced = st.frameLen
     if (contentSize >= 0 && produced != contentSize) fail()
     if (hasChecksum) {
       if (p + 4 > b.length) fail()
-      val full = out.toByteArray
-      val h = xxh64(full, frameStartLen, produced)
+      val h = xxh64(st.frame, 0, produced)
       val stored = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
         ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
       if ((h & 0xffffffffL) != stored) fail()
       p += 4
     }
+    out.write(st.frame, 0, produced)
     p
   }
 
@@ -929,6 +935,7 @@ object ZstdCodec {
         } else if (magic == 0xfd2fb528L) {
           p = decodeFrame(b, p, out, dict)
           sawFrame = true
+          if (out.size() > MaxOut) fail() // total cap across frames
         } else fail()
       }
       if (!sawFrame) None else Some(out.toByteArray)

@@ -165,7 +165,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("brotli_wrap", classOf[BrotliWrap], BrotliWrap)
     unary("brotli_unwrap", classOf[BrotliUnwrap], BrotliUnwrap)
     unary("mp4_meta", classOf[Mp4Meta], Mp4Meta)
+    unary("mp4_tracks", classOf[Mp4Tracks], Mp4Tracks)
     unary("webp_meta", classOf[WebpMeta], WebpMeta)
+    unary("vp8l_stats", classOf[Vp8lStats], Vp8lStats)
     binary("blob_kind_hinted", classOf[BlobKindHinted], BlobKindHinted)
     unary("qoi_stats", classOf[QoiStats], QoiStats)
     unary("tiff_stats", classOf[TiffStats], TiffStats)

@@ -205,7 +205,11 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     * must triage to 'malformed' with a null decode. */
   private[graft] def qBrotliStore(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.brotli._
+    // length pin (qSnappyRoundtrip convention): the oracle replays
+    // n_store_blocks=1 / store_bytes=strlen(text), which only holds for
+    // 1..65536-byte texts (empty -> 0 blocks, >64 KiB -> wrap chunks)
     val d = t(s, dir, "documents").filter(col("doc_id") % 29 === 0)
+      .filter(octet_length(col("text")).between(1, 65536))
       .select(col("doc_id"), col("text"),
         expr("(doc_id div 29) % 4 = 2").as("corrupt"))
     val blob = when(col("corrupt"),
@@ -222,6 +226,63 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         col("m.store_bytes").as("store_bytes"),
         col("rt").isNotNull.as("ok"),
         md5(col("rt")).as("rt_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MP4 per-track SAMPLE-TABLE walk (round-12; closes round-11
+    * "missing #4"): tkhd + mdhd in BOTH version layouts (64-bit times
+    * alternating per (id, track)), the packed 5-bit ISO-639 language,
+    * stsd first-entry codec fourcc (avc1/hev1/vp09/mp4a/opus/tx3g
+    * rotating by handler), stts sample counts across delta runs, stsz
+    * in BOTH forms (fixed-size and per-sample table — alternating),
+    * and stco chunk counts. One row per (file, track) via
+    * explode_outer; corrupt files yield the null row. The oracle
+    * replays every field from the synthesis arithmetic, incl. the
+    * per-sample stsz byte sum. */
+  private[graft] def qMp4Tracks(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.mp4._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 33 === 0)
+      .select(col("doc_id"), expr("(doc_id div 33) % 6 = 5").as("corrupt"))
+    d.select(col("doc_id"),
+        explode_outer(mp4_tracks(synth_mp4(col("doc_id"), col("corrupt"))))
+          .as("t"))
+      .select(col("doc_id"),
+        col("t.track_id").as("track_id"), col("t.handler").as("handler"),
+        col("t.codec").as("codec"),
+        col("t.media_timescale").as("media_timescale"),
+        col("t.media_duration").as("media_duration"),
+        col("t.lang").as("lang"), col("t.n_samples").as("n_samples"),
+        col("t.sample_bytes").as("sample_bytes"),
+        col("t.n_chunks").as("n_chunks"),
+        col("t.tkhd_duration").as("tkhd_duration"))
+      .orderBy(col("doc_id"), coalesce(col("track_id"), lit(-1L)))
+  }
+
+  /** Brotli structural SIZE ACCOUNTING (round-12, round-11 verdict #4:
+    * the RFC 7932 static dictionary is not reconstructible offline, so
+    * the stated entropy-layer scope stands and the structural layer
+    * accounts instead): rotating WBITS encodings (all three §9.1
+    * forms), metadata-skip block counts + skipped bytes, store block
+    * counts + bytes, and the DECLARED MLEN of the compressed
+    * meta-block where routing stops — at all three nibble widths.
+    * Every fifth stream truncates to 4 bytes -> 'malformed'. The
+    * oracle replays every field from the synthesis arithmetic. */
+  private[graft] def qBrotliStructural(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.brotli._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 31 === 0)
+      .select(col("doc_id"), expr("(doc_id div 31) % 5 = 2").as("corrupt"))
+    d.select(col("doc_id"),
+        brotli_meta(synth_brotli_structural(col("doc_id"), col("corrupt")))
+          .as("m"))
+      .select(col("doc_id"),
+        col("m.kind").as("kind"),
+        col("m.wbits").cast("long").as("wbits"),
+        col("m.window_size").as("window_size"),
+        col("m.n_store_blocks").cast("long").as("n_store_blocks"),
+        col("m.store_bytes").as("store_bytes"),
+        col("m.n_meta_blocks").cast("long").as("n_meta_blocks"),
+        col("m.skip_bytes").as("skip_bytes"),
+        col("m.compressed_mlen").as("compressed_mlen"))
       .orderBy(col("doc_id"))
   }
 
@@ -348,6 +409,41 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         col("m.has_alpha").as("has_alpha"),
         col("m.has_anim").as("has_anim"),
         col("m.n_chunks").cast("long").as("n_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** VP8L (WebP lossless) PIXEL decode — closes the last web image
+    * format with no pixel path (round-11 verdict #1): canonical
+    * prefix codes, LZ77 + color cache, and all four inverse transforms
+    * (predictor, color, subtract-green, bundled color-indexing). The
+    * synth side rotates six encoder feature sets by id — plain
+    * literals, subtract-green, per-image predictor (all 14 modes over
+    * time), cache+LZ77 runs, 13-color bundled palette, color
+    * transform — and the oracle replays the pixel ARITHMETIC (not the
+    * codec) in SQL, so a decode defect in any stage breaks the sums.
+    * Every fifth file truncates mid-stream and must decode to null.
+    * Per-row kernel, no shuffle: the PNG/QOI family contract. */
+  private[graft] def qWebpLossless(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.vp8l._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id"),
+        (lit(20) + col("doc_id") % 13).cast("int").as("w"),
+        (lit(12) + col("doc_id") % 7).cast("int").as("h"),
+        expr("(doc_id div 23) % 6").cast("int").as("mode"),
+        expr("(doc_id div 23) % 5 = 4").as("corrupt"))
+    d.select(col("doc_id"), col("mode").cast("long").as("mode"),
+        vp8l_stats(synth_vp8l(col("doc_id"), col("w"), col("h"),
+          (col("mode") + when(col("corrupt"), lit(8)).otherwise(lit(0)))
+            .cast("int"))).as("s"))
+      .select(col("doc_id"), col("mode"),
+        col("s").isNotNull.as("ok"),
+        col("s.width").cast("long").as("width"),
+        col("s.height").cast("long").as("height"),
+        col("s.n_px").as("n_px"), col("s.px_sum").as("px_sum"),
+        col("s.r_sum").as("r_sum"), col("s.g_sum").as("g_sum"),
+        col("s.b_sum").as("b_sum"), col("s.a_sum").as("a_sum"),
+        col("s.px_min").cast("long").as("px_min"),
+        col("s.px_max").cast("long").as("px_max"))
       .orderBy(col("doc_id"))
   }
 
@@ -554,33 +650,51 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     * dedup-training-data line of work): every 24-char window at
     * stride 4 fingerprints to an md5 digest; a span is duplicated if
     * its digest occurs in ≥2 DISTINCT documents; each document reports
-    * its duplicated-span fraction in exact ppm. Only 16-byte digests
-    * shuffle — never text — and the per-doc window count is bounded by
-    * doc length, the same scale shape as the chunk/paragraph dedups a
-    * level up. */
+    * its duplicated-span fraction in exact ppm. The kernel lives in
+    * [[graft.llm.Dedup.dupSpanFractions]] (shared with the ScaleProbe
+    * 10× growth probe): per-(doc, digest) map-side pre-collapse, then
+    * the round-12 TWO-LEVEL (digest, doc-salt) aggregate so a hot
+    * boilerplate digest cannot recreate the probe corpus's skew on one
+    * partition. Only 16-byte digests shuffle — never text. */
   private[graft] def qDupSpans(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
       .filter(col("doc_id") % 3 === 0 && length(col("text")) >= 24)
       .select(col("doc_id"), col("text"))
-    val spans = d.select(col("doc_id"),
-      explode(expr(
-        "transform(sequence(1, length(text) - 23, 4)," +
-          " i -> md5(cast(substring(text, i, 24) as binary)))")).as("digest"))
-      // one digest shuffle feeds BOTH consumers (dup-digest agg and
-      // the join back): repartitioning by the shared key lets
-      // ReusedExchange compute the explode+md5 (the dominant CPU at
-      // scale — ScaleProbe --kernels measured ~2x) once, with no
-      // block-manager storage to steal aggregation memory at 100 TB
-      .repartition(col("digest"))
-    val dup = spans.groupBy(col("digest"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2)
-      .select(col("digest"), lit(1L).as("is_dup"))
-    spans.join(dup, Seq("digest"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_spans"))
+    graft.llm.Dedup.dupSpanFractions(d, "doc_id", "text", 24, 4, 64)
       .withColumn("dup_ppm", expr("n_dup_spans * 1000000 div n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Maximal duplicated-span accounting — the published ExactSubstr
+    * semantics q_dup_spans approximates: per document, the LARGEST
+    * window size (24/48/96/192, binary-search-free doubling) at which
+    * some window duplicates into another document, so the true longest
+    * duplicated substring length L is bracketed max_dup_win <= L <
+    * 4*max_dup_win (stride W/4 can miss alignments inside one
+    * doubling). Each level runs the shared
+    * [[graft.llm.Dedup.dupSpanFractions]] digest machinery (two-level
+    * salted aggregate, 16-byte digests shuffle, never text); levels
+    * are independent jobs, so the cost is 4 bounded passes, not a
+    * per-length scan. The oracle replays the window algebra level by
+    * level. */
+  private[graft] def qDupSpanMax(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 24)
+      .select(col("doc_id"), col("text"))
+    val flags = Seq(24, 48, 96, 192).map { wsz =>
+      graft.llm.Dedup.dupSpanFractions(
+          d.filter(length(col("text")) >= wsz), "doc_id", "text",
+          wsz, wsz / 4, 64)
+        .filter(col("n_dup_spans") > 0)
+        .select(col("doc_id"), lit(wsz.toLong).as("win"))
+    }.reduce(_ union _)
+    d.select(col("doc_id"))
+      .join(flags.groupBy(col("doc_id"))
+          .agg(max(col("win")).as("mx"), count(lit(1)).as("nl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("mx"), lit(0L)).as("max_dup_win"),
+        coalesce(col("nl"), lit(0L)).as("n_dup_levels"))
       .orderBy(col("doc_id"))
   }
 
@@ -1051,15 +1165,19 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_geohash" -> (qGeohash _),
     "q_csv_ingest" -> (qCsvIngest _),
     "q_dup_spans" -> (qDupSpans _),
+    "q_dup_span_max" -> (qDupSpanMax _),
     "q_ico_decode" -> (qIcoDecode _),
     "q_snappy_roundtrip" -> (qSnappyRoundtrip _),
     "q_zstd_decode" -> (qZstdDecode _),
     "q_mp4_meta" -> (qMp4Meta _),
     "q_brotli_store" -> (qBrotliStore _),
+    "q_brotli_structural" -> (qBrotliStructural _),
+    "q_mp4_tracks" -> (qMp4Tracks _),
     "q_zstd_multiframe" -> (qZstdMultiframe _),
     "q_zstd_dict" -> (qZstdDict _),
     "q_zstd_seek" -> (qZstdSeek _),
     "q_webp_meta" -> (qWebpMeta _),
+    "q_webp_lossless" -> (qWebpLossless _),
     "q_proto_decode" -> (qProtoDecode _),
     "q_charset_sniff" -> (qCharsetSniff _),
     "q_html_entities" -> (qHtmlEntities _),
@@ -1427,6 +1545,34 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         |            * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
         |FROM spans s LEFT JOIN dup ON s.digest = dup.digest
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "q_dup_span_max" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0 AND length(text) >= 24),
+        |lv AS (SELECT 24 AS win, 6 AS st UNION ALL SELECT 48, 12
+        |       UNION ALL SELECT 96, 24 UNION ALL SELECT 192, 48),
+        |spans AS (
+        |  -- over-generate positions to the corpus-wide 4096-char cap,
+        |  -- filter to each level's stride lattice and span bound
+        |  SELECT d.doc_id, lv.win,
+        |         md5(substring(d.text, CAST(gs.i AS INT), lv.win)) AS digest
+        |  FROM d
+        |  CROSS JOIN lv
+        |  CROSS JOIN generate_series(1, 4096) AS gs(i)
+        |  WHERE length(d.text) >= lv.win
+        |    AND (gs.i - 1) % lv.st = 0
+        |    AND gs.i <= length(d.text) - lv.win + 1),
+        |dup AS (
+        |  SELECT win, digest FROM spans
+        |  GROUP BY win, digest HAVING COUNT(DISTINCT doc_id) >= 2),
+        |flags AS (
+        |  SELECT DISTINCT s.doc_id, s.win
+        |  FROM spans s JOIN dup ON s.win = dup.win AND s.digest = dup.digest)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(MAX(f.win), 0) AS BIGINT) AS max_dup_win,
+        |       CAST(COUNT(f.win) AS BIGINT) AS n_dup_levels
+        |FROM d LEFT JOIN flags f ON d.doc_id = f.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q_ico_decode" ->
       """WITH d AS (
         |  SELECT doc_id, 2 + (doc_id // 25) % 3 AS n
@@ -1472,7 +1618,8 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_brotli_store" ->
       """WITH d AS (
         |  SELECT doc_id, text, ((doc_id // 29) % 4 = 2) AS corrupt
-        |  FROM documents WHERE doc_id % 29 = 0)
+        |  FROM documents WHERE doc_id % 29 = 0
+        |    AND strlen(text) BETWEEN 1 AND 65536)
         |SELECT doc_id,
         |       CASE WHEN corrupt THEN 'malformed' ELSE 'br_store' END AS kind,
         |       CAST(CASE WHEN corrupt THEN 0 ELSE 16 END AS BIGINT) AS wbits,
@@ -1545,6 +1692,139 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         |            ELSE CAST(CASE WHEN mode = 2 THEN 3 ELSE 1 END AS BIGINT)
         |            END AS n_chunks
         |FROM d ORDER BY doc_id""".stripMargin,
+    "q_mp4_tracks" ->
+      """WITH d AS (
+        |  SELECT doc_id, ((doc_id // 33) % 6 = 5) AS corrupt
+        |  FROM documents WHERE doc_id % 33 = 0),
+        |tr AS (
+        |  SELECT d.doc_id, gk.k,
+        |         10 + (d.doc_id + gk.k) % 20 + 5 + (d.doc_id + gk.k) % 10
+        |           AS n_samples
+        |  FROM d CROSS JOIN generate_series(0, 2) AS gk(k)
+        |  WHERE NOT d.corrupt AND gk.k < 1 + d.doc_id % 3),
+        |ps AS (
+        |  SELECT t.doc_id, t.k,
+        |         SUM(100 + (t.doc_id + t.k + gi.i) % 400) AS pbytes
+        |  FROM tr t CROSS JOIN generate_series(0, 44) AS gi(i)
+        |  WHERE gi.i < t.n_samples GROUP BY t.doc_id, t.k),
+        |rows_ok AS (
+        |  SELECT t.doc_id,
+        |    CAST(t.k + 1 AS BIGINT) AS track_id,
+        |    CASE (t.doc_id + t.k) % 3 WHEN 0 THEN 'vide' WHEN 1 THEN 'soun'
+        |         ELSE 'text' END AS handler,
+        |    CASE (t.doc_id + t.k) % 3
+        |      WHEN 0 THEN CASE t.doc_id % 3 WHEN 0 THEN 'avc1'
+        |                  WHEN 1 THEN 'hev1' ELSE 'vp09' END
+        |      WHEN 1 THEN CASE t.doc_id % 2 WHEN 0 THEN 'mp4a' ELSE 'opus' END
+        |      ELSE 'tx3g' END AS codec,
+        |    CAST(8000 + (t.doc_id + 7 * t.k) % 1000 AS BIGINT)
+        |      AS media_timescale,
+        |    CAST(1000 + (t.doc_id * 3 + t.k * 7) % 100000 AS BIGINT)
+        |      AS media_duration,
+        |    CASE (t.doc_id + t.k) % 3 WHEN 0 THEN 'eng' WHEN 1 THEN 'und'
+        |         ELSE 'fra' END AS lang,
+        |    CAST(t.n_samples AS BIGINT) AS n_samples,
+        |    CAST(CASE WHEN (t.doc_id + t.k) % 2 = 0
+        |         THEN (500 + t.doc_id % 100) * t.n_samples
+        |         ELSE ps.pbytes END AS BIGINT) AS sample_bytes,
+        |    CAST(1 + (t.doc_id + t.k) % 4 AS BIGINT) AS n_chunks,
+        |    CAST((1 + t.doc_id % 300) * (100 + t.k) AS BIGINT)
+        |      AS tkhd_duration
+        |  FROM tr t JOIN ps ON t.doc_id = ps.doc_id AND t.k = ps.k),
+        |rows_bad AS (
+        |  SELECT doc_id, CAST(NULL AS BIGINT) AS track_id,
+        |         CAST(NULL AS VARCHAR) AS handler,
+        |         CAST(NULL AS VARCHAR) AS codec,
+        |         CAST(NULL AS BIGINT) AS media_timescale,
+        |         CAST(NULL AS BIGINT) AS media_duration,
+        |         CAST(NULL AS VARCHAR) AS lang,
+        |         CAST(NULL AS BIGINT) AS n_samples,
+        |         CAST(NULL AS BIGINT) AS sample_bytes,
+        |         CAST(NULL AS BIGINT) AS n_chunks,
+        |         CAST(NULL AS BIGINT) AS tkhd_duration
+        |  FROM d WHERE corrupt)
+        |SELECT * FROM (SELECT * FROM rows_ok
+        |               UNION ALL SELECT * FROM rows_bad) u
+        |ORDER BY doc_id, COALESCE(track_id, -1)""".stripMargin,
+    "q_brotli_structural" ->
+      """WITH d AS (
+        |  SELECT doc_id, ((doc_id // 31) % 5 = 2) AS corrupt
+        |  FROM documents WHERE doc_id % 31 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN corrupt THEN 'malformed'
+        |       WHEN doc_id % 4 <> 3 THEN 'br' ELSE 'br_store' END AS kind,
+        |  CAST(CASE WHEN corrupt THEN 0
+        |       ELSE CASE doc_id % 5 WHEN 0 THEN 16 WHEN 1 THEN 18
+        |            WHEN 2 THEN 22 WHEN 3 THEN 10 ELSE 24 END
+        |       END AS BIGINT) AS wbits,
+        |  CAST(CASE WHEN corrupt THEN 0
+        |       ELSE CASE doc_id % 5 WHEN 0 THEN 65520 WHEN 1 THEN 262128
+        |            WHEN 2 THEN 4194288 WHEN 3 THEN 1008 ELSE 16777200 END
+        |       END AS BIGINT) AS window_size,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 + doc_id % 2 END AS BIGINT)
+        |    AS n_store_blocks,
+        |  CAST(CASE WHEN corrupt THEN 0
+        |       ELSE (10 + doc_id % 30) +
+        |            CASE WHEN doc_id % 2 = 1 THEN 10 + (doc_id + 17) % 30
+        |                 ELSE 0 END END AS BIGINT) AS store_bytes,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 + doc_id % 3 END AS BIGINT)
+        |    AS n_meta_blocks,
+        |  CAST(CASE WHEN corrupt THEN 0
+        |       ELSE (1 + (doc_id * 7) % 50) +
+        |            CASE WHEN doc_id % 3 >= 1 THEN 1 + (doc_id * 7 + 11) % 50
+        |                 ELSE 0 END +
+        |            CASE WHEN doc_id % 3 >= 2 THEN 1 + (doc_id * 7 + 22) % 50
+        |                 ELSE 0 END END AS BIGINT) AS skip_bytes,
+        |  CAST(CASE WHEN corrupt OR doc_id % 4 = 3 THEN 0
+        |       ELSE CASE doc_id % 3 WHEN 0 THEN 100 + doc_id % 60000
+        |            WHEN 1 THEN 65537 + doc_id % 900000
+        |            ELSE 1048577 + doc_id % 9000000 END
+        |       END AS BIGINT) AS compressed_mlen
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_webp_lossless" ->
+      """WITH d AS (
+        |  SELECT doc_id, 20 + doc_id % 13 AS w, 12 + doc_id % 7 AS h,
+        |         (doc_id // 23) % 6 AS mode, ((doc_id // 23) % 5 = 4) AS corrupt
+        |  FROM documents WHERE doc_id % 23 = 0),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, d.mode, d.corrupt,
+        |    CASE WHEN d.mode = 4
+        |           THEN (((gx.x + gy.y + d.doc_id) % 13) * 37 + d.doc_id * 5) % 256
+        |         WHEN d.mode = 3
+        |           THEN (d.doc_id * 7 + (gx.x // 8) * 29 + gy.y * 11) % 256
+        |         ELSE (d.doc_id * 7 + gx.x * 3 + gy.y * 11) % 256 END AS r,
+        |    CASE WHEN d.mode = 4
+        |           THEN (((gx.x + gy.y + d.doc_id) % 13) * 59 + d.doc_id * 7) % 256
+        |         WHEN d.mode = 3
+        |           THEN (d.doc_id * 11 + (gx.x // 8) * 5 + gy.y * 3) % 256
+        |         ELSE (d.doc_id * 11 + gx.x * 5 + gy.y * 3) % 256 END AS g,
+        |    CASE WHEN d.mode = 4
+        |           THEN (((gx.x + gy.y + d.doc_id) % 13) * 83 + d.doc_id * 3) % 256
+        |         WHEN d.mode = 3
+        |           THEN (d.doc_id * 3 + (gx.x // 8) * 7 + gy.y * 13) % 256
+        |         ELSE (d.doc_id * 3 + gx.x * 7 + gy.y * 13) % 256 END AS b
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 32) AS gx(x)
+        |  CROSS JOIN generate_series(0, 18) AS gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h)
+        |SELECT doc_id, CAST(mode AS BIGINT) AS mode,
+        |       NOT corrupt AS ok,
+        |       CASE WHEN corrupt THEN NULL ELSE CAST(w AS BIGINT) END AS width,
+        |       CASE WHEN corrupt THEN NULL ELSE CAST(h AS BIGINT) END AS height,
+        |       CASE WHEN corrupt THEN NULL ELSE COUNT(*) END AS n_px,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE CAST(SUM(r + g + b) AS BIGINT) END AS px_sum,
+        |       CASE WHEN corrupt THEN NULL ELSE CAST(SUM(r) AS BIGINT) END AS r_sum,
+        |       CASE WHEN corrupt THEN NULL ELSE CAST(SUM(g) AS BIGINT) END AS g_sum,
+        |       CASE WHEN corrupt THEN NULL ELSE CAST(SUM(b) AS BIGINT) END AS b_sum,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE CAST(255 * COUNT(*) AS BIGINT) END AS a_sum,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE CAST(MIN(LEAST(r, g, b)) AS BIGINT) END AS px_min,
+        |       CASE WHEN corrupt THEN NULL
+        |            ELSE CAST(MAX(GREATEST(r, g, b)) AS BIGINT) END AS px_max
+        |FROM px GROUP BY doc_id, w, h, mode, corrupt
+        |ORDER BY doc_id""".stripMargin,
     "q_zstd_seek" ->
       """WITH d AS (
         |  SELECT doc_id, text, strlen(text) // 4 AS q,

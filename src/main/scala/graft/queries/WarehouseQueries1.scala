@@ -2092,20 +2092,22 @@ private[graft] trait WarehouseQueries1 { this: SparkEntry.type =>
       .select(col("p_brand"),
         (col("l_orderkey") * 10L + col("l_linenumber").cast("long")).as("lk"),
         Analytics.cents(col("l_extendedprice")).as("v"))
+    // groupedRank already carries each group's total as grp_n, so the
+    // quartile ranks are row-local arithmetic: ONE filter+agg pass, no
+    // second max-rank scan, no broadcast join, no checkpoint (round-12
+    // advisory re-shape; shaved the extra ranked-relation pass)
     val ranked = graft.ops.ScalablePrefix.groupedRank(s,
       li.select(col("p_brand"), col("v").cast("double").as("ord"), col("lk")),
       "p_brand", "ord", "lk", 32)
-      .localCheckpoint(eager = false)
-    val n = ranked.groupBy(col("p_brand")).agg(max(col("rnk")).as("n"))
-    ranked.join(broadcast(n
-        .withColumn("q1_rank", expr("(n + 3) div 4"))
-        .withColumn("q3_rank", expr("(3 * n + 3) div 4"))), "p_brand")
-      .filter(col("rnk") === col("q1_rank") || col("rnk") === col("q3_rank"))
+    val q1r = expr("(grp_n + 3) div 4")
+    val q3r = expr("(3 * grp_n + 3) div 4")
+    ranked
+      .filter(col("rnk") === q1r || col("rnk") === q3r)
       .groupBy(col("p_brand"))
-      .agg(max(col("n")).as("n"),
-        max(when(col("rnk") === col("q1_rank"), col("ord"))).cast("long")
+      .agg(max(col("grp_n")).as("n"),
+        max(when(col("rnk") === q1r, col("ord"))).cast("long")
           .as("q1_cents"),
-        max(when(col("rnk") === col("q3_rank"), col("ord"))).cast("long")
+        max(when(col("rnk") === q3r, col("ord"))).cast("long")
           .as("q3_cents"))
       .withColumn("qcd_ppm",
         expr("(q3_cents - q1_cents) * 1000000 div (q3_cents + q1_cents)"))

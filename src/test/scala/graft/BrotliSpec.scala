@@ -68,6 +68,28 @@ class BrotliSpec extends AnyFunSuite {
     assert(Brotli.unwrap(s).exists(_.sameElements("ab".getBytes)))
     assert(Brotli.meta(s).nStoreBlocks == 1)
 
+    // MSKIPBYTES=1 with length byte 0x00 is VALID (MSKIPLEN=1): the
+    // nonzero-last-byte rule applies only when MSKIPBYTES > 1
+    val bw1 = new graft.functions.ZstdCodec.BitWriter
+    bw1.add(0L, 1) // WBITS 16
+    bw1.add(0L, 1); bw1.add(3L, 2); bw1.add(0L, 1); bw1.add(1L, 2)
+    bw1.add(0L, 8) // len byte 0x00 -> skip exactly 1 byte
+    bw1.alignForward()
+    bw1.add(0xeeL, 8) // the skipped byte
+    bw1.add(0L, 1); bw1.add(0L, 2); bw1.add(0L, 16); bw1.add(1L, 1) // store "x"
+    bw1.alignForward()
+    bw1.add('x'.toLong, 8)
+    bw1.add(1L, 1); bw1.add(1L, 1)
+    bw1.alignForward()
+    assert(Brotli.unwrap(bw1.toArray).exists(_.sameElements("x".getBytes)))
+    // a 2-byte length field whose last byte IS zero stays malformed
+    val bw1b = new graft.functions.ZstdCodec.BitWriter
+    bw1b.add(0L, 1)
+    bw1b.add(0L, 1); bw1b.add(3L, 2); bw1b.add(0L, 1); bw1b.add(2L, 2)
+    bw1b.add(4L, 16) // high byte zero -> reject
+    bw1b.alignForward()
+    assert(Brotli.meta(bw1b.toArray).kind == "malformed")
+
     // compressed meta-block: ISLAST=1, ISLASTEMPTY=0, MNIBBLES=0,
     // MLEN-1=9 -> header parses, entropy layer starts -> kind 'br'
     val bw2 = new graft.functions.ZstdCodec.BitWriter
@@ -77,6 +99,35 @@ class BrotliSpec extends AnyFunSuite {
     bw2.alignForward()
     assert(Brotli.meta(bw2.toArray).kind == "br")
     assert(Brotli.unwrap(bw2.toArray).isEmpty) // decode out of scope
+  }
+
+  test("structural size accounting: synth streams replay every field") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 7L, 11L, 23L, 1000L)) {
+      val m = Brotli.meta(Brotli.synthStructural(id, corrupt = false))
+      val wantKind = if (id % 4 != 3) "br" else "br_store"
+      assert(m.kind == wantKind, s"id=$id")
+      assert(m.wbits == Array(16, 18, 22, 10, 24)((id % 5).toInt), s"id=$id")
+      assert(m.windowSize == (1L << m.wbits) - 16)
+      assert(m.nMetaBlocks == 1 + (id % 3).toInt, s"id=$id")
+      val wantSkip = (0 until m.nMetaBlocks)
+        .map(j => 1 + (id * 7 + j * 11) % 50).sum
+      assert(m.skipBytes == wantSkip, s"id=$id")
+      assert(m.nStoreBlocks == 1 + (id % 2).toInt)
+      val wantStore = (0 until m.nStoreBlocks)
+        .map(j => 10 + (id + j * 17) % 30).sum
+      assert(m.storeBytes == wantStore, s"id=$id")
+      if (id % 4 != 3) {
+        val wantMlen = (id % 3) match {
+          case 0 => 100L + id % 60000
+          case 1 => 65537L + id % 900000
+          case _ => 1048577L + id % 9000000
+        }
+        assert(m.compressedMlen == wantMlen, s"id=$id")
+      } else assert(m.compressedMlen == 0L)
+      // corrupt variant is deterministically malformed
+      assert(Brotli.meta(Brotli.synthStructural(id, corrupt = true))
+        .kind == "malformed", s"id=$id")
+    }
   }
 
   test("truncation at every byte never throws and never round-trips") {

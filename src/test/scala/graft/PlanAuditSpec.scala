@@ -283,6 +283,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")
   }
 
+  test("bench hard gate fires on a synthetic over-budget DRIVER row") {
+    // round-11 verdict #1: the audit must apply the 2.5 s hard gate to
+    // the driver's BENCH_rNN.json rows the same as the closing run's.
+    val names = Set("q_fake_fast", "q_fake_slow", "q_ppr", "q_sssp")
+    // an unjustified 3.1 s row is an offender…
+    val o1 = Explain.hardOffenders(
+      Map("q_fake_fast" -> 0.4, "q_fake_slow" -> 3.1), names)
+    assert(o1 === Seq(("q_fake_slow", 3.1)))
+    // …a floor-justified query at the same time is NOT…
+    val o2 = Explain.hardOffenders(Map("q_sssp" -> 3.3, "q_ppr" -> 3.04), names)
+    assert(o2.isEmpty, "floor-justified queries must be exempt")
+    // …and a row for a query no longer in the registry is ignored
+    val o3 = Explain.hardOffenders(Map("q_retired" -> 9.9), names)
+    assert(o3.isEmpty)
+    // driver-bench discovery parses round numbers, picks the max
+    val latest = Explain.latestDriverBench()
+    assert(latest.exists(_.getFileName.toString.matches("BENCH_r\\d+\\.json")))
+    assert(Explain.readBenchSecs(latest.get).nonEmpty)
+  }
+
+  test("every AdvisoryNoted isolated-min sits at or under the advisory budget") {
+    // round-11 verdict #2: an AdvisoryNoted value OVER the budget it
+    // cites certifies a breach instead of explaining one
+    val over = Explain.AdvisoryNoted.filter(_._2 > Explain.BudgetSecs)
+    assert(over.isEmpty,
+      s"AdvisoryNoted entries exceed the ${Explain.BudgetSecs} s advisory " +
+        s"budget they cite: $over — re-measure (TimeQ) or re-shape")
+  }
+
   test("failure counters via observable metrics (A2 observe variant)") {
     val obs = Observation("routing")
     val routed = Router.route(

@@ -68,6 +68,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT blob_kind_hinted(brotli_wrap(cast('x' as binary)), 'br')") === "br")
     assert(one[String](
       "SELECT mp4_meta(cast('not a box walk' as binary)).major_brand") === null)
+    // round-12 kernels: VP8L pixel decode, MP4 sample-table walk,
+    // brotli structural synth
+    assert(one[Boolean](
+      "SELECT vp8l_stats(cast('not a webp' as binary)) IS NULL") === true)
+    assert(one[Boolean](
+      "SELECT mp4_tracks(cast('not an mp4' as binary)) IS NULL") === true)
   }
 
   test("the asof planner strategy and codec-elimination rule ride the " +

@@ -267,6 +267,35 @@ class ZstdCodecSpec extends AnyFunSuite {
       bomb2.write((rleHeader >> 16) & 0xff); bomb2.write('z')
     }
     assert(ZstdCodec.decompress(bomb2.toByteArray).isEmpty)
+    // 8-byte content size with bit 63 set would wrap negative; it must
+    // fail admission, not bypass the contentSize compares
+    val neg = new java.io.ByteArrayOutputStream()
+    neg.write(Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte), 0, 4)
+    neg.write(0x20 | (3 << 6)) // single-segment, 8-byte content size
+    for (i <- 0 until 8) neg.write(if (i == 7) 0x80 else 0x00) // 2^63
+    neg.write(Array[Byte](0x01, 0, 0), 0, 3) // last raw block, 0 bytes
+    assert(ZstdCodec.decompress(neg.toByteArray).isEmpty)
+  }
+
+  test("many-block frames decode in O(frame), not O(blocks x frame)") {
+    // one frame = 2000 raw blocks of 4 KiB: with per-block window
+    // re-materialization this would cost ~16 GB of memcpy; with the
+    // single growable window it is linear and finishes instantly
+    val payload = textLike(99, 4096)
+    val f = new java.io.ByteArrayOutputStream()
+    f.write(Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte), 0, 4)
+    f.write(0x00); f.write(0x70) // no FCS, ~128 KiB window
+    val n = 2000
+    for (i <- 0 until n) {
+      val bh = ((if (i == n - 1) 1 else 0) << 0) | (0 << 1) | (4096 << 3)
+      f.write(bh & 0xff); f.write((bh >> 8) & 0xff); f.write((bh >> 16) & 0xff)
+      f.write(payload, 0, 4096)
+    }
+    val t0 = System.nanoTime()
+    val out = ZstdCodec.decompress(f.toByteArray)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(out.exists(_.length == n * 4096))
+    assert(ms < 5000, s"decode took $ms ms — window re-materialization regressed")
   }
 
   test("seekable shards: member range-reads, table walk, corrupt gates") {

@@ -278,6 +278,12 @@ object ScaleProbe {
         b => graft.functions.bmp.bmp_stats_rgb(b).getField("px_sum")),
       ("qoi_rgb", graft.functions.qoi.synth_qoi(id, W, H, lit(false)),
         b => graft.functions.qoi.qoi_stats(b).getField("px_sum")),
+      // round-12: VP8L pixel decode, all six encoder feature sets
+      // rotating by id (plain/sub-green/predictor/cache+lz77/palette/
+      // color-transform), so the number covers the whole branch space
+      ("webp_vp8l", graft.functions.vp8l.synth_vp8l(id, W, H,
+          pmod(id, lit(6)).cast("int")),
+        b => graft.functions.vp8l.vp8l_stats(b).getField("px_sum")),
       ("tiff_rgb", graft.functions.tiff.synth_tiff(id, W, H, lit(true), lit(false)),
         b => graft.functions.tiff.tiff_stats(b).getField("px_sum")))
     println(s"[media] base=$baseBlobs blobs of 128x96; cores=$cores; " +

@@ -27,8 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * malformation -> null. */
 object Webp {
 
+  /** Round-12 adds the ANIMATION envelope: `nFrames`/`animMs` from the
+    * ANMF frame walk (24-bit per-frame durations summed), `loopCount`
+    * from ANIM. Zero for still images; ANIM/ANMF chunks in a file
+    * whose VP8X did not declare the animation flag are a structural
+    * violation -> None. */
   final case class Meta(kind: String, width: Int, height: Int,
-      hasAlpha: Boolean, hasAnim: Boolean, nChunks: Int)
+      hasAlpha: Boolean, hasAnim: Boolean, nChunks: Int,
+      nFrames: Int = 0, loopCount: Int = 0, animMs: Long = 0L)
 
   @inline private def u16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
@@ -50,6 +56,9 @@ object Webp {
     var w = -1; var h = -1
     var alpha = false; var anim = false
     var nChunks = 0
+    var nFrames = 0
+    var loopCount = 0
+    var animMs = 0L
     while (p + 8 <= end) {
       val size = u32(b, p + 4)
       val payload = p + 8
@@ -83,11 +92,23 @@ object Webp {
         kind = "extended"
         w = u24(b, payload + 4) + 1
         h = u24(b, payload + 7) + 1
+      } else if (cc(b, p, "ANIM")) {
+        // background color (4) + 16-bit loop count; only valid when
+        // the VP8X animation flag was declared
+        if (!anim || size < 6) return None
+        loopCount = u16(b, payload + 4)
+      } else if (cc(b, p, "ANMF")) {
+        // frame rect (2x24-bit origin, 24-bit w-1/h-1), 24-bit
+        // duration, flags byte, then frame data
+        if (!anim || size < 16) return None
+        animMs += u24(b, payload + 12)
+        nFrames += 1
       }
       p = payload + size.toInt + (size.toInt & 1) // RIFF even padding
     }
     if (kind == null || w <= 0 || h <= 0) None
-    else Some(Meta(kind, w, h, alpha, anim, nChunks))
+    else Some(Meta(kind, w, h, alpha, anim, nChunks, nFrames, loopCount,
+      animMs))
   }
 
   /** Synthesize a header-true WebP for the oracle: kind rotates
@@ -126,11 +147,30 @@ object Webp {
           w32(bits)
           out.write(0x42) // opaque stream byte
         }
-      case _ => // extended: VP8X + ALPH + VP8
+      case _ => // extended: VP8X + ANIM + ANMF frames + ALPH + VP8
         chunk("VP8X") {
           out.write(0x10 | 0x02) // alpha + animation flags
           w24(0) // reserved
           w24(w - 1); w24(h - 1)
+        }
+        // round-12: the animation envelope — ANIM (bg + loop count)
+        // and 2-4 ANMF frames with 24-bit durations; frame payloads
+        // are opaque to triage (odd sizes exercise RIFF padding)
+        chunk("ANIM") { w32(0xff000000L); w16((id % 7).toInt) }
+        // id/3 keeps the frame count varying on the extended lane
+        // (extended ids are 2 mod 3, so id % 3 would be constant)
+        val nf = (2 + (id / 3) % 3).toInt
+        var j = 0
+        while (j < nf) {
+          val dur = (40 + (id + j * 7) % 200).toInt
+          chunk("ANMF") {
+            w24(0); w24(0) // frame origin
+            w24(w - 1); w24(h - 1)
+            w24(dur)
+            out.write(if (j % 2 == 0) 0x02 else 0x03) // blend/dispose bits
+            out.write((id % 256).toInt) // opaque frame byte (odd payload)
+          }
+          j += 1
         }
         chunk("ALPH") { out.write(0); out.write((id % 256).toInt); out.write(1) }
         chunk("VP8 ") {
@@ -154,13 +194,16 @@ object Webp {
 }
 
 /** `webp_meta(binary)` -> struct(kind, width, height, has_alpha,
-  * has_anim, n_chunks) or null per [[Webp.meta]]. */
+  * has_anim, n_chunks, n_frames, loop_count, anim_ms) or null per
+  * [[Webp.meta]]. */
 case class WebpMeta(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StructType(Seq(
     StructField("kind", StringType), StructField("width", IntegerType),
     StructField("height", IntegerType), StructField("has_alpha", BooleanType),
-    StructField("has_anim", BooleanType), StructField("n_chunks", IntegerType)))
+    StructField("has_anim", BooleanType), StructField("n_chunks", IntegerType),
+    StructField("n_frames", IntegerType), StructField("loop_count", IntegerType),
+    StructField("anim_ms", LongType)))
   override def nullable: Boolean = true
   override def checkInputDataTypes() = child.dataType match {
     case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -172,7 +215,7 @@ case class WebpMeta(child: Expression)
       case None => null
       case Some(m) => new GenericInternalRow(Array[Any](
         UTF8String.fromString(m.kind), m.width, m.height, m.hasAlpha,
-        m.hasAnim, m.nChunks))
+        m.hasAnim, m.nChunks, m.nFrames, m.loopCount, m.animMs))
     }
   override protected def withNewChildInternal(newChild: Expression): WebpMeta =
     copy(child = newChild)

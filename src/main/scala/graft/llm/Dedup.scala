@@ -368,21 +368,27 @@ object Dedup {
     * digest; a span is duplicated if its digest occurs in >=2 DISTINCT
     * documents. Returns (doc_id, n_spans, n_dup_spans).
     *
-    * Scale shape (round-12 skew guard, round-11 verdict #6):
-    *  1. per-(doc, digest) counts first — all of a document's windows
-    *     are generated inside its own input task, so the map-side
-    *     partial collapses repeats BEFORE the first exchange and the
-    *     shuffle carries unique pairs, never raw span occurrences;
-    *  2. dup detection runs as a TWO-LEVEL aggregate keyed
-    *     (digest, salt(doc_id)) then (digest): count_distinct(doc_id)
-    *     partitions exactly across doc-derived salts, so a hot
-    *     boilerplate digest (license header in millions of docs) is
-    *     diluted over `salts` partitions instead of landing on one;
-    *  3. the dup flag joins back on (digest, salt) — the same diluted
-    *     key — and ONE repartition exchange feeds the count chain and
-    *     the flag join via ReusedExchange (the round-11 single-explode
-    *     fix, kept).
-    * Only 16-byte digests shuffle, never text. */
+    * Scale shape (round-12 skew guard, round-11 verdict #6): ONE wide
+    * exchange keyed (digest, salt(doc_id)) feeds BOTH consumers — the
+    * dup-digest count chain and the flag join — via ReusedExchange
+    * (the round-11 single-explode fix, kept), and the doc-derived salt
+    * dilutes a hot boilerplate digest (license header in millions of
+    * docs) over `salts` partitions instead of landing it on one.
+    * Dup detection is the TWO-LEVEL aggregate (digest, salt) then
+    * (digest): count_distinct(doc_id) partitions exactly across
+    * doc-derived salts, and its first level runs on the existing
+    * exchange; the second level moves only the pre-aggregated
+    * (digest, salt) rows. The dup FLAG joins back on digest alone so
+    * Catalyst/AQE keeps the auto-broadcast path when the dup set is
+    * small (forcing the flag to (digest, salt) granularity was tried
+    * and REJECTED by the 10x probe: the salted flag frame outgrows
+    * the broadcast threshold and drags the span-volume side through
+    * a sort-merge join — growth 29.5x; a per-(doc, digest)
+    * pre-collapse before the wide shuffle was likewise rejected at
+    * 17.4x: windows are near-unique within a document, so it
+    * deduplicated nothing and added a second span-volume exchange —
+    * BASELINE.md records all three measurements). Only 16-byte
+    * digests shuffle, never text. */
   def dupSpanFractions(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 24, stride: Int = 4, salts: Int = 64): DataFrame = {
     val spans = docs.select(col(idCol).as("doc_id"),
@@ -390,23 +396,18 @@ object Dedup {
         s"transform(sequence(1, length($textCol) - ${window - 1}, $stride)," +
           s" i -> md5(cast(substring($textCol, i, $window) as binary)))"))
         .as("digest"))
-    val perDoc = spans.groupBy(col("doc_id"), col("digest"))
-      .agg(count(lit(1)).as("n"))
       .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)))
       .repartition(col("digest"), col("salt"))
-    val bySalt = perDoc.groupBy(col("digest"), col("salt"))
-      .agg(count(lit(1)).as("nd")) // doc_ids already distinct per group
-    val dupDigests = bySalt.groupBy(col("digest"))
+    val bySalt = spans.groupBy(col("digest"), col("salt"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val dup = bySalt.groupBy(col("digest"))
       .agg(sum(col("nd")).as("ndocs"))
       .filter(col("ndocs") >= 2)
-      .select(col("digest"))
-    val dupSalted = bySalt.join(dupDigests, Seq("digest"))
-      .select(col("digest"), col("salt"), lit(1L).as("is_dup"))
-    perDoc.join(dupSalted, Seq("digest", "salt"), "left")
+      .select(col("digest"), lit(1L).as("is_dup"))
+    spans.join(dup, Seq("digest"), "left")
       .groupBy(col("doc_id"))
-      .agg(sum(col("n")).as("n_spans"),
-        sum(when(col("is_dup").isNotNull, col("n")).otherwise(lit(0L)))
-          .as("n_dup_spans"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_spans"))
   }
 
   /** Benchmark contamination: per document, the fraction of its k-token

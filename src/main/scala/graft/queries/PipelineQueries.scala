@@ -412,6 +412,37 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Animated-WebP envelope walk (round-12 — the dominant animated
+    * image format on the modern web, replacing GIF): ANIM loop count,
+    * ANMF frame count + summed 24-bit frame durations, canvas dims,
+    * frame blend/dispose headers skipped by size — triage only (frame
+    * payloads are VP8/VP8L codec work; the lossless member HAS a full
+    * pixel path in q_webp_lossless). The synth id is pinned to the
+    * extended-kind lane (3k+2) so every row is animated; every sixth
+    * file inflates its declared RIFF size -> null. */
+  private[graft] def qWebpAnim(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.webp._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 43 === 0)
+      .select(col("doc_id"),
+        (col("doc_id") * 3 + 2).as("sid"), // synth mode = sid % 3 = extended
+        (lit(30) + col("doc_id") % 120).cast("int").as("w"),
+        (lit(20) + col("doc_id") % 80).cast("int").as("h"),
+        expr("(doc_id div 43) % 6 = 1").as("corrupt"))
+    d.select(col("doc_id"),
+        webp_meta(synth_webp(col("sid"), col("w"), col("h"),
+          col("corrupt"))).as("m"))
+      .select(col("doc_id"), col("m").isNotNull.as("parsed"),
+        col("m.kind").as("kind"),
+        col("m.width").cast("long").as("width"),
+        col("m.height").cast("long").as("height"),
+        col("m.has_anim").as("has_anim"),
+        col("m.n_frames").cast("long").as("n_frames"),
+        col("m.loop_count").cast("long").as("loop_count"),
+        col("m.anim_ms").as("anim_ms"),
+        col("m.n_chunks").cast("long").as("n_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** VP8L (WebP lossless) PIXEL decode — closes the last web image
     * format with no pixel path (round-11 verdict #1): canonical
     * prefix codes, LZ77 + color cache, and all four inverse transforms
@@ -1177,6 +1208,7 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_zstd_dict" -> (qZstdDict _),
     "q_zstd_seek" -> (qZstdSeek _),
     "q_webp_meta" -> (qWebpMeta _),
+    "q_webp_anim" -> (qWebpAnim _),
     "q_webp_lossless" -> (qWebpLossless _),
     "q_proto_decode" -> (qProtoDecode _),
     "q_charset_sniff" -> (qCharsetSniff _),
@@ -1689,9 +1721,38 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         |            END AS has_alpha,
         |       CASE WHEN corrupt THEN NULL ELSE mode = 2 END AS has_anim,
         |       CASE WHEN corrupt THEN NULL
-        |            ELSE CAST(CASE WHEN mode = 2 THEN 3 ELSE 1 END AS BIGINT)
+        |            ELSE CAST(CASE WHEN mode = 2 THEN 6 + (doc_id // 3) % 3
+        |                      ELSE 1 END AS BIGINT)
         |            END AS n_chunks
         |FROM d ORDER BY doc_id""".stripMargin,
+    "q_webp_anim" ->
+      """WITH d AS (
+        |  SELECT doc_id, 3 * doc_id + 2 AS sid,
+        |         30 + doc_id % 120 AS w, 20 + doc_id % 80 AS h,
+        |         ((doc_id // 43) % 6 = 1) AS corrupt,
+        |         2 + doc_id % 3 AS nf
+        |  FROM documents WHERE doc_id % 43 = 0),
+        |ms AS (
+        |  SELECT d.doc_id, SUM(40 + (d.sid + gj.j * 7) % 200) AS anim_ms
+        |  FROM d CROSS JOIN generate_series(0, 4) AS gj(j)
+        |  WHERE gj.j < d.nf GROUP BY d.doc_id)
+        |SELECT d.doc_id, NOT d.corrupt AS parsed,
+        |       CASE WHEN d.corrupt THEN NULL ELSE 'extended' END AS kind,
+        |       CASE WHEN d.corrupt THEN NULL ELSE CAST(d.w AS BIGINT) END
+        |         AS width,
+        |       CASE WHEN d.corrupt THEN NULL ELSE CAST(d.h AS BIGINT) END
+        |         AS height,
+        |       CASE WHEN d.corrupt THEN NULL ELSE TRUE END AS has_anim,
+        |       CASE WHEN d.corrupt THEN NULL ELSE CAST(d.nf AS BIGINT) END
+        |         AS n_frames,
+        |       CASE WHEN d.corrupt THEN NULL
+        |            ELSE CAST(d.sid % 7 AS BIGINT) END AS loop_count,
+        |       CASE WHEN d.corrupt THEN NULL
+        |            ELSE CAST(ms.anim_ms AS BIGINT) END AS anim_ms,
+        |       CASE WHEN d.corrupt THEN NULL
+        |            ELSE CAST(4 + d.nf AS BIGINT) END AS n_chunks
+        |FROM d JOIN ms ON d.doc_id = ms.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_mp4_tracks" ->
       """WITH d AS (
         |  SELECT doc_id, ((doc_id // 33) % 6 = 5) AS corrupt

@@ -63,6 +63,7 @@ object BlobKind {
       return "zip"
     if (ascii(257, "ustar")) return "tar"
     if (ascii(0, "WARC/1.")) return "warc"
+    if (ascii(0, "PAR1")) return "parquet"
     if (at(0) == 'P' && (at(1) == '5' || at(1) == '6') &&
         (at(2) == '\n' || at(2) == ' ')) return if (at(1) == '5') "pgm" else "ppm"
     // content fallback: the ONE whole-blob rule

@@ -412,6 +412,53 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Parquet footer triage over SYNTHESIZED file images (round-12 —
+    * the data-lake forensics kernel): a real thrift-compact
+    * FileMetaData walk (varint/zigzag, delta field ids, generic
+    * skip-by-wire-type incl. an always-present unknown field) reads
+    * row count, leaf-column count, row-group count + byte sizes and
+    * writer identity from the footer alone — the two-byte-range-read
+    * access pattern a 100 TB lake audit uses. Every fourth file
+    * declares a wrong footer length -> null. See q_parquet_real for
+    * the same kernel over the REAL pyarrow-written testdata files. */
+  private[graft] def qParquetFooter(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.parquetfooter._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 47 === 0)
+      .select(col("doc_id"), expr("(doc_id div 47) % 4 = 3").as("corrupt"))
+    d.select(col("doc_id"),
+        parquet_footer(synth_parquet(col("doc_id"), col("corrupt"))).as("f"))
+      .select(col("doc_id"), col("f").isNotNull.as("ok"),
+        col("f.version").cast("long").as("version"),
+        col("f.num_rows").as("num_rows"),
+        col("f.n_columns").cast("long").as("n_columns"),
+        col("f.n_row_groups").cast("long").as("n_row_groups"),
+        col("f.total_byte_size").as("total_byte_size"),
+        col("f.created_by").as("created_by"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The parquet-footer kernel over the REAL testdata files, read as
+    * opaque blobs through Spark's binaryFile source: our thrift walker
+    * against pyarrow-written footers, with DuckDB's row counts over
+    * the same tables as the oracle — a genuinely independent
+    * cross-implementation anchor (three writers in the loop: pyarrow
+    * wrote, graft parsed bytes, DuckDB counted rows). */
+  private[graft] def qParquetReal(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.parquetfooter._
+    s.read.format("binaryFile")
+      .load(s"$dir/region.parquet", s"$dir/nation.parquet",
+        s"$dir/supplier.parquet")
+      .select(
+        regexp_extract(col("path"), "([a-z]+)\\.parquet$", 1).as("tbl"),
+        parquet_footer(col("content")).as("f"))
+      .select(col("tbl"), col("f").isNotNull.as("parsed"),
+        col("f.num_rows").as("num_rows"),
+        col("f.n_columns").cast("long").as("n_columns"),
+        col("f.n_row_groups").cast("long").as("n_row_groups"),
+        (length(col("f.created_by")) > 0).as("has_created_by"))
+      .orderBy(col("tbl"))
+  }
+
   /** Animated-WebP envelope walk (round-12 — the dominant animated
     * image format on the modern web, replacing GIF): ANIM loop count,
     * ANMF frame count + summed 24-bit frame durations, canvas dims,
@@ -1209,6 +1256,8 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_zstd_seek" -> (qZstdSeek _),
     "q_webp_meta" -> (qWebpMeta _),
     "q_webp_anim" -> (qWebpAnim _),
+    "q_parquet_footer" -> (qParquetFooter _),
+    "q_parquet_real" -> (qParquetReal _),
     "q_webp_lossless" -> (qWebpLossless _),
     "q_proto_decode" -> (qProtoDecode _),
     "q_charset_sniff" -> (qCharsetSniff _),
@@ -1725,6 +1774,44 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         |                      ELSE 1 END AS BIGINT)
         |            END AS n_chunks
         |FROM d ORDER BY doc_id""".stripMargin,
+    "q_parquet_footer" ->
+      """WITH d AS (
+        |  SELECT doc_id, ((doc_id // 47) % 4 = 3) AS corrupt,
+        |         1 + doc_id % 3 AS ng
+        |  FROM documents WHERE doc_id % 47 = 0),
+        |tb AS (
+        |  SELECT d.doc_id, SUM(1000 + (d.doc_id + gg.g * 13) % 5000) AS tbs
+        |  FROM d CROSS JOIN generate_series(0, 2) AS gg(g)
+        |  WHERE gg.g < d.ng GROUP BY d.doc_id)
+        |SELECT d.doc_id, NOT d.corrupt AS ok,
+        |       CASE WHEN d.corrupt THEN NULL ELSE CAST(2 AS BIGINT) END
+        |         AS version,
+        |       CASE WHEN d.corrupt THEN NULL
+        |            ELSE CAST(100 + d.doc_id % 1000 AS BIGINT) END AS num_rows,
+        |       CASE WHEN d.corrupt THEN NULL
+        |            ELSE CAST(1 + d.doc_id % 5 AS BIGINT) END AS n_columns,
+        |       CASE WHEN d.corrupt THEN NULL
+        |            ELSE CAST(d.ng AS BIGINT) END AS n_row_groups,
+        |       CASE WHEN d.corrupt THEN NULL
+        |            ELSE CAST(tb.tbs AS BIGINT) END AS total_byte_size,
+        |       CASE WHEN d.corrupt THEN NULL
+        |            ELSE 'graft-parquet 1.0' END AS created_by
+        |FROM d JOIN tb ON d.doc_id = tb.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_parquet_real" ->
+      """SELECT * FROM (
+        |  SELECT 'nation' AS tbl, TRUE AS parsed,
+        |         CAST(COUNT(*) AS BIGINT) AS num_rows,
+        |         CAST(3 AS BIGINT) AS n_columns,
+        |         CAST(1 AS BIGINT) AS n_row_groups,
+        |         TRUE AS has_created_by FROM nation
+        |  UNION ALL
+        |  SELECT 'region', TRUE, CAST(COUNT(*) AS BIGINT), CAST(2 AS BIGINT),
+        |         CAST(1 AS BIGINT), TRUE FROM region
+        |  UNION ALL
+        |  SELECT 'supplier', TRUE, CAST(COUNT(*) AS BIGINT), CAST(4 AS BIGINT),
+        |         CAST(1 AS BIGINT), TRUE FROM supplier) u
+        |ORDER BY tbl""".stripMargin,
     "q_webp_anim" ->
       """WITH d AS (
         |  SELECT doc_id, 3 * doc_id + 2 AS sid,

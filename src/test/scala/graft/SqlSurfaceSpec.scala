@@ -74,6 +74,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT vp8l_stats(cast('not a webp' as binary)) IS NULL") === true)
     assert(one[Boolean](
       "SELECT mp4_tracks(cast('not an mp4' as binary)) IS NULL") === true)
+    assert(one[Boolean](
+      "SELECT parquet_footer(cast('PAR1 nope' as binary)) IS NULL") === true)
   }
 
   test("the asof planner strategy and codec-elimination rule ride the " +

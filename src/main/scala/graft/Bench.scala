@@ -117,6 +117,30 @@ object Bench {
       System.err.println(s"[bench-diag] $tag $heap $pools $jit")
     }
 
+    // JVM-hygiene self-identification (round-11 verdict #3b), sampled
+    // BEFORE layout prep and the pre-JIT pass: those legitimately cost
+    // heap + ~100-180 s of JIT themselves, so sampling after them
+    // would false-positive on every clean run. BENCH_r11 started at
+    // 2,129 MB heap / 94 s JIT pre-warmup (vs 771 MB/26 s in r10) — a
+    // hot, dirty harness process that inflated the visible tail
+    // 1.3-2.1x uniformly; a run starting past these thresholds stamps
+    // a warning into its own artifact so the drift reads as host
+    // condition, not plan regression.
+    val hygieneWarning = {
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory - rt.freeMemory) / (1 << 20)
+      val jitMs = compBean.getTotalCompilationTime
+      val reasons = Seq(
+        if (heapMb > 1536) Some(s"start_heap_mb=$heapMb>1536") else None,
+        if (jitMs > 90000) Some(s"start_jit_ms=$jitMs>90000") else None).flatten
+      if (reasons.isEmpty) "" else {
+        val w = reasons.mkString(";")
+        System.err.println(s"[bench] JVM HYGIENE WARNING: $w — timings " +
+          "reflect a dirty harness process, compare against closing runs")
+        s""""hygiene_warning":"$w","""
+      }
+    }
+
     // layout prep (bucketed copies) is one-time ETL, not query work —
     // materialize it before any timing. A failed prep is flagged in the
     // errors array: silently proceeding would fold the full layout
@@ -160,28 +184,6 @@ object Bench {
 
     jvmDiag("start")
     val jvmStart = jvmSnapshot()
-    // JVM-hygiene self-identification (round-11 verdict #3b): BENCH_r11
-    // started at 2,129 MB heap / 94 s cumulative JIT (vs 771 MB / 26 s
-    // in r10) — a hot, dirty harness process that inflated the visible
-    // tail 1.3-2.1x uniformly. A run that starts past these thresholds
-    // stamps a warning into its own artifact so the drift reads as
-    // host condition, not plan regression. (Thresholds: the pre-JIT
-    // pass above legitimately costs heap + JIT, so they sit well past
-    // a clean-start-plus-warmup profile.)
-    val hygieneWarning = {
-      val rt = Runtime.getRuntime
-      val heapMb = (rt.totalMemory - rt.freeMemory) / (1 << 20)
-      val jitMs = compBean.getTotalCompilationTime
-      val reasons = Seq(
-        if (heapMb > 3072) Some(s"start_heap_mb=$heapMb>3072") else None,
-        if (jitMs > 180000) Some(s"start_jit_ms=$jitMs>180000") else None).flatten
-      if (reasons.isEmpty) "" else {
-        val w = reasons.mkString(";")
-        System.err.println(s"[bench] JVM HYGIENE WARNING: $w — timings " +
-          "reflect a dirty harness process, compare against closing runs")
-        s""""hygiene_warning":"$w","""
-      }
-    }
     var qIdx = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       qIdx += 1

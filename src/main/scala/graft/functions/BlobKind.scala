@@ -64,6 +64,9 @@ object BlobKind {
     if (ascii(257, "ustar")) return "tar"
     if (ascii(0, "WARC/1.")) return "warc"
     if (ascii(0, "PAR1")) return "parquet"
+    // ID3v2-tagged MP3 only: a bare 0xFFEx frame sync is too weak to
+    // sniff (random binary matches it constantly — the brotli lesson)
+    if (ascii(0, "ID3")) return "mp3"
     if (at(0) == 'P' && (at(1) == '5' || at(1) == '6') &&
         (at(2) == '\n' || at(2) == ' ')) return if (at(1) == '5') "pgm" else "ppm"
     // content fallback: the ONE whole-blob rule

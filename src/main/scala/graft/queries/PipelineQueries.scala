@@ -412,6 +412,33 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** MP3 frame-walk triage (round-12 — completes the audio container
+    * family): ID3v2 syncsafe skip, MPEG-1/2 Layer III headers against
+    * the published kbps/rate tables, exact frame tiling
+    * (coef·kbps/rate + pad), CBR/VBR detection, summed per-frame kbps
+    * (the oracle replays the exact average), duration from
+    * samples-per-frame, trailing ID3v1. All four version x rate-mode
+    * combinations rotate by id; every fifth file breaks the first
+    * sync byte -> null. Audio DECODE is out of scope (stated — the
+    * Layer III filterbank is a lossy codec; the mp4_meta contract). */
+  private[graft] def qMp3Meta(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.mp3._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 49 === 0)
+      .select(col("doc_id"), expr("(doc_id div 49) % 5 = 4").as("corrupt"))
+    d.select(col("doc_id"),
+        mp3_meta(synth_mp3(col("doc_id"), col("corrupt"))).as("m"))
+      .select(col("doc_id"), col("m").isNotNull.as("parsed"),
+        col("m.version").as("version"),
+        col("m.sample_rate").cast("long").as("sample_rate"),
+        col("m.n_frames").cast("long").as("n_frames"),
+        col("m.cbr").as("cbr"),
+        col("m.kbps_sum").as("kbps_sum"),
+        col("m.duration_ms").as("duration_ms"),
+        col("m.id3v2_bytes").cast("long").as("id3v2_bytes"),
+        col("m.has_id3v1").as("has_id3v1"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Parquet footer triage over SYNTHESIZED file images (round-12 —
     * the data-lake forensics kernel): a real thrift-compact
     * FileMetaData walk (varint/zigzag, delta field ids, generic
@@ -1257,6 +1284,7 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_webp_meta" -> (qWebpMeta _),
     "q_webp_anim" -> (qWebpAnim _),
     "q_parquet_footer" -> (qParquetFooter _),
+    "q_mp3_meta" -> (qMp3Meta _),
     "q_parquet_real" -> (qParquetReal _),
     "q_webp_lossless" -> (qWebpLossless _),
     "q_proto_decode" -> (qProtoDecode _),
@@ -1797,6 +1825,64 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         |       CASE WHEN d.corrupt THEN NULL
         |            ELSE 'graft-parquet 1.0' END AS created_by
         |FROM d JOIN tb ON d.doc_id = tb.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_mp3_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id, ((doc_id // 49) % 5 = 4) AS corrupt,
+        |         doc_id % 2 = 0 AS v1, (doc_id // 2) % 2 = 0 AS is_cbr,
+        |         3 + doc_id % 6 AS n
+        |  FROM documents WHERE doc_id % 49 = 0),
+        |br AS (
+        |  SELECT d.doc_id,
+        |         SUM(CASE WHEN d.v1 THEN
+        |           CASE 1 + (CASE WHEN d.is_cbr THEN d.doc_id
+        |                     ELSE d.doc_id + gj.j * 3 END) % 14
+        |             WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+        |             WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+        |             WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+        |             WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+        |             WHEN 13 THEN 256 ELSE 320 END
+        |         ELSE
+        |           CASE 1 + (CASE WHEN d.is_cbr THEN d.doc_id
+        |                     ELSE d.doc_id + gj.j * 3 END) % 14
+        |             WHEN 1 THEN 8 WHEN 2 THEN 16 WHEN 3 THEN 24
+        |             WHEN 4 THEN 32 WHEN 5 THEN 40 WHEN 6 THEN 48
+        |             WHEN 7 THEN 56 WHEN 8 THEN 64 WHEN 9 THEN 80
+        |             WHEN 10 THEN 96 WHEN 11 THEN 112 WHEN 12 THEN 128
+        |             WHEN 13 THEN 144 ELSE 160 END
+        |         END) AS kbps_sum
+        |  FROM d CROSS JOIN generate_series(0, 8) AS gj(j)
+        |  WHERE gj.j < d.n GROUP BY d.doc_id),
+        |rt AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN d.v1 THEN
+        |           CASE d.doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |                ELSE 32000 END
+        |         ELSE
+        |           CASE d.doc_id % 3 WHEN 0 THEN 22050 WHEN 1 THEN 24000
+        |                ELSE 16000 END END AS rate
+        |  FROM d)
+        |SELECT d.doc_id, NOT d.corrupt AS parsed,
+        |  CASE WHEN d.corrupt THEN NULL
+        |       WHEN d.v1 THEN '1' ELSE '2' END AS version,
+        |  CASE WHEN d.corrupt THEN NULL ELSE CAST(rt.rate AS BIGINT) END
+        |    AS sample_rate,
+        |  CASE WHEN d.corrupt THEN NULL ELSE CAST(d.n AS BIGINT) END
+        |    AS n_frames,
+        |  CASE WHEN d.corrupt THEN NULL ELSE d.is_cbr END AS cbr,
+        |  CASE WHEN d.corrupt THEN NULL ELSE CAST(br.kbps_sum AS BIGINT) END
+        |    AS kbps_sum,
+        |  CASE WHEN d.corrupt THEN NULL
+        |       ELSE CAST(d.n * (CASE WHEN d.v1 THEN 1152 ELSE 576 END)
+        |            * 1000 // rt.rate AS BIGINT) END AS duration_ms,
+        |  CASE WHEN d.corrupt THEN NULL
+        |       ELSE CAST(CASE WHEN d.doc_id % 3 = 0
+        |                 THEN 30 + d.doc_id % 40 ELSE 0 END AS BIGINT) END
+        |    AS id3v2_bytes,
+        |  CASE WHEN d.corrupt THEN NULL ELSE d.doc_id % 4 = 1 END
+        |    AS has_id3v1
+        |FROM d JOIN br ON d.doc_id = br.doc_id
+        |JOIN rt ON d.doc_id = rt.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q_parquet_real" ->
       """SELECT * FROM (

@@ -76,6 +76,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT mp4_tracks(cast('not an mp4' as binary)) IS NULL") === true)
     assert(one[Boolean](
       "SELECT parquet_footer(cast('PAR1 nope' as binary)) IS NULL") === true)
+    assert(one[Boolean](
+      "SELECT mp3_meta(cast('not audio' as binary)) IS NULL") === true)
   }
 
   test("the asof planner strategy and codec-elimination rule ride the " +

@@ -19,7 +19,17 @@ class WebpSpec extends AnyFunSuite {
       assert(meta.width == w && meta.height == h, s"id=$id")
       assert(meta.hasAlpha == ((mode == 1 && id % 2 == 1) || mode == 2))
       assert(meta.hasAnim == (mode == 2))
-      assert(meta.nChunks == (if (mode == 2) 3 else 1))
+      // round-12: extended files carry ANIM + 2-4 ANMF frames
+      val nf = (2 + (id / 3) % 3).toInt
+      assert(meta.nChunks == (if (mode == 2) 4 + nf else 1), s"id=$id")
+      if (mode == 2) {
+        assert(meta.nFrames == nf, s"id=$id")
+        assert(meta.loopCount == (id % 7).toInt, s"id=$id")
+        val wantMs = (0 until nf).map(j => 40L + (id + j * 7) % 200).sum
+        assert(meta.animMs == wantMs, s"id=$id")
+      } else {
+        assert(meta.nFrames == 0 && meta.loopCount == 0 && meta.animMs == 0L)
+      }
       assert(Webp.meta(Webp.synth(id, w, h, corrupt = true)).isEmpty)
       assert(BlobKind.kind(Webp.synth(id, w, h, corrupt = false)) == "webp")
     }

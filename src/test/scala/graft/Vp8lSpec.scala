@@ -143,6 +143,122 @@ class Vp8lSpec extends AnyFunSuite {
       .asInstanceOf[Int] >= 1) // (-1,1) at xsize=1 -> 0 -> clamped to 1
   }
 
+  test("HAND-ASSEMBLED stream: normal code with 17/18 zero runs + a " +
+    "2D-mapped LZ77 distance (decoder-only paths the encoder never emits)") {
+    // 4x2 image. Green tree via the NORMAL code-length path: symbols
+    // {100 (literal), 257 (length code 1 -> copy length 2)} at 1 bit
+    // each, declared with 18-repeats of zeros. Distance tree is a
+    // single-symbol {0}: prefix value 1 -> plane code 1 -> DistMap[0]
+    // = (0,1) -> dist = xsize: row 2 copies row 1 through the 2D map
+    // (our encoder only ever emits codes > 120).
+    val bw = new graft.functions.ZstdCodec.BitWriter
+    def bits(s: String): Unit = s.foreach(c => bw.add(if (c == '1') 1L else 0L, 1))
+    def simpleSingle(sym: Int): Unit = {
+      bw.add(1L, 1); bw.add(0L, 1) // simple, one symbol
+      if (sym < 2) { bw.add(0L, 1); bw.add(sym.toLong, 1) }
+      else { bw.add(1L, 1); bw.add(sym.toLong, 8) }
+    }
+    bits("0") // no transforms
+    bits("0") // no color cache
+    bits("0") // no meta prefix
+    // --- green tree, normal form
+    bits("0") // not simple
+    bw.add(0L, 4) // num_code_lengths = 4 (covers ClOrder 17,18,0,1)
+    bw.add(0L, 3) // len(17) = 0
+    bw.add(1L, 3) // len(18) = 1
+    bw.add(0L, 3) // len(0) = 0
+    bw.add(1L, 3) // len(1) = 1
+    // canonical cl tree: sym1 -> 0, sym18 -> 1 (ascending symbol order)
+    bits("0") // no max-symbol cut
+    // lengths: 100 zeros, 1, 138+18 zeros, 1, 22 zeros  (total 280)
+    bits("1"); bw.add(89L, 7) // 18: 11+89 = 100 zeros
+    bits("0") // symbol 100 -> length 1
+    bits("1"); bw.add(127L, 7) // 18: 138 zeros
+    bits("1"); bw.add(7L, 7) // 18: 18 zeros  (-> at symbol 257)
+    bits("0") // symbol 257 -> length 1
+    bits("1"); bw.add(11L, 7) // 18: 22 zeros -> 280 total
+    // --- red {7}, blue {9}, alpha {255}, distance {0}
+    simpleSingle(7); simpleSingle(9); simpleSingle(255); simpleSingle(0)
+    // --- pixels: green canonical: 100 -> code 0, 257 -> code 1
+    bits("0000") // row 1: four literals (r/b/a are zero-bit)
+    bits("1") // copy: length sym 257 -> prefixVal(1) = 2; dist sym 0 bits
+    bits("1") // second copy of 2
+    bw.alignForward()
+    val stream = bw.toArray
+    // wrap as RIFF/WEBP VP8L 4x2
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = (0 until 4).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    out.write("RIFF".getBytes, 0, 4); w32(4 + 8 + 5 + stream.length + ((5 + stream.length) & 1))
+    out.write("WEBP".getBytes, 0, 4); out.write("VP8L".getBytes, 0, 4)
+    w32(5L + stream.length)
+    out.write(0x2f)
+    w32(3L | (1L << 14)) // (w-1)=3, (h-1)=1
+    out.write(stream, 0, stream.length)
+    if (((5 + stream.length) & 1) == 1) out.write(0)
+    val img = Vp8l.decode(out.toByteArray)
+    assert(img.isDefined, "hand-assembled stream did not decode")
+    assert(img.get.width == 4 && img.get.height == 2)
+    val want = 0xff000000 | (7 << 16) | (100 << 8) | 9
+    assert(img.get.argb.forall(_ == want),
+      img.get.argb.map(v => f"0x$v%08x").mkString(","))
+  }
+
+  test("HAND-ASSEMBLED stream: meta-prefix entropy image with two " +
+    "huffman groups (the encoder never writes one)") {
+    // 8x1 image, metaBits=2 -> entropy image 2x1: tile 0 -> group 0,
+    // tile 1 -> group 1. All main trees are single-symbol (zero bits
+    // per pixel), so the pixel values come ENTIRELY from which group
+    // the tile lookup selects.
+    val bw = new graft.functions.ZstdCodec.BitWriter
+    def bits(s: String): Unit = s.foreach(c => bw.add(if (c == '1') 1L else 0L, 1))
+    def simpleSingle(sym: Int): Unit = {
+      bw.add(1L, 1); bw.add(0L, 1)
+      if (sym < 2) { bw.add(0L, 1); bw.add(sym.toLong, 1) }
+      else { bw.add(1L, 1); bw.add(sym.toLong, 8) }
+    }
+    def simplePair(s0: Int, s1: Int): Unit = {
+      bw.add(1L, 1); bw.add(1L, 1)
+      if (s0 < 2) { bw.add(0L, 1); bw.add(s0.toLong, 1) }
+      else { bw.add(1L, 1); bw.add(s0.toLong, 8) }
+      bw.add(s1.toLong, 8)
+    }
+    bits("0"); bits("0") // no transforms, no cache
+    bits("1") // meta prefix present
+    bw.add(0L, 3) // metaBits = 2
+    // ---- entropy image stream (2x1, level != 0): cache bit + 5 trees
+    bits("0") // no cache
+    simplePair(0, 1) // green: {0, 1} -> group index = green
+    simpleSingle(0) // red
+    simpleSingle(0) // blue
+    simpleSingle(255) // alpha
+    simpleSingle(0) // distance
+    bits("0"); bits("1") // entropy pixels: tile0 -> 0, tile1 -> 1
+    // ---- group 0 trees: literal (a=255, r=1, g=65, b=2)
+    simpleSingle(65); simpleSingle(1); simpleSingle(2); simpleSingle(255)
+    simpleSingle(0)
+    // ---- group 1 trees: literal (a=255, r=3, g=66, b=4)
+    simpleSingle(66); simpleSingle(3); simpleSingle(4); simpleSingle(255)
+    simpleSingle(0)
+    // ---- main pixels: 8 x zero bits
+    bw.alignForward()
+    val stream = bw.toArray
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = (0 until 4).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    out.write("RIFF".getBytes, 0, 4); w32(4 + 8 + 5 + stream.length + ((5 + stream.length) & 1))
+    out.write("WEBP".getBytes, 0, 4); out.write("VP8L".getBytes, 0, 4)
+    w32(5L + stream.length)
+    out.write(0x2f)
+    w32(7L | (0L << 14)) // (w-1)=7, (h-1)=0
+    out.write(stream, 0, stream.length)
+    if (((5 + stream.length) & 1) == 1) out.write(0)
+    val img = Vp8l.decode(out.toByteArray)
+    assert(img.isDefined, "meta-prefix stream did not decode")
+    val a = 0xff000000 | (1 << 16) | (65 << 8) | 2
+    val b = 0xff000000 | (3 << 16) | (66 << 8) | 4
+    assert(img.get.argb.toSeq == Seq(a, a, a, a, b, b, b, b),
+      img.get.argb.map(v => f"0x$v%08x").mkString(","))
+  }
+
   test("synth modes 0..5 decode back to the synthPixels arithmetic") {
     for (mode <- 0 to 5; id <- Seq(0L, 23L, 46L, 391L)) {
       val w = 20 + (id % 13).toInt

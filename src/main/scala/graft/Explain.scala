@@ -84,6 +84,12 @@ object Explain {
     // groupedRank row — so quartile ranks are row-local arithmetic in
     // ONE filter+agg pass. Isolated TimeQ min-of-5 = 1.64 s
     "q_qcd" -> 1.64,
+    // round 12: LOF re-shaped — the rnk<=3 filter moved BEFORE the
+    // checkpoint so InferWindowGroupLimit turns the in-bucket ranking
+    // into a per-partition top-3 heap and the checkpoint holds 3 rows
+    // per point, not every pair; isolated TimeQ min-of-4 = 1.34 s
+    // (was 2.29 s on the same degraded host pre-reshape)
+    "q_lof" -> 1.34,
     // round 12: interference runs a degree-capped co-purchase
     // self-join (checkpointed distinct frame, broadcast df-cap guard)
     // + downstream aggregates — a multi-pass floor (drv jobs);

@@ -64,6 +64,7 @@ object BlobKind {
     if (ascii(257, "ustar")) return "tar"
     if (ascii(0, "WARC/1.")) return "warc"
     if (ascii(0, "PAR1")) return "parquet"
+    if (ascii(0, "OggS")) return "ogg"
     // ID3v2-tagged MP3 only: a bare 0xFFEx frame sync is too weak to
     // sniff (random binary matches it constantly — the brotli lesson)
     if (ascii(0, "ID3")) return "mp3"

@@ -168,6 +168,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("mp4_tracks", classOf[Mp4Tracks], Mp4Tracks)
     unary("parquet_footer", classOf[ParquetFooterMeta], ParquetFooterMeta)
     unary("mp3_meta", classOf[Mp3Meta], Mp3Meta)
+    unary("ogg_meta", classOf[OggMeta], OggMeta)
     unary("webp_meta", classOf[WebpMeta], WebpMeta)
     unary("vp8l_stats", classOf[Vp8lStats], Vp8lStats)
     binary("blob_kind_hinted", classOf[BlobKindHinted], BlobKindHinted)

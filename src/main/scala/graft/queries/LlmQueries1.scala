@@ -1425,7 +1425,12 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
     val vecs = emb.join(assign, "vec_id")
       .select(col("cid"), col("vec_id"), col("embedding"))
       .localCheckpoint(eager = false)
-    val d2 = vecs.as("a").join(vecs.as("b"),
+    // round-12 re-shape: filter rnk <= 3 BEFORE the checkpoint so
+    // InferWindowGroupLimit turns the ranking into a per-partition
+    // top-3 heap (partial + final) and the checkpoint materializes
+    // 3 rows per point, not every in-bucket pair — the checkpoint
+    // used to sit between the window and the filter, blocking both
+    val top3 = vecs.as("a").join(vecs.as("b"),
         col("a.cid") === col("b.cid") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.cid").as("cid"), col("a.vec_id").as("p"),
@@ -1434,10 +1439,11 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
           col("b.embedding")).as("d2"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("p")).orderBy(col("d2"), col("o"))))
+      .filter(col("rnk") <= 3)
       .localCheckpoint(eager = false)
-    val kdist = d2.filter(col("rnk") === 3)
+    val kdist = top3.filter(col("rnk") === 3)
       .select(col("p").as("o"), col("d2").as("kdist_o"))
-    val neighbors = d2.filter(col("rnk") <= 3)
+    val neighbors = top3
       .join(kdist, "o")
       .withColumn("reach", greatest(col("d2"), col("kdist_o")))
     val lrd = neighbors.groupBy(col("cid"), col("p"))

@@ -412,6 +412,31 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** Ogg container triage (RFC 3533 page walk, round-12 — the
+    * free-codec A/V member: Opus/Vorbis/Theora all ship in Ogg
+    * pages): capture pattern, version gate, BOS/EOS flags, 64-bit
+    * granule ladders, serial-keyed stream counting, lacing-table
+    * payload sums, codec identity from the first BOS magic
+    * (opus/vorbis rotating). Pages must tile the blob exactly; every
+    * seventh file breaks the second page's capture pattern -> null.
+    * CRC32 walked over, not verified (triage scope, stated). */
+  private[graft] def qOggMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ogg._
+    val d = t(s, dir, "documents").filter(col("doc_id") % 51 === 0)
+      .select(col("doc_id"), expr("(doc_id div 51) % 7 = 3").as("corrupt"))
+    d.select(col("doc_id"),
+        ogg_meta(synth_ogg(col("doc_id"), col("corrupt"))).as("m"))
+      .select(col("doc_id"), col("m").isNotNull.as("parsed"),
+        col("m.n_pages").cast("long").as("n_pages"),
+        col("m.n_streams").cast("long").as("n_streams"),
+        col("m.n_bos").cast("long").as("n_bos"),
+        col("m.n_eos").cast("long").as("n_eos"),
+        col("m.payload_bytes").as("payload_bytes"),
+        col("m.max_granule").as("max_granule"),
+        col("m.codec").as("codec"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MP3 frame-walk triage (round-12 — completes the audio container
     * family): ID3v2 syncsafe skip, MPEG-1/2 Layer III headers against
     * the published kbps/rate tables, exact frame tiling
@@ -1285,6 +1310,7 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_webp_anim" -> (qWebpAnim _),
     "q_parquet_footer" -> (qParquetFooter _),
     "q_mp3_meta" -> (qMp3Meta _),
+    "q_ogg_meta" -> (qOggMeta _),
     "q_parquet_real" -> (qParquetReal _),
     "q_webp_lossless" -> (qWebpLossless _),
     "q_proto_decode" -> (qProtoDecode _),
@@ -1883,6 +1909,48 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
         |    AS has_id3v1
         |FROM d JOIN br ON d.doc_id = br.doc_id
         |JOIN rt ON d.doc_id = rt.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_ogg_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id, ((doc_id // 51) % 7 = 3) AS corrupt,
+        |         1 + doc_id % 2 AS ns
+        |  FROM documents WHERE doc_id % 51 = 0),
+        |pg AS (
+        |  SELECT d.doc_id,
+        |         SUM(2 + (d.doc_id + gs.s) % 3) AS n_pages
+        |  FROM d CROSS JOIN generate_series(0, 1) AS gs(s)
+        |  WHERE gs.s < d.ns GROUP BY d.doc_id),
+        |pay AS (
+        |  SELECT d.doc_id,
+        |         SUM(40 + (d.doc_id + gs.s * 7 + gj.j * 3) % 200) AS payload
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 1) AS gs(s)
+        |  CROSS JOIN generate_series(0, 4) AS gj(j)
+        |  WHERE gs.s < d.ns AND gj.j < 2 + (d.doc_id + gs.s) % 3
+        |  GROUP BY d.doc_id),
+        |gr AS (
+        |  SELECT d.doc_id,
+        |         (d.doc_id % 97) * 100 + (d.ns - 1) * 10
+        |           + (2 + (d.doc_id + d.ns - 1) % 3) - 1 AS max_granule
+        |  FROM d)
+        |SELECT d.doc_id, NOT d.corrupt AS parsed,
+        |  CASE WHEN d.corrupt THEN NULL ELSE CAST(pg.n_pages AS BIGINT) END
+        |    AS n_pages,
+        |  CASE WHEN d.corrupt THEN NULL ELSE CAST(d.ns AS BIGINT) END
+        |    AS n_streams,
+        |  CASE WHEN d.corrupt THEN NULL ELSE CAST(d.ns AS BIGINT) END
+        |    AS n_bos,
+        |  CASE WHEN d.corrupt THEN NULL ELSE CAST(d.ns AS BIGINT) END
+        |    AS n_eos,
+        |  CASE WHEN d.corrupt THEN NULL ELSE CAST(pay.payload AS BIGINT) END
+        |    AS payload_bytes,
+        |  CASE WHEN d.corrupt THEN NULL ELSE CAST(gr.max_granule AS BIGINT) END
+        |    AS max_granule,
+        |  CASE WHEN d.corrupt THEN NULL
+        |       WHEN d.doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec
+        |FROM d JOIN pg ON d.doc_id = pg.doc_id
+        |JOIN pay ON d.doc_id = pay.doc_id
+        |JOIN gr ON d.doc_id = gr.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q_parquet_real" ->
       """SELECT * FROM (

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{BlobKind, Ogg}
+
+/** RFC 3533 page walk: synth replay, strict tiling, codec magic
+  * dispatch, fuzz. */
+class OggSpec extends AnyFunSuite {
+
+  test("synth streams replay the arithmetic (1- and 2-stream files)") {
+    for (id <- 0L to 19L) {
+      val m = Ogg.meta(Ogg.synth(id, corrupt = false))
+      assert(m.isDefined, s"id=$id")
+      val nS = (1 + id % 2).toInt
+      val pages = (0 until nS).map(s => (2 + (id + s) % 3).toInt)
+      assert(m.get.nPages === pages.sum, s"id=$id")
+      assert(m.get.nStreams === nS && m.get.nBos === nS && m.get.nEos === nS)
+      val wantPayload = (0 until nS).flatMap(s =>
+        (0 until pages(s)).map(j => 40L + (id + s * 7 + j * 3) % 200)).sum
+      assert(m.get.payloadBytes === wantPayload, s"id=$id")
+      val wantGranule = (0 until nS).flatMap(s =>
+        (0 until pages(s)).map(j => (id % 97) * 100 + s * 10 + j)).max
+      assert(m.get.maxGranule === wantGranule, s"id=$id")
+      assert(m.get.codec === (if (id % 2 == 0) "opus" else "vorbis"))
+      assert(Ogg.meta(Ogg.synth(id, corrupt = true)).isEmpty, s"id=$id")
+      assert(BlobKind.kind(Ogg.synth(id, corrupt = false)) === "ogg")
+    }
+  }
+
+  test("strict tiling and reserved-bit gates") {
+    val blob = Ogg.synth(4L, corrupt = false)
+    // truncation: a prefix ending exactly on a page boundary is a
+    // legal shorter stream; anything else fails
+    val full = Ogg.meta(blob).get
+    for (k <- 0 until blob.length) {
+      val r = Ogg.meta(blob.take(k))
+      assert(r.isEmpty || r.get.nPages < full.nPages, s"at $k")
+    }
+    assert(Ogg.meta(blob ++ Array[Byte](1, 2)).isEmpty) // trailing garbage
+    assert(Ogg.meta(null).isEmpty)
+    assert(Ogg.meta(Array.empty[Byte]).isEmpty)
+    val ver = blob.clone(); ver(4) = 1 // stream structure version != 0
+    assert(Ogg.meta(ver).isEmpty)
+    val flags = blob.clone(); flags(5) = 0x12 // reserved header-type bit
+    assert(Ogg.meta(flags).isEmpty)
+  }
+
+  test("bit-flip fuzz: null or sane, never a throw") {
+    var s = 31337L
+    for (id <- Seq(1L, 6L, 13L); _ <- 0 until 500) {
+      val blob = Ogg.synth(id, corrupt = false)
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val pos = math.floorMod((s >>> 33).toInt, blob.length)
+      s = s * 6364136223846793005L + 1442695040888963407L
+      blob(pos) = (blob(pos) ^ (1 << math.floorMod((s >>> 33).toInt, 8))).toByte
+      Ogg.meta(blob) match {
+        case None =>
+        case Some(m) => assert(m.nPages >= 1 && m.nStreams >= 1)
+      }
+    }
+  }
+}

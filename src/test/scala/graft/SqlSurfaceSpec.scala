@@ -78,6 +78,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT parquet_footer(cast('PAR1 nope' as binary)) IS NULL") === true)
     assert(one[Boolean](
       "SELECT mp3_meta(cast('not audio' as binary)) IS NULL") === true)
+    assert(one[Boolean](
+      "SELECT ogg_meta(cast('OggS nope' as binary)) IS NULL") === true)
   }
 
   test("the asof planner strategy and codec-elimination rule ride the " +

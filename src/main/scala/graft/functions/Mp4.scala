@@ -250,7 +250,13 @@ object Mp4 {
                               else {
                                 val fixed = u32(b, f6 + 4)
                                 val cnt = u32(b, f6 + 8)
-                                if (fixed != 0) { sampleBytes = fixed * cnt; true }
+                                // fixed and cnt are both u32: the product can
+                                // overflow Long (2^64 > Long.Max); a hostile
+                                // file must be rejected, not reported garbage
+                                if (fixed != 0) {
+                                  if (cnt > Long.MaxValue / fixed) false
+                                  else { sampleBytes = fixed * cnt; true }
+                                }
                                 else if (t6o - f6 < 12 + cnt * 4) false
                                 else {
                                   var total = 0L

@@ -19,7 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * identity from its published magic ("OpusHead", \x01vorbis,
   * \x80theora, "fishead\0" for skeleton). The page CRC32 field is
   * walked over, not verified (triage scope, like the mp4/webp
-  * envelopes — stated). Never throws; malformation -> null. */
+  * envelopes — stated). Distinct-stream tracking is BOUNDED at 64
+  * serials (per-row memory guard: a hostile blob is one page per 27
+  * bytes, so unbounded tracking is O(blob) heap per row); a 65th
+  * distinct serial is treated as out of triage scope and returns
+  * None rather than silently reporting a saturated count (round-12
+  * advice #1). Never throws; malformation -> null. */
 object Ogg {
 
   final case class Meta(nPages: Int, nStreams: Int, nBos: Int, nEos: Int,
@@ -56,7 +61,8 @@ object Ogg {
       val payloadStart = p + 27 + nSegs
       if (payloadStart + segSum > b.length) return None
       nPages += 1
-      if (serials.size < 64) serials += serial
+      serials += serial
+      if (serials.size > 64) return None // bounded triage scope (see doc)
       if ((hType & 0x02) != 0) {
         nBos += 1
         if (codec == null && segSum >= 8) {

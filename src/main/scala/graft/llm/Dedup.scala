@@ -391,10 +391,16 @@ object Dedup {
     * digests shuffle, never text. */
   def dupSpanFractions(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 24, stride: Int = 4, salts: Int = 64): DataFrame = {
+    // Documents shorter than `window` chars have no spans: guarded HERE
+    // (not just in callers) because sequence(1, len-(w-1), stride) throws
+    // on start > stop — the empty array explodes to zero rows, so such
+    // docs contribute no output row (round-12 advice #2).
     val spans = docs.select(col(idCol).as("doc_id"),
       explode(expr(
-        s"transform(sequence(1, length($textCol) - ${window - 1}, $stride)," +
-          s" i -> md5(cast(substring($textCol, i, $window) as binary)))"))
+        s"CASE WHEN length($textCol) >= $window THEN " +
+          s"transform(sequence(1, length($textCol) - ${window - 1}, $stride)," +
+          s" i -> md5(cast(substring($textCol, i, $window) as binary))) " +
+          s"ELSE array() END"))
         .as("digest"))
       .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)))
       .repartition(col("digest"), col("salt"))

@@ -553,29 +553,52 @@ private[graft] trait QueryShared { this: SparkEntry.type =>
     * posexplode+slice form, NOT a nested transform lambda: higher-order
     * functions evaluate interpreted and measure 4× slower than the
     * generator pipeline at 5M rows (ScaleSpec pins the shape's
-    * equivalence and the probe records both timings). Returns
-    * (n_baskets agg, per-item supports, per-pair supports); callers
-    * apply their own minsup thresholds, and their inner joins against
-    * the frequent-item list reproduce the a-priori prune exactly
-    * (a pair surviving the pair threshold with a non-frequent member
-    * is dropped by the join, same as never generating it). */
+    * equivalence and the probe records both timings).
+    *
+    * Round-13 re-shape (BENCH_r12 hard-budget breach, 2.69 s): the
+    * item-support table and the basket total now come back as DRIVER
+    * values from ONE job over the checkpointed sets — posexplode marks
+    * pos=0 exactly once per basket, so summing the pos=0 indicator
+    * across the item groups recovers n_baskets with no separate count
+    * job. The old all-DataFrame shape rebuilt the itemSupp/tot chains
+    * once per broadcast-build (3-5 jobs per caller: tot rode in THREE
+    * broadcasts, freq in two — each a full re-aggregation of the
+    * checkpoint). The collect is bounded by the ITEM DOMAIN (p_brand:
+    * 25 values at every SF — a dimension, not data; require-fenced at
+    * 1024), the same bounded-driver-state class as the set-cover
+    * masks; an unbounded item domain needs the all-DataFrame shape
+    * back. Returns (n_baskets, per-item supports, per-pair supports
+    * DataFrame); callers apply their own minsup thresholds driver-side
+    * and join pairs against the tiny frequent list as a LOCAL relation
+    * (broadcast with no build job), reproducing the a-priori prune
+    * exactly (a pair surviving the pair threshold with a non-frequent
+    * member is dropped by the join, same as never generating it). */
   private[graft] def basketCore(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (Long, Seq[(String, Long)], DataFrame) = {
     val sets = t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("items"))
       .localCheckpoint(eager = false)
-    val tot = sets.agg(count(lit(1)).as("n_baskets"))
-    val itemSupp = sets.select(explode(col("items")).as("item"))
-      .groupBy(col("item")).agg(count(lit(1)).as("supp"))
+    val itemRows = sets
+      .select(posexplode(col("items")).as(Seq("pos", "item")))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("supp"),
+        sum(when(col("pos") === 0, 1L).otherwise(0L)).as("firsts"))
+      .collect()
+    require(itemRows.length <= 1024,
+      "basketCore collects the per-item support table: valid only while " +
+        "the item domain stays bounded (p_brand = 25 at every SF); an " +
+        "unbounded item domain needs the all-DataFrame shape")
+    val nBaskets = itemRows.map(_.getLong(2)).sum
+    val items = itemRows.map(r => (r.getString(0), r.getLong(1))).toSeq
     val pairSupp = sets
       .select(col("items"), posexplode(col("items")).as(Seq("i", "i1")))
       .select(col("i1"),
         explode(expr("slice(items, i + 2, size(items))")).as("i2"))
       .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("supp_pair"))
-    (tot, itemSupp, pairSupp)
+    (nBaskets, items, pairSupp)
   }
 
   /** Shared oracle CTE chain replaying one Lloyd round (seed = lowest-8

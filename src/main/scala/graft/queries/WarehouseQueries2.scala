@@ -533,17 +533,16 @@ private[graft] trait WarehouseQueries2 { this: SparkEntry.type =>
     * confidence (both directions), and lift are exact integer ppm. */
   private[graft] def qItemsets(s: SparkSession, dir: String): DataFrame = {
     // shared collect_set + inline-pair core (QueryShared.basketCore):
-    // one wide shuffle, pair generation inside the row, no self-join
-    val (tot, itemSupp, pairSupp) = basketCore(s, dir)
-    val freq = itemSupp
-      .crossJoin(broadcast(tot))
-      .filter(col("supp") * 20 >= col("n_baskets"))   // item minsup 5%
-      .select(col("item"), col("supp"))
+    // one wide shuffle, pair generation inside the row, no self-join;
+    // item supports + basket total are driver values (bounded by the
+    // 25-value brand domain), so the frequent list joins as a LOCAL
+    // relation — no broadcast-build jobs re-running the agg chains
+    val (nBaskets, items, pairSupp) = basketCore(s, dir)
+    val freq = items.filter { case (_, supp) => supp * 20 >= nBaskets } // item minsup 5%
     pairSupp.withColumnRenamed("supp_pair", "supp")
-      .crossJoin(broadcast(tot))
-      .filter(col("supp") * 100 >= col("n_baskets"))  // pair minsup 1%
-      .join(broadcast(freq.select(col("item").as("i1"), col("supp").as("s1"))), "i1")
-      .join(broadcast(freq.select(col("item").as("i2"), col("supp").as("s2"))), "i2")
+      .filter(col("supp") * 100 >= lit(nBaskets))     // pair minsup 1%
+      .join(broadcast(s.createDataFrame(freq).toDF("i1", "s1")), "i1")
+      .join(broadcast(s.createDataFrame(freq).toDF("i2", "s2")), "i2")
       .select(col("i1"), col("i2"), col("supp"), col("s1"), col("s2"),
         expr("supp * 1000000 div s1").as("conf12_ppm"),
         expr("supp * 1000000 div s2").as("conf21_ppm"),
@@ -551,7 +550,7 @@ private[graft] trait WarehouseQueries2 { this: SparkEntry.type =>
         // once baskets reach ~10^7 (ANSI would kill the query at the
         // very scale a-priori is for); conf12 <= 1e6 keeps the
         // intermediate bounded by 1e6 * n_baskets
-        expr("(supp * 1000000 div s1) * n_baskets div s2").as("lift_ppm"))
+        expr(s"(supp * 1000000 div s1) * ${nBaskets}L div s2").as("lift_ppm"))
       .orderBy(col("i1"), col("i2"))
   }
 
@@ -1037,22 +1036,19 @@ private[graft] trait WarehouseQueries2 { this: SparkEntry.type =>
     * drift. Basket list materializes once; every stage is the
     * inverted-index pair join, never baskets×baskets. */
   private[graft] def qAssocRules(s: SparkSession, dir: String): DataFrame = {
-    // shared collect_set + inline-pair core (QueryShared.basketCore)
-    val (tot, itemSupp, pairSupp) = basketCore(s, dir)
-    val freq = itemSupp
-      .crossJoin(broadcast(tot))
-      .filter(col("supp") * 20 >= col("n_baskets"))
-      .select(col("item"), col("supp"))
-      .localCheckpoint(eager = false)
+    // shared collect_set + inline-pair core (QueryShared.basketCore);
+    // the frequent list is a driver value (25-value brand domain) —
+    // joined as a LOCAL relation, no broadcast-build jobs
+    val (nBaskets, items, pairSupp) = basketCore(s, dir)
+    val freq = items.filter { case (_, supp) => supp * 20 >= nBaskets }
     pairSupp
-      .join(broadcast(freq.select(col("item").as("i1"), col("supp").as("s1"))), "i1")
-      .join(broadcast(freq.select(col("item").as("i2"), col("supp").as("s2"))), "i2")
-      .crossJoin(broadcast(tot))
       .filter(col("supp_pair") >= 20)
+      .join(broadcast(s.createDataFrame(freq).toDF("i1", "s1")), "i1")
+      .join(broadcast(s.createDataFrame(freq).toDF("i2", "s2")), "i2")
       .select(col("i1"), col("i2"), col("supp_pair"),
         expr("(1000000 * supp_pair) div s1").as("conf12_ppm"),
         expr("(1000000 * supp_pair) div s2").as("conf21_ppm"),
-        expr("(1000000 * supp_pair * n_baskets) div (s1 * s2)").as("lift_ppm"))
+        expr(s"(1000000 * supp_pair * ${nBaskets}L) div (s1 * s2)").as("lift_ppm"))
       .orderBy(col("i1"), col("i2"))
   }
 

@@ -46,6 +46,26 @@ class OggSpec extends AnyFunSuite {
     assert(Ogg.meta(flags).isEmpty)
   }
 
+  test("distinct-serial bound: 64 streams triage, a 65th returns None") {
+    // hand-rolled minimal pages: 27-byte header, zero segments, BOS set
+    def page(serial: Long): Array[Byte] = {
+      val b = new Array[Byte](27)
+      b(0) = 'O'; b(1) = 'g'; b(2) = 'g'; b(3) = 'S'
+      b(5) = 0x02 // BOS
+      var k = 0
+      while (k < 4) { b(14 + k) = ((serial >> (8 * k)) & 0xff).toByte; k += 1 }
+      b(26) = 0 // zero lacing segments
+      b
+    }
+    def blobOf(n: Int): Array[Byte] =
+      (0 until n).toArray.flatMap(i => page(5000L + i))
+    val ok = Ogg.meta(blobOf(64))
+    assert(ok.isDefined && ok.get.nStreams === 64 && ok.get.nPages === 64)
+    // the silent-saturation bug: 65+ streams must NOT report 64
+    assert(Ogg.meta(blobOf(65)).isEmpty)
+    assert(Ogg.meta(blobOf(80)).isEmpty)
+  }
+
   test("bit-flip fuzz: null or sane, never a throw") {
     var s = 31337L
     for (id <- Seq(1L, 6L, 13L); _ <- 0 until 500) {

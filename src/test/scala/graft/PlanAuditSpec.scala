@@ -303,6 +303,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(Explain.readBenchSecs(latest.get).nonEmpty)
   }
 
+  test("reshape exemption is keyed to the stale bench file only") {
+    // round-13: a hard breach recorded in a driver file that PREDATES a
+    // measured re-shape of the query is evidence about deleted code —
+    // exempt for exactly that file, armed again everywhere else
+    val names = Set("q_itemsets", "q_fake_slow")
+    val staleRow = Map("q_itemsets" -> 2.69)
+    // exempt when the source IS the recorded pre-reshape file…
+    assert(Explain.hardOffenders(staleRow, names, Some("BENCH_r12.json")).isEmpty)
+    // …but NOT for any later (or unknown) source: the gate re-arms
+    assert(Explain.hardOffenders(staleRow, names, Some("BENCH_r13.json"))
+      === Seq(("q_itemsets", 2.69)))
+    assert(Explain.hardOffenders(staleRow, names) === Seq(("q_itemsets", 2.69)))
+    // …and a non-reshaped query in the same stale file still fails
+    assert(Explain.hardOffenders(Map("q_fake_slow" -> 3.1), names,
+      Some("BENCH_r12.json")) === Seq(("q_fake_slow", 3.1)))
+    // every recorded post-reshape min must sit within the advisory
+    // budget, or the entry certifies a breach instead of explaining one
+    val over = Explain.ReshapedAfter.filter(_._2._2 > Explain.BudgetSecs)
+    assert(over.isEmpty, s"ReshapedAfter mins over budget: $over")
+  }
+
   test("every AdvisoryNoted isolated-min sits at or under the advisory budget") {
     // round-11 verdict #2: an AdvisoryNoted value OVER the budget it
     // cites certifies a breach instead of explaining one

@@ -285,7 +285,14 @@ object ScaleProbe {
           pmod(id, lit(6)).cast("int")),
         b => graft.functions.vp8l.vp8l_stats(b).getField("px_sum")),
       ("tiff_rgb", graft.functions.tiff.synth_tiff(id, W, H, lit(true), lit(false)),
-        b => graft.functions.tiff.tiff_stats(b).getField("px_sum")))
+        b => graft.functions.tiff.tiff_stats(b).getField("px_sum")),
+      // round-13: VP8 lossy key-frame pixel decode — all six encoder
+      // feature sets (16x16+Y2 / B_PRED+simple-filter / segmentation+
+      // 4 partitions / lf-deltas+skip / absolute-seg / mixed), so the
+      // number covers the whole branch space incl. both loop filters
+      ("webp_vp8", graft.functions.vp8enc.synth_vp8(id, W, H,
+          pmod(id, lit(6)).cast("int")),
+        b => graft.functions.vp8.vp8_stats(b).getField("y_sum")))
     println(s"[media] base=$baseBlobs blobs of 128x96; cores=$cores; " +
       s"multipliers=${mults.mkString(",")}")
     variants.foreach { case (name, synth, stats) =>

@@ -171,6 +171,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("ogg_meta", classOf[OggMeta], OggMeta)
     unary("webp_meta", classOf[WebpMeta], WebpMeta)
     unary("vp8l_stats", classOf[Vp8lStats], Vp8lStats)
+    unary("vp8_stats", classOf[Vp8StatsExpr], Vp8StatsExpr)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("synth_vp8"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SynthVp8].getName, "synth_vp8"),
+      (es: Seq[Expression]) => {
+        require(es.length == 4, s"synth_vp8 takes 4 arguments, got ${es.length}")
+        SynthVp8(es(0), es(1), es(2), es(3))
+      }))
     binary("blob_kind_hinted", classOf[BlobKindHinted], BlobKindHinted)
     unary("qoi_stats", classOf[QoiStats], QoiStats)
     unary("tiff_stats", classOf[TiffStats], TiffStats)

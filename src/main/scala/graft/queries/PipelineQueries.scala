@@ -577,6 +577,35 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** VP8 (lossy WebP) key-frame PIXEL decode over REAL libwebp-encoded
+    * files (round-13; round-12 verdict #3 — the largest remaining pixel
+    * gap: most WebP in the wild is lossy). The fixtures were encoded by
+    * the system libwebp across sizes/qualities (segmentation, all intra
+    * mode families, both partial-MB edges) and the oracle VALUES carry
+    * libwebp's OWN YUV420 reconstruction statistics — three
+    * implementations in the loop (libwebp wrote AND independently
+    * decoded; graft decodes the bytes; DuckDB checks the numbers), the
+    * q_parquet_real pattern. Vp8Spec additionally pins every plane
+    * BIT-EXACT per pixel. Per-row kernel over binaryFile, no shuffle:
+    * the PNG/QOI family contract. */
+  private[graft] def qWebpLossy(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.vp8._
+    val fx = new java.io.File("fixtures/vp8").getAbsolutePath
+    s.read.format("binaryFile").load(s"$fx/*.webp")
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        vp8_stats(col("content")).as("st"))
+      .select(col("file"),
+        col("st.width").cast("long").as("width"),
+        col("st.height").cast("long").as("height"),
+        col("st.y_sum").as("y_sum"), col("st.u_sum").as("u_sum"),
+        col("st.v_sum").as("v_sum"),
+        col("st.y_min").cast("long").as("y_min"),
+        col("st.y_max").cast("long").as("y_max"),
+        col("st.y_md5").as("y_md5"), col("st.u_md5").as("u_md5"),
+        col("st.v_md5").as("v_md5"))
+      .orderBy(col("file"))
+  }
+
   /** Seekable zstd shards (the published zstd-contrib seekable spec) —
     * RANGE-READABLE compression, the object-storage access pattern a
     * 100 TB shard needs: four quarter-chunks packed as independent
@@ -1313,6 +1342,7 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_ogg_meta" -> (qOggMeta _),
     "q_parquet_real" -> (qParquetReal _),
     "q_webp_lossless" -> (qWebpLossless _),
+    "q_webp_lossy" -> (qWebpLossy _),
     "q_proto_decode" -> (qProtoDecode _),
     "q_charset_sniff" -> (qCharsetSniff _),
     "q_html_entities" -> (qHtmlEntities _),
@@ -1323,6 +1353,49 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_tiff_decode" -> (qTiffDecode _))
 
   private[graft] def pipelineOracleMap: Map[String, String] = Map(
+    "q_webp_lossy" ->
+      """SELECT file, CAST(width AS BIGINT) AS width,
+        |       CAST(height AS BIGINT) AS height,
+        |       CAST(y_sum AS BIGINT) AS y_sum, CAST(u_sum AS BIGINT) AS u_sum,
+        |       CAST(v_sum AS BIGINT) AS v_sum,
+        |       CAST(y_min AS BIGINT) AS y_min, CAST(y_max AS BIGINT) AS y_max,
+        |       y_md5, u_md5, v_md5
+        |FROM (VALUES
+        |  ('f00_16x16_q10.webp', 16, 16, 19364, 9024, 7936, 30, 122, '2fd17e6487c3d6d5683f9a25b2436396', '40258ba91d5df5b7ad73a255e9ae66ec', '69af4a858b33e7993c8cb4f58244d127'),
+        |  ('f01_16x16_q50.webp', 16, 16, 14592, 8272, 9112, 16, 98, '0e5bd0b4741e3604c60556ecdf2a2ae6', '097ab16e91023fbcd853807e68c40fe0', '455c66a1f888877b9b3a07ccbe861241'),
+        |  ('f02_16x16_q75.webp', 16, 16, 32269, 8272, 8181, 31, 219, 'c9ace28be30600147a3d99c833ea9a93', '05cb7fe54db9a3a6a1c01ef15a9d7046', '0a4f693da7cb4f13832381cc951a4f66'),
+        |  ('f03_16x16_q90.webp', 16, 16, 15958, 9177, 10773, 14, 115, 'cfef6fd666622b1b06ba11f238802646', '1262a5b6f91ff31d7268f41cf81c3c99', 'e8ab0a43efe364d5a145202bd1e5d335'),
+        |  ('f04_32x32_q10.webp', 32, 32, 128595, 30310, 32288, 18, 251, 'c52e25ef0964afcfce3178bbe84d5bee', '44ed67209e642e672e4db7f7a4243858', '6ba71a48d29255373c9d7fea7bc66420'),
+        |  ('f05_32x32_q50.webp', 32, 32, 111600, 34063, 33216, 16, 166, '0ebbd338e68dbf7e6b84ba068625b36d', '6851aa0d5e52520940b9f77721676e4c', '57b44b69e5dde44a0875973e250a5e30'),
+        |  ('f06_32x32_q75.webp', 32, 32, 129681, 32530, 32522, 29, 213, '2e1b757cc28a8bf173f00dbcafd76f61', '010ed1a3571b0df458ae846b962efa91', '9ed1e134040fe62934ce33db4bb70ae4'),
+        |  ('f07_32x32_q90.webp', 32, 32, 100302, 34231, 37133, 16, 184, '844bc6410905b131c6b6f264e28c4e3d', 'e018fff64b06a59985841460a56439ff', '7958ed7ab0567cda49bbbb3714799a4d'),
+        |  ('f08_48x32_q10.webp', 48, 32, 196628, 45212, 49258, 0, 252, '89ced6daa3feb283831b09a4c63d7119', '5c470753ac54cb0107d4c0c3d518d376', 'b31ec538a820c68891a94fcea97ce50c'),
+        |  ('f09_48x32_q50.webp', 48, 32, 182824, 48059, 50656, 16, 218, '8013cf6c78b82fdc2c37d577bbd8d989', '794199c088577364e78e83a70726b0aa', '51967944f26b8123c90efd1d9ebe5f6a'),
+        |  ('f10_48x32_q75.webp', 48, 32, 193716, 49258, 48923, 19, 229, '6540975445694802c71197931288796e', '723448da0f368f2f155efd8384a8ed5c', '13daa076a2e42117ae00c7399abff94c'),
+        |  ('f11_48x32_q90.webp', 48, 32, 189581, 46780, 49191, 16, 229, '5bbb0fe04183e73eab48c20517959f81', '21765d58e3ac8f8352b9c2faaa0e6257', '659b487fe5c0d82b5f89cfc2d39d7c11'),
+        |  ('f12_33x17_q10.webp', 33, 17, 54782, 20393, 20418, 30, 177, '15d9fae010951e73b4bb1fb04a7cb831', 'da3eca3fb2a30c78868f01622ca238f5', '7a79a0450d911b444d8f3d511d96b12b'),
+        |  ('f13_33x17_q50.webp', 33, 17, 47631, 22031, 22807, 16, 152, '6d0240470d35d4fd424dfa9c56dbd945', '6f2e428c4b97c9f38a579e382cdd2f5d', '0ba861a9031b3462637ba61186cffada'),
+        |  ('f14_33x17_q75.webp', 33, 17, 71105, 19574, 19465, 27, 224, 'd7a7c6897b6af38ae0e813e4cd883937', '4efbaee9937752dcd4c95ff487937e81', 'e9d011e2c2425d8d7c160e681cef948b'),
+        |  ('f15_33x17_q90.webp', 33, 17, 50823, 20141, 22123, 14, 183, 'fb8ddcb33d1dfbd8c1395710563dadf0', '271005d161d61b8b4c2a884c8615267e', '39eb626ff8139c1603965eb785d0d984'),
+        |  ('f16_64x48_q10.webp', 64, 48, 369349, 99301, 98563, 0, 252, '6eb8d2fc54ff0348d7b3548300ca1a69', '9a8f2c807adf78c1d00df7b82e42a392', '35770c3da6160b496fae91ccf02f1a54'),
+        |  ('f17_64x48_q50.webp', 64, 48, 364160, 98112, 103813, 16, 219, '463f593a3c970ccf5203c167ef3c6d82', 'd63fdb3938c58a2529b5ce00e1e7c3d6', '6a04ca74b378abc9ee193ba27f7df15b'),
+        |  ('f18_64x48_q75.webp', 64, 48, 384720, 98608, 98406, 18, 228, '66dddbbce52f8fb562e3f5d5f90d5d80', 'f1d7763a9c22f705b0121e05753ceb56', 'adfee44efe3c08c2eca264f045e6ba25'),
+        |  ('f19_64x48_q90.webp', 64, 48, 348281, 98224, 105216, 16, 231, '61d8d391456c2c5356d2cdbe8611ccb3', '6b60379a27dd0a1d67b6ecf32ce87e3d', '1662428d52dba8a34deda3dafe620a89'),
+        |  ('f20_80x64_q10.webp', 80, 64, 653798, 161825, 164113, 0, 255, 'a96340d03f81037b36442e72ddd0ceda', '32cbb5abfbca8bd52afc797d56557d79', '1a66e708298e6b395a903eca22529a42'),
+        |  ('f21_80x64_q50.webp', 80, 64, 638723, 162032, 164128, 16, 219, '916ae5065ff3b5e3818b9820252f0b89', 'e65975ec36e402543ceaeb7ebab2ab74', '9bd91ef3c63d2f85235bff6f73f71d7c'),
+        |  ('f22_80x64_q75.webp', 80, 64, 638687, 165551, 164707, 21, 231, '25b94683668f5ab8ea43fecfb146daa4', '63123c1325aacf098a74777f91584471', 'f22cec8b1106a15bd906a24f54fd8d56'),
+        |  ('f23_80x64_q90.webp', 80, 64, 634725, 157601, 164032, 16, 231, '3368a12eaa8d3dc7012297bb67e21587', '13cec687a82db0ef2a8f349988b6b4cd', '5f1e6fe7b358153c6fabeb34ff356bec'),
+        |  ('f24_129x65_q10.webp', 129, 65, 1057459, 275822, 276081, 0, 255, '6017cd20ea74a90e4da17130b553ec48', 'f8286ef2582d04e7afbbc09ac18eee9e', '7eb60eb43d6f7d39be87500b8de87f63'),
+        |  ('f25_129x65_q50.webp', 129, 65, 1057797, 270141, 275087, 17, 222, '94721ecce2e9cf90460acfa25806901d', 'e222e65c8cff51ccd9b7dc0ec63e432b', '933b3b165080812666df84d2cebeaad5'),
+        |  ('f26_129x65_q75.webp', 129, 65, 1054989, 273683, 273507, 19, 237, '9ba7c32a845be6374a4e19f03ccfcdf6', '10df859598be904c07258696addf5162', 'ef11fa80bb635d525033b441540ffb9c'),
+        |  ('f27_129x65_q90.webp', 129, 65, 1038190, 263157, 277021, 16, 232, '7afda75adf0c0e7b29e187cee28710c3', 'b71f5a4588f8c4838230ef069622a5da', '12cd2bbbf927679ba412102dec123333'),
+        |  ('f28_96x96_q10.webp', 96, 96, 1159370, 290755, 293052, 0, 253, '9a6bfd6af0085da34201fe79f7abebbd', '0e1b29fd0ad805b6a27c2ee2dbc92ee9', '3e8e439d115589a02ec38e014cb2d963'),
+        |  ('f29_96x96_q50.webp', 96, 96, 1139771, 290668, 296008, 16, 219, '5e1fd74503ce516cec228d0ae8020d56', '7f60d7ca2923ab0b0661212e04672e65', '1fe6ddb2520c13c7ef040edfab4f461e'),
+        |  ('f30_96x96_q75.webp', 96, 96, 1156961, 294595, 294743, 16, 230, 'c308c780de9606a1e51f5848f9fddbb7', 'bda1bc61762bdfe80da840c4ee47eeb9', 'c8d307d6e294eb6e3f317180ecbb709b'),
+        |  ('f31_96x96_q90.webp', 96, 96, 1122387, 292003, 299125, 16, 231, '1a074fd3ee672613cd553854e5cc68a4', 'aac998b70dd227f0259b5f1a4e2c77e1', 'f6c5b6c448fd22b0a69c789b386e1d19')
+        |) AS t(file, width, height, y_sum, u_sum, v_sum, y_min, y_max,
+        |       y_md5, u_md5, v_md5)
+        |ORDER BY file""".stripMargin,
     "q_base64_variants" ->
       """WITH d AS (
         |  SELECT doc_id, (doc_id // 11) % 4 AS mode

@@ -72,6 +72,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // brotli structural synth
     assert(one[Boolean](
       "SELECT vp8l_stats(cast('not a webp' as binary)) IS NULL") === true)
+    // round-13: VP8 lossy key-frame pixel decode
+    assert(one[Boolean](
+      "SELECT vp8_stats(cast('not a vp8 frame' as binary)) IS NULL") === true)
     assert(one[Boolean](
       "SELECT mp4_tracks(cast('not an mp4' as binary)) IS NULL") === true)
     assert(one[Boolean](

@@ -175,10 +175,24 @@ object Bench {
       "q_bradley_terry", "q_weighted_quartiles", "q_quantile_normalize",
       "q_minhash_accuracy", "q_assoc_rules", "q_partition_prune",
       "q_weighted_median", "q_novelty", "q_dedup_keep_best")
-    preJit.foreach { n =>
-      SparkEntry.queries.get(n).foreach { fn =>
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        scrub(); maybeGc()
+    // SPARK_GRAFT_PREJIT=off disables the pass entirely — the A/B knob
+    // for the drift hypothesis "the pre-JIT pass itself dirties the JVM
+    // the driver then times" (round-12 verdict #2/#3). Round-13: the
+    // iterative FloorJustified heavies run TWICE — TimeQ shows a single
+    // target-SF run leaves them far from C2 steady state (q_sssp
+    // rep1 10.97 s -> rep5 3.77 s on a quiet host; BENCH_r12 timed it
+    // at 6.28 s right after a single warm run).
+    if (!sys.env.get("SPARK_GRAFT_PREJIT").contains("off")) {
+      preJit.foreach { n =>
+        SparkEntry.queries.get(n).foreach { fn =>
+          val reps = if (Explain.FloorJustified(n)) 2 else 1
+          var r = 0
+          while (r < reps) {
+            try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+            scrub(); maybeGc()
+            r += 1
+          }
+        }
       }
     }
 

@@ -65,6 +65,9 @@ object BlobKind {
     if (ascii(0, "WARC/1.")) return "warc"
     if (ascii(0, "PAR1")) return "parquet"
     if (ascii(0, "OggS")) return "ogg"
+    if (ascii(0, "fLaC")) return "flac"
+    if (at(0) == 0x1a && at(1) == 0x45 && at(2) == 0xdf && at(3) == 0xa3)
+      return "webm" // EBML master element (WebM / Matroska)
     // ID3v2-tagged MP3 only: a bare 0xFFEx frame sync is too weak to
     // sniff (random binary matches it constantly — the brotli lesson)
     if (ascii(0, "ID3")) return "mp3"

@@ -147,7 +147,14 @@ object Mp4 {
     * complete planning envelope. */
   final case class Track(trackId: Long, handler: String, codec: String,
       mediaTimescale: Long, mediaDuration: Long, lang: String,
-      nSamples: Long, sampleBytes: Long, nChunks: Long, tkhdDuration: Long)
+      nSamples: Long, sampleBytes: Long, nChunks: Long, tkhdDuration: Long,
+      // round-13 (round-12 verdict #4 — the >4 GiB layout every real
+      // video corpus hits): 64-bit chunk offsets, composition offsets,
+      // edit lists. offsetBits = 32 (stco) or 64 (co64); -1 sentinels
+      // mean "box absent".
+      offsetBits: Int = 32, maxChunkOffset: Long = -1L,
+      nCtts: Long = -1L, cttsSampleSum: Long = -1L,
+      editCount: Long = -1L, editDurationSum: Long = -1L)
 
   def tracks(b: Array[Byte]): Option[Seq[Track]] = {
     if (b == null || b.length < 16) return None
@@ -169,6 +176,12 @@ object Mp4 {
           var nSamples = -1L
           var sampleBytes = -1L
           var nChunks = -1L
+          var offsetBits = 32
+          var maxChunkOffset = -1L
+          var nCtts = -1L
+          var cttsSampleSum = -1L
+          var editCount = -1L
+          var editDurationSum = -1L
           val ok3 = walk(b, f2, t2o) { (t3, f3, t3o) =>
             t3 match {
               case "tkhd" =>
@@ -189,6 +202,31 @@ object Mp4 {
                       true
                     }
                   case _ => false
+                }
+              case "edts" =>
+                // edit list (§8.6.5-8.6.6): count + summed segment
+                // durations, both version layouts
+                walk(b, f3, t3o) { (t4, f4, t4o) =>
+                  if (t4 != "elst") true
+                  else if (t4o - f4 < 8) false
+                  else {
+                    val v = b(f4) & 0xff
+                    val n = u32(b, f4 + 4)
+                    val entryLen = if (v == 0) 12 else if (v == 1) 20 else -1
+                    if (entryLen < 0 || t4o - f4 < 8 + n * entryLen) false
+                    else {
+                      editCount = n
+                      var tot = 0L
+                      var j = 0
+                      while (j < n) {
+                        tot += (if (v == 0) u32(b, f4 + 8 + j * entryLen)
+                          else u64(b, f4 + 8 + j * entryLen))
+                        j += 1
+                      }
+                      editDurationSum = tot
+                      true
+                    }
+                  }
                 }
               case "mdia" =>
                 walk(b, f3, t3o) { (t4, f4, t4o) =>
@@ -271,7 +309,59 @@ object Mp4 {
                               }
                             case "stco" =>
                               if (t6o - f6 < 8) false
-                              else { nChunks = u32(b, f6 + 4); true }
+                              else {
+                                val n = u32(b, f6 + 4)
+                                if (t6o - f6 < 8 + n * 4) false
+                                else {
+                                  nChunks = n; offsetBits = 32
+                                  var j = 0
+                                  while (j < n) {
+                                    val o = u32(b, f6 + 8 + j * 4)
+                                    if (o > maxChunkOffset) maxChunkOffset = o
+                                    j += 1
+                                  }
+                                  true
+                                }
+                              }
+                            case "co64" =>
+                              // the 64-bit chunk-offset form >4 GiB
+                              // files use (ISO 14496-12 §8.7.5)
+                              if (t6o - f6 < 8) false
+                              else {
+                                val n = u32(b, f6 + 4)
+                                if (t6o - f6 < 8 + n * 8) false
+                                else {
+                                  nChunks = n; offsetBits = 64
+                                  var j = 0
+                                  var neg = false
+                                  while (j < n) {
+                                    val o = u64(b, f6 + 8 + j * 8)
+                                    if (o < 0) neg = true // hostile sign bit
+                                    if (o > maxChunkOffset) maxChunkOffset = o
+                                    j += 1
+                                  }
+                                  !neg
+                                }
+                              }
+                            case "ctts" =>
+                              // composition offsets (§8.6.1.3): count
+                              // entries + sum their sample counts
+                              if (t6o - f6 < 8) false
+                              else {
+                                val n = u32(b, f6 + 4)
+                                if (t6o - f6 < 8 + n * 8) false
+                                else {
+                                  nCtts = n
+                                  var tot = 0L
+                                  var j = 0
+                                  while (j < n) {
+                                    tot += u32(b, f6 + 8 + j * 8)
+                                    j += 1
+                                  }
+                                  cttsSampleSum = tot
+                                  true
+                                }
+                              }
                             case _ => true
                           }
                         }
@@ -284,7 +374,9 @@ object Mp4 {
           }
           if (!ok3) structOk = false
           else out += Track(trackId, handler, codec, mts, mdur, lang,
-            nSamples, sampleBytes, nChunks, tkhdDur)
+            nSamples, sampleBytes, nChunks, tkhdDur,
+            offsetBits, maxChunkOffset, nCtts, cttsSampleSum,
+            editCount, editDurationSum)
           ok3
         }
       }
@@ -358,6 +450,25 @@ object Mp4 {
               w32(k + 1L); w32(0); w64(tkhdDur)
             }
           }
+          // round-13: edit list on even (id+k) — both version layouts
+          if ((id + k) % 2 == 0) {
+            box("edts") {
+              box("elst") {
+                val ne = (1 + ((id + k) / 2) % 2).toInt
+                val ev1 = (id + k) % 4 == 0
+                w32(if (ev1) 0x01000000L else 0L)
+                w32(ne.toLong)
+                var j = 0
+                while (j < ne) {
+                  val segDur = 500L + j * 100 + id % 50
+                  if (ev1) { w64(segDur); w64(j.toLong) }
+                  else { w32(segDur); w32(j.toLong) }
+                  w32(0x00010000L) // rate 1.0
+                  j += 1
+                }
+              }
+            }
+          }
           box("mdia") {
             box("mdhd") {
               if (!v1t) { w32(0); w32(0); w32(0); w32(ts); w32(md) }
@@ -400,11 +511,37 @@ object Mp4 {
                     while (i < nS) { w32(100 + (id + k + i) % 400); i += 1 }
                   }
                 }
-                box("stco") {
-                  val nc = (1 + (id + k) % 4).toInt
-                  w32(0); w32(nc.toLong)
-                  var j = 0
-                  while (j < nc) { w32(id % 100000 + j * 1000L); j += 1 }
+                // round-13: composition offsets on (id+k) % 3 != 2
+                if ((id + k) % 3 != 2) {
+                  box("ctts") {
+                    val m = (2 + (id + k) % 3).toInt
+                    w32(0); w32(m.toLong)
+                    var j = 0
+                    while (j < m) {
+                      w32(3L + (id + k + j) % 5) // sample_count
+                      w32(j * 10L)               // composition offset
+                      j += 1
+                    }
+                  }
+                }
+                // round-13: chunk offsets rotate stco / co64 — the
+                // 64-bit form carries genuinely >4 GiB offsets
+                val nc = (1 + (id + k) % 4).toInt
+                if ((id + k) % 2 == 1) {
+                  box("co64") {
+                    w32(0); w32(nc.toLong)
+                    var j = 0
+                    while (j < nc) {
+                      w64((1L << 32) * (k + 1) + id % 100000 + j * 1000L)
+                      j += 1
+                    }
+                  }
+                } else {
+                  box("stco") {
+                    w32(0); w32(nc.toLong)
+                    var j = 0
+                    while (j < nc) { w32(id % 100000 + j * 1000L); j += 1 }
+                  }
                 }
               }
             }
@@ -472,7 +609,12 @@ case class Mp4Tracks(child: Expression)
     StructField("media_duration", LongType),
     StructField("lang", StringType), StructField("n_samples", LongType),
     StructField("sample_bytes", LongType), StructField("n_chunks", LongType),
-    StructField("tkhd_duration", LongType)))
+    StructField("tkhd_duration", LongType),
+    StructField("offset_bits", IntegerType),
+    StructField("max_chunk_offset", LongType),
+    StructField("n_ctts", LongType), StructField("ctts_sample_sum", LongType),
+    StructField("edit_count", LongType),
+    StructField("edit_duration_sum", LongType)))
   override def dataType: DataType = ArrayType(trackType)
   override def nullable: Boolean = true
   override def checkInputDataTypes() = child.dataType match {
@@ -491,7 +633,9 @@ case class Mp4Tracks(child: Expression)
               if (t.codec == null) null else UTF8String.fromString(t.codec),
               t.mediaTimescale, t.mediaDuration,
               if (t.lang == null) null else UTF8String.fromString(t.lang),
-              t.nSamples, t.sampleBytes, t.nChunks, t.tkhdDuration))
+              t.nSamples, t.sampleBytes, t.nChunks, t.tkhdDuration,
+              t.offsetBits, t.maxChunkOffset, t.nCtts, t.cttsSampleSum,
+              t.editCount, t.editDurationSum))
           }.toArray[Any])
     }
   override protected def withNewChildInternal(newChild: Expression): Mp4Tracks =

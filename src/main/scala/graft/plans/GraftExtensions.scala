@@ -169,6 +169,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("parquet_footer", classOf[ParquetFooterMeta], ParquetFooterMeta)
     unary("mp3_meta", classOf[Mp3Meta], Mp3Meta)
     unary("ogg_meta", classOf[OggMeta], OggMeta)
+    unary("synth_ogg_crcbad", classOf[SynthOggCrcBad], SynthOggCrcBad)
+    unary("flac_meta", classOf[FlacMeta], FlacMeta)
+    binary("synth_flac", classOf[SynthFlac], SynthFlac)
+    unary("webm_meta", classOf[WebmMeta], WebmMeta)
+    binary("synth_webm", classOf[SynthWebm], SynthWebm)
     unary("webp_meta", classOf[WebpMeta], WebpMeta)
     unary("vp8l_stats", classOf[Vp8lStats], Vp8lStats)
     unary("vp8_stats", classOf[Vp8StatsExpr], Vp8StatsExpr)

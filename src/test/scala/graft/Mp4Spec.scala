@@ -22,6 +22,38 @@ class Mp4Spec extends AnyFunSuite {
     }
   }
 
+  test("co64 / ctts / elst per-track fields replay the arithmetic (round-13)") {
+    for (id <- 0L until 40L) {
+      val ts = Mp4.tracks(Mp4.synth(id, corrupt = false))
+      assert(ts.isDefined, s"id=$id")
+      for ((t, k) <- ts.get.zipWithIndex) {
+        val nc = 1 + (id + k) % 4
+        assert(t.nChunks === nc, s"id=$id k=$k")
+        if ((id + k) % 2 == 1) {
+          assert(t.offsetBits === 64, s"id=$id k=$k")
+          assert(t.maxChunkOffset ===
+            (1L << 32) * (k + 1) + id % 100000 + (nc - 1) * 1000,
+            s"id=$id k=$k")
+          assert(t.maxChunkOffset > (1L << 32), "must exercise >4 GiB offsets")
+          assert(t.editCount === -1L) // elst only on even (id+k)
+        } else {
+          assert(t.offsetBits === 32, s"id=$id k=$k")
+          assert(t.maxChunkOffset === id % 100000 + (nc - 1) * 1000)
+          val ne = 1 + ((id + k) / 2) % 2
+          assert(t.editCount === ne, s"id=$id k=$k")
+          assert(t.editDurationSum ===
+            (0 until ne.toInt).map(j => 500L + j * 100 + id % 50).sum)
+        }
+        if ((id + k) % 3 != 2) {
+          val m = 2 + (id + k) % 3
+          assert(t.nCtts === m, s"id=$id k=$k")
+          assert(t.cttsSampleSum ===
+            (0 until m.toInt).map(j => 3L + (id + k + j) % 5).sum)
+        } else assert(t.nCtts === -1L && t.cttsSampleSum === -1L)
+      }
+    }
+  }
+
   test("size==0 (runs to end) is accepted for the last box") {
     val base = Mp4.synth(7, corrupt = false)
     // append a trailing free box with size 0

@@ -47,7 +47,8 @@ class OggSpec extends AnyFunSuite {
   }
 
   test("distinct-serial bound: 64 streams triage, a 65th returns None") {
-    // hand-rolled minimal pages: 27-byte header, zero segments, BOS set
+    // hand-rolled minimal pages: 27-byte header, zero segments, BOS set,
+    // valid RFC 3533 CRC (round-13: meta() verifies it)
     def page(serial: Long): Array[Byte] = {
       val b = new Array[Byte](27)
       b(0) = 'O'; b(1) = 'g'; b(2) = 'g'; b(3) = 'S'
@@ -55,6 +56,9 @@ class OggSpec extends AnyFunSuite {
       var k = 0
       while (k < 4) { b(14 + k) = ((serial >> (8 * k)) & 0xff).toByte; k += 1 }
       b(26) = 0 // zero lacing segments
+      val crc = Ogg.pageCrc(b, 0, 27, 22)
+      k = 0
+      while (k < 4) { b(22 + k) = ((crc >> (8 * k)) & 0xff).toByte; k += 1 }
       b
     }
     def blobOf(n: Int): Array[Byte] =
@@ -64,6 +68,30 @@ class OggSpec extends AnyFunSuite {
     // the silent-saturation bug: 65+ streams must NOT report 64
     assert(Ogg.meta(blobOf(65)).isEmpty)
     assert(Ogg.meta(blobOf(80)).isEmpty)
+  }
+
+  test("CRC verification routes byte-flipped-after-CRC pages to null") {
+    for (id <- 0L to 9L) {
+      // structurally perfect, CRC-invalid: only real verification catches
+      assert(Ogg.meta(Ogg.synthCrcBroken(id)).isEmpty, s"id=$id")
+      // and the honest twin passes with codec id fields populated
+      val m = Ogg.meta(Ogg.synth(id, corrupt = false)).get
+      if (id % 2 == 0) {
+        assert(m.codec === "opus")
+        assert(m.channels === (1 + id % 2).toInt)
+        assert(m.sampleRate === 48000L)
+        assert(m.preSkip === (300 + id % 100).toInt)
+      } else {
+        assert(m.codec === "vorbis")
+        assert(m.channels === (1 + id % 2).toInt)
+        assert(m.sampleRate === 8000L * (1 + id % 5))
+        assert(m.preSkip === -1)
+      }
+    }
+    // a wrong declared CRC (zeroed field) is likewise rejected
+    val blob = Ogg.synth(3L, corrupt = false)
+    val z = blob.clone(); z(22) = 0; z(23) = 0; z(24) = 0; z(25) = 0
+    assert(Ogg.meta(z).isEmpty)
   }
 
   test("bit-flip fuzz: null or sane, never a throw") {

@@ -75,6 +75,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // round-13: VP8 lossy key-frame pixel decode
     assert(one[Boolean](
       "SELECT vp8_stats(cast('not a vp8 frame' as binary)) IS NULL") === true)
+    // round-13: FLAC/WebM triage + CRC-broken ogg synth
+    assert(one[Boolean](
+      "SELECT flac_meta(cast('not flac' as binary)) IS NULL") === true)
+    assert(one[Boolean](
+      "SELECT webm_meta(cast('not webm' as binary)) IS NULL") === true)
+    assert(one[Boolean](
+      "SELECT ogg_meta(synth_ogg_crcbad(5::long)) IS NULL") === true)
+    assert(one[Long](
+      "SELECT flac_meta(synth_flac(6::long, false)).sample_rate") === 8000L)
+    assert(one[String](
+      "SELECT webm_meta(synth_webm(4::long, false)).doc_type") === "webm")
     assert(one[Boolean](
       "SELECT mp4_tracks(cast('not an mp4' as binary)) IS NULL") === true)
     assert(one[Boolean](

@@ -39,7 +39,16 @@ object Explain {
       // stronger than a probe: the probe question "do rounds grow with
       // data" is answered by construction). Cost is the per-round job
       // floor, which host noise stretches 1.3–3 s on a loaded machine
-      "q_coreness")
+      "q_coreness",
+      // round 13: the sketch-accuracy AUDIT — its subject is the exact
+      // shingle-truth verification of the LSH candidates, the same
+      // measured class as q_lsh_sweep/q_blocking_audit. Re-shaped this
+      // round to exact-verify ONLY the candidate pairs (semi-join prune
+      // before the pair aggregation); `ScaleProbe --floors minhash`
+      // growth 3.34x at 10x docs (was 6.15x pre-reshape — both runs
+      // recorded in BASELINE.md). Driver rows sit 2.3-2.5 s: the fixed
+      // multi-pass stage chain under host noise
+      "q_minhash_accuracy")
 
   /** Advisory-range rows (cold bench runs land 2.0–2.5 s) whose
     * steady-state ISOLATED min — `runMain graft.TimeQ <q>`, min of 3

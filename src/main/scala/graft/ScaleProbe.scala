@@ -23,7 +23,8 @@ import graft.sources.OrderGen
   * recorded next to the retained SLOW rows in BASELINE.md. */
 object ScaleProbe {
 
-  private def floorsMode(spark: SparkSession, baseEdges: Long): Unit = {
+  private def floorsMode(spark: SparkSession, baseEdges: Long,
+      only: Option[String] = None): Unit = {
     import spark.implicits._
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -127,11 +128,65 @@ object ScaleProbe {
           graft.llm.Dedup.prefixIndex(docs, "doc_id", "text", 5, 0.5))
         println(f"[floors]   candidate volume: full=$full prefix=$prefix " +
           f"reduction=${full.toDouble / math.max(1L, prefix)}%5.1f x")
+      }),
+      ("minhash_accuracy shape", n => {
+        // q_minhash_accuracy's exact stage chain (round-13): minhash
+        // signatures -> 1-row LSH bands -> bucket self-join candidates
+        // -> the EXACT truth join (jaccardPairs at minSim 0 — the
+        // audit's subject, same class as lsh_sweep/blocking_audit) ->
+        // two signature equi-joins. Same boilerplate-corpus docs as the
+        // lsh_sweep kernel; docs = edges/20. Sub-linear growth at 10x
+        // means the bench-scale wall is the fixed stage chain, not a
+        // scale defect.
+        val docs = spark.range(n / 20).select(col("id").as("doc_id"),
+          array_join(transform(sequence(lit(1), lit(10)),
+            i => concat_ws(" ", (0 until 5).map(j =>
+              concat(lit("w"), pmod(xxhash64(col("id"), i), lit(1000)) * 5 + j)): _*)),
+            " ").as("text"))
+        val sigs = graft.llm.Dedup.minhashSignatures(docs, "doc_id", "text",
+            k = 5, numHashes = 8)
+          .localCheckpoint(eager = false)
+        val buckets = graft.llm.Dedup.lshBuckets(sigs, "doc_id",
+          numHashes = 8, rowsPerBand = 1)
+        val cand = buckets.as("x").join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+          .localCheckpoint(eager = false)
+        // round-13 re-shape: exact Jaccard only for the candidates —
+        // the pair stream is semi-join pruned BEFORE the aggregation
+        val shAll = graft.llm.Dedup.hashedIndex(docs, "doc_id", "text", 5)
+          .repartition(col("sk"))
+          .localCheckpoint(eager = false)
+        val counts = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
+        val hot = shAll.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > graft.llm.Dedup.DefaultMaxShingleDf).select(col("sk"))
+        val sh = shAll.join(broadcast(hot), Seq("sk"), "left_anti")
+        val exact = sh.as("a").join(sh.as("b"),
+            col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .join(cand, Seq("d1", "d2"), "left_semi")
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+          .join(counts.select(col("doc_id").as("d1"), col("cnt").as("n1")), "d1")
+          .join(counts.select(col("doc_id").as("d2"), col("cnt").as("n2")), "d2")
+          .withColumn("jaccard",
+            col("shared") / (col("n1") + col("n2") - col("shared")))
+        val a = sigs.select(col("doc_id").as("d1") +:
+          (0 until 8).map(j => col(s"h$j").as(s"a$j")): _*)
+        val b = sigs.select(col("doc_id").as("d2") +:
+          (0 until 8).map(j => col(s"h$j").as(s"b$j")): _*)
+        cand.join(a, "d1").join(b, "d2")
+          .join(exact.select(col("d1"), col("d2"), col("jaccard")),
+            Seq("d1", "d2"), "left")
+          .agg(count(lit(1))).collect()
+        ()
       }))
 
     println(f"[floors] base=$baseEdges edges vs ${baseEdges * 10} (10x); " +
       "ratio << 10 = job-floor-dominated (iteration count fixed by the log-diameter graph)")
-    kernels.foreach { case (name, run) =>
+    kernels.filter { case (name, _) => only.forall(name.contains) }
+      .foreach { case (name, run) =>
       run(math.max(1000, baseEdges / 10)) // JVM/codegen warmup at tiny size
       val t1 = timed(run(baseEdges))
       val t10 = timed(run(baseEdges * 10))
@@ -452,7 +507,9 @@ object ScaleProbe {
       return
     }
     if (args.headOption.contains("--floors")) {
-      val edges = args.drop(1).headOption.map(_.toLong).getOrElse(200000L)
+      val edges = args.drop(1).headOption.filter(_.forall(_.isDigit))
+        .map(_.toLong).getOrElse(200000L)
+      val only = args.drop(1).find(!_.forall(_.isDigit))
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -462,7 +519,7 @@ object ScaleProbe {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
-      floorsMode(spark, edges)
+      floorsMode(spark, edges, only)
       spark.stop()
       return
     }

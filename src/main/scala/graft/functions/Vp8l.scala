@@ -587,6 +587,34 @@ object Vp8l {
     }
   }
 
+  /** ALPH-chunk lossless payload (WebP container spec, "Alpha"):
+    * the VP8L bitstream WITHOUT the signature/size header — dimensions
+    * come from the enclosing image, and the alpha values ride the
+    * GREEN channel of the decoded ARGB. Returns the w*h alpha plane
+    * (pre-filter — the container-level alpha filter is the CALLER's
+    * inverse step), or None on malformation. Round-13, for the lossy
+    * WebP-with-alpha path in [[Vp8.decodeWebp]]. */
+  def decodeAlphaGreen(blob: Array[Byte], off: Int, end: Int,
+      w: Int, h: Int): Option[Array[Byte]] = {
+    try {
+      if (blob == null || off >= end || w <= 0 || h <= 0) return None
+      if (w.toLong * h > MaxPixels) return None
+      val r = new BitReader(blob, off, end)
+      val xforms = scala.collection.mutable.ArrayBuffer.empty[Xform]
+      val (px0, w0) = decodeImageStream(r, w, h, level0 = true, xforms)
+      val (px, wFinal) = applyInverseTransforms(px0, w0, h, xforms.toSeq)
+      if (wFinal != w) return None
+      val out = new Array[Byte](w * h)
+      var i = 0
+      while (i < out.length) { out(i) = ((px(i) >> 8) & 0xff).toByte; i += 1 }
+      Some(out)
+    } catch {
+      case _: Corrupt => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
   // ------------------------------------------------------------ encode
 
   /** Encoder feature subset; every decoder branch is reachable. */

@@ -881,7 +881,36 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", k = 5, minSim = 0.0)
+      // two consumers: the shared-count prune and the final join
+      .localCheckpoint(eager = false)
+    // Round-13 re-shape: exact Jaccard is computed ONLY for the sketch's
+    // candidate pairs — the output left-joins exact onto candidates, so
+    // restricting the truth computation to them is semantically
+    // identical and prunes the shared-shingle pair stream BEFORE the
+    // (d1, d2) aggregation (the query's dominant shuffle). The LSH
+    // candidate frame is orders of magnitude smaller than the full
+    // shared-shingle pair space, and AQE picks broadcast vs shuffled
+    // semi-join from its measured size — the standard sketch-then-
+    // exact-verify pipeline shape at any scale. (The old shape computed
+    // the FULL truth table and discarded the non-candidate rows; the
+    // floors probe measured that at 6.15x growth per 10x docs — a real
+    // scale liability, not a fixed stage floor.)
+    val shAll = Dedup.hashedIndex(docs, "doc_id", "text", 5)
+      .repartition(col("sk"))
+      .localCheckpoint(eager = false)
+    val counts = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val hot = shAll.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > Dedup.DefaultMaxShingleDf).select(col("sk"))
+    val sh = shAll.join(broadcast(hot), Seq("sk"), "left_anti")
+    val exact = sh.as("a").join(sh.as("b"),
+        col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .join(cand, Seq("d1", "d2"), "left_semi")
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard",
+        col("shared") / (col("n1") + col("n2") - col("shared")))
       .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
     val a = sigs.select(col("doc_id").as("d1") +:
       (0 until 8).map(j => col(s"h$j").as(s"a$j")): _*)

@@ -710,6 +710,30 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("file"))
   }
 
+  /** Lossy WebP WITH ALPHA (round-13): the VP8X + ALPH + VP8 layout —
+    * alpha rides a header-less VP8L stream in the green channel, with
+    * the container-level per-pixel alpha filter inverted after decode.
+    * Same three-implementation loop as q_webp_lossy (libwebp encoded
+    * AND independently decoded — its YUV planes plus the A bytes of
+    * its RGBA output — graft decodes the bytes, DuckDB checks);
+    * Vp8Spec pins all FOUR planes bit-exact per pixel. */
+  private[graft] def qWebpAlpha(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.vp8._
+    val fx = new java.io.File("fixtures/vp8a").getAbsolutePath
+    s.read.format("binaryFile").load(s"$fx/*.webp")
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        vp8_stats(col("content")).as("st"))
+      .select(col("file"),
+        col("st.width").cast("long").as("width"),
+        col("st.height").cast("long").as("height"),
+        col("st.y_sum").as("y_sum"), col("st.u_sum").as("u_sum"),
+        col("st.v_sum").as("v_sum"),
+        col("st.has_alpha").as("has_alpha"),
+        col("st.a_sum").as("a_sum"),
+        col("st.y_md5").as("y_md5"), col("st.a_md5").as("a_md5"))
+      .orderBy(col("file"))
+  }
+
   /** Seekable zstd shards (the published zstd-contrib seekable spec) —
     * RANGE-READABLE compression, the object-storage access pattern a
     * 100 TB shard needs: four quarter-chunks packed as independent
@@ -1451,6 +1475,7 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_parquet_real" -> (qParquetReal _),
     "q_webp_lossless" -> (qWebpLossless _),
     "q_webp_lossy" -> (qWebpLossy _),
+    "q_webp_alpha" -> (qWebpAlpha _),
     "q_proto_decode" -> (qProtoDecode _),
     "q_charset_sniff" -> (qCharsetSniff _),
     "q_html_entities" -> (qHtmlEntities _),
@@ -1461,6 +1486,33 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_tiff_decode" -> (qTiffDecode _))
 
   private[graft] def pipelineOracleMap: Map[String, String] = Map(
+    "q_webp_alpha" ->
+      """SELECT file, CAST(width AS BIGINT) AS width,
+        |       CAST(height AS BIGINT) AS height,
+        |       CAST(y_sum AS BIGINT) AS y_sum, CAST(u_sum AS BIGINT) AS u_sum,
+        |       CAST(v_sum AS BIGINT) AS v_sum, TRUE AS has_alpha,
+        |       CAST(a_sum AS BIGINT) AS a_sum, y_md5, a_md5
+        |FROM (VALUES
+        |  ('a00_16x16_q50.webp', 16, 16, 20016, 8715, 7724, 11520, '823a5d329247ea127011afd2f4958220', '3c377d92b36d508f7878a9ed66ae25fc'),
+        |  ('a01_16x16_q75.webp', 16, 16, 22000, 9380, 8035, 36736, '4a6e2ed5a1ddf41b0500f994c315b573', '3271fd0dce606f5ec2aaaa0407a2c170'),
+        |  ('a02_16x16_q90.webp', 16, 16, 23829, 10040, 8392, 34248, 'b5d91cf7b734d93ebc2d8f82edf4a2fc', '548de75a6d3923480959e0b73ece1d93'),
+        |  ('a03_32x32_q50.webp', 32, 32, 137256, 32017, 35812, 95232, '7ae47de34527384db61dd6ab6ce6c6df', 'bc533d770be0b4f6540ba20c0de2bce1'),
+        |  ('a04_32x32_q75.webp', 32, 32, 138361, 32903, 35680, 146944, '86a29be62ecbb631bdcfe6544769a736', '55a5958c3e57f1a44db69ff7ac69ce76'),
+        |  ('a05_32x32_q90.webp', 32, 32, 138211, 33757, 35202, 165648, '648524fdd56e71a1c307e7d8f1a0d573', '061e3f2318915350527a6a9543865a6d'),
+        |  ('a06_48x32_q50.webp', 48, 32, 191389, 50546, 49287, 192000, 'f5455fbc89968d974b35c4d29f25aefb', '1e9f11a9506b990b199a8867e7a64f62'),
+        |  ('a07_48x32_q75.webp', 48, 32, 188599, 48308, 49366, 220416, '62d7b4041a89d80b6334590cf365090b', '193bade5a0f44f3f4795afa87371ade6'),
+        |  ('a08_48x32_q90.webp', 48, 32, 186875, 46757, 49459, 276880, '5d56678a81fb36d6251b665e745bb7ca', '5ac4be788c315b870178589769210bda'),
+        |  ('a09_33x17_q50.webp', 33, 17, 68825, 18674, 19281, 44880, 'fc6369e7ba01215148832483fe9a73ee', 'dd56cc202c5c2cfa008df59b1fe0b91a'),
+        |  ('a10_33x17_q75.webp', 33, 17, 69338, 20837, 18505, 80615, '4ac94082eff1eb7ef81b524cbaccbcbd', '693248e83e3fc24dbdf56b6cbc23a747'),
+        |  ('a11_33x17_q90.webp', 33, 17, 69186, 21792, 17752, 90168, 'ac1177eb40a318796e28a3356fea2b79', '9ac12bc3586e119bc42e30ebf9c8e21d'),
+        |  ('a12_64x48_q50.webp', 64, 48, 373961, 99907, 96920, 390144, '6228640591d3ebd4a1a8655cfe16a995', '7da76e27d037ff7c92a6a54dc66cf943'),
+        |  ('a13_64x48_q75.webp', 64, 48, 373847, 100245, 96438, 440832, '08211bb44091f4daf8f3e25f7112efe1', 'c01868818db464ac916e518bcb0cd30f'),
+        |  ('a14_64x48_q90.webp', 64, 48, 374182, 100585, 96637, 576408, 'e941d4e6a0839d671ce3bb4a3052a9ad', '789a64dfdeb72fb59dd5d550da1d8f44'),
+        |  ('a15_96x64_q50.webp', 96, 64, 764510, 193148, 199347, 776192, '4a28e81c81b95ace5cd120ca4f3071a5', 'f609fc61fa8e65505e5aff0f830df88a'),
+        |  ('a16_96x64_q75.webp', 96, 64, 765420, 193544, 199405, 881664, '685bf7784ac33e9f71ad80c4d377ba8c', '1848033fc0d044286008e3dbc8441d4b'),
+        |  ('a17_96x64_q90.webp', 96, 64, 766905, 196017, 198603, 1132064, '2c0d3e107cdd8f24a4ccae26918c734a', 'b6c4634bbc9fe260069b983c47da8a23')
+        |) AS t(file, width, height, y_sum, u_sum, v_sum, a_sum, y_md5, a_md5)
+        |ORDER BY file""".stripMargin,
     "q_webp_lossy" ->
       """SELECT file, CAST(width AS BIGINT) AS width,
         |       CAST(height AS BIGINT) AS height,

@@ -77,6 +77,37 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("lossy-with-ALPHA fixtures match libwebp truth on all four planes") {
+    // fixtures/vp8a: VP8X + ALPH (lossless-compressed alpha, green
+    // channel, header-less VP8L stream) + VP8 color. Truth: libwebp's
+    // own YUV planes + the A bytes of its RGBA output (alpha is
+    // carried unconverted).
+    val adir = new java.io.File("fixtures/vp8a")
+    val files = adir.listFiles().filter(_.getName.endsWith(".webp")).sortBy(_.getName)
+    assert(files.length >= 18)
+    for (f <- files) {
+      val webp = java.nio.file.Files.readAllBytes(f.toPath)
+      val expected = java.nio.file.Files.readAllBytes(
+        new java.io.File(adir, f.getName.stripSuffix(".webp") + ".yuva").toPath)
+      val yuv = Vp8.decodeWebp(webp).getOrElse(fail(s"${f.getName}: decode None"))
+      val w = yuv.width; val h = yuv.height
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      assert(expected.length === w * h * 2 + 2 * cw * ch, s"${f.getName} size")
+      assert(yuv.alpha != null, s"${f.getName}: no alpha decoded")
+      assert(java.util.Arrays.equals(yuv.y,
+        java.util.Arrays.copyOfRange(expected, 0, w * h)), s"${f.getName} Y")
+      assert(java.util.Arrays.equals(yuv.u,
+        java.util.Arrays.copyOfRange(expected, w * h, w * h + cw * ch)),
+        s"${f.getName} U")
+      assert(java.util.Arrays.equals(yuv.v,
+        java.util.Arrays.copyOfRange(expected, w * h + cw * ch, w * h + 2 * cw * ch)),
+        s"${f.getName} V")
+      assert(java.util.Arrays.equals(yuv.alpha,
+        java.util.Arrays.copyOfRange(expected, w * h + 2 * cw * ch, expected.length)),
+        s"${f.getName} ALPHA")
+    }
+  }
+
   test("encoder-subset synth streams match libwebp truth (branches its encoder never emits)") {
     // fixtures/vp8s: Vp8Enc.synth streams (simple filter, lf deltas,
     // multiple token partitions, quant deltas, delta/absolute

@@ -177,6 +177,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("webp_meta", classOf[WebpMeta], WebpMeta)
     unary("vp8l_stats", classOf[Vp8lStats], Vp8lStats)
     unary("vp8_stats", classOf[Vp8StatsExpr], Vp8StatsExpr)
+    unary("webp_anim_frames", classOf[WebpAnimFrames], WebpAnimFrames)
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("synth_vp8"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

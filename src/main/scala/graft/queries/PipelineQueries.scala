@@ -734,6 +734,32 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
       .orderBy(col("file"))
   }
 
+  /** Animated-WebP FRAME pixel decode (round-13): upgrades the
+    * round-12 envelope (`q_webp_anim`, counts/durations only) to real
+    * per-frame decoding — every ANMF payload (VP8 lossy, VP8+raw-ALPH,
+    * VP8L lossless, mixed within one animation) decodes through the
+    * engine's own codecs, and the oracle VALUES carry the system
+    * libwebp's independent per-frame reconstruction (luma/green sums +
+    * md5s, alpha sums). Canvas COMPOSITION (blend/dispose
+    * accumulation) is out of scope, stated — the header bits are
+    * surfaced verbatim. */
+  private[graft] def qWebpAnimFrames(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.webpanim._
+    val fx = new java.io.File("fixtures/vp8anim").getAbsolutePath
+    s.read.format("binaryFile").load(s"$fx/*.webp")
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        explode(webp_anim_frames(col("content"))).as("fr"))
+      .select(col("file"),
+        col("fr.idx").cast("long").as("idx"),
+        col("fr.x").cast("long").as("x"), col("fr.y").cast("long").as("y"),
+        col("fr.w").cast("long").as("w"), col("fr.h").cast("long").as("h"),
+        col("fr.duration_ms").cast("long").as("duration_ms"),
+        col("fr.blend").as("blend"), col("fr.dispose").as("dispose"),
+        col("fr.kind").as("kind"), col("fr.sum1").as("sum1"),
+        col("fr.md5").as("md5"), col("fr.a_sum").as("a_sum"))
+      .orderBy(col("file"), col("idx"))
+  }
+
   /** Seekable zstd shards (the published zstd-contrib seekable spec) —
     * RANGE-READABLE compression, the object-storage access pattern a
     * 100 TB shard needs: four quarter-chunks packed as independent
@@ -1476,6 +1502,7 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_webp_lossless" -> (qWebpLossless _),
     "q_webp_lossy" -> (qWebpLossy _),
     "q_webp_alpha" -> (qWebpAlpha _),
+    "q_webp_anim_frames" -> (qWebpAnimFrames _),
     "q_proto_decode" -> (qProtoDecode _),
     "q_charset_sniff" -> (qCharsetSniff _),
     "q_html_entities" -> (qHtmlEntities _),
@@ -1486,6 +1513,53 @@ private[graft] trait PipelineQueries { this: SparkEntry.type =>
     "q_tiff_decode" -> (qTiffDecode _))
 
   private[graft] def pipelineOracleMap: Map[String, String] = Map(
+    "q_webp_anim_frames" ->
+      """SELECT file, CAST(idx AS BIGINT) AS idx, CAST(x AS BIGINT) AS x,
+        |       CAST(y AS BIGINT) AS y, CAST(w AS BIGINT) AS w,
+        |       CAST(h AS BIGINT) AS h,
+        |       CAST(duration_ms AS BIGINT) AS duration_ms,
+        |       blend, dispose, kind, CAST(sum1 AS BIGINT) AS sum1, md5,
+        |       CAST(a_sum AS BIGINT) AS a_sum
+        |FROM (VALUES
+        |  ('anim00.webp', 0, 0, 0, 16, 16, 40, FALSE, FALSE, 'lossy', 33654, 'fe29b61b3dca72e497e1953a3dcc81c2', 31385),
+        |  ('anim00.webp', 1, 2, 2, 24, 24, 41, TRUE, TRUE, 'lossy', 84308, '1597fa966ef82cbbb2dd737c9c7641dd', -1),
+        |  ('anim01.webp', 0, 0, 2, 24, 24, 41, TRUE, TRUE, 'lossy', 84308, '1597fa966ef82cbbb2dd737c9c7641dd', 67275),
+        |  ('anim01.webp', 1, 2, 4, 32, 16, 42, FALSE, FALSE, 'lossless', 62464, '9040e9ccccb181e63b21e806412413f6', 130560),
+        |  ('anim01.webp', 2, 4, 0, 16, 24, 43, TRUE, TRUE, 'lossy', 49416, 'df9dece573104b84bba99bc240b6ab34', 48309),
+        |  ('anim02.webp', 0, 0, 4, 32, 16, 42, FALSE, FALSE, 'lossless', 62464, '9040e9ccccb181e63b21e806412413f6', 130560),
+        |  ('anim02.webp', 1, 2, 0, 16, 24, 43, TRUE, TRUE, 'lossy', 49416, 'df9dece573104b84bba99bc240b6ab34', -1),
+        |  ('anim02.webp', 2, 4, 2, 24, 16, 44, FALSE, FALSE, 'lossy', 48924, 'ae0c7330aab8c14e3a5f0cc15d3247b0', 42813),
+        |  ('anim02.webp', 3, 6, 4, 32, 24, 45, TRUE, TRUE, 'lossless', 121856, '60981649b39196a865e8b7f61a59ecd7', 195840),
+        |  ('anim03.webp', 0, 0, 0, 16, 24, 43, TRUE, TRUE, 'lossy', 49416, 'df9dece573104b84bba99bc240b6ab34', 47678),
+        |  ('anim03.webp', 1, 2, 2, 24, 16, 44, FALSE, FALSE, 'lossy', 48924, 'ae0c7330aab8c14e3a5f0cc15d3247b0', -1),
+        |  ('anim04.webp', 0, 0, 2, 24, 16, 44, FALSE, FALSE, 'lossy', 48924, 'ae0c7330aab8c14e3a5f0cc15d3247b0', 41749),
+        |  ('anim04.webp', 1, 2, 4, 32, 24, 45, TRUE, TRUE, 'lossless', 121856, '60981649b39196a865e8b7f61a59ecd7', 195840),
+        |  ('anim04.webp', 2, 4, 0, 16, 16, 46, FALSE, FALSE, 'lossy', 33300, '404280f19cbbfc73509d4fe82c613f58', 32934),
+        |  ('anim05.webp', 0, 0, 4, 32, 24, 45, TRUE, TRUE, 'lossless', 121856, '60981649b39196a865e8b7f61a59ecd7', 195840),
+        |  ('anim05.webp', 1, 2, 0, 16, 16, 46, FALSE, FALSE, 'lossy', 33300, '404280f19cbbfc73509d4fe82c613f58', -1),
+        |  ('anim05.webp', 2, 4, 2, 24, 24, 47, TRUE, TRUE, 'lossy', 75494, 'a19dad72d7ff518d7d4c0f6a14add31d', 71563),
+        |  ('anim05.webp', 3, 6, 4, 32, 16, 48, FALSE, FALSE, 'lossless', 84992, '06577f132b72c3ae2a0b752063a4b4b4', 130560),
+        |  ('anim06.webp', 0, 0, 0, 16, 16, 46, FALSE, FALSE, 'lossy', 33300, '404280f19cbbfc73509d4fe82c613f58', 33110),
+        |  ('anim06.webp', 1, 2, 2, 24, 24, 47, TRUE, TRUE, 'lossy', 75494, 'a19dad72d7ff518d7d4c0f6a14add31d', -1),
+        |  ('anim07.webp', 0, 0, 2, 24, 24, 47, TRUE, TRUE, 'lossy', 75494, 'a19dad72d7ff518d7d4c0f6a14add31d', 72367),
+        |  ('anim07.webp', 1, 2, 4, 32, 16, 48, FALSE, FALSE, 'lossless', 84992, '06577f132b72c3ae2a0b752063a4b4b4', 130560),
+        |  ('anim07.webp', 2, 4, 0, 16, 24, 49, TRUE, TRUE, 'lossy', 42499, 'bd630464fa30ee5b1123ecf1bf94942f', 48916),
+        |  ('anim08.webp', 0, 0, 4, 32, 16, 48, FALSE, FALSE, 'lossless', 84992, '06577f132b72c3ae2a0b752063a4b4b4', 130560),
+        |  ('anim08.webp', 1, 2, 0, 16, 24, 49, TRUE, TRUE, 'lossy', 42499, 'bd630464fa30ee5b1123ecf1bf94942f', -1),
+        |  ('anim08.webp', 2, 4, 2, 24, 16, 50, FALSE, FALSE, 'lossy', 50017, '282f59db57a280c60dd4c194268d2a98', 49592),
+        |  ('anim08.webp', 3, 6, 4, 32, 24, 51, TRUE, TRUE, 'lossless', 108288, '225b5bd6e9cf10eb142e752ff77c770f', 195840),
+        |  ('anim09.webp', 0, 0, 0, 16, 24, 49, TRUE, TRUE, 'lossy', 42499, 'bd630464fa30ee5b1123ecf1bf94942f', 47968),
+        |  ('anim09.webp', 1, 2, 2, 24, 16, 50, FALSE, FALSE, 'lossy', 50017, '282f59db57a280c60dd4c194268d2a98', -1),
+        |  ('anim10.webp', 0, 0, 2, 24, 16, 50, FALSE, FALSE, 'lossy', 50017, '282f59db57a280c60dd4c194268d2a98', 50065),
+        |  ('anim10.webp', 1, 2, 4, 32, 24, 51, TRUE, TRUE, 'lossless', 108288, '225b5bd6e9cf10eb142e752ff77c770f', 195840),
+        |  ('anim10.webp', 2, 4, 0, 16, 16, 52, FALSE, FALSE, 'lossy', 31545, '87190fb665e8d03aebdedbb948ff6827', 31605),
+        |  ('anim11.webp', 0, 0, 4, 32, 24, 51, TRUE, TRUE, 'lossless', 108288, '225b5bd6e9cf10eb142e752ff77c770f', 195840),
+        |  ('anim11.webp', 1, 2, 0, 16, 16, 52, FALSE, FALSE, 'lossy', 31545, '87190fb665e8d03aebdedbb948ff6827', -1),
+        |  ('anim11.webp', 2, 4, 2, 24, 24, 53, TRUE, TRUE, 'lossy', 73644, '944d56d3cd187beb69095eea05e319e9', 74947),
+        |  ('anim11.webp', 3, 6, 4, 32, 16, 54, FALSE, FALSE, 'lossless', 65792, '666dbe2bbb48d81439f1a5171ab8aab2', 130560)
+        |) AS t(file, idx, x, y, w, h, duration_ms, blend, dispose, kind,
+        |       sum1, md5, a_sum)
+        |ORDER BY file, idx""".stripMargin,
     "q_webp_alpha" ->
       """SELECT file, CAST(width AS BIGINT) AS width,
         |       CAST(height AS BIGINT) AS height,

@@ -87,6 +87,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(one[String](
       "SELECT webm_meta(synth_webm(4::long, false)).doc_type") === "webm")
     assert(one[Boolean](
+      "SELECT webp_anim_frames(cast('no anim here' as binary)) IS NULL") === true)
+    assert(one[Boolean](
       "SELECT mp4_tracks(cast('not an mp4' as binary)) IS NULL") === true)
     assert(one[Boolean](
       "SELECT parquet_footer(cast('PAR1 nope' as binary)) IS NULL") === true)

@@ -158,6 +158,47 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("animation frames decode to libwebp's per-frame truth") {
+    // fixtures/vp8anim: mixed VP8 / VP8+raw-ALPH / VP8L frames; truth
+    // from tools/gen_vp8_anim_truth.py (libwebp decodes every rewrapped
+    // ANMF payload independently)
+    val adir = new java.io.File("fixtures/vp8anim")
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(adir, "expected.json").toPath), "UTF-8")
+    val entries = "\\{[^{}]*\\}".r.findAllIn(txt).toSeq
+    assert(entries.size >= 36)
+    val byFile = entries.groupBy(e =>
+      "\"file\": \"([^\"]+)\"".r.findFirstMatchIn(e).get.group(1))
+    for ((file, rows) <- byFile) {
+      val blob = java.nio.file.Files.readAllBytes(new java.io.File(adir, file).toPath)
+      val frames = graft.functions.WebpAnim.frames(blob)
+        .getOrElse(fail(s"$file: frames None"))
+      assert(frames.size === rows.size, file)
+      for (e <- rows) {
+        def num(k: String) = ("\"" + k + "\":\\s*(-?[\\d]+)").r
+          .findFirstMatchIn(e).get.group(1).toLong
+        def str(k: String) = ("\"" + k + "\":\\s*\"([^\"]+)\"").r
+          .findFirstMatchIn(e).get.group(1)
+        def bool(k: String) = ("\"" + k + "\":\\s*(true|false)").r
+          .findFirstMatchIn(e).get.group(1).toBoolean
+        val fr = frames(num("idx").toInt)
+        assert(fr.w === num("w").toInt && fr.h === num("h").toInt, s"$file/${fr.idx}")
+        assert(fr.x === num("x").toInt && fr.y === num("y").toInt, s"$file/${fr.idx}")
+        assert(fr.durationMs === num("duration_ms").toInt, s"$file/${fr.idx}")
+        assert(fr.blend === bool("blend") && fr.dispose === bool("dispose"))
+        assert(fr.kind === str("kind"), s"$file/${fr.idx}")
+        assert(fr.sum1 === num("sum1"), s"$file/${fr.idx} sum1")
+        assert(fr.md5 === str("md5"), s"$file/${fr.idx} md5")
+        assert(fr.aSum === num("a_sum"), s"$file/${fr.idx} a_sum")
+      }
+    }
+    // corrupt lane: truncated last frame -> null; round-trip of synth
+    for (id <- 0L to 5L) {
+      assert(graft.functions.WebpAnim.frames(
+        graft.functions.WebpAnim.synthAnim(id, corrupt = true)).isEmpty, s"id=$id")
+    }
+  }
+
   test("bit-flip fuzz: null or sane, never a throw") {
     val webp = java.nio.file.Files.readAllBytes(
       new java.io.File(dir, "f05_32x32_q50.webp").toPath)

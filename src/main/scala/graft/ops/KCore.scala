@@ -37,9 +37,18 @@ object KCore {
     * discovering nothing changed). Only the min-degree scalar and the
     * removal count reach the driver. */
   def coreness(s: SparkSession, edges: DataFrame, maxRounds: Int = 200): DataFrame = {
-    var remaining = edges.select(col("u"), col("v")).localCheckpoint(eager = true)
+    // LAZY checkpoints throughout (round-13 optimization, the
+    // Bfs/StarCC convention): each round's only actions are the
+    // min-degree scalar and the live count — the first action over a
+    // lazily-checkpointed table materializes its blocks in the same
+    // job, so a round costs 2 scheduling floors instead of the 6 the
+    // eager-checkpoint shape paid (4 eager-materialize jobs + 2
+    // actions). Lineage is still cut at every checkpoint (the plan is
+    // replaced by the checkpoint RDD immediately; only the compute is
+    // deferred), so plans never stack across rounds.
+    var remaining = edges.select(col("u"), col("v")).localCheckpoint(eager = false)
     var nodes = remaining.select(explode(array(col("u"), col("v"))).as("node"))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().localCheckpoint(eager = false)
     val results = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var level = 0L
     var rounds = 0
@@ -53,19 +62,23 @@ object KCore {
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
       val degAll = nodes.join(deg, Seq("node"), "left")
         .select(col("node"), coalesce(col("d"), lit(0L)).as("d"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
+      // first action of the round: materializes degAll (and, on round
+      // 1 / after an update, the remaining/nodes blocks it reads)
       val minDeg = degAll.agg(min(col("d"))).head().getLong(0)
       if (minDeg > level) level = minDeg
       val low = degAll.filter(col("d") <= level).select(col("node"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       results += low.withColumn("coreness", lit(level).cast("long"))
       nodes = nodes.join(low, Seq("node"), "left_anti")
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
+      // second action: materializes low (via the anti-join) and the
+      // new nodes table in one job
       live = nodes.count()
       remaining = remaining
         .join(low.withColumnRenamed("node", "u"), Seq("u"), "left_anti")
         .join(low.withColumnRenamed("node", "v"), Seq("v"), "left_anti")
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
     }
     if (results.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],

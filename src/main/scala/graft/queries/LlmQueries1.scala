@@ -2134,13 +2134,19 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), xxhash64(col("s")).as("s")).distinct()
       .localCheckpoint(eager = false)
-    val spread = ss.groupBy(col("s")).agg(count(lit(1)).as("nsrc"))
-    ss.join(spread, "s")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("nsrc") > 1, 1L).otherwise(0L)).as("n_shared"))
-      .select(col("source"), col("n_shingles"), col("n_shared"),
-        expr("(1000000 * n_shared) div n_shingles").as("shared_ppm"))
+    // round-13 re-shape (the q_novelty trick): n_shared = n_shingles −
+    // n_exclusive, and an exclusive shingle's one source is min(source)
+    // in the per-shingle aggregate — two bounded-output aggregations
+    // replace the full (source, shingle) ⋈ spread re-join exchange.
+    val perSrc = ss.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
+    val excl = ss.groupBy(col("s"))
+      .agg(count(lit(1)).as("nsrc"), min(col("source")).as("source"))
+      .filter(col("nsrc") === 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_excl"))
+    perSrc.join(excl, Seq("source"), "left")
+      .select(col("source"), col("n_shingles"),
+        (col("n_shingles") - coalesce(col("n_excl"), lit(0L))).as("n_shared"))
+      .withColumn("shared_ppm", expr("(1000000 * n_shared) div n_shingles"))
       .orderBy(col("source"))
   }
 
@@ -2343,6 +2349,12 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
     val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 5, minSim = 0.05)
       .localCheckpoint(eager = false)
+    // round-13: a histogram re-shape (collapse each pair to its max
+    // qualifying threshold index, suffix-sum two ≤10-row histograms)
+    // was tried and REJECTED by measurement — TimeQ min-of-5 1.02 s
+    // (this shape) vs 1.17 s (histogram shape): at bench scale the
+    // candidate-pair table is small enough that the 9× fanout is
+    // cheaper than the extra aggregation stages. Kept as-is.
     val thresholds = s.range(1, 10).select((col("id") * 100000).as("thr_ppm"))
     // exact rational qualification: shared/(n1+n2-shared) >= thr as an
     // integer cross-multiply — no double ever decides a boundary pair
@@ -2395,13 +2407,21 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
           "i -> array_join(slice(tk, i, 3), ' '))")).as("g"))
       .distinct()
       .localCheckpoint(eager = false)
-    val spread = typed.groupBy(col("g"))
-      .agg(count(lit(1)).as("n_sources"))
-    typed.join(spread, "g")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("types"),
-        sum(when(col("n_sources") === 1, 1L).otherwise(0L))
-          .as("exclusive_types"))
+    // round-13 re-shape (guide §2.3/§2.4): the old shape joined the
+    // full (source, type) table back against the per-type spread —
+    // one extra full-width exchange of the type table. An exclusive
+    // type (n_sources = 1) is ATTRIBUTABLE to its unique source via
+    // min(source) inside the same per-type aggregate, so per-source
+    // exclusive counts fall out of two aggregations whose outputs are
+    // both bounded by the source domain — the big join never happens.
+    val types = typed.groupBy(col("source")).agg(count(lit(1)).as("types"))
+    val excl = typed.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_sources"), min(col("source")).as("source"))
+      .filter(col("n_sources") === 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("excl"))
+    types.join(excl, Seq("source"), "left")
+      .select(col("source"), col("types"),
+        coalesce(col("excl"), lit(0L)).as("exclusive_types"))
       .withColumn("novelty_ppm",
         expr("exclusive_types * 1000000 div types"))
       .orderBy(col("source"))

@@ -549,14 +549,14 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("nbr"),
         graft.functions.kernels.fixed_point_l2(col("a.embedding"),
           col("b.embedding")).as("d2"))
-    val keyed = pairs.select(col("anchor").cast("string").as("astr"),
-      concat(lpad(col("d2").cast("string"), 16, "0"), lit("|"),
-        lpad(col("nbr").cast("string"), 8, "0")).as("k"),
-      col("d2"))
-    val top2 = graft.ops.Sampling.stratifiedTopN(s,
-        keyed.select(col("astr"), col("k"), col("d2")),
-      "astr", "k", "d2", n = 2)
-    val ratios = top2.groupBy(col("astr"))
+    // numeric ordering (d2, nbr) == the old lpad-string key's
+    // lexicographic order (both non-negative, within pad width:
+    // d2 ≤ 64·4e9 < 1e16) — Sampling.stratifiedTopNBy drops the
+    // two per-pair string materializations from the hot path
+    val top2 = graft.ops.Sampling.stratifiedTopNBy(
+      pairs.select(col("anchor"), col("nbr"), col("d2")),
+      "anchor", Seq(col("d2"), col("nbr")), "d2", n = 2)
+    val ratios = top2.groupBy(col("anchor"))
       .agg(min(when(col("rn") === 1, col("d2"))).as("d1"),
         min(when(col("rn") === 2, col("d2"))).as("d2b"))
       .filter(col("d1") > 0 && col("d2b") > col("d1"))
@@ -653,11 +653,12 @@ private[graft] trait LlmQueries2 { this: SparkEntry.type =>
       .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("nbr"),
         graft.functions.kernels.fixed_point_l2(col("a.embedding"),
           col("b.embedding")).as("d2"))
-    val keyed = pairs.select(col("anchor").cast("string").as("astr"),
-      concat(lpad(col("d2").cast("string"), 16, "0"), lit("|"),
-        lpad(col("nbr").cast("string"), 8, "0")).as("k"),
-      col("nbr"))
-    val top3 = graft.ops.Sampling.stratifiedTopN(s, keyed, "astr", "k", "nbr", n = 3)
+    // numeric (d2, nbr) ordering == the old lpad-string key order
+    // (non-negative, within pad width) with the per-pair string
+    // allocations removed — see q_intrinsic_dim
+    val top3 = graft.ops.Sampling.stratifiedTopNBy(
+      pairs.select(col("anchor"), col("nbr"), col("d2")),
+      "anchor", Seq(col("d2"), col("nbr")), "nbr", n = 3)
     val indeg = top3.groupBy(col("nbr")).agg(count(lit(1)).as("indeg"))
     val full = emb.select(col("vec_id"))
       .join(indeg, col("vec_id") === col("nbr"), "left")

@@ -76,7 +76,7 @@ class ScaleSpec extends SparkSpec {
     assert(pairs.count() === 0)
   }
 
-  test("bounded stratified top-n equals the window formulation, no WindowExec") {
+  test("bounded stratified top-n equals the window formulation and plants the partial heap") {
     import org.apache.spark.sql.expressions.Window
     import graft.ops.Sampling
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -88,11 +88,31 @@ class ScaleSpec extends SparkSpec {
       .filter($"rn" <= 25).select($"lang", $"rn", $"doc_id")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
     val bounded = Sampling.stratifiedTopN(spark, docs, "lang", "h", "doc_id", 25)
-    assert(!bounded.queryExecution.executedPlan.toString.contains("Window"),
-      "bounded top-n must not use a window")
+    // the scale property: InferWindowGroupLimit must plant the
+    // Partial-mode bounded heap BEFORE the exchange, so each input
+    // partition ships at most strata × n survivor rows (the same
+    // bound the old mapPartitions TreeSet enforced by hand)
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"bounded top-n must run through a partial WindowGroupLimit heap:\n$plan")
     val got = bounded.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
     assert(got === viaWindow)
+    // the numeric-order variant produces the identical rows when the
+    // lpad-string key encodes the same (non-negative, in-pad-width)
+    // numeric order — the q_hubness / q_intrinsic_dim migration
+    val numeric = docs
+      .select($"lang", conv(substring($"h", 1, 15), 16, 10).cast("long").as("hv"),
+        $"doc_id")
+    val viaNumericWindow = numeric
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"hv", $"doc_id")).cast("long"))
+      .filter($"rn" <= 25).select($"lang", $"rn", $"doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val gotNumeric = Sampling.stratifiedTopNBy(numeric, "lang",
+        Seq($"hv"), "doc_id", 25)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(gotNumeric === viaNumericWindow)
   }
 
   test("two-pass grouped rank equals the window formulation, no WindowExec") {

@@ -65,12 +65,19 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       .unionAll(perCust.select(
         concat(col("n_name"), lit("\u0001y")).as("g"),
         col("y").cast("double").as("ord"), col("ck")))
-    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
-      stacked, "g", "ord", "ck", 32)
-    val ties = ranked.groupBy(col("g"), col("ord"))
-      .agg((min(col("rnk")) + max(col("rnk"))).as("mr2"))
-    val mr = ranked.select(col("g"), col("ck"), col("ord"))
-      .join(ties, Seq("g", "ord"))
+    // round-13 re-shape: midranks come straight from the collapsed
+    // (axis-group, value) tie table via one prefix sum — mr2 =
+    // 2·cum − t + 1 = min_rnk + max_rnk — so the per-row rank pass and
+    // its tie aggregation drop out; one row-level join attaches mr2
+    // (Spearman DOES need per-row ranks to pair rx with ry per
+    // customer, so this join is irreducible).
+    val ties = stacked.groupBy(col("g"), col("ord"))
+      .agg(count(lit(1)).as("t"))
+    val mr2v = graft.ops.ScalablePrefix.groupedPrefixSum(s,
+        ties.select(col("g"), col("ord"), col("t")), "g", "ord", "t", 32)
+      .select(col("g"), col("ord"),
+        (lit(2L) * col("cum_w") - col("t") + 1L).as("mr2"))
+    val mr = stacked.join(mr2v, Seq("g", "ord"))
       .select(substring_index(col("g"), "\u0001", 1).as("n_name"),
         substring_index(col("g"), "\u0001", -1).as("axis"),
         col("ck"), col("mr2"))
@@ -102,32 +109,35 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     * approximation z (tie-corrected variance) and the common-language
     * effect size U/(n1·n2) are fixed double trees over those longs. */
   private[graft] def qMannWhitney(s: SparkSession, dir: String): DataFrame = {
-    val sample = t(s, dir, "orders")
+    // round-13 re-shape (guide §2.3/§2.4): a midrank depends only on
+    // the VALUE, so the per-row global rank (a range pass over every
+    // sampled order) plus two row-level join-backs collapse to one
+    // (value → counts) aggregate, a prefix sum over the collapsed
+    // value domain (mr2(v) = 2·cum − t + 1 = min_rnk + max_rnk of the
+    // tie group — exact integers), and per-group rank sums as
+    // Σ t_grp(v)·mr2(v). No row-level join survives; every shuffle is
+    // bounded by the distinct-value domain.
+    val vals = t(s, dir, "orders")
       .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
-      .select(col("o_orderkey").as("ok"), col("o_orderpriority").as("grp"),
+      .select(col("o_orderpriority").as("grp"),
         Analytics.cents(col("o_totalprice")).as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("grp") === "1-URGENT", 1L).otherwise(0L)).as("t1"))
       .localCheckpoint(eager = false)
-    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
-      sample.select(lit("all").as("g"), col("v").cast("double").as("ord"),
-        col("ok")),
-      "g", "ord", "ok", 32)
-    val ties = ranked.groupBy(col("ord"))
-      .agg((min(col("rnk")) + max(col("rnk"))).as("mr2"),
-        count(lit(1)).as("t"))
-      .localCheckpoint(eager = false)
-    val tieTerm = ties.agg(
+    val withMr = graft.ops.ScalablePrefix.groupedPrefixSum(s,
+        vals.select(lit("all").as("g"), col("v").cast("double").as("ord"),
+          col("t")),
+        "g", "ord", "t", 32)
+      .select(col("ord"), (lit(2L) * col("cum_w") - col("t") + 1L).as("mr2"))
+      .join(vals.select(col("v").cast("double").as("ord"), col("t"),
+        col("t1")), "ord")
+    val stats = withMr.agg(
+      sum(col("t1")).as("n1"),
+      sum(col("t") - col("t1")).as("n2"),
+      sum(col("t1") * col("mr2")).as("r1x2"),
       sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
-    val mr = ranked.select(col("ok"), col("ord"))
-      .join(ties.select(col("ord"), col("mr2")), "ord")
-      .join(sample.select(col("ok"), col("grp")), "ok")
-    val stats = mr.groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"), sum(col("mr2")).as("sr2"))
-      .groupBy()
-      .agg(
-        max(when(col("grp") === "1-URGENT", col("n"))).as("n1"),
-        max(when(col("grp") === "5-LOW", col("n"))).as("n2"),
-        max(when(col("grp") === "1-URGENT", col("sr2"))).as("r1x2"))
-    stats.crossJoin(broadcast(tieTerm))
+    stats
       // 2·U1 = 2·R1 − n1(n1+1); every term exact int64
       .withColumn("u1_x2", col("r1x2") - col("n1") * (col("n1") + 1))
       .withColumn("cle",
@@ -1262,27 +1272,29 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     * distribution-free magnitude companion to q_mann_whitney's
     * significance z (as q_effect_size is to q_welch_t). */
   private[graft] def qCliffsDelta(s: SparkSession, dir: String): DataFrame = {
-    val sample = t(s, dir, "orders")
+    // round-13 re-shape: same value-domain midrank collapse as
+    // q_mann_whitney (mr2(v) = 2·cum − t + 1; per-group rank sums are
+    // Σ t_grp(v)·mr2(v)) — the per-row rank pass and both row-level
+    // join-backs drop out.
+    val vals = t(s, dir, "orders")
       .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
-      .select(col("o_orderkey").as("ok"), col("o_orderpriority").as("grp"),
+      .select(col("o_orderpriority").as("grp"),
         Analytics.cents(col("o_totalprice")).as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("grp") === "1-URGENT", 1L).otherwise(0L)).as("t1"))
       .localCheckpoint(eager = false)
-    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
-      sample.select(lit("all").as("g"), col("v").cast("double").as("ord"),
-        col("ok")),
-      "g", "ord", "ok", 32)
-    val ties = ranked.groupBy(col("ord"))
-      .agg((min(col("rnk")) + max(col("rnk"))).as("mr2"))
-    val mr = ranked.select(col("ok"), col("ord"))
-      .join(ties, "ord")
-      .join(sample.select(col("ok"), col("grp")), "ok")
-    val stats = mr.groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"), sum(col("mr2")).as("sr2"))
-      .groupBy()
-      .agg(
-        max(when(col("grp") === "1-URGENT", col("n"))).as("n1"),
-        max(when(col("grp") === "5-LOW", col("n"))).as("n2"),
-        max(when(col("grp") === "1-URGENT", col("sr2"))).as("r1x2"))
+    val withMr = graft.ops.ScalablePrefix.groupedPrefixSum(s,
+        vals.select(lit("all").as("g"), col("v").cast("double").as("ord"),
+          col("t")),
+        "g", "ord", "t", 32)
+      .select(col("ord"), (lit(2L) * col("cum_w") - col("t") + 1L).as("mr2"))
+      .join(vals.select(col("v").cast("double").as("ord"), col("t"),
+        col("t1")), "ord")
+    val stats = withMr.agg(
+      sum(col("t1")).as("n1"),
+      sum(col("t") - col("t1")).as("n2"),
+      sum(col("t1") * col("mr2")).as("r1x2"))
     stats
       .withColumn("u1_x2", col("r1x2") - col("n1") * (col("n1") + 1))
       .select(col("n1"), col("n2"),

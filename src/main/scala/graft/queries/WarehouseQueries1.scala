@@ -1144,17 +1144,28 @@ private[graft] trait WarehouseQueries1 { this: SparkEntry.type =>
         count(lit(1)).as("freq"),
         sum(Analytics.cents(col("o_totalprice"))).as("monetary"))
       .localCheckpoint(eager = false)
-    def score(axis: String, out: String): DataFrame =
-      graft.ops.ScalablePrefix.groupedRank(s,
-        perCust.select(lit("all").as("g"),
-          col(axis).cast("double").as("ord"), col("o_custkey")),
-        "g", "ord", "o_custkey", 32)
-        .select(col("o_custkey"),
-          (expr("(rnk - 1) * 5 div grp_n") + 1).as(out))
+    // round-13 re-shape (the q_spearman stacking trick): all THREE
+    // axes ride ONE groupedRank range pass — the axis tag is the group
+    // key, so r/f/m are independent rank domains inside a single
+    // shuffle + offset-collect instead of three kernel passes — and
+    // the three row-level joins collapse to one groupBy pivot plus a
+    // single join back for the monetary payload. Ranks, quintile
+    // arithmetic and the final cells are unchanged.
+    val stacked = Seq(("r", "recency"), ("f", "freq"), ("m", "monetary"))
+      .map { case (tag, axis) =>
+        perCust.select(lit(tag).as("g"), col(axis).cast("double").as("ord"),
+          col("o_custkey"))
+      }.reduce(_ unionAll _)
+    val scores = graft.ops.ScalablePrefix.groupedRank(s,
+        stacked, "g", "ord", "o_custkey", 32)
+      .select(col("o_custkey"), col("g"),
+        (expr("(rnk - 1) * 5 div grp_n") + 1).as("score"))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("g") === "r", col("score"))).as("r_score"),
+        max(when(col("g") === "f", col("score"))).as("f_score"),
+        max(when(col("g") === "m", col("score"))).as("m_score"))
     perCust
-      .join(score("recency", "r_score"), "o_custkey")
-      .join(score("freq", "f_score"), "o_custkey")
-      .join(score("monetary", "m_score"), "o_custkey")
+      .join(scores, "o_custkey")
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),
         expr("sum(monetary) div count(1)").as("mean_monetary_cents"))
@@ -1951,37 +1962,41 @@ private[graft] trait WarehouseQueries1 { this: SparkEntry.type =>
     * correction are fixed double trees — never a double sum over
     * group rows. */
   private[graft] def qKruskalWallis(s: SparkSession, dir: String): DataFrame = {
-    val sample = t(s, dir, "orders")
-      .select(col("o_orderkey").as("ok"), col("o_orderpriority").as("grp"),
+    // round-13 re-shape (the q_mann_whitney value-domain collapse):
+    // midranks depend only on the value, so one (value → per-priority
+    // counts) aggregate + a prefix sum over the collapsed value domain
+    // (mr2(v) = 2·cum − t + 1) replace the per-row global rank and the
+    // two row-level join-backs; each group's rank sum is
+    // Σ t_grp(v)·mr2(v), pivoted in the same single-row aggregate that
+    // also folds the tie term.
+    val vals = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("grp"),
         Analytics.cents(col("o_totalprice")).as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("t"),
+        priorities.zipWithIndex.map { case (p, i) =>
+          sum(when(col("grp") === p, 1L).otherwise(0L)).as(s"t$i")
+        }: _*)
       .localCheckpoint(eager = false)
-    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
-      sample.select(lit("all").as("g"), col("v").cast("double").as("ord"),
-        col("ok")),
-      "g", "ord", "ok", 32)
-    val ties = ranked.groupBy(col("ord"))
-      .agg((min(col("rnk")) + max(col("rnk"))).as("mr2"),
-        count(lit(1)).as("t"))
-      .localCheckpoint(eager = false)
-    val tieTerm = ties.agg(
-      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
-    val perGroup = ranked.select(col("ok"), col("ord"))
-      .join(ties.select(col("ord"), col("mr2")), "ord")
-      .join(sample.select(col("ok"), col("grp")), "ok")
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"), sum(col("mr2")).as("r2"))
-    val wideCols = priorities.zipWithIndex.flatMap { case (p, i) =>
-      Seq(max(when(col("grp") === p, col("n"))).as(s"n$i"),
-        max(when(col("grp") === p, col("r2"))).as(s"r$i"))
-    }
-    val wide = perGroup.groupBy().agg(wideCols.head, wideCols.tail: _*)
+    val withMr = graft.ops.ScalablePrefix.groupedPrefixSum(s,
+        vals.select(lit("all").as("g"), col("v").cast("double").as("ord"),
+          col("t")),
+        "g", "ord", "t", 32)
+      .select(col("ord"), (lit(2L) * col("cum_w") - col("t") + 1L).as("mr2"))
+      .join(vals.select(col("v").cast("double").as("ord") +:
+        col("t") +: (0 to 4).map(i => col(s"t$i")): _*), "ord")
+    val wideCols = (0 to 4).flatMap { i =>
+      Seq(sum(col(s"t$i")).as(s"n$i"),
+        sum(col(s"t$i") * col("mr2")).as(s"r$i"))
+    } :+ sum(col("t") * col("t") * col("t") - col("t")).as("tie3")
+    val wide = withMr.agg(wideCols.head, wideCols.tail: _*)
     def sumTerm: org.apache.spark.sql.Column =
       (0 to 4).map { i =>
         (col(s"r$i").cast("double") * col(s"r$i").cast("double")) /
           col(s"n$i").cast("double")
       }.reduce(_ + _)
     val nTot = (0 to 4).map(i => col(s"n$i")).reduce(_ + _)
-    wide.crossJoin(broadcast(tieTerm))
+    wide
       .withColumn("n_total", nTot)
       .withColumn("h_raw",
         lit(3.0) * sumTerm /

@@ -2043,14 +2043,19 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
         size(array_distinct(TextOps.tokens(col("text"))))
           .cast("double").as("uniq_ord"))
       .localCheckpoint(eager = false)
-    def rankBy(ordCol: String, out: String) =
-      graft.ops.ScalablePrefix.groupedRank(s,
-          m.select(col("g"), (-col(ordCol)).as("o"), col("doc_id")),
-          groupCol = "g", orderCol = "o", idCol = "doc_id",
-          numPartitions = 32)
-        .select(col("doc_id"), col("rnk").as(out))
-    rankBy("len_ord", "rank_len")
-      .join(rankBy("uniq_ord", "rank_uniq"), "doc_id")
+    // round-13 re-shape (the q_spearman stacking trick): both rankings
+    // ride ONE groupedRank range pass under an axis-tag group key, and
+    // the doc_id join collapses to a pivot aggregate.
+    val stacked = m.select(lit("l").as("ax"), (-col("len_ord")).as("o"),
+        col("doc_id"))
+      .unionAll(m.select(lit("u").as("ax"), (-col("uniq_ord")).as("o"),
+        col("doc_id")))
+    graft.ops.ScalablePrefix.groupedRank(s, stacked,
+        groupCol = "ax", orderCol = "o", idCol = "doc_id",
+        numPartitions = 32)
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("ax") === "l", col("rnk"))).as("rank_len"),
+        max(when(col("ax") === "u", col("rnk"))).as("rank_uniq"))
       .select(col("doc_id"), col("rank_len"), col("rank_uniq"),
         expr("1000000000 div (60 + rank_len) + 1000000000 div (60 + rank_uniq)")
           .as("rrf_fp"))

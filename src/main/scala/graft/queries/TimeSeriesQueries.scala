@@ -328,11 +328,12 @@ private[graft] trait TimeSeriesQueries { this: SparkEntry.type =>
       firsts.select(lit("all").as("g"), col("delta_s").cast("double").as("ord"),
         col("user_id")),
       "g", "ord", "user_id", 32)
-    val n = ranked.agg(max(col("rnk")).as("n"))
-    ranked.crossJoin(broadcast(n))
-      .filter(col("rnk") === expr("(n + 1) div 2") ||
-        col("rnk") === expr("(9 * n + 9) div 10"))
-      .agg(max(col("n")).as("n_converted"),
+    // round-13: rank count = the kernel's grp_n column — the extra
+    // max-rank aggregate + crossJoin dropped (the q_qcd trick)
+    ranked
+      .filter(col("rnk") === expr("(grp_n + 1) div 2") ||
+        col("rnk") === expr("(9 * grp_n + 9) div 10"))
+      .agg(max(col("grp_n")).as("n_converted"),
         min(col("ord")).cast("long").as("median_s"),
         max(col("ord")).cast("long").as("p90_s"))
   }

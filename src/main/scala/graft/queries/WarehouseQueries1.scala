@@ -1500,18 +1500,24 @@ private[graft] trait WarehouseQueries1 { this: SparkEntry.type =>
       .select(col("n_name"), col("o_orderkey").as("ok"),
         Analytics.cents(col("o_totalprice")).as("v"))
       .localCheckpoint(eager = false)
-    val natR = graft.ops.ScalablePrefix.groupedRank(s,
-      vals.select(col("n_name"), col("v").cast("double").as("ord"), col("ok")),
-      "n_name", "ord", "ok", 32)
-    val natN = natR.groupBy(col("n_name")).agg(max(col("rnk")).as("n_g"))
-    val globR = graft.ops.ScalablePrefix.groupedRank(s,
-      vals.select(lit("all").as("g"), col("v").cast("double").as("ord"),
-        col("ok")),
-      "g", "ord", "ok", 32)
+    // round-13 re-shape: both rankings (per-nation and global) ride
+    // ONE groupedRank range pass — the global copy stacks under a
+    // -prefixed group tag no nation name can collide with — and
+    // the per-group sizes come from the kernel's own grp_n column, so
+    // the natN aggregate + broadcast join disappear (the q_qcd trick).
+    val stacked = vals.select(col("n_name").as("g"),
+        col("v").cast("double").as("ord"), col("ok"))
+      .unionAll(vals.select(lit("all").as("g"),
+        col("v").cast("double").as("ord"), col("ok")))
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+        stacked, "g", "ord", "ok", 32)
       .localCheckpoint(eager = false)
+    val globR = ranked.filter(col("g") === "all")
     val totN = globR.agg(max(col("rnk")).as("n_tot"))
-    natR.join(broadcast(natN), "n_name").crossJoin(broadcast(totN))
-      .withColumn("target_rank", expr("rnk * n_tot div n_g"))
+    ranked.filter(col("g") =!= "all")
+      .withColumnRenamed("g", "n_name")
+      .crossJoin(broadcast(totN))
+      .withColumn("target_rank", expr("rnk * n_tot div grp_n"))
       .join(globR.select(col("rnk").as("target_rank"),
         col("ord").cast("long").as("norm_cents")), "target_rank")
       .groupBy(col("n_name"))
@@ -1539,9 +1545,10 @@ private[graft] trait WarehouseQueries1 { this: SparkEntry.type =>
       spend.select(col("yr").cast("string").as("g"),
         col("c").cast("double").as("ord"), col("o_custkey")),
       "g", "ord", "o_custkey", 32)
-    val n = ranked.groupBy(col("g")).agg(max(col("rnk")).as("n"))
-    val deciled = ranked.join(broadcast(n), "g")
-      .withColumn("dec", expr("(rnk - 1) * 10 div n + 1"))
+    // round-13: the per-year size is the kernel's own grp_n column —
+    // the max-rank aggregate + broadcast join dropped (the q_qcd trick)
+    val deciled = ranked
+      .withColumn("dec", expr("(rnk - 1) * 10 div grp_n + 1"))
       .select(col("g"), col("o_custkey"), col("dec"))
       .localCheckpoint(eager = false)
     deciled.filter(col("g") === "1996")
@@ -1581,12 +1588,13 @@ private[graft] trait WarehouseQueries1 { this: SparkEntry.type =>
       gaps.select(col("n_name"), col("gap").cast("double").as("ord"),
         col("ok")),
       "n_name", "ord", "ok", 32)
-    val n = ranked.groupBy(col("n_name")).agg(max(col("rnk")).as("n_gaps"))
-    ranked.join(broadcast(n), "n_name")
-      .filter(col("rnk") === expr("(n_gaps + 1) div 2") ||
-        col("rnk") === expr("(9 * n_gaps + 9) div 10"))
+    // round-13: group sizes ride the kernel's grp_n column — the
+    // max-rank aggregate + broadcast join dropped (the q_qcd trick)
+    ranked
+      .filter(col("rnk") === expr("(grp_n + 1) div 2") ||
+        col("rnk") === expr("(9 * grp_n + 9) div 10"))
       .groupBy(col("n_name"))
-      .agg(max(col("n_gaps")).as("n_gaps"),
+      .agg(max(col("grp_n")).as("n_gaps"),
         min(col("ord")).cast("long").as("median_days"),
         max(col("ord")).cast("long").as("p90_days"))
       .orderBy(col("n_name"))
@@ -1829,8 +1837,9 @@ private[graft] trait WarehouseQueries1 { this: SparkEntry.type =>
       daily.select(lit("all").as("g"), col("v").cast("double").as("ord"),
         col("day")),
       "g", "ord", "day", 32)
-    val med = ranked.crossJoin(broadcast(ranked.agg(max(col("rnk")).as("n"))))
-      .filter(col("rnk") === expr("(n + 1) div 2"))
+    // round-13: the rank count is the kernel's grp_n column — the
+    // extra max-rank aggregate pass over the kernel output dropped
+    val med = ranked.filter(col("rnk") === expr("(grp_n + 1) div 2"))
       .select(col("ord").cast("long").as("med"))
     val signs = daily.crossJoin(broadcast(med))
       .withColumn("above", col("v") > col("med"))

@@ -2387,14 +2387,22 @@ private[graft] trait WarehouseQueries2 { this: SparkEntry.type =>
     * with deterministic tie-breaks everywhere. */
   private[graft] def qBorda(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // round-13 re-shape (guide §2.3): a countDistinct mixed with plain
+    // sums plans as an Expand that doubles the rows into the first
+    // aggregate; the manual two-level form — pre-aggregate by
+    // (brand, order), then count groups — shuffles each (brand, order)
+    // pair once with map-side partials and no Expand. Sums of sums are
+    // exact-integer associative, so the result is unchanged.
     val m = t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "part")
           .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand"))
+      .groupBy(col("p_brand"), col("l_orderkey"))
       .agg(sum(Analytics.cents(col("l_extendedprice"))).as("rev"),
-        sum(col("l_quantity").cast("long")).as("qty"),
-        countDistinct(col("l_orderkey")).as("ords"))
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("rev")).as("rev"), sum(col("qty")).as("qty"),
+        count(lit(1)).as("ords"))
       .localCheckpoint(eager = false)
     val n = m.agg(count(lit(1)).as("nb"))
     def rank(c: String) = row_number().over(

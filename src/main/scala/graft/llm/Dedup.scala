@@ -305,7 +305,10 @@ object Dedup {
       // sweep's edges⋈labels join reuses it instead of re-shuffling the
       // edge table each sweep (2 sweeps × rounds otherwise)
       .repartition(col("b"))
-      .localCheckpoint(eager = true)
+      // lazy (round-13): round 1's signature agg is the first action
+      // and materializes the edge blocks in the same job — one fewer
+      // scheduling round-trip over the expensive pair-generation lineage
+      .localCheckpoint(eager = false)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     // one min-label propagation sweep, fused (no materialization)

@@ -25,10 +25,18 @@ object LabelProp {
   /** `rounds` synchronous updates over an undirected edge list
     * (`u`, `v` both directions present); returns (node, label). */
   def run(edges: DataFrame, rounds: Int): DataFrame = {
+    // LAZY checkpoints (round-13): the round count is FIXED — there is
+    // no per-round convergence check, so nothing needs a driver action
+    // between rounds. Lazy checkpoints still cut lineage (each round's
+    // plan is an RDD scan of its predecessor), but all rounds now
+    // materialize inside the CALLER's first action as one job instead
+    // of rounds+1 eager-materialize round-trips; a caller that consumes
+    // the labels twice (q_modularity) still computes them once, because
+    // the first action caches the checkpoint blocks.
     var labels = edges.select(col("u").as("node"))
       .distinct()
       .withColumn("lab", col("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     for (_ <- 0 until rounds) {
       labels = edges
         .join(labels, edges("v") === labels("node"))
@@ -37,7 +45,7 @@ object LabelProp {
         .groupBy(col("node2").as("node"))
         .agg(max(struct(col("n"), (-col("lab")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("lab"))
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
     }
     labels
   }

@@ -61,10 +61,16 @@ object Explain {
     * FloorJustified requires a probe. */
   val AdvisoryNoted: Map[String, Double] = Map(
     "q_set_cover" -> 1.24,          // one corpus bitmask pass + driver greedy
-    "q_rfm" -> 1.05,                // three two-pass grouped ranks + joins
+    // round-13 re-shape: ONE stacked three-axis grouped-rank pass +
+    // pivot (was three kernel passes + three row-level joins);
+    // isolated TimeQ min-of-5 = 0.91 s
+    "q_rfm" -> 0.91,
     "q_quantile_sampled" -> 0.22,   // sampled exact percentile, md5 gate
     "q_semantic_dedup" -> 1.22,     // kmeans-assign + in-cluster pair scan
-    "q_quantile_normalize" -> 1.03, // two grouped ranks over value domain
+    // round-13 re-shape: per-nation + global rankings stacked into ONE
+    // grouped-rank pass, sizes from the kernel's grp_n column (natN
+    // aggregate + broadcast join dropped); TimeQ min-of-5 = 1.34 s
+    "q_quantile_normalize" -> 1.34,
     "q_json_roundtrip" -> 0.39,     // full-row JSON encode/decode kernel
     // round 9: both axes collapsed onto one (part, quarter)
     // pre-aggregate (one fact scan); residual is the prefix-sum +

@@ -256,10 +256,16 @@ class PlanAuditSpec extends SparkSpec {
       s"EMA must not fall back to a sequential window:\n$plan")
   }
 
-  test("hubness 3-NN rides the bounded heap, never a per-anchor window") {
+  test("hubness 3-NN rides the bounded partial heap, never an unbounded per-anchor window") {
+    // round-13: stratifiedTopN is the rank-limit window form — the
+    // scale property is the WindowGroupLimit[Partial] heap planted
+    // BEFORE the exchange (each input partition ships ≤ strata×n
+    // survivors), not the absence of a Window node. A plain Window
+    // with NO group limit would be the regression.
     val plan = SparkEntry.queries("q_hubness")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"top-3 regressed to a window:\n$plan")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"top-3 lost its pre-exchange bounded heap:\n$plan")
   }
 
   test("theil decomposition materializes the customer table once") {

@@ -1344,20 +1344,26 @@ private[graft] trait WarehouseQueries2 { this: SparkEntry.type =>
   }
 
   /** Bounded-error gate for the BUILT-IN HLL++ sketch
-    * (approx_count_distinct, rsd=5%): the estimate itself is engine-
-    * specific (Spark's sketch, deterministic for fixed data) so the
-    * oracle can't replay it — instead the QUERY ships the property
-    * that matters (|est − exact| ≤ 5% of exact) as a boolean next to
-    * the exact count, and the oracle asserts it must be TRUE. If a
-    * Spark upgrade or sketch regression drifts the estimate out of
-    * its advertised bound, this row hash-mismatches. Complements
-    * q_hll_distinct (the custom oracle-replayable sketch). */
+    * (approx_count_distinct at rsd=1%, gated at 5%): the estimate
+    * itself is engine-specific (Spark's sketch, deterministic for
+    * fixed data) so the oracle can't replay it — instead the QUERY
+    * ships the property that matters (|est − exact| ≤ 5% of exact) as
+    * a boolean next to the exact count, and the oracle asserts it must
+    * be TRUE. If a Spark upgrade or sketch regression drifts the
+    * estimate out of its bound, this row hash-mismatches. The sketch
+    * runs at rsd=1% while the gate stays 5%: rsd is a 1σ parameter,
+    * not a hard bound — at rsd=5% a single sparse-mode hash collision
+    * on an 11-customer nation breached the 5% gate at sf0.001
+    * (est 10 vs exact 11, found + fixed in round 13) — so the sketch
+    * precision must dominate the asserted bound with margin.
+    * Complements q_hll_distinct (the custom oracle-replayable
+    * sketch). */
   private[graft] def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").join(t(s, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").cast("long").as("nation"))
       .agg(countDistinct(col("o_custkey")).as("exact_customers"),
-        approx_count_distinct(col("o_custkey"), 0.05).as("est"))
+        approx_count_distinct(col("o_custkey"), 0.01).as("est"))
       .select(col("nation"), col("exact_customers"),
         (abs(col("est") - col("exact_customers")) * 100 <=
           col("exact_customers") * 5).as("within_5pct"))

@@ -66,6 +66,11 @@ object Explain {
     // isolated TimeQ min-of-5 = 0.91 s
     "q_rfm" -> 0.91,
     "q_quantile_sampled" -> 0.22,   // sampled exact percentile, md5 gate
+    // round-13: full-table column-profile scan (6 per-column aggregate
+    // families over one orders pass); isolated TimeQ min-of-5 = 0.72 s
+    // — closing rows past 2.0 s are cold-run host variance over the
+    // one-scan floor
+    "q_profile" -> 0.72,
     "q_semantic_dedup" -> 1.22,     // kmeans-assign + in-cluster pair scan
     // round-13 re-shape: per-nation + global rankings stacked into ONE
     // grouped-rank pass, sizes from the kernel's grp_n column (natN

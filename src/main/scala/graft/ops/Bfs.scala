@@ -134,6 +134,12 @@ object Bfs {
     // pre-aggregation and full-outer merge the textbook form writes are
     // folded into that one agg (min is associative), so a sweep costs
     // one join + one shuffle agg instead of join + agg + full-outer.
+    // Round-13: a co-partitioned full-outer least-merge (candidate agg
+    // by node, then an exchange-free SMJ against the settled table) was
+    // tried and REJECTED by A/B measurement — q_sssp min-of-7 3.28 s vs
+    // 2.66 s for this shape: the per-sweep SMJ sorts cost more than the
+    // union's extra shuffled bytes at any scale where the settled table
+    // is small relative to the candidate stream.
     def relaxed(d: DataFrame): DataFrame =
       d.unionByName(
           e.join(d.withColumnRenamed("node", "u"), "u")

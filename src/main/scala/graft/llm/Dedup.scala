@@ -293,13 +293,19 @@ object Dedup {
     * convergence check (a count) touches the driver. The cluster label
     * is the component's minimum node id, i.e. exactly the
     * representative exact-dedup keeps. */
-  def dupClusters(pairs: DataFrame, d1: String, d2: String, maxIter: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, d1: String, d2: String, maxIter: Int = 20,
+      canonicalPairs: Boolean = false): DataFrame = {
     // materialize the edge list ONCE: every iteration joins against it,
     // and without this the (potentially expensive) pair-generation
-    // lineage above would re-execute per round
-    val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
+    // lineage above would re-execute per round.
+    // `canonicalPairs = true` is the caller's guarantee that every row
+    // has d1 < d2 and the (d1, d2) rows are distinct (jaccardPairs
+    // output) — the two union branches are then disjoint and each
+    // distinct, so the `.distinct()` (a full exchange + two hash
+    // aggregates before the repartition) is a no-op and is skipped
+    val undirected = pairs.select(col(d1).as("a"), col(d2).as("b"))
       .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
-      .distinct()
+    val edges = (if (canonicalPairs) undirected else undirected.distinct())
       // hash-partition by the sweep-join side before checkpointing: the
       // checkpointed relation keeps its outputPartitioning, so every
       // sweep's edges⋈labels join reuses it instead of re-shuffling the

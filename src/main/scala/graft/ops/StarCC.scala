@@ -28,21 +28,37 @@ object StarCC {
   /** Component labels for `pairs` (two node columns, undirected, any
     * orientation): returns (node, label) with label = component min,
     * one row per distinct node occurring in `pairs`, plus the number
-    * of large+small rounds taken. */
+    * of large+small rounds taken.
+    *
+    * `canonicalPairs = true` is the caller's GUARANTEE that every row
+    * already satisfies c1 < c2 and the (c1, c2) rows are distinct
+    * (e.g. Dedup.jaccardPairs output: the candidate self-join enforces
+    * a.id < b.id and the groupBy(d1, d2) makes pairs distinct). The
+    * canonicalization pass (least/greatest + self-loop filter +
+    * distinct = one full exchange + two hash aggregates) is then a
+    * no-op and is skipped, and the singleton re-attach derives the
+    * node universe from the CHECKPOINTED edge table instead of from
+    * `pairs` — whose un-checkpointed lineage (candidate generation)
+    * would otherwise re-execute in full for that one branch. */
   def labels(pairs: DataFrame, c1: String, c2: String,
-      maxRounds: Int = 120): (DataFrame, Int) = {
+      maxRounds: Int = 120, canonicalPairs: Boolean = false): (DataFrame, Int) = {
     // default bound: a 500k-edge single chain (worst-case diameter)
     // measures 40 rounds ≈ 2·log2(n)+detection; 120 covers n ≈ 2^55
     // with slack, while still failing fast on a genuine non-convergence
     // bug rather than looping forever
     // canonical undirected edge set (a < b); self-loops dropped
-    var edges = pairs
-      .select(least(col(c1), col(c2)).as("a"), greatest(col(c1), col(c2)).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    val edges0 = {
+      val base =
+        if (canonicalPairs) pairs.select(col(c1).as("a"), col(c2).as("b"))
+        else pairs
+          .select(least(col(c1), col(c2)).as("a"), greatest(col(c1), col(c2)).as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct()
       // lazy: the fingerprint agg below is the first action and
       // materializes the blocks in its own job (no separate eager job)
-      .localCheckpoint(eager = false)
+      base.localCheckpoint(eager = false)
+    }
+    var edges = edges0
 
     // order-independent, overflow-free edge-set fingerprint (edges are
     // distinct within a round, so xor cancellation cannot occur)
@@ -104,9 +120,15 @@ object StarCC {
     // nodes whose every appearance was a self-loop were dropped with
     // the (a =!= b) canonicalization, but the contract is one row per
     // distinct node OCCURRING IN PAIRS (and dupClusters keeps them on
-    // identical input) — re-attach them as their own singletons
-    val allNodes = pairs.select(col(c1).as("node"))
-      .union(pairs.select(col(c2).as("node"))).distinct()
+    // identical input) — re-attach them as their own singletons.
+    // Canonical callers guarantee no self-loops, so nodes(pairs) =
+    // nodes(edges0) and the universe reads the CHECKPOINT (the
+    // re-attach over `pairs` would re-execute its full lineage)
+    val nodeSource =
+      if (canonicalPairs) edges0.select(col("a").as(c1), col("b").as(c2))
+      else pairs
+    val allNodes = nodeSource.select(col(c1).as("node"))
+      .union(nodeSource.select(col(c2).as("node"))).distinct()
     val withSingletons = out.unionByName(
       allNodes.join(out, Seq("node"), "left_anti")
         .select(col("node"), col("node").as("label")))

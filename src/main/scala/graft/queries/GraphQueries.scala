@@ -25,7 +25,12 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
   private[graft] def qCcStar(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
       k = 5, minSim = 0.05)
-    val (labels, _) = graft.ops.StarCC.labels(pairs, "d1", "d2")
+    // jaccardPairs guarantees d1 < d2 and distinct pairs, so the
+    // canonical fast path skips the re-canonicalization exchange AND
+    // stops the singleton re-attach from re-running candidate
+    // generation (round-14, guide §2.4)
+    val (labels, _) = graft.ops.StarCC.labels(pairs, "d1", "d2",
+      canonicalPairs = true)
     labels
       .select(col("node").as("doc_id"), col("label").as("cluster"),
         (col("label") === col("node")).as("is_representative"))

@@ -420,7 +420,7 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
   private[graft] def qDupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.dupClusters(
         Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 5, minSim = 0.05),
-        "d1", "d2")
+        "d1", "d2", canonicalPairs = true)
       .select(col("node").as("doc_id"), col("label").as("cluster"),
         col("is_representative"))
       .orderBy(col("doc_id"))
@@ -435,7 +435,7 @@ private[graft] trait LlmQueries1 { this: SparkEntry.type =>
   private[graft] def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val clustered = Dedup.dupClusters(
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 5, minSim = 0.05),
-      "d1", "d2")
+      "d1", "d2", canonicalPairs = true)
       .select(col("node").as("doc_id"), col("label").as("cluster"))
     clustered
       .join(t(s, dir, "documents").select(col("doc_id"), col("n_chars")), "doc_id")

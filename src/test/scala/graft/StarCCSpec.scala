@@ -36,6 +36,29 @@ class StarCCSpec extends SparkSpec {
     assert(got === Seq((1L, 1L), (2L, 1L), (5L, 5L), (7L, 7L)))
   }
 
+  test("canonicalPairs fast path matches the canonicalizing path on jaccard pairs") {
+    // jaccardPairs output satisfies the canonical contract (d1 < d2,
+    // distinct rows): both StarCC paths and both dupClusters paths must
+    // produce identical labels — the fast path only removes the no-op
+    // canonicalization exchange and the pairs-lineage re-execution
+    val pairs = graft.llm.Dedup.jaccardPairs(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text", k = 5, minSim = 0.05)
+      .localCheckpoint(eager = true)
+    val (slow, _) = StarCC.labels(pairs, "d1", "d2")
+    val (fast, _) = StarCC.labels(pairs, "d1", "d2", canonicalPairs = true)
+    assert(fast.collect().map(r => (r.getLong(0), r.getLong(1))).sorted ===
+      slow.collect().map(r => (r.getLong(0), r.getLong(1))).sorted)
+    val mlSlow = graft.llm.Dedup.dupClusters(pairs, "d1", "d2")
+      .select($"node", $"label")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val mlFast = graft.llm.Dedup.dupClusters(pairs, "d1", "d2",
+        canonicalPairs = true)
+      .select($"node", $"label")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(mlFast === mlSlow)
+  }
+
   test("star contraction matches union-find on a seeded random graph") {
     // deterministic LCG edges over 400 nodes (mix of small components)
     val n = 400L

@@ -140,6 +140,21 @@ object Bfs {
     // 2.66 s for this shape: the per-sweep SMJ sorts cost more than the
     // union's extra shuffled bytes at any scale where the settled table
     // is small relative to the candidate stream.
+    // Round-14: a DELTA/FRONTIER variant (a `chg` flag rides the table;
+    // only changed nodes' edges feed the next candidate join, with
+    // old/new mins folded into the same union+agg) was A/B'd and
+    // REJECTED at this scale — back-to-back min-of-7 3.14 s vs 2.97 s,
+    // medians 3.56 vs 3.25 — despite needing one FEWER materialized
+    // round: the wider union (extra bool), the second aggregate and the
+    // per-sweep frontier filter cost more than the candidate shrinkage
+    // saves when the whole graph is a few thousand edges. The probe
+    // numbers say the trade flips at scale (q_sssp sf0.1 graph,
+    // 19 sweeps: non-frontier candidate stream GROWS to 3,020 rows/sweep
+    // = every settled edge re-relaxed, ~34k rows total; frontier stream
+    // peaks at 429 and decays to 1, ~3.0k total — at corpus scale the
+    // non-frontier stream is the FULL edge set per sweep), so a 100 TB
+    // deployment should flip to the frontier form once per-sweep data
+    // dominates the job floor.
     def relaxed(d: DataFrame): DataFrame =
       d.unionByName(
           e.join(d.withColumnRenamed("node", "u"), "u")

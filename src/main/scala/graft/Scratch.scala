@@ -17,55 +17,43 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
     def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
-    tbl("lineitem").count()
-    // q_sssp's edge set + seeds, per-sweep candidate-volume probe:
-    // candidate rows per sweep WITHOUT the frontier filter (e ⋈ full
-    // dist) vs WITH it (e ⋈ changed-only)
-    val items = tbl("lineitem")
-      .filter(col("l_partkey") % 10 === 0)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = items.as("a").join(items.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey") &&
-          (col("a.l_partkey") + col("b.l_partkey")) % 7 === 0)
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct()
-      .withColumn("w", lit(1L) + (col("u") + col("v")) % 5)
-      .repartition(col("u"))
+    tbl("documents").count()
+    // dupClusters convergence probe: materialized rounds + sweeps at sf0.1
+    val pairs = graft.llm.Dedup.jaccardPairs(tbl("documents"), "doc_id", "text",
+      k = 5, minSim = 0.05)
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .repartition(col("b"))
       .localCheckpoint(eager = false)
-    println(s"[scratch] edges=${edges.count()}")
-    val seeds = edges.select(col("u").as("node")).distinct()
-      .filter(col("node") % 1000 === 0)
-    val e = edges.select(col("u"), col("v"), col("w"))
-    def sweep(d: org.apache.spark.sql.DataFrame) = {
-      val cand = e.join(
-          d.filter(col("chg")).select(col("node").as("u"), col("dist")), "u")
-        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
-      d.select(col("node"), col("dist"), lit(true).as("old"))
-        .unionByName(cand.select(col("node"), col("dist"), lit(false).as("old")))
-        .groupBy(col("node"))
-        .agg(min(col("dist")).as("nd"), min(when(col("old"), col("dist"))).as("od"))
-        .select(col("node"), col("nd").as("dist"),
-          (col("od").isNull || col("nd") < col("od")).as("chg"))
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    def sweep(l: org.apache.spark.sql.DataFrame) = {
+      val neighborMin = edges
+        .join(l.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      l.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
     }
-    var dist = seeds.select(col("node"), lit(0L).as("dist"), lit(true).as("chg"))
-      .localCheckpoint(eager = false)
-    var sweepNo = 0
-    var active = dist.agg(count(when(col("chg"), lit(1)))).head().getLong(0)
-    while (active > 0 && sweepNo < 40) {
-      sweepNo += 1
-      // materialize EVERY sweep here (probe only) to read the per-sweep
-      // candidate volume: frontier size × incident edges
-      val candRows = e.join(
-          dist.filter(col("chg")).select(col("node").as("u")), "u").count()
-      val next = sweep(dist).localCheckpoint(eager = false)
-      active = next.agg(count(when(col("chg"), lit(1)))).head().getLong(0)
-      val total = next.count()
-      println(f"[scratch] sweep $sweepNo%2d cand_rows=$candRows%8d " +
-        f"frontier_after=$active%7d dist_rows=$total%7d " +
-        f"nonfrontier_cand=${e.join(dist.select(col("node").as("u")), "u").count()}%8d")
-      dist = next
+    def signature(l: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = l.agg(count(lit(1)), expr("bit_xor(xxhash64(node, label))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
+    // per-SWEEP signature trace: how many single sweeps until fixpoint
+    var l = labels.localCheckpoint(eager = false)
+    var sig = signature(l)
+    var sweeps = 0
+    var done = false
+    while (!done && sweeps < 30) {
+      sweeps += 1
+      val n = sweep(l).localCheckpoint(eager = false)
+      val ns = signature(n)
+      done = ns == sig
+      println(s"[scratch] sweep $sweeps changed=${ns != sig}")
+      sig = ns; l = n
+    }
+    println(s"[scratch] single-sweep fixpoint after $sweeps sweeps (incl. detection sweep)")
     spark.stop()
   }
 }

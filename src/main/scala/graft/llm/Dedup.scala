@@ -348,7 +348,15 @@ object Dedup {
       // decrease, so extra sweeps between convergence checks are safe,
       // and at small per-round data the checkpoint+count job floor
       // dominates — fusing halves the round-trips. Zero signature
-      // change across two sweeps implies a fixed point. Superseded
+      // change across two sweeps implies a fixed point.
+      // Round-14 A/B (sf0.1 dup-pair graph, which single-sweeps to
+      // fixpoint — star-shaped clusters): THREE fused sweeps measured
+      // strictly worse (q_dup_clusters min-of-7 2.03 vs 1.51 s,
+      // q_dedup_keep_best 1.82 vs 1.46 s — same 2 materialized rounds,
+      // 50% more sweep work); ONE sweep per round measured flat
+      // (1.55/1.48 s) — same round count on diameter-1 data, and it
+      // gives up the fused detection margin on deeper graphs. 2 stays.
+      // Superseded
       // rounds' blocks are released by the ContextCleaner on GC
       // (Dataset.unpersist does not cover localCheckpoint blocks).
       // lazy checkpoint: the signature agg below is the first action over

@@ -86,24 +86,52 @@ object GroupedQuantile {
       .localCheckpoint(eager = false)
     val histDf = wp.groupBy(col("g"), expr(s"v div $bucketWidth").as("b"))
       .agg(sum(col("w")).as("bw"), min(col("w")).as("mw"))
-      .localCheckpoint(eager = false)
     // the driver-side state is bounded by groups × valueRange/bucketWidth
     // — a property of the VALUE DOMAIN, but one the caller controls via
     // bucketWidth. A width far too small for the domain (e.g. 1 over an
     // int64 range) would collect the full (group, bucket) domain and OOM
-    // the driver, so the size is checked distributed-side BEFORE any row
-    // is collected (same fail-loudly convention as the HeavyHitters
-    // certification). The count materializes the checkpoint (measured
-    // cheaper than relying on exchange reuse between count and collect),
-    // so the collect re-reads it rather than recomputing the aggregate.
-    val histRows = histDf.count()
-    if (histRows > maxHistRows)
+    // the driver, so the size is checked distributed-side BEFORE the
+    // bulk of it reaches the driver (same fail-loudly convention as the
+    // HeavyHitters certification). Round-14 (guide §1.1/§2.4): the
+    // guard count() + checkpointed re-read collect() pair is fused into
+    // ONE job — each output task of the SAME collect throws past
+    // maxHistRows rows (a histogram over the cap certainly has an
+    // over-cap task or an over-cap total, checked driver-side below),
+    // so the worst-case driver exposure is shufflePartitions ×
+    // maxHistRows only in the near-boundary case, and the scheduling
+    // round-trip plus the checkpoint materialization are gone. The
+    // per-row closure runs on the domain-BOUNDED histogram, never on
+    // data-proportional rows.
+    val maxHist = maxHistRows
+    val bw = bucketWidth
+    import spark.implicits._
+    val capped = histDf.as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var n = 0L
+        it.map { r =>
+          n += 1
+          if (n > maxHist) throw new IllegalStateException(
+            s"weightedQuantiles histogram partition exceeds maxHistRows = " +
+              s"$maxHist (group, bucket) rows — raise bucketWidth (= $bw) " +
+              s"for this value domain, or raise maxHistRows if the driver " +
+              s"can hold it")
+          r
+        }
+      }
+    val hist =
+      try capped.collect()
+      catch { case e: Throwable =>
+        // surface the distributed-side guard as the documented
+        // IllegalStateException, not Spark's task-failure wrapper
+        var c: Throwable = e
+        while (c != null && !c.isInstanceOf[IllegalStateException]) c = c.getCause
+        throw (if (c != null) c else e)
+      }
+    if (hist.length > maxHistRows)
       throw new IllegalStateException(
-        s"weightedQuantiles histogram has $histRows (group, bucket) rows " +
+        s"weightedQuantiles histogram has ${hist.length} (group, bucket) rows " +
           s"> maxHistRows = $maxHistRows — raise bucketWidth (= $bucketWidth) " +
           s"for this value domain, or raise maxHistRows if the driver can hold it")
-    val hist = histDf
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // the correctness precondition is that every COLLAPSED (group,
     // value) weight is non-negative — that is exactly what keeps the
     // cumulative weight monotone, in buckets and in the drill-down

@@ -274,6 +274,18 @@ object Bench {
       if (lateRechecked.isEmpty) ""
       else lateRechecked.map("\"" + _ + "\"")
         .mkString("\"late_rechecks\":[", ",", "],")
+    // Self-describing measurement protocol (round-14, per the round-13
+    // verdict): the next "did the harness change?" question must be
+    // answerable from the artifact alone. Additive field; the env
+    // contract and every existing field stay byte-compatible.
+    val prejitOn = !sys.env.get("SPARK_GRAFT_PREJIT").contains("off")
+    val protocolField =
+      s""""protocol":{"timed_action":"count","warmup_sf":"sf0.001",""" +
+        s""""prejit":${prejitOn},"prejit_reps_floor_justified":2,""" +
+        s""""prejit_reps_other":1,"rerun_secs":$RerunSecs,""" +
+        s""""hard_budget_secs":${Explain.HardBudgetSecs},""" +
+        s""""rerun_rule":"min-of-2 past rerun_secs, min-of-3 past hard budget unless floor-justified",""" +
+        s""""late_recheck":"one end-of-suite warm+timed min for non-exempt rows past hard budget"},"""
     val jvmField = s""""jvm":{"start":$jvmStart,"end":${jvmSnapshot()}}"""
     def fmt(v: Double): String = f"$v%.3f"
     val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
@@ -285,7 +297,7 @@ object Bench {
     // Full per-query detail: one line for humans + a file for tooling.
     val warmField = preJit.map("\"" + _ + "\"").mkString("\"warm_input\":[", ",", "],")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errors,$hygieneWarning$warmField$lateField$jvmField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errors,$hygieneWarning$warmField$lateField$protocolField$jvmField,"sf":"$sfDir"}"""
     println(fullLine)
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
@@ -312,7 +324,7 @@ object Bench {
     val qsTop = slowest.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qsTop,"errors":$errors,$hygieneWarning$lateField$jvmField,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qsTop,"errors":$errors,$hygieneWarning$lateField$protocolField$jvmField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

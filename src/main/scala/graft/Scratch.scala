@@ -16,44 +16,46 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
-    def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
-    tbl("documents").count()
-    // dupClusters convergence probe: materialized rounds + sweeps at sf0.1
-    val pairs = graft.llm.Dedup.jaccardPairs(tbl("documents"), "doc_id", "text",
-      k = 5, minSim = 0.05)
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .repartition(col("b"))
-      .localCheckpoint(eager = false)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-    def sweep(l: org.apache.spark.sql.DataFrame) = {
-      val neighborMin = edges
-        .join(l.withColumnRenamed("node", "b"), "b")
-        .groupBy(col("a").as("node"))
-        .agg(min(col("label")).as("nbr_label"))
-      l.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    // Suite-floor decomposition: for each query, split the timed window
+    // into (a) DataFrame CONSTRUCTION (includes driver-phase jobs for
+    // iterative queries), (b) analysis+optimization+physical PLANNING
+    // (force executedPlan), (c) EXECUTION (count). Warm each at
+    // sf0.001 first, then min-of-3 at sf0.1, mirroring Bench.
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q_wilson", "q_window_funcs", "q_rfm", "q_rfm_migration",
+        "q_quantile_normalize", "q_kruskal_wallis", "q_spearman",
+        "q_decile_matrix", "q_woe_iv", "q_year_overlap", "q_ship_sla",
+        "q_abc_xyz", "q_borda", "q_lof", "q_set_cover", "q_hits",
+        "q_topk_stability", "q_qcd", "q_winsorize", "q_window_lag")
+    // count Spark jobs + their scheduled time during each phase, to
+    // split construction into driver-phase JOBS vs pure Catalyst work
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    })
+    println(f"[scratch] ${"query"}%-24s construct(jobs)  plan   exec(jobs)   total")
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      try { fn(spark, "/root/testdata/sf0.001").count() } catch { case _: Throwable => () }
+      val reps = (1 to 3).map { _ =>
+        val j0 = jobs.get
+        val t0 = System.nanoTime()
+        val df = fn(spark, dir)
+        val t1 = System.nanoTime()
+        val j1 = jobs.get
+        df.queryExecution.executedPlan
+        val t2 = System.nanoTime()
+        df.count()
+        val t3 = System.nanoTime()
+        val j2 = jobs.get
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9, (t3 - t0) / 1e9,
+          j1 - j0, j2 - j1)
+      }
+      val best = reps.minBy(_._4)
+      println(f"[scratch] $n%-24s ${best._1}%7.3f(${best._5}%3d) ${best._2}%7.3f ${best._3}%7.3f(${best._6}%3d) ${best._4}%7.3f")
     }
-    def signature(l: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val r = l.agg(count(lit(1)), expr("bit_xor(xxhash64(node, label))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    // per-SWEEP signature trace: how many single sweeps until fixpoint
-    var l = labels.localCheckpoint(eager = false)
-    var sig = signature(l)
-    var sweeps = 0
-    var done = false
-    while (!done && sweeps < 30) {
-      sweeps += 1
-      val n = sweep(l).localCheckpoint(eager = false)
-      val ns = signature(n)
-      done = ns == sig
-      println(s"[scratch] sweep $sweeps changed=${ns != sig}")
-      sig = ns; l = n
-    }
-    println(s"[scratch] single-sweep fixpoint after $sweeps sweeps (incl. detection sweep)")
     spark.stop()
   }
 }

@@ -40,7 +40,17 @@ object Sampling {
     * passing the longs directly drops two string materializations per
     * pair from the hot path while producing the identical order
     * (zero-padded decimal of a non-negative long IS its numeric
-    * order). `idCol` is always the final tie-break. */
+    * order). `idCol` is always the final tie-break.
+    *
+    * SCALE-CONTRACT dependency (round-14 advice note): the bounded
+    * shuffle rests entirely on the InferWindowGroupLimit optimizer
+    * rule firing — Spark 3.5+, a raw-int rank predicate (no cast, see
+    * below), and `spark.sql.window.group.limit.threshold` (default
+    * 1000) >= n. Lowering that config below n, or a future cast/rule
+    * drift, silently degrades this to a FULL per-stratum window sort —
+    * a scale regression with identical results. PlanAuditSpec /
+    * ScaleSpec pin the WindowGroupLimit[Partial] operator so the
+    * degradation fails a test instead of shipping. */
   def stratifiedTopNBy(df: DataFrame, stratumCol: String,
       orderCols: Seq[Column], idCol: String, n: Int): DataFrame = {
     require(n > 0, "n must be positive")

@@ -144,10 +144,25 @@ private[graft] trait QueryShared { this: SparkEntry.type =>
   /** Deterministic per-dataset scratch dir under target/ for the
     * format-roundtrip queries — inside the repo, overwritten
     * idempotently on every run; the sha1 prefix keeps distinct source
-    * dirs from colliding (same contract as ops/Bucketing). */
+    * dirs from colliding (same contract as ops/Bucketing).
+    *
+    * Round-14 (advice fix): the hash folds in a cheap SOURCE
+    * FINGERPRINT (per-parquet mtime + length under `dir`) next to the
+    * path, so regenerating the test data in place changes the scratch
+    * dir and every `_SUCCESS`-guarded derived layout (q_dpp,
+    * q_partition_prune, q_merge_schema, …) rebuilds instead of serving
+    * stale derived output. Listing a dozen files is driver-side
+    * metadata work, done once per query construction. */
   private[graft] def fmtDir(dir: String, name: String): String = {
+    val src = new java.io.File(dir)
+    val fp = Option(src.listFiles())
+      .map(_.filter(f => f.getName.endsWith(".parquet") && f.isFile)
+        .sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
+        .mkString("|"))
+      .getOrElse("")
     val digest = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      .digest(s"$dir#$fp".getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
     s"target/fmt_roundtrip/$digest/$name"
   }
 

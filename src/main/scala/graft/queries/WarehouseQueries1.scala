@@ -1502,19 +1502,21 @@ private[graft] trait WarehouseQueries1 { this: SparkEntry.type =>
       .localCheckpoint(eager = false)
     // round-13 re-shape: both rankings (per-nation and global) ride
     // ONE groupedRank range pass — the global copy stacks under a
-    // -prefixed group tag no nation name can collide with — and
+    // "\u0001"-prefixed group tag no nation name can collide with
+    // (the byte was a raw invisible control char in source until
+    // round-14; now the visible escape — same string, reviewable) — and
     // the per-group sizes come from the kernel's own grp_n column, so
     // the natN aggregate + broadcast join disappear (the q_qcd trick).
     val stacked = vals.select(col("n_name").as("g"),
         col("v").cast("double").as("ord"), col("ok"))
-      .unionAll(vals.select(lit("all").as("g"),
+      .unionAll(vals.select(lit("\u0001all").as("g"),
         col("v").cast("double").as("ord"), col("ok")))
     val ranked = graft.ops.ScalablePrefix.groupedRank(s,
         stacked, "g", "ord", "ok", 32)
       .localCheckpoint(eager = false)
-    val globR = ranked.filter(col("g") === "all")
+    val globR = ranked.filter(col("g") === "\u0001all")
     val totN = globR.agg(max(col("rnk")).as("n_tot"))
-    ranked.filter(col("g") =!= "all")
+    ranked.filter(col("g") =!= "\u0001all")
       .withColumnRenamed("g", "n_name")
       .crossJoin(broadcast(totN))
       .withColumn("target_rank", expr("rnk * n_tot div grp_n"))
@@ -1993,18 +1995,20 @@ private[graft] trait WarehouseQueries1 { this: SparkEntry.type =>
         "g", "ord", "t", 32)
       .select(col("ord"), (lit(2L) * col("cum_w") - col("t") + 1L).as("mr2"))
       .join(vals.select(col("v").cast("double").as("ord") +:
-        col("t") +: (0 to 4).map(i => col(s"t$i")): _*), "ord")
-    val wideCols = (0 to 4).flatMap { i =>
+        col("t") +: priorities.indices.map(i => col(s"t$i")): _*), "ord")
+    // every per-priority loop derives from priorities.indices so a
+    // domain change cannot desync the column set (round-14 advice)
+    val wideCols = priorities.indices.flatMap { i =>
       Seq(sum(col(s"t$i")).as(s"n$i"),
         sum(col(s"t$i") * col("mr2")).as(s"r$i"))
     } :+ sum(col("t") * col("t") * col("t") - col("t")).as("tie3")
     val wide = withMr.agg(wideCols.head, wideCols.tail: _*)
     def sumTerm: org.apache.spark.sql.Column =
-      (0 to 4).map { i =>
+      priorities.indices.map { i =>
         (col(s"r$i").cast("double") * col(s"r$i").cast("double")) /
           col(s"n$i").cast("double")
       }.reduce(_ + _)
-    val nTot = (0 to 4).map(i => col(s"n$i")).reduce(_ + _)
+    val nTot = priorities.indices.map(i => col(s"n$i")).reduce(_ + _)
     wide
       .withColumn("n_total", nTot)
       .withColumn("h_raw",

@@ -93,7 +93,7 @@ class ScaleSpec extends SparkSpec {
     // partition ships at most strata × n survivor rows (the same
     // bound the old mapPartitions TreeSet enforced by hand)
     val plan = bounded.queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined,
       s"bounded top-n must run through a partial WindowGroupLimit heap:\n$plan")
     val got = bounded.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted

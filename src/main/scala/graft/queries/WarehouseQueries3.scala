@@ -527,7 +527,6 @@ private[graft] trait WarehouseQueries3 { this: SparkEntry.type =>
     * robust quantile read. Unattributed purchases are counted but
     * excluded from the gap ranks. */
   private[graft] def qClickToBuyLatency(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
@@ -541,18 +540,25 @@ private[graft] trait WarehouseQueries3 { this: SparkEntry.type =>
           expr("(ts - click_ts) div 1000000000")).as("gap_s"))
       .localCheckpoint(eager = false)
     val withGap = gapped.filter(col("gap_s").isNotNull)
-    val ranked = withGap
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("gap_s"), col("event_id"))).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
-    def rk(p: Int) = expr(s"greatest((n * $p + 99) div 100, 1)")
+    // round-14 (window audit): the gap ranking is DATA-PROPORTIONAL
+    // (one row per attributed purchase), so the old unpartitioned
+    // row_number + count-over-() funneled every gap through one task.
+    // It now rides the two-pass scalable grouped rank under a single
+    // constant group (the qKruskalWallis convention); grp_n replaces
+    // the count-over-window. Identical ranks: ascending (gap_s,
+    // event_id), both exact in double (gaps are second-scale longs).
+    val ranked = graft.ops.ScalablePrefix.groupedRank(s,
+      withGap.select(lit("all").as("g"),
+        col("gap_s").cast("double").as("ord"), col("event_id")),
+      "g", "ord", "event_id", 32)
+    def rk(p: Int) = expr(s"greatest((grp_n * $p + 99) div 100, 1)")
     val quant = ranked
       .filter(Seq(10, 50, 90).map(p => col("rnk") === rk(p)).reduce(_ || _))
       .groupBy()
-      .agg(max(col("n")).as("attributed"),
-        max(when(col("rnk") === rk(10), col("gap_s"))).as("p10_s"),
-        max(when(col("rnk") === rk(50), col("gap_s"))).as("p50_s"),
-        max(when(col("rnk") === rk(90), col("gap_s"))).as("p90_s"))
+      .agg(max(col("grp_n")).as("attributed"),
+        max(when(col("rnk") === rk(10), col("ord"))).cast("long").as("p10_s"),
+        max(when(col("rnk") === rk(50), col("ord"))).cast("long").as("p50_s"),
+        max(when(col("rnk") === rk(90), col("ord"))).cast("long").as("p90_s"))
     val tot = gapped.agg(count(lit(1)).as("purchases"))
     quant.crossJoin(broadcast(tot))
       .select(col("purchases"), col("attributed"), col("p10_s"),
@@ -964,6 +970,9 @@ private[graft] trait WarehouseQueries3 { this: SparkEntry.type =>
     val diffs = arm("1-URGENT", "a").crossJoin(arm("5-LOW", "b"))
       .select((col("c_a") - col("c_b")).as("d"), col("k_a"), col("k_b"))
     val n = diffs.agg(count(lit(1)).as("n_pairs"))
+    // unpartitioned window: BOUNDED-BY-CONSTRUCTION — each arm is
+    // capped at 500 rows above, so this ranks <= 250k rows at ANY SF
+    // (a sampling-capped probe, not a data-proportional funnel)
     val ranked = diffs.withColumn("rn",
       row_number().over(Window.orderBy(col("d"), col("k_a"), col("k_b"))).cast("long"))
     ranked.crossJoin(broadcast(n))

@@ -46,6 +46,14 @@ object KCore {
     // actions). Lineage is still cut at every checkpoint (the plan is
     // replaced by the checkpoint RDD immediately; only the compute is
     // deferred), so plans never stack across rounds.
+    // Round-14 A/B, REJECTED: fusing the two actions into one by
+    // turning the level into a broadcast 1-row relation
+    // (lvl_r = greatest(min-degree_r, lvl_{r-1}) chained through
+    // checkpoints, peel filter via crossJoin(broadcast(lvl))) measured
+    // STRICTLY WORSE back-to-back — q_coreness min-of-7 2.36 vs
+    // 1.92 s, medians 2.69 vs 2.10: the per-round broadcast build and
+    // the BroadcastNestedLoopJoin stage cost more than the saved
+    // driver round-trip at any tested scale.
     var remaining = edges.select(col("u"), col("v")).localCheckpoint(eager = false)
     var nodes = remaining.select(explode(array(col("u"), col("v"))).as("node"))
       .distinct().localCheckpoint(eager = false)

@@ -196,6 +196,13 @@ object Dedup {
     // (At corpus scale the index may be too large for block storage;
     // there a disk-persisted or recompute strategy is the caller's
     // trade-off — within one query, one materialization wins.)
+    // Round-14 A/B, REJECTED: storing the checkpoint hash-partitioned
+    // by doc (so the per-doc window, the size counts and the d1-keyed
+    // verify join reuse the partitioning) measured flat on
+    // q_jaccard_prefix (1.77 vs 1.74 s min-of-7) and WORSE on
+    // q_lsh_sweep (2.79 vs 2.43 s): the added full-index exchange is
+    // real, while the "saved" exchanges were already being satisfied
+    // by AQE broadcasts of the small aggregated sides.
     val shAll = hashedIndex(docs, idCol, textCol, k)
       .localCheckpoint(eager = false)
     val counts = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
